@@ -1,13 +1,584 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TypeInference
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, each with DuckDB-equivalent oracle SQL where
+  * expressible. Every query is deterministic: total-order sorts,
+  * rounded doubles, rank-based (never nondeterministic) ids.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    if (name == "events")
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
+      // default; read it as a long (ns since epoch) and convert where
+      // needed with integer division (never double division — 1e18 ns
+      // exceeds a double's 53-bit integer range).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Relation extraction (J1+J2+J3) — the reference's most complex plan:
+    * distinct + surrogate keys + broadcast equi-join.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    qRelationEdges(spark, dir)
+  }
+
+  // ---------------------------------------------------------------- //
+  // Shared DuckDB SQL fragments                                       //
+  // ---------------------------------------------------------------- //
+
+  /** DuckDB replica of TypeInference.inferType (XMLToCSV.py:246-281). */
+  private def duckInferType(v: String): String =
+    s"""CASE WHEN $v IS NULL OR $v = '' THEN 'any'
+       | WHEN regexp_full_match($v, '[0-9]+') THEN 'integer'
+       | WHEN regexp_full_match($v, '[0-9]+\\.[0-9]+') THEN 'float'
+       | WHEN regexp_full_match($v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') AND try_cast($v AS DATE) IS NOT NULL THEN 'date'
+       | WHEN regexp_full_match($v, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?') AND coalesce(try_strptime($v, '%Y-%m-%d %H:%M:%S'), try_strptime($v, '%Y-%m-%d %H:%M')) IS NOT NULL THEN 'datetime'
+       | WHEN lower($v) IN ('true','false') THEN 'boolean'
+       | ELSE 'string' END""".stripMargin.replaceAll("\n", " ")
+
+  /** The stacked (col_name, v) test battery used by the type queries:
+    * every §1.3 lattice input appears. Spark side.
+    */
+  private def stackedTypeValues(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val vals = o.select(
+      date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date_s"),
+      col("o_orderkey").cast("string").as("order_key_s"),
+      col("o_orderstatus").as("status_s"),
+      when(col("o_orderkey") % 2 === 0, col("o_orderkey").cast("string"))
+        .otherwise(concat(col("o_orderkey").cast("string"), lit(".5"))).as("mixed_numeric"),
+      when(col("o_orderkey") % 2 === 0, date_format(col("o_orderdate"), "yyyy-MM-dd"))
+        .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm")).as("mixed_dt"),
+      when(col("o_orderkey") % 2 === 0, lit("")).otherwise(lit(null).cast("string")).as("empty_like"),
+      when(col("o_orderkey") % 2 === 0, lit("true")).otherwise(lit("FALSE")).as("bool_like"))
+    val names = Seq("order_date_s", "order_key_s", "status_s", "mixed_numeric",
+      "mixed_dt", "empty_like", "bool_like")
+    vals.select(explode(array(names.map(n =>
+      struct(lit(n).as("col_name"), col(n).as("v"))): _*)).as("s"))
+      .select(col("s.col_name").as("col_name"), col("s.v").as("v"))
+  }
+
+  /** Same battery in DuckDB SQL (CTE body). UNION ALL rather than
+    * UNPIVOT: UNPIVOT silently drops NULL cells, which would lose the
+    * NULL -> 'any' classification rows.
+    */
+  private val duckStacked: String =
+    """vals AS (
+      |  SELECT strftime(o_orderdate, '%Y-%m-%d') AS order_date_s,
+      |         o_orderkey::VARCHAR AS order_key_s,
+      |         o_orderstatus AS status_s,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey::VARCHAR ELSE o_orderkey::VARCHAR || '.5' END AS mixed_numeric,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN strftime(o_orderdate, '%Y-%m-%d') ELSE strftime(o_orderdate, '%Y-%m-%d %H:%M') END AS mixed_dt,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN '' ELSE NULL END AS empty_like,
+      |         CASE WHEN o_orderkey % 2 = 0 THEN 'true' ELSE 'FALSE' END AS bool_like
+      |  FROM orders),
+      | stacked AS (
+      |  SELECT 'order_date_s' AS col_name, order_date_s AS v FROM vals
+      |  UNION ALL SELECT 'order_key_s', order_key_s FROM vals
+      |  UNION ALL SELECT 'status_s', status_s FROM vals
+      |  UNION ALL SELECT 'mixed_numeric', mixed_numeric FROM vals
+      |  UNION ALL SELECT 'mixed_dt', mixed_dt FROM vals
+      |  UNION ALL SELECT 'empty_like', empty_like FROM vals
+      |  UNION ALL SELECT 'bool_like', bool_like FROM vals
+      |)""".stripMargin.replaceAll("\n", " ")
+
+  // ---------------------------------------------------------------- //
+  // Parity queries (SURVEY.md §2 operators over the testdata)         //
+  // ---------------------------------------------------------------- //
+
+  private def qProjectFilter(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      // raw double product, NOT rounded: both engines compute the same
+      // IEEE a*(1-b), while round() at a half-way 3rd decimal differs
+      // between Spark (BigDecimal half-up) and DuckDB (x*100 trick)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  private def qAggGroup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        // sums of 2-decimal money are whole cents, so round(2) is
+        // stable across engines; avg is not (ratio can sit on a
+        // rounding boundary) — min/max are exact instead
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_price"),
+        min("l_extendedprice").as("min_price"),
+        max("l_extendedprice").as("max_price"),
+        countDistinct("l_orderkey").as("n_orders"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  private def qArrayCollapse(s: SparkSession, dir: String): DataFrame =
+    Relational.arrayCollapse(
+      t(s, dir, "lineitem").where(col("l_orderkey") < 1000),
+      col("l_orderkey"), col("l_partkey"), "parts")
+      .orderBy("l_orderkey")
+
+  private def qTypeInfer(s: SparkSession, dir: String): DataFrame =
+    stackedTypeValues(s, dir)
+      .select(TypeInference.inferType(col("v")).as("inferred_type"))
+      .groupBy("inferred_type").agg(count(lit(1)).as("n"))
+      .orderBy("inferred_type")
+
+  private def qTypeLattice(s: SparkSession, dir: String): DataFrame =
+    stackedTypeValues(s, dir)
+      .select(col("col_name"), TypeInference.inferType(col("v")).as("tp"))
+      .groupBy("col_name")
+      .agg(TypeInference.unifyTypes(collect_set(col("tp"))).as("unified_type"))
+      .orderBy("col_name")
+
+  private def qSurrogateIds(s: SparkSession, dir: String): DataFrame =
+    Relational.withRankId(t(s, dir, "customer"), Seq(col("c_custkey")))
+      .where(col("id") < 50)
+      .select("id", "c_custkey", "c_name")
+      .orderBy("id")
+
+  private def relationParts(s: SparkSession, dir: String): (DataFrame, DataFrame, Long) = {
+    val c = t(s, dir, "customer")
+    val n = c.count()
+    val pairs = Relational.relationPairs(c, col("c_custkey"), col("c_mktsegment"))
+    val nodes = Relational.relationNodes(pairs, n)
+    (pairs, nodes, n)
+  }
+
+  private def qRelationNodes(s: SparkSession, dir: String): DataFrame = {
+    val (_, nodes, _) = relationParts(s, dir)
+    nodes.orderBy("node_id")
+  }
+
+  private def qRelationEdges(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, nodes, _) = relationParts(s, dir)
+    Relational.relationEdges(pairs, nodes).orderBy("start_id", "end_id")
+  }
+
+  private def qDistinctSort(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").select(col("o_orderpriority").as("priority"))
+      .distinct().orderBy("priority")
+
+  private def qTopK(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("o_orderkey"))
+
+  private def qWindowRank(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .where(col("rk") === 1 && col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("best_price"))
+      .orderBy("o_custkey")
+
+  private def qJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    // dim tables broadcast; the single shuffle is the final groupBy
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(
+        countDistinct("c_custkey").as("n_customers"),
+        count(lit(1)).as("n_orders"),
+        round(sum("o_totalprice"), 2).as("total_price"))
+      .orderBy("r_name", "n_name")
+  }
+
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hi = e.where(col("value") > 100).select(col("event_type"))
+    val lo = e.where(col("value") < 10).select(col("event_type"))
+    hi.union(lo).distinct().orderBy("event_type")
+  }
+
+  private def qTimeWindow(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(
+        date_format(date_trunc("hour", timestamp_micros(expr("ts div 1000"))), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  private def qCountDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("event_type")
+
+  private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    // HLL sketch — engine-specific estimate, so no DuckDB oracle (the
+    // driver records a rows-only check); correctness is bounded vs the
+    // exact count in the unit tests.
+    t(s, dir, "events")
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id").as("approx_users"))
+      .orderBy("event_type")
+
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+      .orderBy("k")
+
+  // ---------------------------------------------------------------- //
+  // Extension queries: dedup / similarity / text / multimodal         //
+  // ---------------------------------------------------------------- //
+
+  private def qDedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(t(s, dir, "documents"), col("doc_id"), col("text"))
+      .select(col("keep_id"), col("n_dups"), col("fp"))
+      .orderBy("keep_id")
+
+  private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
+      nShingle = 3, k = 32, bands = 8, threshold = 0.4)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 12)
+      .orderBy("id_a", "id_b")
+
+  private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardNearDups(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang"), col("n_chars"),
+      n = 3, threshold = 0.15, bucketWidth = 100)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("id_a", "id_b")
+
+  private def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.bruteForceTopK(e.where(col("id") < 5), e, k = 5)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  private def qSimIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(e.where(col("id") >= 5 && col("id") < 10), e, k = 3, nBuckets = 8)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  private def qTextQuality(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.qualityMetrics(
+      t(s, dir, "documents").where(col("doc_id") < 100), col("text"))
+      .select("doc_id", "n_tokens", "mean_token_len", "stopword_ratio",
+        "punct_ratio", "alpha_ratio")
+      .orderBy("doc_id")
+
+  private def qLangId(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), TextAnalysis.detectLang(col("text")).as("predicted"))
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .orderBy("lang", "predicted")
+
+  private def qTokenFreq(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenFrequencies(t(s, dir, "documents"), col("text"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  private def qFingerprint(s: SparkSession, dir: String): DataFrame =
+    // rolling polynomial hash — Spark-only (no SQL oracle; unit-tested)
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
+      .orderBy("doc_id")
+
+  private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
+    // binary-column plumbing: text -> utf-8 bytes -> (byte length, sha256)
+    t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(
+        col("doc_id"),
+        octet_length(encode(col("text"), "utf-8")).cast("long").as("n_bytes"),
+        sha2(encode(col("text"), "utf-8"), 256).as("sha"))
+      .orderBy("doc_id")
+
+  // ---------------------------------------------------------------- //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_project_filter" -> qProjectFilter _,
+    "q02_agg_group" -> qAggGroup _,
+    "q03_array_collapse" -> qArrayCollapse _,
+    "q04_type_infer" -> qTypeInfer _,
+    "q05_type_lattice" -> qTypeLattice _,
+    "q06_surrogate_ids" -> qSurrogateIds _,
+    "q07_relation_nodes" -> qRelationNodes _,
+    "q08_relation_edges" -> qRelationEdges _,
+    "q09_distinct_sort" -> qDistinctSort _,
+    "q10_topk" -> qTopK _,
+    "q11_window_rank" -> qWindowRank _,
+    "q12_join_agg" -> qJoinAgg _,
+    "q13_set_ops" -> qSetOps _,
+    "q14_time_window" -> qTimeWindow _,
+    "q15_count_distinct" -> qCountDistinct _,
+    "q16_approx_distinct" -> qApproxDistinct _,
+    "q17_rollup" -> qRollup _,
+    "q18_json_extract" -> qJsonExtract _,
+    "q20_dedup_exact" -> qDedupExact _,
+    "q21_dedup_minhash" -> qDedupMinhash _,
+    "q22_dedup_simhash" -> qDedupSimhash _,
+    "q23_dedup_ngram" -> qDedupNgram _,
+    "q25_sim_bruteforce" -> qSimBruteForce _,
+    "q26_sim_ivf" -> qSimIvf _,
+    "q27_text_quality" -> qTextQuality _,
+    "q28_lang_id" -> qLangId _,
+    "q29_token_freq" -> qTokenFreq _,
+    "q30_fingerprint" -> qFingerprint _,
+    "q31_multimodal_meta" -> qMultimodalMeta _,
+  )
+
+  def oracleSql: Map[String, String] = {
+    val inferV = duckInferType("v")
+    Map(
+      "q01_project_filter" ->
+        """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
+          |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "q02_agg_group" ->
+        """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+          | round(sum(l_quantity), 2) AS sum_qty,
+          | round(sum(l_extendedprice), 2) AS sum_price,
+          | min(l_extendedprice) AS min_price,
+          | max(l_extendedprice) AS max_price,
+          | count(DISTINCT l_orderkey) AS n_orders
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q03_array_collapse" ->
+        """SELECT l_orderkey,
+          | array_to_string(list_sort(list(l_partkey::VARCHAR)), '|') AS parts
+          |FROM lineitem WHERE l_orderkey < 1000
+          |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+      "q04_type_infer" ->
+        s"""WITH $duckStacked,
+           | inferred AS (SELECT $inferV AS inferred_type FROM stacked)
+           |SELECT inferred_type, count(*) AS n FROM inferred
+           |GROUP BY inferred_type ORDER BY inferred_type""".stripMargin,
+
+      "q05_type_lattice" ->
+        s"""WITH $duckStacked,
+           | inferred AS (SELECT col_name, $inferV AS tp FROM stacked),
+           | tset AS (SELECT DISTINCT col_name, tp FROM inferred WHERE tp <> 'any'),
+           | agg AS (SELECT col_name, count(*) AS n,
+           |   bool_or(tp = 'string') AS has_str, bool_or(tp = 'integer') AS has_int,
+           |   bool_or(tp = 'float') AS has_flt, bool_or(tp = 'date') AS has_date,
+           |   bool_or(tp = 'datetime') AS has_dt, max(tp) AS only_tp
+           |  FROM tset GROUP BY col_name)
+           |SELECT c.col_name,
+           | CASE WHEN a.n IS NULL THEN 'string'
+           |  WHEN a.n = 1 THEN a.only_tp
+           |  WHEN a.has_str THEN 'string'
+           |  WHEN a.n = 2 AND a.has_int AND a.has_flt THEN 'float'
+           |  WHEN a.n = 2 AND a.has_date AND a.has_dt THEN 'datetime'
+           |  ELSE 'string' END AS unified_type
+           |FROM (SELECT DISTINCT col_name FROM stacked) c
+           |LEFT JOIN agg a USING (col_name)
+           |ORDER BY col_name""".stripMargin,
+
+      "q06_surrogate_ids" ->
+        """SELECT id, c_custkey, c_name FROM (
+          | SELECT row_number() OVER (ORDER BY c_custkey) - 1 AS id, c_custkey, c_name
+          | FROM customer) WHERE id < 50 ORDER BY id""".stripMargin,
+
+      "q07_relation_nodes" ->
+        """SELECT (SELECT count(*) FROM customer) + row_number() OVER (ORDER BY v) - 1 AS node_id, v
+          |FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
+          |      WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> '')
+          |ORDER BY node_id""".stripMargin,
+
+      "q08_relation_edges" ->
+        """WITH nodes AS (
+          | SELECT (SELECT count(*) FROM customer) + row_number() OVER (ORDER BY v) - 1 AS node_id, v
+          | FROM (SELECT DISTINCT c_mktsegment AS v FROM customer
+          |       WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''))
+          |SELECT c.c_custkey AS start_id, n.node_id AS end_id
+          |FROM customer c JOIN nodes n ON c.c_mktsegment = n.v
+          |ORDER BY start_id, end_id""".stripMargin,
+
+      "q09_distinct_sort" ->
+        "SELECT DISTINCT o_orderpriority AS priority FROM orders ORDER BY priority",
+
+      "q10_topk" ->
+        """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+      "q11_window_rank" ->
+        """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS best_price FROM (
+          | SELECT o_custkey, o_orderkey, o_totalprice,
+          |  row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          | FROM orders) WHERE rk = 1 AND o_custkey < 200 ORDER BY o_custkey""".stripMargin,
+
+      "q12_join_agg" ->
+        """SELECT r_name, n_name, count(DISTINCT c_custkey) AS n_customers,
+          | count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+      "q13_set_ops" ->
+        """SELECT event_type FROM events WHERE value > 100
+          |UNION
+          |SELECT event_type FROM events WHERE value < 10
+          |ORDER BY event_type""".stripMargin,
+
+      "q14_time_window" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+          | count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      "q15_count_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id) AS n_users
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+      "q17_rollup" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          | coalesce(l_linestatus, 'ALL') AS linestatus,
+          | count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY returnflag, linestatus""".stripMargin,
+
+      "q18_json_extract" ->
+        """SELECT regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k, count(*) AS n
+          |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+      "q20_dedup_exact" ->
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM (
+          | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          | FROM documents)
+          |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+      "q23_dedup_ngram" ->
+        """WITH base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh,
+          |  lang, (n_chars // 100) AS lb
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+          |        lang, n_chars FROM documents)
+          | WHERE len(toks) > 0)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+          |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q25_sim_bruteforce" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM e q CROSS JOIN e c
+          |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      "q26_sim_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      "q27_text_quality" ->
+        """SELECT doc_id,
+          | len(toks) AS n_tokens,
+          | round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / greatest(len(toks), 1), 4) AS mean_token_len,
+          | round(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'], lower(x))))::DOUBLE / greatest(len(toks), 1), 4) AS stopword_ratio,
+          | round((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / greatest(length(text), 1), 4) AS punct_ratio,
+          | round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / greatest(length(text), 1), 4) AS alpha_ratio
+          |FROM (SELECT doc_id, text,
+          |       list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          |      FROM documents WHERE doc_id < 100)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q28_lang_id" ->
+        """WITH scored AS (
+          | SELECT lang,
+          |  len(list_filter(['der','die','das','und','ist','nicht','mit','ein','zu','von'], m -> list_contains(toks, m))) AS s_de,
+          |  len(list_filter(['the','and','of','to','is','in','that','it','for','with'], m -> list_contains(toks, m))) AS s_en,
+          |  len(list_filter(['el','la','los','las','es','y','que','en','un','una'], m -> list_contains(toks, m))) AS s_es,
+          |  len(list_filter(['le','la','les','et','est','que','un','une','des','dans'], m -> list_contains(toks, m))) AS s_fr,
+          |  len(list_filter(['的','是','了','在','我','有','和','不','人','这'], m -> contains(text, m))) AS s_zh
+          | FROM (SELECT lang, text,
+          |        list_transform(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''), x -> lower(x)) AS toks
+          |       FROM documents)),
+          | pred AS (
+          | SELECT lang, CASE
+          |   WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+          |   WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+          |   WHEN s_es >= s_fr AND s_es >= s_zh THEN 'es'
+          |   WHEN s_fr >= s_zh THEN 'fr'
+          |   ELSE 'zh' END AS predicted
+          | FROM scored)
+          |SELECT lang, predicted, count(*) AS n FROM pred
+          |GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+      "q29_token_freq" ->
+        """SELECT token, count(*) AS freq FROM (
+          | SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          | FROM documents)
+          |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin,
+
+      "q31_multimodal_meta" ->
+        """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+    )
+  }
 }

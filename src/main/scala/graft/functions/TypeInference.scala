@@ -1,0 +1,84 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Value-level type inference + type-lattice unification.
+  *
+  * Re-expresses the reference's per-cell type classifier
+  * (`get_type`, /root/reference/XMLToCSV.py:246-281) and the
+  * type-set unification lattice (`get_high_level_type`,
+  * /root/reference/XMLToCSV.py:314-331) as Catalyst column
+  * expressions, so classification runs inside whole-stage codegen
+  * (no UDF serialization) and the per-column set aggregation is a
+  * plain hash aggregate with map-side partial combine.
+  *
+  * Semantics (must match the reference exactly, quirks included):
+  *   - null/empty        -> "any"
+  *   - ^[0-9]+$          -> "integer"  (leading zeros OK; no sign; unbounded)
+  *   - ^[0-9]+\.[0-9]+$  -> "float"    (no sign, no exponent -> "1e5" is string)
+  *   - ^\d{4}-\d{2}-\d{2}$ and calendar-valid          -> "date"
+  *   - ^\d{4}-\d{2}-\d{2} \d{2}:\d{2}(:\d{2})?$ valid  -> "datetime"
+  *   - lower in {true,false} -> "boolean"
+  *   - else              -> "string"
+  * Negative numbers and scientific notation are therefore "string".
+  */
+object TypeInference {
+
+  val TAny      = "any"
+  val TInteger  = "integer"
+  val TFloat    = "float"
+  val TDate     = "date"
+  val TDatetime = "datetime"
+  val TBoolean  = "boolean"
+  val TString   = "string"
+
+  private val intRe      = "^[0-9]+$"
+  private val floatRe    = "^[0-9]+\\.[0-9]+$"
+  private val dateRe     = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
+  private val datetimeRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?$"
+
+  /** Classify one string cell into its observed type tag.
+    * Pure built-in `when`/`rlike`/`try_to_*` chain — codegen'd, no UDF.
+    */
+  def inferType(c: Column): Column =
+    when(c.isNull || c === "", TAny)
+      .when(c.rlike(intRe), TInteger)
+      .when(c.rlike(floatRe), TFloat)
+      .when(c.rlike(dateRe) && try_to_date(c, "yyyy-MM-dd").isNotNull, TDate)
+      .when(
+        c.rlike(datetimeRe) &&
+          (try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")).isNotNull ||
+            try_to_timestamp(c, lit("yyyy-MM-dd HH:mm")).isNotNull),
+        TDatetime)
+      .when(lower(c).isin("true", "false"), TBoolean)
+      .otherwise(TString)
+
+  /** Unify a set of observed type tags (as an array column) into one
+    * high-level type, per the reference lattice:
+    * drop "any"; empty => string; singleton => itself;
+    * contains string => string; {integer,float} => float;
+    * {date,datetime} => datetime; anything else => string.
+    */
+  def unifyTypes(tags: Column): Column = {
+    val t = array_distinct(array_remove(tags, TAny))
+    val n = size(t)
+    when(n === 0, TString)
+      .when(n === 1, element_at(t, 1))
+      .when(array_contains(t, TString), TString)
+      .when(n === 2 && array_contains(t, TInteger) && array_contains(t, TFloat), TFloat)
+      .when(n === 2 && array_contains(t, TDate) && array_contains(t, TDatetime), TDatetime)
+      .otherwise(TString)
+  }
+
+  /** Driver-side lattice fold, for schema assembly outside a plan. */
+  def unifyTypeSet(tags: Set[String]): String = {
+    val t = tags - TAny
+    if (t.isEmpty) TString
+    else if (t.size == 1) t.head
+    else if (t.contains(TString)) TString
+    else if (t == Set(TInteger, TFloat)) TFloat
+    else if (t == Set(TDate, TDatetime)) TDatetime
+    else TString
+  }
+}

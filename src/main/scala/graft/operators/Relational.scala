@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators re-expressing the reference's row-stream
+  * semantics as distributed DataFrame transforms.
+  *
+  * Reference touchpoints:
+  *  - multi-value collapse: /root/reference/XMLToCSV.py:178-179,224-233
+  *  - global surrogate ids: /root/reference/XMLToCSV.py:161,180,188
+  *  - relation extraction:  /root/reference/XMLToCSV.py:206-221,347-362
+  */
+object Relational {
+
+  /** A1 — collapse a multi-valued column: sort lexicographically, keep
+    * duplicates, join with "|" (XMLToCSV.py:179). `values` must be an
+    * array column. Map-side partial aggregation applies when used after
+    * groupBy(...).agg(collect_list) — Spark's ObjectHashAggregate
+    * handles collect_list with partial merge, so the shuffle carries
+    * pre-combined lists, not raw rows.
+    */
+  def collapseValues(values: Column): Column =
+    concat_ws("|", array_sort(values))
+
+  /** A1 in full: group child rows by a parent key and collapse one
+    * column into the reference's "|"-joined sorted cell.
+    */
+  def arrayCollapse(df: DataFrame, key: Column, value: Column, as: String): DataFrame =
+    df.groupBy(key)
+      .agg(collapseValues(collect_list(value.cast("string"))).as(as))
+
+  /** K1 — contiguous, order-preserving surrogate ids starting at
+    * `offset`. Implemented with zipWithIndex: one count-per-partition
+    * job plus an order-preserving map — no single-partition shuffle, so
+    * it scales to arbitrarily many partitions (unlike
+    * row_number().over(Window.orderBy(...)) which funnels everything
+    * through one task, and unlike monotonically_increasing_id which is
+    * non-contiguous and breaks the reference's id-continuation contract,
+    * XMLToCSV.py:358-362).
+    *
+    * The input's partition order defines document order; sort first if
+    * a specific order is required.
+    */
+  def withContiguousId(df: DataFrame, idCol: String = "id", offset: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false) +:
+        df.schema.fields)
+    val rows = df.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+
+  /** K1, oracle-friendly variant: deterministic dense ids from an
+    * explicit sort order (dense_rank - 1 + offset). Single window over
+    * a global order — use only when the order column is needed anyway
+    * or data is small; prefer withContiguousId for bulk id assignment.
+    */
+  def withRankId(df: DataFrame, orderBy: Seq[Column], idCol: String = "id", offset: Long = 0L): DataFrame =
+    df.withColumn(idCol, row_number().over(Window.orderBy(orderBy: _*)).cast("long") - 1 + offset)
+
+  /** J1 — explode a (possibly array) relation column into (parentId,
+    * value) pairs, dropping nulls/empties. Edge dedup (the reference's
+    * per-value id *set*, XMLToCSV.py:217-221) is a distinct on the pair.
+    */
+  def relationPairs(df: DataFrame, parentId: Column, value: Column): DataFrame = {
+    val v = value
+    val exploded = df.select(parentId.as("parent_id"), v.as("v"))
+    exploded.where(col("v").isNotNull && col("v").cast("string") =!= "").distinct()
+  }
+
+  /** J2 — node table: distinct relation values, each assigned a
+    * surrogate id continuing after `offset` (the record count,
+    * XMLToCSV.py:358-362). Deterministic: ids follow the value sort
+    * order (the in-memory dict order of the reference is insertion
+    * order — a detail no downstream consumer can rely on, so we pin a
+    * sorted order for reproducibility).
+    */
+  def relationNodes(pairs: DataFrame, offset: Long): DataFrame = {
+    val distinctVals = pairs.select(col("v")).distinct()
+    withRankId(distinctVals.sort("v"), Seq(col("v")), "node_id", offset)
+      .select(col("node_id"), col("v"))
+  }
+
+  /** J3 — edge table: (parent id, node id) via equi-join on the value.
+    * The node side is the distinct-values table — small relative to the
+    * fact side — so broadcast it; Catalyst falls back to sort-merge
+    * automatically if it exceeds the broadcast threshold.
+    */
+  def relationEdges(pairs: DataFrame, nodes: DataFrame): DataFrame =
+    pairs
+      .join(broadcast(nodes), "v")
+      .select(col("parent_id").as("start_id"), col("node_id").as("end_id"))
+
+  /** Full relation extraction (J1+J2+J3) for one column. Returns
+    * (nodes, edges). `recordCount` continues the id sequence.
+    */
+  def extractRelation(df: DataFrame, parentId: Column, value: Column, recordCount: Long): (DataFrame, DataFrame) = {
+    val pairs = relationPairs(df, parentId, value)
+    val nodes = relationNodes(pairs, recordCount)
+    (nodes, relationEdges(pairs, nodes))
+  }
+}

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (array<float>).
+  *
+  * Vector math is pure built-ins (`zip_with` + `aggregate`), evaluated
+  * inside whole-stage codegen — no UDF boxing per element. Arithmetic
+  * is double-precision left-to-right, which keeps results reproducible
+  * across engines for oracle comparison.
+  *
+  * Scale path: brute force is the correctness baseline (its cross
+  * product is broadcast-able only while the query set is small); the
+  * IVF variant buckets both sides by nearest coarse centroid so each
+  * query only scans one bucket — the 100 TB plan is
+  * partition-by-bucket, co-locating the join.
+  */
+object Similarity {
+
+  /** Dot product of two numeric array columns (double fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** L2 norm. */
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm(a) * norm(b)
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
+  /** Brute-force top-k cosine neighbors for each query vector.
+    * `queries` and `corpus` both carry (id, vec). The query side is
+    * expected small -> broadcast it so the corpus never shuffles; the
+    * per-query ranking is a window over (query_id) partitions.
+    * Self-matches (same id) are excluded.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** IVF coarse assignment: centroids are the corpus vectors with
+    * id < nBuckets (deterministic, seedless — at real scale these
+    * would come from a k-means job, but a fixed pseudo-random subset
+    * is the standard bootstrap). Each vector goes to its
+    * nearest-by-cosine centroid; ties break to the smallest centroid
+    * id. Centroids are broadcast; the corpus never shuffles to be
+    * assigned.
+    */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column, nBuckets: Int): DataFrame = {
+    val in = df.select(id.as("doc_id"), vec.as("v"))
+    val cents = in.where(col("doc_id") < nBuckets)
+      .select(col("doc_id").as("cent_id"), col("v").as("cent_v"))
+    ivfAssignWith(in, cents)
+  }
+
+  /** Coarse-assign each (doc_id, v) row to its nearest centroid from an
+    * explicit centroid table (cent_id, cent_v) — the centroid set MUST
+    * be shared between corpus and query assignment or the buckets don't
+    * line up.
+    */
+  def ivfAssignWith(in: DataFrame, cents: DataFrame): DataFrame = {
+    in.crossJoin(broadcast(cents))
+      .select(col("doc_id"), col("v"), col("cent_id"),
+        round(cosine(col("v"), col("cent_v")), 6).as("cent_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cent_cos").desc, col("cent_id"))))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("v"), col("cent_id").as("bucket"))
+  }
+
+  /** IVF top-k: both sides coarse-assigned (queries probe their single
+    * nearest bucket; nprobe>1 would explode to several), then the
+    * scan+rank runs per bucket. The join key is the bucket — at scale,
+    * pre-partitioning the corpus by bucket makes this a co-located
+    * join with no corpus shuffle per query batch.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+    val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
+    val cents = corpusIn.where(col("doc_id") < nBuckets)
+      .select(col("doc_id").as("cent_id"), col("v").as("cent_v"))
+    val corpusAssigned = ivfAssignWith(corpusIn, cents)
+      .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"))
+    val queriesAssigned = ivfAssignWith(
+      queries.select(col("id").as("doc_id"), col("vec").as("v")), cents)
+      .select(col("bucket"), col("doc_id").as("query_id"), col("v").as("q_vec"))
+    queriesAssigned.join(corpusAssigned, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+}

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting.
+  *
+  * All column-level logic is built-in Catalyst functions (codegen'd,
+  * no UDFs), so every operator here stays inside whole-stage codegen
+  * and scales linearly with input partitions — no shuffle except where
+  * an aggregation genuinely requires one.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization; empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** BPE-ish subword-aware token split: words, numbers, and single
+    * punctuation marks each count as a token (approximates a BPE
+    * pre-tokenizer's word-boundary pass).
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      split(text, "(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+      t => t.rlike("\\S"))
+
+  /** Token count (whitespace). */
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Per-document quality metrics, all deterministic and
+    * SQL-expressible for oracle parity:
+    *  - n_tokens, mean token length
+    *  - stopword ratio (tiny embedded English stopword list)
+    *  - punctuation ratio (punct chars / total chars)
+    *  - alpha ratio (letter chars / total chars)
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "be", "this", "that", "are")
+
+  def qualityMetrics(df: DataFrame, text: Column): DataFrame = {
+    val toks = tokens(text)
+    val stopArr = array(stopwords.map(lit): _*)
+    df.withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn(
+        "mean_token_len",
+        round(
+          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+            greatest(size(toks), lit(1)), 4))
+      .withColumn(
+        "stopword_ratio",
+        round(
+          size(filter(toks, t => array_contains(stopArr, lower(t)))).cast("double") /
+            greatest(size(toks), lit(1)), 4))
+      .withColumn(
+        "punct_ratio",
+        round(
+          (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+            greatest(length(text), lit(1)), 4))
+      .withColumn(
+        "alpha_ratio",
+        round(
+          length(regexp_replace(text, "[^A-Za-z]", "")).cast("double") /
+            greatest(length(text), lit(1)), 4))
+  }
+
+  /** Language ID via stopword/character n-gram heuristic: score each
+    * candidate language by its marker-token hit count over the
+    * document's token set; argmax wins, ties broken by language code.
+    * Deterministic, no model artifacts, SQL-expressible.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "von"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "que", "en", "un", "una"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "un", "une", "des", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Score one language: number of marker tokens present (zh markers
+    * are matched as substrings since Chinese has no spaces).
+    */
+  private def langScore(text: Column, toks: Column, lang: String): Column =
+    if (lang == "zh")
+      langMarkers(lang).map(m => when(text.contains(m), 1).otherwise(0)).reduce(_ + _)
+    else {
+      val lowered = transform(toks, lower _)
+      langMarkers(lang).map(m => when(array_contains(lowered, m), 1).otherwise(0)).reduce(_ + _)
+    }
+
+  /** Predicted language column. */
+  def detectLang(text: Column): Column = {
+    val toks = tokens(text)
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, toks, l).as("score"), lit(l).as("lang")))
+    // argmax by (score, lang desc) then tiebreak: highest score wins;
+    // on ties the lexicographically FIRST language code wins.
+    val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
+      val cand = struct(langScore(text, toks, l).as("score"), lit(l).as("lang"))
+      when(cand("score") > acc("score"), cand).otherwise(acc)
+    }
+    best("lang")
+  }
+
+  /** Document fingerprint: md5 of whitespace-normalized, lowercased
+    * text. Stable content hash for exact-dedup joins across engines
+    * (md5 is bit-identical everywhere, unlike engine-specific hash()).
+    */
+  def fingerprint(text: Column): Column =
+    md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
+
+  /** Rolling polynomial hash (Rabin-Karp style, base 31, mod 2^31-1)
+    * over the normalized text — an order-sensitive fingerprint usable
+    * for shift-invariant chunking. The modulus keeps acc*31+c under
+    * 2^36, safely inside long range under ANSI overflow checking.
+    * Spark-only (no SQL oracle — verified by unit test instead).
+    */
+  def rollingHash(text: Column): Column = {
+    val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
+    val m = lit(2147483647L) // 2^31 - 1
+    aggregate(
+      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, c) => pmod(acc * 31L + c, m))
+  }
+
+  /** Token frequency table: (token, count), the classic explode +
+    * groupBy. Partial aggregation combines map-side, so the shuffle
+    * carries one row per (partition, token), not per occurrence.
+    */
+  def tokenFrequencies(df: DataFrame, text: Column): DataFrame =
+    df.select(explode(tokens(lower(text))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("freq"))
+}
