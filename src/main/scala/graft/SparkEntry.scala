@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TypeInference
 import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.xml.{Annotate, Dtd, Flatten, XmlRecords}
 
 /** Driver contract — one `queries` entry per implemented operator from
   * SURVEY.md §2, each with DuckDB-equivalent oracle SQL where
@@ -323,8 +324,135 @@ object SparkEntry {
       .orderBy("doc_id")
 
   // ---------------------------------------------------------------- //
+  // XML pipeline queries (SURVEY.md §2 S1-S3/P1-P3/A1/K1/J1-J3) on an
+  // embedded mini-DBLP fixture; oracles are VALUES literals hand-
+  // derived from the reference semantics and double-checked by the
+  // golden tests in XmlToCsvSpec.
+  // ---------------------------------------------------------------- //
+
+  private val fixtureDtd =
+    """<!ELEMENT dblp ((article|book|phdthesis|www)*)>
+      |<!ELEMENT article (author|title|year|pages|note|cite)*>
+      |<!ELEMENT book (author|title|note)*>
+      |<!ELEMENT phdthesis (empty-attr-only)*>
+      |<!ELEMENT www (#PCDATA)>
+      |<!ELEMENT author (#PCDATA)>
+      |<!ELEMENT title (#PCDATA)>
+      |<!ELEMENT year (#PCDATA)>
+      |<!ELEMENT pages (#PCDATA)>
+      |<!ELEMENT note (#PCDATA)>
+      |<!ELEMENT cite (#PCDATA)>
+      |<!ELEMENT empty-attr-only (#PCDATA)>
+      |<!ATTLIST article key CDATA #REQUIRED mdate CDATA #IMPLIED publtype CDATA "informal">
+      |<!ATTLIST book key CDATA #REQUIRED>
+      |<!ATTLIST phdthesis key CDATA #REQUIRED>
+      |<!ATTLIST author orcid CDATA #IMPLIED>
+      |<!ATTLIST note type CDATA #IMPLIED>
+      |<!ATTLIST empty-attr-only foo CDATA #IMPLIED>
+      |<!ENTITY uuml "&#252;">
+      |""".stripMargin
+
+  private val fixtureXml =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<!DOCTYPE dblp SYSTEM "mini.dtd">
+      |<dblp>
+      |<article key="a/K1" mdate="2020-01-01">
+      |<author orcid="0000-1">Ann</author>
+      |<author>Bob</author>
+      |<author>Ann</author>
+      |<title>On X; a "study" of &uuml;ber</title>
+      |<year>2020</year>
+      |</article>
+      |<article key="a/K2" publtype="informal">
+      |<year>20.5</year>
+      |<pages>-7</pages>
+      |<note type="x">true</note>
+      |<cite>a/K1</cite>
+      |</article>
+      |<book key="b/B1">
+      |<title>T</title>
+      |<note>2020-01-02</note>
+      |</book>
+      |<phdthesis key="p/P1">
+      |<empty-attr-only foo="1"/>
+      |</phdthesis>
+      |<www/>
+      |</dblp>
+      |""".stripMargin
+
+  /** Materialize the fixture on local disk (idempotent) and return
+    * (xmlPath, parsed Dtd).
+    */
+  private def xmlFixture(): (String, Dtd) = {
+    val dir = java.nio.file.Paths.get("/tmp/graft_xml_fixture")
+    java.nio.file.Files.createDirectories(dir)
+    val xml = dir.resolve("mini.xml")
+    java.nio.file.Files.write(xml, fixtureXml.getBytes("UTF-8"))
+    (xml.toString, Dtd.parseString(fixtureDtd))
+  }
+
+  /** Parse + flatten + assign global ids: the S2/S3/P1/P2/A1/K1 chain. */
+  private def xmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = {
+    val (xmlPath, dtd) = xmlFixture()
+    val records = XmlRecords.read(s, xmlPath, dtd).persist()
+    val schema = Flatten.inferColumns(records, dtd)
+    val flat = schema.map { case (t, cs) => t -> Flatten.flattenType(records.toDF(), t, cs) }
+    val idMap = Relational.withContiguousId(
+      flat.values.map(_.select(col("pos"))).reduce(_ unionAll _).orderBy("pos"), "id")
+    val withIds = flat.map { case (t, df) =>
+      t -> df.join(idMap, "pos").select((col("id") +: schema(t).map(col)): _*)
+    }
+    (schema, withIds)
+  }
+
+  private def qXmlFlatten(s: SparkSession, dir: String): DataFrame =
+    xmlTables(s)._2("article").orderBy("id")
+
+  private def qXmlSchema(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (schema, _) = xmlTables(s)
+    schema.toSeq.flatMap { case (t, cs) => cs.map(c => (t, c)) }
+      .toDF("record_type", "col_name").orderBy("record_type", "col_name")
+  }
+
+  private def qXmlTypes(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (xmlPath, dtd) = xmlFixture()
+    val records = XmlRecords.read(s, xmlPath, dtd)
+    val schema = Flatten.inferColumns(records, dtd)
+    val meta = Annotate.columnMeta(Flatten.explodedValues(records.toDF(), schema))
+    meta.toSeq.map { case ((t, c), m) => (t, c, m.unifiedType, m.isArray) }
+      .toDF("record_type", "col_name", "unified_type", "is_array")
+      .orderBy("record_type", "col_name")
+  }
+
+  private def qXmlIds(s: SparkSession, dir: String): DataFrame = {
+    val (_, tables) = xmlTables(s)
+    tables.toSeq.map { case (t, df) => df.select(col("id"), lit(t).as("record_type"), col("key")) }
+      .reduce(_ unionAll _).orderBy("id")
+  }
+
+  private def qXmlRelations(s: SparkSession, dir: String): DataFrame = {
+    val (_, tables) = xmlTables(s)
+    val article = tables("article")
+    val pairs = Relational.relationPairs(article,
+      col("id"), explode_outer(split(col("author"), "\\|")))
+    val nRecords = tables.values.map(_.count()).sum
+    val nodes = Relational.relationNodes(pairs, nRecords)
+    Relational.relationEdges(pairs, nodes)
+      .join(nodes, col("end_id") === nodes("node_id"))
+      .select(col("start_id"), col("end_id"), col("v"))
+      .orderBy("start_id", "end_id")
+  }
+
+  // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_xml_flatten" -> qXmlFlatten _,
+    "q41_xml_schema" -> qXmlSchema _,
+    "q42_xml_types" -> qXmlTypes _,
+    "q43_xml_ids" -> qXmlIds _,
+    "q44_xml_relations" -> qXmlRelations _,
     "q01_project_filter" -> qProjectFilter _,
     "q02_agg_group" -> qAggGroup _,
     "q03_array_collapse" -> qArrayCollapse _,
@@ -359,6 +487,59 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val inferV = duckInferType("v")
     Map(
+      "q40_xml_flatten" ->
+        """SELECT * FROM (VALUES
+          | (0::BIGINT, 'Ann|Ann|Bob', '0000-1', NULL::VARCHAR, 'a/K1', '2020-01-01', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, 'On X; a "study" of über', '2020'),
+          | (1::BIGINT, NULL, NULL, 'a/K1', 'a/K2', NULL, 'true', 'x', '-7', 'informal', NULL, '20.5')
+          |) AS t(id, author, "author-orcid", cite, "key", mdate, note, "note-type", pages, publtype, title, year)
+          |ORDER BY id""".stripMargin,
+
+      "q41_xml_schema" ->
+        """SELECT * FROM (VALUES
+          | ('article','author'),('article','author-orcid'),('article','cite'),
+          | ('article','key'),('article','mdate'),('article','note'),
+          | ('article','note-type'),('article','pages'),('article','publtype'),
+          | ('article','title'),('article','year'),
+          | ('book','key'),('book','note'),('book','title'),
+          | ('phdthesis','key')
+          |) AS t(record_type, col_name)
+          |ORDER BY record_type, col_name""".stripMargin,
+
+      "q42_xml_types" ->
+        """SELECT * FROM (VALUES
+          | ('article','author','string',TRUE),
+          | ('article','author-orcid','string',FALSE),
+          | ('article','cite','string',FALSE),
+          | ('article','key','string',FALSE),
+          | ('article','mdate','date',FALSE),
+          | ('article','note','boolean',FALSE),
+          | ('article','note-type','string',FALSE),
+          | ('article','pages','string',FALSE),
+          | ('article','publtype','string',FALSE),
+          | ('article','title','string',FALSE),
+          | ('article','year','float',FALSE),
+          | ('book','key','string',FALSE),
+          | ('book','note','date',FALSE),
+          | ('book','title','string',FALSE),
+          | ('phdthesis','key','string',FALSE)
+          |) AS t(record_type, col_name, unified_type, is_array)
+          |ORDER BY record_type, col_name""".stripMargin,
+
+      "q43_xml_ids" ->
+        """SELECT * FROM (VALUES
+          | (0::BIGINT,'article','a/K1'),
+          | (1::BIGINT,'article','a/K2'),
+          | (2::BIGINT,'book','b/B1'),
+          | (3::BIGINT,'phdthesis','p/P1')
+          |) AS t(id, record_type, "key")
+          |ORDER BY id""".stripMargin,
+
+      "q44_xml_relations" ->
+        """SELECT * FROM (VALUES
+          | (0::BIGINT, 4::BIGINT, 'Ann'),
+          | (0::BIGINT, 5::BIGINT, 'Bob')
+          |) AS t(start_id, end_id, v)
+          |ORDER BY start_id, end_id""".stripMargin,
       "q01_project_filter" ->
         """SELECT l_orderkey, l_linenumber, l_extendedprice * (1 - l_discount) AS revenue
           |FROM lineitem WHERE l_returnflag = 'R' AND l_quantity > 40

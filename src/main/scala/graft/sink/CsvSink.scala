@@ -1,0 +1,75 @@
+package graft.sink
+
+import java.io.{BufferedInputStream, BufferedOutputStream, FileInputStream, FileOutputStream}
+import java.nio.file.{Files, Path, Paths}
+import java.util.Comparator
+
+import org.apache.spark.sql.DataFrame
+
+/** CSV sink with the reference's dialect (W1/W2): `;` delimiter,
+  * minimal quoting with `"` doubled as the escape, empty string for
+  * missing cells (/root/reference/XMLToCSV.py:89-105).
+  *
+  * Spark's univocity writer with quote == escape reproduces Python
+  * csv.QUOTE_MINIMAL + doublequote (we emit LF line endings where the
+  * reference's csv module emits CRLF — documented divergence).
+  *
+  * Two modes:
+  *  - `writeDir`: a normal distributed write (directory of parts) —
+  *    the 100 TB path; header lines live in sidecar files.
+  *  - `writeSingleFile`: distributed write then a driver-side merge of
+  *    the parts into one exact file, optionally prepending a header
+  *    line — byte-parity with the reference's single-file outputs.
+  *    Parts are merged in name order, which is partition order, so a
+  *    sorted DataFrame stays sorted.
+  */
+object CsvSink {
+
+  private def writer(df: DataFrame, header: Boolean) =
+    df.write
+      .mode("overwrite")
+      .option("sep", ";")
+      .option("quote", "\"")
+      .option("escape", "\"")
+      .option("emptyValue", "")
+      .option("nullValue", "")
+      .option("header", header)
+
+  def writeDir(df: DataFrame, path: String, header: Boolean): Unit =
+    writer(df, header).csv(path)
+
+  def writeSingleFile(df: DataFrame, path: String, headerLine: Option[String]): Unit = {
+    val tmp = path + ".spark-tmp"
+    writer(df.coalesce(1), header = false).csv(tmp)
+    val target = Paths.get(path)
+    Files.deleteIfExists(target)
+    val out = new BufferedOutputStream(new FileOutputStream(path))
+    try {
+      headerLine.foreach(h => out.write((h + "\n").getBytes("UTF-8")))
+      val stream = Files.list(Paths.get(tmp))
+      val parts =
+        try {
+          val it = stream.iterator()
+          val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
+          while (it.hasNext) buf += it.next()
+          buf.filter(_.getFileName.toString.startsWith("part-"))
+            .sortBy(_.getFileName.toString)
+        } finally stream.close()
+      parts.foreach { p =>
+        val in = new BufferedInputStream(new FileInputStream(p.toFile))
+        try {
+          val buf = new Array[Byte](1 << 16)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+        } finally in.close()
+      }
+    } finally out.close()
+    deleteRecursively(Paths.get(tmp))
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p))
+      Files.list(p).forEach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+}

@@ -1,0 +1,108 @@
+package graft.xml
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Schema inference (S2) and record flattening (P1/P2/A1) over the
+  * parsed record stream.
+  *
+  * Reference semantics reproduced (/root/reference/XMLToCSV.py):
+  *  - columns per type = union over records of: record attributes
+  *    (plus DTD-defaulted ones, pass 1 only — :109 vs :152), tags of
+  *    descendant elements with text (:130-134), and "tag-attr" for
+  *    attributes of those elements (:135-138)
+  *  - a column named "id" anywhere is an error (:131-132,:144-145)
+  *  - types with no columns produce no table (:142-143)
+  *  - multi-valued cells collapse to "|"-joined sorted values, dups
+  *    kept (:178-179,:224-233)
+  *  - records contributing no cells are dropped and consume no id
+  *    (:176,:188)
+  */
+object Flatten {
+
+  final class InvalidElementName(msg: String) extends RuntimeException(msg)
+
+  /** Per-type inferred column sets (sorted), from one distributed pass.
+    * The result is driver-side (it IS the schema — small by nature).
+    */
+  def inferColumns(records: Dataset[XmlRecord], dtd: Dtd): Map[String, Seq[String]] = {
+    import records.sparkSession.implicits._
+    val dtdB = records.sparkSession.sparkContext.broadcast(dtd)
+    val pairs = records.flatMap { r =>
+      val d = dtdB.value
+      val attrCols = r.attrs.keysIterator ++
+        d.attributeDefaults.getOrElse(r.recordType, Map.empty).keysIterator
+      val childCols = r.children.iterator.filter(_.text != null).flatMap { c =>
+        Iterator.single(c.tag) ++
+          (c.attrs.keysIterator ++
+            d.attributeDefaults.getOrElse(c.tag, Map.empty).keysIterator)
+            .map(a => s"${c.tag}-$a")
+      }
+      (attrCols ++ childCols).map(c => (r.recordType, c)).toSet
+    }.distinct().collect()
+
+    val byType = pairs.groupBy(_._1).map { case (t, cs) => t -> cs.map(_._2).distinct.sorted.toSeq }
+    // reserved name: exactly 'id' (XMLToCSV.py:131-132,:144-145 — a
+    // child attribute named id yields 'tag-id', which is allowed)
+    byType.find(_._2.contains("id")).foreach { case (t, _) =>
+      throw new InvalidElementName(
+        s"Element or attribute of '$t' yields reserved column name 'id' ('id' is engine-assigned)")
+    }
+    byType.filter(_._2.nonEmpty)
+  }
+
+  /** The array of raw values a record holds for column `c`: attribute
+    * value (if any), then text of each matching descendant, then
+    * matching descendant-attribute values — mirroring the fold order of
+    * parse_xml (:165-199). Pure built-in higher-order functions.
+    */
+  private def valuesFor(c: String): Column = {
+    val fromAttr = when(map_contains_key(col("attrs"), lit(c)),
+      array(element_at(col("attrs"), lit(c)))).otherwise(array().cast("array<string>"))
+    val withText = filter(col("children"), ch => ch("text").isNotNull)
+    val fromChildText = transform(
+      filter(withText, ch => ch("tag") === lit(c)), ch => ch("text"))
+    val fromChildAttr = flatten(transform(withText, ch =>
+      transform(
+        filter(map_keys(ch("attrs")), a => concat(ch("tag"), lit("-"), a) === lit(c)),
+        a => element_at(ch("attrs"), a))))
+    concat(fromAttr, fromChildText, fromChildAttr)
+  }
+
+  /** A1 collapse: none -> null, one -> itself, many -> sorted "|" join
+    * (duplicates kept, lexicographic sort — XMLToCSV.py:179).
+    */
+  private def collapse(values: Column): Column =
+    when(size(values) === 0, lit(null).cast("string"))
+      .when(size(values) === 1, element_at(values, 1))
+      .otherwise(concat_ws("|", array_sort(values)))
+
+  /** Flatten one record type into its table: one string column per
+    * inferred column, multi-values collapsed; empty records dropped
+    * (P2). Keeps `pos` for downstream id assignment.
+    */
+  def flattenType(records: DataFrame, recordType: String, cols: Seq[String]): DataFrame = {
+    val perType = records.where(col("recordType") === recordType)
+    val valueExprs = cols.map(c => collapse(valuesFor(c)).as(c))
+    perType
+      .select((col("pos") +: valueExprs): _*)
+      .where(cols.map(col(_).isNotNull).reduce(_ || _))
+  }
+
+  /** Exploded (recordType, pos, colName, value) stream of every
+    * individual value (pre-collapse) — the input for type inference
+    * (A2/A3) and array detection, and for relation extraction (J1).
+    */
+  def explodedValues(records: DataFrame, schema: Map[String, Seq[String]]): DataFrame = {
+    val frames = schema.toSeq.sortBy(_._1).map { case (t, cols) =>
+      val perType = records.where(col("recordType") === t)
+      val pairs = cols.map(c => struct(lit(c).as("col_name"), valuesFor(c).as("vs")))
+      perType.select(
+        col("recordType"), col("pos"),
+        explode(array(pairs: _*)).as("cv"))
+        .select(col("recordType"), col("pos"),
+          col("cv.col_name").as("col_name"), explode(col("cv.vs")).as("value"))
+    }
+    frames.reduce(_ unionAll _)
+  }
+}

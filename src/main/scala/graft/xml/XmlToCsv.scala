@@ -1,0 +1,204 @@
+package graft.xml
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.sink.{CsvSink, Neo4jExport}
+
+/** The full XML -> CSV pipeline (the reference's `main`,
+  * /root/reference/XMLToCSV.py:365-411), Spark-first:
+  *
+  *  - ONE distributed parse, persisted, feeds both the schema
+  *    inference and the data pass (the reference parses the XML twice)
+  *  - flatten/collapse run as codegen'd column expressions
+  *  - the relation multimap (unbounded driver memory in the reference,
+  *    :206-221) becomes shuffle-based distinct + broadcast join
+  *  - global contiguous ids via zipWithIndex (no single-partition
+  *    window)
+  */
+object XmlToCsv {
+
+  final case class Config(
+      xmlFile: String,
+      dtdFile: String,
+      outputFile: String,
+      annotate: Boolean = false,
+      neo4j: Boolean = false,
+      relations: Seq[(String, String)] = Nil,
+      singleFile: Boolean = true)
+
+  final case class Result(
+      recordCounts: Map[String, Long],
+      schema: Map[String, Seq[String]],
+      columnMeta: Map[(String, String), Annotate.ColumnMeta])
+
+  def run(spark: SparkSession, config: Config): Result = {
+    validate(config)
+    val annotate = config.annotate || config.neo4j
+    val (stem, ext) = splitExt(config.outputFile)
+
+    val dtd = Dtd.parse(config.dtdFile)
+    val recordsDs = XmlRecords.read(spark, config.xmlFile, dtd).persist()
+    val records = recordsDs.toDF()
+    try {
+      val schema = Flatten.inferColumns(recordsDs, dtd)
+
+      // flatten every type, keep pos for global id assignment
+      val flattened: Map[String, DataFrame] = schema.map { case (t, cols) =>
+        t -> Flatten.flattenType(records, t, cols)
+      }
+
+      // K1: contiguous document-order ids across ALL record types
+      val allKept = flattened.values
+        .map(_.select(col("pos")))
+        .reduce(_ unionAll _)
+      val idMap = Relational.withContiguousId(
+        allKept.orderBy("pos"), idCol = "id").persist()
+      val nRecords = idMap.count()
+
+      val withIds: Map[String, DataFrame] = flattened.map { case (t, df) =>
+        val cols = schema(t)
+        t -> df.join(idMap, "pos")
+          .select((col("id") +: cols.map(col)): _*)
+          .orderBy("id")
+      }
+
+      // W1/W2: per-type data CSV (header row only when not annotating)
+      withIds.foreach { case (t, df) =>
+        val cols = schema(t)
+        if (config.singleFile)
+          CsvSink.writeSingleFile(df, s"${stem}_$t$ext",
+            if (annotate) None else Some(("id" +: cols).mkString(";")))
+        else
+          CsvSink.writeDir(df, s"${stem}_$t$ext", header = !annotate)
+      }
+
+      // A2-A4 + W3: annotated header sidecars (single line, no
+      // trailing newline — XMLToCSV.py:304-305)
+      val meta: Map[(String, String), Annotate.ColumnMeta] =
+        if (annotate) {
+          val exploded = Flatten.explodedValues(records, schema).persist()
+          val m = Annotate.columnMeta(exploded)
+          schema.keys.foreach { t =>
+            writeText(s"${stem}_${t}_header$ext", Annotate.headerLine(t, m, config.neo4j))
+          }
+          exploded.unpersist()
+          m
+        } else Map.empty
+
+      // J1-J3 + W4: relation node/edge tables, header line embedded in
+      // the file (XMLToCSV.py:347-362); ids continue after the records'
+      if (config.relations.nonEmpty) {
+        val exploded = Flatten.explodedValues(records, schema)
+          .join(idMap, "pos")
+          .persist()
+        var offset = nRecords
+        config.relations.foreach { case (attr, rel) =>
+          val pairs = exploded
+            .where(col("col_name") === attr && col("value").isNotNull)
+            .select(col("id").as("parent_id"), col("value").as("v"))
+            .distinct()
+          val nodes = Relational.relationNodes(pairs, offset).persist()
+          val nNodes = nodes.count()
+          val edges = Relational.relationEdges(pairs, nodes)
+          if (config.singleFile) {
+            CsvSink.writeSingleFile(nodes.select(col("node_id"), col("v")).orderBy("node_id"),
+              s"${stem}_$attr$ext", Some(s":ID;$attr:string"))
+            CsvSink.writeSingleFile(edges.orderBy("start_id", "end_id"),
+              s"${stem}_${attr}_$rel$ext", Some(":START_ID;:END_ID"))
+          } else {
+            CsvSink.writeDir(nodes.select(col("node_id"), col("v")).orderBy("node_id"),
+              s"${stem}_$attr$ext", header = false)
+            writeText(s"${stem}_${attr}_header$ext", s":ID;$attr:string")
+            CsvSink.writeDir(edges.orderBy("start_id", "end_id"),
+              s"${stem}_${attr}_$rel$ext", header = false)
+            writeText(s"${stem}_${attr}_${rel}_header$ext", ":START_ID;:END_ID")
+          }
+          nodes.unpersist()
+          offset += nNodes
+        }
+        exploded.unpersist()
+      }
+
+      // W5: neo4j-admin import script (reference writes to CWD; we put
+      // it next to the output files)
+      if (config.neo4j) {
+        val cmd = Neo4jExport.importCommand(
+          stem, ext, schema.keys.toSeq.sorted, config.relations)
+        val dir = Paths.get(stem).toAbsolutePath.getParent
+        writeText(dir.resolve("neo4j_import.sh").toString, "#!/bin/bash\n" + cmd)
+      }
+
+      val counts = withIds.map { case (t, df) => t -> df.count() }
+      Result(counts, schema, meta)
+    } finally recordsDs.unpersist()
+  }
+
+  private def validate(config: Config): Unit = {
+    require(Files.exists(Paths.get(config.xmlFile)), s"XML file not found: ${config.xmlFile}")
+    require(Files.exists(Paths.get(config.dtdFile)), s"DTD file not found: ${config.dtdFile}")
+    val attrs = config.relations.map(_._1)
+    val rels = config.relations.map(_._2)
+    require(attrs.distinct.size == attrs.size, s"duplicate relation attributes: $attrs")
+    require(rels.distinct.size == rels.size, s"duplicate relation names: $rels")
+    config.relations.foreach { case (a, r) =>
+      require(a.nonEmpty && r.nonEmpty, s"relation must be attribute:relation, got '$a:$r'")
+    }
+  }
+
+  private def splitExt(path: String): (String, String) = {
+    val i = path.lastIndexOf('.')
+    val j = path.lastIndexOf('/')
+    if (i > j) (path.substring(0, i), path.substring(i)) else (path, "")
+  }
+
+  private def writeText(path: String, content: String): Unit =
+    Files.write(Paths.get(path), content.getBytes("UTF-8"))
+
+  /** CLI mirroring the reference's argparse surface (C1/V1,
+    * XMLToCSV.py:43-76): XMLToCSV xml dtd outfile [--annotate]
+    * [--neo4j] [--relations attr:rel ...]
+    */
+  def main(args: Array[String]): Unit = {
+    val usage = "usage: XmlToCsv <xml> <dtd> <out.csv> [--annotate] [--neo4j] [--relations attr:rel ...]"
+    require(args.length >= 3, usage)
+    var config = Config(args(0), args(1), args(2))
+    var i = 3
+    while (i < args.length) {
+      args(i) match {
+        case "--annotate" => config = config.copy(annotate = true); i += 1
+        case "--neo4j" => config = config.copy(neo4j = true, annotate = true); i += 1
+        case "--relations" =>
+          i += 1
+          val rels = Seq.newBuilder[(String, String)]
+          while (i < args.length && !args(i).startsWith("--")) {
+            args(i).split(":", 2) match {
+              case Array(a, r) if a.nonEmpty && r.nonEmpty => rels += (a -> r)
+              case _ => throw new IllegalArgumentException(s"bad relation '${args(i)}', want attr:rel")
+            }
+            i += 1
+          }
+          config = config.copy(relations = config.relations ++ rels.result())
+        case other => throw new IllegalArgumentException(s"unknown arg '$other'\n$usage")
+      }
+    }
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .appName("graft-xml-to-csv")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val t0 = System.nanoTime()
+      val res = run(spark, config)
+      println(s"Done after ${(System.nanoTime() - t0) / 1e9} seconds; " +
+        res.recordCounts.toSeq.sortBy(_._1).map { case (t, n) => s"$t=$n" }.mkString(", "))
+    } finally spark.stop()
+  }
+}

@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Table-driven check of inferType against the reference's get_type
+  * (/root/reference/XMLToCSV.py:246-281) including the documented
+  * quirks, and of the unification lattice (:314-331).
+  */
+class TypeInferenceSpec extends SparkTestBase {
+
+  private val cases: Seq[(String, String)] = Seq(
+    (null, "any"),
+    ("", "any"),
+    ("0", "integer"),
+    ("007", "integer"),          // leading zeros are integer
+    ("123456789012345678901234567890", "integer"), // unbounded
+    ("-7", "string"),            // sign rejected
+    ("+7", "string"),
+    ("1.5", "float"),
+    ("0.0", "float"),
+    ("1e5", "string"),           // exponent rejected
+    ("-1.5", "string"),
+    ("1.", "string"),
+    (".5", "string"),
+    ("2020-01-02", "date"),
+    ("2020-13-02", "string"),    // invalid month
+    ("2020-01-32", "string"),    // invalid day
+    ("2020-01-02 10:11", "datetime"),
+    ("2020-01-02 10:11:12", "datetime"),
+    ("2020-01-02 25:11", "string"), // invalid hour
+    ("2020-01-02T10:11", "string"), // T separator not in reference regex
+    ("true", "boolean"),
+    ("TRUE", "boolean"),
+    ("False", "boolean"),
+    ("yes", "string"),
+    ("²", "string"),             // unicode digit fails int()
+    ("hello", "string"))
+
+  test("inferType matches the reference get_type on every edge case") {
+    import spark.implicits._
+    val df = cases.zipWithIndex.map { case ((v, e), i) => (i, v, e) }
+      .toDF("i", "v", "expected")
+      .withColumn("got", TypeInference.inferType(col("v")))
+    val bad = df.where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.map(r => s"${r.get(1)}: got ${r.get(3)} want ${r.get(2)}").mkString(", "))
+  }
+
+  private val latticeCases: Seq[(Set[String], String)] = Seq(
+    (Set.empty[String], "string"),
+    (Set("any"), "string"),
+    (Set("integer"), "integer"),
+    (Set("any", "integer"), "integer"),
+    (Set("integer", "float"), "float"),
+    (Set("date", "datetime"), "datetime"),
+    (Set("integer", "string"), "string"),
+    (Set("integer", "float", "string"), "string"),
+    (Set("integer", "date"), "string"),
+    (Set("integer", "float", "date"), "string"),
+    (Set("boolean"), "boolean"))
+
+  test("unifyTypes (column) and unifyTypeSet (driver) agree with the lattice") {
+    import spark.implicits._
+    latticeCases.foreach { case (in, want) =>
+      assert(TypeInference.unifyTypeSet(in) == want, s"driver lattice on $in")
+    }
+    val df = latticeCases.map { case (in, want) => (in.toSeq, want) }
+      .toDF("tags", "expected")
+      .withColumn("got", TypeInference.unifyTypes(col("tags")))
+    val bad = df.where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+}

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RelationalSpec extends SparkTestBase {
+
+  test("collapseValues: sorted, duplicates kept, pipe-joined") {
+    import spark.implicits._
+    val df = Seq((1, Seq("b", "a", "a"))).toDF("k", "vs")
+      .select(Relational.collapseValues(col("vs")).as("c"))
+    assert(df.head().getString(0) == "a|a|b")
+  }
+
+  test("withContiguousId: ids are a contiguous 0..n-1 permutation honoring order") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i, s"v$i")).toDF("k", "v").repartition(7).orderBy("k")
+    val ids = Relational.withContiguousId(df).select("id", "k").as[(Long, Int)].collect().sortBy(_._2)
+    assert(ids.map(_._1).toSeq == (0L until 100L))
+  }
+
+  test("withContiguousId honors offset") {
+    import spark.implicits._
+    val df = Seq(1, 2, 3).toDF("k")
+    val ids = Relational.withContiguousId(df, offset = 10).select("id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(10L, 11L, 12L))
+  }
+
+  test("relation extraction: nodes offset + deduped edges") {
+    import spark.implicits._
+    val df = Seq((0L, "x"), (1L, "y"), (2L, "x"), (2L, "x")).toDF("pid", "v")
+    val (nodes, edges) = Relational.extractRelation(df, col("pid"), col("v"), recordCount = 3)
+    val n = nodes.as[(Long, String)].collect().sortBy(_._1)
+    assert(n.toSeq == Seq((3L, "x"), (4L, "y")))
+    val e = edges.as[(Long, Long)].collect().sorted
+    assert(e.toSeq == Seq((0L, 3L), (1L, 4L), (2L, 3L))) // (2,x) deduped
+  }
+}

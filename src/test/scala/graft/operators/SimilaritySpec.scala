@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class SimilaritySpec extends SparkTestBase {
+
+  test("cosine: orthogonal=0, identical=1, opposite=-1") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(0.0, 1.0), 0.0),
+      (Seq(1.0, 2.0), Seq(1.0, 2.0), 1.0),
+      (Seq(1.0, 0.0), Seq(-1.0, 0.0), -1.0),
+      (Seq(0.0, 0.0), Seq(1.0, 0.0), 0.0)) // zero-norm guard
+      .toDF("a", "b", "want")
+      .select(Similarity.cosine(col("a"), col("b")).as("got"), col("want"))
+    df.collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("bruteForceTopK returns the k nearest by cosine, excluding self") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)),
+      (1L, Seq(0.9, 0.1)),
+      (2L, Seq(0.0, 1.0)),
+      (3L, Seq(1.0, 0.05))).toDF("id", "vec")
+    val res = Similarity.bruteForceTopK(corpus.where(col("id") === 0), corpus, k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res == Set(1L, 3L)) // 2 is orthogonal, self excluded
+  }
+
+  test("ivfTopK: bucket-restricted search still finds in-bucket neighbors") {
+    import spark.implicits._
+    // centroids = ids 0,1; cluster A near (1,0), cluster B near (0,1)
+    val corpus = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)),
+      (2L, Seq(0.99, 0.01)), (3L, Seq(0.98, 0.02)),
+      (4L, Seq(0.01, 0.99)), (5L, Seq(0.02, 0.98))).toDF("id", "vec")
+    val res = Similarity.ivfTopK(corpus.where(col("id") === 2), corpus, k = 2, nBuckets = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(res.subsetOf(Set(0L, 3L))) // same bucket as 2: {0,2,3}
+    assert(res.size == 2)
+  }
+}

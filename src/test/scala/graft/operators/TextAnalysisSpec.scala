@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TextAnalysisSpec extends SparkTestBase {
+
+  test("tokens: whitespace split, empties dropped") {
+    import spark.implicits._
+    val df = Seq("  a  b\tc\nd ").toDF("t")
+      .select(TextAnalysis.tokens(col("t")).as("toks"))
+    assert(df.as[Seq[String]].head() == Seq("a", "b", "c", "d"))
+  }
+
+  test("quality metrics on a known sentence") {
+    import spark.implicits._
+    val df = TextAnalysis.qualityMetrics(
+      Seq("the cat, and a dog!").toDF("text"), col("text"))
+    val r = df.head()
+    assert(r.getAs[Long]("n_tokens") == 5L)
+    // tokens: the cat, and a dog! -> lens 3,4,3,1,4 = 15/5 = 3.0
+    assert(r.getAs[Double]("mean_token_len") == 3.0)
+    // stopwords: the, and, a -> 3/5
+    assert(r.getAs[Double]("stopword_ratio") == 0.6)
+    // punct: , and ! -> 2/19
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 2.0 / 19).toDouble < 1e-3)
+  }
+
+  test("detectLang picks each language's marker text, ties break lexicographically") {
+    import spark.implicits._
+    val df = Seq(
+      ("the cat and the dog of it", "en"),
+      ("der hund und die katze ist", "de"),
+      ("el perro y la casa es que", "es"),
+      ("le chien et la maison est dans", "fr"),
+      ("我有一个苹果这是的", "zh"),
+      ("zzz qqq www", "de")) // no markers anywhere: all scores 0 -> first lang alphabetically
+      .toDF("text", "want")
+      .select(TextAnalysis.detectLang(col("text")).as("got"), col("want"))
+    df.collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("fingerprint is whitespace/case-insensitive md5") {
+    import spark.implicits._
+    val df = Seq(("Hello  World", "hello world")).toDF("a", "b")
+      .select(TextAnalysis.fingerprint(col("a")).as("fa"),
+        TextAnalysis.fingerprint(col("b")).as("fb"))
+    val r = df.head()
+    assert(r.getString(0) == r.getString(1))
+    assert(r.getString(0).length == 32)
+  }
+
+  test("rollingHash: deterministic, order-sensitive, within modulus") {
+    import spark.implicits._
+    val df = Seq("abc", "cba", "abc").toDF("t")
+      .select(TextAnalysis.rollingHash(col("t")).as("h"))
+    val hs = df.as[Long].collect()
+    assert(hs(0) == hs(2))
+    assert(hs(0) != hs(1))
+    assert(hs.forall(h => h >= 0 && h < 2147483647L))
+    // closed form: ((a*31+b)*31+c) mod m with a=97,b=98,c=99
+    assert(hs(0) == ((97L * 31 + 98) * 31 + 99) % 2147483647L)
+  }
+
+  test("bpeishTokens splits words, numbers and punctuation") {
+    import spark.implicits._
+    val df = Seq("don't stop, 42 times!").toDF("t")
+      .select(TextAnalysis.bpeishTokens(col("t")).as("toks"))
+    assert(df.as[Seq[String]].head() == Seq("don", "'", "t", "stop", ",", "42", "times", "!"))
+  }
+}
