@@ -391,8 +391,21 @@ object SparkEntry {
     (xml.toString, Dtd.parseString(fixtureDtd))
   }
 
+  // fixture tables are tiny but the pipeline runs several jobs; five
+  // queries share them, so memoize per session
+  @transient private var xmlTablesCache: (SparkSession, (Map[String, Seq[String]], Map[String, DataFrame])) = null
+
   /** Parse + flatten + assign global ids: the S2/S3/P1/P2/A1/K1 chain. */
-  private def xmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = {
+  private def xmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = synchronized {
+    if (xmlTablesCache != null && (xmlTablesCache._1 eq s)) xmlTablesCache._2
+    else {
+      val built = buildXmlTables(s)
+      xmlTablesCache = (s, built)
+      built
+    }
+  }
+
+  private def buildXmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = {
     val (xmlPath, dtd) = xmlFixture()
     val records = XmlRecords.read(s, xmlPath, dtd).persist()
     val schema = Flatten.inferColumns(records, dtd)
@@ -400,7 +413,7 @@ object SparkEntry {
     val idMap = Relational.withContiguousId(
       flat.values.map(_.select(col("pos"))).reduce(_ unionAll _).orderBy("pos"), "id")
     val withIds = flat.map { case (t, df) =>
-      t -> df.join(idMap, "pos").select((col("id") +: schema(t).map(col)): _*)
+      t -> df.join(idMap, "pos").select((col("id") +: schema(t).map(col)): _*).persist()
     }
     (schema, withIds)
   }

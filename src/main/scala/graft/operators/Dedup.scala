@@ -41,8 +41,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash signature: array of `k` minima of seeded xxhash64 over the
-    * shingle set. Pure built-ins -> whole-stage codegen.
+  /** Shingles pre-hashed to 64-bit values: set operations (jaccard,
+    * minhash) on longs are several times cheaper than on strings, and
+    * at 2^-64 collision odds the jaccard value is unchanged. Hash once,
+    * compare many.
+    */
+  def hashedShingles(text: Column, n: Int = 3): Column =
+    transform(shingles(text, n), s => xxhash64(s))
+
+  /** MinHash signature: array of `k` minima of seeded re-hashes of the
+    * (already hashed) shingle set. Re-hashing an 8-byte long per seed
+    * beats hashing the full shingle string k times.
     */
   def minhashSignature(sh: Column, k: Int = 32): Column =
     array((0 until k).map { seed =>
@@ -78,32 +87,50 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
     val base = df
-      .select(id.as("doc_id"), shingles(text, nShingle).as("sh"))
+      .select(id.as("doc_id"), hashedShingles(text, nShingle).as("sh"))
       .where(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), k))
-      .withColumn("band", explode(lshBands(col("sig"), bands, rows)))
+      .persist()
 
-    val bucketed = base.select(col("band"), col("doc_id"), col("sh"))
-    val small = bucketed
+    // signatures via explode + k min-aggregates: array lambdas are
+    // CodegenFallback (interpreted, boxed) while a hash aggregate with
+    // k conditional mins is whole-stage codegen'd with map-side
+    // partial agg — the scale shape
+    val minCols = (0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
+    val sigs = base.select(col("doc_id"), explode(col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(minCols.head, minCols.tail: _*)
+    val sigArr = array((0 until k).map(s => col(s"m$s")): _*)
+    val banded = sigs
+      .select(col("doc_id"), explode(lshBands(sigArr, bands, rows)).as("band"))
+
+    val small = banded
       .withColumn("bucket_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("band")))
       .where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
 
-    val a = small.select(col("band"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = small.select(col("band"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band"))
+    val candidates = small.select(col("band"), col("doc_id").as("id_a"))
+      .join(small.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+
+    // exact-verify only the (few) candidates: fetch shingle sets back
+    candidates
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
-      .distinct()
       .where(col("jaccard") >= threshold)
   }
 
-  /** Exact Jaccard similarity of two array<string> sets. */
+  /** Exact Jaccard similarity of two SET-valued arrays (elements
+    * assumed distinct, as produced by [[shingles]]): |A∩B| via one
+    * intersect, |A∪B| = |A|+|B|-|A∩B| — no union materialized.
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
-    val uni = size(array_union(a, b)).cast("double")
+    val uni = size(a) + size(b) - inter
     when(uni === 0, 0.0).otherwise(inter / uni)
   }
 
@@ -133,12 +160,33 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash signatures at scale: explode tokens, hash once per token,
+    * then ONE hash aggregate with 64 conditional sums (map-side
+    * partial agg; the shuffle carries 64 longs per doc, not tokens).
+    * An order of magnitude faster than the per-row array-lambda
+    * [[simhash]] because each token's hash is computed once and the
+    * bit tests are flat codegen'd columns.
+    */
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"),
+      explode(TextAnalysis.tokens(lower(text))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$i")
+    }
+    val agged = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    agged.select(col("doc_id"), sig.as("sig"))
+  }
+
   /** SimHash near-dups: bucket by the 4 16-bit chunks of the signature
     * (pigeonhole: any pair within hamming distance 3 shares at least
     * one exact chunk), then verify hamming <= maxDist within buckets.
     */
   def simhashNearDups(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
-    val sigs = df.select(id.as("doc_id"), simhash(text).as("sig"))
+    val sigs = simhashSignatures(df, id, text)
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
@@ -156,7 +204,13 @@ object Dedup {
 
   /** n-gram Jaccard near-dups with length+language blocking: only
     * documents in the same (lang, length-bucket) block are compared.
-    * Exact metric, bounded candidate set; the blocks shuffle once.
+    *
+    * Fully relational shape: shingles are exploded and the self-join
+    * keys on (block, shingle), so the intersection size per pair is a
+    * count aggregate — no per-pair array scans, no pair ever forms
+    * unless it shares >= 1 shingle. That is the shape that survives a
+    * 100x scale-up: work is proportional to actual shingle overlap,
+    * shuffled by shingle, instead of |block|^2 array intersections.
     */
   def ngramJaccardNearDups(
       df: DataFrame,
@@ -168,14 +222,24 @@ object Dedup {
       threshold: Double = 0.5,
       bucketWidth: Int = 100): DataFrame = {
     val base = df.select(
-      id.as("doc_id"), shingles(text, n).as("sh"),
+      id.as("doc_id"), hashedShingles(text, n).as("sh"),
       lang.as("lang"), floor(nChars / bucketWidth).as("lb"))
       .where(size(col("sh")) > 0)
-    val a = base.select(col("lang"), col("lb"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = base.select(col("lang"), col("lb"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("lang", "lb"))
+      .withColumn("nsh", size(col("sh")))
+    val ex = base.select(col("lang"), col("lb"), col("doc_id"), col("nsh"),
+      explode(col("sh")).as("s")).persist()
+    val a = ex.select(col("lang"), col("lb"), col("s"),
+      col("doc_id").as("id_a"), col("nsh").as("nsh_a"))
+    val b = ex.select(col("lang"), col("lb"), col("s"),
+      col("doc_id").as("id_b"), col("nsh").as("nsh_b"))
+    val inter = a.join(b, Seq("lang", "lb", "s"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") /
+          (col("nsh_a") + col("nsh_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 

@@ -78,26 +78,25 @@ object TextAnalysis {
     "fr" -> Seq("le", "la", "les", "et", "est", "que", "un", "une", "des", "dans"),
     "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
 
-  /** Score one language: number of marker tokens present (zh markers
-    * are matched as substrings since Chinese has no spaces).
+  /** Score one language: number of DISTINCT marker tokens present
+    * (array_intersect — one set op per language, not one scan per
+    * marker). zh markers are matched as substrings since Chinese has
+    * no spaces.
     */
-  private def langScore(text: Column, toks: Column, lang: String): Column =
+  private def langScore(text: Column, lowered: Column, lang: String): Column =
     if (lang == "zh")
       langMarkers(lang).map(m => when(text.contains(m), 1).otherwise(0)).reduce(_ + _)
-    else {
-      val lowered = transform(toks, lower _)
-      langMarkers(lang).map(m => when(array_contains(lowered, m), 1).otherwise(0)).reduce(_ + _)
-    }
+    else
+      size(array_intersect(lowered, array(langMarkers(lang).map(lit): _*)))
 
-  /** Predicted language column. */
+  /** Predicted language column. Highest marker score wins; ties break
+    * to the lexicographically first language code.
+    */
   def detectLang(text: Column): Column = {
-    val toks = tokens(text)
+    val lowered = transform(tokens(text), lower _)
     val langs = langMarkers.keys.toSeq.sorted
-    val scored = langs.map(l => struct(langScore(text, toks, l).as("score"), lit(l).as("lang")))
-    // argmax by (score, lang desc) then tiebreak: highest score wins;
-    // on ties the lexicographically FIRST language code wins.
     val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
-      val cand = struct(langScore(text, toks, l).as("score"), lit(l).as("lang"))
+      val cand = struct(langScore(text, lowered, l).as("score"), lit(l).as("lang"))
       when(cand("score") > acc("score"), cand).otherwise(acc)
     }
     best("lang")

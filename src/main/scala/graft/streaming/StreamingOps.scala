@@ -1,0 +1,141 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.xml.{Dtd, XmlRecords}
+
+/** Structured Streaming extension (SURVEY.md §2.10 — not in the
+  * reference, which is strictly batch): incremental DBLP-style chunks
+  * and event streams processed with watermarks, windows, and custom
+  * session state.
+  */
+object StreamingOps {
+
+  // ------------------------------------------------------------------
+  // Incremental XML chunk stream
+  // ------------------------------------------------------------------
+
+  /** Stream of flattened records from XML chunk files arriving in
+    * `dir`. Incremental dumps carry one complete record element per
+    * line (the within-file reassembly problem of the batch source
+    * does not arise); each line parses independently, so this is an
+    * embarrassingly parallel map over the file stream.
+    * Returns (recordType, key, nChildren) rows; route to per-type
+    * sinks with `partitionBy` or `foreachBatch`.
+    */
+  def xmlRecordStream(spark: SparkSession, dir: String, dtd: Dtd): DataFrame = {
+    import spark.implicits._
+    val dtdB = spark.sparkContext.broadcast(dtd)
+    spark.readStream
+      .text(dir)
+      .as[String]
+      .flatMap { line =>
+        val t = line.trim
+        if (t.startsWith("<") && !t.startsWith("<?") && !t.startsWith("<!"))
+          XmlRecords.parseRecordString(dtdB.value.expandEntities(t), -1L)
+            .map(r => (r.recordType, r.attrs.getOrElse("key", null), r.children.size))
+        else None
+      }
+      .toDF("record_type", "key", "n_children")
+  }
+
+  /** Append a micro-batched stream to per-type CSV directories with
+    * the engine's dialect — the streaming counterpart of the batch
+    * fan-out sink (foreachBatch so each batch reuses the batch
+    * writer).
+    */
+  def csvAppendSink(stream: DataFrame, outDir: String, checkpoint: String) =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append")
+          .option("sep", ";").option("quote", "\"").option("escape", "\"")
+          .partitionBy("record_type")
+          .csv(outDir)
+      }
+
+  // ------------------------------------------------------------------
+  // Windowed aggregation with watermark
+  // ------------------------------------------------------------------
+
+  /** Tumbling-window event counts with late-data tolerance: watermark
+    * bounds state so the aggregation runs forever on unbounded input —
+    * state for windows older than the watermark is dropped, which is
+    * what makes this viable on a 100 TB/day stream.
+    */
+  def windowedEventStats(
+      events: DataFrame,
+      tsCol: String,
+      typeCol: String,
+      valueCol: String,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_), col(typeCol))
+      .agg(count(lit(1)).as("n"), sum(valueCol).as("sum_value"))
+      .select(col("window.start").as("window_start"), col(typeCol),
+        col("n"), col("sum_value"))
+
+  // ------------------------------------------------------------------
+  // Custom session state (flatMapGroupsWithState)
+  // ------------------------------------------------------------------
+
+  final case class Event(userId: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, total: Double)
+  final case class Session(userId: Long, startMs: Long, endMs: Long, nEvents: Int, total: Double)
+
+  /** Gap-based sessionization: a session closes when no event arrives
+    * within `gapMs`. Idle keys are flushed by EVENT-TIME timeouts (the
+    * watermark advancing past last+gap) — deterministic, no wall-clock
+    * dependence. State per user is O(1) — the classic
+    * flatMapGroupsWithState shape that scales with distinct keys, not
+    * events.
+    */
+  def sessionize(
+      events: Dataset[Event],
+      gapMs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.start, s.last, s.n, s.total))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, s.start, s.last, s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must be beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1, s.last + gapMs))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

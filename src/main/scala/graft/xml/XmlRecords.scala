@@ -132,6 +132,11 @@ object XmlRecords {
     f
   }
 
+  /** Public single-record parse (used by the streaming source, where
+    * each arriving line is one complete record element).
+    */
+  def parseRecordString(body: String, pos: Long): Option[XmlRecord] = parseRecord(body, pos)
+
   /** Parse one record chunk: the first element is the record; every
     * nested element (any depth) becomes an XmlChild with its
     * before-first-child text, mirroring lxml `.text`.

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.xml.Dtd
+
+class StreamingOpsSpec extends SparkTestBase {
+
+  test("windowedEventStats: tumbling window counts with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedEventStats(df, "ts", "event_type", "value")
+    val q = agg.writeStream.format("memory").queryName("winstats")
+      .outputMode("complete").start()
+    try {
+      mem.addData(
+        (Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+        (Timestamp.valueOf("2024-01-01 11:05:00"), "click", 4.0),
+        (Timestamp.valueOf("2024-01-01 10:30:00"), "buy", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("winstats")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("event_type"), col("n"), col("sum_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(("10:00", "click", 2L, 3.0), ("11:00", "click", 1L, 4.0), ("10:00", "buy", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize: gap-based sessions close on new-session arrival") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+    try {
+      // user 1: two events 10s apart (one session), then one 10min later
+      // -> first session closes when the late event arrives
+      mem.addData(
+        StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:10:00"), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[StreamingOps.Session].collect()
+      assert(closed.length == 1)
+      assert(closed.head.nEvents == 2 && closed.head.total == 3.0)
+    } finally q.stop()
+  }
+
+  test("xmlRecordStream parses arriving one-line records with entity expansion") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("xmlstream")
+    val checkpoint = Files.createTempDirectory("xmlstream-ck")
+    val dtd = Dtd.parseString(
+      "<!ELEMENT dblp (article|book)*>\n<!ELEMENT article (title)*>\n" +
+        "<!ELEMENT book (title)*>\n<!ELEMENT title (#PCDATA)>\n<!ENTITY uuml \"&#252;\">\n")
+    val stream = StreamingOps.xmlRecordStream(spark, dir.toString, dtd)
+    val q = stream.writeStream.format("memory").queryName("xmlrecs")
+      .option("checkpointLocation", checkpoint.toString)
+      .outputMode("append").start()
+    try {
+      Files.write(dir.resolve("chunk1.xml"),
+        ("<article key=\"a/1\"><title>&uuml;ber X</title></article>\n" +
+          "<book key=\"b/1\"><title>T</title></book>\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+      val rows = spark.table("xmlrecs").as[(String, String, Int)].collect().toSet
+      assert(rows == Set(("article", "a/1", 1), ("book", "b/1", 1)))
+    } finally q.stop()
+  }
+}
