@@ -242,6 +242,64 @@ object SparkEntry {
         col("n"), col("sum_qty"))
       .orderBy("returnflag", "linestatus")
 
+  private def qPivot(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .where(col("user_id") < 50)
+      .orderBy("user_id")
+
+  private def qIntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val hi = e.where(col("value") > 150).select(col("user_id"))
+    val lo = e.where(col("value") < 5).select(col("user_id"))
+    hi.intersect(lo).orderBy("user_id")
+  }
+
+  private def qPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"),
+        round(expr("percentile(l_quantity, 0.99)"), 4).as("p99"))
+      .orderBy("l_returnflag")
+
+  private def qDedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(
+      t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+      col("vec_id"), col("embedding"), threshold = 0.35, nBuckets = 8)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .orderBy("id_a", "id_b")
+
+  private def qTypeInferNative(s: SparkSession, dir: String): DataFrame = {
+    // the native codegen'd expression, registered the way
+    // spark.sql.extensions would (same oracle as the declarative q04)
+    s.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("infer_type"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.InferType].getName, "infer_type"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.InferType(children.head))
+    stackedTypeValues(s, dir)
+      .select(expr("infer_type(v)").as("inferred_type"))
+      .groupBy("inferred_type").agg(count(lit(1)).as("n"))
+      .orderBy("inferred_type")
+  }
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.withMetadata(
+      t(s, dir, "documents").where(col("doc_id") < 50),
+      col("doc_id"), encode(col("text"), "utf-8"), "image")
+    Multimodal.extractFeatures(media, new Multimodal.FakeCodec, dim = 16)
+      .select(col("media_id"), round(element_at(col("feature"), 1), 4).as("f0"),
+        round(element_at(col("feature"), 16), 4).as("f15"))
+      .orderBy("media_id")
+  }
+
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
@@ -484,6 +542,12 @@ object SparkEntry {
     "q16_approx_distinct" -> qApproxDistinct _,
     "q17_rollup" -> qRollup _,
     "q18_json_extract" -> qJsonExtract _,
+    "q19_pivot" -> qPivot _,
+    "q33_intersect" -> qIntersectExcept _,
+    "q34_percentile" -> qPercentile _,
+    "q24_dedup_embedding" -> qDedupEmbedding _,
+    "q45_infer_native" -> qTypeInferNative _,
+    "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
     "q22_dedup_simhash" -> qDedupSimhash _,
@@ -499,7 +563,14 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val inferV = duckInferType("v")
+    val typeInferSql =
+      s"""WITH $duckStacked,
+         | inferred AS (SELECT $inferV AS inferred_type FROM stacked)
+         |SELECT inferred_type, count(*) AS n FROM inferred
+         |GROUP BY inferred_type ORDER BY inferred_type""".stripMargin
     Map(
+      // native codegen'd expression must match the declarative chain
+      "q45_infer_native" -> typeInferSql,
       "q40_xml_flatten" ->
         """SELECT * FROM (VALUES
           | (0::BIGINT, 'Ann|Ann|Bob', '0000-1', NULL::VARCHAR, 'a/K1', '2020-01-01', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, 'On X; a "study" of über', '2020'),
@@ -574,11 +645,7 @@ object SparkEntry {
           |FROM lineitem WHERE l_orderkey < 1000
           |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
 
-      "q04_type_infer" ->
-        s"""WITH $duckStacked,
-           | inferred AS (SELECT $inferV AS inferred_type FROM stacked)
-           |SELECT inferred_type, count(*) AS n FROM inferred
-           |GROUP BY inferred_type ORDER BY inferred_type""".stripMargin,
+      "q04_type_infer" -> typeInferSql,
 
       "q05_type_lattice" ->
         s"""WITH $duckStacked,
@@ -667,6 +734,47 @@ object SparkEntry {
       "q18_json_extract" ->
         """SELECT regexp_extract(props, '"k": ([0-9]+)', 1)::BIGINT AS k, count(*) AS n
           |FROM events GROUP BY k ORDER BY k""".stripMargin,
+
+      "q19_pivot" ->
+        """SELECT user_id,
+          | count(*) FILTER (event_type = 'click') AS click,
+          | count(*) FILTER (event_type = 'error') AS error,
+          | count(*) FILTER (event_type = 'purchase') AS purchase,
+          | count(*) FILTER (event_type = 'signup') AS signup,
+          | count(*) FILTER (event_type = 'view') AS view
+          |FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q33_intersect" ->
+        """SELECT user_id FROM events WHERE value > 150
+          |INTERSECT
+          |SELECT user_id FROM events WHERE value < 5
+          |ORDER BY user_id""".stripMargin,
+
+      "q34_percentile" ->
+        """SELECT l_returnflag,
+          | round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+          | round(quantile_cont(l_quantity, 0.9), 4) AS p90,
+          | round(quantile_cont(l_quantity, 0.99), 4) AS p99
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+      "q24_dedup_embedding" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          | round(list_dot_product(a.vec, b.vec) /
+          |   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))), 6) AS cos
+          |FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |WHERE list_dot_product(a.vec, b.vec) /
+          |   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "q20_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM (

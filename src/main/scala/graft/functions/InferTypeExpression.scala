@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared runtime for the native infer_type expression: one pass over
+  * the UTF8 bytes, no regex machinery, no boxing. Semantics identical
+  * to TypeInference.inferType (= the reference's get_type,
+  * /root/reference/XMLToCSV.py:246-281).
+  */
+object InferTypeRuntime {
+
+  private val ANY = UTF8String.fromString(TypeInference.TAny)
+  private val INTEGER = UTF8String.fromString(TypeInference.TInteger)
+  private val FLOAT = UTF8String.fromString(TypeInference.TFloat)
+  private val DATE = UTF8String.fromString(TypeInference.TDate)
+  private val DATETIME = UTF8String.fromString(TypeInference.TDatetime)
+  private val BOOLEAN = UTF8String.fromString(TypeInference.TBoolean)
+  private val STRING = UTF8String.fromString(TypeInference.TString)
+
+  def infer(v: UTF8String): UTF8String = {
+    if (v == null || v.numBytes() == 0) return ANY
+    val s = v.toString
+    val n = s.length
+    var allDigits = true
+    var i = 0
+    while (i < n && allDigits) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') allDigits = false
+      i += 1
+    }
+    if (allDigits) return INTEGER
+    if (isFloat(s)) return FLOAT
+    if (isDateShape(s) && validDate(s)) return DATE
+    if (isDatetimeShape(s) && validDatetime(s)) return DATETIME
+    if (s.equalsIgnoreCase("true") || s.equalsIgnoreCase("false")) return BOOLEAN
+    STRING
+  }
+
+  private def isFloat(s: String): Boolean = {
+    val dot = s.indexOf('.')
+    if (dot <= 0 || dot == s.length - 1 || s.indexOf('.', dot + 1) >= 0) return false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (i != dot && (c < '0' || c > '9')) return false
+      i += 1
+    }
+    true
+  }
+
+  private def digitsAt(s: String, from: Int, to: Int): Boolean = {
+    var i = from
+    while (i < to) {
+      val c = s.charAt(i)
+      if (c < '0' || c > '9') return false
+      i += 1
+    }
+    true
+  }
+
+  private def isDateShape(s: String): Boolean =
+    s.length == 10 && s.charAt(4) == '-' && s.charAt(7) == '-' &&
+      digitsAt(s, 0, 4) && digitsAt(s, 5, 7) && digitsAt(s, 8, 10)
+
+  private def isDatetimeShape(s: String): Boolean =
+    (s.length == 16 || s.length == 19) &&
+      s.charAt(4) == '-' && s.charAt(7) == '-' && s.charAt(10) == ' ' && s.charAt(13) == ':' &&
+      digitsAt(s, 0, 4) && digitsAt(s, 5, 7) && digitsAt(s, 8, 10) &&
+      digitsAt(s, 11, 13) && digitsAt(s, 14, 16) &&
+      (s.length == 16 || (s.charAt(16) == ':' && digitsAt(s, 17, 19)))
+
+  private def validYmd(y: Int, m: Int, d: Int): Boolean =
+    m >= 1 && m <= 12 && d >= 1 &&
+      d <= java.time.YearMonth.of(y, m).lengthOfMonth()
+
+  private def validDate(s: String): Boolean =
+    validYmd(s.substring(0, 4).toInt, s.substring(5, 7).toInt, s.substring(8, 10).toInt)
+
+  private def validDatetime(s: String): Boolean = {
+    if (!validDate(s.substring(0, 10))) return false
+    val h = s.substring(11, 13).toInt
+    val mi = s.substring(14, 16).toInt
+    val sec = if (s.length == 19) s.substring(17, 19).toInt else 0
+    h <= 23 && mi <= 59 && sec <= 59
+  }
+}
+
+/** Native Catalyst expression for value-type classification: a single
+  * byte-scan per value, fully inside whole-stage codegen via a static
+  * call — no regex automata, no try_cast subtrees, no UDF
+  * serialization. The declarative `when`-chain in
+  * [[TypeInference.inferType]] is semantically identical; this exists
+  * for the hot schema-annotation path where the chain's five regex
+  * evaluations per value dominate.
+  */
+case class InferType(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = false
+  override def prettyName: String = "infer_type"
+
+  override def eval(input: InternalRow): Any =
+    InferTypeRuntime.infer(child.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val runtime = InferTypeRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        UTF8String ${ev.value} = $runtime.infer(${c.isNull} ? null : ${c.value});
+        boolean ${ev.isNull} = false;
+      """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): InferType =
+    copy(child = newChild)
+}
+
+/** Session extension registering the engine's native functions —
+  * `spark.sql("SELECT infer_type(c) ...")` works in any session built
+  * with `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("infer_type"),
+      new ExpressionInfo(classOf[InferType].getName, "infer_type"),
+      (children: Seq[Expression]) => InferType(children.head)))
+  }
+}
