@@ -49,6 +49,37 @@ object Dedup {
   def hashedShingles(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
+  /** Exploded, hashed, per-doc-distinct word n-gram shingles:
+    * (doc_id, h) rows. posexplode + windowed lead() instead of array
+    * lambdas — array higher-order functions are CodegenFallback
+    * (interpreted, ~10x slower); this shape is whole-stage codegen'd
+    * end to end and shuffles by doc_id once. Documents shorter than n
+    * tokens contribute their whole text as one shingle (same fallback
+    * as [[shingles]]).
+    */
+  def explodedHashedShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val toks = df.select(id.as("doc_id"),
+      posexplode(TextAnalysis.tokens(lower(text))).as(Seq("pos", "tok")))
+      .withColumn("ntok", count(lit(1)).over(wAll))
+    val leadCols = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
+    val withLeads = toks.select(
+      (Seq(col("doc_id"), col("ntok"), col("tok")) ++ leadCols): _*)
+    val full = withLeads
+      .where(col("ntok") >= n && col(s"t${n - 1}").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("s"))
+    val short = toks
+      .where(col("ntok") < n)
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("tok")))), x => x("tok"))).as("s"))
+    full.unionByName(short)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+  }
+
   /** MinHash signature: array of `k` minima of seeded re-hashes of the
     * (already hashed) shingle set. Re-hashing an 8-byte long per seed
     * beats hashing the full shingle string k times.
@@ -86,17 +117,13 @@ object Dedup {
       threshold: Double = 0.6,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val base = df
-      .select(id.as("doc_id"), hashedShingles(text, nShingle).as("sh"))
-      .where(size(col("sh")) > 0)
-      .persist()
+    // exploded relational shingles: whole-stage codegen'd end to end
+    val ex = explodedHashedShingles(df, id, text, nShingle).persist()
 
-    // signatures via explode + k min-aggregates: array lambdas are
-    // CodegenFallback (interpreted, boxed) while a hash aggregate with
-    // k conditional mins is whole-stage codegen'd with map-side
-    // partial agg — the scale shape
+    // signatures via k min-aggregates: a hash aggregate with k
+    // conditional mins is codegen'd with map-side partial agg
     val minCols = (0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
-    val sigs = base.select(col("doc_id"), explode(col("sh")).as("h"))
+    val sigs = ex
       .groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
     val sigArr = array((0 until k).map(s => col(s"m$s")): _*)
@@ -109,16 +136,26 @@ object Dedup {
       .where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
 
+    // consumed three times below (candIds + both set joins): persist,
+    // or the whole signature+band+join chain re-executes per consumer
     val candidates = small.select(col("band"), col("doc_id").as("id_a"))
       .join(small.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
       .where(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
+      .persist()
 
-    // exact-verify only the (few) candidates: fetch shingle sets back
+    // exact-verify only the (few) candidates: materialize shingle sets
+    // solely for docs that appear in a candidate pair
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    val sets = ex.join(candIds, "doc_id")
+      .groupBy("doc_id")
+      .agg(collect_set(col("h")).as("sh"))
     candidates
-      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
@@ -221,16 +258,16 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       bucketWidth: Int = 100): DataFrame = {
-    val base = df.select(
-      id.as("doc_id"), hashedShingles(text, n).as("sh"),
-      lang.as("lang"), floor(nChars / bucketWidth).as("lb"))
-      .where(size(col("sh")) > 0)
-      .withColumn("nsh", size(col("sh")))
-    val ex = base.select(col("lang"), col("lb"), col("doc_id"), col("nsh"),
-      explode(col("sh")).as("s")).persist()
-    val a = ex.select(col("lang"), col("lb"), col("s"),
+    val meta = df.select(id.as("doc_id"), lang.as("lang"),
+      floor(nChars / bucketWidth).as("lb"))
+    val ex = explodedHashedShingles(df, id, text, n)
+      .withColumn("nsh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+      .join(meta, "doc_id")
+      .persist()
+    val a = ex.select(col("lang"), col("lb"), col("h").as("s"),
       col("doc_id").as("id_a"), col("nsh").as("nsh_a"))
-    val b = ex.select(col("lang"), col("lb"), col("s"),
+    val b = ex.select(col("lang"), col("lb"), col("h").as("s"),
       col("doc_id").as("id_b"), col("nsh").as("nsh_b"))
     val inter = a.join(b, Seq("lang", "lb", "s"))
       .where(col("id_a") < col("id_b"))
@@ -255,12 +292,15 @@ object Dedup {
       nBuckets: Int = 16): DataFrame = {
     val assigned = Similarity.ivfAssign(
       df.select(id.as("doc_id"), vec.as("v")), col("doc_id"), col("v"), nBuckets)
-    val a = assigned.select(col("bucket"), col("doc_id").as("id_a"), col("v").as("v_a"))
-    val b = assigned.select(col("bucket"), col("doc_id").as("id_b"), col("v").as("v_b"))
+    val a = assigned.select(col("bucket"), col("doc_id").as("id_a"),
+      col("v").as("v_a"), col("v_norm").as("n_a"))
+    val b = assigned.select(col("bucket"), col("doc_id").as("id_b"),
+      col("v").as("v_b"), col("v_norm").as("n_b"))
     a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        Similarity.cosine(col("v_a"), col("v_b")).as("cos"))
+        Similarity.cosineFromNorms(Similarity.dot(col("v_a"), col("v_b")),
+          col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

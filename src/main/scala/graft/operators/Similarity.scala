@@ -35,6 +35,17 @@ object Similarity {
     when(n === 0.0, 0.0).otherwise(d / n)
   }
 
+  /** Cosine from a pair dot product and per-vector precomputed norms.
+    * Array lambdas are interpreted (CodegenFallback), so in pairwise
+    * stages each vector's norm is computed ONCE upstream and carried
+    * as a scalar column — same arithmetic (dot / (na*nb)), a third of
+    * the lambda evaluations per pair.
+    */
+  def cosineFromNorms(d: Column, na: Column, nb: Column): Column = {
+    val n = na * nb
+    when(n === 0.0, 0.0).otherwise(d / n)
+  }
+
   /** Brute-force top-k cosine neighbors for each query vector.
     * `queries` and `corpus` both carry (id, vec). The query side is
     * expected small -> broadcast it so the corpus never shuffles; the
@@ -42,12 +53,15 @@ object Similarity {
     * Self-matches (same id) are excluded.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"))
-    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"))
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+      norm(col("vec")).as("c_norm"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
     scored
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
@@ -76,13 +90,15 @@ object Similarity {
     * line up.
     */
   def ivfAssignWith(in: DataFrame, cents: DataFrame): DataFrame = {
-    in.crossJoin(broadcast(cents))
-      .select(col("doc_id"), col("v"), col("cent_id"),
-        round(cosine(col("v"), col("cent_v")), 6).as("cent_cos"))
+    in.withColumn("v_norm", norm(col("v")))
+      .crossJoin(broadcast(cents.withColumn("cent_norm", norm(col("cent_v")))))
+      .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id"),
+        round(cosineFromNorms(dot(col("v"), col("cent_v")),
+          col("v_norm"), col("cent_norm")), 6).as("cent_cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("cent_cos").desc, col("cent_id"))))
       .where(col("rk") === 1)
-      .select(col("doc_id"), col("v"), col("cent_id").as("bucket"))
+      .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id").as("bucket"))
   }
 
   /** IVF top-k: both sides coarse-assigned (queries probe their single
@@ -96,14 +112,17 @@ object Similarity {
     val cents = corpusIn.where(col("doc_id") < nBuckets)
       .select(col("doc_id").as("cent_id"), col("v").as("cent_v"))
     val corpusAssigned = ivfAssignWith(corpusIn, cents)
-      .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"))
+      .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"),
+        col("v_norm").as("c_norm"))
     val queriesAssigned = ivfAssignWith(
       queries.select(col("id").as("doc_id"), col("vec").as("v")), cents)
-      .select(col("bucket"), col("doc_id").as("query_id"), col("v").as("q_vec"))
+      .select(col("bucket"), col("doc_id").as("query_id"), col("v").as("q_vec"),
+        col("v_norm").as("q_norm"))
     queriesAssigned.join(corpusAssigned, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("q_vec"), col("c_vec")), 6).as("cos"))
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
       .where(col("rk") <= k)
