@@ -277,12 +277,7 @@ object SparkEntry {
   private def qTypeInferNative(s: SparkSession, dir: String): DataFrame = {
     // the native codegen'd expression, registered the way
     // spark.sql.extensions would (same oracle as the declarative q04)
-    s.sessionState.functionRegistry.registerFunction(
-      new org.apache.spark.sql.catalyst.FunctionIdentifier("infer_type"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.InferType].getName, "infer_type"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.InferType(children.head))
+    graft.functions.GraftExtensions.register(s)
     stackedTypeValues(s, dir)
       .select(expr("infer_type(v)").as("inferred_type"))
       .groupBy("inferred_type").agg(count(lit(1)).as("n"))

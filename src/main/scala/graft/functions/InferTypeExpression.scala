@@ -130,9 +130,20 @@ case class InferType(child: Expression) extends UnaryExpression {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      new FunctionIdentifier("infer_type"),
-      new ExpressionInfo(classOf[InferType].getName, "infer_type"),
-      (children: Seq[Expression]) => InferType(children.head)))
+    ext.injectFunction(GraftExtensions.inferTypeFn)
   }
+}
+
+object GraftExtensions {
+  private[graft] val inferTypeFn = (
+    new FunctionIdentifier("infer_type"),
+    new ExpressionInfo(classOf[InferType].getName, "infer_type"),
+    (children: Seq[Expression]) => InferType(children.head): Expression)
+
+  /** Register the engine's functions on an already-built session (for
+    * sessions not constructed with `.withExtensions`).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sessionState.functionRegistry.registerFunction(
+      inferTypeFn._1, inferTypeFn._2, inferTypeFn._3)
 }

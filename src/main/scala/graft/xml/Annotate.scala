@@ -22,19 +22,28 @@ object Annotate {
     * agg on both), collected driver-side (it is schema metadata).
     */
   def columnMeta(exploded: DataFrame): Map[(String, String), ColumnMeta] = {
-    val typed = exploded
-      .select(col("recordType"), col("pos"), col("col_name"),
-        TypeInference.inferType(col("value")).as("tp"))
-    val meta = typed
-      .groupBy("recordType", "pos", "col_name")
-      .agg(collect_set(col("tp")).as("tps"), count(lit(1)).as("nvals"))
+    // two flat aggregations beat one nested one: the type set needs no
+    // per-record granularity (map-side collect_set combines early),
+    // and the array flag is a count/max pair
+    // native single-scan classifier (graft.functions.InferType) —
+    // the declarative chain evaluates five regexes per value
+    graft.functions.GraftExtensions.register(exploded.sparkSession)
+    val types = exploded
+      .select(col("recordType"), col("col_name"),
+        expr("infer_type(value)").as("tp"))
       .groupBy("recordType", "col_name")
-      .agg(
-        TypeInference.unifyTypes(flatten(collect_set(col("tps")))).as("unified"),
-        max(col("nvals")).as("max_vals"))
+      .agg(TypeInference.unifyTypes(collect_set(col("tp"))).as("unified"))
       .collect()
-    meta.map(r => (r.getString(0), r.getString(1)) ->
-      ColumnMeta(r.getString(2), r.getLong(3) > 1L)).toMap
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val arrays = exploded
+      .groupBy("recordType", "pos", "col_name")
+      .agg(count(lit(1)).as("nvals"))
+      .groupBy("recordType", "col_name")
+      .agg(max(col("nvals")).as("max_vals"))
+      .where(col("max_vals") > 1)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    types.map { case (k, t) => k -> ColumnMeta(t, arrays.contains(k)) }
   }
 
   /** Neo4j type spelling (translate_type, XMLToCSV.py:308-311). */

@@ -80,6 +80,12 @@ object Flatten {
   /** Flatten one record type into its table: one string column per
     * inferred column, multi-values collapsed; empty records dropped
     * (P2). Keeps `pos` for downstream id assignment.
+    *
+    * Direct column-expression form — used for small inputs/tests; the
+    * pipeline uses [[cellValues]] + [[pivotType]], the relational form
+    * (array higher-order functions are interpreted in Spark, so one
+    * explode + aggregate + pivot over skinny rows beats per-column
+    * array scans ~3x on wide schemas).
     */
   def flattenType(records: DataFrame, recordType: String, cols: Seq[String]): DataFrame = {
     val perType = records.where(col("recordType") === recordType)
@@ -88,6 +94,26 @@ object Flatten {
       .select((col("pos") +: valueExprs): _*)
       .where(cols.map(col(_).isNotNull).reduce(_ || _))
   }
+
+  /** Collapsed cell per (recordType, pos, col_name): the A1 rule
+    * applied relationally. Persist the result and fan out with
+    * [[pivotType]] — empty records never appear here, which IS the P2
+    * filter.
+    */
+  def cellValues(records: DataFrame, schema: Map[String, Seq[String]]): DataFrame =
+    explodedValues(records, schema)
+      .groupBy(col("recordType"), col("pos"), col("col_name"))
+      .agg(collect_list(col("value")).as("vs"))
+      .select(col("recordType"), col("pos"), col("col_name"),
+        when(size(col("vs")) === 1, element_at(col("vs"), 1))
+          .otherwise(concat_ws("|", array_sort(col("vs")))).as("cell"))
+
+  /** One record type's table from the collapsed cells: a pivot with an
+    * explicit column list (single shuffle, no per-column scans).
+    */
+  def pivotType(cells: DataFrame, recordType: String, cols: Seq[String]): DataFrame =
+    cells.where(col("recordType") === recordType)
+      .groupBy("pos").pivot("col_name", cols).agg(first("cell"))
 
   /** Exploded (recordType, pos, colName, value) stream of every
     * individual value (pre-collapse) — the input for type inference

@@ -35,6 +35,13 @@ object XmlToCsv {
       schema: Map[String, Seq[String]],
       columnMeta: Map[(String, String), Annotate.ColumnMeta])
 
+  private def timed[T](label: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[graft.xml] $label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
+    r
+  }
+
   def run(spark: SparkSession, config: Config): Result = {
     validate(config)
     val annotate = config.annotate || config.neo4j
@@ -44,11 +51,14 @@ object XmlToCsv {
     val recordsDs = XmlRecords.read(spark, config.xmlFile, dtd).persist()
     val records = recordsDs.toDF()
     try {
-      val schema = Flatten.inferColumns(recordsDs, dtd)
+      timed("parse")(recordsDs.count())
+      val schema = timed("inferColumns")(Flatten.inferColumns(recordsDs, dtd))
 
-      // flatten every type, keep pos for global id assignment
+      // flatten every type, keep pos for global id assignment —
+      // relational form: one explode+collapse pass, then per-type pivots
+      val cells = Flatten.cellValues(records, schema).persist()
       val flattened: Map[String, DataFrame] = schema.map { case (t, cols) =>
-        t -> Flatten.flattenType(records, t, cols)
+        t -> Flatten.pivotType(cells, t, cols)
       }
 
       // K1: contiguous document-order ids across ALL record types
@@ -57,47 +67,60 @@ object XmlToCsv {
         .reduce(_ unionAll _)
       val idMap = Relational.withContiguousId(
         allKept.orderBy("pos"), idCol = "id").persist()
-      val nRecords = idMap.count()
+      val nRecords = timed("idMap")(idMap.count())
 
+      // broadcast the (pos, id) map while it fits comfortably; beyond
+      // that Catalyst falls back to a sort-merge join on pos
+      val idSide = if (nRecords < 5000000L) broadcast(idMap) else idMap
+      // persist UNSORTED: a global orderBy before the cache would make
+      // the range-partitioner's sampling pass recompute the whole
+      // flatten+join chain once per type
       val withIds: Map[String, DataFrame] = flattened.map { case (t, df) =>
         val cols = schema(t)
-        t -> df.join(idMap, "pos")
+        t -> df.join(idSide, "pos")
           .select((col("id") +: cols.map(col)): _*)
-          .orderBy("id")
+          .persist() // consumed by the CSV write AND the final count
       }
 
-      // W1/W2: per-type data CSV (header row only when not annotating)
-      withIds.foreach { case (t, df) =>
+      // W1/W2: per-type data CSV (header row only when not annotating).
+      // Single-file mode sorts by id for byte-stable golden output;
+      // directory mode writes partition-parallel and unsorted (the
+      // scale path — a global sort of the payload buys nothing there)
+      timed("csv writes")(withIds.foreach { case (t, df) =>
         val cols = schema(t)
         if (config.singleFile)
-          CsvSink.writeSingleFile(df, s"${stem}_$t$ext",
+          CsvSink.writeSingleFile(df.orderBy("id"), s"${stem}_$t$ext",
             if (annotate) None else Some(("id" +: cols).mkString(";")))
         else
           CsvSink.writeDir(df, s"${stem}_$t$ext", header = !annotate)
-      }
+      })
+
+      // one exploded-values pass shared by annotation and relations
+      val needExploded = annotate || config.relations.nonEmpty
+      val exploded =
+        if (needExploded) timed("explodedValues")(Flatten.explodedValues(records, schema).persist())
+        else null
 
       // A2-A4 + W3: annotated header sidecars (single line, no
       // trailing newline — XMLToCSV.py:304-305)
       val meta: Map[(String, String), Annotate.ColumnMeta] =
         if (annotate) {
-          val exploded = Flatten.explodedValues(records, schema).persist()
-          val m = Annotate.columnMeta(exploded)
+          val m = timed("columnMeta")(Annotate.columnMeta(exploded))
           schema.keys.foreach { t =>
             writeText(s"${stem}_${t}_header$ext", Annotate.headerLine(t, m, config.neo4j))
           }
-          exploded.unpersist()
           m
         } else Map.empty
 
       // J1-J3 + W4: relation node/edge tables, header line embedded in
       // the file (XMLToCSV.py:347-362); ids continue after the records'
-      if (config.relations.nonEmpty) {
-        val exploded = Flatten.explodedValues(records, schema)
-          .join(idMap, "pos")
+      if (config.relations.nonEmpty) timed("relations") {
+        val explodedWithIds = exploded
+          .join(idSide, "pos")
           .persist()
         var offset = nRecords
         config.relations.foreach { case (attr, rel) =>
-          val pairs = exploded
+          val pairs = explodedWithIds
             .where(col("col_name") === attr && col("value").isNotNull)
             .select(col("id").as("parent_id"), col("value").as("v"))
             .distinct()
@@ -120,7 +143,7 @@ object XmlToCsv {
           nodes.unpersist()
           offset += nNodes
         }
-        exploded.unpersist()
+        explodedWithIds.unpersist()
       }
 
       // W5: neo4j-admin import script (reference writes to CWD; we put
@@ -132,7 +155,11 @@ object XmlToCsv {
         writeText(dir.resolve("neo4j_import.sh").toString, "#!/bin/bash\n" + cmd)
       }
 
-      val counts = withIds.map { case (t, df) => t -> df.count() }
+      if (exploded != null) exploded.unpersist()
+      val counts = timed("counts")(withIds.map { case (t, df) => t -> df.count() })
+      withIds.values.foreach(_.unpersist())
+      cells.unpersist()
+      idMap.unpersist()
       Result(counts, schema, meta)
     } finally recordsDs.unpersist()
   }
@@ -171,6 +198,7 @@ object XmlToCsv {
       args(i) match {
         case "--annotate" => config = config.copy(annotate = true); i += 1
         case "--neo4j" => config = config.copy(neo4j = true, annotate = true); i += 1
+        case "--dirs" => config = config.copy(singleFile = false); i += 1 // distributed multi-part output
         case "--relations" =>
           i += 1
           val rels = Seq.newBuilder[(String, String)]
