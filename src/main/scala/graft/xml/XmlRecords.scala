@@ -65,63 +65,111 @@ object XmlRecords {
     * a vocabulary element nested inside a record (e.g. `author` inside
     * `article`) is a child, not a record. Depth at each partition
     * boundary comes from a parallel prefix sum of per-partition depth
-    * deltas (two lightweight count jobs); the only data shuffle is the
-    * record-chunk reassembly groupBy.
+    * deltas (one count-only job).
+    *
+    * Reassembly is shuffle-free: every record that both starts and
+    * ends inside a partition is parsed inline by that partition's
+    * task; only the partition-boundary fragments (at most one open
+    * record's text per boundary, plus the file preamble) are collected
+    * and stitched on the driver, then parsed via a small parallelize.
+    * Record `pos` is (partition << 40 | start-ordinal) — monotonic in
+    * document order, which is all downstream id assignment needs.
     */
-  def read(spark: SparkSession, xmlPath: String, dtd: Dtd): Dataset[XmlRecord] = {
+  def read(spark: SparkSession, xmlPath: String, dtd: Dtd, minPartitions: Int = 0): Dataset[XmlRecord] = {
     import spark.implicits._
     val types = dtd.recordTypes
     val root = dtd.root
     val startRe = ("""^\s*<(""" + types.map(java.util.regex.Pattern.quote).mkString("|") + """)[\s/>]""").r
     def isCandidate(line: String): Boolean = startRe.findFirstIn(line).isDefined
 
-    val lines = spark.sparkContext.textFile(xmlPath)
+    val lines =
+      if (minPartitions > 0) spark.sparkContext.textFile(xmlPath, minPartitions)
+      else spark.sparkContext.textFile(xmlPath)
 
-    // job 1: per-partition (net depth delta, record-start count given entry depth)
-    // entry depth is unknown until the prefix sum, so starts are counted in job 2.
+    // job 1: per-partition net depth delta -> entry depth prefix sum
     val deltas = lines.mapPartitions { it =>
       Iterator.single(it.foldLeft(0)((d, l) => d + depthDelta(l)))
     }.collect()
     val depthIn = deltas.scanLeft(0)(_ + _)
 
-    // job 2: count true record starts per partition (depth==1 candidates)
-    val startCounts = lines.mapPartitionsWithIndex { case (pi, it) =>
-      var depth = depthIn(pi); var n = 0L
-      it.foreach { line =>
-        if (depth == 1 && isCandidate(line)) n += 1
-        depth += depthDelta(line)
-      }
-      Iterator.single(n)
-    }.collect()
-    val recOffsets = startCounts.scanLeft(0L)(_ + _)
-
-    // job 3: tag every line with its global record index, shuffle once
-    val keyed = lines.mapPartitionsWithIndex { case (pi, it) =>
+    // job 2: boundary fragments per partition — (head lines before the
+    // first true start; tail lines from the last true start; #starts)
+    val frags = lines.mapPartitionsWithIndex { case (pi, it) =>
       var depth = depthIn(pi)
-      var rec = recOffsets(pi) - 1 // pre-first-start lines belong to the previous partition's open record
-      var lineNo = 0L
-      it.map { line =>
-        if (depth == 1 && isCandidate(line)) rec += 1
+      var n = 0L
+      val head = new StringBuilder
+      var tail = new StringBuilder
+      it.foreach { line =>
+        if (depth == 1 && isCandidate(line)) {
+          n += 1
+          tail = new StringBuilder
+        }
+        if (n == 0) { if (head.nonEmpty) head.append('\n'); head.append(line) }
+        else { if (tail.nonEmpty) tail.append('\n'); tail.append(line) }
         depth += depthDelta(line)
-        lineNo += 1
-        (rec, (pi.toLong << 40) | lineNo, line)
       }
-    }
+      Iterator.single((pi, head.toString, tail.toString, n))
+    }.collect().sortBy(_._1)
 
     val dtdB = spark.sparkContext.broadcast(dtd)
-    val chunks = keyed
-      .filter(_._1 >= 0) // preamble (<?xml…>, root open) precedes record 0
-      .groupBy(_._1)
-      .map { case (recIdx, ls) =>
-        val text = ls.toSeq.sortBy(_._2).map(_._3).mkString("\n")
-        (recIdx, text)
+    val rootClose = s"</$root>"
+    val nStartsB = spark.sparkContext.broadcast(frags.map(f => f._1 -> f._4).toMap)
+
+    // job 3 (the data pass): parse records fully contained in their
+    // partition — everything except each partition's last open chunk
+    val inner = lines.mapPartitionsWithIndex { case (pi, it) =>
+      // every chunk except the partition's LAST start (which may run
+      // past the split boundary and is handled by the driver stitch)
+      val lastOrdinal = nStartsB.value.getOrElse(pi, 0L) - 1
+      var depth = depthIn(pi)
+      var ordinal = -1L
+      var chunk: StringBuilder = null
+      val out = scala.collection.mutable.ArrayBuffer.empty[XmlRecord]
+      def flush(): Unit =
+        if (chunk != null) {
+          parseRecord(
+            dtdB.value.expandEntities(chunk.toString.replace(rootClose, "")),
+            (pi.toLong << 40) | ordinal).foreach(out += _)
+          chunk = null
+        }
+      it.foreach { line =>
+        if (depth == 1 && isCandidate(line)) {
+          flush()
+          ordinal += 1
+          chunk = if (ordinal == lastOrdinal) null else new StringBuilder
+        }
+        if (chunk != null) {
+          if (chunk.nonEmpty) chunk.append('\n')
+          chunk.append(line)
+        }
+        depth += depthDelta(line)
+      }
+      flush() // no-op unless the file's final chunk closed in-partition (it is the tail by construction)
+      out.iterator
+    }
+
+    // stitch boundary records on the driver (at most one per partition)
+    val boundaries = Seq.newBuilder[(Long, String)]
+    var pendingPos = -1L
+    var pending: StringBuilder = null
+    frags.foreach { case (pi, head, tail, n) =>
+      if (pendingPos >= 0) {
+        if (head.nonEmpty) { pending.append('\n'); pending.append(head) }
+        if (n > 0) { boundaries += ((pendingPos, pending.toString)); pendingPos = -1; pending = null }
+      }
+      if (n > 0) {
+        pendingPos = (pi.toLong << 40) | (n - 1)
+        pending = new StringBuilder(tail)
+      }
+    }
+    if (pendingPos >= 0) boundaries += ((pendingPos, pending.toString))
+
+    val boundaryRdd = spark.sparkContext.parallelize(boundaries.result(), 1)
+      .flatMap { case (pos, text) =>
+        parseRecord(dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
       }
 
-    val rootClose = s"</$root>"
-    chunks.flatMap { case (recIdx, chunk) =>
-      val body = dtdB.value.expandEntities(chunk.replace(rootClose, ""))
-      parseRecord(body, recIdx)
-    }.toDS()
+    spark.createDataset(inner.union(boundaryRdd))
   }
 
   private lazy val factory: XMLInputFactory = {
