@@ -460,9 +460,10 @@ object SparkEntry {
 
   private def buildXmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = {
     val (xmlPath, dtd) = xmlFixture()
-    val records = XmlRecords.read(s, xmlPath, dtd).persist()
-    val schema = Flatten.inferColumns(records, dtd)
-    val flat = schema.map { case (t, cs) => t -> Flatten.flattenType(records.toDF(), t, cs) }
+    val records = XmlRecords.readRows(s, xmlPath, dtd).persist()
+    val schema = Flatten.inferColumns(
+      records.as[graft.xml.XmlRecord](org.apache.spark.sql.Encoders.product[graft.xml.XmlRecord]), dtd)
+    val flat = schema.map { case (t, cs) => t -> Flatten.flattenType(records, t, cs) }
     val idMap = Relational.withContiguousId(
       flat.values.map(_.select(col("pos"))).reduce(_ unionAll _).orderBy("pos"), "id")
     val withIds = flat.map { case (t, df) =>

@@ -3,7 +3,8 @@ package graft.xml
 import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
 import java.io.StringReader
 
-import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.types.{ArrayType, LongType, MapType, StringType, StructField, StructType}
 
 /** One flattened XML element inside a record: its tag, the character
   * data before its first child element (lxml's `.text` convention —
@@ -75,8 +76,27 @@ object XmlRecords {
     * Record `pos` is (partition << 40 | start-ordinal) — monotonic in
     * document order, which is all downstream id assignment needs.
     */
-  def read(spark: SparkSession, xmlPath: String, dtd: Dtd, minPartitions: Int = 0): Dataset[XmlRecord] = {
-    import spark.implicits._
+  /** Row-level schema of [[readRows]] — matches XmlRecord's shape. */
+  val rowSchema: StructType = StructType(Seq(
+    StructField("recordType", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false),
+    StructField("attrs", MapType(StringType, StringType), nullable = false),
+    StructField("children", ArrayType(StructType(Seq(
+      StructField("tag", StringType, nullable = false),
+      StructField("text", StringType, nullable = true),
+      StructField("attrs", MapType(StringType, StringType), nullable = false)))),
+      nullable = false)))
+
+  /** Typed view of [[readRows]] (tests, schema pass). */
+  def read(spark: SparkSession, xmlPath: String, dtd: Dtd, minPartitions: Int = 0): Dataset[XmlRecord] =
+    readRows(spark, xmlPath, dtd, minPartitions).as[XmlRecord](Encoders.product[XmlRecord])
+
+  /** Read all records as a DataFrame directly (no case-class encoder in
+    * the plan): persisting THIS caches InternalRows, so downstream
+    * scans skip the SerializeFromObject conversion that a cached typed
+    * Dataset would pay on every pass.
+    */
+  def readRows(spark: SparkSession, xmlPath: String, dtd: Dtd, minPartitions: Int = 0): DataFrame = {
     val types = dtd.recordTypes
     val root = dtd.root
     val startRe = ("""^\s*<(""" + types.map(java.util.regex.Pattern.quote).mkString("|") + """)[\s/>]""").r
@@ -169,7 +189,11 @@ object XmlRecords {
         parseRecord(dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
       }
 
-    spark.createDataset(inner.union(boundaryRdd))
+    val rows = inner.union(boundaryRdd).map { r =>
+      Row(r.recordType, r.pos, r.attrs,
+        r.children.map(c => Row(c.tag, c.text, c.attrs)))
+    }
+    spark.createDataFrame(rows, rowSchema)
   }
 
   private lazy val factory: XMLInputFactory = {

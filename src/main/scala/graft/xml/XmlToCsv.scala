@@ -48,11 +48,13 @@ object XmlToCsv {
     val (stem, ext) = splitExt(config.outputFile)
 
     val dtd = Dtd.parse(config.dtdFile)
-    val recordsDs = XmlRecords.read(spark, config.xmlFile, dtd).persist()
-    val records = recordsDs.toDF()
+    // cache the ROW form: a cached typed Dataset re-serializes objects
+    // on every downstream scan
+    val records = XmlRecords.readRows(spark, config.xmlFile, dtd).persist()
     try {
-      timed("parse")(recordsDs.count())
-      val schema = timed("inferColumns")(Flatten.inferColumns(recordsDs, dtd))
+      timed("parse")(records.count())
+      val schema = timed("inferColumns")(Flatten.inferColumns(
+        records.as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord]), dtd))
 
       // flatten every type, keep pos for global id assignment —
       // relational form: one explode+collapse pass, then per-type pivots
@@ -161,7 +163,7 @@ object XmlToCsv {
       cells.unpersist()
       idMap.unpersist()
       Result(counts, schema, meta)
-    } finally recordsDs.unpersist()
+    } finally records.unpersist()
   }
 
   private def validate(config: Config): Unit = {
