@@ -295,6 +295,12 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  private def qSaltedCollapse(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.saltedArrayCollapse(
+      t(s, dir, "lineitem").where(col("l_suppkey") < 50),
+      col("l_suppkey"), col("l_partkey"), "vals", nSalts = 8)
+      .orderBy("key")
+
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
@@ -543,6 +549,7 @@ object SparkEntry {
     "q34_percentile" -> qPercentile _,
     "q24_dedup_embedding" -> qDedupEmbedding _,
     "q45_infer_native" -> qTypeInferNative _,
+    "q47_salted_collapse" -> qSaltedCollapse _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -739,6 +746,12 @@ object SparkEntry {
           | count(*) FILTER (event_type = 'signup') AS signup,
           | count(*) FILTER (event_type = 'view') AS view
           |FROM events WHERE user_id < 50 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+      "q47_salted_collapse" ->
+        """SELECT l_suppkey AS key,
+          | array_to_string(list_sort(list(l_partkey::VARCHAR)), '|') AS vals
+          |FROM lineitem WHERE l_suppkey < 50
+          |GROUP BY l_suppkey ORDER BY key""".stripMargin,
 
       "q33_intersect" ->
         """SELECT user_id FROM events WHERE value > 150

@@ -1,0 +1,40 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class ScaleSpec extends SparkTestBase {
+
+  test("saltedArrayCollapse equals the direct collapse") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "c"), (1, "a"), (1, "b"), (1, "a"),
+      (2, "z"), (3, "q"), (3, "p")).toDF("k", "v")
+    val direct = Relational.arrayCollapse(df, col("k"), col("v"), "vals")
+      .withColumnRenamed("k", "key")
+      .as[(Int, String)].collect().toMap
+    val salted = Scale.saltedArrayCollapse(df, col("k"), col("v"), "vals", nSalts = 4)
+      .as[(Int, String)].collect().toMap
+    assert(salted == direct)
+    assert(salted(1) == "a|a|b|c") // duplicates kept, sorted
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    try {
+      val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val l = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      Scale.writeBucketed(o.select("o_orderkey", "o_totalprice"), "orders_b", "o_orderkey", 4)
+      Scale.writeBucketed(l.select("l_orderkey", "l_quantity"), "lineitem_b", "l_orderkey", 4)
+      val joined = spark.table("orders_b")
+        .join(spark.table("lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+      // both sides pre-bucketed on the join key: no shuffle in the plan
+      assert(!Scale.hasShuffle(joined), joined.queryExecution.executedPlan.toString)
+      // and the same join over plain parquet DOES shuffle
+      val plain = o.join(l, o("o_orderkey") === l("l_orderkey"))
+      assert(Scale.hasShuffle(plain))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+}
