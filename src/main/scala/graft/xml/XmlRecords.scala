@@ -95,8 +95,33 @@ object XmlRecords {
     * the plan): persisting THIS caches InternalRows, so downstream
     * scans skip the SerializeFromObject conversion that a cached typed
     * Dataset would pay on every pass.
+    *
+    * `permissive=false` (default) aborts on malformed records — the
+    * reference's DTD-validated behavior. `permissive=true` skips them,
+    * counting skips in the returned accumulator-backed metric
+    * `graft.xml.malformed` (query it via sparkContext's accumulators
+    * or the returned DataFrame count delta).
     */
-  def readRows(spark: SparkSession, xmlPath: String, dtd: Dtd, minPartitions: Int = 0): DataFrame = {
+  def readRows(
+      spark: SparkSession,
+      xmlPath: String,
+      dtd: Dtd,
+      minPartitions: Int = 0,
+      permissive: Boolean = false): DataFrame = {
+    val malformed = spark.sparkContext.longAccumulator("graft.xml.malformed")
+    // function VALUE, not a nested def: a def would pull the whole
+    // enclosing frame (SparkSession included) into the task closure
+    val tryParse: (String, Long) => Option[XmlRecord] =
+      if (!permissive) (body, pos) => parseRecord(body, pos)
+      else {
+        val acc = malformed
+        (body, pos) =>
+          try parseRecord(body, pos)
+          catch {
+            case _: javax.xml.stream.XMLStreamException | _: RuntimeException =>
+              acc.add(1L); None
+          }
+      }
     val types = dtd.recordTypes
     val root = dtd.root
     val startRe = ("""^\s*<(""" + types.map(java.util.regex.Pattern.quote).mkString("|") + """)[\s/>]""").r
@@ -147,7 +172,7 @@ object XmlRecords {
       val out = scala.collection.mutable.ArrayBuffer.empty[XmlRecord]
       def flush(): Unit =
         if (chunk != null) {
-          parseRecord(
+          tryParse(
             dtdB.value.expandEntities(chunk.toString.replace(rootClose, "")),
             (pi.toLong << 40) | ordinal).foreach(out += _)
           chunk = null
@@ -186,7 +211,7 @@ object XmlRecords {
 
     val boundaryRdd = spark.sparkContext.parallelize(boundaries.result(), 1)
       .flatMap { case (pos, text) =>
-        parseRecord(dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
+        tryParse(dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
       }
 
     val rows = inner.union(boundaryRdd).map { r =>

@@ -28,7 +28,8 @@ object XmlToCsv {
       annotate: Boolean = false,
       neo4j: Boolean = false,
       relations: Seq[(String, String)] = Nil,
-      singleFile: Boolean = true)
+      singleFile: Boolean = true,
+      permissive: Boolean = false)
 
   final case class Result(
       recordCounts: Map[String, Long],
@@ -50,7 +51,8 @@ object XmlToCsv {
     val dtd = Dtd.parse(config.dtdFile)
     // cache the ROW form: a cached typed Dataset re-serializes objects
     // on every downstream scan
-    val records = XmlRecords.readRows(spark, config.xmlFile, dtd).persist()
+    val records = XmlRecords.readRows(spark, config.xmlFile, dtd,
+      permissive = config.permissive).persist()
     try {
       timed("parse")(records.count())
       val schema = timed("inferColumns")(Flatten.inferColumns(
@@ -201,6 +203,7 @@ object XmlToCsv {
         case "--annotate" => config = config.copy(annotate = true); i += 1
         case "--neo4j" => config = config.copy(neo4j = true, annotate = true); i += 1
         case "--dirs" => config = config.copy(singleFile = false); i += 1 // distributed multi-part output
+        case "--permissive" => config = config.copy(permissive = true); i += 1 // skip malformed records
         case "--relations" =>
           i += 1
           val rels = Seq.newBuilder[(String, String)]

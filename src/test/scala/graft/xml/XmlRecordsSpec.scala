@@ -54,6 +54,21 @@ class XmlRecordsSpec extends SparkTestBase {
     assert(records(1).children.isEmpty)
   }
 
+  test("permissive mode skips malformed records; strict mode aborts") {
+    val f = Files.createTempFile("xmlbad", ".xml")
+    Files.write(f, ("<dblp>\n<article key=\"ok1\">\n<title>t</title>\n</article>\n" +
+      // mismatched tags (balanced per line so the line-level depth
+      // scan is unaffected; the StAX parse is what rejects it)
+      "<article key=\"bad\">\n<title>x</badtag>\n</article>\n" +
+      "<article key=\"ok2\">\n<title>t2</title>\n</article>\n</dblp>\n").getBytes("UTF-8"))
+    val ok = XmlRecords.readRows(spark, f.toString, dtd, permissive = true)
+      .select("attrs").collect().map(_.getMap[String, String](0)("key")).toSet
+    assert(ok == Set("ok1", "ok2"))
+    assertThrows[org.apache.spark.SparkException] {
+      XmlRecords.readRows(spark, f.toString, dtd).collect()
+    }
+  }
+
   test("multi-line records with attributes on the start line parse whole") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
