@@ -333,6 +333,14 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupGroups(
+      Dedup.ngramJaccardNearDups(t(s, dir, "documents"),
+        col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        n = 3, threshold = 0.15, bucketWidth = 100)
+        .select("id_a", "id_b"))
+      .orderBy("id")
+
   private def qSimBruteForce(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
@@ -550,6 +558,7 @@ object SparkEntry {
     "q24_dedup_embedding" -> qDedupEmbedding _,
     "q45_infer_native" -> qTypeInferNative _,
     "q47_salted_collapse" -> qSaltedCollapse _,
+    "q48_dedup_groups" -> qDedupGroups _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -807,6 +816,28 @@ object SparkEntry {
           |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q48_dedup_groups" ->
+        """WITH RECURSIVE base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh,
+          |  lang, (n_chars // 100) AS lb
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+          |        lang, n_chars FROM documents)
+          | WHERE len(toks) > 0),
+          | pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15),
+          | edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r.id, e.id_b AS peer FROM reach r JOIN edges e ON r.peer = e.id_a)
+          |SELECT id, min(peer) AS keep_id FROM reach GROUP BY id ORDER BY id""".stripMargin,
 
       "q25_sim_bruteforce" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

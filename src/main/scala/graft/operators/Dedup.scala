@@ -280,6 +280,42 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-dup pairs -> dedup groups: every
+    * doc labeled with the minimum id reachable through the pair graph
+    * (the id to KEEP for its group). Iterative min-label propagation —
+    * each round is one join + aggregate, so a cluster of diameter d
+    * converges in <= d rounds; near-dup components are shallow in
+    * practice. Spark-idiomatic Pregel-lite without GraphX.
+    */
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .persist()
+    var labels = edges.select(col("id_a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neigh = edges.join(labels, edges("id_b") === labels("id"))
+        .groupBy(edges("id_a").as("id"))
+        .agg(min("label").as("nlabel"))
+      val updated = labels.as("l").join(neigh.as("n"), Seq("id"), "left")
+        .select(col("id"),
+          least(col("l.label"), coalesce(col("n.nlabel"), col("l.label"))).as("label"))
+        .persist()
+      val changed = updated.as("u")
+        .join(labels.withColumnRenamed("label", "old"), "id")
+        .where(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = updated
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("label", "keep_id")
+  }
+
   /** Embedding near-dups: pairs with cosine similarity above the
     * threshold, candidates restricted by IVF-style coarse buckets
     * (see Similarity.ivfAssign) so the cross product stays per-bucket.

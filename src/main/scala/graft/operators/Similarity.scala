@@ -101,6 +101,25 @@ object Similarity {
       .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id").as("bucket"))
   }
 
+  /** Train IVF coarse centroids with k-means (spark.ml) — the
+    * production path: the seedless id<nBuckets bootstrap in
+    * [[ivfAssign]] is for oracle-reproducible tests, while real
+    * recall wants centroids that follow the data distribution.
+    * Returns a (cent_id, cent_v) DataFrame directly usable by
+    * [[ivfAssignWith]]. Deterministic for a fixed seed and input.
+    */
+  def trainCentroids(df: DataFrame, vec: Column, k: Int, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val input = df.select(array_to_vector(vec.cast("array<double>")).as("features"))
+    val model = new KMeans().setK(k).setSeed(seed).setFeaturesCol("features").fit(input)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray) }
+      .toDF("cent_id", "cent_v")
+  }
+
   /** IVF top-k: both sides coarse-assigned (queries probe their single
     * nearest bucket; nprobe>1 would explode to several), then the
     * scan+rank runs per bucket. The join key is the bucket — at scale,

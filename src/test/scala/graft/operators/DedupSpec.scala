@@ -41,6 +41,14 @@ class DedupSpec extends SparkTestBase {
     assert(dist(0L, 2L) < dist(0L, 3L))
   }
 
+  test("dedupGroups: connected components labeled by min id") {
+    import spark.implicits._
+    // components: {1,2,3,7} via chain, {4,5}, singleton pairs absent
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (4L, 5L)).toDF("id_a", "id_b")
+    val groups = Dedup.dedupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
   test("jaccard: exact on known sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")

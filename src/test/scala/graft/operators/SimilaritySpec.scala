@@ -29,6 +29,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(res == Set(1L, 3L)) // 2 is orthogonal, self excluded
   }
 
+  test("trainCentroids recovers well-separated clusters and feeds ivfAssignWith") {
+    import spark.implicits._
+    // two tight clusters around (1,0) and (0,1)
+    val pts = (0 until 20).map(i => (i.toLong,
+      if (i % 2 == 0) Seq(1.0 + i * 1e-3, 0.0) else Seq(0.0, 1.0 + i * 1e-3)))
+      .toDF("id", "vec")
+    val cents = Similarity.trainCentroids(pts, col("vec"), k = 2, seed = 1L)
+    assert(cents.count() == 2)
+    val assigned = Similarity.ivfAssignWith(
+      pts.select(col("id").as("doc_id"), col("vec").cast("array<double>").as("v")), cents)
+    val buckets = assigned.select("doc_id", "bucket").as[(Long, Long)].collect()
+      .groupBy(_._2).map(_._2.map(_._1 % 2).toSet)
+    // each k-means bucket holds exactly one parity class
+    assert(buckets.toSet == Set(Set(0L), Set(1L)))
+  }
+
   test("ivfTopK: bucket-restricted search still finds in-bucket neighbors") {
     import spark.implicits._
     // centroids = ids 0,1; cluster A near (1,0), cluster B near (0,1)
