@@ -335,7 +335,8 @@ object SparkEntry {
 
   private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(
-      Dedup.ngramJaccardNearDups(t(s, dir, "documents"),
+      Dedup.ngramJaccardNearDups(
+        t(s, dir, "documents").where(col("doc_id") < 2000),
         col("doc_id"), col("text"), col("lang"), col("n_chars"),
         n = 3, threshold = 0.15, bucketWidth = 100)
         .select("id_a", "id_b"))
@@ -826,7 +827,7 @@ object SparkEntry {
           |    ELSE [] END) AS sh,
           |  lang, (n_chars // 100) AS lb
           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
-          |        lang, n_chars FROM documents)
+          |        lang, n_chars FROM documents WHERE doc_id < 2000)
           | WHERE len(toks) > 0),
           | pairs AS (
           |  SELECT a.doc_id AS id_a, b.doc_id AS id_b

@@ -287,9 +287,36 @@ object Dedup {
     * converges in <= d rounds; near-dup components are shallow in
     * practice. Spark-idiomatic Pregel-lite without GraphX.
     */
-  def dedupGroups(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a"), col("id_b"))
-      .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+  def dedupGroups(pairs: DataFrame, maxIter: Int = 20, driverThreshold: Long = 1000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val dedupedPairs = pairs.select(col("id_a"), col("id_b")).distinct().persist()
+    val nPairs = dedupedPairs.count()
+    if (nPairs <= driverThreshold) {
+      // the pair set is near-dup OUTPUT — tiny relative to the corpus.
+      // Below the threshold a driver union-find replaces ~diameter
+      // Spark rounds (each a join + count job) with microseconds; the
+      // distributed loop below only earns its overhead past ~1M pairs.
+      val es = dedupedPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      dedupedPairs.unpersist()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val rows = parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      import spark.implicits._
+      return rows.toDF("id", "keep_id")
+    }
+    val edges = dedupedPairs
+      .union(dedupedPairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .persist()
     var labels = edges.select(col("id_a").as("id")).distinct()
       .withColumn("label", col("id"))

@@ -45,8 +45,13 @@ class DedupSpec extends SparkTestBase {
     import spark.implicits._
     // components: {1,2,3,7} via chain, {4,5}, singleton pairs absent
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (4L, 5L)).toDF("id_a", "id_b")
-    val groups = Dedup.dedupGroups(pairs).as[(Long, Long)].collect().toMap
-    assert(groups == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 4L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L, 4L -> 4L, 5L -> 4L)
+    // driver union-find path (small graph)
+    val small = Dedup.dedupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(small == expected)
+    // distributed min-label path (force with threshold 0)
+    val dist = Dedup.dedupGroups(pairs, driverThreshold = 0L).as[(Long, Long)].collect().toMap
+    assert(dist == expected)
   }
 
   test("jaccard: exact on known sets") {
