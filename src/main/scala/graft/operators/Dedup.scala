@@ -59,24 +59,18 @@ object Dedup {
     */
   def explodedHashedShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val wAll = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
     val toks = df.select(id.as("doc_id"),
       posexplode(TextAnalysis.tokens(lower(text))).as(Seq("pos", "tok")))
-      .withColumn("ntok", count(lit(1)).over(wAll))
     val leadCols = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
     val withLeads = toks.select(
-      (Seq(col("doc_id"), col("ntok"), col("tok")) ++ leadCols): _*)
-    val full = withLeads
-      .where(col("ntok") >= n && col(s"t${n - 1}").isNotNull)
+      (Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
+    // a row is a shingle start iff a full window fits; a doc shorter
+    // than n tokens contributes its whole text once via its pos==0 row
+    // (concat_ws skips the null leads) — no second pass, no union
+    withLeads
+      .where(col(s"t${n - 1}").isNotNull || col("pos") === 0)
       .select(col("doc_id"),
-        concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("s"))
-    val short = toks
-      .where(col("ntok") < n)
-      .groupBy("doc_id")
-      .agg(concat_ws(" ", transform(
-        array_sort(collect_list(struct(col("pos"), col("tok")))), x => x("tok"))).as("s"))
-    full.unionByName(short)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+        xxhash64(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("h"))
       .distinct()
   }
 
