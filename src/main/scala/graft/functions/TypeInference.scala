@@ -71,6 +71,38 @@ object TypeInference {
       .otherwise(TString)
   }
 
+  // ---- bitmask form of the lattice: O(1) aggregation state ----------
+  // collect_set carries an array per group through the shuffle; a
+  // 7-bit mask + bit_or is a single int with map-side combine and full
+  // codegen — the form the annotate pass uses at scale.
+
+  private val bitOf = Map(
+    TAny -> 1, TInteger -> 2, TFloat -> 4, TDate -> 8,
+    TDatetime -> 16, TBoolean -> 32, TString -> 64)
+
+  /** Bit encoding of one observed tag (pairs with [[unifyTypeMask]]). */
+  def typeBit(tag: Column): Column =
+    bitOf.foldLeft(lit(0)) { case (acc, (t, b)) => when(tag === t, b).otherwise(acc) }
+
+  /** Decode a bit_or-aggregated mask into the unified type — same
+    * lattice as [[unifyTypes]], proven equivalent exhaustively in the
+    * spec.
+    */
+  def unifyTypeMask(mask: Column): Column = {
+    val m = mask.bitwiseAND(lit(~bitOf(TAny))) // drop 'any'
+    when(m === 0, TString)
+      .when(m === bitOf(TInteger), TInteger)
+      .when(m === bitOf(TFloat), TFloat)
+      .when(m === bitOf(TDate), TDate)
+      .when(m === bitOf(TDatetime), TDatetime)
+      .when(m === bitOf(TBoolean), TBoolean)
+      .when(m === bitOf(TString), TString)
+      .when(m.bitwiseAND(lit(bitOf(TString))) =!= 0, TString)
+      .when(m === (bitOf(TInteger) | bitOf(TFloat)), TFloat)
+      .when(m === (bitOf(TDate) | bitOf(TDatetime)), TDatetime)
+      .otherwise(TString)
+  }
+
   /** Driver-side lattice fold, for schema assembly outside a plan. */
   def unifyTypeSet(tags: Set[String]): String = {
     val t = tags - TAny

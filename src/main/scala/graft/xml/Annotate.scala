@@ -26,13 +26,14 @@ object Annotate {
     // per-record granularity (map-side collect_set combines early),
     // and the array flag is a count/max pair
     // native single-scan classifier (graft.functions.InferType) —
-    // the declarative chain evaluates five regexes per value
+    // the declarative chain evaluates five regexes per value — and a
+    // bit_or mask aggregation instead of collect_set arrays
     graft.functions.GraftExtensions.register(exploded.sparkSession)
     val types = exploded
       .select(col("recordType"), col("col_name"),
-        expr("infer_type(value)").as("tp"))
+        TypeInference.typeBit(expr("infer_type(value)")).as("bit"))
       .groupBy("recordType", "col_name")
-      .agg(TypeInference.unifyTypes(collect_set(col("tp"))).as("unified"))
+      .agg(TypeInference.unifyTypeMask(bit_or(col("bit"))).as("unified"))
       .collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
     val arrays = exploded

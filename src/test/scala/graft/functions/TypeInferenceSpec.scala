@@ -59,6 +59,30 @@ class TypeInferenceSpec extends SparkTestBase {
     (Set("integer", "float", "date"), "string"),
     (Set("boolean"), "boolean"))
 
+  test("unifyTypeMask agrees with unifyTypeSet on all 128 masks") {
+    import spark.implicits._
+    val tags = Seq(TypeInference.TAny, TypeInference.TInteger, TypeInference.TFloat,
+      TypeInference.TDate, TypeInference.TDatetime, TypeInference.TBoolean,
+      TypeInference.TString)
+    val cases = (0 until 128).map { mask =>
+      val set = tags.zipWithIndex.collect { case (t, i) if (mask & (1 << i)) != 0 => t }.toSet
+      (mask, TypeInference.unifyTypeSet(set))
+    }
+    val df = cases.toDF("mask", "expected")
+      .withColumn("got", TypeInference.unifyTypeMask(col("mask")))
+    val bad = df.where(col("got") =!= col("expected")).collect()
+    assert(bad.isEmpty, bad.mkString(", "))
+  }
+
+  test("typeBit round-trips every tag through unifyTypeMask") {
+    import spark.implicits._
+    val df = Seq(TypeInference.TInteger, TypeInference.TFloat, TypeInference.TDate,
+      TypeInference.TDatetime, TypeInference.TBoolean, TypeInference.TString)
+      .toDF("tag")
+      .withColumn("got", TypeInference.unifyTypeMask(TypeInference.typeBit(col("tag"))))
+    assert(df.where(col("tag") =!= col("got")).collect().isEmpty)
+  }
+
   test("unifyTypes (column) and unifyTypeSet (driver) agree with the lattice") {
     import spark.implicits._
     latticeCases.foreach { case (in, want) =>
