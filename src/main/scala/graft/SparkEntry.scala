@@ -333,6 +333,17 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
+    Relational.asofJoin(clicks, purchases)
+      .select(col("id").as("click_id"), col("key").as("user_id"), col("asof_id").as("purchase_id"))
+      .orderBy("click_id")
+  }
+
   private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(
       Dedup.ngramJaccardNearDups(
@@ -560,6 +571,7 @@ object SparkEntry {
     "q45_infer_native" -> qTypeInferNative _,
     "q47_salted_collapse" -> qSaltedCollapse _,
     "q48_dedup_groups" -> qDedupGroups _,
+    "q49_asof_join" -> qAsofJoin _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -817,6 +829,13 @@ object SparkEntry {
           |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q49_asof_join" ->
+        """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          | ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY click_id""".stripMargin,
 
       "q48_dedup_groups" ->
         """WITH RECURSIVE base AS (

@@ -95,6 +95,31 @@ object Relational {
       .join(broadcast(nodes), "v")
       .select(col("parent_id").as("start_id"), col("node_id").as("end_id"))
 
+  /** As-of join: for every left row, the latest right row with
+    * right.time <= left.time within the same key — composed as ONE
+    * window over the tagged union instead of a range join: both sides
+    * shuffle once by key, and the "most recent right" is a running
+    * last_value with ignoreNulls. At scale this is strictly better
+    * than an inequality join (no range-explosion, no broadcast need).
+    *
+    * Inputs carry (key, time, id); output is every left row with
+    * `asof_id` = matching right id (null when no prior right exists).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val tagged = left.select(col("key"), col("time"), col("id"), lit(true).as("is_left"))
+      .unionByName(right.select(col("key"), col("time"), col("id"), lit(false).as("is_left")))
+    // rights sort before lefts at equal time so an equal-time right
+    // matches (ASOF's inclusive <=)
+    val w = Window.partitionBy("key")
+      .orderBy(col("time"), col("is_left"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("asof_id",
+        last(when(!col("is_left"), col("id")), ignoreNulls = true).over(w))
+      .where(col("is_left"))
+      .select(col("key"), col("time"), col("id"), col("asof_id"))
+  }
+
   /** Full relation extraction (J1+J2+J3) for one column. Returns
     * (nodes, edges). `recordCount` continues the id sequence.
     */

@@ -26,6 +26,21 @@ class RelationalSpec extends SparkTestBase {
     assert(ids.toSeq == Seq(10L, 11L, 12L))
   }
 
+  test("asofJoin: latest right at-or-before each left, per key") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 100L), (1L, 20L, 101L), (1L, 5L, 102L), (2L, 10L, 103L))
+      .toDF("key", "time", "id")
+    val right = Seq((1L, 8L, 200L), (1L, 20L, 201L), (2L, 99L, 202L))
+      .toDF("key", "time", "id")
+    val res = Relational.asofJoin(left, right)
+      .select("id", "asof_id").as[(Long, Option[Long])].collect().toMap
+    assert(res == Map(
+      100L -> Some(200L), // t=10: latest right is t=8
+      101L -> Some(201L), // t=20: equal-time right matches (inclusive)
+      102L -> None,       // t=5: no prior right
+      103L -> None))      // key 2: right only at t=99
+  }
+
   test("relation extraction: nodes offset + deduped edges") {
     import spark.implicits._
     val df = Seq((0L, "x"), (1L, "y"), (2L, "x"), (2L, "x")).toDF("pid", "v")
