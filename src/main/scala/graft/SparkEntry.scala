@@ -333,6 +333,18 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  private def qSemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    semi.join(anti, Seq("c_mktsegment"), "outer")
+      .na.fill(0L)
+      .orderBy("c_mktsegment")
+  }
+
   private def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "events")
     val clicks = e.where(col("event_type") === "click")
@@ -572,6 +584,7 @@ object SparkEntry {
     "q47_salted_collapse" -> qSaltedCollapse _,
     "q48_dedup_groups" -> qDedupGroups _,
     "q49_asof_join" -> qAsofJoin _,
+    "q50_semi_anti" -> qSemiAntiJoin _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -829,6 +842,12 @@ object SparkEntry {
           |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q50_semi_anti" ->
+        """SELECT c_mktsegment,
+          | count(*) FILTER (EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_with_orders,
+          | count(*) FILTER (NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS n_without_orders
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
       "q49_asof_join" ->
         """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
