@@ -356,6 +356,15 @@ object SparkEntry {
       .orderBy("click_id")
   }
 
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "events")
+      .select(col("user_id").as("key"), expr("ts div 1000").as("time"), col("event_id").as("id"))
+    Relational.rangeJoin(base, base, window = 300000000L) // 5 min in µs
+      .where(col("l_id") < col("r_id"))
+      .select(col("key").as("user_id"), col("l_id").as("id_a"), col("r_id").as("id_b"))
+      .orderBy("id_a", "id_b")
+  }
+
   private def qDedupGroups(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupGroups(
       Dedup.ngramJaccardNearDups(
@@ -585,6 +594,7 @@ object SparkEntry {
     "q48_dedup_groups" -> qDedupGroups _,
     "q49_asof_join" -> qAsofJoin _,
     "q50_semi_anti" -> qSemiAntiJoin _,
+    "q51_range_join" -> qRangeJoin _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -841,6 +851,13 @@ object SparkEntry {
           | round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
           |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "q51_range_join" ->
+        """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+          |FROM events a JOIN events b
+          | ON a.user_id = b.user_id AND a.event_id < b.event_id
+          | AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
           |ORDER BY id_a, id_b""".stripMargin,
 
       "q50_semi_anti" ->

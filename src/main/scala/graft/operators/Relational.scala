@@ -120,6 +120,30 @@ object Relational {
       .select(col("key"), col("time"), col("id"), col("asof_id"))
   }
 
+  /** Range join: all (left, right) pairs with the same key whose times
+    * differ by at most `window` — WITHOUT an inequality join (which
+    * Catalyst can only execute as a broadcast nested loop). The left
+    * side explodes to its time bucket plus both neighbors, the join is
+    * a plain equi-join on (key, bucket), and the exact predicate
+    * filters afterwards; every true pair lands in exactly one of the
+    * three buckets, and each bucket is O(events in 2*window), so the
+    * candidate set is linear, shuffled by (key, bucket).
+    *
+    * Inputs carry (key, time, id); times are integral (e.g. epoch µs).
+    */
+  def rangeJoin(left: DataFrame, right: DataFrame, window: Long): DataFrame = {
+    val l = left.select(col("key"), col("time").as("l_time"), col("id").as("l_id"))
+      .withColumn("bucket", explode(array(
+        expr(s"l_time div ${window}L - 1"),
+        expr(s"l_time div ${window}L"),
+        expr(s"l_time div ${window}L + 1"))))
+    val r = right.select(col("key"), col("time").as("r_time"), col("id").as("r_id"))
+      .withColumn("bucket", expr(s"r_time div ${window}L"))
+    l.join(r, Seq("key", "bucket"))
+      .where(abs(col("l_time") - col("r_time")) <= window)
+      .select(col("key"), col("l_id"), col("r_id"), col("l_time"), col("r_time"))
+  }
+
   /** Full relation extraction (J1+J2+J3) for one column. Returns
     * (nodes, edges). `recordCount` continues the id sequence.
     */

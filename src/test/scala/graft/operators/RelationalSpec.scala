@@ -41,6 +41,20 @@ class RelationalSpec extends SparkTestBase {
       103L -> None))      // key 2: right only at t=99
   }
 
+  test("rangeJoin: exactly the pairs within the window, across buckets") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 1L), (1L, 250L, 2L), (2L, 100L, 3L)).toDF("key", "time", "id")
+    val right = Seq((1L, 120L, 10L), (1L, 199L, 11L), (1L, 500L, 12L), (2L, 100L, 13L))
+      .toDF("key", "time", "id")
+    val res = Relational.rangeJoin(left, right, window = 100L)
+      .select("l_id", "r_id").as[(Long, Long)].collect()
+    assert(res.length == res.toSet.size) // bucket expansion must not duplicate pairs
+    assert(res.toSet == Set(
+      (1L, 10L), (1L, 11L), // t=100 vs 120, 199; 500 excluded
+      (2L, 11L),            // t=250 vs 199; 120 is 130 apart
+      (3L, 13L)))
+  }
+
   test("relation extraction: nodes offset + deduped edges") {
     import spark.implicits._
     val df = Seq((0L, "x"), (1L, "y"), (2L, "x"), (2L, "x")).toDF("pid", "v")
