@@ -301,6 +301,16 @@ object SparkEntry {
       col("l_suppkey"), col("l_partkey"), "vals", nSalts = 8)
       .orderBy("key")
 
+  private def qCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"))
+      .orderBy("returnflag", "linestatus")
+
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
@@ -595,6 +605,7 @@ object SparkEntry {
     "q49_asof_join" -> qAsofJoin _,
     "q50_semi_anti" -> qSemiAntiJoin _,
     "q51_range_join" -> qRangeJoin _,
+    "q52_cube" -> qCube _,
     "q46_multimodal_features" -> qMultimodalFeatures _,
     "q20_dedup_exact" -> qDedupExact _,
     "q21_dedup_minhash" -> qDedupMinhash _,
@@ -852,6 +863,12 @@ object SparkEntry {
           |FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
           |WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "q52_cube" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+          | coalesce(l_linestatus, 'ALL') AS linestatus, count(*) AS n
+          |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          |ORDER BY returnflag, linestatus""".stripMargin,
 
       "q51_range_join" ->
         """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
