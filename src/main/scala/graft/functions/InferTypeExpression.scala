@@ -110,7 +110,10 @@ case class InferType(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val c = child.genCode(ctx)
-    val runtime = InferTypeRuntime.getClass.getName.stripSuffix("$") + ".MODULE$"
+    // Call the companion's static forwarder (javap: public static UTF8String
+    // infer(UTF8String) on the InferTypeRuntime class) — janino cannot
+    // resolve the Scala MODULE$ field.
+    val runtime = InferTypeRuntime.getClass.getName.stripSuffix("$")
     ev.copy(
       code = code"""
         ${c.code}

@@ -20,6 +20,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Materialize `result` eagerly with its lineage truncated
+    * (localCheckpoint), then release the cached intermediates that fed
+    * it. Near-dup outputs are tiny relative to the corpus, so pinning
+    * the result while freeing the (much larger) shingle/candidate
+    * caches is the right trade — without this, repeated calls in a
+    * long-lived session accumulate cached blocks until LRU pressure.
+    */
+  private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
+    val out = result.localCheckpoint(true)
+    cached.foreach(_.unpersist())
+    out
+  }
+
   /** Word n-gram shingles of the lowercased text (the unit of
     * near-dup comparison). Returns array<string>, distinct.
     */
@@ -147,12 +160,13 @@ object Dedup {
     val sets = ex.join(candIds, "doc_id")
       .groupBy("doc_id")
       .agg(collect_set(col("h")).as("sh"))
-    candidates
+    val result = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    materializeAndRelease(result, ex, candidates)
   }
 
   /** Exact Jaccard similarity of two SET-valued arrays (elements
@@ -267,11 +281,12 @@ object Dedup {
       .where(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "nsh_a", "nsh_b")
       .agg(count(lit(1)).as("inter"))
-    inter
+    val result = inter
       .select(col("id_a"), col("id_b"),
         (col("inter").cast("double") /
           (col("nsh_a") + col("nsh_b") - col("inter"))).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    materializeAndRelease(result, ex)
   }
 
   /** Connected components over near-dup pairs -> dedup groups: every
@@ -333,8 +348,9 @@ object Dedup {
       converged = changed == 0
       i += 1
     }
-    edges.unpersist()
-    labels.withColumnRenamed("label", "keep_id")
+    materializeAndRelease(
+      labels.withColumnRenamed("label", "keep_id"),
+      labels, edges, dedupedPairs)
   }
 
   /** Embedding near-dups: pairs with cosine similarity above the

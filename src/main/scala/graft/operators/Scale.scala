@@ -44,10 +44,22 @@ object Scale {
       .saveAsTable(table)
 
   /** True if the executed plan of `df` contains a shuffle exchange —
-    * the assertion primitive for co-located-join tests.
+    * the assertion primitive for co-located-join tests. Collects
+    * [[ShuffleExchangeLike]] nodes (covering hash, range, and
+    * single-partition exchanges) instead of substring-matching the plan
+    * string, and descends into AQE's re-planned subtrees where the
+    * exchange hides behind an AdaptiveSparkPlanExec wrapper.
     */
   def hasShuffle(df: DataFrame): Boolean = {
-    df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning") ||
-      df.queryExecution.executedPlan.toString.contains("Exchange rangepartitioning")
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def scan(p: SparkPlan): Boolean = p match {
+      case _: ShuffleExchangeLike => true
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case q: QueryStageExec => scan(q.plan)
+      case other => other.children.exists(scan)
+    }
+    scan(df.queryExecution.executedPlan)
   }
 }

@@ -125,7 +125,10 @@ object XmlToCsv {
         var offset = nRecords
         config.relations.foreach { case (attr, rel) =>
           val pairs = explodedWithIds
-            .where(col("col_name") === attr && col("value").isNotNull)
+            // same value semantics as Relational.relationPairs: empty
+            // strings are not relation values (the reference only ever
+            // folds non-empty text, XMLToCSV.py:190,206-221)
+            .where(col("col_name") === attr && col("value").isNotNull && col("value") =!= "")
             .select(col("id").as("parent_id"), col("value").as("v"))
             .distinct()
           val nodes = Relational.relationNodes(pairs, offset).persist()

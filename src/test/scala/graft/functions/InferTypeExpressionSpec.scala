@@ -17,6 +17,10 @@ class InferTypeExpressionSpec extends AnyFunSuite {
       .appName("graft-ext-test")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.ui.enabled", "false")
+      // fail hard if the generated code does not compile — a plan-string
+      // match alone passes even when janino rejects the emitted source
+      // and Spark silently falls back to interpreted eval
+      .config("spark.sql.codegen.fallback", "false")
       .withExtensions(new GraftExtensions)
       .getOrCreate()
   }
