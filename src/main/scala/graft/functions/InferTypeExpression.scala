@@ -132,21 +132,26 @@ case class InferType(child: Expression) extends UnaryExpression {
   * `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.inferTypeFn)
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private[graft] val inferTypeFn = (
-    new FunctionIdentifier("infer_type"),
-    new ExpressionInfo(classOf[InferType].getName, "infer_type"),
-    (children: Seq[Expression]) => InferType(children.head): Expression)
+  private def fn(name: String, cls: Class[_], builder: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name), new ExpressionInfo(cls.getName, name), builder)
+
+  private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("infer_type", classOf[InferType], children => InferType(children.head)),
+    fn("shingle_hashes", classOf[ShingleHashes], MinHash.shingleHashesBuilder),
+    fn("minhash_sig", classOf[MinHashSig], MinHash.minhashSigBuilder),
+    fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
+    fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      inferTypeFn._1, inferTypeFn._2, inferTypeFn._3)
+    functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

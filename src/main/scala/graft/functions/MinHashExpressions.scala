@@ -1,0 +1,281 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared runtime for the native near-dup expressions: per-document
+  * shingle hashing, MinHash signatures, LSH band keys, and SimHash —
+  * each a single pass over the document inside whole-stage codegen via
+  * a static call.
+  *
+  * Why this exists: the document→signature step of near-dup pipelines
+  * is per-row math, but expressing it with Spark built-ins forces a
+  * relational detour — posexplode + window + distinct + a k-way
+  * min-aggregate is three shuffles of per-token rows before the first
+  * candidate pair forms. At 100 TB those shuffles dominate the job.
+  * These expressions collapse the detour to a projection: the only
+  * shuffles left in minhash-LSH are the band self-join and candidate
+  * verify, which are the parts that genuinely need a cluster.
+  *
+  * Hash compatibility: all hashing matches Spark's `xxhash64(...)`
+  * exactly (XXH64, seed 42, multi-arg chaining), so results are
+  * bit-identical to the declarative formulation in [[graft.operators.Dedup]]
+  * and stable across executors and runs.
+  */
+object MinHashRuntime {
+
+  private val EMPTY = UnsafeArrayData.fromPrimitiveArray(Array.emptyLongArray)
+
+  /** xxhash64(utf8 bytes of s) with Spark's seed 42. */
+  private def hashString(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+  }
+
+  /** Whitespace tokens of the lowercased text (= TextAnalysis.tokens
+    * on lower(text): split on \s+, empties dropped).
+    */
+  private def tokensOf(text: UTF8String): Array[String] = {
+    val s = text.toLowerCase.toString
+    val raw = s.split("\\s+")
+    var nonEmpty = 0
+    var i = 0
+    while (i < raw.length) { if (raw(i).nonEmpty) nonEmpty += 1; i += 1 }
+    if (nonEmpty == raw.length) raw
+    else {
+      val out = new Array[String](nonEmpty)
+      var j = 0
+      i = 0
+      while (i < raw.length) { if (raw(i).nonEmpty) { out(j) = raw(i); j += 1 }; i += 1 }
+      out
+    }
+  }
+
+  /** Distinct xxhash64'd word n-gram shingles of the lowercased text,
+    * in first-occurrence order. Documents shorter than n tokens
+    * contribute their whole text as one shingle; empty documents yield
+    * an empty array.
+    */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return EMPTY
+    val toks = tokensOf(text)
+    if (toks.length == 0) return EMPTY
+    val nShingles = if (toks.length >= n) toks.length - n + 1 else 1
+    val width = if (toks.length >= n) n else toks.length
+    val seen = new java.util.HashSet[java.lang.Long](nShingles * 2)
+    val out = new Array[Long](nShingles)
+    var m = 0
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val h = hashString(sb.toString)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  /** MinHash signature: element s of the result is
+    * min over shingle hashes h of xxhash64(h, s) — identical to the
+    * aggregate min(xxhash64(col("h"), lit(s))) formulation
+    * (XXH64.hashLong(h, 42) chained into hashInt(s, _)).
+    */
+  def minhashSig(sh: ArrayData, k: Int): ArrayData = {
+    if (sh == null || sh.numElements() == 0) return EMPTY
+    val n = sh.numElements()
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val base = XXH64.hashLong(sh.getLong(i), 42L)
+      var s = 0
+      while (s < k) {
+        val d = XXH64.hashInt(s, base)
+        if (d < mins(s)) mins(s) = d
+        s += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** LSH band keys: band b hashes the comma-joined decimal rendering of
+    * signature slice [b*rows, (b+1)*rows) with b chained in — identical
+    * to xxhash64(concat_ws(",", slice cast to string), lit(b)).
+    */
+  def lshBandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    if (sig == null || sig.numElements() == 0) return EMPTY
+    val out = new Array[Long](bands)
+    val sb = new java.lang.StringBuilder(rows * 21)
+    var b = 0
+    while (b < bands) {
+      sb.setLength(0)
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append(',')
+        sb.append(sig.getLong(b * rows + r))
+        r += 1
+      }
+      out(b) = XXH64.hashInt(b, hashString(sb.toString))
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** SimHash-64 of the lowercased whitespace tokens (every occurrence
+    * votes, not distinct tokens — same as the explode + 64-sum
+    * aggregate). Returns 0L for documents with no tokens; callers that
+    * must distinguish "no tokens" filter on `text rlike "\\S"`.
+    */
+  def simhash(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val toks = tokensOf(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < toks.length) {
+      val h = hashString(toks(i))
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+}
+
+/** Base for the unary native expressions: non-nullable result, codegen
+  * through a static forwarder call (never MODULE$ — janino cannot
+  * resolve it).
+  */
+private[functions] trait MinHashExprBase extends UnaryExpression {
+  override def nullable: Boolean = false
+
+  /** Java source for the static call producing the value from the
+    * child's (possibly null) value variable.
+    */
+  protected def staticCall(childValue: String): String
+  protected def javaType: String
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    val in = s"(${c.isNull} ? null : ${c.value})"
+    ev.copy(
+      code = code"""
+        ${c.code}
+        $javaType ${ev.value} = ${staticCall(in)};
+        boolean ${ev.isNull} = false;
+      """)
+  }
+}
+
+private[functions] object MinHashExprBase {
+  val runtime: String = MinHashRuntime.getClass.getName.stripSuffix("$")
+  val arrayData: String = classOf[ArrayData].getName
+}
+
+/** shingle_hashes(text, n): array<long> of distinct hashed word
+  * n-grams. See [[MinHashRuntime.shingleHashes]].
+  */
+case class ShingleHashes(child: Expression, n: Int) extends MinHashExprBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override def eval(input: InternalRow): Any =
+    MinHashRuntime.shingleHashes(child.eval(input).asInstanceOf[UTF8String], n)
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.shingleHashes($in, $n)"
+  override protected def javaType: String = MinHashExprBase.arrayData
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** minhash_sig(shingles, k): array<long> of k seeded minima. */
+case class MinHashSig(child: Expression, k: Int) extends MinHashExprBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+  override def eval(input: InternalRow): Any =
+    MinHashRuntime.minhashSig(child.eval(input).asInstanceOf[ArrayData], k)
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.minhashSig($in, $k)"
+  override protected def javaType: String = MinHashExprBase.arrayData
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** lsh_band_keys(sig, bands, rows): array<long> of band bucket keys. */
+case class LshBandKeys(child: Expression, bands: Int, rows: Int) extends MinHashExprBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lsh_band_keys"
+  override def eval(input: InternalRow): Any =
+    MinHashRuntime.lshBandKeys(child.eval(input).asInstanceOf[ArrayData], bands, rows)
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.lshBandKeys($in, $bands, $rows)"
+  override protected def javaType: String = MinHashExprBase.arrayData
+  override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
+    copy(child = newChild)
+}
+
+/** simhash64(text): 64-bit SimHash of the lowercased tokens. */
+case class SimHash64(child: Expression) extends MinHashExprBase {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+  override def eval(input: InternalRow): Any =
+    MinHashRuntime.simhash(child.eval(input).asInstanceOf[UTF8String])
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.simhash($in)"
+  override protected def javaType: String = "long"
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Column-API surface for the native near-dup expressions. */
+object MinHash {
+  private def lit(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  def shingleHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+  def minhashSig(sh: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(sh), k))
+  def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
+    ColumnBridge.column(LshBandKeys(ColumnBridge.expression(sig), bands, rows))
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** SQL builders (literal int args) for function-registry injection. */
+  private[functions] def shingleHashesBuilder(children: Seq[Expression]): Expression =
+    ShingleHashes(children.head, lit(children(1), "shingle_hashes n"))
+  private[functions] def minhashSigBuilder(children: Seq[Expression]): Expression =
+    MinHashSig(children.head, lit(children(1), "minhash_sig k"))
+  private[functions] def lshBandKeysBuilder(children: Seq[Expression]): Expression =
+    LshBandKeys(children.head, lit(children(1), "lsh_band_keys bands"), lit(children(2), "lsh_band_keys rows"))
+  private[functions] def simhash64Builder(children: Seq[Expression]): Expression =
+    SimHash64(children.head)
+}

@@ -62,30 +62,23 @@ object Dedup {
   def hashedShingles(text: Column, n: Int = 3): Column =
     transform(shingles(text, n), s => xxhash64(s))
 
-  /** Exploded, hashed, per-doc-distinct word n-gram shingles:
-    * (doc_id, h) rows. posexplode + windowed lead() instead of array
-    * lambdas — array higher-order functions are CodegenFallback
-    * (interpreted, ~10x slower); this shape is whole-stage codegen'd
-    * end to end and shuffles by doc_id once. Documents shorter than n
-    * tokens contribute their whole text as one shingle (same fallback
-    * as [[shingles]]).
+  /** Per-document array of distinct hashed word n-gram shingles:
+    * (doc_id, sh: array<long>) — a pure projection through the native
+    * [[graft.functions.MinHashRuntime.shingleHashes]] expression, no
+    * shuffle at all (the round-1 posexplode + window-lead + distinct
+    * formulation spent three shuffles rebuilding what is per-row
+    * math). Documents with no tokens yield an empty array.
     */
-  def explodedHashedShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id").orderBy("pos")
-    val toks = df.select(id.as("doc_id"),
-      posexplode(TextAnalysis.tokens(lower(text))).as(Seq("pos", "tok")))
-    val leadCols = (1 until n).map(i => lead("tok", i).over(w).as(s"t$i"))
-    val withLeads = toks.select(
-      (Seq(col("doc_id"), col("pos"), col("tok")) ++ leadCols): _*)
-    // a row is a shingle start iff a full window fits; a doc shorter
-    // than n tokens contributes its whole text once via its pos==0 row
-    // (concat_ws skips the null leads) — no second pass, no union
-    withLeads
-      .where(col(s"t${n - 1}").isNotNull || col("pos") === 0)
-      .select(col("doc_id"),
-        xxhash64(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)).as("h"))
-      .distinct()
-  }
+  def shingleArrays(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    df.select(id.as("doc_id"), graft.functions.MinHash.shingleHashes(text, n).as("sh"))
+
+  /** Exploded, hashed, per-doc-distinct word n-gram shingles:
+    * (doc_id, h) rows — explode of [[shingleArrays]]; documents with
+    * no tokens contribute no rows.
+    */
+  def explodedHashedShingles(df: DataFrame, id: Column, text: Column, n: Int): DataFrame =
+    shingleArrays(df, id, text, n)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
 
   /** MinHash signature: array of `k` minima of seeded re-hashes of the
     * (already hashed) shingle set. Re-hashing an 8-byte long per seed
@@ -124,18 +117,16 @@ object Dedup {
       threshold: Double = 0.6,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    // exploded relational shingles: whole-stage codegen'd end to end
-    val ex = explodedHashedShingles(df, id, text, nShingle).persist()
-
-    // signatures via k min-aggregates: a hash aggregate with k
-    // conditional mins is codegen'd with map-side partial agg
-    val minCols = (0 until k).map(seed => min(xxhash64(col("h"), lit(seed))).as(s"m$seed"))
-    val sigs = ex
-      .groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
-    val sigArr = array((0 until k).map(s => col(s"m$s")): _*)
-    val banded = sigs
-      .select(col("doc_id"), explode(lshBands(sigArr, bands, rows)).as("band"))
+    // document -> shingle array -> signature -> band keys is all
+    // per-row native expressions: ZERO shuffles before banding (the
+    // declarative formulation spent three — explode window, distinct,
+    // and a k-way min aggregate)
+    val withSh = shingleArrays(df, id, text, nShingle)
+      .where(size(col("sh")) > 0)
+      .persist()
+    val banded = withSh.select(col("doc_id"),
+      explode(graft.functions.MinHash.lshBandKeys(
+        graft.functions.MinHash.minhashSig(col("sh"), k), bands, rows)).as("band"))
 
     val small = banded
       .withColumn("bucket_n", count(lit(1)).over(
@@ -152,21 +143,19 @@ object Dedup {
       .distinct()
       .persist()
 
-    // exact-verify only the (few) candidates: materialize shingle sets
-    // solely for docs that appear in a candidate pair
+    // exact-verify only the (few) candidates: the shingle arrays are
+    // already materialized per doc — no re-aggregation, just two joins
     val candIds = candidates.select(col("id_a").as("doc_id"))
       .union(candidates.select(col("id_b")))
       .distinct()
-    val sets = ex.join(candIds, "doc_id")
-      .groupBy("doc_id")
-      .agg(collect_set(col("h")).as("sh"))
+    val sets = withSh.join(candIds, "doc_id")
     val result = candidates
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    materializeAndRelease(result, ex, candidates)
+    materializeAndRelease(result, withSh, candidates)
   }
 
   /** Exact Jaccard similarity of two SET-valued arrays (elements
@@ -205,26 +194,16 @@ object Dedup {
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** SimHash signatures at scale: explode tokens, hash once per token,
-    * then ONE hash aggregate with 64 conditional sums (map-side
-    * partial agg; the shuffle carries 64 longs per doc, not tokens).
-    * An order of magnitude faster than the per-row array-lambda
-    * [[simhash]] because each token's hash is computed once and the
-    * bit tests are flat codegen'd columns.
+  /** SimHash signatures at scale: a pure projection through the native
+    * [[graft.functions.MinHashRuntime.simhash]] expression — zero
+    * shuffles (round 1's explode + 64-conditional-sum aggregate spent
+    * one shuffle of per-token rows). Documents with no tokens are
+    * dropped (`rlike "\\S"`), matching the aggregate formulation where
+    * a doc with no token rows never surfaced.
     */
-  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("doc_id"),
-      explode(TextAnalysis.tokens(lower(text))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)).as(s"v$i")
-    }
-    val agged = toks.groupBy("doc_id").agg(votes.head, votes.tail: _*)
-    val sig = (0 until 64).map { i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce((a, b) => a.bitwiseOR(b))
-    agged.select(col("doc_id"), sig.as("sig"))
-  }
+  def simhashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.where(text.rlike("\\S"))
+      .select(id.as("doc_id"), graft.functions.MinHash.simhash64(text).as("sig"))
 
   /** SimHash near-dups: bucket by the 4 16-bit chunks of the signature
     * (pigeonhole: any pair within hamming distance 3 shares at least
@@ -266,12 +245,16 @@ object Dedup {
       n: Int = 3,
       threshold: Double = 0.5,
       bucketWidth: Int = 100): DataFrame = {
-    val meta = df.select(id.as("doc_id"), lang.as("lang"),
-      floor(nChars / bucketWidth).as("lb"))
-    val ex = explodedHashedShingles(df, id, text, n)
-      .withColumn("nsh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
-      .join(meta, "doc_id")
+    // one shuffle-free projection carries everything the blocked
+    // self-join needs: block keys, the per-doc shingle count (size of
+    // the native shingle array — round 1 spent a window shuffle and a
+    // doc-metadata join recovering it), and the exploded shingles
+    val ex = df.select(id.as("doc_id"), lang.as("lang"),
+        floor(nChars / bucketWidth).as("lb"),
+        graft.functions.MinHash.shingleHashes(text, n).as("sh"))
+      .withColumn("nsh", size(col("sh")).cast("long"))
+      .where(col("nsh") > 0)
+      .select(col("doc_id"), col("lang"), col("lb"), col("nsh"), explode(col("sh")).as("h"))
       .persist()
     val a = ex.select(col("lang"), col("lb"), col("h").as("s"),
       col("doc_id").as("id_a"), col("nsh").as("nsh_a"))
