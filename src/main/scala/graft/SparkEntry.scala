@@ -143,7 +143,9 @@ object SparkEntry {
       .orderBy("col_name")
 
   private def qSurrogateIds(s: SparkSession, dir: String): DataFrame =
-    Relational.withRankId(t(s, dir, "customer"), Seq(col("c_custkey")))
+    // sort + zipWithIndex (range-partitioned numbering), NOT a global
+    // row_number window — identical ids, no single-partition funnel
+    Relational.withContiguousId(t(s, dir, "customer").orderBy("c_custkey"))
       .where(col("id") < 50)
       .select("id", "c_custkey", "c_name")
       .orderBy("id")

@@ -3,14 +3,12 @@ package graft.functions
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.Platform
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -120,9 +118,17 @@ object MinHashRuntime {
   /** LSH band keys: band b hashes the comma-joined decimal rendering of
     * signature slice [b*rows, (b+1)*rows) with b chained in — identical
     * to xxhash64(concat_ws(",", slice cast to string), lit(b)).
+    *
+    * Bounds-checked: UnsafeArrayData.getLong does NOT bounds-check in
+    * production, so without the guard a bands*rows larger than the
+    * signature silently reads out-of-bounds heap and returns
+    * nondeterministic garbage keys.
     */
   def lshBandKeys(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
     if (sig == null || sig.numElements() == 0) return EMPTY
+    if (bands.toLong * rows > sig.numElements())
+      throw new IllegalArgumentException(
+        s"lsh_band_keys: bands*rows = ${bands.toLong * rows} exceeds signature length ${sig.numElements()}")
     val out = new Array[Long](bands)
     val sb = new java.lang.StringBuilder(rows * 21)
     var b = 0
@@ -169,34 +175,25 @@ object MinHashRuntime {
   }
 }
 
-/** Base for the unary native expressions: non-nullable result, codegen
-  * through a static forwarder call (never MODULE$ — janino cannot
-  * resolve it).
+/** Base for the unary native expressions: null-preserving (NULL in →
+  * NULL out, matching the declarative formulations in
+  * [[graft.operators.Dedup]]), analysis-time input typing via
+  * ExpectsInputTypes, codegen through a static forwarder call (never
+  * MODULE$ — janino cannot resolve it).
   */
-private[functions] trait MinHashExprBase extends UnaryExpression {
-  override def nullable: Boolean = false
+private[functions] trait MinHashExprBase extends UnaryExpression with ExpectsInputTypes {
 
   /** Java source for the static call producing the value from the
-    * child's (possibly null) value variable.
+    * child's (non-null) value variable.
     */
   protected def staticCall(childValue: String): String
-  protected def javaType: String
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val c = child.genCode(ctx)
-    val in = s"(${c.isNull} ? null : ${c.value})"
-    ev.copy(
-      code = code"""
-        ${c.code}
-        $javaType ${ev.value} = ${staticCall(in)};
-        boolean ${ev.isNull} = false;
-      """)
-  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => staticCall(c))
 }
 
 private[functions] object MinHashExprBase {
   val runtime: String = MinHashRuntime.getClass.getName.stripSuffix("$")
-  val arrayData: String = classOf[ArrayData].getName
 }
 
 /** shingle_hashes(text, n): array<long> of distinct hashed word
@@ -204,12 +201,12 @@ private[functions] object MinHashExprBase {
   */
 case class ShingleHashes(child: Expression, n: Int) extends MinHashExprBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
   override def prettyName: String = "shingle_hashes"
-  override def eval(input: InternalRow): Any =
-    MinHashRuntime.shingleHashes(child.eval(input).asInstanceOf[UTF8String], n)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.shingleHashes(input.asInstanceOf[UTF8String], n)
   override protected def staticCall(in: String): String =
     s"${MinHashExprBase.runtime}.shingleHashes($in, $n)"
-  override protected def javaType: String = MinHashExprBase.arrayData
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
 }
@@ -217,38 +214,46 @@ case class ShingleHashes(child: Expression, n: Int) extends MinHashExprBase {
 /** minhash_sig(shingles, k): array<long> of k seeded minima. */
 case class MinHashSig(child: Expression, k: Int) extends MinHashExprBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
   override def prettyName: String = "minhash_sig"
-  override def eval(input: InternalRow): Any =
-    MinHashRuntime.minhashSig(child.eval(input).asInstanceOf[ArrayData], k)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.minhashSig(input.asInstanceOf[ArrayData], k)
   override protected def staticCall(in: String): String =
     s"${MinHashExprBase.runtime}.minhashSig($in, $k)"
-  override protected def javaType: String = MinHashExprBase.arrayData
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
 }
 
-/** lsh_band_keys(sig, bands, rows): array<long> of band bucket keys. */
+/** lsh_band_keys(sig, bands, rows): array<long> of band bucket keys.
+  * Fails with IllegalArgumentException when bands*rows exceeds the
+  * signature length (see [[MinHashRuntime.lshBandKeys]]).
+  */
 case class LshBandKeys(child: Expression, bands: Int, rows: Int) extends MinHashExprBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(ArrayType(LongType))
   override def prettyName: String = "lsh_band_keys"
-  override def eval(input: InternalRow): Any =
-    MinHashRuntime.lshBandKeys(child.eval(input).asInstanceOf[ArrayData], bands, rows)
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.lshBandKeys(input.asInstanceOf[ArrayData], bands, rows)
   override protected def staticCall(in: String): String =
     s"${MinHashExprBase.runtime}.lshBandKeys($in, $bands, $rows)"
-  override protected def javaType: String = MinHashExprBase.arrayData
   override protected def withNewChildInternal(newChild: Expression): LshBandKeys =
     copy(child = newChild)
 }
 
-/** simhash64(text): 64-bit SimHash of the lowercased tokens. */
+/** simhash64(text): 64-bit SimHash of the lowercased tokens. Note a
+  * no-token document and a document whose bits all vote negative both
+  * hash to 0L — callers that must distinguish them filter on
+  * `text rlike "\\S"` first (as [[graft.operators.Dedup.simhashSignatures]]
+  * does).
+  */
 case class SimHash64(child: Expression) extends MinHashExprBase {
   override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
   override def prettyName: String = "simhash64"
-  override def eval(input: InternalRow): Any =
-    MinHashRuntime.simhash(child.eval(input).asInstanceOf[UTF8String])
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.simhash(input.asInstanceOf[UTF8String])
   override protected def staticCall(in: String): String =
     s"${MinHashExprBase.runtime}.simhash($in)"
-  override protected def javaType: String = "long"
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -256,9 +261,20 @@ case class SimHash64(child: Expression) extends MinHashExprBase {
 /** Column-API surface for the native near-dup expressions. */
 object MinHash {
   private def lit(e: Expression, what: String): Int = {
-    require(e.foldable, s"$what must be a literal")
-    e.eval().asInstanceOf[Number].intValue()
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a literal")
+    e.eval() match {
+      case num: Number => num.intValue()
+      case other =>
+        throw new IllegalArgumentException(
+          s"$what must be an integer literal, got ${if (other == null) "NULL" else other}")
+    }
   }
+
+  private def arity(children: Seq[Expression], n: Int, name: String): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n arguments, got ${children.length}")
 
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
@@ -269,13 +285,24 @@ object MinHash {
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
 
-  /** SQL builders (literal int args) for function-registry injection. */
-  private[functions] def shingleHashesBuilder(children: Seq[Expression]): Expression =
+  /** SQL builders (literal int args) for function-registry injection.
+    * Arity is validated here; the child's type is validated at analysis
+    * time via ExpectsInputTypes on the expressions.
+    */
+  private[functions] def shingleHashesBuilder(children: Seq[Expression]): Expression = {
+    arity(children, 2, "shingle_hashes")
     ShingleHashes(children.head, lit(children(1), "shingle_hashes n"))
-  private[functions] def minhashSigBuilder(children: Seq[Expression]): Expression =
+  }
+  private[functions] def minhashSigBuilder(children: Seq[Expression]): Expression = {
+    arity(children, 2, "minhash_sig")
     MinHashSig(children.head, lit(children(1), "minhash_sig k"))
-  private[functions] def lshBandKeysBuilder(children: Seq[Expression]): Expression =
+  }
+  private[functions] def lshBandKeysBuilder(children: Seq[Expression]): Expression = {
+    arity(children, 3, "lsh_band_keys")
     LshBandKeys(children.head, lit(children(1), "lsh_band_keys bands"), lit(children(2), "lsh_band_keys rows"))
-  private[functions] def simhash64Builder(children: Seq[Expression]): Expression =
+  }
+  private[functions] def simhash64Builder(children: Seq[Expression]): Expression = {
+    arity(children, 1, "simhash64")
     SimHash64(children.head)
+  }
 }

@@ -20,15 +20,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Materialize `result` eagerly with its lineage truncated
-    * (localCheckpoint), then release the cached intermediates that fed
-    * it. Near-dup outputs are tiny relative to the corpus, so pinning
-    * the result while freeing the (much larger) shingle/candidate
-    * caches is the right trade — without this, repeated calls in a
-    * long-lived session accumulate cached blocks until LRU pressure.
+  /** Materialize `result` into the block cache (persist + one count
+    * job), then release the cached intermediates that fed it. Near-dup
+    * outputs are tiny relative to the corpus, so pinning the result
+    * while freeing the (much larger) shingle/candidate caches is the
+    * right trade — without this, repeated calls in a long-lived
+    * session accumulate cached blocks until LRU pressure.
+    *
+    * Deliberately persist + count, NOT localCheckpoint(true): a local
+    * checkpoint truncates lineage and stores blocks non-reliably on
+    * executors, so on a real cluster an executor loss (or
+    * dynamic-allocation decommission) makes the result unrecoverable
+    * and fails the job. Persist keeps the lineage — a lost block is
+    * recomputed (slowly, since the inputs were released, but
+    * correctly). Callers that are done with the result should
+    * `unpersist()` it.
     */
   private def materializeAndRelease(result: DataFrame, cached: DataFrame*): DataFrame = {
-    val out = result.localCheckpoint(true)
+    val out = result.persist()
+    out.count()
     cached.foreach(_.unpersist())
     out
   }
@@ -208,22 +218,42 @@ object Dedup {
   /** SimHash near-dups: bucket by the 4 16-bit chunks of the signature
     * (pigeonhole: any pair within hamming distance 3 shares at least
     * one exact chunk), then verify hamming <= maxDist within buckets.
+    *
+    * Skew guard (mirrors [[minhashNearDups]]): chunk buckets larger
+    * than `maxBucket` are dropped — a boilerplate-heavy corpus puts
+    * thousands of near-identical signatures in one (chunk_i, chunk_v)
+    * bucket, and the self-join on that hot key is quadratic. At 100 TB
+    * that is a stuck executor; the dropped pairs are degenerate
+    * boilerplate a near-dup pass does not need pairwise.
     */
-  def simhashNearDups(df: DataFrame, id: Column, text: Column, maxDist: Int = 3): DataFrame = {
-    val sigs = simhashSignatures(df, id, text)
+  def simhashNearDups(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    // feeds BOTH sides of the self-join: persist, or the signature
+    // projection (and its upstream scan) runs twice
+    val sigs = simhashSignatures(df, id, text).persist()
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("chunk_i"),
           shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("chunk_v"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_i"), col("c.chunk_v"))
-    val a = chunked.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("chunk_i", "chunk_v"))
+    val small = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("chunk_i", "chunk_v")))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+    val a = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val result = a.join(b, Seq("chunk_i", "chunk_v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
       .distinct()
       .where(col("dist") <= maxDist)
+    materializeAndRelease(result, sigs)
   }
 
   /** n-gram Jaccard near-dups with length+language blocking: only

@@ -78,10 +78,18 @@ object Relational {
     * order (the in-memory dict order of the reference is insertion
     * order — a detail no downstream consumer can rely on, so we pin a
     * sorted order for reproducibility).
+    *
+    * Id assignment is sort + zipWithIndex ([[withContiguousId]]): the
+    * orderBy range-partitions the distinct values, so numbering is
+    * parallel across partitions. A row_number() over a global
+    * Window.orderBy produces the identical ids but funnels every
+    * distinct value through ONE task — on the real DBLP `--relations
+    * author:…` that is ~3M rows in a single partition, and at 100× a
+    * stuck executor.
     */
   def relationNodes(pairs: DataFrame, offset: Long): DataFrame = {
     val distinctVals = pairs.select(col("v")).distinct()
-    withRankId(distinctVals.sort("v"), Seq(col("v")), "node_id", offset)
+    withContiguousId(distinctVals.orderBy("v"), "node_id", offset)
       .select(col("node_id"), col("v"))
   }
 

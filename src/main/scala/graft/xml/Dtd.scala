@@ -19,7 +19,8 @@ final case class Dtd(
     root: String,
     elements: Set[String],
     entities: Map[String, String],
-    attributeDefaults: Map[String, Map[String, String]]) {
+    attributeDefaults: Map[String, Map[String, String]],
+    declaredAttrs: Map[String, Set[String]] = Map.empty) {
 
   /** Record-type vocabulary: declared elements minus the root. */
   def recordTypes: Set[String] = elements - root
@@ -79,11 +80,14 @@ object Dtd {
       k -> cur
     }
 
-    val defaults: Map[String, Map[String, String]] =
+    val attlists: Seq[(String, Seq[Regex.Match])] =
       attlistDecl.findAllMatchIn(text).map { m =>
-        val elem = m.group(1)
-        val body = m.group(2)
-        val defs = attDef.findAllMatchIn(body).flatMap { a =>
+        m.group(1) -> attDef.findAllMatchIn(m.group(2)).toSeq
+      }.toSeq
+
+    val defaults: Map[String, Map[String, String]] =
+      attlists.map { case (elem, defs) =>
+        elem -> defs.flatMap { a =>
           val name = a.group(1)
           val dflt = a.group(3)
           if (dflt.startsWith("\"")) Some(name -> dflt.stripPrefix("\"").stripSuffix("\""))
@@ -92,9 +96,15 @@ object Dtd {
             Some(name -> v.stripPrefix("\"").stripSuffix("\""))
           } else None
         }.toMap
-        elem -> defs
       }.toMap.filter(_._2.nonEmpty)
 
-    Dtd(root, elems.toSet, entities, defaults)
+    // ALL declared attribute names per element (defaulted or not) —
+    // the vocabulary strict-mode validation checks against
+    val declared: Map[String, Set[String]] =
+      attlists.groupBy(_._1).map { case (elem, groups) =>
+        elem -> groups.flatMap(_._2.map(_.group(1))).toSet
+      }
+
+    Dtd(root, elems.toSet, entities, defaults, declared)
   }
 }

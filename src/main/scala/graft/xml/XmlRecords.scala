@@ -107,17 +107,26 @@ object XmlRecords {
       xmlPath: String,
       dtd: Dtd,
       minPartitions: Int = 0,
-      permissive: Boolean = false): DataFrame = {
+      permissive: Boolean = false,
+      validate: Boolean = false): DataFrame = {
     val malformed = spark.sparkContext.longAccumulator("graft.xml.malformed")
     // function VALUE, not a nested def: a def would pull the whole
     // enclosing frame (SparkSession included) into the task closure
-    val tryParse: (String, Long) => Option[XmlRecord] =
-      if (!permissive) (body, pos) => parseRecord(body, pos)
+    val strict = validate
+    val tryParse: (Dtd, String, Long) => Option[XmlRecord] =
+      if (!permissive) (d, body, pos) => {
+        val r = parseRecord(body, pos)
+        if (strict) r.foreach(validateAgainstDtd(d, _))
+        r
+      }
       else {
         val acc = malformed
-        (body, pos) =>
-          try parseRecord(body, pos)
-          catch {
+        (d, body, pos) =>
+          try {
+            val r = parseRecord(body, pos)
+            if (strict) r.foreach(validateAgainstDtd(d, _))
+            r
+          } catch {
             case _: javax.xml.stream.XMLStreamException | _: RuntimeException =>
               acc.add(1L); None
           }
@@ -131,11 +140,33 @@ object XmlRecords {
       if (minPartitions > 0) spark.sparkContext.textFile(xmlPath, minPartitions)
       else spark.sparkContext.textFile(xmlPath)
 
-    // job 1: per-partition net depth delta -> entry depth prefix sum
+    // job 1: per-partition (net depth delta, min running depth) ->
+    // entry depth prefix sum. The min is the corrupted-split guard:
+    // the line-level depth scan assumes tags do not span lines and
+    // text never contains a literal "</" or "/>" (true for the DBLP
+    // dump); when the assumption is violated the running depth dips
+    // negative or the file does not close back to depth 0 — fail
+    // loudly instead of silently mis-splitting records.
     val deltas = lines.mapPartitions { it =>
-      Iterator.single(it.foldLeft(0)((d, l) => d + depthDelta(l)))
+      var d = 0
+      var minD = 0
+      it.foreach { l => d += depthDelta(l); if (d < minD) minD = d }
+      Iterator.single((d, minD))
     }.collect()
-    val depthIn = deltas.scanLeft(0)(_ + _)
+    val depthIn = deltas.scanLeft(0)(_ + _._1)
+    deltas.indices.foreach { pi =>
+      if (depthIn(pi) + deltas(pi)._2 < 0)
+        throw new IllegalStateException(
+          s"XML splitter invariant violated: element depth went negative inside input split $pi. " +
+            "The line-level splitter requires record tags to begin a line, tags not to span lines, " +
+            "and text content not to contain literal '</' or '/>'. Reformat the input (e.g. xmllint --format).")
+    }
+    if (depthIn.last != 0)
+      throw new IllegalStateException(
+        s"XML splitter invariant violated: final element depth is ${depthIn.last}, expected 0 " +
+          "(unclosed or over-closed tags as seen by the line-level scan). The splitter requires " +
+          "record tags to begin a line, tags not to span lines, and text content not to contain " +
+          "literal '</' or '/>'. Reformat the input (e.g. xmllint --format).")
 
     // job 2: boundary fragments per partition — (head lines before the
     // first true start; tail lines from the last true start; #starts)
@@ -172,7 +203,7 @@ object XmlRecords {
       val out = scala.collection.mutable.ArrayBuffer.empty[XmlRecord]
       def flush(): Unit =
         if (chunk != null) {
-          tryParse(
+          tryParse(dtdB.value,
             dtdB.value.expandEntities(chunk.toString.replace(rootClose, "")),
             (pi.toLong << 40) | ordinal).foreach(out += _)
           chunk = null
@@ -211,7 +242,7 @@ object XmlRecords {
 
     val boundaryRdd = spark.sparkContext.parallelize(boundaries.result(), 1)
       .flatMap { case (pos, text) =>
-        tryParse(dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
+        tryParse(dtdB.value, dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
       }
 
     val rows = inner.union(boundaryRdd).map { r =>
@@ -227,6 +258,34 @@ object XmlRecords {
     f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
     f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
     f
+  }
+
+  /** Strict DTD validation (the reference's `dtd_validation=True`,
+    * /root/reference/XMLToCSV.py:109,152): every element of the record
+    * (itself and all descendants) must be declared in the DTD, and
+    * every attribute must be declared in the element's ATTLIST. Content
+    * models (child ordering/cardinality) are not checked — the
+    * reference's use of validation is vocabulary enforcement, and full
+    * content-model checking buys nothing for tabular extraction.
+    */
+  private[xml] def validateAgainstDtd(dtd: Dtd, rec: XmlRecord): Unit = {
+    def checkAttrs(tag: String, attrs: Map[String, String]): Unit = {
+      val declared = dtd.declaredAttrs.getOrElse(tag, Set.empty)
+      attrs.keys.find(!declared.contains(_)).foreach { a =>
+        throw new IllegalStateException(
+          s"DTD validation failed: attribute '$a' of <$tag> is not declared in the DTD")
+      }
+    }
+    def checkElem(tag: String): Unit =
+      if (!dtd.elements.contains(tag))
+        throw new IllegalStateException(
+          s"DTD validation failed: element <$tag> is not declared in the DTD")
+    checkElem(rec.recordType)
+    checkAttrs(rec.recordType, rec.attrs)
+    rec.children.foreach { c =>
+      checkElem(c.tag)
+      checkAttrs(c.tag, c.attrs)
+    }
   }
 
   /** Public single-record parse (used by the streaming source, where
@@ -283,6 +342,24 @@ object XmlRecords {
             }
           case _ =>
         }
+      }
+      // corrupted-split guard: a record chunk must contain exactly ONE
+      // record element. Trailing content after the record closes means
+      // a record started mid-line (the line splitter could not see
+      // it) — without this check that record is silently dropped.
+      // (wstx rejects a second root itself while scanning — fold that
+      // into the same clear message.)
+      try {
+        while (r.hasNext) {
+          if (r.next() == XMLStreamConstants.START_ELEMENT)
+            throw new javax.xml.stream.XMLStreamException("second root element")
+        }
+      } catch {
+        case _: javax.xml.stream.XMLStreamException =>
+          throw new IllegalStateException(
+            "XML record chunk contains trailing content after the record closed: " +
+              "record start tags must begin a line (a record starting mid-line would otherwise be " +
+              "silently dropped). Reformat the input (e.g. xmllint --format).")
       }
       if (recordType == null) None
       else Some(XmlRecord(recordType, pos, recordAttrs, children.result()))

@@ -29,7 +29,8 @@ object XmlToCsv {
       neo4j: Boolean = false,
       relations: Seq[(String, String)] = Nil,
       singleFile: Boolean = true,
-      permissive: Boolean = false)
+      permissive: Boolean = false,
+      validate: Boolean = false)
 
   final case class Result(
       recordCounts: Map[String, Long],
@@ -52,7 +53,7 @@ object XmlToCsv {
     // cache the ROW form: a cached typed Dataset re-serializes objects
     // on every downstream scan
     val records = XmlRecords.readRows(spark, config.xmlFile, dtd,
-      permissive = config.permissive).persist()
+      permissive = config.permissive, validate = config.validate).persist()
     try {
       timed("parse")(records.count())
       val schema = timed("inferColumns")(Flatten.inferColumns(
@@ -197,7 +198,7 @@ object XmlToCsv {
     * [--neo4j] [--relations attr:rel ...]
     */
   def main(args: Array[String]): Unit = {
-    val usage = "usage: XmlToCsv <xml> <dtd> <out.csv> [--annotate] [--neo4j] [--relations attr:rel ...]"
+    val usage = "usage: XmlToCsv <xml> <dtd> <out.csv> [--annotate] [--neo4j] [--validate] [--relations attr:rel ...]"
     require(args.length >= 3, usage)
     var config = Config(args(0), args(1), args(2))
     var i = 3
@@ -207,6 +208,7 @@ object XmlToCsv {
         case "--neo4j" => config = config.copy(neo4j = true, annotate = true); i += 1
         case "--dirs" => config = config.copy(singleFile = false); i += 1 // distributed multi-part output
         case "--permissive" => config = config.copy(permissive = true); i += 1 // skip malformed records
+        case "--validate" => config = config.copy(validate = true); i += 1 // strict DTD vocabulary validation
         case "--relations" =>
           i += 1
           val rels = Seq.newBuilder[(String, String)]

@@ -69,6 +69,63 @@ class XmlRecordsSpec extends SparkTestBase {
     }
   }
 
+  test("mid-line record start aborts loudly instead of dropping the record") {
+    val f = Files.createTempFile("xmlmid", ".xml")
+    // record "b" starts mid-line — the line splitter cannot see it, so
+    // it lands in record "a"'s chunk; before the guard it was silently
+    // dropped, now the parse fails with a clear message
+    Files.write(f, ("<dblp>\n<article key=\"a\">\n<title>t</title>\n" +
+      "</article><article key=\"b\"><title>u</title></article>\n</dblp>\n").getBytes("UTF-8"))
+    val e = intercept[org.apache.spark.SparkException] {
+      XmlRecords.readRows(spark, f.toString, dtd).collect()
+    }
+    assert(e.getMessage.contains("trailing") || e.getCause != null &&
+      e.getCause.getMessage.contains("trailing"))
+  }
+
+  test("text containing a literal '</' aborts loudly instead of mis-splitting") {
+    val f = Files.createTempFile("xmldepth", ".xml")
+    Files.write(f, ("<dblp>\n<article key=\"a\">\n<title>x </ y</title>\n" +
+      "</article>\n</dblp>\n").getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] {
+      XmlRecords.readRows(spark, f.toString, dtd).collect()
+    }
+    assert(e.getMessage.contains("splitter invariant"))
+  }
+
+  test("strict DTD validation rejects undeclared elements and attributes") {
+    val vdtd = Dtd.parseString(
+      "<!ELEMENT dblp (article)*>\n<!ELEMENT article (title)*>\n" +
+        "<!ELEMENT title (#PCDATA)>\n<!ATTLIST article key CDATA #REQUIRED>\n")
+    val good = Files.createTempFile("xmlok", ".xml")
+    Files.write(good, ("<dblp>\n<article key=\"a\">\n<title>t</title>\n" +
+      "</article>\n</dblp>\n").getBytes("UTF-8"))
+    // valid records pass in strict mode
+    assert(XmlRecords.readRows(spark, good.toString, vdtd, validate = true).count() == 1)
+
+    val badElem = Files.createTempFile("xmlbadelem", ".xml")
+    Files.write(badElem, ("<dblp>\n<article key=\"a\">\n<title>t</title>\n<note>n</note>\n" +
+      "</article>\n</dblp>\n").getBytes("UTF-8"))
+    // default mode: well-formed but DTD-invalid records are accepted
+    assert(XmlRecords.readRows(spark, badElem.toString, vdtd).count() == 1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      XmlRecords.readRows(spark, badElem.toString, vdtd, validate = true).collect()
+    }
+    assert(e1.getMessage.contains("DTD validation") ||
+      e1.getCause != null && e1.getCause.getMessage.contains("DTD validation"))
+
+    val badAttr = Files.createTempFile("xmlbadattr", ".xml")
+    Files.write(badAttr, ("<dblp>\n<article key=\"a\" extra=\"x\">\n<title>t</title>\n" +
+      "</article>\n</dblp>\n").getBytes("UTF-8"))
+    assert(XmlRecords.readRows(spark, badAttr.toString, vdtd).count() == 1)
+    assertThrows[org.apache.spark.SparkException] {
+      XmlRecords.readRows(spark, badAttr.toString, vdtd, validate = true).collect()
+    }
+    // permissive + validate: invalid records are skipped, not fatal
+    assert(XmlRecords.readRows(spark, badElem.toString, vdtd,
+      permissive = true, validate = true).count() == 0)
+  }
+
   test("multi-line records with attributes on the start line parse whole") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
