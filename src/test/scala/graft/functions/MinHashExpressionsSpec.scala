@@ -115,6 +115,40 @@ class MinHashExpressionsSpec extends AnyFunSuite {
     assert(r.getInt(2) == 4)
   }
 
+  test("lsh_band_keys rejects bands*rows beyond the signature length") {
+    // UnsafeArrayData.getLong does not bounds-check in production —
+    // without the guard this read returns nondeterministic heap garbage
+    val e = intercept[Exception] {
+      spark.sql("SELECT lsh_band_keys(minhash_sig(shingle_hashes('a b c d', 3), 8), 4, 4)").head()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("exceeds signature length")))
+  }
+
+  test("expressions are null-preserving, matching the declarative formulations") {
+    val r = spark.sql(
+      """SELECT shingle_hashes(CAST(NULL AS STRING), 3) IS NULL AS sh_null,
+        |       simhash64(CAST(NULL AS STRING)) IS NULL AS sim_null,
+        |       minhash_sig(CAST(NULL AS ARRAY<BIGINT>), 8) IS NULL AS sig_null,
+        |       lsh_band_keys(CAST(NULL AS ARRAY<BIGINT>), 2, 4) IS NULL AS bk_null
+        |""".stripMargin).head()
+    (0 until 4).foreach(i => assert(r.getBoolean(i), s"column $i not null-preserving"))
+  }
+
+  test("SQL misuse fails at analysis with a clear message, not an internal error") {
+    // wrong arity
+    val e1 = intercept[Exception] { spark.sql("SELECT shingle_hashes('a b')").head() }
+    assert(e1.getMessage.contains("expects 2 arguments"))
+    // non-integer literal for a count argument
+    val e2 = intercept[Exception] { spark.sql("SELECT minhash_sig(array(1L), 'x')").head() }
+    assert(e2.getMessage.contains("integer literal"))
+    // wrong child type: analysis-time data type mismatch
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT shingle_hashes(123, 3)").head()
+    }
+  }
+
   test("minhash plan is shuffle-free up to banding") {
     val banded = Dedup.shingleArrays(docs, col("doc_id"), col("text"), 3)
       .where(size(col("sh")) > 0)

@@ -54,6 +54,76 @@ class DedupSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("simhash skew guard: a degenerate corpus of identical docs stays bounded") {
+    import spark.implicits._
+    // 60 identical docs: every signature is equal, so all 4 chunk
+    // buckets hold all 60 docs. With the cap the quadratic bucket is
+    // dropped and the join stays empty; without a cap this shape is a
+    // stuck executor at corpus scale.
+    val boiler = (0L until 60L).map(i => (i, "exact same boilerplate text repeated everywhere"))
+    val capped = Dedup.simhashNearDups(boiler.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), maxDist = 3, maxBucket = 10)
+    assert(capped.count() == 0)
+    // generous cap: all C(60,2) distance-0 pairs come back
+    val uncapped = Dedup.simhashNearDups(boiler.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), maxDist = 3, maxBucket = 1000)
+    assert(uncapped.count() == 60L * 59 / 2)
+  }
+
+  // Seeded corpus for the recall properties: `nBase` random docs plus
+  // a near-dup of each even-id doc (a few tokens swapped). Hashing is
+  // deterministic, so with a pinned seed the recall below is a fixed
+  // number — the assertion is a real regression gate, not flaky.
+  private def seededCorpus(nBase: Int, vocab: Int, docLen: Int, seed: Long): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val words = (0 until vocab).map(i => s"w$i")
+    val base = (0 until nBase).map { i =>
+      i.toLong * 2 -> Seq.fill(docLen)(words(rnd.nextInt(vocab))).mkString(" ")
+    }
+    val dups = base.collect { case (id, text) if id % 4 == 0 =>
+      val toks = text.split(" ")
+      val k = 1 + rnd.nextInt(2)
+      (0 until k).foreach(_ => toks(rnd.nextInt(toks.length)) = words(rnd.nextInt(vocab)))
+      (id + 1) -> toks.mkString(" ")
+    }
+    base ++ dups
+  }
+
+  test("minhash-LSH recall: candidates cover the exact high-jaccard pairs") {
+    import spark.implicits._
+    val df = seededCorpus(nBase = 40, vocab = 500, docLen = 30, seed = 42L).toDF("doc_id", "text")
+    // ground truth: brute-force pairwise jaccard over the same hashed
+    // shingle sets (the all-pairs shape the LSH path must avoid at
+    // scale, affordable at 60 docs)
+    val sh = Dedup.shingleArrays(df, col("doc_id"), col("text"), 3).where(size(col("sh")) > 0)
+    val exact = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+      .where(col("j") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus must contain high-jaccard pairs")
+    val found = Dedup.minhashNearDups(df, col("doc_id"), col("text"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = exact.count(found.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8 (exact=${exact.size}, found ${exact.count(found.contains)})")
+  }
+
+  test("simhash recall: bucketed candidates equal brute-force hamming pairs") {
+    import spark.implicits._
+    val df = seededCorpus(nBase = 40, vocab = 50, docLen = 40, seed = 7L).toDF("doc_id", "text")
+    val sigs = Dedup.simhashSignatures(df, col("doc_id"), col("text"))
+    val exact = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+      .where(col("d") <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.simhashNearDups(df, col("doc_id"), col("text"), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // pigeonhole bucketing is EXACT for hamming <= 3 with 4 chunks:
+    // candidates must equal the brute-force pair set, not approximate it
+    assert(found == exact)
+  }
+
   test("jaccard: exact on known sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
