@@ -563,7 +563,9 @@ object SparkEntry {
     val article = tables("article")
     val pairs = Relational.relationPairs(article,
       col("id"), explode_outer(split(col("author"), "\\|")))
-    val nRecords = tables.values.map(_.count()).sum
+    // ONE count job over the union — a per-table count() loop is a
+    // driver-side pattern that turns into N jobs on a real deployment
+    val nRecords = tables.values.map(_.select(col("id"))).reduce(_ unionAll _).count()
     val nodes = Relational.relationNodes(pairs, nRecords)
     Relational.relationEdges(pairs, nodes)
       .join(nodes, col("end_id") === nodes("node_id"))

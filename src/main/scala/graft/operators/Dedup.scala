@@ -138,11 +138,17 @@ object Dedup {
       explode(graft.functions.MinHash.lshBandKeys(
         graft.functions.MinHash.minhashSig(col("sh"), k), bands, rows)).as("band"))
 
-    val small = banded
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("band")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // skew guard as a broadcast ANTI-join against the hot buckets:
+    // only degenerate buckets exceed maxBucket, so the hot list is
+    // tiny by definition and the banded rows themselves never shuffle
+    // for the guard (the previous Window.partitionBy count shuffled
+    // every (doc, band) row; the count aggregate partial-combines to
+    // band keys only)
+    val hot = banded.groupBy("band")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select("band")
+    val small = banded.join(broadcast(hot), Seq("band"), "left_anti")
 
     // consumed three times below (candIds + both set joins): persist,
     // or the whole signature+band+join chain re-executes per consumer
@@ -241,11 +247,13 @@ object Dedup {
         struct(lit(i).as("chunk_i"),
           shiftrightunsigned(col("sig"), i * 16).bitwiseAND(0xFFFFL).as("chunk_v"))): _*)).as("c"))
       .select(col("doc_id"), col("sig"), col("c.chunk_i"), col("c.chunk_v"))
-    val small = chunked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy("chunk_i", "chunk_v")))
-      .where(col("bucket_n") <= maxBucket)
-      .drop("bucket_n")
+    // same broadcast anti-join skew guard as minhash: the hot-bucket
+    // list is tiny, the chunked rows never shuffle for the guard
+    val hot = chunked.groupBy("chunk_i", "chunk_v")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select("chunk_i", "chunk_v")
+    val small = chunked.join(broadcast(hot), Seq("chunk_i", "chunk_v"), "left_anti")
     val a = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
     val result = a.join(b, Seq("chunk_i", "chunk_v"))
@@ -376,17 +384,21 @@ object Dedup {
       vec: Column,
       threshold: Double,
       nBuckets: Int = 16): DataFrame = {
+    // feeds BOTH sides of the self-join: persist, or the centroid
+    // assignment (a cross join + aggregate) runs twice
     val assigned = Similarity.ivfAssign(
       df.select(id.as("doc_id"), vec.as("v")), col("doc_id"), col("v"), nBuckets)
+      .persist()
     val a = assigned.select(col("bucket"), col("doc_id").as("id_a"),
       col("v").as("v_a"), col("v_norm").as("n_a"))
     val b = assigned.select(col("bucket"), col("doc_id").as("id_b"),
       col("v").as("v_b"), col("v_norm").as("n_b"))
-    a.join(b, Seq("bucket"))
+    val result = a.join(b, Seq("bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         Similarity.cosineFromNorms(Similarity.dot(col("v_a"), col("v_b")),
           col("n_a"), col("n_b")).as("cos"))
       .where(col("cos") >= threshold)
+    materializeAndRelease(result, assigned)
   }
 }

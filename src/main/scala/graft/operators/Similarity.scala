@@ -90,15 +90,23 @@ object Similarity {
     * line up.
     */
   def ivfAssignWith(in: DataFrame, cents: DataFrame): DataFrame = {
+    // nearest centroid as a max_by AGGREGATE, not a row_number window:
+    // the aggregate partial-combines map-side, so the shuffle carries
+    // one row per document instead of one per (document, centroid) —
+    // an nBuckets-fold reduction at the exchange. Tie-break matches
+    // the previous (cent_cos desc, cent_id asc) window order via the
+    // (cent_cos, -cent_id) ordering struct.
     in.withColumn("v_norm", norm(col("v")))
       .crossJoin(broadcast(cents.withColumn("cent_norm", norm(col("cent_v")))))
       .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id"),
         round(cosineFromNorms(dot(col("v"), col("cent_v")),
           col("v_norm"), col("cent_norm")), 6).as("cent_cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("doc_id").orderBy(col("cent_cos").desc, col("cent_id"))))
-      .where(col("rk") === 1)
-      .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id").as("bucket"))
+      .groupBy("doc_id")
+      .agg(
+        first(col("v")).as("v"),           // constant within the group
+        first(col("v_norm")).as("v_norm"), // constant within the group
+        max_by(col("cent_id"), struct(col("cent_cos"), -col("cent_id"))).as("bucket"))
+      .select(col("doc_id"), col("v"), col("v_norm"), col("bucket"))
   }
 
   /** Train IVF coarse centroids with k-means (spark.ml) — the
