@@ -426,6 +426,17 @@ object SparkEntry {
       .select(col("doc_id"), TextAnalysis.rollingHash(col("text")).as("rhash"))
       .orderBy("doc_id")
 
+  private def qTfidf(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(
+      t(s, dir, "documents").where(col("doc_id") < 50),
+      col("doc_id"), col("text"), topK = 3)
+      .orderBy(col("doc_id"), col("score").desc, col("token"))
+
+  private def qDedupKeepBest(s: SparkSession, dir: String): DataFrame =
+    Dedup.keepBest(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("n_chars"))
+      .orderBy("fp")
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     // binary-column plumbing: text -> utf-8 bytes -> (byte length, sha256)
     t(s, dir, "documents").where(col("doc_id") < 100)
@@ -622,6 +633,8 @@ object SparkEntry {
     "q29_token_freq" -> qTokenFreq _,
     "q30_fingerprint" -> qFingerprint _,
     "q31_multimodal_meta" -> qMultimodalMeta _,
+    "q53_tfidf" -> qTfidf _,
+    "q54_dedup_keep_best" -> qDedupKeepBest _,
   )
 
   def oracleSql: Map[String, String] = {
@@ -850,6 +863,32 @@ object SparkEntry {
           | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           | FROM documents)
           |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+      "q53_tfidf" ->
+        """WITH toks AS (
+          | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          | FROM documents WHERE doc_id < 50),
+          |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+          |df AS (SELECT token, count(*) AS df FROM (SELECT DISTINCT doc_id, token FROM toks) GROUP BY token),
+          |scored AS (SELECT tf.doc_id, tf.token, tf.tf, df.df, tf.tf * 1000000 // df.df AS score
+          | FROM tf JOIN df USING (token)),
+          |ranked AS (SELECT scored.*, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, token) AS rk
+          | FROM scored)
+          |SELECT doc_id, token, tf, df, score FROM ranked WHERE rk <= 3
+          |ORDER BY doc_id, score DESC, token""".stripMargin,
+
+      "q54_dedup_keep_best" ->
+        """WITH scored AS (
+          | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          |  n_chars::BIGINT AS score
+          | FROM documents),
+          |ranked AS (SELECT fp, doc_id,
+          |  row_number() OVER (PARTITION BY fp ORDER BY score DESC, doc_id) AS rk,
+          |  count(*) OVER (PARTITION BY fp) AS n_dups,
+          |  max(score) OVER (PARTITION BY fp) AS best_score
+          | FROM scored)
+          |SELECT fp, doc_id AS keep_id, n_dups, best_score FROM ranked WHERE rk = 1
+          |ORDER BY fp""".stripMargin,
 
       "q23_dedup_ngram" ->
         """WITH base AS (

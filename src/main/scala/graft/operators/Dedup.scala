@@ -64,6 +64,24 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Exact dedup keeping the BEST representative per group instead of
+    * the first: for each distinct normalized-content fingerprint, keep
+    * the document with the highest `score` (ties to the smallest id).
+    * The common LLM-pipeline shape — dedup against a quality signal
+    * (length, quality classifier output) rather than arrival order.
+    *
+    * One hash-shuffle on the fingerprint with map-side-combined
+    * max_by — the text never shuffles, and no per-group window/sort.
+    */
+  def keepBest(df: DataFrame, id: Column, text: Column, score: Column): DataFrame =
+    df.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"),
+        score.cast("long").as("score"))
+      .groupBy("fp")
+      .agg(
+        max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
+        count(lit(1)).as("n_dups"),
+        max("score").as("best_score"))
+
   /** Shingles pre-hashed to 64-bit values: set operations (jaccard,
     * minhash) on longs are several times cheaper than on strings, and
     * at 2^-64 collision odds the jaccard value is unchanged. Hash once,

@@ -132,4 +132,29 @@ object TextAnalysis {
     df.select(explode(tokens(lower(text))).as("token"))
       .groupBy("token")
       .agg(count(lit(1)).as("freq"))
+
+  /** Top-k TF-IDF terms per document. The score is integer-scaled
+    * (tf * 1e6 div df) rather than tf*ln(N/df): ordering by tf/df is
+    * identical for a fixed corpus, and integer arithmetic is
+    * bit-reproducible across engines (ln() is not guaranteed to round
+    * identically between libm implementations).
+    *
+    * Scale shape: ONE shuffle of (doc, token) partial counts builds
+    * tf; df derives from tf itself (count of docs per token — no
+    * second pass over raw tokens); the top-k window partitions by
+    * doc_id (never global). The tf–df join keys on token and
+    * sort-merges when the vocabulary outgrows broadcast.
+    */
+  def tfidfTopTerms(df: DataFrame, id: Column, text: Column, topK: Int = 3): DataFrame = {
+    val toks = df.select(id.as("doc_id"), explode(tokens(lower(text))).as("token"))
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    tf.join(dfreq, "token")
+      .withColumn("score", expr("tf * 1000000 div df"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy(col("score").desc, col("token"))))
+      .where(col("rk") <= topK)
+      .select("doc_id", "token", "tf", "df", "score")
+  }
 }

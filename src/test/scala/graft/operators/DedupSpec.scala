@@ -54,6 +54,18 @@ class DedupSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("keepBest keeps the highest-score duplicate, ties to the smallest id") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "same text", 10L), (1L, "same text", 30L), (2L, "SAME   text", 30L),
+      (3L, "other", 5L)).toDF("doc_id", "text", "quality")
+    val groups = Dedup.keepBest(df, col("doc_id"), col("text"), col("quality"))
+      .select("keep_id", "n_dups", "best_score").as[(Long, Long, Long)]
+      .collect().sortBy(_._1)
+    // 0,1,2 normalize equal; best score 30 held by 1 and 2 -> smallest id 1
+    assert(groups.toSeq == Seq((1L, 3L, 30L), (3L, 1L, 5L)))
+  }
+
   test("simhash skew guard: a degenerate corpus of identical docs stays bounded") {
     import spark.implicits._
     // 60 identical docs: every signature is equal, so all 4 chunk
