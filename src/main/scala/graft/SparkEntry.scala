@@ -437,6 +437,15 @@ object SparkEntry {
       col("doc_id"), col("text"), col("n_chars"))
       .orderBy("fp")
 
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.contamination(
+      docs.where(col("doc_id") < 480), col("doc_id"), col("text"),
+      docs.where(col("doc_id") >= 480 && col("doc_id") < 500), col("doc_id"), col("text"),
+      n = 3, minShared = 3L)
+      .orderBy("doc_id", "bench_id")
+  }
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     // binary-column plumbing: text -> utf-8 bytes -> (byte length, sha256)
     t(s, dir, "documents").where(col("doc_id") < 100)
@@ -635,6 +644,7 @@ object SparkEntry {
     "q31_multimodal_meta" -> qMultimodalMeta _,
     "q53_tfidf" -> qTfidf _,
     "q54_dedup_keep_best" -> qDedupKeepBest _,
+    "q55_contamination" -> qContamination _,
   )
 
   def oracleSql: Map[String, String] = {
@@ -889,6 +899,23 @@ object SparkEntry {
           | FROM scored)
           |SELECT fp, doc_id AS keep_id, n_dups, best_score FROM ranked WHERE rk = 1
           |ORDER BY fp""".stripMargin,
+
+      "q55_contamination" ->
+        """WITH base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |       FROM documents)
+          | WHERE len(toks) > 0),
+          |corpus AS (SELECT * FROM base WHERE doc_id < 480),
+          |bench AS (SELECT * FROM base WHERE doc_id >= 480 AND doc_id < 500)
+          |SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+          | len(list_intersect(c.sh, b.sh))::BIGINT AS n_shared
+          |FROM corpus c JOIN bench b ON len(list_intersect(c.sh, b.sh)) >= 3
+          |ORDER BY c.doc_id, bench_id""".stripMargin,
 
       "q23_dedup_ngram" ->
         """WITH base AS (

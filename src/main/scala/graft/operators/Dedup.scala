@@ -328,6 +328,38 @@ object Dedup {
     materializeAndRelease(result, ex)
   }
 
+  /** Benchmark decontamination: for every corpus document, the
+    * benchmark documents it shares at least `minShared` distinct word
+    * n-gram shingles with — the standard train/test contamination
+    * check before training on scraped data.
+    *
+    * Scale shape: the benchmark side is small by nature, so its
+    * exploded shingles BROADCAST — the corpus never shuffles to meet
+    * it; the only exchange is the (doc, bench) partial-count
+    * aggregate, whose rows exist only where a shingle actually
+    * matches. Work is proportional to true overlap, like the blocked
+    * jaccard path.
+    */
+  def contamination(
+      corpus: DataFrame,
+      corpusId: Column,
+      corpusText: Column,
+      bench: DataFrame,
+      benchId: Column,
+      benchText: Column,
+      n: Int = 3,
+      minShared: Long = 5L): DataFrame = {
+    val c = explodedHashedShingles(corpus, corpusId, corpusText, n)
+    val b = explodedHashedShingles(bench, benchId, benchText, n)
+      .select(col("doc_id").as("bench_id"), col("h"))
+    // shingles are per-doc distinct, so the match count IS the
+    // intersection size
+    c.join(broadcast(b), "h")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   /** Connected components over near-dup pairs -> dedup groups: every
     * doc labeled with the minimum id reachable through the pair graph
     * (the id to KEEP for its group). Iterative min-label propagation —

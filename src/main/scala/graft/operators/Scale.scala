@@ -50,15 +50,21 @@ object Scale {
     * string, and descends into AQE's re-planned subtrees where the
     * exchange hides behind an AdaptiveSparkPlanExec wrapper.
     */
-  def hasShuffle(df: DataFrame): Boolean = {
+  def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0
+
+  /** Number of shuffle exchanges in the physical plan (descending into
+    * AQE wrappers) — the unit plan-assertion tests budget shuffles
+    * with, since every exchange is the thing that hurts at 100 TB.
+    */
+  def countShuffles(df: DataFrame): Int = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def scan(p: SparkPlan): Boolean = p match {
-      case _: ShuffleExchangeLike => true
+    def scan(p: SparkPlan): Int = p match {
+      case s: ShuffleExchangeLike => 1 + s.children.map(scan).sum
       case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
       case q: QueryStageExec => scan(q.plan)
-      case other => other.children.exists(scan)
+      case other => other.children.map(scan).sum
     }
     scan(df.queryExecution.executedPlan)
   }

@@ -66,6 +66,20 @@ class DedupSpec extends SparkTestBase {
     assert(groups.toSeq == Seq((1L, 3L, 30L), (3L, 1L, 5L)))
   }
 
+  test("contamination flags corpus docs sharing shingles with the benchmark") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"), // contaminated
+      (1L, "completely unrelated corpus text about databases")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val hits = Dedup.contamination(corpus, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 3, minShared = 3L)
+      .select("doc_id", "bench_id", "n_shared").as[(Long, Long, Long)].collect()
+    // doc 0 shares the benchmark's 7 distinct 3-gram shingles; doc 1 none
+    assert(hits.toSeq == Seq((0L, 100L, 7L)))
+  }
+
   test("simhash skew guard: a degenerate corpus of identical docs stays bounded") {
     import spark.implicits._
     // 60 identical docs: every signature is equal, so all 4 chunk

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Physical-plan assertions: the properties that matter at 100 TB —
+  * filters and projections reaching the parquet scan, dimension joins
+  * broadcasting, and operators staying within their shuffle budget —
+  * pinned as tests so a refactor that silently regresses the plan
+  * fails loudly.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("filters and column pruning reach the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(col("l_returnflag") === "R" && col("l_quantity") > 40)
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    // (plan toString truncates the PushedFilters list at 100 chars —
+    // assert on the filters that fit)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_returnflag)"), plan)
+    assert(plan.contains("EqualTo(l_returnflag,R)"), plan)
+    assert(plan.contains("GreaterThan(l_quantity"), plan)
+    // ReadSchema carries only the referenced columns
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_orderkey"), readSchema)
+    assert(!readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("dimension joins broadcast instead of sort-merging") {
+    val q12 = graft.SparkEntry.queries("q12_join_agg")(spark, sf)
+    val plan = q12.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("contamination: bench side broadcasts, one shuffle total") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, s"w$i x$i y$i z$i q$i r$i")).toDF("doc_id", "text")
+    val bench = Seq((100L, "w1 x1 y1 z1 q1 r1")).toDF("doc_id", "text")
+    val result = Dedup.contamination(corpus, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), n = 3, minShared = 1L)
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the only exchange is the (doc, bench) count aggregate
+    assert(Scale.countShuffles(result) == 1, plan)
+  }
+
+  test("keepBest: single hash-shuffle, no window, text never shuffles") {
+    import spark.implicits._
+    val df = (0L until 50L).map(i => (i, s"text $i", i % 7)).toDF("doc_id", "text", "q")
+    val result = Dedup.keepBest(df, col("doc_id"), col("text"), col("q"))
+    val plan = result.queryExecution.executedPlan.toString
+    assert(Scale.countShuffles(result) == 1, plan)
+    assert(!plan.contains("Window"), plan)
+    // the shuffle carries fingerprints, not document text
+    val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
+    assert(exchangeLine.contains("fp"), plan)
+  }
+}
