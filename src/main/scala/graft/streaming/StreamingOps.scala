@@ -97,6 +97,39 @@ object StreamingOps {
     * flatMapGroupsWithState shape that scales with distinct keys, not
     * events.
     */
+  /** Streaming exact dedup: emit each document the FIRST time its
+    * normalized-content fingerprint arrives; later duplicates are
+    * dropped. The incremental-ingest counterpart of
+    * [[graft.operators.Dedup.exactDedup]] — the fingerprint is
+    * computed relationally (codegen'd md5) before the stateful step,
+    * so state holds one boolean per distinct fingerprint, not the
+    * text. Within a batch, ties go to the smallest doc id.
+    *
+    * State is O(distinct content); a production deployment on an
+    * unbounded stream bounds it with an event-time TTL (set a
+    * watermark and EventTimeTimeout) — dedup then only guards within
+    * the TTL horizon, which is the standard tradeoff.
+    */
+  def streamingExactDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("text"),
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("fp"))
+      .as[(Long, String, String)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (fp: String, rows: Iterator[(Long, String, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.minBy(_._1)._1, fp))
+          }
+      }
+      .toDF("doc_id", "fp")
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,

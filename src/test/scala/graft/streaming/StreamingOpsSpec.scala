@@ -55,6 +55,28 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingExactDedup emits first arrival per fingerprint across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.streamingExactDedup(mem.toDF().toDF("doc_id", "text"))
+    val q = deduped.writeStream.format("memory").queryName("streamdedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: doc 1 and its normalized duplicate 0 arrive together
+      // (smallest id wins), doc 2 distinct
+      mem.addData((1L, "Hello  world"), (0L, "hello world"), (2L, "other text"))
+      q.processAllAvailable()
+      // batch 2: another duplicate of doc 0 (dropped — state remembers
+      // the fingerprint), one new doc
+      mem.addData((5L, "HELLO WORLD"), (6L, "brand new content"))
+      q.processAllAvailable()
+      val emitted = spark.table("streamdedup").select("doc_id")
+        .as[Long].collect().toSet
+      assert(emitted == Set(0L, 2L, 6L))
+    } finally q.stop()
+  }
+
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xmlstream")
