@@ -1,0 +1,57 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, TextAnalysis}
+
+/** Scale smoke test: run the near-dup operators over a synthetic
+  * corpus two orders of magnitude larger than the sf0.1 documents
+  * table (default 200k docs, ~45 tokens each) and print wall times.
+  * The corpus is generated distributed (spark.range + hash-derived
+  * words — no driver-side data, no files), planted with one near-dup
+  * per 20 docs so candidate stages do real work.
+  *
+  * Usage: runMain graft.dev.ScaleSmoke [nDocs]
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 200000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    // base id: near-dups share all but the last few words of their base
+    val base = spark.range(nDocs)
+      .withColumn("base", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
+    val words = (0 until 45).map { i =>
+      // word k of a doc: deterministic hash of (base, k); the last 3
+      // words of a near-dup differ from its base
+      val seed = when(col("base") =!= col("id") && lit(i) >= 42, col("id")).otherwise(col("base"))
+      concat(lit("w"), pmod(xxhash64(seed * 100 + i), lit(5000)))
+    }
+    val docs = base.select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text")).persist()
+    time("corpus materialize")(docs.count())
+
+    val mh = time("minhashNearDups")(
+      Dedup.minhashNearDups(docs, col("doc_id"), col("text"), threshold = 0.5).count())
+    val sh = time("simhashNearDups")(
+      Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxDist = 3).count())
+    val kb = time("keepBest")(
+      Dedup.keepBest(docs, col("doc_id"), col("text"), col("doc_id") % 100).count())
+    val bench = docs.where(col("doc_id") % 1000 === 7)
+      .select(col("doc_id"), col("text"))
+    val ct = time("contamination")(
+      Dedup.contamination(docs, col("doc_id"), col("text"),
+        bench, col("doc_id"), col("text"), minShared = 5L).count())
+    val tf = time("tfidfTopTerms")(
+      TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text")).count())
+    println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb contaminated=$ct tfidfRows=$tf")
+    spark.stop()
+  }
+}
