@@ -152,6 +152,11 @@ object Dedup {
     val withSh = shingleArrays(df, id, text, nShingle)
       .where(size(col("sh")) > 0)
       .persist()
+    // consumed by the hot-bucket count and both join sides WITHOUT a
+    // persist: the banding projection pipelines from the cached
+    // shingle arrays, and recomputing the native signature expression
+    // per consumer measures cheaper than materializing + re-reading
+    // the exploded (doc, band) rows from the block cache
     val banded = withSh.select(col("doc_id"),
       explode(graft.functions.MinHash.lshBandKeys(
         graft.functions.MinHash.minhashSig(col("sh"), k), bands, rows)).as("band"))
