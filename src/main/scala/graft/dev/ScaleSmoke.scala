@@ -51,7 +51,22 @@ object ScaleSmoke {
         bench, col("doc_id"), col("text"), minShared = 5L).count())
     val tf = time("tfidfTopTerms")(
       TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text")).count())
-    println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb contaminated=$ct tfidfRows=$tf")
+
+    // embedding stage: nDocs 64-dim unit-ish vectors, IVF ANN top-k
+    // for a 1k query slice + embedding near-dup over the full corpus
+    val vecs = spark.range(nDocs).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(col("id") * 64 + i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("vec")).persist()
+    time("embeddings materialize")(vecs.count())
+    val ann = time("ivfTopK (1k queries)")(
+      graft.operators.Similarity.ivfTopK(
+        vecs.where(col("id") < 1000), vecs, k = 5, nBuckets = 64).count())
+    val nd = time("embeddingNearDups")(
+      Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
+        threshold = 0.95, nBuckets = 64).count())
+    println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
+      s"contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd")
     spark.stop()
   }
 }

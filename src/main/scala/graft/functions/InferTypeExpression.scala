@@ -145,7 +145,8 @@ object GraftExtensions {
     fn("shingle_hashes", classOf[ShingleHashes], MinHash.shingleHashesBuilder),
     fn("minhash_sig", classOf[MinHashSig], MinHash.minhashSigBuilder),
     fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
-    fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder))
+    fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder),
+    fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

@@ -20,8 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Dot product of two numeric array columns (double fold). */
-  def dot(a: Column, b: Column): Column =
+  /** Dot product of two float/double array columns — the native
+    * codegen'd [[graft.functions.VecRuntime]] expression (the
+    * zip_with + aggregate formulation is CodegenFallback: every
+    * candidate-pair comparison would run interpreted lambdas with
+    * boxed intermediates; see [[dotDeclarative]]). Identical
+    * arithmetic: left-to-right double accumulation.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.VecOps.dot(a, b)
+
+  /** The built-ins-only formulation, kept as the equivalence baseline
+    * the native expression is tested against (and for callers with
+    * non-float/double numeric arrays).
+    */
+  def dotDeclarative(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
