@@ -140,21 +140,40 @@ object Similarity {
       .toDF("cent_id", "cent_v")
   }
 
-  /** IVF top-k: both sides coarse-assigned (queries probe their single
-    * nearest bucket; nprobe>1 would explode to several), then the
+  /** Multi-probe query assignment: each query explodes to its
+    * `nProbe` nearest coarse buckets (higher nProbe = higher recall,
+    * linearly more candidate scans — the standard IVF tuning knob).
+    * The ranking window partitions by query id; the query batch is
+    * the small side by design, so this never sees corpus-scale data.
+    */
+  def ivfProbe(in: DataFrame, cents: DataFrame, nProbe: Int): DataFrame =
+    in.withColumn("v_norm", norm(col("v")))
+      .crossJoin(broadcast(cents.withColumn("cent_norm", norm(col("cent_v")))))
+      .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id"),
+        round(cosineFromNorms(dot(col("v"), col("cent_v")),
+          col("v_norm"), col("cent_norm")), 6).as("cent_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("cent_cos").desc, col("cent_id"))))
+      .where(col("rk") <= nProbe)
+      .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id").as("bucket"))
+
+  /** IVF top-k: the corpus is coarse-assigned to its single nearest
+    * bucket; queries probe their `nProbe` nearest buckets, then the
     * scan+rank runs per bucket. The join key is the bucket — at scale,
     * pre-partitioning the corpus by bucket makes this a co-located
-    * join with no corpus shuffle per query batch.
+    * join with no corpus shuffle per query batch. With
+    * nProbe = nBuckets the result equals [[bruteForceTopK]] exactly
+    * (every bucket is scanned) — the property `SimilaritySpec` pins.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int): DataFrame = {
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int, nProbe: Int = 1): DataFrame = {
     val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
     val cents = corpusIn.where(col("doc_id") < nBuckets)
       .select(col("doc_id").as("cent_id"), col("v").as("cent_v"))
     val corpusAssigned = ivfAssignWith(corpusIn, cents)
       .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"),
         col("v_norm").as("c_norm"))
-    val queriesAssigned = ivfAssignWith(
-      queries.select(col("id").as("doc_id"), col("vec").as("v")), cents)
+    val queriesAssigned = ivfProbe(
+      queries.select(col("id").as("doc_id"), col("vec").as("v")), cents, nProbe)
       .select(col("bucket"), col("doc_id").as("query_id"), col("v").as("q_vec"),
         col("v_norm").as("q_norm"))
     queriesAssigned.join(corpusAssigned, Seq("bucket"))

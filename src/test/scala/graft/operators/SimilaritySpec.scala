@@ -45,6 +45,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(buckets.toSet == Set(Set(0L), Set(1L)))
   }
 
+  test("ivfTopK with nProbe = nBuckets equals brute force exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3L)
+    val corpus = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "vec")
+    val queries = corpus.where(col("id") < 10)
+    val brute = Similarity.bruteForceTopK(queries, corpus, k = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // probing every bucket scans the whole corpus: identical result
+    val full = Similarity.ivfTopK(queries, corpus, k = 4, nBuckets = 8, nProbe = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(full == brute)
+    // single-probe recall is a subset; multi-probe monotonically recovers
+    val p1 = Similarity.ivfTopK(queries, corpus, k = 4, nBuckets = 8, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val p4 = Similarity.ivfTopK(queries, corpus, k = 4, nBuckets = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert((p1 intersect brute).size <= (p4 intersect brute).size)
+  }
+
   test("ivfTopK: bucket-restricted search still finds in-bucket neighbors") {
     import spark.implicits._
     // centroids = ids 0,1; cluster A near (1,0), cluster B near (0,1)
