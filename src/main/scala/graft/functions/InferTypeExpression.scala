@@ -146,7 +146,8 @@ object GraftExtensions {
     fn("minhash_sig", classOf[MinHashSig], MinHash.minhashSigBuilder),
     fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
     fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder),
-    fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder))
+    fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder),
+    fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

@@ -115,7 +115,18 @@ object TextAnalysis {
     * 2^36, safely inside long range under ANSI overflow checking.
     * Spark-only (no SQL oracle — verified by unit test instead).
     */
-  def rollingHash(text: Column): Column = {
+  def rollingHash(text: Column): Column =
+    // normalization stays in codegen'd built-ins; the fold is the
+    // native expression (the declarative per-char split + interpreted
+    // aggregate allocates one String per character — see
+    // [[graft.functions.TextRuntime.rollingHash]])
+    graft.functions.TextOps.rollingHash64(
+      regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** The built-ins-only fold, kept as the equivalence baseline the
+    * native expression is tested against.
+    */
+  def rollingHashDeclarative(text: Column): Column = {
     val norm = regexp_replace(lower(trim(text)), "\\s+", " ")
     val m = lit(2147483647L) // 2^31 - 1
     aggregate(

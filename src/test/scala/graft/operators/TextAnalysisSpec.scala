@@ -62,6 +62,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(hs(0) == ((97L * 31 + 98) * 31 + 99) % 2147483647L)
   }
 
+  test("native rollingHash equals the declarative per-char fold") {
+    import spark.implicits._
+    val df = Seq("abc", "  Mixed   CASE text  ", "über straße 42!", "",
+      "a much longer document with several words and 123 numbers").toDF("t")
+      .select(
+        TextAnalysis.rollingHash(col("t")).as("native"),
+        TextAnalysis.rollingHashDeclarative(col("t")).as("declarative"))
+    df.collect().foreach(r => assert(r.getLong(0) == r.getLong(1), r))
+  }
+
   test("bpeishTokens splits words, numbers and punctuation") {
     import spark.implicits._
     val df = Seq("don't stop, 42 times!").toDF("t")
