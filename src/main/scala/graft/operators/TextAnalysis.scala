@@ -13,9 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization; empty tokens dropped. */
-  def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+  /** Whitespace tokenization; empty tokens dropped. After trim, the
+    * only way split("\\s+") produces an empty token is the
+    * empty/whitespace-only string — guarded with a codegen'd when()
+    * instead of a filter() lambda (higher-order functions are
+    * CodegenFallback: the predicate would run interpreted per
+    * document).
+    */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
+  }
 
   /** BPE-ish subword-aware token split: words, numbers, and single
     * punctuation marks each count as a token (approximates a BPE
@@ -46,8 +54,11 @@ object TextAnalysis {
     df.withColumn("n_tokens", size(toks).cast("long"))
       .withColumn(
         "mean_token_len",
+        // total token chars = length of the empty-separator join —
+        // same sum as an aggregate() fold, without the interpreted
+        // lambda per document
         round(
-          aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+          length(concat_ws("", toks)).cast("double") /
             greatest(size(toks), lit(1)), 4))
       .withColumn(
         "stopword_ratio",
