@@ -104,7 +104,11 @@ object TextAnalysis {
     * to the lexicographically first language code.
     */
   def detectLang(text: Column): Column = {
-    val lowered = transform(tokens(text), lower _)
+    // lowercase the whole string (codegen'd) before tokenizing rather
+    // than transform()-ing each token through an interpreted lambda —
+    // Unicode lowercasing never introduces whitespace, so the token
+    // sets are identical
+    val lowered = tokens(lower(text))
     val langs = langMarkers.keys.toSeq.sorted
     val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
       val cand = struct(langScore(text, lowered, l).as("score"), lit(l).as("lang"))
