@@ -65,8 +65,16 @@ object ScaleSmoke {
     val nd = time("embeddingNearDups")(
       Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = 64).count())
+    // distributed connected-components path: 2M near-dup pairs forming
+    // ~700k 3-node chains — above the 1M driver-union-find threshold,
+    // so this exercises the iterative min-label propagation loop
+    val pairs = spark.range(2000000L)
+      .where(col("id") % 3 =!= 2)
+      .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+    val cc = time("dedupGroups (2M pairs, distributed)")(
+      Dedup.dedupGroups(pairs).where(col("id") =!= col("keep_id")).count())
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
-      s"contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd")
+      s"contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd ccRelabels=$cc")
     spark.stop()
   }
 }
