@@ -141,10 +141,13 @@ object XmlToCsv {
             CsvSink.writeSingleFile(edges.orderBy("start_id", "end_id"),
               s"${stem}_${attr}_$rel$ext", Some(":START_ID;:END_ID"))
           } else {
-            CsvSink.writeDir(nodes.select(col("node_id"), col("v")).orderBy("node_id"),
+            // scale path: partition-parallel, UNSORTED — a global sort
+            // before a multi-part write adds a range-partition exchange
+            // and buys nothing (neo4j-admin import does not need order)
+            CsvSink.writeDir(nodes.select(col("node_id"), col("v")),
               s"${stem}_$attr$ext", header = false)
             writeText(s"${stem}_${attr}_header$ext", s":ID;$attr:string")
-            CsvSink.writeDir(edges.orderBy("start_id", "end_id"),
+            CsvSink.writeDir(edges,
               s"${stem}_${attr}_$rel$ext", header = false)
             writeText(s"${stem}_${attr}_${rel}_header$ext", ":START_ID;:END_ID")
           }
