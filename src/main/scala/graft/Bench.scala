@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -18,14 +19,21 @@ object Bench {
     // a failed query must FAIL the bench — swallowing the exception
     // would record a broken query as a plausible (fast) timing
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // TWO timed reps per query, keep the min: per-query JIT/codegen and
+    // page-cache warmup stops landing on the first alphabetical queries,
+    // so round-over-round per-query deltas are attributable
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
-            .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+              .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -15,15 +15,15 @@ import graft.xml.{Annotate, Dtd, Flatten, XmlRecords}
   */
 object SparkEntry {
 
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    if (name == "events")
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects by
-      // default; read it as a long (ns since epoch) and convert where
-      // needed with integer division (never double division — 1e18 ns
-      // exceeds a double's 53-bit integer range).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects unless
+  // spark.sql.legacy.parquet.nanosAsLong=true — set at SESSION BUILD
+  // (Verify/Bench/dev mains, SparkTestBase), never mutated here: a
+  // conf.set inside a query builder is a global side effect on a
+  // shared session. Downstream, ns-since-epoch longs convert with
+  // integer division (never double division — 1e18 ns exceeds a
+  // double's 53-bit integer range).
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
-  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Relation extraction (J1+J2+J3) — the reference's most complex plan:
@@ -402,6 +402,19 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  private def qSimIvfProbe(s: SparkSession, dir: String): DataFrame = {
+    // same query/corpus split as q26 but nProbe=2: each query scans its
+    // TWO nearest coarse buckets — exercises the multi-probe path
+    // (Similarity.ivfProbe) through the contract, not just the
+    // nProbe=nBuckets ≡ brute-force spec property
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.ivfTopK(e.where(col("id") >= 5 && col("id") < 10), e,
+      k = 3, nBuckets = 8, nProbe = 2)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.qualityMetrics(
       t(s, dir, "documents").where(col("doc_id") < 100), col("text"))
@@ -645,6 +658,7 @@ object SparkEntry {
     "q53_tfidf" -> qTfidf _,
     "q54_dedup_keep_best" -> qDedupKeepBest _,
     "q55_contamination" -> qContamination _,
+    "q56_sim_ivf_probe2" -> qSimIvfProbe _,
   )
 
   def oracleSql: Map[String, String] = {
@@ -1064,6 +1078,46 @@ object SparkEntry {
       "q31_multimodal_meta" ->
         """SELECT doc_id, strlen(text)::BIGINT AS n_bytes, sha256(text) AS sha
           |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+      // Rabin-Karp fold replica: ascii() is the Unicode code point =
+      // the UTF-16 unit the native expression folds for BMP text; the
+      // prepended 0 is the fold's initial accumulator (DuckDB's
+      // list_reduce otherwise seeds from the first element).
+      "q30_fingerprint" ->
+        """SELECT doc_id,
+          | list_reduce(
+          |   list_prepend(0::BIGINT,
+          |     list_transform(regexp_split_to_array(norm, ''), c -> ascii(c)::BIGINT)),
+          |   (acc, c) -> (acc * 31 + c) % 2147483647) AS rhash
+          |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+          |      FROM documents WHERE doc_id < 100)
+          |ORDER BY doc_id""".stripMargin,
+
+      "q56_sim_ivf_probe2" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | scored AS (
+          |  SELECT e.vec_id, e.vec, c.cent_id,
+          |   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |     round(list_dot_product(e.vec, c.cent_v) /
+          |       (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |     c.cent_id) AS rk
+          |  FROM e CROSS JOIN cents c),
+          | corpus AS (SELECT vec_id, vec, cent_id AS bucket FROM scored WHERE rk = 1),
+          | probes AS (SELECT vec_id, vec, cent_id AS bucket FROM scored
+          |            WHERE rk <= 2 AND vec_id >= 5 AND vec_id < 10),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM probes q JOIN corpus c ON q.bucket = c.bucket
+          |  WHERE q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
     )
   }
 }

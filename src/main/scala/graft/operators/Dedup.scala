@@ -279,11 +279,15 @@ object Dedup {
     val small = chunked.join(broadcast(hot), Seq("chunk_i", "chunk_v"), "left_anti")
     val a = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
     val b = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // filter BEFORE distinct: the hamming predicate is free inside the
+    // join stage, so the distinct's shuffle carries only near pairs —
+    // not every candidate pair (each of which appears up to 4x, far
+    // pairs included)
     val result = a.join(b, Seq("chunk_i", "chunk_v"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming(col("sig_a"), col("sig_b")).as("dist"))
-      .distinct()
       .where(col("dist") <= maxDist)
+      .distinct()
     materializeAndRelease(result, sigs)
   }
 

@@ -102,6 +102,19 @@ object TextAnalysis {
 
   /** Predicted language column. Highest marker score wins; ties break
     * to the lexicographically first language code.
+    *
+    * Shaped as ONE `array_max` over an array of (score, priority, lang)
+    * structs rather than a fold of when/otherwise comparisons: in the
+    * fold each level references the accumulator twice (condition +
+    * else-branch), so the earlier langScore subtrees — each an
+    * `array_intersect` over the tokenization — are duplicated up to
+    * 2^k times, and Spark's subexpression elimination skips
+    * conditionally-evaluated children. Here every langScore appears
+    * exactly once and all children are unconditional, so the
+    * tokenization is CSE-hoisted and runs once per row. Struct
+    * ordering is field-by-field, so max = highest score, then highest
+    * priority = lowest language index = lexicographically first code —
+    * identical semantics to the fold.
     */
   def detectLang(text: Column): Column = {
     // lowercase the whole string (codegen'd) before tokenizing rather
@@ -110,11 +123,15 @@ object TextAnalysis {
     // sets are identical
     val lowered = tokens(lower(text))
     val langs = langMarkers.keys.toSeq.sorted
-    val best = langs.foldLeft(struct(lit(-1).as("score"), lit("und").as("lang"))) { (acc, l) =>
-      val cand = struct(langScore(text, lowered, l).as("score"), lit(l).as("lang"))
-      when(cand("score") > acc("score"), cand).otherwise(acc)
-    }
-    best("lang")
+    // the (-1, "und") floor never wins (scores are >= 0) but keeps the
+    // fold's exact semantics on record
+    val entries =
+      struct(lit(-1).as("score"), lit(1).as("pri"), lit("und").as("lang")) +:
+        langs.zipWithIndex.map { case (l, i) =>
+          struct(langScore(text, lowered, l).as("score"),
+            lit(-i).as("pri"), lit(l).as("lang"))
+        }
+    array_max(array(entries: _*)).getField("lang")
   }
 
   /** Document fingerprint: md5 of whitespace-normalized, lowercased
