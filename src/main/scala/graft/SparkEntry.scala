@@ -606,6 +606,45 @@ object SparkEntry {
       .orderBy("start_id", "end_id")
   }
 
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.repetitionMetrics(
+      t(s, dir, "documents").where(col("doc_id") < 200), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  private def qHashSplit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSplit(
+      t(s, dir, "documents"), col("doc_id"),
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.redactPii(
+      t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
+      .orderBy("doc_id")
+
+  /** The whole fixture mangled onto ONE physical line (no layout the
+    * line splitter can use) read with layout="auto" — exercises the
+    * violation detection AND the single-pass fallback end-to-end; the
+    * oracle is q40's: same article table, same ids, regardless of the
+    * input's physical layout.
+    */
+  private def qXmlAnyLayout(s: SparkSession, dir: String): DataFrame = {
+    val dirp = java.nio.file.Paths.get("/tmp/graft_xml_fixture")
+    java.nio.file.Files.createDirectories(dirp)
+    val xml = dirp.resolve("mini_oneline.xml")
+    java.nio.file.Files.write(xml, fixtureXml.replace("\n", "").getBytes("UTF-8"))
+    val dtd = Dtd.parseString(fixtureDtd)
+    val records = XmlRecords.readRows(s, xml.toString, dtd, layout = "auto")
+    val schema = Flatten.inferColumns(
+      records.as[graft.xml.XmlRecord](org.apache.spark.sql.Encoders.product[graft.xml.XmlRecord]), dtd)
+    val flat = schema.map { case (t, cs) => t -> Flatten.flattenType(records, t, cs) }
+    val idMap = Relational.withContiguousId(
+      flat.values.map(_.select(col("pos"))).reduce(_ unionAll _).orderBy("pos"), "id")
+    flat("article").join(idMap, "pos")
+      .select((col("id") +: schema("article").map(col)): _*).orderBy("id")
+  }
+
   // ---------------------------------------------------------------- //
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -659,7 +698,19 @@ object SparkEntry {
     "q54_dedup_keep_best" -> qDedupKeepBest _,
     "q55_contamination" -> qContamination _,
     "q56_sim_ivf_probe2" -> qSimIvfProbe _,
+    "q57_xml_anylayout" -> qXmlAnyLayout _,
+    "q58_repetition" -> qRepetition _,
+    "q59_hash_split" -> qHashSplit _,
+    "q60_pii_redact" -> qPiiRedact _,
   )
+
+  /** The article fixture table (q40 and q57 — layout-independent). */
+  private val articleTableSql =
+    """SELECT * FROM (VALUES
+      | (0::BIGINT, 'Ann|Ann|Bob', '0000-1', NULL::VARCHAR, 'a/K1', '2020-01-01', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, 'On X; a "study" of über', '2020'),
+      | (1::BIGINT, NULL, NULL, 'a/K1', 'a/K2', NULL, 'true', 'x', '-7', 'informal', NULL, '20.5')
+      |) AS t(id, author, "author-orcid", cite, "key", mdate, note, "note-type", pages, publtype, title, year)
+      |ORDER BY id""".stripMargin
 
   def oracleSql: Map[String, String] = {
     val inferV = duckInferType("v")
@@ -671,12 +722,10 @@ object SparkEntry {
     Map(
       // native codegen'd expression must match the declarative chain
       "q45_infer_native" -> typeInferSql,
-      "q40_xml_flatten" ->
-        """SELECT * FROM (VALUES
-          | (0::BIGINT, 'Ann|Ann|Bob', '0000-1', NULL::VARCHAR, 'a/K1', '2020-01-01', NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, NULL::VARCHAR, 'On X; a "study" of über', '2020'),
-          | (1::BIGINT, NULL, NULL, 'a/K1', 'a/K2', NULL, 'true', 'x', '-7', 'informal', NULL, '20.5')
-          |) AS t(id, author, "author-orcid", cite, "key", mdate, note, "note-type", pages, publtype, title, year)
-          |ORDER BY id""".stripMargin,
+      "q40_xml_flatten" -> articleTableSql,
+      // same table, arbitrary physical layout: the result must not
+      // depend on where the line breaks were
+      "q57_xml_anylayout" -> articleTableSql,
 
       "q41_xml_schema" ->
         """SELECT * FROM (VALUES
@@ -1092,6 +1141,47 @@ object SparkEntry {
           |FROM (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
           |      FROM documents WHERE doc_id < 100)
           |ORDER BY doc_id""".stripMargin,
+
+      // ratios are RAW doubles — identical IEEE divisions both sides
+      // (rounding count ratios invites halfway-boundary divergence)
+      "q58_repetition" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |  FROM documents WHERE doc_id < 200),
+          | nz AS (SELECT * FROM toks WHERE len(toks) > 0),
+          | uni AS (
+          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_uniq, max(c) AS top_c FROM (
+          |    SELECT doc_id, g, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS g FROM nz)
+          |    GROUP BY doc_id, g)
+          |  GROUP BY doc_id),
+          | bi AS (
+          |  SELECT doc_id, max(c)::DOUBLE / sum(c) AS top_bigram_frac FROM (
+          |    SELECT doc_id, g, count(*) AS c FROM (
+          |      SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS g
+          |      FROM nz WHERE len(toks) > 1)
+          |    GROUP BY doc_id, g)
+          |  GROUP BY doc_id)
+          |SELECT u.doc_id, u.n_tokens, u.n_uniq::DOUBLE / u.n_tokens AS uniq_ratio,
+          |  u.top_c::DOUBLE / u.n_tokens AS top_token_frac, b.top_bigram_frac
+          |FROM uni u LEFT JOIN bi b ON u.doc_id = b.doc_id
+          |ORDER BY u.doc_id""".stripMargin,
+
+      // Knuth multiplicative hash bucket — plain 64-bit arithmetic,
+      // bit-identical across engines (never an engine hash() builtin)
+      "q59_hash_split" ->
+        """SELECT split, lang, count(*) AS n FROM (
+          | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
+          | FROM (SELECT (doc_id * 2654435761) % 100 AS b, lang FROM documents))
+          |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      "q60_pii_redact" ->
+        """SELECT doc_id,
+          | regexp_replace(regexp_replace(text,
+          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |   '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+          | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+          | len(regexp_extract_all(text, '[0-9]{4,}'))::BIGINT AS n_long_nums
+          |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
 
       "q56_sim_ivf_probe2" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

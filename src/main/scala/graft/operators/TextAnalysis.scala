@@ -167,6 +167,63 @@ object TextAnalysis {
       (acc, c) => pmod(acc * 31L + c, m))
   }
 
+  /** Repetition metrics per document (the Gopher-style repetition
+    * quality signals): unique-token ratio, the fraction of tokens
+    * taken by the single most frequent token, and the fraction of
+    * bigrams taken by the most frequent bigram. High top-fractions =
+    * degenerate boilerplate/spam.
+    *
+    * Ratios are RAW doubles (identical IEEE divisions on both
+    * engines) — rounding count ratios invites halfway-boundary
+    * divergence (1/32 rounds differently at 4 decimals across
+    * engines).
+    *
+    * Scale shape: two aggregate levels, (doc, gram) then doc, both
+    * with map-side partial combine; tokens shuffle once per level as
+    * skinny count rows, never as full documents.
+    */
+  def repetitionMetrics(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("doc_id"), tokens(lower(text)).as("toks"))
+      .where(size(col("toks")) > 0)
+    val uni = toks.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_uniq"), max("c").as("top_c"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_uniq").cast("double") / col("n_tokens")).as("uniq_ratio"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"))
+    // bigrams: zip the token array with its tail — arrays_zip +
+    // slice are codegen'd collection expressions, no HOF lambdas
+    val bi = toks.where(size(col("toks")) > 1)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1))).as("z"))
+      .select(col("doc_id"),
+        concat_ws(" ", col("z").getField("0"), col("z").getField("1")).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(sum("c").as("n_bi"), max("c").as("top_bi"))
+      .select(col("doc_id"), (col("top_bi").cast("double") / col("n_bi")).as("top_bigram_frac"))
+    uni.join(bi, Seq("doc_id"), "left")
+  }
+
+  /** PII redaction: emails and long digit runs replaced with typed
+    * placeholder tokens, plus match counts for audit. Patterns stick
+    * to the regex subset Java and RE2-family engines treat
+    * identically (no backrefs, no lookaround), so the operation is
+    * oracle-checkable. Pure codegen'd regexp built-ins — no UDF, no
+    * shuffle; at 100 TB this is a map-only pass.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val longNumRe = "[0-9]{4,}"
+
+  def redactPii(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(
+      id.as("doc_id"),
+      regexp_replace(regexp_replace(text, emailRe, "<EMAIL>"), longNumRe, "<NUM>").as("redacted"),
+      size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(longNumRe), lit(0))).cast("long").as("n_long_nums"))
+
   /** Token frequency table: (token, count), the classic explode +
     * groupBy. Partial aggregation combines map-side, so the shuffle
     * carries one row per (partition, token), not per occurrence.

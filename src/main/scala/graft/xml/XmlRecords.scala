@@ -59,6 +59,80 @@ object XmlRecords {
   private def depthDelta(line: String): Int =
     countMatches(openTag, line) - countMatches(closeTag, line) - countMatches(selfClose, line)
 
+  /** Result of the per-line layout scan: `hardViolation` = the line
+    * splitter cannot handle this line at any depth (a tag spans lines,
+    * a multi-line comment/CDATA/declaration starts here, or text
+    * contains literal "/>"); `midStartDepths` = LINE-RELATIVE element
+    * depths at which a record-type open tag occurs after the first
+    * non-whitespace position — only a depth-1 occurrence (resolved by
+    * the caller's prefix sum) is a real violation, so DBLP's inline
+    * markup (`<i>` inside a title at depth 2+) never triggers one.
+    */
+  private[xml] final case class LineScan(hardViolation: Boolean, midStartDepths: List[Int])
+
+  /** Quote-aware single-line tag scan backing [[LineScan]]. '<' always
+    * starts markup in well-formed XML (it must be escaped in text and
+    * attribute values), so every '<' is classified; '>' inside quoted
+    * attribute values is skipped.
+    */
+  private[xml] def scanLine(line: String, recordTypes: Set[String]): LineScan = {
+    val n = line.length
+    var i = 0
+    var depth = 0
+    var hard = false
+    var mids = List.empty[Int]
+    var seenNonWs = false
+    while (i < n) {
+      val c = line.charAt(i)
+      if (c == '<') {
+        val atLineStart = !seenNonWs
+        seenNonWs = true
+        if (i + 1 < n && line.charAt(i + 1) == '/') { // close tag
+          val e = line.indexOf('>', i)
+          if (e < 0) { hard = true; i = n } else { depth -= 1; i = e + 1 }
+        } else if (line.startsWith("<!--", i)) { // comment
+          val e = line.indexOf("-->", i)
+          if (e < 0) { hard = true; i = n } else i = e + 3
+        } else if (line.startsWith("<![CDATA[", i)) { // CDATA section
+          val e = line.indexOf("]]>", i)
+          if (e < 0) { hard = true; i = n } else i = e + 3
+        } else if (i + 1 < n && (line.charAt(i + 1) == '!' || line.charAt(i + 1) == '?')) {
+          // declaration (DOCTYPE — internal subsets span lines and flag
+          // hard via the missing '>') or processing instruction
+          val e = line.indexOf('>', i)
+          if (e < 0) { hard = true; i = n } else i = e + 1
+        } else { // open tag
+          var j = i + 1
+          while (j < n && (line.charAt(j).isLetterOrDigit || "._-:".indexOf(line.charAt(j)) >= 0)) j += 1
+          val name = line.substring(i + 1, j)
+          var quote: Char = 0
+          var e = -1
+          var k = j
+          while (k < n && e < 0) {
+            val ch = line.charAt(k)
+            if (quote != 0) { if (ch == quote) quote = 0 }
+            else if (ch == '"' || ch == '\'') quote = ch
+            else if (ch == '>') e = k
+            k += 1
+          }
+          if (e < 0) { hard = true; i = n } // tag spans lines
+          else {
+            if (!atLineStart && recordTypes(name)) mids ::= depth
+            if (line.charAt(e - 1) != '/') depth += 1
+            i = e + 1
+          }
+        }
+      } else {
+        if (!Character.isWhitespace(c)) {
+          seenNonWs = true
+          if (c == '/' && i + 1 < n && line.charAt(i + 1) == '>') hard = true // "/>" in text
+        }
+        i += 1
+      }
+    }
+    LineScan(hard, mids)
+  }
+
   /** Read all records of the given types from `xmlPath`.
     *
     * A record opens ONLY at nesting depth 1 (directly under the root) —
@@ -102,35 +176,47 @@ object XmlRecords {
     * `graft.xml.malformed` (query it via sparkContext's accumulators
     * or the returned DataFrame count delta).
     */
+  /** The shared parse-one-chunk closure: strict mode propagates parse/
+    * validation failures; permissive mode counts them in `acc` and
+    * skips. A function VALUE, not a nested def: a def would pull the
+    * whole enclosing frame (SparkSession included) into the task
+    * closure.
+    */
+  private def mkTryParse(
+      permissive: Boolean,
+      validate: Boolean,
+      acc: org.apache.spark.util.LongAccumulator): (Dtd, String, Long) => Option[XmlRecord] = {
+    val strict = validate
+    if (!permissive) (d, body, pos) => {
+      val r = parseRecord(body, pos)
+      if (strict) r.foreach(validateAgainstDtd(d, _))
+      r
+    }
+    else (d, body, pos) =>
+      try {
+        val r = parseRecord(body, pos)
+        if (strict) r.foreach(validateAgainstDtd(d, _))
+        r
+      } catch {
+        case _: javax.xml.stream.XMLStreamException | _: RuntimeException =>
+          acc.add(1L); None
+      }
+  }
+
   def readRows(
       spark: SparkSession,
       xmlPath: String,
       dtd: Dtd,
       minPartitions: Int = 0,
       permissive: Boolean = false,
-      validate: Boolean = false): DataFrame = {
+      validate: Boolean = false,
+      layout: String = "line"): DataFrame = {
+    require(Set("line", "record", "auto")(layout),
+      s"layout must be line|record|auto, got '$layout'")
+    if (layout == "record")
+      return readRowsSinglePass(spark, xmlPath, dtd, minPartitions, permissive, validate)
     val malformed = spark.sparkContext.longAccumulator("graft.xml.malformed")
-    // function VALUE, not a nested def: a def would pull the whole
-    // enclosing frame (SparkSession included) into the task closure
-    val strict = validate
-    val tryParse: (Dtd, String, Long) => Option[XmlRecord] =
-      if (!permissive) (d, body, pos) => {
-        val r = parseRecord(body, pos)
-        if (strict) r.foreach(validateAgainstDtd(d, _))
-        r
-      }
-      else {
-        val acc = malformed
-        (d, body, pos) =>
-          try {
-            val r = parseRecord(body, pos)
-            if (strict) r.foreach(validateAgainstDtd(d, _))
-            r
-          } catch {
-            case _: javax.xml.stream.XMLStreamException | _: RuntimeException =>
-              acc.add(1L); None
-          }
-      }
+    val tryParse = mkTryParse(permissive, validate, malformed)
     val types = dtd.recordTypes
     val root = dtd.root
     val startRe = ("""^\s*<(""" + types.map(java.util.regex.Pattern.quote).mkString("|") + """)[\s/>]""").r
@@ -140,33 +226,69 @@ object XmlRecords {
       if (minPartitions > 0) spark.sparkContext.textFile(xmlPath, minPartitions)
       else spark.sparkContext.textFile(xmlPath)
 
-    // job 1: per-partition (net depth delta, min running depth) ->
-    // entry depth prefix sum. The min is the corrupted-split guard:
-    // the line-level depth scan assumes tags do not span lines and
-    // text never contains a literal "</" or "/>" (true for the DBLP
-    // dump); when the assumption is violated the running depth dips
-    // negative or the file does not close back to depth 0 — fail
-    // loudly instead of silently mis-splitting records.
+    // job 1: per-partition (net depth delta, min running depth, layout
+    // scan) -> entry depth prefix sum. The min is the corrupted-split
+    // guard: the line-level depth scan assumes tags do not span lines
+    // and text never contains a literal "</" or "/>" (true for the
+    // DBLP dump); when the assumption is violated the running depth
+    // dips negative or the file does not close back to depth 0. The
+    // layout scan additionally detects (a) tags spanning lines /
+    // multi-line comments / "/>"-in-text ("hard" flags) and (b)
+    // mid-line record start tags, kept as PARTITION-RELATIVE depths so
+    // the driver can test absolute depth == 1 after the prefix sum —
+    // a mid-line <i> at depth 2 inside a title is fine (DBLP inline
+    // markup), a mid-line <article> at depth 1 is a missed record
+    // boundary. `layout="auto"` falls back to the single-pass reader
+    // on any violation instead of failing.
+    val typesB = spark.sparkContext.broadcast(types)
     val deltas = lines.mapPartitions { it =>
+      val ts = typesB.value
       var d = 0
       var minD = 0
-      it.foreach { l => d += depthDelta(l); if (d < minD) minD = d }
-      Iterator.single((d, minD))
+      var hard = false
+      val mids = scala.collection.mutable.Set.empty[Int]
+      it.foreach { l =>
+        val scan = scanLine(l, ts)
+        if (scan.hardViolation) hard = true
+        scan.midStartDepths.foreach { rd =>
+          if (mids.size < 64) mids += d + rd else hard = true
+        }
+        d += depthDelta(l); if (d < minD) minD = d
+      }
+      Iterator.single((d, minD, hard, mids.toArray))
     }.collect()
     val depthIn = deltas.scanLeft(0)(_ + _._1)
+    def minDepth(pi: Int) = deltas(pi)._2
+    def midStarts(pi: Int) = deltas(pi)._4
+    val depthViolated = depthIn.last != 0 ||
+      deltas.indices.exists(pi => depthIn(pi) + minDepth(pi) < 0)
+    val midViolated =
+      deltas.indices.exists(pi => midStarts(pi).exists(r => depthIn(pi) + r == 1))
+    if (layout == "auto" && (depthViolated || midViolated || deltas.exists(_._3)))
+      // not line-formatted: hand the whole read to the single-pass
+      // StAX-chunked reader (parallel per FILE, sequential within one)
+      return readRowsSinglePass(spark, xmlPath, dtd, minPartitions, permissive, validate)
     deltas.indices.foreach { pi =>
-      if (depthIn(pi) + deltas(pi)._2 < 0)
+      if (depthIn(pi) + minDepth(pi) < 0)
         throw new IllegalStateException(
           s"XML splitter invariant violated: element depth went negative inside input split $pi. " +
             "The line-level splitter requires record tags to begin a line, tags not to span lines, " +
-            "and text content not to contain literal '</' or '/>'. Reformat the input (e.g. xmllint --format).")
+            "and text content not to contain literal '</' or '/>'. Reformat the input (e.g. " +
+            "xmllint --format) or re-read with layout=\"record\" (single-pass per file).")
     }
     if (depthIn.last != 0)
       throw new IllegalStateException(
         s"XML splitter invariant violated: final element depth is ${depthIn.last}, expected 0 " +
           "(unclosed or over-closed tags as seen by the line-level scan). The splitter requires " +
           "record tags to begin a line, tags not to span lines, and text content not to contain " +
-          "literal '</' or '/>'. Reformat the input (e.g. xmllint --format).")
+          "literal '</' or '/>'. Reformat the input (e.g. xmllint --format) or re-read with " +
+          "layout=\"record\" (single-pass per file).")
+    if (midViolated)
+      throw new IllegalStateException(
+        "XML layout violation: a record start tag does not begin its line (depth-1 mid-line " +
+          "start), so the line splitter would silently merge that record into the previous " +
+          "chunk. Re-read with layout=\"auto\" or layout=\"record\", or reformat the input " +
+          "(e.g. xmllint --format).")
 
     // job 2: boundary fragments per partition — (head lines before the
     // first true start; tail lines from the last true start; #starts)
@@ -248,6 +370,184 @@ object XmlRecords {
     val rows = inner.union(boundaryRdd).map { r =>
       Row(r.recordType, r.pos, r.attrs,
         r.children.map(c => Row(c.tag, c.text, c.attrs)))
+    }
+    spark.createDataFrame(rows, rowSchema)
+  }
+
+  /** Streaming record chunker for arbitrary-layout XML: a minimal
+    * quote/comment/CDATA/PI-aware lexer over a character stream that
+    * emits the raw text of each record-type element opening at depth 1
+    * (directly under the root) — no line-structure assumptions at all.
+    * Entity references pass through untouched; the caller expands them
+    * with [[Dtd.expandEntities]] before the StAX parse, exactly like
+    * the line-mode path, so both layouts share one parse semantics.
+    * Memory is bounded by one record chunk.
+    */
+  private[xml] final class RecordChunkIterator(
+      reader: java.io.Reader,
+      recordTypes: Set[String]) extends Iterator[String] {
+    private var depth = 0
+    private var buf: StringBuilder = null // non-null while inside a record
+    private var pending: String = null
+    private var eof = false
+
+    override def hasNext: Boolean = {
+      if (pending == null && !eof) advance()
+      pending != null
+    }
+
+    override def next(): String = {
+      if (!hasNext) throw new NoSuchElementException("RecordChunkIterator")
+      val r = pending; pending = null; r
+    }
+
+    private def advance(): Unit = {
+      while (pending == null && !eof) {
+        val c = reader.read()
+        if (c < 0) { eof = true; reader.close() }
+        else if (c == '<') handleMarkup()
+        else if (buf != null) buf.append(c.toChar)
+      }
+    }
+
+    /** Consume chars until the literal `end` has been consumed,
+      * appending everything to `sb` when capturing. Rolling-window
+      * match, so terminators with repeated prefixes ("x]]]>") land
+      * correctly.
+      */
+    private def consumeUntil(end: String, sb: StringBuilder): Unit = {
+      val k = end.length
+      val tail = new Array[Char](k)
+      var n = 0
+      var done = false
+      while (!done) {
+        val c = reader.read()
+        if (c < 0) { eof = true; done = true }
+        else {
+          if (sb != null) sb.append(c.toChar)
+          var i = 0
+          while (i < k - 1) { tail(i) = tail(i + 1); i += 1 }
+          tail(k - 1) = c.toChar
+          n += 1
+          if (n >= k) {
+            var ok = true
+            var j = 0
+            while (ok && j < k) { if (tail(j) != end.charAt(j)) ok = false; j += 1 }
+            if (ok) done = true
+          }
+        }
+      }
+    }
+
+    private def handleMarkup(): Unit = reader.read() match {
+      case -1 => eof = true
+      case '!' =>
+        reader.read() match {
+          case '-' => // comment "<!--": the second '-' follows
+            reader.read()
+            if (buf != null) buf.append("<!--")
+            consumeUntil("-->", buf)
+          case '[' => // CDATA "<![CDATA[": consume the remaining "CDATA["
+            var i = 0
+            while (i < 6) { reader.read(); i += 1 }
+            if (buf != null) buf.append("<![CDATA[")
+            consumeUntil("]]>", buf)
+          case first => // DOCTYPE/decl: skip to '>' outside quotes/internal subset
+            var c = first
+            var inSubset = false
+            var quote = 0
+            var done = false
+            while (!done) {
+              if (c < 0) { eof = true; done = true }
+              else if (quote != 0) { if (c == quote) quote = 0 }
+              else if (c == '"' || c == '\'') quote = c
+              else if (c == '[') inSubset = true
+              else if (c == ']') inSubset = false
+              else if (c == '>' && !inSubset) done = true
+              if (!done) c = reader.read()
+            }
+          // declarations live in the prolog, never inside a record
+        }
+      case '?' => // processing instruction
+        if (buf != null) buf.append("<?")
+        consumeUntil("?>", buf)
+      case '/' => // close tag
+        val sb = new StringBuilder("</")
+        var c = reader.read()
+        while (c >= 0 && c != '>') { sb.append(c.toChar); c = reader.read() }
+        if (c < 0) eof = true else sb.append('>')
+        if (buf != null) buf.append(sb)
+        depth -= 1
+        if (buf != null && depth == 1) { pending = buf.toString; buf = null }
+      case first => // open tag, quote-aware scan for its '>'
+        val sb = new StringBuilder("<")
+        sb.append(first.toChar)
+        var quote = 0
+        var c = reader.read()
+        while (c >= 0 && !(c == '>' && quote == 0)) {
+          if (quote != 0) { if (c == quote) quote = 0 }
+          else if (c == '"' || c == '\'') quote = c
+          sb.append(c.toChar)
+          c = reader.read()
+        }
+        if (c < 0) eof = true else sb.append('>')
+        val tag = sb.toString
+        val selfClosing = tag.length >= 3 && tag.charAt(tag.length - 2) == '/'
+        var j = 1
+        while (j < tag.length &&
+          (tag.charAt(j).isLetterOrDigit || "._-:".indexOf(tag.charAt(j)) >= 0)) j += 1
+        val name = tag.substring(1, j)
+        if (buf == null && depth == 1 && recordTypes(name)) buf = new StringBuilder
+        if (buf != null) buf.append(tag)
+        if (selfClosing) {
+          if (buf != null && depth == 1) { pending = buf.toString; buf = null }
+        } else depth += 1
+    }
+  }
+
+  /** Arbitrary-layout fallback reader (the capability gap vs the
+    * reference's iterparse, /root/reference/XMLToCSV.py:109,152, which
+    * accepts any physical layout): one sequential StAX-chunked pass
+    * PER FILE, files processed in parallel (`binaryFiles`). Record
+    * `pos` is (sorted-file-ordinal << 40 | record-ordinal) — monotonic
+    * in document order like the line path.
+    *
+    * Scale note: an arbitrary-layout single file is inherently
+    * sequential to split safely (any byte offset may sit inside a tag,
+    * comment, or CDATA section, and only a prefix scan disambiguates);
+    * parallelism comes from the file count. Line-formatted dumps —
+    * the common case — should use (and with layout="auto"
+    * automatically keep) the distributed line splitter.
+    */
+  def readRowsSinglePass(
+      spark: SparkSession,
+      xmlPath: String,
+      dtd: Dtd,
+      minPartitions: Int = 0,
+      permissive: Boolean = false,
+      validate: Boolean = false): DataFrame = {
+    val malformed = spark.sparkContext.longAccumulator("graft.xml.malformed")
+    val tryParse = mkTryParse(permissive, validate, malformed)
+    val files =
+      if (minPartitions > 0) spark.sparkContext.binaryFiles(xmlPath, minPartitions)
+      else spark.sparkContext.binaryFiles(xmlPath)
+    // deterministic file ordinal: sorted path order (metadata-only job)
+    val fileIdx = files.map(_._1).collect().sorted.zipWithIndex.toMap
+    val idxB = spark.sparkContext.broadcast(fileIdx)
+    val dtdB = spark.sparkContext.broadcast(dtd)
+    val rows = files.flatMap { case (path, pds) =>
+      val d = dtdB.value
+      val fi = idxB.value(path).toLong
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(pds.open(), java.nio.charset.StandardCharsets.UTF_8), 1 << 16)
+      val chunks = new RecordChunkIterator(reader, d.recordTypes)
+      var ordinal = -1L
+      chunks.flatMap { chunk =>
+        ordinal += 1
+        tryParse(d, d.expandEntities(chunk), (fi << 40) | ordinal)
+      }
+    }.map { r =>
+      Row(r.recordType, r.pos, r.attrs, r.children.map(c => Row(c.tag, c.text, c.attrs)))
     }
     spark.createDataFrame(rows, rowSchema)
   }

@@ -30,7 +30,12 @@ object XmlToCsv {
       relations: Seq[(String, String)] = Nil,
       singleFile: Boolean = true,
       permissive: Boolean = false,
-      validate: Boolean = false)
+      validate: Boolean = false,
+      // "auto" = distributed line splitter when the input is
+      // line-formatted (detected in the splitter's existing depth-scan
+      // job), single-pass-per-file StAX chunker otherwise; "line" /
+      // "record" force one path
+      layout: String = "auto")
 
   final case class Result(
       recordCounts: Map[String, Long],
@@ -53,7 +58,8 @@ object XmlToCsv {
     // cache the ROW form: a cached typed Dataset re-serializes objects
     // on every downstream scan
     val records = XmlRecords.readRows(spark, config.xmlFile, dtd,
-      permissive = config.permissive, validate = config.validate).persist()
+      permissive = config.permissive, validate = config.validate,
+      layout = config.layout).persist()
     try {
       timed("parse")(records.count())
       val schema = timed("inferColumns")(Flatten.inferColumns(
@@ -201,7 +207,7 @@ object XmlToCsv {
     * [--neo4j] [--relations attr:rel ...]
     */
   def main(args: Array[String]): Unit = {
-    val usage = "usage: XmlToCsv <xml> <dtd> <out.csv> [--annotate] [--neo4j] [--validate] [--relations attr:rel ...]"
+    val usage = "usage: XmlToCsv <xml> <dtd> <out.csv> [--annotate] [--neo4j] [--validate] [--layout line|record|auto] [--relations attr:rel ...]"
     require(args.length >= 3, usage)
     var config = Config(args(0), args(1), args(2))
     var i = 3
@@ -212,6 +218,9 @@ object XmlToCsv {
         case "--dirs" => config = config.copy(singleFile = false); i += 1 // distributed multi-part output
         case "--permissive" => config = config.copy(permissive = true); i += 1 // skip malformed records
         case "--validate" => config = config.copy(validate = true); i += 1 // strict DTD vocabulary validation
+        case "--layout" => // line | record | auto (default auto)
+          require(i + 1 < args.length, "--layout needs a value: line|record|auto")
+          config = config.copy(layout = args(i + 1)); i += 2
         case "--relations" =>
           i += 1
           val rels = Seq.newBuilder[(String, String)]

@@ -78,4 +78,35 @@ class TextAnalysisSpec extends SparkTestBase {
       .select(TextAnalysis.bpeishTokens(col("t")).as("toks"))
     assert(df.as[Seq[String]].head() == Seq("don", "'", "t", "stop", ",", "42", "times", "!"))
   }
+
+  test("repetitionMetrics: unique/top-token/top-bigram fractions") {
+    import spark.implicits._
+    val df = TextAnalysis.repetitionMetrics(
+      Seq(
+        (1L, "a a a b"),   // 4 toks, 2 uniq, top 'a'=3; bigrams: "a a"x2,"a b" -> 2/3
+        (2L, "x y"),       // 2 toks all uniq; 1 bigram
+        (3L, "solo"),      // single token: no bigram row -> null
+        (4L, "   ")        // empty after trim: dropped entirely
+      ).toDF("doc_id", "text"),
+      col("doc_id"), col("text")).orderBy("doc_id").collect()
+    assert(df.length == 3)
+    val r1 = df(0)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Double]("uniq_ratio") == 0.5)
+    assert(r1.getAs[Double]("top_token_frac") == 0.75)
+    assert(r1.getAs[Double]("top_bigram_frac") == 2.0 / 3)
+    assert(df(1).getAs[Double]("top_bigram_frac") == 1.0)
+    assert(df(2).isNullAt(df(2).fieldIndex("top_bigram_frac")))
+  }
+
+  test("redactPii replaces emails and long digit runs, counts on the raw text") {
+    import spark.implicits._
+    val r = TextAnalysis.redactPii(
+      Seq((1L, "mail a.b+c@ex-ample.org or call 0123456789 ext 42"))
+        .toDF("doc_id", "text"),
+      col("doc_id"), col("text")).head()
+    assert(r.getAs[String]("redacted") == "mail <EMAIL> or call <NUM> ext 42")
+    assert(r.getAs[Long]("n_emails") == 1L)
+    assert(r.getAs[Long]("n_long_nums") == 1L)
+  }
 }

@@ -72,15 +72,30 @@ class XmlRecordsSpec extends SparkTestBase {
   test("mid-line record start aborts loudly instead of dropping the record") {
     val f = Files.createTempFile("xmlmid", ".xml")
     // record "b" starts mid-line — the line splitter cannot see it, so
-    // it lands in record "a"'s chunk; before the guard it was silently
-    // dropped, now the parse fails with a clear message
+    // it would land in record "a"'s chunk; the depth-aware layout scan
+    // now rejects it up front (it used to surface later as a
+    // trailing-content parse failure)
     Files.write(f, ("<dblp>\n<article key=\"a\">\n<title>t</title>\n" +
       "</article><article key=\"b\"><title>u</title></article>\n</dblp>\n").getBytes("UTF-8"))
-    val e = intercept[org.apache.spark.SparkException] {
+    val e = intercept[IllegalStateException] {
       XmlRecords.readRows(spark, f.toString, dtd).collect()
     }
-    assert(e.getMessage.contains("trailing") || e.getCause != null &&
-      e.getCause.getMessage.contains("trailing"))
+    assert(e.getMessage.contains("layout violation"))
+    // ...and layout="auto" reads the same file correctly instead
+    val recs = XmlRecords.readRows(spark, f.toString, dtd, layout = "auto").collect()
+    assert(recs.length == 2)
+  }
+
+  test("mid-line NESTED vocabulary tags (inline markup) do not trip the line splitter") {
+    val f = Files.createTempFile("xmlinline", ".xml")
+    // author/title open mid-line at depth 2 — like DBLP's <i> inside a
+    // title; only depth-1 mid-line starts are record boundaries, so
+    // line mode must keep handling this without falling back
+    Files.write(f, ("<dblp>\n<article key=\"a\">\n" +
+      "<author>A0</author><title>t0</title>\n</article>\n</dblp>\n").getBytes("UTF-8"))
+    val recs = XmlRecords.read(spark, f.toString, dtd).collect()
+    assert(recs.length == 1)
+    assert(recs(0).children.map(_.tag).sorted.toSeq == Seq("author", "title"))
   }
 
   test("text containing a literal '</' aborts loudly instead of mis-splitting") {
@@ -126,13 +141,50 @@ class XmlRecordsSpec extends SparkTestBase {
       permissive = true, validate = true).count() == 0)
   }
 
-  test("multi-line records with attributes on the start line parse whole") {
+  test("layout=record parses tags spanning lines (out of the line splitter's contract)") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
       .getBytes("UTF-8"))
-    // tags spanning lines are OUT of contract — this documents the
-    // constraint: start tag must close on its own line
-    // (DBLP dump format does)
-    succeed
+    val recs = XmlRecords.readRowsSinglePass(spark, f.toString, dtd).collect()
+    assert(recs.length == 1)
+    assert(recs(0).getMap[String, String](2)("key") == "a")
+  }
+
+  test("single-pass reader matches the line splitter on an arbitrary re-layout") {
+    // same 200 records, line-formatted vs mangled onto ONE line
+    val linePath = writeXml(200)
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(linePath)), "UTF-8")
+    val mangled = Files.createTempFile("xmlmangled", ".xml")
+    Files.write(mangled, text.replace("\n", "").getBytes("UTF-8"))
+
+    def canon(rs: Array[XmlRecord]) =
+      rs.sortBy(_.pos).map(r => (r.recordType, r.attrs, r.children.toList)).toSeq
+
+    val fromLines = XmlRecords.read(spark, linePath, dtd, minPartitions = 8).collect()
+    val fromStream = XmlRecords.readRowsSinglePass(spark, mangled.toString, dtd)
+      .as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord]).collect()
+    assert(canon(fromStream) == canon(fromLines))
+
+    // auto mode picks the right path for each physical layout
+    val autoLines = XmlRecords.readRows(spark, linePath, dtd, layout = "auto").count()
+    val autoMangled = XmlRecords.readRows(spark, mangled.toString, dtd, layout = "auto").count()
+    assert(autoLines == 200 && autoMangled == 200)
+  }
+
+  test("record chunker handles comments, CDATA, PIs, DOCTYPE subsets, '>' in attributes") {
+    val f = Files.createTempFile("xmlhairy", ".xml")
+    Files.write(f, ("<?xml version=\"1.0\"?><!DOCTYPE dblp [<!ENTITY y \"&#121;\">]>" +
+      "<!-- top <article> comment --><dblp><?pi data?><article key=\"a>b\" ><!-- inner --> " +
+      "<title>x&gt; <![CDATA[raw <tag> & stuff]]]> ok</title><author>A</author></article>" +
+      "<article key=\"c\"/></dblp>").getBytes("UTF-8"))
+    val recs = XmlRecords.readRowsSinglePass(spark, f.toString, dtd)
+      .as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord]).collect().sortBy(_.pos)
+    assert(recs.length == 2)
+    assert(recs(0).attrs("key") == "a>b")
+    val title = recs(0).children.find(_.tag == "title").get.text
+    // IS_COALESCING merges CDATA + text; "]]]>" inside CDATA ends at the
+    // real "]]>" terminator after "stuff]"
+    assert(title == "x> raw <tag> & stuff] ok")
+    assert(recs(1).attrs("key") == "c" && recs(1).children.isEmpty)
   }
 }
