@@ -20,10 +20,22 @@ final case class Dtd(
     elements: Set[String],
     entities: Map[String, String],
     attributeDefaults: Map[String, Map[String, String]],
-    declaredAttrs: Map[String, Set[String]] = Map.empty) {
+    declaredAttrs: Map[String, Set[String]] = Map.empty,
+    requiredAttrs: Map[String, Set[String]] = Map.empty,
+    contentModels: Map[String, String] = Map.empty) {
 
   /** Record-type vocabulary: declared elements minus the root. */
-  def recordTypes: Set[String] = elements - root
+  def recordTypes: Set[String] = recordTypesCache
+
+  @transient private lazy val recordTypesCache: Set[String] = elements - root
+
+  /** Compiled per-element content-model validators (strict mode's
+    * child-ordering/cardinality check — lxml `dtd_validation=True`
+    * semantics). Lazily compiled per JVM: the Dtd is broadcast, and
+    * regex Patterns recompile cheaply on each executor.
+    */
+  @transient lazy val compiledModels: Map[String, Dtd.ContentModel] =
+    contentModels.map { case (el, m) => el -> Dtd.compileModel(el, m) }
 
   /** Expand `&name;` entity references using this DTD's entity map plus
     * the five XML built-ins. Numeric character references pass through
@@ -42,12 +54,76 @@ final case class Dtd(
 
 object Dtd {
 
+  /** A compiled content model. `childPattern` matches the ";"-joined
+    * direct-child tag token string ("author;title;"); `textAllowed`
+    * covers #PCDATA/mixed/ANY; `empty` marks EMPTY (no text at all,
+    * not even whitespace).
+    */
+  final case class ContentModel(
+      element: String,
+      childPattern: java.util.regex.Pattern, // null = ANY (no constraint)
+      textAllowed: Boolean,
+      empty: Boolean) {
+    /** Throws on violation; `childTokens` is "tag;" per direct child in
+      * order, `hasAnyText`/`hasNonWsText` from the element's character
+      * events.
+      */
+    def check(childTokens: String, hasAnyText: Boolean, hasNonWsText: Boolean): Unit = {
+      if (empty && (childTokens.nonEmpty || hasAnyText))
+        throw new IllegalStateException(
+          s"DTD validation failed: element <$element> is declared EMPTY but has content")
+      if (!textAllowed && hasNonWsText)
+        throw new IllegalStateException(
+          s"DTD validation failed: element <$element> has element content but contains text")
+      if (childPattern != null && !childPattern.matcher(childTokens).matches())
+        throw new IllegalStateException(
+          s"DTD validation failed: children of <$element> " +
+            s"[${childTokens.stripSuffix(";").replace(";", ", ")}] do not match its content model")
+    }
+  }
+
+  private val modelToken =
+    """#PCDATA|[A-Za-z_][A-Za-z0-9._:-]*|[(),|?*+]""".r
+
+  /** Compile one DTD content model to a [[ContentModel]]. Standard
+    * construction: a content model IS a regular expression over the
+    * child-element alphabet — each name becomes the token "name;",
+    * `,` becomes concatenation, and `| ( ) ? * +` carry over.
+    */
+  private[xml] def compileModel(element: String, model: String): ContentModel = {
+    val m = model.trim
+    if (m == "EMPTY")
+      ContentModel(element, java.util.regex.Pattern.compile(""), textAllowed = false, empty = true)
+    else if (m == "ANY" || m.isEmpty)
+      ContentModel(element, null, textAllowed = true, empty = false)
+    else if (m.contains("#PCDATA")) {
+      // mixed content: (#PCDATA | a | b)* — children in any order and
+      // count, text anywhere
+      val names = modelToken.findAllIn(m).toSeq
+        .filter(t => t != "#PCDATA" && t.headOption.exists(c => c.isLetter || c == '_'))
+      val p =
+        if (names.isEmpty) java.util.regex.Pattern.compile("")
+        else java.util.regex.Pattern.compile(
+          names.map(n => java.util.regex.Pattern.quote(n + ";")).mkString("(?:(?:", "|", "))*"))
+      ContentModel(element, p, textAllowed = true, empty = false)
+    } else {
+      val sb = new StringBuilder
+      modelToken.findAllIn(m).foreach {
+        case "," => // concatenation
+        case t @ ("(" | ")" | "|" | "?" | "*" | "+") => sb.append(t)
+        case name => sb.append("(?:").append(java.util.regex.Pattern.quote(name + ";")).append(")")
+      }
+      ContentModel(element, java.util.regex.Pattern.compile(sb.toString),
+        textAllowed = false, empty = false)
+    }
+  }
+
   private val builtins = Map(
     "amp" -> "&amp;", "lt" -> "&lt;", "gt" -> "&gt;",
     "quot" -> "&quot;", "apos" -> "&apos;")
 
   private val entityRef = "&([A-Za-z][A-Za-z0-9._-]*);".r
-  private val elementDecl = """<!ELEMENT\s+([^\s(]+)""".r
+  private val elementDecl = """<!ELEMENT\s+([^\s(>]+)\s*([^>]*)>""".r
   private val entityDecl = """<!ENTITY\s+(\S+)\s+"([^"]*)"\s*>""".r
   private val attlistDecl = """(?s)<!ATTLIST\s+(\S+)\s+(.*?)>""".r
   // within an ATTLIST body: name, type, default (quoted literal or keyword)
@@ -63,9 +139,11 @@ object Dtd {
   }
 
   def parseString(text: String, rootOverride: Option[String] = None): Dtd = {
-    val elems = elementDecl.findAllMatchIn(text).map(_.group(1)).toVector
+    val elemMatches = elementDecl.findAllMatchIn(text).toVector
+    val elems = elemMatches.map(_.group(1))
     require(elems.nonEmpty, "DTD declares no elements")
     val root = rootOverride.getOrElse(elems.head)
+    val models = elemMatches.map(m => m.group(1) -> m.group(2).trim).toMap
 
     // entities may reference earlier entities; expand transitively
     val rawEntities = ListMap(entityDecl.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toSeq: _*)
@@ -105,6 +183,13 @@ object Dtd {
         elem -> groups.flatMap(_._2.map(_.group(1))).toSet
       }
 
-    Dtd(root, elems.toSet, entities, defaults, declared)
+    // #REQUIRED attributes per element — strict mode rejects elements
+    // missing one (lxml dtd_validation does)
+    val required: Map[String, Set[String]] =
+      attlists.groupBy(_._1).map { case (elem, groups) =>
+        elem -> groups.flatMap(_._2.filter(_.group(3) == "#REQUIRED").map(_.group(1))).toSet
+      }.filter(_._2.nonEmpty)
+
+    Dtd(root, elems.toSet, entities, defaults, declared, required, models)
   }
 }

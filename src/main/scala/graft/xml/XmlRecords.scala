@@ -188,13 +188,13 @@ object XmlRecords {
       acc: org.apache.spark.util.LongAccumulator): (Dtd, String, Long) => Option[XmlRecord] = {
     val strict = validate
     if (!permissive) (d, body, pos) => {
-      val r = parseRecord(body, pos)
+      val r = parseRecord(body, pos, if (strict) d.compiledModels else null)
       if (strict) r.foreach(validateAgainstDtd(d, _))
       r
     }
     else (d, body, pos) =>
       try {
-        val r = parseRecord(body, pos)
+        val r = parseRecord(body, pos, if (strict) d.compiledModels else null)
         if (strict) r.foreach(validateAgainstDtd(d, _))
         r
       } catch {
@@ -562,11 +562,13 @@ object XmlRecords {
 
   /** Strict DTD validation (the reference's `dtd_validation=True`,
     * /root/reference/XMLToCSV.py:109,152): every element of the record
-    * (itself and all descendants) must be declared in the DTD, and
-    * every attribute must be declared in the element's ATTLIST. Content
-    * models (child ordering/cardinality) are not checked — the
-    * reference's use of validation is vocabulary enforcement, and full
-    * content-model checking buys nothing for tabular extraction.
+    * (itself and all descendants) must be declared in the DTD, every
+    * attribute must be declared in the element's ATTLIST, and
+    * #REQUIRED attributes must be present. Content models (child
+    * ordering/cardinality, EMPTY, text-in-element-content) are checked
+    * structurally during the parse itself (see the `models` parameter
+    * of [[parseRecord]]) because the flattened record no longer knows
+    * each element's direct children.
     */
   private[xml] def validateAgainstDtd(dtd: Dtd, rec: XmlRecord): Unit = {
     def checkAttrs(tag: String, attrs: Map[String, String]): Unit = {
@@ -574,6 +576,10 @@ object XmlRecords {
       attrs.keys.find(!declared.contains(_)).foreach { a =>
         throw new IllegalStateException(
           s"DTD validation failed: attribute '$a' of <$tag> is not declared in the DTD")
+      }
+      dtd.requiredAttrs.getOrElse(tag, Set.empty).find(!attrs.contains(_)).foreach { a =>
+        throw new IllegalStateException(
+          s"DTD validation failed: required attribute '$a' of <$tag> is missing")
       }
     }
     def checkElem(tag: String): Unit =
@@ -593,11 +599,29 @@ object XmlRecords {
     */
   def parseRecordString(body: String, pos: Long): Option[XmlRecord] = parseRecord(body, pos)
 
+  /** Per-open-element frame for structural (content-model) validation:
+    * the ";"-joined direct-child tag tokens in document order, plus
+    * text presence flags.
+    */
+  private final class VFrame {
+    val children = new StringBuilder
+    var anyText = false
+    var nonWsText = false
+  }
+
   /** Parse one record chunk: the first element is the record; every
     * nested element (any depth) becomes an XmlChild with its
     * before-first-child text, mirroring lxml `.text`.
+    *
+    * When `models` is non-null, every element's direct-child sequence
+    * and text content are checked against its compiled DTD content
+    * model as the element CLOSES — the flattened XmlRecord cannot
+    * carry this (it loses nesting), so strict mode validates here.
     */
-  private[xml] def parseRecord(body: String, pos: Long): Option[XmlRecord] = {
+  private[xml] def parseRecord(
+      body: String,
+      pos: Long,
+      models: Map[String, Dtd.ContentModel] = null): Option[XmlRecord] = {
     val r = factory.createXMLStreamReader(new StringReader(body))
     try {
       var recordType: String = null
@@ -606,10 +630,19 @@ object XmlRecords {
       var depth = 0
       // per-depth state for the element currently open at that depth
       var stack: List[(String, Map[String, String], StringBuilder, Boolean)] = Nil
+      // structural-validation frames, one per open element (record incl.)
+      var vstack: List[VFrame] = Nil
 
       def attrsOf(): Map[String, String] =
         (0 until r.getAttributeCount).map(i =>
           r.getAttributeLocalName(i) -> r.getAttributeValue(i)).toMap
+
+      def vClose(tag: String): Unit =
+        if (models != null && vstack.nonEmpty) {
+          val f = vstack.head
+          vstack = vstack.tail
+          models.get(tag).foreach(_.check(f.children.toString, f.anyText, f.nonWsText))
+        }
 
       var done = false
       while (!done && r.hasNext) {
@@ -626,19 +659,36 @@ object XmlRecords {
               }
               stack = (r.getLocalName, attrsOf(), new StringBuilder, false) :: stack
             }
+            if (models != null) {
+              if (vstack.nonEmpty)
+                vstack.head.children.append(r.getLocalName).append(';')
+              vstack = new VFrame :: vstack
+            }
             depth += 1
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>
             stack match {
               case (t, a, sb, seenChild) :: _ if !seenChild => sb.append(r.getText)
               case _ => // record-level text or text after a nested child: ignored (lxml .text semantics)
             }
+            if (models != null && vstack.nonEmpty) {
+              val txt = r.getText
+              if (txt.nonEmpty) {
+                vstack.head.anyText = true
+                if (!vstack.head.nonWsText) {
+                  var i = 0
+                  while (i < txt.length && Character.isWhitespace(txt.charAt(i))) i += 1
+                  if (i < txt.length) vstack.head.nonWsText = true
+                }
+              }
+            }
           case XMLStreamConstants.END_ELEMENT =>
             depth -= 1
-            if (depth == 0) done = true
+            if (depth == 0) { vClose(recordType); done = true }
             else {
               val (t, a, sb, _) = stack.head
               stack = stack.tail
               children += XmlChild(t, if (sb.isEmpty) null else sb.toString, a)
+              vClose(t)
             }
           case _ =>
         }

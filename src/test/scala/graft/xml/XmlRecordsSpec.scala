@@ -141,6 +141,58 @@ class XmlRecordsSpec extends SparkTestBase {
       permissive = true, validate = true).count() == 0)
   }
 
+  test("strict mode validates content models: ordering, cardinality, EMPTY, mixed, #REQUIRED") {
+    val vdtd = Dtd.parseString(
+      """<!ELEMENT dblp (article|note|mark)*>
+        |<!ELEMENT article (author, title, year?)>
+        |<!ELEMENT author (#PCDATA)>
+        |<!ELEMENT title (#PCDATA|em)*>
+        |<!ELEMENT em (#PCDATA)>
+        |<!ELEMENT year (#PCDATA)>
+        |<!ELEMENT note EMPTY>
+        |<!ELEMENT mark (#PCDATA)>
+        |<!ATTLIST article key CDATA #REQUIRED>
+        |""".stripMargin)
+    def run(body: String): Long = {
+      val f = Files.createTempFile("xmlcm", ".xml")
+      Files.write(f, s"<dblp>\n$body\n</dblp>\n".getBytes("UTF-8"))
+      XmlRecords.readRows(spark, f.toString, vdtd, validate = true).count()
+    }
+    def fails(body: String, needle: String): Unit = {
+      val e = intercept[org.apache.spark.SparkException] { run(body) }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains(needle), s"wanted '$needle' in: $msg")
+    }
+    // in-order with optional year, mixed-content title with <em>, EMPTY note
+    assert(run("<article key=\"a\">\n<author>A</author>\n" +
+      "<title>t <em>x</em> u</title>\n<year>2020</year>\n</article>\n<note/>") == 2)
+    // order violated: title before author
+    fails("<article key=\"a\">\n<title>t</title>\n<author>A</author>\n</article>",
+      "do not match its content model")
+    // cardinality violated: year appears twice (year?)
+    fails("<article key=\"a\">\n<author>A</author>\n<title>t</title>\n" +
+      "<year>1</year>\n<year>2</year>\n</article>", "do not match its content model")
+    // EMPTY element with text
+    fails("<note>boom</note>", "declared EMPTY but has content")
+    // non-whitespace text in element content
+    fails("<article key=\"a\">\n<author>A</author>\nstray text\n<title>t</title>\n</article>",
+      "contains text")
+    // #REQUIRED attribute missing
+    fails("<article>\n<author>A</author>\n<title>t</title>\n</article>",
+      "required attribute 'key'")
+    // non-strict mode accepts all of them (well-formed XML)
+    val f = Files.createTempFile("xmlcm2", ".xml")
+    Files.write(f, ("<dblp>\n<article>\n<title>t</title>\n<author>A</author>\n" +
+      "</article>\n<note>boom</note>\n</dblp>\n").getBytes("UTF-8"))
+    assert(XmlRecords.readRows(spark, f.toString, vdtd).count() == 2)
+    // permissive + validate skips only the invalid records
+    val g = Files.createTempFile("xmlcm3", ".xml")
+    Files.write(g, ("<dblp>\n<article key=\"ok\">\n<author>A</author>\n<title>t</title>\n" +
+      "</article>\n<note>boom</note>\n</dblp>\n").getBytes("UTF-8"))
+    assert(XmlRecords.readRows(spark, g.toString, vdtd,
+      permissive = true, validate = true).count() == 1)
+  }
+
   test("layout=record parses tags spanning lines (out of the line splitter's contract)") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
