@@ -60,4 +60,37 @@ class PlanSpec extends SparkTestBase {
     val exchangeLine = plan.linesIterator.find(_.contains("Exchange hashpartitioning")).getOrElse("")
     assert(exchangeLine.contains("fp"), plan)
   }
+
+  test("redactPii and hashSplit are map-only: zero exchanges, codegen'd") {
+    // spark.range, not a local Seq: literal inputs constant-fold into a
+    // LocalTableScan and there is no plan left to assert on
+    val df = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("doc "), col("id"), lit(" mail@x.org")).as("text"))
+    val redact = TextAnalysis.redactPii(df, col("doc_id"), col("text"))
+    assert(Scale.countShuffles(redact) == 0, redact.queryExecution.executedPlan.toString)
+    val split = Sampling.hashSplit(df, col("doc_id"), Seq("a" -> 50, "b" -> 50))
+    assert(Scale.countShuffles(split) == 0, split.queryExecution.executedPlan.toString)
+    // both stay inside whole-stage codegen (no CodegenFallback HOFs) —
+    // the "*(n)" prefix is the codegen marker in the plan toString
+    assert(redact.queryExecution.executedPlan.toString.startsWith("*("))
+    assert(split.queryExecution.executedPlan.toString.startsWith("*("))
+  }
+
+  test("repetitionMetrics: aggregate levels only — no window, bounded shuffles") {
+    import spark.implicits._
+    val df = (0L until 30L).map(i => (i, s"a b a c w$i")).toDF("doc_id", "text")
+    val result = TextAnalysis.repetitionMetrics(df, col("doc_id"), col("text"))
+    val plan = result.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    // two (doc,gram)->doc aggregate chains + the doc_id join: every
+    // exchange carries skinny count rows, never document text
+    assert(Scale.countShuffles(result) <= 6, plan)
+  }
+
+  test("deterministic sample pushes its bucket filter into the scan stage") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = Sampling.hashSample(docs, col("doc_id"), 1, 10)
+    assert(Scale.countShuffles(kept) == 0,
+      kept.queryExecution.executedPlan.toString)
+  }
 }
