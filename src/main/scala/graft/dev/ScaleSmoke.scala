@@ -71,9 +71,13 @@ object ScaleSmoke {
     // to a 1k-query batch.
     val ndBuckets = math.sqrt(nDocs.toDouble).toInt.max(64)
     val annBuckets = 256
-    val ann = time(s"ivfTopK (1k queries, B=$annBuckets)")(
-      graft.operators.Similarity.ivfTopK(
-        vecs.where(col("id") < 1000), vecs, k = 5, nBuckets = annBuckets).count())
+    val index = graft.operators.Similarity.ivfIndex(
+      vecs.select(col("id"), col("vec")), nBuckets = annBuckets)
+    index.assigned.persist()
+    time(s"ivf index build (B=$annBuckets)")(index.assigned.count())
+    val ann = time("ivfTopK serve (1k queries, indexed)")(
+      graft.operators.Similarity.ivfTopKIndexed(
+        vecs.where(col("id") < 1000), index, k = 5).count())
     val nd = time(s"embeddingNearDups (B=$ndBuckets)")(
       Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = ndBuckets).count())

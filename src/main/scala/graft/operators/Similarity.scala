@@ -157,26 +157,47 @@ object Similarity {
       .where(col("rk") <= nProbe)
       .select(col("doc_id"), col("v"), col("v_norm"), col("cent_id").as("bucket"))
 
-  /** IVF top-k: the corpus is coarse-assigned to its single nearest
-    * bucket; queries probe their `nProbe` nearest buckets, then the
-    * scan+rank runs per bucket. The join key is the bucket — at scale,
-    * pre-partitioning the corpus by bucket makes this a co-located
-    * join with no corpus shuffle per query batch. With
-    * nProbe = nBuckets the result equals [[bruteForceTopK]] exactly
-    * (every bucket is scanned) — the property `SimilaritySpec` pins.
+  /** A built IVF index: the centroid table and the coarse-assigned
+    * corpus (bucket, neighbor_id, c_vec, c_norm). The N*nBuckets
+    * assignment cost lives HERE, paid once at build time — persist
+    * `assigned` (or write it bucket-partitioned/bucketed to parquet)
+    * and serve every query batch against it via [[ivfTopKIndexed]];
+    * per-batch work is then only the probe + in-bucket scan.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int, nProbe: Int = 1): DataFrame = {
+  final case class IvfIndex(cents: DataFrame, assigned: DataFrame)
+
+  /** Build an IVF index with the deterministic id<nBuckets centroid
+    * bootstrap (swap in [[trainCentroids]] output via [[ivfIndexWith]]
+    * for data-distribution-following centroids).
+    */
+  def ivfIndex(corpus: DataFrame, nBuckets: Int): IvfIndex = {
     val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
     val cents = corpusIn.where(col("doc_id") < nBuckets)
       .select(col("doc_id").as("cent_id"), col("v").as("cent_v"))
-    val corpusAssigned = ivfAssignWith(corpusIn, cents)
+    ivfIndexWith(corpus, cents)
+  }
+
+  /** Build an IVF index against an explicit centroid table. */
+  def ivfIndexWith(corpus: DataFrame, cents: DataFrame): IvfIndex = {
+    val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
+    val assigned = ivfAssignWith(corpusIn, cents)
       .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"),
         col("v_norm").as("c_norm"))
+    IvfIndex(cents, assigned)
+  }
+
+  /** Serve a query batch against a built index: probe `nProbe` nearest
+    * buckets per query, scan + rank within them. The join key is the
+    * bucket — at scale, the persisted `assigned` side pre-partitioned
+    * by bucket makes this a co-located join with no corpus shuffle per
+    * batch.
+    */
+  def ivfTopKIndexed(queries: DataFrame, index: IvfIndex, k: Int, nProbe: Int = 1): DataFrame = {
     val queriesAssigned = ivfProbe(
-      queries.select(col("id").as("doc_id"), col("vec").as("v")), cents, nProbe)
+      queries.select(col("id").as("doc_id"), col("vec").as("v")), index.cents, nProbe)
       .select(col("bucket"), col("doc_id").as("query_id"), col("v").as("q_vec"),
         col("v_norm").as("q_norm"))
-    queriesAssigned.join(corpusAssigned, Seq("bucket"))
+    queriesAssigned.join(index.assigned, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
@@ -186,4 +207,11 @@ object Similarity {
       .where(col("rk") <= k)
       .drop("rk")
   }
+
+  /** IVF top-k in one shot (index built inline): with nProbe = nBuckets
+    * the result equals [[bruteForceTopK]] exactly (every bucket is
+    * scanned) — the property `SimilaritySpec` pins.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int, nProbe: Int = 1): DataFrame =
+    ivfTopKIndexed(queries, ivfIndex(corpus, nBuckets), k, nProbe)
 }

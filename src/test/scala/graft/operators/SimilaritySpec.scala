@@ -65,6 +65,24 @@ class SimilaritySpec extends SparkTestBase {
     assert((p1 intersect brute).size <= (p4 intersect brute).size)
   }
 
+  test("a built (persisted) index serves multiple query batches identically to inline ivfTopK") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until 60).map(i =>
+      (i.toLong, Seq.fill(8)(rnd.nextDouble() - 0.5))).toDF("id", "vec")
+    val index = Similarity.ivfIndex(corpus, nBuckets = 6)
+    index.assigned.persist() // the build-once artifact
+    try {
+      Seq(col("id") < 5, col("id") >= 5 && col("id") < 10).foreach { batch =>
+        val served = Similarity.ivfTopKIndexed(corpus.where(batch), index, k = 3, nProbe = 2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        val inline = Similarity.ivfTopK(corpus.where(batch), corpus, k = 3, nBuckets = 6, nProbe = 2)
+          .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+        assert(served == inline)
+      }
+    } finally index.assigned.unpersist()
+  }
+
   test("ivfTopK: bucket-restricted search still finds in-bucket neighbors") {
     import spark.implicits._
     // centroids = ids 0,1; cluster A near (1,0), cluster B near (0,1)
