@@ -130,6 +130,50 @@ object StreamingOps {
       .toDF("doc_id", "fp")
   }
 
+  // ------------------------------------------------------------------
+  // Stream-static composition
+  // ------------------------------------------------------------------
+
+  /** Stream-static broadcast enrichment: join an unbounded stream with
+    * a bounded dimension table. Broadcasting the static side keeps the
+    * stream map-only (append mode, no stream-side shuffle, no state) —
+    * the standard shape for attaching dimensions to a firehose.
+    */
+  def enrichWithStatic(stream: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
+  /** Streaming benchmark decontamination: tag each ARRIVING document
+    * with how many distinct hashed word shingles it shares with a
+    * static benchmark set, fully stateless and append-mode: the
+    * benchmark side (small by nature) is materialized ONCE into a
+    * literal hash array carried by the plan, so every micro-batch is a
+    * map-only pass — no stateful aggregation, no state-store growth.
+    * The incremental counterpart of [[graft.operators.Dedup.contamination]];
+    * for benchmark sets too large for a plan literal (tens of millions
+    * of shingles), switch to [[enrichWithStatic]]-style per-batch
+    * broadcast joins instead.
+    */
+  def streamingContamination(
+      stream: DataFrame,
+      id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column,
+      benchShingles: Array[Long],
+      n: Int = 3): DataFrame = {
+    val sh = graft.functions.MinHash.shingleHashes(text, n)
+    stream.select(id.as("doc_id"),
+      size(array_intersect(sh, typedLit(benchShingles))).cast("long").as("n_shared"))
+  }
+
+  /** Collect a benchmark corpus's distinct hashed shingles (driver-
+    * side array for [[streamingContamination]]'s plan literal).
+    */
+  def benchShingleHashes(bench: DataFrame, id: org.apache.spark.sql.Column,
+      text: org.apache.spark.sql.Column, n: Int = 3): Array[Long] = {
+    import bench.sparkSession.implicits._
+    graft.operators.Dedup.explodedHashedShingles(bench, id, text, n)
+      .select(col("h")).distinct().as[Long].collect()
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,

@@ -22,7 +22,9 @@ final case class Dtd(
     attributeDefaults: Map[String, Map[String, String]],
     declaredAttrs: Map[String, Set[String]] = Map.empty,
     requiredAttrs: Map[String, Set[String]] = Map.empty,
-    contentModels: Map[String, String] = Map.empty) {
+    contentModels: Map[String, String] = Map.empty,
+    enumAttrs: Map[String, Map[String, Set[String]]] = Map.empty,
+    fixedAttrs: Map[String, Map[String, String]] = Map.empty) {
 
   /** Record-type vocabulary: declared elements minus the root. */
   def recordTypes: Set[String] = recordTypesCache
@@ -190,6 +192,26 @@ object Dtd {
         elem -> groups.flatMap(_._2.filter(_.group(3) == "#REQUIRED").map(_.group(1))).toSet
       }.filter(_._2.nonEmpty)
 
-    Dtd(root, elems.toSet, entities, defaults, declared, required, models)
+    // enumerated attribute types "(a|b|c)" — strict mode rejects values
+    // outside the enumeration
+    val enums: Map[String, Map[String, Set[String]]] =
+      attlists.groupBy(_._1).map { case (elem, groups) =>
+        elem -> groups.flatMap(_._2.collect {
+          case a if a.group(2).startsWith("(") =>
+            a.group(1) -> a.group(2).stripPrefix("(").stripSuffix(")")
+              .split('|').map(_.trim).toSet
+        }).toMap
+      }.filter(_._2.nonEmpty)
+
+    // #FIXED "v" attributes — if present, the value must equal v
+    val fixed: Map[String, Map[String, String]] =
+      attlists.groupBy(_._1).map { case (elem, groups) =>
+        elem -> groups.flatMap(_._2.collect {
+          case a if a.group(3).startsWith("#FIXED") =>
+            a.group(1) -> a.group(3).dropWhile(_ != '"').stripPrefix("\"").stripSuffix("\"")
+        }).toMap
+      }.filter(_._2.nonEmpty)
+
+    Dtd(root, elems.toSet, entities, defaults, declared, required, models, enums, fixed)
   }
 }

@@ -581,6 +581,19 @@ object XmlRecords {
         throw new IllegalStateException(
           s"DTD validation failed: required attribute '$a' of <$tag> is missing")
       }
+      dtd.enumAttrs.getOrElse(tag, Map.empty).foreach { case (a, allowed) =>
+        attrs.get(a).filterNot(allowed).foreach { v =>
+          throw new IllegalStateException(
+            s"DTD validation failed: attribute '$a' of <$tag> has value '$v' outside its " +
+              s"enumeration ${allowed.toSeq.sorted.mkString("(", "|", ")")}")
+        }
+      }
+      dtd.fixedAttrs.getOrElse(tag, Map.empty).foreach { case (a, want) =>
+        attrs.get(a).filter(_ != want).foreach { v =>
+          throw new IllegalStateException(
+            s"DTD validation failed: #FIXED attribute '$a' of <$tag> must be '$want', got '$v'")
+        }
+      }
     }
     def checkElem(tag: String): Unit =
       if (!dtd.elements.contains(tag))

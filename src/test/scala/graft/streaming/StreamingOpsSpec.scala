@@ -77,6 +77,48 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichWithStatic joins a stream against a broadcast dimension in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "EU"), (2L, "US")).toDF("region_id", "region_name")
+    val mem = MemoryStream[(Long, Long)]
+    val enriched = StreamingOps.enrichWithStatic(
+      mem.toDF().toDF("event_id", "region_id"), dim, Seq("region_id"))
+    val q = enriched.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((10L, 1L), (11L, 2L), (12L, 99L)) // 99 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enriched").select("event_id", "region_name")
+        .as[(Long, Option[String])].collect().toSet
+      assert(rows == Set((10L, Some("EU")), (11L, Some("US")), (12L, None)))
+    } finally q.stop()
+  }
+
+  test("streamingContamination flags arriving docs sharing shingles with a static bench set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val benchHashes = StreamingOps.benchShingleHashes(
+      bench, col("doc_id"), col("text"), n = 3)
+    assert(benchHashes.length == 3) // 5 tokens -> 3 trigram shingles
+
+    val mem = MemoryStream[(Long, String)]
+    val tagged = StreamingOps.streamingContamination(
+      mem.toDF().toDF("doc_id", "text"), col("doc_id"), col("text"), benchHashes, n = 3)
+    val q = tagged.writeStream.format("memory").queryName("contam")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "alpha beta gamma delta epsilon"), // all 3 shingles shared
+        (2L, "zeta eta theta iota"),            // nothing shared
+        (3L, "x alpha beta gamma y"))           // 1 shared trigram
+      q.processAllAvailable()
+      val rows = spark.table("contam").as[(Long, Long)].collect().toMap
+      assert(rows == Map(1L -> 3L, 2L -> 0L, 3L -> 1L))
+    } finally q.stop()
+  }
+
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xmlstream")

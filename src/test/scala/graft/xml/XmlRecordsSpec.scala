@@ -193,6 +193,32 @@ class XmlRecordsSpec extends SparkTestBase {
       permissive = true, validate = true).count() == 1)
   }
 
+  test("strict mode validates enumerated and #FIXED attribute values") {
+    val vdtd = Dtd.parseString(
+      """<!ELEMENT dblp (article)*>
+        |<!ELEMENT article (#PCDATA)>
+        |<!ATTLIST article kind (journal|conf) #IMPLIED version CDATA #FIXED "1" note CDATA #IMPLIED>
+        |""".stripMargin)
+    assert(vdtd.enumAttrs("article")("kind") == Set("journal", "conf"))
+    assert(vdtd.fixedAttrs("article")("version") == "1")
+    def run(body: String): Long = {
+      val f = Files.createTempFile("xmlenum", ".xml")
+      Files.write(f, s"<dblp>\n$body\n</dblp>\n".getBytes("UTF-8"))
+      XmlRecords.readRows(spark, f.toString, vdtd, validate = true).count()
+    }
+    assert(run("<article kind=\"conf\" version=\"1\">t</article>") == 1)
+    val e1 = intercept[org.apache.spark.SparkException] {
+      run("<article kind=\"blog\">t</article>")
+    }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).getOrElse(""))
+      .contains("outside its enumeration"))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      run("<article version=\"2\">t</article>")
+    }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).getOrElse(""))
+      .contains("#FIXED"))
+  }
+
   test("layout=record parses tags spanning lines (out of the line splitter's contract)") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
@@ -221,6 +247,28 @@ class XmlRecordsSpec extends SparkTestBase {
     val autoLines = XmlRecords.readRows(spark, linePath, dtd, layout = "auto").count()
     val autoMangled = XmlRecords.readRows(spark, mangled.toString, dtd, layout = "auto").count()
     assert(autoLines == 200 && autoMangled == 200)
+  }
+
+  test("single-pass reader is layout-invariant under randomized whitespace (property)") {
+    val linePath = writeXml(60)
+    val text = new String(Files.readAllBytes(java.nio.file.Paths.get(linePath)), "UTF-8")
+    val expected = XmlRecords.read(spark, linePath, dtd).collect()
+      .sortBy(_.pos).map(r => (r.recordType, r.attrs, r.children.toList)).toSeq
+    // every '\n' in the generated file sits between '>' and '<'
+    // (inter-element whitespace), so re-layout is semantics-preserving
+    Seq(11L, 42L, 99L).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val mangled = text.flatMap {
+        case '\n' => Seq("", " ", "\n", "\n\n", "   ")(rnd.nextInt(5))
+        case c => c.toString
+      }
+      val f = Files.createTempFile(s"xmlprop$seed", ".xml")
+      Files.write(f, mangled.getBytes("UTF-8"))
+      val got = XmlRecords.readRowsSinglePass(spark, f.toString, dtd)
+        .as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord]).collect()
+        .sortBy(_.pos).map(r => (r.recordType, r.attrs, r.children.toList)).toSeq
+      assert(got == expected, s"seed $seed diverged")
+    }
   }
 
   test("record chunker handles comments, CDATA, PIs, DOCTYPE subsets, '>' in attributes") {
