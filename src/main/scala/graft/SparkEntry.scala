@@ -623,6 +623,12 @@ object SparkEntry {
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
       .orderBy("doc_id")
 
+  private def qChunking(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkDocuments(
+      t(s, dir, "documents").where(col("doc_id") < 50),
+      col("doc_id"), col("text"), chunkTokens = 40, overlap = 10)
+      .orderBy("doc_id", "chunk_id")
+
   /** The whole fixture mangled onto ONE physical line (no layout the
     * line splitter can use) read with layout="auto" — exercises the
     * violation detection AND the single-pass fallback end-to-end; the
@@ -702,6 +708,7 @@ object SparkEntry {
     "q58_repetition" -> qRepetition _,
     "q59_hash_split" -> qHashSplit _,
     "q60_pii_redact" -> qPiiRedact _,
+    "q61_chunking" -> qChunking _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1182,6 +1189,23 @@ object SparkEntry {
           | len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
           | len(regexp_extract_all(text, '[0-9]{4,}'))::BIGINT AS n_long_nums
           |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin,
+
+      // chunk k covers tokens [k*30, k*30+40); DuckDB list slices are
+      // 1-based inclusive and clip at the list end like Spark's slice
+      "q61_chunking" ->
+        """WITH toks AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          |  FROM documents WHERE doc_id < 50),
+          | nz AS (SELECT doc_id, toks, len(toks) AS n FROM toks WHERE len(toks) > 0),
+          | ks AS (
+          |  SELECT doc_id, n, toks,
+          |   unnest(range(0, 1 + CASE WHEN n <= 40 THEN 0
+          |     ELSE CAST(ceil((n - 40)::DOUBLE / 30) AS BIGINT) END)) AS k
+          |  FROM nz)
+          |SELECT doc_id, k AS chunk_id, k*30 AS start_tok,
+          | least(40, n - k*30)::BIGINT AS n_toks,
+          | array_to_string(toks[k*30+1 : k*30+40], ' ') AS chunk_text
+          |FROM ks ORDER BY doc_id, chunk_id""".stripMargin,
 
       "q56_sim_ivf_probe2" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),

@@ -224,6 +224,45 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(text, lit(longNumRe), lit(0))).cast("long").as("n_long_nums"))
 
+  /** Context-window chunking: split each document into fixed-size
+    * token windows with overlap — the standard pre-training / RAG
+    * ingestion step. Chunk k covers tokens [k*step, k*step+chunkTokens)
+    * with step = chunkTokens - overlap; the last chunk is clipped to
+    * the document end, and a document shorter than one window yields a
+    * single chunk. Deterministic and SQL-expressible (oracle-checked).
+    *
+    * Scale shape: tokenize once, explode one small index array per
+    * document, slice per chunk — all codegen'd collection expressions
+    * (sequence/slice/concat_ws, no HOF lambdas), map-only: chunking
+    * 100 TB is a pass with zero shuffles.
+    */
+  def chunkDocuments(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      chunkTokens: Int,
+      overlap: Int): DataFrame = {
+    require(chunkTokens > 0 && overlap >= 0 && overlap < chunkTokens,
+      s"need 0 <= overlap < chunkTokens, got chunkTokens=$chunkTokens overlap=$overlap")
+    val step = chunkTokens - overlap
+    val toks = tokens(text)
+    val n = size(toks)
+    // number of extra chunks beyond the first: ceil((n - chunk)/step)
+    // (double-precision ceil is exact here: both operands are small
+    // positive ints, far from any representability boundary)
+    val lastK = when(n <= chunkTokens, lit(0L))
+      .otherwise(ceil((n - chunkTokens).cast("double") / step))
+    df.where(n > 0)
+      .select(id.as("doc_id"), toks.as("toks"), n.as("n"),
+        explode(sequence(lit(0L), lastK.cast("long"))).as("k"))
+      .select(
+        col("doc_id"), col("k").as("chunk_id"),
+        (col("k") * step).as("start_tok"),
+        least(lit(chunkTokens), col("n") - col("k") * step).cast("long").as("n_toks"),
+        concat_ws(" ",
+          slice(col("toks"), (col("k") * step + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
+  }
+
   /** Token frequency table: (token, count), the classic explode +
     * groupBy. Partial aggregation combines map-side, so the shuffle
     * carries one row per (partition, token), not per occurrence.

@@ -79,6 +79,28 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df.as[Seq[String]].head() == Seq("don", "'", "t", "stop", ",", "42", "times", "!"))
   }
 
+  test("chunkDocuments: overlapping windows cover the document exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t1 t2 t3 t4 t5 t6 t7"), // 7 toks, chunk 3, overlap 1 -> 3 chunks
+      (2L, "a b c d"),              // 4 toks -> 2 chunks, last clipped to 2
+      (3L, "x y"),                  // shorter than one window -> 1 chunk
+      (4L, " ")                     // empty -> dropped
+    ).toDF("doc_id", "text")
+    val chunks = TextAnalysis.chunkDocuments(df, col("doc_id"), col("text"),
+      chunkTokens = 3, overlap = 1)
+      .orderBy("doc_id", "chunk_id")
+      .select("doc_id", "chunk_id", "start_tok", "n_toks", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    assert(chunks == Seq(
+      (1L, 0L, 0L, 3L, "t1 t2 t3"),
+      (1L, 1L, 2L, 3L, "t3 t4 t5"),
+      (1L, 2L, 4L, 3L, "t5 t6 t7"),
+      (2L, 0L, 0L, 3L, "a b c"),
+      (2L, 1L, 2L, 2L, "c d"),
+      (3L, 0L, 0L, 2L, "x y")))
+  }
+
   test("repetitionMetrics: unique/top-token/top-bigram fractions") {
     import spark.implicits._
     val df = TextAnalysis.repetitionMetrics(
