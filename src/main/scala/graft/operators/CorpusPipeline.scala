@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The standard corpus-preparation pipeline, composed from the
+  * library's operators: exact dedup keeping the best representative,
+  * repetition-based quality filtering, PII redaction, deterministic
+  * train/val/test assignment. The whole composition is deterministic
+  * and oracle-checkable end-to-end (q62) — a corpus prepared twice,
+  * or on two engines, is bit-identical.
+  *
+  * Scale shape: one fingerprint-keyed shuffle for the dedup (text
+  * never rides it), two skinny-count aggregate levels for the
+  * metrics, and ONE text-carrying shuffle to join surviving documents
+  * back for redaction — redaction and split assignment themselves are
+  * map-only. Nothing is all-pairs; state is bounded by distinct
+  * fingerprints.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      minTokens: Long = 5L,
+      maxTopTokenFrac: Double = 0.5,
+      splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
+
+  /** Returns one row per SURVIVING document:
+    * (doc_id, split, n_tokens, uniq_ratio, top_token_frac, redacted).
+    */
+  def prepare(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      score: Column,
+      cfg: Config = Config()): DataFrame = {
+    // 1. exact dedup: one representative per normalized fingerprint,
+    //    best score wins (ties to smallest id) — only ids survive here
+    val kept = Dedup.keepBest(docs, id, text, score)
+      .select(col("keep_id").as("doc_id"))
+    // 2. repetition/quality metrics — skinny (doc_id, counts) rows
+    val metrics = TextAnalysis.repetitionMetrics(docs, id, text)
+      .select("doc_id", "n_tokens", "uniq_ratio", "top_token_frac")
+    val surviving = kept.join(metrics, "doc_id")
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("top_token_frac") <= cfg.maxTopTokenFrac)
+    // 3. redact survivors only (the one text-carrying join)
+    val redacted = TextAnalysis.redactPii(docs, id, text)
+      .select("doc_id", "redacted")
+    // 4. deterministic split assignment — map-only
+    Sampling.hashSplit(surviving.join(redacted, "doc_id"), col("doc_id"), cfg.splits)
+      .select("doc_id", "split", "n_tokens", "uniq_ratio", "top_token_frac", "redacted")
+  }
+}

@@ -1,0 +1,33 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class CorpusPipelineSpec extends SparkTestBase {
+
+  test("prepare: dedups, filters low-quality, redacts, splits — deterministically") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The quick brown fox jumps over the lazy dog near 12345 Main St", 62L),
+      (2L, "the  QUICK brown fox jumps over the lazy dog near 12345 main st", 64L), // dup of 1, higher score
+      (3L, "spam spam spam spam spam spam", 30L), // top_token_frac = 1.0 -> filtered
+      (4L, "too few", 7L), // 2 tokens -> filtered
+      (5L, "Contact alice@example.org for a completely different document entirely", 70L)
+    ).toDF("doc_id", "text", "n_chars")
+    val out = CorpusPipeline.prepare(docs, col("doc_id"), col("text"), col("n_chars"))
+      .orderBy("doc_id").collect()
+    // doc 2 beats its duplicate 1 on score; 3 and 4 fail quality
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 5L))
+    val r5 = out.find(_.getLong(0) == 5L).get
+    assert(r5.getAs[String]("redacted").contains("<EMAIL>"))
+    assert(r5.getAs[String]("redacted") ==
+      "Contact <EMAIL> for a completely different document entirely")
+    val r2 = out.find(_.getLong(0) == 2L).get
+    assert(r2.getAs[String]("redacted").contains("<NUM> main st"))
+    assert(Set("train", "val", "test")(r2.getAs[String]("split")))
+    // identical on a second run (pure function of input)
+    val again = CorpusPipeline.prepare(docs, col("doc_id"), col("text"), col("n_chars"))
+      .orderBy("doc_id").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+}

@@ -93,4 +93,13 @@ class PlanSpec extends SparkTestBase {
     assert(Scale.countShuffles(kept) == 0,
       kept.queryExecution.executedPlan.toString)
   }
+
+  test("chunking pushes the doc filter into the scan and stays map-only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 50)
+    val chunks = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),
+      chunkTokens = 40, overlap = 10)
+    val plan = chunks.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(doc_id,50)"), plan) // reaches the parquet scan
+    assert(Scale.countShuffles(chunks) == 0, plan)
+  }
 }
