@@ -553,6 +553,10 @@ object SparkEntry {
   private def buildXmlTables(s: SparkSession): (Map[String, Seq[String]], Map[String, DataFrame]) = {
     val (xmlPath, dtd) = xmlFixture()
     val records = XmlRecords.readRows(s, xmlPath, dtd).persist()
+    // materialize the cache BEFORE the per-type union consumers — two
+    // tasks computing the same uncached partition concurrently race to
+    // store it ("Block rdd_X already exists" warnings in bench logs)
+    records.count()
     val schema = Flatten.inferColumns(
       records.as[graft.xml.XmlRecord](org.apache.spark.sql.Encoders.product[graft.xml.XmlRecord]), dtd)
     val flat = schema.map { case (t, cs) => t -> Flatten.flattenType(records, t, cs) }

@@ -44,6 +44,12 @@ object ScaleSmoke {
       Dedup.simhashNearDups(docs, col("doc_id"), col("text"), maxDist = 3).count())
     val kb = time("keepBest")(
       Dedup.keepBest(docs, col("doc_id"), col("text"), col("doc_id") % 100).count())
+    // single giant block (uniform lengths) — worst case for blocking;
+    // the hot-shingle cap keeps the shuffle-by-shingle join bounded
+    val ng = time("ngramJaccard (capped, 1 block)")(
+      Dedup.ngramJaccardNearDups(docs, col("doc_id"), col("text"),
+        lit("en"), length(col("text")), threshold = 0.5,
+        bucketWidth = 1 << 30, maxShingleFreq = 1000).count())
     val bench = docs.where(col("doc_id") % 1000 === 7)
       .select(col("doc_id"), col("text"))
     val ct = time("contamination")(
@@ -90,7 +96,7 @@ object ScaleSmoke {
     val cc = time("dedupGroups (2M pairs, distributed)")(
       Dedup.dedupGroups(pairs).where(col("id") =!= col("keep_id")).count())
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
-      s"contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd ccRelabels=$cc")
+      s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd ccRelabels=$cc")
     spark.stop()
   }
 }

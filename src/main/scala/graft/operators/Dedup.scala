@@ -300,6 +300,16 @@ object Dedup {
     * unless it shares >= 1 shingle. That is the shape that survives a
     * 100x scale-up: work is proportional to actual shingle overlap,
     * shuffled by shingle, instead of |block|^2 array intersections.
+    *
+    * `maxShingleFreq` is the hot-key guard for that join (the analog
+    * of minhash/simhash's `maxBucket`): a boilerplate shingle shared
+    * by k documents of one block contributes k^2 join rows while
+    * carrying almost no Jaccard evidence. Capped shingles are dropped
+    * from BOTH the intersection and each document's shingle count
+    * `nsh`, so the jaccard stays a true set similarity over the
+    * remaining (discriminative) shingles. The default (MaxValue) is
+    * exact — matching the DuckDB oracle; at 100 TB set a cap (e.g.
+    * 1000) like `ScaleSmoke` does.
     */
   def ngramJaccardNearDups(
       df: DataFrame,
@@ -309,18 +319,32 @@ object Dedup {
       nChars: Column,
       n: Int = 3,
       threshold: Double = 0.5,
-      bucketWidth: Int = 100): DataFrame = {
+      bucketWidth: Int = 100,
+      maxShingleFreq: Int = Int.MaxValue): DataFrame = {
     // one shuffle-free projection carries everything the blocked
     // self-join needs: block keys, the per-doc shingle count (size of
     // the native shingle array — round 1 spent a window shuffle and a
     // doc-metadata join recovering it), and the exploded shingles
-    val ex = df.select(id.as("doc_id"), lang.as("lang"),
+    val raw = df.select(id.as("doc_id"), lang.as("lang"),
         floor(nChars / bucketWidth).as("lb"),
         graft.functions.MinHash.shingleHashes(text, n).as("sh"))
       .withColumn("nsh", size(col("sh")).cast("long"))
       .where(col("nsh") > 0)
       .select(col("doc_id"), col("lang"), col("lb"), col("nsh"), explode(col("sh")).as("h"))
-      .persist()
+    val ex = (if (maxShingleFreq == Int.MaxValue) raw
+      else {
+        // broadcast anti-join against the (tiny) hot-shingle list, then
+        // recompute nsh over the surviving shingles so jaccard remains
+        // a true set similarity
+        val hot = raw.groupBy("lang", "lb", "h")
+          .agg(count(lit(1)).as("freq"))
+          .where(col("freq") > maxShingleFreq)
+          .select(col("lang"), col("lb"), col("h"))
+        raw.join(broadcast(hot), Seq("lang", "lb", "h"), "left_anti")
+          .withColumn("nsh",
+            count(lit(1)).over(org.apache.spark.sql.expressions.Window
+              .partitionBy("doc_id")))
+      }).persist()
     val a = ex.select(col("lang"), col("lb"), col("h").as("s"),
       col("doc_id").as("id_a"), col("nsh").as("nsh_a"))
     val b = ex.select(col("lang"), col("lb"), col("h").as("s"),

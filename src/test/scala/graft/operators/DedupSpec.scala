@@ -115,6 +115,40 @@ class DedupSpec extends SparkTestBase {
     base ++ dups
   }
 
+  test("ngram jaccard hot-shingle cap: no-op below the cap, drops boilerplate pairs above it") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon eta"),   // near dup of 0
+      (2L, "one two three four five six"),
+      (3L, "seven eight nine ten eleven twelve"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    def run(cap: Int) = Dedup.ngramJaccardNearDups(df, col("doc_id"), col("text"),
+      col("lang"), col("n_chars"), threshold = 0.4, bucketWidth = 1000, maxShingleFreq = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // no shingle is shared by more than 2 docs: cap=2 must equal exact
+    assert(run(Int.MaxValue) == Set((0L, 1L)))
+    assert(run(2) == Set((0L, 1L)))
+
+    // a boilerplate header shared by ALL docs: uncapped, it alone links
+    // every pair; capped, only the genuinely similar pair survives
+    val boiler = Seq(
+      (0L, "standard header text here alpha beta gamma delta"),
+      (1L, "standard header text here alpha beta gamma zeta"),
+      (2L, "standard header text here completely different body one"),
+      (3L, "standard header text here another unrelated body two"))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    def runB(cap: Int) = Dedup.ngramJaccardNearDups(boiler, col("doc_id"), col("text"),
+      col("lang"), col("n_chars"), threshold = 0.15, bucketWidth = 1000, maxShingleFreq = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(runB(Int.MaxValue).contains((2L, 3L))) // boilerplate alone links 2-3
+    val capped = runB(3)
+    assert(capped.contains((0L, 1L)), capped)     // real near-dup survives
+    assert(!capped.contains((2L, 3L)), capped)    // boilerplate-only pair gone
+  }
+
   test("minhash-LSH recall: candidates cover the exact high-jaccard pairs") {
     import spark.implicits._
     val df = seededCorpus(nBase = 40, vocab = 500, docLen = 30, seed = 42L).toDF("doc_id", "text")
