@@ -217,7 +217,7 @@ object XmlToCsv {
         case "--neo4j" => config = config.copy(neo4j = true, annotate = true); i += 1
         case "--dirs" => config = config.copy(singleFile = false); i += 1 // distributed multi-part output
         case "--permissive" => config = config.copy(permissive = true); i += 1 // skip malformed records
-        case "--validate" => config = config.copy(validate = true); i += 1 // strict DTD vocabulary validation
+        case "--validate" => config = config.copy(validate = true); i += 1 // strict DTD validation (vocab + attrs + content models)
         case "--layout" => // line | record | auto (default auto)
           require(i + 1 < args.length, "--layout needs a value: line|record|auto")
           config = config.copy(layout = args(i + 1)); i += 2
