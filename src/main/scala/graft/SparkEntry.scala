@@ -645,6 +645,15 @@ object SparkEntry {
       col("doc_id"), col("text"), col("n_chars"))
       .orderBy("doc_id")
 
+  private def qCorpusPrepareFuzzy(s: SparkSession, dir: String): DataFrame =
+    // q48's doc slice and jaccard parameters, so the component
+    // structure is the one the recursive-CTE oracle already pins
+    graft.operators.CorpusPipeline.prepareFuzzy(
+      t(s, dir, "documents").where(col("doc_id") < 2000),
+      col("doc_id"), col("text"), col("lang"), col("n_chars"), col("n_chars"),
+      jaccardThreshold = 0.15, bucketWidth = 100)
+      .orderBy("doc_id")
+
   // memoized per session like xmlTables — the builder runs several
   // tiny jobs (detection + fallback parse + id assignment) that the
   // bench would otherwise re-pay per rep
@@ -730,6 +739,7 @@ object SparkEntry {
     "q60_pii_redact" -> qPiiRedact _,
     "q61_chunking" -> qChunking _,
     "q62_corpus_prepare" -> qCorpusPrepare _,
+    "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1248,6 +1258,72 @@ object SparkEntry {
           |   '[0-9]{4,}', '<NUM>', 'g') AS redacted
           |  FROM base)
           |SELECT s.doc_id,
+          | CASE WHEN (s.doc_id * 2654435761) % 100 < 80 THEN 'train'
+          |      WHEN (s.doc_id * 2654435761) % 100 < 90 THEN 'val'
+          |      ELSE 'test' END AS split,
+          | s.n_tokens, s.uniq_ratio, s.top_token_frac, r.redacted
+          |FROM surv s JOIN red r USING (doc_id)
+          |ORDER BY s.doc_id""".stripMargin,
+
+      // the fuzzy pipeline: q48's blocked-jaccard pairs + recursive-CTE
+      // connected components, then per-component keep-best, quality
+      // filter, redaction, Knuth-hash split — the full fuzzy-dedup
+      // preparation verified end-to-end
+      "q63_corpus_prepare_fuzzy" ->
+        """WITH RECURSIVE docs2k AS (
+          |  SELECT doc_id, text, lang, n_chars FROM documents WHERE doc_id < 2000),
+          | sh AS (
+          |  SELECT doc_id,
+          |   list_distinct(CASE WHEN len(toks) >= 3
+          |     THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |     WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |     ELSE [] END) AS sh,
+          |   lang, (n_chars // 100) AS lb
+          |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+          |         lang, n_chars FROM docs2k)
+          |  WHERE len(toks) > 0),
+          | pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15),
+          | edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r.id, e.id_b AS peer FROM reach r JOIN edges e ON r.peer = e.id_a),
+          | grp0 AS (SELECT id, min(peer) AS keep_id FROM reach GROUP BY id),
+          | labeled AS (
+          |  SELECT d.doc_id, d.n_chars::BIGINT AS score, coalesce(g.keep_id, d.doc_id) AS grp
+          |  FROM docs2k d LEFT JOIN grp0 g ON d.doc_id = g.id),
+          | reps AS (
+          |  SELECT doc_id, n_members FROM (
+          |   SELECT grp, doc_id,
+          |    row_number() OVER (PARTITION BY grp ORDER BY score DESC, doc_id) AS rk,
+          |    count(*) OVER (PARTITION BY grp) AS n_members
+          |   FROM labeled) WHERE rk = 1),
+          | toks2 AS (
+          |  SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |  FROM docs2k),
+          | uni AS (
+          |  SELECT doc_id, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_uniq, max(c) AS top_c FROM (
+          |   SELECT doc_id, g, count(*) AS c FROM (
+          |    SELECT doc_id, unnest(toks) AS g FROM toks2 WHERE len(toks) > 0)
+          |   GROUP BY doc_id, g)
+          |  GROUP BY doc_id),
+          | met AS (
+          |  SELECT doc_id, n_tokens, n_uniq::DOUBLE / n_tokens AS uniq_ratio,
+          |   top_c::DOUBLE / n_tokens AS top_token_frac
+          |  FROM uni),
+          | surv AS (
+          |  SELECT r.doc_id, r.n_members, m.n_tokens, m.uniq_ratio, m.top_token_frac
+          |  FROM reps r JOIN met m USING (doc_id)
+          |  WHERE m.n_tokens >= 5 AND m.top_token_frac <= 0.5),
+          | red AS (
+          |  SELECT doc_id, regexp_replace(regexp_replace(text,
+          |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |   '[0-9]{4,}', '<NUM>', 'g') AS redacted
+          |  FROM docs2k)
+          |SELECT s.doc_id, s.n_members,
           | CASE WHEN (s.doc_id * 2654435761) % 100 < 80 THEN 'train'
           |      WHEN (s.doc_id * 2654435761) % 100 < 90 THEN 'val'
           |      ELSE 'test' END AS split,

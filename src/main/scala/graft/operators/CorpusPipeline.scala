@@ -24,6 +24,55 @@ object CorpusPipeline {
       maxTopTokenFrac: Double = 0.5,
       splits: Seq[(String, Int)] = Seq("train" -> 80, "val" -> 10, "test" -> 10))
 
+  /** The FUZZY variant: near-duplicate GROUPS (blocked n-gram Jaccard
+    * pairs -> connected components) instead of exact fingerprints, one
+    * best-scored representative kept per component, then the same
+    * quality filter -> redaction -> split tail. This is the full
+    * production fuzzy-dedup pipeline (the DataComp/FineWeb shape), and
+    * because every stage is deterministic and SQL-expressible it is
+    * oracle-checked END-TO-END (q63) — including the connected
+    * components, via a recursive CTE.
+    *
+    * Returns one row per surviving representative:
+    * (doc_id, n_members, split, n_tokens, uniq_ratio, top_token_frac,
+    * redacted) where n_members counts the component the rep stands for.
+    */
+  def prepareFuzzy(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      lang: Column,
+      nChars: Column,
+      score: Column,
+      jaccardThreshold: Double = 0.5,
+      bucketWidth: Int = 100,
+      n: Int = 3,
+      cfg: Config = Config()): DataFrame = {
+    val pairs = Dedup.ngramJaccardNearDups(docs, id, text, lang, nChars,
+      n = n, threshold = jaccardThreshold, bucketWidth = bucketWidth)
+      .select("id_a", "id_b")
+    // (id, keep_id = component min) for every doc appearing in a pair
+    val groups = Dedup.dedupGroups(pairs).withColumnRenamed("id", "doc_id")
+    val labeled = docs.select(id.as("doc_id"), score.cast("long").as("score"))
+      .join(groups, Seq("doc_id"), "left")
+      .withColumn("grp", coalesce(col("keep_id"), col("doc_id")))
+    val reps = labeled.groupBy("grp")
+      .agg(
+        max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("doc_id"),
+        count(lit(1)).as("n_members"))
+      .select("doc_id", "n_members")
+    val metrics = TextAnalysis.repetitionMetrics(docs, id, text)
+      .select("doc_id", "n_tokens", "uniq_ratio", "top_token_frac")
+    val surviving = reps.join(metrics, "doc_id")
+      .where(col("n_tokens") >= cfg.minTokens &&
+        col("top_token_frac") <= cfg.maxTopTokenFrac)
+    val redacted = TextAnalysis.redactPii(docs, id, text)
+      .select("doc_id", "redacted")
+    Sampling.hashSplit(surviving.join(redacted, "doc_id"), col("doc_id"), cfg.splits)
+      .select("doc_id", "n_members", "split", "n_tokens", "uniq_ratio",
+        "top_token_frac", "redacted")
+  }
+
   /** Returns one row per SURVIVING document:
     * (doc_id, split, n_tokens, uniq_ratio, top_token_frac, redacted).
     */

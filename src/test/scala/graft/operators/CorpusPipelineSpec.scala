@@ -30,4 +30,23 @@ class CorpusPipelineSpec extends SparkTestBase {
       .orderBy("doc_id").collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("prepareFuzzy: near-dup component collapses to its best-scored representative") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1-2-3 chain by one-word edits (1~2 and 2~3 high jaccard); 3 has
+      // the best score so it represents the whole component
+      (1L, "alpha beta gamma delta epsilon zeta eta theta", 10L),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota", 20L),
+      (3L, "alpha beta gamma delta epsilon zeta eta kappa", 30L),
+      (4L, "a completely unrelated document about something else entirely", 5L))
+      .toDF("doc_id", "text", "score")
+      .withColumn("lang", lit("en")).withColumn("n_chars", length(col("text")))
+    val out = CorpusPipeline.prepareFuzzy(docs,
+      col("doc_id"), col("text"), col("lang"), col("n_chars"), col("score"),
+      jaccardThreshold = 0.5, bucketWidth = 1000)
+      .orderBy("doc_id")
+      .select("doc_id", "n_members").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((3L, 3L), (4L, 1L)))
+  }
 }
