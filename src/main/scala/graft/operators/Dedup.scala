@@ -152,6 +152,11 @@ object Dedup {
     val withSh = shingleArrays(df, id, text, nShingle)
       .where(size(col("sh")) > 0)
       .persist()
+    // materialize the cache EAGERLY: the self-join's two sides race to
+    // compute uncached partitions concurrently, doing the shingle work
+    // twice (and spamming Block-already-exists warnings); one count
+    // job up front makes every consumer a cache read
+    withSh.count()
     // consumed by the hot-bucket count and both join sides WITHOUT a
     // persist: the banding projection pipelines from the cached
     // shingle arrays, and recomputing the native signature expression
@@ -261,9 +266,11 @@ object Dedup {
       text: Column,
       maxDist: Int = 3,
       maxBucket: Int = 1000): DataFrame = {
-    // feeds BOTH sides of the self-join: persist, or the signature
-    // projection (and its upstream scan) runs twice
+    // feeds BOTH sides of the self-join: persist AND materialize
+    // eagerly — without the count the two join sides race to compute
+    // the signature partitions concurrently (double compute)
     val sigs = simhashSignatures(df, id, text).persist()
+    sigs.count()
     val chunked = sigs.select(
       col("doc_id"), col("sig"),
       explode(array((0 until 4).map(i =>
@@ -345,6 +352,9 @@ object Dedup {
             count(lit(1)).over(org.apache.spark.sql.expressions.Window
               .partitionBy("doc_id")))
       }).persist()
+    // eager materialization: both self-join sides read the cache
+    // instead of racing to compute the exploded shingles twice
+    ex.count()
     val a = ex.select(col("lang"), col("lb"), col("h").as("s"),
       col("doc_id").as("id_a"), col("nsh").as("nsh_a"))
     val b = ex.select(col("lang"), col("lb"), col("h").as("s"),
