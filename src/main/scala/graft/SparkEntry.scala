@@ -654,6 +654,42 @@ object SparkEntry {
       jaccardThreshold = 0.15, bucketWidth = 100)
       .orderBy("doc_id")
 
+  /** REAL multimodal round trip, distributed: each executor draws a
+    * deterministic pattern, ENCODES it as PNG (JDK ImageIO), and the
+    * probe DECODES the header back — format and true dimensions are
+    * oracle-checked against the closed-form size function. No fake
+    * codec anywhere in this path.
+    */
+  private def qImageProbe(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = s.range(20).rdd.map { i =>
+      val w = 8 + (i % 16).toInt
+      val h = 8 + ((i * 3) % 16).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (((i * 31 + x + y) % 256) * 0x010101).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      org.apache.spark.sql.Row(i, bos.toByteArray)
+    }
+    graft.multimodal.Multimodal.withProbedMetadata(
+      s.createDataFrame(rdd, schema), new graft.multimodal.Multimodal.ImageIoCodec, "image")
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.width").as("width"), col("meta.height").as("height"))
+      .orderBy("media_id")
+  }
+
   // memoized per session like xmlTables — the builder runs several
   // tiny jobs (detection + fallback parse + id assignment) that the
   // bench would otherwise re-pay per rep
@@ -740,6 +776,7 @@ object SparkEntry {
     "q61_chunking" -> qChunking _,
     "q62_corpus_prepare" -> qCorpusPrepare _,
     "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
+    "q64_image_probe" -> qImageProbe _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1330,6 +1367,13 @@ object SparkEntry {
           | s.n_tokens, s.uniq_ratio, s.top_token_frac, r.redacted
           |FROM surv s JOIN red r USING (doc_id)
           |ORDER BY s.doc_id""".stripMargin,
+
+      // the PNGs are drawn with width 8+i%16, height 8+(i*3)%16 — the
+      // probe must read exactly those back out of the encoded bytes
+      "q64_image_probe" ->
+        """SELECT i AS media_id, 'png' AS format,
+          | (8 + i % 16)::INT AS width, (8 + (i*3) % 16)::INT AS height
+          |FROM range(0, 20) t(i) ORDER BY media_id""".stripMargin,
 
       // chunk k covers tokens [k*30, k*30+40); DuckDB list slices are
       // 1-based inclusive and clip at the list end like Spark's slice

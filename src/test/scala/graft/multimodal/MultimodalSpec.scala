@@ -52,4 +52,81 @@ class MultimodalSpec extends SparkTestBase {
     val r = resized.select("meta.width", "meta.height").head()
     assert(r.getInt(0) == 224 && r.getInt(1) == 224)
   }
+
+  // -------- REAL codecs (JDK ImageIO / javax.sound — no external libs)
+
+  private def pngBytes(w: Int, h: Int, gray: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, gray * 0x010101); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoCodec really decodes: solid-gray PNG yields its luminance, probe reads dims") {
+    val codec = new Multimodal.ImageIoCodec
+    val p = pngBytes(16, 12, gray = 100)
+    assert(codec.probe(p) == ("png", Some(16), Some(12)))
+    val feats = codec.features(p, dim = 9)
+    assert(feats.length == 9)
+    // luminance of gray 100: (0.299+0.587+0.114)*100/255 = 100/255
+    feats.foreach(f => assert(math.abs(f - 100.0 / 255.0) < 1e-3, f))
+    // garbage bytes: graceful zero vector, unknown probe
+    assert(codec.features(Array[Byte](1, 2, 3), 4).toSeq == Seq(0f, 0f, 0f, 0f))
+    assert(codec.probe(Array[Byte](1, 2, 3))._1 == "unknown")
+  }
+
+  private def wavBytes(nFrames: Int, sampleRate: Float, amplitude: Double): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](nFrames * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until nFrames).foreach { i =>
+      // square wave: constant |amplitude| -> RMS == amplitude exactly
+      val s = (amplitude * (if (i % 2 == 0) 1 else -1) * 32767).toInt.toShort
+      bb.putShort(i * 2, s)
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavCodec really decodes: square-wave RMS per window, probe reads rate and frames") {
+    val codec = new Multimodal.WavCodec
+    val p = wavBytes(nFrames = 800, sampleRate = 8000f, amplitude = 0.5)
+    assert(codec.probe(p) == ("wav", Some(8000), Some(800)))
+    val feats = codec.features(p, dim = 4)
+    assert(feats.length == 4)
+    feats.foreach(f => assert(math.abs(f - 0.5) < 0.01, f))
+  }
+
+  test("resizeImages re-encodes at the target size (real decode -> redraw -> PNG)") {
+    import spark.implicits._
+    val df = Seq((7L, pngBytes(16, 16, gray = 50))).toDF("media_id", "payload")
+    val resized = Multimodal.resizeImages(df, 4, 4)
+    val out = resized.head()
+    assert(out.getLong(0) == 7L)
+    val codec = new Multimodal.ImageIoCodec
+    assert(codec.probe(out.getAs[Array[Byte]](1)) == ("png", Some(4), Some(4)))
+  }
+
+  test("withProbedMetadata fills real image dims and audio rate/frames") {
+    import spark.implicits._
+    val img = Seq((1L, pngBytes(10, 20, gray = 9))).toDF("media_id", "payload")
+    val m1 = Multimodal.withProbedMetadata(img, new Multimodal.ImageIoCodec, "image")
+      .select("meta.format", "meta.width", "meta.height", "meta.sample_rate").head()
+    assert(m1.getString(0) == "png" && m1.getInt(1) == 10 && m1.getInt(2) == 20 && m1.isNullAt(3))
+    val wav = Seq((2L, wavBytes(100, 8000f, 0.3))).toDF("media_id", "payload")
+    val m2 = Multimodal.withProbedMetadata(wav, new Multimodal.WavCodec, "audio")
+      .select("meta.format", "meta.sample_rate", "meta.n_frames", "meta.width").head()
+    assert(m2.getString(0) == "wav" && m2.getInt(1) == 8000 && m2.getInt(2) == 100 && m2.isNullAt(3))
+  }
 }
