@@ -48,7 +48,7 @@ object Relational {
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField(idCol, org.apache.spark.sql.types.LongType, nullable = false) +:
         df.schema.fields)
-    val rows = df.rdd.zipWithIndex.map { case (row, i) =>
+    val rows = df.rdd.zipWithIndex().map { case (row, i) =>
       org.apache.spark.sql.Row.fromSeq((i + offset) +: row.toSeq)
     }
     spark.createDataFrame(rows, schema)
