@@ -654,6 +654,12 @@ object SparkEntry {
       jaccardThreshold = 0.15, bucketWidth = 100)
       .orderBy("doc_id")
 
+  private def qColumnStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.columnStats(
+      t(s, dir, "customer"),
+      Seq("c_custkey", "c_mktsegment", "c_name", "c_nationkey"))
+      .orderBy("col_name")
+
   /** REAL multimodal round trip, distributed: each executor draws a
     * deterministic pattern, ENCODES it as PNG (JDK ImageIO), and the
     * probe DECODES the header back — format and true dimensions are
@@ -777,6 +783,7 @@ object SparkEntry {
     "q62_corpus_prepare" -> qCorpusPrepare _,
     "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
     "q64_image_probe" -> qImageProbe _,
+    "q65_column_stats" -> qColumnStats _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1367,6 +1374,23 @@ object SparkEntry {
           | s.n_tokens, s.uniq_ratio, s.top_token_frac, r.redacted
           |FROM surv s JOIN red r USING (doc_id)
           |ORDER BY s.doc_id""".stripMargin,
+
+      // int/string min-max render identically across engines (doubles
+      // would not — they stay out of profiling output by contract)
+      "q65_column_stats" ->
+        """SELECT 'c_custkey' AS col_name, count(c_custkey) AS n_nonnull,
+          |  count(*) - count(c_custkey) AS n_null,
+          |  min(c_custkey)::VARCHAR AS min_s, max(c_custkey)::VARCHAR AS max_s FROM customer
+          |UNION ALL
+          |SELECT 'c_mktsegment', count(c_mktsegment), count(*) - count(c_mktsegment),
+          |  min(c_mktsegment), max(c_mktsegment) FROM customer
+          |UNION ALL
+          |SELECT 'c_name', count(c_name), count(*) - count(c_name),
+          |  min(c_name), max(c_name) FROM customer
+          |UNION ALL
+          |SELECT 'c_nationkey', count(c_nationkey), count(*) - count(c_nationkey),
+          |  min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR FROM customer
+          |ORDER BY col_name""".stripMargin,
 
       // the PNGs are drawn with width 8+i%16, height 8+(i*3)%16 — the
       // probe must read exactly those back out of the encoded bytes

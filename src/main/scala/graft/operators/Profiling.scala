@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic data profiling — the engine-side analog of DuckDB's
+  * SUMMARIZE / Spark's describe(), built for oracle comparison:
+  * per-column non-null count, null count, and min/max rendered as
+  * strings (callers pick columns whose string form is
+  * engine-independent — ints and strings always are; raw doubles
+  * format differently across engines and belong in typed queries).
+  *
+  * Scale shape: ONE aggregate pass computes every column's stats
+  * simultaneously (map-side partial combine, a single one-row global
+  * aggregate — no per-column jobs, no shuffle of data rows), then the
+  * one row unpivots to (col_name, …) rows driver-free.
+  */
+object Profiling {
+
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        (count(lit(1)) - count(col(c))).as(s"${c}__nn"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val entries = cols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}__n").as("n_nonnull"),
+        col(s"${c}__nn").as("n_null"),
+        col(s"${c}__min").as("min_s"),
+        col(s"${c}__max").as("max_s"))
+    }
+    one.select(explode(array(entries: _*)).as("s"))
+      .select("s.col_name", "s.n_nonnull", "s.n_null", "s.min_s", "s.max_s")
+  }
+}
