@@ -126,7 +126,10 @@ object Dtd {
 
   private val entityRef = "&([A-Za-z][A-Za-z0-9._-]*);".r
   private val elementDecl = """<!ELEMENT\s+([^\s(>]+)\s*([^>]*)>""".r
-  private val entityDecl = """<!ENTITY\s+(\S+)\s+"([^"]*)"\s*>""".r
+  private val entityDecl = """<!ENTITY\s+([^%\s]\S*)\s+"([^"]*)"\s*>""".r
+  // parameter entities: <!ENTITY % name "value"> referenced as %name;
+  private val paramEntityDecl = """<!ENTITY\s+%\s+(\S+)\s+(?:"([^"]*)"|'([^']*)')\s*>""".r
+  private val paramRef = "%([A-Za-z_][A-Za-z0-9._:-]*);".r
   private val attlistDecl = """(?s)<!ATTLIST\s+(\S+)\s+(.*?)>""".r
   // within an ATTLIST body: name, type, default (quoted literal or keyword)
   private val attDef = """([\w:.-]+)\s+(CDATA|ID|IDREF|IDREFS|NMTOKEN|NMTOKENS|ENTITY|ENTITIES|NOTATION|\([^)]*\))\s+(#REQUIRED|#IMPLIED|#FIXED\s+"[^"]*"|"[^"]*")""".r
@@ -140,7 +143,28 @@ object Dtd {
     parseString(text, rootOverride)
   }
 
-  def parseString(text: String, rootOverride: Option[String] = None): Dtd = {
+  def parseString(rawText: String, rootOverride: Option[String] = None): Dtd = {
+    // Parameter entities (`<!ENTITY % name "v">` … `%name;`) are expanded
+    // textually before declaration parsing — the real dblp.dtd declares
+    // its field list this way (`<!ENTITY % field "author|editor|…">;
+    // <!ELEMENT article (%field;)*>`), which lxml resolves natively
+    // (XMLToCSV.py:79-86,109). Expansion is transitive but bounded;
+    // unresolvable references are left verbatim (and then rejected by
+    // the regular declaration grammar, surfacing the problem).
+    val paramEntities = ListMap(paramEntityDecl.findAllMatchIn(rawText).map { m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+    }.toSeq: _*)
+    var text = rawText
+    var rounds = 0
+    var changed = paramEntities.nonEmpty
+    while (changed && rounds < 10) { // bounded: DTD parameter-entity chains are shallow
+      val next = paramRef.replaceAllIn(text, m =>
+        Regex.quoteReplacement(paramEntities.getOrElse(m.group(1), m.matched)))
+      changed = next != text
+      text = next
+      rounds += 1
+    }
+
     val elemMatches = elementDecl.findAllMatchIn(text).toVector
     val elems = elemMatches.map(_.group(1))
     require(elems.nonEmpty, "DTD declares no elements")

@@ -219,6 +219,47 @@ class XmlRecordsSpec extends SparkTestBase {
       .contains("#FIXED"))
   }
 
+  test("DTD parameter entities (%name;) expand into content models — dblp.dtd shape") {
+    // shaped like the real dblp.dtd: the field list is a parameter
+    // entity spliced into each record element's content model
+    val vdtd = Dtd.parseString(
+      """<!ENTITY % field "author|editor|title|year">
+        |<!ENTITY % nested "%field;|note">
+        |<!ELEMENT dblp (article|book)*>
+        |<!ELEMENT article (%field;)*>
+        |<!ELEMENT book (%nested;)*>
+        |<!ELEMENT author (#PCDATA)>
+        |<!ELEMENT editor (#PCDATA)>
+        |<!ELEMENT title (#PCDATA)>
+        |<!ELEMENT year (#PCDATA)>
+        |<!ELEMENT note (#PCDATA)>
+        |<!ENTITY uuml "&#252;">
+        |""".stripMargin)
+    // parameter entities do NOT leak into the general-entity map
+    assert(!vdtd.entities.contains("field") && !vdtd.entities.contains("%"))
+    assert(vdtd.entities("uuml") == "&#252;")
+    // content model compiled from the expanded field list
+    assert(vdtd.contentModels("article") == "(author|editor|title|year)*")
+    assert(vdtd.contentModels("book") == "(author|editor|title|year|note)*")
+
+    def run(body: String): Long = {
+      val f = Files.createTempFile("xmlpe", ".xml")
+      Files.write(f, s"<dblp>\n$body\n</dblp>\n".getBytes("UTF-8"))
+      XmlRecords.readRows(spark, f.toString, vdtd, validate = true).count()
+    }
+    // a real-shaped record passes strict content-model validation
+    assert(run("<article>\n<author>A</author>\n<title>t</title>\n" +
+      "<year>2020</year>\n</article>") == 1)
+    // note is valid inside book (via the nested parameter entity)…
+    assert(run("<book>\n<title>t</title>\n<note>n</note>\n</book>") == 1)
+    // …but not inside article
+    val e = intercept[org.apache.spark.SparkException] {
+      run("<article>\n<note>n</note>\n</article>")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("do not match its content model"))
+  }
+
   test("layout=record parses tags spanning lines (out of the line splitter's contract)") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
