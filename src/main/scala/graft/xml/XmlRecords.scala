@@ -291,7 +291,16 @@ object XmlRecords {
           "(e.g. xmllint --format).")
 
     // job 2: boundary fragments per partition — (head lines before the
-    // first true start; tail lines from the last true start; #starts)
+    // first true start; tail lines from the last true start; #starts).
+    // Driver memory bound: the stitch collects at most one head+tail
+    // pair per partition, each capped at `maxFrag` chars (default
+    // 64 MiB, spark.graft.xml.maxBoundaryFragmentBytes), so the driver
+    // holds <= 2 x cap x #partitions in the worst case. A record
+    // larger than the cap would otherwise accumulate WHOLE partitions
+    // as head strings — the guard fails fast with the layout="record"
+    // remediation instead.
+    val maxFrag = spark.conf.getOption("spark.graft.xml.maxBoundaryFragmentBytes")
+      .map(_.toLong).getOrElse(64L << 20)
     val frags = lines.mapPartitionsWithIndex { case (pi, it) =>
       var depth = depthIn(pi)
       var n = 0L
@@ -304,6 +313,13 @@ object XmlRecords {
         }
         if (n == 0) { if (head.nonEmpty) head.append('\n'); head.append(line) }
         else { if (tail.nonEmpty) tail.append('\n'); tail.append(line) }
+        if (head.length.max(tail.length) > maxFrag)
+          throw new IllegalStateException(
+            s"XML boundary fragment exceeds $maxFrag bytes in input split $pi: a single " +
+              "record spans (nearly) an entire partition, so the line splitter's driver-side " +
+              "boundary stitch would accumulate whole partitions in driver memory. Re-read " +
+              "with layout=\"record\" (single-pass per file), or raise " +
+              "spark.graft.xml.maxBoundaryFragmentBytes if such records are expected.")
         depth += depthDelta(line)
       }
       Iterator.single((pi, head.toString, tail.toString, n))

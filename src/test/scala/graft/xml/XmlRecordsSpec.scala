@@ -219,6 +219,23 @@ class XmlRecordsSpec extends SparkTestBase {
       .contains("#FIXED"))
   }
 
+  test("oversized boundary fragment fails fast with the layout=record remediation") {
+    val f = Files.createTempFile("xmlbig", ".xml")
+    val bigText = "x" * 5000
+    Files.write(f, (s"""<dblp>\n<article key="a"><title>$bigText</title></article>\n""" +
+      "</dblp>\n").getBytes("UTF-8"))
+    spark.conf.set("spark.graft.xml.maxBoundaryFragmentBytes", "1024")
+    try {
+      val e = intercept[org.apache.spark.SparkException] {
+        XmlRecords.readRows(spark, f.toString, dtd).collect()
+      }
+      assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+        .contains("layout=\"record\""))
+      // the remediation actually works: the record path reads the file
+      assert(XmlRecords.readRows(spark, f.toString, dtd, layout = "record").count() == 1)
+    } finally spark.conf.unset("spark.graft.xml.maxBoundaryFragmentBytes")
+  }
+
   test("DTD parameter entities (%name;) expand into content models — dblp.dtd shape") {
     // shaped like the real dblp.dtd: the field list is a parameter
     // entity spliced into each record element's content model
