@@ -61,7 +61,11 @@ object CorpusPipeline {
         max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("doc_id"),
         count(lit(1)).as("n_members"))
       .select("doc_id", "n_members")
-    val metrics = TextAnalysis.repetitionMetrics(docs, id, text)
+    // metrics over representatives only: semi-join first so the
+    // explode+count work is not spent on eliminated near-duplicates
+    val repDocs = docs.select(id.as("doc_id"), text.as("text"))
+      .join(reps.select("doc_id"), Seq("doc_id"), "left_semi")
+    val metrics = TextAnalysis.repetitionMetrics(repDocs, col("doc_id"), col("text"))
       .select("doc_id", "n_tokens", "uniq_ratio", "top_token_frac")
     val surviving = reps.join(metrics, "doc_id")
       .where(col("n_tokens") >= cfg.minTokens &&
@@ -86,10 +90,15 @@ object CorpusPipeline {
     //    best score wins (ties to smallest id) — only ids survive here
     val kept = Dedup.keepBest(docs, id, text, score)
       .select(col("keep_id").as("doc_id"))
-    // 2. repetition/quality metrics — skinny (doc_id, counts) rows
-    val metrics = TextAnalysis.repetitionMetrics(docs, id, text)
+    // 2. repetition/quality metrics — skinny (doc_id, counts) rows,
+    //    computed over SURVIVORS only (semi-join first: the
+    //    explode+count work would otherwise be spent on eliminated
+    //    duplicates, often 2-5x of a scraped corpus). The semi-join
+    //    replaces the old kept-join below — same shuffle budget.
+    val keptDocs = docs.select(id.as("doc_id"), text.as("text"))
+      .join(kept, Seq("doc_id"), "left_semi")
+    val surviving = TextAnalysis.repetitionMetrics(keptDocs, col("doc_id"), col("text"))
       .select("doc_id", "n_tokens", "uniq_ratio", "top_token_frac")
-    val surviving = kept.join(metrics, "doc_id")
       .where(col("n_tokens") >= cfg.minTokens &&
         col("top_token_frac") <= cfg.maxTopTokenFrac)
     // 3. redact survivors only (the one text-carrying join)
