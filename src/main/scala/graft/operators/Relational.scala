@@ -112,6 +112,13 @@ object Relational {
     *
     * Inputs carry (key, time, id); output is every left row with
     * `asof_id` = matching right id (null when no prior right exists).
+    *
+    * SKEW BOUND: the window partitions by `key`, so one HOT key (a
+    * bot user, a null-ish default id) serializes through a single
+    * task — the per-task bound is the largest single key's row count.
+    * Fine for human-scale keys; for hot keys use [[asofJoinBucketed]],
+    * which spreads each key over time buckets and carries the
+    * last-right across buckets via a skinny per-bucket summary.
     */
   def asofJoin(left: DataFrame, right: DataFrame): DataFrame = {
     val tagged = left.select(col("key"), col("time"), col("id"), lit(true).as("is_left"))
@@ -126,6 +133,50 @@ object Relational {
         last(when(!col("is_left"), col("id")), ignoreNulls = true).over(w))
       .where(col("is_left"))
       .select(col("key"), col("time"), col("id"), col("asof_id"))
+  }
+
+  /** Skew-proof as-of join: identical semantics (and tie-breaks) to
+    * [[asofJoin]], but windowed by (key, time-bucket) so a hot key
+    * parallelizes across its time range instead of serializing
+    * through one task. Two-level scan:
+    *
+    *  1. the heavy window runs per (key, bucket) — a hot key's rows
+    *     split across `time div bucketWidth` tasks;
+    *  2. the last right of every STRICTLY EARLIER bucket is carried
+    *     in by a per-key window over one summary row per bucket
+    *     (skinny: bounded by #buckets, not #rows), then coalesced
+    *     under the bucket-local running last.
+    *
+    * The carry join keys on (key, bucket) — the exact partitioning
+    * the local window just produced, so Catalyst reuses the exchange
+    * and the only added shuffle is the summary side. Pick
+    * `bucketWidth` so one key-bucket fits a task comfortably
+    * (e.g. a day of a bot's events, not its lifetime).
+    */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val tagged = left.select(col("key"), col("time"), col("id"), lit(true).as("is_left"))
+      .unionByName(right.select(col("key"), col("time"), col("id"), lit(false).as("is_left")))
+      .withColumn("bucket", expr(s"time div ${bucketWidth}L"))
+    val wLocal = Window.partitionBy("key", "bucket")
+      .orderBy(col("time"), col("is_left"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = tagged.withColumn("local_asof",
+      last(when(!col("is_left"), col("id")), ignoreNulls = true).over(wLocal))
+    // one summary row per (key, bucket): the bucket's last right as a
+    // lexicographic (time, id) max — same tie-break as the window's
+    // (time, is_left, id) order restricted to rights; null if none
+    val summaries = tagged.groupBy("key", "bucket")
+      .agg(max(when(!col("is_left"), struct(col("time"), col("id")))).as("last_r"))
+    val wCarry = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = summaries
+      .withColumn("carry", last(col("last_r").getField("id"), ignoreNulls = true).over(wCarry))
+      .select("key", "bucket", "carry")
+    local.join(carried, Seq("key", "bucket"))
+      .where(col("is_left"))
+      .select(col("key"), col("time"), col("id"),
+        coalesce(col("local_asof"), col("carry")).as("asof_id"))
   }
 
   /** Range join: all (left, right) pairs with the same key whose times

@@ -41,6 +41,26 @@ class RelationalSpec extends SparkTestBase {
       103L -> None))      // key 2: right only at t=99
   }
 
+  test("asofJoinBucketed matches asofJoin on skewed random data (property)") {
+    import spark.implicits._
+    // one hot key holding half the rows, buckets far smaller than the
+    // hot key's time range — carries must cross many empty/full buckets
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 2000).map { i =>
+      val key = if (rnd.nextBoolean()) 0L else 1L + rnd.nextInt(20)
+      (key, rnd.nextInt(500).toLong, i.toLong, rnd.nextBoolean())
+    }
+    val left = rows.filter(_._4).map(r => (r._1, r._2, r._3)).toDF("key", "time", "id")
+    val right = rows.filterNot(_._4).map(r => (r._1, r._2, r._3)).toDF("key", "time", "id")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "asof_id").as[(Long, Option[Long])].collect().toMap
+    val plain = canon(Relational.asofJoin(left, right))
+    Seq(7L, 50L, 1000L).foreach { width => // many buckets, a few, just one
+      assert(canon(Relational.asofJoinBucketed(left, right, width)) == plain,
+        s"bucketWidth=$width diverged")
+    }
+  }
+
   test("rangeJoin: exactly the pairs within the window, across buckets") {
     import spark.implicits._
     val left = Seq((1L, 100L, 1L), (1L, 250L, 2L), (2L, 100L, 3L)).toDF("key", "time", "id")
