@@ -20,6 +20,7 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.register(spark)
     val names =
       if (args.nonEmpty) args.toSeq
       else Seq("q01_project_filter", "q02_agg_group", "q08_relation_edges",

@@ -9,6 +9,7 @@ object EntrySmoke {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftExtensions.register(spark)
     val df = graft.SparkEntry.entry(spark)
     val n = df.count()
     println(s"ENTRY rows=$n schema=${df.schema.fieldNames.mkString(",")}")

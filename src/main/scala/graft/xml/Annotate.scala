@@ -27,11 +27,14 @@ object Annotate {
     // and the array flag is a count/max pair
     // native single-scan classifier (graft.functions.InferType) —
     // the declarative chain evaluates five regexes per value — and a
-    // bit_or mask aggregation instead of collect_set arrays
-    graft.functions.GraftExtensions.register(exploded.sparkSession)
+    // bit_or mask aggregation instead of collect_set arrays; built as
+    // a Column directly so no function-registry mutation is needed
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    val inferred = ColumnBridge.column(
+      graft.functions.InferType(ColumnBridge.expression(col("value"))))
     val types = exploded
       .select(col("recordType"), col("col_name"),
-        TypeInference.typeBit(expr("infer_type(value)")).as("bit"))
+        TypeInference.typeBit(inferred).as("bit"))
       .groupBy("recordType", "col_name")
       .agg(TypeInference.unifyTypeMask(bit_or(col("bit"))).as("unified"))
       .collect()
