@@ -11,6 +11,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftExtensions.register(spark)
     // session warmup (codegen, parquet footer reads, shuffle machinery)
     // otherwise lands on whichever query happens to run first and
     // distorts its timing by several seconds
@@ -33,16 +34,17 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalFirst = results.map(_._3).sum
     // "reps" documents the timing protocol (per-query min of N timed
-    // reps) so round-over-round comparisons know what they compare
-    // against: r<=3 benches were single-rep and absorbed warmup
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // reps); "value_first_rep" is the single-rep sum so rounds <=3
+    // (single-rep, warmup absorbed) compare like-for-like
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"value_first_rep":$totalFirst,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
