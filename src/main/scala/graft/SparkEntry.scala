@@ -277,23 +277,48 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
 
   private def qTypeInferNative(s: SparkSession, dir: String): DataFrame = {
-    // the native codegen'd expression, registered the way
-    // spark.sql.extensions would (same oracle as the declarative q04)
-    graft.functions.GraftExtensions.register(s)
+    // the native codegen'd expression via its SQL-registered name
+    // (same oracle as the declarative q04); registration happens at
+    // session build (Verify/Bench/SparkTestBase), never inside an
+    // operator — same convention as nanosAsLong
     stackedTypeValues(s, dir)
       .select(expr("infer_type(v)").as("inferred_type"))
       .groupBy("inferred_type").agg(count(lit(1)).as("n"))
       .orderBy("inferred_type")
   }
 
+  /** REAL feature-extraction round trip: constant-gray PNGs are drawn
+    * and ENCODED distributed (JDK ImageIO), then
+    * [[graft.multimodal.Multimodal.extractFeatures]] DECODES them with
+    * the real ImageIoCodec. For a constant image every resampled
+    * luminance grid cell equals the gray level, so the feature vector
+    * has the closed form c/255 with c = (i*37+11) % 256 — recovered
+    * exactly by the *255 round trip and oracle-checked. The varying
+    * (w,h) exercise the resample; FakeCodec no longer appears here.
+    */
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
-    import graft.multimodal.Multimodal
-    val media = Multimodal.withMetadata(
-      t(s, dir, "documents").where(col("doc_id") < 50),
-      col("doc_id"), encode(col("text"), "utf-8"), "image")
-    Multimodal.extractFeatures(media, new Multimodal.FakeCodec, dim = 16)
-      .select(col("media_id"), round(element_at(col("feature"), 1), 4).as("f0"),
-        round(element_at(col("feature"), 16), 4).as("f15"))
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = s.range(50).rdd.map { i =>
+      val c = ((i * 37 + 11) % 256).toInt
+      val w = 4 + (i % 8).toInt
+      val h = 4 + ((i * 5) % 8).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val gr = img.createGraphics()
+      try { gr.setColor(new java.awt.Color(c, c, c)); gr.fillRect(0, 0, w, h) }
+      finally gr.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      org.apache.spark.sql.Row(i, bos.toByteArray)
+    }
+    graft.multimodal.Multimodal.extractFeatures(
+      s.createDataFrame(rdd, schema), new graft.multimodal.Multimodal.ImageIoCodec, dim = 16)
+      .select(col("media_id"),
+        round(element_at(col("feature"), 1) * 255, 0).cast("long").as("lum0"),
+        round(element_at(col("feature"), 16) * 255, 0).cast("long").as("lum15"))
       .orderBy("media_id")
   }
 
@@ -368,6 +393,21 @@ object SparkEntry {
       .orderBy("click_id")
   }
 
+  /** Same semantics (and oracle) as q49, via the skew-proof
+    * time-bucketed variant — proves the hot-key path gives identical
+    * answers. Bucket width: one hour of nanosecond timestamps.
+    */
+  private def qAsofJoinBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
+    Relational.asofJoinBucketed(clicks, purchases, bucketWidth = 3600L * 1000 * 1000 * 1000)
+      .select(col("id").as("click_id"), col("key").as("user_id"), col("asof_id").as("purchase_id"))
+      .orderBy("click_id")
+  }
+
   private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
     val base = t(s, dir, "events")
       .select(col("user_id").as("key"), expr("ts div 1000").as("time"), col("event_id").as("id"))
@@ -411,6 +451,24 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.ivfTopK(e.where(col("id") >= 5 && col("id") < 10), e,
       k = 3, nBuckets = 8, nProbe = 2)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** q26's IVF serve against the PERSISTED bucket-partitioned index
+    * (Scale.writeBucketed): the index build+write pays the one
+    * assignment shuffle up front, and the serve join then reads the
+    * corpus pre-bucketed by `bucket` — zero corpus bytes through an
+    * exchange at query time (the 100 TB serve shape; `PlanSpec` pins
+    * the exchange-free scan). Oracle: identical answers to q26.
+    */
+  private def qIvfServeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val index = Similarity.ivfIndex(e, nBuckets = 8)
+    graft.operators.Scale.writeBucketed(index.assigned, "graft_ivf_assigned", "bucket", 8)
+    val served = Similarity.IvfIndex(index.cents, s.table("graft_ivf_assigned"))
+    Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), served, k = 3)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -756,6 +814,7 @@ object SparkEntry {
     "q47_salted_collapse" -> qSaltedCollapse _,
     "q48_dedup_groups" -> qDedupGroups _,
     "q49_asof_join" -> qAsofJoin _,
+    "q66_asof_bucketed" -> qAsofJoinBucketed _,
     "q50_semi_anti" -> qSemiAntiJoin _,
     "q51_range_join" -> qRangeJoin _,
     "q52_cube" -> qCube _,
@@ -766,6 +825,7 @@ object SparkEntry {
     "q23_dedup_ngram" -> qDedupNgram _,
     "q25_sim_bruteforce" -> qSimBruteForce _,
     "q26_sim_ivf" -> qSimIvf _,
+    "q67_ivf_serve_bucketed" -> qIvfServeBucketed _,
     "q27_text_quality" -> qTextQuality _,
     "q28_lang_id" -> qLangId _,
     "q29_token_freq" -> qTokenFreq _,
@@ -1105,6 +1165,15 @@ object SparkEntry {
           | ON c.user_id = p.user_id AND c.ts >= p.ts
           |ORDER BY click_id""".stripMargin,
 
+      // identical oracle to q49: the bucketed variant must give the
+      // same answers as the single-window one
+      "q66_asof_bucketed" ->
+        """SELECT c.event_id AS click_id, c.user_id, p.event_id AS purchase_id
+          |FROM (SELECT * FROM events WHERE event_type = 'click') c
+          |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          | ON c.user_id = p.user_id AND c.ts >= p.ts
+          |ORDER BY click_id""".stripMargin,
+
       "q48_dedup_groups" ->
         """WITH RECURSIVE base AS (
           | SELECT doc_id,
@@ -1143,6 +1212,32 @@ object SparkEntry {
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       "q26_sim_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // identical oracle to q26: the persisted-bucketed serve must
+      // give the same answers
+      "q67_ivf_serve_bucketed" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
           | assigned AS (
@@ -1391,6 +1486,13 @@ object SparkEntry {
           |SELECT 'c_nationkey', count(c_nationkey), count(*) - count(c_nationkey),
           |  min(c_nationkey)::VARCHAR, max(c_nationkey)::VARCHAR FROM customer
           |ORDER BY col_name""".stripMargin,
+
+      // constant-gray PNGs: decoded luminance == the gray level, so
+      // feature*255 rounds back to (i*37+11)%256 at every grid cell
+      "q46_multimodal_features" ->
+        """SELECT i AS media_id, ((i*37+11) % 256)::BIGINT AS lum0,
+          | ((i*37+11) % 256)::BIGINT AS lum15
+          |FROM range(0, 50) t(i) ORDER BY media_id""".stripMargin,
 
       // the PNGs are drawn with width 8+i%16, height 8+(i*3)%16 — the
       // probe must read exactly those back out of the encoded bytes

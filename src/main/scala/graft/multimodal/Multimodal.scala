@@ -6,11 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column handling for training-data pipelines: media
   * (image/audio/video) travels as an opaque `binary` column with a
-  * typed metadata struct alongside. The Spark-side plumbing — schema,
-  * batch shape, partition sizing — is real and tested; the actual
-  * codec work is stubbed behind [[MediaCodec]] (decode libraries are
-  * not available in this environment) with a deterministic fake so
-  * tests exercise the full path.
+  * typed metadata struct alongside. Image and PCM-WAV codecs are REAL
+  * (the JDK ships `javax.imageio` / `javax.sound.sampled`); other
+  * formats plug into the same [[MediaCodec]] seam, for which
+  * [[FakeCodec]] is the deterministic unit-test double.
   *
   * Scale design: decode runs in `mapPartitions` so each task
   * amortizes codec init across its whole partition (the moral

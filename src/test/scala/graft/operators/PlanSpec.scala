@@ -94,6 +94,32 @@ class PlanSpec extends SparkTestBase {
       kept.queryExecution.executedPlan.toString)
   }
 
+  test("IVF serve against the persisted bucketed index: zero corpus-side exchange") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 64L).map(i => (i, Array.fill(8)(rnd.nextFloat()))).toDF("id", "vec")
+    val index = Similarity.ivfIndex(vecs, nBuckets = 4)
+    Scale.writeBucketed(index.assigned, "graft_ivf_plan_test", "bucket", 4)
+    val served = Similarity.IvfIndex(index.cents, spark.table("graft_ivf_plan_test"))
+    val queries = vecs.where(col("id") < 3)
+    // force SMJ so the assertion is about BUCKETING, not a lucky broadcast
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val serve = Similarity.ivfTopKIndexed(queries, served, k = 3)
+      val plan = serve.queryExecution.executedPlan.toString
+      // exchange budget: probe window (query side), query side of the
+      // bucket join, final ranking window — and NOTHING over the
+      // bucketed corpus scan
+      assert(Scale.countShuffles(serve) <= 3, plan)
+      assert(plan.contains("SelectedBucketsCount"), plan) // bucket pruning metadata present
+      // the corpus branch: no Exchange between the bucketed table scan
+      // and its join — scan feeds the sort/join directly
+      val inline = Similarity.ivfTopKIndexed(queries, index, k = 3)
+      assert(Scale.countShuffles(inline) >= Scale.countShuffles(serve) + 2,
+        "inline index should pay the assignment+join exchanges the bucketed serve avoids")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("chunking pushes the doc filter into the scan and stays map-only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 50)
     val chunks = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),
