@@ -87,6 +87,25 @@ object ScaleSmoke {
     val nd = time(s"embeddingNearDups (B=$ndBuckets)")(
       Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = ndBuckets).count())
+    // asof-join skew: ONE key holds half of all events (the bot-user
+    // shape). The per-key window serializes that key through a single
+    // task; the bucketed variant spreads it over time buckets —
+    // measured here side by side on identical inputs
+    val nEv = (nDocs * 2).min(2000000L)
+    val events = spark.range(nEv).select(
+      when(col("id") % 2 === 0, 0L).otherwise(pmod(col("id"), lit(1000L))).as("key"),
+      pmod(xxhash64(col("id")), lit(nEv * 10)).as("time"),
+      col("id").as("id"),
+      (col("id") % 3 === 0).as("is_left")).persist()
+    events.count()
+    val evL = events.where(col("is_left")).select("key", "time", "id")
+    val evR = events.where(!col("is_left")).select("key", "time", "id")
+    val asofPlain = time(s"asofJoin (hot key = 50% of $nEv rows)")(
+      graft.operators.Relational.asofJoin(evL, evR).count())
+    val asofBucketed = time("asofJoinBucketed (same input, width=nEv/32)")(
+      graft.operators.Relational.asofJoinBucketed(evL, evR, (nEv * 10 / 32).max(1L)).count())
+    require(asofPlain == asofBucketed, s"asof variants disagree: $asofPlain vs $asofBucketed")
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
