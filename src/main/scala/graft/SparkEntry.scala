@@ -680,6 +680,23 @@ object SparkEntry {
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedSample(
+      t(s, dir, "documents"), col("doc_id"), col("lang"),
+      Seq("en" -> 20, "zh" -> 50), defaultParts = 100)
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang")
+
+  private def qStratumWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratumWeights(t(s, dir, "documents"), col("lang"), alpha = 0.5)
+      .select(col("stratum"), col("n_rows"), col("share"), round(col("weight"), 6).as("weight"))
+      .orderBy("stratum")
+
+  private def qPackSequences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(t(s, dir, "documents"), col("doc_id"), col("text"),
+      capacity = 2048L, nShards = 4)
+      .orderBy("doc_id")
+
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redactPii(
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
@@ -844,6 +861,9 @@ object SparkEntry {
     "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
     "q64_image_probe" -> qImageProbe _,
     "q65_column_stats" -> qColumnStats _,
+    "q68_stratified_sample" -> qStratifiedSample _,
+    "q69_pack_sequences" -> qPackSequences _,
+    "q70_stratum_weights" -> qStratumWeights _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1350,6 +1370,37 @@ object SparkEntry {
           | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
           | FROM (SELECT (doc_id * 2654435761) % 100 AS b, lang FROM documents))
           |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      // per-stratum thresholds over the same Knuth bucket as q59
+      "q68_stratified_sample" ->
+        """SELECT lang, count(*) AS n FROM (
+          | SELECT lang, (doc_id * 2654435761) % 100 AS b FROM documents)
+          |WHERE b < (CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 50 ELSE 100 END)
+          |GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // documents laid end-to-end per shard in doc_id order; a doc's
+      // bin is where its first token lands (integer div by capacity)
+      "q69_pack_sequences" ->
+        """WITH toks AS (
+          | SELECT doc_id, (doc_id * 2654435761) % 4 AS shard,
+          |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          | FROM documents),
+          | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+          | packed AS (
+          |  SELECT doc_id, shard, n_tokens,
+          |   COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          |  FROM nz)
+          |SELECT doc_id, shard, start_tok // 2048 AS bin, start_tok, n_tokens
+          |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // multinomial alpha=0.5 reweighting: weight = share^-0.5
+      "q70_stratum_weights" ->
+        """WITH c AS (SELECT lang AS stratum, count(*) AS n_rows FROM documents GROUP BY lang),
+          | t AS (SELECT sum(n_rows)::DOUBLE AS total FROM c)
+          |SELECT stratum, n_rows, n_rows / total AS share,
+          | round(power(n_rows / total, -0.5), 6) AS weight
+          |FROM c, t ORDER BY stratum""".stripMargin,
 
       "q60_pii_redact" ->
         """SELECT doc_id,

@@ -48,4 +48,58 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Per-stratum deterministic sampling — the corpus-rebalancing
+    * primitive for multilingual / multi-source training mixes
+    * (downsample the dominant language, keep the tail whole). Each
+    * stratum keeps `parts` of `denom` of its rows (strata absent from
+    * `fractions` keep `defaultParts`), selected by the same stable
+    * bucket function as [[hashSample]], so the kept set is
+    * reproducible and nested: lowering a stratum's parts keeps a
+    * subset of what the higher setting kept.
+    *
+    * Scale shape: the per-stratum threshold folds into one codegen'd
+    * when-chain — map-only, zero shuffle, no join even with thousands
+    * of strata (the chain is data-independent).
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      key: Column,
+      stratum: Column,
+      fractions: Seq[(String, Int)],
+      defaultParts: Int,
+      denom: Int = 100): DataFrame = {
+    require(denom > 0 && (defaultParts +: fractions.map(_._2)).forall(p => p >= 0 && p <= denom),
+      s"parts must be in [0, $denom]")
+    val threshold = fractions.foldRight(lit(defaultParts): Column) {
+      case ((s, parts), acc) => when(stratum === s, parts).otherwise(acc)
+    }
+    df.where(bucket(key, denom) < threshold)
+  }
+
+  /** Temperature-based stratum reweighting (multinomial alpha
+    * sampling — the mC4 / XLM-R recipe for balancing a multilingual
+    * mix): a stratum with empirical share p is sampled proportionally
+    * to p^alpha, i.e. every ROW of that stratum carries relative
+    * weight p^(alpha-1) — alpha=1 is natural frequency, alpha→0 is
+    * uniform-over-strata, the classic 0.5 squashes the head and
+    * boosts the tail. Returns one row per stratum: (stratum, n_rows,
+    * share, weight); weights are relative (normalize downstream if a
+    * proper distribution is needed — normalizing here would make the
+    * output depend on summation order across strata).
+    *
+    * One count aggregate over skinny (stratum) rows plus a scalar
+    * total — nothing rides a shuffle but counts.
+    */
+  def stratumWeights(df: DataFrame, stratum: Column, alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0,1], got $alpha")
+    val counts = df.groupBy(stratum.as("stratum")).agg(count(lit(1)).as("n_rows"))
+    // the grand total joins in as a broadcast 1-row aggregate — one
+    // lazy plan, no eager driver job
+    counts
+      .crossJoin(broadcast(counts.agg(sum(col("n_rows")).cast("double").as("__total"))))
+      .withColumn("share", col("n_rows") / col("__total"))
+      .withColumn("weight", pow(col("share"), lit(alpha - 1.0)))
+      .drop("__total")
+  }
 }

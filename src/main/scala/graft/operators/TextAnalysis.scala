@@ -263,6 +263,39 @@ object TextAnalysis {
           slice(col("toks"), (col("k") * step + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** Sequence packing: lay documents end-to-end (in deterministic
+    * doc-id order within a shard) and assign each to the fixed-
+    * capacity context bin where its first token lands — the
+    * concat-and-chunk step that turns filtered documents into
+    * training sequences. Output per document: (doc_id, shard, bin,
+    * start_tok, n_tokens) with `start_tok` the document's start
+    * position in the shard's token stream and
+    * `bin = start_tok div capacity`.
+    *
+    * Scale shape: the running sum windows by SHARD, never globally —
+    * shards are the stable [[Sampling.bucket]] of the id, so at 100 TB
+    * `nShards` spreads the window into that many independent, balanced
+    * sorts (pick nShards >= cluster cores; packing quality is
+    * unaffected since bins never span shards).
+    */
+  def packSequences(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      capacity: Long,
+      nShards: Int): DataFrame = {
+    require(capacity > 0 && nShards > 0, s"capacity and nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id.as("doc_id"), size(tokens(text)).cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("shard", Sampling.bucket(col("doc_id"), nShards))
+      .withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("shard"), expr(s"start_tok div ${capacity}L").as("bin"),
+        col("start_tok"), col("n_tokens"))
+  }
+
   /** Token frequency table: (token, count), the classic explode +
     * groupBy. Partial aggregation combines map-side, so the shuffle
     * carries one row per (partition, token), not per occurrence.

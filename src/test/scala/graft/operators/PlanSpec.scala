@@ -92,6 +92,12 @@ class PlanSpec extends SparkTestBase {
     val kept = Sampling.hashSample(docs, col("doc_id"), 1, 10)
     assert(Scale.countShuffles(kept) == 0,
       kept.queryExecution.executedPlan.toString)
+    // stratified thresholds fold into the same map-only shape — no
+    // join materializes even with many strata
+    val strat = Sampling.stratifiedSample(docs, col("doc_id"), col("lang"),
+      (0 until 50).map(i => s"l$i" -> i % 10), defaultParts = 100)
+    assert(Scale.countShuffles(strat) == 0,
+      strat.queryExecution.executedPlan.toString)
   }
 
   test("IVF serve against the persisted bucketed index: zero corpus-side exchange") {

@@ -20,6 +20,39 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(counts("test") - 1000L) < 200)
   }
 
+  test("stratifiedSample: per-stratum fractions, nested, default applies") {
+    import spark.implicits._
+    val df = (0L until 9000L).map(i => (i, Seq("en", "de", "fr")(((i % 3)).toInt)))
+      .toDF("id", "lang")
+    val kept = Sampling.stratifiedSample(df, col("id"), col("lang"),
+      Seq("en" -> 10, "de" -> 50), defaultParts = 100)
+    val counts = kept.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("fr") == 3000L) // default keeps everything
+    assert(math.abs(counts("en") - 300L) < 120)
+    assert(math.abs(counts("de") - 1500L) < 300)
+    // nested: en at 10 parts is a subset of en at 30 parts
+    val widerEn = Sampling.stratifiedSample(df, col("id"), col("lang"),
+      Seq("en" -> 30), defaultParts = 0)
+      .select("id").as[Long].collect().toSet
+    val keptEn = kept.where(col("lang") === "en").select("id").as[Long].collect().toSet
+    assert(keptEn.subsetOf(widerEn))
+  }
+
+  test("stratumWeights: shares sum to 1; alpha=1 natural, alpha=0.5 boosts the tail") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("en") ++ Seq.fill(15)("de") ++ Seq.fill(5)("fr")).toDF("lang")
+    val w = Sampling.stratumWeights(df, col("lang"), alpha = 0.5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(w("en")._1 == 80L && w("de")._1 == 15L && w("fr")._1 == 5L)
+    assert(math.abs(w.values.map(_._2).sum - 1.0) < 1e-12)
+    assert(w("fr")._3 > w("de")._3 && w("de")._3 > w("en")._3) // tail boosted
+    assert(math.abs(w("en")._3 - 1.0 / math.sqrt(0.8)) < 1e-12)
+    val natural = Sampling.stratumWeights(df, col("lang"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(natural.values.forall(v => math.abs(v - 1.0) < 1e-12))
+  }
+
   test("hashSplit/hashSample are deterministic pure functions of the key") {
     val df = spark.range(1000).toDF("id")
     val a = Sampling.hashSplit(df, col("id"), Seq("x" -> 50, "y" -> 50))

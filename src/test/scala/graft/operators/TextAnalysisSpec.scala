@@ -101,6 +101,30 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 0L, 0L, 2L, "x y")))
   }
 
+  test("packSequences: per-shard end-to-end layout, bins by capacity, empty docs dropped") {
+    import spark.implicits._
+    // nShards=1 so the layout is a single stream in doc_id order:
+    // token counts 3,2,4,2 with capacity 5 -> starts 0,3,5,9 -> bins 0,0,1,1
+    val df = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j k"), (4L, "  ")
+    ).toDF("doc_id", "text")
+    val packed = TextAnalysis.packSequences(df, col("doc_id"), col("text"),
+      capacity = 5L, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "bin", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(packed == Seq(
+      (0L, 0L, 0L, 3L), (1L, 0L, 3L, 2L), (2L, 1L, 5L, 4L), (3L, 1L, 9L, 2L)))
+    // sharding only changes the grouping, never loses a document, and
+    // every shard's stream starts at 0
+    val sharded = TextAnalysis.packSequences(df, col("doc_id"), col("text"),
+      capacity = 5L, nShards = 3)
+    assert(sharded.count() == 4)
+    val starts = sharded.groupBy("shard").agg(min("start_tok").as("m"))
+      .select("m").as[Long].collect()
+    assert(starts.forall(_ == 0L))
+  }
+
   test("repetitionMetrics: unique/top-token/top-bigram fractions") {
     import spark.implicits._
     val df = TextAnalysis.repetitionMetrics(
