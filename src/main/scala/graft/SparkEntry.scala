@@ -697,6 +697,12 @@ object SparkEntry {
       capacity = 2048L, nShards = 4)
       .orderBy("doc_id")
 
+  private def qAdaptiveFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.adaptiveQualityFilter(
+      t(s, dir, "documents"), col("lang"), col("n_chars"), q = 0.5)
+      .groupBy("lang").agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"))
+      .orderBy("lang")
+
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redactPii(
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
@@ -864,6 +870,7 @@ object SparkEntry {
     "q68_stratified_sample" -> qStratifiedSample _,
     "q69_pack_sequences" -> qPackSequences _,
     "q70_stratum_weights" -> qStratumWeights _,
+    "q71_adaptive_filter" -> qAdaptiveFilter _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1393,6 +1400,15 @@ object SparkEntry {
           |  FROM nz)
           |SELECT doc_id, shard, start_tok // 2048 AS bin, start_tok, n_tokens
           |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // per-lang median threshold: interpolated percentile of integer
+      // scores at q=0.5 is exactly representable on both engines
+      "q71_adaptive_filter" ->
+        """WITH th AS (SELECT lang, quantile_cont(n_chars, 0.5) AS t FROM documents GROUP BY lang)
+          |SELECT d.lang, count(*) AS n, min(d.n_chars) AS min_chars
+          |FROM documents d JOIN th ON d.lang = th.lang
+          |WHERE d.n_chars >= th.t
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
       // multinomial alpha=0.5 reweighting: weight = share^-0.5
       "q70_stratum_weights" ->

@@ -57,6 +57,13 @@ object ScaleSmoke {
         bench, col("doc_id"), col("text"), minShared = 5L).count())
     val tf = time("tfidfTopTerms")(
       TextAnalysis.tfidfTopTerms(docs, col("doc_id"), col("text")).count())
+    val pk = time("packSequences (cap 2048, 64 shards)")(
+      TextAnalysis.packSequences(docs, col("doc_id"), col("text"),
+        capacity = 2048L, nShards = 64).count())
+    val af = time("adaptiveQualityFilter (per-stratum median)")(
+      TextAnalysis.adaptiveQualityFilter(
+        docs.withColumn("lang", (col("doc_id") % 5).cast("string")),
+        col("lang"), length(col("text")), 0.5).count())
 
     // embedding stage: nDocs 64-dim unit-ish vectors, IVF ANN top-k
     // for a 1k query slice + embedding near-dup over the full corpus
@@ -115,7 +122,8 @@ object ScaleSmoke {
     val cc = time("dedupGroups (2M pairs, distributed)")(
       Dedup.dedupGroups(pairs).where(col("id") =!= col("keep_id")).count())
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
-      s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf annRows=$ann embNearDups=$nd ccRelabels=$cc")
+      s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
+      s"annRows=$ann embNearDups=$nd ccRelabels=$cc")
     spark.stop()
   }
 }

@@ -263,6 +263,25 @@ object TextAnalysis {
           slice(col("toks"), (col("k") * step + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** Adaptive per-stratum quality filter: keep rows whose score sits
+    * at or above their stratum's q-th percentile — per-language
+    * adaptive thresholding (a fixed global cutoff over-prunes
+    * low-resource languages whose score distribution sits lower).
+    * The threshold table is one exact-percentile aggregate with one
+    * row per stratum, broadcast back onto the corpus — the corpus
+    * itself never shuffles. Prefer q values whose interpolated
+    * percentile of integer scores is exactly representable (e.g. 0.5)
+    * when cross-engine reproducibility matters.
+    */
+  def adaptiveQualityFilter(df: DataFrame, stratum: Column, score: Column, q: Double): DataFrame = {
+    require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
+    val th = df.groupBy(stratum.as("__stratum"))
+      .agg(percentile(score, lit(q)).as("__th"))
+    df.join(broadcast(th), stratum === col("__stratum"))
+      .where(score >= col("__th"))
+      .drop("__stratum", "__th")
+  }
+
   /** Sequence packing: lay documents end-to-end (in deterministic
     * doc-id order within a shard) and assign each to the fixed-
     * capacity context bin where its first token lands — the

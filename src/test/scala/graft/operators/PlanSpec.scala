@@ -126,6 +126,24 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("adaptiveQualityFilter broadcasts thresholds; corpus never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val kept = TextAnalysis.adaptiveQualityFilter(docs, col("lang"), col("n_chars"), 0.5)
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    // the only exchange feeds the per-stratum percentile aggregate
+    assert(Scale.countShuffles(kept) == 1, plan)
+  }
+
+  test("packSequences windows by shard — one exchange, never a global sort") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val packed = TextAnalysis.packSequences(docs, col("doc_id"), col("text"),
+      capacity = 2048L, nShards = 8)
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(Scale.countShuffles(packed) == 1, plan)
+    assert(plan.contains("hashpartitioning(shard"), plan) // not a single global partition
+  }
+
   test("chunking pushes the doc filter into the scan and stays map-only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 50)
     val chunks = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),

@@ -101,6 +101,19 @@ class TextAnalysisSpec extends SparkTestBase {
       (3L, 0L, 0L, 2L, "x y")))
   }
 
+  test("adaptiveQualityFilter keeps each stratum's upper tail by its own threshold") {
+    import spark.implicits._
+    // en scores 1..8 (median 4.5 -> keeps 5..8); de scores 101..104
+    // (median 102.5 -> keeps 103,104): a global cutoff could never
+    // produce this split
+    val df = ((1 to 8).map(i => ("en", i.toLong)) ++ (101 to 104).map(i => ("de", i.toLong)))
+      .toDF("lang", "score")
+    val kept = TextAnalysis.adaptiveQualityFilter(df, col("lang"), col("score"), q = 0.5)
+      .select("lang", "score").as[(String, Long)].collect().toSet
+    assert(kept == Set(("en", 5L), ("en", 6L), ("en", 7L), ("en", 8L),
+      ("de", 103L), ("de", 104L)))
+  }
+
   test("packSequences: per-shard end-to-end layout, bins by capacity, empty docs dropped") {
     import spark.implicits._
     // nShards=1 so the layout is a single stream in doc_id order:
