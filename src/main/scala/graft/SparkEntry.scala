@@ -533,9 +533,14 @@ object SparkEntry {
   // golden tests in XmlToCsvSpec.
   // ---------------------------------------------------------------- //
 
+  // the field list is a PARAMETER ENTITY spliced into content models —
+  // the real dblp.dtd's exact shape (<!ENTITY % field "...">;
+  // <!ELEMENT article (%field;)*>), so every fixture-driven query and
+  // golden run exercises the expansion path
   private val fixtureDtd =
-    """<!ELEMENT dblp ((article|book|phdthesis|www)*)>
-      |<!ELEMENT article (author|title|year|pages|note|cite)*>
+    """<!ENTITY % field "author|title|year|pages|note|cite">
+      |<!ELEMENT dblp ((article|book|phdthesis|www)*)>
+      |<!ELEMENT article (%field;)*>
       |<!ELEMENT book (author|title|note)*>
       |<!ELEMENT phdthesis (empty-attr-only)*>
       |<!ELEMENT www (#PCDATA)>
