@@ -708,6 +708,65 @@ object SparkEntry {
       .groupBy("lang").agg(count(lit(1)).as("n"), min("n_chars").as("min_chars"))
       .orderBy("lang")
 
+  /** Spark's file-stream source lists a DIRECTORY; the testdata tables
+    * are single parquet files, so stage a per-(sfdir, table) temp
+    * directory holding one symlink to the file. Driver-side, idempotent.
+    */
+  private def streamDir(dir: String, table: String): String = {
+    val src = java.nio.file.Paths.get(dir, s"$table.parquet").toAbsolutePath
+    val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_src", java.lang.Integer.toHexString(dir.hashCode), table)
+    java.nio.file.Files.createDirectories(d)
+    val link = d.resolve(s"$table.parquet")
+    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+    d.toString
+  }
+
+  /** Structured Streaming through the CONTRACT: the events table read
+    * as a FILE STREAM, windowed-aggregated with watermark
+    * (StreamingOps.windowedEventStats) under Trigger.AvailableNow —
+    * every file processed, then the query stops. In complete mode the
+    * drained-stream result equals the batch aggregation, which is
+    * exactly what the DuckDB oracle computes (q14's SQL): the
+    * streaming operator is oracle-checked, not just spec-shaped.
+    */
+  private def qStreamWindowStats(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val agg = graft.streaming.StreamingOps.windowedEventStats(
+      stream, "ts_t", "event_type", "value")
+    val q = agg.writeStream.format("memory").queryName("graft_stream_win")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_win")
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("event_type"), col("n"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Streaming first-seen dedup through the contract: documents as a
+    * file stream through the flatMapGroupsWithState dedup, drained
+    * with AvailableNow. One parquet file = one batch, and within a
+    * batch ties go to the smallest doc id, so the emitted set equals
+    * batch exact dedup's (min doc_id per fingerprint) — q20's
+    * keep-side oracle restated.
+    */
+  private def qStreamDedup(s: SparkSession, dir: String): DataFrame = {
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
+    val dedup = graft.streaming.StreamingOps.streamingExactDedup(
+      stream.select(col("doc_id"), col("text")))
+    val q = dedup.writeStream.format("memory").queryName("graft_stream_dedup")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_dedup").select("doc_id", "fp").orderBy("doc_id")
+  }
+
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redactPii(
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
@@ -876,6 +935,8 @@ object SparkEntry {
     "q69_pack_sequences" -> qPackSequences _,
     "q70_stratum_weights" -> qStratumWeights _,
     "q71_adaptive_filter" -> qAdaptiveFilter _,
+    "q72_stream_window_stats" -> qStreamWindowStats _,
+    "q73_stream_dedup" -> qStreamDedup _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1405,6 +1466,19 @@ object SparkEntry {
           |  FROM nz)
           |SELECT doc_id, shard, start_tok // 2048 AS bin, start_tok, n_tokens
           |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // drained stream == batch aggregation (q14's oracle)
+      "q72_stream_window_stats" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
+          | count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      // first-seen-per-fingerprint == min doc_id per fingerprint
+      "q73_stream_dedup" ->
+        """SELECT min(doc_id) AS doc_id, fp FROM (
+          | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          | FROM documents)
+          |GROUP BY fp ORDER BY doc_id""".stripMargin,
 
       // per-lang median threshold: interpolated percentile of integer
       // scores at q=0.5 is exactly representable on both engines
