@@ -348,6 +348,18 @@ object SparkEntry {
   // Extension queries: dedup / similarity / text / multimodal         //
   // ---------------------------------------------------------------- //
 
+  /** Incremental ingest: documents with doc_id >= 250 arrive as a new
+    * batch and are deduped against the fingerprint set of the first
+    * 250 — only genuinely new content survives.
+    */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val known = docs.where(col("doc_id") < 250)
+      .select(graft.operators.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    Dedup.incrementalDedup(docs.where(col("doc_id") >= 250), col("doc_id"), col("text"), known)
+      .orderBy("doc_id")
+  }
+
   private def qDedupExact(s: SparkSession, dir: String): DataFrame =
     Dedup.exactDedup(t(s, dir, "documents"), col("doc_id"), col("text"))
       .select(col("keep_id"), col("n_dups"), col("fp"))
@@ -937,6 +949,7 @@ object SparkEntry {
     "q71_adaptive_filter" -> qAdaptiveFilter _,
     "q72_stream_window_stats" -> qStreamWindowStats _,
     "q73_stream_dedup" -> qStreamDedup _,
+    "q74_incremental_dedup" -> qIncrementalDedup _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1472,6 +1485,15 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      // new-batch fingerprints absent from the pre-existing corpus
+      "q74_incremental_dedup" ->
+        """WITH f AS (SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+          |  FROM documents),
+          | batch AS (SELECT fp, min(doc_id) AS doc_id FROM f WHERE doc_id >= 250 GROUP BY fp),
+          | known AS (SELECT DISTINCT fp FROM f WHERE doc_id < 250)
+          |SELECT doc_id, fp FROM batch WHERE fp NOT IN (SELECT fp FROM known)
+          |ORDER BY doc_id""".stripMargin,
 
       // first-seen-per-fingerprint == min doc_id per fingerprint
       "q73_stream_dedup" ->

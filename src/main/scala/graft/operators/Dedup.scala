@@ -64,6 +64,23 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Incremental exact dedup — the PRODUCTION ingest shape: dedup an
+    * arriving batch against the fingerprints of everything already in
+    * the corpus, without touching the corpus documents themselves.
+    * `knownFps` carries one `fp` column (persist it bucketed by fp via
+    * [[Scale.writeBucketed]] and both sides of the anti-join arrive
+    * pre-partitioned); the batch is first deduped within itself
+    * (min-id per fingerprint), then anti-joined against the known
+    * set. Only fingerprints ride the join — never text. Returns
+    * (doc_id, fp) of the batch's genuinely-new documents.
+    */
+  def incrementalDedup(batch: DataFrame, id: Column, text: Column,
+      knownFps: DataFrame): DataFrame =
+    batch.select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"))
+      .groupBy("fp").agg(min("doc_id").as("doc_id"))
+      .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+
   /** Exact dedup keeping the BEST representative per group instead of
     * the first: for each distinct normalized-content fingerprint, keep
     * the document with the highest `score` (ties to the smallest id).

@@ -21,6 +21,22 @@ class DedupSpec extends SparkTestBase {
     assert(groups.toSeq == Seq((0L, 3L), (2L, 1L), (3L, 1L)))
   }
 
+  test("incrementalDedup keeps only fingerprints unseen in the known set") {
+    import spark.implicits._
+    val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
+    val known = corpus.select(
+      graft.operators.TextAnalysis.fingerprint(col("text")).as("fp")).distinct()
+    val batch = Seq(
+      (10L, "ALPHA   beta"),  // dup of known 0 (normalization)
+      (11L, "epsilon zeta"),  // new
+      (12L, "epsilon zeta"),  // in-batch dup of 11
+      (13L, "eta theta")      // new
+    ).toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), known)
+      .select("doc_id").as[Long].collect().sorted
+    assert(out.toSeq == Seq(11L, 13L))
+  }
+
   test("minhash near-dups finds the one-word-change pair and not the unrelated doc") {
     import spark.implicits._
     val df = docs.take(4).toDF("doc_id", "text")
