@@ -779,6 +779,15 @@ object SparkEntry {
     s.table("graft_stream_dedup").select("doc_id", "fp").orderBy("doc_id")
   }
 
+  private def qPackedText(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packedSequenceText(
+      t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"),
+      capacity = 512L, nShards = 4)
+      .select(col("shard"), col("bin"), col("n_docs"), col("n_tokens"),
+        length(col("seq_text")).cast("long").as("seq_len"),
+        substring(col("seq_text"), 1, 40).as("seq_head"))
+      .orderBy("shard", "bin")
+
   private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.redactPii(
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"))
@@ -950,6 +959,7 @@ object SparkEntry {
     "q72_stream_window_stats" -> qStreamWindowStats _,
     "q73_stream_dedup" -> qStreamDedup _,
     "q74_incremental_dedup" -> qIncrementalDedup _,
+    "q75_packed_text" -> qPackedText _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1485,6 +1495,24 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      // concatenation order inside a bin is doc_id; text rides the
+      // shuffle exactly once, in this deliverable stage
+      "q75_packed_text" ->
+        """WITH toks AS (
+          | SELECT doc_id, (doc_id * 2654435761) % 4 AS shard, text,
+          |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          | FROM documents WHERE doc_id < 100),
+          | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+          | packed AS (
+          |  SELECT doc_id, shard, text, n_tokens,
+          |   COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 512 AS bin
+          |  FROM nz)
+          |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+          | length(string_agg(text, ' ' ORDER BY doc_id))::BIGINT AS seq_len,
+          | substring(string_agg(text, ' ' ORDER BY doc_id), 1, 40) AS seq_head
+          |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
 
       // new-batch fingerprints absent from the pre-existing corpus
       "q74_incremental_dedup" ->

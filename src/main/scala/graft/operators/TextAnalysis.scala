@@ -315,6 +315,33 @@ object TextAnalysis {
         col("start_tok"), col("n_tokens"))
   }
 
+  /** The packed-sequence TEXT deliverable: one row per (shard, bin)
+    * with the documents' text concatenated in doc-id order — what
+    * actually feeds a trainer after [[packSequences]] assigns bins.
+    * This stage is the one place packed text must ride a shuffle
+    * (the output IS text); everything upstream moved only ids and
+    * counts. Deterministic: concatenation order is doc_id via an
+    * array_sort over (doc_id, text) structs, independent of
+    * partitioning.
+    */
+  def packedSequenceText(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      capacity: Long,
+      nShards: Int,
+      sep: String = " "): DataFrame = {
+    val bins = packSequences(df, id, text, capacity, nShards)
+    bins.join(df.select(id.as("doc_id"), text.as("__text")), "doc_id")
+      .groupBy("shard", "bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("doc_id"), col("__text")))),
+            x => x.getField("__text")), sep).as("seq_text"))
+  }
+
   /** Token frequency table: (token, count), the classic explode +
     * groupBy. Partial aggregation combines map-side, so the shuffle
     * carries one row per (partition, token), not per occurrence.

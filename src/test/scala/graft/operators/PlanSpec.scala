@@ -126,6 +126,15 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("asofJoinBucketed: heavy window partitions by (key, bucket), never one task") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
+    val joined = Relational.asofJoinBucketed(e, e, bucketWidth = 3600L * 1000 * 1000 * 1000)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(key#\d+L, bucket#\d+L""".r.findFirstIn(plan).isDefined, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("adaptiveQualityFilter broadcasts thresholds; corpus never shuffles") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val kept = TextAnalysis.adaptiveQualityFilter(docs, col("lang"), col("n_chars"), 0.5)

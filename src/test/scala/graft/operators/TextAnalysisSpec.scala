@@ -138,6 +138,22 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(starts.forall(_ == 0L))
   }
 
+  test("packedSequenceText concatenates bin members in doc order, token counts preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c"), (1L, "d e"), (2L, "f g h i"), (3L, "j k")
+    ).toDF("doc_id", "text")
+    // capacity 5, one shard: bins {0,1} and {2,3} (see packSequences test)
+    val out = TextAnalysis.packedSequenceText(df, col("doc_id"), col("text"),
+      capacity = 5L, nShards = 1)
+      .orderBy("bin")
+      .select("bin", "n_docs", "n_tokens", "seq_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 5L, "a b c d e"),
+      (1L, 2L, 6L, "f g h i j k")))
+  }
+
   test("repetitionMetrics: unique/top-token/top-bigram fractions") {
     import spark.implicits._
     val df = TextAnalysis.repetitionMetrics(
