@@ -779,6 +779,17 @@ object SparkEntry {
     s.table("graft_stream_dedup").select("doc_id", "fp").orderBy("doc_id")
   }
 
+  /** Trigram-coverage quality scores for docs 100-199 against the
+    * first 100 documents as the in-domain reference model.
+    */
+  private def qTrigramCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    TextAnalysis.trigramCoverage(
+      docs.where(col("doc_id") >= 100 && col("doc_id") < 200), col("doc_id"), col("text"),
+      docs.where(col("doc_id") < 100), col("text"), topK = 500)
+      .orderBy("doc_id")
+  }
+
   private def qPackedText(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.packedSequenceText(
       t(s, dir, "documents").where(col("doc_id") < 100), col("doc_id"), col("text"),
@@ -960,6 +971,7 @@ object SparkEntry {
     "q73_stream_dedup" -> qStreamDedup _,
     "q74_incremental_dedup" -> qIncrementalDedup _,
     "q75_packed_text" -> qPackedText _,
+    "q76_trigram_coverage" -> qTrigramCoverage _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1495,6 +1507,23 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      // top-500 reference trigrams (ties lexicographic); coverage =
+      // hit occurrences / total occurrences, integer-exact
+      "q76_trigram_coverage" ->
+        """WITH rtri AS (
+          |  SELECT unnest([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)]) AS tri
+          |  FROM documents WHERE doc_id < 100 AND length(text) >= 3),
+          | model AS (
+          |  SELECT tri FROM (SELECT tri, count(*) AS c FROM rtri GROUP BY tri
+          |                   ORDER BY c DESC, tri LIMIT 500)),
+          | dtri AS (
+          |  SELECT doc_id, unnest([substring(lower(text), i, 3) FOR i IN range(1, length(text) - 1)]) AS tri
+          |  FROM documents WHERE doc_id >= 100 AND doc_id < 200 AND length(text) >= 3)
+          |SELECT doc_id, count(*) AS n_tri,
+          | count(*) FILTER (tri IN (SELECT tri FROM model)) AS n_hit,
+          | count(*) FILTER (tri IN (SELECT tri FROM model))::DOUBLE / count(*) AS coverage
+          |FROM dtri GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
       // concatenation order inside a bin is doc_id; text rides the
       // shuffle exactly once, in this deliverable stage

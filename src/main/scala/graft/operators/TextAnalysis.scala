@@ -263,6 +263,51 @@ object TextAnalysis {
           slice(col("toks"), (col("k") * step + 1).cast("int"), lit(chunkTokens))).as("chunk_text"))
   }
 
+  /** Character trigrams of the lowercased text, in document order;
+    * empty for texts shorter than 3 chars. Pure codegen'd collection
+    * expressions (sequence + per-index substr).
+    */
+  private def charTrigrams(c: Column): Column = {
+    val t = lower(c)
+    when(length(t) >= 3,
+      transform(sequence(lit(1), length(t) - 2), i => t.substr(i, lit(3))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Model-based quality scoring without an external model: char-
+    * trigram coverage against an in-domain REFERENCE sample. The
+    * model is the reference's `topK` most frequent trigrams (ties to
+    * the lexicographically smaller); a document scores the fraction
+    * of its trigram OCCURRENCES found in the model — the cheap,
+    * engine-exact stand-in for LM-perplexity filtering (the CCNet
+    * shape): low coverage = out-of-domain or garbled text. Integer
+    * counts and one final division keep the score bit-identical
+    * across engines, unlike log-prob sums.
+    *
+    * Scale: the model is topK rows — broadcast; documents explode to
+    * (doc, trigram) once, join the broadcast model, and fold back
+    * through one count aggregate with map-side combine. Nothing
+    * text-sized rides a shuffle.
+    */
+  def trigramCoverage(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      reference: DataFrame,
+      refText: Column,
+      topK: Int): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val model = reference.select(explode(charTrigrams(refText)).as("tri"))
+      .groupBy("tri").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("tri")).limit(topK)
+      .select(col("tri"), lit(1L).as("hit"))
+    docs.select(id.as("doc_id"), explode(charTrigrams(text)).as("tri"))
+      .join(broadcast(model), Seq("tri"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tri"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("coverage", col("n_hit").cast("double") / col("n_tri"))
+  }
+
   /** Adaptive per-stratum quality filter: keep rows whose score sits
     * at or above their stratum's q-th percentile — per-language
     * adaptive thresholding (a fixed global cutoff over-prunes

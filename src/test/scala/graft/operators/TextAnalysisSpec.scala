@@ -138,6 +138,26 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(starts.forall(_ == 0L))
   }
 
+  test("trigramCoverage: in-model occurrences over total, short/garbled text scores low") {
+    import spark.implicits._
+    val ref = Seq("abcdef", "abcxyz").toDF("text") // model: abc bcd cde def bcx cxy xyz (all, K large)
+    val docs = Seq(
+      (1L, "abcdef"),   // all 4 trigrams in model -> 1.0
+      (2L, "abcqqq"),   // abc yes; bcq cqq qqq no -> 1/4
+      (3L, "zz")        // < 3 chars -> no trigrams, absent
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.trigramCoverage(docs, col("doc_id"), col("text"),
+      ref, col("text"), topK = 100)
+      .select("doc_id", "n_tri", "n_hit", "coverage")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1L, 4L, 4L, 1.0), (2L, 4L, 1L, 0.25)))
+    // topK truncation drops rare trigrams from the model
+    val narrow = TextAnalysis.trigramCoverage(docs, col("doc_id"), col("text"),
+      ref, col("text"), topK = 1) // only "abc" (count 2) survives
+    val c1 = narrow.where(col("doc_id") === 1).select("coverage").as[Double].head()
+    assert(c1 == 0.25)
+  }
+
   test("packedSequenceText concatenates bin members in doc order, token counts preserved") {
     import spark.implicits._
     val df = Seq(
