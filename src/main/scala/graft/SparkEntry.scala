@@ -722,7 +722,11 @@ object SparkEntry {
 
   /** Spark's file-stream source lists a DIRECTORY; the testdata tables
     * are single parquet files, so stage a per-(sfdir, table) temp
-    * directory holding one symlink to the file. Driver-side, idempotent.
+    * directory holding one symlink to the file. Driver-side,
+    * idempotent — and LOCAL-MODE-ONLY plumbing for the contract
+    * queries (on a cluster, executors could not resolve a driver-tmp
+    * symlink; real deployments point the stream at an actual shared
+    * directory, which the operators take as-is).
     */
   private def streamDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet").toAbsolutePath

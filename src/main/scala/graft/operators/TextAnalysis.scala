@@ -340,7 +340,9 @@ object TextAnalysis {
     * shards are the stable [[Sampling.bucket]] of the id, so at 100 TB
     * `nShards` spreads the window into that many independent, balanced
     * sorts (pick nShards >= cluster cores; packing quality is
-    * unaffected since bins never span shards).
+    * unaffected since bins never span shards). Ids must be unique:
+    * the in-shard layout orders by doc_id, so duplicate ids would
+    * make offsets partition-order-dependent.
     */
   def packSequences(
       df: DataFrame,
