@@ -296,12 +296,25 @@ object SparkEntry {
     * exactly by the *255 round trip and oracle-checked. The varying
     * (w,h) exercise the resample; FakeCodec no longer appears here.
     */
-  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+  /** Distributed (media_id, payload) PNG table: draw per-id images on
+    * the executors and encode with JDK ImageIO — the shared scaffold
+    * of the two real-codec round-trip queries (q46, q64).
+    */
+  private def pngTable(s: SparkSession, n: Int)(draw: Long => java.awt.image.BufferedImage): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("payload", BinaryType, nullable = false)))
-    val rdd = s.range(50).rdd.map { i =>
+    val rdd = s.range(n).rdd.map { i =>
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(draw(i), "png", bos)
+      org.apache.spark.sql.Row(i, bos.toByteArray)
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
+    val media = pngTable(s, 50) { i =>
       val c = ((i * 37 + 11) % 256).toInt
       val w = 4 + (i % 8).toInt
       val h = 4 + ((i * 5) % 8).toInt
@@ -310,12 +323,10 @@ object SparkEntry {
       val gr = img.createGraphics()
       try { gr.setColor(new java.awt.Color(c, c, c)); gr.fillRect(0, 0, w, h) }
       finally gr.dispose()
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      org.apache.spark.sql.Row(i, bos.toByteArray)
+      img
     }
     graft.multimodal.Multimodal.extractFeatures(
-      s.createDataFrame(rdd, schema), new graft.multimodal.Multimodal.ImageIoCodec, dim = 16)
+      media, new graft.multimodal.Multimodal.ImageIoCodec, dim = 16)
       .select(col("media_id"),
         round(element_at(col("feature"), 1) * 255, 0).cast("long").as("lum0"),
         round(element_at(col("feature"), 16) * 255, 0).cast("long").as("lum15"))
@@ -730,11 +741,17 @@ object SparkEntry {
     */
   private def streamDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet").toAbsolutePath
+    // key by the sanitized full path (a hash could collide two sf
+    // dirs onto one staging dir and silently stream the wrong data)
+    val safe = src.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
     val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_stream_src", java.lang.Integer.toHexString(dir.hashCode), table)
+      "graft_stream_src", safe, table)
     java.nio.file.Files.createDirectories(d)
     val link = d.resolve(s"$table.parquet")
-    if (!java.nio.file.Files.exists(link)) java.nio.file.Files.createSymbolicLink(link, src)
+    // recreate unconditionally: a stale link from a prior run would
+    // otherwise dangle (exists() follows symlinks) or point elsewhere
+    java.nio.file.Files.deleteIfExists(link)
+    java.nio.file.Files.createSymbolicLink(link, src)
     d.toString
   }
 
@@ -848,11 +865,7 @@ object SparkEntry {
     * codec anywhere in this path.
     */
   private def qImageProbe(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("media_id", LongType, nullable = false),
-      StructField("payload", BinaryType, nullable = false)))
-    val rdd = s.range(20).rdd.map { i =>
+    val media = pngTable(s, 20) { i =>
       val w = 8 + (i % 16).toInt
       val h = 8 + ((i * 3) % 16).toInt
       val img = new java.awt.image.BufferedImage(
@@ -866,12 +879,10 @@ object SparkEntry {
         }
         y += 1
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
-      org.apache.spark.sql.Row(i, bos.toByteArray)
+      img
     }
     graft.multimodal.Multimodal.withProbedMetadata(
-      s.createDataFrame(rdd, schema), new graft.multimodal.Multimodal.ImageIoCodec, "image")
+      media, new graft.multimodal.Multimodal.ImageIoCodec, "image")
       .select(col("media_id"), col("meta.format").as("format"),
         col("meta.width").as("width"), col("meta.height").as("height"))
       .orderBy("media_id")

@@ -107,10 +107,17 @@ object ScaleSmoke {
     events.count()
     val evL = events.where(col("is_left")).select("key", "time", "id")
     val evR = events.where(!col("is_left")).select("key", "time", "id")
+    // agreement check must hash the MATCHED ids, not count rows (both
+    // variants emit one row per left row by construction)
+    def asofSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(hash(col("key"), col("id"), col("asof_id")).cast("long")))
+        .head()
+      (r.getLong(0), r.getLong(1))
+    }
     val asofPlain = time(s"asofJoin (hot key = 50% of $nEv rows)")(
-      graft.operators.Relational.asofJoin(evL, evR).count())
+      asofSig(graft.operators.Relational.asofJoin(evL, evR)))
     val asofBucketed = time("asofJoinBucketed (same input, width=nEv/32)")(
-      graft.operators.Relational.asofJoinBucketed(evL, evR, (nEv * 10 / 32).max(1L)).count())
+      asofSig(graft.operators.Relational.asofJoinBucketed(evL, evR, (nEv * 10 / 32).max(1L))))
     require(asofPlain == asofBucketed, s"asof variants disagree: $asofPlain vs $asofBucketed")
 
     // distributed connected-components path: 2M near-dup pairs forming

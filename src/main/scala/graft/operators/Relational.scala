@@ -172,8 +172,11 @@ object Relational {
       .rowsBetween(Window.unboundedPreceding, -1)
     val carried = summaries
       .withColumn("carry", last(col("last_r").getField("id"), ignoreNulls = true).over(wCarry))
-      .select("key", "bucket", "carry")
-    local.join(carried, Seq("key", "bucket"))
+      .select(col("key").as("c_key"), col("bucket").as("c_bucket"), col("carry"))
+    // null-safe join keys: asofJoin's window groups null keys (and the
+    // null bucket of a null time) into ordinary partitions, so the
+    // bucketed variant must not let an inner-equality join drop them
+    local.join(carried, col("key") <=> col("c_key") && col("bucket") <=> col("c_bucket"))
       .where(col("is_left"))
       .select(col("key"), col("time"), col("id"),
         coalesce(col("local_asof"), col("carry")).as("asof_id"))

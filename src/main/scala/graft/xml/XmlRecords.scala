@@ -301,6 +301,12 @@ object XmlRecords {
     // remediation instead.
     val maxFrag = spark.conf.getOption("spark.graft.xml.maxBoundaryFragmentBytes")
       .map(_.toLong).getOrElse(64L << 20)
+    def oversizeFragmentMsg(cap: Long, pi: Int): String =
+      s"XML boundary fragment exceeds $cap bytes in input split $pi: a record at a split " +
+        "boundary is larger than the stitch cap, so the line splitter's driver-side " +
+        "boundary stitch would accumulate whole partitions in driver memory. Re-read " +
+        "with layout=\"record\" (single-pass per file), or raise " +
+        "spark.graft.xml.maxBoundaryFragmentBytes if such records are expected."
     val frags = lines.mapPartitionsWithIndex { case (pi, it) =>
       var depth = depthIn(pi)
       var n = 0L
@@ -313,15 +319,16 @@ object XmlRecords {
         }
         if (n == 0) { if (head.nonEmpty) head.append('\n'); head.append(line) }
         else { if (tail.nonEmpty) tail.append('\n'); tail.append(line) }
-        if (head.length.max(tail.length) > maxFrag)
-          throw new IllegalStateException(
-            s"XML boundary fragment exceeds $maxFrag bytes in input split $pi: a single " +
-              "record spans (nearly) an entire partition, so the line splitter's driver-side " +
-              "boundary stitch would accumulate whole partitions in driver memory. Re-read " +
-              "with layout=\"record\" (single-pass per file), or raise " +
-              "spark.graft.xml.maxBoundaryFragmentBytes if such records are expected.")
+        // head grows until the FIRST start — guard while accumulating;
+        // tails are checked once at partition end: only the final tail
+        // reaches the driver, and a large mid-partition record (whose
+        // tail is discarded at the next start) is not a stitch risk
+        if (head.length > maxFrag)
+          throw new IllegalStateException(oversizeFragmentMsg(maxFrag, pi))
         depth += depthDelta(line)
       }
+      if (tail.length > maxFrag)
+        throw new IllegalStateException(oversizeFragmentMsg(maxFrag, pi))
       Iterator.single((pi, head.toString, tail.toString, n))
     }.collect().sortBy(_._1)
 

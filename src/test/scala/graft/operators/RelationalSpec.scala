@@ -59,6 +59,19 @@ class RelationalSpec extends SparkTestBase {
       assert(canon(Relational.asofJoinBucketed(left, right, width)) == plain,
         s"bucketWidth=$width diverged")
     }
+
+    // null keys and null times must survive bucketing exactly like the
+    // single-window variant (nulls group into ordinary partitions)
+    val leftN = left.unionByName(Seq(
+      (Option.empty[Long], Option(3L), 9001L),
+      (Option(1L), Option.empty[Long], 9002L))
+      .toDF("key", "time", "id"))
+    val rightN = right.unionByName(Seq((Option.empty[Long], Option(2L), 9100L))
+      .toDF("key", "time", "id"))
+    val plainN = canon(Relational.asofJoin(leftN, rightN))
+    assert(plainN.contains(9001L) && plainN.contains(9002L))
+    assert(canon(Relational.asofJoinBucketed(leftN, rightN, 7L)) == plainN,
+      "null key/time rows diverged under bucketing")
   }
 
   test("rangeJoin: exactly the pairs within the window, across buckets") {
