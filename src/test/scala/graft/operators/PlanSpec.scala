@@ -153,6 +153,27 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("hashpartitioning(shard"), plan) // not a single global partition
   }
 
+  test("incrementalDedup: only fingerprints ride the exchanges, text never") {
+    import spark.implicits._
+    val batch = (0L until 40L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
+    val known = (0L until 10L).map(i => s"fp$i").toDF("fp")
+    val out = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), known)
+    val plan = out.queryExecution.executedPlan.toString
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty, plan)
+    assert(exchanges.forall(l => !l.contains("text")), plan)
+  }
+
+  test("trigramCoverage: model joins broadcast; no sort-merge join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = TextAnalysis.trigramCoverage(
+      docs.where(col("doc_id") >= 100), col("doc_id"), col("text"),
+      docs.where(col("doc_id") < 100), col("text"), topK = 500)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
   test("chunking pushes the doc filter into the scan and stays map-only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 50)
     val chunks = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),
