@@ -25,6 +25,20 @@ class XmlToCsvSpec extends SparkTestBase {
     neo4j = true,
     relations = Seq("author" -> "authored_by", "cite" -> "has_citation")))
 
+  test("strict --validate e2e produces byte-identical goldens (content models via %field;)") {
+    result // force the non-validated golden run first
+    val vDir = Files.createTempDirectory("xmltocsv_strict").toString
+    XmlToCsv.run(spark, XmlToCsv.Config(
+      xmlFile = "src/test/resources/mini.xml",
+      dtdFile = "src/test/resources/mini.dtd",
+      outputFile = s"$vDir/out.csv",
+      annotate = true, neo4j = true, validate = true,
+      relations = Seq("author" -> "authored_by", "cite" -> "has_citation")))
+    Seq("out_article.csv", "out_book.csv", "out_phdthesis.csv",
+      "out_article_header.csv", "out_book_header.csv", "out_phdthesis_header.csv")
+      .foreach { f => assert(read(s"$vDir/$f") == read(s"$outDir/$f"), f) }
+  }
+
   test("schema inference: per-type sorted columns, empty types dropped") {
     result // force
     assert(result.schema.keySet == Set("article", "book", "phdthesis"))
