@@ -741,17 +741,24 @@ object SparkEntry {
     */
   private def streamDir(dir: String, table: String): String = {
     val src = java.nio.file.Paths.get(dir, s"$table.parquet").toAbsolutePath
-    // key by the sanitized full path (a hash could collide two sf
-    // dirs onto one staging dir and silently stream the wrong data)
-    val safe = src.getParent.toString.replaceAll("[^A-Za-z0-9._-]", "_")
+    // staging key: a readable truncated suffix of the sanitized path
+    // (bounded well under NAME_MAX) plus the full path's md5 — no
+    // silent collision between sf dirs, no over-long path component
+    val parent = src.getParent.toString
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(parent.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val safe = parent.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80) + "_" + digest
     val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_stream_src", safe, table)
     java.nio.file.Files.createDirectories(d)
     val link = d.resolve(s"$table.parquet")
-    // recreate unconditionally: a stale link from a prior run would
-    // otherwise dangle (exists() follows symlinks) or point elsewhere
+    // recreate each call: a stale link from a prior run would dangle
+    // (exists() follows symlinks). The delete+create pair is not
+    // atomic — a concurrent JVM staging the same table can win the
+    // create; both point at the identical target, so losing is fine.
     java.nio.file.Files.deleteIfExists(link)
-    java.nio.file.Files.createSymbolicLink(link, src)
+    try java.nio.file.Files.createSymbolicLink(link, src)
+    catch { case _: java.nio.file.FileAlreadyExistsException => () }
     d.toString
   }
 

@@ -140,29 +140,29 @@ object Relational {
     * parallelizes across its time range instead of serializing
     * through one task. Two-level scan:
     *
-    *  1. the heavy window runs per (key, bucket) — a hot key's rows
-    *     split across `time div bucketWidth` tasks;
-    *  2. the last right of every STRICTLY EARLIER bucket is carried
-    *     in by a per-key window over one summary row per bucket
-    *     (skinny: bounded by #buckets, not #rows), then coalesced
-    *     under the bucket-local running last.
+    *  1. one summary row per (key, bucket) — a skinny map-side-
+    *     combined aggregate — feeds a per-key window (bounded by
+    *     #buckets, not #rows) that computes each bucket's CARRY: the
+    *     last right of any strictly earlier bucket;
+    *  2. the carries are UNIONED into the tagged stream as synthetic
+    *     rights sorted before every real row of their bucket, and the
+    *     heavy running-last window runs per (key, bucket) — a hot
+    *     key's rows split across `time div bucketWidth` tasks.
     *
-    * The carry join keys on (key, bucket) — the exact partitioning
-    * the local window just produced, so Catalyst reuses the exchange
-    * and the only added shuffle is the summary side. Pick
-    * `bucketWidth` so one key-bucket fits a task comfortably
-    * (e.g. a day of a bot's events, not its lifetime).
+    * No join anywhere (a carry JOIN would either drop null keys on
+    * plain equality or, with null-safe keys, defeat exchange reuse —
+    * Catalyst rewrites `<=>` keys to coalesce/isnull partitionings):
+    * the union costs the fact side exactly ONE exchange, the same
+    * hashpartitioning(key, bucket) the window needs, and null
+    * keys/times group into ordinary partitions like any value. Pick
+    * `bucketWidth` so one key-bucket fits a task comfortably (e.g. a
+    * day of a bot's events, not its lifetime).
     */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     val tagged = left.select(col("key"), col("time"), col("id"), lit(true).as("is_left"))
       .unionByName(right.select(col("key"), col("time"), col("id"), lit(false).as("is_left")))
       .withColumn("bucket", expr(s"time div ${bucketWidth}L"))
-    val wLocal = Window.partitionBy("key", "bucket")
-      .orderBy(col("time"), col("is_left"), col("id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = tagged.withColumn("local_asof",
-      last(when(!col("is_left"), col("id")), ignoreNulls = true).over(wLocal))
     // one summary row per (key, bucket): the bucket's last right as a
     // lexicographic (time, id) max — same tie-break as the window's
     // (time, is_left, id) order restricted to rights; null if none
@@ -170,16 +170,24 @@ object Relational {
       .agg(max(when(!col("is_left"), struct(col("time"), col("id")))).as("last_r"))
     val wCarry = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carried = summaries
+    val timeType = tagged.schema("time").dataType
+    val idType = tagged.schema("id").dataType
+    val carryRows = summaries
       .withColumn("carry", last(col("last_r").getField("id"), ignoreNulls = true).over(wCarry))
-      .select(col("key").as("c_key"), col("bucket").as("c_bucket"), col("carry"))
-    // null-safe join keys: asofJoin's window groups null keys (and the
-    // null bucket of a null time) into ordinary partitions, so the
-    // bucketed variant must not let an inner-equality join drop them
-    local.join(carried, col("key") <=> col("c_key") && col("bucket") <=> col("c_bucket"))
+      .where(col("carry").isNotNull)
+      .select(col("key"), lit(null).cast(timeType).as("time"),
+        col("carry").cast(idType).as("id"), lit(false).as("is_left"),
+        col("bucket"), lit(0).as("ord"))
+    // ord sorts the carry row before every real row of its bucket, so
+    // the running last picks it up first and in-bucket rights override
+    // it — exactly coalesce(bucket-local last, carry)
+    val w = Window.partitionBy("key", "bucket")
+      .orderBy(col("ord"), col("time"), col("is_left"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn("ord", lit(1)).unionByName(carryRows)
+      .withColumn("asof_id", last(when(!col("is_left"), col("id")), ignoreNulls = true).over(w))
       .where(col("is_left"))
-      .select(col("key"), col("time"), col("id"),
-        coalesce(col("local_asof"), col("carry")).as("asof_id"))
+      .select(col("key"), col("time"), col("id"), col("asof_id"))
   }
 
   /** Range join: all (left, right) pairs with the same key whose times

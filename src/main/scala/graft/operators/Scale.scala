@@ -56,15 +56,24 @@ object Scale {
     * AQE wrappers) — the unit plan-assertion tests budget shuffles
     * with, since every exchange is the thing that hurts at 100 TB.
     */
-  def countShuffles(df: DataFrame): Int = {
+  def countShuffles(df: DataFrame): Int =
+    shuffleOutputColumns(df).size
+
+  /** The output column names of every shuffle exchange in the plan,
+    * one Seq per exchange — what actually RIDES each shuffle. The
+    * exchange's plan line prints only partitioning expressions, so
+    * "no text on the wire" assertions must check these attributes,
+    * not the plan string.
+    */
+  def shuffleOutputColumns(df: DataFrame): Seq[Seq[String]] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def scan(p: SparkPlan): Int = p match {
-      case s: ShuffleExchangeLike => 1 + s.children.map(scan).sum
+    def scan(p: SparkPlan): Seq[Seq[String]] = p match {
+      case s: ShuffleExchangeLike => s.output.map(_.name) +: s.children.flatMap(scan)
       case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
       case q: QueryStageExec => scan(q.plan)
-      case other => other.children.map(scan).sum
+      case other => other.children.flatMap(scan)
     }
     scan(df.queryExecution.executedPlan)
   }

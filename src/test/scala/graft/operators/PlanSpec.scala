@@ -158,10 +158,11 @@ class PlanSpec extends SparkTestBase {
     val batch = (0L until 40L).map(i => (i, s"doc text $i")).toDF("doc_id", "text")
     val known = (0L until 10L).map(i => s"fp$i").toDF("fp")
     val out = Dedup.incrementalDedup(batch, col("doc_id"), col("text"), known)
-    val plan = out.queryExecution.executedPlan.toString
-    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty, plan)
-    assert(exchanges.forall(l => !l.contains("text")), plan)
+    // check what actually RIDES each exchange (its output attributes),
+    // not the plan string — exchange lines print only partitioning
+    val shuffled = Scale.shuffleOutputColumns(out)
+    assert(shuffled.nonEmpty, out.queryExecution.executedPlan.toString)
+    assert(shuffled.forall(cols => !cols.contains("text")), shuffled.toString)
   }
 
   test("trigramCoverage: model joins broadcast; no sort-merge join") {

@@ -35,7 +35,9 @@ class XmlToCsvSpec extends SparkTestBase {
       annotate = true, neo4j = true, validate = true,
       relations = Seq("author" -> "authored_by", "cite" -> "has_citation")))
     Seq("out_article.csv", "out_book.csv", "out_phdthesis.csv",
-      "out_article_header.csv", "out_book_header.csv", "out_phdthesis_header.csv")
+      "out_article_header.csv", "out_book_header.csv", "out_phdthesis_header.csv",
+      "out_author.csv", "out_author_authored_by.csv",
+      "out_cite.csv", "out_cite_has_citation.csv")
       .foreach { f => assert(read(s"$vDir/$f") == read(s"$outDir/$f"), f) }
   }
 
