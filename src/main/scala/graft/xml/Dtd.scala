@@ -137,6 +137,13 @@ object Dtd {
   /** Parse a DTD file. The root element is taken from the first
     * `<!ELEMENT …>` declaration (the DBLP DTD declares the root first;
     * callers can override via `rootOverride`).
+    *
+    * Supported DTD subset: ELEMENT/ATTLIST/ENTITY declarations,
+    * general and parameter entities (expanded textually, transitive,
+    * bounded). Not supported (unused by dblp.dtd and the broad class
+    * of data-dump DTDs this engine targets): conditional sections
+    * (`<![INCLUDE[`/`<![IGNORE[`), external parameter entities, and
+    * NOTATION declarations — all parse as inert text.
     */
   def parse(dtdPath: String, rootOverride: Option[String] = None): Dtd = {
     val text = new String(Files.readAllBytes(Paths.get(dtdPath)), "UTF-8")
