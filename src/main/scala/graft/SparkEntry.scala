@@ -752,13 +752,19 @@ object SparkEntry {
       "graft_stream_src", safe, table)
     java.nio.file.Files.createDirectories(d)
     val link = d.resolve(s"$table.parquet")
-    // recreate each call: a stale link from a prior run would dangle
-    // (exists() follows symlinks). The delete+create pair is not
-    // atomic — a concurrent JVM staging the same table can win the
-    // create; both point at the identical target, so losing is fine.
-    java.nio.file.Files.deleteIfExists(link)
-    try java.nio.file.Files.createSymbolicLink(link, src)
-    catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    // a VALID link (right target, resolvable) is left untouched — an
+    // unconditional recreate would yank it from under a concurrent
+    // JVM's active stream. Only stale links (dangling, or pointing
+    // elsewhere after a testdata move) are replaced; the residual
+    // create race with an identical target is benign either way.
+    val fresh = java.nio.file.Files.isSymbolicLink(link) &&
+      java.nio.file.Files.readSymbolicLink(link) == src &&
+      java.nio.file.Files.exists(link)
+    if (!fresh) {
+      java.nio.file.Files.deleteIfExists(link)
+      try java.nio.file.Files.createSymbolicLink(link, src)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+    }
     d.toString
   }
 

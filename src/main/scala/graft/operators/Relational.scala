@@ -165,9 +165,13 @@ object Relational {
       .withColumn("bucket", expr(s"time div ${bucketWidth}L"))
     // one summary row per (key, bucket): the bucket's last right as a
     // lexicographic (time, id) max — same tie-break as the window's
-    // (time, is_left, id) order restricted to rights; null if none
+    // (time, is_left, id) order restricted to rights; null if none.
+    // Null-ID rights are excluded: the running last's ignoreNulls
+    // skips them in asofJoin, so a summary that elected one would
+    // wrongly erase the bucket's earlier non-null right from the carry
     val summaries = tagged.groupBy("key", "bucket")
-      .agg(max(when(!col("is_left"), struct(col("time"), col("id")))).as("last_r"))
+      .agg(max(when(!col("is_left") && col("id").isNotNull,
+        struct(col("time"), col("id")))).as("last_r"))
     val wCarry = Window.partitionBy("key").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val timeType = tagged.schema("time").dataType

@@ -61,17 +61,26 @@ class RelationalSpec extends SparkTestBase {
     }
 
     // null keys and null times must survive bucketing exactly like the
-    // single-window variant (nulls group into ordinary partitions)
+    // single-window variant (nulls group into ordinary partitions),
+    // and a null-ID right must stay invisible to the carry instead of
+    // erasing its bucket's earlier non-null right
     val leftN = left.unionByName(Seq(
-      (Option.empty[Long], Option(3L), 9001L),
-      (Option(1L), Option.empty[Long], 9002L))
+      (Option.empty[Long], Option(3L), Option(9001L)),
+      (Option(1L), Option.empty[Long], Option(9002L)),
+      (Option(77L), Option(500L), Option(9003L))) // far bucket: match carried across
       .toDF("key", "time", "id"))
-    val rightN = right.unionByName(Seq((Option.empty[Long], Option(2L), 9100L))
+    val rightN = right.unionByName(Seq(
+      (Option.empty[Long], Option(2L), Option(9100L)),
+      (Option(77L), Option(1L), Option(9101L)),
+      (Option(77L), Option(2L), Option.empty[Long])) // null-ID right AFTER the real one
       .toDF("key", "time", "id"))
     val plainN = canon(Relational.asofJoin(leftN, rightN))
     assert(plainN.contains(9001L) && plainN.contains(9002L))
-    assert(canon(Relational.asofJoinBucketed(leftN, rightN, 7L)) == plainN,
-      "null key/time rows diverged under bucketing")
+    assert(plainN(9003L) == Some(9101L)) // null-ID right skipped by ignoreNulls
+    Seq(7L, 1000L).foreach { width =>
+      assert(canon(Relational.asofJoinBucketed(leftN, rightN, width)) == plainN,
+        s"null key/time/id rows diverged under bucketing (width=$width)")
+    }
   }
 
   test("rangeJoin: exactly the pairs within the window, across buckets") {
