@@ -119,6 +119,19 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming contract queries are stable across re-invocation in one session") {
+    // the staging symlinks and memory sinks are reused per session —
+    // a second invocation must neither double rows (append sink) nor
+    // go stale (complete sink)
+    val dir = "/root/testdata/sf0.001"
+    val d1 = graft.SparkEntry.queries("q73_stream_dedup")(spark, dir).count()
+    val d2 = graft.SparkEntry.queries("q73_stream_dedup")(spark, dir).count()
+    assert(d1 > 0 && d1 == d2, s"q73 unstable: $d1 vs $d2")
+    val w1 = graft.SparkEntry.queries("q72_stream_window_stats")(spark, dir).count()
+    val w2 = graft.SparkEntry.queries("q72_stream_window_stats")(spark, dir).count()
+    assert(w1 > 0 && w1 == w2, s"q72 unstable: $w1 vs $w2")
+  }
+
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xmlstream")
