@@ -349,6 +349,20 @@ object SparkEntry {
         col("n"))
       .orderBy("returnflag", "linestatus")
 
+  /** Native JSON parsing (from_json with a declared schema — the
+    * semi-structured-column path, vs q18's regexp extraction).
+    */
+  private def qJsonParse(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+          .getField("k").cast("long").as("k"),
+        col("event_type"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
       .select(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k"))
@@ -953,6 +967,7 @@ object SparkEntry {
     "q16_approx_distinct" -> qApproxDistinct _,
     "q17_rollup" -> qRollup _,
     "q18_json_extract" -> qJsonExtract _,
+    "q77_json_parse" -> qJsonParse _,
     "q19_pivot" -> qPivot _,
     "q33_intersect" -> qIntersectExcept _,
     "q34_percentile" -> qPercentile _,
@@ -1166,6 +1181,13 @@ object SparkEntry {
         """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour, event_type,
           | count(*) AS n, round(sum(value), 2) AS sum_value
           |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+      "q77_json_parse" ->
+        """SELECT event_type, count(*) AS n,
+          | sum((props::JSON->>'k')::BIGINT) AS sum_k,
+          | min((props::JSON->>'k')::BIGINT) AS min_k,
+          | max((props::JSON->>'k')::BIGINT) AS max_k
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
       "q15_count_distinct" ->
         """SELECT event_type, count(DISTINCT user_id) AS n_users
