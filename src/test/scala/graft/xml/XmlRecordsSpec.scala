@@ -277,6 +277,38 @@ class XmlRecordsSpec extends SparkTestBase {
       .contains("do not match its content model"))
   }
 
+  test("strict validation works through layout=record (single-pass path)") {
+    val vdtd = Dtd.parseString(
+      """<!ENTITY % field "author|title">
+        |<!ELEMENT dblp (article)*>
+        |<!ELEMENT article (%field;)*>
+        |<!ELEMENT author (#PCDATA)>
+        |<!ELEMENT title (#PCDATA)>
+        |<!ELEMENT note (#PCDATA)>
+        |<!ATTLIST article key CDATA #REQUIRED>
+        |""".stripMargin)
+    def run(body: String, validate: Boolean): Long = {
+      val f = Files.createTempFile("xmlrecval", ".xml")
+      // one line: out of the line splitter's contract, so layout=record
+      Files.write(f, s"<dblp>$body</dblp>".getBytes("UTF-8"))
+      XmlRecords.readRows(spark, f.toString, vdtd, layout = "record",
+        validate = validate).count()
+    }
+    assert(run("""<article key="a"><author>A</author><title>t</title></article>""",
+      validate = true) == 1)
+    // content-model violation (note not in %field;) passes non-strict,
+    // fails strict — through the single-pass reader
+    val bad = """<article key="a"><note>n</note></article>"""
+    assert(run(bad, validate = false) == 1)
+    val e = intercept[org.apache.spark.SparkException] { run(bad, validate = true) }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("do not match its content model"))
+    // missing #REQUIRED attribute also rejected on this path
+    assertThrows[org.apache.spark.SparkException] {
+      run("""<article><author>A</author></article>""", validate = true)
+    }
+  }
+
   test("layout=record parses tags spanning lines (out of the line splitter's contract)") {
     val f = Files.createTempFile("xmlrec3", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\"\n>\n<title>t</title>\n</article>\n</dblp>\n")
