@@ -739,6 +739,13 @@ object SparkEntry {
       capacity = 2048L, nShards = 4)
       .orderBy("doc_id")
 
+  private def qOutlierFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.zScoreOutlierFilter(
+      t(s, dir, "documents"), col("lang"), col("n_chars"), k = 2)
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"),
+        min("n_chars").as("min_c"), max("n_chars").as("max_c"))
+      .orderBy("lang")
+
   private def qAdaptiveFilter(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.adaptiveQualityFilter(
       t(s, dir, "documents"), col("lang"), col("n_chars"), q = 0.5)
@@ -968,6 +975,7 @@ object SparkEntry {
     "q17_rollup" -> qRollup _,
     "q18_json_extract" -> qJsonExtract _,
     "q77_json_parse" -> qJsonParse _,
+    "q78_outlier_filter" -> qOutlierFilter _,
     "q19_pivot" -> qPivot _,
     "q33_intersect" -> qIntersectExcept _,
     "q34_percentile" -> qPercentile _,
@@ -1608,6 +1616,19 @@ object SparkEntry {
           | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           | FROM documents)
           |GROUP BY fp ORDER BY doc_id""".stripMargin,
+
+      // integral z-score inequality over exact HUGEINT moments — no
+      // float mean/stddev near the threshold
+      "q78_outlier_filter" ->
+        """WITH st AS (
+          | SELECT lang, count(*)::HUGEINT AS n, sum(n_chars)::HUGEINT AS s,
+          |  sum(n_chars::HUGEINT * n_chars)::HUGEINT AS q
+          | FROM documents GROUP BY lang)
+          |SELECT d.lang, count(*) AS n_kept, min(d.n_chars) AS min_c, max(d.n_chars) AS max_c
+          |FROM documents d JOIN st ON d.lang = st.lang
+          |WHERE (st.n * d.n_chars - st.s) * (st.n * d.n_chars - st.s) * (st.n - 1)
+          |  <= 4 * st.n * (st.n * st.q - st.s * st.s)
+          |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
       // per-lang median threshold: interpolated percentile of integer
       // scores at q=0.5 is exactly representable on both engines

@@ -327,6 +327,37 @@ object TextAnalysis {
       .drop("__stratum", "__th")
   }
 
+  /** Per-stratum z-score outlier filter: keep rows within k standard
+    * deviations of their stratum's mean — the length/score outlier
+    * cleaning step, computed ENGINE-EXACTLY. Instead of float
+    * mean/stddev (whose summation order diverges across engines near
+    * the threshold), the test is the equivalent integral inequality
+    * over exact decimal moments:
+    *
+    *   (n*x - S)^2 * (n-1)  <=  k^2 * n * (n*Q - S^2)
+    *
+    * with S = sum(x), Q = sum(x^2) per stratum — no division, no
+    * sqrt, no rounding. Exact while the products fit decimal(38,0)
+    * (n*x up to ~1e19 squared — integer scores with n*max(x) below
+    * ~1e19, comfortably true for per-language document counts).
+    * Single-row strata keep their row (z is undefined; 0 <= 0).
+    *
+    * Scale: one skinny moment aggregate per stratum, broadcast back;
+    * the corpus itself never shuffles.
+    */
+  def zScoreOutlierFilter(df: DataFrame, stratum: Column, score: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val x = score.cast("decimal(38,0)")
+    val stats = df.groupBy(stratum.as("__stratum"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+        sum(x).as("__s"), sum(x * x).as("__q"))
+    val dev = x * col("__n") - col("__s")
+    df.join(broadcast(stats), stratum === col("__stratum"))
+      .where(dev * dev * (col("__n") - 1) <=
+        lit(k * k) * col("__n") * (col("__n") * col("__q") - col("__s") * col("__s")))
+      .drop("__stratum", "__n", "__s", "__q")
+  }
+
   /** Sequence packing: lay documents end-to-end (in deterministic
     * doc-id order within a shard) and assign each to the fixed-
     * capacity context bin where its first token lands — the

@@ -138,6 +138,20 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(starts.forall(_ == 0L))
   }
 
+  test("zScoreOutlierFilter: drops the far outlier, keeps the cluster, per stratum") {
+    import spark.implicits._
+    // en: 9 values near 100 plus one at 1000 — the 1000 sits ~2.85
+    // sigma out (dominating the variance itself), so k=2 drops it and
+    // keeps the cluster; de: single row, z undefined, kept
+    val df = ((1 to 9).map(i => ("en", 95L + i)) :+ (("en", 1000L)) :+ (("de", 7L)))
+      .toDF("lang", "score")
+    val kept = TextAnalysis.zScoreOutlierFilter(df, col("lang"), col("score"), k = 2)
+      .select("lang", "score").as[(String, Long)].collect().toSet
+    assert(!kept.contains(("en", 1000L)))
+    assert(kept.count(_._1 == "en") == 9)
+    assert(kept.contains(("de", 7L)))
+  }
+
   test("trigramCoverage: in-model occurrences over total, short/garbled text scores low") {
     import spark.implicits._
     val ref = Seq("abcdef", "abcxyz").toDF("text") // model: abc bcd cde def bcx cxy xyz (all, K large)
