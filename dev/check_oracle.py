@@ -53,6 +53,18 @@ for name in sorted(oracle):
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows {len(spark_df)} vs {len(duck_df)}")
         n_fail += 1;  continue
+    # The driver hashes stringified values: an int column on one side and a
+    # float column on the other (e.g. DuckDB sum(BIGINT) -> HUGEINT ->
+    # pandas float64) hash-mismatches even when numerically equal. Mirror
+    # that strictness: dtype KIND must agree column by column.
+    kind_diff = [c for c in spark_df.columns
+                 if (spark_df[c].dtype.kind in "iu") != (duck_df[c].dtype.kind in "iu")]
+    if kind_diff:
+        print(f"FAIL {name}: int/float dtype kind mismatch on {kind_diff} "
+              f"(spark {[str(spark_df[c].dtype) for c in kind_diff]} vs "
+              f"duck {[str(duck_df[c].dtype) for c in kind_diff]}) — "
+              f"cast the oracle aggregate (e.g. ::BIGINT) to match")
+        n_fail += 1;  continue
     try:
         pd.testing.assert_frame_equal(spark_df, duck_df, check_dtype=False, check_exact=True)
         print(f"PASS {name} ({len(spark_df)} rows)")

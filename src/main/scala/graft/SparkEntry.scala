@@ -1192,7 +1192,7 @@ object SparkEntry {
 
       "q77_json_parse" ->
         """SELECT event_type, count(*) AS n,
-          | sum((props::JSON->>'k')::BIGINT) AS sum_k,
+          | sum((props::JSON->>'k')::BIGINT)::BIGINT AS sum_k,
           | min((props::JSON->>'k')::BIGINT) AS min_k,
           | max((props::JSON->>'k')::BIGINT) AS max_k
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
@@ -1596,7 +1596,7 @@ object SparkEntry {
           |   COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
           |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT // 512 AS bin
           |  FROM nz)
-          |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens) AS n_tokens,
+          |SELECT shard, bin, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
           | length(string_agg(text, ' ' ORDER BY doc_id))::BIGINT AS seq_len,
           | substring(string_agg(text, ' ' ORDER BY doc_id), 1, 40) AS seq_head
           |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
