@@ -503,8 +503,12 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val index = Similarity.ivfIndex(e, nBuckets = 8)
-    graft.operators.Scale.writeBucketed(index.assigned, "graft_ivf_assigned", "bucket", 8)
-    val served = Similarity.IvfIndex(index.cents, s.table("graft_ivf_assigned"))
+    // Table name is derived from the sf dir so two processes sharing a
+    // warehouse (e.g. Verify and Bench side by side) each overwrite and
+    // read their OWN table — no cross-process overwrite/read race.
+    val tbl = s"graft_ivf_assigned_${math.abs(dir.hashCode).toString}"
+    graft.operators.Scale.writeBucketed(index.assigned, tbl, "bucket", 8)
+    val served = Similarity.IvfIndex(index.cents, s.table(tbl))
     Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), served, k = 3)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")

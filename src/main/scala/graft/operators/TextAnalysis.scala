@@ -322,7 +322,11 @@ object TextAnalysis {
     require(q >= 0.0 && q <= 1.0, s"q must be in [0,1], got $q")
     val th = df.groupBy(stratum.as("__stratum"))
       .agg(percentile(score, lit(q)).as("__th"))
-    df.join(broadcast(th), stratum === col("__stratum"))
+    // Null-safe key: a null stratum is a stratum like any other and must
+    // be thresholded, not silently dropped by a null-rejecting join. The
+    // <=> exchange-reuse caveat (see Relational.asofJoinBucketed) doesn't
+    // apply — the threshold side is a broadcast, there is no exchange.
+    df.join(broadcast(th), stratum <=> col("__stratum"))
       .where(score >= col("__th"))
       .drop("__stratum", "__th")
   }
@@ -337,10 +341,16 @@ object TextAnalysis {
     *   (n*x - S)^2 * (n-1)  <=  k^2 * n * (n*Q - S^2)
     *
     * with S = sum(x), Q = sum(x^2) per stratum — no division, no
-    * sqrt, no rounding. Exact while the products fit decimal(38,0)
-    * (n*x up to ~1e19 squared — integer scores with n*max(x) below
-    * ~1e19, comfortably true for per-language document counts).
+    * sqrt, no rounding. Exact while every product fits decimal(38,0):
+    * the binding terms are (n*x - S)^2 * (n-1) on the left and
+    * k^2 * n * (n*Q - S^2) on the right, both bounded by
+    * ~k^2 * n^3 * max(x)^2, so the safe range is
+    * n^1.5 * max|x| <~ 1e19 / k (e.g. 1e9 docs per stratum with
+    * 6-digit scores and k<=4). Outside it the decimal multiply
+    * overflows to null (non-ANSI mode) — which this operator turns
+    * into a loud error rather than silently filtering the stratum.
     * Single-row strata keep their row (z is undefined; 0 <= 0).
+    * Rows with a NULL score are dropped explicitly (z is undefined).
     *
     * Scale: one skinny moment aggregate per stratum, broadcast back;
     * the corpus itself never shuffles.
@@ -352,9 +362,18 @@ object TextAnalysis {
       .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
         sum(x).as("__s"), sum(x * x).as("__q"))
     val dev = x * col("__n") - col("__s")
-    df.join(broadcast(stats), stratum === col("__stratum"))
-      .where(dev * dev * (col("__n") - 1) <=
-        lit(k * k) * col("__n") * (col("__n") * col("__q") - col("__s") * col("__s")))
+    val keep = dev * dev * (col("__n") - 1) <=
+      lit(k * k) * col("__n") * (col("__n") * col("__q") - col("__s") * col("__s"))
+    // With a null-safe stratum key and x filtered non-null, the ONLY way
+    // `keep` evaluates to null is a decimal(38,0) overflow (non-ANSI mode
+    // nulls instead of throwing) — fail loudly instead of silently
+    // dropping every row of the affected stratum.
+    df.where(x.isNotNull)
+      .join(broadcast(stats), stratum <=> col("__stratum"))
+      .where(when(keep.isNull, raise_error(lit(
+        "zScoreOutlierFilter: decimal(38,0) overflow computing the moment " +
+          "inequality — stratum moments exceed the documented n^1.5*max|x| bound")))
+        .otherwise(keep))
       .drop("__stratum", "__n", "__s", "__q")
   }
 

@@ -151,6 +151,13 @@ object Dtd {
   }
 
   def parseString(rawText: String, rootOverride: Option[String] = None): Dtd = {
+    // Comments go first: `<!-- … -->` spans must neither contribute
+    // declarations nor have `%name;` references expanded inside them
+    // (per-spec, parameter entities are not recognized in comments).
+    // Known divergence from full XML: a GENERAL entity literal whose
+    // value legitimately contains a `%xx;` substring is still rewritten
+    // — acceptable for the data-dump DTD subset this engine targets.
+    val uncommented = "(?s)<!--.*?-->".r.replaceAllIn(rawText, "")
     // Parameter entities (`<!ENTITY % name "v">` … `%name;`) are expanded
     // textually before declaration parsing — the real dblp.dtd declares
     // its field list this way (`<!ENTITY % field "author|editor|…">;
@@ -158,10 +165,10 @@ object Dtd {
     // (XMLToCSV.py:79-86,109). Expansion is transitive but bounded;
     // unresolvable references are left verbatim (and then rejected by
     // the regular declaration grammar, surfacing the problem).
-    val paramEntities = ListMap(paramEntityDecl.findAllMatchIn(rawText).map { m =>
+    val paramEntities = ListMap(paramEntityDecl.findAllMatchIn(uncommented).map { m =>
       m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
     }.toSeq: _*)
-    var text = rawText
+    var text = uncommented
     var rounds = 0
     var changed = paramEntities.nonEmpty
     while (changed && rounds < 10) { // bounded: DTD parameter-entity chains are shallow

@@ -114,6 +114,17 @@ class TextAnalysisSpec extends SparkTestBase {
       ("de", 103L), ("de", 104L)))
   }
 
+  test("adaptiveQualityFilter: null stratum is thresholded, not dropped") {
+    import spark.implicits._
+    val df = Seq(("en", 1L), ("en", 9L),
+      (null.asInstanceOf[String], 2L), (null.asInstanceOf[String], 8L))
+      .toDF("lang", "score")
+    val kept = TextAnalysis.adaptiveQualityFilter(df, col("lang"), col("score"), q = 0.5)
+      .select("lang", "score").as[(String, Long)].collect().toSet
+    // null stratum's own median is 5.0 -> keeps its 8, drops its 2
+    assert(kept == Set(("en", 9L), (null, 8L)))
+  }
+
   test("packSequences: per-shard end-to-end layout, bins by capacity, empty docs dropped") {
     import spark.implicits._
     // nShards=1 so the layout is a single stream in doc_id order:
@@ -150,6 +161,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(!kept.contains(("en", 1000L)))
     assert(kept.count(_._1 == "en") == 9)
     assert(kept.contains(("de", 7L)))
+  }
+
+  test("zScoreOutlierFilter: null scores dropped, null stratum filtered as its own group") {
+    import spark.implicits._
+    val df = (Seq(("en", java.lang.Long.valueOf(100L)), ("en", null.asInstanceOf[java.lang.Long])) ++
+      (1 to 9).map(i => (null.asInstanceOf[String], java.lang.Long.valueOf(95L + i))) :+
+      ((null.asInstanceOf[String], java.lang.Long.valueOf(1000L))))
+      .toDF("lang", "score")
+    val kept = TextAnalysis.zScoreOutlierFilter(df, col("lang"), col("score"), k = 2)
+      .select("lang", "score").as[(String, java.lang.Long)].collect().toSet
+    assert(!kept.exists(_._2 == null)) // undefined z -> explicit drop
+    assert(kept.contains(("en", java.lang.Long.valueOf(100L))))
+    // the null stratum got its own moments: its far outlier is gone
+    assert(!kept.contains((null, java.lang.Long.valueOf(1000L))))
+    assert(kept.count(_._1 == null) == 9)
+  }
+
+  test("zScoreOutlierFilter: decimal overflow fails loudly instead of dropping the stratum") {
+    import spark.implicits._
+    // 9.2e18 scores: sum(x*x) ~ 2.5e38 overflows decimal(38,0) -> the
+    // old behavior silently dropped all rows; now it must raise
+    val df = Seq(("en", 9200000000000000000L), ("en", 9100000000000000000L),
+      ("en", 9000000000000000000L)).toDF("lang", "score")
+    val e = intercept[Exception] {
+      TextAnalysis.zScoreOutlierFilter(df, col("lang"), col("score"), k = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("zScoreOutlierFilter")))
   }
 
   test("trigramCoverage: in-model occurrences over total, short/garbled text scores low") {

@@ -277,6 +277,25 @@ class XmlRecordsSpec extends SparkTestBase {
       .contains("do not match its content model"))
   }
 
+  test("DTD comments neither contribute declarations nor get %refs; expanded") {
+    val d = Dtd.parseString(
+      """<!ENTITY % field "author|title">
+        |<!-- commented out: <!ELEMENT ghost (#PCDATA)>
+        |     and a reference that must stay inert: (%field;)* -->
+        |<!ELEMENT dblp (article)*>
+        |<!ELEMENT article (%field;)*>
+        |<!ELEMENT author (#PCDATA)>
+        |<!ELEMENT title (#PCDATA)>
+        |<!-- <!ENTITY fake "nope"> -->
+        |<!ENTITY real "yes">
+        |""".stripMargin)
+    assert(!d.contentModels.contains("ghost"))
+    assert(d.contentModels("article") == "(author|title)*")
+    assert(!d.entities.contains("fake"))
+    assert(d.entities("real") == "yes")
+    assert(d.root == "dblp")
+  }
+
   test("strict validation works through layout=record (single-pass path)") {
     val vdtd = Dtd.parseString(
       """<!ENTITY % field "author|title">
