@@ -390,6 +390,25 @@ object SparkEntry {
       .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy("keep_id")
 
+  /** Line-level dedup over composite multi-line docs. The raw corpus is
+    * single-line, so the query first builds overlapping pseudo-docs —
+    * group g holds originals [3g, 3g+4] as lines, so neighboring
+    * groups share two lines — then every repeated line survives only
+    * in the first group that contains it.
+    */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val composite = t(s, dir, "documents").where(col("doc_id") < 100)
+      .select(col("doc_id"), col("text"),
+        explode(sequence(
+          greatest(lit(0L), expr("(doc_id - 2) div 3")),
+          expr("doc_id div 3"))).as("g"))
+      .groupBy("g")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+          s => s.getField("text")), "\n").as("text"))
+    Dedup.dedupLines(composite, col("g"), col("text")).orderBy("doc_id")
+  }
+
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
       nShingle = 3, k = 32, bands = 8, threshold = 0.4)
@@ -406,6 +425,38 @@ object SparkEntry {
       n = 3, threshold = 0.15, bucketWidth = 100)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
+
+  /** First-iteration BPE merge candidates over the whole corpus. */
+  private def qBpePairs(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bpePairCounts(t(s, dir, "documents"), col("text"), topK = 20)
+
+  /** At most 30 docs per source, deterministic by doc_id — the
+    * per-domain crawl cap; the salted variant is pinned equal in
+    * `SamplingSpec`, so the contract runs the exact window form.
+    */
+  private def qSourceCap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.capPerKey(
+      t(s, dir, "documents"), col("source"), col("doc_id"), cap = 30)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), max("doc_id").as("max_kept_id"))
+      .orderBy("source")
+
+  /** Int8-quantized brute-force ANN — same split as q25; cosine over
+    * integer dot products is bit-reproducible cross-engine.
+    */
+  private def qQuantizedAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.quantizedTopK(e.where(col("id") < 5), e.where(col("id") >= 5), k = 5)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Exact duplicated 8-token spans corpus-wide (memorization signal). */
+  private def qDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8)
+      .where(col("n_dup_windows") > 0)
+      .orderBy("doc_id")
 
   private def qSemiAntiJoin(s: SparkSession, dir: String): DataFrame = {
     val c = t(s, dir, "customer")
@@ -1027,6 +1078,11 @@ object SparkEntry {
     "q74_incremental_dedup" -> qIncrementalDedup _,
     "q75_packed_text" -> qPackedText _,
     "q76_trigram_coverage" -> qTrigramCoverage _,
+    "q79_line_dedup" -> qLineDedup _,
+    "q80_bpe_pairs" -> qBpePairs _,
+    "q81_source_cap" -> qSourceCap _,
+    "q82_quantized_ann" -> qQuantizedAnn _,
+    "q83_dup_spans" -> qDupSpans _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1604,6 +1660,84 @@ object SparkEntry {
           | length(string_agg(text, ' ' ORDER BY doc_id))::BIGINT AS seq_len,
           | substring(string_agg(text, ' ' ORDER BY doc_id), 1, 40) AS seq_head
           |FROM packed GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
+
+      // composite docs share lines with their neighbors; each distinct
+      // trimmed line survives only at its first (doc, idx) occurrence
+      "q79_line_dedup" ->
+        """WITH comp AS (
+          | SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+          | FROM (SELECT doc_id, text,
+          |        unnest(range(greatest(0, (doc_id - 2) // 3), doc_id // 3 + 1)) AS g
+          |       FROM documents WHERE doc_id < 100)
+          | GROUP BY g),
+          | l AS (SELECT g, unnest(range(len(ls))) AS line_idx, unnest(ls) AS line
+          |       FROM (SELECT g, string_split(text, chr(10)) AS ls FROM comp)),
+          | k AS (SELECT *, CASE WHEN trim(line) = '' THEN true
+          |        ELSE (row_number() OVER (PARTITION BY trim(line) ORDER BY g, line_idx)) = 1 END AS keep
+          |       FROM l)
+          |SELECT g AS doc_id, count(*) AS n_lines,
+          | count(*) FILTER (keep) AS n_kept,
+          | coalesce(string_agg(line, chr(10) ORDER BY line_idx) FILTER (keep), '') AS text_dedup
+          |FROM k GROUP BY g ORDER BY doc_id""".stripMargin,
+
+      // weighted adjacent char-pair counts over the word-frequency
+      // table — BPE merge iteration 1
+      "q80_bpe_pairs" ->
+        """WITH w AS (SELECT word, count(*) AS freq FROM (
+          |  SELECT unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS word
+          |  FROM documents) GROUP BY word),
+          | p AS (SELECT freq, unnest([substring(word, i, 2) FOR i IN range(1, length(word))]) AS pair
+          |       FROM w WHERE length(word) >= 2)
+          |SELECT pair, sum(freq)::BIGINT AS n FROM p GROUP BY pair
+          |ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+      // at most 30 docs per source, smallest doc_ids win
+      "q81_source_cap" ->
+        """SELECT source, count(*) AS n, max(doc_id) AS max_kept_id FROM (
+          | SELECT source, doc_id,
+          |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          | FROM documents) WHERE rn <= 30
+          |GROUP BY source ORDER BY source""".stripMargin,
+
+      // int8 quantization (floor(x*127/max|x| + 0.5)) then cosine over
+      // integer dot products — exact in doubles, engine-reproducible
+      "q82_quantized_ann" ->
+        """WITH q0 AS (SELECT vec_id AS id, embedding AS v,
+          |   list_max([abs(x::DOUBLE) FOR x IN embedding]) AS m
+          |  FROM embeddings WHERE vec_id < 5),
+          | c0 AS (SELECT vec_id AS id, embedding AS v,
+          |   list_max([abs(x::DOUBLE) FOR x IN embedding]) AS m
+          |  FROM embeddings WHERE vec_id >= 5),
+          | q AS (SELECT id, [floor(x::DOUBLE * (CASE WHEN m > 0 THEN 127.0/m ELSE 0 END) + 0.5) FOR x IN v] AS qv FROM q0),
+          | c AS (SELECT id, [floor(x::DOUBLE * (CASE WHEN m > 0 THEN 127.0/m ELSE 0 END) + 0.5) FOR x IN v] AS qv FROM c0),
+          | qn AS (SELECT id, qv, sqrt(list_sum([x*x FOR x IN qv])) AS nrm FROM q),
+          | cn AS (SELECT id, qv, sqrt(list_sum([x*x FOR x IN qv])) AS nrm FROM c),
+          | s AS (SELECT qn.id AS query_id, cn.id AS neighbor_id,
+          |   CASE WHEN qn.nrm * cn.nrm = 0 THEN 0.0
+          |        ELSE list_sum([qn.qv[i] * cn.qv[i] FOR i IN range(1, len(qn.qv) + 1)])
+          |             / (qn.nrm * cn.nrm) END AS cos_raw
+          |  FROM qn, cn),
+          | r AS (SELECT query_id, neighbor_id, round(cos_raw, 6) AS cos,
+          |   row_number() OVER (PARTITION BY query_id
+          |     ORDER BY round(cos_raw, 6) DESC, neighbor_id) AS rk FROM s)
+          |SELECT query_id, neighbor_id, cos FROM r WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // duplicated exact 8-token windows corpus-wide
+      "q83_dup_spans" ->
+        """WITH toks AS (SELECT doc_id,
+          |   list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS ts
+          |  FROM documents),
+          | w AS (SELECT doc_id,
+          |   unnest([array_to_string(ts[i:i+7], ' ') FOR i IN range(1, len(ts) - 6)]) AS win
+          |  FROM toks WHERE len(ts) >= 8),
+          | g AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1)
+          |SELECT doc_id, count(*) AS n_windows,
+          | count(*) FILTER (win IN (SELECT win FROM g)) AS n_dup_windows,
+          | (count(*) FILTER (win IN (SELECT win FROM g)))::DOUBLE / count(*) AS dup_frac
+          |FROM w GROUP BY doc_id
+          |HAVING count(*) FILTER (win IN (SELECT win FROM g)) > 0
+          |ORDER BY doc_id""".stripMargin,
 
       // new-batch fingerprints absent from the pre-existing corpus
       "q74_incremental_dedup" ->

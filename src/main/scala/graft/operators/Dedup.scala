@@ -81,6 +81,52 @@ object Dedup {
       .join(knownFps.select(col("fp")), Seq("fp"), "left_anti")
       .select("doc_id", "fp")
 
+  /** Line-level exact dedup — the CCNet/RefinedWeb paragraph-dedup
+    * shape: across the whole corpus each distinct non-blank line
+    * (trim-keyed) survives only at its FIRST occurrence (smallest
+    * (doc_id, line_idx)) and is removed everywhere else; blank lines
+    * are document structure and always survive. One row per document:
+    * (doc_id, n_lines, n_kept, text_dedup) with surviving lines
+    * rejoined by "\n" in original order.
+    *
+    * Scale shape — three shuffles, all skew-safe:
+    *  1. first-occurrence aggregate BY LINE KEY: map-side combine
+    *     collapses every repeat of a hot boilerplate line to one row
+    *     per map task before the exchange (a window row_number() over
+    *     the line key would funnel a 100M-copy line into one task);
+    *  2. survivor join back BY (doc_id, line_idx): near-unique keys,
+    *     no text on the build side;
+    *  3. reassembly BY doc_id: the text rides this one exchange once.
+    * At extreme line cardinality swap the `lkey` grouping for
+    * xxhash64(lkey) to keep line text off shuffle 1 (2^-64 collision
+    * odds per pair); the string key is kept here for engine-exact
+    * oracle parity.
+    */
+  def dedupLines(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val lines = df
+      .select(id.as("doc_id"), posexplode(split(text, "\n")).as(Seq("line_idx", "line")))
+      .withColumn("lkey", trim(col("line")))
+    val firsts = lines.where(col("lkey") =!= "")
+      .groupBy("lkey")
+      .agg(min(struct(col("doc_id"), col("line_idx"))).as("first"))
+      .select(col("first.doc_id").as("doc_id"),
+        col("first.line_idx").as("line_idx"), lit(1).as("__first"))
+    lines.join(firsts, Seq("doc_id", "line_idx"), "left")
+      .withColumn("keep", col("lkey") === "" || col("__first").isNotNull)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list skips the null produced when keep=false, so only
+        // surviving lines enter; array_sort on (line_idx, line) structs
+        // restores original order independent of partitioning
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("keep"), struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("text_dedup"))
+  }
+
   /** Exact dedup keeping the BEST representative per group instead of
     * the first: for each distinct normalized-content fingerprint, keep
     * the document with the highest `score` (ties to the smallest id).
@@ -98,6 +144,41 @@ object Dedup {
         max_by(col("doc_id"), struct(col("score"), -col("doc_id"))).as("keep_id"),
         count(lit(1)).as("n_dups"),
         max("score").as("best_score"))
+
+  /** Duplicated-span detection (the Lee et al. "Deduplicating Training
+    * Data" exact-substring signal, at window granularity): every
+    * k-token sliding window of the lowercased text is a span; a span
+    * is DUPLICATED if its window occurs more than once corpus-wide
+    * (across documents or within one). Returns one row per document
+    * with >= 1 window: (doc_id, n_windows, n_dup_windows, dup_frac) —
+    * the retain/trim decision signal (docs with high dup_frac are
+    * mostly memorized boilerplate).
+    *
+    * Scale shape mirrors [[dedupLines]]: the occurrence count per
+    * window aggregates with map-side combine (a boilerplate window
+    * repeated 100M times arrives at its reducer pre-collapsed), the
+    * duplicated set then joins back on the window key. Window STRINGS
+    * ride both shuffles for engine-exact oracle parity; substitute
+    * xxhash64(win) as the key at corpus scale (2^-64 pair collision
+    * odds) to shuffle 8 bytes instead.
+    */
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toks = TextAnalysis.tokens(lower(text))
+    val wins = df.select(id.as("doc_id"),
+      explode(when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+        .otherwise(array().cast("array<string>"))).as("win"))
+    val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("win"), lit(1).as("__dup"))
+    wins.join(dups, Seq("win"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__dup").isNotNull, 1L).otherwise(0L)).as("n_dup_windows"))
+      .withColumn("dup_frac", col("n_dup_windows").cast("double") / col("n_windows"))
+  }
 
   /** Shingles pre-hashed to 64-bit values: set operations (jaccard,
     * minhash) on longs are several times cheaper than on strings, and

@@ -102,4 +102,47 @@ object Sampling {
       .withColumn("weight", pow(col("share"), lit(alpha - 1.0)))
       .drop("__total")
   }
+
+  /** Per-key document cap — the "at most N pages per domain" rule that
+    * keeps a single over-crawled site from dominating a training mix.
+    * Deterministic: within each key, rows survive in ascending `order`
+    * (typically the stable document id), first `cap` kept.
+    *
+    * Shape: a window row_number over (key, order). The shuffle
+    * partitions by key, so a single monster key serializes through one
+    * task's sort — for corpora where one domain can exceed an
+    * executor's partition budget, pre-prune with a two-phase cap:
+    * cap within each of B salted sub-buckets first (bounding any
+    * task at `cap` rows per sub-bucket), then apply this exact window
+    * to the ≤ B*cap survivors per key. [[capPerKeySalted]] implements
+    * that guard; results are identical because ranks only ever drop
+    * rows the exact pass would also drop.
+    */
+  def capPerKey(df: DataFrame, key: Column, order: Column, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__rn",
+        row_number().over(Window.partitionBy(key).orderBy(order)))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+  }
+
+  /** Skew-guarded [[capPerKey]]: phase 1 caps within `salt` hash
+    * sub-buckets of each key (any window task sorts at most one
+    * sub-bucket and emits ≤ cap rows from it), phase 2 runs the exact
+    * cap over the ≤ salt*cap survivors per key. Identical output to
+    * the exact pass: phase 1 only drops rows ranked > cap within a
+    * sub-bucket, which are ranked > cap within the whole key too.
+    */
+  def capPerKeySalted(df: DataFrame, key: Column, order: Column, cap: Int,
+      salt: Int = 64): DataFrame = {
+    require(cap > 0 && salt > 0, s"cap and salt must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val phase1 = df.withColumn("__rn",
+        row_number().over(
+          Window.partitionBy(key, bucket(order, salt)).orderBy(order)))
+      .where(col("__rn") <= cap)
+      .drop("__rn")
+    capPerKey(phase1, key, order, cap)
+  }
 }

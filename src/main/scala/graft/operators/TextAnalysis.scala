@@ -443,6 +443,31 @@ object TextAnalysis {
     * groupBy. Partial aggregation combines map-side, so the shuffle
     * carries one row per (partition, token), not per occurrence.
     */
+  /** Distributed BPE merge-candidate counting — the inner loop of BPE
+    * vocabulary training. Classic two-level shape: first collapse the
+    * corpus to its word-frequency table (the heavy shuffle, map-side
+    * combined on the word), then count adjacent character pairs over
+    * the DISTINCT words weighted by frequency — pair extraction runs
+    * once per unique word, not once per occurrence, which is what
+    * makes BPE training tractable on a 100 TB corpus whose vocabulary
+    * is millions of words, not trillions. Returns the top-K pairs by
+    * weighted count (ties broken lexicographically) — the next merge
+    * candidates. The transform() lambda is CodegenFallback but runs on
+    * the skinny word table, never per document.
+    */
+  def bpePairCounts(df: DataFrame, text: Column, topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val words = df.select(explode(tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    words.where(length(col("word")) >= 2)
+      .select(col("freq"), explode(transform(
+        sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(topK)
+  }
+
   def tokenFrequencies(df: DataFrame, text: Column): DataFrame =
     df.select(explode(tokens(lower(text))).as("token"))
       .groupBy("token")

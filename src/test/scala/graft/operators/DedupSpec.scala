@@ -21,6 +21,48 @@ class DedupSpec extends SparkTestBase {
     assert(groups.toSeq == Seq((0L, 3L), (2L, 1L), (3L, 1L)))
   }
 
+  test("dedupLines: first occurrence survives, blanks kept, order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha\nshared line\n\nomega"),
+      (1L, "shared line\nbeta"),          // "shared line" first seen in doc 0
+      (2L, "  shared line \ngamma"),      // trim-keyed: also a repeat
+      (3L, "\n\n")                        // blanks only: all kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .select("doc_id", "n_lines", "n_kept", "text_dedup")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, 4L, "alpha\nshared line\n\nomega"),
+      (1L, 2L, 1L, "beta"),
+      (2L, 2L, 1L, "gamma"),
+      (3L, 3L, 3L, "\n\n")))
+  }
+
+  test("dedupLines: within-doc repeats also collapse to the first occurrence") {
+    import spark.implicits._
+    val df = Seq((7L, "x\ny\nx\nx")).toDF("doc_id", "text")
+    val out = Dedup.dedupLines(df, col("doc_id"), col("text"))
+      .select("n_lines", "n_kept", "text_dedup").as[(Long, Long, String)].head()
+    assert(out == ((4L, 2L, "x\ny")))
+  }
+
+  test("duplicateSpans: cross-doc and within-doc repeated windows counted, rest not") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e f"),        // windows(3): abc bcd cde def
+      (1L, "x a b c d y"),        // xab abc bcd cdy -> abc,bcd duplicated
+      (2L, "p q r p q r p q"),    // pqr qrp rpq pqr qrp rpq -> all 6 dup'd (within-doc)
+      (3L, "u v")                 // < 3 tokens: absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id")
+      .select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 4L, 2L), (1L, 4L, 2L), (2L, 6L, 6L)))
+  }
+
   test("incrementalDedup keeps only fingerprints unseen in the known set") {
     import spark.implicits._
     val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")

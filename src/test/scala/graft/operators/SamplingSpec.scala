@@ -53,6 +53,21 @@ class SamplingSpec extends SparkTestBase {
     assert(natural.values.forall(v => math.abs(v - 1.0) < 1e-12))
   }
 
+  test("capPerKey keeps the first `cap` rows per key by order; salted variant identical") {
+    import spark.implicits._
+    // keys with 1, 5, and 50 rows; cap 3
+    val df = (Seq((0L, "a")) ++ (0 until 5).map(i => (10L + i, "b")) ++
+      (0 until 50).map(i => (100L + i, "c"))).toDF("doc_id", "source")
+    val exact = Sampling.capPerKey(df, col("source"), col("doc_id"), cap = 3)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(exact == Set(("a", 0L),
+      ("b", 10L), ("b", 11L), ("b", 12L),
+      ("c", 100L), ("c", 101L), ("c", 102L)))
+    val salted = Sampling.capPerKeySalted(df, col("source"), col("doc_id"), cap = 3, salt = 4)
+      .select("source", "doc_id").as[(String, Long)].collect().toSet
+    assert(salted == exact)
+  }
+
   test("hashSplit/hashSample are deterministic pure functions of the key") {
     val df = spark.range(1000).toDF("id")
     val a = Sampling.hashSplit(df, col("id"), Seq("x" -> 50, "y" -> 50))

@@ -83,6 +83,31 @@ class SimilaritySpec extends SparkTestBase {
     } finally index.assigned.unpersist()
   }
 
+  test("quantizeInt8: max maps to ±127, zeros stay zero, cosine ranking survives") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(2.0f, -4.0f, 1.0f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f))).toDF("id", "vec")
+    val q = Similarity.quantizeInt8(df, col("id"), col("vec"))
+      .orderBy("id").collect()
+    // scale = 127/4: 2 -> 63.5 -> floor(63.5+0.5)=64 (half-up); -4 -> -127; 1 -> 32
+    assert(q(0).getAs[scala.collection.Seq[Int]]("qvec").toSeq == Seq(64, -127, 32))
+    assert(q(1).getAs[scala.collection.Seq[Int]]("qvec").toSeq == Seq(0, 0, 0))
+    assert(q(1).getAs[Double]("qscale") == 0.0)
+  }
+
+  test("quantizedTopK agrees with bruteForceTopK on well-separated vectors") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0.0f, 1.0f)), (3L, Seq(1.0f, 0.05f))).toDF("id", "vec")
+    val exact = Similarity.bruteForceTopK(corpus.where(col("id") === 0), corpus, k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    val quant = Similarity.quantizedTopK(corpus.where(col("id") === 0), corpus, k = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(quant == exact)
+  }
+
   test("ivfTopK: bucket-restricted search still finds in-bucket neighbors") {
     import spark.implicits._
     // centroids = ids 0,1; cluster A near (1,0), cluster B near (0,1)

@@ -248,6 +248,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df(2).isNullAt(df(2).fieldIndex("top_bigram_frac")))
   }
 
+  test("bpePairCounts: pair counts weighted by word frequency, single chars skipped") {
+    import spark.implicits._
+    // "low low lower" + "low" -> freq(low)=3, freq(lower)=1
+    // pairs: lo 3+1, ow 3+1, we 1, er 1; "a" contributes nothing
+    val df = Seq((1L, "low low lower"), (2L, "low a")).toDF("doc_id", "text")
+    val pairs = TextAnalysis.bpePairCounts(df, col("text"), topK = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(pairs == Seq(("lo", 4L), ("ow", 4L), ("er", 1L), ("we", 1L)))
+  }
+
   test("redactPii replaces emails and long digit runs, counts on the raw text") {
     import spark.implicits._
     val r = TextAnalysis.redactPii(
