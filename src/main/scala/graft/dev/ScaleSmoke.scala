@@ -120,6 +120,40 @@ object ScaleSmoke {
       asofSig(graft.operators.Relational.asofJoinBucketed(evL, evR, (nEv * 10 / 32).max(1L))))
     require(asofPlain == asofBucketed, s"asof variants disagree: $asofPlain vs $asofBucketed")
 
+    // line dedup: break each doc into 9-word lines (non-overlapping
+    // regexp groups); near-dups share whole lines with their base, so
+    // the first-occurrence pass does real elimination work
+    val mdocs = docs.select(col("doc_id"),
+      regexp_replace(col("text"),
+        "(\\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+ \\S+) ", "$1\n").as("text"))
+    val ld = time("dedupLines (9-word lines)")(
+      Dedup.dedupLines(mdocs, col("doc_id"), col("text"))
+        .agg(sum(col("n_lines") - col("n_kept"))).head().getLong(0))
+    val bp = time("bpePairCounts (top 50)")(
+      TextAnalysis.bpePairCounts(docs, col("text"), topK = 50).count())
+    val ds = time("duplicateSpans (k=8, hashed keys)")(
+      Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 8, hashKeys = true)
+        .where(col("n_dup_windows") > 0).count())
+    // per-key cap with a monster key (half the corpus): the salted
+    // variant bounds any single window task; outputs must be identical
+    val keyed = docs.select(col("doc_id"),
+      when(col("doc_id") % 2 === 0, "hot").otherwise(pmod(col("doc_id"), lit(100)).cast("string"))
+        .as("source"))
+    def capSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(hash(col("source"), col("doc_id")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val capExact = time(s"capPerKey (hot key = 50% of $nDocs)")(
+      capSig(graft.operators.Sampling.capPerKey(keyed, col("source"), col("doc_id"), cap = 1000)))
+    val capSalted = time("capPerKeySalted (same input, salt=64)")(
+      capSig(graft.operators.Sampling.capPerKeySalted(keyed, col("source"), col("doc_id"),
+        cap = 1000, salt = 64)))
+    require(capExact == capSalted, s"cap variants disagree: $capExact vs $capSalted")
+    val qt = time("quantizedTopK (100 queries, int8)")(
+      graft.operators.Similarity.quantizedTopK(
+        vecs.where(col("id") < 100).select(col("id"), col("vec")),
+        vecs.select(col("id"), col("vec")), k = 5).count())
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -130,7 +164,8 @@ object ScaleSmoke {
       Dedup.dedupGroups(pairs).where(col("id") =!= col("keep_id")).count())
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
       s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
-      s"annRows=$ann embNearDups=$nd ccRelabels=$cc")
+      s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
+      s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt")
     spark.stop()
   }
 }

@@ -143,6 +143,7 @@ object GraftExtensions {
   private[graft] val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     fn("infer_type", classOf[InferType], children => InferType(children.head)),
     fn("shingle_hashes", classOf[ShingleHashes], MinHash.shingleHashesBuilder),
+    fn("window_hashes", classOf[WindowHashes], MinHash.windowHashesBuilder),
     fn("minhash_sig", classOf[MinHashSig], MinHash.minhashSigBuilder),
     fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
     fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder),

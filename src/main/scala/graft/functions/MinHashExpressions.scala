@@ -91,6 +91,35 @@ object MinHashRuntime {
     UnsafeArrayData.fromPrimitiveArray(if (m == out.length) out else java.util.Arrays.copyOf(out, m))
   }
 
+  /** POSITIONAL hashed k-token windows — [[shingleHashes]] without the
+    * distinct and without the short-document fallback: one hash per
+    * window position (within-document repeats kept — they're what
+    * span-duplication counting needs), documents shorter than n tokens
+    * yield an empty array. Hash values are identical to
+    * xxhash64(concat_ws(" ", window tokens)) of the lowercased text.
+    */
+  def windowHashes(text: UTF8String, n: Int): ArrayData = {
+    if (text == null) return EMPTY
+    val toks = tokensOf(text)
+    if (toks.length < n) return EMPTY
+    val nWins = toks.length - n + 1
+    val out = new Array[Long](nWins)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nWins) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = hashString(sb.toString)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** MinHash signature: element s of the result is
     * min over shingle hashes h of xxhash64(h, s) — identical to the
     * aggregate min(xxhash64(col("h"), lit(s))) formulation
@@ -211,6 +240,21 @@ case class ShingleHashes(child: Expression, n: Int) extends MinHashExprBase {
     copy(child = newChild)
 }
 
+/** window_hashes(text, n): array<long> of positional (non-distinct)
+  * hashed n-token windows. See [[MinHashRuntime.windowHashes]].
+  */
+case class WindowHashes(child: Expression, n: Int) extends MinHashExprBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "window_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.windowHashes(input.asInstanceOf[UTF8String], n)
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.windowHashes($in, $n)"
+  override protected def withNewChildInternal(newChild: Expression): WindowHashes =
+    copy(child = newChild)
+}
+
 /** minhash_sig(shingles, k): array<long> of k seeded minima. */
 case class MinHashSig(child: Expression, k: Int) extends MinHashExprBase {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -278,6 +322,8 @@ object MinHash {
 
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+  def windowHashes(text: Column, n: Int): Column =
+    ColumnBridge.column(WindowHashes(ColumnBridge.expression(text), n))
   def minhashSig(sh: Column, k: Int): Column =
     ColumnBridge.column(MinHashSig(ColumnBridge.expression(sh), k))
   def lshBandKeys(sig: Column, bands: Int, rows: Int): Column =
@@ -292,6 +338,10 @@ object MinHash {
   private[functions] def shingleHashesBuilder(children: Seq[Expression]): Expression = {
     arity(children, 2, "shingle_hashes")
     ShingleHashes(children.head, lit(children(1), "shingle_hashes n"))
+  }
+  private[functions] def windowHashesBuilder(children: Seq[Expression]): Expression = {
+    arity(children, 2, "window_hashes")
+    WindowHashes(children.head, lit(children(1), "window_hashes n"))
   }
   private[functions] def minhashSigBuilder(children: Seq[Expression]): Expression = {
     arity(children, 2, "minhash_sig")

@@ -157,19 +157,29 @@ object Dedup {
     * Scale shape mirrors [[dedupLines]]: the occurrence count per
     * window aggregates with map-side combine (a boilerplate window
     * repeated 100M times arrives at its reducer pre-collapsed), the
-    * duplicated set then joins back on the window key. Window STRINGS
-    * ride both shuffles for engine-exact oracle parity; substitute
-    * xxhash64(win) as the key at corpus scale (2^-64 pair collision
-    * odds) to shuffle 8 bytes instead.
+    * duplicated set then joins back on the window key. With
+    * `hashKeys=false` (default) window STRINGS ride both shuffles —
+    * engine-exact for oracle parity; `hashKeys=true` generates 8-byte
+    * window hashes with the native codegen'd `window_hashes`
+    * expression (no interpreted slice/concat lambdas, no strings on
+    * any exchange) — the corpus-scale path, identical output barring
+    * a 2^-64-per-pair collision (ScaleSmoke runs it; the spec pins
+    * equality on a real corpus).
     */
-  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+  def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
+      hashKeys: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toks = TextAnalysis.tokens(lower(text))
-    val wins = df.select(id.as("doc_id"),
-      explode(when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-        .otherwise(array().cast("array<string>"))).as("win"))
+    val wins =
+      if (hashKeys)
+        df.select(id.as("doc_id"),
+          explode(graft.functions.MinHash.windowHashes(text, k)).as("win"))
+      else
+        df.select(id.as("doc_id"),
+          explode(when(size(toks) >= k,
+              transform(sequence(lit(0), size(toks) - k),
+                i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+            .otherwise(array().cast("array<string>"))).as("win"))
     val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
       .select(col("win"), lit(1).as("__dup"))

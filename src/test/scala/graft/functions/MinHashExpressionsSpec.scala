@@ -54,6 +54,25 @@ class MinHashExpressionsSpec extends AnyFunSuite {
     assert(declarative.exceptAll(native).count() == 0)
   }
 
+  test("window_hashes: positional (repeats kept), short docs empty, xxhash64-exact") {
+    import spark.implicits._
+    val df = Seq((1L, "p q r p q r p q"), (2L, "a b")).toDF("doc_id", "text")
+    // declarative reference: every 3-token window position, hashed
+    val toks = graft.operators.TextAnalysis.tokens(lower(col("text")))
+    val declarative = df
+      .select(col("doc_id"), explode(when(size(toks) >= 3,
+          transform(sequence(lit(0), size(toks) - 3),
+            i => concat_ws(" ", slice(toks, i + lit(1), lit(3)))))
+        .otherwise(array().cast("array<string>"))).as("w"))
+      .select(col("doc_id"), xxhash64(col("w")).as("h"))
+    val native = df.select(col("doc_id"),
+      explode(MinHash.windowHashes(col("text"), 3)).as("h"))
+    assert(native.exceptAll(declarative).count() == 0)
+    assert(declarative.exceptAll(native).count() == 0)
+    assert(native.count() == 6)  // doc 1 only; within-doc repeats present
+    assert(spark.sql("SELECT size(window_hashes('a b c d', 3)) AS n").head().getInt(0) == 2)
+  }
+
   test("minhash_sig agrees with the min(xxhash64(h, seed)) aggregate") {
     val ex = Dedup.explodedHashedShingles(docs, col("doc_id"), col("text"), 3)
     val k = 8

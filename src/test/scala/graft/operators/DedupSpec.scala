@@ -61,6 +61,11 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id", "n_windows", "n_dup_windows")
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 4L, 2L), (1L, 4L, 2L), (2L, 6L, 6L)))
+    // hashed-key scale path: identical result
+    val hashed = Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 3, hashKeys = true)
+      .orderBy("doc_id").select("doc_id", "n_windows", "n_dup_windows")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(hashed == out)
   }
 
   test("incrementalDedup keeps only fingerprints unseen in the known set") {

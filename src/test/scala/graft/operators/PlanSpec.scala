@@ -175,6 +175,50 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan)
   }
 
+  test("dedupLines: partial-aggregated first-occurrence pass, no text on the survivor side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Dedup.dedupLines(docs, col("doc_id"), col("text"))
+    val plan = out.queryExecution.executedPlan.toString
+    // hot boilerplate lines must collapse map-side, not in a window sort
+    assert(plan.contains("partial_min") || plan.contains("HashAggregate"), plan)
+    assert(!plan.contains("Window"), plan)
+    // the survivor join key is (doc_id, line_idx): the build side that
+    // rides its exchange must carry no line text
+    val shuffled = Scale.shuffleOutputColumns(out)
+    assert(shuffled.exists(cols => !cols.exists(_.contains("line"))), shuffled.toString)
+    assert(Scale.countShuffles(out) <= 3, plan)
+  }
+
+  test("bpePairCounts: both aggregate levels partial-combine; pair agg sees unique words only") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.bpePairCounts(docs, col("text"), topK = 20)
+    val plan = out.queryExecution.executedPlan.toString
+    // two hash-aggregate levels (word freq, pair count) + the top-k
+    assert(Scale.countShuffles(out) <= 3, plan)
+    assert(!plan.contains("Window"), plan)
+    // documents' text never rides an exchange — only words and pairs
+    val shuffled = Scale.shuffleOutputColumns(out)
+    assert(shuffled.forall(cols => !cols.contains("text")), shuffled.toString)
+  }
+
+  test("quantizedTopK: query side broadcasts, corpus never shuffles before ranking") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val out = Similarity.quantizedTopK(e.where(col("id") < 5), e.where(col("id") >= 5), k = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    // only the per-query ranking window shuffles (by query_id — skinny rows)
+    assert(Scale.countShuffles(out) == 1, plan)
+  }
+
+  test("duplicateSpans: map-side-combined window counts, no window operator") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Dedup.duplicateSpans(docs, col("doc_id"), col("text"), k = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(Scale.countShuffles(out) <= 4, plan)
+  }
+
   test("chunking pushes the doc filter into the scan and stays map-only") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").where(col("doc_id") < 50)
     val chunks = TextAnalysis.chunkDocuments(docs, col("doc_id"), col("text"),
