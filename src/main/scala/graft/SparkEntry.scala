@@ -396,8 +396,11 @@ object SparkEntry {
     * groups share two lines — then every repeated line survives only
     * in the first group that contains it.
     */
-  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
-    val composite = t(s, dir, "documents").where(col("doc_id") < 100)
+  /** Overlapping composite multi-line docs: group g holds originals
+    * [3g, 3g+4] as lines, so neighbors share two lines (q79/q84 input).
+    */
+  private def compositeDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").where(col("doc_id") < 100)
       .select(col("doc_id"), col("text"),
         explode(sequence(
           greatest(lit(0L), expr("(doc_id - 2) div 3")),
@@ -406,8 +409,20 @@ object SparkEntry {
       .agg(array_join(
         transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
           s => s.getField("text")), "\n").as("text"))
-    Dedup.dedupLines(composite, col("g"), col("text")).orderBy("doc_id")
-  }
+
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupLines(compositeDocs(s, dir), col("g"), col("text")).orderBy("doc_id")
+
+  /** Composed sharded-delivery tail over the composite docs: per-source
+    * cap (4 per g%7 source) -> corpus-wide line dedup -> >=2 surviving
+    * lines -> 256-token packing into 2 shards.
+    */
+  private def qCorpusPrepareLines(s: SparkSession, dir: String): DataFrame =
+    graft.operators.CorpusPipeline.prepareLines(
+      compositeDocs(s, dir).withColumn("source", (col("g") % 7).cast("string")),
+      col("g"), col("text"), col("source"),
+      capPerSource = 4, minKeptLines = 2L, capacity = 256L, nShards = 2)
+      .orderBy("doc_id")
 
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
@@ -1083,6 +1098,7 @@ object SparkEntry {
     "q81_source_cap" -> qSourceCap _,
     "q82_quantized_ann" -> qQuantizedAnn _,
     "q83_dup_spans" -> qDupSpans _,
+    "q84_corpus_prepare_lines" -> qCorpusPrepareLines _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1679,6 +1695,37 @@ object SparkEntry {
           | count(*) FILTER (keep) AS n_kept,
           | coalesce(string_agg(line, chr(10) ORDER BY line_idx) FILTER (keep), '') AS text_dedup
           |FROM k GROUP BY g ORDER BY doc_id""".stripMargin,
+
+      // the composed sharded-delivery tail, stage by stage: source cap
+      // -> corpus-wide line dedup -> min-lines filter -> packing
+      "q84_corpus_prepare_lines" ->
+        """WITH comp AS (
+          | SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+          | FROM (SELECT doc_id, text,
+          |        unnest(range(greatest(0, (doc_id - 2) // 3), doc_id // 3 + 1)) AS g
+          |       FROM documents WHERE doc_id < 100)
+          | GROUP BY g),
+          | capped AS (SELECT g, text FROM (
+          |   SELECT g, text, row_number() OVER (PARTITION BY g % 7 ORDER BY g) AS rn FROM comp)
+          |  WHERE rn <= 4),
+          | l AS (SELECT g, unnest(range(len(ls))) AS line_idx, unnest(ls) AS line
+          |       FROM (SELECT g, string_split(text, chr(10)) AS ls FROM capped)),
+          | k AS (SELECT *, CASE WHEN trim(line) = '' THEN true
+          |        ELSE (row_number() OVER (PARTITION BY trim(line) ORDER BY g, line_idx)) = 1 END AS keep
+          |       FROM l),
+          | dd AS (SELECT g,
+          |   coalesce(string_agg(line, chr(10) ORDER BY line_idx) FILTER (keep), '') AS text_dedup
+          |  FROM k GROUP BY g HAVING count(*) FILTER (keep) >= 2),
+          | toks AS (SELECT g AS doc_id, (g * 2654435761) % 2 AS shard,
+          |   len(list_filter(regexp_split_to_array(trim(text_dedup), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          |  FROM dd),
+          | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
+          | packed AS (SELECT doc_id, shard, n_tokens,
+          |   COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS start_tok
+          |  FROM nz)
+          |SELECT doc_id, shard, start_tok // 256 AS bin, start_tok, n_tokens
+          |FROM packed ORDER BY doc_id""".stripMargin,
 
       // weighted adjacent char-pair counts over the word-frequency
       // table — BPE merge iteration 1

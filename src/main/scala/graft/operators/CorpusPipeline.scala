@@ -77,6 +77,41 @@ object CorpusPipeline {
         "top_token_frac", "redacted")
   }
 
+  /** The SHARDED-DELIVERY tail of corpus preparation, composed from
+    * the per-source / line-level operators: cap each source at
+    * `capPerSource` docs (deterministic by id), line-dedup the capped
+    * corpus (first occurrence of every trimmed line survives), drop
+    * documents left with fewer than `minKeptLines` surviving lines,
+    * then lay the deduped text into fixed-capacity training sequences.
+    * Deterministic end-to-end — oracle-checked stage by stage (q84).
+    *
+    * Returns [[TextAnalysis.packSequences]] rows over the deduped
+    * text: (doc_id, shard, bin, start_tok, n_tokens).
+    *
+    * Scale: the cap is one skinny window pass (salt it via
+    * [[Sampling.capPerKeySalted]] for monster sources), line dedup's
+    * three shuffles are skew-safe (see [[Dedup.dedupLines]]), packing
+    * windows per shard. Text rides exactly two exchanges: line-dedup
+    * reassembly and the shard window.
+    */
+  def prepareLines(
+      docs: DataFrame,
+      id: Column,
+      text: Column,
+      source: Column,
+      capPerSource: Int = 1000,
+      minKeptLines: Long = 1L,
+      capacity: Long = 2048L,
+      nShards: Int = 64): DataFrame = {
+    val capped = Sampling.capPerKey(
+      docs.select(id.as("doc_id"), text.as("text"), source.as("source")),
+      col("source"), col("doc_id"), capPerSource)
+    val deduped = Dedup.dedupLines(capped, col("doc_id"), col("text"))
+      .where(col("n_kept") >= minKeptLines)
+    TextAnalysis.packSequences(deduped, col("doc_id"), col("text_dedup"),
+      capacity, nShards)
+  }
+
   /** Returns one row per SURVIVING document:
     * (doc_id, split, n_tokens, uniq_ratio, top_token_frac, redacted).
     */

@@ -31,6 +31,23 @@ class CorpusPipelineSpec extends SparkTestBase {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("prepareLines: cap drops late docs per source, line dedup feeds packing") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "alpha beta\nshared one two", "s1"),
+      (1L, "shared one two\ngamma delta", "s1"),   // loses its shared line to doc 0
+      (2L, "epsilon zeta", "s1"),                   // capped away (3rd doc of s1)
+      (3L, "shared one two", "s2")                  // line gone -> 0 kept -> dropped
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepareLines(docs, col("doc_id"), col("text"), col("source"),
+      capPerSource = 2, minKeptLines = 1L, capacity = 4L, nShards = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "bin", "start_tok", "n_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // doc 0 keeps both lines (5 tokens); doc 1 keeps "gamma delta" (2)
+    assert(out == Seq((0L, 0L, 0L, 5L), (1L, 1L, 5L, 2L)))
+  }
+
   test("prepareFuzzy: near-dup component collapses to its best-scored representative") {
     import spark.implicits._
     val docs = Seq(
