@@ -390,14 +390,10 @@ object SparkEntry {
       .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy("keep_id")
 
-  /** Line-level dedup over composite multi-line docs. The raw corpus is
-    * single-line, so the query first builds overlapping pseudo-docs —
+  /** Overlapping composite multi-line docs (q79/q84 input): the raw
+    * corpus is single-line, so these queries first build pseudo-docs —
     * group g holds originals [3g, 3g+4] as lines, so neighboring
-    * groups share two lines — then every repeated line survives only
-    * in the first group that contains it.
-    */
-  /** Overlapping composite multi-line docs: group g holds originals
-    * [3g, 3g+4] as lines, so neighbors share two lines (q79/q84 input).
+    * groups share two lines and line dedup has real work to do.
     */
   private def compositeDocs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 100)
@@ -571,8 +567,12 @@ object SparkEntry {
     val index = Similarity.ivfIndex(e, nBuckets = 8)
     // Table name is derived from the sf dir so two processes sharing a
     // warehouse (e.g. Verify and Bench side by side) each overwrite and
-    // read their OWN table — no cross-process overwrite/read race.
-    val tbl = s"graft_ivf_assigned_${math.abs(dir.hashCode).toString}"
+    // read their OWN table — no cross-process overwrite/read race. An
+    // md5 prefix, not dir.hashCode: abs(Int.MinValue) is negative (an
+    // invalid identifier) and 32-bit collisions would silently bring
+    // the race back.
+    val tbl = "graft_ivf_assigned_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     graft.operators.Scale.writeBucketed(index.assigned, tbl, "bucket", 8)
     val served = Similarity.IvfIndex(index.cents, s.table(tbl))
     Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), served, k = 3)

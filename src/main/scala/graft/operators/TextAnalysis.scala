@@ -13,15 +13,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokenization; empty tokens dropped. After trim, the
-    * only way split("\\s+") produces an empty token is the
-    * empty/whitespace-only string — guarded with a codegen'd when()
-    * instead of a filter() lambda (higher-order functions are
-    * CodegenFallback: the predicate would run interpreted per
-    * document).
+  /** Whitespace tokenization; empty tokens dropped. The trim must
+    * strip ALL whitespace classes — built-in trim() removes only
+    * spaces, so "\tfoo" would split to ["", "foo"], a phantom token
+    * that diverges from the oracles' list_filter(x <> '') and from
+    * the native tokensOf runtime. After the regexp trim the only way
+    * split("\\s+") produces an empty token is the empty string —
+    * guarded with a codegen'd when() instead of a filter() lambda
+    * (higher-order functions are CodegenFallback: the predicate would
+    * run interpreted per document).
     */
   def tokens(text: Column): Column = {
-    val t = trim(text)
+    val t = regexp_replace(text, "^\\s+|\\s+$", "")
     when(t === "", array().cast("array<string>")).otherwise(split(t, "\\s+"))
   }
 
@@ -358,8 +361,11 @@ object TextAnalysis {
   def zScoreOutlierFilter(df: DataFrame, stratum: Column, score: Column, k: Int): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val x = score.cast("decimal(38,0)")
+    // count(x), not count(*): sum/sum-of-squares skip null scores, so
+    // n must too or the moment inequality mixes inconsistent moments
+    // and wrongly filters any stratum containing null scores
     val stats = df.groupBy(stratum.as("__stratum"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("__n"),
+      .agg(count(x).cast("decimal(38,0)").as("__n"),
         sum(x).as("__s"), sum(x * x).as("__q"))
     val dev = x * col("__n") - col("__s")
     val keep = dev * dev * (col("__n") - 1) <=
@@ -439,10 +445,6 @@ object TextAnalysis {
             x => x.getField("__text")), sep).as("seq_text"))
   }
 
-  /** Token frequency table: (token, count), the classic explode +
-    * groupBy. Partial aggregation combines map-side, so the shuffle
-    * carries one row per (partition, token), not per occurrence.
-    */
   /** Distributed BPE merge-candidate counting — the inner loop of BPE
     * vocabulary training. Classic two-level shape: first collapse the
     * corpus to its word-frequency table (the heavy shuffle, map-side
@@ -468,6 +470,10 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Token frequency table: (token, count), the classic explode +
+    * groupBy. Partial aggregation combines map-side, so the shuffle
+    * carries one row per (partition, token), not per occurrence.
+    */
   def tokenFrequencies(df: DataFrame, text: Column): DataFrame =
     df.select(explode(tokens(lower(text))).as("token"))
       .groupBy("token")

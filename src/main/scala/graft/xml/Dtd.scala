@@ -154,9 +154,13 @@ object Dtd {
     // Comments go first: `<!-- … -->` spans must neither contribute
     // declarations nor have `%name;` references expanded inside them
     // (per-spec, parameter entities are not recognized in comments).
-    // Known divergence from full XML: a GENERAL entity literal whose
-    // value legitimately contains a `%xx;` substring is still rewritten
-    // — acceptable for the data-dump DTD subset this engine targets.
+    // Known divergences from full XML, acceptable for the data-dump
+    // DTD subset this engine targets: (a) a GENERAL entity literal
+    // whose value legitimately contains a `%xx;` substring is still
+    // rewritten; (b) the comment scan is textual, so an entity literal
+    // whose VALUE contains "<!--" starts a comment span from there
+    // (a full lexer would track quote context) — dblp.dtd and its
+    // family contain neither shape.
     val uncommented = "(?s)<!--.*?-->".r.replaceAllIn(rawText, "")
     // Parameter entities (`<!ENTITY % name "v">` … `%name;`) are expanded
     // textually before declaration parsing — the real dblp.dtd declares

@@ -61,11 +61,21 @@ class DedupSpec extends SparkTestBase {
       .select("doc_id", "n_windows", "n_dup_windows")
       .as[(Long, Long, Long)].collect().toSeq
     assert(out == Seq((0L, 4L, 2L), (1L, 4L, 2L), (2L, 6L, 6L)))
-    // hashed-key scale path: identical result
-    val hashed = Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 3, hashKeys = true)
-      .orderBy("doc_id").select("doc_id", "n_windows", "n_dup_windows")
-      .as[(Long, Long, Long)].collect().toSeq
-    assert(hashed == out)
+    // hashed-key scale path: identical result — including on text with
+    // leading non-space whitespace (tokens() and the native tokensOf
+    // must agree that "\ta b c d e f" has no phantom empty token)
+    val tabbed = df.withColumn("text",
+      when(col("doc_id") === 0L, concat(lit("\t"), col("text"))).otherwise(col("text")))
+    for (frame <- Seq(df, tabbed)) {
+      val exact = Dedup.duplicateSpans(frame, col("doc_id"), col("text"), k = 3)
+        .orderBy("doc_id").select("doc_id", "n_windows", "n_dup_windows")
+        .as[(Long, Long, Long)].collect().toSeq
+      val hashed = Dedup.duplicateSpans(frame, col("doc_id"), col("text"), k = 3, hashKeys = true)
+        .orderBy("doc_id").select("doc_id", "n_windows", "n_dup_windows")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(hashed == exact)
+      assert(exact == out)
+    }
   }
 
   test("incrementalDedup keeps only fingerprints unseen in the known set") {

@@ -178,6 +178,25 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(kept.count(_._1 == null) == 9)
   }
 
+  test("zScoreOutlierFilter: null scores don't poison the stratum's moments") {
+    import spark.implicits._
+    // 98 null-score rows next to two real scores: n must count only
+    // the real scores or the inequality's n-inflation drops both
+    val df = (Seq(("en", java.lang.Long.valueOf(10L)), ("en", java.lang.Long.valueOf(20L))) ++
+      Seq.fill(98)(("en", null.asInstanceOf[java.lang.Long]))).toDF("lang", "score")
+    val kept = TextAnalysis.zScoreOutlierFilter(df, col("lang"), col("score"), k = 2)
+      .select("score").as[Long].collect().toSet
+    assert(kept == Set(10L, 20L))
+  }
+
+  test("tokens: leading/trailing tabs and newlines produce no phantom empty token") {
+    import spark.implicits._
+    val counts = Seq("\tfoo bar", "foo bar\n", " foo  bar ", "\t \n", "")
+      .toDF("text")
+      .select(TextAnalysis.tokenCount(col("text")).as("n")).as[Int].collect().toSeq
+    assert(counts == Seq(2, 2, 2, 0, 0))
+  }
+
   test("zScoreOutlierFilter: decimal overflow fails loudly instead of dropping the stratum") {
     import spark.implicits._
     // 9.2e18 scores: sum(x*x) ~ 2.5e38 overflows decimal(38,0) -> the
