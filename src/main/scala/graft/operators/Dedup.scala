@@ -169,17 +169,23 @@ object Dedup {
   def duplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
       hashKeys: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val toks = TextAnalysis.tokens(lower(text))
     val wins =
       if (hashKeys)
         df.select(id.as("doc_id"),
           explode(graft.functions.MinHash.windowHashes(text, k)).as("win"))
-      else
-        df.select(id.as("doc_id"),
-          explode(when(size(toks) >= k,
-              transform(sequence(lit(0), size(toks) - k),
-                i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
-            .otherwise(array().cast("array<string>"))).as("win"))
+      else {
+        // bind the token array to a column BEFORE the window lambda:
+        // transform() is interpreted, so a lambda body referencing the
+        // tokenization expression directly would re-run the regex
+        // split once per window position instead of once per document
+        val toks = col("__toks")
+        df.select(id.as("doc_id"), TextAnalysis.tokens(lower(text)).as("__toks"))
+          .select(col("doc_id"),
+            explode(when(size(toks) >= k,
+                transform(sequence(lit(0), size(toks) - k),
+                  i => concat_ws(" ", slice(toks, i + lit(1), lit(k)))))
+              .otherwise(array().cast("array<string>"))).as("win"))
+      }
     val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
       .select(col("win"), lit(1).as("__dup"))
