@@ -36,15 +36,21 @@ object Bench {
       }
       (name, times.min, times.head)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // 3-decimal times: ms resolution is the measurement's honest
+    // precision, and it keeps the line short — the driver records only
+    // the TAIL of the output, so a bloated line loses its head
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalFirst = results.map(_._3).sum
     // "reps" documents the timing protocol (per-query min of N timed
     // reps); "value_first_rep" is the single-rep sum so rounds <=3
-    // (single-rep, warmup absorbed) compare like-for-like
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"value_first_rep":$totalFirst,"queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // (single-rep, warmup absorbed) compare like-for-like. The
+    // headline fields come AFTER the queries map: tail-truncation of
+    // the log then cuts per-query detail, never the totals.
+    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
