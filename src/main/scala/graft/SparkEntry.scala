@@ -624,6 +624,43 @@ object SparkEntry {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Same contamination question as q55 but with the bloom-prefilter
+    * scan (exact output, the filter only cuts work) and per-doc
+    * aggregation against the benchmark UNION.
+    */
+  private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    Dedup.bloomContamination(
+      docs.where(col("doc_id") < 480), col("doc_id"), col("text"),
+      docs.where(col("doc_id") >= 480 && col("doc_id") < 500), col("text"),
+      n = 3, fpp = 0.01, minShared = 1L)
+      .orderBy("doc_id")
+  }
+
+  /** Snapshot reconciliation: old = docs 0-249, new = docs 50-299 with
+    * every 10th document edited (text + " v2") — yields all four
+    * statuses deterministically.
+    */
+  private def qSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val oldSnap = docs.where(col("doc_id") < 250).select(col("doc_id"), col("text"))
+    val newSnap = docs.where(col("doc_id") >= 50 && col("doc_id") < 300)
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.Snapshot.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .orderBy("id")
+  }
+
+  /** Hashed linear quality-classifier inference over the corpus:
+    * integer margin score + keep decision, map-only.
+    */
+  private def qClassifierFilter(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.classifierFilter(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      threshold = 0L, buckets = 1024)
+      .orderBy("doc_id")
+
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     // binary-column plumbing: text -> utf-8 bytes -> (byte length, sha256)
     t(s, dir, "documents").where(col("doc_id") < 100)
@@ -1124,6 +1161,9 @@ object SparkEntry {
     "q82_quantized_ann" -> qQuantizedAnn _,
     "q83_dup_spans" -> qDupSpans _,
     "q84_corpus_prepare_lines" -> qCorpusPrepareLines _,
+    "q85_snapshot_diff" -> qSnapshotDiff _,
+    "q86_bloom_contamination" -> qBloomContamination _,
+    "q87_classifier_filter" -> qClassifierFilter _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1751,6 +1791,54 @@ object SparkEntry {
           |  FROM nz)
           |SELECT doc_id, shard, start_tok // 256 AS bin, start_tok, n_tokens
           |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // full-outer fingerprint reconciliation; every 10th doc of the
+      // overlap is edited so all four statuses appear
+      "q85_snapshot_diff" ->
+        """WITH o AS (SELECT doc_id AS id, md5(text) AS fp
+          |           FROM documents WHERE doc_id < 250),
+          | n AS (SELECT doc_id AS id,
+          |        md5(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END) AS fp
+          |       FROM documents WHERE doc_id >= 50 AND doc_id < 300)
+          |SELECT coalesce(o.id, n.id) AS id,
+          | CASE WHEN o.fp IS NULL THEN 'added'
+          |      WHEN n.fp IS NULL THEN 'removed'
+          |      WHEN o.fp <> n.fp THEN 'changed'
+          |      ELSE 'unchanged' END AS status
+          |FROM o FULL OUTER JOIN n ON o.id = n.id
+          |ORDER BY id""".stripMargin,
+
+      // shared-shingle count per corpus doc vs the benchmark UNION;
+      // the engine's bloom prefilter must not change the answer
+      "q86_bloom_contamination" ->
+        """WITH base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |       FROM documents)
+          | WHERE len(toks) > 0),
+          |bench AS (SELECT DISTINCT unnest(sh) AS s FROM base WHERE doc_id >= 480 AND doc_id < 500),
+          |c AS (SELECT doc_id, unnest(sh) AS s FROM base WHERE doc_id < 480)
+          |SELECT c.doc_id AS doc_id, count(*)::BIGINT AS n_shared
+          |FROM c JOIN bench USING (s)
+          |GROUP BY c.doc_id
+          |ORDER BY doc_id""".stripMargin,
+
+      // hashed-bag-of-words linear margin, integer-exact: bucket =
+      // top-60-md5-bits mod 1024, weight = golden-ratio pseudo-model
+      "q87_classifier_filter" ->
+        """SELECT doc_id, n_tokens, score, score > 0 AS kept FROM (
+          | SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+          |  coalesce(list_sum(list_transform(toks, t ->
+          |    ((CAST('0x' || substr(md5(lower(t)), 1, 15) AS BIGINT) % 1024)
+          |      * 2654435761) % 1001 - 500)), 0)::BIGINT AS score
+          | FROM (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          |       FROM documents))
+          |ORDER BY doc_id""".stripMargin,
 
       // weighted adjacent char-pair counts over the word-frequency
       // table — BPE merge iteration 1

@@ -148,7 +148,8 @@ object GraftExtensions {
     fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
     fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder),
     fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder),
-    fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder))
+    fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
+    fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

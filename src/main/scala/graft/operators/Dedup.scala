@@ -517,6 +517,57 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Benchmark decontamination with a BLOOM-FILTER prefilter: same
+    * answer as [[contamination]] restated per corpus document (which
+    * documents share >= minShared distinct shingles with the benchmark
+    * UNION), but the corpus-side explode+join runs only for documents
+    * whose shingle array probes positive against a bloom filter of the
+    * benchmark shingle set — evaluated INSIDE the corpus scan
+    * (`exists` over the native shingle_hashes array + the codegen'd
+    * [[graft.functions.BloomMightContain]] probe), map-only, no
+    * exchange.
+    *
+    * Exactness: the bloom filter has NO false negatives, so every
+    * truly-contaminated document survives the prefilter; false
+    * positives (rate `fpp`) are dropped by the exact join that
+    * follows. The output is therefore bit-identical to the exact
+    * formulation — the filter only cuts work.
+    *
+    * Scale: at 100 TB the decontamination bottleneck is touching every
+    * corpus shingle against the benchmark table. The serialized filter
+    * costs ~1.2 bytes per distinct benchmark shingle at 1% fpp (vs 8+
+    * bytes per entry in a broadcast hash-join table), ships once per
+    * stage as a plan constant, and turns the non-contaminated ~all of
+    * the corpus into a scan-local reject — only probe hits (true
+    * contamination + fpp noise) ever explode or shuffle.
+    */
+  def bloomContamination(
+      corpus: DataFrame,
+      corpusId: Column,
+      corpusText: Column,
+      bench: DataFrame,
+      benchText: Column,
+      n: Int = 3,
+      fpp: Double = 0.01,
+      minShared: Long = 1L): DataFrame = {
+    import graft.functions.{BloomOps, MinHash}
+    val benchH = bench.select(explode(MinHash.shingleHashes(benchText, n)).as("h"))
+      .distinct().persist()
+    val nItems = benchH.count()
+    val bf = benchH.stat.bloomFilter("h", math.max(nItems, 1024L), fpp)
+    val bytes = BloomOps.serialize(bf)
+    val candidates = corpus
+      .select(corpusId.as("doc_id"), MinHash.shingleHashes(corpusText, n).as("sh"))
+      .where(exists(col("sh"), h => BloomOps.mightContain(h, bytes)))
+    val result = candidates
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+      .join(broadcast(benchH), "h")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    materializeAndRelease(result, benchH)
+  }
+
   /** Connected components over near-dup pairs -> dedup groups: every
     * doc labeled with the minimum id reachable through the pair graph
     * (the id to KEEP for its group). Iterative min-label propagation —

@@ -40,6 +40,62 @@ object TextAnalysis {
   /** Token count (whitespace). */
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Stable token -> [0, buckets) feature bucket: the top 60 bits of
+    * the token's md5, reduced mod buckets. md5 is bit-identical on
+    * every engine (unlike builtin hash()/xxhash64 whose cross-engine
+    * values differ), so classifier scores are oracle-checkable; conv's
+    * 15 hex digits stay under 2^60, so the cast never overflows.
+    */
+  def tokenBucket(token: Column, buckets: Int): Column =
+    pmod(conv(substring(md5(lower(token)), 1, 15), 16, 10).cast("long"),
+      lit(buckets.toLong))
+
+  /** Hashed-bag-of-words linear classifier INFERENCE — the fastText-
+    * style quality-classifier shape (hash each token into a bucketed
+    * feature space, sum the bucket weights, threshold the margin).
+    * Integer-exact: weights are integers and the score is their exact
+    * sum, so keep/drop decisions are reproducible bit-for-bit across
+    * engines and re-partitionings — no sigmoid near-threshold float
+    * drift (sigmoid is monotone, so thresholding the probability IS
+    * thresholding the margin).
+    *
+    * `weightOf` maps a bucket column to its integer weight column.
+    * This demo derives weights from the golden-ratio hash (a fixed
+    * pseudo-model); a trained deployment swaps in `element_at` over a
+    * broadcast literal array — the inference plan (map-only, zero
+    * shuffles, one aggregate fold per document inside the scan) is
+    * identical either way.
+    */
+  def hashedLinearScore(
+      text: Column,
+      buckets: Int = 1024,
+      weightOf: Column => Column = defaultWeight): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + weightOf(tokenBucket(t, buckets)))
+
+  /** The fixed pseudo-model: weight(b) = (b * 2654435761) mod 1001 -
+    * 500, an integer in [-500, 500]. Deterministic, engine-exact.
+    */
+  def defaultWeight(bucket: Column): Column =
+    pmod(bucket * 2654435761L, lit(1001L)) - 500L
+
+  /** Classifier-filter a corpus: per-document margin score and the
+    * keep decision at `threshold`. Map-only — the score folds inside
+    * the document scan; at 100 TB this is a pure pass over the data
+    * with no exchange at all (the shape that makes model-based
+    * filtering affordable at corpus scale).
+    */
+  def classifierFilter(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Long = 0L,
+      buckets: Int = 1024): DataFrame =
+    df.select(id.as("doc_id"),
+        tokenCount(text).cast("long").as("n_tokens"),
+        hashedLinearScore(text, buckets).as("score"))
+      .withColumn("kept", col("score") > threshold)
+
   /** Per-document quality metrics, all deterministic and
     * SQL-expressible for oracle parity:
     *  - n_tokens, mean token length

@@ -272,4 +272,37 @@ class DedupSpec extends SparkTestBase {
     assert(m(1) == Seq("a b c", "b c d"))
     assert(m(2) == Seq("a b"))
   }
+
+  test("bloomContamination equals the exact formulation (prefilter only cuts work)") {
+    import spark.implicits._
+    // corpus: 40 docs, half quoting a bench sentence verbatim inside
+    // filler, half clean; bench: 3 short docs
+    val benchDocs = Seq(
+      (1000L, "the capital of france is paris indeed"),
+      (1001L, "photosynthesis converts light into chemical energy"),
+      (1002L, "entirely unrelated benchmark prompt about chess openings"))
+    val corpus = (0L until 40L).map { i =>
+      val filler = s"doc $i filler words alpha beta gamma delta epsilon zeta"
+      val text = if (i % 2 == 0) s"$filler the capital of france is paris indeed trailing" else filler
+      (i, text)
+    }
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val benchDf = benchDocs.toDF("doc_id", "text")
+
+    val got = Dedup.bloomContamination(
+      corpusDf, col("doc_id"), col("text"), benchDf, col("text"), n = 3)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    // exact reference: per-doc distinct shingles joined to the bench
+    // shingle union, NO bloom anywhere
+    val benchH = benchDf
+      .select(explode(graft.functions.MinHash.shingleHashes(col("text"), 3)).as("h")).distinct()
+    val exact = corpusDf
+      .select(col("doc_id"), explode(graft.functions.MinHash.shingleHashes(col("text"), 3)).as("h"))
+      .join(benchH, "h").groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    assert(got == exact)
+    assert(got.map(_._1) == (0L until 40L by 2).toSeq, "exactly the quoting docs flagged")
+  }
 }

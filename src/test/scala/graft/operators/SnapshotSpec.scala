@@ -1,0 +1,43 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SnapshotSpec extends SparkTestBase {
+
+  test("diff classifies added/removed/changed/unchanged") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "C2"), (4L, "d")).toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "removed"), (2L, "unchanged"), (3L, "changed"), (4L, "added")))
+  }
+
+  test("diffCounts aggregates statuses") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    val newSnap = Seq((2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val counts = Snapshot.diffCounts(oldSnap, newSnap, col("doc_id"), col("text"))
+      .as[(String, Long)].collect().toMap
+    assert(counts == Map("removed" -> 1L, "unchanged" -> 1L, "added" -> 1L))
+  }
+
+  test("the exchange carries fingerprints, not documents") {
+    import spark.implicits._
+    val oldSnap = Seq((1L, "x" * 10000)).toDF("doc_id", "text")
+    val newSnap = Seq((1L, "x" * 10000)).toDF("doc_id", "text")
+    val plan = Snapshot.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .queryExecution.optimizedPlan
+    // the text column must be projected away BELOW the join: no
+    // attribute named `text` may survive into the join's inputs
+    val join = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(join.nonEmpty, "expected a join in the plan")
+    val joinInputAttrs = join.head.children.flatMap(_.output).map(_.name)
+    assert(!joinInputAttrs.contains("text"),
+      s"text crosses the join: $joinInputAttrs")
+  }
+}

@@ -287,4 +287,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_emails") == 1L)
     assert(r.getAs[Long]("n_long_nums") == 1L)
   }
+
+  test("classifierFilter: integer margin, threshold keep, empty text scores 0") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma"),
+      (1L, "alpha beta gamma"),   // identical text => identical score
+      (2L, ""),
+      (3L, "   ")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierFilter(df, col("doc_id"), col("text"))
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(byId(0L)._3 == byId(1L)._3, "same text must score identically")
+    assert(byId(2L) == ((2L, 0L, 0L, false)))
+    assert(byId(3L) == ((3L, 0L, 0L, false)))
+    assert(out.forall { case (_, _, score, kept) => kept == (score > 0L) })
+  }
+
+  test("classifierFilter score is partitioning-invariant") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"token$i shared words ${"x " * (i % 7).toInt}"))
+    val a = TextAnalysis.classifierFilter(docs.toDF("doc_id", "text"), col("doc_id"), col("text"))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    val b = TextAnalysis.classifierFilter(
+      docs.toDF("doc_id", "text").repartition(7, col("text")), col("doc_id"), col("text"))
+      .select("doc_id", "score").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("classifierFilter plan is map-only: zero shuffles") {
+    import spark.implicits._
+    val df = Seq((0L, "a b c")).toDF("doc_id", "text")
+    val out = TextAnalysis.classifierFilter(df, col("doc_id"), col("text"))
+    assert(Scale.countShuffles(out) == 0, "classifier inference must not exchange")
+  }
 }
