@@ -313,6 +313,49 @@ object SparkEntry {
     s.createDataFrame(rdd, schema)
   }
 
+  /** Distributed WAV synthesis (16-bit PCM mono at a per-row sample
+    * rate/length), mirroring [[pngTable]]: the payloads are ENCODED
+    * bytes, so the probe downstream exercises the real header parse.
+    */
+  private def wavTable(s: SparkSession, n: Int)(gen: Long => (Int, Array[Short])): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = s.range(n).rdd.map { i =>
+      val (rate, samples) = gen(i)
+      val pcm = new Array[Byte](samples.length * 2)
+      val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bb.putShort)
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      org.apache.spark.sql.Row(i, bos.toByteArray)
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Audio sibling of q64: synthesize WAVs with known (sample_rate,
+    * frame_count), round-trip through the encoder, probe the headers
+    * back distributed — closed-form oracle.
+    */
+  private def qAudioProbe(s: SparkSession, dir: String): DataFrame = {
+    val media = wavTable(s, 20) { i =>
+      val rate = 8000 + (i % 8).toInt * 1000
+      val nFrames = 400 + i.toInt * 37
+      val samples = Array.tabulate(nFrames)(j => ((i * 131 + j * 17) % 65536 - 32768).toShort)
+      (rate, samples)
+    }
+    graft.multimodal.Multimodal.withProbedMetadata(
+      media, new graft.multimodal.Multimodal.WavCodec, "audio")
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames"))
+      .orderBy("media_id")
+  }
+
   private def qMultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = pngTable(s, 50) { i =>
       val c = ((i * 37 + 11) % 256).toInt
@@ -660,6 +703,15 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"),
       threshold = 0L, buckets = 1024)
       .orderBy("doc_id")
+
+  /** Deterministic balanced range-sharding manifest over document
+    * length — exact order-statistic boundaries, not repartitionByRange
+    * sampling, so two export runs shard identically.
+    */
+  private def qRangeShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.rangeShardManifest(
+      t(s, dir, "documents"), col("n_chars"), nShards = 4)
+      .orderBy("shard")
 
   private def qMultimodalMeta(s: SparkSession, dir: String): DataFrame =
     // binary-column plumbing: text -> utf-8 bytes -> (byte length, sha256)
@@ -1164,6 +1216,8 @@ object SparkEntry {
     "q85_snapshot_diff" -> qSnapshotDiff _,
     "q86_bloom_contamination" -> qBloomContamination _,
     "q87_classifier_filter" -> qClassifierFilter _,
+    "q88_range_shards" -> qRangeShards _,
+    "q89_audio_probe" -> qAudioProbe _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1840,6 +1894,21 @@ object SparkEntry {
           |       FROM documents))
           |ORDER BY doc_id""".stripMargin,
 
+      // exact type-1 quantile boundaries over the key histogram;
+      // shard = number of boundaries strictly below the key
+      "q88_range_shards" ->
+        """WITH t AS (SELECT n_chars::BIGINT AS k FROM documents),
+          | cnt AS (SELECT count(*) AS n FROM t),
+          | cum AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum
+          |         FROM (SELECT k, count(*) AS c FROM t GROUP BY k)),
+          | tg AS (SELECT j, (n * j + 3) // 4 AS target
+          |        FROM cnt, (SELECT unnest([1, 2, 3]) AS j)),
+          | b AS (SELECT j, min(k) AS bk FROM cum JOIN tg ON cum >= target GROUP BY j),
+          | bl AS (SELECT list(bk ORDER BY j) AS bs FROM b)
+          |SELECT len(list_filter(bs, x -> k > x))::BIGINT AS shard,
+          | count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+          |FROM t, bl GROUP BY shard ORDER BY shard""".stripMargin,
+
       // weighted adjacent char-pair counts over the word-frequency
       // table — BPE merge iteration 1
       "q80_bpe_pairs" ->
@@ -2093,6 +2162,14 @@ object SparkEntry {
       "q64_image_probe" ->
         """SELECT i AS media_id, 'png' AS format,
           | (8 + i % 16)::INT AS width, (8 + (i*3) % 16)::INT AS height
+          |FROM range(0, 20) t(i) ORDER BY media_id""".stripMargin,
+
+      // the WAVs are synthesized at rate 8000+(i%8)*1000 with
+      // 400+i*37 frames — the header probe must read those back
+      "q89_audio_probe" ->
+        """SELECT i AS media_id, 'wav' AS format,
+          | (8000 + (i % 8) * 1000)::INT AS sample_rate,
+          | (400 + i * 37)::INT AS n_frames
           |FROM range(0, 20) t(i) ORDER BY media_id""".stripMargin,
 
       // chunk k covers tokens [k*30, k*30+40); DuckDB list slices are

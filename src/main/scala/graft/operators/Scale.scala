@@ -59,6 +59,73 @@ object Scale {
   def countShuffles(df: DataFrame): Int =
     shuffleOutputColumns(df).size
 
+  /** Deterministic balanced range-shard boundaries for `key`:
+    * `nShards - 1` integer split points such that shard k holds rows
+    * with boundaries(k-1) < key <= boundaries(k) and shard sizes are
+    * as even as exact order statistics allow. The reproducible
+    * alternative to `repartitionByRange`, whose boundaries come from
+    * reservoir SAMPLING — two runs of a sampled export produce
+    * different shard contents, which breaks diffing dataset releases
+    * and resuming partial exports.
+    *
+    * Computation is over the key VALUE HISTOGRAM, not rows: one
+    * skinny groupBy(key) count, then a cumulative sum over DISTINCT
+    * key values. The window is a single task, but over the value
+    * domain (for doc-length-like keys: thousands of values no matter
+    * how many rows), not the corpus — document-scale-independent.
+    * Boundary b_k = the smallest key value whose cumulative count
+    * reaches ceil(n*k/nShards) — quantile type 1, integer-exact, no
+    * float interpolation anywhere.
+    *
+    * Heavy ties bound balance: every row of one key value lands in
+    * one shard by construction, so a value holding p% of the corpus
+    * makes shards up to p% oversized. That is inherent to
+    * range-sharding (the same is true of repartitionByRange).
+    */
+  def rangeShardBoundaries(df: DataFrame, key: Column, nShards: Int): Seq[Long] = {
+    require(nShards > 1, s"nShards must be > 1, got $nShards")
+    val counts = df.groupBy(key.cast("long").as("k"))
+      .agg(count(lit(1)).as("c"))
+    val cum = counts
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.orderBy("k")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .persist()
+    val n = cum.agg(max("cum")).head().getLong(0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = (1 until nShards).map(j => (j, (n * j + nShards - 1) / nShards))
+      .toDF("j", "target")
+    val bounds = cum.join(broadcast(targets), col("cum") >= col("target"))
+      .groupBy("j").agg(min("k").as("b"))
+      .orderBy("j").select("b").as[Long].collect().toSeq
+    cum.unpersist()
+    bounds
+  }
+
+  /** Assign each row its range shard: a codegen'd comparison chain
+    * over the (tiny, driver-collected) boundary list — map-only, no
+    * exchange; the export write then partitions by this column.
+    */
+  def withRangeShard(df: DataFrame, key: Column, boundaries: Seq[Long],
+      shardCol: String = "shard"): DataFrame =
+    df.withColumn(shardCol,
+      boundaries.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(key.cast("long") > b, 1L).otherwise(0L)
+      })
+
+  /** Per-shard export manifest: row count and key range — the
+    * release-artifact summary of a deterministic sharded export.
+    */
+  def rangeShardManifest(df: DataFrame, key: Column, nShards: Int): DataFrame = {
+    val bounds = rangeShardBoundaries(df, key, nShards)
+    withRangeShard(df, key, bounds)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(key.cast("long")).as("min_key"),
+        max(key.cast("long")).as("max_key"))
+  }
+
   /** The output column names of every shuffle exchange in the plan,
     * one Seq per exchange — what actually RIDES each shuffle. The
     * exchange's plan line prints only partitioning expressions, so

@@ -37,4 +37,30 @@ class ScaleSpec extends SparkTestBase {
       assert(joined.count() == plain.count())
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
+
+  test("rangeShardBoundaries: exact type-1 quantiles on a known distribution") {
+    import spark.implicits._
+    // keys 1..100 once each: quarters split at 25/50/75
+    val df = (1L to 100L).toDF("k")
+    assert(Scale.rangeShardBoundaries(df, col("k"), 4) == Seq(25L, 50L, 75L))
+    // heavy tie: one value holds 90 of 100 rows — it owns its shard
+    val skewed = (Seq.fill(90)(7L) ++ (1L to 10L)).toDF("k")
+    val bounds = Scale.rangeShardBoundaries(skewed, col("k"), 4)
+    assert(bounds.forall(_ >= 7L), s"first three quarters all land inside the tie: $bounds")
+  }
+
+  test("withRangeShard: balanced assignment, map-only, deterministic across runs") {
+    import spark.implicits._
+    val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("id", "k")
+    val bounds = Scale.rangeShardBoundaries(df, col("k"), 4)
+    val sharded = Scale.withRangeShard(df, col("k"), bounds)
+    assert(Scale.countShuffles(sharded) == 0, "assignment must be map-only")
+    val sizes = sharded.groupBy("shard").count()
+      .as[(Long, Long)].collect().toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L, 3L))
+    assert(sizes.values.forall(n => n > 150 && n < 350), s"shards badly unbalanced: $sizes")
+    // rerun end-to-end: identical boundaries, identical assignment
+    val bounds2 = Scale.rangeShardBoundaries(df.repartition(7), col("k"), 4)
+    assert(bounds2 == bounds)
+  }
 }
