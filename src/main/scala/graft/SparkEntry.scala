@@ -508,7 +508,13 @@ object SparkEntry {
 
   /** Exact duplicated 8-token spans corpus-wide (memorization signal). */
   private def qDupSpans(s: SparkSession, dir: String): DataFrame =
-    Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8)
+    // hashKeys: the native codegen'd window_hashes path — the wins
+    // projection is computed twice by design (cheaper than persisting
+    // string windows), which makes the interpreted string variant pay
+    // its per-window lambda double; outputs are spec-pinned identical
+    // (DedupSpec races both on a real corpus)
+    Dedup.duplicateSpans(t(s, dir, "documents"), col("doc_id"), col("text"), k = 8,
+        hashKeys = true)
       .where(col("n_dup_windows") > 0)
       .orderBy("doc_id")
 
