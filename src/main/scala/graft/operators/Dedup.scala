@@ -517,6 +517,49 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Near-duplicate pairs between an arriving BATCH and the existing
+    * corpus — the fuzzy sibling of [[incrementalDedup]]: at ingest
+    * time, which new documents are near-dups of something already
+    * kept? `corpusShingles` is the (doc_id, sh: array<long>) table
+    * [[shingleArrays]] produces — persisted ONCE when the corpus was
+    * built, so the corpus text is neither read nor re-shingled per
+    * batch (the entire point of incremental ingest).
+    *
+    * Scale shape: the batch is small by nature, so its exploded
+    * shingles BROADCAST; the corpus side is a map-only scan of the
+    * shingle table — no corpus shuffle, no corpus re-hash. The only
+    * exchange is the (batch, corpus) partial-count aggregate, whose
+    * rows exist only where a shingle actually matches: work is
+    * proportional to true overlap, like [[ngramJaccardNearDups]]'s
+    * verify stage. Exact jaccard (n-gram, not minhash), so the result
+    * is oracle-checkable and threshold-sharp.
+    */
+  def incrementalNearDup(
+      batch: DataFrame,
+      batchId: Column,
+      batchText: Column,
+      corpusShingles: DataFrame,
+      threshold: Double,
+      n: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold must be in (0,1], got $threshold")
+    val b = shingleArrays(batch, batchId, batchText, n)
+      .select(col("doc_id").as("batch_id"), col("sh"))
+      .where(size(col("sh")) > 0)
+      .select(col("batch_id"), size(col("sh")).cast("long").as("nsh_b"),
+        explode(col("sh")).as("h"))
+    val c = corpusShingles
+      .select(col("doc_id").as("corpus_id"), size(col("sh")).cast("long").as("nsh_c"),
+        explode(col("sh")).as("h"))
+    val inter = c.join(broadcast(b), "h")
+      .groupBy("batch_id", "corpus_id", "nsh_b", "nsh_c")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .select(col("batch_id"), col("corpus_id"),
+        (col("inter").cast("double") /
+          (col("nsh_b") + col("nsh_c") - col("inter"))).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   /** Benchmark decontamination with a BLOOM-FILTER prefilter: same
     * answer as [[contamination]] restated per corpus document (which
     * documents share >= minShared distinct shingles with the benchmark

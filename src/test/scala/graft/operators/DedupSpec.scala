@@ -273,6 +273,38 @@ class DedupSpec extends SparkTestBase {
     assert(m(2) == Seq("a b"))
   }
 
+  test("incrementalNearDup: batch vs corpus pairs at exact jaccard") {
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "completely different content about spark engines")).toDF("doc_id", "text")
+    val corpusShingles = Dedup.shingleArrays(corpus, col("doc_id"), col("text"), 3)
+    val batch = Seq(
+      (100L, "the quick brown fox jumps over the sleepy dog"), // near-dup of 0
+      (101L, "nothing in common with anything here at all")).toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(
+      batch, col("doc_id"), col("text"), corpusShingles, threshold = 0.3)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((100L, 0L)))
+  }
+
+  test("incrementalNearDup: corpus side never shuffles (batch broadcasts)") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, s"corpus doc $i with shared words alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val corpusShingles = Dedup.shingleArrays(corpus, col("doc_id"), col("text"), 3)
+    val batch = Seq((1000L, "corpus doc 7 with shared words alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalNearDup(
+      batch, col("doc_id"), col("text"), corpusShingles, threshold = 0.5)
+    // the only exchanges may carry (batch_id, corpus_id, counts) agg
+    // rows — never a corpus shingle column partitioned by h
+    val exchanges = Scale.shuffleOutputColumns(out)
+    assert(exchanges.forall(cols => !cols.contains("h")),
+      s"corpus shingles crossed an exchange: $exchanges")
+    assert(out.count() == 1)
+  }
+
   test("bloomContamination equals the exact formulation (prefilter only cuts work)") {
     import spark.implicits._
     // corpus: 40 docs, half quoting a bench sentence verbatim inside
