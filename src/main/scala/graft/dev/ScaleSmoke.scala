@@ -154,6 +154,34 @@ object ScaleSmoke {
         vecs.where(col("id") < 100).select(col("id"), col("vec")),
         vecs.select(col("id"), col("vec")), k = 5).count())
 
+    // bloom decontamination vs the broadcast-join formulation on the
+    // same bench set: identical counts required, the bloom path's win
+    // is that non-contaminated docs never explode
+    val bc = time("bloomContamination (prefilter + exact verify)")(
+      Dedup.bloomContamination(docs, col("doc_id"), col("text"),
+        bench, col("text"), minShared = 5L).count())
+    val ctPerDoc = Dedup.contamination(docs, col("doc_id"), col("text"),
+      bench, col("doc_id"), col("text"), minShared = 1L)
+      .select("doc_id").distinct().count()
+    val bcAll = Dedup.bloomContamination(docs, col("doc_id"), col("text"),
+      bench, col("text"), minShared = 1L).count()
+    require(bcAll == ctPerDoc, s"bloom path disagrees: $bcAll vs $ctPerDoc")
+
+    // incremental ingest near-dup: 1% batch against the persisted
+    // corpus shingle table — the corpus side must stay a map-only scan
+    val corpusShingles = Dedup.shingleArrays(
+      docs.where(col("doc_id") % 100 =!= 0), col("doc_id"), col("text"), 3)
+      .where(size(col("sh")) > 0).persist()
+    time("corpus shingle table materialize")(corpusShingles.count())
+    val ind = time("incrementalNearDup (1% batch)")(
+      Dedup.incrementalNearDup(docs.where(col("doc_id") % 100 === 0),
+        col("doc_id"), col("text"), corpusShingles, threshold = 0.5).count())
+
+    // deterministic range shards over token counts: boundary compute is
+    // histogram-sized, assignment map-only
+    val rs = time("rangeShardManifest (64 shards)")(
+      graft.operators.Scale.rangeShardManifest(docs, length(col("text")), 64).count())
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -165,7 +193,8 @@ object ScaleSmoke {
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
       s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
       s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
-      s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt")
+      s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
+      s"incNearDups=$ind rangeShards=$rs")
     spark.stop()
   }
 }
