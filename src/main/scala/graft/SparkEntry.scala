@@ -689,6 +689,18 @@ object SparkEntry {
       .orderBy("doc_id", "bench_id")
   }
 
+  /** Gap sessionization of the event stream, batch form: 24h gap over
+    * epoch-MICRO timestamps (ts div 1000 like q14/q72 — DuckDB reads
+    * TIMESTAMP_NS parquet at microsecond precision, so nanos would
+    * disagree in the last three digits).
+    */
+  private def qSessionize(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionize(
+      t(s, dir, "events").where(col("user_id") < 50),
+      col("user_id"), expr("ts div 1000"), gap = 24L * 3600 * 1000000L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_idx")
+
   /** Incremental ingest near-dup: docs 450+ arrive as a batch against
     * the persisted shingle table of docs 0-449 (built once, here
     * inline); exact jaccard at 0.1 with q23's shingle definition.
@@ -1257,6 +1269,7 @@ object SparkEntry {
     "q88_range_shards" -> qRangeShards _,
     "q89_audio_probe" -> qAudioProbe _,
     "q90_incremental_neardup" -> qIncrementalNearDup _,
+    "q91_sessionize" -> qSessionize _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1884,6 +1897,22 @@ object SparkEntry {
           |  FROM nz)
           |SELECT doc_id, shard, start_tok // 256 AS bin, start_tok, n_tokens
           |FROM packed ORDER BY doc_id""".stripMargin,
+
+      // lag -> new-session flag -> running sum; 24h gap in epoch micros
+      "q91_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS t
+          |           FROM events WHERE user_id < 50),
+          | f AS (SELECT user_id, t,
+          |   CASE WHEN lag(t) OVER w IS NULL
+          |         OR t - lag(t) OVER w > 86400000000 THEN 1 ELSE 0 END AS nw
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          | s AS (SELECT user_id, t,
+          |   (sum(nw) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+          |  FROM f)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          | min(t) AS t_start, max(t) AS t_end
+          |FROM s GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin,
 
       // exact cross-set jaccard: batch 450+ against the corpus <450,
       // q23's shingle definition and rounding

@@ -103,6 +103,43 @@ object Relational {
       .join(broadcast(nodes), "v")
       .select(col("parent_id").as("start_id"), col("node_id").as("end_id"))
 
+  /** Gap-based BATCH sessionization: events of one key belong to the
+    * same session while consecutive gaps stay <= `gap` (same time
+    * unit as `ts` — pass epoch nanos/micros consistently). Output one
+    * row per session: (key, session_idx, n_events, t_start, t_end),
+    * session_idx 0-based in time order per key.
+    *
+    * Shape: the classic lag -> new-session flag -> running sum
+    * composition, one exchange by key for the window, then a skinny
+    * (key, session_idx) count/min/max aggregate. Ties on ts are safe:
+    * equal timestamps have gap 0 and land in the same session
+    * whatever order the window visits them, so the output is
+    * deterministic even though lag() over ties is not.
+    *
+    * SKEW BOUND: same as [[asofJoin]] — one hot key serializes
+    * through one task. The time-bucketed carry pattern of
+    * [[asofJoinBucketed]] applies identically if a bot key dominates
+    * (a session can only cross a bucket boundary within `gap` of it,
+    * so only boundary-adjacent rows need the cross-bucket stitch).
+    *
+    * The streaming sibling (unbounded input, event-time timeouts) is
+    * [[graft.streaming.StreamingOps]]' gap sessionization; this batch
+    * form is the backfill/oracle path.
+    */
+  def sessionize(df: DataFrame, key: Column, ts: Column, gap: Long): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    val w = Window.partitionBy("__k").orderBy("__t")
+    df.select(key.as("__k"), ts.cast("long").as("__t"))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(w).isNull ||
+          col("__t") - lag(col("__t"), 1).over(w) > gap, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy(col("__k").as("key"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("__t").as("t_start"), max("__t").as("t_end"))
+  }
+
   /** As-of join: for every left row, the latest right row with
     * right.time <= left.time within the same key — composed as ONE
     * window over the tagged union instead of a range join: both sides

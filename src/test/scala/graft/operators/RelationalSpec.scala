@@ -106,4 +106,30 @@ class RelationalSpec extends SparkTestBase {
     val e = edges.as[(Long, Long)].collect().sorted
     assert(e.toSeq == Seq((0L, 3L), (1L, 4L), (2L, 3L))) // (2,x) deduped
   }
+
+  test("sessionize: gap splits, boundary-inclusive, per-key indices") {
+    import spark.implicits._
+    val events = Seq(
+      (1L, 100L), (1L, 150L), (1L, 250L),   // gaps 50,100: all one session (gap<=100)
+      (1L, 351L),                            // gap 101 > 100: new session
+      (2L, 10L), (2L, 10L),                  // tie: one session of 2 events
+      (3L, 500L)).toDF("uid", "t")
+    val out = Relational.sessionize(events, col("uid"), col("t"), gap = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(
+      (1L, 0L, 3L, 100L, 250L),
+      (1L, 1L, 1L, 351L, 351L),
+      (2L, 0L, 2L, 10L, 10L),
+      (3L, 0L, 1L, 500L, 500L)))
+  }
+
+  test("sessionize result is partitioning-invariant") {
+    import spark.implicits._
+    val events = (0L until 500L).map(i => (i % 13, i * 7 % 1000)).toDF("uid", "t")
+    val a = Relational.sessionize(events, col("uid"), col("t"), gap = 20L)
+      .collect().map(_.toSeq).toSet
+    val b = Relational.sessionize(events.repartition(11), col("uid"), col("t"), gap = 20L)
+      .collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }
