@@ -701,6 +701,18 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id", "session_idx")
 
+  /** q91 restated through the skew-proof per-(key, time-bucket)
+    * variant — same oracle, by construction identical output; bucket
+    * width = 1 week of micros so sessions genuinely cross buckets.
+    */
+  private def qSessionizeBucketed(s: SparkSession, dir: String): DataFrame =
+    Relational.sessionizeBucketed(
+      t(s, dir, "events").where(col("user_id") < 50),
+      col("user_id"), expr("ts div 1000"),
+      gap = 24L * 3600 * 1000000L, bucketWidth = 7L * 24 * 3600 * 1000000L)
+      .withColumnRenamed("key", "user_id")
+      .orderBy("user_id", "session_idx")
+
   /** Incremental ingest near-dup: docs 450+ arrive as a batch against
     * the persisted shingle table of docs 0-449 (built once, here
     * inline); exact jaccard at 0.1 with q23's shingle definition.
@@ -1270,6 +1282,7 @@ object SparkEntry {
     "q89_audio_probe" -> qAudioProbe _,
     "q90_incremental_neardup" -> qIncrementalNearDup _,
     "q91_sessionize" -> qSessionize _,
+    "q92_sessionize_bucketed" -> qSessionizeBucketed _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1900,6 +1913,23 @@ object SparkEntry {
 
       // lag -> new-session flag -> running sum; 24h gap in epoch micros
       "q91_sessionize" ->
+        """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS t
+          |           FROM events WHERE user_id < 50),
+          | f AS (SELECT user_id, t,
+          |   CASE WHEN lag(t) OVER w IS NULL
+          |         OR t - lag(t) OVER w > 86400000000 THEN 1 ELSE 0 END AS nw
+          |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+          | s AS (SELECT user_id, t,
+          |   (sum(nw) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) - 1)::BIGINT AS session_idx
+          |  FROM f)
+          |SELECT user_id, session_idx, count(*) AS n_events,
+          | min(t) AS t_start, max(t) AS t_end
+          |FROM s GROUP BY user_id, session_idx
+          |ORDER BY user_id, session_idx""".stripMargin,
+
+      // q91's oracle verbatim: the bucketed variant must produce the
+      // identical sessions (same contract as q66 vs q49)
+      "q92_sessionize_bucketed" ->
         """WITH e AS (SELECT user_id, epoch_us(ts)::BIGINT AS t
           |           FROM events WHERE user_id < 50),
           | f AS (SELECT user_id, t,

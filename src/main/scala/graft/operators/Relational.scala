@@ -140,6 +140,52 @@ object Relational {
         min("__t").as("t_start"), max("__t").as("t_end"))
   }
 
+  /** Skew-proof sessionization: identical output to [[sessionize]],
+    * with the per-key window bound replaced by a per-(key, time
+    * bucket) bound — the hot-key path (one bot user with a large
+    * share of all events no longer serializes through one task).
+    *
+    * Two levels: (1) sessionize WITHIN each (key, bucket) — local
+    * fragments; (2) re-run the same lag/flag/cumsum composition over
+    * the per-fragment summaries (t_start, t_end, n) per key. Level 2
+    * is exact because a fragment opens a merged session iff its gap
+    * from the previous fragment's END exceeds `gap` — true both for
+    * within-bucket fragments (by local construction) and across any
+    * number of empty buckets (lag skips them). The level-2 window is
+    * per key over FRAGMENTS (rows = fragments, not events: bounded by
+    * events/bucket fragmentation, in practice ~#buckets), so the
+    * hot-key task shrinks from its event count to its fragment count.
+    *
+    * Fragment ordering is deterministic: equal timestamps share a
+    * bucket, so distinct fragments of one key never tie on t_start.
+    */
+  def sessionizeBucketed(
+      df: DataFrame, key: Column, ts: Column, gap: Long, bucketWidth: Long): DataFrame = {
+    require(gap > 0, s"gap must be positive, got $gap")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val wLocal = Window.partitionBy("__k", "__b").orderBy("__t")
+    val fragments = df
+      .select(key.as("__k"), ts.cast("long").as("__t"))
+      .withColumn("__b", floor(col("__t") / bucketWidth))
+      .withColumn("__new",
+        when(lag(col("__t"), 1).over(wLocal).isNull ||
+          col("__t") - lag(col("__t"), 1).over(wLocal) > gap, 1L).otherwise(0L))
+      .withColumn("__lidx",
+        sum(col("__new")).over(wLocal.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("__k", "__b", "__lidx")
+      .agg(count(lit(1)).as("__n"), min("__t").as("__ts"), max("__t").as("__te"))
+    val wFrag = Window.partitionBy("__k").orderBy("__ts")
+    fragments
+      .withColumn("__open",
+        when(lag(col("__te"), 1).over(wFrag).isNull ||
+          col("__ts") - lag(col("__te"), 1).over(wFrag) > gap, 1L).otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("__open")).over(wFrag.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+      .groupBy(col("__k").as("key"), col("session_idx"))
+      .agg(sum("__n").as("n_events"),
+        min("__ts").as("t_start"), max("__te").as("t_end"))
+  }
+
   /** As-of join: for every left row, the latest right row with
     * right.time <= left.time within the same key — composed as ONE
     * window over the tagged union instead of a range join: both sides

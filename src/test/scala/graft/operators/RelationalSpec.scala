@@ -123,6 +123,25 @@ class RelationalSpec extends SparkTestBase {
       (3L, 0L, 1L, 500L, 500L)))
   }
 
+  test("sessionizeBucketed equals sessionize on dense, sparse, and boundary-crossing data") {
+    import spark.implicits._
+    // gaps straddle the bucket width so sessions must merge across
+    // buckets and across EMPTY buckets
+    val events = (0L until 2000L).map { i =>
+      val uid = i % 7
+      val t = (i / 7) * 37 + (i % 5) * 900 + uid // mixed small/large gaps
+      (uid, t)
+    }.toDF("uid", "t")
+    for (width <- Seq(50L, 100L, 1000L)) {
+      val plain = Relational.sessionize(events, col("uid"), col("t"), gap = 100L)
+        .collect().map(_.toSeq).toSet
+      val bucketed = Relational.sessionizeBucketed(
+        events, col("uid"), col("t"), gap = 100L, bucketWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(bucketed == plain, s"divergence at bucketWidth=$width")
+    }
+  }
+
   test("sessionize result is partitioning-invariant") {
     import spark.implicits._
     val events = (0L until 500L).map(i => (i % 13, i * 7 % 1000)).toDF("uid", "t")
