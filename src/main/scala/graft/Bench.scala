@@ -38,8 +38,9 @@ object Bench {
     }
     // 3-decimal times: ms resolution is the measurement's honest
     // precision, and it keeps the line short — the driver records only
-    // the TAIL of the output, so a bloated line loses its head
-    def f3(v: Double): String = f"$v%.3f"
+    // the TAIL of the output, so a bloated line loses its head.
+    // Locale.ROOT: a comma-decimal default locale would break the JSON
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")

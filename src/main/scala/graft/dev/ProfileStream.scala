@@ -7,6 +7,23 @@ import org.apache.spark.sql.SparkSession
   * Prints each microbatch's durationMs breakdown from recentProgress.
   */
 object ProfileStream {
+
+  /** Instantiated by class name in EVERY session (including the child
+    * sessions SparkEntry.streamSession creates — a listener added via
+    * spark.streams.addListener on the parent would never see the
+    * contract queries, which start on the child's query manager).
+    */
+  final class PrintListener extends org.apache.spark.sql.streaming.StreamingQueryListener {
+    import org.apache.spark.sql.streaming.StreamingQueryListener._
+    override def onQueryStarted(e: QueryStartedEvent): Unit =
+      println(s"  LISTENER started ${e.name} at ${System.nanoTime() / 1e9}")
+    override def onQueryProgress(e: QueryProgressEvent): Unit =
+      println(s"  LISTENER batch ${e.progress.batchId} rows=${e.progress.numInputRows} " +
+        s"durations=${e.progress.durationMs}")
+    override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+      println(s"  LISTENER terminated at ${System.nanoTime() / 1e9}")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -14,6 +31,10 @@ object ProfileStream {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // static conf, so builder-time; inherited from the SparkConf by
+      // every session created on this context
+      .config("spark.sql.streaming.streamingQueryListeners",
+        classOf[PrintListener].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -29,17 +50,6 @@ object ProfileStream {
           println(f"  STAGE ${info.stageId} ${dur.getOrElse(-1.0)}%.2f s tasks=${info.numTasks} ${info.name.take(80)}")
       }
     })
-    spark.streams.addListener(new org.apache.spark.sql.streaming.StreamingQueryListener {
-      import org.apache.spark.sql.streaming.StreamingQueryListener._
-      override def onQueryStarted(e: QueryStartedEvent): Unit =
-        println(s"  LISTENER started ${e.name} at ${System.nanoTime() / 1e9}")
-      override def onQueryProgress(e: QueryProgressEvent): Unit =
-        println(s"  LISTENER batch ${e.progress.batchId} rows=${e.progress.numInputRows} " +
-          s"durations=${e.progress.durationMs}")
-      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-        println(s"  LISTENER terminated at ${System.nanoTime() / 1e9}")
-    })
-
     val which = if (args.nonEmpty) args(0) else "q73_stream_dedup"
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
     (1 to reps).foreach { rep =>

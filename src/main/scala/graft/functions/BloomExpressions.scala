@@ -42,6 +42,11 @@ case class BloomMightContain(left: Expression, right: Expression) extends Binary
     else if (right.dataType != BinaryType || !right.foldable)
       TypeCheckResult.TypeCheckFailure(
         "bloom_might_contain requires a foldable BINARY serialized filter as its second argument")
+    else if (right.eval(InternalRow.empty) == null)
+      // fail at analysis, not as an NPE inside the first task's
+      // lazy deserialization
+      TypeCheckResult.TypeCheckFailure(
+        "bloom_might_contain filter must not be null")
     else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = BooleanType

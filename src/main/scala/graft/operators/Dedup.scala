@@ -608,7 +608,13 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
-    materializeAndRelease(result, benchH)
+    // the persist served the two driver actions (count + filter build);
+    // release it NOW — the verify join recomputes the small bench
+    // shingles lazily, so the result is leak-free with no caller
+    // unpersist obligation (unlike the candidate-pair operators, whose
+    // persisted outputs feed several downstream passes)
+    benchH.unpersist()
+    result
   }
 
   /** Connected components over near-dup pairs -> dedup groups: every

@@ -91,7 +91,12 @@ object Scale {
         org.apache.spark.sql.expressions.Window.orderBy("k")
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .persist()
-    val n = cum.agg(max("cum")).head().getLong(0)
+    val nRow = cum.agg(max("cum")).head()
+    if (nRow.isNullAt(0)) { // empty input: no boundaries, one empty shard
+      cum.unpersist()
+      return Seq.empty
+    }
+    val n = nRow.getLong(0)
     val spark = df.sparkSession
     import spark.implicits._
     val targets = (1 until nShards).map(j => (j, (n * j + nShards - 1) / nShards))

@@ -70,8 +70,13 @@ object TextAnalysis {
       text: Column,
       buckets: Int = 1024,
       weightOf: Column => Column = defaultWeight): Column =
-    aggregate(tokens(text), lit(0L),
-      (acc, t) => acc + weightOf(tokenBucket(t, buckets)))
+    // coalesce: NULL text scores 0 (and is then dropped by any
+    // positive threshold) instead of a NULL that a `where(kept)`
+    // would silently treat as neither kept nor dropped
+    coalesce(
+      aggregate(tokens(text), lit(0L),
+        (acc, t) => acc + weightOf(tokenBucket(t, buckets))),
+      lit(0L))
 
   /** The fixed pseudo-model: weight(b) = (b * 2654435761) mod 1001 -
     * 500, an integer in [-500, 500]. Deterministic, engine-exact.

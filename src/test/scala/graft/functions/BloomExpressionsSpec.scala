@@ -53,6 +53,15 @@ class BloomExpressionsSpec extends SparkTestBase {
     assert(viaCodegen == Seq(true, false))
   }
 
+  test("a NULL filter is rejected at analysis, not as a task NPE") {
+    import spark.implicits._
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L).toDF("v").createOrReplaceTempView("bloom_null_t")
+      spark.sql("SELECT bloom_might_contain(v, CAST(NULL AS BINARY)) FROM bloom_null_t").collect()
+    }
+    assert(e.getMessage.contains("must not be null"), e.getMessage)
+  }
+
   test("SQL registration works") {
     import spark.implicits._
     val bytes = filterOf(Seq(42L))

@@ -49,6 +49,13 @@ class ScaleSpec extends SparkTestBase {
     assert(bounds.forall(_ >= 7L), s"first three quarters all land inside the tie: $bounds")
   }
 
+  test("rangeShardBoundaries: empty input yields no boundaries, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[Long].toDF("k")
+    assert(Scale.rangeShardBoundaries(empty, col("k"), 4) == Seq.empty)
+    assert(Scale.rangeShardManifest(empty, col("k"), 4).count() == 0)
+  }
+
   test("withRangeShard: balanced assignment, map-only, deterministic across runs") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("id", "k")

@@ -288,6 +288,16 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_long_nums") == 1L)
   }
 
+  test("classifierFilter: NULL text scores 0 and is dropped, not null") {
+    import spark.implicits._
+    val df = Seq((0L, Option("alpha beta")), (1L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.classifierFilter(df, col("doc_id"), col("text"))
+      .where(col("doc_id") === 1L).head()
+    assert(r.getAs[Long]("score") == 0L)
+    assert(!r.isNullAt(r.fieldIndex("kept")) && !r.getAs[Boolean]("kept"))
+  }
+
   test("classifierFilter: integer margin, threshold keep, empty text scores 0") {
     import spark.implicits._
     val df = Seq(
