@@ -701,6 +701,16 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id", "session_idx")
 
+  /** Mixture materialization: upsample the tail languages by integer
+    * epoch counts and emit the deterministic interleave ordering.
+    */
+  private def qMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.materializeMixture(
+      t(s, dir, "documents").where(col("doc_id") < 300),
+      col("lang"), col("doc_id"),
+      epochs = Map("en" -> 1, "zh" -> 2, "es" -> 2, "de" -> 3, "fr" -> 3))
+      .orderBy("mix_key", "source", "doc_id", "epoch")
+
   /** q91 restated through the skew-proof per-(key, time-bucket)
     * variant — same oracle, by construction identical output; bucket
     * width = 1 week of micros so sessions genuinely cross buckets.
@@ -1283,6 +1293,7 @@ object SparkEntry {
     "q90_incremental_neardup" -> qIncrementalNearDup _,
     "q91_sessionize" -> qSessionize _,
     "q92_sessionize_bucketed" -> qSessionizeBucketed _,
+    "q93_mixture" -> qMixture _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1926,6 +1937,18 @@ object SparkEntry {
           | min(t) AS t_start, max(t) AS t_end
           |FROM s GROUP BY user_id, session_idx
           |ORDER BY user_id, session_idx""".stripMargin,
+
+      // integer epoch upsampling + two modular Knuth rounds for the
+      // deterministic interleave key
+      "q93_mixture" ->
+        """WITH d AS (SELECT lang AS source, doc_id,
+          |   CASE lang WHEN 'en' THEN 1 WHEN 'zh' THEN 2 WHEN 'es' THEN 2
+          |             WHEN 'de' THEN 3 WHEN 'fr' THEN 3 ELSE 1 END AS e
+          |  FROM documents WHERE doc_id < 300),
+          | x AS (SELECT source, doc_id, unnest(range(e)) AS epoch FROM d WHERE e > 0)
+          |SELECT source, doc_id, epoch::BIGINT AS epoch,
+          | (((doc_id % 1000000007) * 2654435761) % 1000000007 + epoch) * 2654435761 % 1000000007 AS mix_key
+          |FROM x ORDER BY mix_key, source, doc_id, epoch""".stripMargin,
 
       // q91's oracle verbatim: the bucketed variant must produce the
       // identical sessions (same contract as q66 vs q49)

@@ -145,4 +145,43 @@ object Sampling {
       .drop("__rn")
     capPerKey(phase1, key, order, cap)
   }
+
+  /** Materialize a training MIXTURE: upsample each source by an
+    * integer epoch count (the Gopher/LLaMA-style "low-resource
+    * sources repeat" recipe — [[stratumWeights]] computes relative
+    * weights; round them to integers upstream) and assign every
+    * (document, epoch) copy a deterministic interleave key. Reading
+    * the result in `mix_key` order yields a stable shuffled blend of
+    * sources/epochs — the same blend on every engine, run, and
+    * partitioning, which makes training-order reproducibility a
+    * property of the DATA instead of the loader.
+    *
+    * Sources absent from `epochs` default to 1 epoch; a source mapped
+    * to 0 is dropped entirely.
+    *
+    * Shape: map-only — explode of a literal epoch range plus a Knuth
+    * hash of (id, epoch) for the key. No shuffle here; the downstream
+    * writer sorts/partitions by `mix_key` (a range exchange it would
+    * pay for ANY global order).
+    */
+  def materializeMixture(
+      df: DataFrame, source: Column, id: Column,
+      epochs: Map[String, Int]): DataFrame = {
+    require(epochs.values.forall(_ >= 0), s"epoch counts must be >= 0, got $epochs")
+    val epochsOf = epochs.foldLeft(lit(1)) { case (acc, (s, e)) =>
+      when(source === s, e).otherwise(acc)
+    }
+    // two modular Knuth rounds; every intermediate product stays below
+    // (1e9+7)*knuth ~ 2.7e18 < 2^63, so the key is overflow-free for
+    // ANY doc id on engines that wrap (Spark non-ANSI) and on engines
+    // that throw (DuckDB) alike. Collisions in the 1e9+7 space are
+    // fine — readers tiebreak on (source, doc_id, epoch).
+    val m = lit(1000000007L)
+    df.select(source.as("source"), id.cast("long").as("doc_id"), epochsOf.as("__e"))
+      .where(col("__e") > 0)
+      .select(col("source"), col("doc_id"),
+        explode(sequence(lit(0), col("__e") - 1)).as("epoch"))
+      .withColumn("mix_key",
+        pmod((pmod(pmod(col("doc_id"), m) * knuth, m) + col("epoch")) * knuth, m))
+  }
 }

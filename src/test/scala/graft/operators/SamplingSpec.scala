@@ -83,4 +83,22 @@ class SamplingSpec extends SparkTestBase {
     val wider = Sampling.hashSample(df, col("id"), 2, 10).collect().map(_.getLong(0)).toSet
     assert(kept.collect().map(_.getLong(0)).toSet.subsetOf(wider))
   }
+
+  test("materializeMixture: epoch counts, default 1, zero drops, deterministic key") {
+    import spark.implicits._
+    val df = Seq((0L, "en"), (1L, "de"), (2L, "xx"), (3L, "junk"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.materializeMixture(df, col("lang"), col("doc_id"),
+      Map("en" -> 1, "de" -> 3, "junk" -> 0))
+    val copies = out.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(copies == Map("en" -> 1L, "de" -> 3L, "xx" -> 1L)) // junk dropped, xx defaults to 1
+    val epochs = out.where(col("source") === "de").select("epoch")
+      .as[Long].collect().sorted.toSeq
+    assert(epochs == Seq(0L, 1L, 2L))
+    // same keys on a different partitioning; map-only plan
+    val again = Sampling.materializeMixture(df.repartition(5), col("lang"), col("doc_id"),
+      Map("en" -> 1, "de" -> 3, "junk" -> 0))
+    assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
+    assert(Scale.countShuffles(out) == 0)
+  }
 }
