@@ -701,6 +701,16 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id", "session_idx")
 
+  /** Sketch-family quantiles (rows-only: engine-specific summary;
+    * rank-error gate lives in ProfilingSpec against exact
+    * percentile).
+    */
+  private def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.approxQuantiles(
+      t(s, dir, "lineitem"), col("l_returnflag"), col("l_quantity"),
+      qs = Seq(0.5, 0.9, 0.99))
+      .orderBy("key")
+
   /** Mixture materialization: upsample the tail languages by integer
     * epoch counts and emit the deterministic interleave ordering.
     */
@@ -1294,6 +1304,7 @@ object SparkEntry {
     "q91_sessionize" -> qSessionize _,
     "q92_sessionize_bucketed" -> qSessionizeBucketed _,
     "q93_mixture" -> qMixture _,
+    "q94_approx_quantile" -> qApproxQuantile _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */

@@ -36,4 +36,26 @@ object Profiling {
     one.select(explode(array(entries: _*)).as("s"))
       .select("s.col_name", "s.n_nonnull", "s.n_null", "s.min_s", "s.max_s")
   }
+
+  /** Mergeable approximate quantiles per group — the sketch-family
+    * sibling of q16's HLL distinct count: `approx_percentile` is a
+    * KLL/GK-style summary with bounded RANK error 1/accuracy, whose
+    * partial states merge associatively, so the aggregation is one
+    * map-side-combined pass at any scale (exact `percentile` instead
+    * collects every value of a group onto one reducer).
+    *
+    * Engine-specific sketch => no SQL oracle (rows-only in the
+    * contract); the rank-error bound is gated in `ProfilingSpec`
+    * against the exact percentile.
+    */
+  def approxQuantiles(
+      df: DataFrame, key: Column, value: Column,
+      qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"quantiles must be in [0,1]: $qs")
+    df.groupBy(key.as("key"))
+      .agg(approx_percentile(value, array(qs.map(lit): _*), lit(accuracy)).as("qv"))
+      .select(col("key") +: qs.zipWithIndex.map { case (q, i) =>
+        element_at(col("qv"), i + 1).as(s"p${(q * 100).round}")
+      }: _*)
+  }
 }

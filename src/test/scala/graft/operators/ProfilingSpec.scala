@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
+import org.apache.spark.sql.functions.col
 
 class ProfilingSpec extends SparkTestBase {
 
@@ -21,5 +22,32 @@ class ProfilingSpec extends SparkTestBase {
     val plan = Profiling.columnStats(df, Seq("id", "s", "v"))
     assert(Scale.countShuffles(plan) == 1,
       plan.queryExecution.executedPlan.toString)
+  }
+
+  test("approxQuantiles: within rank-error bound of the exact percentile") {
+    import spark.implicits._
+    // two groups x 10k values with different distributions
+    val df = (0 until 20000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (g == "a") i % 1000 else (i % 100) * (i % 100)
+      (g, v.toLong)
+    }.toDF("g", "v")
+    val accuracy = 10000 // rank error <= n/accuracy = 1 row per group
+    val approx = Profiling.approxQuantiles(df, col("g"), col("v"),
+      Seq(0.5, 0.9), accuracy)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    for (g <- Seq("a", "b")) {
+      val sorted = df.where(col("g") === g).select("v").as[Long].collect().sorted
+      def rankWindow(q: Double, got: Long): Boolean = {
+        val n = sorted.length
+        val target = (q * (n - 1)).round.toInt
+        val eps = math.max(1, n / accuracy) + 1
+        val lo = sorted(math.max(0, target - eps))
+        val hi = sorted(math.min(n - 1, target + eps))
+        lo <= got && got <= hi
+      }
+      assert(rankWindow(0.5, approx(g)._1), s"$g p50=${approx(g)._1} outside rank window")
+      assert(rankWindow(0.9, approx(g)._2), s"$g p90=${approx(g)._2} outside rank window")
+    }
   }
 }
