@@ -120,6 +120,23 @@ object ScaleSmoke {
       asofSig(graft.operators.Relational.asofJoinBucketed(evL, evR, (nEv * 10 / 32).max(1L))))
     require(asofPlain == asofBucketed, s"asof variants disagree: $asofPlain vs $asofBucketed")
 
+    // sessionization on the same hot-key distribution: the bucketed
+    // variant must agree exactly while bounding the hot key's task at
+    // its per-bucket fragment count
+    def sessSig(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        sum(hash(col("key"), col("session_idx"), col("n_events"),
+          col("t_start"), col("t_end")).cast("long"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val evAll = evL.unionByName(evR)
+    val sessPlain = time(s"sessionize (hot key = 50% of rows)")(
+      sessSig(graft.operators.Relational.sessionize(evAll, col("key"), col("time"), gap = 15L)))
+    val sessBucketed = time("sessionizeBucketed (same input, width=nEv/32)")(
+      sessSig(graft.operators.Relational.sessionizeBucketed(
+        evAll, col("key"), col("time"), gap = 15L, bucketWidth = (nEv * 10 / 32).max(1L))))
+    require(sessPlain == sessBucketed, s"sessionize variants disagree: $sessPlain vs $sessBucketed")
+
     // line dedup: break each doc into 9-word lines (non-overlapping
     // regexp groups); near-dups share whole lines with their base, so
     // the first-occurrence pass does real elimination work

@@ -52,10 +52,16 @@ object Profiling {
       df: DataFrame, key: Column, value: Column,
       qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"quantiles must be in [0,1]: $qs")
+    // output columns are named p<percent rounded to an integer> —
+    // quantiles that round to the same percent would collide into
+    // duplicate column names, so reject them up front
+    val names = qs.map(q => s"p${(q * 100).round}")
+    require(names.distinct.size == names.size,
+      s"quantiles $qs collide after percent rounding: $names — space them >= 0.01 apart")
     df.groupBy(key.as("key"))
       .agg(approx_percentile(value, array(qs.map(lit): _*), lit(accuracy)).as("qv"))
       .select(col("key") +: qs.zipWithIndex.map { case (q, i) =>
-        element_at(col("qv"), i + 1).as(s"p${(q * 100).round}")
+        element_at(col("qv"), i + 1).as(names(i))
       }: _*)
   }
 }

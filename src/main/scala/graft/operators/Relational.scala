@@ -129,7 +129,12 @@ object Relational {
   def sessionize(df: DataFrame, key: Column, ts: Column, gap: Long): DataFrame = {
     require(gap > 0, s"gap must be positive, got $gap")
     val w = Window.partitionBy("__k").orderBy("__t")
+    // rows with a NULL timestamp are dropped explicitly (a session at
+    // an unknown time is undefined); without the filter each null row
+    // would sort first, open its own ghost session, and shift every
+    // real session's index
     df.select(key.as("__k"), ts.cast("long").as("__t"))
+      .where(col("__t").isNotNull)
       .withColumn("__new",
         when(lag(col("__t"), 1).over(w).isNull ||
           col("__t") - lag(col("__t"), 1).over(w) > gap, 1L).otherwise(0L))
@@ -166,6 +171,7 @@ object Relational {
     val wLocal = Window.partitionBy("__k", "__b").orderBy("__t")
     val fragments = df
       .select(key.as("__k"), ts.cast("long").as("__t"))
+      .where(col("__t").isNotNull) // same null-ts contract as sessionize
       .withColumn("__b", floor(col("__t") / bucketWidth))
       .withColumn("__new",
         when(lag(col("__t"), 1).over(wLocal).isNull ||

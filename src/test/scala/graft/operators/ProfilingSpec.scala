@@ -24,6 +24,15 @@ class ProfilingSpec extends SparkTestBase {
       plan.queryExecution.executedPlan.toString)
   }
 
+  test("approxQuantiles rejects quantiles whose output names collide") {
+    import spark.implicits._
+    val df = Seq(("a", 1L)).toDF("g", "v")
+    val e = intercept[IllegalArgumentException] {
+      Profiling.approxQuantiles(df, col("g"), col("v"), Seq(0.5, 0.504))
+    }
+    assert(e.getMessage.contains("collide"), e.getMessage)
+  }
+
   test("approxQuantiles: within rank-error bound of the exact percentile") {
     import spark.implicits._
     // two groups x 10k values with different distributions

@@ -142,6 +142,19 @@ class RelationalSpec extends SparkTestBase {
     }
   }
 
+  test("sessionize drops NULL timestamps instead of minting ghost sessions") {
+    import spark.implicits._
+    val events = Seq((1L, Option(100L)), (1L, Option.empty[Long]),
+      (1L, Option.empty[Long]), (1L, Option(150L))).toDF("uid", "t")
+    val out = Relational.sessionize(events, col("uid"), col("t"), gap = 100L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 2L, 100L, 150L)))
+    val bucketed = Relational.sessionizeBucketed(
+      events, col("uid"), col("t"), gap = 100L, bucketWidth = 60L)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(bucketed == out)
+  }
+
   test("sessionize result is partitioning-invariant") {
     import spark.implicits._
     val events = (0L until 500L).map(i => (i % 13, i * 7 % 1000)).toDF("uid", "t")
