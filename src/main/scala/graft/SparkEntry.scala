@@ -880,11 +880,15 @@ object SparkEntry {
   // fixture tables are tiny but the pipeline runs several jobs; five
   // queries share them, so memoize per session — including the raw
   // parsed records, so q42 (type annotation) doesn't re-run the parse
-  private final case class XmlTables(
-      records: DataFrame,
-      schema: Map[String, Seq[String]],
-      withIds: Map[String, DataFrame],
-      nRecords: Long)
+  private final class XmlTables(
+      val records: DataFrame,
+      val schema: Map[String, Seq[String]],
+      val withIds: Map[String, DataFrame],
+      nRecordsThunk: () => Long) {
+    // lazy so only q44 (relation-node id offsets) pays the union+count
+    // job; the other XML queries never touch it
+    lazy val nRecords: Long = nRecordsThunk()
+  }
   @transient private var xmlTablesCache: (SparkSession, XmlTables) = null
 
   /** Parse + flatten + assign global ids: the S2/S3/P1/P2/A1/K1 chain. */
@@ -912,11 +916,12 @@ object SparkEntry {
     val withIds = flat.map { case (t, df) =>
       t -> df.join(idMap, "pos").select((col("id") +: schema(t).map(col)): _*).persist()
     }
-    // relation-node ids continue after the record count (J2); count it
-    // ONCE here — per-query count jobs are the kind of repeated tiny
-    // job that a loaded machine turns into seconds
-    val nRecords = withIds.values.map(_.select(col("id"))).reduce(_ unionAll _).count()
-    XmlTables(records, schema, withIds, nRecords)
+    // relation-node ids continue after the record count (J2); counted
+    // lazily ONCE on first access — per-query count jobs are the kind
+    // of repeated tiny job that a loaded machine turns into seconds,
+    // and queries that never need the count never run it
+    new XmlTables(records, schema, withIds,
+      () => withIds.values.map(_.select(col("id"))).reduce(_ unionAll _).count())
   }
 
   private def qXmlFlatten(s: SparkSession, dir: String): DataFrame =

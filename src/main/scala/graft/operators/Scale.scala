@@ -81,11 +81,37 @@ object Scale {
     * one shard by construction, so a value holding p% of the corpus
     * makes shards up to p% oversized. That is inherent to
     * range-sharding (the same is true of repartitionByRange).
+    *
+    * NULL keys are excluded from the histogram (a NULL key would
+    * surface as a NULL boundary and NPE the collect); rows with NULL
+    * keys deterministically land in shard 0 under [[withRangeShard]].
+    *
+    * Cardinality guard: the cumulative window runs over DISTINCT key
+    * values in one task, which is fine for doc-length-like domains
+    * but not for near-unique 64-bit keys (a hash key would put ~N
+    * rows through that task). When distinct(key) > `maxDistinct`, the
+    * histogram is first thinned by a DETERMINISTIC hash-sample of the
+    * value domain — keep k iff xxhash64(k) % rate == 0 — which is a
+    * pure function of the key values (partitioning- and run-
+    * independent, unlike reservoir sampling), so the determinism
+    * contract survives. Boundaries are then exact order statistics of
+    * the sampled domain: quantile error is O(rate/nDistinct) of one
+    * quantile step, negligible at the corpus sizes that trigger it.
     */
-  def rangeShardBoundaries(df: DataFrame, key: Column, nShards: Int): Seq[Long] = {
+  def rangeShardBoundaries(df: DataFrame, key: Column, nShards: Int,
+      maxDistinct: Long = 4000000L): Seq[Long] = {
     require(nShards > 1, s"nShards must be > 1, got $nShards")
-    val counts = df.groupBy(key.cast("long").as("k"))
+    val allCounts = df.filter(key.isNotNull)
+      .groupBy(key.cast("long").as("k"))
       .agg(count(lit(1)).as("c"))
+      .persist()
+    val nDistinct = allCounts.count()
+    val counts =
+      if (nDistinct <= maxDistinct) allCounts
+      else {
+        val rate = (nDistinct + maxDistinct - 1) / maxDistinct
+        allCounts.filter(pmod(xxhash64(col("k")), lit(rate)) === 0)
+      }
     val cum = counts
       .withColumn("cum", sum("c").over(
         org.apache.spark.sql.expressions.Window.orderBy("k")
@@ -93,7 +119,7 @@ object Scale {
       .persist()
     val nRow = cum.agg(max("cum")).head()
     if (nRow.isNullAt(0)) { // empty input: no boundaries, one empty shard
-      cum.unpersist()
+      cum.unpersist(); allCounts.unpersist()
       return Seq.empty
     }
     val n = nRow.getLong(0)
@@ -104,13 +130,16 @@ object Scale {
     val bounds = cum.join(broadcast(targets), col("cum") >= col("target"))
       .groupBy("j").agg(min("k").as("b"))
       .orderBy("j").select("b").as[Long].collect().toSeq
-    cum.unpersist()
+    cum.unpersist(); allCounts.unpersist()
     bounds
   }
 
   /** Assign each row its range shard: a codegen'd comparison chain
     * over the (tiny, driver-collected) boundary list — map-only, no
     * exchange; the export write then partitions by this column.
+    * NULL keys land in shard 0 (`NULL > b` is NULL, contributing 0 at
+    * every boundary) — deterministic, matching their exclusion from
+    * the boundary histogram in [[rangeShardBoundaries]].
     */
   def withRangeShard(df: DataFrame, key: Column, boundaries: Seq[Long],
       shardCol: String = "shard"): DataFrame =

@@ -56,6 +56,38 @@ class ScaleSpec extends SparkTestBase {
     assert(Scale.rangeShardManifest(empty, col("k"), 4).count() == 0)
   }
 
+  test("rangeShardBoundaries: NULL keys excluded, no NPE; null rows shard to 0") {
+    import spark.implicits._
+    val df = ((1L to 100L).map(Some(_)) ++ Seq.fill(20)(Option.empty[Long]))
+      .toDF("k")
+    // nulls must not poison a boundary (nulls-first window would make
+    // min('k) NULL → NPE on the .as[Long] collect)
+    val bounds = Scale.rangeShardBoundaries(df, col("k"), 4)
+    assert(bounds == Seq(25L, 50L, 75L))
+    val sizes = Scale.withRangeShard(df, col("k"), bounds)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes(0L) == 45L, s"20 null rows join shard 0: $sizes") // 25 + 20 nulls
+  }
+
+  test("rangeShardBoundaries: near-unique keys use the deterministic hash-sampled path") {
+    import spark.implicits._
+    // 10k distinct values, maxDistinct=500 → sampled-domain fallback:
+    // the cumulative window sees ≤~500 values, never the full domain
+    val df = (1L to 10000L).toDF("k")
+    val bounds = Scale.rangeShardBoundaries(df, col("k"), 4, maxDistinct = 500L)
+    assert(bounds.size == 3 && bounds == bounds.sorted)
+    // quantile error bounded: each boundary within ~5% of the exact quartile
+    bounds.zip(Seq(2500L, 5000L, 7500L)).foreach { case (b, exact) =>
+      assert(math.abs(b - exact) < 500, s"boundary $b too far from $exact")
+    }
+    val sizes = Scale.withRangeShard(df, col("k"), bounds)
+      .groupBy("shard").count().as[(Long, Long)].collect().toMap
+    assert(sizes.values.forall(n => n > 1500 && n < 3500), s"unbalanced: $sizes")
+    // pure function of values: partitioning does not change boundaries
+    assert(Scale.rangeShardBoundaries(df.repartition(13), col("k"), 4,
+      maxDistinct = 500L) == bounds)
+  }
+
   test("withRangeShard: balanced assignment, map-only, deterministic across runs") {
     import spark.implicits._
     val df = (1L to 1000L).map(i => (i, i % 97 + 1)).toDF("id", "k")

@@ -24,6 +24,21 @@ class SnapshotSpec extends SparkTestBase {
     assert(counts == Map("removed" -> 1L, "unchanged" -> 1L, "added" -> 1L))
   }
 
+  test("NULL content is presence, not absence") {
+    import spark.implicits._
+    // id 1: null → null (unchanged); id 2: null → text (changed);
+    // id 3: text → null (changed); id 4: null → "" (changed — the
+    // sentinel must not collide with the empty string's md5)
+    val oldSnap = Seq((1L, None), (2L, None), (3L, Some("t")), (4L, None))
+      .toDF("doc_id", "text")
+    val newSnap = Seq((1L, None), (2L, Some("t")), (3L, None), (4L, Some("")))
+      .toDF("doc_id", "text")
+    val out = Snapshot.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "unchanged"), (2L, "changed"), (3L, "changed"), (4L, "changed")))
+  }
+
   test("the exchange carries fingerprints, not documents") {
     import spark.implicits._
     val oldSnap = Seq((1L, "x" * 10000)).toDF("doc_id", "text")
