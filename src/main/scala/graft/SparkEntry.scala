@@ -463,14 +463,24 @@ object SparkEntry {
       capPerSource = 4, minKeptLines = 2L, capacity = 256L, nShards = 2)
       .orderBy("doc_id")
 
+  /** Portable-hash MinHash-LSH: the oracle replicates the ENTIRE
+    * pipeline (md5-based signatures, band buckets, exact-jaccard
+    * verify) value-for-value, so this row is hash-checked — the
+    * xxhash64 fast path keeps its recall gate in `DedupSpec` and its
+    * scale numbers in `ScaleSmoke`.
+    */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"),
-      nShingle = 3, k = 32, bands = 8, threshold = 0.4)
+    Dedup.minhashNearDupsPortable(t(s, dir, "documents"), col("doc_id"), col("text"),
+      nShingle = 3, k = 16, bands = 8, threshold = 0.4)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** Portable 60-bit SimHash at maxDist=3, where the 4-chunk
+    * pigeonhole is EXACT: output is the complete hamming-≤-3 pair
+    * set, oracle-checked all-pairs.
+    */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 12)
+    Dedup.simhashNearDupsPortable(t(s, dir, "documents"), col("doc_id"), col("text"), maxDist = 3)
       .orderBy("id_a", "id_b")
 
   private def qDedupNgram(s: SparkSession, dir: String): DataFrame =
@@ -1577,6 +1587,55 @@ object SparkEntry {
           | FROM scored)
           |SELECT fp, doc_id AS keep_id, n_dups, best_score FROM ranked WHERE rk = 1
           |ORDER BY fp""".stripMargin,
+
+      // q21/q22 oracles replicate the portable-hash pipelines exactly:
+      // md5-based 60-bit hashes (first 15 hex chars, base-16) are
+      // computable in any engine, so the signatures, LSH candidates,
+      // and verified outputs are value-identical — generated here with
+      // the same k/bands/rows/maxDist constants the Spark query uses
+      "q21_dedup_minhash" -> {
+        val (k, bands, rows) = (16, 8, 2)
+        val mins = (0 until k).map(j =>
+          s"list_min(list_transform(sh, s -> ('0x'||substr(md5('$j:'||s),1,15))::BIGINT)) AS m$j")
+          .mkString(",\n ")
+        val bandPred = (0 until bands).map(b =>
+          "(" + (0 until rows).map(r => s"a.m${b * rows + r}=b.m${b * rows + r}")
+            .mkString(" AND ") + ")").mkString(" OR ")
+        s"""WITH base AS (
+           | SELECT doc_id,
+           |  list_distinct(CASE WHEN len(toks) >= 3
+           |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+           |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |    ELSE [] END) AS sh
+           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+           |       FROM documents)
+           | WHERE len(toks) > 0),
+           |sigs AS (SELECT doc_id, sh,
+           | $mins
+           | FROM base),
+           |cand AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.sh AS sh_a, b.sh AS sh_b
+           | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandPred))
+           |SELECT id_a, id_b,
+           | round(len(list_intersect(sh_a, sh_b))::DOUBLE / (len(sh_a)+len(sh_b)-len(list_intersect(sh_a,sh_b))), 4) AS jaccard
+           |FROM cand
+           |WHERE len(list_intersect(sh_a, sh_b))::DOUBLE / (len(sh_a)+len(sh_b)-len(list_intersect(sh_a,sh_b))) >= 0.4
+           |ORDER BY id_a, id_b""".stripMargin
+      },
+
+      "q22_dedup_simhash" -> {
+        val sigTerms = (0 until 60).map(i =>
+          s"(CASE WHEN sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (
+           | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS t
+           | FROM documents),
+           |th AS (SELECT doc_id, ('0x'||substr(md5('0:'||t),1,15))::BIGINT AS h FROM toks),
+           |sigs AS (SELECT doc_id, ($sigTerms)::BIGINT AS sig FROM th GROUP BY doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.sig, b.sig))::BIGINT AS dist
+           |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 3
+           |ORDER BY id_a, id_b""".stripMargin
+      },
 
       "q55_contamination" ->
         """WITH base AS (

@@ -412,6 +412,156 @@ object Dedup {
     materializeAndRelease(result, sigs)
   }
 
+  /** Engine-portable 60-bit hash: the first 15 hex chars of
+    * `md5("<seed>:" + v)`, parsed base-16. Built ONLY from functions
+    * every SQL engine ships (md5, substring, base conversion), so an
+    * external system can replicate minhash/simhash SIGNATURES
+    * bit-for-bit — unlike xxhash64, whose value is a Spark
+    * implementation detail. 60 bits keeps the value positive in a
+    * signed 64-bit integer in any engine. This is the reproducibility
+    * contract for PERSISTED sketches: a corpus release that ships
+    * minhash signatures next to the documents must let any downstream
+    * tool (DuckDB audit job, Python checker, another engine's
+    * incremental-dedup pass) recompute and extend them; the xxhash64
+    * variants stay the intra-Spark fast path (~4× cheaper).
+    */
+  def portableHash60(v: Column, seed: Int): Column =
+    conv(substring(md5(concat(lit(seed + ":"), v)), 1, 15), 16, 10).cast("long")
+
+  /** Portable MinHash signature over STRING shingles: k minima of
+    * [[portableHash60]] re-hashes — every value reproducible outside
+    * Spark (see [[portableHash60]]).
+    */
+  def portableMinhashSignature(sh: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(sh, s => portableHash60(s, seed)))
+    }: _*)
+
+  /** MinHash-LSH near-dups, engine-portable variant: identical
+    * pipeline shape to [[minhashNearDups]] (band → bucket self-join →
+    * exact-jaccard verify, same hot-bucket anti-join skew guard), but
+    * signatures come from [[portableHash60]] and band keys are the
+    * literal signature slices (comma-joined) rather than an xxhash64
+    * of them — so an external engine replicates the ENTIRE pipeline,
+    * candidates included, value-for-value. This is what makes the
+    * operator end-to-end oracle-checkable (q21), and what a persisted
+    * signature release needs anyway.
+    */
+  def minhashNearDupsPortable(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      nShingle: Int = 3,
+      k: Int = 16,
+      bands: Int = 8,
+      threshold: Double = 0.4,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = k / bands
+    val withSh = df.select(id.as("doc_id"), shingles(text, nShingle).as("sh"))
+      .where(size(col("sh")) > 0)
+      .persist()
+    withSh.count()
+    // signature materialized in its own projection BELOW the band
+    // explode, so the k md5-minima compute once per doc — not once per
+    // band element
+    val banded = withSh
+      .select(col("doc_id"), portableMinhashSignature(col("sh"), k).as("sig"))
+      .select(col("doc_id"),
+        explode(array((0 until bands).map { b =>
+          concat_ws(",", lit(b.toString) +:
+            (0 until rows).map(r =>
+              element_at(col("sig"), b * rows + r + 1).cast("string")): _*)
+        }: _*)).as("band"))
+    val hot = banded.groupBy("band")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select("band")
+    val small = banded.join(broadcast(hot), Seq("band"), "left_anti")
+    val candidates = small.select(col("band"), col("doc_id").as("id_a"))
+      .join(small.select(col("band"), col("doc_id").as("id_b")), Seq("band"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .persist()
+    val candIds = candidates.select(col("id_a").as("doc_id"))
+      .union(candidates.select(col("id_b")))
+      .distinct()
+    val sets = withSh.join(candIds, "doc_id")
+    val result = candidates
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+    materializeAndRelease(result, withSh, candidates)
+  }
+
+  /** Portable 60-bit SimHash: per token-occurrence, [[portableHash60]]
+    * votes ±1 on each of 60 bit positions; the sign of each
+    * accumulated vote is the signature bit (ties → 0, in every
+    * engine). Same construction as [[simhash]] but reproducible
+    * outside Spark.
+    */
+  def simhash60Portable(text: Column): Column = {
+    val toks = TextAnalysis.tokens(lower(text))
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = portableHash60(t, 0)
+        val bitVotes = array((0 until 60).map { i =>
+          when(shiftrightunsigned(h, i).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L))
+        }: _*)
+        zip_with(acc, bitVotes, (v, b) => v + b)
+      })
+    (0 until 60).map { i =>
+      when(element_at(votes, i + 1) > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dups, engine-portable variant: 60-bit
+    * [[simhash60Portable]] signatures, pigeonhole-bucketed by the 4
+    * 15-bit chunks. With 4 chunks the candidate stage is EXACT for
+    * `maxDist <= 3` (at most 3 differing bits can touch at most 3
+    * chunks, so one chunk always matches) — the output is the
+    * complete hamming-≤-maxDist pair set, not a recall-limited
+    * approximation, and any engine that can md5 reproduces it
+    * value-for-value (q22's oracle does, all-pairs). Same hot-bucket
+    * skew guard as [[simhashNearDups]].
+    */
+  def simhashNearDupsPortable(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxDist: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxDist <= 3, s"4-chunk pigeonhole is exact only for maxDist <= 3, got $maxDist")
+    val sigs = df.where(text.rlike("\\S"))
+      .select(id.as("doc_id"), simhash60Portable(text).as("sig"))
+      .persist()
+    sigs.count()
+    val chunked = sigs.select(
+      col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("chunk_i"),
+          shiftrightunsigned(col("sig"), i * 15).bitwiseAND(0x7FFFL).as("chunk_v"))): _*)).as("c"))
+      .select(col("doc_id"), col("sig"), col("c.chunk_i"), col("c.chunk_v"))
+    val hot = chunked.groupBy("chunk_i", "chunk_v")
+      .agg(count(lit(1)).as("bucket_n"))
+      .where(col("bucket_n") > maxBucket)
+      .select("chunk_i", "chunk_v")
+    val small = chunked.join(broadcast(hot), Seq("chunk_i", "chunk_v"), "left_anti")
+    val a = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = small.select(col("chunk_i"), col("chunk_v"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val result = a.join(b, Seq("chunk_i", "chunk_v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hamming(col("sig_a"), col("sig_b")).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+    materializeAndRelease(result, sigs)
+  }
+
   /** n-gram Jaccard near-dups with length+language blocking: only
     * documents in the same (lang, length-bucket) block are compared.
     *

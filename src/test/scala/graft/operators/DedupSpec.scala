@@ -257,6 +257,63 @@ class DedupSpec extends SparkTestBase {
     assert(found == exact)
   }
 
+  test("portableHash60: matches an independent md5 computation (the cross-engine contract)") {
+    import spark.implicits._
+    def expected(seed: Int, v: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$seed:$v".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val vals = Seq("hello world foo", "", "a", "wörd ünïcode")
+    val got = vals.toDF("v")
+      .select(Dedup.portableHash60(col("v"), 0), Dedup.portableHash60(col("v"), 7))
+      .as[(Long, Long)].collect()
+    vals.zip(got).foreach { case (v, (h0, h7)) =>
+      assert(h0 == expected(0, v), s"seed 0 mismatch for '$v'")
+      assert(h7 == expected(7, v), s"seed 7 mismatch for '$v'")
+    }
+  }
+
+  test("portable simhash near-dups: output equals brute-force hamming pairs") {
+    import spark.implicits._
+    val df = seededCorpus(nBase = 40, vocab = 50, docLen = 40, seed = 7L).toDF("doc_id", "text")
+    val sigs = df.where(col("text").rlike("\\S"))
+      .select(col("doc_id"), Dedup.simhash60Portable(col("text")).as("sig"))
+    val exact = sigs.as("a").join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.hamming(col("a.sig"), col("b.sig")).as("d"))
+      .where(col("d") <= 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus must contain close simhash pairs")
+    val found = Dedup.simhashNearDupsPortable(df, col("doc_id"), col("text"), maxDist = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == exact)
+    // 60-bit contract: every signature fits in the positive long range
+    assert(sigs.where(col("sig") < 0 || col("sig") >= (1L << 60)).count() == 0)
+  }
+
+  test("portable minhash-LSH: verified-exact precision, recall >= 0.8 vs exact pairs") {
+    import spark.implicits._
+    val df = seededCorpus(nBase = 40, vocab = 500, docLen = 30, seed = 42L).toDF("doc_id", "text")
+    val sh = df.select(col("doc_id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .where(size(col("sh")) > 0)
+    val exactAll = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+    val exactHigh = exactAll.where(col("j") >= 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val exactAbove = exactAll.where(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exactHigh.nonEmpty, "corpus must contain high-jaccard pairs")
+    val found = Dedup.minhashNearDupsPortable(df, col("doc_id"), col("text"), threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // precision is exact by construction (candidates are verified)
+    assert(found.subsetOf(exactAbove), s"unverified pair leaked: ${found -- exactAbove}")
+    val recall = exactHigh.count(found.contains).toDouble / exactHigh.size
+    assert(recall >= 0.8, s"LSH recall $recall below 0.8")
+  }
+
   test("jaccard: exact on known sets") {
     import spark.implicits._
     val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
