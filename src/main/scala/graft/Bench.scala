@@ -24,6 +24,12 @@ object Bench {
     // page-cache warmup stops landing on the first alphabetical queries,
     // so round-over-round per-query deltas are attributable
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    // a contended machine is identifiable from the artifact alone:
+    // system load average before/after (vs `cpus`), plus per-query
+    // max-min spread — a quiet run has spread ~= first-rep warmup on a
+    // few queries; a thrashed run shows large spread across the board
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -34,24 +40,29 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      (name, times.min, times.head)
+      (name, times.min, times.head, times.max - times.min)
     }
+    val loadEnd = osBean.getSystemLoadAverage
     // 3-decimal times: ms resolution is the measurement's honest
     // precision, and it keeps the line short — the driver records only
     // the TAIL of the output, so a bloated line loses its head.
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val spreads = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + f3(sp) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalFirst = results.map(_._3).sum
+    val maxSpread = if (results.isEmpty) 0.0 else results.map(_._4).max
     // "reps" documents the timing protocol (per-query min of N timed
     // reps); "value_first_rep" is the single-rep sum so rounds <=3
     // (single-rep, warmup absorbed) compare like-for-like. The
-    // headline fields come AFTER the queries map: tail-truncation of
-    // the log then cuts per-query detail, never the totals.
-    println(s"""{"queries":$qs,"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)}}""")
+    // headline fields come AFTER the queries/spread maps:
+    // tail-truncation of the log then cuts per-query detail, never the
+    // totals or the contention evidence (load averages + max spread).
+    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

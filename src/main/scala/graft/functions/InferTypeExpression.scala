@@ -147,6 +147,8 @@ object GraftExtensions {
     fn("minhash_sig", classOf[MinHashSig], MinHash.minhashSigBuilder),
     fn("lsh_band_keys", classOf[LshBandKeys], MinHash.lshBandKeysBuilder),
     fn("simhash64", classOf[SimHash64], MinHash.simhash64Builder),
+    fn("portable_minhash_sig", classOf[PortableMinhashSig], MinHash.portableMinhashSigBuilder),
+    fn("simhash60_md5", classOf[SimHash60Md5], MinHash.simhash60md5Builder),
     fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))

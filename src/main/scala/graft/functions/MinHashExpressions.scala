@@ -175,6 +175,115 @@ object MinHashRuntime {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  // --- engine-portable (md5-based) variants -------------------------
+  // Hash contract: the value equals parseLong(md5Hex("<seed>:" + s)
+  // .substring(0, 15), 16) — i.e. the top 60 bits of the digest —
+  // reproducible in any engine that can md5 (DuckDB oracle, Python
+  // audit jobs). See graft.operators.Dedup.portableHash60 for the
+  // declarative executable spec these are pinned against in DedupSpec.
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private val seedPrefixes = new java.util.concurrent.ConcurrentHashMap[Integer, Array[Byte]]()
+  private def seedPrefix(seed: Int): Array[Byte] = {
+    val cached = seedPrefixes.get(seed)
+    if (cached != null) cached
+    else {
+      val b = (seed.toString + ":").getBytes(StandardCharsets.UTF_8)
+      seedPrefixes.putIfAbsent(seed, b)
+      b
+    }
+  }
+
+  /** Top 60 bits of md5(prefix ++ valueBytes), as a non-negative long:
+    * the first 15 hex chars of the digest parsed base-16 (== big-endian
+    * first 8 bytes >>> 4).
+    */
+  private def md5Hash60(prefix: Array[Byte], value: Array[Byte]): Long = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(prefix)
+    md.update(value)
+    val d = md.digest()
+    val be = ((d(0) & 0xFFL) << 56) | ((d(1) & 0xFFL) << 48) | ((d(2) & 0xFFL) << 40) |
+      ((d(3) & 0xFFL) << 32) | ((d(4) & 0xFFL) << 24) | ((d(5) & 0xFFL) << 16) |
+      ((d(6) & 0xFFL) << 8) | (d(7) & 0xFFL)
+    be >>> 4
+  }
+
+  /** Portable MinHash signature straight from text: element s is
+    * min over distinct word-n-gram shingles g of
+    * md5Hash60("<s>:" + g). Value-identical to the declarative
+    * array_min(transform(shingles, portableHash60(_, s))) formulation,
+    * ~30× faster (one tokenize pass, byte-level hashing, no per-seed
+    * string re-concat).
+    */
+  def portableMinhashSig(text: UTF8String, n: Int, k: Int): ArrayData = {
+    if (text == null) return EMPTY
+    val toks = tokensOf(text)
+    if (toks.length == 0) return EMPTY
+    val nShingles = if (toks.length >= n) toks.length - n + 1 else 1
+    val width = if (toks.length >= n) n else toks.length
+    val seen = new java.util.HashSet[String](nShingles * 2)
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < nShingles) {
+      sb.setLength(0)
+      var j = 0
+      while (j < width) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val shingle = sb.toString
+      if (seen.add(shingle)) {
+        val bytes = shingle.getBytes(StandardCharsets.UTF_8)
+        var s = 0
+        while (s < k) {
+          val h = md5Hash60(seedPrefix(s), bytes)
+          if (h < mins(s)) mins(s) = h
+          s += 1
+        }
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  /** Portable 60-bit SimHash: per token-occurrence, md5Hash60("0:"+t)
+    * votes ±1 on 60 bit positions; sign of the total is the bit.
+    * Returns 0L for no-token documents (callers filter
+    * `text rlike "\\S"`), and always fits in [0, 2^60).
+    */
+  def simhash60md5(text: UTF8String): Long = {
+    if (text == null) return 0L
+    val toks = tokensOf(text)
+    val votes = new Array[Int](60)
+    val prefix = seedPrefix(0)
+    var i = 0
+    while (i < toks.length) {
+      val h = md5Hash60(prefix, toks(i).getBytes(StandardCharsets.UTF_8))
+      var bit = 0
+      while (bit < 60) {
+        if (((h >>> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var bit = 0
+    while (bit < 60) {
+      if (votes(bit) > 0) sig |= (1L << bit)
+      bit += 1
+    }
+    sig
+  }
+
   /** SimHash-64 of the lowercased whitespace tokens (every occurrence
     * votes, not distinct tokens — same as the explode + 64-sum
     * aggregate). Returns 0L for documents with no tokens; callers that
@@ -302,6 +411,36 @@ case class SimHash64(child: Expression) extends MinHashExprBase {
     copy(child = newChild)
 }
 
+/** portable_minhash_sig(text, n, k): engine-portable (md5-based)
+  * MinHash signature. See [[MinHashRuntime.portableMinhashSig]].
+  */
+case class PortableMinhashSig(child: Expression, n: Int, k: Int) extends MinHashExprBase {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "portable_minhash_sig"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.portableMinhashSig(input.asInstanceOf[UTF8String], n, k)
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.portableMinhashSig($in, $n, $k)"
+  override protected def withNewChildInternal(newChild: Expression): PortableMinhashSig =
+    copy(child = newChild)
+}
+
+/** simhash60_md5(text): engine-portable 60-bit SimHash. See
+  * [[MinHashRuntime.simhash60md5]].
+  */
+case class SimHash60Md5(child: Expression) extends MinHashExprBase {
+  override def dataType: DataType = LongType
+  override def inputTypes = Seq(StringType)
+  override def prettyName: String = "simhash60_md5"
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashRuntime.simhash60md5(input.asInstanceOf[UTF8String])
+  override protected def staticCall(in: String): String =
+    s"${MinHashExprBase.runtime}.simhash60md5($in)"
+  override protected def withNewChildInternal(newChild: Expression): SimHash60Md5 =
+    copy(child = newChild)
+}
+
 /** Column-API surface for the native near-dup expressions. */
 object MinHash {
   private def lit(e: Expression, what: String): Int = {
@@ -330,6 +469,10 @@ object MinHash {
     ColumnBridge.column(LshBandKeys(ColumnBridge.expression(sig), bands, rows))
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+  def portableMinhashSig(text: Column, n: Int, k: Int): Column =
+    ColumnBridge.column(PortableMinhashSig(ColumnBridge.expression(text), n, k))
+  def simhash60md5(text: Column): Column =
+    ColumnBridge.column(SimHash60Md5(ColumnBridge.expression(text)))
 
   /** SQL builders (literal int args) for function-registry injection.
     * Arity is validated here; the child's type is validated at analysis
@@ -354,5 +497,14 @@ object MinHash {
   private[functions] def simhash64Builder(children: Seq[Expression]): Expression = {
     arity(children, 1, "simhash64")
     SimHash64(children.head)
+  }
+  private[functions] def portableMinhashSigBuilder(children: Seq[Expression]): Expression = {
+    arity(children, 3, "portable_minhash_sig")
+    PortableMinhashSig(children.head,
+      lit(children(1), "portable_minhash_sig n"), lit(children(2), "portable_minhash_sig k"))
+  }
+  private[functions] def simhash60md5Builder(children: Seq[Expression]): Expression = {
+    arity(children, 1, "simhash60_md5")
+    SimHash60Md5(children.head)
   }
 }

@@ -457,21 +457,25 @@ object Dedup {
       threshold: Double = 0.4,
       maxBucket: Int = 1000): DataFrame = {
     val rows = k / bands
-    val withSh = df.select(id.as("doc_id"), shingles(text, nShingle).as("sh"))
+    // one native pass over the text computes BOTH the (xxhash64)
+    // shingle sets for the exact-jaccard verify and the portable md5
+    // signature — the verify jaccard over hashed shingle sets equals
+    // the string-set jaccard the oracle computes (2^-64 collisions
+    // aside), exactly as q23 pins; only the SIGNATURE must be portable
+    // for the candidate sets to match
+    val withSh = df.select(id.as("doc_id"),
+        graft.functions.MinHash.shingleHashes(text, nShingle).as("sh"),
+        graft.functions.MinHash.portableMinhashSig(text, nShingle, k).as("sig"))
       .where(size(col("sh")) > 0)
       .persist()
     withSh.count()
-    // signature materialized in its own projection BELOW the band
-    // explode, so the k md5-minima compute once per doc — not once per
-    // band element
-    val banded = withSh
-      .select(col("doc_id"), portableMinhashSignature(col("sh"), k).as("sig"))
-      .select(col("doc_id"),
-        explode(array((0 until bands).map { b =>
-          concat_ws(",", lit(b.toString) +:
-            (0 until rows).map(r =>
-              element_at(col("sig"), b * rows + r + 1).cast("string")): _*)
-        }: _*)).as("band"))
+    // band keys: xxhash64 of the rendered signature slice — bucket
+    // EQUALITY is what must match the oracle's slice-equality join,
+    // and hash(slice) equality coincides with slice equality up to
+    // 2^-64 collisions (which the exact verify then discards unless
+    // the pair is also above threshold)
+    val banded = withSh.select(col("doc_id"),
+      explode(graft.functions.MinHash.lshBandKeys(col("sig"), bands, rows)).as("band"))
     val hot = banded.groupBy("band")
       .agg(count(lit(1)).as("bucket_n"))
       .where(col("bucket_n") > maxBucket)
@@ -537,7 +541,7 @@ object Dedup {
       maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, s"4-chunk pigeonhole is exact only for maxDist <= 3, got $maxDist")
     val sigs = df.where(text.rlike("\\S"))
-      .select(id.as("doc_id"), simhash60Portable(text).as("sig"))
+      .select(id.as("doc_id"), graft.functions.MinHash.simhash60md5(text).as("sig"))
       .persist()
     sigs.count()
     val chunked = sigs.select(

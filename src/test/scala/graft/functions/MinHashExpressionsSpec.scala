@@ -122,6 +122,31 @@ class MinHashExpressionsSpec extends AnyFunSuite {
     assert(native.count() == declarative.count())
   }
 
+  test("portable_minhash_sig agrees with the declarative portableHash60 formulation") {
+    val k = 8
+    val declarative = docs
+      .select(col("doc_id"), Dedup.shingles(col("text"), 3).as("shs"))
+      .where(size(col("shs")) > 0)
+      .select(col("doc_id"), Dedup.portableMinhashSignature(col("shs"), k).as("sig"))
+    val native = docs
+      .where(size(MinHash.shingleHashes(col("text"), 3)) > 0)
+      .select(col("doc_id"), MinHash.portableMinhashSig(col("text"), 3, k).as("sig"))
+    val joined = declarative.as("d").join(native.as("n"), "doc_id")
+      .where(col("d.sig") =!= col("n.sig"))
+    assert(joined.count() == 0)
+    assert(native.count() == declarative.count())
+  }
+
+  test("simhash60_md5 agrees with the declarative simhash60Portable formulation") {
+    val declarative = docs.where(col("text").rlike("\\S"))
+      .select(col("doc_id"), Dedup.simhash60Portable(col("text")).as("sig"))
+    val native = docs.where(col("text").rlike("\\S"))
+      .select(col("doc_id"), MinHash.simhash60md5(col("text")).as("sig"))
+    val joined = declarative.as("d").join(native.as("n"), "doc_id")
+      .where(col("d.sig") =!= col("n.sig"))
+    assert(joined.count() == 0)
+  }
+
   test("expressions are SQL-callable through the session extension") {
     val r = spark.sql(
       """SELECT size(shingle_hashes('a b c d', 3)) AS n_sh,
