@@ -127,6 +127,24 @@ class DedupSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("dedupGroups: 30-link chain converges distributed (pointer doubling) or fails loudly") {
+    import spark.implicits._
+    // a diameter-30 path graph: the worst case for plain min-label
+    // propagation (needs 30 linear rounds); pointer doubling closes it
+    // in ~log2(30) rounds, well inside the default maxIter
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dist = Dedup.dedupGroups(chain, driverThreshold = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(dist.keySet == (0L to 30L).toSet)
+    assert(dist.values.forall(_ == 0L), s"all 31 nodes label to 0: $dist")
+    // starved of rounds, the operator must throw — never silently
+    // return labels that split one true group into several
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupGroups(chain, maxIter = 2, driverThreshold = 0L).count()
+    }
+    assert(e.getMessage.contains("did not reach a fixpoint"))
+  }
+
   test("keepBest keeps the highest-score duplicate, ties to the smallest id") {
     import spark.implicits._
     val df = Seq(
