@@ -94,6 +94,27 @@ object ScaleSmoke {
     val nd = time(s"embeddingNearDups (B=$ndBuckets)")(
       Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = ndBuckets).count())
+
+    // IVF recall@10 vs brute-force ground truth on a 100k-vector slice
+    // (or the full corpus if smaller): the timing stages above prove
+    // the plans scale; this pins what the approximation actually
+    // RETURNS. 100 queries, same tie-break (cos desc, id) both paths.
+    val recallCorpus = vecs.where(col("id") < 100000L)
+    val recallQueries = vecs.where(col("id") >= 1000L && col("id") < 1100L)
+    val bfTruth = graft.operators.Similarity
+      .bruteForceTopK(recallQueries, recallCorpus, k = 10).persist()
+    val bfRows = time("bruteForceTopK ground truth (100 q x 100k corpus)")(bfTruth.count())
+    val recallIdx = graft.operators.Similarity.ivfIndex(recallCorpus, nBuckets = annBuckets)
+    recallIdx.assigned.persist()
+    recallIdx.assigned.count()
+    val recalls = Seq(1, 2).map { nProbe =>
+      val hits = time(s"ivf recall pass (nProbe=$nProbe)")(
+        graft.operators.Similarity.ivfTopKIndexed(recallQueries, recallIdx, k = 10, nProbe)
+          .join(bfTruth, Seq("query_id", "neighbor_id"), "left_semi").count())
+      val r = hits.toDouble / bfRows
+      println(f"RECALL ivf@10 nProbe=$nProbe B=$annBuckets corpus=${100000L.min(nDocs)}: $r%.3f")
+      nProbe -> r
+    }
     // asof-join skew: ONE key holds half of all events (the bot-user
     // shape). The per-key window serializes that key through a single
     // task; the bucketed variant spreads it over time buckets —
@@ -211,7 +232,8 @@ object ScaleSmoke {
       s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
       s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
       s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
-      s"incNearDups=$ind rangeShards=$rs")
+      s"incNearDups=$ind rangeShards=$rs " +
+      recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }
 }

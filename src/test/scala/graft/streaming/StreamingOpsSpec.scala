@@ -55,6 +55,74 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowedEventStats append mode: rows older than the watermark are dropped, windows emit once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val df = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingOps.windowedEventStats(df, "ts", "event_type", "value",
+      window_ = "1 hour", watermark = "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("winlate")
+      .outputMode("append").start()
+    try {
+      // batch 1: two on-time rows in the 10:00 window
+      mem.addData((ts("10:05:00"), "click", 1.0), (ts("10:20:00"), "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: 11:30 advances the watermark to 11:29:50 at batch end
+      mem.addData((ts("11:30:00"), "click", 4.0))
+      q.processAllAvailable()
+      // batch 3: a LATE row for the already-finalized 10:00 window
+      // (10:40 < watermark) — the contract is DROP, not merge: the
+      // 10:00 window emits exactly once with the on-time rows only
+      mem.addData((ts("10:40:00"), "click", 100.0))
+      q.processAllAvailable()
+      // advance the watermark past 12:00 so the 11:00 window finalizes
+      mem.addData((ts("12:30:00"), "click", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("winlate")
+        .select(date_format(col("window_start"), "HH:mm").as("w"), col("n"), col("sum_value"))
+        .as[(String, Long, Double)].collect().toSet
+      assert(rows == Set(("10:00", 2L, 3.0), ("11:00", 1L, 4.0)),
+        s"late row leaked into a finalized window: $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: a late event older than the watermark is dropped, not a session reopen") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamingOps.Event]
+    val sessions = StreamingOps.sessionize(mem.toDS(), gapMs = 60000L)
+    val q = sessions.writeStream.format("memory").queryName("sesslate")
+      .outputMode("append").start()
+    try {
+      // user 1: one session of two events
+      mem.addData(
+        StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+        StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:00:10"), 2.0))
+      q.processAllAvailable()
+      // user 2 at 10:30 pushes the watermark to 10:29:50 -> user 1's
+      // event-time timeout fires and their session closes
+      mem.addData(StreamingOps.Event(2L, Timestamp.valueOf("2024-01-01 10:30:00"), 7.0))
+      q.processAllAvailable()
+      // LATE user-1 event at 10:05, far older than the watermark: the
+      // contract is DROP — without late filtering this would seed a
+      // brand-new user-1 session (state was removed at timeout) that
+      // would later emit with total=100
+      mem.addData(StreamingOps.Event(1L, Timestamp.valueOf("2024-01-01 10:05:00"), 100.0))
+      q.processAllAvailable()
+      // flush everything still open
+      mem.addData(StreamingOps.Event(2L, Timestamp.valueOf("2024-01-01 11:30:00"), 9.0))
+      q.processAllAvailable()
+      mem.addData(StreamingOps.Event(3L, Timestamp.valueOf("2024-01-01 12:30:00"), 0.0))
+      q.processAllAvailable()
+      val user1 = spark.table("sesslate").as[StreamingOps.Session]
+        .collect().filter(_.userId == 1L)
+      assert(user1.length == 1, s"late event reopened a session: ${user1.toSeq}")
+      assert(user1.head.nEvents == 2 && user1.head.total == 3.0)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
