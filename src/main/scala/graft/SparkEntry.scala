@@ -433,6 +433,25 @@ object SparkEntry {
       .select(col("keep_id"), col("n_dups"), col("fp"))
       .orderBy("keep_id")
 
+  /** URL-keyed dedup over messy synthetic URLs: the documents table has
+    * no URL column, so each doc derives one deterministically with the
+    * classic crawl-duplication noise (uppercased scheme/host, default
+    * port, tracking params, fragments, trailing slashes) — 50 real
+    * pages behind hundreds of URL spellings. Canonicalization must
+    * collapse every variant group to one key.
+    */
+  private def qUrlDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val url = concat(
+      when(col("doc_id") % 3 === 0, lit("HTTPS://Example.COM:443/")).otherwise(lit("https://example.com/")),
+      lit("site/"), (col("doc_id") % 50).cast("string"),
+      when(col("doc_id") % 7 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 4 === 0, lit("?utm_source=feed&utm_medium=rss")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0, lit("#section-2")).otherwise(lit("")))
+    Dedup.urlDedup(docs, col("doc_id"), url)
+      .orderBy("canonical_url")
+  }
+
   /** Overlapping composite multi-line docs (q79/q84 input): the raw
     * corpus is single-line, so these queries first build pseudo-docs —
     * group g holds originals [3g, 3g+4] as lines, so neighboring
@@ -1320,6 +1339,7 @@ object SparkEntry {
     "q92_sessionize_bucketed" -> qSessionizeBucketed _,
     "q93_mixture" -> qMixture _,
     "q94_approx_quantile" -> qApproxQuantile _,
+    "q95_url_dedup" -> qUrlDedup _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1561,6 +1581,33 @@ object SparkEntry {
           | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
           | FROM documents)
           |GROUP BY fp ORDER BY keep_id""".stripMargin,
+
+      // q95 replicates TextAnalysis.canonicalizeUrl regex-for-regex
+      // (deliberately RE2-compatible: no lookarounds); the URL itself
+      // is derived deterministically from doc_id on both sides
+      "q95_url_dedup" ->
+        """WITH u AS (
+          | SELECT doc_id,
+          |  concat(CASE WHEN doc_id % 3 = 0 THEN 'HTTPS://Example.COM:443/' ELSE 'https://example.com/' END,
+          |         'site/', CAST(doc_id % 50 AS VARCHAR),
+          |         CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END,
+          |         CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_medium=rss' ELSE '' END,
+          |         CASE WHEN doc_id % 5 = 0 THEN '#section-2' ELSE '' END) AS url
+          | FROM documents),
+          |s1 AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(url, '^\s+|\s+$', '', 'g'), '#.*$', '') AS nofrag FROM u),
+          |s2 AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(
+          |    lower(regexp_extract(nofrag, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)', 1)),
+          |    '^(https://[^/:]*):443$', '\1'), '^(http://[^/:]*):80$', '\1')
+          |  || regexp_replace(nofrag, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*', '') AS joined FROM s1),
+          |s3 AS (SELECT doc_id,
+          |  regexp_replace(joined, '([?&])(utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*', '\1', 'g') AS notrack FROM s2),
+          |c AS (SELECT doc_id,
+          |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(notrack,
+          |    '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', ''), '/+$', '') AS canonical_url FROM s3)
+          |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
+          |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
 
       "q53_tfidf" ->
         """WITH toks AS (

@@ -64,6 +64,17 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** URL-keyed dedup (web-crawl ingest): canonicalize each document's
+    * URL ([[TextAnalysis.canonicalizeUrl]]) and keep the smallest id
+    * per canonical URL. Same scale shape as [[exactDedup]] — one
+    * map-side-combined shuffle on the canonical key, document payloads
+    * never ride the exchange.
+    */
+  def urlDedup(df: DataFrame, id: Column, url: Column): DataFrame =
+    df.select(id.as("doc_id"), TextAnalysis.canonicalizeUrl(url).as("canonical_url"))
+      .groupBy("canonical_url")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Incremental exact dedup — the PRODUCTION ingest shape: dedup an
     * arriving batch against the fingerprints of everything already in
     * the corpus, without touching the corpus documents themselves.

@@ -205,6 +205,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(to_binary(regexp_replace(lower(trim(text)), "\\s+", " "), lit("utf-8")))
 
+  /** URL canonicalization — the web-crawl ingest normalizer that makes
+    * URL-keyed dedup meaningful (the same page arrives as
+    * `HTTPS://Example.COM:443/x/?utm_source=feed#frag` and
+    * `https://example.com/x`): lowercase the scheme+authority (path
+    * and query stay case-sensitive), drop the fragment, strip the
+    * scheme-default port, remove tracking parameters (`utm_*`,
+    * `gclid`, `fbclid`) with their values, tidy the separator debris
+    * that leaves behind, and trim trailing slashes.
+    *
+    * Pure codegen'd regexp composition, no UDFs — and deliberately
+    * RE2-compatible (no lookarounds), so the DuckDB oracle replicates
+    * it regex-for-regex. URLs without a `scheme://authority` prefix
+    * pass through with only the generic cleanups. Convention notes: a
+    * rare userinfo in the authority is lowercased with it; trailing
+    * slashes are stripped even from a bare authority (`https://x.com/`
+    * -> `https://x.com`) — both standard canonicalizer choices.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val trimmed = regexp_replace(url, "^\\s+|\\s+$", "")
+    val noFrag = regexp_replace(trimmed, "#.*$", "")
+    val prefix = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1))
+    val rest = regexp_replace(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", "")
+    val noPort = regexp_replace(
+      regexp_replace(prefix, "^(https://[^/:]*):443$", "$1"),
+      "^(http://[^/:]*):80$", "$1")
+    val joined = concat(noPort, rest)
+    // tracking params keep their leading separator alive ("$1") so a
+    // following real param still has one; the tidy passes collapse the
+    // leftovers ("?&" / "&&" / trailing "?"/"&")
+    val noTrack = regexp_replace(joined,
+      "([?&])(?:utm_[A-Za-z0-9_]*|gclid|fbclid)=[^&#]*", "$1")
+    val tidied = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&&+", "&"), "\\?&", "?"),
+      "[?&]+$", "")
+    regexp_replace(tidied, "/+$", "")
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 31, mod 2^31-1)
     * over the normalized text — an order-sensitive fingerprint usable
     * for shift-invariant chunking. The modulus keeps acc*31+c under

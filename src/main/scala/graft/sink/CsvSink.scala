@@ -33,6 +33,12 @@ object CsvSink {
       .option("escape", "\"")
       .option("emptyValue", "")
       .option("nullValue", "")
+      // Spark's CSV WRITER trims cell whitespace by default; the
+      // reference writes values verbatim (Python csv), and real DBLP
+      // titles with inline markup capture with a trailing space
+      // (lxml `.text` truncation) — preserve them exactly
+      .option("ignoreLeadingWhiteSpace", false)
+      .option("ignoreTrailingWhiteSpace", false)
       .option("header", header)
 
   def writeDir(df: DataFrame, path: String, header: Boolean): Unit =
@@ -40,7 +46,13 @@ object CsvSink {
 
   def writeSingleFile(df: DataFrame, path: String, headerLine: Option[String]): Unit = {
     val tmp = path + ".spark-tmp"
-    writer(df.coalesce(1), header = false).csv(tmp)
+    // No coalesce(1): a single-partition plan would run the ENTIRE
+    // upstream chain (pivot+join+sort) in one task — measured 110s of
+    // a 175s DBLP-500k run. A distributed write keeps every stage
+    // parallel; a sorted df arrives range-partitioned, so part-file
+    // name order IS global order and the driver merge below yields
+    // byte-identical output.
+    writer(df, header = false).csv(tmp)
     val target = Paths.get(path)
     Files.deleteIfExists(target)
     val out = new BufferedOutputStream(new FileOutputStream(path))

@@ -118,17 +118,37 @@ object Flatten {
   /** Exploded (recordType, pos, colName, value) stream of every
     * individual value (pre-collapse) — the input for type inference
     * (A2/A3) and array detection, and for relation extraction (J1).
+    *
+    * One explode pass, three codegen'd legs (record attrs, child text,
+    * child attrs), NOT a per-schema-column scan: `valuesFor(c)` per
+    * column re-walks every record's children array with interpreted
+    * higher-order functions (CodegenFallback), which on a real DBLP
+    * schema (article = ~20 columns) made the flatten pass the dominant
+    * pipeline cost (~5x the parse). The emitted (recordType, col_name)
+    * set equals `schema`'s by construction — both derive from the same
+    * capture rule (attrs always; child tag / child attr only when the
+    * child has text, XMLToCSV.py:165-199). Value order within a
+    * (pos, col) group is NOT document order here; every consumer is
+    * order-insensitive (sorted collapse, type-mask bit_or, array-flag
+    * count, relation distinct).
     */
   def explodedValues(records: DataFrame, schema: Map[String, Seq[String]]): DataFrame = {
-    val frames = schema.toSeq.sortBy(_._1).map { case (t, cols) =>
-      val perType = records.where(col("recordType") === t)
-      val pairs = cols.map(c => struct(lit(c).as("col_name"), valuesFor(c).as("vs")))
-      perType.select(
-        col("recordType"), col("pos"),
-        explode(array(pairs: _*)).as("cv"))
-        .select(col("recordType"), col("pos"),
-          col("cv.col_name").as("col_name"), explode(col("cv.vs")).as("value"))
-    }
-    frames.reduce(_ unionAll _)
+    val base = records.select(col("recordType"), col("pos"), col("attrs"), col("children"))
+    val fromAttrs = base
+      .select(col("recordType"), col("pos"), explode(map_entries(col("attrs"))).as("e"))
+      .select(col("recordType"), col("pos"),
+        col("e.key").as("col_name"), col("e.value").as("value"))
+    val kids = base
+      .select(col("recordType"), col("pos"), explode(col("children")).as("ch"))
+      .where(col("ch.text").isNotNull)
+    val fromChildText = kids.select(col("recordType"), col("pos"),
+      col("ch.tag").as("col_name"), col("ch.text").as("value"))
+    val fromChildAttrs = kids
+      .select(col("recordType"), col("pos"), col("ch.tag").as("tag"),
+        explode(map_entries(col("ch.attrs"))).as("e"))
+      .select(col("recordType"), col("pos"),
+        concat(col("tag"), lit("-"), col("e.key")).as("col_name"),
+        col("e.value").as("value"))
+    fromAttrs.unionAll(fromChildText).unionAll(fromChildAttrs)
   }
 }

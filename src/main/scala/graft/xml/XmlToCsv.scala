@@ -57,9 +57,10 @@ object XmlToCsv {
     val dtd = Dtd.parse(config.dtdFile)
     // cache the ROW form: a cached typed Dataset re-serializes objects
     // on every downstream scan
-    val records = XmlRecords.readRows(spark, config.xmlFile, dtd,
-      permissive = config.permissive, validate = config.validate,
-      layout = config.layout).persist()
+    val records = timed("readRows (splitter jobs)")(
+      XmlRecords.readRows(spark, config.xmlFile, dtd,
+        permissive = config.permissive, validate = config.validate,
+        layout = config.layout)).persist()
     try {
       timed("parse")(records.count())
       val schema = timed("inferColumns")(Flatten.inferColumns(
@@ -68,6 +69,7 @@ object XmlToCsv {
       // flatten every type, keep pos for global id assignment —
       // relational form: one explode+collapse pass, then per-type pivots
       val cells = Flatten.cellValues(records, schema).persist()
+      timed("flatten cells")(cells.count())
       val flattened: Map[String, DataFrame] = schema.map { case (t, cols) =>
         t -> Flatten.pivotType(cells, t, cols)
       }

@@ -12,6 +12,45 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(df.as[Seq[String]].head() == Seq("a", "b", "c", "d"))
   }
 
+  test("canonicalizeUrl: case, ports, fragments, tracking params, trailing slashes") {
+    import spark.implicits._
+    val cases = Seq(
+      // scheme+host lowercased, default port stripped, path case kept
+      "HTTPS://Example.COM:443/Path/X" -> "https://example.com/Path/X",
+      "http://example.com:80/a" -> "http://example.com/a",
+      // non-default port survives
+      "https://example.com:8443/a" -> "https://example.com:8443/a",
+      // fragment dropped, trailing slash trimmed
+      "https://example.com/a/#frag" -> "https://example.com/a",
+      "https://example.com/" -> "https://example.com",
+      // tracking params removed wherever they sit; real params survive
+      "https://example.com/a?utm_source=x&id=3" -> "https://example.com/a?id=3",
+      "https://example.com/a?id=3&utm_source=x" -> "https://example.com/a?id=3",
+      "https://example.com/a?id=3&gclid=g&b=2" -> "https://example.com/a?id=3&b=2",
+      "https://example.com/a?utm_a=1&utm_b=2" -> "https://example.com/a",
+      "https://example.com/a?fbclid=f#x" -> "https://example.com/a",
+      // whitespace trim; schemeless URLs get only generic cleanup
+      " https://example.com/a " -> "https://example.com/a",
+      "example.com/a/?utm_source=x" -> "example.com/a")
+    val out = cases.map(_._1).toDF("u")
+      .select(TextAnalysis.canonicalizeUrl(col("u")).as("c"))
+      .as[String].collect().toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("urlDedup collapses URL-variant groups to one canonical key") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "HTTPS://Example.COM:443/x?utm_source=a"),
+      (1L, "https://example.com/x/"),
+      (2L, "https://example.com/x#top"),
+      (3L, "https://example.com/y")).toDF("doc_id", "url")
+    val out = Dedup.urlDedup(df, col("doc_id"), col("url"))
+      .orderBy("canonical_url")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("https://example.com/x", 0L, 3L), ("https://example.com/y", 3L, 1L)))
+  }
+
   test("quality metrics on a known sentence") {
     import spark.implicits._
     val df = TextAnalysis.qualityMetrics(
