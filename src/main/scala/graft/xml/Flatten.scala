@@ -81,11 +81,10 @@ object Flatten {
     * inferred column, multi-values collapsed; empty records dropped
     * (P2). Keeps `pos` for downstream id assignment.
     *
-    * Direct column-expression form — used for small inputs/tests; the
-    * pipeline uses [[cellValues]] + [[pivotType]], the relational form
-    * (array higher-order functions are interpreted in Spark, so one
-    * explode + aggregate + pivot over skinny rows beats per-column
-    * array scans ~3x on wide schemas).
+    * Direct column-expression form — used for small fixtures/tests;
+    * the pipeline uses [[recordCells]] (array higher-order functions
+    * are interpreted in Spark, so per-column array scans cost
+    * O(columns) child walks per record).
     */
   def flattenType(records: DataFrame, recordType: String, cols: Seq[String]): DataFrame = {
     val perType = records.where(col("recordType") === recordType)
@@ -95,25 +94,45 @@ object Flatten {
       .where(cols.map(col(_).isNotNull).reduce(_ || _))
   }
 
-  /** Collapsed cell per (recordType, pos, col_name): the A1 rule
-    * applied relationally. Persist the result and fan out with
-    * [[pivotType]] — empty records never appear here, which IS the P2
-    * filter.
+  /** One collapsed row per KEPT record: (recordType, pos,
+    * cells: map<col,value>) — the A1 collapse applied inside the
+    * record, so flattening is a pure MAP (zero shuffles; an earlier
+    * relational form paid an explode+groupBy exchange of every cell
+    * plus one pivot exchange per record type). Empty-cell records are
+    * dropped here, which IS the P2 filter. Per-type tables are
+    * map-only projections of this (`try_element_at` on the cells map;
+    * missing column -> null, matching the reference's absent-cell
+    * semantics).
+    *
+    * A plain JVM fold per record (not column expressions): the capture
+    * rule walks each record's children once, where the HOF form walks
+    * them once per schema column, interpreted. This is the same
+    * capture rule as [[explodedValues]] (attrs always; child tag /
+    * child attr only when the child has text, XMLToCSV.py:165-199).
     */
-  def cellValues(records: DataFrame, schema: Map[String, Seq[String]]): DataFrame =
-    explodedValues(records, schema)
-      .groupBy(col("recordType"), col("pos"), col("col_name"))
-      .agg(collect_list(col("value")).as("vs"))
-      .select(col("recordType"), col("pos"), col("col_name"),
-        when(size(col("vs")) === 1, element_at(col("vs"), 1))
-          .otherwise(concat_ws("|", array_sort(col("vs")))).as("cell"))
-
-  /** One record type's table from the collapsed cells: a pivot with an
-    * explicit column list (single shuffle, no per-column scans).
-    */
-  def pivotType(cells: DataFrame, recordType: String, cols: Seq[String]): DataFrame =
-    cells.where(col("recordType") === recordType)
-      .groupBy("pos").pivot("col_name", cols).agg(first("cell"))
+  def recordCells(records: Dataset[XmlRecord]): DataFrame = {
+    import records.sparkSession.implicits._
+    records.map { r =>
+      val vals = scala.collection.mutable.LinkedHashMap.empty[String, List[String]]
+      def add(c: String, v: String): Unit = vals.update(c, v :: vals.getOrElse(c, Nil))
+      r.attrs.foreach { case (k, v) => add(k, v) }
+      r.children.foreach { ch =>
+        if (ch.text != null) {
+          add(ch.tag, ch.text)
+          ch.attrs.foreach { case (k, v) => add(s"${ch.tag}-$k", v) }
+        }
+      }
+      val cells = vals.map { case (c, vs) =>
+        c -> (vs match {
+          case v :: Nil => v
+          // duplicates kept, lexicographic sort (XMLToCSV.py:179)
+          case many => many.sorted.mkString("|")
+        })
+      }.toMap
+      (r.recordType, r.pos, cells)
+    }.toDF("recordType", "pos", "cells")
+      .where(size(col("cells")) > 0)
+  }
 
   /** Exploded (recordType, pos, colName, value) stream of every
     * individual value (pre-collapse) — the input for type inference

@@ -2,7 +2,9 @@ package graft.xml
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.parallel.CollectionConverters._
+
+import org.apache.spark.sql.{SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Relational
@@ -13,7 +15,9 @@ import graft.sink.{CsvSink, Neo4jExport}
   *
   *  - ONE distributed parse, persisted, feeds both the schema
   *    inference and the data pass (the reference parses the XML twice)
-  *  - flatten/collapse run as codegen'd column expressions
+  *  - flatten/collapse is a single shuffle-free map pass per record
+  *    ([[Flatten.recordCells]]); per-type tables are map-only
+  *    projections of it
   *  - the relation multimap (unbounded driver memory in the reference,
   *    :206-221) becomes shuffle-based distinct + broadcast join
   *  - global contiguous ids via zipWithIndex (no single-partition
@@ -63,46 +67,41 @@ object XmlToCsv {
         layout = config.layout)).persist()
     try {
       timed("parse")(records.count())
-      val schema = timed("inferColumns")(Flatten.inferColumns(
-        records.as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord]), dtd))
+      val typedRecords =
+        records.as[XmlRecord](org.apache.spark.sql.Encoders.product[XmlRecord])
+      val schema = timed("inferColumns")(Flatten.inferColumns(typedRecords, dtd))
 
-      // flatten every type, keep pos for global id assignment —
-      // relational form: one explode+collapse pass, then per-type pivots
-      val cells = Flatten.cellValues(records, schema).persist()
-      timed("flatten cells")(cells.count())
-      val flattened: Map[String, DataFrame] = schema.map { case (t, cols) =>
-        t -> Flatten.pivotType(cells, t, cols)
-      }
+      // flatten every record in ONE map pass (collapse happens inside
+      // the record — zero shuffles), then assign the K1 contiguous
+      // document-order ids across ALL record types in the SAME cached
+      // table: one pos sort + zipWithIndex. Because the sort range-
+      // partitions by pos and ids are dense in pos order, every
+      // narrow consumer of this cache is already globally id-ordered —
+      // no per-type re-sort, no (pos, id) join anywhere.
+      val rowsWithId = Relational.withContiguousId(
+        Flatten.recordCells(typedRecords).orderBy("pos"), idCol = "id").persist()
+      val nRecords = timed("flatten cells + ids")(rowsWithId.count())
 
-      // K1: contiguous document-order ids across ALL record types
-      val allKept = flattened.values
-        .map(_.select(col("pos")))
-        .reduce(_ unionAll _)
-      val idMap = Relational.withContiguousId(
-        allKept.orderBy("pos"), idCol = "id").persist()
-      val nRecords = timed("idMap")(idMap.count())
-
-      // broadcast the (pos, id) map while it fits comfortably; beyond
-      // that Catalyst falls back to a sort-merge join on pos
+      // broadcast the (pos, id) map for the relation pass while it
+      // fits comfortably; beyond that Catalyst falls back to a
+      // sort-merge join on pos
+      val idMap = rowsWithId.select(col("pos"), col("id"))
       val idSide = if (nRecords < 5000000L) broadcast(idMap) else idMap
-      // persist UNSORTED: a global orderBy before the cache would make
-      // the range-partitioner's sampling pass recompute the whole
-      // flatten+join chain once per type
-      val withIds: Map[String, DataFrame] = flattened.map { case (t, df) =>
-        val cols = schema(t)
-        t -> df.join(idSide, "pos")
-          .select((col("id") +: cols.map(col)): _*)
-          .persist() // consumed by the CSV write AND the final count
-      }
 
       // W1/W2: per-type data CSV (header row only when not annotating).
-      // Single-file mode sorts by id for byte-stable golden output;
-      // directory mode writes partition-parallel and unsorted (the
-      // scale path — a global sort of the payload buys nothing there)
-      timed("csv writes")(withIds.foreach { case (t, df) =>
-        val cols = schema(t)
+      // Single-file mode relies on the cache's id order for byte-stable
+      // golden output; directory mode writes partition-parallel and
+      // unsorted (the scale path — order buys nothing there). Types
+      // are written CONCURRENTLY — the jobs are independent map-only
+      // scans of the cache, so parallel submission overlaps the
+      // small types' scheduler latency and the driver-side merges
+      // with the big types' scans.
+      timed("csv writes")(schema.toSeq.par.foreach { case (t, cols) =>
+        val df = rowsWithId.where(col("recordType") === t)
+          .select((col("id") +:
+            cols.map(c => try_element_at(col("cells"), lit(c)).as(c))): _*)
         if (config.singleFile)
-          CsvSink.writeSingleFile(df.orderBy("id"), s"${stem}_$t$ext",
+          CsvSink.writeSingleFile(df, s"${stem}_$t$ext",
             if (annotate) None else Some(("id" +: cols).mkString(";")))
         else
           CsvSink.writeDir(df, s"${stem}_$t$ext", header = !annotate)
@@ -131,8 +130,17 @@ object XmlToCsv {
         val explodedWithIds = exploded
           .join(idSide, "pos")
           .persist()
-        var offset = nRecords
-        config.relations.foreach { case (attr, rel) =>
+        // materialize the shared cache ONCE before fanning out — a
+        // concurrent first touch from the parallel stage below would
+        // make every relation recompute the explode+join
+        explodedWithIds.count()
+        // stage 1: each relation's pair set and distinct-value count
+        // are independent — build them concurrently. Only the node-id
+        // OFFSETS chain sequentially (each relation's ids continue
+        // after the previous relation's nodes), and those need just
+        // the counts, so the cheap cumulative sum below is the only
+        // serial step.
+        val counted = config.relations.par.map { case (attr, rel) =>
           val pairs = explodedWithIds
             // same value semantics as Relational.relationPairs: empty
             // strings are not relation values (the reference only ever
@@ -140,14 +148,30 @@ object XmlToCsv {
             .where(col("col_name") === attr && col("value").isNotNull && col("value") =!= "")
             .select(col("id").as("parent_id"), col("value").as("v"))
             .distinct()
+            .persist()
+          (attr, rel, pairs, pairs.select(col("v")).distinct().count())
+        }.toList
+        var offset = nRecords
+        val staged = counted.map { case (attr, rel, pairs, nNodes) =>
           val nodes = Relational.relationNodes(pairs, offset).persist()
-          val nNodes = nodes.count()
+          offset += nNodes
+          (attr, rel, pairs, nodes)
+        }
+        // materialize each node cache before its two concurrent
+        // consumers (node write + edge broadcast) race to build it
+        staged.par.foreach(_._4.count())
+        // stage 2: all node/edge writes are independent — run them
+        // concurrently (same rationale as the per-type CSV writes)
+        staged.par.foreach { case (attr, rel, pairs, nodes) =>
           val edges = Relational.relationEdges(pairs, nodes)
           if (config.singleFile) {
-            CsvSink.writeSingleFile(nodes.select(col("node_id"), col("v")).orderBy("node_id"),
-              s"${stem}_$attr$ext", Some(s":ID;$attr:string"))
-            CsvSink.writeSingleFile(edges.orderBy("start_id", "end_id"),
-              s"${stem}_${attr}_$rel$ext", Some(":START_ID;:END_ID"))
+            Seq(
+              () => CsvSink.writeSingleFile(
+                nodes.select(col("node_id"), col("v")).orderBy("node_id"),
+                s"${stem}_$attr$ext", Some(s":ID;$attr:string")),
+              () => CsvSink.writeSingleFile(edges.orderBy("start_id", "end_id"),
+                s"${stem}_${attr}_$rel$ext", Some(":START_ID;:END_ID")),
+            ).par.foreach(_.apply())
           } else {
             // scale path: partition-parallel, UNSORTED — a global sort
             // before a multi-part write adds a range-partition exchange
@@ -159,8 +183,9 @@ object XmlToCsv {
               s"${stem}_${attr}_$rel$ext", header = false)
             writeText(s"${stem}_${attr}_${rel}_header$ext", ":START_ID;:END_ID")
           }
-          nodes.unpersist()
-          offset += nNodes
+        }
+        staged.foreach { case (_, _, pairs, nodes) =>
+          pairs.unpersist(); nodes.unpersist()
         }
         explodedWithIds.unpersist()
       }
@@ -175,10 +200,13 @@ object XmlToCsv {
       }
 
       if (exploded != null) exploded.unpersist()
-      val counts = timed("counts")(withIds.map { case (t, df) => t -> df.count() })
-      withIds.values.foreach(_.unpersist())
-      cells.unpersist()
-      idMap.unpersist()
+      // kept-record counts per type straight off the cached rows (one
+      // tiny aggregate — no per-type jobs, no extra cache)
+      val counted = timed("counts")(
+        rowsWithId.groupBy("recordType").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
+      val counts = schema.keys.map(t => t -> counted.getOrElse(t, 0L)).toMap
+      rowsWithId.unpersist()
       Result(counts, schema, meta)
     } finally records.unpersist()
   }
