@@ -452,14 +452,51 @@ object SparkEntry {
       .orderBy("canonical_url")
   }
 
+  /** C4-style heuristic cleaning over the composite docs, with
+    * deterministic junk lines appended so every rule fires: leaked
+    * code (curly braces), lorem-ipsum boilerplate, a too-short line,
+    * and a line without terminal punctuation.
+    */
+  private def qC4Filter(s: SparkSession, dir: String): DataFrame = {
+    // the corpus is punctuation-free word salad, so half the source
+    // lines get a terminal period (doc_id parity) — the terminal-punct
+    // rule then has both outcomes to distinguish
+    val noisy = compositeDocs(s, dir, punctuate = true).select(col("g").as("doc_id"),
+      concat(col("text"),
+        when(col("g") % 3 === 0, lit("\nfunction f() { return 1; }")).otherwise(lit("")),
+        when(col("g") % 5 === 0, lit("\nLorem ipsum dolor sit amet, consectetur.")).otherwise(lit("")),
+        when(col("g") % 4 === 0, lit("\nToo short.")).otherwise(lit("")),
+        when(col("g") % 7 === 0, lit("\nno terminal punctuation here")).otherwise(lit(""))).as("text"))
+    TextAnalysis.c4LineFilter(noisy, col("doc_id"), col("text"), minLineTokens = 3)
+      .orderBy("doc_id")
+  }
+
+  /** Duplicated-span scrub over the composite docs: neighboring groups
+    * share whole lines, so cross-document 8-token windows genuinely
+    * duplicate and get cut from every copy.
+    */
+  private def qRemoveDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.removeDuplicateSpans(compositeDocs(s, dir), col("g"), col("text"), k = 8)
+      .orderBy("doc_id")
+
+  /** OOV rate against the corpus-derived top-500 vocabulary. */
+  private def qOovRate(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovRate(t(s, dir, "documents"), col("doc_id"), col("text"), vocabSize = 500)
+      .orderBy("doc_id")
+
   /** Overlapping composite multi-line docs (q79/q84 input): the raw
     * corpus is single-line, so these queries first build pseudo-docs —
     * group g holds originals [3g, 3g+4] as lines, so neighboring
     * groups share two lines and line dedup has real work to do.
     */
-  private def compositeDocs(s: SparkSession, dir: String): DataFrame =
+  private def compositeDocs(s: SparkSession, dir: String,
+      punctuate: Boolean = false): DataFrame =
     t(s, dir, "documents").where(col("doc_id") < 100)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
+        (if (punctuate)
+          concat(col("text"),
+            when(col("doc_id") % 2 === 0, lit(".")).otherwise(lit("")))
+        else col("text")).as("text"),
         explode(sequence(
           greatest(lit(0L), expr("(doc_id - 2) div 3")),
           expr("doc_id div 3"))).as("g"))
@@ -1340,6 +1377,9 @@ object SparkEntry {
     "q93_mixture" -> qMixture _,
     "q94_approx_quantile" -> qApproxQuantile _,
     "q95_url_dedup" -> qUrlDedup _,
+    "q96_c4_filter" -> qC4Filter _,
+    "q97_remove_dup_spans" -> qRemoveDupSpans _,
+    "q98_oov_rate" -> qOovRate _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1608,6 +1648,81 @@ object SparkEntry {
           |    '&&+', '&', 'g'), '\?&', '?', 'g'), '[?&]+$', ''), '/+$', '') AS canonical_url FROM s3)
           |SELECT canonical_url, min(doc_id) AS keep_id, count(*) AS n_dups
           |FROM c GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
+      // q96 mirrors TextAnalysis.c4LineFilter rule-for-rule on the
+      // same noisy composite docs (junk appended by doc_id mod)
+      "q96_c4_filter" ->
+        """WITH comp AS (
+          | SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+          | FROM (SELECT doc_id,
+          |        text || CASE WHEN doc_id % 2 = 0 THEN '.' ELSE '' END AS text,
+          |        unnest(range(greatest(0, (doc_id - 2) // 3), doc_id // 3 + 1)) AS g
+          |       FROM documents WHERE doc_id < 100)
+          | GROUP BY g),
+          |noisy AS (SELECT g AS doc_id, text
+          |  || CASE WHEN g % 3 = 0 THEN chr(10) || 'function f() { return 1; }' ELSE '' END
+          |  || CASE WHEN g % 5 = 0 THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur.' ELSE '' END
+          |  || CASE WHEN g % 4 = 0 THEN chr(10) || 'Too short.' ELSE '' END
+          |  || CASE WHEN g % 7 = 0 THEN chr(10) || 'no terminal punctuation here' ELSE '' END
+          |  AS text FROM comp),
+          |k AS (SELECT doc_id, len(lines)::BIGINT AS n_lines,
+          |  list_filter(lines, x -> regexp_matches(trim(x), '[.!?]"?$')
+          |    AND len(list_filter(regexp_split_to_array(trim(x), '\s+'), w -> w <> '')) >= 3
+          |    AND NOT contains(lower(trim(x)), 'lorem ipsum')
+          |    AND NOT contains(trim(x), '{')) AS kept
+          | FROM (SELECT doc_id, regexp_split_to_array(text, chr(10)) AS lines FROM noisy))
+          |SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept,
+          | array_to_string(kept, chr(10)) AS cleaned_text
+          |FROM k WHERE len(kept) >= 1 ORDER BY doc_id""".stripMargin,
+
+      // q97 mirrors Dedup.removeDuplicateSpans: corpus-duplicated
+      // 8-token windows (case-insensitive) cover positions; covered
+      // tokens are cut from every copy
+      "q97_remove_dup_spans" ->
+        """WITH comp AS (
+          | SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+          | FROM (SELECT doc_id, text,
+          |        unnest(range(greatest(0, (doc_id - 2) // 3), doc_id // 3 + 1)) AS g
+          |       FROM documents WHERE doc_id < 100)
+          | GROUP BY g),
+          |t AS (SELECT g AS doc_id,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          | FROM comp),
+          |w AS (SELECT doc_id, i - 1 AS p,
+          |  array_to_string(list_transform(toks[i:i+7], x -> lower(x)), ' ') AS win
+          | FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i)
+          | WHERE len(toks) >= 8),
+          |dups AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+          |cov AS (SELECT DISTINCT doc_id, tp FROM (
+          |  SELECT doc_id, unnest(range(p, p + 8)) AS tp FROM w JOIN dups USING (win))),
+          |tok AS (SELECT doc_id, unnest(toks) AS tok,
+          |  generate_subscripts(toks, 1) - 1 AS tp FROM t),
+          |agg AS (SELECT tok.doc_id,
+          |  sum(CASE WHEN cov.tp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+          |  string_agg(CASE WHEN cov.tp IS NULL THEN tok.tok END, ' ' ORDER BY tok.tp) AS cleaned_text
+          | FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+          | GROUP BY tok.doc_id)
+          |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+          | coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+          | coalesce(a.cleaned_text, '') AS cleaned_text
+          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // q98 mirrors TextAnalysis.oovRate: top-500 vocabulary by
+      // (count desc, token asc), per-doc membership probe
+      "q98_oov_rate" ->
+        """WITH toks AS (
+          | SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          | FROM documents),
+          |vocab AS (SELECT token FROM (
+          |  SELECT token, count(*) AS cnt FROM toks GROUP BY token)
+          | QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= 500),
+          |agg AS (SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+          |  sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov
+          | FROM toks t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id)
+          |SELECT d.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+          | coalesce(a.n_oov, 0) AS n_oov,
+          | coalesce(a.n_oov::DOUBLE / a.n_tokens, 0.0) AS oov_frac
+          |FROM documents d LEFT JOIN agg a USING (doc_id) ORDER BY d.doc_id""".stripMargin,
 
       "q53_tfidf" ->
         """WITH toks AS (

@@ -207,6 +207,52 @@ object Dedup {
       .withColumn("dup_frac", col("n_dup_windows").cast("double") / col("n_windows"))
   }
 
+  /** Surgical duplicated-span REMOVAL — the scrub that
+    * [[duplicateSpans]]' signal feeds: every token position covered by
+    * a corpus-duplicated k-token window (case-insensitive match, all
+    * copies) is cut, and the survivors re-join single-spaced. Output
+    * one row per input document: (doc_id, n_tokens, n_removed,
+    * cleaned_text); documents with no duplicated window pass through
+    * with n_removed = 0.
+    *
+    * Scale shape: the window-occurrence count is map-side-combined
+    * (hot boilerplate collapses before its reducer); only DUPLICATED
+    * windows join back (shuffle ∝ true duplication, not corpus size);
+    * covered positions aggregate as skinny (doc_id, int) rows; and the
+    * final left join is the only place document tokens meet the
+    * covered sets — docs sharded by id on both sides, text crossing
+    * that one exchange. The cut itself is a per-row array filter.
+    */
+  def removeDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toksC = col("__toks")
+    val docs = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+    val wins = docs.select(col("doc_id"),
+      posexplode(when(size(toksC) >= k,
+          transform(sequence(lit(0), size(toksC) - k),
+            i => lower(concat_ws(" ", slice(toksC, i + lit(1), lit(k))))))
+        .otherwise(array().cast("array<string>"))))
+      .toDF("doc_id", "p", "win")
+    val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("win"))
+    val covered = wins.join(dups, "win")
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(k - 1))).as("tp"))
+      .groupBy("doc_id")
+      .agg(collect_set(col("tp")).as("__cov"))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(toksC).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
+        array_join(
+          transform(
+            filter(
+              transform(toksC, (t, i) => struct(t.as("t"), i.as("i"))),
+              s => col("__cov").isNull ||
+                !array_contains(col("__cov"), s.getField("i"))),
+            s => s.getField("t")), " ").as("cleaned_text"))
+  }
+
   /** Shingles pre-hashed to 64-bit values: set operations (jaccard,
     * minhash) on longs are several times cheaper than on strings, and
     * at 2^-64 collision odds the jaccard value is unchanged. Hash once,

@@ -242,6 +242,74 @@ object TextAnalysis {
     regexp_replace(tidied, "/+$", "")
   }
 
+  /** C4-style heuristic line/document cleaning (Raffel et al. 2020's
+    * public rules, deterministic subset): a LINE survives iff it ends
+    * in terminal punctuation (optionally inside a closing quote), has
+    * at least `minLineTokens` whitespace tokens, and contains neither
+    * "lorem ipsum" (case-insensitive) nor a curly brace (the
+    * leaked-javascript marker); a DOCUMENT survives iff at least one
+    * line does. Output per kept doc: (doc_id, n_lines, n_kept,
+    * cleaned_text) with surviving lines re-joined verbatim.
+    *
+    * Map-only: line splitting, the per-line predicate, and the re-join
+    * all run inside the projection — zero exchanges, so the filter
+    * scales as a pure scan at any corpus size.
+    */
+  def c4LineFilter(df: DataFrame, id: Column, text: Column,
+      minLineTokens: Int = 3): DataFrame = {
+    val lines = split(text, "\n")
+    val kept = filter(lines, l => {
+      val t = trim(l)
+      t.rlike("[.!?]\"?$") &&
+        size(tokens(t)) >= minLineTokens &&
+        !lower(t).contains("lorem ipsum") &&
+        !t.contains("{")
+    })
+    df.select(id.as("doc_id"),
+        size(lines).cast("long").as("n_lines"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, "\n").as("cleaned_text"))
+      .where(col("n_kept") >= 1)
+  }
+
+  /** Out-of-vocabulary rate against a corpus-derived top-V vocabulary
+    * — the classic LM-pipeline quality signal (documents whose tokens
+    * rarely appear corpus-wide are boilerplate, OCR noise, or the
+    * wrong language). Two phases: (1) corpus token counts
+    * (map-side-combined aggregate over lowercased tokens) -> top
+    * `vocabSize` by (count desc, token asc) — the deterministic
+    * tie-break; (2) per-document probe of that vocabulary. Output:
+    * (doc_id, n_tokens, n_oov, oov_frac).
+    *
+    * Scale shape: the count aggregate is the only full-data exchange
+    * (pre-collapsed map-side — token cardinality, not occurrence
+    * count, crosses the wire); the vocabulary ranking sorts DISTINCT
+    * tokens (≪ corpus, the zipf head fits one stage) and the result
+    * broadcasts into a map-only membership probe, so document text
+    * never rides any exchange.
+    */
+  def oovRate(df: DataFrame, id: Column, text: Column,
+      vocabSize: Int): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    val spark = df.sparkSession
+    val counts = df
+      .select(explode(tokens(lower(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(vocabSize)
+    val vocab = broadcast(counts.select(col("token")))
+    val toks = tokens(lower(text))
+    df.select(id.as("doc_id"), explode_outer(toks).as("token"))
+      .join(vocab.withColumn("__in", lit(1L)), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("token")).as("n_tokens"),
+        sum(when(col("token").isNotNull && col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_frac",
+        when(col("n_tokens") > 0, col("n_oov").cast("double") / col("n_tokens"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 31, mod 2^31-1)
     * over the normalized text — an order-sensitive fingerprint usable
     * for shift-invariant chunking. The modulus keeps acc*31+c under

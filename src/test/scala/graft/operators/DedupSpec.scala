@@ -78,6 +78,26 @@ class DedupSpec extends SparkTestBase {
     }
   }
 
+  test("removeDuplicateSpans: covered positions cut, case-insensitive, originals kept") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c d e"),         // "a b c" duplicated with doc 1 -> cut 0..2
+      (1L, "x A B C y"),         // match is case-insensitive; survivors keep case
+      (2L, "u v w"),             // unique window: intact
+      (3L, "s t"),               // < k tokens: intact
+      (4L, "p q r z p q r")      // within-doc repeat: covers 0..2 and 4..6
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(df, col("doc_id"), col("text"), k = 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 5L, 3L, "d e"),
+      (1L, 5L, 3L, "x y"),
+      (2L, 3L, 0L, "u v w"),
+      (3L, 2L, 0L, "s t"),
+      (4L, 7L, 6L, "z")))
+  }
+
   test("incrementalDedup keeps only fingerprints unseen in the known set") {
     import spark.implicits._
     val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")

@@ -61,6 +61,28 @@ class PlanSpec extends SparkTestBase {
     assert(exchangeLine.contains("fp"), plan)
   }
 
+  test("c4LineFilter is map-only: zero exchanges") {
+    val df = spark.range(20).select(col("id").as("doc_id"),
+      concat(lit("A good enough line number "), col("id"), lit(".\nshort")).as("text"))
+    val out = TextAnalysis.c4LineFilter(df, col("doc_id"), col("text"))
+    assert(Scale.countShuffles(out) == 0, out.queryExecution.executedPlan.toString)
+  }
+
+  test("oovRate: vocabulary broadcasts, two aggregate exchanges, no sort-merge join") {
+    // parquet source, not spark.range: range's known id-partitioning
+    // would elide the per-doc aggregate exchange that a real scan pays
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val out = TextAnalysis.oovRate(df, col("doc_id"), col("text"), vocabSize = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // one exchange for the corpus token counts, one for the per-doc
+    // probe aggregate — both map-side-combined; the top-V cut is a
+    // TakeOrdered, not a global sort
+    assert(Scale.countShuffles(out) == 2, plan)
+    assert(!plan.contains("Sort "), plan)
+  }
+
   test("redactPii and hashSplit are map-only: zero exchanges, codegen'd") {
     // spark.range, not a local Seq: literal inputs constant-fold into a
     // LocalTableScan and there is no plan left to assert on

@@ -51,6 +51,35 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(out == Seq(("https://example.com/x", 0L, 3L), ("https://example.com/y", 3L, 1L)))
   }
 
+  test("c4LineFilter: punct/length/lorem/brace rules per line, empty docs dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "Good long line one.\nbad line\nThree token line!"),
+      (1L, "Has brace { here.\nLorem Ipsum dolor sit.\nOk?"),
+      (2L, "He said \"stop now.\"")).toDF("doc_id", "text")
+    val out = TextAnalysis.c4LineFilter(df, col("doc_id"), col("text"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 3L, 2L, "Good long line one.\nThree token line!"),
+      (2L, 1L, 1L, "He said \"stop now.\"")))
+  }
+
+  test("oovRate: corpus top-V vocabulary, deterministic tie-break, empty docs") {
+    import spark.implicits._
+    val df = Seq((0L, "a a b"), (1L, "a b c"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.oovRate(df, col("doc_id"), col("text"), vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 3L, 0L, 0.0), (1L, 3L, 1L, 1.0 / 3.0), (2L, 0L, 0L, 0.0)))
+    // all-tied counts: vocab = first V in token order
+    val tied = Seq((0L, "c b"), (1L, "a c"), (2L, "b a")).toDF("doc_id", "text")
+    val out2 = TextAnalysis.oovRate(tied, col("doc_id"), col("text"), vocabSize = 2)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out2 == Seq((0L, 2L, 1L, 0.5), (1L, 2L, 1L, 0.5), (2L, 2L, 0L, 0.0)))
+  }
+
   test("quality metrics on a known sentence") {
     import spark.implicits._
     val df = TextAnalysis.qualityMetrics(
