@@ -220,6 +220,30 @@ object ScaleSmoke {
     val rs = time("rangeShardManifest (64 shards)")(
       graft.operators.Scale.rangeShardManifest(docs, length(col("text")), 64).count())
 
+    // round-7 operators at volume: URL-keyed dedup (canonicalize +
+    // one fp-style shuffle), C4 line filter (map-only), duplicated-
+    // span scrub (window-count shuffle, join-back ∝ true dups), OOV
+    // rate (broadcast vocabulary probe)
+    val urls = docs.select(col("doc_id"),
+      concat(lit("HTTPS://Example.COM:443/site/"),
+        (col("doc_id") % (nDocs / 4).max(1L)).cast("string"),
+        when(col("doc_id") % 4 === 0, lit("?utm_source=feed")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("#frag")).otherwise(lit(""))).as("url"))
+    val ud = time("urlDedup")(
+      Dedup.urlDedup(urls, col("doc_id"), col("url")).count())
+    val multiline = docs.select(col("doc_id"),
+      concat(col("text"), lit(".\n"), col("text")).as("text"))
+    val c4 = time("c4LineFilter (2-line docs, 1 junk line)")(
+      TextAnalysis.c4LineFilter(multiline, col("doc_id"), col("text"))
+        .agg(sum("n_kept")).head().getLong(0))
+    val rd = time("removeDuplicateSpans (k=13, hashed keys)")(
+      Dedup.removeDuplicateSpans(docs, col("doc_id"), col("text"), k = 13,
+        hashKeys = true)
+        .agg(sum("n_removed")).head().getLong(0))
+    val ov = time("oovRate (V=1000)")(
+      TextAnalysis.oovRate(docs, col("doc_id"), col("text"), vocabSize = 1000)
+        .where(col("n_oov") > 0).count())
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -233,6 +257,7 @@ object ScaleSmoke {
       s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
       s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
       s"incNearDups=$ind rangeShards=$rs " +
+      s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

@@ -218,39 +218,55 @@ object Dedup {
     * Scale shape: the window-occurrence count is map-side-combined
     * (hot boilerplate collapses before its reducer); only DUPLICATED
     * windows join back (shuffle ∝ true duplication, not corpus size);
-    * covered positions aggregate as skinny (doc_id, int) rows; and the
-    * final left join is the only place document tokens meet the
-    * covered sets — docs sharded by id on both sides, text crossing
-    * that one exchange. The cut itself is a per-row array filter.
+    * only dup-window START positions aggregate per doc (one skinny
+    * int per duplicated window — the k-fold covered-position explode
+    * never happens; coverage is reconstructed in the final projection
+    * from `p <= i < p + k`); and the final left join is the only
+    * place document tokens meet the covered sets — docs sharded by id
+    * on both sides, text crossing that one exchange. The cut itself
+    * is a per-row array filter.
+    *
+    * `hashKeys=false` (default) keys both exchanges with the window
+    * STRINGS — engine-exact for oracle parity. `hashKeys=true` keys
+    * them with the native codegen'd `window_hashes` 8-byte values
+    * (same tokenization, no strings on any exchange) — the
+    * corpus-scale path, identical output barring a 2^-64-per-pair
+    * collision (the spec pins equality on a real corpus).
     */
-  def removeDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+  def removeDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
+      hashKeys: Boolean = false): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     val toksC = col("__toks")
     val docs = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
-    val wins = docs.select(col("doc_id"),
-      posexplode(when(size(toksC) >= k,
-          transform(sequence(lit(0), size(toksC) - k),
-            i => lower(concat_ws(" ", slice(toksC, i + lit(1), lit(k))))))
-        .otherwise(array().cast("array<string>"))))
-      .toDF("doc_id", "p", "win")
+    val wins =
+      if (hashKeys)
+        docs.select(col("doc_id"),
+          posexplode(graft.functions.MinHash.windowHashes(concat_ws(" ", toksC), k)))
+          .toDF("doc_id", "p", "win")
+      else docs.select(col("doc_id"),
+        posexplode(when(size(toksC) >= k,
+            transform(sequence(lit(0), size(toksC) - k),
+              i => lower(concat_ws(" ", slice(toksC, i + lit(1), lit(k))))))
+          .otherwise(array().cast("array<string>"))))
+        .toDF("doc_id", "p", "win")
     val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") > 1)
       .select(col("win"))
     val covered = wins.join(dups, "win")
-      .select(col("doc_id"), explode(sequence(col("p"), col("p") + lit(k - 1))).as("tp"))
       .groupBy("doc_id")
-      .agg(collect_set(col("tp")).as("__cov"))
+      .agg(collect_set(col("p")).as("__ps"))
+    val kept = filter(
+      transform(toksC, (t, i) => struct(t.as("t"), i.as("i"))),
+      s => col("__ps").isNull ||
+        !exists(col("__ps"), p =>
+          p <= s.getField("i") && s.getField("i") < p + lit(k)))
     docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), toksC, kept.as("__kept"))
       .select(col("doc_id"),
         size(toksC).cast("long").as("n_tokens"),
-        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"),
-        array_join(
-          transform(
-            filter(
-              transform(toksC, (t, i) => struct(t.as("t"), i.as("i"))),
-              s => col("__cov").isNull ||
-                !array_contains(col("__cov"), s.getField("i"))),
-            s => s.getField("t")), " ").as("cleaned_text"))
+        (size(toksC) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"), s => s.getField("t")), " ")
+          .as("cleaned_text"))
   }
 
   /** Shingles pre-hashed to 64-bit values: set operations (jaccard,

@@ -96,6 +96,12 @@ class DedupSpec extends SparkTestBase {
       (2L, 3L, 0L, "u v w"),
       (3L, 2L, 0L, "s t"),
       (4L, 7L, 6L, "z")))
+    // hashed-key scale path: identical output
+    val hashed = Dedup.removeDuplicateSpans(df, col("doc_id"), col("text"), k = 3,
+      hashKeys = true)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hashed == out)
   }
 
   test("incrementalDedup keeps only fingerprints unseen in the known set") {

@@ -89,6 +89,48 @@ class DblpEndToEndSpec extends SparkTestBase {
     }
   }
 
+  test("--dirs (distributed multi-part) output carries the same content as single-file") {
+    // the 100 TB path: partition-parallel unsorted writes; parity =
+    // same LINE SETS per table (ids are assigned before the write and
+    // don't depend on the output mode — only file order does)
+    val dirsOut = Files.createTempDirectory("dblp_e2e_dirs").toString
+    val small = DblpGen.records(3000, seed = 13L).toVector
+    val dir2 = Files.createTempDirectory("dblp_e2e_dirs_in")
+    val (xml, dtd) = DblpGen.writeCorpus(dir2, small)
+    val res = XmlToCsv.run(spark, XmlToCsv.Config(
+      xmlFile = xml, dtdFile = dtd, outputFile = s"$dirsOut/out.csv",
+      annotate = true, neo4j = true, validate = true, relations = relations,
+      singleFile = false))
+    val expSmall = DblpGen.expected(small, relations)
+    assert(res.recordCounts == expSmall.counts)
+    def dirLines(path: String): Seq[String] = {
+      val d = Paths.get(path)
+      assert(Files.isDirectory(d), s"$path should be a part directory in --dirs mode")
+      val stream = Files.list(d)
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala.toSeq
+          .filter(_.getFileName.toString.startsWith("part-"))
+          .flatMap(p => new String(Files.readAllBytes(p), "UTF-8").split("\n", -1).filter(_.nonEmpty))
+      } finally stream.close()
+    }
+    expSmall.schema.keySet.foreach { t =>
+      val expected = expSmall.dataCsv(t).split("\n", -1).filter(_.nonEmpty).toSeq.sorted
+      assert(dirLines(s"$dirsOut/out_$t.csv").sorted == expected, s"out_$t.csv content")
+      // annotated header sidecar identical to single-file mode
+      assert(read(s"$dirsOut/out_${t}_header.csv") == expSmall.headerCsv(t), s"header $t")
+    }
+    relations.foreach { case (attr, rel) =>
+      // dirs mode: header line lives in a sidecar, not the data files
+      val expNodes = expSmall.relationCsv(attr).split("\n", -1).filter(_.nonEmpty).toSeq
+      assert(dirLines(s"$dirsOut/out_$attr.csv").sorted == expNodes.tail.sorted, s"nodes $attr")
+      assert(read(s"$dirsOut/out_${attr}_header.csv") == expNodes.head, s"node header $attr")
+      val expEdges = expSmall.relationCsv(s"${attr}_$rel").split("\n", -1).filter(_.nonEmpty).toSeq
+      assert(dirLines(s"$dirsOut/out_${attr}_$rel.csv").sorted == expEdges.tail.sorted, s"edges $attr")
+      assert(read(s"$dirsOut/out_${attr}_${rel}_header.csv") == expEdges.head, s"edge header $attr")
+    }
+  }
+
   test("neo4j import script covers every type and relation") {
     result
     val sh = read(s"$outDir/neo4j_import.sh")
