@@ -12,11 +12,14 @@ import org.apache.spark.sql.SparkSession
   * the reference's actual workload shape (multi-GB dblp.xml,
   * /root/reference/README.md).
   *
-  * Usage: runMain graft.dev.DblpSmoke [nRecords]
+  * Usage: runMain graft.dev.DblpSmoke [nRecords] [dirs]
+  * ("dirs" = partition-parallel multi-part output, the scale path,
+  * instead of the byte-golden single-file mode)
   */
 object DblpSmoke {
   def main(args: Array[String]): Unit = {
     val n = if (args.nonEmpty) args(0).toInt else 200000
+    val dirs = args.contains("dirs")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -33,11 +36,13 @@ object DblpSmoke {
     val result = graft.xml.XmlToCsv.run(spark, graft.xml.XmlToCsv.Config(
       xmlFile = xml, dtdFile = dtd, outputFile = s"$outDir/out.csv",
       annotate = true, neo4j = true, validate = true,
+      singleFile = !dirs,
       relations = Seq("author" -> "authored_by", "cite" -> "cites")))
     val secs = (System.nanoTime() - t1) / 1e9
     val total = result.recordCounts.values.sum
     require(total == n, s"record count mismatch: $total vs $n")
-    println(f"TIME full pipeline (annotate+neo4j+validate+2 relations): $secs%.1fs")
+    val mode = if (dirs) "dirs" else "single-file"
+    println(f"TIME full pipeline ($mode, annotate+neo4j+validate+2 relations): $secs%.1fs")
     println(f"RESULT n=$n xmlMB=${xmlBytes / 1e6}%.1f throughputMBs=${xmlBytes / 1e6 / secs}%.2f " +
       f"recordsPerSec=${n / secs}%.0f " +
       result.recordCounts.toSeq.sortBy(_._1).map { case (t, c) => s"$t=$c" }.mkString(" "))

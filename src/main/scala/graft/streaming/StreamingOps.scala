@@ -130,6 +130,36 @@ object StreamingOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Streaming URL-keyed dedup — the crawl-ingest counterpart of
+    * [[graft.operators.Dedup.urlDedup]]: emit each document the FIRST
+    * time its canonical URL arrives; later spellings of the same page
+    * (case, default port, fragment, tracking params, trailing slash)
+    * are dropped. Canonicalization runs relationally (codegen'd regex
+    * chain) BEFORE the stateful step, so state holds one boolean per
+    * canonical URL — never the document. Within a batch, ties go to
+    * the smallest doc id. Same state-TTL note as
+    * [[streamingExactDedup]].
+    */
+  def streamingUrlDedup(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"),
+        graft.operators.TextAnalysis.canonicalizeUrl(col("url")).as("cu"))
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (cu: String, rows: Iterator[(Long, String)], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single((rows.minBy(_._1)._1, cu))
+          }
+      }
+      .toDF("doc_id", "canonical_url")
+  }
+
   // ------------------------------------------------------------------
   // Stream-static composition
   // ------------------------------------------------------------------

@@ -145,6 +145,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingUrlDedup: first canonical-URL arrival wins across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val deduped = StreamingOps.streamingUrlDedup(mem.toDF().toDF("doc_id", "url"))
+    val q = deduped.writeStream.format("memory").queryName("streamurldedup")
+      .outputMode("append").start()
+    try {
+      // batch 1: two spellings of the same page arrive together
+      // (smallest id wins), one distinct page
+      mem.addData(
+        (1L, "HTTPS://Example.COM:443/x?utm_source=a"),
+        (0L, "https://example.com/x/"),
+        (2L, "https://example.com/y"))
+      q.processAllAvailable()
+      // batch 2: a third spelling (dropped — state remembers the
+      // canonical URL), one new page
+      mem.addData((5L, "https://example.com/x#top"), (6L, "https://example.com/z"))
+      q.processAllAvailable()
+      val emitted = spark.table("streamurldedup")
+        .as[(Long, String)].collect().toSet
+      assert(emitted == Set(
+        (0L, "https://example.com/x"),
+        (2L, "https://example.com/y"),
+        (6L, "https://example.com/z")))
+    } finally q.stop()
+  }
+
   test("enrichWithStatic joins a stream against a broadcast dimension in append mode") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
