@@ -334,6 +334,18 @@ object XmlRecords {
 
     val dtdB = spark.sparkContext.broadcast(dtd)
     val rootClose = s"</$root>"
+    // sharded input (a glob of self-contained dump files): the chunk
+    // holding one file's LAST record also swallows the NEXT file's
+    // prolog + root-open lines (they precede the next record start).
+    // Strip FULL-LINE prolog/root markers before the parse — a
+    // full-line-only match cannot mask the mid-line record start the
+    // corrupted-split guard exists to catch. java Pattern is
+    // serializable, so the compiled form ships in the task closure.
+    val interFileNoise = java.util.regex.Pattern.compile(
+      "(?m)^\\s*(<\\?xml[^>]*\\?>|<!DOCTYPE[^>]*>|<" +
+        java.util.regex.Pattern.quote(root) + "(\\s[^>]*)?>)\\s*$")
+    def sanitizeChunk(chunk: String): String =
+      interFileNoise.matcher(chunk.replace(rootClose, "")).replaceAll("")
     val nStartsB = spark.sparkContext.broadcast(frags.map(f => f._1 -> f._4).toMap)
 
     // job 3 (the data pass): parse records fully contained in their
@@ -349,7 +361,7 @@ object XmlRecords {
       def flush(): Unit =
         if (chunk != null) {
           tryParse(dtdB.value,
-            dtdB.value.expandEntities(chunk.toString.replace(rootClose, "")),
+            dtdB.value.expandEntities(sanitizeChunk(chunk.toString)),
             (pi.toLong << 40) | ordinal).foreach(out += _)
           chunk = null
         }
@@ -387,7 +399,7 @@ object XmlRecords {
 
     val boundaryRdd = spark.sparkContext.parallelize(boundaries.result(), 1)
       .flatMap { case (pos, text) =>
-        tryParse(dtdB.value, dtdB.value.expandEntities(text.replace(rootClose, "")), pos)
+        tryParse(dtdB.value, dtdB.value.expandEntities(sanitizeChunk(text)), pos)
       }
 
     val rows = inner.union(boundaryRdd).map { r =>

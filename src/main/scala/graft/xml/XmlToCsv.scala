@@ -212,7 +212,11 @@ object XmlToCsv {
   }
 
   private def validate(config: Config): Unit = {
-    require(Files.exists(Paths.get(config.xmlFile)), s"XML file not found: ${config.xmlFile}")
+    // a glob (sharded dump: "shards/part-*.xml") is resolved by the
+    // Hadoop reader, which raises its own clear error on zero matches
+    val isGlob = config.xmlFile.exists(c => "*?[{".contains(c))
+    require(isGlob || Files.exists(Paths.get(config.xmlFile)),
+      s"XML file not found: ${config.xmlFile}")
     require(Files.exists(Paths.get(config.dtdFile)), s"DTD file not found: ${config.dtdFile}")
     val attrs = config.relations.map(_._1)
     val rels = config.relations.map(_._2)

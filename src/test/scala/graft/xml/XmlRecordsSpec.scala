@@ -44,6 +44,31 @@ class XmlRecordsSpec extends SparkTestBase {
     assert(sorted.map(_.attrs("key")).toSeq == (0 until 200).map(i => s"k/$i"))
   }
 
+  test("sharded input: a glob of shard files reads as one corpus in file order") {
+    // the 100 TB input shape — a dump split into self-contained shard
+    // files (each with its own declaration + root), read via the
+    // textFile glob. Each shard's depth profile is self-closing, so
+    // the cross-partition prefix sum needs no per-file special case;
+    // record numbering follows file order (lexicographic) then offset.
+    val dir = Files.createTempDirectory("xmlshards")
+    def writeShard(name: String, from: Int, until: Int): Unit = {
+      val sb = new StringBuilder("<?xml version=\"1.0\"?>\n<dblp>\n")
+      (from until until).foreach { i =>
+        sb.append(s"""<article key="k/$i">\n<title>t $i</title>\n</article>\n""")
+      }
+      sb.append("</dblp>\n")
+      Files.write(dir.resolve(name), sb.toString.getBytes("UTF-8"))
+    }
+    writeShard("shard-00.xml", 0, 70)
+    writeShard("shard-01.xml", 70, 150)
+    writeShard("shard-02.xml", 150, 200)
+    val records = XmlRecords.read(spark, s"$dir/shard-*.xml", dtd, minPartitions = 8)
+      .collect()
+    assert(records.length == 200)
+    val sorted = records.sortBy(_.pos).map(_.attrs("key")).toSeq
+    assert(sorted == (0 until 200).map(i => s"k/$i"))
+  }
+
   test("top-level vocabulary element is a record; nested one is a child") {
     val f = Files.createTempFile("xmlrec2", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\">\n<author>inner</author>\n</article>\n" +

@@ -41,6 +41,33 @@ class XmlToCsvSpec extends SparkTestBase {
       .foreach { f => assert(read(s"$vDir/$f") == read(s"$outDir/$f"), f) }
   }
 
+  test("sharded glob input produces byte-identical output to the single file") {
+    result // force the single-file golden run first
+    // split the fixture at a record boundary into two self-contained
+    // shard files (each with its own prolog + root), run over the glob
+    val full = read("src/test/resources/mini.xml").split("\n").toSeq
+    val splitAt = full.indexWhere(_.startsWith("<book")) // boundary between records
+    val prolog = Seq("<?xml version=\"1.0\" encoding=\"UTF-8\"?>",
+      "<!DOCTYPE dblp SYSTEM \"mini.dtd\">", "<dblp>")
+    val shardDir = Files.createTempDirectory("xmlshard_e2e")
+    Files.write(shardDir.resolve("shard-00.xml"),
+      (full.take(splitAt) :+ "</dblp>").mkString("\n").getBytes("UTF-8"))
+    Files.write(shardDir.resolve("shard-01.xml"),
+      (prolog ++ full.drop(splitAt)).mkString("\n").getBytes("UTF-8"))
+    val gDir = Files.createTempDirectory("xmltocsv_glob").toString
+    XmlToCsv.run(spark, XmlToCsv.Config(
+      xmlFile = s"$shardDir/shard-*.xml",
+      dtdFile = "src/test/resources/mini.dtd",
+      outputFile = s"$gDir/out.csv",
+      annotate = true, neo4j = true,
+      relations = Seq("author" -> "authored_by", "cite" -> "has_citation")))
+    Seq("out_article.csv", "out_book.csv", "out_phdthesis.csv",
+      "out_article_header.csv", "out_book_header.csv", "out_phdthesis_header.csv",
+      "out_author.csv", "out_author_authored_by.csv",
+      "out_cite.csv", "out_cite_has_citation.csv")
+      .foreach { f => assert(read(s"$gDir/$f") == read(s"$outDir/$f"), f) }
+  }
+
   test("schema inference: per-type sorted columns, empty types dropped") {
     result // force
     assert(result.schema.keySet == Set("article", "book", "phdthesis"))
