@@ -20,6 +20,11 @@ object Annotate {
   /** Per (recordType, column): unified type + array flag, computed in
     * two hash aggregations over the exploded values (map-side partial
     * agg on both), collected driver-side (it is schema metadata).
+    *
+    * The two aggregations are independent scans of the same cache —
+    * submitted CONCURRENTLY so the array-flag pass overlaps the
+    * type-mask pass (the caller materializes `exploded` first, so the
+    * parallel first touch cannot double-compute it).
     */
   def columnMeta(exploded: DataFrame): Map[(String, String), ColumnMeta] = {
     // two flat aggregations beat one nested one: the type set needs no
@@ -30,23 +35,24 @@ object Annotate {
     // bit_or mask aggregation instead of collect_set arrays; built as
     // a Column directly so no function-registry mutation is needed
     import org.apache.spark.sql.graftbridge.ColumnBridge
+    import scala.collection.parallel.CollectionConverters._
     val inferred = ColumnBridge.column(
       graft.functions.InferType(ColumnBridge.expression(col("value"))))
-    val types = exploded
+    val typesDf = exploded
       .select(col("recordType"), col("col_name"),
         TypeInference.typeBit(inferred).as("bit"))
       .groupBy("recordType", "col_name")
       .agg(TypeInference.unifyTypeMask(bit_or(col("bit"))).as("unified"))
-      .collect()
-      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
-    val arrays = exploded
+    val arraysDf = exploded
       .groupBy("recordType", "pos", "col_name")
       .agg(count(lit(1)).as("nvals"))
       .groupBy("recordType", "col_name")
       .agg(max(col("nvals")).as("max_vals"))
       .where(col("max_vals") > 1)
-      .collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
+    val Seq(typesRows, arrayRows) = Seq(typesDf, arraysDf).par.map(_.collect()).seq.toSeq
+    val types = typesRows
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val arrays = arrayRows.map(r => (r.getString(0), r.getString(1))).toSet
     types.map { case (k, t) => k -> ColumnMeta(t, arrays.contains(k)) }
   }
 

@@ -107,11 +107,16 @@ object XmlToCsv {
           CsvSink.writeDir(df, s"${stem}_$t$ext", header = !annotate)
       })
 
-      // one exploded-values pass shared by annotation and relations
+      // one exploded-values pass shared by annotation and relations —
+      // materialized eagerly because both consumers submit concurrent
+      // jobs over it (a parallel first touch would double-compute)
       val needExploded = annotate || config.relations.nonEmpty
       val exploded =
-        if (needExploded) timed("explodedValues")(Flatten.explodedValues(records, schema).persist())
-        else null
+        if (needExploded) timed("explodedValues") {
+          val e = Flatten.explodedValues(records, schema).persist()
+          e.count()
+          e
+        } else null
 
       // A2-A4 + W3: annotated header sidecars (single line, no
       // trailing newline — XMLToCSV.py:304-305)
