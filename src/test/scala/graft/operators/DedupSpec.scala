@@ -102,6 +102,20 @@ class DedupSpec extends SparkTestBase {
       .orderBy("doc_id")
       .as[(Long, Long, Long, String)].collect().toSeq
     assert(hashed == out)
+    // consistency with the detection signal (q83's operator): a doc
+    // loses tokens iff duplicateSpans reports dup windows for it. A
+    // second pass is a no-op HERE because no survivor has k tokens —
+    // in general cuts can make remnants coincide, so removal is
+    // convergent (re-run until clean), not one-shot idempotent.
+    val flagged = Dedup.duplicateSpans(df, col("doc_id"), col("text"), k = 3)
+      .where(col("n_dup_windows") > 0).select("doc_id").as[Long].collect().toSet
+    assert(out.filter(_._3 > 0).map(_._1).toSet == flagged)
+    val again = Dedup.removeDuplicateSpans(
+      Dedup.removeDuplicateSpans(df, col("doc_id"), col("text"), k = 3)
+        .select(col("doc_id"), col("cleaned_text").as("text")),
+      col("doc_id"), col("text"), k = 3)
+      .as[(Long, Long, Long, String)].collect()
+    assert(again.forall(_._3 == 0L), s"second pass removed tokens: ${again.mkString(",")}")
   }
 
   test("incrementalDedup keeps only fingerprints unseen in the known set") {

@@ -69,6 +69,28 @@ class XmlRecordsSpec extends SparkTestBase {
     assert(sorted == (0 until 200).map(i => s"k/$i"))
   }
 
+  test("sharded input: layout=record reads the same corpus per-file") {
+    val dir = Files.createTempDirectory("xmlshards_rec")
+    def writeShard(name: String, from: Int, until: Int): Unit = {
+      val sb = new StringBuilder("<?xml version=\"1.0\"?>\n<dblp>\n")
+      (from until until).foreach { i =>
+        sb.append(s"""<article key="k/$i"><title>t $i</title></article>\n""")
+      }
+      sb.append("</dblp>\n")
+      Files.write(dir.resolve(name), sb.toString.getBytes("UTF-8"))
+    }
+    writeShard("s0.xml", 0, 40)
+    writeShard("s1.xml", 40, 100)
+    val records = XmlRecords.readRows(spark, s"$dir/s*.xml", dtd, layout = "record")
+      .collect()
+    assert(records.length == 100)
+    // pos embeds (file ordinal << 40 | in-file ordinal): sorted pos
+    // order == file order then document order
+    val keys = records.sortBy(_.getLong(1))
+      .map(_.getMap[String, String](2).get("key").orNull).toSeq
+    assert(keys == (0 until 100).map(i => s"k/$i"))
+  }
+
   test("top-level vocabulary element is a record; nested one is a child") {
     val f = Files.createTempFile("xmlrec2", ".xml")
     Files.write(f, ("<dblp>\n<article key=\"a\">\n<author>inner</author>\n</article>\n" +
