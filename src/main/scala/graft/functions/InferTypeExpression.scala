@@ -150,6 +150,7 @@ object GraftExtensions {
     fn("portable_minhash_sig", classOf[PortableMinhashSig], MinHash.portableMinhashSigBuilder),
     fn("simhash60_md5", classOf[SimHash60Md5], MinHash.simhash60md5Builder),
     fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder),
+    fn("vec_quantize_int8", classOf[VecQuantizeInt8], VecOps.vecQuantizeInt8Builder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
 

@@ -222,10 +222,27 @@ object Similarity {
     * dequantization because cosine is per-vector-scale invariant.
     * Zero vectors quantize to all-zero with qscale 0. Returns
     * (id, qvec array<int>, qscale); reconstruct as qvec/qscale.
-    * The transform() lambdas are CodegenFallback but run once per
-    * vector at quantization time, never per candidate pair.
+    *
+    * Uses the native codegen'd
+    * [[graft.functions.VecQuantizeInt8]] expression: the declarative
+    * form ([[quantizeInt8Declarative]], kept as the equivalence
+    * baseline) had its scale column inlined by CollapseProject into the
+    * per-element transform lambda — O(d²) interpreted work per vector.
     */
   def quantizeInt8(df: DataFrame, id: Column, vec: Column): DataFrame = {
+    val q = graft.functions.VecOps.quantizeInt8(vec)
+    df.select(id.as("id"),
+      q.getField("qvec").as("qvec"), q.getField("qscale").as("qscale"))
+  }
+
+  /** The built-ins-only quantization formulation — identical arithmetic
+    * to [[quantizeInt8]] (SimilaritySpec pins the equivalence), but a
+    * pathological executed plan: CollapseProject inlines `scale` (which
+    * itself contains an O(d) array_max pass) into the per-element
+    * lambda body, recomputing it for every element. Kept only as the
+    * oracle-shaped baseline the native expression is tested against.
+    */
+  def quantizeInt8Declarative(df: DataFrame, id: Column, vec: Column): DataFrame = {
     val mx = array_max(transform(vec, x => abs(x.cast("double"))))
     val scale = when(mx > 0.0, lit(127.0) / mx).otherwise(lit(0.0))
     df.select(id.as("id"),

@@ -96,6 +96,33 @@ class SimilaritySpec extends SparkTestBase {
     assert(q(1).getAs[Double]("qscale") == 0.0)
   }
 
+  test("quantizeInt8 native expression is value-identical to the declarative baseline") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq(2.0f, -4.0f, 1.0f, 0.5f)),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(-0.1f, 0.3f, -0.7f, 0.70001f)),
+      (3L, Seq[Float]()),
+      (4L, Seq(1e-8f, -1e-8f, 5e-9f, 0.0f))).toDF("id", "vec")
+    val native = Similarity.quantizeInt8(df, col("id"), col("vec"))
+      .orderBy("id").collect().toSeq
+    val decl = Similarity.quantizeInt8Declarative(df, col("id"), col("vec"))
+      .orderBy("id").collect().toSeq
+    native.zip(decl).foreach { case (n, d) =>
+      assert(n.getAs[scala.collection.Seq[Int]]("qvec").toSeq ==
+        d.getAs[scala.collection.Seq[Int]]("qvec").toSeq, s"qvec for id ${n.getLong(0)}")
+      assert(n.getAs[Double]("qscale") == d.getAs[Double]("qscale"), s"qscale for id ${n.getLong(0)}")
+    }
+    // double input path too
+    val dd = df.select(col("id"), col("vec").cast("array<double>").as("vec"))
+    val nativeD = Similarity.quantizeInt8(dd, col("id"), col("vec"))
+      .orderBy("id").collect().toSeq
+    native.zip(nativeD).foreach { case (f, d) =>
+      assert(f.getAs[scala.collection.Seq[Int]]("qvec").toSeq ==
+        d.getAs[scala.collection.Seq[Int]]("qvec").toSeq)
+    }
+  }
+
   test("quantizedTopK agrees with bruteForceTopK on well-separated vectors") {
     import spark.implicits._
     val corpus = Seq(
