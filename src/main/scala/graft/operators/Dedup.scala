@@ -513,10 +513,13 @@ object Dedup {
   /** MinHash-LSH near-dups, engine-portable variant: identical
     * pipeline shape to [[minhashNearDups]] (band → bucket self-join →
     * exact-jaccard verify, same hot-bucket anti-join skew guard), but
-    * signatures come from [[portableHash60]] and band keys are the
-    * literal signature slices (comma-joined) rather than an xxhash64
-    * of them — so an external engine replicates the ENTIRE pipeline,
-    * candidates included, value-for-value. This is what makes the
+    * signatures come from [[portableHash60]], so an external engine
+    * replicates the signatures value-for-value. Band keys are an
+    * xxhash64 of the rendered (comma-joined) signature slice: bucket
+    * EQUALITY is hash-of-slice equality, which coincides with the
+    * oracle's literal slice equality up to 2^-64 collisions — and a
+    * colliding non-equal pair is discarded by the exact-jaccard verify
+    * unless it is a true near-dup anyway. This is what makes the
     * operator end-to-end oracle-checkable (q21), and what a persisted
     * signature release needs anyway.
     */

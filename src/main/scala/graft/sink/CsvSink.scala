@@ -20,8 +20,12 @@ import org.apache.spark.sql.DataFrame
   *  - `writeSingleFile`: distributed write then a driver-side merge of
   *    the parts into one exact file, optionally prepending a header
   *    line — byte-parity with the reference's single-file outputs.
-  *    Parts are merged in name order, which is partition order, so a
-  *    sorted DataFrame stays sorted.
+  *    Parts are merged by ascending partition index, which is the
+  *    DataFrame's partition order. PRECONDITION for ordered output:
+  *    the caller must pass a df whose partition order IS the desired
+  *    row order (e.g. range-partitioned by a sort, or a cached df
+  *    whose partitions were built in order) — the merge preserves
+  *    partition order, it does not sort rows.
   */
 object CsvSink {
 
@@ -64,8 +68,11 @@ object CsvSink {
           val it = stream.iterator()
           val buf = scala.collection.mutable.ArrayBuffer.empty[Path]
           while (it.hasNext) buf += it.next()
+          // sort by the PARSED partition index, not the raw name: a
+          // lexicographic name sort mis-orders once the index width
+          // overflows its zero-padding (part-100000 < part-99999)
           buf.filter(_.getFileName.toString.startsWith("part-"))
-            .sortBy(_.getFileName.toString)
+            .sortBy(p => partIndex(p.getFileName.toString))
         } finally stream.close()
       parts.foreach { p =>
         val in = new BufferedInputStream(new FileInputStream(p.toFile))
@@ -77,6 +84,17 @@ object CsvSink {
       }
     } finally out.close()
     deleteRecursively(Paths.get(tmp))
+  }
+
+  /** Partition index from a Spark part-file name
+    * (`part-<idx>-<uuid>…` → idx). Files that don't parse sort last,
+    * tie-broken by name, so an unexpected layout still merges
+    * deterministically.
+    */
+  private[sink] def partIndex(name: String): (Long, String) = {
+    val rest = name.stripPrefix("part-")
+    val digits = rest.takeWhile(_.isDigit)
+    (if (digits.isEmpty) Long.MaxValue else digits.toLong, name)
   }
 
   private def deleteRecursively(p: Path): Unit = {
