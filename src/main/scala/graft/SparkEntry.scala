@@ -226,12 +226,14 @@ object SparkEntry {
       .orderBy("event_type")
 
   private def qApproxDistinct(s: SparkSession, dir: String): DataFrame =
-    // HLL sketch — engine-specific estimate, so no DuckDB oracle (the
-    // driver records a rows-only check); correctness is bounded vs the
-    // exact count in the unit tests.
-    t(s, dir, "events")
-      .groupBy("event_type")
-      .agg(approx_count_distinct("user_id").as("approx_users"))
+    // HLL sketch certified against the exact count: the output carries
+    // the exact side plus a within-3-sigma boolean (the estimate never
+    // leaves the plan), so the query is fully DuckDB-oracle-checkable —
+    // the oracle computes the exact count and the trivially-true bound,
+    // and a drifting sketch would flip the boolean and hash-mismatch.
+    graft.operators.Profiling.approxDistinctCertify(
+      t(s, dir, "events"), col("event_type"), col("user_id"))
+      .withColumnRenamed("key", "event_type")
       .orderBy("event_type")
 
   private def qRollup(s: SparkSession, dir: String): DataFrame =
@@ -767,12 +769,14 @@ object SparkEntry {
       .withColumnRenamed("key", "user_id")
       .orderBy("user_id", "session_idx")
 
-  /** Sketch-family quantiles (rows-only: engine-specific summary;
-    * rank-error gate lives in ProfilingSpec against exact
-    * percentile).
+  /** Sketch-family quantiles, certified: per group the approx value's
+    * exact rank must sit inside the GK guarantee window, and only the
+    * exact side (n) plus the booleans reach the output — fully
+    * oracle-checkable (the rank-error gate in ProfilingSpec stays as
+    * the unit-level bound on the raw values).
     */
   private def qApproxQuantile(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Profiling.approxQuantiles(
+    graft.operators.Profiling.approxQuantilesCertify(
       t(s, dir, "lineitem"), col("l_returnflag"), col("l_quantity"),
       qs = Seq(0.5, 0.9, 0.99))
       .orderBy("key")
@@ -1558,6 +1562,16 @@ object SparkEntry {
         """SELECT event_type, count(DISTINCT user_id) AS n_users
           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+      // sketch certification: the Spark side computes the HLL estimate
+      // and asserts |approx - exact| <= 0.15*exact; only the exact
+      // count and the boolean reach the output, so the oracle is the
+      // exact side plus the trivially-true bound — a drifting sketch
+      // flips the Spark boolean and hash-mismatches
+      "q16_approx_distinct" ->
+        """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+          | TRUE AS within_bound
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
       "q17_rollup" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
           | coalesce(l_linestatus, 'ALL') AS linestatus,
@@ -2186,6 +2200,13 @@ object SparkEntry {
           |SELECT source, doc_id, epoch::BIGINT AS epoch,
           | (((doc_id % 1000000007) * 2654435761) % 1000000007 + epoch) * 2654435761 % 1000000007 AS mix_key
           |FROM x ORDER BY mix_key, source, doc_id, epoch""".stripMargin,
+
+      // sketch certification (see q16): only the exact per-group count
+      // and the rank-window booleans reach the output
+      "q94_approx_quantile" ->
+        """SELECT l_returnflag AS key, count(l_quantity)::BIGINT AS n,
+          | TRUE AS within_p50, TRUE AS within_p90, TRUE AS within_p99
+          |FROM lineitem GROUP BY l_returnflag ORDER BY key""".stripMargin,
 
       // q91's oracle verbatim: the bucketed variant must produce the
       // identical sessions (same contract as q66 vs q49)

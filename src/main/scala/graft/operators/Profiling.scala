@@ -64,4 +64,61 @@ object Profiling {
         element_at(col("qv"), i + 1).as(names(i))
       }: _*)
   }
+
+  /** Sketch CERTIFICATION: per-group HLL estimate asserted against the
+    * exact distinct count. Output is (key, n_exact, within_bound) —
+    * engine-independent (the estimate itself never leaves the plan), so
+    * an external engine oracle-checks it by computing the exact side
+    * and the trivially-true bound. `margin` defaults to 3× Spark's
+    * default HLL rsd (0.05): a 3-sigma relative-error bound that a
+    * healthy sketch satisfies deterministically for a fixed input.
+    *
+    * Scale shape: ONE shuffle — both aggregates partial-combine
+    * map-side. The exact countDistinct is the certification cost (the
+    * production path is the sketch alone); at 100 TB run this on a
+    * sampled or per-partition slice, not the full corpus.
+    */
+  def approxDistinctCertify(
+      df: DataFrame, key: Column, value: Column, margin: Double = 0.15): DataFrame =
+    df.groupBy(key.as("key"))
+      .agg(
+        countDistinct(value).as("n_exact"),
+        approx_count_distinct(value).as("n_approx"))
+      .select(col("key"), col("n_exact"),
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * margin)
+          .as("within_bound"))
+
+  /** Sketch certification for [[approxQuantiles]]: per group and
+    * quantile q, asserts the approx value's exact rank interval
+    * [lt+1, le] intersects the GK guarantee window
+    * q*n ± (n/accuracy + 1). Output (key, n, within_p<q>…) is
+    * engine-independent: the approx values participate only in the
+    * booleans, never in the output, so DuckDB oracle-checks with exact
+    * counts and literal TRUEs.
+    *
+    * Plan: pass 1 aggregates the per-group sketch (map-side combined),
+    * the tiny result broadcasts back onto the data, pass 2 is one more
+    * map-side-combined aggregate counting values under each threshold —
+    * two shuffles of #groups rows each, data rows never shuffle twice.
+    */
+  def approxQuantilesCertify(
+      df: DataFrame, key: Column, value: Column,
+      qs: Seq[Double], accuracy: Int = 10000): DataFrame = {
+    val names = qs.map(q => s"p${(q * 100).round}")
+    val approx = approxQuantiles(df, key, value, qs, accuracy)
+    val in = df.select(key.as("key"), value.cast("double").as("v"))
+    val joined = in.join(broadcast(approx), Seq("key"))
+    val aggs = count(col("v")).as("n") +: names.flatMap { nm =>
+      Seq(
+        sum(when(col("v") < col(nm), 1L).otherwise(0L)).as(s"${nm}_lt"),
+        sum(when(col("v") <= col(nm), 1L).otherwise(0L)).as(s"${nm}_le"))
+    }
+    joined.groupBy("key").agg(aggs.head, aggs.tail: _*)
+      .select(col("key") +: col("n") +: qs.zip(names).map { case (q, nm) =>
+        val slack = col("n").cast("double") / accuracy + lit(1.0)
+        val target = col("n").cast("double") * q
+        ((col(s"${nm}_le").cast("double") >= target - slack) &&
+          (col(s"${nm}_lt").cast("double") + 1.0 <= target + slack)).as(s"within_$nm")
+      }: _*)
+  }
 }

@@ -59,4 +59,35 @@ class ProfilingSpec extends SparkTestBase {
       assert(rankWindow(0.9, approx(g)._2), s"$g p90=${approx(g)._2} outside rank window")
     }
   }
+
+  test("approxDistinctCertify: bound holds on real data, and is actually computed") {
+    import spark.implicits._
+    val df = (0 until 10000).map(i => (s"g${i % 3}", (i * 7919) % 997)).toDF("g", "u")
+    val out = Profiling.approxDistinctCertify(df, col("g"), col("u"))
+      .orderBy("key").as[(String, Long, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq("g0", "g1", "g2"))
+    assert(out.forall(_._3), s"sketch outside 3-sigma bound: $out")
+    // exact side really is exact
+    val exact = df.select("g", "u").distinct().groupBy("g").count()
+      .orderBy("g").as[(String, Long)].collect().toMap
+    out.foreach { case (g, n, _) => assert(n == exact(g)) }
+    // a negative margin makes the bound unsatisfiable -> booleans flip:
+    // proves within_bound measures the sketch, not a constant
+    val neg = Profiling.approxDistinctCertify(df, col("g"), col("u"), margin = -1.0)
+      .as[(String, Long, Boolean)].collect()
+    assert(neg.forall(!_._3))
+  }
+
+  test("approxQuantilesCertify: rank windows hold per group and n is exact") {
+    import spark.implicits._
+    val df = (0 until 20000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (g == "a") i % 1000 else (i % 100) * (i % 100)
+      (g, v.toLong)
+    }.toDF("g", "v")
+    val out = Profiling.approxQuantilesCertify(df, col("g"), col("v"),
+      Seq(0.5, 0.9, 0.99))
+      .orderBy("key").as[(String, Long, Boolean, Boolean, Boolean)].collect().toSeq
+    assert(out == Seq(("a", 10000L, true, true, true), ("b", 10000L, true, true, true)))
+  }
 }
