@@ -140,11 +140,67 @@ object Dtd {
     *
     * Supported DTD subset: ELEMENT/ATTLIST/ENTITY declarations,
     * general and parameter entities (expanded textually, transitive,
-    * bounded). Not supported (unused by dblp.dtd and the broad class
-    * of data-dump DTDs this engine targets): conditional sections
-    * (`<![INCLUDE[`/`<![IGNORE[`), external parameter entities, and
-    * NOTATION declarations — all parse as inert text.
+    * bounded, loud failure on recursive definitions — which are not
+    * well-formed XML), and conditional sections (`<![INCLUDE[` /
+    * `<![IGNORE[`, including keywords spelled via parameter entities,
+    * `<![%draft;[`, and nested sections inside an ignored span — lxml
+    * honors these under `dtd_validation=True`, XMLToCSV.py:109). Not
+    * supported (unused by dblp.dtd and the broad class of data-dump
+    * DTDs this engine targets): external parameter entities and
+    * NOTATION declarations — both parse as inert text. One documented
+    * divergence: a declaration inside an IGNORE section whose keyword
+    * is itself a parameter entity is visible for one expansion round
+    * before the section resolves (lxml never sees it); literal-keyword
+    * IGNORE sections are dropped before any declaration is read.
     */
+  /** "If the same entity is declared more than once, the first
+    * declaration encountered is binding" (XML 1.0 §4.2) — lxml obeys
+    * this; a plain `ListMap(...: _*)` would be last-wins.
+    */
+  private def firstWins(pairs: Iterator[(String, String)]): ListMap[String, String] =
+    pairs.foldLeft(ListMap.empty[String, String]) { case (acc, (k, v)) =>
+      if (acc.contains(k)) acc else acc.updated(k, v)
+    }
+
+  private val condOpen = """<!\[\s*(INCLUDE|IGNORE)\s*\[""".r
+
+  /** Resolve all conditional sections with a literal keyword:
+    * `<![INCLUDE[ body ]]>` is replaced by its body, `<![IGNORE[ … ]]>`
+    * is dropped. The matching `]]>` is found by bracket counting — per
+    * XML 1.0 §3.4 an ignored span skips over any nested `<![` … `]]>`
+    * pair regardless of keyword, so nested sections inside IGNORE never
+    * leak. Sections whose keyword is an unexpanded parameter-entity
+    * reference (`<![%draft;[`) do not match and are left for the caller
+    * to resolve after `%`-expansion. Terminates: every iteration removes
+    * one section's markup. Spliced INCLUDE bodies are rescanned, so
+    * nesting resolves fully within one call.
+    */
+  private[xml] def resolveConditionals(input: String): String = {
+    var text = input
+    var m = condOpen.findFirstMatchIn(text)
+    while (m.isDefined) {
+      val mm = m.get
+      val bodyStart = mm.end
+      var depth = 1
+      var i = bodyStart
+      var end = -1
+      while (end < 0) {
+        val nextOpen = text.indexOf("<![", i)
+        val nextClose = text.indexOf("]]>", i)
+        if (nextClose < 0)
+          throw new IllegalArgumentException(
+            s"unterminated conditional section `${mm.matched}` in DTD (missing `]]>`)")
+        if (nextOpen >= 0 && nextOpen < nextClose) { depth += 1; i = nextOpen + 3 }
+        else { depth -= 1; if (depth == 0) end = nextClose else i = nextClose + 3 }
+      }
+      val replacement =
+        if (mm.group(1) == "INCLUDE") text.substring(bodyStart, end) else ""
+      text = text.substring(0, mm.start) + replacement + text.substring(end + 3)
+      m = condOpen.findFirstMatchIn(text)
+    }
+    text
+  }
+
   def parse(dtdPath: String, rootOverride: Option[String] = None): Dtd = {
     val text = new String(Files.readAllBytes(Paths.get(dtdPath)), "UTF-8")
     parseString(text, rootOverride)
@@ -169,19 +225,31 @@ object Dtd {
     // (XMLToCSV.py:79-86,109). Expansion is transitive but bounded;
     // unresolvable references are left verbatim (and then rejected by
     // the regular declaration grammar, surfacing the problem).
-    val paramEntities = ListMap(paramEntityDecl.findAllMatchIn(uncommented).map { m =>
-      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
-    }.toSeq: _*)
+    // Conditional sections interleave with the expansion: each round
+    // first resolves sections whose keyword is already literal
+    // (dropping IGNORE bodies BEFORE their declarations are read),
+    // then expands `%name;` references — which may turn `<![%draft;[`
+    // into a literal keyword for the next round.
     var text = uncommented
     var rounds = 0
-    var changed = paramEntities.nonEmpty
+    var changed = true
     while (changed && rounds < 10) { // bounded: DTD parameter-entity chains are shallow
-      val next = paramRef.replaceAllIn(text, m =>
-        Regex.quoteReplacement(paramEntities.getOrElse(m.group(1), m.matched)))
+      val resolved = resolveConditionals(text)
+      val paramEntities = firstWins(paramEntityDecl.findAllMatchIn(resolved).map { m =>
+        m.group(1) -> Option(m.group(2)).getOrElse(m.group(3))
+      })
+      val next =
+        if (paramEntities.isEmpty) resolved
+        else paramRef.replaceAllIn(resolved, m =>
+          Regex.quoteReplacement(paramEntities.getOrElse(m.group(1), m.matched)))
       changed = next != text
       text = next
       rounds += 1
     }
+    if (changed)
+      throw new IllegalArgumentException(
+        "DTD parameter-entity expansion did not reach a fixpoint after 10 rounds — " +
+          "recursive parameter-entity definitions are not well-formed XML")
 
     val elemMatches = elementDecl.findAllMatchIn(text).toVector
     val elems = elemMatches.map(_.group(1))
@@ -189,16 +257,28 @@ object Dtd {
     val root = rootOverride.getOrElse(elems.head)
     val models = elemMatches.map(m => m.group(1) -> m.group(2).trim).toMap
 
-    // entities may reference earlier entities; expand transitively
-    val rawEntities = ListMap(entityDecl.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)).toSeq: _*)
+    // Entities may reference other entities (in either declaration
+    // order — lxml resolves at reference time); expand to a fixpoint so
+    // the map holds fully-substituted replacement text and the runtime
+    // `expandEntities` single pass is exact. Recursive definitions are
+    // a well-formedness error (XML 1.0 §4.1) — fail loudly rather than
+    // ship partially-expanded garbage into the data.
+    val rawEntities = firstWins(entityDecl.findAllMatchIn(text).map(m => m.group(1) -> m.group(2)))
     val entities = rawEntities.map { case (k, v) =>
       var cur = v
       var i = 0
-      while (cur.contains('&') && i < 10) { // bounded: DTD entity chains are shallow
-        cur = entityRef.replaceAllIn(cur, m =>
+      var converged = !cur.contains('&')
+      while (!converged && i < 10) { // bounded: DTD entity chains are shallow
+        val next = entityRef.replaceAllIn(cur, m =>
           Regex.quoteReplacement(rawEntities.getOrElse(m.group(1), m.matched)))
+        converged = next == cur
+        cur = next
         i += 1
       }
+      if (!converged)
+        throw new IllegalArgumentException(
+          s"DTD entity '$k' does not expand to a fixpoint after 10 rounds — " +
+            "recursive entity definitions are not well-formed XML")
       k -> cur
     }
 

@@ -324,6 +324,107 @@ class XmlRecordsSpec extends SparkTestBase {
       .contains("do not match its content model"))
   }
 
+  test("recursive general-entity expansion reaches a fixpoint; cycles fail loudly") {
+    // `reg` references `tm` which is declared LATER — lxml resolves at
+    // reference time, so declaration order must not matter; and the
+    // chain must expand transitively (reg -> tm -> the literal).
+    val d = Dtd.parseString(
+      """<!ELEMENT dblp (article)*>
+        |<!ELEMENT article (#PCDATA)>
+        |<!ENTITY reg "x&tm;y">
+        |<!ENTITY tm "&#8482;">
+        |<!ENTITY deep "[&reg;]">
+        |<!ENTITY amped "a &amp; b">
+        |""".stripMargin)
+    assert(d.entities("reg") == "x&#8482;y")
+    assert(d.entities("deep") == "[x&#8482;y]")
+    // built-ins stay unexpanded for the XML parser; no infinite loop
+    assert(d.entities("amped") == "a &amp; b")
+    // the runtime single pass is exact because the map is pre-expanded
+    assert(d.expandEntities("A &deep; B") == "A [x&#8482;y] B")
+    // a reference cycle is a well-formedness error — loud, not garbage
+    val e = intercept[IllegalArgumentException] {
+      Dtd.parseString(
+        """<!ELEMENT dblp (article)*>
+          |<!ELEMENT article (#PCDATA)>
+          |<!ENTITY a "x&b;">
+          |<!ENTITY b "y&a;">
+          |""".stripMargin)
+    }
+    assert(e.getMessage.contains("recursive entity"))
+  }
+
+  test("DTD conditional sections: INCLUDE splices, IGNORE drops (nested-safe)") {
+    val d = Dtd.parseString(
+      """<!ELEMENT dblp (article)*>
+        |<![INCLUDE[
+        |  <!ELEMENT article (author|note)*>
+        |  <!ELEMENT author (#PCDATA)>
+        |]]>
+        |<![IGNORE[
+        |  <!ELEMENT ghost (#PCDATA)>
+        |  <![INCLUDE[ <!ELEMENT nestedGhost (#PCDATA)> ]]>
+        |  <!ENTITY ghostly "boo">
+        |]]>
+        |<!ELEMENT note (#PCDATA)>
+        |""".stripMargin)
+    assert(d.contentModels("article") == "(author|note)*")
+    assert(d.elements == Set("dblp", "article", "author", "note"))
+    assert(!d.contentModels.contains("ghost") && !d.contentModels.contains("nestedGhost"))
+    assert(!d.entities.contains("ghostly"))
+    // unterminated section is a parse error, not silent truncation
+    val e = intercept[IllegalArgumentException] {
+      Dtd.parseString("<!ELEMENT dblp (a)*>\n<![IGNORE[ <!ELEMENT a (#PCDATA)>")
+    }
+    assert(e.getMessage.contains("unterminated conditional section"))
+  }
+
+  test("conditional-section keyword via parameter entity drives strict validation") {
+    // the XML 1.0 §3.4 draft/final idiom: complementary sections, one
+    // active, selected by flipping two parameter entities
+    def dtdText(draft: String, fin: String) =
+      s"""<!ENTITY % draft "$draft">
+         |<!ENTITY % final "$fin">
+         |<!ELEMENT dblp (article)*>
+         |<![%draft;[ <!ELEMENT article (author|note)*> ]]>
+         |<![%final;[ <!ELEMENT article (author)*> ]]>
+         |<!ELEMENT author (#PCDATA)>
+         |<!ELEMENT note (#PCDATA)>
+         |""".stripMargin
+    val draftD = Dtd.parseString(dtdText("INCLUDE", "IGNORE"))
+    val finalD = Dtd.parseString(dtdText("IGNORE", "INCLUDE"))
+    assert(draftD.contentModels("article") == "(author|note)*")
+    assert(finalD.contentModels("article") == "(author)*")
+    def run(d: graft.xml.Dtd, body: String): Long = {
+      val f = Files.createTempFile("xmlcond", ".xml")
+      Files.write(f, s"<dblp>\n$body\n</dblp>\n".getBytes("UTF-8"))
+      XmlRecords.readRows(spark, f.toString, d, validate = true).count()
+    }
+    // the draft DTD accepts <note>; the final DTD rejects the same doc
+    assert(run(draftD, "<article>\n<note>n</note>\n</article>") == 1)
+    val e = intercept[org.apache.spark.SparkException] {
+      run(finalD, "<article>\n<note>n</note>\n</article>")
+    }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse(""))
+      .contains("do not match its content model"))
+    assert(run(finalD, "<article>\n<author>A</author>\n</article>") == 1)
+  }
+
+  test("first entity declaration is binding (XML 1.0 §4.2) for both kinds") {
+    val d = Dtd.parseString(
+      """<!ENTITY % extra "|note">
+        |<!ENTITY % extra "|ghost">
+        |<!ELEMENT dblp (article)*>
+        |<!ELEMENT article (author%extra;)*>
+        |<!ELEMENT author (#PCDATA)>
+        |<!ELEMENT note (#PCDATA)>
+        |<!ENTITY tm "&#8482;">
+        |<!ENTITY tm "SECOND">
+        |""".stripMargin)
+    assert(d.contentModels("article") == "(author|note)*")
+    assert(d.entities("tm") == "&#8482;")
+  }
+
   test("DTD comments neither contribute declarations nor get %refs; expanded") {
     val d = Dtd.parseString(
       """<!ENTITY % field "author|title">
