@@ -36,6 +36,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // one-time shared-cache builds, priced explicitly (emitted as
+    // build_s) so no query's first rep absorbs them — per-query numbers
+    // then compare across rounds without the cache-placement caveat.
+    // Runs under ONLY-filtered dev loops too, for the same reason.
+    val builds = SparkEntry.buildCaches(spark, sfDir)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
@@ -59,6 +64,8 @@ object Bench {
     val spreads = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + f3(sp) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
+    val buildJson = builds.map { case (k, v) => s"\"$k\":" + f3(v) }.mkString("{", ",", "}")
+    val buildTotal = builds.map(_._2).sum
     val total = results.map(_._2).sum
     val totalFirst = results.map(_._3).sum
     val maxSpread = if (results.isEmpty) 0.0 else results.map(_._4).max
@@ -68,7 +75,7 @@ object Bench {
     // headline fields come AFTER the queries/spread maps:
     // tail-truncation of the log then cuts per-query detail, never the
     // totals or the contention evidence (load averages + max spread).
-    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}""")
+    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -684,8 +684,13 @@ object SparkEntry {
   // instead of re-running k-means + the bucketed write per query batch
   @transient private var ivfBucketedCache: (SparkSession, String, Similarity.IvfIndex) = null
 
-  private def qIvfServeBucketed(s: SparkSession, dir: String): DataFrame = {
-    val served = synchronized {
+  /** Build (or fetch) the persisted bucketed IVF index — the one-time
+    * "index build" side of the build-once/serve-many contract. Shared
+    * by q67 and [[buildCaches]] so Bench can price the build
+    * explicitly instead of the first q67 rep absorbing it.
+    */
+  private def ivfBucketedIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
+    synchronized {
       if (ivfBucketedCache != null && (ivfBucketedCache._1 eq s) && ivfBucketedCache._2 == dir)
         ivfBucketedCache._3
       else {
@@ -706,6 +711,9 @@ object SparkEntry {
         built
       }
     }
+
+  private def qIvfServeBucketed(s: SparkSession, dir: String): DataFrame = {
+    val served = ivfBucketedIndex(s, dir)
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), served, k = 3)
@@ -1290,6 +1298,27 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------- //
+
+  /** Eagerly build the session-memoized one-time caches that several
+    * queries share — the XML parse+flatten tables (q40–q44), the
+    * layout=auto plan (q57), and the persisted bucketed IVF index
+    * (q67) — returning (name, build seconds) in build order. Bench
+    * calls this before the timed reps and emits the costs as explicit
+    * `build_s` entries, so per-query timings measure steady-state
+    * execution instead of whichever query touches a cache first
+    * absorbing its build (the BASELINE.md protocol caveat, now data).
+    * Callers that skip it lose nothing: every cache still builds
+    * lazily on first touch.
+    */
+  def buildCaches(s: SparkSession, dir: String): Seq[(String, Double)] = {
+    def timed(f: => Any): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    Seq(
+      "xml_tables" -> timed(xmlTables(s)),
+      "xml_anylayout" -> timed(qXmlAnyLayout(s, dir)),
+      "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_xml_flatten" -> qXmlFlatten _,
