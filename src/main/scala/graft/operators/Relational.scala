@@ -26,10 +26,23 @@ object Relational {
 
   /** A1 in full: group child rows by a parent key and collapse one
     * column into the reference's "|"-joined sorted cell.
+    *
+    * `spark.graft.collapse.salted=true` switches the SAME contract to
+    * the skew-safe two-phase plan ([[Scale.saltedArrayCollapse]]) —
+    * the q83-hashKeys pattern: one operator, a conf flag selects the
+    * scale plan, output bit-identical (the collapse sorts, so
+    * salt-induced arrival order cannot show). Use it when one hot key
+    * (a mega-author, a tag with millions of children) would otherwise
+    * funnel every value through a single reduce task.
     */
   def arrayCollapse(df: DataFrame, key: Column, value: Column, as: String): DataFrame =
-    df.groupBy(key)
-      .agg(collapseValues(collect_list(value.cast("string"))).as(as))
+    if (df.sparkSession.conf.getOption("spark.graft.collapse.salted").exists(_.toBoolean)) {
+      val keyName = df.select(key).columns.head
+      Scale.saltedArrayCollapse(df, key, value, as)
+        .withColumnRenamed("key", keyName)
+    } else
+      df.groupBy(key)
+        .agg(collapseValues(collect_list(value.cast("string"))).as(as))
 
   /** K1 — contiguous, order-preserving surrogate ids starting at
     * `offset`. Implemented with zipWithIndex: one count-per-partition

@@ -19,6 +19,29 @@ class ScaleSpec extends SparkTestBase {
     assert(salted(1) == "a|a|b|c") // duplicates kept, sorted
   }
 
+  test("spark.graft.collapse.salted flips arrayCollapse to the two-phase plan, same result") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "c"), (1, "a"), (1, "b"), (1, "a"),
+      (2, "z"), (3, "q"), (3, "p")).toDF("k", "v")
+    val plain = Relational.arrayCollapse(df, col("k"), col("v"), "vals")
+    assert(Scale.countShuffles(plain) == 1)
+    spark.conf.set("spark.graft.collapse.salted", "true")
+    try {
+      val salted = Relational.arrayCollapse(df, col("k"), col("v"), "vals")
+      // same schema (key keeps its name), bit-identical rows…
+      assert(salted.columns.toSeq == plain.columns.toSeq)
+      assert(salted.as[(Int, String)].collect().toMap ==
+        plain.as[(Int, String)].collect().toMap)
+      // …through the two-phase skew-safe plan: (k, salt) then (k)
+      assert(Scale.countShuffles(salted) == 2,
+        salted.queryExecution.executedPlan.toString)
+      // the first (wide) exchange is keyed by salt too — the hot-key
+      // value stream really is spread over nSalts reduce tasks
+      assert(Scale.shuffleOutputColumns(salted).exists(_.contains("salt")))
+    } finally spark.conf.unset("spark.graft.collapse.salted")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
