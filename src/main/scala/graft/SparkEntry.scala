@@ -1050,6 +1050,26 @@ object SparkEntry {
       .groupBy("split", "lang").agg(count(lit(1)).as("n"))
       .orderBy("split", "lang")
 
+  private def qLeakageSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+    // same near-dup relation q48 oracle-checks; the split must respect
+    // its connected components
+    val pairs = Dedup.ngramJaccardNearDups(
+      docs, col("doc_id"), col("text"), col("lang"), col("n_chars"),
+      n = 3, threshold = 0.15, bucketWidth = 100)
+      .select("id_a", "id_b")
+    graft.operators.Sampling.leakageSafeSplit(
+      docs, col("doc_id"), pairs,
+      Seq("train" -> 80, "val" -> 10, "test" -> 10))
+      .groupBy("split", "lang").agg(count(lit(1)).as("n"))
+      .orderBy("split", "lang")
+  }
+
+  private def qBigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.bigramLmScore(
+      t(s, dir, "documents"), col("doc_id"), col("text"), topBigrams = 2000)
+      .orderBy("doc_id")
+
   private def qStratifiedSample(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.stratifiedSample(
       t(s, dir, "documents"), col("doc_id"), col("lang"),
@@ -1378,6 +1398,8 @@ object SparkEntry {
     "q57_xml_anylayout" -> qXmlAnyLayout _,
     "q58_repetition" -> qRepetition _,
     "q59_hash_split" -> qHashSplit _,
+    "q99_leakage_split" -> qLeakageSplit _,
+    "q100_bigram_lm" -> qBigramLm _,
     "q60_pii_redact" -> qPiiRedact _,
     "q61_chunking" -> qChunking _,
     "q62_corpus_prepare" -> qCorpusPrepare _,
@@ -2087,6 +2109,77 @@ object SparkEntry {
           | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
           | FROM (SELECT (doc_id * 2654435761) % 100 AS b, lang FROM documents))
           |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      // q48's connected components (verbatim), then the q59 Knuth split
+      // keyed by the component representative instead of the doc id
+      "q99_leakage_split" ->
+        """WITH RECURSIVE base AS (
+          | SELECT doc_id,
+          |  list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END) AS sh,
+          |  lang, (n_chars // 100) AS lb
+          | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks,
+          |        lang, n_chars FROM documents WHERE doc_id < 2000)
+          | WHERE len(toks) > 0),
+          | pairs AS (
+          |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          |  FROM base a JOIN base b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          |  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.15),
+          | edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r.id, e.id_b AS peer FROM reach r JOIN edges e ON r.peer = e.id_a),
+          | reps AS (SELECT id, min(peer) AS keep_id FROM reach GROUP BY id),
+          | keyed AS (
+          |  SELECT d.lang, coalesce(r.keep_id, d.doc_id) AS k
+          |  FROM (SELECT doc_id, lang FROM documents WHERE doc_id < 2000) d
+          |  LEFT JOIN reps r ON d.doc_id = r.id)
+          |SELECT split, lang, count(*)::BIGINT AS n FROM (
+          | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
+          | FROM (SELECT (k * 2654435761) % 100 AS b, lang FROM keyed))
+          |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
+
+      // bigram model: top-2000 bigrams by (count desc, bigram asc) over
+      // the same whitespace tokenization; score = integer-scaled
+      // conditional frequency, all arithmetic 64-bit integer on both
+      // engines (no float logs anywhere)
+      "q100_bigram_lm" ->
+        """WITH toks AS (
+          | SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+          | FROM documents),
+          | bgs AS (
+          |  SELECT doc_id, CASE WHEN len(t) >= 2
+          |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+          |    ELSE [] END AS bg
+          |  FROM toks),
+          | c2 AS (
+          |  SELECT bg AS b, count(*) AS c2
+          |  FROM (SELECT unnest(bg) AS bg FROM bgs)
+          |  GROUP BY bg ORDER BY c2 DESC, b LIMIT 2000),
+          | c1 AS (
+          |  SELECT w, count(*) AS c1
+          |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w),
+          | model AS (
+          |  SELECT c2.b, c2.c2, c1.c1 FROM c2 JOIN c1 ON split_part(c2.b, ' ', 1) = c1.w),
+          | probe AS (
+          |  SELECT d.doc_id, m.c2, m.c1
+          |  FROM (SELECT doc_id, unnest(bg) AS bg FROM bgs) d
+          |  LEFT JOIN model m ON d.bg = m.b),
+          | scored AS (
+          |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+          |   sum(CASE WHEN c2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+          |   sum(CASE WHEN c2 IS NOT NULL THEN (c2 * 10000) // c1 ELSE 0 END)::BIGINT AS lm_score
+          |  FROM probe GROUP BY doc_id)
+          |SELECT t.doc_id,
+          | coalesce(s.n_bigrams, 0)::BIGINT AS n_bigrams,
+          | coalesce(s.n_hits, 0)::BIGINT AS n_hits,
+          | coalesce(s.lm_score, 0)::BIGINT AS lm_score,
+          | (CASE WHEN coalesce(s.n_bigrams, 0) > 0 THEN coalesce(s.lm_score, 0) // s.n_bigrams ELSE 0 END)::BIGINT AS lm_mean
+          |FROM toks t LEFT JOIN scored s ON t.doc_id = s.doc_id
+          |ORDER BY t.doc_id""".stripMargin,
 
       // per-stratum thresholds over the same Knuth bucket as q59
       "q68_stratified_sample" ->

@@ -49,6 +49,38 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Leakage-safe split: [[hashSplit]] with the guarantee that
+    * near-duplicate documents never straddle a split boundary. Every
+    * member of a dedup group (a connected component of `pairs`, as
+    * found by any of the near-dup detectors) is assigned from its
+    * group REPRESENTATIVE's hash — the component's min id; documents
+    * in no pair are their own representative — so an eval split stays
+    * decontaminated by construction: a near-dup of a test document
+    * cannot leak into train, which a per-document hash split permits
+    * whenever a group's members hash across a cut.
+    *
+    * Scale shape: the group map from [[Dedup.dedupGroups]] is
+    * pair-set-sized (only documents that HAVE a near-dup appear), ≪
+    * corpus, so the join back is broadcast-able (AQE converts it when
+    * small; at 100 TB the near-dup rate, typically single-digit
+    * percent, keeps the rep map orders of magnitude under the corpus).
+    * Assignment itself is the same map-only codegen'd when-chain as
+    * [[hashSplit]].
+    */
+  def leakageSafeSplit(
+      df: DataFrame,
+      id: Column,
+      pairs: DataFrame,
+      weights: Seq[(String, Int)]): DataFrame = {
+    val reps = Dedup.dedupGroups(pairs)
+      .select(col("id").as("__lss_id"), col("keep_id").as("__lss_rep"))
+    val keyed = df.withColumn("__lss_id", id.cast("long"))
+      .join(reps, Seq("__lss_id"), "left")
+      .withColumn("__lss_key", coalesce(col("__lss_rep"), col("__lss_id")))
+    hashSplit(keyed, col("__lss_key"), weights)
+      .drop("__lss_id", "__lss_rep", "__lss_key")
+  }
+
   /** Per-stratum deterministic sampling — the corpus-rebalancing
     * primitive for multilingual / multi-source training mixes
     * (downsample the dominant language, keep the tail whole). Each

@@ -310,6 +310,61 @@ object TextAnalysis {
           .otherwise(lit(0.0)))
   }
 
+  /** CCNet-shaped n-gram LM quality scoring, integer-exact. Trains a
+    * bigram "stupid backoff" model on the corpus itself (top
+    * `topBigrams` bigrams by count, ties broken lexicographically —
+    * deterministic across engines), then scores each document as the
+    * sum over its adjacent token pairs of the scaled conditional
+    * frequency `(c(w1 w2) * scale) div c(w1)` for model bigrams and 0
+    * (full backoff) otherwise. Monotone with the log-probability score
+    * a real KenLM filter uses, but every intermediate is 64-bit
+    * integer arithmetic, so the score is bit-reproducible across
+    * engines (floating log/exp are not) and the operator is
+    * end-to-end oracle-checkable. High `lm_mean` ≈ fluent in-domain
+    * text; near-zero ≈ gibberish or out-of-domain — the CCNet
+    * head/middle/tail signal.
+    *
+    * Scale shape: model training is one map-side-combined count per
+    * n-gram order (distinct-bigram cardinality on the wire, not
+    * occurrence counts); the model join (top-M bigrams × prefix
+    * unigram counts) broadcasts the M-row side; scoring explodes doc
+    * bigrams against the broadcast model and partial-aggregates
+    * before the per-doc exchange, so only (doc_id, three longs) rides
+    * it — document text never crosses a shuffle. In production the
+    * model would be trained once on a reference slice and reused;
+    * train-on-self here keeps the contract self-contained.
+    */
+  def bigramLmScore(df: DataFrame, id: Column, text: Column,
+      topBigrams: Int, scale: Long = 10000L): DataFrame = {
+    require(topBigrams > 0, s"topBigrams must be positive, got $topBigrams")
+    val toks = tokens(lower(text))
+    val bigramsOf = (t: Column) =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val docs = df.select(id.cast("long").as("doc_id"), bigramsOf(toks).as("bgs"))
+    val c2 = docs.select(explode(col("bgs")).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("bg"))
+      .limit(topBigrams)
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val model = c1.join(
+        broadcast(c2.withColumn("w", split(col("bg"), " ").getItem(0))), Seq("w"))
+      .select("bg", "c2", "c1")
+    docs.select(col("doc_id"), explode_outer(col("bgs")).as("bg"))
+      .join(broadcast(model), Seq("bg"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(col("bg")).as("n_bigrams"),
+        sum(when(col("c2").isNotNull, 1L).otherwise(0L)).as("n_hits"),
+        sum(when(col("c2").isNotNull, expr(s"(c2 * ${scale}L) div c1"))
+          .otherwise(0L)).as("lm_score"))
+      .withColumn("lm_mean",
+        when(col("n_bigrams") > 0, expr("lm_score div n_bigrams")).otherwise(0L))
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 31, mod 2^31-1)
     * over the normalized text — an order-sensitive fingerprint usable
     * for shift-invariant chunking. The modulus keeps acc*31+c under

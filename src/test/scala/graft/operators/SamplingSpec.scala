@@ -20,6 +20,32 @@ class SamplingSpec extends SparkTestBase {
     assert(math.abs(counts("test") - 1000L) < 200)
   }
 
+  test("leakageSafeSplit: no dedup group straddles a split; singletons match hashSplit") {
+    import spark.implicits._
+    val df = spark.range(200).toDF("id")
+    // two chains and one pair; everything else is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (50L, 51L), (120L, 7L))
+      .toDF("id_a", "id_b")
+    val split = Sampling.leakageSafeSplit(df, col("id"), pairs,
+      Seq("train" -> 50, "val" -> 25, "test" -> 25))
+    val byId = split.select(col("id"), col("split"))
+      .as[(Long, String)].collect().toMap
+    assert(byId.size == 200)
+    // every group member carries its representative's split
+    for (group <- Seq(Seq(1L, 2L, 3L), Seq(50L, 51L), Seq(7L, 120L)))
+      assert(group.map(byId).distinct.size == 1,
+        s"group $group straddles splits: ${group.map(byId)}")
+    // group assignment IS the representative's hashSplit assignment
+    val plain = Sampling.hashSplit(df, col("id"),
+      Seq("train" -> 50, "val" -> 25, "test" -> 25))
+      .select(col("id"), col("split")).as[(Long, String)].collect().toMap
+    assert(byId(2L) == plain(1L) && byId(3L) == plain(1L) && byId(51L) == plain(50L))
+    assert(byId(120L) == plain(7L), "rep is the component MIN id, not pair order")
+    // documents in no pair split exactly as plain hashSplit
+    val singles = (0L until 200L).filterNot(Set(1L, 2L, 3L, 50L, 51L, 7L, 120L))
+    assert(singles.forall(i => byId(i) == plain(i)))
+  }
+
   test("stratifiedSample: per-stratum fractions, nested, default applies") {
     import spark.implicits._
     val df = (0L until 9000L).map(i => (i, Seq("en", "de", "fr")(((i % 3)).toInt)))

@@ -434,4 +434,48 @@ class TextAnalysisSpec extends SparkTestBase {
     val out = TextAnalysis.classifierFilter(df, col("doc_id"), col("text"))
     assert(Scale.countShuffles(out) == 0, "classifier inference must not exchange")
   }
+
+  test("bigramLmScore: hand-computed integer scores, top-M tie-break, empty docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c"), // bigrams: "a b"×2, "b a", "b c"
+      (2L, "a b x"),     // "a b", "b x"
+      (3L, "z"),         // no bigrams
+      (4L, "")           // empty
+    ).toDF("doc_id", "text")
+    // corpus: c2("a b")=3, c2("b a")=c2("b c")=c2("b x")=1
+    //         c1(a)=3, c1(b)=3
+    // topBigrams=2 keeps "a b" then (tie c2=1, lexicographic) "b a":
+    //   "a b" -> (3*10000) div 3 = 10000;  "b a" -> 10000 div 3 = 3333
+    val m2 = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"), topBigrams = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "n_hits", "lm_score", "lm_mean")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m2 == Seq(
+      (1L, 4L, 3L, 23333L, 5833L),
+      (2L, 2L, 1L, 10000L, 5000L),
+      (3L, 0L, 0L, 0L, 0L),
+      (4L, 0L, 0L, 0L, 0L)))
+    // a model wide enough for every bigram: "b c"/"b x" join at 3333 each
+    val all = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"), topBigrams = 10)
+      .orderBy("doc_id").select("doc_id", "lm_score")
+      .as[(Long, Long)].collect().toMap
+    assert(all(1L) == 26666L && all(2L) == 13333L)
+  }
+
+  test("bigramLmScore plan: model broadcasts; only per-doc longs ride the scoring exchange") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs, col("doc_id"), col("text"), topBigrams = 100)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"model probe must broadcast, not shuffle the corpus:\n$plan")
+    // the per-doc aggregation exchange carries doc_id + partial
+    // aggregates — never text or bigram strings
+    val docExchanges = Scale.shuffleOutputColumns(out)
+      .filter(_.exists(_.startsWith("doc_id")))
+    assert(docExchanges.nonEmpty)
+    assert(docExchanges.forall(cols => !cols.exists(c => c.contains("text") || c.contains("bg"))),
+      s"text/bigrams must not ride the per-doc exchange: $docExchanges")
+  }
 }
