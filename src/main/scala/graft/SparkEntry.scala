@@ -278,6 +278,36 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
 
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.collocations(t(s, dir, "documents"), col("text"), topK = 50)
+
+  private def qWeightedSample(s: SparkSession, dir: String): DataFrame =
+    // sample 20 docs per language, biased toward longer documents
+    graft.operators.Sampling.weightedSample(
+      t(s, dir, "documents"), col("doc_id"),
+      expr("(n_chars div 100) + 1"), col("lang"), n = 20)
+      .select(col("lang"), col("doc_id"), col("priority"))
+      .orderBy("lang", "doc_id")
+
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
+    // SemDeDup over the q24 pair relation: survivors = one min-id
+    // representative per embedding-space connected component
+    Dedup.semanticDedup(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
+      threshold = 0.35, nBuckets = 8)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+      .orderBy("vec_id")
+
+  private def qKmeans(s: SparkSession, dir: String): DataFrame =
+    // integer-exact Lloyd's: 2 assignment passes, 1 truncated-mean
+    // update between them; output is the per-cluster profile (size,
+    // min member id, integer within-cluster sum of squares)
+    graft.operators.Clustering.kmeansFixedPoint(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 8, iters = 2)
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), sum(col("dist")).as("ss"))
+      .orderBy("cluster")
+
   private def qTypeInferNative(s: SparkSession, dir: String): DataFrame = {
     // the native codegen'd expression via its SQL-registered name
     // (same oracle as the declarative q04); registration happens at
@@ -1370,6 +1400,10 @@ object SparkEntry {
     "q33_intersect" -> qIntersectExcept _,
     "q34_percentile" -> qPercentile _,
     "q24_dedup_embedding" -> qDedupEmbedding _,
+    "q101_kmeans" -> qKmeans _,
+    "q102_collocations" -> qCollocations _,
+    "q103_semantic_dedup" -> qSemanticDedup _,
+    "q104_weighted_sample" -> qWeightedSample _,
     "q45_infer_native" -> qTypeInferNative _,
     "q47_salted_collapse" -> qSaltedCollapse _,
     "q48_dedup_groups" -> qDedupGroups _,
@@ -1680,6 +1714,103 @@ object SparkEntry {
           |WHERE list_dot_product(a.vec, b.vec) /
           |   (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // integer-exact k-means, 2 assignment passes with one
+      // truncated-mean update between them: fixed-point quantize
+      // (floor(x*1000+0.5), float->double->floor is IEEE-identical on
+      // both engines), BIGINT squared-L2 with (dist, cid) tie-break,
+      // centroid mean = sum // count (both engines truncate toward
+      // zero), empty clusters keep their previous centroid (coalesce)
+      "q101_kmeans" ->
+        """WITH q AS (
+          | SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v
+          | FROM embeddings),
+          |c0 AS (
+          | SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+          | FROM (SELECT id, v FROM q ORDER BY id LIMIT 8)),
+          |a1 AS (
+          | SELECT id, v, cid, d FROM (
+          |  SELECT q.id, q.v, c.cid,
+          |   list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ])::BIGINT AS d,
+          |   row_number() OVER (PARTITION BY q.id ORDER BY
+          |     list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ]), c.cid) AS rk
+          |  FROM q CROSS JOIN c0 c) WHERE rk = 1),
+          |u1 AS (
+          | SELECT c0.cid, coalesce(m.cv, c0.cv) AS cv FROM c0 LEFT JOIN (
+          |  SELECT cid, list(s ORDER BY dim) AS cv FROM (
+          |   SELECT a1.cid AS cid, gs.dim AS dim, (sum(a1.v[gs.dim]) // count(*))::BIGINT AS s
+          |   FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) gs
+          |   GROUP BY a1.cid, gs.dim)
+          |  GROUP BY cid) m ON c0.cid = m.cid),
+          |a2 AS (
+          | SELECT id, cid, d FROM (
+          |  SELECT q.id, c.cid,
+          |   list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ])::BIGINT AS d,
+          |   row_number() OVER (PARTITION BY q.id ORDER BY
+          |     list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ]), c.cid) AS rk
+          |  FROM q CROSS JOIN u1 c) WHERE rk = 1)
+          |SELECT cid::BIGINT AS cluster, count(*)::BIGINT AS n, min(id)::BIGINT AS min_id, sum(d)::BIGINT AS ss
+          |FROM a2 GROUP BY cid ORDER BY cid""".stripMargin,
+
+      // Dice collocations over the q100 tokenization: integer-scaled
+      // association, deterministic (dice desc, bigram) tie-break
+      "q102_collocations" ->
+        """WITH toks AS (
+          | SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+          | FROM documents),
+          |bgs AS (
+          | SELECT doc_id, CASE WHEN len(t) >= 2
+          |   THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+          |   ELSE [] END AS bg
+          | FROM toks),
+          |c2 AS (SELECT bg AS b, count(*) AS c2 FROM (SELECT unnest(bg) AS bg FROM bgs) GROUP BY bg),
+          |c1 AS (SELECT w, count(*) AS c1 FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w)
+          |SELECT c2.b AS bigram, c2.c2::BIGINT AS c2,
+          | ((2 * c2.c2 * 100000) // (a.c1 + b.c1))::BIGINT AS dice
+          |FROM c2 JOIN c1 a ON split_part(c2.b, ' ', 1) = a.w
+          |         JOIN c1 b ON split_part(c2.b, ' ', 2) = b.w
+          |ORDER BY dice DESC, bigram LIMIT 50""".stripMargin,
+
+      // weighted priority sampling: same Knuth hash as q59 divided by
+      // the integer weight; both engines' integer division truncates
+      "q104_weighted_sample" ->
+        """SELECT lang, doc_id, priority FROM (
+          | SELECT lang, doc_id, pr AS priority,
+          |  row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
+          | FROM (SELECT lang, doc_id,
+          |   ((doc_id * 2654435761) % 1000000007) // greatest((n_chars // 100) + 1, 1) AS pr
+          |  FROM documents))
+          |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      // SemDeDup: the q24 pair relation (verbatim), transitive closure
+      // (symmetric edges make every connected node reach itself, so
+      // min(peer) IS the component min), keep = component min id
+      "q103_semantic_dedup" ->
+        """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |  WHERE list_dot_product(a.vec, b.vec) /
+          |     (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35),
+          | edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r.id, e2.id_b AS peer FROM reach r JOIN edges e2 ON r.peer = e2.id_a),
+          | reps AS (SELECT id, min(peer) AS keep_id FROM reach GROUP BY id)
+          |SELECT e.vec_id::BIGINT AS vec_id, e.label::BIGINT AS label
+          |FROM e LEFT JOIN reps r ON e.vec_id = r.id
+          |WHERE r.keep_id IS NULL OR r.keep_id = e.vec_id
+          |ORDER BY vec_id""".stripMargin,
 
       "q20_dedup_exact" ->
         """SELECT min(doc_id) AS keep_id, count(*) AS n_dups, fp FROM (

@@ -151,6 +151,8 @@ object GraftExtensions {
     fn("simhash60_md5", classOf[SimHash60Md5], MinHash.simhash60md5Builder),
     fn("vec_dot", classOf[VecDot], VecOps.vecDotBuilder),
     fn("vec_quantize_int8", classOf[VecQuantizeInt8], VecOps.vecQuantizeInt8Builder),
+    fn("vec_fixed_point", classOf[VecFixedPoint], VecOps.vecFixedPointBuilder),
+    fn("vec_nearest_centroid", classOf[VecNearestCentroid], VecOps.vecNearestCentroidBuilder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
 

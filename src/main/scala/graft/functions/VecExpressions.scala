@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Native dot product over embedding arrays.
   *
@@ -83,6 +83,54 @@ object VecRuntime {
   def quantizeF(a: ArrayData): InternalRow = quantize(a.numElements(), i => a.getFloat(i).toDouble)
 
   def quantizeD(a: ArrayData): InternalRow = quantize(a.numElements(), a.getDouble)
+
+  // --- fixed-point + nearest-centroid (integer k-means kernels) ----------
+  // Fixed-point maps x -> floor(x*scale + 0.5) as a LONG: float widens to
+  // double first, so the arithmetic is the same IEEE sequence an external
+  // engine runs on the same parquet floats — quantized vectors (and
+  // everything integer downstream: squared-L2, truncated-mean centroids)
+  // are bit-identical across engines.
+
+  private def fixedPoint(n: Int, scale: Double, get: Int => Double): ArrayData = {
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) { out(i) = math.floor(get(i) * scale + 0.5).toLong; i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  def fixedPointF(a: ArrayData, scale: Double): ArrayData =
+    fixedPoint(a.numElements(), scale, i => a.getFloat(i).toDouble)
+
+  def fixedPointD(a: ArrayData, scale: Double): ArrayData =
+    fixedPoint(a.numElements(), scale, a.getDouble)
+
+  /** Argmin squared-L2 over k centroids packed row-major into one flat
+    * long array (k = cents.length / d). Ties break toward the LOWEST
+    * centroid ordinal (strict `<`), matching a `(dist, cid)` sort.
+    * Returns struct(cluster int, dist long). All arithmetic is 64-bit
+    * integer: with |q_i| ≤ s the per-dim square is ≤ 4s² — at the
+    * default fixed-point scale 1000 a 2^63 overflow needs d > 10^12.
+    */
+  def nearestCentroid(v: ArrayData, cents: ArrayData): InternalRow = {
+    val d = v.numElements()
+    val m = cents.numElements()
+    if (d == 0 || m == 0 || m % d != 0)
+      throw new IllegalArgumentException(
+        s"vec_nearest_centroid: centroid array length $m is not a positive multiple of vector length $d")
+    val k = m / d
+    var best = -1
+    var bestDist = Long.MaxValue
+    var j = 0
+    while (j < k) {
+      var s = 0L
+      var i = 0
+      val off = j * d
+      while (i < d) { val t = v.getLong(i) - cents.getLong(off + i); s += t * t; i += 1 }
+      if (s < bestDist) { bestDist = s; best = j }
+      j += 1
+    }
+    new GenericInternalRow(Array[Any](best, bestDist))
+  }
 }
 
 /** vec_dot(a, b): double dot product of two array<float>/array<double>
@@ -176,6 +224,83 @@ case class VecQuantizeInt8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** vec_fixed_point(v, scale): array<long> fixed-point quantization
+  * q_i = floor(x_i*scale + 0.5) of an array<float>/array<double>
+  * column. Unlike [[VecQuantizeInt8]] the scale is GLOBAL (caller-
+  * chosen), so squared-L2 geometry is preserved across vectors and the
+  * quantized space supports exact integer k-means
+  * ([[graft.operators.Clustering]]). One tight primitive pass inside
+  * whole-stage codegen.
+  */
+case class VecFixedPoint(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"vec_fixed_point requires (array<float>/array<double>, double), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "vec_fixed_point"
+
+  private def isFloat: Boolean =
+    left.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override protected def nullSafeEval(v: Any, s: Any): Any = {
+    val a = v.asInstanceOf[ArrayData]
+    val sc = s.asInstanceOf[Double]
+    if (isFloat) VecRuntime.fixedPointF(a, sc) else VecRuntime.fixedPointD(a, sc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = VecRuntime.getClass.getName.stripSuffix("$")
+    val m = if (isFloat) "fixedPointF" else "fixedPointD"
+    defineCodeGen(ctx, ev, (a, s) => s"$rt.$m($a, $s)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecFixedPoint =
+    copy(left = newLeft, right = newRight)
+}
+
+/** vec_nearest_centroid(v, cents): struct<cluster: int, dist: bigint> —
+  * argmin squared-L2 of an array<long> vector over k centroids packed
+  * row-major into one flat array<long> (k inferred as
+  * cents.length / v.length; ties break to the lowest ordinal). The
+  * centroid argument is typically a plan literal (k·d longs), so the
+  * whole k-means assignment step is one codegen'd map pass over the
+  * corpus with zero joins and zero shuffles.
+  */
+case class VecNearestCentroid(left: Expression, right: Expression) extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_nearest_centroid requires array<bigint> arguments, got ${left.dataType.sql} and ${right.dataType.sql}")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", IntegerType, nullable = false),
+    StructField("dist", LongType, nullable = false)))
+
+  override def prettyName: String = "vec_nearest_centroid"
+
+  override protected def nullSafeEval(v: Any, c: Any): Any =
+    VecRuntime.nearestCentroid(v.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = VecRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (a, b) => s"$rt.nearestCentroid($a, $b)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecNearestCentroid =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VecOps {
   def dot(a: Column, b: Column): Column =
@@ -183,6 +308,13 @@ object VecOps {
 
   def quantizeInt8(v: Column): Column =
     ColumnBridge.column(VecQuantizeInt8(ColumnBridge.expression(v)))
+
+  def fixedPoint(v: Column, scale: Double): Column =
+    ColumnBridge.column(VecFixedPoint(ColumnBridge.expression(v),
+      org.apache.spark.sql.catalyst.expressions.Literal(scale)))
+
+  def nearestCentroid(v: Column, cents: Column): Column =
+    ColumnBridge.column(VecNearestCentroid(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
 
   /** SQL builder for function-registry injection. */
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
@@ -195,5 +327,17 @@ object VecOps {
     if (children.length != 1)
       throw new IllegalArgumentException(s"vec_quantize_int8 expects 1 argument, got ${children.length}")
     VecQuantizeInt8(children.head)
+  }
+
+  private[functions] def vecFixedPointBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(s"vec_fixed_point expects 2 arguments, got ${children.length}")
+    VecFixedPoint(children.head, children(1))
+  }
+
+  private[functions] def vecNearestCentroidBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(s"vec_nearest_centroid expects 2 arguments, got ${children.length}")
+    VecNearestCentroid(children.head, children(1))
   }
 }

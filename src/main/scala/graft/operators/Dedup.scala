@@ -967,4 +967,37 @@ object Dedup {
       .where(col("cos") >= threshold)
     materializeAndRelease(result, assigned)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): embedding-space near-duplicate detection
+    * ([[embeddingNearDups]] — IVF-bucketed candidates, exact cosine
+    * verify), connected components over the resulting pair graph
+    * ([[dedupGroups]]), then keep exactly ONE representative per
+    * semantic cluster — the minimum id, the same keep rule every other
+    * dedup operator here uses. Returns the surviving rows of `df` with
+    * their original columns.
+    *
+    * Scale shape inherits from its parts: candidate generation is
+    * per-IVF-bucket (no all-pairs stage), components are
+    * pointer-doubled min-label propagation over the PAIR set (≪
+    * corpus), and the final keep is a left-anti join against the drop
+    * set — near-dup-set-sized, broadcastable at real dup rates. The
+    * full-row df never shuffles: the anti join's probe side is the
+    * scan itself.
+    */
+  def semanticDedup(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      threshold: Double,
+      nBuckets: Int = 16): DataFrame = {
+    val pairs = embeddingNearDups(df, id, vec, threshold, nBuckets)
+      .select("id_a", "id_b")
+    val drops = dedupGroups(pairs)
+      .where(col("id") =!= col("keep_id"))
+      .select(col("id").as("__sd_id"))
+    df.withColumn("__sd_id", id.cast("long"))
+      .join(drops, Seq("__sd_id"), "left_anti")
+      .drop("__sd_id")
+  }
 }

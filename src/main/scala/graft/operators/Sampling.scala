@@ -81,6 +81,40 @@ object Sampling {
       .drop("__lss_id", "__lss_rep", "__lss_key")
   }
 
+  /** Weight-biased deterministic sampling without replacement: the
+    * top `n` rows per stratum by ascending integer priority
+    * `knuth_hash(id) div weight` (ties by id) — the
+    * Efraimidis–Spirakis priority-sampling shape (keys `u^(1/w)`)
+    * transplanted to integer arithmetic, so a row with twice the
+    * weight is roughly twice as likely to make the sample, and the
+    * selection is bit-reproducible across engines and partitionings
+    * (a float `u^(1/w)` is neither). The corpus-curation use: sample
+    * eval/inspection sets biased toward long or high-quality
+    * documents without giving up determinism. Weights must be >= 1
+    * (enforced with a floor, not an error, so a 0-quality doc is
+    * merely least-likely, not dropped).
+    *
+    * Scale shape: one exchange on the stratum key into a per-stratum
+    * top-n window. For a monster stratum the same two-phase salting
+    * as [[capPerKeySalted]] applies (salt, top-n per salt shard, top-n
+    * of the ≤ salt·n survivors) — the priority column is what makes
+    * the two-phase split correct: per-shard top-n by priority is a
+    * superset of the global top-n.
+    */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+      stratum: Column, n: Int): DataFrame = {
+    require(n > 0, s"n must be positive, got $n")
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("__ws_h", pmod(id.cast("long") * knuth, lit(1000000007L)))
+      .withColumn("__ws_w", greatest(weight.cast("long"), lit(1L)))
+      .withColumn("__ws_pr", expr("__ws_h div __ws_w"))
+      .withColumn("__ws_rn", row_number().over(
+        Window.partitionBy(stratum).orderBy(col("__ws_pr"), id)))
+      .where(col("__ws_rn") <= n)
+      .drop("__ws_h", "__ws_w", "__ws_rn")
+      .withColumnRenamed("__ws_pr", "priority")
+  }
+
   /** Per-stratum deterministic sampling — the corpus-rebalancing
     * primitive for multilingual / multi-source training mixes
     * (downsample the dominant language, keep the tail whole). Each

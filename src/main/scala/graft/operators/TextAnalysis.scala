@@ -365,6 +365,46 @@ object TextAnalysis {
         when(col("n_bigrams") > 0, expr("lm_score div n_bigrams")).otherwise(0L))
   }
 
+  /** Collocation mining: top-K adjacent-token pairs by Dice
+    * coefficient `2·c(w1 w2) / (c(w1) + c(w2))` — the classic
+    * lexicographer's association measure (Smadja 1993), scaled to a
+    * 64-bit integer (`(2·c2·scale) div (c1a+c1b)`) so the ranking is
+    * bit-reproducible across engines (PMI needs float logs; Dice
+    * ranks the same "fixed phrase" signal without them). High Dice =
+    * the two tokens mostly occur together ("los angeles", "et al") —
+    * the phrase-vocabulary signal a tokenizer-training or
+    * stopword-mining pass wants. Ties break lexicographically.
+    *
+    * Scale shape: both count tables are map-side-combined aggregations
+    * over DISTINCT n-grams (corpus text never shuffles); the
+    * bigram↔unigram joins are keyed on single words — vocabulary-sized
+    * tables, orders of magnitude under the corpus; top-K is a
+    * TakeOrdered (per-partition heap + driver merge of K·partitions
+    * rows), never a global sort.
+    */
+  def collocations(df: DataFrame, text: Column, topK: Int,
+      scale: Long = 100000L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = tokens(lower(text))
+    val bigramsOf = (t: Column) =>
+      when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast("array<string>"))
+    val c2 = df.select(explode(bigramsOf(toks)).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2"))
+    val c1 = df.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    c2.withColumn("w1", split(col("bg"), " ").getItem(0))
+      .withColumn("w2", split(col("bg"), " ").getItem(1))
+      .join(c1.select(col("w").as("w1"), col("c1").as("c1a")), Seq("w1"))
+      .join(c1.select(col("w").as("w2"), col("c1").as("c1b")), Seq("w2"))
+      .select(col("bg").as("bigram"), col("c2"),
+        expr(s"(2 * c2 * ${scale}L) div (c1a + c1b)").as("dice"))
+      .orderBy(col("dice").desc, col("bigram"))
+      .limit(topK)
+  }
+
   /** Rolling polynomial hash (Rabin-Karp style, base 31, mod 2^31-1)
     * over the normalized text — an order-sensitive fingerprint usable
     * for shift-invariant chunking. The modulus keeps acc*31+c under

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ClusteringSpec extends SparkTestBase {
+
+  private def vecsDf(rows: Seq[(Long, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("id", "vec")
+  }
+
+  test("kmeansFixedPoint: hand-computed 1-D case, iters=1 vs iters=2") {
+    // fixed-point scale 1000: values become 0, 100, 200, 10000, 10100
+    val df = vecsDf(Seq(
+      0L -> Seq(0.0f), 1L -> Seq(0.1f), 2L -> Seq(0.2f),
+      3L -> Seq(10.0f), 4L -> Seq(10.1f)))
+    // init centroids: ids 0,1 -> c0=[0], c1=[100]
+    // iters=1 assignment: 0->c0 (d=0); 1->c1 (0 vs 10000); 2->c1 (d=10000);
+    //   3 -> c1 (|10000-100|^2 < |10000|^2); 4 -> c1
+    import spark.implicits._
+    val a1m = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 2, iters = 1)
+      .select("id", "cluster", "dist").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a1m(0L) == ((0, 0L)))
+    assert(a1m(1L) == ((1, 0L)))
+    assert(a1m(2L) == ((1, 10000L)))
+    assert(a1m(3L) == ((1, 98010000L)))
+    assert(a1m(4L) == ((1, 100000000L)))
+    // update: c0 = [0]; c1 = mean(100, 200, 10000, 10100) = 20400/4 = 5100
+    // iters=2 assignment: 0,1,2 -> c0 (|200|^2 < |200-5100|^2); 3,4 -> c1
+    val a2 = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 2, iters = 2)
+      .select("id", "cluster", "dist").as[(Long, Int, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(a2(0L) == ((0, 0L)))
+    assert(a2(1L) == ((0, 10000L)))
+    assert(a2(2L) == ((0, 40000L)))
+    assert(a2(3L) == ((1, math.pow(10000 - 5100, 2).toLong)))
+    assert(a2(4L) == ((1, math.pow(10100 - 5100, 2).toLong)))
+  }
+
+  test("kmeansFixedPoint: truncated mean toward zero on negative coordinates") {
+    // quantized: -7, -4, 8 with k=1 -> centroid after update = -3/3 = -1
+    // (floor division would give -2; Spark div / DuckDB // truncate)
+    val df = vecsDf(Seq(0L -> Seq(-0.007f), 1L -> Seq(-0.004f), 2L -> Seq(0.008f)))
+    import spark.implicits._
+    val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 1, iters = 2)
+      .select("id", "dist").as[(Long, Long)].collect().toMap
+    // centroid -1: dists (-7+1)^2=36, (-4+1)^2=9, (8+1)^2=81
+    assert(out == Map(0L -> 36L, 1L -> 9L, 2L -> 81L))
+  }
+
+  test("kmeansFixedPoint: empty cluster keeps its previous centroid") {
+    // c1 = [100] loses all members in iteration 1 (everything is closer
+    // to c0 or far away at 10000); after the update c1 must survive as
+    // [100], not vanish — point 1 still assigns to SOME cluster
+    val df = vecsDf(Seq(0L -> Seq(0.0f), 1L -> Seq(0.05f)))
+    import spark.implicits._
+    // init c0=[0], c1=[50]; iters=1: 0->c0, 1->c1(d=0)
+    // update: c0=[0], c1=[50]; stable — iters=3 must equal iters=1
+    val r1 = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 2, iters = 1)
+      .select("id", "cluster").as[(Long, Int)].collect().toSet
+    val r3 = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 2, iters = 3)
+      .select("id", "cluster").as[(Long, Int)].collect().toSet
+    assert(r1 == r3 && r1 == Set(0L -> 0, 1L -> 1))
+  }
+
+  test("kmeansFixedPoint: invariant under input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 500L).map(i => i -> Seq((i % 23).toFloat, (i % 7).toFloat))
+    val df1 = rows.toDF("id", "vec")
+    val df2 = rows.toDF("id", "vec").repartition(13)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 4, iters = 3)
+        .select("id", "cluster", "dist").as[(Long, Int, Long)].collect().toSet
+    assert(sig(df1) == sig(df2))
+  }
+
+  test("kmeansFixedPoint plan: assignment is a zero-shuffle map pass with literal centroids") {
+    val df = vecsDf((0L until 50L).map(i => i -> Seq(i.toFloat, (i * 2).toFloat)))
+    val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)
+    assert(Scale.countShuffles(out) == 0,
+      s"assignment must not exchange:\n${out.queryExecution.executedPlan}")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_nearest_centroid"), s"native assignment missing:\n$plan")
+    assert(!plan.contains("Join"), s"centroids must ride as a literal, not a join:\n$plan")
+  }
+}

@@ -452,4 +452,24 @@ class DedupSpec extends SparkTestBase {
     assert(got == exact)
     assert(got.map(_._1) == (0L until 40L by 2).toSeq, "exactly the quoting docs flagged")
   }
+
+  test("semanticDedup: keeps the min-id representative per cosine component, columns intact") {
+    import spark.implicits._
+    // two tight direction clusters plus a loner; the first two ids (the
+    // IVF init centroids) sit in DIFFERENT clusters so bucketing is
+    // unambiguous; extra column must survive
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), "a"),
+      (1L, Seq(0.0f, 1.0f), "b"),
+      (2L, Seq(0.99f, 0.01f), "c"),
+      (3L, Seq(0.01f, 0.99f), "d"),
+      (4L, Seq(-1.0f, 0.0f), "e"),
+      (5L, Seq(0.995f, 0.005f), "f"))
+    val df = rows.toDF("vec_id", "vec", "tag")
+    val out = Dedup.semanticDedup(df, col("vec_id"), col("vec"),
+      threshold = 0.95, nBuckets = 2)
+      .select("vec_id", "tag").as[(Long, String)].collect().toSet
+    // components at cos >= 0.95: {0,2,5}, {1,3}, {4}
+    assert(out == Set(0L -> "a", 1L -> "b", 4L -> "e"))
+  }
 }

@@ -46,6 +46,37 @@ class SamplingSpec extends SparkTestBase {
     assert(singles.forall(i => byId(i) == plain(i)))
   }
 
+  test("weightedSample: exact top-n by hash-div-weight priority; weight floor at 1") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, if (i < 50) 10L else 0L, "s"))
+      .toDF("id", "w", "st")
+    val out = Sampling.weightedSample(df, col("id"), col("w"), col("st"), n = 10)
+      .select("id", "priority").as[(Long, Long)].collect().toSeq
+    assert(out.length == 10)
+    // reference computation: knuth-hash div max(w, 1), ties by id
+    val knuth = 2654435761L
+    val expect = (0L until 100L).map { i =>
+      val w = if (i < 50) 10L else 1L  // zero weight floors to 1
+      (i, (i * knuth % 1000000007L + 1000000007L) % 1000000007L / w)
+    }.sortBy(p => (p._2, p._1)).take(10)
+    assert(out.sortBy(p => (p._2, p._1)) == expect)
+    // high-weight rows dominate: with w=10 vs w=1 the top-10 should
+    // lean heavily on the weighted half
+    assert(out.count(_._1 < 50) >= 7, s"weights ignored: $out")
+  }
+
+  test("weightedSample: per-stratum independence and determinism under repartition") {
+    import spark.implicits._
+    val rows = (0L until 300L).map(i => (i, (i % 5) + 1L, s"s${i % 3}"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedSample(df, col("id"), col("w"), col("st"), n = 7)
+        .select("st", "id").as[(String, Long)].collect().toSet
+    val a = run(rows.toDF("id", "w", "st"))
+    val b = run(rows.toDF("id", "w", "st").repartition(11))
+    assert(a == b)
+    assert(a.groupBy(_._1).forall(_._2.size == 7))
+  }
+
   test("stratifiedSample: per-stratum fractions, nested, default applies") {
     import spark.implicits._
     val df = (0L until 9000L).map(i => (i, Seq("en", "de", "fr")(((i % 3)).toInt)))

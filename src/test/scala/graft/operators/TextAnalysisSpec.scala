@@ -463,6 +463,38 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(all(1L) == 26666L && all(2L) == 13333L)
   }
 
+  test("collocations: hand-computed Dice scores and tie-break") {
+    import spark.implicits._
+    // "x y" always adjacent (perfect collocation); "a b" sometimes
+    val docs = Seq(
+      (1L, "x y a b"),   // bigrams: x y, y a, a b
+      (2L, "x y a c"),   // x y, y a, a c
+      (3L, "a d")        // a d
+    ).toDF("doc_id", "text")
+    // c1: x=2 y=2 a=3 b=1 c=1 d=1; c2: "x y"=2, "y a"=2, "a b"=1, "a c"=1, "a d"=1
+    // dice*1e5: "x y" = 4e5 // 4 = 100000; "y a" = 4e5 // 5 = 80000
+    //           "a b" = 2e5 // 4 = 50000 = "a c" = "a d"
+    val out = TextAnalysis.collocations(docs, col("text"), topK = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("x y", 2L, 100000L),
+      ("y a", 2L, 80000L),
+      ("a b", 1L, 50000L),  // tie at 50000 breaks lexicographically
+      ("a c", 1L, 50000L)))
+  }
+
+  test("collocations plan: no corpus text on any exchange; top-K is TakeOrdered, not a global sort") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d"), (2L, "b c d e")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, col("text"), topK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-K must be a per-partition heap, not a global sort:\n$plan")
+    assert(Scale.shuffleOutputColumns(out)
+      .forall(cols => !cols.exists(_.contains("text"))),
+      "document text must never ride an exchange")
+  }
+
   test("bigramLmScore plan: model broadcasts; only per-doc longs ride the scoring exchange") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "b c d")).toDF("doc_id", "text")
