@@ -154,6 +154,7 @@ object GraftExtensions {
     fn("vec_fixed_point", classOf[VecFixedPoint], VecOps.vecFixedPointBuilder),
     fn("vec_nearest_centroid", classOf[VecNearestCentroid], VecOps.vecNearestCentroidBuilder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
+    fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
 
   /** Register the engine's functions on an already-built session (for

@@ -1,10 +1,12 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-fingerprint expressions. The declarative rolling hash
@@ -33,6 +35,33 @@ object TextRuntime {
     }
     acc
   }
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Adjacent token pairs joined by a single space: ["a","b","c"] ->
+    * ["a b", "b c"]; fewer than 2 elements -> empty. The token array
+    * is evaluated exactly ONCE — the declarative formulation
+    * (`transform(sequence(1, n-1), i => concat_ws(" ", element_at(t, i),
+    * element_at(t, i+1)))`) inlines the tokenizer expression `t` into
+    * the lambda body, so every element_at re-runs the regex split:
+    * O(tokens²) interpreted work per document (measured 10s of a 41s
+    * sf0.1 bench across the two n-gram model queries — the same
+    * CollapseProject-inlining trap as the int8 quantizer fixed in r7).
+    */
+  def adjacentPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev = a.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = a.getUTF8String(i)
+      out(i - 1) = UTF8String.concat(prev, space, cur)
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** rolling_hash64(text): order-sensitive content fingerprint. */
@@ -50,13 +79,44 @@ case class RollingHash64(child: Expression) extends UnaryExpression with Expects
     copy(child = newChild)
 }
 
+/** adjacent_pairs(tokens): array<string> of adjacent-token bigrams
+  * ("a b"), empty for arrays shorter than 2. Null-preserving; null
+  * ELEMENTS are not expected (tokenizers here never produce them).
+  */
+case class AdjacentPairs(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"adjacent_pairs requires array<string>, got ${t.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "adjacent_pairs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.adjacentPairs(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.adjacentPairs($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): AdjacentPairs =
+    copy(child = newChild)
+}
+
 object TextOps {
   def rollingHash64(s: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(s)))
+
+  def adjacentPairs(tokens: Column): Column =
+    ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(tokens)))
 
   private[functions] def rollingHash64Builder(children: Seq[Expression]): Expression = {
     if (children.length != 1)
       throw new IllegalArgumentException(s"rolling_hash64 expects 1 argument, got ${children.length}")
     RollingHash64(children.head)
+  }
+
+  private[functions] def adjacentPairsBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw new IllegalArgumentException(s"adjacent_pairs expects 1 argument, got ${children.length}")
+    AdjacentPairs(children.head)
   }
 }

@@ -338,12 +338,11 @@ object TextAnalysis {
       topBigrams: Int, scale: Long = 10000L): DataFrame = {
     require(topBigrams > 0, s"topBigrams must be positive, got $topBigrams")
     val toks = tokens(lower(text))
-    val bigramsOf = (t: Column) =>
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    val docs = df.select(id.cast("long").as("doc_id"), bigramsOf(toks).as("bgs"))
+    // native adjacent_pairs, NOT transform+element_at: the lambda form
+    // inlines the tokenizer into the per-element body — O(tokens²)
+    // interpreted work per doc (see TextRuntime.adjacentPairs)
+    val docs = df.select(id.cast("long").as("doc_id"),
+      graft.functions.TextOps.adjacentPairs(toks).as("bgs"))
     val c2 = docs.select(explode(col("bgs")).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("bg"))
@@ -386,12 +385,8 @@ object TextAnalysis {
       scale: Long = 100000L): DataFrame = {
     require(topK > 0, s"topK must be positive, got $topK")
     val toks = tokens(lower(text))
-    val bigramsOf = (t: Column) =>
-      when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast("array<string>"))
-    val c2 = df.select(explode(bigramsOf(toks)).as("bg"))
+    // native adjacent_pairs — same O(tokens²) trap as bigramLmScore
+    val c2 = df.select(explode(graft.functions.TextOps.adjacentPairs(toks)).as("bg"))
       .groupBy("bg").agg(count(lit(1)).as("c2"))
     val c1 = df.select(explode(toks).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))

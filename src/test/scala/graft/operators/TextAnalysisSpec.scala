@@ -463,6 +463,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(all(1L) == 26666L && all(2L) == 13333L)
   }
 
+  test("adjacent_pairs: bigrams via SQL registry; empty and single-token arrays") {
+    import spark.implicits._
+    val out = spark.sql(
+      "SELECT adjacent_pairs(array('a','b','c')) AS p3, " +
+      "adjacent_pairs(array('x')) AS p1, " +
+      "adjacent_pairs(CAST(array() AS array<string>)) AS p0, " +
+      "adjacent_pairs(CAST(NULL AS array<string>)) AS pn")
+      .as[(Seq[String], Seq[String], Seq[String], Option[Seq[String]])].head()
+    assert(out == ((Seq("a b", "b c"), Seq(), Seq(), None)))
+  }
+
   test("collocations: hand-computed Dice scores and tie-break") {
     import spark.implicits._
     // "x y" always adjacent (perfect collocation); "a b" sometimes
