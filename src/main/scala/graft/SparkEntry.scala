@@ -278,6 +278,25 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
       .orderBy("id_a", "id_b")
 
+  private def qGiniDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.giniDiversity(
+      t(s, dir, "documents"), col("source"), col("lang"))
+      .withColumnRenamed("grp", "source")
+      .orderBy("source")
+
+  private def qSemanticKeepBest(s: SparkSession, dir: String): DataFrame = {
+    // keep the LONGEST member of each semantic cluster (vec_id joins
+    // the documents table's doc_id for the quality signal)
+    val emb = t(s, dir, "embeddings")
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+    val joined = emb.join(docs, emb("vec_id") === docs("doc_id"))
+      .select(col("vec_id"), col("embedding"), col("n_chars"))
+    Dedup.semanticDedupKeepBest(joined, col("vec_id"), col("embedding"),
+      col("n_chars"), threshold = 0.35, nBuckets = 8)
+      .select(col("vec_id"), col("n_chars"))
+      .orderBy("vec_id")
+  }
+
   private def qCollocations(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.collocations(t(s, dir, "documents"), col("text"), topK = 50)
 
@@ -1404,6 +1423,8 @@ object SparkEntry {
     "q102_collocations" -> qCollocations _,
     "q103_semantic_dedup" -> qSemanticDedup _,
     "q104_weighted_sample" -> qWeightedSample _,
+    "q105_gini_diversity" -> qGiniDiversity _,
+    "q106_semantic_keepbest" -> qSemanticKeepBest _,
     "q45_infer_native" -> qTypeInferNative _,
     "q47_salted_collapse" -> qSaltedCollapse _,
     "q48_dedup_groups" -> qDedupGroups _,
@@ -1781,6 +1802,54 @@ object SparkEntry {
           |   ((doc_id * 2654435761) % 1000000007) // greatest((n_chars // 100) + 1, 1) AS pr
           |  FROM documents))
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      // integer-exact Gini impurity of the lang mix per source:
+      // DECIMAL(38,0)/HUGEINT moments, one truncating integral divide
+      "q105_gini_diversity" ->
+        """SELECT grp AS source, n::BIGINT AS n_rows, n_cats::BIGINT AS n_cats,
+          | (((n*n - ssq) * 1000000) // (n*n))::BIGINT AS gini
+          |FROM (
+          | SELECT grp, sum(c)::HUGEINT AS n, count(*) AS n_cats, sum(c*c)::HUGEINT AS ssq FROM (
+          |  SELECT source AS grp, lang, count(*) AS c FROM documents GROUP BY 1, 2)
+          | GROUP BY grp)
+          |ORDER BY source""".stripMargin,
+
+      // q103's components with the keep-best rule: per component the
+      // longest member (n_chars desc, vec_id) survives
+      "q106_semantic_keepbest" ->
+        """WITH RECURSIVE e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | pairs AS (
+          |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          |  FROM assigned a JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+          |  WHERE list_dot_product(a.vec, b.vec) /
+          |     (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec))) >= 0.35),
+          | edges AS (SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r.id, e2.id_b AS peer FROM reach r JOIN edges e2 ON r.peer = e2.id_a),
+          | reps AS (SELECT id, min(peer) AS grp FROM reach GROUP BY id),
+          | scored AS (
+          |  SELECT e.vec_id, d.n_chars, r.grp
+          |  FROM e JOIN documents d ON e.vec_id = d.doc_id
+          |  LEFT JOIN reps r ON e.vec_id = r.id),
+          | winners AS (
+          |  SELECT vec_id, n_chars FROM (
+          |   SELECT vec_id, n_chars, row_number() OVER (PARTITION BY grp ORDER BY n_chars DESC, vec_id) AS rn
+          |   FROM scored WHERE grp IS NOT NULL) WHERE rn = 1)
+          |SELECT vec_id::BIGINT AS vec_id, n_chars::BIGINT AS n_chars FROM (
+          | SELECT vec_id, n_chars FROM scored WHERE grp IS NULL
+          | UNION ALL SELECT vec_id, n_chars FROM winners)
+          |ORDER BY vec_id""".stripMargin,
 
       // SemDeDup: the q24 pair relation (verbatim), transitive closure
       // (symmetric edges make every connected node reach itself, so

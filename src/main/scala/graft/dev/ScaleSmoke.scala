@@ -244,6 +244,32 @@ object ScaleSmoke {
       TextAnalysis.oovRate(docs, col("doc_id"), col("text"), vocabSize = 1000)
         .where(col("n_oov") > 0).count())
 
+    // round-8 operators at volume: integer k-means over the full
+    // vector corpus (k=16, 3 assignment passes — per-iteration cost is
+    // one map pass + a k*d partial-sum exchange), collocation mining
+    // (distinct-bigram counts + TakeOrdered), weighted sampling (one
+    // stratum exchange), SemDeDup (pairs ∝ planted dups + components)
+    val km = time("kmeansFixedPoint (k=16, iters=3, full corpus)")(
+      graft.operators.Clustering.kmeansFixedPoint(
+        vecs, col("id"), col("vec"), k = 16, iters = 3)
+        .groupBy("cluster").count().count())
+    val cl = time("collocations (top 100)")(
+      TextAnalysis.collocations(docs, col("text"), topK = 100).count())
+    val ws = time("weightedSample (100 strata, n=1000)")(
+      graft.operators.Sampling.weightedSample(
+        docs.withColumn("st", pmod(col("doc_id"), lit(100L))),
+        col("doc_id"), length(col("text")), col("st"), n = 1000).count())
+    // plant one exact-duplicate vector per 20 (the hash-random corpus
+    // has no natural cosine near-dups), so the drop path does real work
+    val sdVecs = spark.range(nDocs).select(col("id"),
+      transform(sequence(lit(0), lit(63)),
+        i => (pmod(xxhash64(
+            when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")) * 64 + i),
+          lit(1000)).cast("double") / 500.0 - 1.0).cast("float")).as("vec"))
+    val sd = time("semanticDedup (1-in-20 planted dups, threshold=0.95)")(
+      Dedup.semanticDedup(sdVecs, col("id"), col("vec"),
+        threshold = 0.95, nBuckets = ndBuckets).count())
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -258,6 +284,7 @@ object ScaleSmoke {
       s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
       s"incNearDups=$ind rangeShards=$rs " +
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
+      s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

@@ -1000,4 +1000,38 @@ object Dedup {
       .join(drops, Seq("__sd_id"), "left_anti")
       .drop("__sd_id")
   }
+
+  /** [[semanticDedup]] with a QUALITY keep rule: per semantic cluster,
+    * keep the member with the highest `score` (ties to the smallest
+    * id) instead of the smallest id — the "keep the best page of the
+    * near-dup set" policy ([[keepBest]]'s rule, lifted from exact
+    * fingerprint groups to embedding-cosine components).
+    *
+    * Scale shape: the ranking window runs ONLY over component members
+    * (a semi-join against the pair-set-sized group map selects them),
+    * never the corpus — unpaired documents pass through an anti join
+    * untouched, so corpus rows cross zero width-of-corpus windows and
+    * the two membership joins broadcast at real dup rates.
+    */
+  def semanticDedupKeepBest(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      score: Column,
+      threshold: Double,
+      nBuckets: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pairs = embeddingNearDups(df, id, vec, threshold, nBuckets)
+      .select("id_a", "id_b")
+    val groups = dedupGroups(pairs)
+      .select(col("id").as("__sdb_id"), col("keep_id").as("__sdb_grp"))
+    val keyed = df.withColumn("__sdb_id", id.cast("long"))
+    val unpaired = keyed.join(groups.select("__sdb_id"), Seq("__sdb_id"), "left_anti")
+    val winners = keyed.join(groups, Seq("__sdb_id"))
+      .withColumn("__sdb_rn", row_number().over(
+        Window.partitionBy("__sdb_grp").orderBy(score.desc, col("__sdb_id"))))
+      .where(col("__sdb_rn") === 1)
+      .drop("__sdb_grp", "__sdb_rn")
+    unpaired.unionByName(winners).drop("__sdb_id")
+  }
 }

@@ -37,6 +37,34 @@ object Profiling {
       .select("s.col_name", "s.n_nonnull", "s.n_null", "s.min_s", "s.max_s")
   }
 
+  /** Per-group categorical diversity as INTEGER-EXACT Gini impurity:
+    * `gini = 1 - Σ(c_i/N)²`, scaled to parts-per-`scale` with all
+    * arithmetic in DECIMAL(38,0) and one truncating integral divide —
+    * `((N² - Σc_i²)·scale) div N²` — so the score is bit-reproducible
+    * across engines (entropy needs float logs; Gini ranks the same
+    * concentration signal exactly). 0 = one category owns the group,
+    * scale·(1-1/k) = k categories perfectly balanced. The
+    * mixture-monitoring primitive: language/source diversity per
+    * shard, per day, per cluster — alerting on a collapsed mix.
+    *
+    * Scale shape: two map-side-combined aggregations — (group,
+    * category) counts, then per-group moment rollup; only counts ride
+    * the exchanges. DECIMAL(38,0) keeps N² exact to N ≈ 10^19 — no
+    * 64-bit overflow cliff at 100 TB group sizes (DuckDB mirrors it
+    * in HUGEINT).
+    */
+  def giniDiversity(df: DataFrame, group: Column, category: Column,
+      scale: Long = 1000000L): DataFrame =
+    df.groupBy(group.as("grp"), category.as("cat"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(
+        sum(col("c")).cast("decimal(38,0)").as("n"),
+        count(lit(1)).as("n_cats"),
+        sum(col("c") * col("c")).cast("decimal(38,0)").as("ssq"))
+      .select(col("grp"), col("n").cast("long").as("n_rows"), col("n_cats"),
+        expr(s"CAST(((n*n - ssq) * ${scale}L) div (n*n) AS BIGINT)").as("gini"))
+
   /** Mergeable approximate quantiles per group — the sketch-family
     * sibling of q16's HLL distinct count: `approx_percentile` is a
     * KLL/GK-style summary with bounded RANK error 1/accuracy, whose

@@ -472,4 +472,20 @@ class DedupSpec extends SparkTestBase {
     // components at cos >= 0.95: {0,2,5}, {1,3}, {4}
     assert(out == Set(0L -> "a", 1L -> "b", 4L -> "e"))
   }
+
+  test("semanticDedupKeepBest: highest score wins per component, score ties to min id") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, Seq(1.0f, 0.0f), 10L),
+      (1L, Seq(0.0f, 1.0f), 7L),
+      (2L, Seq(0.99f, 0.01f), 30L), // beats 0 and 5 in {0,2,5}
+      (3L, Seq(0.01f, 0.99f), 7L),  // ties 1 -> min id 1 wins {1,3}
+      (4L, Seq(-1.0f, 0.0f), 1L),
+      (5L, Seq(0.995f, 0.005f), 20L))
+    val df = rows.toDF("vec_id", "vec", "score")
+    val out = Dedup.semanticDedupKeepBest(df, col("vec_id"), col("vec"),
+      col("score"), threshold = 0.95, nBuckets = 2)
+      .select("vec_id", "score").as[(Long, Long)].collect().toSet
+    assert(out == Set(2L -> 30L, 1L -> 7L, 4L -> 1L))
+  }
 }
