@@ -148,6 +148,36 @@ object Scale {
         acc + when(key.cast("long") > b, 1L).otherwise(0L)
       })
 
+  /** Deterministic sharded parquet export: assigns every row its
+    * range shard ([[withRangeShard]] — map-only), writes
+    * `path/shard=N/` via parquet partitionBy, and returns the
+    * written manifest (shard, n_rows, min_key, max_key) — the
+    * release shape a training-data drop wants: shard contents are a
+    * pure function of the data (re-running the export, on any
+    * cluster layout, yields byte-stable shard MEMBERSHIP — unlike
+    * `repartitionByRange`, whose reservoir sampling moves boundary
+    * rows between runs).
+    *
+    * The write is one pass: Spark's dynamic partition write splits
+    * files by the shard column inside each task — no extra exchange
+    * beyond what `df` already carries. The manifest re-aggregates
+    * from the WRITTEN files, so it certifies the export, not the
+    * plan.
+    */
+  def writeRangeShardedParquet(df: DataFrame, key: Column, nShards: Int,
+      path: String): DataFrame = {
+    val bounds = rangeShardBoundaries(df, key, nShards)
+    withRangeShard(df, key, bounds)
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val spark = df.sparkSession
+    spark.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(key.cast("long")).as("min_key"),
+        max(key.cast("long")).as("max_key"))
+      .orderBy("shard")
+  }
+
   /** Per-shard export manifest: row count and key range — the
     * release-artifact summary of a deterministic sharded export.
     */

@@ -77,6 +77,21 @@ class ClusteringSpec extends SparkTestBase {
     assert(sig(df1) == sig(df2))
   }
 
+  test("kmeansFixedPoint: k larger than the corpus degrades to n centroids; bad input rejected") {
+    import spark.implicits._
+    val df = vecsDf(Seq(0L -> Seq(0.0f), 1L -> Seq(1.0f)))
+    // k=5 with 2 vectors: init takes what exists; every point its own centroid
+    val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 5, iters = 2)
+      .select("id", "cluster", "dist").as[(Long, Int, Long)].collect().toSet
+    assert(out == Set((0L, 0, 0L), (1L, 1, 0L)))
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 0, iters = 1))
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 2, iters = 0))
+    assertThrows[IllegalArgumentException](
+      Clustering.kmeansFixedPoint(df.where(col("id") < 0), col("id"), col("vec"), k = 2, iters = 1))
+  }
+
   test("kmeansFixedPoint plan: assignment is a zero-shuffle map pass with literal centroids") {
     val df = vecsDf((0L until 50L).map(i => i -> Seq(i.toFloat, (i * 2).toFloat)))
     val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)

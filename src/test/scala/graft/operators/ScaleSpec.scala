@@ -125,4 +125,28 @@ class ScaleSpec extends SparkTestBase {
     val bounds2 = Scale.rangeShardBoundaries(df.repartition(7), col("k"), 4)
     assert(bounds2 == bounds)
   }
+
+  test("writeRangeShardedParquet: written files match the plan manifest; shards partition the key space") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(i => (i, (i * 37) % 500)).toDF("id", "k")
+    val dir = java.nio.file.Files.createTempDirectory("graft-shard-test").toString
+    try {
+      val manifest = Scale.writeRangeShardedParquet(df, col("k"), 4, dir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val planned = Scale.rangeShardManifest(df, col("k"), 4)
+        .orderBy("shard").as[(Long, Long, Long, Long)].collect().toSeq
+      assert(manifest == planned, "written manifest must equal the planned manifest")
+      assert(manifest.map(_._2).sum == 1000L)
+      // key ranges are disjoint and ordered across shards
+      manifest.sliding(2).foreach {
+        case Seq((_, _, _, maxA), (_, _, minB, _)) => assert(maxA < minB)
+        case _ => ()
+      }
+      // round trip: every row written exactly once
+      assert(spark.read.parquet(dir).count() == 1000L)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
 }
