@@ -1340,6 +1340,28 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  private def qImageAHash(s: SparkSession, dir: String): DataFrame = {
+    // 8x8 grayscale gradients (i*31 + x*16 + y) % 256: a REAL PNG
+    // encode -> decode -> hash round trip whose aHash has a closed
+    // form the oracle recomputes arithmetically; rows 0-4 (no mod
+    // wrap) are brightness-shifted copies and must hash IDENTICALLY
+    val media = pngTable(s, 20) { i =>
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          img.setRGB(x, y, ((((i * 31 + x * 16 + y) % 256) * 0x010101).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    graft.multimodal.Multimodal.imageAHash(media).orderBy("media_id")
+  }
+
   // memoized per session like xmlTables — the builder runs several
   // tiny jobs (detection + fallback parse + id assignment) that the
   // bench would otherwise re-pay per rep
@@ -1460,6 +1482,7 @@ object SparkEntry {
     "q62_corpus_prepare" -> qCorpusPrepare _,
     "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
     "q64_image_probe" -> qImageProbe _,
+    "q107_image_ahash" -> qImageAHash _,
     "q65_column_stats" -> qColumnStats _,
     "q68_stratified_sample" -> qStratifiedSample _,
     "q69_pack_sequences" -> qPackSequences _,
@@ -1802,6 +1825,20 @@ object SparkEntry {
           |   ((doc_id * 2654435761) % 1000000007) // greatest((n_chars // 100) + 1, 1) AS pr
           |  FROM documents))
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
+
+      // aHash closed form: the Spark side really encodes PNGs,
+      // decodes them, and block-averages pixels; the oracle recomputes
+      // the same integer arithmetic from the gradient formula
+      "q107_image_ahash" ->
+        """WITH px AS (
+          | SELECT m.i, g.x, g.y, ((m.i*31 + g.x*16 + g.y) % 256) AS v
+          | FROM (SELECT unnest(range(0, 20)) AS i) m
+          | CROSS JOIN (SELECT a.x, b.y FROM (SELECT unnest(range(0,8)) AS x) a, (SELECT unnest(range(0,8)) AS y) b) g),
+          |mn AS (SELECT i, (sum(v) // 64)::BIGINT AS thr FROM px GROUP BY i)
+          |SELECT px.i::BIGINT AS media_id,
+          | sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
+          | sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS ahash_lo
+          |FROM px JOIN mn ON px.i = mn.i GROUP BY px.i ORDER BY media_id""".stripMargin,
 
       // integer-exact Gini impurity of the lang mix per source:
       // DECIMAL(38,0)/HUGEINT moments, one truncating integral divide

@@ -202,6 +202,77 @@ object Multimodal {
     spark.createDataFrame(rdd, featureSchema)
   }
 
+  /** Perceptual average-hash (aHash) of decoded images — the classic
+    * 64-bit near-duplicate fingerprint for image dedup: downscale to
+    * an 8×8 grid, threshold each cell against the grid mean, pack the
+    * bits. Everything after decode is INTEGER arithmetic, made
+    * deterministic end-to-end:
+    *  - the grid is a manual truncating block average over the RED
+    *    channel (payload images here are grayscale, so red IS the
+    *    luminance; `Graphics.drawImage` resampling varies with
+    *    rendering hints and is NOT used);
+    *  - threshold = sum div 64 (truncating);
+    *  - bit (y*8+x) set iff cell > threshold, packed into two
+    *    unsigned-32-bit halves (`ahash_hi` bits 63..32, `ahash_lo`
+    *    31..0) — two longs instead of one so an external engine can
+    *    rebuild the hash without signed-shift overflow.
+    * Brightness-shifted copies of an image hash IDENTICALLY (the mean
+    * shifts with the cells) — the invariance aHash exists for.
+    * Undecodable or sub-8×8 payloads yield NULL halves. Map-only:
+    * payload bytes never shuffle; hamming distance between hashes is
+    * `bit_count(a_hi ^ b_hi) + bit_count(a_lo ^ b_lo)` for the
+    * near-dup join downstream (the simhash machinery applies).
+    */
+  def imageAHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = true),
+      StructField("ahash_lo", LongType, nullable = true)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+          if (img == null || img.getWidth < 8 || img.getHeight < 8)
+            Row(r.getLong(0), null, null)
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val cells = new Array[Long](64)
+            var cy = 0
+            while (cy < 8) {
+              var cx = 0
+              while (cx < 8) {
+                val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+                val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+                var s = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) { s += (img.getRGB(x, y) >> 16) & 0xFF; x += 1 }
+                  y += 1
+                }
+                cells(cy * 8 + cx) = s / ((x1 - x0).toLong * (y1 - y0))
+                cx += 1
+              }
+              cy += 1
+            }
+            val thr = cells.sum / 64
+            var hi = 0L; var lo = 0L
+            var b = 0
+            while (b < 64) {
+              if (cells(b) > thr) {
+                if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+              }
+              b += 1
+            }
+            Row(r.getLong(0), hi, lo)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling stub for video-like payloads: deterministically
     * pick `k` byte-offsets as "frames" (a real codec samples decoded
     * frames; the slicing/fan-out shape is what matters here). Output:

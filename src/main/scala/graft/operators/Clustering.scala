@@ -60,7 +60,48 @@ object Clustering {
       vec: Column,
       k: Int,
       iters: Int,
+      fpScale: Double = 1000.0): DataFrame =
+    runLloyd(df, id, vec, k, iters, fpScale)._1
+
+  /** The trained model alone: centroids in the fixed-point space after
+    * `iters` assignment passes, for serving new data via
+    * [[assignFixedPoint]] (batch or streaming — the assignment plan is
+    * a stateless map, so it drops into `readStream` pipelines as-is).
+    */
+  def kmeansCentroidsFixedPoint(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      fpScale: Double = 1000.0): Array[Array[Long]] =
+    runLloyd(df, id, vec, k, iters, fpScale)._2
+
+  /** Serve-side assignment of (new) vectors to a trained centroid set:
+    * quantize with the SAME fpScale the model was trained with, then
+    * one zero-shuffle codegen'd map pass (centroids ride as a plan
+    * literal). Output: input columns + (cluster int, dist long).
+    */
+  def assignFixedPoint(
+      df: DataFrame,
+      vec: Column,
+      cents: Array[Array[Long]],
       fpScale: Double = 1000.0): DataFrame = {
+    require(cents.nonEmpty, "assignFixedPoint: empty centroid set")
+    df.withColumn("__nc",
+        VecOps.nearestCentroid(VecOps.fixedPoint(vec, fpScale), typedLit(cents.flatten)))
+      .withColumn("cluster", col("__nc.cluster"))
+      .withColumn("dist", col("__nc.dist"))
+      .drop("__nc")
+  }
+
+  private def runLloyd(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      fpScale: Double): (DataFrame, Array[Array[Long]]) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = df.select(id.cast("long").as("id"), VecOps.fixedPoint(vec, fpScale).as("qv"))
@@ -77,7 +118,7 @@ object Clustering {
       assigned = assignStep(q, cents)
       it += 1
     }
-    assigned
+    (assigned, cents)
   }
 
   /** One assignment pass: a single codegen'd map over the persisted

@@ -129,4 +129,57 @@ class MultimodalSpec extends SparkTestBase {
       .select("meta.format", "meta.sample_rate", "meta.n_frames", "meta.width").head()
     assert(m2.getString(0) == "wav" && m2.getInt(1) == 8000 && m2.getInt(2) == 100 && m2.isNullAt(3))
   }
+
+  private def gradientPng(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, (f(x, y) & 0xFF) * 0x010101); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imageAHash: hand-computed bits on an 8x8 image; brightness shift is hash-invariant") {
+    import spark.implicits._
+    // left half 0, right half 200: mean = 100, right-half bits set
+    val half = (x: Int, _: Int) => if (x < 4) 0 else 200
+    val shifted = (x: Int, _: Int) => if (x < 4) 30 else 230 // +30 everywhere
+    val df = Seq(
+      (0L, gradientPng(8, 8, half)),
+      (1L, gradientPng(8, 8, shifted)),
+      (2L, Array[Byte](1, 2, 3)) // undecodable -> nulls
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageAHash(df)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    // bits set where x >= 4, for every y: per row mask 0b11110000 = 0xF0
+    val rowMask = 0xF0L
+    val expectHalf = (0 until 4).map(r => rowMask << (8 * r)).reduce(_ | _)
+    assert(out(0) == ((0L, Some(expectHalf), Some(expectHalf))))
+    assert(out(1)._2 == out(0)._2 && out(1)._3 == out(0)._3,
+      "brightness-shifted image must hash identically")
+    assert(out(2) == ((2L, None, None)))
+  }
+
+  test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
+    import spark.implicits._
+    val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256
+    // 16x16 where each 2x2 block is the constant f(x/2, y/2): block
+    // average reproduces the 8x8 image exactly
+    val df = Seq(
+      (0L, gradientPng(8, 8, f)),
+      (1L, gradientPng(16, 16, (x, y) => f(x / 2, y / 2)))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.imageAHash(df)
+      .orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(out(0)._2 == out(1)._2 && out(0)._3 == out(1)._3,
+      s"block-averaged 16x16 must hash like its 8x8 source: $out")
+    assert(out(0)._2.nonEmpty)
+  }
 }

@@ -92,6 +92,51 @@ class ClusteringSpec extends SparkTestBase {
       Clustering.kmeansFixedPoint(df.where(col("id") < 0), col("id"), col("vec"), k = 2, iters = 1))
   }
 
+  test("assignFixedPoint: serving new vectors with trained centroids matches the training assignment") {
+    import spark.implicits._
+    val rows = (0L until 200L).map(i => i -> Seq((i % 17).toFloat, (i % 5).toFloat))
+    val df = rows.toDF("id", "vec")
+    val cents = Clustering.kmeansCentroidsFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)
+    val trained = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)
+      .select("id", "cluster", "dist").as[(Long, Int, Long)].collect().toSet
+    val served = Clustering.assignFixedPoint(df, col("vec"), cents)
+      .select("id", "cluster", "dist").as[(Long, Int, Long)].collect().toSet
+    assert(served == trained,
+      "serving the training set against the trained centroids must reproduce the final assignment")
+    assert(Scale.countShuffles(
+      Clustering.assignFixedPoint(df, col("vec"), cents)) == 0,
+      "serve assignment must be a stateless zero-shuffle map (streaming-compatible)")
+  }
+
+  test("assignFixedPoint runs on a stream: stateless map survives readStream planning") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmeans-stream").toString
+    try {
+      val rows = (0L until 50L).map(i => i -> Seq((i % 7).toFloat))
+      rows.toDF("id", "vec").write.mode("overwrite").parquet(dir + "/in")
+      val cents = Clustering.kmeansCentroidsFixedPoint(
+        rows.toDF("id", "vec"), col("id"), col("vec"), k = 2, iters = 2)
+      val stream = spark.readStream
+        .schema("id LONG, vec ARRAY<FLOAT>")
+        .parquet(dir + "/in")
+      val q = Clustering.assignFixedPoint(stream, col("vec"), cents)
+        .writeStream.format("parquet")
+        .option("path", dir + "/out")
+        .option("checkpointLocation", dir + "/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000)
+      val got = spark.read.parquet(dir + "/out")
+        .select("id", "cluster").as[(Long, Int)].collect().toSet
+      val batch = Clustering.assignFixedPoint(rows.toDF("id", "vec"), col("vec"), cents)
+        .select("id", "cluster").as[(Long, Int)].collect().toSet
+      assert(got == batch, "streamed assignment must equal the batch assignment")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("kmeansFixedPoint plan: assignment is a zero-shuffle map pass with literal centroids") {
     val df = vecsDf((0L until 50L).map(i => i -> Seq(i.toFloat, (i * 2).toFloat)))
     val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)

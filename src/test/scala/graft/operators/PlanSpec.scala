@@ -249,4 +249,22 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("LessThan(doc_id,50)"), plan) // reaches the parquet scan
     assert(Scale.countShuffles(chunks) == 0, plan)
   }
+
+  test("giniDiversity: two aggregate exchanges, only counts on the wire") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profiling.giniDiversity(docs, col("source"), col("lang"))
+    assert(Scale.countShuffles(out) == 2,
+      out.queryExecution.executedPlan.toString)
+    assert(Scale.shuffleOutputColumns(out)
+      .forall(cols => !cols.exists(_.contains("text"))),
+      "document text must never ride a profiling exchange")
+  }
+
+  test("weightedSample: one stratum exchange; priority computed map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.weightedSample(docs, col("doc_id"),
+      expr("(n_chars div 100) + 1"), col("lang"), n = 20)
+    assert(Scale.countShuffles(out) == 1,
+      out.queryExecution.executedPlan.toString)
+  }
 }
