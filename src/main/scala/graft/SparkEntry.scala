@@ -1362,6 +1362,34 @@ object SparkEntry {
     graft.multimodal.Multimodal.imageAHash(media).orderBy("media_id")
   }
 
+  private def qImageNearDups(s: SparkSession, dir: String): DataFrame = {
+    // 40 images in 20 identical twin pairs (base = media_id div 2),
+    // bases with per-base gradient slopes so hashes genuinely differ:
+    // the banded hamming join must recover exactly the brute-force
+    // pair set the oracle computes from the closed-form hashes (the
+    // fixture yields all 20 twins at dist 0 plus real dist 1-3
+    // neighbors)
+    val media = pngTable(s, 40) { i =>
+      val b = i / 2
+      val cx = 3 + (b * 7) % 23
+      val cy = 1 + (b * 5) % 19
+      val img = new java.awt.image.BufferedImage(
+        8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          img.setRGB(x, y, ((((x * cx + y * cy) % 256) * 0x010101).toInt))
+          x += 1
+        }
+        y += 1
+      }
+      img
+    }
+    graft.multimodal.Multimodal.imageNearDups(media, maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   // memoized per session like xmlTables — the builder runs several
   // tiny jobs (detection + fallback parse + id assignment) that the
   // bench would otherwise re-pay per rep
@@ -1483,6 +1511,7 @@ object SparkEntry {
     "q63_corpus_prepare_fuzzy" -> qCorpusPrepareFuzzy _,
     "q64_image_probe" -> qImageProbe _,
     "q107_image_ahash" -> qImageAHash _,
+    "q108_image_neardups" -> qImageNearDups _,
     "q65_column_stats" -> qColumnStats _,
     "q68_stratified_sample" -> qStratifiedSample _,
     "q69_pack_sequences" -> qPackSequences _,
@@ -1839,6 +1868,27 @@ object SparkEntry {
           | sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
           | sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS ahash_lo
           |FROM px JOIN mn ON px.i = mn.i GROUP BY px.i ORDER BY media_id""".stripMargin,
+
+      // brute-force hamming ground truth over the closed-form hashes;
+      // the engine's banded join is pigeonhole-EXACT at maxDist 3, so
+      // the sets must match pair for pair
+      "q108_image_neardups" ->
+        """WITH px AS (
+          | SELECT m.i, g.x, g.y,
+          |  ((g.x*(3 + ((m.i // 2)*7) % 23) + g.y*(1 + ((m.i // 2)*5) % 19)) % 256) AS v
+          | FROM (SELECT unnest(range(0, 40)) AS i) m
+          | CROSS JOIN (SELECT a.x, b.y FROM (SELECT unnest(range(0,8)) AS x) a, (SELECT unnest(range(0,8)) AS y) b) g),
+          |mn AS (SELECT i, (sum(v) // 64)::BIGINT AS thr FROM px GROUP BY i),
+          |hashes AS (
+          | SELECT px.i AS media_id,
+          |  sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS hi,
+          |  sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS lo
+          | FROM px JOIN mn ON px.i = mn.i GROUP BY px.i)
+          |SELECT a.media_id::BIGINT AS id_a, b.media_id::BIGINT AS id_b,
+          | (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))::BIGINT AS dist
+          |FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // integer-exact Gini impurity of the lang mix per source:
       // DECIMAL(38,0)/HUGEINT moments, one truncating integral divide

@@ -273,6 +273,59 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** aHash-based image near-duplicate pairs: decode + hash
+    * ([[imageAHash]]), then find all pairs within `maxDist` hamming
+    * bits — EXACTLY, via the pigeonhole band join: a 64-bit hash
+    * splits into four 16-bit bands, and any pair within hamming 3 must
+    * agree on at least one band (3 differing bits touch at most 3 of
+    * the 4), so banding is a lossless candidate generator for
+    * maxDist ≤ 3 — the same guarantee the simhash text path uses.
+    * Requires `maxDist < 4`; a larger radius needs more/narrower
+    * bands.
+    *
+    * Scale shape: payloads never leave the decode scan (only 3 longs
+    * per image reach the band explode); candidates are per-band-bucket
+    * joins; `maxBucket` caps degenerate buckets (e.g. solid-color
+    * corpora hashing to all-zeros) the way the minhash/simhash
+    * operators do — capped bands are dropped from candidate
+    * generation, loudly trading recall for boundedness.
+    */
+  def imageNearDups(df: DataFrame, maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"pigeonhole over 4 bands is exact only for maxDist < 4, got $maxDist")
+    val hashes = imageAHash(df).where(col("ahash_hi").isNotNull).persist()
+    val bandCols = Seq(
+      col("ahash_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("ahash_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("ahash_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("ahash_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashes.select(col("media_id"), col("ahash_hi"), col("ahash_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+    val hot = banded.groupBy("band", "v")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select("band", "v")
+    val small = banded.join(broadcast(hot), Seq("band", "v"), "left_anti")
+    val a = small.select(col("band"), col("v"), col("media_id").as("id_a"),
+      col("ahash_hi").as("hi_a"), col("ahash_lo").as("lo_a"))
+    val b = small.select(col("band"), col("v"), col("media_id").as("id_b"),
+      col("ahash_hi").as("hi_b"), col("ahash_lo").as("lo_b"))
+    val result = a.join(b, Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+    // persist+count then release the hash cache (the Dedup
+    // materializeAndRelease pattern: pin the small pair output, free
+    // the larger per-image cache; lineage kept so a lost block
+    // recomputes instead of failing)
+    val out = result.persist()
+    out.count()
+    hashes.unpersist()
+    out
+  }
+
   /** Frame sampling stub for video-like payloads: deterministically
     * pick `k` byte-offsets as "frames" (a real codec samples decoded
     * frames; the slicing/fan-out shape is what matters here). Output:

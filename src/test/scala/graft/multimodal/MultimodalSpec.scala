@@ -166,6 +166,38 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2) == ((2L, None, None)))
   }
 
+  test("imageNearDups: banded join equals brute-force hamming pairs; twins at dist 0") {
+    import spark.implicits._
+    val f = (b: Int) => (x: Int, y: Int) => (x * (3 + b * 7 % 23) + y * (1 + b * 5 % 19)) % 256
+    val df = (0L until 20L).map(i => (i, gradientPng(8, 8, f((i / 2).toInt))))
+      .toDF("media_id", "payload")
+    val got = Multimodal.imageNearDups(df, maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute-force reference over the same hashes
+    val hs = Multimodal.imageAHash(df)
+      .as[(Long, Option[Long], Option[Long])].collect()
+      .map { case (id, hi, lo) => (id, hi.get, lo.get) }
+    val expect = (for {
+      (ia, hia, loa) <- hs; (ib, hib, lob) <- hs if ia < ib
+      d = java.lang.Long.bitCount(hia ^ hib) + java.lang.Long.bitCount(loa ^ lob)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    assert(got == expect, "pigeonhole banding must be exact at maxDist 3")
+    assert((0L until 20L by 2).forall(i => got.contains((i, i + 1, 0L))),
+      "every identical twin pair must surface at dist 0")
+    assertThrows[IllegalArgumentException](Multimodal.imageNearDups(df, maxDist = 4))
+  }
+
+  test("imageNearDups: hot-bucket cap drops degenerate all-identical buckets loudly") {
+    import spark.implicits._
+    // 30 identical images: every band bucket has 30 members
+    val df = (0L until 30L).map(i => (i, gradientPng(8, 8, (x, _) => x * 20)))
+      .toDF("media_id", "payload")
+    assert(Multimodal.imageNearDups(df, maxDist = 3).count() == 30L * 29 / 2)
+    assert(Multimodal.imageNearDups(df, maxDist = 3, maxBucket = 10).count() == 0,
+      "capped bands must drop the degenerate bucket entirely (documented recall trade)")
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256
