@@ -308,6 +308,22 @@ object SparkEntry {
       .select(col("lang"), col("doc_id"), col("priority"))
       .orderBy("lang", "doc_id")
 
+  private def qPqAnn(s: SparkSession, dir: String): DataFrame = {
+    // PQ serve end-to-end: 4 subspaces x 8 codes (iters=1 keeps the
+    // oracle's codebook closed-form; q101 certifies the Lloyd update),
+    // 5 queries against the coded corpus, exact-integer ADC ranking
+    val emb = t(s, dir, "embeddings")
+    val model = graft.operators.Clustering.pqTrain(
+      emb, col("vec_id"), col("embedding"), m = 4, k = 8, iters = 1)
+    val coded = graft.operators.Clustering.pqEncode(emb, col("embedding"), model)
+    graft.operators.Clustering.pqTopK(
+      emb.where(col("vec_id") < 5), col("vec_id"), col("embedding"),
+      coded, col("vec_id"), model, kNN = 5)
+      .select(col("query_id"), col("corpus_id"), col("adc_dist"),
+        col("rank").cast("long").as("rank"))
+      .orderBy("query_id", "rank")
+  }
+
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
     // SemDeDup over the q24 pair relation: survivors = one min-id
     // representative per embedding-space connected component
@@ -1512,6 +1528,7 @@ object SparkEntry {
     "q64_image_probe" -> qImageProbe _,
     "q107_image_ahash" -> qImageAHash _,
     "q108_image_neardups" -> qImageNearDups _,
+    "q109_pq_ann" -> qPqAnn _,
     "q65_column_stats" -> qColumnStats _,
     "q68_stratified_sample" -> qStratifiedSample _,
     "q69_pack_sequences" -> qPackSequences _,
@@ -1868,6 +1885,34 @@ object SparkEntry {
           | sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
           | sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS ahash_lo
           |FROM px JOIN mn ON px.i = mn.i GROUP BY px.i ORDER BY media_id""".stripMargin,
+
+      // PQ: subspace codebooks = slices of the first 8 vectors
+      // (iters=1), codes = per-subspace argmin, ADC = summed
+      // slice-to-centroid integer squared-L2, top-5 per query
+      "q109_pq_ann" ->
+        """WITH q AS (SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v FROM embeddings),
+          |sub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv FROM q CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
+          |cents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+          |          FROM sub WHERE id < 8),
+          |codes AS (
+          | SELECT id, j, cid AS code FROM (
+          |  SELECT s.id, s.j, c.cid,
+          |   row_number() OVER (PARTITION BY s.id, s.j ORDER BY
+          |     list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
+          |  FROM sub s JOIN cents c ON s.j = c.j) WHERE rk = 1),
+          |adc AS (
+          | SELECT qs.id AS query_id, co.id AS corpus_id,
+          |  sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+          | FROM sub qs
+          | JOIN codes co ON qs.j = co.j
+          | JOIN cents c ON c.j = co.j AND c.cid = co.code
+          | WHERE qs.id < 5 AND co.id != qs.id
+          | GROUP BY qs.id, co.id)
+          |SELECT query_id::BIGINT AS query_id, corpus_id::BIGINT AS corpus_id, adc_dist,
+          | rank::BIGINT AS rank FROM (
+          | SELECT query_id, corpus_id, adc_dist,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, corpus_id) AS rank
+          | FROM adc) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
       // brute-force hamming ground truth over the closed-form hashes;
       // the engine's banded join is pigeonhole-EXACT at maxDist 3, so

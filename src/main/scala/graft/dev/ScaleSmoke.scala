@@ -259,6 +259,19 @@ object ScaleSmoke {
       graft.operators.Sampling.weightedSample(
         docs.withColumn("st", pmod(col("doc_id"), lit(100L))),
         col("doc_id"), length(col("text")), col("st"), n = 1000).count())
+    // PQ: train 4x16 codebooks on the full corpus, encode it (64 dims
+    // -> 4 ints), serve ADC top-5 — the compressed-corpus serve path
+    val pqModel = time("pqTrain (m=4, k=16, iters=2)")(
+      graft.operators.Clustering.pqTrain(
+        vecs, col("id"), col("vec"), m = 4, k = 16, iters = 2))
+    val pqCoded = graft.operators.Clustering.pqEncode(vecs, col("vec"), pqModel)
+      .select(col("id"), col("codes")).persist()
+    time("pqEncode materialize")(pqCoded.count())
+    val pq = time("pqTopK serve (100 queries, ADC)")(
+      graft.operators.Clustering.pqTopK(
+        vecs.where(col("id") < 100), col("id"), col("vec"),
+        pqCoded, col("id"), pqModel, kNN = 5).count())
+
     // plant one exact-duplicate vector per 20 (the hash-random corpus
     // has no natural cosine near-dups), so the drop path does real work
     val sdVecs = spark.range(nDocs).select(col("id"),
@@ -284,7 +297,7 @@ object ScaleSmoke {
       s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
       s"incNearDups=$ind rangeShards=$rs " +
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
-      s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd " +
+      s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

@@ -153,6 +153,8 @@ object GraftExtensions {
     fn("vec_quantize_int8", classOf[VecQuantizeInt8], VecOps.vecQuantizeInt8Builder),
     fn("vec_fixed_point", classOf[VecFixedPoint], VecOps.vecFixedPointBuilder),
     fn("vec_nearest_centroid", classOf[VecNearestCentroid], VecOps.vecNearestCentroidBuilder),
+    fn("pq_lut", classOf[PqLut], VecOps.pqLutBuilder),
+    fn("pq_adc", classOf[PqAdc], VecOps.pqAdcBuilder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))

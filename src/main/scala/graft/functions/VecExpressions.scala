@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression, UnsafeArrayData}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, TernaryExpression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -103,6 +103,71 @@ object VecRuntime {
 
   def fixedPointD(a: ArrayData, scale: Double): ArrayData =
     fixedPoint(a.numElements(), scale, a.getDouble)
+
+  // --- product quantization kernels --------------------------------------
+  // PQ (Jégou et al. 2011) over the same fixed-point integer space as
+  // k-means: a d-dim vector splits into m contiguous subvectors, each
+  // encoded as the ordinal of its nearest subspace centroid; asymmetric
+  // distance (ADC) between a query and a code is the sum of m table
+  // lookups. With integer vectors and integer centroids every distance
+  // is an exact 64-bit sum — rankings reproduce across engines.
+
+  /** Per-query ADC lookup table: for each subspace j of m and centroid
+    * c of k, the integer squared-L2 between the query's j-th subvector
+    * and centroid (j, c). `cents` is m·k·dsub longs, subspace-major
+    * ((j·k + c)·dsub + i); the result is m·k longs ordered (j·k + c) —
+    * exactly the layout [[pqAdc]] indexes.
+    */
+  def pqLut(q: ArrayData, cents: ArrayData, m: Int): ArrayData = {
+    val d = q.numElements()
+    if (m <= 0 || d % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_lut: vector length $d is not divisible into $m subspaces")
+    val dsub = d / m
+    val mk = cents.numElements() / dsub
+    if (cents.numElements() != mk * dsub || mk % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_lut: centroid array length ${cents.numElements()} does not tile m=$m subspaces of width $dsub")
+    val k = mk / m
+    val out = new Array[Long](m * k)
+    var j = 0
+    while (j < m) {
+      var c = 0
+      while (c < k) {
+        val co = (j * k + c) * dsub
+        val qo = j * dsub
+        var s = 0L
+        var i = 0
+        while (i < dsub) { val t = q.getLong(qo + i) - cents.getLong(co + i); s += t * t; i += 1 }
+        out(j * k + c) = s
+        c += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** ADC distance: sum over subspaces of the query LUT entry for this
+    * code word. `lut` is m·k longs ((j·k + c)-ordered, from [[pqLut]]);
+    * m = codes.length, k inferred.
+    */
+  def pqAdc(codes: ArrayData, lut: ArrayData): Long = {
+    val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"pq_adc: LUT length ${lut.numElements()} is not a multiple of m=$m")
+    val k = lut.numElements() / m
+    var s = 0L
+    var j = 0
+    while (j < m) {
+      val c = codes.getInt(j)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(s"pq_adc: code $c out of range [0, $k)")
+      s += lut.getLong(j * k + c)
+      j += 1
+    }
+    s
+  }
 
   /** Argmin squared-L2 over k centroids packed row-major into one flat
     * long array (k = cents.length / d). Ties break toward the LOWEST
@@ -301,6 +366,70 @@ case class VecNearestCentroid(left: Expression, right: Expression) extends Binar
     copy(left = newLeft, right = newRight)
 }
 
+/** pq_lut(qv, cents, m): array<long> of m·k integer squared-L2 entries
+  * — the per-query ADC lookup table over a flat subspace-major centroid
+  * literal (see [[VecRuntime.pqLut]]). One codegen'd pass per query
+  * row; the centroid argument is a plan literal like
+  * [[VecNearestCentroid]]'s.
+  */
+case class PqLut(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(first.dataType) && isLongArray(second.dataType) &&
+      third.dataType == IntegerType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pq_lut requires (array<bigint>, array<bigint>, int), got " +
+        s"${first.dataType.sql}, ${second.dataType.sql}, ${third.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override protected def nullSafeEval(q: Any, c: Any, m: Any): Any =
+    VecRuntime.pqLut(q.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], m.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = VecRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (q, c, m) => s"$rt.pqLut($q, $c, $m)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PqLut =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** pq_adc(codes, lut): bigint asymmetric PQ distance — m table lookups
+  * summed in a codegen'd loop (see [[VecRuntime.pqAdc]]). The inner
+  * loop of PQ serving: one evaluation per (query, code) pair.
+  */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"pq_adc requires (array<int>, array<bigint>), got ${l.sql} and ${r.sql}")
+  }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "pq_adc"
+
+  override protected def nullSafeEval(codes: Any, lut: Any): Any =
+    VecRuntime.pqAdc(codes.asInstanceOf[ArrayData], lut.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = VecRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (c, l) => s"$rt.pqAdc($c, $l)")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API surface for the native vector expressions. */
 object VecOps {
   def dot(a: Column, b: Column): Column =
@@ -315,6 +444,13 @@ object VecOps {
 
   def nearestCentroid(v: Column, cents: Column): Column =
     ColumnBridge.column(VecNearestCentroid(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
+
+  def pqLut(q: Column, cents: Column, m: Int): Column =
+    ColumnBridge.column(PqLut(ColumnBridge.expression(q), ColumnBridge.expression(cents),
+      org.apache.spark.sql.catalyst.expressions.Literal(m)))
+
+  def pqAdc(codes: Column, lut: Column): Column =
+    ColumnBridge.column(PqAdc(ColumnBridge.expression(codes), ColumnBridge.expression(lut)))
 
   /** SQL builder for function-registry injection. */
   private[functions] def vecDotBuilder(children: Seq[Expression]): Expression = {
@@ -339,5 +475,17 @@ object VecOps {
     if (children.length != 2)
       throw new IllegalArgumentException(s"vec_nearest_centroid expects 2 arguments, got ${children.length}")
     VecNearestCentroid(children.head, children(1))
+  }
+
+  private[functions] def pqLutBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 3)
+      throw new IllegalArgumentException(s"pq_lut expects 3 arguments, got ${children.length}")
+    PqLut(children.head, children(1), children(2))
+  }
+
+  private[functions] def pqAdcBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new IllegalArgumentException(s"pq_adc expects 2 arguments, got ${children.length}")
+    PqAdc(children.head, children(1))
   }
 }

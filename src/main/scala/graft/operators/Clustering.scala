@@ -95,6 +95,103 @@ object Clustering {
       .drop("__nc")
   }
 
+  /** Product-quantization codebook (Jégou et al. 2011, "Product
+    * quantization for nearest neighbor search"): the d-dim fixed-point
+    * space splits into `m` contiguous subspaces of d/m dims, each
+    * getting its own k-centroid codebook from the SAME integer Lloyd's
+    * as [[kmeansFixedPoint]] — so training, encoding, and serving are
+    * all bit-reproducible. Returns m × k × (d/m) centroids,
+    * subspace-major. A vector encodes to m small ints (codes), a 4-32×
+    * compression of the corpus on disk and through every exchange; ADC
+    * serving never touches original vectors.
+    *
+    * Scale: m independent Lloyd's runs over sliced columns — each is
+    * the [[kmeansFixedPoint]] plan (zero-shuffle assignment, k·d/m
+    * partial-sum exchange); the corpus is scanned once per (subspace,
+    * iteration). The model is m·k·(d/m) = k·d longs on the driver —
+    * the same size as one k-means model.
+    */
+  def pqTrain(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      m: Int,
+      k: Int,
+      iters: Int,
+      fpScale: Double = 1000.0): Array[Array[Array[Long]]] = {
+    require(m > 0, s"m must be positive, got $m")
+    (0 until m).map { j =>
+      kmeansCentroidsFixedPoint(
+        df, id, subvector(vec, m, j), k, iters, fpScale)
+    }.toArray
+  }
+
+  /** Encode vectors against a trained PQ codebook: m nearest-centroid
+    * assignments over the sliced fixed-point vector — one codegen'd
+    * zero-shuffle map pass (each subspace codebook rides as a plan
+    * literal). Output: input columns + `codes` array<int> of length m.
+    */
+  def pqEncode(
+      df: DataFrame,
+      vec: Column,
+      model: Array[Array[Array[Long]]],
+      fpScale: Double = 1000.0): DataFrame = {
+    val m = model.length
+    require(m > 0, "pqEncode: empty model")
+    val codes = (0 until m).map { j =>
+      VecOps.nearestCentroid(
+        VecOps.fixedPoint(subvector(vec, m, j), fpScale),
+        typedLit(model(j).flatten)).getField("cluster")
+    }
+    df.withColumn("codes", array(codes: _*))
+  }
+
+  /** PQ top-k serve (ADC): each query computes its m·k lookup table
+    * once (native `pq_lut`), broadcasts against the coded corpus, and
+    * ranks by the exact-integer ADC distance (native `pq_adc` — m
+    * array lookups per candidate, no vector arithmetic). Ties break
+    * by corpus id. Output: (query_id, corpus id column, adc_dist, rank
+    * ≤ kNN).
+    *
+    * Scale shape: the corpus side carries only (id, m ints) — the
+    * whole point of PQ: at m=8 that is ~40 bytes per candidate vs
+    * 256+ for a float vector; the query side (with LUTs, m·k longs
+    * each) broadcasts; ranking is the per-query top-k window over
+    * candidates. Compose with the IVF bucketed index for
+    * sub-linear candidate sets — this operator is the within-bucket
+    * scorer.
+    */
+  def pqTopK(
+      queries: DataFrame,
+      queryId: Column,
+      queryVec: Column,
+      coded: DataFrame,
+      codedId: Column,
+      model: Array[Array[Array[Long]]],
+      kNN: Int,
+      fpScale: Double = 1000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = model.length
+    val flat = model.flatten.flatten
+    val q = queries.select(queryId.as("query_id"),
+      VecOps.pqLut(VecOps.fixedPoint(queryVec, fpScale), typedLit(flat), m).as("__lut"))
+    coded.select(codedId.as("corpus_id"), col("codes"))
+      .join(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select(col("query_id"), col("corpus_id"),
+        VecOps.pqAdc(col("codes"), col("__lut")).as("adc_dist"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("corpus_id"))))
+      .where(col("rank") <= kNN)
+  }
+
+  /** Contiguous subvector j of m: elements [j·d/m, (j+1)·d/m) —
+    * `slice` is 1-based. Requires d divisible by m (enforced by the
+    * native kernels downstream).
+    */
+  private def subvector(vec: Column, m: Int, j: Int): Column =
+    slice(vec, (size(vec) / m) * j + 1, size(vec) / m)
+
   private def runLloyd(
       df: DataFrame,
       id: Column,

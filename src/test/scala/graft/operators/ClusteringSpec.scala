@@ -137,6 +137,55 @@ class ClusteringSpec extends SparkTestBase {
     }
   }
 
+  test("pq: hand-computed codes and ADC on a 2-subspace toy; encode is zero-shuffle") {
+    import spark.implicits._
+    // d=2, m=2 -> 1-dim subspaces; fpScale 1000
+    // vectors: 0:(0, 0), 1:(1, 10), 2:(0.1, 9.9), 3:(0.9, 0.2)
+    val df = Seq(
+      (0L, Seq(0.0f, 0.0f)), (1L, Seq(1.0f, 10.0f)),
+      (2L, Seq(0.1f, 9.9f)), (3L, Seq(0.9f, 0.2f))).toDF("id", "vec")
+    // k=2, iters=1: subspace 0 centroids [0], [1000]; subspace 1: [0], [10000]
+    val model = Clustering.pqTrain(df, col("id"), col("vec"), m = 2, k = 2, iters = 1)
+    assert(model.map(_.map(_.toSeq).toSeq).toSeq ==
+      Seq(Seq(Seq(0L), Seq(1000L)), Seq(Seq(0L), Seq(10000L))))
+    val coded = Clustering.pqEncode(df, col("vec"), model)
+    val codes = coded.select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    // 2:(100, 9900) -> nearest [0] vs [1000]: 100 closer to 0; 9900 -> code 1
+    // 3:(900, 200) -> 900 closer to 1000 (code 1); 200 -> code 0
+    assert(codes == Map(0L -> Seq(0, 0), 1L -> Seq(1, 1), 2L -> Seq(0, 1), 3L -> Seq(1, 0)))
+    assert(Scale.countShuffles(Clustering.pqEncode(df, col("vec"), model)) == 0,
+      "PQ encode must be a zero-shuffle map pass")
+    // ADC from query 0 (lut vs its exact subspace distances):
+    // to corpus 1 (codes 1,1): (0-1000)^2 + (0-10000)^2 = 1e6 + 1e8
+    val top = Clustering.pqTopK(df.where(col("id") === 0), col("id"), col("vec"),
+      coded, col("id"), model, kNN = 3)
+      .select("corpus_id", "adc_dist").as[(Long, Long)].collect().toMap
+    assert(top(1L) == 1000000L + 100000000L)
+    assert(top(2L) == 0L + 100000000L)  // codes (0,1): lut0[0]=0, lut1[1]=1e8
+    assert(top(3L) == 1000000L + 0L)    // codes (1,0)
+  }
+
+  test("pq ADC equals exact squared-L2 to the RECONSTRUCTED corpus vector (the PQ contract)") {
+    import spark.implicits._
+    val rows = (0L until 120L).map(i =>
+      i -> Seq((i % 13).toFloat, (i % 7).toFloat, (i % 5).toFloat, (i % 3).toFloat))
+    val df = rows.toDF("id", "vec")
+    val model = Clustering.pqTrain(df, col("id"), col("vec"), m = 2, k = 4, iters = 2)
+    val coded = Clustering.pqEncode(df, col("vec"), model)
+      .select("id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val got = Clustering.pqTopK(df.where(col("id") < 3), col("id"), col("vec"),
+      df.transform(d => Clustering.pqEncode(d, col("vec"), model)), col("id"), model, kNN = 119)
+      .select("query_id", "corpus_id", "adc_dist").as[(Long, Long, Long)].collect()
+    def fp(v: Seq[Float]): Seq[Long] = v.map(x => math.floor(x * 1000.0 + 0.5).toLong)
+    val byId = rows.toMap
+    got.foreach { case (q, c, adc) =>
+      val qv = fp(byId(q))
+      val recon = coded(c).zipWithIndex.flatMap { case (code, j) => model(j)(code).toSeq }
+      val exact = qv.zip(recon).map { case (a, b) => (a - b) * (a - b) }.sum
+      assert(adc == exact, s"ADC($q,$c)=$adc != exact-to-reconstruction $exact")
+    }
+  }
+
   test("kmeansFixedPoint plan: assignment is a zero-shuffle map pass with literal centroids") {
     val df = vecsDf((0L until 50L).map(i => i -> Seq(i.toFloat, (i * 2).toFloat)))
     val out = Clustering.kmeansFixedPoint(df, col("id"), col("vec"), k = 3, iters = 2)
