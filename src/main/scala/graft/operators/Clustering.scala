@@ -74,8 +74,15 @@ object Clustering {
       vec: Column,
       k: Int,
       iters: Int,
-      fpScale: Double = 1000.0): Array[Array[Long]] =
-    runLloyd(df, id, vec, k, iters, fpScale)._2
+      fpScale: Double = 1000.0): Array[Array[Long]] = {
+    val (_, cents, cached) = runLloydCached(df, id, vec, k, iters, fpScale)
+    // centroids are already on the driver — release the quantized
+    // corpus cache the discarded assignment plan hangs on to (pqTrain
+    // calls this once PER SUBSPACE; leaving m caches of the corpus
+    // pinned would defeat PQ's whole memory story)
+    cached.unpersist()
+    cents
+  }
 
   /** Serve-side assignment of (new) vectors to a trained centroid set:
     * quantize with the SAME fpScale the model was trained with, then
@@ -199,6 +206,17 @@ object Clustering {
       k: Int,
       iters: Int,
       fpScale: Double): (DataFrame, Array[Array[Long]]) = {
+    val (assigned, cents, _) = runLloydCached(df, id, vec, k, iters, fpScale)
+    (assigned, cents)
+  }
+
+  private def runLloydCached(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      fpScale: Double): (DataFrame, Array[Array[Long]], DataFrame) = {
     require(k > 0, s"k must be positive, got $k")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val q = df.select(id.cast("long").as("id"), VecOps.fixedPoint(vec, fpScale).as("qv"))
@@ -215,7 +233,7 @@ object Clustering {
       assigned = assignStep(q, cents)
       it += 1
     }
-    (assigned, cents)
+    (assigned, cents, q)
   }
 
   /** One assignment pass: a single codegen'd map over the persisted
