@@ -324,6 +324,17 @@ object SparkEntry {
       .orderBy("query_id", "rank")
   }
 
+  private def qAudioEnvHash(s: SparkSession, dir: String): DataFrame = {
+    // 128-frame clips where both frames of window w carry amplitude
+    // ((i*13 + w*31) % 200) - 100: the decoded envelope has the closed
+    // form |that|, recomputed arithmetically by the oracle; the WAV
+    // encode -> header parse -> PCM decode is real
+    val media = wavTable(s, 30) { i =>
+      (8000, Array.tabulate(128)(t => (((i * 13 + (t / 2) * 31) % 200) - 100).toShort))
+    }
+    graft.multimodal.Multimodal.audioEnvelopeHash(media).orderBy("media_id")
+  }
+
   private def qSemanticDedup(s: SparkSession, dir: String): DataFrame =
     // SemDeDup over the q24 pair relation: survivors = one min-id
     // representative per embedding-space connected component
@@ -1529,6 +1540,7 @@ object SparkEntry {
     "q107_image_ahash" -> qImageAHash _,
     "q108_image_neardups" -> qImageNearDups _,
     "q109_pq_ann" -> qPqAnn _,
+    "q110_audio_envhash" -> qAudioEnvHash _,
     "q65_column_stats" -> qColumnStats _,
     "q68_stratified_sample" -> qStratifiedSample _,
     "q69_pack_sequences" -> qPackSequences _,
@@ -1885,6 +1897,18 @@ object SparkEntry {
           | sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS ahash_hi,
           | sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS ahash_lo
           |FROM px JOIN mn ON px.i = mn.i GROUP BY px.i ORDER BY media_id""".stripMargin,
+
+      // audio envelope closed form: mean-abs of the 2 identical frames
+      // per window IS the |formula| value; threshold+bits as in q107
+      "q110_audio_envhash" ->
+        """WITH v AS (
+          | SELECT m.i, g.w, abs(((m.i*13 + g.w*31) % 200) - 100)::BIGINT AS e
+          | FROM (SELECT unnest(range(0, 30)) AS i) m CROSS JOIN (SELECT unnest(range(0, 64)) AS w) g),
+          |mn AS (SELECT i, (sum(e) // 64)::BIGINT AS thr FROM v GROUP BY i)
+          |SELECT v.i::BIGINT AS media_id,
+          | sum(CASE WHEN e > thr AND w >= 32 THEN (1::BIGINT << (w - 32)::INT) ELSE 0 END)::BIGINT AS env_hi,
+          | sum(CASE WHEN e > thr AND w < 32 THEN (1::BIGINT << w::INT) ELSE 0 END)::BIGINT AS env_lo
+          |FROM v JOIN mn ON v.i = mn.i GROUP BY v.i ORDER BY media_id""".stripMargin,
 
       // PQ: subspace codebooks = slices of the first 8 vectors
       // (iters=1), codes = per-subspace argmin, ADC = summed

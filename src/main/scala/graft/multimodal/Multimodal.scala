@@ -326,6 +326,72 @@ object Multimodal {
     out
   }
 
+  /** Audio envelope fingerprint — [[imageAHash]]'s WAV sibling: decode
+    * 16-bit PCM, split the sample stream into 64 equal windows,
+    * per-window MEAN ABSOLUTE amplitude (truncating integer division —
+    * mean-abs tracks the same loudness envelope as RMS without the
+    * float sqrt, so the fingerprint stays integer-exact end-to-end),
+    * threshold each window against the 64-window mean, pack the bits
+    * as (env_hi bits 63..32, env_lo 31..0). Gain-scaled copies of a
+    * clip hash identically when scaling preserves the
+    * louder-than-average set — the envelope-shape invariance the
+    * fingerprint exists for. Undecodable, non-16-bit, or sub-64-frame
+    * payloads yield NULL halves. Map-only; hamming near-dup joins
+    * reuse the banded machinery of [[imageNearDups]].
+    */
+  def audioEnvelopeHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("env_hi", LongType, nullable = true),
+      StructField("env_lo", LongType, nullable = true)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val nullRow = Row(r.getLong(0), null, null)
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16) nullRow
+              else {
+                val data = in.readAllBytes()
+                val n = data.length / 2
+                if (n < 64) nullRow
+                else {
+                  val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN
+                  val buf = java.nio.ByteBuffer.wrap(data).order(order)
+                  val env = new Array[Long](64)
+                  var w = 0
+                  while (w < 64) {
+                    val i0 = w * n / 64; val i1 = (w + 1) * n / 64
+                    var s = 0L
+                    var i = i0
+                    while (i < i1) { s += math.abs(buf.getShort(i * 2).toLong); i += 1 }
+                    env(w) = s / (i1 - i0)
+                    w += 1
+                  }
+                  val thr = env.sum / 64
+                  var hi = 0L; var lo = 0L
+                  var b = 0
+                  while (b < 64) {
+                    if (env(b) > thr) {
+                      if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+                    }
+                    b += 1
+                  }
+                  Row(r.getLong(0), hi, lo)
+                }
+              }
+            } finally in.close()
+          } catch { case _: Exception => nullRow }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
   /** Frame sampling stub for video-like payloads: deterministically
     * pick `k` byte-offsets as "frames" (a real codec samples decoded
     * frames; the slicing/fan-out shape is what matters here). Output:

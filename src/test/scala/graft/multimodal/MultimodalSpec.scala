@@ -198,6 +198,39 @@ class MultimodalSpec extends SparkTestBase {
       "capped bands must drop the degenerate bucket entirely (documented recall trade)")
   }
 
+  private def wavOf(samples: Array[Short], rate: Int = 8000): Array[Byte] = {
+    val pcm = new Array[Byte](samples.length * 2)
+    val bb = java.nio.ByteBuffer.wrap(pcm).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    samples.foreach(bb.putShort)
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audioEnvelopeHash: loud-half clip has the expected bits; gain scaling is hash-invariant") {
+    import spark.implicits._
+    // 64 samples = 64 one-sample windows: first 32 quiet (100), last 32 loud (1000)
+    val base = Array.tabulate(64)(w => (if (w < 32) 100 else 1000).toShort)
+    val double = base.map(s => (s * 2).toShort)
+    val df = Seq(
+      (0L, wavOf(base)),
+      (1L, wavOf(double)),             // 2x gain: same louder-than-mean set
+      (2L, Array[Byte](9, 9, 9)),      // undecodable
+      (3L, wavOf(Array.tabulate(10)(_.toShort))) // < 64 frames
+    ).toDF("media_id", "payload")
+    val out = Multimodal.audioEnvelopeHash(df).orderBy("media_id")
+      .as[(Long, Option[Long], Option[Long])].collect().toSeq
+    // loud windows are 32..63 -> env_hi all 32 bits, env_lo none
+    assert(out(0) == ((0L, Some(0xFFFFFFFFL), Some(0L))))
+    assert(out(1)._2 == out(0)._2 && out(1)._3 == out(0)._3,
+      "gain-scaled clip must fingerprint identically")
+    assert(out(2) == ((2L, None, None)) && out(3) == ((3L, None, None)))
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256
