@@ -15,15 +15,43 @@ import graft.xml.{Annotate, Dtd, Flatten, XmlRecords}
   */
 object SparkEntry {
 
-  // events.ts is parquet TIMESTAMP(NANOS) which Spark rejects unless
-  // spark.sql.legacy.parquet.nanosAsLong=true — set at SESSION BUILD
-  // (Verify/Bench/dev mains, SparkTestBase), never mutated here: a
+  // events.ts has shipped in two fixture vintages: INT64
+  // TIMESTAMP(NANOS) — readable only under
+  // spark.sql.legacy.parquet.nanosAsLong=true (set at SESSION BUILD in
+  // Verify/Bench/dev mains and SparkTestBase, never mutated here: a
   // conf.set inside a query builder is a global side effect on a
-  // shared session. Downstream, ns-since-epoch longs convert with
-  // integer division (never double division — 1e18 ns exceeds a
-  // double's 53-bit integer range).
+  // shared session), arriving as LongType — and plain timestamp[us],
+  // arriving as TimestampType (or TimestampNTZType when the file is
+  // not UTC-adjusted). [[normalizeTsNanos]] folds all vintages into the
+  // engine convention (epoch-NANOS long) so downstream integer time
+  // arithmetic (div 1000 → micros, ns bucket widths) is
+  // fixture-independent. Conversions stay integer division throughout
+  // (never double division — 1e18 ns exceeds a double's 53-bit integer
+  // range). The DuckDB oracle needs no branch: it reads TIMESTAMP_NS
+  // and timestamp[us] parquet alike as native timestamps, so
+  // epoch_us(ts) / date_trunc('hour', ts) hold for either vintage.
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    normalizeTsNanos(s.read.parquet(s"$dir/$name.parquet"))
+
+  /** Rewrite a TimestampType `ts` column to epoch-nanos long (exact:
+    * unix_micros is integral, and micros*1000 cannot overflow a long
+    * before year 2262). Frames without a timestamp `ts` pass through
+    * untouched. Public: plan specs reading the fixture directly reuse
+    * it.
+    */
+  def normalizeTsNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        // timestamp[us] without isAdjustedToUTC reads as NTZ; take
+        // wall-clock micros via timestampdiff — NO session-TZ cast, so
+        // the value is identical on any machine, matching DuckDB's
+        // epoch_us over the same naive-timestamp parquet.
+        df.withColumn("ts",
+          expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)") * 1000L)
+      case _ => df
+    }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Relation extraction (J1+J2+J3) — the reference's most complex plan:
@@ -415,6 +443,79 @@ object SparkEntry {
     }
     s.createDataFrame(rdd, schema)
   }
+
+  /** GVID payload builder mirroring [[pngTable]]/[[wavTable]]: the
+    * payloads are ENCODED container bytes, so probing/sampling
+    * downstream exercises the real header parse and frame geometry.
+    */
+  private def gvidTable(s: SparkSession, n: Int)(gen: Long => Array[Byte]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = s.range(n).rdd.map(i => org.apache.spark.sql.Row(i, gen(i)))
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Video sibling of q64/q89: executors ENCODE deterministic GVID
+    * containers with known geometry; the probe PARSES the headers back
+    * distributed — closed-form oracle on (dims, fps, frame count).
+    */
+  private def qVideoProbe(s: SparkSession, dir: String): DataFrame = {
+    val media = gvidTable(s, 25) { i =>
+      val w = 8 + (i % 9).toInt
+      val h = 8 + ((i * 3) % 9).toInt
+      val fps = 4 + (i % 4).toInt
+      val nf = 6 + ((i * 7) % 9).toInt
+      val frames = Array.tabulate(nf) { f =>
+        Array.tabulate(w * h)(j => ((i + f + j) % 256).toByte)
+      }
+      graft.multimodal.Multimodal.gvidEncode(w, h, fps, frames)
+    }
+    graft.multimodal.Multimodal.videoProbe(media).orderBy("media_id")
+  }
+
+  /** Video near-dup via sampled-frame aHashes: 30 8×8 videos of 10
+    * frames; frame f of video i draws gradient seed (b*(f+1)) mod 5
+    * (b = i div 2), so pairs with b ≡ b' (mod 5) agree on ALL 5
+    * sampled frames while every other pair agrees only at sampled
+    * frame 4 (where f+1 = 5 wipes the seed) — below minMatches=3 and
+    * dropped, exercising the threshold against real candidates. Odd
+    * ids are +10 brightness-shifted copies: aHash invariance keeps
+    * them matching their twins bit-for-bit. The oracle recomputes the
+    * hashes arithmetically (any accidental hash collision included).
+    */
+  private def qVideoNearDups(s: SparkSession, dir: String): DataFrame = {
+    val media = gvidTable(s, 30) { i =>
+      val b = (i / 2).toInt
+      val frames = Array.tabulate(10) { f =>
+        val sd = b * (f + 1) % 5
+        val p = new Array[Byte](64)
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            p(y * 8 + x) = ((sd * 37 + x * 16 + y * 2) % 200 + (i % 2).toInt * 10).toByte
+            x += 1
+          }
+          y += 1
+        }
+        p
+      }
+      graft.multimodal.Multimodal.gvidEncode(8, 8, 5, frames)
+    }
+    graft.multimodal.Multimodal.videoNearDups(media, k = 5, minMatches = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Cross-document duplicated chunks under content-defined chunking
+    * (native `cdc_chunks`, w=16 p=31 m=1e9+7 d=32 — avg chunk ~32
+    * chars on random text).
+    */
+  private def qCdcChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.cdcDuplicateChunks(
+      t(s, dir, "documents"), col("doc_id"), col("text"))
+      .orderBy("fp")
 
   /** Audio sibling of q64: synthesize WAVs with known (sample_rate,
     * frame_count), round-trip through the encoder, probe the headers
@@ -1243,8 +1344,19 @@ object SparkEntry {
   private def qStreamWindowStats(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // Same two fixture vintages as [[normalizeTsNanos]], resolved at
+    // plan build from the batch-read schema (streams need it explicit).
+    // Watermarks demand TIMESTAMP (NTZ is rejected), so the NTZ vintage
+    // goes through wall-clock micros — TZ-independent — and back in.
+    val tsT = schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => col("ts")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      case _ => timestamp_micros(expr("ts div 1000"))
+    }
     val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_t", tsT)
     val agg = graft.streaming.StreamingOps.windowedEventStats(
       stream, "ts_t", "event_type", "value")
     val q = agg.writeStream.format("memory").queryName("graft_stream_win")
@@ -1571,6 +1683,9 @@ object SparkEntry {
     "q96_c4_filter" -> qC4Filter _,
     "q97_remove_dup_spans" -> qRemoveDupSpans _,
     "q98_oov_rate" -> qOovRate _,
+    "q111_video_probe" -> qVideoProbe _,
+    "q112_video_neardups" -> qVideoNearDups _,
+    "q113_cdc_chunks" -> qCdcChunks _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -1582,6 +1697,11 @@ object SparkEntry {
       |ORDER BY id""".stripMargin
 
   def oracleSql: Map[String, String] = {
+    // cdc_chunks polynomial powers 31^j mod 1e9+7, j = 0..15,
+    // interpolated as a literal list so DuckDB reproduces the window
+    // fingerprint without bignum exponentiation
+    val cdcPows = Iterator.iterate(1L)(_ * 31L % 1000000007L).take(16).toSeq
+    val cdcPowList = cdcPows.mkString("[", ", ", "]")
     val inferV = duckInferType("v")
     val typeInferSql =
       s"""WITH $duckStacked,
@@ -1909,6 +2029,52 @@ object SparkEntry {
           | sum(CASE WHEN e > thr AND w >= 32 THEN (1::BIGINT << (w - 32)::INT) ELSE 0 END)::BIGINT AS env_hi,
           | sum(CASE WHEN e > thr AND w < 32 THEN (1::BIGINT << w::INT) ELSE 0 END)::BIGINT AS env_lo
           |FROM v JOIN mn ON v.i = mn.i GROUP BY v.i ORDER BY media_id""".stripMargin,
+
+      // closed-form GVID generator geometry
+      "q111_video_probe" ->
+        """SELECT i::BIGINT AS media_id, 'gvid' AS format,
+          | (8 + i % 9)::INT AS width, (8 + (i*3) % 9)::INT AS height,
+          | (4 + i % 4)::INT AS fps, (6 + (i*7) % 9)::INT AS n_frames
+          |FROM (SELECT unnest(range(0, 25)) AS i) ORDER BY media_id""".stripMargin,
+
+      // sampled frames are frame_no = 2t (t < 5); the per-frame aHash
+      // is recomputed arithmetically like q107's, then pairs must
+      // agree on >= 3 sampled positions — brightness shifts cancel
+      // against the threshold, so twins match bit-for-bit
+      "q112_video_neardups" ->
+        """WITH px AS (
+          | SELECT m.i, t.t, g.x, g.y,
+          |  (((m.i//2) * (t.t*2 + 1)) % 5 * 37 + g.x*16 + g.y*2) % 200 + (m.i%2)*10 AS v
+          | FROM (SELECT unnest(range(0, 30)) AS i) m
+          | CROSS JOIN (SELECT unnest(range(0, 5)) AS t) t
+          | CROSS JOIN (SELECT a.x, b.y FROM (SELECT unnest(range(0,8)) AS x) a, (SELECT unnest(range(0,8)) AS y) b) g),
+          |mn AS (SELECT i, t, (sum(v) // 64)::BIGINT AS thr FROM px GROUP BY i, t),
+          |hs AS (SELECT px.i, px.t,
+          |  sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS hi,
+          |  sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS lo
+          | FROM px JOIN mn ON px.i = mn.i AND px.t = mn.t GROUP BY px.i, px.t)
+          |SELECT a.i::BIGINT AS id_a, b.i::BIGINT AS id_b, count(*)::BIGINT AS n_match
+          |FROM hs a JOIN hs b ON a.t = b.t AND a.hi = b.hi AND a.lo = b.lo AND a.i < b.i
+          |GROUP BY a.i, b.i HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      // the pure CDC boundary rule re-derived per position: trailing
+      // 16-char polynomial fingerprint (powers interpolated below) mod
+      // 1e9+7 divisible by 32; chunks = substrings between boundaries,
+      // tail included; then duplicated-chunk counting
+      "q113_cdc_chunks" ->
+        s"""WITH d0 AS (SELECT doc_id, text, length(text) AS L FROM documents WHERE length(text) > 0),
+           | bs AS (SELECT doc_id, text, L,
+           |   [q FOR q IN range(16, L + 1)
+           |      IF (list_sum([unicode(text[q-j : q-j])::BIGINT * ($cdcPowList)[j+1] FOR j IN range(0, 16)]) % 1000000007) % 32 = 0] AS ends0
+           |  FROM d0),
+           | ch AS (SELECT doc_id,
+           |   unnest([text[(CASE WHEN i = 1 THEN 1 ELSE ends[i-1] + 1 END) : ends[i]] FOR i IN range(1, len(ends) + 1)]) AS chunk
+           |  FROM (SELECT doc_id, text,
+           |         CASE WHEN len(ends0) > 0 AND ends0[-1] = L THEN ends0 ELSE list_append(ends0, L) END AS ends
+           |        FROM bs)),
+           | per AS (SELECT md5(chunk) AS fp, doc_id, count(*) AS k FROM ch GROUP BY fp, doc_id)
+           |SELECT fp, count(*)::BIGINT AS n_docs, sum(k)::BIGINT AS n_occ
+           |FROM per GROUP BY fp HAVING count(*) >= 2 ORDER BY fp""".stripMargin,
 
       // PQ: subspace codebooks = slices of the first 8 vectors
       // (iters=1), codes = per-subspace argmin, ADC = summed

@@ -22,6 +22,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Surface the failure in the driver's compare instead of
+        // silently dropping the row: a one-row __error frame can never
+        // match the oracle schema, so CORRECTNESS records a loud
+        // mismatch carrying the message rather than omitting the query.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))
+            .toDF("__error").coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

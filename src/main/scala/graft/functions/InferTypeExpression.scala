@@ -157,6 +157,7 @@ object GraftExtensions {
     fn("pq_adc", classOf[PqAdc], VecOps.pqAdcBuilder),
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
+    fn("cdc_chunks", classOf[CdcChunks], TextOps.cdcChunksBuilder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
 
   /** Register the engine's functions on an already-built session (for

@@ -62,6 +62,47 @@ object TextRuntime {
     }
     new GenericArrayData(out)
   }
+
+  /** Content-defined chunking: split `s` at every codepoint position
+    * whose trailing `w`-codepoint polynomial fingerprint
+    * `sum_{j=0..w-1} cp(i-j) * p^j  (mod m)` is divisible by `d` —
+    * the pure CDC boundary rule (FastCDC/rsync-style, without min/max
+    * clamps, so every boundary is a position-local function of the `w`
+    * chars ending there and any engine can recompute it). A shared
+    * substring between two documents therefore chunks identically
+    * regardless of what surrounds it — the re-chunking stability that
+    * makes chunk-level dedup find moved/embedded duplicates that
+    * fixed-width blocking misses. Returns the chunk substrings in
+    * order; the (possibly boundary-less) tail is the final chunk.
+    * Empty input yields an empty array. Deliberately NOT a rolling
+    * hash internally: w is small, and recomputing per position keeps
+    * the value bit-identical to the naive formula an oracle computes.
+    */
+  def cdcChunks(s: UTF8String, w: Int, p: Long, m: Long, d: Long): ArrayData = {
+    val str = s.toString
+    val cps = str.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[Any])
+    val pow = new Array[Long](w)
+    pow(0) = 1L
+    var j = 1
+    while (j < w) { pow(j) = pow(j - 1) * p % m; j += 1 }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = w - 1
+    while (i < n) {
+      var h = 0L
+      var k = 0
+      while (k < w) { h = (h + cps(i - k) * pow(k)) % m; k += 1 }
+      if (h % d == 0L) {
+        out += UTF8String.fromString(new String(cps, start, i - start + 1))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (start < n) out += UTF8String.fromString(new String(cps, start, n - start))
+    new GenericArrayData(out.toArray)
+  }
 }
 
 /** rolling_hash64(text): order-sensitive content fingerprint. */
@@ -101,12 +142,38 @@ case class AdjacentPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cdc_chunks(text, w, p, m, d): array<string> of content-defined
+  * chunks. See [[TextRuntime.cdcChunks]]. The four numeric parameters
+  * are literal ints (window width, polynomial base, modulus, boundary
+  * divisor).
+  */
+case class CdcChunks(child: Expression, w: Int, p: Long, m: Long, d: Long)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(w >= 1, s"cdc_chunks window must be >= 1, got $w")
+  require(p >= 1 && m >= 2 && d >= 1,
+    s"cdc_chunks needs base >= 1, modulus >= 2, divisor >= 1; got p=$p m=$m d=$d")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.cdcChunks(input.asInstanceOf[UTF8String], w, p, m, d)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.cdcChunks($c, $w, ${p}L, ${m}L, ${d}L)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
 object TextOps {
   def rollingHash64(s: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(s)))
 
   def adjacentPairs(tokens: Column): Column =
     ColumnBridge.column(AdjacentPairs(ColumnBridge.expression(tokens)))
+
+  def cdcChunks(text: Column, w: Int, p: Long, m: Long, d: Long): Column =
+    ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), w, p, m, d))
 
   private[functions] def rollingHash64Builder(children: Seq[Expression]): Expression = {
     if (children.length != 1)
@@ -118,5 +185,22 @@ object TextOps {
     if (children.length != 1)
       throw new IllegalArgumentException(s"adjacent_pairs expects 1 argument, got ${children.length}")
     AdjacentPairs(children.head)
+  }
+
+  private[functions] def cdcChunksBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 5)
+      throw new IllegalArgumentException(s"cdc_chunks expects 5 arguments, got ${children.length}")
+    def longLit(e: Expression, what: String): Long = {
+      if (!e.foldable)
+        throw new IllegalArgumentException(s"$what must be a literal")
+      e.eval() match {
+        case n: Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"$what must be an integer literal, got ${if (other == null) "NULL" else other}")
+      }
+    }
+    CdcChunks(children.head, longLit(children(1), "cdc_chunks w").toInt,
+      longLit(children(2), "cdc_chunks p"), longLit(children(3), "cdc_chunks m"),
+      longLit(children(4), "cdc_chunks d"))
   }
 }

@@ -392,6 +392,236 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  // ---------------------------------------------------------------- //
+  // Video: GVID raw container                                         //
+  // ---------------------------------------------------------------- //
+
+  /** GVID — the engine's minimal RAW video container (no inter-frame
+    * coding), so the video plumbing (header probe, frame geometry,
+    * sampling, per-frame hashing) is REAL byte-level work while the
+    * compressed-codec seam stays pluggable like [[MediaCodec]]. An
+    * mp4/webm decoder would replace [[gvidParseHeader]]/plane reads
+    * only; every operator signature and plan shape is unchanged.
+    *
+    * Layout (big-endian):
+    *   bytes 0-3   magic "GVID"
+    *   byte  4     version (1)
+    *   bytes 5-6   width
+    *   bytes 7-8   height
+    *   byte  9     fps
+    *   bytes 10-11 n_frames
+    *   byte  12+   n_frames planes of width*height 8-bit gray samples
+    */
+  val GvidHeaderLen = 12
+
+  /** Encode planes into a GVID payload. Each plane must be w*h bytes. */
+  def gvidEncode(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && w <= 0xFFFF && h > 0 && h <= 0xFFFF, s"bad dims ${w}x$h")
+    require(fps > 0 && fps <= 255, s"bad fps $fps")
+    require(frames.length <= 0xFFFF, s"too many frames ${frames.length}")
+    frames.foreach(f => require(f.length == w * h,
+      s"plane must be ${w * h} bytes, got ${f.length}"))
+    val out = new Array[Byte](GvidHeaderLen + frames.length * w * h)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'; out(4) = 1
+    out(5) = (w >> 8).toByte; out(6) = w.toByte
+    out(7) = (h >> 8).toByte; out(8) = h.toByte
+    out(9) = fps.toByte
+    out(10) = (frames.length >> 8).toByte; out(11) = frames.length.toByte
+    var f = 0
+    while (f < frames.length) {
+      System.arraycopy(frames(f), 0, out, GvidHeaderLen + f * w * h, w * h)
+      f += 1
+    }
+    out
+  }
+
+  /** Parse a GVID header: (width, height, fps, nFrames), or None when
+    * the magic/version/length don't check out (truncated payloads are
+    * data, not exceptions).
+    */
+  def gvidParseHeader(p: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (p == null || p.length < GvidHeaderLen ||
+      p(0) != 'G' || p(1) != 'V' || p(2) != 'I' || p(3) != 'D' || p(4) != 1) None
+    else {
+      val w = ((p(5) & 0xFF) << 8) | (p(6) & 0xFF)
+      val h = ((p(7) & 0xFF) << 8) | (p(8) & 0xFF)
+      val fps = p(9) & 0xFF
+      val nf = ((p(10) & 0xFF) << 8) | (p(11) & 0xFF)
+      if (w == 0 || h == 0 || p.length < GvidHeaderLen + nf.toLong * w * h) None
+      else Some((w, h, fps, nf))
+    }
+  }
+
+  /** GVID codec for the [[MediaCodec]] seam: probe returns the true
+    * header dimensions; features are the temporal luminance envelope
+    * (mean gray per of `dim` equal frame-range slices), the video
+    * analog of [[WavCodec]]'s RMS windows.
+    */
+  final class GvidCodec extends MediaCodec {
+    override def probe(payload: Array[Byte]): (String, Option[Int], Option[Int]) =
+      gvidParseHeader(payload) match {
+        case Some((w, h, _, _)) => ("gvid", Some(w), Some(h))
+        case None => ("unknown", None, None)
+      }
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      gvidParseHeader(payload).foreach { case (w, h, _, nf) =>
+        if (nf > 0) {
+          var s = 0
+          while (s < dim) {
+            val f0 = s * nf / dim
+            val f1 = math.max(((s + 1) * nf / dim), f0 + 1).min(nf)
+            var acc = 0L
+            var f = f0
+            while (f < f1) {
+              var i = GvidHeaderLen + f * w * h
+              val end = i + w * h
+              while (i < end) { acc += payload(i) & 0xFF; i += 1 }
+              f += 1
+            }
+            out(s) = acc.toFloat / ((f1 - f0).toLong * w * h) / 255.0f
+            s += 1
+          }
+        }
+      }
+      out
+    }
+  }
+
+  /** REAL video metadata probe: per-row GVID header parse inside the
+    * scan stage — (format, width, height, fps, n_frames), NULLs for
+    * unparseable payloads. Map-only; payload bytes never shuffle.
+    */
+  def videoProbe(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("format", StringType, nullable = true),
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("fps", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          gvidParseHeader(r.getAs[Array[Byte]](1)) match {
+            case Some((w, h, fps, nf)) => Row(r.getLong(0), "gvid", w, h, fps, nf)
+            case None => Row(r.getLong(0), null, null, null, null, null)
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** 8×8 block aHash of one gray plane — [[imageAHash]]'s cell math
+    * (truncating block average, threshold sum div 64, bit y*8+x) read
+    * straight from plane bytes. Returns null for sub-8×8 planes.
+    */
+  private def planeAHash(p: Array[Byte], off: Int, w: Int, h: Int): (Long, Long) = {
+    val cells = new Array[Long](64)
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        val x0 = cx * w / 8; val x1 = (cx + 1) * w / 8
+        val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { s += p(off + y * w + x) & 0xFF; x += 1 }
+          y += 1
+        }
+        cells(cy * 8 + cx) = s / ((x1 - x0).toLong * (y1 - y0))
+        cx += 1
+      }
+      cy += 1
+    }
+    val thr = cells.sum / 64
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 64) {
+      if (cells(b) > thr) {
+        if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+      }
+      b += 1
+    }
+    (hi, lo)
+  }
+
+  /** Sampled-frame perceptual hashes — the standard video near-dup
+    * fingerprint: pick `k` evenly spaced frames (frame t*n_frames/k
+    * for t < k — the real container geometry, not byte offsets),
+    * aHash each sampled plane. Output one row per (media_id,
+    * frame_idx): (frame_no, ahash_hi, ahash_lo); videos that are
+    * unparseable or smaller than 8×8 yield no rows (their absence IS
+    * the signal — they can't be fingerprint-matched).
+    *
+    * Scale shape: map-only decode+hash inside the scan stage; only
+    * (id, idx, 2 longs) leave it — a 100 TB video corpus reduces to
+    * k*16 bytes per video before anything shuffles.
+    */
+  def videoFrameHashes(df: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          gvidParseHeader(p) match {
+            case Some((w, h, _, nf)) if w >= 8 && h >= 8 && nf > 0 =>
+              (0 until k).map { t =>
+                val frameNo = t * nf / k
+                val (hi, lo) = planeAHash(p, GvidHeaderLen + frameNo * w * h, w, h)
+                Row(r.getLong(0), t, frameNo, hi, lo)
+              }
+            case _ => Nil
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Video near-duplicate pairs: videos agreeing EXACTLY on the aHash
+    * of at least `minMatches` of their `k` sampled frame positions.
+    * Positional agreement (same frame_idx) keeps the candidate join
+    * keyed on (idx, hash) — two videos never meet unless a sampled
+    * frame collides, so shuffle volume tracks true duplication, and a
+    * degenerate hash (solid-color intros shared by everything) is
+    * capped by `maxBucket` like every other banded candidate
+    * generator here. Output: (id_a, id_b, n_match), id_a < id_b.
+    */
+  def videoNearDups(df: DataFrame, k: Int = 5, minMatches: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    require(minMatches >= 1 && minMatches <= k,
+      s"minMatches must be in [1, $k], got $minMatches")
+    val hashes = videoFrameHashes(df, k).persist()
+    val hot = hashes.groupBy("frame_idx", "ahash_hi", "ahash_lo")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select("frame_idx", "ahash_hi", "ahash_lo")
+    val small = hashes.join(broadcast(hot),
+      Seq("frame_idx", "ahash_hi", "ahash_lo"), "left_anti")
+    val a = small.select(col("frame_idx"), col("ahash_hi"), col("ahash_lo"),
+      col("media_id").as("id_a"))
+    val b = small.select(col("frame_idx"), col("ahash_hi"), col("ahash_lo"),
+      col("media_id").as("id_b"))
+    val result = a.join(b, Seq("frame_idx", "ahash_hi", "ahash_lo"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).cast(LongType).as("n_match"))
+      .where(col("n_match") >= minMatches)
+    val out = result.persist()
+    out.count()
+    hashes.unpersist()
+    out
+  }
+
   /** Frame sampling stub for video-like payloads: deterministically
     * pick `k` byte-offsets as "frames" (a real codec samples decoded
     * frames; the slicing/fan-out shape is what matters here). Output:

@@ -499,7 +499,7 @@ object Dedup {
     * variants stay the intra-Spark fast path (~4× cheaper).
     */
   def portableHash60(v: Column, seed: Int): Column =
-    conv(substring(md5(concat(lit(seed + ":"), v)), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(concat(lit(s"$seed:"), v)), 1, 15), 16, 10).cast("long")
 
   /** Portable MinHash signature over STRING shingles: k minima of
     * [[portableHash60]] re-hashes — every value reproducible outside

@@ -759,4 +759,39 @@ object TextAnalysis {
       .where(col("rk") <= topK)
       .select("doc_id", "token", "tf", "df", "score")
   }
+
+  /** Cross-document duplicated chunks under content-defined chunking:
+    * split every document with the pure CDC boundary rule (native
+    * codegen'd `cdc_chunks` — boundary where the trailing `w`-char
+    * polynomial fingerprint mod `m` divides `d`; a shared substring
+    * chunks identically wherever it appears, which is why CDC finds
+    * copied passages that fixed-width blocking misses when text shifts
+    * by one byte), fingerprint each chunk, and return the chunks that
+    * occur in at least `minDocs` distinct documents.
+    *
+    * Output: (fp, n_docs, n_occ) — md5 of the chunk, distinct-document
+    * count, total occurrence count.
+    *
+    * Scale shape: chunking + md5 run inside the scan stage (chunk TEXT
+    * never shuffles — only 32-char fingerprints do); two
+    * map-side-combined aggregations — (fp, doc) partial counts, then
+    * per-fp doc/occurrence totals — and nothing else. No windows, no
+    * joins, no driver collection; skew-safe because a pathological
+    * hot chunk still reduces to one (fp, doc) row per document
+    * before the second exchange.
+    */
+  def cdcDuplicateChunks(
+      df: DataFrame, id: Column, text: Column,
+      w: Int = 16, p: Long = 31L, m: Long = 1000000007L, d: Long = 32L,
+      minDocs: Long = 2L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val perDoc = df
+      .select(id.as("doc_id"),
+        explode(graft.functions.TextOps.cdcChunks(text, w, p, m, d)).as("chunk"))
+      .select(col("doc_id"), md5(col("chunk")).as("fp"))
+      .groupBy("fp", "doc_id").agg(count(lit(1)).as("k"))
+    perDoc.groupBy("fp")
+      .agg(count(lit(1)).as("n_docs"), sum("k").as("n_occ"))
+      .where(col("n_docs") >= minDocs)
+  }
 }

@@ -231,6 +231,88 @@ class MultimodalSpec extends SparkTestBase {
     assert(out(2) == ((2L, None, None)) && out(3) == ((3L, None, None)))
   }
 
+  // -------- GVID raw video container
+
+  private def gvid(w: Int, h: Int, nf: Int, fps: Int = 5)(f: (Int, Int, Int) => Int): Array[Byte] =
+    Multimodal.gvidEncode(w, h, fps,
+      Array.tabulate(nf)(fr => Array.tabulate(w * h)(j => f(fr, j % w, j / w).toByte)))
+
+  test("gvid encode/parse round trip; garbage and truncated payloads probe as unknown") {
+    val p = gvid(10, 6, nf = 4, fps = 24)((_, _, _) => 7)
+    assert(Multimodal.gvidParseHeader(p) == Some((10, 6, 24, 4)))
+    val codec = new Multimodal.GvidCodec
+    assert(codec.probe(p) == (("gvid", Some(10), Some(6))))
+    assert(codec.probe(Array[Byte](1, 2, 3))._1 == "unknown")
+    // truncated mid-plane: header promises 4 frames, bytes hold 2
+    assert(Multimodal.gvidParseHeader(p.take(Multimodal.GvidHeaderLen + 2 * 60)).isEmpty)
+    // wrong magic
+    val bad = p.clone(); bad(0) = 'X'
+    assert(Multimodal.gvidParseHeader(bad).isEmpty)
+  }
+
+  test("GvidCodec features: temporal luminance envelope, exact on constant frames") {
+    val codec = new Multimodal.GvidCodec
+    // 4 frames of constant gray 0, 51, 102, 153 -> 4 slices = those / 255
+    val p = gvid(8, 8, nf = 4)((fr, _, _) => fr * 51)
+    val feats = codec.features(p, dim = 4)
+    assert(feats.length == 4)
+    (0 until 4).foreach(i => assert(math.abs(feats(i) - i * 51 / 255.0f) < 1e-6, feats.toSeq))
+    assert(codec.features(Array[Byte](1), 3).toSeq == Seq(0f, 0f, 0f))
+  }
+
+  test("videoProbe parses headers distributed; unparseable rows carry NULLs") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, gvid(9, 8, nf = 3, fps = 12)((_, _, _) => 1)),
+      (1L, Array[Byte](1, 2, 3))
+    ).toDF("media_id", "payload")
+    val out = Multimodal.videoProbe(df).orderBy("media_id").collect()
+    assert(out(0).getString(1) == "gvid" && out(0).getInt(2) == 9 &&
+      out(0).getInt(3) == 8 && out(0).getInt(4) == 12 && out(0).getInt(5) == 3)
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
+
+  test("videoFrameHashes: real frame geometry, brightness-shift invariance, no rows for bad payloads") {
+    import spark.implicits._
+    // 10 frames, k=4 -> frame_no = 0,2,5,7; frame content keyed on fr
+    val v0 = gvid(8, 8, nf = 10)((fr, x, y) => (fr * 37 + x * 16 + y) % 200)
+    val v1 = gvid(8, 8, nf = 10)((fr, x, y) => (fr * 37 + x * 16 + y) % 200 + 50) // +50 shift
+    val df = Seq((0L, v0), (1L, v1), (2L, Array[Byte](1, 2))).toDF("media_id", "payload")
+    val out = Multimodal.videoFrameHashes(df, k = 4)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(out.count(_._1 == 2L) == 0, "unparseable payload must yield no rows")
+    val f0 = out.filter(_._1 == 0L).sortBy(_._2)
+    assert(f0.map(_._3).toSeq == Seq(0, 2, 5, 7), "frame_no must be t*n_frames/k")
+    val f1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(f0.map(r => (r._4, r._5)).toSeq == f1.map(r => (r._4, r._5)).toSeq,
+      "brightness-shifted video must hash identically per sampled frame")
+  }
+
+  test("videoNearDups: threshold filters partial matches; equals brute-force over frame hashes") {
+    import spark.implicits._
+    // video i: frames seeded (i/2)*(fr+1) % 5 — twins match everywhere,
+    // cross-base pairs only where the seed product wraps equal
+    def vid(i: Long): Array[Byte] =
+      gvid(8, 8, nf = 10)((fr, x, y) =>
+        ((i / 2).toInt * (fr + 1) % 5 * 37 + x * 16 + y * 2) % 200 + (i % 2).toInt * 10)
+    val df = (0L until 12L).map(i => (i, vid(i))).toDF("media_id", "payload")
+    val got = Multimodal.videoNearDups(df, k = 5, minMatches = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    // brute force from the hashes themselves
+    val hs = Multimodal.videoFrameHashes(df, k = 5)
+      .as[(Long, Int, Int, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._4, r._5)).toSeq).toMap
+    val expect = (for {
+      a <- 0L until 12L; b <- (a + 1) until 12L
+      m = hs(a).zip(hs(b)).count { case (x, y) => x == y }
+      if m >= 3
+    } yield (a, b, m.toLong)).toSet
+    assert(got == expect)
+    assert((0L until 12L by 2).forall(i => got.contains((i, i + 1, 5L))),
+      "brightness-shifted twins must match on all sampled frames")
+    assertThrows[IllegalArgumentException](Multimodal.videoNearDups(df, k = 5, minMatches = 6))
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256

@@ -149,7 +149,7 @@ class PlanSpec extends SparkTestBase {
   }
 
   test("asofJoinBucketed: heavy window partitions by (key, bucket), never one task") {
-    val e = spark.read.parquet(s"$sf/events.parquet")
+    val e = graft.SparkEntry.normalizeTsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
     val joined = Relational.asofJoinBucketed(e, e, bucketWidth = 3600L * 1000 * 1000 * 1000)
     val plan = joined.queryExecution.executedPlan.toString

@@ -521,4 +521,80 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(docExchanges.forall(cols => !cols.exists(c => c.contains("text") || c.contains("bg"))),
       s"text/bigrams must not ride the per-doc exchange: $docExchanges")
   }
+
+  // -------- content-defined chunking
+
+  private def chunksOf(s: String, w: Int = 16): Seq[String] = {
+    import spark.implicits._
+    Seq(s).toDF("t")
+      .select(graft.functions.TextOps.cdcChunks(col("t"), w, 31L, 1000000007L, 32L).as("c"))
+      .as[Seq[String]].head()
+  }
+
+  // ~155-char sentence pair: enough DISTINCT 16-char windows that the
+  // 1/32 boundary rule actually fires (a short repeated phrase — e.g.
+  // "quick brown fox" ×20 — has only period-many distinct windows and
+  // can legitimately produce zero boundaries)
+  private val cdcBase =
+    "the quality of training data matters more than quantity for language models " +
+    "careful deduplication and filtering improve downstream accuracy substantially "
+
+  test("cdcChunks: chunks reassemble to the source; short/empty inputs are a single/no chunk") {
+    val text = cdcBase * 12
+    val cs = chunksOf(text)
+    assert(cs.mkString == text, "concatenated chunks must be the original text")
+    assert(cs.length > 10, s"~1850 chars at divisor 32 should chunk well, got ${cs.length}")
+    assert(chunksOf("short") == Seq("short"), "sub-window text is one chunk")
+    assert(chunksOf("") == Seq.empty, "empty text yields no chunks")
+  }
+
+  test("cdcChunks: boundaries are content-defined — the shared suffix chunks identically") {
+    // the defining CDC property (vs fixed-width blocking): under
+    // different-length prefixes the shared text re-chunks the same
+    // from its first interior boundary on — the two chunk lists share
+    // a long common SUFFIX
+    val shared = cdcBase * 6
+    val a = chunksOf("PREFIX-A " + shared)
+    val b = chunksOf("a different and much longer prefix here " + shared)
+    val suffix = a.reverse.zip(b.reverse).takeWhile { case (x, y) => x == y }
+    assert(suffix.nonEmpty, "shifted shared text must still share interior chunks")
+    val covered = suffix.map(_._1.length).sum
+    assert(covered > shared.length * 8 / 10,
+      s"expected >80% suffix coverage, got $covered of ${shared.length}")
+  }
+
+  test("cdcChunks: boundary rule matches the naive per-position polynomial") {
+    val text = "abcdefghijklmnopqrstuvwxyz0123456789" * 4
+    val w = 16; val p = 31L; val m = 1000000007L; val d = 32L
+    val pow = Iterator.iterate(1L)(_ * p % m).take(w).toArray
+    val ends = (w to text.length).filter { q =>
+      val h = (0 until w).map(j => text.charAt(q - 1 - j).toLong * pow(j) % m).sum % m
+      h % d == 0
+    }
+    val naive = {
+      val cut = if (ends.nonEmpty && ends.last == text.length) ends else ends :+ text.length
+      cut.zip(0 +: cut.dropRight(1)).map { case (e, s) => text.substring(s, e) }
+    }
+    assert(chunksOf(text) == naive)
+  }
+
+  test("cdcDuplicateChunks finds cross-document duplicated chunks; text never rides an exchange") {
+    import spark.implicits._
+    val passage = "copied boilerplate disclaimer text that recurs in many documents here. " * 6
+    val docs = Seq(
+      (1L, "unique lead-in alpha " + passage),
+      (2L, "another opening beta beta " + passage),
+      (3L, "entirely unrelated content with no repetition at all in this row")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcDuplicateChunks(docs, col("doc_id"), col("text"))
+      .as[(String, Long, Long)].collect()
+    assert(out.nonEmpty, "the shared passage must surface duplicated chunks")
+    assert(out.forall(_._2 == 2L), s"duplicated chunks live in exactly docs 1 and 2: ${out.toSeq}")
+    val df2 = TextAnalysis.cdcDuplicateChunks(docs, col("doc_id"), col("text"))
+    assert(Scale.shuffleOutputColumns(df2)
+      .forall(cols => !cols.exists(c => c.contains("text") || c.contains("chunk"))),
+      "chunk text must be fingerprinted before every exchange")
+    assert(Scale.countShuffles(df2) == 2,
+      "exactly the two map-side-combined aggregation exchanges")
+  }
 }
