@@ -866,6 +866,18 @@ object SparkEntry {
     * by q67 and [[buildCaches]] so Bench can price the build
     * explicitly instead of the first q67 rep absorbing it.
     */
+  /** Warehouse table holding the bucketed IVF-assigned corpus for a
+    * given sf dir. Name derived from the dir so two processes sharing
+    * a warehouse (e.g. Verify and Bench side by side) each overwrite
+    * and read their OWN table — no cross-process overwrite/read race.
+    * An md5 prefix, not dir.hashCode: abs(Int.MinValue) is negative
+    * (an invalid identifier) and 32-bit collisions would silently
+    * bring the race back.
+    */
+  private def ivfBucketedTable(dir: String): String =
+    "graft_ivf_assigned_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
   private def ivfBucketedIndex(s: SparkSession, dir: String): Similarity.IvfIndex =
     synchronized {
       if (ivfBucketedCache != null && (ivfBucketedCache._1 eq s) && ivfBucketedCache._2 == dir)
@@ -874,14 +886,7 @@ object SparkEntry {
         val e = t(s, dir, "embeddings")
           .select(col("vec_id").as("id"), col("embedding").as("vec"))
         val index = Similarity.ivfIndex(e, nBuckets = 8)
-        // Table name is derived from the sf dir so two processes sharing a
-        // warehouse (e.g. Verify and Bench side by side) each overwrite and
-        // read their OWN table — no cross-process overwrite/read race. An
-        // md5 prefix, not dir.hashCode: abs(Int.MinValue) is negative (an
-        // invalid identifier) and 32-bit collisions would silently bring
-        // the race back.
-        val tbl = "graft_ivf_assigned_" + java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        val tbl = ivfBucketedTable(dir)
         graft.operators.Scale.writeBucketed(index.assigned, tbl, "bucket", 8)
         val built = Similarity.IvfIndex(index.cents, s.table(tbl))
         ivfBucketedCache = (s, dir, built)
@@ -1391,6 +1396,34 @@ object SparkEntry {
     s.table("graft_stream_dedup").select("doc_id", "fp").orderBy("doc_id")
   }
 
+  /** Streaming ANN serve through the contract: query vectors (ids
+    * 5-9, filtered map-only) arrive as a FILE STREAM and are served
+    * against the PERSISTED bucketed IVF index (q67's warehouse table,
+    * built once via the session cache), drained with AvailableNow.
+    * Single-probe streaming serve equals the batch IVF result by
+    * construction — q26's oracle verbatim.
+    */
+  private def qStreamAnn(s0: SparkSession, dir: String): DataFrame = {
+    ivfBucketedIndex(s0, dir) // ensure the bucketed corpus table exists
+    val s = streamSession(s0)
+    val e = s.read.parquet(s"$dir/embeddings.parquet")
+    val cents = e.where(col("vec_id") < 8)
+      .select(col("vec_id").cast("long").as("cent_id"), col("embedding").as("cent_v"))
+    val index = Similarity.IvfIndex(cents, s.table(ivfBucketedTable(dir)))
+    val qs = s.readStream.schema(e.schema).parquet(streamDir(dir, "embeddings"))
+      .where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val served = graft.streaming.StreamingOps.streamingAnnServe(qs, index, k = 3)
+    val q = served.writeStream.format("memory").queryName("graft_stream_ann")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_ann")
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
   /** Trigram-coverage quality scores for docs 100-199 against the
     * first 100 documents as the in-domain reference model.
     */
@@ -1686,6 +1719,7 @@ object SparkEntry {
     "q111_video_probe" -> qVideoProbe _,
     "q112_video_neardups" -> qVideoNearDups _,
     "q113_cdc_chunks" -> qCdcChunks _,
+    "q114_stream_ann" -> qStreamAnn _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2493,6 +2527,33 @@ object SparkEntry {
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       "q26_sim_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // identical oracle to q26: the STREAMING single-probe serve
+      // (file-stream queries against the bucketed corpus table, drained
+      // with AvailableNow) must give the batch answers
+      "q114_stream_ann" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
           | assigned AS (

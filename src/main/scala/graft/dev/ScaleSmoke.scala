@@ -283,6 +283,38 @@ object ScaleSmoke {
       Dedup.semanticDedup(sdVecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = ndBuckets).count())
 
+    // round-9 operators at volume: sampled-frame video near-dup (each
+    // video reduces to k*16 bytes inside the decode scan — the payload
+    // bytes never shuffle) and CDC chunk dedup (chunks md5'd in the
+    // scan stage; planted near-dups share their base's chunks, so the
+    // duplicate counting does real work). Video fixture: 8x8x8 GVID
+    // twins per (i div 2) with a brightness shift on odd ids; frame
+    // planes keyed on a wide seed so hash buckets hold ~2 members
+    // (twins), keeping the (frame_idx, hash) join linear in corpus.
+    val nVids = (nDocs / 2).max(1000L)
+    val vidSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("media_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("payload",
+        org.apache.spark.sql.types.BinaryType, nullable = false)))
+    val vidRdd = spark.range(nVids).rdd.map { i0 =>
+      val i: Long = i0
+      val b = i / 2
+      val frames: Array[Array[Byte]] = Array.tabulate(8) { f =>
+        val sd = b * (f + 1) % 1000003L
+        Array.tabulate(64)(j =>
+          (((sd >> (j % 11)) + sd * 31 + j * 7) % 200 + (i % 2) * 10).toByte)
+      }
+      org.apache.spark.sql.Row(i, graft.multimodal.Multimodal.gvidEncode(8, 8, 5, frames))
+    }
+    val vidDf = spark.createDataFrame(vidRdd, vidSchema).persist()
+    time(s"video corpus materialize ($nVids GVIDs)")(vidDf.count())
+    val vn = time(s"videoNearDups (k=4, minMatches=3)")(
+      graft.multimodal.Multimodal.videoNearDups(vidDf, k = 4, minMatches = 3).count())
+    vidDf.unpersist()
+    val cd = time("cdcDuplicateChunks (w=16, d=32)")(
+      TextAnalysis.cdcDuplicateChunks(docs, col("doc_id"), col("text")).count())
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -298,6 +330,7 @@ object ScaleSmoke {
       s"incNearDups=$ind rangeShards=$rs " +
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
       s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
+      s"videoPairs=$vn cdcDupChunks=$cd " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

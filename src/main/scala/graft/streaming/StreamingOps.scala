@@ -204,6 +204,82 @@ object StreamingOps {
       .select(col("h")).distinct().as[Long].collect()
   }
 
+  /** Streaming ANN serve: an unbounded stream of query vectors
+    * (id, vec) answered against a STATIC prebuilt IVF index — the
+    * online counterpart of [[graft.operators.Similarity.ivfTopKIndexed]],
+    * built so that nothing in the streaming plan is stateful-unbounded:
+    *
+    *  - coarse assignment is MAP-ONLY: the serve-time centroid table
+    *    is small by construction (coarse cells), so it is collected
+    *    once into plan-literal vectors and the argmax over
+    *    (rounded cos, -cent_id) structs runs as `greatest(...)` —
+    *    bit-identical to the batch `max_by` assignment (same `vec_dot`
+    *    arithmetic, same round-6, same smallest-id tie-break), with no
+    *    stream-side aggregation and no state;
+    *  - the candidate scan is a stream-static equi-join on `bucket`
+    *    (append-safe; with `index.assigned` persisted bucketed by
+    *    `bucket`, no per-batch corpus shuffle);
+    *  - per-query top-k ranks in flatMapGroupsWithState that never
+    *    stores state: a query's candidates are all derived from its
+    *    own input row, hence batch-local — the group ranks what it
+    *    sees and emits immediately, so the state store stays empty no
+    *    matter how long the stream runs.
+    *
+    * Emits (query_id, neighbor_id, cos, rank) in append mode. Serving
+    * semantics equal the batch path for single-probe queries
+    * (`nProbe=1`); multi-probe serving stays batch-side where the
+    * probe window is expressible.
+    */
+  def streamingAnnServe(
+      queryStream: DataFrame,
+      index: graft.operators.Similarity.IvfIndex,
+      k: Int): DataFrame = {
+    import graft.operators.Similarity
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = queryStream.sparkSession
+    import spark.implicits._
+    // driver-bounded by design: coarse level of an IVF index is the
+    // SMALL level (hundreds to low thousands of cells); the guard makes
+    // exceeding that loud instead of silently bloating the plan
+    val cents = index.cents
+      .select(col("cent_id").cast("long"), col("cent_v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty, "streamingAnnServe: empty centroid table")
+    require(cents.length <= 4096,
+      s"streamingAnnServe inlines centroids as plan literals; got ${cents.length} cells — " +
+        "serve a coarser level or use the batch path")
+    val candStructs = cents.map { case (cid, arr) =>
+      val c = typedLit(arr)
+      struct(
+        round(Similarity.cosineFromNorms(
+          Similarity.dot(col("q_vec"), c), col("q_norm"), Similarity.norm(c)), 6).as("c"),
+        lit(-cid).as("nid"))
+    }
+    val best = if (candStructs.length == 1) candStructs.head else greatest(candStructs: _*)
+    val assignedQ = queryStream
+      .select(col("id").cast("long").as("query_id"), col("vec").as("q_vec"))
+      .withColumn("q_norm", Similarity.norm(col("q_vec")))
+      .withColumn("bucket", -best.getField("nid"))
+    val scored = assignedQ.join(index.assigned, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        round(Similarity.cosineFromNorms(
+          Similarity.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")), 6).as("cos"))
+    scored.as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double, Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Double)], _: GroupState[Boolean]) =>
+          // candidates are batch-local (they come from this query's own
+          // row); rank and emit, store nothing — memory bound is the
+          // probed bucket's size, the same bound the batch serve has
+          rows.toSeq.sortBy(r => (-r._3, r._2)).take(k).zipWithIndex
+            .map { case ((_, nid, cos), i) => (qid, nid, cos, i + 1) }.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cos", "rank")
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,

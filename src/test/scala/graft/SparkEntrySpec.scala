@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Contract-level guards for SparkEntry helpers — here, the events.ts
+  * fixture-vintage normalization: the driver has regenerated
+  * events.parquet with different physical timestamp types across
+  * rounds (INT64 TIMESTAMP(NANOS) read as long under nanosAsLong;
+  * plain timestamp[us] read as TIMESTAMP_NTZ), and every time query
+  * assumes epoch-nanos longs downstream.
+  */
+class SparkEntrySpec extends SparkTestBase {
+
+  private val epochUs = 1700000000000000L // 2023-11-14T22:13:20Z, micros
+
+  test("normalizeTsNanos: NTZ, TIMESTAMP, and long vintages all land on the same epoch nanos") {
+    import spark.implicits._
+    val asLong = Seq((1L, epochUs * 1000L)).toDF("event_id", "ts")
+    val asNtz = Seq((1L, epochUs)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).cast(TimestampNTZType).as("ts"))
+    val asTs = Seq((1L, epochUs)).toDF("event_id", "us")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"))
+    assert(asNtz.schema("ts").dataType == TimestampNTZType)
+    assert(asTs.schema("ts").dataType == TimestampType)
+    val expected = epochUs * 1000L
+    Seq(asLong, asNtz, asTs).foreach { df =>
+      val out = SparkEntry.normalizeTsNanos(df)
+      assert(out.schema("ts").dataType.typeName == "long",
+        s"normalized ts must be long, got ${out.schema("ts").dataType}")
+      assert(out.select("ts").head().getLong(0) == expected)
+    }
+  }
+
+  test("normalizeTsNanos: NTZ conversion is session-timezone independent") {
+    import spark.implicits._
+    // NTZ literal: wall clock with no zone, same bits in any session TZ
+    val df = Seq(1L).toDF("event_id")
+      .select(col("event_id"), expr("TIMESTAMP_NTZ '2023-11-14 22:13:20'").as("ts"))
+    assert(df.schema("ts").dataType == TimestampNTZType)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      assert(SparkEntry.normalizeTsNanos(df).select("ts").head().getLong(0) == epochUs * 1000L,
+        "wall-clock micros must not shift with the session timezone")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
+  test("frames without a timestamp ts pass through untouched") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("ts", "other") // ts is a LONG here
+    assert(SparkEntry.normalizeTsNanos(df).collect().toSeq ==
+      df.collect().toSeq)
+  }
+}

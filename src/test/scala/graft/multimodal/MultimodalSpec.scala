@@ -313,6 +313,19 @@ class MultimodalSpec extends SparkTestBase {
     assertThrows[IllegalArgumentException](Multimodal.videoNearDups(df, k = 5, minMatches = 6))
   }
 
+  test("videoFrameHashes plan: map-only — payload reduces to hashes inside the scan stage") {
+    import spark.implicits._
+    val df = (0L until 8L).map(i => (i, gvid(8, 8, nf = 6)((fr, x, y) =>
+      ((i / 2).toInt * 37 + fr * 19 + x * 16 + y) % 200))).toDF("media_id", "payload")
+    val hashes = Multimodal.videoFrameHashes(df, k = 3)
+    assert(graft.operators.Scale.countShuffles(hashes) == 0,
+      "decode+hash must run in the scan stage; payload bytes never reach an exchange")
+    // downstream near-dup exchanges carry only ids/hashes/counts —
+    // every column videoNearDups can shuffle comes from this schema
+    assert(hashes.schema.fieldNames.toSet ==
+      Set("media_id", "frame_idx", "frame_no", "ahash_hi", "ahash_lo"))
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256

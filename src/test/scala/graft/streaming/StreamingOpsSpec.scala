@@ -226,6 +226,25 @@ class StreamingOpsSpec extends SparkTestBase {
     val w1 = graft.SparkEntry.queries("q72_stream_window_stats")(spark, dir).count()
     val w2 = graft.SparkEntry.queries("q72_stream_window_stats")(spark, dir).count()
     assert(w1 > 0 && w1 == w2, s"q72 unstable: $w1 vs $w2")
+    val a1 = graft.SparkEntry.queries("q114_stream_ann")(spark, dir).count()
+    val a2 = graft.SparkEntry.queries("q114_stream_ann")(spark, dir).count()
+    assert(a1 > 0 && a1 == a2, s"q114 unstable: $a1 vs $a2")
+  }
+
+  test("streamingAnnServe equals the batch IVF serve on a drained stream") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("q114_stream_ann")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val batch = graft.operators.Similarity
+      .ivfTopK(e.where(col("id") >= 5 && col("id") < 10), e, k = 3, nBuckets = 8)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == batch,
+      s"streaming serve must equal batch IVF: $served vs $batch")
   }
 
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
