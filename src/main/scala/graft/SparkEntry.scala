@@ -517,6 +517,23 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("fp")
 
+  /** Incremental IVF ingest through the contract: the index is built
+    * over vec_id < 400 only, then the 400+ batch arrives via
+    * [[Similarity.ivfIndexAppend]] — ONLY the batch pays assignment,
+    * the existing corpus is untouched. Serving the extended index
+    * must equal the from-scratch full-corpus build: q26's oracle
+    * verbatim.
+    */
+  private def qIncrementalIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val base = Similarity.ivfIndex(e.where(col("id") < 400), nBuckets = 8)
+    val full = Similarity.ivfIndexAppend(base, e.where(col("id") >= 400))
+    Similarity.ivfTopKIndexed(e.where(col("id") >= 5 && col("id") < 10), full, k = 3)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Audio sibling of q64: synthesize WAVs with known (sample_rate,
     * frame_count), round-trip through the encoder, probe the headers
     * back distributed — closed-form oracle.
@@ -1720,6 +1737,7 @@ object SparkEntry {
     "q112_video_neardups" -> qVideoNearDups _,
     "q113_cdc_chunks" -> qCdcChunks _,
     "q114_stream_ann" -> qStreamAnn _,
+    "q115_incremental_ivf" -> qIncrementalIvf _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2527,6 +2545,33 @@ object SparkEntry {
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       "q26_sim_ivf" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // identical oracle to q26: the INCREMENTALLY EXTENDED index
+      // (base < 400 plus appended 400+ batch, same centroids) must
+      // serve the full-corpus answers
+      "q115_incremental_ivf" ->
         """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
           | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
           | assigned AS (

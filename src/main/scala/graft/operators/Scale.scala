@@ -178,6 +178,30 @@ object Scale {
       .orderBy("shard")
   }
 
+  /** Deterministic range-sharded JSONL export — the interchange format
+    * LLM training pipelines actually consume (one JSON object per
+    * line, shard directories stable across runs because the shard
+    * boundaries come from the key-value histogram, not sampling).
+    * JSON field order is the frame's column order, so bytes are
+    * reproducible for a fixed schema; re-running the export on the
+    * same data overwrites with identical shard contents. Returns the
+    * same (shard, n_rows, min_key, max_key) manifest as the parquet
+    * exporter, computed from what was WRITTEN.
+    */
+  def writeRangeShardedJsonl(df: DataFrame, key: Column, nShards: Int,
+      path: String): DataFrame = {
+    val bounds = rangeShardBoundaries(df, key, nShards)
+    withRangeShard(df, key, bounds)
+      .write.mode("overwrite").partitionBy("shard").json(path)
+    val spark = df.sparkSession
+    spark.read.schema(withRangeShard(df, key, bounds).schema).json(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(key.cast("long")).as("min_key"),
+        max(key.cast("long")).as("max_key"))
+      .orderBy("shard")
+  }
+
   /** Per-shard export manifest: row count and key range — the
     * release-artifact summary of a deterministic sharded export.
     */

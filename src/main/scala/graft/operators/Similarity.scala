@@ -186,6 +186,33 @@ object Similarity {
     IvfIndex(cents, assigned)
   }
 
+  /** Incrementally extend an index with a batch of new vectors — the
+    * ingest path that never rebuilds: ONLY the batch pays the
+    * assignment cost (batch_size × nBuckets dot products, map-side),
+    * the existing corpus is untouched, and the result unions the old
+    * assigned table with the newly assigned rows under the SAME
+    * centroid set (centroids must stay fixed or buckets stop lining
+    * up — re-centering is an offline index rebuild by definition).
+    * With `index.assigned` backed by a bucketed warehouse table, the
+    * batch rows land via an append write to the same table instead of
+    * a plan-level union — the union form here keeps the operator
+    * storage-agnostic; [[graft.operators.Scale.writeBucketed]]-backed
+    * callers append and re-read the table.
+    *
+    * Serving the extended index equals serving a from-scratch index
+    * over old ∪ batch by construction: assignment is per-row and
+    * centroid-deterministic, so the union of assignments IS the
+    * assignment of the union (`SimilaritySpec` pins it; q115 checks
+    * it against the full-corpus oracle).
+    */
+  def ivfIndexAppend(index: IvfIndex, batch: DataFrame): IvfIndex = {
+    val batchIn = batch.select(col("id").as("doc_id"), col("vec").as("v"))
+    val assignedBatch = ivfAssignWith(batchIn, index.cents)
+      .select(col("bucket"), col("doc_id").as("neighbor_id"), col("v").as("c_vec"),
+        col("v_norm").as("c_norm"))
+    IvfIndex(index.cents, index.assigned.unionByName(assignedBatch))
+  }
+
   /** Serve a query batch against a built index: probe `nProbe` nearest
     * buckets per query, scan + rank within them. The join key is the
     * bucket — at scale, the persisted `assigned` side pre-partitioned

@@ -147,4 +147,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(res.subsetOf(Set(0L, 3L))) // same bucket as 2: {0,2,3}
     assert(res.size == 2)
   }
+
+  test("ivfIndexAppend: serving base+batch equals a from-scratch index over the union") {
+    import spark.implicits._
+    // hash-derived 8-dim vectors; ids 0..39, batch = 30..39
+    val all = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val base = Similarity.ivfIndex(all.where(col("id") < 30), nBuckets = 4)
+    val appended = Similarity.ivfIndexAppend(base, all.where(col("id") >= 30))
+    val scratch = Similarity.ivfIndex(all, nBuckets = 4)
+    val queries = all.where(col("id") < 6)
+    def rows(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKIndexed(queries, ix, k = 3)
+        .orderBy("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(appended) == rows(scratch),
+      "incremental append must serve exactly like a full rebuild")
+    // the appended rows really are in the batch's buckets (ids 30+ present)
+    import org.apache.spark.sql.functions.col
+    assert(appended.assigned.where(col("neighbor_id") >= 30).count() == 10L)
+  }
 }
