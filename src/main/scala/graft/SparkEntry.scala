@@ -517,6 +517,42 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("fp")
 
+  /** JSONL export certified through the contract: the documents table
+    * is range-shard exported to JSONL, read BACK from the written
+    * files, and summarized per language with a content-hash sum; the
+    * oracle computes the identical summary from the original parquet.
+    * A lossy export — dropped rows, duplicated shards, mangled text,
+    * broken JSON escaping — cannot reproduce the hash sum. (The
+    * parquet/CSV sinks keep their byte-golden spec gates; this puts
+    * the JSONL sink under the DuckDB gate too.)
+    */
+  private def qJsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // per-(sf dir) export path, same collision-proofing as the
+    // warehouse table names
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_jsonl_export", digest).toString
+    graft.operators.Scale.writeRangeShardedJsonl(docs, col("doc_id"), 4, out).collect()
+    s.read.schema(docs.schema).json(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000000007L)
+          .as("content_hash"))
+      .orderBy("lang")
+  }
+
+  /** Per-group equi-width histogram of lineitem quantity (width 5) —
+    * the release-manifest distribution profile.
+    */
+  private def qHistogram(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.histogram(
+      t(s, dir, "lineitem"), col("l_returnflag"), col("l_quantity"), width = 5.0)
+      .withColumnRenamed("key", "returnflag")
+      .orderBy("returnflag", "bucket")
+
   /** Incremental IVF ingest through the contract: the index is built
     * over vec_id < 400 only, then the 400+ batch arrives via
     * [[Similarity.ivfIndexAppend]] — ONLY the batch pays assignment,
@@ -1738,6 +1774,8 @@ object SparkEntry {
     "q113_cdc_chunks" -> qCdcChunks _,
     "q114_stream_ann" -> qStreamAnn _,
     "q115_incremental_ivf" -> qIncrementalIvf _,
+    "q116_jsonl_roundtrip" -> qJsonlRoundtrip _,
+    "q117_histogram" -> qHistogram _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2567,6 +2605,20 @@ object SparkEntry {
           |  FROM joined)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // the JSONL files on disk must reproduce the parquet originals:
+      // counts, char sums, and a mod-reduced 60-bit content-hash sum
+      // (mod keeps the DuckDB HUGEINT -> BIGINT cast in range)
+      "q116_jsonl_roundtrip" ->
+        """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+          | sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007)::BIGINT AS content_hash
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // equi-width histogram, empty buckets absent on both sides
+      "q117_histogram" ->
+        """SELECT l_returnflag AS returnflag, floor(l_quantity / 5)::BIGINT AS bucket,
+          | count(*) AS n
+          |FROM lineitem GROUP BY returnflag, bucket ORDER BY returnflag, bucket""".stripMargin,
 
       // identical oracle to q26: the INCREMENTALLY EXTENDED index
       // (base < 400 plus appended 400+ batch, same centroids) must

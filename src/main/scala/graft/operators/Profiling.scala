@@ -149,4 +149,19 @@ object Profiling {
           (col(s"${nm}_lt").cast("double") + 1.0 <= target + slack)).as(s"within_$nm")
       }: _*)
   }
+
+  /** Per-group equi-width value histogram: bucket = floor(value /
+    * width) — the distribution profile a data release ships next to
+    * its row counts. One map-side-combined aggregation; the exchange
+    * carries (key, bucket, partial count) rows, bounded by groups ×
+    * occupied buckets regardless of corpus size. Empty buckets are
+    * absent by construction (dense zero-filling is a presentation
+    * concern, and materializing it would make output size depend on
+    * the value RANGE rather than the data).
+    */
+  def histogram(df: DataFrame, key: Column, value: Column, width: Double): DataFrame = {
+    require(width > 0, s"width must be positive, got $width")
+    df.groupBy(key.as("key"), floor(value / width).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
