@@ -517,6 +517,25 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("text"))
       .orderBy("fp")
 
+  /** HTML extraction through the contract: deterministic HTML is
+    * synthesized around each document (head with script/style,
+    * nav boilerplate, uppercase FOOTER to exercise case folding),
+    * then [[TextAnalysis.extractHtmlText]] must recover the main
+    * text; the oracle runs the identical rewrite chain in DuckDB.
+    */
+  private def qHtmlExtract(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+        "<style>p { color: red; }</style></head><body><nav><ul><li>Home</li></ul></nav><p>"),
+      col("text"),
+      lit("</p><FOOTER>&copy; 2024 corp</FOOTER></body></html>"))
+    TextAnalysis.extractHtmlText(
+      docs.select(col("doc_id"), html.as("html")), col("doc_id"), col("html"))
+      .orderBy("doc_id")
+  }
+
   /** JSONL export certified through the contract: the documents table
     * is range-shard exported to JSONL, read BACK from the written
     * files, and summarized per language with a content-hash sum; the
@@ -1776,6 +1795,7 @@ object SparkEntry {
     "q115_incremental_ivf" -> qIncrementalIvf _,
     "q116_jsonl_roundtrip" -> qJsonlRoundtrip _,
     "q117_histogram" -> qHistogram _,
+    "q118_html_extract" -> qHtmlExtract _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2605,6 +2625,31 @@ object SparkEntry {
           |  FROM joined)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // the identical regex rewrite chain (same pattern spellings —
+      // [\s\S]*? instead of DOTALL so Java regex and RE2 agree; block
+      // drops in the same order; entity decode last, &amp; last of all)
+      "q118_html_extract" ->
+        """WITH d AS (SELECT doc_id,
+          |  '<html><head><title>Doc ' || doc_id || '</title><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><nav><ul><li>Home</li></ul></nav><p>' || text || '</p><FOOTER>&copy; 2024 corp</FOOTER></body></html>' AS html
+          |  FROM documents WHERE doc_id < 200),
+          | x AS (SELECT doc_id,
+          |   trim(regexp_replace(
+          |     replace(replace(replace(replace(replace(
+          |       regexp_replace(
+          |         regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+          |           '(?i)<script[^>]*>[\s\S]*?</script>', ' ', 'g'),
+          |           '(?i)<style[^>]*>[\s\S]*?</style>', ' ', 'g'),
+          |           '(?i)<nav[^>]*>[\s\S]*?</nav>', ' ', 'g'),
+          |           '(?i)<header[^>]*>[\s\S]*?</header>', ' ', 'g'),
+          |           '(?i)<footer[^>]*>[\s\S]*?</footer>', ' ', 'g'),
+          |           '(?i)<aside[^>]*>[\s\S]*?</aside>', ' ', 'g'),
+          |         '<[^>]+>', ' ', 'g'),
+          |       '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&'),
+          |     '\s+', ' ', 'g')) AS extracted
+          |  FROM d)
+          |SELECT doc_id, extracted, length(extracted)::BIGINT AS n_chars
+          |FROM x ORDER BY doc_id""".stripMargin,
 
       // the JSONL files on disk must reproduce the parquet originals:
       // counts, char sums, and a mod-reduced 60-bit content-hash sum

@@ -483,6 +483,39 @@ object TextAnalysis {
       size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_emails"),
       size(regexp_extract_all(text, lit(longNumRe), lit(0))).cast("long").as("n_long_nums"))
 
+  /** HTML main-text extraction — the crawl-processing step between
+    * fetch and every text operator here: drop non-content blocks
+    * (script/style and nav/header/footer/aside boilerplate), strip
+    * the remaining markup, decode the five XML entities, squeeze
+    * whitespace. Deliberately a CHAIN OF REGEX REWRITES over
+    * codegen'd `regexp_replace` — not an HTML parser: the rewrite
+    * chain is engine-portable (the DuckDB oracle runs the same
+    * patterns), per-row streaming-safe, and at 100 TB an extraction
+    * pass must be a zero-shuffle map whatever else it is. Patterns
+    * use `[\s\S]*?` instead of DOTALL flags so Java regex and RE2
+    * agree, and entity decode runs LAST (after tag stripping) with
+    * `&amp;` last of all, matching the only order both engines can
+    * express without lookaround.
+    *
+    * Malformed HTML degrades gracefully: an unclosed boilerplate tag
+    * leaves its block in place (no catastrophic backtracking — all
+    * quantifiers are bounded by literal terminators), and non-HTML
+    * input passes through with only whitespace squeezing.
+    */
+  def extractHtmlText(df: DataFrame, id: Column, html: Column): DataFrame = {
+    val dropBlocks = Seq("script", "style", "nav", "header", "footer", "aside")
+      .foldLeft(html) { (c, tag) =>
+        regexp_replace(c, s"(?i)<$tag[^>]*>[\\s\\S]*?</$tag>", " ")
+      }
+    val noTags = regexp_replace(dropBlocks, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&apos;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => regexp_replace(c, e, ch) }
+    val squeezed = trim(regexp_replace(decoded, "\\s+", " "))
+    df.select(id.as("doc_id"), squeezed.as("extracted"))
+      .withColumn("n_chars", length(col("extracted")).cast("long"))
+  }
+
   /** Context-window chunking: split each document into fixed-size
     * token windows with overlap — the standard pre-training / RAG
     * ingestion step. Chunk k covers tokens [k*step, k*step+chunkTokens)

@@ -522,6 +522,35 @@ class TextAnalysisSpec extends SparkTestBase {
       s"text/bigrams must not ride the per-doc exchange: $docExchanges")
   }
 
+  test("extractHtmlText: drops boilerplate blocks, strips tags, decodes entities, squeezes space") {
+    import spark.implicits._
+    val cases = Seq(
+      // full shape incl. case-insensitive close, entity decode order
+      (1L, "<html><head><script>var a = 1 < 2;</script><style>b{}</style></head>" +
+        "<body><NAV>menu</NAV><p>Hello &amp;amp; &lt;world&gt;</p><footer>f</footer></body></html>",
+        "Hello &amp; <world>"),
+      // unclosed script: block stays, tags still stripped (graceful degrade)
+      (2L, "<p>keep</p><script>lost", "keep lost"),
+      // non-HTML input: whitespace squeeze only
+      (3L, "  plain   text  ", "plain text"),
+      // nested content inside a dropped block goes with it
+      (4L, "<aside><p>ad</p></aside><p>body</p>", "body"))
+    val out = TextAnalysis.extractHtmlText(
+      cases.map(c => (c._1, c._2)).toDF("doc_id", "html"), col("doc_id"), col("html"))
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    cases.zip(out).foreach { case ((id, _, want), (gotId, got, n)) =>
+      assert(gotId == id && got == want && n == want.length.toLong,
+        s"doc $id: got '$got', want '$want'")
+    }
+  }
+
+  test("extractHtmlText plan: map-only — zero exchanges") {
+    import spark.implicits._
+    val df = Seq((1L, "<p>x</p>")).toDF("doc_id", "html")
+    val out = TextAnalysis.extractHtmlText(df, col("doc_id"), col("html"))
+    assert(Scale.countShuffles(out) == 0, "extraction must be a zero-shuffle map pass")
+  }
+
   // -------- content-defined chunking
 
   private def chunksOf(s: String, w: Int = 16): Seq[String] = {
