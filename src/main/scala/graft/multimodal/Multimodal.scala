@@ -622,10 +622,11 @@ object Multimodal {
     out
   }
 
-  /** Frame sampling stub for video-like payloads: deterministically
-    * pick `k` byte-offsets as "frames" (a real codec samples decoded
-    * frames; the slicing/fan-out shape is what matters here). Output:
-    * one row per sampled frame with its index.
+  /** Frame sampling stub for OPAQUE video payloads (container format
+    * unknown): deterministically pick `k` byte-offsets as "frames" —
+    * the slicing/fan-out shape without a decode. For payloads in the
+    * engine's GVID container, [[videoFrameHashes]] supersedes this
+    * with real frame geometry from the parsed header.
     */
   def sampleFrames(df: DataFrame, k: Int): DataFrame =
     df.select(
