@@ -572,6 +572,26 @@ object SparkEntry {
       .withColumnRenamed("key", "returnflag")
       .orderBy("returnflag", "bucket")
 
+  /** Certified Misra–Gries heavy hitters over a synthesized skewed
+    * item domain (the natural fixture columns are near-uniform): half
+    * the lineitem rows collapse onto 10 hot keys, the other half
+    * spread over ~2000 part keys — so the 32-counter sketch sees real
+    * evictions while every hot key stays above the n/(k+1) recall
+    * threshold at every SF (hot ≈ n/20 > n/33). Only exact counts
+    * and the guarantee booleans reach the output (the oracle emits
+    * TRUE literals like q16/q94): a sketch violating no-overcount,
+    * the undercount bound, or recall flips a boolean and
+    * hash-mismatches.
+    */
+  private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.heavyHittersCertify(
+      t(s, dir, "lineitem").select(
+        when(col("l_orderkey") % 2 === 0,
+          concat(lit("h"), (expr("l_orderkey div 2") % 10).cast("string")))
+          .otherwise(concat(lit("p"), col("l_partkey").cast("string"))).as("item")),
+      col("item"), k = 32, topM = 10)
+      .orderBy(col("exact_count").desc, col("token"))
+
   /** Incremental IVF ingest through the contract: the index is built
     * over vec_id < 400 only, then the 400+ batch arrives via
     * [[Similarity.ivfIndexAppend]] — ONLY the batch pays assignment,
@@ -1796,6 +1816,7 @@ object SparkEntry {
     "q116_jsonl_roundtrip" -> qJsonlRoundtrip _,
     "q117_histogram" -> qHistogram _,
     "q118_html_extract" -> qHtmlExtract _,
+    "q119_heavy_hitters" -> qHeavyHitters _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2625,6 +2646,20 @@ object SparkEntry {
           |  FROM joined)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // sketch certification (q16/q94 pattern): exact top-10 of the
+      // synthesized skewed domain plus TRUE guarantee booleans — the
+      // MG guarantees are order-independent facts even though raw
+      // estimates are partition-order dependent
+      "q119_heavy_hitters" ->
+        """WITH it AS (
+          | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
+          |             ELSE 'p' || l_partkey END AS token
+          | FROM lineitem),
+          | g AS (SELECT token, count(*) AS exact_count FROM it GROUP BY token)
+          |SELECT token, exact_count::BIGINT AS exact_count,
+          | TRUE AS in_sketch, TRUE AS within_bound
+          |FROM g ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
 
       // the identical regex rewrite chain (same pattern spellings —
       // [\s\S]*? instead of DOTALL so Java regex and RE2 agree; block

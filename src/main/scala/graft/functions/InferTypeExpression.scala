@@ -158,7 +158,8 @@ object GraftExtensions {
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
     fn("cdc_chunks", classOf[CdcChunks], TextOps.cdcChunksBuilder),
-    fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder))
+    fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder),
+    fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

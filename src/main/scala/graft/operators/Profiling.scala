@@ -164,4 +164,35 @@ object Profiling {
     df.groupBy(key.as("key"), floor(value / width).cast("long").as("bucket"))
       .agg(count(lit(1)).as("n"))
   }
+
+  /** Certified Misra–Gries heavy hitters (q16/q94 pattern): run the
+    * mergeable k-counter sketch (native `heavy_hitters` aggregate —
+    * every task carries at most k counters, the reason this beats a
+    * full groupBy when the item domain is huge), then certify its
+    * order-independent guarantees against the exact counts: for each
+    * of the true top-`topM` items, (a) the sketch contains it —
+    * guaranteed whenever true(x) > n/(k+1) — and (b) its estimate is
+    * in [true - n/(k+1), true]. Only the EXACT side plus the two
+    * booleans reach the output, so the query is fully oracle-checkable
+    * even though raw MG estimates are partition-order dependent.
+    * (The exact side exists for certification; production runs keep
+    * just the sketch.)
+    */
+  def heavyHittersCertify(df: DataFrame, item: Column, k: Int, topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val items = df.select(item.as("it")).where(col("it").isNotNull)
+    val sketch = items.agg(
+      graft.functions.Sketch.heavyHitters(col("it"), k).as("hh"),
+      count(lit(1)).as("n"))
+    val top = items.groupBy("it").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("it")).limit(topM)
+    top.crossJoin(sketch) // 1-row sketch side
+      .withColumn("m", element_at(
+        filter(col("hh"), e => e.getField("item") === col("it")), 1))
+      .select(col("it").as("token"), col("exact_count"),
+        col("m").isNotNull.as("in_sketch"),
+        (col("m").isNotNull && col("m").getField("est") <= col("exact_count") &&
+          (col("exact_count") - col("m").getField("est")) * (k + 1) <= col("n"))
+          .as("within_bound"))
+  }
 }
