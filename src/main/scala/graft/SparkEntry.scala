@@ -585,12 +585,41 @@ object SparkEntry {
     */
   private def qHeavyHitters(s: SparkSession, dir: String): DataFrame =
     graft.operators.Profiling.heavyHittersCertify(
-      t(s, dir, "lineitem").select(
-        when(col("l_orderkey") % 2 === 0,
-          concat(lit("h"), (expr("l_orderkey div 2") % 10).cast("string")))
-          .otherwise(concat(lit("p"), col("l_partkey").cast("string"))).as("item")),
+      t(s, dir, "lineitem").select(hhSkewedItem.as("item")),
       col("item"), k = 32, topM = 10)
       .orderBy(col("exact_count").desc, col("token"))
+
+  /** The synthesized skewed item domain shared by q119/q120. */
+  private def hhSkewedItem: Column =
+    when(col("l_orderkey") % 2 === 0,
+      concat(lit("h"), (expr("l_orderkey div 2") % 10).cast("string")))
+      .otherwise(concat(lit("p"), col("l_partkey").cast("string")))
+
+  /** q119's certification driven through STRUCTURED STREAMING: the
+    * lineitem file stream feeds the custom `heavy_hitters` aggregate
+    * in complete mode (every micro-batch round-trips the MG state
+    * through the state store's serialize/deserialize), drained with
+    * AvailableNow; the drained sketch row is certified against exact
+    * batch counts — q119's oracle verbatim.
+    */
+  private def qStreamHeavyHitters(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "lineitem"))
+      .select(hhSkewedItem.as("it"))
+    val agg = stream.agg(
+      graft.functions.Sketch.heavyHitters(col("it"), 32).as("hh"),
+      count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("graft_stream_hh")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val items = s.read.parquet(s"$dir/lineitem.parquet").select(hhSkewedItem.as("it"))
+    graft.operators.Profiling.heavyHittersCertifyAgainst(
+      s.table("graft_stream_hh"), items, k = 32, topM = 10)
+      .orderBy(col("exact_count").desc, col("token"))
+  }
 
   /** Incremental IVF ingest through the contract: the index is built
     * over vec_id < 400 only, then the 400+ batch arrives via
@@ -1817,6 +1846,7 @@ object SparkEntry {
     "q117_histogram" -> qHistogram _,
     "q118_html_extract" -> qHtmlExtract _,
     "q119_heavy_hitters" -> qHeavyHitters _,
+    "q120_stream_heavy_hitters" -> qStreamHeavyHitters _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2652,6 +2682,18 @@ object SparkEntry {
       // MG guarantees are order-independent facts even though raw
       // estimates are partition-order dependent
       "q119_heavy_hitters" ->
+        """WITH it AS (
+          | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
+          |             ELSE 'p' || l_partkey END AS token
+          | FROM lineitem),
+          | g AS (SELECT token, count(*) AS exact_count FROM it GROUP BY token)
+          |SELECT token, exact_count::BIGINT AS exact_count,
+          | TRUE AS in_sketch, TRUE AS within_bound
+          |FROM g ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
+
+      // q119's oracle verbatim: the drained streaming sketch (MG state
+      // through the state store) must certify identically
+      "q120_stream_heavy_hitters" ->
         """WITH it AS (
           | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
           |             ELSE 'p' || l_partkey END AS token

@@ -179,11 +179,22 @@ object Profiling {
     * just the sketch.)
     */
   def heavyHittersCertify(df: DataFrame, item: Column, k: Int, topM: Int): DataFrame = {
-    require(topM >= 1, s"topM must be >= 1, got $topM")
     val items = df.select(item.as("it")).where(col("it").isNotNull)
     val sketch = items.agg(
       graft.functions.Sketch.heavyHitters(col("it"), k).as("hh"),
       count(lit(1)).as("n"))
+    heavyHittersCertifyAgainst(sketch, items, k, topM)
+  }
+
+  /** Certify an externally-produced heavy-hitters sketch row (columns
+    * `hh` array<struct<item,est>>, `n` long — e.g. a DRAINED streaming
+    * aggregation) against exact counts of `items` (column `it`). Split
+    * out of [[heavyHittersCertify]] so the streaming path proves the
+    * same guarantees through the state store.
+    */
+  def heavyHittersCertifyAgainst(
+      sketch: DataFrame, items: DataFrame, k: Int, topM: Int): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
     val top = items.groupBy("it").agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("it")).limit(topM)
     top.crossJoin(sketch) // 1-row sketch side

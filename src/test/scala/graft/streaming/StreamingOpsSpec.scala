@@ -229,6 +229,9 @@ class StreamingOpsSpec extends SparkTestBase {
     val a1 = graft.SparkEntry.queries("q114_stream_ann")(spark, dir).count()
     val a2 = graft.SparkEntry.queries("q114_stream_ann")(spark, dir).count()
     assert(a1 > 0 && a1 == a2, s"q114 unstable: $a1 vs $a2")
+    val h1 = graft.SparkEntry.queries("q120_stream_heavy_hitters")(spark, dir).count()
+    val h2 = graft.SparkEntry.queries("q120_stream_heavy_hitters")(spark, dir).count()
+    assert(h1 > 0 && h1 == h2, s"q120 unstable: $h1 vs $h2")
   }
 
   test("streamingAnnServe equals the batch IVF serve on a drained stream") {
