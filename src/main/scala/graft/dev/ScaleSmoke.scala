@@ -314,6 +314,19 @@ object ScaleSmoke {
     vidDf.unpersist()
     val cd = time("cdcDuplicateChunks (w=16, d=32)")(
       TextAnalysis.cdcDuplicateChunks(docs, col("doc_id"), col("text")).count())
+    // heavy hitters over a domain ~= corpus size (nDocs/2 cold keys +
+    // 20 hot keys with 2.5% of rows each): the k=64 sketch keeps every
+    // task at 64 counters where exact groupBy would shuffle nDocs/2
+    // distinct keys; certification recomputes exact counts for the
+    // top-10 only
+    val hhItems = spark.range(nDocs).select(
+      when(col("id") % 2 === 0, concat(lit("hot"), expr("id div 2") % 20))
+        .otherwise(concat(lit("cold"), col("id"))).as("it"))
+    val hh = time("heavyHittersCertify (k=64, domain ~ nDocs/2)")(
+      graft.operators.Profiling.heavyHittersCertify(
+        hhItems, col("it"), k = 64, topM = 10)
+        .where(col("in_sketch") && col("within_bound")).count())
+    require(hh == 10L, s"heavy-hitter certification failed at volume: $hh of 10")
 
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
@@ -330,7 +343,7 @@ object ScaleSmoke {
       s"incNearDups=$ind rangeShards=$rs " +
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
       s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
-      s"videoPairs=$vn cdcDupChunks=$cd " +
+      s"videoPairs=$vn cdcDupChunks=$cd hhCertified=$hh " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }
