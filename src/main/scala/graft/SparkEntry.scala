@@ -784,6 +784,19 @@ object SparkEntry {
     TextAnalysis.oovRate(t(s, dir, "documents"), col("doc_id"), col("text"), vocabSize = 500)
       .orderBy("doc_id")
 
+  /** Integer-exact BM25 top-25 for a 3-term keyword query. */
+  private def qBm25(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("hash", "join", "vector"), topK = 25)
+
+  /** Blocklist rate filter: blocked-token per-mille against a 4-term
+    * list, threshold chosen so the corpus genuinely splits.
+    */
+  private def qBlocklist(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.blocklistFilter(t(s, dir, "documents"), col("doc_id"),
+      col("text"), Seq("slow", "big", "bad"), maxPerMille = 40L)
+      .orderBy("doc_id")
+
   /** Overlapping composite multi-line docs (q79/q84 input): the raw
     * corpus is single-line, so these queries first build pseudo-docs —
     * group g holds originals [3g, 3g+4] as lines, so neighboring
@@ -1847,6 +1860,8 @@ object SparkEntry {
     "q118_html_extract" -> qHtmlExtract _,
     "q119_heavy_hitters" -> qHeavyHitters _,
     "q120_stream_heavy_hitters" -> qStreamHeavyHitters _,
+    "q121_bm25" -> qBm25 _,
+    "q122_blocklist" -> qBlocklist _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2702,6 +2717,45 @@ object SparkEntry {
           |SELECT token, exact_count::BIGINT AS exact_count,
           | TRUE AS in_sketch, TRUE AS within_bound
           |FROM g ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
+
+      // integer-exact BM25: scaled odds idf, k1/b normalization
+      // cleared to integers by 10·L — same association order as the
+      // Spark side so floor divisions land identically
+      "q121_bm25" ->
+        """WITH docs AS (
+          | SELECT doc_id,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS dl,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'hash')) AS tf0,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'join')) AS tf1,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'vector')) AS tf2
+          | FROM documents),
+          | stats AS (SELECT count(*) AS n, sum(dl) AS l,
+          |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+          |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+          |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          | FROM docs),
+          | scored AS (SELECT doc_id, dl,
+          |  (CASE WHEN tf0 > 0 THEN ((((2*n - 2*df0 + 1) * 1000000) // (2*df0 + 1)) * (22 * tf0 * l)) // (10*l*tf0 + 3*l + 9*dl*n) ELSE 0 END) +
+          |  (CASE WHEN tf1 > 0 THEN ((((2*n - 2*df1 + 1) * 1000000) // (2*df1 + 1)) * (22 * tf1 * l)) // (10*l*tf1 + 3*l + 9*dl*n) ELSE 0 END) +
+          |  (CASE WHEN tf2 > 0 THEN ((((2*n - 2*df2 + 1) * 1000000) // (2*df2 + 1)) * (22 * tf2 * l)) // (10*l*tf2 + 3*l + 9*dl*n) ELSE 0 END) AS score
+          | FROM docs, stats)
+          |SELECT doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
+          |FROM scored WHERE score > 0
+          |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+      // blocked-token per-mille, floor division both sides
+      "q122_blocklist" ->
+        """WITH d AS (
+          | SELECT doc_id,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS n_tokens,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'slow')) +
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'big')) +
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'bad')) AS n_blocked
+          | FROM documents)
+          |SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_blocked::BIGINT AS n_blocked,
+          | (CASE WHEN n_tokens > 0 THEN (n_blocked * 1000) // n_tokens ELSE 0 END)::BIGINT AS blocked_per_mille,
+          | (CASE WHEN n_tokens > 0 THEN (n_blocked * 1000) // n_tokens ELSE 0 END) <= 40 AS kept
+          |FROM d ORDER BY doc_id""".stripMargin,
 
       // the identical regex rewrite chain (same pattern spellings —
       // [\s\S]*? instead of DOTALL so Java regex and RE2 agree; block

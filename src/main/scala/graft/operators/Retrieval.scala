@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Keyword retrieval over a document corpus — the "find the relevant
+  * slice" primitive a curation pipeline runs before expensive stages
+  * (rerankers, human review, targeted decontamination).
+  *
+  * Scoring is BM25-shaped but integer-exact: the float log-idf is
+  * replaced by the scaled odds ratio it is the log of, and the
+  * k1/b tf-normalization (k1=1.2, b=0.75) is cleared of fractions by
+  * multiplying numerator and denominator through by 10·L (L = corpus
+  * token count), so every intermediate is 64-bit integer arithmetic
+  * and the ranking is bit-reproducible across engines and
+  * re-partitionings — same contract as the bigram-LM and Dice
+  * operators (no float logs anywhere).
+  */
+object Retrieval {
+
+  /** Top-K documents for a bag of query terms, integer-exact.
+    *
+    * Per term t with document frequency df over N docs of total
+    * length L:
+    *   idf(t)      = ((2N − 2·df + 1) · idfScale) div (2·df + 1)
+    *                 — the scaled Robertson–Sparck-Jones odds
+    *                 (N − df + ½)/(df + ½) cleared to integers; the
+    *                 classic BM25 idf is its log, a monotone map.
+    *   tfnorm(t,d) = 22·tf·L  div  (10·L·tf + 3·L + 9·dl·N)
+    *                 — exactly tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+    *                 at k1=1.2, b=0.75, avgdl=L/N, multiplied through
+    *                 by 10·L (integer-exact, no float division).
+    *   score(d)    = Σ_t (idf(t) · 22·tf·L) div (10·L·tf + 3·L + 9·dl·N)
+    *
+    * Scale shape: the corpus NEVER explodes and never shuffles — per-doc
+    * tf of each query term is `size(toks) − size(array_remove(toks, t))`
+    * (codegen'd array built-ins, one pass per term over the token
+    * array, Q terms ≪ doc length), corpus stats (N, L, df per term)
+    * are ONE map-side-combined aggregate producing a single row, and
+    * that row broadcasts back via crossJoin for map-only scoring. The
+    * only exchange in the whole plan is the 1-row stats aggregate plus
+    * the TakeOrdered top-K (per-partition heap, K·partitions rows to
+    * the driver) — at 100 TB this is two corpus scans and a handful of
+    * bytes on the wire. In production the stats row would be computed
+    * once per corpus snapshot and reused across queries.
+    *
+    * Overflow bound: idf ≤ (2N+1)·idfScale and the tfnorm numerator is
+    * 22·tf·L, so the product needs (2N+1)·idfScale·22·tf·L < 2^63 —
+    * with the default scale 10^6 that holds for any corpus where
+    * N·tf·L < 4·10^11 (e.g. 10^7 docs × 10^4 tokens needs idfScale
+    * lowered to 10^2; callers at that scale pass a smaller scale).
+    */
+  def bm25TopK(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      topK: Int,
+      idfScale: Long = 1000000L): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(queryTerms.distinct.size == queryTerms.size,
+      s"duplicate query terms: $queryTerms")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val toks = TextAnalysis.tokens(lower(text))
+    // tf without exploding: array_remove is a codegen'd single pass
+    // over the token array. CollapseProject inlines the tokenizer into
+    // each of the Q+1 size() calls — Q+1 linear passes per doc (Q
+    // query terms, Q small), NOT the O(len²) inlining trap the
+    // adjacent-pairs comment warns about (no per-ELEMENT lambda here).
+    val tfCols = queryTerms.zipWithIndex.map { case (term, i) =>
+      (size(toks) - size(array_remove(toks, lit(term)))).cast("long").as(s"tf_$i")
+    }
+    val docs = df.select(
+      id.cast("long").as("doc_id") +: size(toks).cast("long").as("dl") +: tfCols: _*)
+    val aggs =
+      count(lit(1)).as("n") +: sum(col("dl")).as("l") +:
+        queryTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    val termScores = queryTerms.indices.map { i =>
+      when(col(s"tf_$i") > 0, expr(
+        s"(((2L*n - 2L*df_$i + 1L) * ${idfScale}L) div (2L*df_$i + 1L)" +
+          s" * (22L * tf_$i * l)) div (10L * l * tf_$i + 3L * l + 9L * dl * n)"))
+        .otherwise(0L)
+    }
+    docs.crossJoin(broadcast(stats))
+      .withColumn("score", termScores.reduce(_ + _))
+      .where(col("score") > 0)
+      .select(col("doc_id"), col("dl").as("n_tokens"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+}

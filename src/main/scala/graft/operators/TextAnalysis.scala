@@ -101,6 +101,44 @@ object TextAnalysis {
         hashedLinearScore(text, buckets).as("score"))
       .withColumn("kept", col("score") > threshold)
 
+  /** Blocklist (bad-words) filtering — the standard crawl-corpus
+    * safety pass: count occurrences of blocklisted tokens per document
+    * and keep documents whose blocked-token rate stays under a
+    * per-mille threshold (rate-based, not absolute, so long documents
+    * aren't penalized for a single hit).
+    *
+    * Integer-exact: the rate is `n_blocked · scale div n_tokens`
+    * (floor division), so keep/drop decisions are bit-reproducible.
+    * Map-only, zero exchanges: per-term occurrence counts are
+    * `size(toks) − size(array_remove(toks, term))` — codegen'd array
+    * built-ins, one linear pass per blocklist term (the blocklist is
+    * broadcast-scale by construction; a 10^5-term blocklist would swap
+    * this for an Aho–Corasick expression, same plan shape). At 100 TB
+    * this is a pure scan: no shuffle, no join, nothing but the scan
+    * itself on the wire.
+    */
+  def blocklistFilter(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      blocked: Seq[String],
+      maxPerMille: Long = 20L,
+      scale: Long = 1000L): DataFrame = {
+    require(blocked.nonEmpty, "blocklistFilter needs at least one term")
+    require(blocked.distinct.size == blocked.size,
+      s"duplicate blocklist terms: $blocked")
+    val toks = tokens(lower(text))
+    val nBlocked = blocked.map(term =>
+      (size(toks) - size(array_remove(toks, lit(term)))).cast("long"))
+      .reduce(_ + _)
+    df.select(id.cast("long").as("doc_id"),
+        size(toks).cast("long").as("n_tokens"), nBlocked.as("n_blocked"))
+      .withColumn("blocked_per_mille",
+        when(col("n_tokens") > 0, expr(s"n_blocked * ${scale}L div n_tokens"))
+          .otherwise(0L))
+      .withColumn("kept", col("blocked_per_mille") <= maxPerMille)
+  }
+
   /** Per-document quality metrics, all deterministic and
     * SQL-expressible for oracle parity:
     *  - n_tokens, mean token length

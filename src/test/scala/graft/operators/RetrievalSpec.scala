@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class RetrievalSpec extends SparkTestBase {
+
+  // Hand-computed corpus: 3 docs, query terms "cat" and "dog".
+  //   d0 = "cat cat dog x"   (dl 4)
+  //   d1 = "dog y z"         (dl 3)
+  //   d2 = "x y z w"         (dl 4)
+  // N = 3, L = 11, df(cat) = 1, df(dog) = 2.
+  // idf(cat) = ((6-2+1)*1000000) div 3 = 1666666
+  // idf(dog) = ((6-4+1)*1000000) div 5 = 600000
+  // d0, cat tf=2: tfnorm num = 22*2*11 = 484
+  //   den = 10*11*2 + 3*11 + 9*4*3 = 220+33+108 = 361
+  //   score = (1666666*484) div 361 = 806666344 div 361... compute:
+  //   1666666*484 = 806,666,344; div 361 = 2234532 (floor)
+  // d0, dog tf=1: num = 22*1*11 = 242; den = 110+33+108 = 251
+  //   score = (600000*242) div 251 = 145200000 div 251 = 578486
+  // d0 total = 2234532 + 578486 = 2813018
+  // d1, dog tf=1: den = 110 + 33 + 9*3*3 = 110+33+81 = 224
+  //   score = 145200000 div 224 = 648214
+  // d2: no terms -> filtered out.
+  test("bm25TopK: hand-computed integer-exact scores, rank, and filter") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "cat cat dog x"),
+      (1L, "dog y z"),
+      (2L, "x y z w")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("cat", "dog"), topK = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 4L, 2813018L), (1L, 3L, 648214L)))
+  }
+
+  test("bm25TopK: topK truncates after the deterministic sort") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "cat a"), (1L, "cat b"), (2L, "cat c")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("cat"), topK = 2).as[(Long, Long, Long)].collect().toSeq
+    // identical docs score identically; ties break by doc_id
+    assert(out.map(_._1) == Seq(0L, 1L))
+    assert(out.map(_._3).distinct.size == 1)
+  }
+
+  test("bm25TopK: case-insensitive matching, absent term contributes zero") {
+    import spark.implicits._
+    val df = Seq((7L, "CAT hat")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("cat", "zebra"), topK = 5).as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(7L))
+    // single doc: idf(cat) = ((2-2+1)*1000000) div 3 = 333333
+    // tf=1, L=2, N=1, dl=2: num = 22*1*2 = 44; den = 10*2*1+3*2+9*2*1 = 44
+    // score = (333333*44) div 44 = 333333
+    assert(out.head._3 == 333333L)
+  }
+
+  test("blocklistFilter: per-mille floor division and threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "bad bad ok ok ok ok ok ok ok ok"), // 2/10 -> 200 per mille
+      (1L, "bad " + Seq.fill(49)("ok").mkString(" ")), // 1/50 -> 20
+      (2L, "clean text only"), // 0
+      (3L, "")).toDF("doc_id", "text") // 0 tokens -> rate 0, kept
+    val out = TextAnalysis.blocklistFilter(df, col("doc_id"), col("text"),
+      Seq("bad", "evil"), maxPerMille = 20L)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      (0L, 10L, 2L, 200L, false),
+      (1L, 50L, 1L, 20L, true),
+      (2L, 3L, 0L, 0L, true),
+      (3L, 0L, 0L, 0L, true)))
+  }
+}
