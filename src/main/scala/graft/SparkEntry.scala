@@ -789,12 +789,37 @@ object SparkEntry {
     graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
       col("doc_id"), col("text"), Seq("hash", "join", "vector"), topK = 25)
 
-  /** Blocklist rate filter: blocked-token per-mille against a 4-term
+  /** Blocklist rate filter: blocked-token per-mille against a 3-term
     * list, threshold chosen so the corpus genuinely splits.
     */
   private def qBlocklist(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.blocklistFilter(t(s, dir, "documents"), col("doc_id"),
       col("text"), Seq("slow", "big", "bad"), maxPerMille = 40L)
+      .orderBy("doc_id")
+
+  /** Char-histogram (Rényi-2) quality profile via the native
+    * single-pass `char_hist_stats`. Corpus text is ASCII, so UTF-16
+    * code units == oracle-side characters.
+    */
+  private def qCharProfile(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.charProfile(t(s, dir, "documents"), col("doc_id"),
+      col("text"), maxSimpsonPerMille = 80L)
+      .orderBy("doc_id")
+
+  /** Z-order bucket profile over (l_partkey, l_suppkey): pins the
+    * native Morton expression bit-for-bit and shows the per-bucket
+    * bounding rectangles a z-ordered layout prunes by.
+    */
+  private def qZorderLayout(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Scale.zorderBucketStats(t(s, dir, "lineitem"),
+      col("l_partkey"), col("l_suppkey"))
+
+  /** DSIR importance weights with the English slice as the target
+    * domain, top-100 vocabulary.
+    */
+  private def qImportanceWeights(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.importanceWeights(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang") === "en", vocabSize = 100)
       .orderBy("doc_id")
 
   /** Overlapping composite multi-line docs (q79/q84 input): the raw
@@ -1862,6 +1887,9 @@ object SparkEntry {
     "q120_stream_heavy_hitters" -> qStreamHeavyHitters _,
     "q121_bm25" -> qBm25 _,
     "q122_blocklist" -> qBlocklist _,
+    "q123_char_profile" -> qCharProfile _,
+    "q124_zorder_layout" -> qZorderLayout _,
+    "q125_importance_weights" -> qImportanceWeights _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2756,6 +2784,63 @@ object SparkEntry {
           | (CASE WHEN n_tokens > 0 THEN (n_blocked * 1000) // n_tokens ELSE 0 END)::BIGINT AS blocked_per_mille,
           | (CASE WHEN n_tokens > 0 THEN (n_blocked * 1000) // n_tokens ELSE 0 END) <= 40 AS kept
           |FROM d ORDER BY doc_id""".stripMargin,
+
+      // per-char explode replicates the native single-pass histogram;
+      // ASCII corpus so DuckDB characters == Spark UTF-16 code units
+      "q123_char_profile" ->
+        """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+          | pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY doc_id, c),
+          | st AS (SELECT doc_id, sum(cnt)::BIGINT AS n_chars, count(*)::BIGINT AS distinct_chars,
+          |  max(cnt)::BIGINT AS max_char_count, sum(cnt*cnt)::BIGINT AS collision_mass
+          | FROM pc GROUP BY doc_id)
+          |SELECT doc_id, n_chars, distinct_chars, max_char_count, collision_mass,
+          | (CASE WHEN n_chars > 0 THEN (collision_mass * 1000) // (n_chars * n_chars) ELSE 0 END)::BIGINT AS simpson_per_mille,
+          | (CASE WHEN n_chars > 0 THEN (collision_mass * 1000) // (n_chars * n_chars) ELSE 0 END) < 80 AS kept
+          |FROM st ORDER BY doc_id""".stripMargin,
+
+      // add-one-smoothed target/source unigram ratio over the top-100
+      // vocabulary; HUGEINT intermediates cast back at the end
+      "q125_importance_weights" ->
+        """WITH toks AS (
+          | SELECT doc_id, (lang = 'en') AS is_t,
+          |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          | FROM documents),
+          | counts AS (SELECT token, count(*) AS src_c,
+          |  sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c FROM toks GROUP BY token),
+          | vocab AS (SELECT * FROM counts ORDER BY src_c DESC, token LIMIT 100),
+          | totals AS (SELECT sum(src_c) AS src_total, sum(tgt_c) AS tgt_total FROM vocab),
+          | ratio AS (SELECT token,
+          |  ((tgt_c + 1) * src_total * 10000) // ((src_c + 1) * tgt_total) AS r
+          | FROM vocab, totals),
+          | scored AS (SELECT t.doc_id, count(t.token) AS n_tokens,
+          |  sum(CASE WHEN r.r IS NOT NULL THEN 1 ELSE 0 END) AS n_in_vocab,
+          |  sum(coalesce(r.r, 0)) AS importance_sum
+          | FROM toks t LEFT JOIN ratio r USING (token) GROUP BY t.doc_id)
+          |SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_in_vocab::BIGINT AS n_in_vocab,
+          | importance_sum::BIGINT AS importance_sum,
+          | (CASE WHEN n_tokens > 0 THEN importance_sum // n_tokens ELSE 0 END)::BIGINT AS importance_mean
+          |FROM scored ORDER BY doc_id""".stripMargin,
+
+      // the magic-mask Morton spread, staged with unique names per
+      // step (DuckDB lateral aliases would otherwise shadow)
+      "q124_zorder_layout" ->
+        """WITH src AS (SELECT l_partkey AS px, l_suppkey AS py,
+          |  (l_partkey & 2147483647) AS x0, (l_suppkey & 2147483647) AS y0 FROM lineitem),
+          | a1 AS (SELECT px, py, ((x0 | (x0 << 16)) & 281470681808895) AS x1,
+          |  ((y0 | (y0 << 16)) & 281470681808895) AS y1 FROM src),
+          | a2 AS (SELECT px, py, ((x1 | (x1 << 8)) & 71777214294589695) AS x2,
+          |  ((y1 | (y1 << 8)) & 71777214294589695) AS y2 FROM a1),
+          | a3 AS (SELECT px, py, ((x2 | (x2 << 4)) & 1085102592571150095) AS x3,
+          |  ((y2 | (y2 << 4)) & 1085102592571150095) AS y3 FROM a2),
+          | a4 AS (SELECT px, py, ((x3 | (x3 << 2)) & 3689348814741910323) AS x4,
+          |  ((y3 | (y3 << 2)) & 3689348814741910323) AS y4 FROM a3),
+          | a5 AS (SELECT px, py, ((x4 | (x4 << 1)) & 6148914691236517205) AS x5,
+          |  ((y4 | (y4 << 1)) & 6148914691236517205) AS y5 FROM a4),
+          | zt AS (SELECT px, py, (x5 | (y5 << 1)) AS z FROM a5)
+          |SELECT z // 262144 AS bucket, count(*) AS n_rows,
+          | min(px)::BIGINT AS min_x, max(px)::BIGINT AS max_x,
+          | min(py)::BIGINT AS min_y, max(py)::BIGINT AS max_y
+          |FROM zt GROUP BY bucket ORDER BY bucket""".stripMargin,
 
       // the identical regex rewrite chain (same pattern spellings —
       // [\s\S]*? instead of DOTALL so Java regex and RE2 agree; block

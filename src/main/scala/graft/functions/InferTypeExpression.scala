@@ -158,6 +158,8 @@ object GraftExtensions {
     fn("rolling_hash64", classOf[RollingHash64], TextOps.rollingHash64Builder),
     fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
     fn("cdc_chunks", classOf[CdcChunks], TextOps.cdcChunksBuilder),
+    fn("char_hist_stats", classOf[CharHistStats], TextOps.charHistStatsBuilder),
+    fn("zorder2", classOf[ZOrder2], LayoutOps.zorder2Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder),
     fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder))
 

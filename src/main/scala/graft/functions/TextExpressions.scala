@@ -1,12 +1,13 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native text-fingerprint expressions. The declarative rolling hash
@@ -103,6 +104,50 @@ object TextRuntime {
     if (start < n) out += UTF8String.fromString(new String(cps, start, n - start))
     new GenericArrayData(out.toArray)
   }
+
+  /** Single-pass character-histogram statistics over UTF-16 code
+    * units: (n_chars, distinct_chars, max_char_count, collision_mass)
+    * with collision_mass = Σ_c n_c² — the integer numerator of the
+    * Simpson index n_c²/N², i.e. an exact Rényi-2 entropy surrogate.
+    * Low distinct count / high collision mass flags the low-entropy
+    * boilerplate and key-mashing a float Shannon-entropy filter
+    * catches, with every intermediate a 64-bit integer (no float logs,
+    * so the numbers are engine-exact). ASCII takes an array fast path;
+    * non-ASCII code units fall back to a small hash map.
+    */
+  def charHistStats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val ascii = new Array[Long](128)
+    var other: java.util.HashMap[Character, Long] = null
+    var i = 0
+    while (i < str.length) {
+      val ch = str.charAt(i)
+      if (ch < 128) ascii(ch) += 1L
+      else {
+        if (other == null) other = new java.util.HashMap[Character, Long]()
+        val prev = other.get(ch)
+        other.put(ch, if (prev == null) 1L else prev + 1L)
+      }
+      i += 1
+    }
+    var n = 0L; var distinct = 0L; var maxC = 0L; var coll = 0L
+    var c = 0
+    while (c < 128) {
+      val k = ascii(c)
+      if (k > 0) {
+        n += k; distinct += 1L; if (k > maxC) maxC = k; coll += k * k
+      }
+      c += 1
+    }
+    if (other != null) {
+      val it = other.values().iterator()
+      while (it.hasNext) {
+        val k: Long = it.next()
+        n += k; distinct += 1L; if (k > maxC) maxC = k; coll += k * k
+      }
+    }
+    new GenericInternalRow(Array[Any](n, distinct, maxC, coll))
+  }
 }
 
 /** rolling_hash64(text): order-sensitive content fingerprint. */
@@ -165,6 +210,32 @@ case class CdcChunks(child: Expression, w: Int, p: Long, m: Long, d: Long)
     copy(child = newChild)
 }
 
+/** char_hist_stats(text): struct<n_chars, distinct_chars,
+  * max_char_count, collision_mass> — one codegen'd histogram pass per
+  * document (see [[TextRuntime.charHistStats]]). The declarative
+  * equivalent (explode chars + groupBy(doc, char) + re-aggregate)
+  * would put one row PER CHARACTER on a shuffle; this keeps the whole
+  * profile map-only.
+  */
+case class CharHistStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("distinct_chars", LongType, nullable = false),
+    StructField("max_char_count", LongType, nullable = false),
+    StructField("collision_mass", LongType, nullable = false)))
+  override def prettyName: String = "char_hist_stats"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.charHistStats(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.charHistStats($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): CharHistStats =
+    copy(child = newChild)
+}
+
 object TextOps {
   def rollingHash64(s: Column): Column =
     ColumnBridge.column(RollingHash64(ColumnBridge.expression(s)))
@@ -174,6 +245,15 @@ object TextOps {
 
   def cdcChunks(text: Column, w: Int, p: Long, m: Long, d: Long): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), w, p, m, d))
+
+  def charHistStats(text: Column): Column =
+    ColumnBridge.column(CharHistStats(ColumnBridge.expression(text)))
+
+  private[functions] def charHistStatsBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 1)
+      throw new IllegalArgumentException(s"char_hist_stats expects 1 argument, got ${children.length}")
+    CharHistStats(children.head)
+  }
 
   private[functions] def rollingHash64Builder(children: Seq[Expression]): Expression = {
     if (children.length != 1)

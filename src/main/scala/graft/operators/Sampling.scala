@@ -143,6 +143,63 @@ object Sampling {
     df.where(bucket(key, denom) < threshold)
   }
 
+  /** DSIR-shaped importance weighting for data selection: score every
+    * document by how target-domain-like its token distribution is,
+    * using the ratio of target-sample to full-corpus unigram
+    * frequencies over a top-`vocabSize` vocabulary (hashed-ngram
+    * importance resampling à la DSIR, with the feature space the
+    * explicit top-V vocabulary so the model is inspectable). The
+    * per-token ratio is the add-one-smoothed integer estimate
+    * `((tgt_c+1) · src_total · scale) div ((src_c+1) · tgt_total)` —
+    * scale/1 ≈ p_target/p_source; a document's `importance_mean` is
+    * the floor-mean of its tokens' ratios (out-of-vocab tokens score
+    * 0). Every intermediate is 64-bit integer arithmetic: selection
+    * thresholds reproduce bit-for-bit across engines (the log-ratio a
+    * float DSIR sums is a monotone transform per token; the linear
+    * ratio keeps the same "looks in-domain" ordering signal without
+    * float logs).
+    *
+    * Scale shape (the oovRate pattern): token counting is one
+    * map-side-combined aggregate over DISTINCT tokens — corpus text
+    * never shuffles; the vocabulary (V rows) and its totals (1 row)
+    * broadcast back; scoring explodes doc tokens against the broadcast
+    * ratio table and partial-aggregates before the per-doc exchange,
+    * so only (doc_id, three longs) rides it. In production the ratio
+    * table is trained once on a reference target sample and reused —
+    * train-on-self keeps the contract self-contained.
+    */
+  def importanceWeights(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      vocabSize: Int,
+      scale: Long = 10000L): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive, got $vocabSize")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val toks = TextAnalysis.tokens(lower(text))
+    val counts = df
+      .select(isTarget.as("__iw_t"), explode(toks).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("src_c"),
+        sum(when(col("__iw_t"), 1L).otherwise(0L)).as("tgt_c"))
+    val vocab = counts.orderBy(col("src_c").desc, col("token")).limit(vocabSize)
+    // totals over the vocabulary (the model's support) — both sides of
+    // the ratio normalize over the same token set
+    val totals = vocab.agg(sum("src_c").as("src_total"), sum("tgt_c").as("tgt_total"))
+    val ratio = vocab.crossJoin(broadcast(totals))
+      .select(col("token"),
+        expr(s"((tgt_c + 1L) * src_total * ${scale}L) div ((src_c + 1L) * tgt_total)").as("r"))
+    df.select(id.cast("long").as("doc_id"), explode_outer(toks).as("token"))
+      .join(broadcast(ratio), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("token")).as("n_tokens"),
+        sum(when(col("r").isNotNull, 1L).otherwise(0L)).as("n_in_vocab"),
+        sum(coalesce(col("r"), lit(0L))).as("importance_sum"))
+      .withColumn("importance_mean",
+        when(col("n_tokens") > 0, expr("importance_sum div n_tokens")).otherwise(0L))
+  }
+
   /** Temperature-based stratum reweighting (multinomial alpha
     * sampling — the mC4 / XLM-R recipe for balancing a multilingual
     * mix): a stratum with empirical share p is sampled proportionally

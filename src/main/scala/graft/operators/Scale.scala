@@ -214,6 +214,62 @@ object Scale {
         max(key.cast("long")).as("max_key"))
   }
 
+  /** Z-order bucket profile: Morton-interleave two integer dimensions
+    * (native codegen'd `zorder2`), bucket by fixed z-width, and report
+    * each bucket's row count and (x, y) bounding rectangle. The
+    * rectangles are the operator's point: consecutive z-buckets cover
+    * SMALL rectangles in both dimensions at once, which is exactly the
+    * min/max zone-map pruning a z-ordered file layout buys on a 100 TB
+    * table (sort by one column and the other dimension's per-file
+    * ranges span everything; sort by z and both stay tight).
+    *
+    * Plan: one codegen'd map pass for z + one map-side-combined
+    * aggregate keyed on the bucket — no join, nothing but (bucket,
+    * 5 longs) on the exchange.
+    */
+  def zorderBucketStats(df: DataFrame, x: Column, y: Column,
+      bucketWidth: Long = 262144L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    val z = graft.functions.LayoutOps.zorder2(x.cast("long"), y.cast("long"))
+    df.select(x.cast("long").as("x"), y.cast("long").as("y"), z.as("z"))
+      .groupBy(expr(s"z div ${bucketWidth}L").as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_x"), max("x").as("max_x"),
+        min("y").as("min_y"), max("y").as("max_y"))
+      .orderBy("bucket")
+  }
+
+  /** Z-order clustered parquet export: deterministic range shards over
+    * the Morton code (value-histogram boundaries, not sampling — same
+    * determinism contract as [[writeRangeShardedParquet]]), rows
+    * z-sorted inside each shard, manifest of per-shard (x, y)
+    * rectangles computed from the WRITTEN files. The write itself is
+    * the operator: downstream scans prune shards by either dimension's
+    * min/max.
+    */
+  def writeZOrderClusteredParquet(df: DataFrame, x: Column, y: Column,
+      nShards: Int, path: String): DataFrame = {
+    val withZ = df
+      .withColumn("__x", x.cast("long")).withColumn("__y", y.cast("long"))
+      .withColumn("__z", graft.functions.LayoutOps.zorder2(col("__x"), col("__y")))
+    val bounds = rangeShardBoundaries(withZ, col("__z"), nShards)
+    // one exchange keyed on the shard id so each shard lands in ONE
+    // task: the sorted write then emits exactly one z-ordered file per
+    // shard (without this, every upstream task writes its own file
+    // into each shard dir and the shard's GLOBAL z-order is lost
+    // across files — locally sorted, globally interleaved)
+    withRangeShard(withZ, col("__z"), bounds)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "__z")
+      .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    df.sparkSession.read.parquet(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min("__x").as("min_x"), max("__x").as("max_x"),
+        min("__y").as("min_y"), max("__y").as("max_y"))
+      .orderBy("shard")
+  }
+
   /** The output column names of every shuffle exchange in the plan,
     * one Seq per exchange — what actually RIDES each shuffle. The
     * exchange's plan line prints only partitioning expressions, so
