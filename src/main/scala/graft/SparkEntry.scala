@@ -589,6 +589,16 @@ object SparkEntry {
       col("item"), k = 32, topM = 10)
       .orderBy(col("exact_count").desc, col("token"))
 
+  /** Count-Min certification over the same skewed item domain as
+    * q119: est never undercounts, and overcounts stay within the
+    * slacked n/w bound.
+    */
+  private def qCms(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.cmsCertify(
+      t(s, dir, "lineitem").select(hhSkewedItem.as("item")),
+      col("item"), d = 4, w = 1024, topM = 10)
+      .orderBy(col("exact_count").desc, col("token"))
+
   /** The synthesized skewed item domain shared by q119/q120. */
   private def hhSkewedItem: Column =
     when(col("l_orderkey") % 2 === 0,
@@ -821,6 +831,31 @@ object SparkEntry {
     graft.operators.Sampling.importanceWeights(t(s, dir, "documents"),
       col("doc_id"), col("text"), col("lang") === "en", vocabSize = 100)
       .orderBy("doc_id")
+
+  /** WARC archive roundtrip: write the corpus as a 4-file
+    * length-delimited crawl archive, re-READ the files, and certify
+    * per-shard counts, char sums, id ranges, and a content hash
+    * against the original table (q116's jsonl pattern for the crawl
+    * interchange format).
+    */
+  private def qWarcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_warc_export", digest).toString
+    graft.sink.WarcArchive.write(docs, col("doc_id"),
+      concat(lit("http://corpus.local/doc/"), col("doc_id")), col("text"),
+      out, nShards = 4).collect()
+    graft.sink.WarcArchive.read(s, s"$out/shard=*/part-*")
+      .groupBy(pmod(col("doc_id"), lit(4L)).as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000000007L)
+          .as("content_hash"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("shard")
+  }
 
   /** Overlapping composite multi-line docs (q79/q84 input): the raw
     * corpus is single-line, so these queries first build pseudo-docs —
@@ -1890,6 +1925,8 @@ object SparkEntry {
     "q123_char_profile" -> qCharProfile _,
     "q124_zorder_layout" -> qZorderLayout _,
     "q125_importance_weights" -> qImportanceWeights _,
+    "q126_warc_roundtrip" -> qWarcRoundtrip _,
+    "q127_cms" -> qCms _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2797,6 +2834,27 @@ object SparkEntry {
           | (CASE WHEN n_chars > 0 THEN (collision_mass * 1000) // (n_chars * n_chars) ELSE 0 END)::BIGINT AS simpson_per_mille,
           | (CASE WHEN n_chars > 0 THEN (collision_mass * 1000) // (n_chars * n_chars) ELSE 0 END) < 80 AS kept
           |FROM st ORDER BY doc_id""".stripMargin,
+
+      // q119's oracle shape for the Count-Min dual: exact counts, both
+      // guarantee booleans certified TRUE
+      "q127_cms" ->
+        """WITH it AS (
+          | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
+          |             ELSE 'p' || l_partkey END AS token
+          | FROM lineitem),
+          | g AS (SELECT token, count(*) AS exact_count FROM it GROUP BY token)
+          |SELECT token, exact_count::BIGINT AS exact_count,
+          | TRUE AS no_undercount, TRUE AS within_bound
+          |FROM g ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
+
+      // the WARC files on disk must reproduce the parquet originals
+      // per shard: counts, char sums, id ranges, mod-reduced md5 sum
+      "q126_warc_roundtrip" ->
+        """SELECT doc_id % 4 AS shard, count(*)::BIGINT AS n_docs,
+          | sum(length(text))::BIGINT AS sum_chars,
+          | sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007)::BIGINT AS content_hash,
+          | min(doc_id)::BIGINT AS min_id, max(doc_id)::BIGINT AS max_id
+          |FROM documents GROUP BY shard ORDER BY shard""".stripMargin,
 
       // add-one-smoothed target/source unigram ratio over the top-100
       // vocabulary; HUGEINT intermediates cast back at the end

@@ -161,7 +161,9 @@ object GraftExtensions {
     fn("char_hist_stats", classOf[CharHistStats], TextOps.charHistStatsBuilder),
     fn("zorder2", classOf[ZOrder2], LayoutOps.zorder2Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder),
-    fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder))
+    fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder),
+    fn("cms_sketch", classOf[CmsSketch], Sketch.cmsSketchBuilder),
+    fn("cms_query", classOf[CmsQuery], Sketch.cmsQueryBuilder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

@@ -4,6 +4,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, Da
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -169,11 +170,185 @@ case class HeavyHitters(
   override def prettyName: String = "heavy_hitters"
 }
 
+/** Count-Min sketch state: a d×w counter matrix (row-major) plus the
+  * processed-item count.
+  */
+final class CmsState(val counts: Array[Long], var n: Long)
+
+/** Shared hash/query runtime — the aggregate (build) and the scalar
+  * expression (point query) must hash identically.
+  */
+object SketchRuntime {
+  /** FNV-1a 64 over the item's UTF-8 bytes with golden-ratio seed
+    * mixing and a finalizing xor-shift, reduced to [0, w). Any
+    * deterministic family works (the certification oracle compares
+    * against EXACT counts, not against another engine's hashes); FNV
+    * keeps it dependency-free and byte-stable.
+    */
+  def cmsBucket(seed: Int, item: UTF8String, w: Int): Int = {
+    val bytes = item.getBytes
+    var h = 0xcbf29ce484222325L ^ (seed.toLong * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L
+      i += 1
+    }
+    h ^= h >>> 33
+    java.lang.Math.floorMod(h, w.toLong).toInt
+  }
+
+  /** Point query: min over the d rows' cells — never undercounts. */
+  def cmsQuery(sketch: InternalRow, item: UTF8String, d: Int, w: Int): Long = {
+    val counts = sketch.getArray(1)
+    var est = Long.MaxValue
+    var i = 0
+    while (i < d) {
+      val v = counts.getLong(i * w + cmsBucket(i, item, w))
+      if (v < est) est = v
+      i += 1
+    }
+    est
+  }
+}
+
+/** cms_sketch(item, d, w): Count-Min sketch as a native Catalyst
+  * aggregate — the mergeable frequency summary for domains too large
+  * to groupBy, complementing [[HeavyHitters]]: Misra–Gries never
+  * OVERcounts and keeps only k items; Count-Min never UNDERcounts and
+  * answers point queries for EVERY item (d·w longs of state,
+  * independent of the domain). Merge is elementwise addition — exactly
+  * mergeable with no bound degradation, so partials combine map-side
+  * like any aggregate and the final merge moves d·w longs per task,
+  * never the corpus.
+  *
+  * Guarantees: est(x) >= true(x) always (each cell only ever adds);
+  * est(x) <= true(x) + ~n/w per row with high probability in d (the
+  * certified slack in [[graft.operators.Profiling.cmsCertify]] is a
+  * deliberate 16·n/w so the bound assertion is deterministic-in-
+  * practice for any fixture while staying 60× tighter than n).
+  *
+  * eval returns struct<n: long, counts: array<long>> (row-major d×w)
+  * — point queries go through `cms_query` which re-derives the same
+  * hashes. NULL items are ignored.
+  */
+case class CmsSketch(
+    child: Expression,
+    d: Int,
+    w: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[CmsState] with ExpectsInputTypes {
+
+  require(d >= 1 && d <= 16, s"cms_sketch depth must be in [1,16], got $d")
+  require(w >= 2, s"cms_sketch width must be >= 2, got $w")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsSketch =
+    copy(child = newChildren.head)
+
+  override def inputTypes = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = StructType(Seq(
+    StructField("n", LongType, nullable = false),
+    StructField("counts", ArrayType(LongType, containsNull = false), nullable = false)))
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsSketch =
+    copy(inputAggBufferOffset = newOffset)
+
+  override def createAggregationBuffer(): CmsState =
+    new CmsState(new Array[Long](d * w), 0L)
+
+  override def update(state: CmsState, input: InternalRow): CmsState = {
+    val v = child.eval(input)
+    if (v == null) return state
+    val item = v.asInstanceOf[UTF8String]
+    state.n += 1
+    var i = 0
+    while (i < d) {
+      state.counts(i * w + SketchRuntime.cmsBucket(i, item, w)) += 1L
+      i += 1
+    }
+    state
+  }
+
+  override def merge(a: CmsState, b: CmsState): CmsState = {
+    var i = 0
+    while (i < a.counts.length) { a.counts(i) += b.counts(i); i += 1 }
+    a.n += b.n
+    a
+  }
+
+  override def eval(state: CmsState): Any =
+    InternalRow(state.n, new GenericArrayData(state.counts.clone()))
+
+  override def serialize(state: CmsState): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(8 + 8 * state.counts.length)
+    val out = new DataOutputStream(bos)
+    out.writeLong(state.n)
+    var i = 0
+    while (i < state.counts.length) { out.writeLong(state.counts(i)); i += 1 }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): CmsState = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val n = in.readLong()
+    val counts = new Array[Long](d * w)
+    var i = 0
+    while (i < counts.length) { counts(i) = in.readLong(); i += 1 }
+    new CmsState(counts, n)
+  }
+
+  override def prettyName: String = "cms_sketch"
+}
+
+/** cms_query(sketch, item): point-frequency estimate from a
+  * `cms_sketch` struct — min over the d hashed cells. d and w ride on
+  * the expression (they parameterize the hash family and layout, and
+  * must match the sketch that was built).
+  */
+case class CmsQuery(left: Expression, right: Expression, d: Int, w: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (StructType(Array(StructField("n", LongType, _, _),
+      StructField("counts", ArrayType(LongType, _), _, _))), StringType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"cms_query requires (struct<n,counts>, string), got ${l.sql} and ${r.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_query"
+  override protected def nullSafeEval(sk: Any, item: Any): Any =
+    SketchRuntime.cmsQuery(sk.asInstanceOf[InternalRow], item.asInstanceOf[UTF8String], d, w)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val rt = SketchRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, (s, it) => s"$rt.cmsQuery($s, $it, $d, $w)")
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CmsQuery =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column API + SQL builder for the sketch aggregates. */
 object Sketch {
   def heavyHitters(item: Column, k: Int): Column =
     ColumnBridge.column(HeavyHitters(ColumnBridge.expression(item), k)
       .toAggregateExpression())
+
+  def cmsSketch(item: Column, d: Int, w: Int): Column =
+    ColumnBridge.column(CmsSketch(ColumnBridge.expression(item), d, w)
+      .toAggregateExpression())
+
+  def cmsQuery(sketch: Column, item: Column, d: Int, w: Int): Column =
+    ColumnBridge.column(CmsQuery(
+      ColumnBridge.expression(sketch), ColumnBridge.expression(item), d, w))
 
   private[functions] def heavyHittersBuilder(children: Seq[Expression]): Expression = {
     if (children.length != 2)
@@ -188,5 +363,31 @@ object Sketch {
         s"heavy_hitters k must be an integer literal, got ${if (other == null) "NULL" else other}")
     }
     HeavyHitters(children.head, k)
+  }
+
+  private def intLit(e: Expression, what: String): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a literal")
+    e.eval() match {
+      case n: Number => n.intValue()
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer literal, got ${if (other == null) "NULL" else other}")
+    }
+  }
+
+  private[functions] def cmsSketchBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 3)
+      throw new IllegalArgumentException(
+        s"cms_sketch expects 3 arguments, got ${children.length}")
+    CmsSketch(children.head, intLit(children(1), "cms_sketch d"),
+      intLit(children(2), "cms_sketch w"))
+  }
+
+  private[functions] def cmsQueryBuilder(children: Seq[Expression]): Expression = {
+    if (children.length != 4)
+      throw new IllegalArgumentException(
+        s"cms_query expects 4 arguments, got ${children.length}")
+    CmsQuery(children.head, children(1), intLit(children(2), "cms_query d"),
+      intLit(children(3), "cms_query w"))
   }
 }

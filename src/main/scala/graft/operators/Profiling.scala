@@ -206,4 +206,34 @@ object Profiling {
           (col("exact_count") - col("m").getField("est")) * (k + 1) <= col("n"))
           .as("within_bound"))
   }
+
+  /** Count-Min sketch certification — the dual of
+    * [[heavyHittersCertify]]: build a d×w `cms_sketch` over the item
+    * stream, point-query the top-M exact items, and certify the two
+    * CMS guarantees per item: `no_undercount` (est ≥ exact — holds
+    * ALWAYS, cells only add) and `within_bound` (est ≤ exact +
+    * slack·n/w — the probabilistic overcount bound with a deliberate
+    * 16× slack so the assertion is deterministic-in-practice on any
+    * fixture while staying far tighter than the trivial n).
+    *
+    * Scale shape: the sketch is ONE aggregate whose partials are d·w
+    * longs per task regardless of domain size — map-side combined,
+    * elementwise-add merge, corpus never shuffles; the exact top-M
+    * side exists only to certify (a production profile queries the
+    * sketch directly).
+    */
+  def cmsCertify(df: DataFrame, item: Column, d: Int, w: Int, topM: Int,
+      slack: Long = 16L): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
+    val items = df.select(item.as("it")).where(col("it").isNotNull)
+    val sketch = items.agg(graft.functions.Sketch.cmsSketch(col("it"), d, w).as("cms"))
+    val top = items.groupBy("it").agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("it")).limit(topM)
+    top.crossJoin(sketch) // 1-row sketch side
+      .withColumn("est", graft.functions.Sketch.cmsQuery(col("cms"), col("it"), d, w))
+      .select(col("it").as("token"), col("exact_count"),
+        (col("est") >= col("exact_count")).as("no_undercount"),
+        ((col("est") - col("exact_count")) * w <= lit(slack) * col("cms.n"))
+          .as("within_bound"))
+  }
 }

@@ -69,4 +69,64 @@ class SketchExpressionsSpec extends SparkTestBase {
     assert(out.size == 5)
     assert(out.forall(r => r._1.startsWith("h") && r._2 == 400L && r._3 && r._4), out.toString)
   }
+
+  test("cms_sketch: estimates never undercount; exact when w >> domain") {
+    import spark.implicits._
+    val items = (0 until 600).map(i => s"w${i % 6}")
+    for (parts <- Seq(1, 4)) {
+      // wide sketch, tiny domain: collisions possible but est >= 100 always
+      val df = items.toDF("it").repartition(parts)
+      val sk = df.agg(Sketch.cmsSketch(col("it"), 4, 2048).as("cms"))
+      val ests = df.distinct().crossJoin(sk)
+        .select(col("it"), Sketch.cmsQuery(col("cms"), col("it"), 4, 2048))
+        .as[(String, Long)].collect().toMap
+      assert(ests.size == 6)
+      assert(ests.values.forall(_ >= 100L), s"parts=$parts: $ests")
+      // 6 distinct items in 2048 cells over 4 rows: min est is exact
+      assert(ests.values.forall(_ == 100L), s"parts=$parts: $ests")
+    }
+  }
+
+  test("cms_sketch: merge across partitions equals single-partition build") {
+    import spark.implicits._
+    val items = (0L until 3000L).map(i => s"k${i % 37}")
+    def build(parts: Int): (Long, Seq[Long]) = {
+      val r = items.toDF("it").repartition(parts)
+        .agg(Sketch.cmsSketch(col("it"), 3, 64).as("cms"))
+        .select(col("cms.n"), col("cms.counts")).as[(Long, Seq[Long])].head()
+      r
+    }
+    // elementwise-add merge is order-independent: identical matrices
+    assert(build(1) == build(8))
+  }
+
+  test("cms SQL registration and literal-parameter enforcement") {
+    import spark.implicits._
+    Seq("a", "a", "b").toDF("it").createOrReplaceTempView("cms_in")
+    val viaSql = spark.sql(
+      """SELECT cms_query(s, 'a', 2, 32) AS ea, cms_query(s, 'b', 2, 32) AS eb,
+        |       cms_query(s, 'zzz', 2, 32) AS ez
+        |FROM (SELECT cms_sketch(it, 2, 32) AS s FROM cms_in)""".stripMargin)
+      .as[(Long, Long, Long)].head()
+    assert(viaSql._1 >= 2L && viaSql._2 >= 1L)
+    // an item never inserted can still collide, but with 3 inserts in
+    // 32 cells the min over 2 rows is 0 unless both rows collide
+    assert(viaSql._3 <= 3L)
+    val err = intercept[Exception](
+      spark.sql("SELECT cms_sketch(it, it, 32) FROM cms_in").collect())
+    assert(err.getMessage.contains("literal") || err.getMessage.contains("LITERAL"),
+      err.getMessage)
+  }
+
+  test("cmsCertify: both guarantees certified on the skewed domain") {
+    import spark.implicits._
+    val rows = (0L until 4000L).map { i =>
+      if (i % 2 == 0) s"h${(i / 2) % 5}" else s"c${i % 997}"
+    }.toDF("item")
+    val out = graft.operators.Profiling
+      .cmsCertify(rows, col("item"), d = 4, w = 1024, topM = 5)
+      .as[(String, Long, Boolean, Boolean)].collect().toSeq
+    assert(out.size == 5)
+    assert(out.forall(r => r._1.startsWith("h") && r._2 == 400L && r._3 && r._4), out.toString)
+  }
 }
