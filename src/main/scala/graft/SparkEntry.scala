@@ -599,6 +599,40 @@ object SparkEntry {
       col("item"), d = 4, w = 1024, topM = 10)
       .orderBy(col("exact_count").desc, col("token"))
 
+  /** Aho–Corasick phrase filter: multi-word substring lexicon, every
+    * overlapping occurrence counted in one scan.
+    */
+  private def qMultiPattern(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.multiPatternFilter(t(s, dir, "documents"), col("doc_id"),
+      col("text"), Seq("slow", "fast table", "big query", "merge batch"),
+      maxMatches = 1L)
+      .orderBy("doc_id")
+
+  /** q127's certification driven through STRUCTURED STREAMING — the
+    * q120 pattern for the Count-Min dual: the lineitem file stream
+    * feeds `cms_sketch` in complete mode (every micro-batch
+    * round-trips the d×w counter matrix through the state store's
+    * serialize/deserialize), drained with AvailableNow; elementwise-
+    * add merging makes the drained sketch EXACTLY equal to a batch
+    * build, so it certifies against q127's oracle verbatim.
+    */
+  private def qStreamCms(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "lineitem"))
+      .select(hhSkewedItem.as("it"))
+    val agg = stream.agg(graft.functions.Sketch.cmsSketch(col("it"), 4, 1024).as("cms"))
+    val q = agg.writeStream.format("memory").queryName("graft_stream_cms")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val items = s.read.parquet(s"$dir/lineitem.parquet").select(hhSkewedItem.as("it"))
+    graft.operators.Profiling.cmsCertifyAgainst(
+      s.table("graft_stream_cms"), items, d = 4, w = 1024, topM = 10)
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
   /** The synthesized skewed item domain shared by q119/q120. */
   private def hhSkewedItem: Column =
     when(col("l_orderkey") % 2 === 0,
@@ -1927,6 +1961,8 @@ object SparkEntry {
     "q125_importance_weights" -> qImportanceWeights _,
     "q126_warc_roundtrip" -> qWarcRoundtrip _,
     "q127_cms" -> qCms _,
+    "q128_stream_cms" -> qStreamCms _,
+    "q129_multipattern" -> qMultiPattern _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2838,6 +2874,32 @@ object SparkEntry {
       // q119's oracle shape for the Count-Min dual: exact counts, both
       // guarantee booleans certified TRUE
       "q127_cms" ->
+        """WITH it AS (
+          | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
+          |             ELSE 'p' || l_partkey END AS token
+          | FROM lineitem),
+          | g AS (SELECT token, count(*) AS exact_count FROM it GROUP BY token)
+          |SELECT token, exact_count::BIGINT AS exact_count,
+          | TRUE AS no_undercount, TRUE AS within_bound
+          |FROM g ORDER BY exact_count DESC, token LIMIT 10""".stripMargin,
+
+      // brute-force position scan replicates the Aho-Corasick count:
+      // every start position of every pattern, overlaps included
+      // (list_filter over range, not unnest — DuckDB's binder rejects
+      // an unnest alias referenced in a downstream WHERE)
+      "q129_multipattern" ->
+        """WITH pats AS (SELECT * FROM (VALUES ('slow'), ('fast table'), ('big query'), ('merge batch')) p(pat)),
+          | m AS (SELECT doc_id,
+          |  sum(len(list_filter(range(1, length(text) - length(pat) + 2),
+          |      i -> substr(text, i::INTEGER, length(pat)) = pat))) AS n_matches
+          | FROM documents, pats GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(m.n_matches, 0)::BIGINT AS n_matches,
+          | coalesce(m.n_matches, 0) <= 1 AS kept
+          |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+      // q127's oracle verbatim: the drained streaming CMS (elementwise
+      // merge through the state store) must certify identically
+      "q128_stream_cms" ->
         """WITH it AS (
           | SELECT CASE WHEN l_orderkey % 2 = 0 THEN 'h' || ((l_orderkey // 2) % 10)
           |             ELSE 'p' || l_partkey END AS token

@@ -328,6 +328,39 @@ object ScaleSmoke {
         .where(col("in_sketch") && col("within_bound")).count())
     require(hh == 10L, s"heavy-hitter certification failed at volume: $hh of 10")
 
+    // round-9 batch 2 at volume: retrieval, map-only profiling,
+    // layout, selection, the CMS sketch, and archive interchange —
+    // every stage is a pure scan, a skinny aggregate, or file IO, so
+    // all are expected linear in nDocs
+    val bm = time("bm25TopK (3 terms, zero-explode)")(
+      graft.operators.Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("w1", "w42", "w4999"), topK = 25).count())
+    require(bm == 25L, s"bm25 top-k short: $bm of 25")
+    val blk = time("blocklistFilter + charProfile (map-only scans)")(
+      TextAnalysis.blocklistFilter(docs, col("doc_id"), col("text"),
+        Seq("w7", "w13", "w99")).where(col("kept")).count() +
+        TextAnalysis.charProfile(docs, col("doc_id"), col("text"))
+          .where(col("kept")).count())
+    val zo = time("zorderBucketStats (100k x 100k domain)")(
+      graft.operators.Scale.zorderBucketStats(
+        spark.range(nDocs).select(
+          pmod(xxhash64(col("id")), lit(100000L)).as("x"),
+          pmod(xxhash64(col("id") + 1), lit(100000L)).as("y")),
+        col("x"), col("y"), bucketWidth = 1L << 26).count())
+    val iw = time("importanceWeights (V=2000, 1-in-5 target)")(
+      graft.operators.Sampling.importanceWeights(docs, col("doc_id"),
+        col("text"), col("doc_id") % 5 === 0, vocabSize = 2000).count())
+    val cms = time("cmsCertify (d=4, w=8192, domain ~ nDocs/2)")(
+      graft.operators.Profiling.cmsCertify(hhItems, col("it"),
+        d = 4, w = 8192, topM = 10)
+        .where(col("no_undercount") && col("within_bound")).count())
+    require(cms == 10L, s"CMS certification failed at volume: $cms of 10")
+    val warcDir = java.nio.file.Files.createTempDirectory("graft_warc_scale").toString
+    val wa = time(s"warc write+read roundtrip (${nDocs / 4} docs, 8 shards)")(
+      graft.sink.WarcArchive.write(docs.where(col("doc_id") % 4 === 0),
+        col("doc_id"), concat(lit("http://x/"), col("doc_id")), col("text"),
+        warcDir, nShards = 8).agg(sum("n_records")).head().getLong(0))
+
     // distributed connected-components path: 2M near-dup pairs forming
     // ~700k 3-node chains — above the 1M driver-union-find threshold,
     // so this exercises the iterative min-label propagation loop
@@ -344,6 +377,8 @@ object ScaleSmoke {
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
       s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
       s"videoPairs=$vn cdcDupChunks=$cd hhCertified=$hh " +
+      s"bm25Top=$bm blockCharKept=$blk zorderBuckets=$zo iwDocs=$iw " +
+      s"cmsCertified=$cms warcDocs=$wa " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

@@ -224,9 +224,19 @@ object Profiling {
     */
   def cmsCertify(df: DataFrame, item: Column, d: Int, w: Int, topM: Int,
       slack: Long = 16L): DataFrame = {
-    require(topM >= 1, s"topM must be >= 1, got $topM")
     val items = df.select(item.as("it")).where(col("it").isNotNull)
     val sketch = items.agg(graft.functions.Sketch.cmsSketch(col("it"), d, w).as("cms"))
+    cmsCertifyAgainst(sketch, items, d, w, topM, slack)
+  }
+
+  /** Certify an externally-produced CMS row (column `cms`
+    * struct<n,counts> — e.g. a DRAINED streaming aggregation) against
+    * exact counts of `items` (column `it`) — the
+    * [[heavyHittersCertifyAgainst]] split for the Count-Min dual.
+    */
+  def cmsCertifyAgainst(sketch: DataFrame, items: DataFrame,
+      d: Int, w: Int, topM: Int, slack: Long = 16L): DataFrame = {
+    require(topM >= 1, s"topM must be >= 1, got $topM")
     val top = items.groupBy("it").agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("it")).limit(topM)
     top.crossJoin(sketch) // 1-row sketch side

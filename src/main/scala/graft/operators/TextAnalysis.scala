@@ -139,6 +139,24 @@ object TextAnalysis {
       .withColumn("kept", col("blocked_per_mille") <= maxPerMille)
   }
 
+  /** Large-lexicon phrase filtering via one Aho–Corasick scan — the
+    * scale path [[blocklistFilter]]'s docs promise: patterns are
+    * SUBSTRINGS (multi-word phrases, no tokenizer dependency), every
+    * occurrence of every pattern (overlapping included) is counted in
+    * a single O(len) pass per document regardless of lexicon size.
+    * Map-only, zero exchanges; the automaton builds once per executor
+    * from the expression's pattern list (broadcast-scale model).
+    */
+  def multiPatternFilter(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      patterns: Seq[String],
+      maxMatches: Long = 0L): DataFrame =
+    df.select(id.cast("long").as("doc_id"),
+        graft.functions.MultiPattern.count(text, patterns).as("n_matches"))
+      .withColumn("kept", col("n_matches") <= maxMatches)
+
   /** Character-histogram quality profile — the integer-exact stand-in
     * for a Shannon-entropy filter: per document, the UTF-16 code-unit
     * histogram's size, distinct count, mode count, and collision mass

@@ -267,4 +267,58 @@ class PlanSpec extends SparkTestBase {
     assert(Scale.countShuffles(out) == 1,
       out.queryExecution.executedPlan.toString)
   }
+
+  test("bm25TopK: corpus never explodes or shuffles; one stats exchange, broadcast back") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+      Seq("hash", "join"), topK = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan) // no explode anywhere
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the single exchange is the 1-row stats aggregate; the top-K is a
+    // TakeOrdered, not a global sort
+    assert(Scale.countShuffles(out) == 1, plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(Scale.shuffleOutputColumns(out)
+      .forall(cols => !cols.exists(_.contains("text"))),
+      "document text must never ride the stats exchange")
+  }
+
+  test("blocklistFilter and charProfile are map-only: zero exchanges, codegen'd") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val bl = TextAnalysis.blocklistFilter(docs, col("doc_id"), col("text"),
+      Seq("slow", "bad"))
+    assert(Scale.countShuffles(bl) == 0, bl.queryExecution.executedPlan.toString)
+    val cp = TextAnalysis.charProfile(docs, col("doc_id"), col("text"))
+    assert(Scale.countShuffles(cp) == 0, cp.queryExecution.executedPlan.toString)
+    // the native char_hist_stats expression stays inside whole-stage
+    // codegen — the "*(n)" prefix is the codegen marker
+    assert(cp.queryExecution.executedPlan.toString.startsWith("*("),
+      cp.queryExecution.executedPlan.toString)
+  }
+
+  test("zorderBucketStats: one map-side-combined aggregate, z computed in the scan stage") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val out = Scale.zorderBucketStats(li, col("l_partkey"), col("l_suppkey"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the bucket aggregate plus the contract's output ordering — the
+    // aggregate partial-combines, so the first exchange carries one
+    // row per bucket, not per input row
+    assert(Scale.countShuffles(out) == 2, plan)
+    assert(plan.contains("partial_count"), plan)
+    // only (bucket, count, 4 bounds) ride the exchanges — skinny rows
+    assert(Scale.shuffleOutputColumns(out).forall(_.size <= 12), plan)
+  }
+
+  test("importanceWeights: ratio table broadcasts; text never rides an exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.importanceWeights(docs, col("doc_id"), col("text"),
+      col("lang") === "en", vocabSize = 10)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    assert(Scale.shuffleOutputColumns(out)
+      .forall(cols => !cols.exists(_.contains("text"))),
+      "document text must never ride an importance exchange")
+  }
 }
