@@ -608,6 +608,24 @@ object SparkEntry {
       maxMatches = 1L)
       .orderBy("doc_id")
 
+  /** Batch-perceptron training: 3 order-independent integer rounds on
+    * the English-vs-rest labels, 64 hashed feature buckets.
+    */
+  private def qPerceptronTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainBatchPerceptron(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang") === "en",
+      buckets = 64, iters = 3)
+      .orderBy("bucket")
+
+  /** Train-then-filter end-to-end: the q130 model applied through the
+    * q87 inference plan.
+    */
+  private def qPerceptronFilter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainAndFilter(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang") === "en",
+      buckets = 64, iters = 3)
+      .orderBy("doc_id")
+
   /** q127's certification driven through STRUCTURED STREAMING — the
     * q120 pattern for the Count-Min dual: the lineitem file stream
     * feeds `cms_sketch` in complete mode (every micro-batch
@@ -1963,6 +1981,8 @@ object SparkEntry {
     "q127_cms" -> qCms _,
     "q128_stream_cms" -> qStreamCms _,
     "q129_multipattern" -> qMultiPattern _,
+    "q130_perceptron_train" -> qPerceptronTrain _,
+    "q131_perceptron_filter" -> qPerceptronFilter _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2896,6 +2916,63 @@ object SparkEntry {
           |SELECT d.doc_id, coalesce(m.n_matches, 0)::BIGINT AS n_matches,
           | coalesce(m.n_matches, 0) <= 1 AS kept
           |FROM documents d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+      // batch perceptron unrolled: w=0 makes round 1 update on every
+      // doc; each later round scores with the previous weights and
+      // adds sum(y*c) over misclassified docs — all integer sums, so
+      // the FULL JOIN accumulation reproduces Spark's array updates
+      "q130_perceptron_train" ->
+        """WITH toks AS (SELECT doc_id, (lang = 'en') AS pos,
+          |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          |  FROM documents),
+          | feats AS (SELECT doc_id, CASE WHEN pos THEN 1 ELSE -1 END AS y,
+          |   (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64) AS b, count(*) AS c
+          |  FROM toks GROUP BY 1, 2, 3),
+          | w1 AS (SELECT b, sum(y * c) AS w FROM feats GROUP BY b),
+          | m2 AS (SELECT f.doc_id, f.y, sum(f.c * coalesce(w1.w, 0)) AS margin
+          |        FROM feats f LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+          | g2 AS (SELECT f.b, sum(f.y * f.c) AS g FROM feats f
+          |        JOIN m2 ON f.doc_id = m2.doc_id WHERE m2.y * m2.margin <= 0 GROUP BY 1),
+          | w2 AS (SELECT coalesce(w1.b, g2.b) AS b, coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+          |        FROM w1 FULL JOIN g2 ON w1.b = g2.b),
+          | m3 AS (SELECT f.doc_id, f.y, sum(f.c * coalesce(w2.w, 0)) AS margin
+          |        FROM feats f LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+          | g3 AS (SELECT f.b, sum(f.y * f.c) AS g FROM feats f
+          |        JOIN m3 ON f.doc_id = m3.doc_id WHERE m3.y * m3.margin <= 0 GROUP BY 1),
+          | w3 AS (SELECT coalesce(w2.b, g3.b) AS b, coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+          |        FROM w2 FULL JOIN g3 ON w2.b = g3.b)
+          |SELECT r.range::BIGINT AS bucket, coalesce(w3.w, 0)::BIGINT AS weight
+          |FROM range(0, 64) r LEFT JOIN w3 ON r.range = w3.b ORDER BY bucket""".stripMargin,
+
+      // q130's weights applied through q87's scoring form
+      "q131_perceptron_filter" ->
+        """WITH toks AS (SELECT doc_id, (lang = 'en') AS pos,
+          |   unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          |  FROM documents),
+          | feats AS (SELECT doc_id, CASE WHEN pos THEN 1 ELSE -1 END AS y,
+          |   (CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % 64) AS b, count(*) AS c
+          |  FROM toks GROUP BY 1, 2, 3),
+          | w1 AS (SELECT b, sum(y * c) AS w FROM feats GROUP BY b),
+          | m2 AS (SELECT f.doc_id, f.y, sum(f.c * coalesce(w1.w, 0)) AS margin
+          |        FROM feats f LEFT JOIN w1 USING (b) GROUP BY 1, 2),
+          | g2 AS (SELECT f.b, sum(f.y * f.c) AS g FROM feats f
+          |        JOIN m2 ON f.doc_id = m2.doc_id WHERE m2.y * m2.margin <= 0 GROUP BY 1),
+          | w2 AS (SELECT coalesce(w1.b, g2.b) AS b, coalesce(w1.w, 0) + coalesce(g2.g, 0) AS w
+          |        FROM w1 FULL JOIN g2 ON w1.b = g2.b),
+          | m3 AS (SELECT f.doc_id, f.y, sum(f.c * coalesce(w2.w, 0)) AS margin
+          |        FROM feats f LEFT JOIN w2 USING (b) GROUP BY 1, 2),
+          | g3 AS (SELECT f.b, sum(f.y * f.c) AS g FROM feats f
+          |        JOIN m3 ON f.doc_id = m3.doc_id WHERE m3.y * m3.margin <= 0 GROUP BY 1),
+          | w3 AS (SELECT coalesce(w2.b, g3.b) AS b, coalesce(w2.w, 0) + coalesce(g3.g, 0) AS w
+          |        FROM w2 FULL JOIN g3 ON w2.b = g3.b),
+          | ntok AS (SELECT doc_id, len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+          |          FROM documents),
+          | sc AS (SELECT f.doc_id, sum(f.c * coalesce(w3.w, 0)) AS score
+          |        FROM feats f LEFT JOIN w3 USING (b) GROUP BY 1)
+          |SELECT d.doc_id, ntok.n_tokens::BIGINT AS n_tokens,
+          | coalesce(sc.score, 0)::BIGINT AS score, coalesce(sc.score, 0) > 0 AS kept
+          |FROM documents d JOIN ntok USING (doc_id) LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       // q127's oracle verbatim: the drained streaming CMS (elementwise
       // merge through the state store) must certify identically

@@ -355,6 +355,13 @@ object ScaleSmoke {
         d = 4, w = 8192, topM = 10)
         .where(col("no_undercount") && col("within_bound")).count())
     require(cms == 10L, s"CMS certification failed at volume: $cms of 10")
+    val mp = time("multiPatternFilter (6-phrase Aho-Corasick scan)")(
+      TextAnalysis.multiPatternFilter(docs, col("doc_id"), col("text"),
+        Seq("w1 w2", "w42", "w999 w1000", "w123", "w7 w8 w9", "w4999"),
+        maxMatches = 0L).where(col("kept")).count())
+    val tr = time("trainBatchPerceptron (B=256, 3 rounds)")(
+      graft.operators.Training.trainBatchPerceptron(docs, col("doc_id"),
+        col("text"), col("doc_id") % 2 === 0, buckets = 256, iters = 3).count())
     val warcDir = java.nio.file.Files.createTempDirectory("graft_warc_scale").toString
     val wa = time(s"warc write+read roundtrip (${nDocs / 4} docs, 8 shards)")(
       graft.sink.WarcArchive.write(docs.where(col("doc_id") % 4 === 0),
@@ -378,7 +385,7 @@ object ScaleSmoke {
       s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
       s"videoPairs=$vn cdcDupChunks=$cd hhCertified=$hh " +
       s"bm25Top=$bm blockCharKept=$blk zorderBuckets=$zo iwDocs=$iw " +
-      s"cmsCertified=$cms warcDocs=$wa " +
+      s"cmsCertified=$cms warcDocs=$wa mpKept=$mp perceptronBuckets=$tr " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

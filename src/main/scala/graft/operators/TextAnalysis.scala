@@ -95,10 +95,11 @@ object TextAnalysis {
       id: Column,
       text: Column,
       threshold: Long = 0L,
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 1024,
+      weightOf: Column => Column = defaultWeight): DataFrame =
     df.select(id.as("doc_id"),
         tokenCount(text).cast("long").as("n_tokens"),
-        hashedLinearScore(text, buckets).as("score"))
+        hashedLinearScore(text, buckets, weightOf).as("score"))
       .withColumn("kept", col("score") > threshold)
 
   /** Blocklist (bad-words) filtering — the standard crawl-corpus

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed model TRAINING for the quality-classifier loop — the
+  * missing half of [[TextAnalysis.classifierFilter]] (inference): a
+  * pipeline that trains its own filter inside the engine needs the
+  * training step to be as deterministic as everything else.
+  *
+  * The model is the batch (a.k.a. parallel) perceptron over hashed
+  * bag-of-words counts: per iteration, every misclassified document
+  * (y·margin ≤ 0 — margin zero counts as wrong, so iteration 1
+  * updates on ALL documents from w=0) contributes y·count to each of
+  * its feature buckets, and the weight vector moves by the SUM of
+  * those contributions. Unlike the classic online perceptron the
+  * update is ORDER-INDEPENDENT (a sum over a set), so the trained
+  * weights are bit-reproducible across engines, partitionings and
+  * runs — and every intermediate is 64-bit integer arithmetic (no
+  * learning-rate floats; the unit rate is absorbed into the integer
+  * weights).
+  */
+object Training {
+
+  /** Train `iters` batch-perceptron rounds; returns (bucket, weight)
+    * for ALL `buckets` rows (unseen buckets weigh 0).
+    *
+    * Scale shape: features build ONCE — one map-side-combined
+    * aggregate to (doc, y, bucket, count), persisted and reused every
+    * round (document text is read exactly once, never re-tokenized);
+    * each round is margin-aggregate → misclassified semi-join →
+    * gradient-aggregate, all keyed on doc/bucket with only longs on
+    * the wire, and the driver collects AT MOST `buckets` gradient
+    * rows per round (driver-bounded by construction — the model IS
+    * broadcast-scale). The weight vector enters each round as a plan
+    * literal, so margin scoring is a broadcast-free map-side
+    * expression.
+    */
+  def trainBatchPerceptron(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column,
+      buckets: Int = 64,
+      iters: Int = 3): DataFrame = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    require(iters > 0, s"iters must be positive, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val feats = df.select(id.cast("long").as("doc_id"),
+        when(label, 1L).otherwise(-1L).as("y"),
+        explode(TextAnalysis.tokens(lower(text))).as("token"))
+      .select(col("doc_id"), col("y"),
+        TextAnalysis.tokenBucket(col("token"), buckets).as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+      .persist()
+    feats.count() // materialize once; every round reuses the cache
+    val w = new Array[Long](buckets)
+    for (_ <- 1 to iters) {
+      val wLit = typedlit(w.toSeq)
+      val misclassified = feats
+        .withColumn("m", col("c") * element_at(wLit, (col("b") + 1).cast("int")))
+        .groupBy("doc_id", "y").agg(sum("m").as("margin"))
+        .where(col("y") * col("margin") <= 0)
+        .select("doc_id")
+      val grad = feats.join(misclassified, Seq("doc_id"))
+        .groupBy("b").agg(sum(col("y") * col("c")).as("g"))
+        .as[(Long, Long)].collect() // <= buckets rows — the model itself
+      grad.foreach { case (b, g) => w(b.toInt) += g }
+    }
+    feats.unpersist()
+    w.zipWithIndex.map { case (wt, b) => (b.toLong, wt) }.toSeq
+      .toDF("bucket", "weight")
+  }
+
+  /** Train on `df`, then score and filter it with the trained model —
+    * the end-to-end self-training loop, reusing
+    * [[TextAnalysis.classifierFilter]]'s inference plan with the
+    * trained weights as a plan-literal array (map-only scoring, zero
+    * exchanges downstream of training).
+    */
+  def trainAndFilter(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      label: Column,
+      buckets: Int = 64,
+      iters: Int = 3,
+      threshold: Long = 0L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val w = trainBatchPerceptron(df, id, text, label, buckets, iters)
+      .orderBy("bucket").select("weight").as[Long].collect().toSeq
+    val wLit = typedlit(w)
+    TextAnalysis.classifierFilter(df, id, text, threshold, buckets,
+      weightOf = b => element_at(wLit, (b + 1).cast("int")))
+  }
+}

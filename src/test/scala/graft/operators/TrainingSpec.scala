@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+class TrainingSpec extends SparkTestBase {
+
+  // linearly separable corpus: positives speak one vocabulary,
+  // negatives another — the batch perceptron must reach perfect
+  // training accuracy within a few rounds
+  private def separable(n: Int) = {
+    val spark0 = spark
+    import spark0.implicits._
+    (0L until n.toLong).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text", true)
+      else (i, "spam junk noise garbage", false)
+    }.toDF("doc_id", "text", "pos")
+  }
+
+  test("trainBatchPerceptron separates a separable corpus; order-independent") {
+    import spark.implicits._
+    val df = separable(40)
+    val w = Training.trainBatchPerceptron(df, col("doc_id"), col("text"),
+      col("pos"), buckets = 64, iters = 3)
+    assert(w.count() == 64L)
+    // weights are identical regardless of partitioning (sum-based update)
+    val w1 = w.orderBy("bucket").as[(Long, Long)].collect().toSeq
+    val w8 = Training.trainBatchPerceptron(df.repartition(8), col("doc_id"),
+      col("text"), col("pos"), buckets = 64, iters = 3)
+      .orderBy("bucket").as[(Long, Long)].collect().toSeq
+    assert(w1 == w8)
+    // the trained model classifies its training set perfectly
+    val scored = Training.trainAndFilter(df, col("doc_id"), col("text"),
+      col("pos"), buckets = 64, iters = 3)
+    val wrong = scored.join(df.select(col("doc_id"), col("pos")), "doc_id")
+      .where(col("kept") =!= col("pos")).count()
+    assert(wrong == 0L, s"$wrong misclassified after training")
+  }
+
+  test("round 1 updates on every document from w = 0") {
+    import spark.implicits._
+    // single round: w[b] must equal sum over ALL docs of y * count_b
+    val df = Seq(
+      (0L, "aa aa bb", true),
+      (1L, "aa cc", false)).toDF("doc_id", "text", "pos")
+    val w = Training.trainBatchPerceptron(df, col("doc_id"), col("text"),
+      col("pos"), buckets = 8, iters = 1)
+      .as[(Long, Long)].collect().toMap
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    // aa: +2 (doc0) -1 (doc1) = +1; bb: +1; cc: -1 — summed into
+    // buckets (collision-safe: expectation built the same way)
+    val expected = Seq(bucket("aa") -> 1L, bucket("bb") -> 1L, bucket("cc") -> -1L)
+      .groupMapReduce(_._1)(_._2)(_ + _)
+    (0L until 8L).foreach { b =>
+      assert(w(b) == expected.getOrElse(b, 0L), s"bucket $b")
+    }
+  }
+}
