@@ -105,6 +105,47 @@ object TextRuntime {
     new GenericArrayData(out.toArray)
   }
 
+  /** Single-pass whitespace tokenization + per-term frequency count:
+    * (dl, tfs) where dl is the token count and tfs(i) the occurrence
+    * count of terms(i). One scan of the text, no token array ever
+    * materializes — the engine of [[graft.operators.Retrieval]]'s
+    * BM25 and the blocklist filter, replacing Q+1 full
+    * tokenize-and-remove passes per document with one.
+    *
+    * Token boundaries replicate the `tokens()` contract EXACTLY: a
+    * token is a maximal run of non-`\s` characters, where `\s` is the
+    * Java regex class [ \t\n\x0B\f\r] — NOT Character.isWhitespace
+    * (which adds Unicode spaces and would silently diverge from the
+    * declarative form on exotic input).
+    */
+  def termFreqs(s: UTF8String, terms: Array[String]): InternalRow = {
+    val str = s.toString
+    val n = str.length
+    var dl = 0L
+    val tfs = new Array[Long](terms.length)
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWs(str.charAt(i))) i += 1
+        dl += 1L
+        val len = i - start
+        var t = 0
+        while (t < terms.length) {
+          val term = terms(t)
+          if (term.length == len && str.regionMatches(start, term, 0, len))
+            tfs(t) += 1L
+          t += 1
+        }
+      }
+    }
+    new GenericInternalRow(Array[Any](dl,
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(tfs)))
+  }
+
   /** Single-pass character-histogram statistics over UTF-16 code
     * units: (n_chars, distinct_chars, max_char_count, collision_mass)
     * with collision_mass = Σ_c n_c² — the integer numerator of the
@@ -210,6 +251,36 @@ case class CdcChunks(child: Expression, w: Int, p: Long, m: Long, d: Long)
     copy(child = newChild)
 }
 
+/** term_freqs(text): struct<dl: long, tfs: array<long>> — single-pass
+  * token count + per-term frequencies for a literal term list (see
+  * [[TextRuntime.termFreqs]]). Terms ride on the expression like the
+  * CDC parameters; repeated struct-field references in one projection
+  * are shared by whole-stage codegen's subexpression elimination, so
+  * the scan runs once per row however many fields the caller reads.
+  */
+case class TermFreqs(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(terms.nonEmpty, "term_freqs needs at least one term")
+  require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
+
+  @transient private lazy val termArray: Array[String] = terms.toArray
+
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("dl", LongType, nullable = false),
+    StructField("tfs", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "term_freqs"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.termFreqs(input.asInstanceOf[UTF8String], termArray)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    val ts = ctx.addReferenceObj("termFreqsTerms", termArray, "java.lang.String[]")
+    defineCodeGen(ctx, ev, c => s"$rt.termFreqs($c, $ts)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+}
+
 /** char_hist_stats(text): struct<n_chars, distinct_chars,
   * max_char_count, collision_mass> — one codegen'd histogram pass per
   * document (see [[TextRuntime.charHistStats]]). The declarative
@@ -248,6 +319,9 @@ object TextOps {
 
   def charHistStats(text: Column): Column =
     ColumnBridge.column(CharHistStats(ColumnBridge.expression(text)))
+
+  def termFreqs(text: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
 
   private[functions] def charHistStatsBuilder(children: Seq[Expression]): Expression = {
     if (children.length != 1)

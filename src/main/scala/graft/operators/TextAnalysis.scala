@@ -110,13 +110,12 @@ object TextAnalysis {
     *
     * Integer-exact: the rate is `n_blocked · scale div n_tokens`
     * (floor division), so keep/drop decisions are bit-reproducible.
-    * Map-only, zero exchanges: per-term occurrence counts are
-    * `size(toks) − size(array_remove(toks, term))` — codegen'd array
-    * built-ins, one linear pass per blocklist term (the blocklist is
-    * broadcast-scale by construction; a 10^5-term blocklist would swap
-    * this for an Aho–Corasick expression, same plan shape). At 100 TB
-    * this is a pure scan: no shuffle, no join, nothing but the scan
-    * itself on the wire.
+    * Map-only, zero exchanges: all per-term occurrence counts come
+    * from ONE native `term_freqs` scan per document (the blocklist is
+    * broadcast-scale by construction; a 10^5-term lexicon uses
+    * [[multiPatternFilter]]'s Aho–Corasick expression instead, same
+    * plan shape). At 100 TB this is a pure scan: no shuffle, no join,
+    * nothing but the scan itself on the wire.
     */
   def blocklistFilter(
       df: DataFrame,
@@ -128,12 +127,13 @@ object TextAnalysis {
     require(blocked.nonEmpty, "blocklistFilter needs at least one term")
     require(blocked.distinct.size == blocked.size,
       s"duplicate blocklist terms: $blocked")
-    val toks = tokens(lower(text))
-    val nBlocked = blocked.map(term =>
-      (size(toks) - size(array_remove(toks, lit(term)))).cast("long"))
+    // one native term_freqs scan per doc (dl + all term counts);
+    // codegen subexpression elimination shares it across the fields
+    val tf = graft.functions.TextOps.termFreqs(lower(text), blocked)
+    val nBlocked = blocked.indices.map(i => tf.getField("tfs").getItem(i))
       .reduce(_ + _)
     df.select(id.cast("long").as("doc_id"),
-        size(toks).cast("long").as("n_tokens"), nBlocked.as("n_blocked"))
+        tf.getField("dl").as("n_tokens"), nBlocked.as("n_blocked"))
       .withColumn("blocked_per_mille",
         when(col("n_tokens") > 0, expr(s"n_blocked * ${scale}L div n_tokens"))
           .otherwise(0L))

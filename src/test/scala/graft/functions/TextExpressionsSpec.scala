@@ -45,6 +45,26 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(native(1)._2 == 64L) // 8² for the degenerate doc
   }
 
+  test("term_freqs: single-pass counts match the declarative tokenize form") {
+    import spark.implicits._
+    val terms = Seq("cat", "dog", "fish tail") // multi-word term can never match
+    val texts = Seq(
+      "cat cat dog", " cat\tdog \n fish tail", "", "   ", "catcat cat",
+      "cat\fdog\r")
+    val df = texts.toDF("t")
+    val native = df.select(
+        TextOps.termFreqs(col("t"), terms).as("s"))
+      .select(col("s.dl"), col("s.tfs")).as[(Long, Seq[Long])].collect().toSeq
+    val toks = graft.operators.TextAnalysis.tokens(col("t"))
+    val decl = df.select(size(toks).cast("long").as("dl"),
+        array(terms.map(term =>
+          (size(toks) - size(array_remove(toks, lit(term)))).cast("long")): _*).as("tfs"))
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(native == decl)
+    // spot-check: "catcat cat" -> dl 2, cat 1 (no substring matches)
+    assert(native(4) == ((2L, Seq(1L, 0L, 0L))))
+  }
+
   test("charProfile: simpson per-mille flags the degenerate doc") {
     import spark.implicits._
     val df = Seq(
