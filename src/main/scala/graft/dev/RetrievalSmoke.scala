@@ -1,0 +1,56 @@
+package graft.dev
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextAnalysis
+
+/** Focused volume smoke for the text-scan retrieval/profiling path
+  * (BM25, blocklist) — same synthetic corpus as [[ScaleSmoke]], only
+  * the stages whose cost is per-document tokenizer CPU, so a scan-
+  * level change (e.g. the single-pass `term_freqs` expression) can be
+  * re-measured in ~1 min instead of re-running the full 15-min smoke.
+  *
+  * Usage: runMain graft.dev.RetrievalSmoke [nDocs]
+  */
+object RetrievalSmoke {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 1000000L
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIME $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
+    }
+    val base = spark.range(nDocs)
+      .withColumn("base", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
+    val words = (0 until 45).map { i =>
+      val seed = when(col("base") =!= col("id") && lit(i) >= 42, col("id")).otherwise(col("base"))
+      concat(lit("w"), pmod(xxhash64(seed * 100 + i), lit(5000)))
+    }
+    val docs = base.select(col("id").as("doc_id"),
+      concat_ws(" ", words: _*).as("text")).persist()
+    time("corpus materialize")(docs.count())
+
+    val bm = time("bm25TopK (3 terms, zero-explode)")(
+      graft.operators.Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
+        Seq("w17", "w433", "w2990"), topK = 25).count())
+    require(bm == 25L, s"bm25 top-k short: $bm of 25")
+    // .where(kept) so column pruning can't elide the scan under count()
+    val blk = time("blocklistFilter (map-only scan)")(
+      TextAnalysis.blocklistFilter(docs, col("doc_id"), col("text"),
+        Seq("w17", "w433", "w2990", "w4444"), maxPerMille = 25L)
+        .where(col("kept")).count())
+    val mp = time("multiPatternFilter (6-phrase Aho-Corasick scan)")(
+      TextAnalysis.multiPatternFilter(docs, col("doc_id"), col("text"),
+        Seq("w1 w2", "w42", "w999 w1000", "w123", "w7 w8 w9", "w4999"),
+        maxMatches = 0L).where(col("kept")).count())
+    val tr = time("trainBatchPerceptron (B=256, 3 rounds)")(
+      graft.operators.Training.trainBatchPerceptron(docs, col("doc_id"),
+        col("text"), col("doc_id") % 2 === 0, buckets = 256, iters = 3).count())
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr")
+    spark.stop()
+  }
+}
