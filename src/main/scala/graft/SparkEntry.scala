@@ -626,6 +626,34 @@ object SparkEntry {
       buckets = 64, iters = 3)
       .orderBy("doc_id")
 
+  /** The supplier co-shipping graph: suppliers are adjacent when they
+    * ship lines of the same order. Symmetric directed simple edges —
+    * the same relation-edge shape the `--relations`/`--neo4j` path
+    * extracts from XML (reference XMLToCSV.py:357-417), derived here
+    * from the fixture tables so graph analytics are oracle-checkable.
+    */
+  private def supplierPairs(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+  }
+
+  /** Integer-exact PageRank, 3 rounds, over the supplier co-shipping
+    * graph; top 20 by rank (node id tie-break).
+    */
+  private def qPageRank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(supplierPairs(s, dir),
+      col("src"), col("dst"), iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+
+  /** Degree-ordered exact triangle count of the same graph. */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangleStats(supplierPairs(s, dir),
+      col("src"), col("dst"))
+
   /** q127's certification driven through STRUCTURED STREAMING — the
     * q120 pattern for the Count-Min dual: the lineitem file stream
     * feeds `cms_sketch` in complete mode (every micro-batch
@@ -1983,6 +2011,8 @@ object SparkEntry {
     "q129_multipattern" -> qMultiPattern _,
     "q130_perceptron_train" -> qPerceptronTrain _,
     "q131_perceptron_filter" -> qPerceptronFilter _,
+    "q132_pagerank" -> qPageRank _,
+    "q133_triangles" -> qTriangles _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2973,6 +3003,50 @@ object SparkEntry {
           | coalesce(sc.score, 0)::BIGINT AS score, coalesce(sc.score, 0) > 0 AS kept
           |FROM documents d JOIN ntok USING (doc_id) LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // 3 unrolled fixed-point PageRank rounds over the supplier
+      // co-shipping graph; floor division (// on non-negative BIGINTs
+      // = Spark div), HUGEINT sums cast back at the end
+      "q132_pagerank" ->
+        """WITH pairs AS (
+          | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          | FROM lineitem a JOIN lineitem b
+          |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+          | nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+          | deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY src),
+          | r0 AS (SELECT node, 1000000000 AS rank FROM nodes),
+          | a1 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r0 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r1 AS (SELECT n.node, 150000000 + (85 * coalesce(a1.s, 0)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a1 ON n.node = a1.node),
+          | a2 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r1 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r2 AS (SELECT n.node, 150000000 + (85 * coalesce(a2.s, 0)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a2 ON n.node = a2.node),
+          | a3 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r2 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r3 AS (SELECT n.node, 150000000 + (85 * coalesce(a3.s, 0)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a3 ON n.node = a3.node)
+          |SELECT node::BIGINT AS node, rank::BIGINT AS rank
+          |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+      // exact triangle count: canonical undirected edges, each
+      // triangle counted once at its id-lowest vertex (count is
+      // orientation-independent, so this matches the engine's
+      // degree-ordered orientation)
+      "q133_triangles" ->
+        """WITH pairs AS (
+          | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          | FROM lineitem a JOIN lineitem b
+          |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
+          | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs),
+          | tri AS (SELECT count(*) AS c FROM und e1
+          |         JOIN und e2 ON e2.u = e1.u AND e2.v > e1.v
+          |         JOIN und e3 ON e3.u = e1.v AND e3.v = e2.v),
+          | nn AS (SELECT count(*) AS c FROM (SELECT u AS n FROM und UNION SELECT v FROM und)),
+          | ne AS (SELECT count(*) AS c FROM und)
+          |SELECT nn.c::BIGINT AS n_nodes, ne.c::BIGINT AS n_edges, tri.c::BIGINT AS n_triangles
+          |FROM nn, ne, tri""".stripMargin,
 
       // q127's oracle verbatim: the drained streaming CMS (elementwise
       // merge through the state store) must certify identically

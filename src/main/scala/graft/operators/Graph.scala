@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over extracted relation edges — the natural
+  * downstream of the XML relation extraction (reference
+  * XMLToCSV.py `--relations`/`--neo4j` produces exactly such node/edge
+  * CSVs; see output_relation_csvs, XMLToCSV.py:357-417): once a
+  * citation/authorship graph exists as an edge table, the first
+  * questions asked of it are centrality and clustering structure.
+  *
+  * Everything here is 64-bit-integer-exact (scaled fixed-point, floor
+  * division) so results are bit-reproducible across engines,
+  * partitionings and runs — the same determinism contract as
+  * [[Training]] and [[Clustering]].
+  */
+object Graph {
+
+  /** Integer-exact PageRank over a directed multigraph edge table
+    * (parallel edge rows contribute independently; pre-`distinct`
+    * upstream for simple-graph semantics).
+    *
+    * Fixed-point recurrence per node, all floor division:
+    *   rank_0      = scale
+    *   rank_{t+1}  = (15·scale) div 100
+    *               + (85 · Σ_{(u→n)} (rank_t(u) div outdeg(u))) div 100
+    * Dangling nodes (no out-edges) absorb rank without redistributing
+    * it — mass leaks, matching the "no dangling patch" PageRank
+    * variant; both engines compute the identical recurrence so the
+    * leak is part of the contract, not noise.
+    *
+    * Scale shape: the EDGE table (the big thing — 100 TB of edges,
+    * rank state is merely O(nodes)) is joined with its out-degree
+    * once, hash-partitioned by src and persisted; every iteration
+    * reuses that partitioning, so per-round wire traffic is the
+    * skinny (node, rank) table plus the map-side-combined
+    * contribution aggregate — the edges themselves never move again.
+    * The per-edge contribution `rank div d` stays inside whole-stage
+    * codegen; nothing wider than three longs crosses any exchange.
+    * Overflow headroom: Σ in-contributions ≤ nodes·scale, so with the
+    * default scale=1e9 the 85× product stays under 2^63 up to ~10^8
+    * nodes; lower `scale` for larger graphs.
+    */
+  def pageRank(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    // (src, dst, d) partitioned ONCE by src; all rounds reuse it
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .repartition(col("src")).persist()
+    val base = 15L * scale / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val in = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+    }
+    ranks
+  }
+
+  /** Exact triangle count (plus node/edge counts) of the undirected
+    * simple graph induced by an edge list: self-loops dropped,
+    * direction and multiplicity collapsed.
+    *
+    * Degree-ordered orientation (Ortmann–Brandes / the MapReduce
+    * triangle-counting standard): orient every undirected edge from
+    * its (degree, id)-smaller endpoint to the larger, so each
+    * triangle is counted exactly once at its lowest-ranked vertex and
+    * — the 100 TB point — every wedge-generating vertex has
+    * out-degree O(sqrt(edges)) even in power-law graphs (a raw hub of
+    * degree h would otherwise generate h² wedge candidates; oriented,
+    * its out-neighbors are only its higher-degree peers). The wedge
+    * self-join and the closing-edge semi-join are both equi-joins on
+    * edge keys; nothing but (long, long) pairs crosses any exchange.
+    */
+  def triangleStats(edges: DataFrame, a: Column, b: Column): DataFrame = {
+    val und = edges
+      .select(least(a.cast("long"), b.cast("long")).as("u"),
+        greatest(a.cast("long"), b.cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().persist()
+    val deg = und.select(col("u").as("n")).union(und.select(col("v").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    // orientation rank is the pair (deg, id): total, so each edge has
+    // a unique direction and each triangle a unique lowest vertex
+    val withDeg = und
+      .join(deg.select(col("n").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("deg").as("dv")), "v")
+    val oriented = withDeg.select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("s"), col("v").as("t"),
+            col("dv").as("dt")))
+          .otherwise(struct(col("v").as("s"), col("u").as("t"),
+            col("du").as("dt"))).as("e"))
+      .select(col("e.s").as("s"), col("e.t").as("t"), col("e.dt").as("dt"))
+      .persist()
+    // wedges at s between rank-ordered out-neighbors (x, y); the
+    // closing edge, if present, is oriented x -> y by construction
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") &&
+          (col("e1.dt") < col("e2.dt") ||
+           (col("e1.dt") === col("e2.dt") && col("e1.t") < col("e2.t"))))
+      .select(col("e1.t").as("s"), col("e2.t").as("t"))
+    val nTri = wedges.join(oriented.select("s", "t"), Seq("s", "t"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = und.agg(count(lit(1)).as("n_edges"))
+    nNodes.crossJoin(nEdges).crossJoin(nTri)
+  }
+}

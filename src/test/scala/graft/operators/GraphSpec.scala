@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val S = 1000000000L
+
+  test("pageRank: 2-cycle is the exact fixed point") {
+    // a <-> b: each node's sole in-contribution is the other's full
+    // rank, so scale is preserved exactly: 0.15S + (85*S) div 100 = S
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val r = Graph.pageRank(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(r == Map(1L -> S, 2L -> S))
+  }
+
+  test("pageRank: star hub drains, leaves decay — hand-computed") {
+    // a -> b, a -> c (b, c dangling): deg(a)=2
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val base = 150000000L
+    // iter1: a=base; b=c = base + 85*(S div 2) div 100
+    val l1 = base + 85L * (S / 2) / 100L
+    assert(l1 == 575000000L)
+    val r1 = Graph.pageRank(e, col("s"), col("d"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> base, 2L -> l1, 3L -> l1))
+    // iter2: a's rank is now base, so leaves get base + 85*(base div 2) div 100
+    val l2 = base + 85L * (base / 2) / 100L
+    val r2 = Graph.pageRank(e, col("s"), col("d"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(1L -> base, 2L -> l2, 3L -> l2))
+  }
+
+  test("pageRank: multigraph semantics — parallel edges contribute independently") {
+    // a -> b twice, a -> c once: deg(a)=3, b receives 2 shares
+    val e = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("s", "d")
+    val base = 150000000L
+    val share = S / 3
+    val r = Graph.pageRank(e, col("s"), col("d"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r(2L) == base + 85L * (2 * share) / 100L)
+    assert(r(3L) == base + 85L * share / 100L)
+  }
+
+  test("pageRank: deterministic across partitionings") {
+    val e = spark.range(500).select((col("id") % 97).as("s"), (col("id") % 89).as("d"))
+      .where(col("s") =!= col("d"))
+    val a = Graph.pageRank(e.repartition(1), col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(e.repartition(7, col("d")), col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
+  test("pageRank: edges shuffle once — per-iteration wire is O(nodes), not O(edges)") {
+    // Runtime pin of the 100 TB property: the edge table is hash-
+    // partitioned by src ONCE (the cache build); afterwards every
+    // iteration moves only the skinny (node, rank) state. Measured via
+    // stage shuffle metrics with broadcasts off (at scale the edge
+    // side never broadcasts).
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val writes = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        writes.add(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // ~2M edge rows over 50k src / 10k dst nodes: edge bytes dwarf
+      // rank-state bytes, so the assertion below separates the two
+      val e = spark.range(2000000)
+        .select((col("id") % 50021).as("s"), (col("id") % 9973).as("d"))
+        .where(col("s") =!= col("d"))
+      Graph.pageRank(e, col("s"), col("d"), iters = 3).collect()
+      eventually(writes.size >= 5)
+      import scala.jdk.CollectionConverters._
+      val ws = writes.asScala.toSeq.sorted(Ordering[Long].reverse)
+      // largest stage = the one-time edge repartition; every other
+      // stage (incl. all per-iteration ones) must be an order of
+      // magnitude smaller — if an iteration re-shuffled edges there
+      // would be a second edge-sized write
+      assert(ws.head > (4L << 20), s"expected an edge-sized cache-build shuffle, got $ws")
+      assert(ws(1) < ws.head / 10, s"a per-iteration stage re-shuffled edge-sized data: $ws")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  private def eventually(cond: => Boolean, timeoutMs: Long = 10000): Unit = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(cond, "condition not met within timeout")
+  }
+
+  test("triangleStats: K4 has 4 triangles; direction and multiplicity collapse") {
+    val k4 = (for {
+      u <- 1L to 4L; v <- 1L to 4L if u != v
+    } yield (u, v)).toDF("a", "b") // both directions = multiplicity 2 per edge
+    val r = Graph.triangleStats(k4, col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 6L, 4L)))
+  }
+
+  test("triangleStats: path graph has none; self-loops dropped") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (2L, 2L)).toDF("a", "b")
+    val r = Graph.triangleStats(e, col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((4L, 3L, 0L)))
+  }
+
+  test("triangleStats: skewed hub — counts match the naive closed-wedge formula") {
+    // hub 0 adjacent to 1..40, plus ring edges i—(i+1) among 1..40:
+    // every ring edge closes with the hub -> 39 triangles
+    val hub = (1L to 40L).map(i => (0L, i))
+    val ring = (1L to 39L).map(i => (i, i + 1))
+    val r = Graph.triangleStats((hub ++ ring).toDF("a", "b"), col("a"), col("b"))
+      .as[(Long, Long, Long)].head()
+    assert(r == ((41L, 79L, 39L)))
+  }
+}
