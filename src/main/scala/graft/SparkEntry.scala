@@ -654,6 +654,33 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(supplierPairs(s, dir),
       col("src"), col("dst"))
 
+  /** Seeded deterministic training-order permutation into 8 shards. */
+  private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.shuffleShards(
+      t(s, dir, "documents").select(col("doc_id")),
+      col("doc_id"), seed = 7L, nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("shard", "pos")
+
+  /** Hard-negative mining: q25's brute-force serve with the
+    * different-label constraint (query batch = vec_id < 5).
+    */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    graft.operators.Similarity.hardNegatives(
+      emb.where(col("id") < 5), emb, k = 5)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Cross-source shingle-set overlap matrix (exact Jaccard,
+    * parts-per-mille) over the documents table's source column.
+    */
+  private def qSourceOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.crossSourceOverlap(
+      t(s, dir, "documents"), col("source"), col("text"), n = 3)
+      .orderBy("src_a", "src_b")
+
   /** q127's certification driven through STRUCTURED STREAMING — the
     * q120 pattern for the Count-Min dual: the lineitem file stream
     * feeds `cms_sketch` in complete mode (every micro-batch
@@ -2013,6 +2040,9 @@ object SparkEntry {
     "q131_perceptron_filter" -> qPerceptronFilter _,
     "q132_pagerank" -> qPageRank _,
     "q133_triangles" -> qTriangles _,
+    "q134_shuffle_shards" -> qShuffleShards _,
+    "q135_hard_negatives" -> qHardNegatives _,
+    "q136_source_overlap" -> qSourceOverlap _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3047,6 +3077,55 @@ object SparkEntry {
           | ne AS (SELECT count(*) AS c FROM und)
           |SELECT nn.c::BIGINT AS n_nodes, ne.c::BIGINT AS n_edges, tri.c::BIGINT AS n_triangles
           |FROM nn, ne, tri""".stripMargin,
+
+      // the q93 two-round modular Knuth hash (seed in the epoch slot)
+      // is the permutation key; pos is dense per shard
+      "q134_shuffle_shards" ->
+        """WITH h AS (SELECT doc_id,
+          |  (((doc_id % 1000000007) * 2654435761) % 1000000007 + 7) * 2654435761 % 1000000007 AS hh
+          | FROM documents)
+          |SELECT doc_id, hh % 8 AS shard,
+          | (row_number() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id) - 1)::BIGINT AS pos
+          |FROM h ORDER BY shard, pos""".stripMargin,
+
+      // q25's oracle with the different-label constraint
+      "q135_hard_negatives" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM e q CROSS JOIN e c
+          |  WHERE q.vec_id < 5 AND q.vec_id <> c.vec_id AND q.label <> c.label),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM scored)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // q23's shingle definition, reduced to per-source distinct sets;
+      // integer-exact Jaccard in parts-per-mille
+      "q136_source_overlap" ->
+        """WITH base AS (
+          | SELECT source AS src,
+          |  unnest(list_distinct(CASE WHEN len(toks) >= 3
+          |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+          |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+          |    ELSE [] END)) AS sh
+          | FROM (SELECT source, list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS toks
+          |       FROM documents)),
+          | d AS (SELECT DISTINCT src, sh FROM base),
+          | sizes AS (SELECT src, count(*) AS sz FROM d GROUP BY src),
+          | inter AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS n_shared
+          |   FROM d a JOIN d b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2),
+          | pairs AS (SELECT a.src AS src_a, a.sz AS sz_a, b.src AS src_b, b.sz AS sz_b
+          |   FROM sizes a CROSS JOIN sizes b WHERE a.src < b.src)
+          |SELECT p.src_a, p.src_b, p.sz_a::BIGINT AS sz_a, p.sz_b::BIGINT AS sz_b,
+          | coalesce(i.n_shared, 0)::BIGINT AS n_shared,
+          | (coalesce(i.n_shared, 0) * 1000 // (p.sz_a + p.sz_b - coalesce(i.n_shared, 0)))::BIGINT AS jaccard_per_mille
+          |FROM pairs p LEFT JOIN inter i ON p.src_a = i.src_a AND p.src_b = i.src_b
+          |ORDER BY p.src_a, p.src_b""".stripMargin,
 
       // q127's oracle verbatim: the drained streaming CMS (elementwise
       // merge through the state store) must certify identically

@@ -246,4 +246,44 @@ object Profiling {
         ((col("est") - col("exact_count")) * w <= lit(slack) * col("cms.n"))
           .as("within_bound"))
   }
+
+  /** Cross-source content overlap: for every pair of sources, the
+    * exact Jaccard (in parts-per-mille, floor division — integer-
+    * exact) between the sources' distinct word-n-gram shingle SETS —
+    * the data-mixing diagnostic that tells you two "different" crawls
+    * are really the same corpus before you weight them as independent.
+    *
+    * Scale shape: documents reduce to distinct (source, shingle) rows
+    * in ONE map-side-combined aggregate (the only stage that sees
+    * text-derived data); per-source set sizes are a tiny follow-up
+    * aggregate, and the pairwise intersection is a self-join keyed on
+    * the shingle — shuffle proportional to the number of distinct
+    * shingles, never |source|² or corpus size, because a shingle
+    * appearing in s sources expands to s·(s-1)/2 pair rows only AFTER
+    * the distinct (s is bounded by the source count, not the corpus).
+    */
+  def crossSourceOverlap(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      n: Int = 3): DataFrame = {
+    val sh = df
+      .select(source.cast("string").as("src"),
+        explode(Dedup.shingles(text, n)).as("sh"))
+      .distinct().persist()
+    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    // every source pair appears, including disjoint ones (n_shared 0)
+    val pairs = sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
+      .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))
+      .where(col("src_a") < col("src_b"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("jaccard_per_mille",
+        expr("n_shared * 1000L div (sz_a + sz_b - n_shared)"))
+  }
 }

@@ -115,6 +115,35 @@ object Sampling {
       .withColumnRenamed("__ws_pr", "priority")
   }
 
+  /** Deterministic global training-order permutation: every row gets
+    * a pseudo-random but SEEDED total order — (shard, pos) with
+    * `pos` dense 0..n-1 within each of `nShards` shards — so "shuffle
+    * the corpus before training" is reproducible, resumable, and
+    * changes wholesale with the seed (a new epoch = a new seed, no
+    * state carried). The permutation key is the q93 two-round modular
+    * Knuth hash (products stay under 2^63, so an oracle can replay it
+    * in exact integer arithmetic), with the row key appended as the
+    * tie-break so equal hashes cannot make the order ambiguous.
+    *
+    * Scale shape: one shuffle keyed by shard, then a per-shard sort +
+    * dense rank — windows partition by shard (nShards of them), never
+    * by a global ordering, so no single-partition Window ever forms;
+    * a training job writes each shard as one sorted file and readers
+    * stream shards in order.
+    */
+  def shuffleShards(df: DataFrame, key: Column, seed: Long, nShards: Int): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(seed >= 0, s"seed must be non-negative, got $seed")
+    import org.apache.spark.sql.expressions.Window
+    val p = 1000000007L
+    val h = pmod(pmod(key.cast("long"), lit(p)) * knuth, lit(p)) + lit(seed % p)
+    df.withColumn("__sh_h", pmod(h * knuth, lit(p)))
+      .withColumn("shard", pmod(col("__sh_h"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("__sh_h"), key)).cast("long") - 1L)
+      .drop("__sh_h")
+  }
+
   /** Per-stratum deterministic sampling — the corpus-rebalancing
     * primitive for multilingual / multi-source training mixes
     * (downsample the dominant language, keep the tail whole). Each

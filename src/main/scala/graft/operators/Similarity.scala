@@ -81,6 +81,36 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Hard-negative mining for retrieval/classifier training: for each
+    * query (id, vec, label), the top-k most-cosine-similar CORPUS
+    * vectors with a DIFFERENT label (and different id) — the
+    * "confusable but wrong" examples contrastive training wants.
+    *
+    * Same scale shape as [[bruteForceTopK]]: the query batch
+    * broadcasts, the corpus never shuffles, scoring is the native
+    * codegen'd `vec_dot`, and only (query_id, neighbor_id, cos) rows
+    * — never vectors — reach the per-query ranking window. For
+    * corpus-scale query sets, run the same label filter through
+    * [[ivfTopKIndexed]]'s bucketed serve instead.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      col("label").as("q_label"), norm(col("vec")).as("q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+      col("label").as("c_label"), norm(col("vec")).as("c_norm"))
+    c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id") &&
+        col("q_label") =!= col("c_label"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** IVF coarse assignment: centroids are the corpus vectors with
     * id < nBuckets (deterministic, seedless — at real scale these
     * would come from a k-means job, but a fixed pseudo-random subset

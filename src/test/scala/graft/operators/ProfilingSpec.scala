@@ -122,4 +122,28 @@ class ProfilingSpec extends SparkTestBase {
       .as[(String, Long, Long, Long)].head()
     assert(out == (("g", 100000L, 2L, 500000L)))
   }
+
+  test("crossSourceOverlap: hand-computed jaccard matrix incl. a disjoint pair") {
+    import spark.implicits._
+    // n=1 shingles = distinct tokens. a: {x,y,z}; b: {x,y,w}; c: {q}
+    val df = Seq(
+      ("a", "x y z"), ("a", "x y"),
+      ("b", "x y w"),
+      ("c", "q")).toDF("source", "text")
+    val out = Profiling.crossSourceOverlap(df, col("source"), col("text"), n = 1)
+      .orderBy("src_a", "src_b")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", "b", 3L, 3L, 2L, 500L),   // {x,y} of {x,y,z,w} -> 2/4
+      ("a", "c", 3L, 1L, 0L, 0L),     // disjoint pair still present
+      ("b", "c", 3L, 1L, 0L, 0L)))
+  }
+
+  test("crossSourceOverlap: identical sources score 1000 per mille") {
+    import spark.implicits._
+    val df = Seq(("a", "p q r s"), ("b", "p q r s")).toDF("source", "text")
+    val out = Profiling.crossSourceOverlap(df, col("source"), col("text"), n = 3)
+      .as[(String, String, Long, Long, Long, Long)].head()
+    assert(out._6 == 1000L)
+  }
 }

@@ -158,4 +158,26 @@ class SamplingSpec extends SparkTestBase {
     assert(out.collect().map(_.toSeq).toSet == again.collect().map(_.toSeq).toSet)
     assert(Scale.countShuffles(out) == 0)
   }
+
+  test("shuffleShards: a seeded permutation — dense per-shard positions, every row once") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("doc_id")
+    val out = Sampling.shuffleShards(df, col("doc_id"), seed = 7L, nShards = 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1).sorted == (0L until 1000L))
+    // positions dense 0..n_s-1 within each shard
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted == (0L until rows.size.toLong))
+    }
+    // partitioning-invariant and seed-sensitive
+    val again = Sampling.shuffleShards(df.repartition(7), col("doc_id"), 7L, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet == again.toSet)
+    val other = Sampling.shuffleShards(df, col("doc_id"), 8L, 8)
+      .select("doc_id", "shard", "pos").as[(Long, Long, Long)].collect().toSeq
+    assert(out.toSet != other.toSet, "different seed must give a different permutation")
+    // the order within a shard is not id order (it IS a shuffle)
+    val shard0 = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
+    assert(shard0 != shard0.sorted, "per-shard order must not degenerate to key order")
+  }
 }

@@ -168,4 +168,28 @@ class SimilaritySpec extends SparkTestBase {
     import org.apache.spark.sql.functions.col
     assert(appended.assigned.where(col("neighbor_id") >= 30).count() == 10L)
   }
+
+  test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // axis-ish vectors: 0,1 point one way (label 0); 2,3 the other (label 1)
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1),
+      (3L, Seq(0.1f, 0.9f), 1)).toDF("id", "vec", "label")
+    val hn = Similarity.hardNegatives(vecs.where(col("id") === 0), vecs, k = 2)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._3).reverse
+    // nearest different-label: id 3 (0.1, 0.9) beats id 2 (0.0, 1.0); id 1 excluded
+    assert(hn.map(_._2) == Seq(3L, 2L))
+    assert(!hn.map(_._2).contains(1L), "same-label neighbor must not appear")
+    // with every label distinct the filter is only the self-exclusion
+    val dl = vecs.withColumn("label", col("id").cast("int"))
+    val a = Similarity.hardNegatives(dl.where(col("id") === 0), dl, k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    val b = Similarity.bruteForceTopK(
+        dl.where(col("id") === 0).select("id", "vec"), dl.select("id", "vec"), k = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(a == b)
+  }
 }
