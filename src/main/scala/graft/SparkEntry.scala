@@ -649,10 +649,25 @@ object SparkEntry {
       col("src"), col("dst"), iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(20)
 
-  /** Degree-ordered exact triangle count of the same graph. */
-  private def qTriangles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Graph.triangleStats(supplierPairs(s, dir),
-      col("src"), col("dst"))
+  /** Degree-ordered exact triangle count over the co-shipping
+    * subgraph of every 10th supplier. The full co-shipping graph is
+    * near-COMPLETE at any SF (uniform supplier assignment makes all
+    * supplier pairs co-occur), so its triangle count is ~n³/6 — output
+    * volume, not operator cost; the decile subgraph keeps the contract
+    * query answer-bounded at every SF while GraphSmoke demonstrates
+    * the operator on realistic sparse skewed graphs at 20M edges.
+    */
+  private def qTriangles(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .where(col("l_suppkey") % 10 === 3)
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    graft.operators.Graph.triangleStats(pairs, col("src"), col("dst"))
+  }
 
   /** Seeded deterministic training-order permutation into 8 shards. */
   private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
@@ -3065,9 +3080,10 @@ object SparkEntry {
       // orientation-independent, so this matches the engine's
       // degree-ordered orientation)
       "q133_triangles" ->
-        """WITH pairs AS (
+        """WITH li AS (SELECT l_orderkey, l_suppkey FROM lineitem WHERE l_suppkey % 10 = 3),
+          | pairs AS (
           | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
-          | FROM lineitem a JOIN lineitem b
+          | FROM li a JOIN li b
           |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey),
           | und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM pairs),
           | tri AS (SELECT count(*) AS c FROM und e1
