@@ -688,6 +688,16 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** Contrastive triplets (hardest positive + hardest negative per
+    * anchor) for the first 10 embeddings.
+    */
+  private def qTriplets(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    graft.operators.Similarity.tripletMining(emb.where(col("id") < 10), emb)
+      .orderBy("anchor_id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2058,6 +2068,7 @@ object SparkEntry {
     "q134_shuffle_shards" -> qShuffleShards _,
     "q135_hard_negatives" -> qHardNegatives _,
     "q136_source_overlap" -> qSourceOverlap _,
+    "q137_triplet_mining" -> qTriplets _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3119,6 +3130,28 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // hardest positive (same label) + hardest negative (different
+      // label) per anchor; inner join drops anchors missing a side
+      "q137_triplet_mining" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec, label FROM embeddings),
+          | scored AS (
+          |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+          |   q.label = c.label AS same,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM e q CROSS JOIN e c
+          |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT anchor_id, neighbor_id, same, cos,
+          |   row_number() OVER (PARTITION BY anchor_id, same ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM scored),
+          | pos AS (SELECT anchor_id, neighbor_id AS positive_id, cos AS pos_cos
+          |         FROM ranked WHERE same AND rk = 1),
+          | neg AS (SELECT anchor_id, neighbor_id AS negative_id, cos AS neg_cos
+          |         FROM ranked WHERE NOT same AND rk = 1)
+          |SELECT p.anchor_id, p.positive_id, p.pos_cos, n.negative_id, n.neg_cos
+          |FROM pos p JOIN neg n USING (anchor_id) ORDER BY p.anchor_id""".stripMargin,
 
       // q23's shingle definition, reduced to per-source distinct sets;
       // integer-exact Jaccard in parts-per-mille

@@ -111,6 +111,42 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Contrastive triplet mining: one row per anchor with its hardest
+    * POSITIVE (most-similar same-label corpus vector, self excluded)
+    * and hardest NEGATIVE (most-similar different-label vector) — the
+    * (anchor, positive, negative) manifest contrastive/metric-learning
+    * training consumes directly. Anchors missing either side (a label
+    * with a single member has no positive) are dropped.
+    *
+    * One broadcast-scored corpus pass serves BOTH picks: the ranking
+    * window partitions by (anchor, same-label?) so positives and
+    * negatives rank in the same shuffle, then the two rank-1 rows
+    * per anchor meet in a skinny self-join keyed on the anchor id —
+    * vectors never leave the scoring projection.
+    */
+  def tripletMining(anchors: DataFrame, corpus: DataFrame): DataFrame = {
+    val q = anchors.select(col("id").as("anchor_id"), col("vec").as("q_vec"),
+      col("label").as("q_label"), norm(col("vec")).as("q_norm"))
+    val c = corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+      col("label").as("c_label"), norm(col("vec")).as("c_norm"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("anchor_id") =!= col("neighbor_id"))
+      .select(col("anchor_id"), col("neighbor_id"),
+        (col("q_label") === col("c_label")).as("same"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id", "same")
+          .orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") === 1)
+    scored.where(col("same"))
+      .select(col("anchor_id"), col("neighbor_id").as("positive_id"),
+        col("cos").as("pos_cos"))
+      .join(scored.where(!col("same"))
+        .select(col("anchor_id"), col("neighbor_id").as("negative_id"),
+          col("cos").as("neg_cos")), "anchor_id")
+  }
+
   /** IVF coarse assignment: centroids are the corpus vectors with
     * id < nBuckets (deterministic, seedless — at real scale these
     * would come from a k-means job, but a fixed pseudo-random subset

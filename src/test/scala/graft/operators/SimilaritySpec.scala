@@ -192,4 +192,27 @@ class SimilaritySpec extends SparkTestBase {
       .as[(Long, Long, Double)].collect().toSet
     assert(a == b)
   }
+
+  test("tripletMining: hardest positive and negative per anchor; single-member labels drop") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.8f, 0.2f), 0),
+      (3L, Seq(0.1f, 0.9f), 1),
+      (4L, Seq(0.0f, 1.0f), 1),
+      (5L, Seq(0.5f, 0.5f), 2)).toDF("id", "vec", "label")
+    val out = Similarity.tripletMining(vecs, vecs)
+      .orderBy("anchor_id")
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    // anchor 0: positive = 1 (closest same-label), negative = 5 (diagonal
+    // is nearer to the x-axis than the y-ish label-1 vectors)
+    val a0 = out.find(_._1 == 0L).get
+    assert(a0._2 == 1L && a0._4 == 5L)
+    assert(a0._3 > a0._5, "positive must outrank negative for separated clusters")
+    // anchor 5 is label 2's only member: no positive -> dropped
+    assert(!out.exists(_._1 == 5L))
+    assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+  }
 }
