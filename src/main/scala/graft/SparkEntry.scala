@@ -698,6 +698,14 @@ object SparkEntry {
       .orderBy("anchor_id")
   }
 
+  /** BPE tokenizer training: 3 learned merges over the documents
+    * word-frequency table.
+    */
+  private def qBpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainBpe(t(s, dir, "documents"),
+      col("text"), nMerges = 3)
+      .orderBy("merge_idx")
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2069,6 +2077,7 @@ object SparkEntry {
     "q135_hard_negatives" -> qHardNegatives _,
     "q136_source_overlap" -> qSourceOverlap _,
     "q137_triplet_mining" -> qTriplets _,
+    "q138_bpe_train" -> qBpeTrain _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3130,6 +3139,36 @@ object SparkEntry {
           |  FROM scored)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 5
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // 3 unrolled BPE merge rounds over the word-frequency table:
+      // argmax adjacent pair (count desc, pair asc), then the
+      // double-space replace performs the greedy left-to-right fuse
+      "q138_bpe_train" ->
+        """WITH w AS (SELECT word, count(*) AS cnt FROM (
+          |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+          |   FROM documents) GROUP BY word),
+          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '  ') || '  ' AS s, cnt FROM w),
+          | p1 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w0))
+          |   GROUP BY 1, 2),
+          | t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+          | w1 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w0 CROSS JOIN t1 t),
+          | p2 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w1))
+          |   GROUP BY 1, 2),
+          | t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+          | w2 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w1 CROSS JOIN t2 t),
+          | p3 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w2))
+          |   GROUP BY 1, 2),
+          | t3 AS (SELECT l, r, c FROM p3 ORDER BY c DESC, l, r LIMIT 1)
+          |SELECT * FROM (
+          | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
+          | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
+          | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
 
       // hardest positive (same label) + hardest negative (different
       // label) per anchor; inner join drops anchors missing a side

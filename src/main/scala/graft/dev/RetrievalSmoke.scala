@@ -50,7 +50,11 @@ object RetrievalSmoke {
     val tr = time("trainBatchPerceptron (B=256, 3 rounds)")(
       graft.operators.Training.trainBatchPerceptron(docs, col("doc_id"),
         col("text"), col("doc_id") % 2 === 0, buckets = 256, iters = 3).count())
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr")
+    val so = time("crossSourceOverlap (5 synthetic sources)")(
+      graft.operators.Profiling.crossSourceOverlap(
+        docs.withColumn("src", (col("doc_id") % 5).cast("string")),
+        col("src"), col("text"), n = 3, hashKeys = true).count())
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr overlapPairs=$so")
     spark.stop()
   }
 }

@@ -376,6 +376,28 @@ object ScaleSmoke {
       .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
     val cc = time("dedupGroups (2M pairs, distributed)")(
       Dedup.dedupGroups(pairs).where(col("id") =!= col("keep_id")).count())
+
+    // round-9 batch 3: training-order permutation (one shuffle +
+    // per-shard windows), cross-source overlap (distinct (src,
+    // shingle) reduction — the only full-shingle-volume exchange),
+    // graph ops (see GraphSmoke for dedicated scaling), triplets
+    // (broadcast-scored, corpus never shuffles)
+    val sf = time("shuffleShards (64 shards)")(
+      graft.operators.Sampling.shuffleShards(docs, col("doc_id"), seed = 7L, nShards = 64)
+        .groupBy("shard").agg(max("pos")).count())
+    require(sf == 64L, s"expected 64 occupied shards, got $sf")
+    val so = time("crossSourceOverlap (5 synthetic sources)")(
+      graft.operators.Profiling.crossSourceOverlap(
+        docs.withColumn("src", (col("doc_id") % 5).cast("string")),
+        col("src"), col("text"), n = 3, hashKeys = true).count())
+    require(so == 10L, s"expected 10 source pairs, got $so")
+    val tm = time("tripletMining (100 anchors x 200k corpus)")(
+      graft.operators.Similarity.tripletMining(
+        vecs.where(col("id") < 100)
+          .select(col("id"), col("vec"), (col("id") % 10).cast("int").as("label")),
+        vecs.where(col("id") < 200000)
+          .select(col("id"), col("vec"), (col("id") % 10).cast("int").as("label"))).count())
+
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
       s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
       s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
@@ -386,6 +408,7 @@ object ScaleSmoke {
       s"videoPairs=$vn cdcDupChunks=$cd hhCertified=$hh " +
       s"bm25Top=$bm blockCharKept=$blk zorderBuckets=$zo iwDocs=$iw " +
       s"cmsCertified=$cms warcDocs=$wa mpKept=$mp perceptronBuckets=$tr " +
+      s"shuffleShards=$sf overlapPairs=$so triplets=$tm " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))
     spark.stop()
   }

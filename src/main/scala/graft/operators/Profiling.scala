@@ -253,29 +253,62 @@ object Profiling {
     * the data-mixing diagnostic that tells you two "different" crawls
     * are really the same corpus before you weight them as independent.
     *
-    * Scale shape: documents reduce to distinct (source, shingle) rows
-    * in ONE map-side-combined aggregate (the only stage that sees
-    * text-derived data); per-source set sizes are a tiny follow-up
-    * aggregate, and the pairwise intersection is a self-join keyed on
-    * the shingle — shuffle proportional to the number of distinct
-    * shingles, never |source|² or corpus size, because a shingle
-    * appearing in s sources expands to s·(s-1)/2 pair rows only AFTER
-    * the distinct (s is bounded by the source count, not the corpus).
+    * Scale shape: sources map to BIT INDICES (the source list is
+    * broadcast-scale by definition — collected and sorted on the
+    * driver, ≤ 62 of them), so the one corpus-sized stage is a
+    * shingle-keyed `bit_or(mask)` — a codegen'd LONG aggregate with
+    * map-side partial combine, not an object-hash `collect_set` —
+    * followed by a mask histogram of at most 2^|sources| rows. Sizes
+    * and every pairwise intersection then derive from that tiny
+    * histogram with broadcast bit-index joins; the shingle strings
+    * never survive past the first aggregate. (Both a collect_set
+    * formulation and a shingle self-join ran >60s at 1M docs — the
+    * object-hash aggregate over 40M string groups was the cost; the
+    * bit_or plan computes the identical exact answer in a fraction.)
     */
   def crossSourceOverlap(
       df: DataFrame,
       source: Column,
       text: Column,
-      n: Int = 3): DataFrame = {
-    val sh = df
-      .select(source.cast("string").as("src"),
-        explode(Dedup.shingles(text, n)).as("sh"))
-      .distinct().persist()
-    val sizes = sh.groupBy("src").agg(count(lit(1)).as("sz"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.sh") === col("b.sh") && col("a.src") < col("b.src"))
-      .groupBy(col("a.src").as("src_a"), col("b.src").as("src_b"))
-      .agg(count(lit(1)).as("n_shared"))
+      n: Int = 3,
+      hashKeys: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // driver-bounded by contract: sources are a dimension, not data
+    val srcs = df.select(source.cast("string").as("src"))
+      .distinct().orderBy("src").as[String].collect()
+    require(srcs.length <= 62,
+      s"crossSourceOverlap supports at most 62 sources, got ${srcs.length}")
+    val maskOf = srcs.zipWithIndex
+      .foldLeft(lit(0L)) { case (acc, (s, i)) =>
+        when(source.cast("string") === s, lit(1L << i)).otherwise(acc)
+      }
+    // hashKeys: the q83 trade — the shingle aggregate groups on the
+    // 8-byte xxhash64 of the shingle instead of the string (computed
+    // inside the scan projection, so text never reaches the exchange
+    // at all). Output-identical unless two distinct shingles collide
+    // in 64 bits (~N²/2^65 — vanishing at any N this runs at);
+    // spec-pinned equal on test data. The exact default carries the
+    // string through one exchange.
+    val keyed = df.select(maskOf.as("m"), explode(Dedup.shingles(text, n)).as("sh"))
+    val grouped =
+      if (hashKeys) keyed.groupBy(xxhash64(col("sh")).as("k"))
+      else keyed.groupBy(col("sh").as("k"))
+    val hist = grouped.agg(expr("bit_or(m)").as("mask"))
+      .groupBy("mask").agg(count(lit(1)).as("cnt"))
+      .persist() // <= 2^|sources| rows
+    val bits = srcs.zipWithIndex.map { case (s, i) => (s, i) }
+      .toSeq.toDF("src", "bit")
+    val sizes = bits.crossJoin(hist)
+      .where(expr("(shiftright(mask, cast(bit AS int)) & 1L) = 1L"))
+      .groupBy("src").agg(sum("cnt").as("sz"))
+    val inter = bits.select(col("src").as("src_a"), col("bit").as("bit_a"))
+      .crossJoin(bits.select(col("src").as("src_b"), col("bit").as("bit_b")))
+      .where(col("src_a") < col("src_b"))
+      .crossJoin(hist)
+      .where(expr("(shiftright(mask, cast(bit_a AS int)) & 1L) = 1L") &&
+        expr("(shiftright(mask, cast(bit_b AS int)) & 1L) = 1L"))
+      .groupBy("src_a", "src_b").agg(sum("cnt").as("n_shared"))
     // every source pair appears, including disjoint ones (n_shared 0)
     val pairs = sizes.select(col("src").as("src_a"), col("sz").as("sz_a"))
       .crossJoin(sizes.select(col("src").as("src_b"), col("sz").as("sz_b")))

@@ -95,4 +95,68 @@ object Training {
     TextAnalysis.classifierFilter(df, id, text, threshold, buckets,
       weightOf = b => element_at(wLit, (b + 1).cast("int")))
   }
+
+  /** Distributed BPE tokenizer TRAINING — the merge-learning loop, not
+    * just round-0 pair counts ([[TextAnalysis.bpePairCounts]]): learn
+    * `nMerges` merges by repeatedly taking the globally most-frequent
+    * adjacent symbol pair (count desc, then (left, right) asc — fully
+    * deterministic) and fusing every occurrence corpus-wide.
+    *
+    * Classic BPE scale shape: the corpus collapses ONCE into the
+    * word-frequency table (one map-side-combined aggregate — the only
+    * corpus-sized stage); every merge round then runs on that
+    * vocab-sized table only: one pair-count aggregate (shuffle =
+    * distinct symbol pairs), a 1-row TakeOrdered collect (driver-
+    * bounded by construction), and a map-only string rewrite. A 100 TB
+    * corpus with a 10M-word vocabulary pays 10M-row rounds, not
+    * corpus-sized ones.
+    *
+    * Words are represented as symbol strings where every symbol owns
+    * its LEADING double-space delimiter (`"  c  a  t  "`), so the
+    * merge rewrite `replace("  A  B" -> "  AB")` is exactly one
+    * greedy left-to-right BPE pass: adjacent merged pairs cannot
+    * share a delimiter, and `[a,a,a,a]` fuses to `[aa,aa]` like real
+    * BPE (a single-space join would mis-fuse it to `[aa,a,a]`).
+    *
+    * Returns (merge_idx, sym_a, sym_b, pair_count) for the learned
+    * merges in order; stops early if the corpus runs out of pairs.
+    */
+  def trainBpe(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words0 = df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var cur = words0.select(
+      concat(lit("  "), concat_ws("  ", split(col("word"), "")), lit("  ")).as("s"),
+      col("cnt")).persist()
+    cur.count()
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val syms = split(trim(col("s")), "  ")
+      // 1 row to the driver per round: the argmax pair
+      val top = cur
+        .select(col("cnt"), explode(graft.functions.TextOps.adjacentPairs(syms)).as("pr"))
+        .groupBy("pr").agg(sum("cnt").as("c"))
+        .withColumn("l", split(col("pr"), " ").getItem(0))
+        .withColumn("r", split(col("pr"), " ").getItem(1))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) =
+          (top.head.getAs[String]("l"), top.head.getAs[String]("r"), top.head.getAs[Long]("c"))
+        merges += ((i.toLong, l, r, c))
+        val next = cur.select(
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s"  $l  $r"), lit(s"  $l$r")).as("s"), col("cnt")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
+  }
 }

@@ -146,4 +146,15 @@ class ProfilingSpec extends SparkTestBase {
       .as[(String, String, Long, Long, Long, Long)].head()
     assert(out._6 == 1000L)
   }
+
+  test("crossSourceOverlap: hashKeys variant is output-identical to the exact path") {
+    import spark.implicits._
+    val df = (0 until 500).map { i =>
+      (s"s${i % 4}", s"w${i % 97} w${(i * 7) % 89} w${(i * 13) % 83} w${(i * 3) % 97}")
+    }.toDF("source", "text")
+    def rows(hk: Boolean) =
+      Profiling.crossSourceOverlap(df, col("source"), col("text"), n = 3, hashKeys = hk)
+        .orderBy("src_a", "src_b").collect().map(_.toSeq).toSeq
+    assert(rows(true) == rows(false))
+  }
 }

@@ -59,4 +59,51 @@ class TrainingSpec extends SparkTestBase {
       assert(w(b) == expected.getOrElse(b, 0L), s"bucket $b")
     }
   }
+
+  test("trainBpe: hand-computed merges on the classic toy corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // word freqs: low x5, lower x2, newest x6, widest x3
+    val df = Seq(
+      ("low low low low low newest newest newest"),
+      ("newest newest newest lower lower widest widest widest")).toDF("text")
+    val out = Training.trainBpe(df, col("text"), nMerges = 4)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: 'es' and 'st' both appear in newest(6)+widest(3) = 9;
+    // 'es' wins the (l, r) tie-break alphabetically ('e' < 's');
+    // round 2: 'es'+'t' -> 'est' (9); round 3: 'e  w' in newest(6) and
+    // 'w  i' in widest(3)... recount: after est, newest = n e w est,
+    // widest = w i d est: pairs: (n,e)=6 (e,w)=6 (w,est)=6 (w,i)=3
+    // (i,d)=3 (d,est)=3 (l,o)=7 (o,w)=7 (w,e)=2 (e,r)=2 -> max 7 (l,o)
+    // round 4: lo+w -> 'low' (7)
+    assert(out == Seq(
+      (1L, "e", "s", 9L),
+      (2L, "es", "t", 9L),
+      (3L, "l", "o", 7L),
+      (4L, "lo", "w", 7L)))
+  }
+
+  test("trainBpe: [a,a,a,a] fuses to [aa,aa] — greedy pass matches real BPE") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("aaaa aaaa aaaa").toDF("text")
+    val out = Training.trainBpe(df, col("text"), nMerges = 2)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: (a,a) appears 3x per word x 3 words = 9; after the
+    // greedy fuse each word is [aa, aa] -> round 2: (aa,aa) count 3
+    assert(out == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
+  }
+
+  test("trainBpe: deterministic across partitionings; stops when pairs run out") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("ab ab cd", "ab cd x").toDF("text")
+    val a = Training.trainBpe(df, col("text"), nMerges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    val b = Training.trainBpe(df.repartition(5), col("text"), nMerges = 10)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(a == b)
+    // vocabulary {ab x3, cd x2, x} supports exactly 2 merges
+    assert(a == Seq((1L, "a", "b", 3L), (2L, "c", "d", 2L)))
+  }
 }
