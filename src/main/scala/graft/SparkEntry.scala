@@ -706,6 +706,19 @@ object SparkEntry {
       col("text"), nMerges = 3)
       .orderBy("merge_idx")
 
+  /** Train-then-tokenize end-to-end: q138's learned merges applied to
+    * every document; per-doc tokenizer fertility. The 3-row merge
+    * table is the only driver transfer.
+    */
+  private def qBpeApply(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val merges = graft.operators.Training.trainBpe(docs, col("text"), nMerges = 3)
+      .orderBy("merge_idx")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Training.applyBpe(docs, col("doc_id"), col("text"), merges)
+      .orderBy("doc_id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2078,6 +2091,7 @@ object SparkEntry {
     "q136_source_overlap" -> qSourceOverlap _,
     "q137_triplet_mining" -> qTriplets _,
     "q138_bpe_train" -> qBpeTrain _,
+    "q139_bpe_apply" -> qBpeApply _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3169,6 +3183,51 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // q138's trained merges applied to every document: the same
+      // delimiter-encoded representation, merges as a replace chain
+      // fed by scalar subqueries from the unrolled rounds
+      "q139_bpe_apply" ->
+        """WITH w AS (SELECT word, count(*) AS cnt FROM (
+          |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+          |   FROM documents) GROUP BY word),
+          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '  ') || '  ' AS s, cnt FROM w),
+          | p1 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w0))
+          |   GROUP BY 1, 2),
+          | t1 AS (SELECT l, r FROM p1 ORDER BY c DESC, l, r LIMIT 1),
+          | w1 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w0 CROSS JOIN t1 t),
+          | p2 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w1))
+          |   GROUP BY 1, 2),
+          | t2 AS (SELECT l, r FROM p2 ORDER BY c DESC, l, r LIMIT 1),
+          | w2 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w1 CROSS JOIN t2 t),
+          | p3 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+          |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+          |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w2))
+          |   GROUP BY 1, 2),
+          | t3 AS (SELECT l, r FROM p3 ORDER BY c DESC, l, r LIMIT 1),
+          | d AS (SELECT doc_id,
+          |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          | s0 AS (SELECT doc_id, len(ws) AS n_words,
+          |   array_to_string(list_transform(ws, x ->
+          |     '  ' || array_to_string([substr(x, i, 1) FOR i IN range(1, len(x) + 1)], '  ') || '  '), '') AS s
+          |  FROM d),
+          | s3 AS (SELECT doc_id, n_words,
+          |   replace(replace(replace(s,
+          |     '  ' || (SELECT l FROM t1) || '  ' || (SELECT r FROM t1),
+          |     '  ' || (SELECT l FROM t1) || (SELECT r FROM t1)),
+          |     '  ' || (SELECT l FROM t2) || '  ' || (SELECT r FROM t2),
+          |     '  ' || (SELECT l FROM t2) || (SELECT r FROM t2)),
+          |     '  ' || (SELECT l FROM t3) || '  ' || (SELECT r FROM t3),
+          |     '  ' || (SELECT l FROM t3) || (SELECT r FROM t3)) AS s
+          |  FROM s0)
+          |SELECT doc_id, n_words::BIGINT AS n_words,
+          | len(list_filter(string_split_regex(s, ' {2,}'), x -> x <> ''))::BIGINT AS n_tokens
+          |FROM s3 ORDER BY doc_id""".stripMargin,
 
       // hardest positive (same label) + hardest negative (different
       // label) per anchor; inner join drops anchors missing a side

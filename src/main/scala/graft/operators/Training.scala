@@ -159,4 +159,35 @@ object Training {
     cur.unpersist()
     merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
   }
+
+  /** Apply learned BPE merges ([[trainBpe]]'s output order matters) to
+    * every document and report tokenizer fertility: (doc_id, n_words,
+    * n_tokens) where n_tokens counts the BPE symbols after all merges
+    * — the tokens-per-word ratio is THE tokenizer-quality metric a
+    * data pipeline tracks per corpus slice.
+    *
+    * Map-only, zero exchanges: the document renders once into the
+    * same delimiter-encoded symbol string as training (each word's
+    * symbols own a leading double space; between words the boundary
+    * is four spaces, which no '  A  B' merge pattern can span, since
+    * symbols are space-free), then the merge list applies as a chain
+    * of M literal `replace` passes inside one projection.
+    */
+  def applyBpe(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      merges: Seq[(String, String)]): DataFrame = {
+    val words = TextAnalysis.tokens(lower(text))
+    val sym0 = concat_ws("", transform(words, w =>
+      concat(lit("  "), concat_ws("  ", split(w, "")), lit("  "))))
+    val merged = merges.foldLeft(sym0) { case (acc, (l, r)) =>
+      org.apache.spark.sql.functions.replace(acc,
+        lit(s"  $l  $r"), lit(s"  $l$r"))
+    }
+    df.select(id.cast("long").as("doc_id"),
+      size(words).cast("long").as("n_words"),
+      when(size(words) === 0, 0L)
+        .otherwise(size(split(trim(merged), "  +")).cast("long")).as("n_tokens"))
+  }
 }

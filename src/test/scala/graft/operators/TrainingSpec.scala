@@ -106,4 +106,36 @@ class TrainingSpec extends SparkTestBase {
     // vocabulary {ab x3, cd x2, x} supports exactly 2 merges
     assert(a == Seq((1L, "a", "b", 3L), (2L, "c", "d", 2L)))
   }
+
+  test("applyBpe: hand-computed fertility; merges never cross word boundaries") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq((0L, "lowest newest"), (1L, ""), (2L, "ab ab")).toDF("id", "text")
+    // merges (e,s) then (es,t): lowest -> l o w est, newest -> n e w est
+    val out = Training.applyBpe(df, col("id"), col("text"),
+        Seq(("e", "s"), ("es", "t")))
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out(0) == ((0L, 2L, 8L)))
+    assert(out(1) == ((1L, 0L, 0L)))
+    // merge (b,a) must NOT fuse across the 'ab ab' word boundary
+    val cross = Training.applyBpe(df.where(col("id") === 2), col("id"), col("text"),
+        Seq(("b", "a")))
+      .as[(Long, Long, Long)].head()
+    assert(cross == ((2L, 2L, 4L)))
+  }
+
+  test("applyBpe: fertility drops monotonically as trained merges apply") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq.tabulate(50)(i => (i.toLong, s"window window merge w$i")).toDF("id", "text")
+    val merges = Training.trainBpe(df, col("text"), nMerges = 5)
+      .orderBy("merge_idx")
+      .as[(Long, String, String, Long)].collect().toSeq.map(m => (m._2, m._3))
+    val counts = (0 to merges.size).map { k =>
+      Training.applyBpe(df, col("id"), col("text"), merges.take(k))
+        .agg(sum("n_tokens")).as[Long].head()
+    }
+    assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
+      s"each merge must strictly reduce total tokens on this corpus: $counts")
+  }
 }
