@@ -321,4 +321,52 @@ class PlanSpec extends SparkTestBase {
       .forall(cols => !cols.exists(_.contains("text"))),
       "document text must never ride an importance exchange")
   }
+
+  test("shuffleShards: exactly one data exchange, window partitioned by shard") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id")
+    val out = Sampling.shuffleShards(docs, col("doc_id"), seed = 7L, nShards = 8)
+    val plan = out.queryExecution.executedPlan.toString
+    // permutation = one shuffle keyed by shard + per-shard sort; a
+    // global ORDER BY (range exchange, single-partition window) must
+    // never appear
+    assert(Scale.countShuffles(out) == 1, plan)
+    assert(!plan.contains("rangepartitioning"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("hardNegatives / tripletMining: query side broadcasts, corpus never shuffles") {
+    import spark.implicits._
+    val vecs = (0L until 64L).map(i =>
+      (i, Seq.fill(8)((i % 7).toFloat + 1f), (i % 3).toInt)).toDF("id", "vec", "label")
+    val hn = Similarity.hardNegatives(vecs.where(col("id") < 2), vecs, k = 3)
+    val hnPlan = hn.queryExecution.executedPlan.toString
+    assert(hnPlan.contains("BroadcastNestedLoopJoin") || hnPlan.contains("BroadcastHashJoin"), hnPlan)
+    assert(!hnPlan.contains("SortMergeJoin") && !hnPlan.contains("CartesianProduct"), hnPlan)
+    // only the window's (query, same?, cos, id) rows shuffle — vectors don't
+    assert(Scale.shuffleOutputColumns(hn)
+      .forall(cols => !cols.exists(c => c.contains("vec"))), hnPlan)
+    val tm = Similarity.tripletMining(vecs.where(col("id") < 2), vecs)
+    assert(Scale.shuffleOutputColumns(tm)
+      .forall(cols => !cols.exists(c => c.contains("vec"))),
+      tm.queryExecution.executedPlan.toString)
+  }
+
+  test("applyBpe is a pure projection: zero exchanges, no join") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Training.applyBpe(docs, col("doc_id"), col("text"),
+      Seq(("e", "s"), ("es", "t")))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(Scale.countShuffles(out) == 0, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("crossSourceOverlap: text never rides an exchange on the hashKeys path") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profiling.crossSourceOverlap(docs, col("source"), col("text"),
+      n = 3, hashKeys = true)
+    // the only corpus-sized exchange carries (xxhash64, mask) longs
+    assert(Scale.shuffleOutputColumns(out)
+      .forall(cols => !cols.exists(c => c.contains("text") || c.contains("sh"))),
+      out.queryExecution.executedPlan.toString)
+  }
 }
