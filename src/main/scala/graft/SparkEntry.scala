@@ -719,6 +719,25 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** MERGE-style changeset application: deletes (id % 7 == 0, below
+    * 280 so no id collides with an upsert) and upserts (ids 290-319,
+    * part replacing / part new) against the doc_id < 300 corpus
+    * slice; output fingerprints the next version.
+    */
+  private def qApplyChanges(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 300)
+    val changes = docs.where(col("doc_id") % 7 === 0 && col("doc_id") < 280)
+      .select(col("doc_id").as("id"), lit("delete").as("op"), lit(null).cast("string").as("content"))
+      .unionByName(docs.where(col("doc_id") >= 290 && col("doc_id") < 320)
+        .select(col("doc_id").as("id"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("content")))
+    graft.operators.Snapshot.applyChanges(corpus, col("doc_id"), col("text"), changes)
+      .select(col("id"), length(col("content")).cast("long").as("n_chars"),
+        md5(col("content").cast("binary")).as("fp"))
+      .orderBy("id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -735,6 +754,38 @@ object SparkEntry {
     * add merging makes the drained sketch EXACTLY equal to a batch
     * build, so it certifies against q127's oracle verbatim.
     */
+  /** Stream-stream interval join (q72's drain pattern): even events
+    * match odd events of the same user within the following hour;
+    * inner-join matches emit eagerly, so the AvailableNow drain is
+    * the complete batch answer.
+    */
+  private def qStreamIntervalJoin(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tsT = schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => col("ts")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      case _ => timestamp_micros(expr("ts div 1000"))
+    }
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      .where(col("user_id") < 30)
+      .select(col("event_id"), col("user_id"), tsT.as("ts_t"))
+    val joined = graft.streaming.StreamingOps.intervalJoin(
+        stream.where(col("event_id") % 2 === 0),
+        stream.where(col("event_id") % 2 === 1),
+        keyCol = "user_id", tsCol = "ts_t", maxDelay = "1 hour")
+      .select(col("l.user_id").as("user_id"),
+        col("l.event_id").as("left_id"), col("r.event_id").as("right_id"))
+    val q = joined.writeStream.format("memory").queryName("graft_stream_ij")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_ij").orderBy("user_id", "left_id", "right_id")
+  }
+
   private def qStreamCms(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
@@ -2092,6 +2143,8 @@ object SparkEntry {
     "q137_triplet_mining" -> qTriplets _,
     "q138_bpe_train" -> qBpeTrain _,
     "q139_bpe_apply" -> qBpeApply _,
+    "q140_apply_changes" -> qApplyChanges _,
+    "q141_stream_interval_join" -> qStreamIntervalJoin _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3183,6 +3236,35 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // the drained stream-stream inner interval join equals the
+      // batch self-join with the same micro-precision bounds
+      "q141_stream_interval_join" ->
+        """WITH e AS (SELECT event_id, user_id, epoch_us(ts)::BIGINT AS t
+          |           FROM events WHERE user_id < 30),
+          | l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+          | r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+          |SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id
+          |FROM l JOIN r ON l.user_id = r.user_id
+          |  AND r.t >= l.t AND r.t <= l.t + 3600000000
+          |ORDER BY l.user_id, left_id, right_id""".stripMargin,
+
+      // delete = corpus MINUS change ids; upsert rows union in; the
+      // next version fingerprinted per id
+      "q140_apply_changes" ->
+        """WITH corpus AS (SELECT doc_id AS id, text AS content FROM documents WHERE doc_id < 300),
+          | ch AS (
+          |  SELECT doc_id AS id, 'delete' AS op, NULL AS content FROM documents
+          |  WHERE doc_id % 7 = 0 AND doc_id < 280
+          |  UNION ALL
+          |  SELECT doc_id AS id, 'upsert' AS op, text || ' v2' AS content FROM documents
+          |  WHERE doc_id >= 290 AND doc_id < 320),
+          | applied AS (
+          |  SELECT c.id, c.content FROM corpus c ANTI JOIN ch ON c.id = ch.id
+          |  UNION ALL
+          |  SELECT id, content FROM ch WHERE op = 'upsert')
+          |SELECT id, len(content)::BIGINT AS n_chars, md5(content) AS fp
+          |FROM applied ORDER BY id""".stripMargin,
 
       // q138's trained merges applied to every document: the same
       // delimiter-encoded representation, merges as a replace chain

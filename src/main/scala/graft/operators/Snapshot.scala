@@ -53,4 +53,36 @@ object Snapshot {
   def diffCounts(oldDf: DataFrame, newDf: DataFrame, id: Column, content: Column): DataFrame =
     diff(oldDf, newDf, id, content)
       .groupBy("status").agg(count(lit(1)).as("n"))
+
+  /** MERGE-style corpus maintenance — [[diff]]'s inverse: apply a
+    * changeset to a keyed corpus and return the next version.
+    * `changes` carries (id, op, content) with op ∈ {"upsert",
+    * "delete"}: upsert replaces-or-inserts the document, delete
+    * removes it (deleting an absent id is a no-op). Output: the new
+    * corpus as (id, content).
+    *
+    * Scale shape: the changeset is release-sized — orders of
+    * magnitude under the corpus — so the touched-id removal is an
+    * anti-join against a (typically broadcast) id set: the untouched
+    * bulk of the corpus passes through WITHOUT its content ever
+    * riding an exchange, and the upserts union in map-only.
+    * `diff(corpus, applyChanges(corpus, …))` reports exactly the
+    * changeset back (spec-pinned), which is the round-trip invariant
+    * release bookkeeping relies on.
+    *
+    * Change ids must be unique (one op per id per release — a
+    * contradictory upsert+delete for the same id has no defined
+    * order); corpus keys unique and non-null as in [[diff]].
+    */
+  def applyChanges(
+      corpus: DataFrame,
+      id: Column,
+      content: Column,
+      changes: DataFrame): DataFrame = {
+    val base = corpus.select(id.cast("long").as("id"), content.as("content"))
+    val ch = changes.select(col("id").cast("long").as("id"),
+      col("op").cast("string").as("op"), col("content").cast("string").as("content"))
+    base.join(ch.select("id"), Seq("id"), "left_anti")
+      .unionByName(ch.where(col("op") === "upsert").select("id", "content"))
+  }
 }

@@ -97,6 +97,30 @@ object StreamingOps {
     * flatMapGroupsWithState shape that scales with distinct keys, not
     * events.
     */
+  /** Stream-STREAM interval join — the event-matching primitive
+    * (view↔click, impression↔conversion): for every left event, the
+    * right events with the same key whose timestamp falls in
+    * [left.ts, left.ts + maxDelay]. Both sides carry watermarks so
+    * the state store evicts rows older than watermark − maxDelay —
+    * state is bounded by the delay horizon, not the stream length.
+    * INNER join: matches emit as they form (append mode), nothing is
+    * withheld on the watermark, so an AvailableNow drain yields the
+    * complete batch-equivalent answer.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      maxDelay: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermark).alias("l")
+    val r = right.withWatermark(tsCol, watermark).alias("r")
+    l.join(r, expr(
+      s"l.$keyCol = r.$keyCol AND r.$tsCol >= l.$tsCol AND " +
+        s"r.$tsCol <= l.$tsCol + INTERVAL $maxDelay"))
+  }
+
   /** Streaming exact dedup: emit each document the FIRST time its
     * normalized-content fingerprint arrives; later duplicates are
     * dropped. The incremental-ingest counterpart of

@@ -55,4 +55,32 @@ class SnapshotSpec extends SparkTestBase {
     assert(!joinInputAttrs.contains("text"),
       s"text crosses the join: $joinInputAttrs")
   }
+
+  test("applyChanges: upsert replaces and inserts, delete removes, absent delete no-ops") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val changes = Seq(
+      (2L, "upsert", "B2"), // replace
+      (4L, "upsert", "d"),  // insert
+      (3L, "delete", null.asInstanceOf[String]),
+      (9L, "delete", null.asInstanceOf[String])) // absent: no-op
+      .toDF("id", "op", "content")
+    val out = Snapshot.applyChanges(corpus, col("doc_id"), col("text"), changes)
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B2", 4L -> "d"))
+  }
+
+  test("applyChanges round-trip: diff(corpus, applied) reports exactly the changeset") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val changes = Seq(
+      (5L, "upsert", "doc5 v2"), (60L, "upsert", "new"), (7L, "delete", null.asInstanceOf[String]))
+      .toDF("id", "op", "content")
+    val applied = Snapshot.applyChanges(corpus, col("doc_id"), col("text"), changes)
+      .select(col("id").as("doc_id"), col("content").as("text"))
+    val d = Snapshot.diff(corpus, applied, col("doc_id"), col("text"))
+      .where(col("status") =!= "unchanged")
+      .as[(Long, String)].collect().toMap
+    assert(d == Map(5L -> "changed", 60L -> "added", 7L -> "removed"))
+  }
 }

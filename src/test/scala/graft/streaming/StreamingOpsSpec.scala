@@ -33,6 +33,32 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("intervalJoin: inclusive bounds, cross-key isolation, eager inner emission") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(hms: String) = Timestamp.valueOf(s"2024-01-01 $hms")
+    val lMem = MemoryStream[(Long, Long, Timestamp)]
+    val rMem = MemoryStream[(Long, Long, Timestamp)]
+    val joined = StreamingOps.intervalJoin(
+        lMem.toDF().toDF("id", "k", "t"), rMem.toDF().toDF("id", "k", "t"),
+        keyCol = "k", tsCol = "t", maxDelay = "1 hour")
+      .select(col("l.id").as("lid"), col("r.id").as("rid"))
+    val q = joined.writeStream.format("memory").queryName("ij")
+      .outputMode("append").start()
+    try {
+      lMem.addData((1L, 7L, ts("10:00:00")), (2L, 8L, ts("10:00:00")))
+      rMem.addData(
+        (10L, 7L, ts("10:00:00")), // boundary: exactly at left ts -> in
+        (11L, 7L, ts("11:00:00")), // boundary: exactly +1h -> in
+        (12L, 7L, ts("11:00:01")), // beyond the delay -> out
+        (13L, 7L, ts("09:59:59")), // before the left event -> out
+        (14L, 9L, ts("10:30:00"))) // other key -> out
+      q.processAllAvailable()
+      val rows = spark.table("ij").as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L), (1L, 11L)))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close on new-session arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
