@@ -138,4 +138,55 @@ class TrainingSpec extends SparkTestBase {
     assert(counts.zip(counts.tail).forall { case (a, b) => b < a },
       s"each merge must strictly reduce total tokens on this corpus: $counts")
   }
+
+  test("trainBpe matches an independent in-memory BPE on seeded random corpora") {
+    val spark0 = spark
+    import spark0.implicits._
+    // reference: textbook BPE over a word-frequency map — greedy
+    // left-to-right fuse, argmax pair by (count desc, pair asc)
+    def refBpe(words: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+      var cur: Map[Vector[String], Long] = words.toSeq
+        .map { case (w, c) => (w.toVector.map(_.toString), c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val out = Seq.newBuilder[(String, String, Long)]
+      var done = false
+      for (_ <- 1 to nMerges if !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          out += ((l, r, c))
+          cur = cur.toSeq.map { case (syms, cnt) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            (b.result(), cnt)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 6) {
+      // tiny alphabet forces repeated-symbol words ("aab", "bbbb") —
+      // the greedy-fuse edge cases
+      val vocab = Seq.fill(8)((0 until (1 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = Seq.fill(12)(Seq.fill(1 + rnd.nextInt(6))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val freqs = docs.flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupMapReduce(identity)(_ => 1L)(_ + _)
+      val expected = refBpe(freqs, nMerges = 3)
+      val got = Training.trainBpe(docs.toDF("text"), col("text"), nMerges = 3)
+        .as[(Long, String, String, Long)].collect().toSeq.map(m => (m._2, m._3, m._4))
+      assert(got == expected, s"trial $trial: corpus=$docs got=$got expected=$expected")
+    }
+  }
 }
