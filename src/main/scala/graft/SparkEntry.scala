@@ -738,6 +738,27 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Incremental release end-to-end: diff the corpus (doc_id < 250)
+    * against a fresh crawl (50-299; every 10th doc revised, every
+    * 25th degraded to junk that the quality gate must reject),
+    * admit only gated added/changed docs, delete the vanished, and
+    * fingerprint version N+1.
+    */
+  private def qIncrementalRelease(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.where(col("doc_id") < 250).select(col("doc_id"), col("text"))
+    val crawl = docs.where(col("doc_id") >= 50 && col("doc_id") < 300)
+      .select(col("doc_id"),
+        when(col("doc_id") % 25 === 0, lit("junk"))
+          .when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+    graft.operators.CorpusPipeline.incrementalRelease(
+        corpus, crawl, col("doc_id"), col("text"), minTokens = 5L)
+      .select(col("id"), length(col("content")).cast("long").as("n_chars"),
+        md5(col("content").cast("binary")).as("fp"))
+      .orderBy("id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2145,6 +2166,7 @@ object SparkEntry {
     "q139_bpe_apply" -> qBpeApply _,
     "q140_apply_changes" -> qApplyChanges _,
     "q141_stream_interval_join" -> qStreamIntervalJoin _,
+    "q142_incremental_release" -> qIncrementalRelease _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3236,6 +3258,30 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // diff -> token-count gate on added/changed -> deletes for
+      // removed -> MERGE; degraded docs keep their old version
+      "q142_incremental_release" ->
+        """WITH corpus AS (SELECT doc_id AS id, text AS content FROM documents WHERE doc_id < 250),
+          | crawl AS (SELECT doc_id AS id,
+          |    CASE WHEN doc_id % 25 = 0 THEN 'junk'
+          |         WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END AS content
+          |   FROM documents WHERE doc_id >= 50 AND doc_id < 300),
+          | st AS (SELECT coalesce(o.id, n.id) AS id,
+          |    CASE WHEN o.id IS NULL THEN 'added' WHEN n.id IS NULL THEN 'removed'
+          |         WHEN md5(o.content) <> md5(n.content) THEN 'changed' ELSE 'unchanged' END AS status,
+          |    n.content AS new_content
+          |   FROM corpus o FULL OUTER JOIN crawl n ON o.id = n.id),
+          | admitted AS (SELECT id, new_content AS content FROM st
+          |   WHERE status IN ('added', 'changed')
+          |     AND len(list_filter(regexp_split_to_array(trim(new_content), '\s+'), x -> x <> '')) >= 5),
+          | deletes AS (SELECT id FROM st WHERE status = 'removed'),
+          | applied AS (
+          |   SELECT c.id, c.content FROM corpus c
+          |   WHERE c.id NOT IN (SELECT id FROM admitted) AND c.id NOT IN (SELECT id FROM deletes)
+          |   UNION ALL SELECT id, content FROM admitted)
+          |SELECT id, len(content)::BIGINT AS n_chars, md5(content) AS fp
+          |FROM applied ORDER BY id""".stripMargin,
 
       // the drained stream-stream inner interval join equals the
       // batch self-join with the same micro-precision bounds

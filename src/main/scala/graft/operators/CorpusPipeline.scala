@@ -143,4 +143,39 @@ object CorpusPipeline {
     Sampling.hashSplit(surviving.join(redacted, "doc_id"), col("doc_id"), cfg.splits)
       .select("doc_id", "split", "n_tokens", "uniq_ratio", "top_token_frac", "redacted")
   }
+
+  /** Incremental corpus RELEASE: reconcile the current version against
+    * a fresh crawl and produce the next version end-to-end —
+    * [[Snapshot.diff]] decides what moved, only `added`/`changed`
+    * documents re-enter quality filtering (a token-count gate here; a
+    * release pins whatever gates it uses), `removed` ids become
+    * deletes, and [[Snapshot.applyChanges]] materializes version N+1.
+    * Documents that fail the gate DON'T enter the release: a changed
+    * document that degraded below the bar keeps its OLD version (the
+    * conservative choice — a release never replaces good content with
+    * junk), and an added one is simply not admitted.
+    *
+    * Scale shape: diff moves fingerprints only; the quality gate runs
+    * on the crawl-side added/changed slice (semi-join, crawl-sized at
+    * worst, release-sized typically); applyChanges anti-joins the
+    * corpus against the release-sized change-id set. The unchanged
+    * bulk — the overwhelming majority between releases — never has
+    * its content on any exchange.
+    */
+  def incrementalRelease(
+      corpus: DataFrame,
+      crawl: DataFrame,
+      id: Column,
+      text: Column,
+      minTokens: Long): DataFrame = {
+    val d = Snapshot.diff(corpus, crawl, id, text)
+    val crawlDocs = crawl.select(id.cast("long").as("id"), text.as("content"))
+    val admitted = crawlDocs
+      .join(d.where(col("status").isin("added", "changed")), Seq("id"), "left_semi")
+      .where(size(TextAnalysis.tokens(col("content"))) >= minTokens)
+      .select(col("id"), lit("upsert").as("op"), col("content"))
+    val deletes = d.where(col("status") === "removed")
+      .select(col("id"), lit("delete").as("op"), lit(null).cast("string").as("content"))
+    Snapshot.applyChanges(corpus, id, text, admitted.unionByName(deletes))
+  }
 }

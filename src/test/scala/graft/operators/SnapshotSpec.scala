@@ -83,4 +83,29 @@ class SnapshotSpec extends SparkTestBase {
       .as[(Long, String)].collect().toMap
     assert(d == Map(5L -> "changed", 60L -> "added", 7L -> "removed"))
   }
+
+  test("incrementalRelease: gate rejects degraded docs — old version survives") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "one two three four five"),   // will vanish from the crawl
+      (2L, "alpha beta gamma delta eps"), // will degrade to junk
+      (3L, "kept exactly as it was ok"),  // unchanged
+      (4L, "to be revised one two three") // revised, passes the gate
+    ).toDF("doc_id", "text")
+    val crawl = Seq(
+      (2L, "junk"),                            // changed but fails gate
+      (3L, "kept exactly as it was ok"),       // unchanged
+      (4L, "revised version with five words"), // changed, admitted
+      (5L, "brand new document with words"),   // added, admitted
+      (6L, "tiny")                             // added but fails gate
+    ).toDF("doc_id", "text")
+    val v2 = CorpusPipeline.incrementalRelease(
+        corpus, crawl, col("doc_id"), col("text"), minTokens = 5L)
+      .as[(Long, String)].collect().toMap
+    assert(v2 == Map(
+      2L -> "alpha beta gamma delta eps",      // degraded: OLD kept
+      3L -> "kept exactly as it was ok",
+      4L -> "revised version with five words",
+      5L -> "brand new document with words"))  // 1 deleted, 6 rejected
+  }
 }
