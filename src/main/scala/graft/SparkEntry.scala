@@ -759,6 +759,26 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Domain blocklist with subdomain suffix matching over synthetic
+    * crawl URLs: ports strip, subdomains of blocked domains block,
+    * `notexample.com` survives `example.com`.
+    */
+  private def qDomainBlocklist(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val url = when(col("doc_id") % 5 === 0,
+        concat(lit("https://ads.tracker.net/x/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 5 === 1,
+        concat(lit("https://cdn.assets.example.com/p?q="), col("doc_id").cast("string")))
+      .when(col("doc_id") % 5 === 2,
+        concat(lit("HTTPS://Example.COM:443/"), col("doc_id").cast("string")))
+      .when(col("doc_id") % 5 === 3,
+        concat(lit("https://notexample.com/"), col("doc_id").cast("string")))
+      .otherwise(concat(lit("https://good.org/a/"), col("doc_id").cast("string")))
+    TextAnalysis.domainBlocklistFilter(docs, col("doc_id"), url,
+        Seq("example.com", "tracker.net"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2167,6 +2187,7 @@ object SparkEntry {
     "q140_apply_changes" -> qApplyChanges _,
     "q141_stream_interval_join" -> qStreamIntervalJoin _,
     "q142_incremental_release" -> qIncrementalRelease _,
+    "q143_domain_blocklist" -> qDomainBlocklist _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3258,6 +3279,24 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // host via the same RE2 regex; label suffixes by list slicing;
+      // blocked iff any suffix is in the list
+      "q143_domain_blocklist" ->
+        """WITH u AS (SELECT doc_id,
+          |   CASE doc_id % 5
+          |     WHEN 0 THEN 'https://ads.tracker.net/x/' || doc_id
+          |     WHEN 1 THEN 'https://cdn.assets.example.com/p?q=' || doc_id
+          |     WHEN 2 THEN 'HTTPS://Example.COM:443/' || doc_id
+          |     WHEN 3 THEN 'https://notexample.com/' || doc_id
+          |     ELSE 'https://good.org/a/' || doc_id END AS url
+          |  FROM documents),
+          | h AS (SELECT doc_id, lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)', 1)) AS host FROM u),
+          | sfx AS (SELECT doc_id, host,
+          |   [array_to_string(ls[i:], '.') FOR i IN range(1, len(ls) + 1)] AS sufs
+          |  FROM (SELECT doc_id, host, string_split(host, '.') AS ls FROM h))
+          |SELECT doc_id, host, NOT list_has_any(sufs, ['example.com', 'tracker.net']) AS kept
+          |FROM sfx ORDER BY doc_id""".stripMargin,
 
       // diff -> token-count gate on added/changed -> deletes for
       // removed -> MERGE; degraded docs keep their old version

@@ -312,6 +312,37 @@ object TextAnalysis {
     * slashes are stripped even from a bare authority (`https://x.com/`
     * -> `https://x.com`) — both standard canonicalizer choices.
     */
+  /** Domain blocklist filter with SUBDOMAIN suffix matching — the
+    * crawl-curation semantics ("block example.com" must also block
+    * "cdn.assets.example.com", but NOT "notexample.com"): a document
+    * is blocked when any dot-boundary suffix of its URL's host is a
+    * blocked domain. Output: (doc_id, host, kept).
+    *
+    * Map-only, zero exchanges: the host parses out of the URL with
+    * one regex, its label-suffix array builds in the projection, and
+    * membership is a single codegen'd `arrays_overlap` against the
+    * blocklist riding the plan as a literal (blocklists are
+    * broadcast-scale by definition; a 10^6-domain list would switch
+    * to a broadcast semi-join on the exploded suffixes — same
+    * per-row work, one extra broadcast).
+    */
+  def domainBlocklistFilter(
+      df: DataFrame,
+      id: Column,
+      url: Column,
+      blockedDomains: Seq[String]): DataFrame = {
+    require(blockedDomains.nonEmpty, "need at least one blocked domain")
+    require(blockedDomains.forall(d => d == d.toLowerCase && !d.contains("/")),
+      s"blocked domains must be bare lowercase hosts: $blockedDomains")
+    val host = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    val labels = split(host, "\\.")
+    val suffixes = transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+    val blockedLit = array(blockedDomains.map(lit): _*)
+    df.select(id.cast("long").as("doc_id"), host.as("host"),
+      (!arrays_overlap(suffixes, blockedLit)).as("kept"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val trimmed = regexp_replace(url, "^\\s+|\\s+$", "")
     val noFrag = regexp_replace(trimmed, "#.*$", "")

@@ -626,4 +626,29 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(Scale.countShuffles(df2) == 2,
       "exactly the two map-side-combined aggregation exchanges")
   }
+
+  test("domainBlocklistFilter: suffix semantics — subdomains block, lookalikes survive") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "https://example.com/a"),
+      (1L, "https://cdn.assets.example.com/x"),   // subdomain: blocked
+      (2L, "https://notexample.com/y"),           // lookalike: kept
+      (3L, "HTTPS://Example.COM:8080/z"),         // case + port: blocked
+      (4L, "https://com/q"),                      // bare TLD-ish host: kept
+      (5L, "https://tracker.net.evil.org/p"))     // blocked name as PREFIX: kept
+      .toDF("id", "url")
+    val out = TextAnalysis.domainBlocklistFilter(df, col("id"), col("url"),
+        Seq("example.com", "tracker.net"))
+      .as[(Long, String, Boolean)].collect()
+      .map { case (i, h, k) => i -> ((h, k)) }.toMap
+    assert(out(0L) == (("example.com", false)))
+    assert(out(1L) == (("cdn.assets.example.com", false)))
+    assert(out(2L) == (("notexample.com", true)))
+    assert(out(3L) == (("example.com", false)))
+    assert(out(4L) == (("com", true)))
+    assert(out(5L) == (("tracker.net.evil.org", true)))
+    // map-only
+    assert(Scale.countShuffles(TextAnalysis.domainBlocklistFilter(
+      df, col("id"), col("url"), Seq("example.com"))) == 0)
+  }
 }
