@@ -779,6 +779,29 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Unicode normalization: NFC composition + accent stripping over
+    * text with synthesized decomposed/precomposed/accented suffixes
+    * (the fixture corpus is ASCII); fingerprints certify both forms.
+    */
+  private def qNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    // %4==0: DECOMPOSED (e/i + combining marks); %4==1: precomposed --
+    // after NFC the two suffixes are codepoint-identical
+    val suffix = when(col("doc_id") % 4 === 0, lit(" cafe\u0301 nai\u0308ve"))
+      .when(col("doc_id") % 4 === 1, lit(" caf\u00e9 na\u00efve"))
+      .when(col("doc_id") % 4 === 2, lit(" M\u00fcller S\u00e3o \u0142 \u00f8"))
+      .otherwise(lit(""))
+    val text2 = concat(col("text"), suffix)
+    val nfc = graft.functions.TextOps.nfcNormalize(text2)
+    val stripped = graft.functions.TextOps.stripAccents(text2)
+    docs.select(col("doc_id"),
+        md5(nfc.cast("binary")).as("nfc_fp"),
+        md5(stripped.cast("binary")).as("stripped_fp"),
+        (nfc =!= text2).as("nfc_changed"),
+        (stripped =!= nfc).as("accents_stripped"))
+      .orderBy("doc_id")
+  }
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2188,6 +2211,7 @@ object SparkEntry {
     "q141_stream_interval_join" -> qStreamIntervalJoin _,
     "q142_incremental_release" -> qIncrementalRelease _,
     "q143_domain_blocklist" -> qDomainBlocklist _,
+    "q144_normalize" -> qNormalize _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3279,6 +3303,23 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // suffixes built from chr() codepoints (branch 0 decomposed,
+      // branch 1 precomposed); DuckDB's nfc_normalize/strip_accents
+      // implement the same UAX #15 transforms as the native exprs
+      "q144_normalize" ->
+        """WITH t AS (SELECT doc_id, text ||
+          |   CASE doc_id % 4
+          |     WHEN 0 THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+          |     WHEN 1 THEN ' caf' || chr(233) || ' na' || chr(239) || 've'
+          |     WHEN 2 THEN ' M' || chr(252) || 'ller S' || chr(227) || 'o ' || chr(322) || ' ' || chr(248)
+          |     ELSE '' END AS t2
+          |  FROM documents)
+          |SELECT doc_id, md5(nfc_normalize(t2)) AS nfc_fp,
+          | md5(strip_accents(t2)) AS stripped_fp,
+          | nfc_normalize(t2) <> t2 AS nfc_changed,
+          | strip_accents(t2) <> nfc_normalize(t2) AS accents_stripped
+          |FROM t ORDER BY doc_id""".stripMargin,
 
       // host via the same RE2 regex; label suffixes by list slicing;
       // blocked iff any suffix is in the list

@@ -159,6 +159,8 @@ object GraftExtensions {
     fn("adjacent_pairs", classOf[AdjacentPairs], TextOps.adjacentPairsBuilder),
     fn("cdc_chunks", classOf[CdcChunks], TextOps.cdcChunksBuilder),
     fn("char_hist_stats", classOf[CharHistStats], TextOps.charHistStatsBuilder),
+    fn("nfc_normalize", classOf[NfcNormalize], children => NfcNormalize(children.head)),
+    fn("strip_accents", classOf[StripAccents], children => StripAccents(children.head)),
     fn("zorder2", classOf[ZOrder2], LayoutOps.zorder2Builder),
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder),
     fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder),

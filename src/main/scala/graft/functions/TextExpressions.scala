@@ -146,6 +146,31 @@ object TextRuntime {
       org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(tfs)))
   }
 
+  /** UAX #15 NFC canonical composition (see [[NfcNormalize]]). */
+  def nfcNormalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  /** NFD, drop combining marks (Mn), recompose NFC (see
+    * [[StripAccents]]).
+    */
+  def stripAccents(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val nfd = java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val out = java.text.Normalizer.normalize(sb.toString, java.text.Normalizer.Form.NFC)
+    if (out == str) s else UTF8String.fromString(out)
+  }
+
   /** Single-pass character-histogram statistics over UTF-16 code
     * units: (n_chars, distinct_chars, max_char_count, collision_mass)
     * with collision_mass = Σ_c n_c² — the integer numerator of the
@@ -288,6 +313,53 @@ case class TermFreqs(child: Expression, terms: Seq[String])
   * would put one row PER CHARACTER on a shuffle; this keeps the whole
   * profile map-only.
   */
+/** nfc_normalize(text): Unicode NFC canonical composition — the
+  * normalization every multilingual EXACT-dedup must run first
+  * ("café" with a precomposed é and with e + COMBINING ACUTE are the
+  * same document; byte-level md5 says otherwise). One codegen'd call
+  * into `java.text.Normalizer`, which short-circuits on
+  * already-normalized text (the ASCII common case is a scan, not a
+  * rewrite). DuckDB's `nfc_normalize` matches codepoint-for-codepoint
+  * — both implement UAX #15.
+  */
+case class NfcNormalize(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.nfcNormalize(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.nfcNormalize($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
+/** strip_accents(text): NFD decomposition with combining marks
+  * (category Mn) removed, recomposed NFC — "café" → "cafe",
+  * "Müller" → "Muller". Matches DuckDB's `strip_accents` on
+  * combining-decomposable letters (the Latin/Greek/Cyrillic accent
+  * repertoire); letters with no canonical decomposition (ł, ø, æ)
+  * pass through unchanged in BOTH engines — that is the documented
+  * semantics, not a gap.
+  */
+case class StripAccents(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = StringType
+  override def prettyName: String = "strip_accents"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.stripAccents(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.stripAccents($c)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): StripAccents =
+    copy(child = newChild)
+}
+
 case class CharHistStats(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
   override def inputTypes = Seq(StringType)
@@ -322,6 +394,12 @@ object TextOps {
 
   def termFreqs(text: Column, terms: Seq[String]): Column =
     ColumnBridge.column(TermFreqs(ColumnBridge.expression(text), terms))
+
+  def nfcNormalize(text: Column): Column =
+    ColumnBridge.column(NfcNormalize(ColumnBridge.expression(text)))
+
+  def stripAccents(text: Column): Column =
+    ColumnBridge.column(StripAccents(ColumnBridge.expression(text)))
 
   private[functions] def charHistStatsBuilder(children: Seq[Expression]): Expression = {
     if (children.length != 1)

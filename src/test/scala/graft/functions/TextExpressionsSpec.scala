@@ -78,4 +78,31 @@ class TextExpressionsSpec extends SparkTestBase {
     assert(out(1) == ((1L, 1000L, false))) // single repeated char -> 1000
     assert(out(0)._2 < 200L && out(0)._3)
   }
+
+  test("nfc_normalize: decomposed and precomposed forms converge; idempotent; ASCII untouched") {
+    import spark.implicits._
+    val decomposed = "cafe\u0301 nai\u0308ve"
+    val precomposed = "caf\u00e9 na\u00efve"
+    assert(decomposed != precomposed) // different codepoints before NFC
+    val df = Seq((0L, decomposed), (1L, precomposed), (2L, "plain ascii")).toDF("id", "t")
+    val out = df.select(col("id"), TextOps.nfcNormalize(col("t")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(0L) == out(1L), "NFC must converge the two spellings")
+    assert(out(1L) == precomposed)
+    assert(out(2L) == "plain ascii")
+    // idempotent + SQL-registered
+    val twice = df.selectExpr("nfc_normalize(nfc_normalize(t)) AS a", "nfc_normalize(t) AS b")
+      .where(col("a") =!= col("b")).count()
+    assert(twice == 0L)
+  }
+
+  test("strip_accents: NFD-minus-combining reference; non-decomposable letters pass through") {
+    import spark.implicits._
+    val df = Seq("café naïve Müller São ł ø café")
+      .toDF("t")
+    val got = df.select(TextOps.stripAccents(col("t"))).as[String].head()
+    assert(got == "cafe naive Muller Sao ł ø cafe")
+    // SQL registration
+    assert(df.selectExpr("strip_accents(t)").as[String].head() == got)
+  }
 }
