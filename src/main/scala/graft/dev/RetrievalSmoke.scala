@@ -50,11 +50,27 @@ object RetrievalSmoke {
     val tr = time("trainBatchPerceptron (B=256, 3 rounds)")(
       graft.operators.Training.trainBatchPerceptron(docs, col("doc_id"),
         col("text"), col("doc_id") % 2 === 0, buckets = 256, iters = 3).count())
+    // the ASCII common case exercises the NFC short-circuit; accents
+    // run the full NFD pass on a 1-in-5 accented slice
+    val nf = time("nfcNormalize + stripAccents (1-in-5 accented)")(
+      docs.select(
+          graft.functions.TextOps.nfcNormalize(
+            when(col("doc_id") % 5 === 0,
+              concat(col("text"), lit(" café naïve"))).otherwise(col("text"))).as("n"),
+          graft.functions.TextOps.stripAccents(col("text")).as("a"))
+        .select(sum(length(col("n"))) + sum(length(col("a")))).head().getLong(0))
+    val ac = time("applyChanges (1% changeset)")(
+      graft.operators.Snapshot.applyChanges(
+        docs.select(col("doc_id"), col("text")), col("doc_id"), col("text"),
+        docs.where(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("id"),
+            when(col("doc_id") % 200 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+            concat(col("text"), lit(" v2")).as("content"))).count())
     val so = time("crossSourceOverlap (5 synthetic sources)")(
       graft.operators.Profiling.crossSourceOverlap(
         docs.withColumn("src", (col("doc_id") % 5).cast("string")),
         col("src"), col("text"), n = 3, hashKeys = true).count())
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr overlapPairs=$so")
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac overlapPairs=$so")
     spark.stop()
   }
 }
