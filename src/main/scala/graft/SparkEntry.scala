@@ -850,6 +850,29 @@ object SparkEntry {
     s.table("graft_stream_ij").orderBy("user_id", "left_id", "right_id")
   }
 
+  /** Streaming CDC materialization: the events file as a change log
+    * (event_id = LSN, id = event_id % 100, every 13th a tombstone);
+    * drained latest-op-wins state equals the batch arg_max.
+    */
+  private def qStreamCdc(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val changes = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      .select((col("event_id") % 100).as("id"), col("event_id").as("seq"),
+        when(col("event_id") % 13 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
+        concat(lit("v"), col("event_id").cast("string")).as("content"))
+    val state = graft.streaming.StreamingOps.materializeChanges(changes)
+    val q = state.writeStream.format("memory").queryName("graft_stream_cdc")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_cdc")
+      .where(col("op") === "upsert")
+      .select(col("id"), col("content"), col("seq").cast("long").as("seq"))
+      .orderBy("id")
+  }
+
   private def qStreamCms(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
@@ -2212,6 +2235,7 @@ object SparkEntry {
     "q142_incremental_release" -> qIncrementalRelease _,
     "q143_domain_blocklist" -> qDomainBlocklist _,
     "q144_normalize" -> qNormalize _,
+    "q145_stream_cdc" -> qStreamCdc _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3303,6 +3327,18 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // the drained complete-mode latest-op-wins state equals the
+      // batch arg_max over the same change log
+      "q145_stream_cdc" ->
+        """WITH ch AS (SELECT event_id % 100 AS id, event_id AS seq,
+          |   CASE WHEN event_id % 13 = 0 THEN 'delete' ELSE 'upsert' END AS op,
+          |   'v' || event_id AS content
+          |  FROM events),
+          | fin AS (SELECT id, arg_max(op, seq) AS op, arg_max(content, seq) AS content,
+          |         max(seq) AS seq FROM ch GROUP BY id)
+          |SELECT id, content, seq::BIGINT AS seq FROM fin
+          |WHERE op = 'upsert' ORDER BY id""".stripMargin,
 
       // suffixes built from chr() codepoints (branch 0 decomposed,
       // branch 1 precomposed); DuckDB's nfc_normalize/strip_accents

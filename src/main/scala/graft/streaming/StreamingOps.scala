@@ -121,6 +121,24 @@ object StreamingOps {
         s"r.$tsCol <= l.$tsCol + INTERVAL $maxDelay"))
   }
 
+  /** Streaming CDC materialization — the streaming counterpart of
+    * [[graft.operators.Snapshot.applyChanges]]: a change stream of
+    * (id, seq, op, content) rows folds into current-corpus state by
+    * LATEST-op-wins per id (`max_by` over the change sequence
+    * number, which must be unique per id — a CDC log's LSN).
+    * Complete-mode aggregate: state is one (op, content, seq) per
+    * live id, merged associatively, so the drained table equals the
+    * batch arg_max regardless of how updates were batched. Callers
+    * filter `op = 'upsert'` for the live corpus; `delete` rows are
+    * tombstones (kept in state so a late stale upsert cannot
+    * resurrect a deleted id).
+    */
+  def materializeChanges(changes: DataFrame): DataFrame =
+    changes.groupBy("id").agg(
+      max_by(col("op"), col("seq")).as("op"),
+      max_by(col("content"), col("seq")).as("content"),
+      max(col("seq")).as("seq"))
+
   /** Streaming exact dedup: emit each document the FIRST time its
     * normalized-content fingerprint arrives; later duplicates are
     * dropped. The incremental-ingest counterpart of

@@ -59,6 +59,32 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("materializeChanges: latest-op-wins across batches; stale upserts cannot resurrect") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val state = StreamingOps.materializeChanges(
+      mem.toDF().toDF("id", "seq", "op", "content"))
+    val q = state.writeStream.format("memory").queryName("cdc")
+      .outputMode("complete").start()
+    try {
+      mem.addData((1L, 10L, "upsert", "a1"), (2L, 11L, "upsert", "b1"))
+      q.processAllAvailable()
+      mem.addData(
+        (1L, 20L, "upsert", "a2"),   // newer: replaces
+        (2L, 21L, "delete", ""),     // tombstone
+        (2L, 15L, "upsert", "b-stale"), // ARRIVES LAST, but seq < 21: loses
+        (3L, 30L, "upsert", "c1"))
+      q.processAllAvailable()
+      val rows = spark.table("cdc").select("id", "op", "content")
+        .as[(Long, String, String)].collect().toSet
+      assert(rows == Set(
+        (1L, "upsert", "a2"),
+        (2L, "delete", ""),          // the stale upsert did not resurrect 2
+        (3L, "upsert", "c1")))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close on new-session arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
