@@ -802,6 +802,16 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Ensemble quality blend: n_chars and token-count signals
+    * rank-normalized into exact quartile buckets and summed.
+    */
+  private def qQualityBlend(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.qualityBlend(t(s, dir, "documents"),
+      col("doc_id"),
+      Seq(col("n_chars"), size(TextAnalysis.tokens(col("text"))).cast("long")),
+      nBuckets = 4)
+      .orderBy("doc_id")
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2236,6 +2246,7 @@ object SparkEntry {
     "q143_domain_blocklist" -> qDomainBlocklist _,
     "q144_normalize" -> qNormalize _,
     "q145_stream_cdc" -> qStreamCdc _,
+    "q146_quality_blend" -> qQualityBlend _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3327,6 +3338,29 @@ object SparkEntry {
           | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count FROM t1
           | UNION ALL SELECT 2::BIGINT, l, r, c FROM t2
           | UNION ALL SELECT 3::BIGINT, l, r, c FROM t3) ORDER BY merge_idx""".stripMargin,
+
+      // two q88-style exact quantile chains (type-1 order statistics
+      // over the value histogram); buckets by boundary comparisons
+      "q146_quality_blend" ->
+        """WITH d AS (SELECT doc_id, n_chars::BIGINT AS s0,
+          |   len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS s1
+          |  FROM documents),
+          | cnt AS (SELECT count(*) AS n FROM d),
+          | cum0 AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum
+          |          FROM (SELECT s0 AS k, count(*) AS c FROM d GROUP BY s0)),
+          | tg AS (SELECT j, (n * j + 3) // 4 AS target
+          |        FROM cnt, (SELECT unnest([1, 2, 3]) AS j)),
+          | b0 AS (SELECT list(bk ORDER BY j) AS bs
+          |        FROM (SELECT j, min(k) AS bk FROM cum0 JOIN tg ON cum >= target GROUP BY j)),
+          | cum1 AS (SELECT k, sum(c) OVER (ORDER BY k) AS cum
+          |          FROM (SELECT s1 AS k, count(*) AS c FROM d GROUP BY s1)),
+          | b1 AS (SELECT list(bk ORDER BY j) AS bs
+          |        FROM (SELECT j, min(k) AS bk FROM cum1 JOIN tg ON cum >= target GROUP BY j))
+          |SELECT doc_id,
+          | len(list_filter(b0.bs, x -> d.s0 > x))::BIGINT AS b_0,
+          | len(list_filter(b1.bs, x -> d.s1 > x))::BIGINT AS b_1,
+          | (len(list_filter(b0.bs, x -> d.s0 > x)) + len(list_filter(b1.bs, x -> d.s1 > x)))::BIGINT AS blend
+          |FROM d, b0, b1 ORDER BY doc_id""".stripMargin,
 
       // the drained complete-mode latest-op-wins state equals the
       // batch arg_max over the same change log

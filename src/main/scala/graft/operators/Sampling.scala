@@ -144,6 +144,40 @@ object Sampling {
       .drop("__sh_h")
   }
 
+  /** Ensemble quality blending — the DataComp-style curation move:
+    * rank-normalize several integer quality signals into comparable
+    * quantile buckets and sum them, so signals with incomparable
+    * scales (chars, tokens, scores) vote equally. Output: the input
+    * keyed by id plus one `b_<i>` bucket column per signal (0 =
+    * lowest quantile) and their sum `blend`.
+    *
+    * Exact and deterministic: each signal's bucket boundaries are
+    * [[Scale.rangeShardBoundaries]] order statistics (value-histogram
+    * quantiles — driver-bounded by the VALUE DOMAIN, not the corpus;
+    * no reservoir sampling, so two runs blend identically), and
+    * assignment is the same map-only codegen'd comparison chain as
+    * range sharding. Total cost: one skinny histogram aggregate per
+    * signal + a single map-only projection — no global sort, no
+    * single-partition rank window.
+    */
+  def qualityBlend(
+      df: DataFrame,
+      id: Column,
+      signals: Seq[Column],
+      nBuckets: Int = 4): DataFrame = {
+    require(signals.nonEmpty, "qualityBlend needs at least one signal")
+    require(nBuckets > 1, s"nBuckets must be > 1, got $nBuckets")
+    val bucketCols = signals.zipWithIndex.map { case (sig, i) =>
+      val bounds = Scale.rangeShardBoundaries(df, sig, nBuckets)
+      bounds.foldLeft(lit(0L)) { (acc, b) =>
+        acc + when(sig.cast("long") > b, 1L).otherwise(0L)
+      }.as(s"b_$i")
+    }
+    val out = df.select(id.cast("long").as("doc_id") +: bucketCols: _*)
+    out.withColumn("blend",
+      signals.indices.map(i => col(s"b_$i")).reduce(_ + _))
+  }
+
   /** Per-stratum deterministic sampling — the corpus-rebalancing
     * primitive for multilingual / multi-source training mixes
     * (downsample the dominant language, keep the tail whole). Each

@@ -180,4 +180,24 @@ class SamplingSpec extends SparkTestBase {
     val shard0 = out.filter(_._2 == out.head._2).sortBy(_._3).map(_._1)
     assert(shard0 != shard0.sorted, "per-shard order must not degenerate to key order")
   }
+
+  test("qualityBlend: quartile buckets per signal, hand-computed blend") {
+    import spark.implicits._
+    // signal A = id (uniform 0..99 -> quartiles at 25/50/75);
+    // signal B = 100 - id (reversed) -> blend is flat 3 everywhere
+    val df = spark.range(100).select(col("id"),
+      col("id").as("a"), (lit(100L) - col("id")).as("b"))
+    val out = Sampling.qualityBlend(df, col("id"), Seq(col("a"), col("b")), nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // opposite signals cancel: every doc's buckets sum to 3
+    assert(out.forall(r => r._4 == 3L), out.take(8).toString)
+    // quartiles of the uniform signal are balanced 25/25/25/25
+    val sizes = out.groupBy(_._2).map { case (b, rs) => b -> rs.size }
+    assert(sizes == Map(0L -> 25, 1L -> 25, 2L -> 25, 3L -> 25))
+    // deterministic across partitionings
+    val again = Sampling.qualityBlend(df.repartition(7), col("id"),
+        Seq(col("a"), col("b")), nBuckets = 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == again)
+  }
 }
