@@ -883,6 +883,43 @@ object SparkEntry {
       .orderBy("id")
   }
 
+  /** Streaming windowed approx-distinct users per hour, certified
+    * post-drain against the batch-exact count (q16's bound pattern —
+    * the estimate only reaches the output through a boolean).
+    */
+  private def qStreamApproxDistinct(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    val tsT = schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => col("ts")
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        timestamp_micros(expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"))
+      case _ => timestamp_micros(expr("ts div 1000"))
+    }
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      .withColumn("ts_t", tsT)
+    val agg = graft.streaming.StreamingOps.streamingApproxDistinct(
+      stream, "ts_t", "user_id")
+    val q = agg.writeStream.format("memory").queryName("graft_stream_hll")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val exact = normalizeTsNanos(s.read.parquet(s"$dir/events.parquet"))
+      .groupBy(date_trunc("hour", timestamp_micros(expr("ts div 1000"))).as("window_start"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    s.table("graft_stream_hll").join(exact, Seq("window_start"))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH:mm").as("hour"),
+        col("n_exact"),
+        // relative bound + absolute slack: HLL's integer rounding at
+        // tiny per-window cardinalities (5-20 users) can exceed a
+        // pure 15% relative bound
+        (abs(col("n_approx") - col("n_exact")) <= col("n_exact") * 0.15 + 3.0)
+          .as("within_bound"))
+      .orderBy("hour")
+  }
+
   private def qStreamCms(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
@@ -2247,6 +2284,7 @@ object SparkEntry {
     "q144_normalize" -> qNormalize _,
     "q145_stream_cdc" -> qStreamCdc _,
     "q146_quality_blend" -> qQualityBlend _,
+    "q147_stream_approx_distinct" -> qStreamApproxDistinct _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3361,6 +3399,13 @@ object SparkEntry {
           | len(list_filter(b1.bs, x -> d.s1 > x))::BIGINT AS b_1,
           | (len(list_filter(b0.bs, x -> d.s0 > x)) + len(list_filter(b1.bs, x -> d.s1 > x)))::BIGINT AS blend
           |FROM d, b0, b1 ORDER BY doc_id""".stripMargin,
+
+      // exact hourly distinct-user counts + the trivially-true bound
+      // (q16's sketch-certification pattern, streamed)
+      "q147_stream_approx_distinct" ->
+        """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M') AS hour,
+          | count(DISTINCT user_id)::BIGINT AS n_exact, TRUE AS within_bound
+          |FROM events GROUP BY 1 ORDER BY hour""".stripMargin,
 
       // the drained complete-mode latest-op-wins state equals the
       // batch arg_max over the same change log

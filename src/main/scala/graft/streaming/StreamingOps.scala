@@ -121,6 +121,29 @@ object StreamingOps {
         s"r.$tsCol <= l.$tsCol + INTERVAL $maxDelay"))
   }
 
+  /** Streaming windowed approx-distinct (HLL++ through the state
+    * store) — the cardinality member of the streaming sketch family
+    * (Misra–Gries and Count-Min are its frequency siblings): exact
+    * `countDistinct` is unsupported in streaming aggregation (it
+    * would need unbounded per-window value state), so the HLL sketch
+    * IS the streaming-native answer; per-window state is the fixed
+    * sketch size regardless of cardinality. Certification happens
+    * post-drain against a batch-exact count (the q16 pattern: the
+    * estimate participates only in a bound boolean, never in the
+    * output).
+    */
+  def streamingApproxDistinct(
+      events: DataFrame,
+      tsCol: String,
+      valueCol: String,
+      window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(approx_count_distinct(col(valueCol)).as("n_approx"))
+      .select(col("window.start").as("window_start"), col("n_approx"))
+
   /** Streaming CDC materialization — the streaming counterpart of
     * [[graft.operators.Snapshot.applyChanges]]: a change stream of
     * (id, seq, op, content) rows folds into current-corpus state by
