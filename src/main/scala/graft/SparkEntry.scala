@@ -812,6 +812,14 @@ object SparkEntry {
       nBuckets = 4)
       .orderBy("doc_id")
 
+  /** Per-source dataset datacard with the exact type-1 median doc
+    * length.
+    */
+  private def qDataCard(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.dataCard(t(s, dir, "documents"),
+      col("source"), col("lang"), col("n_chars"))
+      .orderBy("src")
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2285,6 +2293,7 @@ object SparkEntry {
     "q145_stream_cdc" -> qStreamCdc _,
     "q146_quality_blend" -> qQualityBlend _,
     "q147_stream_approx_distinct" -> qStreamApproxDistinct _,
+    "q148_datacard" -> qDataCard _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3399,6 +3408,20 @@ object SparkEntry {
           | len(list_filter(b1.bs, x -> d.s1 > x))::BIGINT AS b_1,
           | (len(list_filter(b0.bs, x -> d.s0 > x)) + len(list_filter(b1.bs, x -> d.s1 > x)))::BIGINT AS blend
           |FROM d, b0, b1 ORDER BY doc_id""".stripMargin,
+
+      // exact type-1 median (smallest len with cum >= ceil(n/2)) over
+      // each source's length histogram
+      "q148_datacard" ->
+        """WITH base AS (SELECT source AS src, lang, n_chars::BIGINT AS len FROM documents),
+          | totals AS (SELECT src, count(*) AS n_docs, sum(len)::BIGINT AS sum_chars,
+          |            count(DISTINCT lang)::BIGINT AS n_langs FROM base GROUP BY src),
+          | hist AS (SELECT src, len, count(*) AS c FROM base GROUP BY 1, 2),
+          | cum AS (SELECT src, len, sum(c) OVER (PARTITION BY src ORDER BY len) AS cum FROM hist),
+          | med AS (SELECT c.src, min(c.len) AS p50_chars FROM cum c JOIN totals t ON c.src = t.src
+          |         WHERE c.cum * 2 >= t.n_docs + t.n_docs % 2 GROUP BY c.src)
+          |SELECT t.src, t.n_docs::BIGINT AS n_docs, t.sum_chars, t.n_langs,
+          | m.p50_chars::BIGINT AS p50_chars
+          |FROM totals t JOIN med m ON t.src = m.src ORDER BY t.src""".stripMargin,
 
       // exact hourly distinct-user counts + the trivially-true bound
       // (q16's sketch-certification pattern, streamed)

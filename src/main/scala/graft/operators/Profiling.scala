@@ -247,6 +247,42 @@ object Profiling {
           .as("within_bound"))
   }
 
+  /** Per-source dataset datacard — the release datasheet row: doc
+    * count, character mass, language spread, and the EXACT type-1
+    * median document length (smallest value whose cumulative count
+    * reaches ceil(n/2) — integer order statistic, no interpolation,
+    * so it cross-checks against any engine).
+    *
+    * Scale shape: one map-side-combined aggregate to per-(source,
+    * length) histogram rows plus one to per-source totals; the median
+    * comes from a cumulative window over each source's LENGTH
+    * histogram — partitioned by source and bounded by the value
+    * domain, never a corpus-sized window.
+    */
+  def dataCard(
+      df: DataFrame,
+      source: Column,
+      lang: Column,
+      nChars: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(source.cast("string").as("src"),
+      lang.cast("string").as("lang"), nChars.cast("long").as("len"))
+    val totals = base.groupBy("src").agg(
+      count(lit(1)).as("n_docs"),
+      sum("len").as("sum_chars"),
+      countDistinct(col("lang")).as("n_langs"))
+    val hist = base.groupBy("src", "len").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        Window.partitionBy("src").orderBy("len")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val med = hist.join(totals.select(col("src"), col("n_docs")), "src")
+      .where(col("cum") * 2 >= col("n_docs") + (col("n_docs") % 2))
+      .groupBy("src").agg(min("len").as("p50_chars"))
+    totals.join(med, "src")
+      .select(col("src"), col("n_docs"), col("sum_chars"),
+        col("n_langs"), col("p50_chars"))
+  }
+
   /** Cross-source content overlap: for every pair of sources, the
     * exact Jaccard (in parts-per-mille, floor division — integer-
     * exact) between the sources' distinct word-n-gram shingle SETS —

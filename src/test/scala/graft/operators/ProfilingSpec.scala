@@ -147,6 +147,21 @@ class ProfilingSpec extends SparkTestBase {
     assert(out._6 == 1000L)
   }
 
+  test("dataCard: hand-computed per-source stats with exact type-1 medians") {
+    import spark.implicits._
+    // src a: lens 1,2,3,4 (even n: type-1 median = 2); langs {en, de}
+    // src b: lens 10,20,30 (odd n: median = 20); lang {fr}
+    val df = Seq(
+      ("a", "en", 1L), ("a", "en", 2L), ("a", "de", 3L), ("a", "de", 4L),
+      ("b", "fr", 10L), ("b", "fr", 20L), ("b", "fr", 30L))
+      .toDF("source", "lang", "n_chars")
+    val out = Profiling.dataCard(df, col("source"), col("lang"), col("n_chars"))
+      .orderBy("src").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("a", 4L, 10L, 2L, 2L),
+      ("b", 3L, 60L, 1L, 20L)))
+  }
+
   test("crossSourceOverlap: hashKeys variant is output-identical to the exact path") {
     import spark.implicits._
     val df = (0 until 500).map { i =>
