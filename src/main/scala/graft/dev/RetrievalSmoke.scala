@@ -66,11 +66,21 @@ object RetrievalSmoke {
           .select(col("doc_id").as("id"),
             when(col("doc_id") % 200 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
             concat(col("text"), lit(" v2")).as("content"))).count())
+    val qb = time("qualityBlend (2 signals, quartiles)")(
+      graft.operators.Sampling.qualityBlend(docs, col("doc_id"),
+        Seq(length(col("text")).cast("long"),
+          pmod(xxhash64(col("doc_id")), lit(997L))), nBuckets = 4)
+        .groupBy("blend").count().count())
+    val dc = time("dataCard (5 synthetic sources)")(
+      graft.operators.Profiling.dataCard(
+        docs.withColumn("src", (col("doc_id") % 5).cast("string"))
+          .withColumn("lang", (col("doc_id") % 7).cast("string")),
+        col("src"), col("lang"), length(col("text"))).count())
     val so = time("crossSourceOverlap (5 synthetic sources)")(
       graft.operators.Profiling.crossSourceOverlap(
         docs.withColumn("src", (col("doc_id") % 5).cast("string")),
         col("src"), col("text"), n = 3, hashKeys = true).count())
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac overlapPairs=$so")
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so")
     spark.stop()
   }
 }
