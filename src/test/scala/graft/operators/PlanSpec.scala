@@ -360,6 +360,16 @@ class PlanSpec extends SparkTestBase {
     assert(!plan.contains("Join"), plan)
   }
 
+  test("qualityBlend: assignment is map-only once boundaries are collected") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Sampling.qualityBlend(docs, col("doc_id"),
+      Seq(col("n_chars"), length(col("text")).cast("long")), nBuckets = 4)
+    // boundary quantiles run eagerly inside the call (value-histogram
+    // jobs); the RETURNED frame is a pure comparison-chain projection
+    assert(Scale.countShuffles(out) == 0,
+      out.queryExecution.executedPlan.toString)
+  }
+
   test("crossSourceOverlap: text never rides an exchange on the hashKeys path") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val out = Profiling.crossSourceOverlap(docs, col("source"), col("text"),
