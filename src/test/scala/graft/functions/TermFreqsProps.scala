@@ -15,11 +15,12 @@ object TermFreqsProps extends Properties("TermFreqs") {
   // alphabet stresses the contract: ASCII ws, the vertical tab /
   // form feed edge chars, a non-breaking space (NOT \s), multi-char
   // tokens that collide on prefixes
+  private val emoji = new String(Character.toChars(0x1F600)) // surrogate pair
   private val chunk = Gen.oneOf(
     "a", "b", "ab", "ba", "aa", " ", "\t", "\n", "\u000B", "\f", "\r",
-    "\u00A0", "é", "  ", "a a")
+    "\u00A0", "é", "  ", "a a", emoji, emoji + "a")
   private val textGen = Gen.listOf(chunk).map(_.mkString)
-  private val termsGen = Gen.pick(3, Seq("a", "b", "ab", "aa", "ba", "\u00A0", "é"))
+  private val termsGen = Gen.pick(3, Seq("a", "b", "ab", "aa", "ba", "\u00A0", "é", emoji))
     .map(_.toSeq)
 
   private def reference(s: String, terms: Seq[String]): (Long, Seq[Long]) = {
