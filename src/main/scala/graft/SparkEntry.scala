@@ -842,7 +842,10 @@ object SparkEntry {
     * the complete batch answer.
     */
   private def qStreamIntervalJoin(s0: SparkSession, dir: String): DataFrame = {
-    val s = streamSession(s0)
+    // TWO-sided join state (one store pair per partition per side):
+    // at the contract's 30-key state, 8 partitions are commit
+    // overhead — 4 halves the per-microbatch fsync count (r6 lesson)
+    val s = streamSession(s0, partitions = 4)
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val tsT = schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampType => col("ts")
@@ -1835,9 +1838,9 @@ object SparkEntry {
     * is never mutated (the memory-sink table also lands in the child
     * catalog, which is why the result is read back through `ss`).
     */
-  private def streamSession(s: SparkSession): SparkSession = {
+  private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
     ss
   }
 
