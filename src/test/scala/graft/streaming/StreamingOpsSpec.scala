@@ -85,6 +85,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("materializeChanges drained state == batch applyChanges over the same log") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    // the change log: the corpus itself as seq-0 upserts, then a release
+    val log = corpus.as[(Long, String)].collect().toSeq
+      .map { case (i, t) => (i, 0L, "upsert", t) } ++ Seq(
+      (2L, 1L, "upsert", "b2"), (3L, 2L, "delete", ""), (4L, 3L, "upsert", "d"))
+    val mem = MemoryStream[(Long, Long, String, String)]
+    val state = StreamingOps.materializeChanges(
+      mem.toDF().toDF("id", "seq", "op", "content"))
+    val q = state.writeStream.format("memory").queryName("cdc_eq")
+      .outputMode("complete").start()
+    try {
+      mem.addData(log: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cdc_eq").where(col("op") === "upsert")
+        .select("id", "content").as[(Long, String)].collect().toMap
+      val batch = graft.operators.Snapshot.applyChanges(
+          corpus, col("doc_id"), col("text"),
+          Seq((2L, "upsert", "b2"), (3L, "delete", null.asInstanceOf[String]),
+            (4L, "upsert", "d")).toDF("id", "op", "content"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> "a", 2L -> "b2", 4L -> "d"))
+    } finally q.stop()
+  }
+
   test("sessionize: gap-based sessions close on new-session arrival") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
