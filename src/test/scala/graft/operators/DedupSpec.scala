@@ -488,4 +488,22 @@ class DedupSpec extends SparkTestBase {
       .select("vec_id", "score").as[(Long, Long)].collect().toSet
     assert(out == Set(2L -> 30L, 1L -> 7L, 4L -> 1L))
   }
+
+  test("exactDedup over nfc_normalize merges decomposed/precomposed duplicates") {
+    import spark.implicits._
+    // same word, two Unicode spellings: byte-level dedup sees two
+    // documents; NFC-normalized dedup sees one — the reason the
+    // normalization expressions exist
+    val df = Seq(
+      (1L, "caf\u00e9 menu"),        // precomposed e-acute
+      (2L, "cafe\u0301 menu"),       // e + combining acute
+      (3L, "other doc")).toDF("doc_id", "text")
+    val raw = Dedup.exactDedup(df, col("doc_id"), col("text")).count()
+    assert(raw == 3L, "byte-level fingerprints treat the spellings as distinct")
+    val normalized = Dedup.exactDedup(df, col("doc_id"),
+      graft.functions.TextOps.nfcNormalize(col("text")))
+    assert(normalized.count() == 2L)
+    val kept = normalized.select("keep_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), "smallest id represents the merged pair")
+  }
 }
