@@ -820,6 +820,14 @@ object SparkEntry {
       col("source"), col("lang"), col("n_chars"))
       .orderBy("src")
 
+  /** Vocabulary artifact: top-100 tokens appearing >= 20 times, dense
+    * ids by (count desc, token asc).
+    */
+  private def qBuildVocab(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.buildVocab(t(s, dir, "documents"),
+      col("text"), maxSize = 100, minCount = 20L)
+      .orderBy("token_id")
+
   /** Cross-source shingle-set overlap matrix (exact Jaccard,
     * parts-per-mille) over the documents table's source column.
     */
@@ -2297,6 +2305,7 @@ object SparkEntry {
     "q146_quality_blend" -> qQualityBlend _,
     "q147_stream_approx_distinct" -> qStreamApproxDistinct _,
     "q148_datacard" -> qDataCard _,
+    "q149_build_vocab" -> qBuildVocab _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3411,6 +3420,17 @@ object SparkEntry {
           | len(list_filter(b1.bs, x -> d.s1 > x))::BIGINT AS b_1,
           | (len(list_filter(b0.bs, x -> d.s0 > x)) + len(list_filter(b1.bs, x -> d.s1 > x)))::BIGINT AS blend
           |FROM d, b0, b1 ORDER BY doc_id""".stripMargin,
+
+      // dense ids in (count desc, token asc) order over the capped,
+      // pruned token table
+      "q149_build_vocab" ->
+        """WITH c AS (SELECT token, count(*) AS n FROM (
+          |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS token
+          |   FROM documents) GROUP BY token HAVING count(*) >= 20
+          |  ORDER BY n DESC, token LIMIT 100)
+          |SELECT (row_number() OVER (ORDER BY n DESC, token) - 1)::BIGINT AS token_id,
+          | token, n::BIGINT AS n
+          |FROM c ORDER BY token_id""".stripMargin,
 
       // exact type-1 median (smallest len with cum >= ceil(n/2)) over
       // each source's length histogram

@@ -160,6 +160,35 @@ object Training {
     merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
   }
 
+  /** Vocabulary construction — the tokenizer's final artifact: the
+    * corpus token table pruned by `minCount`, capped at `maxSize`
+    * rows by (count desc, token asc), with DENSE token ids assigned
+    * in that order (id 0 = most frequent). Deterministic: ties break
+    * alphabetically, so two runs — or two engines — assign identical
+    * ids.
+    *
+    * Scale shape: one map-side-combined token-count aggregate (the
+    * only corpus-sized stage), a TakeOrdered cap (per-partition heap,
+    * maxSize·partitions rows to the driver's collect-free sort), and
+    * id assignment as a window over the CAPPED table — maxSize rows,
+    * a model-sized artifact by definition, never the corpus.
+    */
+  def buildVocab(
+      df: DataFrame,
+      text: Column,
+      maxSize: Int,
+      minCount: Long = 1L): DataFrame = {
+    require(maxSize > 0, s"maxSize must be positive, got $maxSize")
+    val counts = df.select(explode(TextAnalysis.tokens(lower(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+      .orderBy(col("n").desc, col("token"))
+      .limit(maxSize)
+    graft.operators.Relational.withRankId(counts,
+      Seq(col("n").desc, col("token")), idCol = "token_id")
+      .select(col("token_id"), col("token"), col("n"))
+  }
+
   /** Apply learned BPE merges ([[trainBpe]]'s output order matters) to
     * every document and report tokenizer fertility: (doc_id, n_words,
     * n_tokens) where n_tokens counts the BPE symbols after all merges

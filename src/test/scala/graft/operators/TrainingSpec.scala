@@ -139,6 +139,25 @@ class TrainingSpec extends SparkTestBase {
       s"each merge must strictly reduce total tokens on this corpus: $counts")
   }
 
+  test("buildVocab: dense ids by (count desc, token asc); prune and cap apply") {
+    val spark0 = spark
+    import spark0.implicits._
+    val df = Seq("b b b a a c", "a b d", "D d").toDF("text")
+    // counts: b=4, a=3, d=3 (case-folded), c=1, with minCount=2 c drops;
+    // ids: b(4)->0, a(3)->1 (tie with d broken alphabetically), d(3)->2
+    val out = Training.buildVocab(df, col("text"), maxSize = 10, minCount = 2L)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((0L, "b", 4L), (1L, "a", 3L), (2L, "d", 3L)))
+    // cap keeps the most frequent
+    val capped = Training.buildVocab(df, col("text"), maxSize = 1, minCount = 1L)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(capped == Seq((0L, "b", 4L)))
+    // deterministic across partitionings
+    val again = Training.buildVocab(df.repartition(5), col("text"), 10, 2L)
+      .as[(Long, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(again == out)
+  }
+
   test("trainBpe matches an independent in-memory BPE on seeded random corpora") {
     val spark0 = spark
     import spark0.implicits._
