@@ -66,6 +66,10 @@ object RetrievalSmoke {
           .select(col("doc_id").as("id"),
             when(col("doc_id") % 200 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
             concat(col("text"), lit(" v2")).as("content"))).count())
+    val vc = time("buildVocab (top 10k, minCount 2)")(
+      graft.operators.Training.buildVocab(docs, col("text"),
+        maxSize = 10000, minCount = 2L).count())
+    require(vc == 5000L, s"expected the 5000-word synthetic vocab, got $vc")
     val qb = time("qualityBlend (2 signals, quartiles)")(
       graft.operators.Sampling.qualityBlend(docs, col("doc_id"),
         Seq(length(col("text")).cast("long"),
