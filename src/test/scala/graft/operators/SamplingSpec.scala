@@ -181,6 +181,18 @@ class SamplingSpec extends SparkTestBase {
     assert(shard0 != shard0.sorted, "per-shard order must not degenerate to key order")
   }
 
+  test("qualityBlend with one signal == range-shard assignment on that signal") {
+    import spark.implicits._
+    val df = spark.range(500).select(col("id"),
+      (pmod(col("id") * 37, lit(101))).as("sig"))
+    val blend = Sampling.qualityBlend(df, col("id"), Seq(col("sig")), nBuckets = 8)
+      .select(col("doc_id"), col("b_0")).as[(Long, Long)].collect().toMap
+    val bounds = Scale.rangeShardBoundaries(df, col("sig"), nShards = 8)
+    val shards = Scale.withRangeShard(df.select(col("id"), col("sig")), col("sig"), bounds)
+      .select(col("id"), col("shard")).as[(Long, Long)].collect().toMap
+    assert(blend == shards, "the two quantile-bucket paths must agree exactly")
+  }
+
   test("qualityBlend: quartile buckets per signal, hand-computed blend") {
     import spark.implicits._
     // signal A = id (uniform 0..99 -> quartiles at 25/50/75);
