@@ -60,9 +60,16 @@ object Bench {
     // the TAIL of the output, so a bloated line loses its head.
     // Locale.ROOT: a comma-decimal default locale would break the JSON
     def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    // per-query entries ordered by ASCENDING cost: the driver records
+    // only the output TAIL, so head-truncation of this line must cut
+    // the cheap sub-100ms queries, never the expensive ones — the 30
+    // most expensive queries' numbers always sit at the tail, right
+    // before the headline totals (r9 lost every per-query row past
+    // q100 to alphabetical ordering).
+    val byCost = results.sortBy(_._2)
+    val qs = byCost.map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
-    val spreads = results.map { case (k, _, _, sp) => s"\"" + k + "\":" + f3(sp) }
+    val spreads = byCost.map { case (k, _, _, sp) => s"\"" + k + "\":" + f3(sp) }
       .mkString("{", ",", "}")
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val buildJson = builds.map { case (k, v) => s"\"$k\":" + f3(v) }.mkString("{", ",", "}")

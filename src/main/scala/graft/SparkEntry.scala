@@ -2620,7 +2620,7 @@ object SparkEntry {
           | SELECT lang, doc_id, pr AS priority,
           |  row_number() OVER (PARTITION BY lang ORDER BY pr, doc_id) AS rn
           | FROM (SELECT lang, doc_id,
-          |   ((doc_id * 2654435761) % 1000000007) // greatest((n_chars // 100) + 1, 1) AS pr
+          |   (((doc_id % 1000000007) * 2654435761) % 1000000007) // greatest((n_chars // 100) + 1, 1) AS pr
           |  FROM documents))
           |WHERE rn <= 20 ORDER BY lang, doc_id""".stripMargin,
 
@@ -3375,19 +3375,19 @@ object SparkEntry {
         """WITH w AS (SELECT word, count(*) AS cnt FROM (
           |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
           |   FROM documents) GROUP BY word),
-          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '  ') || '  ' AS s, cnt FROM w),
+          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '    ') || '  ' AS s, cnt FROM w),
           | p1 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w0))
           |   GROUP BY 1, 2),
           | t1 AS (SELECT l, r, c FROM p1 ORDER BY c DESC, l, r LIMIT 1),
-          | w1 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w0 CROSS JOIN t1 t),
+          | w1 AS (SELECT replace(s, '  ' || t.l || '    ' || t.r || '  ', '  ' || t.l || t.r || '  ') AS s, cnt FROM w0 CROSS JOIN t1 t),
           | p2 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w1))
           |   GROUP BY 1, 2),
           | t2 AS (SELECT l, r, c FROM p2 ORDER BY c DESC, l, r LIMIT 1),
-          | w2 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w1 CROSS JOIN t2 t),
+          | w2 AS (SELECT replace(s, '  ' || t.l || '    ' || t.r || '  ', '  ' || t.l || t.r || '  ') AS s, cnt FROM w1 CROSS JOIN t2 t),
           | p3 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w2))
@@ -3560,19 +3560,19 @@ object SparkEntry {
         """WITH w AS (SELECT word, count(*) AS cnt FROM (
           |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
           |   FROM documents) GROUP BY word),
-          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '  ') || '  ' AS s, cnt FROM w),
+          | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '    ') || '  ' AS s, cnt FROM w),
           | p1 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w0))
           |   GROUP BY 1, 2),
           | t1 AS (SELECT l, r FROM p1 ORDER BY c DESC, l, r LIMIT 1),
-          | w1 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w0 CROSS JOIN t1 t),
+          | w1 AS (SELECT replace(s, '  ' || t.l || '    ' || t.r || '  ', '  ' || t.l || t.r || '  ') AS s, cnt FROM w0 CROSS JOIN t1 t),
           | p2 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w1))
           |   GROUP BY 1, 2),
           | t2 AS (SELECT l, r FROM p2 ORDER BY c DESC, l, r LIMIT 1),
-          | w2 AS (SELECT replace(s, '  ' || t.l || '  ' || t.r, '  ' || t.l || t.r) AS s, cnt FROM w1 CROSS JOIN t2 t),
+          | w2 AS (SELECT replace(s, '  ' || t.l || '    ' || t.r || '  ', '  ' || t.l || t.r || '  ') AS s, cnt FROM w1 CROSS JOIN t2 t),
           | p3 AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM w2))
@@ -3583,16 +3583,16 @@ object SparkEntry {
           |  FROM documents),
           | s0 AS (SELECT doc_id, len(ws) AS n_words,
           |   array_to_string(list_transform(ws, x ->
-          |     '  ' || array_to_string([substr(x, i, 1) FOR i IN range(1, len(x) + 1)], '  ') || '  '), '') AS s
+          |     '  ' || array_to_string([substr(x, i, 1) FOR i IN range(1, len(x) + 1)], '    ') || '  '), '  ') AS s
           |  FROM d),
           | s3 AS (SELECT doc_id, n_words,
           |   replace(replace(replace(s,
-          |     '  ' || (SELECT l FROM t1) || '  ' || (SELECT r FROM t1),
-          |     '  ' || (SELECT l FROM t1) || (SELECT r FROM t1)),
-          |     '  ' || (SELECT l FROM t2) || '  ' || (SELECT r FROM t2),
-          |     '  ' || (SELECT l FROM t2) || (SELECT r FROM t2)),
-          |     '  ' || (SELECT l FROM t3) || '  ' || (SELECT r FROM t3),
-          |     '  ' || (SELECT l FROM t3) || (SELECT r FROM t3)) AS s
+          |     '  ' || (SELECT l FROM t1) || '    ' || (SELECT r FROM t1) || '  ',
+          |     '  ' || (SELECT l FROM t1) || (SELECT r FROM t1) || '  '),
+          |     '  ' || (SELECT l FROM t2) || '    ' || (SELECT r FROM t2) || '  ',
+          |     '  ' || (SELECT l FROM t2) || (SELECT r FROM t2) || '  '),
+          |     '  ' || (SELECT l FROM t3) || '    ' || (SELECT r FROM t3) || '  ',
+          |     '  ' || (SELECT l FROM t3) || (SELECT r FROM t3) || '  ') AS s
           |  FROM s0)
           |SELECT doc_id, n_words::BIGINT AS n_words,
           | len(list_filter(string_split_regex(s, ' {2,}'), x -> x <> ''))::BIGINT AS n_tokens
@@ -3914,7 +3914,7 @@ object SparkEntry {
       "q59_hash_split" ->
         """SELECT split, lang, count(*) AS n FROM (
           | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
-          | FROM (SELECT (doc_id * 2654435761) % 100 AS b, lang FROM documents))
+          | FROM (SELECT ((doc_id % 3000000000) * 2654435761) % 100 AS b, lang FROM documents))
           |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       // q48's connected components (verbatim), then the q59 Knuth split
@@ -3946,7 +3946,7 @@ object SparkEntry {
           |  LEFT JOIN reps r ON d.doc_id = r.id)
           |SELECT split, lang, count(*)::BIGINT AS n FROM (
           | SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split, lang
-          | FROM (SELECT (k * 2654435761) % 100 AS b, lang FROM keyed))
+          | FROM (SELECT ((k % 3000000000) * 2654435761) % 100 AS b, lang FROM keyed))
           |GROUP BY split, lang ORDER BY split, lang""".stripMargin,
 
       // bigram model: top-2000 bigrams by (count desc, bigram asc) over
@@ -3991,7 +3991,7 @@ object SparkEntry {
       // per-stratum thresholds over the same Knuth bucket as q59
       "q68_stratified_sample" ->
         """SELECT lang, count(*) AS n FROM (
-          | SELECT lang, (doc_id * 2654435761) % 100 AS b FROM documents)
+          | SELECT lang, ((doc_id % 3000000000) * 2654435761) % 100 AS b FROM documents)
           |WHERE b < (CASE WHEN lang = 'en' THEN 20 WHEN lang = 'zh' THEN 50 ELSE 100 END)
           |GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -3999,7 +3999,7 @@ object SparkEntry {
       // bin is where its first token lands (integer div by capacity)
       "q69_pack_sequences" ->
         """WITH toks AS (
-          | SELECT doc_id, (doc_id * 2654435761) % 4 AS shard,
+          | SELECT doc_id, ((doc_id % 3000000000) * 2654435761) % 4 AS shard,
           |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
           | FROM documents),
           | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
@@ -4038,7 +4038,7 @@ object SparkEntry {
       // shuffle exactly once, in this deliverable stage
       "q75_packed_text" ->
         """WITH toks AS (
-          | SELECT doc_id, (doc_id * 2654435761) % 4 AS shard, text,
+          | SELECT doc_id, ((doc_id % 3000000000) * 2654435761) % 4 AS shard, text,
           |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
           | FROM documents WHERE doc_id < 100),
           | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
@@ -4091,7 +4091,7 @@ object SparkEntry {
           | dd AS (SELECT g,
           |   coalesce(string_agg(line, chr(10) ORDER BY line_idx) FILTER (keep), '') AS text_dedup
           |  FROM k GROUP BY g HAVING count(*) FILTER (keep) >= 2),
-          | toks AS (SELECT g AS doc_id, (g * 2654435761) % 2 AS shard,
+          | toks AS (SELECT g AS doc_id, ((g % 3000000000) * 2654435761) % 2 AS shard,
           |   len(list_filter(regexp_split_to_array(trim(text_dedup), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
           |  FROM dd),
           | nz AS (SELECT * FROM toks WHERE n_tokens > 0),
@@ -4390,8 +4390,8 @@ object SparkEntry {
           |   '[0-9]{4,}', '<NUM>', 'g') AS redacted
           |  FROM base)
           |SELECT s.doc_id,
-          | CASE WHEN (s.doc_id * 2654435761) % 100 < 80 THEN 'train'
-          |      WHEN (s.doc_id * 2654435761) % 100 < 90 THEN 'val'
+          | CASE WHEN ((s.doc_id % 3000000000) * 2654435761) % 100 < 80 THEN 'train'
+          |      WHEN ((s.doc_id % 3000000000) * 2654435761) % 100 < 90 THEN 'val'
           |      ELSE 'test' END AS split,
           | s.n_tokens, s.uniq_ratio, s.top_token_frac, r.redacted
           |FROM surv s JOIN red r USING (doc_id)
@@ -4456,8 +4456,8 @@ object SparkEntry {
           |   '[0-9]{4,}', '<NUM>', 'g') AS redacted
           |  FROM docs2k)
           |SELECT s.doc_id, s.n_members,
-          | CASE WHEN (s.doc_id * 2654435761) % 100 < 80 THEN 'train'
-          |      WHEN (s.doc_id * 2654435761) % 100 < 90 THEN 'val'
+          | CASE WHEN ((s.doc_id % 3000000000) * 2654435761) % 100 < 80 THEN 'train'
+          |      WHEN ((s.doc_id % 3000000000) * 2654435761) % 100 < 90 THEN 'val'
           |      ELSE 'test' END AS split,
           | s.n_tokens, s.uniq_ratio, s.top_token_frac, r.redacted
           |FROM surv s JOIN red r USING (doc_id)

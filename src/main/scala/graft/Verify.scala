@@ -17,6 +17,12 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftExtensions.register(spark)
     new java.io.File(outDir).mkdirs()
+    // self-summary rows: (query, row count, schema fingerprint) read
+    // back from the WRITTEN parquet — so an empty/zeroed driver-side
+    // compare is distinguishable from a crashed verify: a non-empty
+    // verify_summary.json next to an empty CORRECTNESS artifact proves
+    // the dump ran and the failure is in the compare harness.
+    val summary = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -35,6 +41,14 @@ object Verify {
           System.err.println(s"[verify] $name error-marker write failed: ${e2.getMessage}")
         }
       }
+      try {
+        val written = spark.read.parquet(s"$outDir/$name")
+        val schema = written.schema.fields
+          .map(f => s"${f.name}:${f.dataType.simpleString}").mkString(",")
+        summary(name) = (written.count(), schema)
+      } catch { case e: Throwable =>
+        summary(name) = (-1L, s"unreadable: ${String.valueOf(e.getMessage).take(200)}")
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -51,6 +65,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val summaryJson = summary
+      .map { case (k, (rows, schema)) =>
+        s"${q(k)}: {\"rows\": $rows, \"schema\": ${q(schema)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_summary.json"), summaryJson)
+    val nQueries = SparkEntry.queries.size
+    val nDumped = summary.count { case (_, (rows, _)) => rows >= 0 }
+    System.err.println(
+      s"[verify] summary: $nDumped/$nQueries result dirs readable; " +
+        s"oracle_sql entries: ${SparkEntry.oracleSql.size}")
     spark.stop()
   }
 }

@@ -184,13 +184,15 @@ object TextRuntime {
   def charHistStats(s: UTF8String): InternalRow = {
     val str = s.toString
     val ascii = new Array[Long](128)
-    var other: java.util.HashMap[Character, Long] = null
+    // boxed java.lang.Long values so the absent-key null is explicit —
+    // a scala.Long value type would auto-unbox get()'s null to 0
+    var other: java.util.HashMap[Character, java.lang.Long] = null
     var i = 0
     while (i < str.length) {
       val ch = str.charAt(i)
       if (ch < 128) ascii(ch) += 1L
       else {
-        if (other == null) other = new java.util.HashMap[Character, Long]()
+        if (other == null) other = new java.util.HashMap[Character, java.lang.Long]()
         val prev = other.get(ch)
         other.put(ch, if (prev == null) 1L else prev + 1L)
       }

@@ -60,6 +60,9 @@ object Retrieval {
     require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms: $queryTerms")
+    require(queryTerms.forall(t => t == t.toLowerCase),
+      s"query terms must be lowercase (documents are lowercased " +
+        s"before matching): ${queryTerms.filterNot(t => t == t.toLowerCase)}")
     require(topK > 0, s"topK must be positive, got $topK")
     // ONE native scan per doc computes dl + every term's tf (no token
     // array materializes; the earlier size/array_remove formulation

@@ -23,9 +23,24 @@ object Sampling {
 
   private val knuth = 2654435761L
 
-  /** Stable bucket in [0, buckets) for an integer key. */
-  def bucket(key: Column, buckets: Int): Column =
-    pmod(key.cast("long") * knuth, lit(buckets.toLong))
+  /** Stable bucket in [0, buckets) for an integer key.
+    *
+    * Overflow-free by construction: the key is first reduced mod `m`,
+    * the largest multiple of `buckets` at or below 3·10⁹, so the
+    * product stays under (3·10⁹)·knuth ≈ 8·10¹⁸ < 2⁶³ for ANY 64-bit
+    * key — on engines that wrap (Spark non-ANSI) and engines that
+    * throw (DuckDB, ANSI Spark) alike. The reduction is exact, not a
+    * different hash: because `buckets` divides `m`, the dropped
+    * quotient term `(key div m)·m·knuth` is ≡ 0 (mod buckets), so
+    * `pmod((key mod m)·knuth, buckets) = (key·knuth) mod buckets` in
+    * exact arithmetic — small-key bucketings are bit-identical to the
+    * un-reduced formula.
+    */
+  def bucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val m = (3000000000L / buckets) * buckets
+    pmod(pmod(key.cast("long"), lit(m)) * knuth, lit(buckets.toLong))
+  }
 
   /** Deterministic fraction sample: keeps rows whose bucket (out of
     * `denominator`) falls below `numerator` — e.g. (1, 10) keeps a
@@ -105,7 +120,10 @@ object Sampling {
       stratum: Column, n: Int): DataFrame = {
     require(n > 0, s"n must be positive, got $n")
     import org.apache.spark.sql.expressions.Window
-    df.withColumn("__ws_h", pmod(id.cast("long") * knuth, lit(1000000007L)))
+    // reduce-first (mod p commutes with the multiply) so the product
+    // never overflows — same contract note as [[bucket]]
+    df.withColumn("__ws_h",
+        pmod(pmod(id.cast("long"), lit(1000000007L)) * knuth, lit(1000000007L)))
       .withColumn("__ws_w", greatest(weight.cast("long"), lit(1L)))
       .withColumn("__ws_pr", expr("__ws_h div __ws_w"))
       .withColumn("__ws_rn", row_number().over(

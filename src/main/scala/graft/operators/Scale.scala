@@ -258,15 +258,21 @@ object Scale {
     // shard (without this, every upstream task writes its own file
     // into each shard dir and the shard's GLOBAL z-order is lost
     // across files — locally sorted, globally interleaved)
+    // the __x/__y/__z helpers are plan-internal: drop them after the
+    // in-partition z-sort (projection preserves the sort order) so the
+    // release artifact carries ONLY the user schema + shard
     withRangeShard(withZ, col("__z"), bounds)
       .repartition(nShards, col("shard"))
       .sortWithinPartitions("shard", "__z")
+      .drop("__x", "__y", "__z")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
+    // manifest rectangles re-derive from the WRITTEN data via the
+    // caller's own x/y expressions (verifies the files, not the plan)
     df.sparkSession.read.parquet(path)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
-        min("__x").as("min_x"), max("__x").as("max_x"),
-        min("__y").as("min_y"), max("__y").as("max_y"))
+        min(x.cast("long")).as("min_x"), max(x.cast("long")).as("max_x"),
+        min(y.cast("long")).as("min_y"), max(y.cast("long")).as("max_y"))
       .orderBy("shard")
   }
 

@@ -73,6 +73,13 @@ object Snapshot {
     * Change ids must be unique (one op per id per release — a
     * contradictory upsert+delete for the same id has no defined
     * order); corpus keys unique and non-null as in [[diff]].
+    *
+    * Ops are VALIDATED, not defaulted: a row whose op is outside
+    * {upsert, delete} (a typo'd 'Upsert', an 'update' from another
+    * system) fails the job loudly — silently treating it as a delete
+    * would destroy the document. The check is a codegen'd branch
+    * inside the changeset projection (no extra pass, no driver
+    * action), raised from whichever task meets the bad row.
     */
   def applyChanges(
       corpus: DataFrame,
@@ -80,8 +87,17 @@ object Snapshot {
       content: Column,
       changes: DataFrame): DataFrame = {
     val base = corpus.select(id.cast("long").as("id"), content.as("content"))
+    val rawOp = col("op").cast("string")
+    val checkedOp = when(rawOp.isin("upsert", "delete"), rawOp)
+      .otherwise(raise_error(concat(
+        lit("applyChanges: unknown op '"), coalesce(rawOp, lit("NULL")),
+        lit("' for id "), col("id").cast("string"),
+        lit(" (expected 'upsert' or 'delete')"))))
     val ch = changes.select(col("id").cast("long").as("id"),
-      col("op").cast("string").as("op"), col("content").cast("string").as("content"))
+      checkedOp.as("op"), col("content").cast("string").as("content"))
+    // every changes row flows through the upsert-filter branch, whose
+    // predicate evaluates checkedOp on ALL rows (kept or not) — so the
+    // validation fires even though the anti-join side prunes `op`
     base.join(ch.select("id"), Seq("id"), "left_anti")
       .unionByName(ch.where(col("op") === "upsert").select("id", "content"))
   }

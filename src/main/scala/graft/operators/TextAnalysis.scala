@@ -127,6 +127,12 @@ object TextAnalysis {
     require(blocked.nonEmpty, "blocklistFilter needs at least one term")
     require(blocked.distinct.size == blocked.size,
       s"duplicate blocklist terms: $blocked")
+    // documents are lowercased before matching, so a mixed-case term
+    // would silently never match — reject it (mirrors
+    // domainBlocklistFilter's check)
+    require(blocked.forall(t => t == t.toLowerCase),
+      s"blocklist terms must be lowercase (documents are lowercased " +
+        s"before matching): ${blocked.filterNot(t => t == t.toLowerCase)}")
     // one native term_freqs scan per doc (dl + all term counts);
     // codegen subexpression elimination shares it across the fields
     val tf = graft.functions.TextOps.termFreqs(lower(text), blocked)

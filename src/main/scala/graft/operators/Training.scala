@@ -112,11 +112,15 @@ object Training {
     * corpus-sized ones.
     *
     * Words are represented as symbol strings where every symbol owns
-    * its LEADING double-space delimiter (`"  c  a  t  "`), so the
-    * merge rewrite `replace("  A  B" -> "  AB")` is exactly one
-    * greedy left-to-right BPE pass: adjacent merged pairs cannot
-    * share a delimiter, and `[a,a,a,a]` fuses to `[aa,aa]` like real
-    * BPE (a single-space join would mis-fuse it to `[aa,a,a]`).
+    * BOTH a leading and a trailing double-space delimiter
+    * (`"  c    a    t  "` — four spaces between symbols), so the
+    * merge rewrite `replace("  A    B  " -> "  AB  ")` is exactly one
+    * greedy left-to-right BPE pass: the pattern is anchored on both
+    * symbol boundaries (a leading-delimiter-only encoding would let
+    * merge (a,b) fuse `a` with the PREFIX of a following multi-char
+    * symbol `bc`), and because each replacement re-emits the
+    * delimiters it consumed, `[a,a,a,a]` still fuses to `[aa,aa]`
+    * like real BPE.
     *
     * Returns (merge_idx, sym_a, sym_b, pair_count) for the learned
     * merges in order; stops early if the corpus runs out of pairs.
@@ -128,13 +132,13 @@ object Training {
     val words0 = df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
     var cur = words0.select(
-      concat(lit("  "), concat_ws("  ", split(col("word"), "")), lit("  ")).as("s"),
+      concat(lit("  "), concat_ws("    ", split(col("word"), "")), lit("  ")).as("s"),
       col("cnt")).persist()
     cur.count()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
     for (i <- 1 to nMerges if !exhausted) {
-      val syms = split(trim(col("s")), "  ")
+      val syms = split(trim(col("s")), "  +")
       // 1 row to the driver per round: the argmax pair
       val top = cur
         .select(col("cnt"), explode(graft.functions.TextOps.adjacentPairs(syms)).as("pr"))
@@ -150,7 +154,7 @@ object Training {
         merges += ((i.toLong, l, r, c))
         val next = cur.select(
           org.apache.spark.sql.functions.replace(col("s"),
-            lit(s"  $l  $r"), lit(s"  $l$r")).as("s"), col("cnt")).persist()
+            lit(s"  $l    $r  "), lit(s"  $l$r  ")).as("s"), col("cnt")).persist()
         next.count()
         cur.unpersist()
         cur = next
@@ -196,11 +200,13 @@ object Training {
     * data pipeline tracks per corpus slice.
     *
     * Map-only, zero exchanges: the document renders once into the
-    * same delimiter-encoded symbol string as training (each word's
-    * symbols own a leading double space; between words the boundary
-    * is four spaces, which no '  A  B' merge pattern can span, since
-    * symbols are space-free), then the merge list applies as a chain
-    * of M literal `replace` passes inside one projection.
+    * same delimiter-encoded symbol string as training (each symbol
+    * owns leading AND trailing double spaces — four spaces between
+    * symbols; between words the boundary is SIX spaces, which no
+    * '  A    B  ' merge pattern can span, since the pattern requires
+    * exactly four spaces between its symbols and symbols are
+    * space-free), then the merge list applies as a chain of M literal
+    * `replace` passes inside one projection.
     */
   def applyBpe(
       df: DataFrame,
@@ -208,11 +214,11 @@ object Training {
       text: Column,
       merges: Seq[(String, String)]): DataFrame = {
     val words = TextAnalysis.tokens(lower(text))
-    val sym0 = concat_ws("", transform(words, w =>
-      concat(lit("  "), concat_ws("  ", split(w, "")), lit("  "))))
+    val sym0 = concat_ws("  ", transform(words, w =>
+      concat(lit("  "), concat_ws("    ", split(w, "")), lit("  "))))
     val merged = merges.foldLeft(sym0) { case (acc, (l, r)) =>
       org.apache.spark.sql.functions.replace(acc,
-        lit(s"  $l  $r"), lit(s"  $l$r"))
+        lit(s"  $l    $r  "), lit(s"  $l$r  "))
     }
     df.select(id.cast("long").as("doc_id"),
       size(words).cast("long").as("n_words"),

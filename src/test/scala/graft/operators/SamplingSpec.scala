@@ -141,6 +141,43 @@ class SamplingSpec extends SparkTestBase {
     assert(kept.collect().map(_.getLong(0)).toSet.subsetOf(wider))
   }
 
+  test("bucket/weightedSample hashes: overflow-free, exact-arithmetic-identical at 64-bit extremes") {
+    import spark.implicits._
+    val knuth = BigInt(2654435761L)
+    // ids that overflow key*knuth in int64: near Long.MaxValue/MinValue
+    // plus a seeded spread of realistic big snowflake-style ids — the
+    // case where the old raw-multiply formula wrapped on Spark and
+    // THREW on DuckDB/ANSI engines
+    val rnd = new scala.util.Random(7)
+    val keys = Seq(Long.MaxValue, Long.MaxValue - 1, Long.MinValue,
+      Long.MinValue + 1, 3500000000L, -3500000000L, 0L, 1L, -1L) ++
+      Seq.fill(200)(rnd.nextLong()) ++ Seq.fill(50)(rnd.nextLong(1000000))
+    val df = keys.toDF("id")
+    for (buckets <- Seq(2, 4, 100, 97)) {
+      // exact-arithmetic reference: what DuckDB / ANSI Spark computes
+      // from (key · knuth) mod buckets with NO wraparound
+      def ref(k: Long): Long =
+        ((BigInt(k) * knuth).mod(BigInt(buckets))).toLong
+      val got = df.select(col("id"), Sampling.bucket(col("id"), buckets).as("b"))
+        .as[(Long, Long)].collect()
+      got.foreach { case (k, b) =>
+        assert(b == ref(k), s"bucket($k, $buckets): got $b, exact arithmetic says ${ref(k)}")
+        assert(b >= 0 && b < buckets)
+      }
+    }
+    // weightedSample's priority hash: reduce-first must equal the
+    // mathematical (key · knuth) mod p for every 64-bit key
+    val p = BigInt(1000000007L)
+    val pr = Sampling.weightedSample(
+        keys.map((_, 1L)).toDF("id", "w"), col("id"), col("w"), lit("all"),
+        n = keys.size)
+      .select(col("id"), col("priority")).as[(Long, Long)].collect()
+    pr.foreach { case (k, h) =>
+      val expect = (BigInt(k).mod(p) * knuth).mod(p).toLong
+      assert(h == expect, s"priority($k): got $h, exact arithmetic says $expect")
+    }
+  }
+
   test("materializeMixture: epoch counts, default 1, zero drops, deterministic key") {
     import spark.implicits._
     val df = Seq((0L, "en"), (1L, "de"), (2L, "xx"), (3L, "junk"))

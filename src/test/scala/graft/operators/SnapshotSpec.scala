@@ -70,6 +70,22 @@ class SnapshotSpec extends SparkTestBase {
     assert(out == Map(1L -> "a", 2L -> "B2", 4L -> "d"))
   }
 
+  test("applyChanges: an op outside {upsert, delete} fails loudly, never deletes") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a"), (2L, "b")).toDF("doc_id", "text")
+    for (bad <- Seq("Upsert", "update", "", null.asInstanceOf[String])) {
+      val changes = Seq((2L, bad, "B2")).toDF("id", "op", "content")
+      val e = intercept[Exception] {
+        Snapshot.applyChanges(corpus, col("doc_id"), col("text"), changes)
+          .collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("unknown op")),
+        s"op '$bad' must raise the validation error, got: $e")
+    }
+  }
+
   test("applyChanges round-trip: diff(corpus, applied) reports exactly the changeset") {
     import spark.implicits._
     val corpus = (0L until 50L).map(i => (i, s"doc$i")).toDF("doc_id", "text")

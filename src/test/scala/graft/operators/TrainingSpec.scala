@@ -94,6 +94,29 @@ class TrainingSpec extends SparkTestBase {
     assert(out == Seq((1L, "a", "a", 9L), (2L, "aa", "aa", 3L)))
   }
 
+  test("trainBpe: merge (a,b) must not fuse a with the PREFIX of symbol bc") {
+    val spark0 = spark
+    import spark0.implicits._
+    // corpus engineered so round 1 learns (b,c) and round 2 learns
+    // (a,b): word "abc" is then [a, bc] — a left-anchored-only merge
+    // pattern would corrupt it to one symbol "abc" and round 3 would
+    // miss the textbook merge (a, bc)
+    val df = Seq("abc abc abc bc bc ab ab ab ab").toDF("text")
+    val out = Training.trainBpe(df, col("text"), nMerges = 3)
+      .as[(Long, String, String, Long)].collect().toSeq
+    // round 1: (b,c) = 3 (abc) + 2 (bc) = 5 vs (a,b) = 3 + 4 = 7 —
+    // recount: (a,b) appears in abc x3 and ab x4 = 7, wins round 1;
+    // then abc = [ab, c], round 2: (b,c) = 2 (bc only), (ab,c) = 3 —
+    // (ab,c) wins; round 3: (b,c) = 2 in the bc words
+    assert(out == Seq((1L, "a", "b", 7L), (2L, "ab", "c", 3L), (3L, "b", "c", 2L)))
+    // the direct ADVICE case: apply (b,c) then (a,b) to "abc" — the
+    // result must be [a, bc] (2 tokens), NOT one fused symbol
+    val fert = Training.applyBpe(Seq((0L, "abc")).toDF("id", "text"),
+        col("id"), col("text"), Seq(("b", "c"), ("a", "b")))
+      .as[(Long, Long, Long)].head()
+    assert(fert == ((0L, 1L, 2L)), s"expected [a, bc] = 2 tokens, got $fert")
+  }
+
   test("trainBpe: deterministic across partitionings; stops when pairs run out") {
     val spark0 = spark
     import spark0.implicits._

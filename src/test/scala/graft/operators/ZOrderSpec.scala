@@ -78,9 +78,15 @@ class ZOrderSpec extends SparkTestBase {
       assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 15L)
       assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 15L)
     }
-    // written rows are z-sorted within each shard
-    val shard0 = spark.read.parquet(s"$dir/shard=0")
-      .select(LayoutOps.zorder2(col("__x"), col("__y"))).as[Long].collect()
+    // written files carry ONLY the user schema (+ shard) — the
+    // __x/__y/__z plan helpers must not leak into the release artifact
+    val written = spark.read.parquet(s"$dir/shard=0")
+    assert(written.columns.toSet == Set("x", "y"),
+      s"helper columns leaked into the export: ${written.columns.toSeq}")
+    // written rows are z-sorted within each shard (z re-derived from
+    // the user columns)
+    val shard0 = written
+      .select(LayoutOps.zorder2(col("x"), col("y"))).as[Long].collect()
     assert(shard0.toSeq == shard0.sorted.toSeq)
   }
 }
