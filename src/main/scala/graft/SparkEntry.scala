@@ -706,6 +706,17 @@ object SparkEntry {
       col("text"), nMerges = 3)
       .orderBy("merge_idx")
 
+  /** Vocab-scale batched BPE: same 3 merges as q138 from the batched
+    * trainer — the oracle is the SEQUENTIAL unroll, so this row IS the
+    * batched-equals-sequential equality proof under the driver's
+    * DuckDB gate (the batch prefix rule must reproduce the loop).
+    */
+  private def qBpeTrainBatched(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainBpeBatched(t(s, dir, "documents"),
+      col("text"), nMerges = 3, maxBatch = 8,
+      driverVocabLimit = 0L) // force the distributed rounds under the gate
+      .orderBy("merge_idx")
+
   /** Train-then-tokenize end-to-end: q138's learned merges applied to
     * every document; per-doc tokenizer fertility. The 3-row merge
     * table is the only driver transfer.
@@ -1155,6 +1166,20 @@ object SparkEntry {
   private def qBm25(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retrieval.bm25TopK(t(s, dir, "documents"),
       col("doc_id"), col("text"), Seq("hash", "join", "vector"), topK = 25)
+
+  /** Batched BM25 serving: three queries' top-10 in ONE corpus scan
+    * (shared term_freqs struct over the 8-term union vocabulary);
+    * query 0 is exactly q121's term set, so its rows replay the
+    * single-query operator under a per-query window.
+    */
+  private def qBm25Batch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25BatchTopK(t(s, dir, "documents"),
+      col("doc_id"), col("text"),
+      Seq(0L -> Seq("hash", "join", "vector"),
+        1L -> Seq("filter", "scan"),
+        2L -> Seq("fast", "stream", "window")),
+      topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
 
   /** Blocklist rate filter: blocked-token per-mille against a 3-term
     * list, threshold chosen so the corpus genuinely splits.
@@ -2306,6 +2331,8 @@ object SparkEntry {
     "q147_stream_approx_distinct" -> qStreamApproxDistinct _,
     "q148_datacard" -> qDataCard _,
     "q149_build_vocab" -> qBuildVocab _,
+    "q150_bpe_train_batched" -> qBpeTrainBatched _,
+    "q151_bm25_batch" -> qBm25Batch _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2316,7 +2343,9 @@ object SparkEntry {
       |) AS t(id, author, "author-orcid", cite, "key", mdate, note, "note-type", pages, publtype, title, year)
       |ORDER BY id""".stripMargin
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = sharedOracleSql(baseOracleSql)
+
+  private def baseOracleSql: Map[String, String] = {
     // cdc_chunks polynomial powers 31^j mod 1e9+7, j = 0..15,
     // interpolated as a literal list so DuckDB reproduces the window
     // fingerprint without bignum exponentiation
@@ -3186,6 +3215,40 @@ object SparkEntry {
           |SELECT doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
           |FROM scored WHERE score > 0
           |ORDER BY score DESC, doc_id LIMIT 25""".stripMargin,
+
+      // q121's scoring algebra over the 8-term union vocabulary, then
+      // per-query top-10 via a row_number window — the batched serve's
+      // one-corpus-scan plan must reproduce the per-query unrolls
+      "q151_bm25_batch" -> {
+        val terms = Seq("fast", "filter", "hash", "join", "scan", "stream",
+          "vector", "window")
+        val tfDefs = terms.map(t =>
+          s"  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x = '$t')) AS tf_$t").mkString(",\n")
+        val dfDefs = terms.map(t =>
+          s"  sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
+        val sDefs = terms.map(t =>
+          s"  (CASE WHEN tf_$t > 0 THEN ((((2*n - 2*df_$t + 1) * 1000000) // (2*df_$t + 1)) * (22 * tf_$t * l)) // (10*l*tf_$t + 3*l + 9*dl*n) ELSE 0 END) AS s_$t").mkString(",\n")
+        s"""WITH docs AS (
+           | SELECT doc_id,
+           |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl,
+           |$tfDefs
+           | FROM documents),
+           | stats AS (SELECT count(*) AS n, sum(dl) AS l,
+           |$dfDefs
+           | FROM docs),
+           | ts AS (SELECT doc_id, dl,
+           |$sDefs
+           | FROM docs, stats),
+           | qs AS (
+           |  SELECT 0 AS query_id, doc_id, dl, s_hash + s_join + s_vector AS score FROM ts
+           |  UNION ALL SELECT 1, doc_id, dl, s_filter + s_scan FROM ts
+           |  UNION ALL SELECT 2, doc_id, dl, s_fast + s_stream + s_window FROM ts),
+           | rk AS (SELECT query_id, doc_id, dl, score,
+           |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+           | FROM qs WHERE score > 0)
+           |SELECT query_id::BIGINT AS query_id, doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
+           |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
+      },
 
       // blocked-token per-mille, floor division both sides
       "q122_blocklist" ->
@@ -4546,4 +4609,11 @@ object SparkEntry {
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
     )
   }
+
+  /** Oracle rows that deliberately REUSE another query's SQL: the
+    * batched BPE trainer's contract is bit-equality with the
+    * sequential loop, so its oracle IS q138's sequential unroll.
+    */
+  private def sharedOracleSql(base: Map[String, String]): Map[String, String] =
+    base + ("q150_bpe_train_batched" -> base("q138_bpe_train"))
 }

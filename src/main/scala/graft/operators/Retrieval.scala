@@ -91,4 +91,87 @@ object Retrieval {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(topK)
   }
+
+  /** Batched BM25 serving: per-query top-K for a whole query SET in
+    * one pass over the corpus — the shape a curation pipeline actually
+    * runs (score N queries against a snapshot, not one query N times).
+    * `queries` is (query_id, terms); output (query_id, doc_id,
+    * n_tokens, score), at most `topK` rows per query, ties broken by
+    * ascending doc_id. Scoring algebra is EXACTLY [[bm25TopK]]'s —
+    * the single-query operator is the oracle for any one row group.
+    *
+    * Scale shape: the query set is model-sized by contract (it rides
+    * into the plan as literals — broadcast in the strongest sense),
+    * and the CORPUS-side cost is independent of |queries|: one native
+    * `term_freqs` scan computes dl + every distinct term's tf across
+    * all queries at once, corpus stats (N, L, per-term df) are the
+    * same single-row aggregate as [[bm25TopK]], and all |queries|
+    * scores come out of one map-only projection over the shared tf
+    * struct. Only then does anything widen: (query_id, doc_id, score)
+    * long-triples for MATCHING docs explode onto the top-k exchange.
+    * The top-k itself is the salted two-phase window ([[Sampling
+    * .capPerKeySalted]]'s shape): phase 1 keeps topK within (query,
+    * salt-bucket) — so a query matching the whole corpus bounds any
+    * window task at salt·topK rows instead of serializing the corpus
+    * through one task — and phase 2 runs the exact window over the
+    * ≤ salt·topK survivors per query. Identical output to the exact
+    * window: phase 1 only drops rows ranked below topK within a
+    * sub-bucket, which rank below topK globally too.
+    */
+  def bm25BatchTopK(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queries: Seq[(Long, Seq[String])],
+      topK: Int,
+      idfScale: Long = 1000000L,
+      salt: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "bm25BatchTopK needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query ids: ${queries.map(_._1)}")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"query $qid has no terms")
+      require(terms.distinct.size == terms.size,
+        s"query $qid has duplicate terms: $terms")
+      require(terms.forall(t => t == t.toLowerCase),
+        s"query $qid terms must be lowercase: ${terms.filterNot(t => t == t.toLowerCase)}")
+    }
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(salt > 0, s"salt must be positive, got $salt")
+    val allTerms = queries.flatMap(_._2).distinct.sorted
+    val termIdx = allTerms.zipWithIndex.toMap
+    val tf = graft.functions.TextOps.termFreqs(lower(text), allTerms)
+    val tfCols = allTerms.indices.map(i => tf.getField("tfs").getItem(i).as(s"tf_$i"))
+    val docs = df.select(
+      id.cast("long").as("doc_id") +: tf.getField("dl").as("dl") +: tfCols: _*)
+    val aggs =
+      count(lit(1)).as("n") +: sum(col("dl")).as("l") +:
+        allTerms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = docs.agg(aggs.head, aggs.tail: _*)
+    def termScore(i: Int): Column =
+      when(col(s"tf_$i") > 0, expr(
+        s"(((2L*n - 2L*df_$i + 1L) * ${idfScale}L) div (2L*df_$i + 1L)" +
+          s" * (22L * tf_$i * l)) div (10L * l * tf_$i + 3L * l + 9L * dl * n)"))
+        .otherwise(0L)
+    val perQuery = queries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"),
+        terms.map(t => termScore(termIdx(t))).reduce(_ + _).as("score"))
+    }
+    val scored = docs.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        explode(array(perQuery: _*)).as("q"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"),
+        col("dl").as("n_tokens"), col("q.score").as("score"))
+      .where(col("score") > 0)
+    import org.apache.spark.sql.expressions.Window
+    val ord = Seq(col("score").desc, col("doc_id"))
+    val phase1 = scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id"),
+          Sampling.bucket(col("doc_id"), salt)).orderBy(ord: _*)))
+      .where(col("__rn") <= topK).drop("__rn")
+    phase1.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(ord: _*)))
+      .where(col("__rn") <= topK).drop("__rn")
+  }
 }

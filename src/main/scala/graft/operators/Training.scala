@@ -164,6 +164,214 @@ object Training {
     merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
   }
 
+  /** Vocab-scale BPE training: [[trainBpe]]'s exact semantics at a
+    * per-round (not per-merge) driver cost. Where the sequential loop
+    * pays one pair-count aggregate + collect + rewrite PER MERGE
+    * (~30k Spark jobs for a real tokenizer), this selects up to
+    * `maxBatch` merges from ONE pair-count aggregate and applies them
+    * in ONE chained rewrite — ~30k merges in ~30k/maxBatch rounds.
+    *
+    * Output is spec-pinned EQUAL to the sequential loop, not an
+    * approximation. The batch is the PREFIX of the (count desc, l, r)
+    * sorted pair list up to the first candidate that interacts with an
+    * already-selected merge, where "interacts" means: shares a symbol
+    * with a selected pair, uses a selected pair's produced string as a
+    * symbol, or produces a string some selected pair already produced.
+    * The selection is then truncated to counts STRICTLY above the
+    * stopping candidate's count (the barrier). Why this is exact:
+    *  - every pair that interacts with the selected set sorts at or
+    *    below the barrier (the stopping candidate is the FIRST such),
+    *    so applying earlier selected merges can only change counts in
+    *    the ≤ barrier region;
+    *  - a merge can only create new pair occurrences out of parent
+    *    adjacencies that touch its symbols — interacting pairs — so
+    *    every new or inflated pair count is ≤ barrier as well;
+    *  - selected counts are > barrier STRICTLY, so neither a changed
+    *    count nor a (count, l, r) tie can displace any selected pair
+    *    from being the running argmax at its turn.
+    * Hence sequential BPE, replayed from the same table, picks exactly
+    * the selected pairs in selection order with the same counts. When
+    * the stop leaves nothing above the barrier, the round falls back
+    * to the single global argmax (count desc, then (l, r) asc — the
+    * same tiebreak as [[trainBpe]]), so progress is always ≥ 1
+    * merge/round and worst-case degrades to the sequential loop.
+    *
+    * Scale shape per round: one vocab-sized pair aggregate, a
+    * (maxBatch+1)-row TakeOrdered collect (driver-bounded by the
+    * PARAMETER, not the data), and one map-only rewrite projection
+    * carrying the whole batch.
+    *
+    * Threshold dispatch: when the distinct-word table fits
+    * `driverVocabLimit` rows, the entire merge loop instead runs
+    * driver-local over the collected table ([[localBpe]] — incremental
+    * pair counts, zero Spark jobs per merge); the distributed rounds
+    * are the above-threshold path. Both paths are spec-pinned equal to
+    * [[trainBpe]].
+    */
+  def trainBpeBatched(
+      df: DataFrame,
+      text: Column,
+      nMerges: Int,
+      maxBatch: Int = 256,
+      driverVocabLimit: Long = 1000000L): DataFrame = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(maxBatch > 0, s"maxBatch must be positive, got $maxBatch")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words0 = df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // The word-frequency table is the MODEL-sized artifact (the corpus
+    // collapsed in one aggregate); when it fits the driver threshold,
+    // the whole merge loop runs in memory with incremental pair
+    // counts — ZERO Spark jobs per merge, same thresholded-fallback
+    // pattern as Dedup.dedupGroups. The distributed batched loop below
+    // is the above-threshold path (10M+ distinct words).
+    val limit = math.min(driverVocabLimit, Int.MaxValue - 2L).toInt
+    val head = words0.limit(limit + 1).as[(String, Long)].collect()
+    if (head.length <= limit)
+      return localBpe(head, nMerges).toDF("merge_idx", "sym_a", "sym_b", "pair_count")
+    // localCheckpoint (not persist) each round: at hundreds of rounds
+    // a persisted-but-lineage-carrying chain makes the analyzer and
+    // codegen walk EVERY previous round's projection — quadratic
+    // driver time and eventually janino limits. Checkpointing keeps
+    // each round's plan one projection deep over a vocab-sized cache.
+    var cur = words0.select(
+      concat(lit("  "), concat_ws("    ", split(col("word"), "")), lit("  ")).as("s"),
+      col("cnt")).localCheckpoint(true)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var done = 0
+    var exhausted = false
+    while (done < nMerges && !exhausted) {
+      val want = math.min(maxBatch, nMerges - done)
+      val syms = split(trim(col("s")), "  +")
+      val cands = cur
+        .select(col("cnt"), explode(graft.functions.TextOps.adjacentPairs(syms)).as("pr"))
+        .groupBy("pr").agg(sum("cnt").as("c"))
+        .withColumn("l", split(col("pr"), " ").getItem(0))
+        .withColumn("r", split(col("pr"), " ").getItem(1))
+        .orderBy(col("c").desc, col("l"), col("r"))
+        .limit(want + 1)
+        .select("l", "r", "c").as[(String, String, Long)].collect()
+      if (cands.isEmpty) exhausted = true
+      else {
+        val symbols = scala.collection.mutable.Set.empty[String]
+        val producedStrs = scala.collection.mutable.Set.empty[String]
+        val sel = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var barrier = -1L
+        var stopped = false
+        for (cand @ (l, r, c) <- cands if !stopped) {
+          val interacts = symbols(l) || symbols(r) ||
+            producedStrs(l) || producedStrs(r) || producedStrs(l + r)
+          if (sel.size == want || interacts) { barrier = c; stopped = true }
+          else { sel += cand; symbols += l; symbols += r; producedStrs += l + r }
+        }
+        val kept =
+          if (!stopped) sel.toSeq // complete pair table selected, no interactions
+          else {
+            val strict = sel.takeWhile(_._3 > barrier).toSeq
+            if (strict.nonEmpty) strict else sel.take(1).toSeq
+          }
+        kept.foreach { case (l, r, c) =>
+          done += 1
+          merges += ((done.toLong, l, r, c))
+        }
+        val rewritten = kept.foldLeft(col("s")) { case (acc, (l, r, _)) =>
+          org.apache.spark.sql.functions.replace(acc,
+            lit(s"  $l    $r  "), lit(s"  $l$r  "))
+        }
+        cur = cur.select(rewritten.as("s"), col("cnt")).localCheckpoint(true)
+      }
+    }
+    merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
+  }
+
+  /** Driver-local BPE merge loop over a collected word-frequency
+    * table — [[trainBpeBatched]]'s under-threshold path. Exactly
+    * [[trainBpe]]'s recurrence (argmax pair by count desc then (l, r)
+    * asc; one greedy left-to-right fuse per merge), implemented with
+    * INCREMENTAL pair counts: each merge touches only the words that
+    * contain the merged pair (indexed per pair), and the argmax comes
+    * from a lazy-deletion priority queue — so 30k merges cost seconds,
+    * not 30k table scans, and never a Spark job.
+    */
+  private[operators] def localBpe(
+      vocab: Array[(String, Long)],
+      nMerges: Int): Seq[(Long, String, String, Long)] = {
+    // symbol sequences per distinct word (merging never changes word
+    // identity, so frequencies stay fixed)
+    val words: Array[Array[String]] =
+      vocab.map { case (w, _) => w.split("").filter(_.nonEmpty) }
+    val freq: Array[Long] = vocab.map(_._2)
+    val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val where = scala.collection.mutable.HashMap
+      .empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPair(p: (String, String), c: Long, wi: Int): Unit = {
+      val n = counts.getOrElse(p, 0L) + c
+      if (n == 0L) counts.remove(p) else counts(p) = n
+      if (c > 0) where.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+    }
+    words.indices.foreach { wi =>
+      val s = words(wi)
+      var i = 0
+      while (i + 1 < s.length) { addPair((s(i), s(i + 1)), freq(wi), wi); i += 1 }
+    }
+    // lazy-deletion PQ: entries carry the count at push time; a popped
+    // entry is live only if it still matches counts(pair)
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.by { case (c, l, r) => (c, ReverseLex(l), ReverseLex(r)) }
+    val pq = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    counts.foreach { case ((l, r), c) => pq.enqueue((c, l, r)) }
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var made = 0
+    while (made < nMerges && pq.nonEmpty) {
+      val (c, l, r) = pq.dequeue()
+      if (counts.get((l, r)).contains(c)) {
+        made += 1
+        out += ((made.toLong, l, r, c))
+        val touched = scala.collection.mutable.HashSet.empty[(String, String)]
+        val hits = where.remove((l, r)).getOrElse(scala.collection.mutable.Set.empty)
+        // (l, r)'s count zeroes naturally through the per-word
+        // decrement/increment below (a fuse can never create a new
+        // (l, r) adjacency: the merged symbol l+r differs from both)
+        hits.foreach { wi =>
+          val s = words(wi)
+          val f = freq(wi)
+          var i = 0
+          while (i + 1 < s.length) {
+            touched += ((s(i), s(i + 1)))
+            addPair((s(i), s(i + 1)), -f, wi); i += 1
+          }
+          // greedy left-to-right fuse of (l, r)
+          val b = Array.newBuilder[String]
+          i = 0
+          while (i < s.length) {
+            if (i + 1 < s.length && s(i) == l && s(i + 1) == r) { b += l + r; i += 2 }
+            else { b += s(i); i += 1 }
+          }
+          val ns = b.result()
+          words(wi) = ns
+          i = 0
+          while (i + 1 < ns.length) {
+            touched += ((ns(i), ns(i + 1)))
+            addPair((ns(i), ns(i + 1)), f, wi); i += 1
+          }
+        }
+        touched.foreach { p =>
+          counts.get(p).foreach(c2 => pq.enqueue((c2, p._1, p._2)))
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Max-heap tie-break helper: the argmax wants count DESC but (l, r)
+    * ASC; wrapping strings in a reversed ordering inside the max-heap
+    * key achieves the ascending lexicographic tie-break.
+    */
+  private case class ReverseLex(s: String) extends Ordered[ReverseLex] {
+    override def compare(that: ReverseLex): Int = that.s.compareTo(this.s)
+  }
+
   /** Vocabulary construction — the tokenizer's final artifact: the
     * corpus token table pruned by `minCount`, capped at `maxSize`
     * rows by (count desc, token asc), with DENSE token ids assigned

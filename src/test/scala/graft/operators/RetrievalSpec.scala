@@ -57,6 +57,60 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.head._3 == 333333L)
   }
 
+  test("bm25BatchTopK: each query's rows equal the single-query operator's") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "cat cat dog x"),
+      (1L, "dog y z"),
+      (2L, "x y z w"),
+      (3L, "cat w w")).toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("dog"), 2L -> Seq("w", "x"))
+    val batch = Retrieval.bm25BatchTopK(df, col("doc_id"), col("text"),
+        queries, topK = 2)
+      .orderBy("query_id", "doc_id")
+      .select("query_id", "doc_id", "n_tokens", "score")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3, r._4)).sortBy(_._1)).toMap
+    queries.foreach { case (qid, terms) =>
+      val single = Retrieval.bm25TopK(df, col("doc_id"), col("text"), terms, topK = 2)
+        .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(batch(qid) == single,
+        s"query $qid ($terms): batch=${batch(qid)} single=$single")
+    }
+  }
+
+  test("bm25BatchTopK: corpus-side plan is independent of the query count") {
+    import spark.implicits._
+    val df = Seq.tabulate(40)(i => (i.toLong, s"cat dog w$i x y")).toDF("doc_id", "text")
+    def shape(qs: Seq[(Long, Seq[String])]): (Int, Int) = {
+      val out = Retrieval.bm25BatchTopK(df, col("doc_id"), col("text"), qs, topK = 3)
+      out.count() // materialize so AQE finalizes the plan
+      (Scale.countShuffles(out),
+        out.queryExecution.executedPlan.collectLeaves().size)
+    }
+    val one = shape(Seq(0L -> Seq("cat")))
+    val many = shape(Seq(0L -> Seq("cat"), 1L -> Seq("dog", "x"),
+      2L -> Seq("y"), 3L -> Seq("cat", "dog", "y")))
+    assert(one == many,
+      s"plan shape must not grow with |queries|: 1 query=$one, 4 queries=$many")
+  }
+
+  test("bm25BatchTopK: salted two-phase top-k equals the exact window") {
+    import spark.implicits._
+    // every doc matches: the monster-query case the salting exists for
+    val df = Seq.tabulate(200)(i => (i.toLong, "cat " + Seq.fill(i % 7)("cat").mkString(" ")))
+      .toDF("doc_id", "text")
+    val qs = Seq(0L -> Seq("cat"))
+    val salted = Retrieval.bm25BatchTopK(df, col("doc_id"), col("text"), qs,
+        topK = 10, salt = 8)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSet
+    val unsalted = Retrieval.bm25BatchTopK(df, col("doc_id"), col("text"), qs,
+        topK = 10, salt = 1)
+      .select("doc_id", "score").as[(Long, Long)].collect().toSet
+    assert(salted == unsalted)
+    assert(salted.size == 10)
+  }
+
   test("blocklistFilter: per-mille floor division and threshold") {
     import spark.implicits._
     val df = Seq(

@@ -162,6 +162,55 @@ class TrainingSpec extends SparkTestBase {
       s"each merge must strictly reduce total tokens on this corpus: $counts")
   }
 
+  test("trainBpeBatched equals the sequential loop on toy corpora, any maxBatch") {
+    val spark0 = spark
+    import spark0.implicits._
+    val corpora = Seq(
+      Seq("low low low low low newest newest newest",
+        "newest newest newest lower lower widest widest widest"),
+      Seq("abc abc abc bc bc ab ab ab ab"),
+      Seq("aaaa aaaa aaaa"),
+      Seq("the quick brown fox the lazy dog the end"))
+    // driverVocabLimit = 0 forces the DISTRIBUTED rounds; the default
+    // exercises the driver-local incremental loop — both must equal
+    // the sequential reference
+    for (docs <- corpora; nMerges <- Seq(1, 4, 8); batch <- Seq(1, 2, 3, 256);
+         vocabLimit <- Seq(0L, 1000000L)) {
+      val df = docs.toDF("text")
+      val seqOut = Training.trainBpe(df, col("text"), nMerges)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      val batOut = Training.trainBpeBatched(df, col("text"), nMerges,
+          maxBatch = batch, driverVocabLimit = vocabLimit)
+        .as[(Long, String, String, Long)].collect().toSeq.sortBy(_._1)
+      assert(batOut == seqOut,
+        s"corpus=$docs nMerges=$nMerges maxBatch=$batch vocabLimit=$vocabLimit:" +
+          s"\n  batched=$batOut\n  sequential=$seqOut")
+    }
+  }
+
+  test("trainBpeBatched equals sequential BPE on seeded random corpora") {
+    val spark0 = spark
+    import spark0.implicits._
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 6) {
+      val vocab = Seq.fill(8)((0 until (1 + rnd.nextInt(5)))
+        .map(_ => ('a' + rnd.nextInt(3)).toChar).mkString)
+      val docs = Seq.fill(12)(Seq.fill(1 + rnd.nextInt(6))(
+        vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      val df = docs.toDF("text")
+      val seqOut = Training.trainBpe(df, col("text"), nMerges = 6)
+        .as[(Long, String, String, Long)].collect().toSeq
+      for (vocabLimit <- Seq(0L, 1000000L)) {
+        val batOut = Training.trainBpeBatched(df, col("text"), nMerges = 6,
+            maxBatch = 4, driverVocabLimit = vocabLimit)
+          .as[(Long, String, String, Long)].collect().toSeq
+        assert(batOut == seqOut,
+          s"trial $trial vocabLimit=$vocabLimit corpus=$docs:" +
+            s"\n  batched=$batOut\n  sequential=$seqOut")
+      }
+    }
+  }
+
   test("buildVocab: dense ids by (count desc, token asc); prune and cap apply") {
     val spark0 = spark
     import spark0.implicits._
