@@ -649,6 +649,25 @@ object SparkEntry {
       col("src"), col("dst"), iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(20)
 
+  /** Standard (dangling-redistributed) PageRank over the DIRECTED
+    * low-to-high co-shipping graph: orienting every co-supplier pair
+    * src < dst makes the max-id supplier (and every supplier whose
+    * co-shippers all have lower ids) a genuine dangling node, so the
+    * redistribution term does real work — on q132's symmetric graph
+    * the dangling set is empty and the variant degenerates to the
+    * leaky contract.
+    */
+  private def qPageRankStandard(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") < col("b.l_suppkey"))
+      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+      .distinct()
+    graft.operators.Graph.pageRankStandard(pairs, col("src"), col("dst"), iters = 3)
+      .orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
   /** Degree-ordered exact triangle count over the co-shipping
     * subgraph of every 10th supplier. The full co-shipping graph is
     * near-COMPLETE at any SF (uniform supplier assignment makes all
@@ -2333,6 +2352,7 @@ object SparkEntry {
     "q149_build_vocab" -> qBuildVocab _,
     "q150_bpe_train_batched" -> qBpeTrainBatched _,
     "q151_bm25_batch" -> qBm25Batch _,
+    "q152_pagerank_standard" -> qPageRankStandard _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3383,6 +3403,37 @@ object SparkEntry {
           |        JOIN r2 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
           | r3 AS (SELECT n.node, 150000000 + (85 * coalesce(a3.s, 0)) // 100 AS rank
           |        FROM nodes n LEFT JOIN a3 ON n.node = a3.node)
+          |SELECT node::BIGINT AS node, rank::BIGINT AS rank
+          |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+      // q132's unroll plus the dangling-mass term: per round, the rank
+      // held by nodes with no out-edges splits evenly (floor) over all
+      // N nodes inside the damped sum
+      "q152_pagerank_standard" ->
+        """WITH pairs AS (
+          | SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          | FROM lineitem a JOIN lineitem b
+          |   ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+          | nodes AS (SELECT src AS node FROM pairs UNION SELECT dst FROM pairs),
+          | nn AS (SELECT count(*) AS n FROM nodes),
+          | deg AS (SELECT src, count(*) AS d FROM pairs GROUP BY src),
+          | dang AS (SELECT node FROM nodes WHERE node NOT IN (SELECT src FROM pairs)),
+          | r0 AS (SELECT node, 1000000000 AS rank FROM nodes),
+          | m1 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r0 JOIN dang USING (node)),
+          | a1 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r0 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r1 AS (SELECT n.node, 150000000 + (85 * (coalesce(a1.s, 0) + m1.dm // nn.n)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a1 ON n.node = a1.node, m1, nn),
+          | m2 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r1 JOIN dang USING (node)),
+          | a2 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r1 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r2 AS (SELECT n.node, 150000000 + (85 * (coalesce(a2.s, 0) + m2.dm // nn.n)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a2 ON n.node = a2.node, m2, nn),
+          | m3 AS (SELECT coalesce(sum(rank), 0) AS dm FROM r2 JOIN dang USING (node)),
+          | a3 AS (SELECT p.dst AS node, sum(r.rank // d.d) AS s FROM pairs p
+          |        JOIN r2 r ON p.src = r.node JOIN deg d ON p.src = d.src GROUP BY p.dst),
+          | r3 AS (SELECT n.node, 150000000 + (85 * (coalesce(a3.s, 0) + m3.dm // nn.n)) // 100 AS rank
+          |        FROM nodes n LEFT JOIN a3 ON n.node = a3.node, m3, nn)
           |SELECT node::BIGINT AS node, rank::BIGINT AS rank
           |FROM r3 ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 

@@ -34,9 +34,16 @@ object GraphSmoke {
     val pr = time("pageRank (3 rounds)")(
       Graph.pageRank(e, col("s"), col("d"), iters = 3)
         .orderBy(col("rank").desc, col("node")).limit(20).collect())
+    // standard variant: same per-round plan plus a 1-row dangling
+    // aggregate — the delta vs the leaky loop is the redistribution's
+    // whole cost
+    val prs = time("pageRankStandard (3 rounds, dangling redistribution)")(
+      Graph.pageRankStandard(e, col("s"), col("d"), iters = 3)
+        .orderBy(col("rank").desc, col("node")).limit(20).collect())
     val tri = time("triangleStats (degree-oriented)")(
       Graph.triangleStats(e, col("s"), col("d")).collect().head)
     println(s"RESULT nEdges=$nEdges topRank=${pr.head.getLong(1)} " +
+      s"topRankStd=${prs.head.getLong(1)} " +
       s"nodes=${tri.getLong(0)} undEdges=${tri.getLong(1)} triangles=${tri.getLong(2)}")
     spark.stop()
   }

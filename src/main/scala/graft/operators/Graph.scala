@@ -71,6 +71,58 @@ object Graph {
     ranks
   }
 
+  /** Textbook PageRank: [[pageRank]]'s recurrence plus dangling-mass
+    * redistribution — each round, the total rank held by nodes with no
+    * out-edges is split evenly over ALL nodes (floor division; the
+    * `D mod N` sub-unit remainder is the only mass that still leaks,
+    * bounded by N·1 per round at any scale):
+    *
+    *   rank_{t+1}(n) = (15·scale) div 100
+    *                 + (85 · (Σ_{(u→n)} rank_t(u) div outdeg(u)
+    *                          + D_t div N)) div 100
+    *   with D_t = Σ_{outdeg(u)=0} rank_t(u).
+    *
+    * Scale shape: identical to [[pageRank]] (edges partitioned by src
+    * once and persisted; per-round wire = the skinny rank table) plus,
+    * per round, ONE single-row aggregate over the dangling slice of
+    * the rank table, broadcast back into the update — a scalar, never
+    * a shuffle of anything wide. N is a driver scalar computed once.
+    */
+  def pageRankStandard(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct().persist()
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .repartition(col("src")).persist()
+    val dangling = nodes.join(
+      e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti").persist()
+    val nNodes = nodes.count() // O(1) driver scalar, computed once
+    val base = 15L * scale / 100L
+    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    for (_ <- 1 to iters) {
+      val dMass = ranks.join(dangling, Seq("node"))
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
+      val in = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = nodes.join(in, Seq("node"), "left")
+        .crossJoin(broadcast(dMass))
+        .select(col("node"),
+          (lit(base) +
+            expr(s"(85 * (coalesce(s, 0L) + dmass div ${nNodes}L)) div 100")).as("rank"))
+    }
+    ranks
+  }
+
   /** Exact triangle count (plus node/edge counts) of the undirected
     * simple graph induced by an edge list: self-loops dropped,
     * direction and multiplicity collapsed.

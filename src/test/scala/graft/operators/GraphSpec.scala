@@ -98,6 +98,61 @@ class GraphSpec extends SparkTestBase {
     assert(cond, "condition not met within timeout")
   }
 
+  test("pageRankStandard: dangling mass redistributes — hand-computed chain") {
+    // 1 -> 2, node 2 dangling. N = 2, D_0 = S.
+    // r1(1) = base + 85*(0   + S div 2) div 100 = 575000000
+    // r1(2) = base + 85*(S   + S div 2) div 100 = 1425000000
+    // total after round 1 = 2S exactly: redistribution conserves mass
+    // up to the D mod N floor remainder (zero here)
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val base = 150000000L
+    val r1 = Graph.pageRankStandard(e, col("s"), col("d"), iters = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 == Map(1L -> 575000000L, 2L -> 1425000000L))
+    assert(r1.values.sum == 2 * S)
+    // round 2: D_1 = r1(2) = 1425000000, share = D_1 div 2 = 712500000
+    // r2(1) = base + 85*(0 + 712500000) div 100
+    // r2(2) = base + 85*(r1(1) + 712500000) div 100
+    val r2 = Graph.pageRankStandard(e, col("s"), col("d"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2(1L) == base + 85L * 712500000L / 100L)
+    assert(r2(2L) == base + 85L * (575000000L + 712500000L) / 100L)
+  }
+
+  test("pageRankStandard: no dangling nodes == the leaky contract exactly") {
+    // 2-cycle plus a chord: every node has out-edges, so D_t = 0 and
+    // both variants compute the identical recurrence
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 2L)).toDF("s", "d")
+    val leaky = Graph.pageRank(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val std = Graph.pageRankStandard(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(std == leaky)
+  }
+
+  test("pageRankStandard: total rank conserved up to N-bounded floor loss") {
+    // star with dangling leaves — the case where the leaky variant
+    // bleeds 85% of the leaf mass every round
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L), (5L, 1L)).toDF("s", "d")
+    val n = 5L
+    val std = Graph.pageRankStandard(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    val leaky = Graph.pageRank(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    // per round, floor losses: the div-100 damping floor (< 1 per
+    // node), outdeg division (< deg per node), and D mod N (< N) —
+    // at 3 rounds the conserved total can sag only by a few units·N
+    val total = std.values.sum
+    assert(total <= n * S && total > n * S - 3 * 10 * n,
+      s"standard total $total should stay within floor-loss of ${n * S}")
+    assert(leaky.values.sum < total,
+      "leaky variant must hold strictly less total mass on a dangling graph")
+    // determinism across partitionings
+    val again = Graph.pageRankStandard(e.repartition(5), col("s"), col("d"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(again == std)
+  }
+
   test("triangleStats: K4 has 4 triangles; direction and multiplicity collapse") {
     val k4 = (for {
       u <- 1L to 4L; v <- 1L to 4L if u != v
