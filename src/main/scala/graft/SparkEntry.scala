@@ -508,6 +508,50 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Compressed-codec instance of q111: executors encode MJPG
+    * containers whose frames are REAL JPEGs (lossy DCT via ImageIO);
+    * the probe walks the frame index and reads dims from frame 0's
+    * JPEG header — all header-exact, so the oracle is closed-form
+    * even though the pixel payloads are lossy.
+    */
+  private def qMjpegProbe(s: SparkSession, dir: String): DataFrame = {
+    val media = gvidTable(s, 25) { i =>
+      val w = 8 + (i % 9).toInt
+      val h = 8 + ((i * 3) % 9).toInt
+      val fps = 4 + (i % 4).toInt
+      val nf = 6 + ((i * 7) % 9).toInt
+      val frames = Array.tabulate(nf) { f =>
+        Array.tabulate(w * h)(j => ((i + f * 11 + j * 3) % 200).toByte)
+      }
+      graft.multimodal.Multimodal.mjpgEncode(w, h, fps, frames)
+    }
+    graft.multimodal.Multimodal.videoProbe(media).orderBy("media_id")
+  }
+
+  /** Video near-dup over REALLY-COMPRESSED payloads: q112's seed
+    * geometry minus the brightness trick — matching pairs share
+    * byte-identical SOURCE planes, so their JPEGs (and thus sampled
+    * aHashes) are equal by construction, while distinct seed classes
+    * hash distinctly after the lossy round trip (spec-pinned in
+    * MultimodalSpec). The oracle therefore reduces to the seed
+    * arithmetic: pairs agreeing on >= 3 of the 5 sampled positions.
+    */
+  private def qMjpegNearDups(s: SparkSession, dir: String): DataFrame = {
+    val media = gvidTable(s, 30) { i =>
+      val b = (i / 2).toInt
+      val frames = Array.tabulate(10) { f =>
+        val sd = b * (f + 1) % 5
+        Array.tabulate(256) { j =>
+          val x = j % 16; val y = j / 16
+          ((sd * 37 + x * 16 + y * 2) % 200).toByte
+        }
+      }
+      graft.multimodal.Multimodal.mjpgEncode(16, 16, 5, frames)
+    }
+    graft.multimodal.Multimodal.videoNearDups(media, k = 5, minMatches = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** Cross-document duplicated chunks under content-defined chunking
     * (native `cdc_chunks`, w=16 p=31 m=1e9+7 d=32 — avg chunk ~32
     * chars on random text).
@@ -2353,6 +2397,8 @@ object SparkEntry {
     "q150_bpe_train_batched" -> qBpeTrainBatched _,
     "q151_bm25_batch" -> qBm25Batch _,
     "q152_pagerank_standard" -> qPageRankStandard _,
+    "q153_mjpeg_probe" -> qMjpegProbe _,
+    "q154_mjpeg_neardups" -> qMjpegNearDups _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2725,6 +2771,31 @@ object SparkEntry {
           |SELECT a.i::BIGINT AS id_a, b.i::BIGINT AS id_b, count(*)::BIGINT AS n_match
           |FROM hs a JOIN hs b ON a.t = b.t AND a.hi = b.hi AND a.lo = b.lo AND a.i < b.i
           |GROUP BY a.i, b.i HAVING count(*) >= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      // MJPG container headers are exact even though frame pixels are
+      // lossy: dims from frame 0's JPEG header, fps/n_frames from the
+      // container — same closed form as q111
+      "q153_mjpeg_probe" ->
+        """SELECT i::BIGINT AS media_id, 'mjpg' AS format,
+          | (8 + i % 9)::INT AS width, (8 + (i*3) % 9)::INT AS height,
+          | (4 + i % 4)::INT AS fps, (6 + (i*7) % 9)::INT AS n_frames
+          |FROM (SELECT unnest(range(0, 25)) AS i) ORDER BY media_id""".stripMargin,
+
+      // matches derive from byte-identical source planes (same seed ->
+      // same JPEG -> same aHash; distinct seeds hash distinctly after
+      // the lossy round trip, spec-pinned), so the oracle is the seed
+      // arithmetic: sampled frames 2t, seed (i div 2)*(f+1) mod 5,
+      // pairs agreeing on >= 3 of 5 positions
+      "q154_mjpeg_neardups" ->
+        """WITH v AS (SELECT unnest(range(0, 30)) AS i),
+          | agree AS (
+          |  SELECT a.i AS ia, b.i AS ib, t.t
+          |  FROM v a JOIN v b ON a.i < b.i
+          |  CROSS JOIN (SELECT unnest(range(0, 5)) AS t) t
+          |  WHERE ((a.i//2) * (t.t*2 + 1)) % 5 = ((b.i//2) * (t.t*2 + 1)) % 5)
+          |SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, count(*)::BIGINT AS n_match
+          |FROM agree GROUP BY ia, ib HAVING count(*) >= 3
+          |ORDER BY id_a, id_b""".stripMargin,
 
       // the pure CDC boundary rule re-derived per position: trailing
       // 16-char polynomial fingerprint (powers interpolated below) mod

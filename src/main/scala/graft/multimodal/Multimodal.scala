@@ -488,9 +488,131 @@ object Multimodal {
     }
   }
 
-  /** REAL video metadata probe: per-row GVID header parse inside the
-    * scan stage — (format, width, height, fps, n_frames), NULLs for
-    * unparseable payloads. Map-only; payload bytes never shuffle.
+  // ---------------------------------------------------------------- //
+  // Video: MJPG compressed container (JPEG frames via ImageIO)        //
+  // ---------------------------------------------------------------- //
+
+  /** MJPG — the COMPRESSED instance of the video-codec seam the GVID
+    * raw container documents: Motion-JPEG-style, each frame a real
+    * JPEG (lossy DCT, encoded/decoded by the JDK's built-in ImageIO
+    * codec — the same "codecs ship with Java SE" footing as
+    * [[ImageIoCodec]]). Frame access is by length-prefix walk, so
+    * sampling k frames decodes k JPEGs, not the whole stream — the
+    * property a crawl pipeline needs from any inter-frame-independent
+    * compressed format.
+    *
+    * Layout (big-endian):
+    *   bytes 0-3  magic "MJPG"
+    *   byte  4    version (1)
+    *   byte  5    fps
+    *   bytes 6-7  n_frames
+    *   then n_frames x [4-byte frame byte length][JPEG bytes]
+    * Width/height live in the JPEG headers (frame 0 is probed without
+    * a pixel decode).
+    */
+  val MjpgHeaderLen = 8
+
+  /** Encode 8-bit gray planes as an MJPG container (each plane really
+    * JPEG-compressed). Lossy: decoded pixels approximate `frames`.
+    */
+  def mjpgEncode(w: Int, h: Int, fps: Int, frames: Array[Array[Byte]]): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad dims ${w}x$h")
+    require(fps > 0 && fps <= 255, s"bad fps $fps")
+    require(frames.length <= 0xFFFF, s"too many frames ${frames.length}")
+    val blobs = frames.map { plane =>
+      require(plane.length == w * h, s"plane must be ${w * h} bytes, got ${plane.length}")
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setDataElements(0, 0, w, h, plane)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val total = MjpgHeaderLen + blobs.map(_.length + 4).sum
+    val buf = java.nio.ByteBuffer.allocate(total)
+    buf.put('M'.toByte).put('J'.toByte).put('P'.toByte).put('G'.toByte)
+    buf.put(1.toByte).put(fps.toByte).putShort(frames.length.toShort)
+    blobs.foreach { b => buf.putInt(b.length); buf.put(b) }
+    buf.array()
+  }
+
+  /** Parse an MJPG container: (fps, per-frame (offset, length)), or
+    * None when magic/version/frame bounds don't check out (truncated
+    * payloads are data, not exceptions).
+    */
+  def mjpgFrameIndex(p: Array[Byte]): Option[(Int, Array[(Int, Int)])] = {
+    if (p == null || p.length < MjpgHeaderLen ||
+      p(0) != 'M' || p(1) != 'J' || p(2) != 'P' || p(3) != 'G' || p(4) != 1) None
+    else {
+      val fps = p(5) & 0xFF
+      val nf = ((p(6) & 0xFF) << 8) | (p(7) & 0xFF)
+      val idx = new Array[(Int, Int)](nf)
+      var off = MjpgHeaderLen
+      var f = 0
+      var ok = true
+      while (ok && f < nf) {
+        if (off + 4 > p.length) ok = false
+        else {
+          val len = ((p(off) & 0xFF) << 24) | ((p(off + 1) & 0xFF) << 16) |
+            ((p(off + 2) & 0xFF) << 8) | (p(off + 3) & 0xFF)
+          if (len < 0 || off + 4 + len > p.length) ok = false
+          else { idx(f) = (off + 4, len); off += 4 + len; f += 1 }
+        }
+      }
+      if (ok && nf > 0) Some((fps, idx)) else None
+    }
+  }
+
+  /** MJPG metadata: (width, height, fps, nFrames) — dims from frame
+    * 0's JPEG HEADER (no pixel decode, [[ImageIoCodec.probe]]'s
+    * reader path).
+    */
+  def mjpgParseMeta(p: Array[Byte]): Option[(Int, Int, Int, Int)] =
+    mjpgFrameIndex(p).flatMap { case (fps, idx) =>
+      val (off, len) = idx(0)
+      val in = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(p, off, len))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(in)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          r.setInput(in)
+          try Some((r.getWidth(0), r.getHeight(0), fps, idx.length))
+          finally r.dispose()
+        }
+      } finally in.close()
+    }
+
+  /** Decode one MJPG frame to a gray plane (w*h bytes, row-major), or
+    * null when the JPEG doesn't decode.
+    */
+  private def mjpgDecodePlane(p: Array[Byte], off: Int, len: Int): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p, off, len))
+    if (img == null) return (null, 0, 0)
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Byte](w * h)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        // luminance band 0 for TYPE_BYTE_GRAY; representative band for
+        // anything else ImageIO hands back
+        out(y * w + x) = raster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    (out, w, h)
+  }
+
+  /** REAL video metadata probe: per-row container header parse inside
+    * the scan stage — (format, width, height, fps, n_frames), NULLs
+    * for unparseable payloads. Dispatches on the container magic: GVID
+    * raw planes or MJPG compressed JPEG frames. Map-only; payload
+    * bytes never shuffle.
     */
   def videoProbe(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
@@ -504,10 +626,12 @@ object Multimodal {
     val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
       .mapPartitions { it =>
         it.map { r =>
-          gvidParseHeader(r.getAs[Array[Byte]](1)) match {
-            case Some((w, h, fps, nf)) => Row(r.getLong(0), "gvid", w, h, fps, nf)
-            case None => Row(r.getLong(0), null, null, null, null, null)
-          }
+          val p = r.getAs[Array[Byte]](1)
+          gvidParseHeader(p)
+            .map { case (w, h, fps, nf) => Row(r.getLong(0), "gvid", w, h, fps, nf) }
+            .orElse(mjpgParseMeta(p)
+              .map { case (w, h, fps, nf) => Row(r.getLong(0), "mjpg", w, h, fps, nf) })
+            .getOrElse(Row(r.getLong(0), null, null, null, null, null))
         }
       }
     spark.createDataFrame(rdd, schema)
@@ -552,7 +676,10 @@ object Multimodal {
   /** Sampled-frame perceptual hashes — the standard video near-dup
     * fingerprint: pick `k` evenly spaced frames (frame t*n_frames/k
     * for t < k — the real container geometry, not byte offsets),
-    * aHash each sampled plane. Output one row per (media_id,
+    * aHash each sampled plane. Dispatches on container magic: GVID
+    * planes read in place; MJPG sampled frames are REALLY
+    * JPEG-decoded (k decodes per video, indexed by the length-prefix
+    * walk — never the whole stream). Output one row per (media_id,
     * frame_idx): (frame_no, ahash_hi, ahash_lo); videos that are
     * unparseable or smaller than 8×8 yield no rows (their absence IS
     * the signal — they can't be fingerprint-matched).
@@ -581,7 +708,23 @@ object Multimodal {
                 val (hi, lo) = planeAHash(p, GvidHeaderLen + frameNo * w * h, w, h)
                 Row(r.getLong(0), t, frameNo, hi, lo)
               }
-            case _ => Nil
+            case _ =>
+              // compressed path: decode ONLY the k sampled JPEGs via
+              // the frame index (never the whole stream)
+              mjpgFrameIndex(p) match {
+                case Some((_, idx)) =>
+                  (0 until k).flatMap { t =>
+                    val frameNo = t * idx.length / k
+                    val (off, len) = idx(frameNo)
+                    val (plane, w, h) = mjpgDecodePlane(p, off, len)
+                    if (plane == null || w < 8 || h < 8) Nil
+                    else {
+                      val (hi, lo) = planeAHash(plane, 0, w, h)
+                      Seq(Row(r.getLong(0), t, frameNo, hi, lo))
+                    }
+                  }
+                case None => Nil
+              }
           }
         }
       }

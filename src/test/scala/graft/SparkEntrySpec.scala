@@ -52,4 +52,41 @@ class SparkEntrySpec extends SparkTestBase {
     assert(SparkEntry.normalizeTsNanos(df).collect().toSeq ==
       df.collect().toSeq)
   }
+
+  test("buildCaches stays inside its job/stage budget — cache-build regressions are visible") {
+    // xml_tables is the single biggest per-round build (4.4s of the
+    // 7.8s build_s total in r9). Its cost driver is Spark JOB count
+    // (many tiny jobs: split detection, two parse passes, per-type
+    // flatten materialization, contiguous-id assignment), so pin the
+    // job and stage budget the way PlanSpec pins query shuffles — a
+    // new accidental eager action or an un-cached recompute fails here
+    // instead of silently inflating build_s.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        stages.addAndGet(js.stageInfos.size)
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.buildCaches(spark, "/root/testdata/sf0.001")
+      // listener events deliver async; wait until the job count is
+      // stable for half a second (cap 10s)
+      var last = -1
+      var waited = 0
+      while (jobs.get != last && waited < 10000) {
+        last = jobs.get
+        Thread.sleep(500)
+        waited += 500
+      }
+      info(s"buildCaches: ${jobs.get} jobs, ${stages.get} stages")
+      // measured on a quiet machine: 19 jobs / 23 stages; the budget
+      // leaves ~30% headroom for AQE re-plans, not for structural
+      // regressions (an accidental eager action adds whole jobs)
+      assert(jobs.get <= 25, s"buildCaches ran ${jobs.get} jobs (budget 25)")
+      assert(stages.get <= 32, s"buildCaches ran ${stages.get} stages (budget 32)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

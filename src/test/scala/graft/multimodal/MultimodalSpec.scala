@@ -237,6 +237,65 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.gvidEncode(w, h, fps,
       Array.tabulate(nf)(fr => Array.tabulate(w * h)(j => f(fr, j % w, j / w).toByte)))
 
+  private def mjpg(w: Int, h: Int, nf: Int, fps: Int = 5)(f: (Int, Int, Int) => Int): Array[Byte] =
+    Multimodal.mjpgEncode(w, h, fps,
+      Array.tabulate(nf)(fr => Array.tabulate(w * h)(j => f(fr, j % w, j / w).toByte)))
+
+  test("mjpg: really-compressed JPEG frames — container round trip, probe dispatch") {
+    val p = mjpg(16, 12, nf = 4, fps = 24)((fr, x, y) => (fr * 37 + x * 5 + y * 3) % 200)
+    // frames are REAL JPEGs: each indexed frame starts with the JPEG SOI marker
+    val Some((fps, idx)) = Multimodal.mjpgFrameIndex(p)
+    assert(fps == 24 && idx.length == 4)
+    idx.foreach { case (off, len) =>
+      assert(len > 2)
+      assert((p(off) & 0xFF) == 0xFF && (p(off + 1) & 0xFF) == 0xD8, "missing JPEG SOI")
+    }
+    // lossy but compressed: a 16x12 gradient JPEG is smaller than raw
+    assert(idx.map(_._2).sum < 4 * 16 * 12 * 2)
+    assert(Multimodal.mjpgParseMeta(p) == Some((16, 12, 24, 4)))
+    // probe dispatch: GVID and MJPG rows coexist in one call
+    import spark.implicits._
+    val df = Seq(
+      (0L, p),
+      (1L, gvid(9, 8, nf = 3, fps = 12)((_, _, _) => 1)),
+      (2L, Array[Byte](9, 9, 9))).toDF("media_id", "payload")
+    val out = Multimodal.videoProbe(df).orderBy("media_id").collect()
+    assert(out(0).getString(1) == "mjpg" && out(0).getInt(2) == 16 &&
+      out(0).getInt(3) == 12 && out(0).getInt(4) == 24 && out(0).getInt(5) == 4)
+    assert(out(1).getString(1) == "gvid")
+    assert(out(2).isNullAt(1))
+    // truncated mid-frame and wrong magic are data, not exceptions
+    assert(Multimodal.mjpgFrameIndex(p.take(p.length - 3)).isEmpty)
+    val bad = p.clone(); bad(0) = 'X'
+    assert(Multimodal.mjpgFrameIndex(bad).isEmpty)
+  }
+
+  test("mjpg frame hashes: byte-identical sources collide, q154's seed classes stay distinct") {
+    import spark.implicits._
+    // the q154 fixture generator: video i's frame f draws gradient
+    // seed (i div 2)*(f+1) mod 5, no brightness trick — twins are
+    // byte-identical SOURCE planes, so their JPEGs and hashes are
+    // equal by construction even under lossy coding
+    def vid(i: Long): Array[Byte] = mjpg(16, 16, nf = 10)((fr, x, y) =>
+      (((i / 2) * (fr + 1) % 5).toInt * 37 + x * 16 + y * 2) % 200)
+    val df = (0L until 30L).map(i => (i, vid(i))).toDF("media_id", "payload")
+    val got = Multimodal.videoNearDups(df, k = 5, minMatches = 3)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    // seed-arithmetic prediction: sampled frames are 2t (t < 5); pair
+    // (a, b) matches where both seeds agree — requires the DISTINCT
+    // seed classes to hash distinctly after the JPEG round trip, which
+    // is exactly the assumption q154's oracle rests on
+    def sd(i: Long, f: Int): Long = (i / 2) * (f + 1) % 5
+    val expect = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      n = (0 until 5).count(t => sd(a, 2 * t) == sd(b, 2 * t))
+      if n >= 3
+    } yield (a, b, n.toLong)).toSeq
+    assert(got == expect,
+      s"JPEG-roundtrip hashes must match the seed prediction:\n got=$got\n expect=$expect")
+  }
+
   test("gvid encode/parse round trip; garbage and truncated payloads probe as unknown") {
     val p = gvid(10, 6, nf = 4, fps = 24)((_, _, _) => 7)
     assert(Multimodal.gvidParseHeader(p) == Some((10, 6, 24, 4)))
