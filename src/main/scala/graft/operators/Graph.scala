@@ -106,7 +106,8 @@ object Graph {
       e.select(col("src").as("node")).distinct(), Seq("node"), "left_anti").persist()
     val nNodes = nodes.count() // O(1) driver scalar, computed once
     val base = 15L * scale / 100L
-    var ranks = nodes.select(col("node"), lit(scale).as("rank"))
+    var ranks = nodes.select(col("node"), lit(scale).as("rank")).persist()
+    ranks.count()
     for (_ <- 1 to iters) {
       val dMass = ranks.join(dangling, Seq("node"))
         .agg(coalesce(sum(col("rank")), lit(0L)).as("dmass"))
@@ -114,11 +115,19 @@ object Graph {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("rank div d").as("c"))
         .groupBy("node").agg(sum(col("c")).as("s"))
-      ranks = nodes.join(in, Seq("node"), "left")
+      // each round reads ranks_t TWICE (dangling aggregate + the
+      // contribution join) — materialize per round so the references
+      // share one cached O(nodes) table instead of doubling the
+      // re-evaluated lineage every iteration (2^iters blowup)
+      val next = nodes.join(in, Seq("node"), "left")
         .crossJoin(broadcast(dMass))
         .select(col("node"),
           (lit(base) +
             expr(s"(85 * (coalesce(s, 0L) + dmass div ${nNodes}L)) div 100")).as("rank"))
+        .persist()
+      next.count()
+      ranks.unpersist()
+      ranks = next
     }
     ranks
   }
