@@ -312,6 +312,28 @@ object ScaleSmoke {
     val vn = time(s"videoNearDups (k=4, minMatches=3)")(
       graft.multimodal.Multimodal.videoNearDups(vidDf, k = 4, minMatches = 3).count())
     vidDf.unpersist()
+    // round-10: the COMPRESSED container through the same near-dup
+    // plan — every sampled frame is a real JPEG decode (k=3 decodes
+    // per video, indexed; the stream is never decoded whole)
+    val nVidsM = (nDocs / 20).max(500L)
+    val mjpgRdd = spark.range(nVidsM).rdd.map { i0 =>
+      val i: Long = i0
+      val b = i / 2
+      val frames: Array[Array[Byte]] = Array.tabulate(4) { f =>
+        val sd = b * (f + 1) % 1000003L
+        Array.tabulate(256) { j =>
+          val x = j % 16; val y = j / 16
+          (((sd >> (x % 11)) + sd * 31 + x * 16 + y * 2) % 200).toByte
+        }
+      }
+      org.apache.spark.sql.Row(i, graft.multimodal.Multimodal.mjpgEncode(16, 16, 5, frames))
+    }
+    val mjpgDf = spark.createDataFrame(mjpgRdd, vidSchema).persist()
+    time(s"mjpg corpus materialize ($nVidsM JPEG-frame videos)")(mjpgDf.count())
+    val vnM = time("videoNearDups over MJPG (k=3, real JPEG decodes)")(
+      graft.multimodal.Multimodal.videoNearDups(mjpgDf, k = 3, minMatches = 3).count())
+    require(vnM >= nVidsM / 2 - 1, s"MJPG twins not recovered: $vnM of ${nVidsM / 2}")
+    mjpgDf.unpersist()
     val cd = time("cdcDuplicateChunks (w=16, d=32)")(
       TextAnalysis.cdcDuplicateChunks(docs, col("doc_id"), col("text")).count())
     // heavy hitters over a domain ~= corpus size (nDocs/2 cold keys +
@@ -336,6 +358,16 @@ object ScaleSmoke {
       graft.operators.Retrieval.bm25TopK(docs, col("doc_id"), col("text"),
         Seq("w1", "w42", "w4999"), topK = 25).count())
     require(bm == 25L, s"bm25 top-k short: $bm of 25")
+    // round-10: the batched serve — 8 queries, corpus cost must stay
+    // one shared term_freqs scan (compare against 8x the single-query
+    // time above to see the batching win)
+    val bmb = time("bm25BatchTopK (8 queries, one corpus scan)")(
+      graft.operators.Retrieval.bm25BatchTopK(docs, col("doc_id"), col("text"),
+        Seq(0L -> Seq("w1", "w42", "w4999"), 1L -> Seq("w7"),
+          2L -> Seq("w100", "w200"), 3L -> Seq("w13", "w99", "w500"),
+          4L -> Seq("w1000"), 5L -> Seq("w2000", "w3000"),
+          6L -> Seq("w123"), 7L -> Seq("w4998", "w4997")), topK = 25).count())
+    require(bmb == 8 * 25L, s"batched bm25 short: $bmb of 200")
     val blk = time("blocklistFilter + charProfile (map-only scans)")(
       TextAnalysis.blocklistFilter(docs, col("doc_id"), col("text"),
         Seq("w7", "w13", "w99")).where(col("kept")).count() +
@@ -405,8 +437,8 @@ object ScaleSmoke {
       s"incNearDups=$ind rangeShards=$rs " +
       s"urlGroups=$ud c4Kept=$c4 spanTokensRemoved=$rd oovDocs=$ov " +
       s"kmeansClusters=$km collocations=$cl weightedSampled=$ws semDedupSurvivors=$sd pqTop=$pq " +
-      s"videoPairs=$vn cdcDupChunks=$cd hhCertified=$hh " +
-      s"bm25Top=$bm blockCharKept=$blk zorderBuckets=$zo iwDocs=$iw " +
+      s"videoPairs=$vn mjpgPairs=$vnM cdcDupChunks=$cd hhCertified=$hh " +
+      s"bm25Top=$bm bm25BatchTop=$bmb blockCharKept=$blk zorderBuckets=$zo iwDocs=$iw " +
       s"cmsCertified=$cms warcDocs=$wa mpKept=$mp perceptronBuckets=$tr " +
       s"shuffleShards=$sf overlapPairs=$so triplets=$tm " +
       recalls.map { case (p, r) => f"ivfRecall10_probe$p=$r%.3f" }.mkString(" "))

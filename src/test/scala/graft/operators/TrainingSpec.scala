@@ -211,6 +211,59 @@ class TrainingSpec extends SparkTestBase {
     }
   }
 
+  test("localBpe: incremental pair counts equal naive recount BPE over heavy random vocabs") {
+    // the driver-local trainer's moving parts — incremental count
+    // updates, the lazy-deletion priority queue, stale word indices —
+    // against a naive recount-every-merge reference, at merge depths
+    // where symbols grow multi-character and pairs die and resurrect
+    def refBpe(words: Map[String, Long], nMerges: Int): Seq[(Long, String, String, Long)] = {
+      var cur: Map[Vector[String], Long] = words.toSeq
+        .map { case (w, c) => (w.toVector.map(_.toString), c) }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val out = Seq.newBuilder[(Long, String, String, Long)]
+      var done = false
+      var i = 0
+      while (i < nMerges && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        cur.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }
+          i += 1
+          out += ((i.toLong, l, r, c))
+          cur = cur.toSeq.map { case (syms, cnt) =>
+            val b = Vector.newBuilder[String]
+            var j = 0
+            while (j < syms.length) {
+              if (j + 1 < syms.length && syms(j) == l && syms(j + 1) == r) {
+                b += (l + r); j += 2
+              } else { b += syms(j); j += 1 }
+            }
+            (b.result(), cnt)
+          }.groupMapReduce(_._1)(_._2)(_ + _)
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(41)
+    for (trial <- 0 until 10) {
+      val nWords = 20 + rnd.nextInt(40)
+      val vocab = Array.fill(nWords)(
+        ((0 until (1 + rnd.nextInt(8)))
+          .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString,
+          1L + rnd.nextInt(50)))
+        // distinct words (duplicates would double-count frequencies)
+        .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+      val nMerges = 10 + rnd.nextInt(30)
+      val got = Training.localBpe(vocab, nMerges)
+      val expect = refBpe(vocab.toMap, nMerges)
+      assert(got == expect,
+        s"trial $trial (${vocab.length} words, $nMerges merges):\n got=$got\n expect=$expect")
+    }
+  }
+
   test("buildVocab: dense ids by (count desc, token asc); prune and cap apply") {
     val spark0 = spark
     import spark0.implicits._
