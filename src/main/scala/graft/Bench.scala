@@ -79,11 +79,26 @@ object Bench {
     val maxSpread = if (results.isEmpty) 0.0 else results.map(_._4).max
     // "reps" documents the timing protocol (per-query min of N timed
     // reps); "value_first_rep" is the single-rep sum so rounds <=3
-    // (single-rep, warmup absorbed) compare like-for-like. The
-    // headline fields come AFTER the queries/spread maps:
-    // tail-truncation of the log then cuts per-query detail, never the
-    // totals or the contention evidence (load averages + max spread).
-    println(s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}""")
+    // (single-rep, warmup absorbed) compare like-for-like.
+    val fullJson = s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}"""
+    // Full per-query detail goes to a FILE, not stdout: the driver
+    // records only the last 2000 chars of output, and r7–r10 all show
+    // parsed:null because the single detail line is ~3.5k chars — its
+    // opening brace never survives tail-truncation. The one stdout JSON
+    // line must therefore be COMPLETE within the tail window: headline
+    // metrics plus the most expensive queries, budgeted to ~1700 chars
+    // (2000 minus sbt's trailing "[success] Total time" line).
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_detail.json"), fullJson)
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    val head = s""""errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)},"detail":"bench_detail.json","queries":"""
+    // top queries by DESCENDING cost, as many as fit the budget
+    val budget = 1700 - head.length - 2
+    val entries = results.sortBy(-_._2)
+      .map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
+    val kept = entries.scanLeft(0)(_ + _.length + 1).tail
+      .zip(entries).takeWhile(_._1 < budget).map(_._2)
+    println("{" + head + kept.mkString("{", ",", "}") + "}")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -570,25 +570,42 @@ object Multimodal {
   def mjpgParseMeta(p: Array[Byte]): Option[(Int, Int, Int, Int)] =
     mjpgFrameIndex(p).flatMap { case (fps, idx) =>
       val (off, len) = idx(0)
-      val in = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(p, off, len))
+      // corrupt JPEG header bytes (valid container, garbage frame) make
+      // the reader throw IIOException — unparseable payloads are DATA
+      // (None → NULL row), never a job-killing exception, matching the
+      // gvid path's contract
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(in)
-        if (!readers.hasNext) None
-        else {
-          val r = readers.next()
-          r.setInput(in)
-          try Some((r.getWidth(0), r.getHeight(0), fps, idx.length))
-          finally r.dispose()
-        }
-      } finally in.close()
+        val in = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(p, off, len))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(in)
+          if (!readers.hasNext) None
+          else {
+            val r = readers.next()
+            r.setInput(in)
+            try Some((r.getWidth(0), r.getHeight(0), fps, idx.length))
+            finally r.dispose()
+          }
+        } finally in.close()
+      } catch {
+        case _: java.io.IOException => None
+        case _: RuntimeException    => None
+      }
     }
 
   /** Decode one MJPG frame to a gray plane (w*h bytes, row-major), or
     * null when the JPEG doesn't decode.
     */
   private def mjpgDecodePlane(p: Array[Byte], off: Int, len: Int): (Array[Byte], Int, Int) = {
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p, off, len))
+    // ImageIO.read returns null for unrecognized bytes but THROWS
+    // IIOException for recognized-but-corrupt ones (truncated DCT
+    // stream); both are data → absent fingerprint row, not a crash
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p, off, len))
+      catch {
+        case _: java.io.IOException => null
+        case _: RuntimeException    => null
+      }
     if (img == null) return (null, 0, 0)
     val w = img.getWidth
     val h = img.getHeight

@@ -129,6 +129,14 @@ object Graph {
       ranks.unpersist()
       ranks = next
     }
+    // release the loop-invariant caches before returning — each bench
+    // round calls this afresh, and un-released persists accumulate in
+    // the executor store forever. The RETURNED ranks table stays
+    // persisted (already materialized above); releasing it is the
+    // caller's job once consumed.
+    nodes.unpersist()
+    adj.unpersist()
+    dangling.unpersist()
     ranks
   }
 

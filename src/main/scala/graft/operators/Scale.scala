@@ -267,13 +267,53 @@ object Scale {
       .drop("__x", "__y", "__z")
       .write.mode(SaveMode.Overwrite).partitionBy("shard").parquet(path)
     // manifest rectangles re-derive from the WRITTEN data via the
-    // caller's own x/y expressions (verifies the files, not the plan)
+    // caller's own x/y expressions (verifies the files, not the plan).
+    // Rebind first: a caller passing dataframe-bound columns (df("c"))
+    // carries resolved AttributeReferences whose exprIds belong to the
+    // INPUT plan — selecting them over the freshly-read parquet would
+    // throw AnalysisException. Stripping them to name references makes
+    // any expression over the written user schema resolvable.
+    val (rx, ry) = (rebindByName(df, x), rebindByName(df, y))
     df.sparkSession.read.parquet(path)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_rows"),
-        min(x.cast("long")).as("min_x"), max(x.cast("long")).as("max_x"),
-        min(y.cast("long")).as("min_y"), max(y.cast("long")).as("max_y"))
+        min(rx.cast("long")).as("min_x"), max(rx.cast("long")).as("max_x"),
+        min(ry.cast("long")).as("min_y"), max(ry.cast("long")).as("max_y"))
       .orderBy("shard")
+  }
+
+  /** Replace any plan-bound attribute in a Column with an unresolved
+    * by-name reference, so the expression re-resolves against a
+    * different DataFrame carrying the same column NAMES (here: the
+    * read-back of files just written from the plan the column was
+    * bound to).
+    */
+  private def rebindByName(df: DataFrame, c: Column): Column = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    // 1) ANALYZE the column against the input frame: composite columns
+    //    surface as lazy ColumnNodeExpressions whose children ignore
+    //    withNewChildren, so the only reliable way to a real catalyst
+    //    tree is the analyzer itself (df.select puts the fully resolved
+    //    expression under a Project alias).
+    val resolved = df.select(c.as("__rebind")).queryExecution.analyzed match {
+      case p: Project => p.projectList.head.asInstanceOf[Alias].child
+      case other => throw new IllegalStateException(
+        s"select() did not analyze to a Project: ${other.nodeName}")
+    }
+    // 2) strip plan-bound attributes to plain name references via a
+    //    manual walk (withNewChildren never copies the dataset-id tags
+    //    TreeNode.transform would re-attach), so the expression
+    //    re-resolves by NAME against the freshly-read files.
+    def strip(e: Expression): Expression = e match {
+      case a: AttributeReference  => UnresolvedAttribute.quoted(a.name)
+      case other if other.children.nonEmpty =>
+        other.withNewChildren(other.children.map(strip))
+      case other => other
+    }
+    ColumnBridge.column(strip(resolved))
   }
 
   /** The output column names of every shuffle exchange in the plan,

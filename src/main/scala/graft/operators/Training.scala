@@ -298,9 +298,14 @@ object Training {
       vocab: Array[(String, Long)],
       nMerges: Int): Seq[(Long, String, String, Long)] = {
     // symbol sequences per distinct word (merging never changes word
-    // identity, so frequencies stay fixed)
+    // identity, so frequencies stay fixed). Split by CODEPOINT, not
+    // `String.split("")`: Java's regex split cuts surrogate pairs into
+    // lone halves while Spark's split(col, "") keeps supplementary
+    // characters whole — a code-unit alphabet here would give the
+    // driver-local path different base symbols (and different merges)
+    // than the distributed rounds on any emoji-bearing corpus.
     val words: Array[Array[String]] =
-      vocab.map { case (w, _) => w.split("").filter(_.nonEmpty) }
+      vocab.map { case (w, _) => splitCodePoints(w) }
     val freq: Array[Long] = vocab.map(_._2)
     val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val where = scala.collection.mutable.HashMap
@@ -367,9 +372,42 @@ object Training {
   /** Max-heap tie-break helper: the argmax wants count DESC but (l, r)
     * ASC; wrapping strings in a reversed ordering inside the max-heap
     * key achieves the ascending lexicographic tie-break.
+    *
+    * Comparison is by CODEPOINT, not UTF-16 code unit: the distributed
+    * path and the DuckDB oracle both order strings by UTF-8 bytes
+    * (= codepoint order), while `String.compareTo` sorts surrogate
+    * pairs (U+10000+) BELOW U+E000..U+FFFF — a count tie between an
+    * emoji symbol and a private-use symbol would pick different merges
+    * on the two paths and silently change the learned vocab at the
+    * driverVocabLimit dispatch boundary.
     */
   private case class ReverseLex(s: String) extends Ordered[ReverseLex] {
-    override def compare(that: ReverseLex): Int = that.s.compareTo(this.s)
+    override def compare(that: ReverseLex): Int = codePointCompare(that.s, this.s)
+  }
+
+  /** Split a string into one-codepoint symbols (surrogate pairs kept
+    * whole — the same alphabet Spark's `split(col, "")` produces).
+    */
+  private[operators] def splitCodePoints(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b.result()
+  }
+
+  /** Codepoint-order string compare (== UTF-8 byte order). */
+  private[operators] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return java.lang.Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    java.lang.Integer.compare(a.length - i, b.length - j)
   }
 
   /** Vocabulary construction — the tokenizer's final artifact: the

@@ -270,6 +270,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.mjpgFrameIndex(bad).isEmpty)
   }
 
+  test("mjpg: corrupt JPEG frame bytes are data (NULL probe, absent hashes), never an exception") {
+    import spark.implicits._
+    // a VALID MJPG container whose single frame is a RECOGNIZED JPEG
+    // (SOI + APP0 marker, so ImageIO selects the JPEG reader) followed
+    // by garbage: reader.getWidth / ImageIO.read then THROW
+    // IIOException rather than returning null — the catch must degrade
+    // this to the same NULL/absent contract as unrecognized bytes
+    val frame = Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xE0.toByte) ++
+      Array.tabulate(64)(i => (i * 17 + 3).toByte)
+    val p = Array[Byte]('M', 'J', 'P', 'G', 1, 10, 0, 1) ++
+      Array[Byte](0, 0, 0, frame.length.toByte) ++ frame
+    // container parses; the frame is indexed
+    val Some((fps, idx)) = Multimodal.mjpgFrameIndex(p)
+    assert(fps == 10 && idx.length == 1)
+    // header-only meta read: corrupt header → None, not a throw
+    assert(Multimodal.mjpgParseMeta(p).isEmpty)
+    val df = Seq((0L, p)).toDF("media_id", "payload")
+    val probe = Multimodal.videoProbe(df).collect()
+    assert(probe.length == 1 && probe(0).isNullAt(1),
+      "corrupt-frame video must probe as unknown, not kill the job")
+    // full decode path: corrupt frame → no fingerprint rows
+    assert(Multimodal.videoFrameHashes(df, k = 3).count() == 0L)
+    // and a mixed batch still fingerprints the healthy videos
+    val mixed = Seq(
+      (0L, p),
+      (1L, mjpg(16, 12, nf = 2)((fr, x, y) => (fr * 37 + x * 5 + y) % 200))
+    ).toDF("media_id", "payload")
+    val rows = Multimodal.videoFrameHashes(mixed, k = 2).collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(0) == 1L))
+  }
+
   test("mjpg frame hashes: byte-identical sources collide, q154's seed classes stay distinct") {
     import spark.implicits._
     // the q154 fixture generator: video i's frame f draws gradient

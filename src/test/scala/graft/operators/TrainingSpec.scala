@@ -170,7 +170,14 @@ class TrainingSpec extends SparkTestBase {
         "newest newest newest lower lower widest widest widest"),
       Seq("abc abc abc bc bc ab ab ab ab"),
       Seq("aaaa aaaa aaaa"),
-      Seq("the quick brown fox the lazy dog the end"))
+      Seq("the quick brown fox the lazy dog the end"),
+      // count TIE between pairs (a, U+E000) and (a, U+1F600): UTF-16
+      // code-unit order sorts the emoji's high surrogate (0xD83D)
+      // BELOW 0xE000 while the distributed path / DuckDB sort by
+      // codepoint (0xE000 < 0x1F600) — the driver-local PQ tie-break
+      // must agree with the distributed ordering or the
+      // driverVocabLimit dispatch changes the learned merges
+      Seq("a a a a😀 a😀 a😀"))
     // driverVocabLimit = 0 forces the DISTRIBUTED rounds; the default
     // exercises the driver-local incremental loop — both must equal
     // the sequential reference
@@ -262,6 +269,25 @@ class TrainingSpec extends SparkTestBase {
       assert(got == expect,
         s"trial $trial (${vocab.length} words, $nMerges merges):\n got=$got\n expect=$expect")
     }
+  }
+
+  test("codePointCompare orders like UTF-8 bytes, not UTF-16 code units") {
+    val pua = ""          // private-use, single code unit
+    val emoji = "😀"  // U+1F600, surrogate pair
+    // UTF-16 code-unit compare would say emoji < pua (0xD83D < 0xE000);
+    // codepoint/UTF-8 order says pua < emoji (0xE000 < 0x1F600)
+    assert(Training.codePointCompare(pua, emoji) < 0)
+    assert(Training.codePointCompare(emoji, pua) > 0)
+    assert(pua.compareTo(emoji) > 0, "sanity: String.compareTo disagrees here")
+    // agreement with UTF-8 byte order on a mixed sample, prefixes included
+    val sample = Seq("", "a", "ab", "b", pua, emoji, "a" + pua, "a" + emoji, "é", "z")
+    val byCp = sample.sorted(Ordering.comparatorToOrdering(
+      new java.util.Comparator[String] {
+        def compare(a: String, b: String): Int = Training.codePointCompare(a, b)
+      }))
+    val byUtf8 = sample.sortBy(_.getBytes("UTF-8").map(b => b & 0xff).toSeq)(
+      Ordering.Implicits.seqOrdering)
+    assert(byCp == byUtf8)
   }
 
   test("buildVocab: dense ids by (count desc, token asc); prune and cap apply") {

@@ -89,4 +89,21 @@ class ZOrderSpec extends SparkTestBase {
       .select(LayoutOps.zorder2(col("x"), col("y"))).as[Long].collect()
     assert(shard0.toSeq == shard0.sorted.toSeq)
   }
+
+  test("writeZOrderClusteredParquet: dataframe-bound x/y columns resolve in the manifest") {
+    import spark.implicits._
+    val grid = (for (x <- 0 until 16; y <- 0 until 16) yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("zorderbound").toString
+    // df("col") columns carry AttributeReferences bound to the INPUT
+    // plan; the manifest re-reads the written files, so the operator
+    // must rebind them by name or the final aggregate throws
+    // AnalysisException on foreign exprIds
+    val manifest = Scale.writeZOrderClusteredParquet(
+      grid, grid("x"), grid("y") + lit(0L), nShards = 2, path = dir).collect()
+    assert(manifest.map(_.getAs[Long]("n_rows")).sum == 256L)
+    assert(manifest.map(r =>
+      (r.getAs[Long]("min_x"), r.getAs[Long]("max_x"))).forall {
+        case (lo, hi) => lo >= 0L && hi <= 15L && lo <= hi })
+  }
 }
