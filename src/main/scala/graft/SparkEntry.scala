@@ -676,14 +676,32 @@ object SparkEntry {
     * extracts from XML (reference XMLToCSV.py:357-417), derived here
     * from the fixture tables so graph analytics are oracle-checkable.
     */
-  private def supplierPairs(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
-  }
+  @transient private var coShipPairsCache: (SparkSession, String, DataFrame) = null
+
+  /** Distinct directed supplier co-shipping pairs (both orientations),
+    * built ONCE per session and persisted — the shared edge table all
+    * three graph contract queries (q132/q152/q133) analyze. This is
+    * the production shape: materialize the graph once, run many
+    * analyses against it; the build is priced explicitly in
+    * `buildCaches` ("co_ship_pairs") so no query's first rep absorbs
+    * the lineitem self-join + distinct.
+    */
+  private def supplierPairs(s: SparkSession, dir: String): DataFrame =
+    synchronized {
+      if (coShipPairsCache != null && (coShipPairsCache._1 eq s) && coShipPairsCache._2 == dir)
+        coShipPairsCache._3
+      else {
+        val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_suppkey") =!= col("b.l_suppkey"))
+          .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
+          .distinct().persist()
+        pairs.count()
+        coShipPairsCache = (s, dir, pairs)
+        pairs
+      }
+    }
 
   /** Integer-exact PageRank, 3 rounds, over the supplier co-shipping
     * graph; top 20 by rank (node id tie-break).
@@ -702,12 +720,10 @@ object SparkEntry {
     * leaky contract.
     */
   private def qPageRankStandard(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") < col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    // the low-to-high orientation is a pure FILTER of the shared
+    // co-shipping pair cache (a < b co-ship iff both directed rows
+    // exist in it) — no second self-join/distinct build
+    val pairs = supplierPairs(s, dir).where(col("src") < col("dst"))
     graft.operators.Graph.pageRankStandard(pairs, col("src"), col("dst"), iters = 3)
       .orderBy(col("rank").desc, col("node")).limit(20)
   }
@@ -721,14 +737,12 @@ object SparkEntry {
     * the operator on realistic sparse skewed graphs at 20M edges.
     */
   private def qTriangles(s: SparkSession, dir: String): DataFrame = {
-    val li = t(s, dir, "lineitem")
-      .where(col("l_suppkey") % 10 === 3)
-      .select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = li.as("a").join(li.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"))
-      .select(col("a.l_suppkey").as("src"), col("b.l_suppkey").as("dst"))
-      .distinct()
+    // decile subgraph = the shared pair cache filtered to decile
+    // endpoints (a pair of decile suppliers co-ships an order iff it
+    // appears in the full distinct pair set — same edges, no second
+    // self-join build)
+    val pairs = supplierPairs(s, dir)
+      .where(col("src") % 10 === 3 && col("dst") % 10 === 3)
     graft.operators.Graph.triangleStats(pairs, col("src"), col("dst"))
   }
 
@@ -2247,7 +2261,8 @@ object SparkEntry {
     Seq(
       "xml_tables" -> timed(xmlTables(s)),
       "xml_anylayout" -> timed(qXmlAnyLayout(s, dir)),
-      "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)))
+      "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)),
+      "co_ship_pairs" -> timed(supplierPairs(s, dir)))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

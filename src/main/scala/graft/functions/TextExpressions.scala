@@ -64,6 +64,64 @@ object TextRuntime {
     new GenericArrayData(out)
   }
 
+  /** Distinct word n-gram shingles of the LOWERCASED text — the native
+    * kernel behind [[graft.operators.Dedup.shingles]]. Replicates the
+    * declarative formula exactly (spec-pinned property equality):
+    * lowercase, trim, split on runs of regex-`\s` (the ASCII class, as
+    * in [[termFreqs]]), then n consecutive tokens joined by single
+    * spaces per shingle; fewer than n (but > 0) tokens collapse to ONE
+    * all-token shingle; empty/blank text yields an empty array;
+    * duplicates drop keeping FIRST occurrence (array_distinct order).
+    *
+    * Why native: the declarative chain (`transform(sequence(0, nT-n),
+    * i => concat_ws(" ", slice(toks, i+1, n)))`) runs per shingle
+    * through the interpreted lambda evaluator with an O(n) array slice
+    * each — measured ~33 µs per shingle, which put a 5000-document
+    * shingle pass at ~9 s of the sf0.1 bench. One fused scan per
+    * document is ~30× cheaper and keeps the whole projection inside
+    * whole-stage codegen.
+    */
+  def wordShingles(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val len = str.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+    // token [start, end) offset pairs
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nT = starts.size()
+    if (nT == 0) return new GenericArrayData(Array.empty[Any])
+    val width = if (nT >= n) n else nT
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val sb = new java.lang.StringBuilder
+    var t = 0
+    while (t <= nT - width) {
+      sb.setLength(0)
+      var k = 0
+      while (k < width) {
+        if (k > 0) sb.append(' ')
+        sb.append(str, starts.get(t + k), ends.get(t + k))
+        k += 1
+      }
+      seen.add(UTF8String.fromString(sb.toString))
+      t += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var o = 0
+    while (it.hasNext) { out(o) = it.next(); o += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Content-defined chunking: split `s` at every codepoint position
     * whose trailing `w`-codepoint polynomial fingerprint
     * `sum_{j=0..w-1} cp(i-j) * p^j  (mod m)` is divisible by `d` —
@@ -255,6 +313,27 @@ case class AdjacentPairs(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** word_shingles(text, n): array<string> of distinct lowercased word
+  * n-gram shingles (see [[TextRuntime.wordShingles]]). Null text maps
+  * to null; [[graft.operators.Dedup.shingles]] coalesces that to the
+  * empty array the declarative formula produces.
+  */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_shingles needs n >= 1, got $n")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.wordShingles(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.wordShingles($c, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
 /** cdc_chunks(text, w, p, m, d): array<string> of content-defined
   * chunks. See [[TextRuntime.cdcChunks]]. The four numeric parameters
   * are literal ints (window width, polynomial base, modulus, boundary
@@ -390,6 +469,9 @@ object TextOps {
 
   def cdcChunks(text: Column, w: Int, p: Long, m: Long, d: Long): Column =
     ColumnBridge.column(CdcChunks(ColumnBridge.expression(text), w, p, m, d))
+
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
   def charHistStats(text: Column): Column =
     ColumnBridge.column(CharHistStats(ColumnBridge.expression(text)))

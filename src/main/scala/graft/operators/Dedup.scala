@@ -44,9 +44,24 @@ object Dedup {
   }
 
   /** Word n-gram shingles of the lowercased text (the unit of
-    * near-dup comparison). Returns array<string>, distinct.
+    * near-dup comparison). Returns array<string>, distinct, first
+    * occurrence order. Native codegen'd kernel
+    * ([[graft.functions.TextRuntime.wordShingles]]); the coalesce
+    * preserves the declarative formula's null contract (null text →
+    * empty array, because `when` over a null size condition falls
+    * through to the empty-array branch). [[shinglesDeclarative]] keeps
+    * the built-ins formulation as the spec-pinned reference.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
+  def shingles(text: Column, n: Int = 3): Column =
+    coalesce(graft.functions.TextOps.wordShingles(text, n),
+      array().cast("array<string>"))
+
+  /** The declarative shingle formula the native kernel is property-
+    * pinned against (DedupSpec): per-shingle interpreted lambda +
+    * O(n) slice — correct, but ~30× the per-shingle cost, which is why
+    * [[shingles]] compiles to one fused scan instead.
+    */
+  private[operators] def shinglesDeclarative(text: Column, n: Int = 3): Column = {
     val toks = TextAnalysis.tokens(lower(text))
     val nT = size(toks)
     array_distinct(

@@ -68,7 +68,17 @@ object Graph {
         .select(col("node"),
           (lit(base) + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
     }
-    ranks
+    // materialize the final rank table, then release the loop caches —
+    // nodes/adj are referenced `iters` times by the lazy chain, so they
+    // must stay cached THROUGH evaluation, but leaving them persisted
+    // after return accumulates executor-store blocks on every call
+    // (the leak the standard variant fixed). The RETURNED ranks stay
+    // persisted for the caller to consume and release.
+    val out = ranks.persist()
+    out.count()
+    nodes.unpersist()
+    adj.unpersist()
+    out
   }
 
   /** Textbook PageRank: [[pageRank]]'s recurrence plus dangling-mass

@@ -388,6 +388,30 @@ class DedupSpec extends SparkTestBase {
     assert(m(2) == Seq("a b"))
   }
 
+  test("shingles: native kernel equals the declarative formula (property)") {
+    import spark.implicits._
+    // hand-picked contract edges: blanks/tabs/odd whitespace, case
+    // folding, duplicate shingles (first-occurrence order), short
+    // texts, non-\s unicode whitespace (NBSP stays IN a token), null
+    val edges = Seq(
+      null, "", "   ", "\t\n", "one", "one two", "a b c d e",
+      "A B a b A B a b", "x y z w", "é É SS ss I İ",
+      "a  b\tc\nd", " lead and trail ", "😀 a 😀 a 😀 a",
+      "repeat repeat repeat repeat repeat")
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab XY\t é😀\n"
+    val fuzz = Seq.fill(300)(
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = (edges ++ fuzz).zipWithIndex.map(_.swap).toDF("i", "t")
+      val got = df.select(col("i"), Dedup.shingles(col("t"), n).as("sh"))
+        .as[(Int, Seq[String])].collect().toMap
+      val ref = df.select(col("i"), Dedup.shinglesDeclarative(col("t"), n).as("sh"))
+        .as[(Int, Seq[String])].collect().toMap
+      assert(got == ref, s"n=$n: native shingles diverge from declarative reference")
+    }
+  }
+
   test("incrementalNearDup: batch vs corpus pairs at exact jaccard") {
     import spark.implicits._
     val corpus = Seq(
