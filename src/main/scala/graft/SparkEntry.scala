@@ -552,6 +552,22 @@ object SparkEntry {
       .orderBy("id_a", "id_b")
   }
 
+  /** Exact token-budget selection: greedy prefix by (stopword-hit
+    * score desc, doc_id asc) within a 10k-token budget. The score is
+    * the count of DISTINCT embedded-stopword-list hits — deliberately
+    * coarse (0..20) so ties dominate and the cross-shard order
+    * contract does real work.
+    */
+  private def qTokenBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val score = size(array_intersect(toks, stopArr)).cast("long")
+    graft.operators.Curation.selectTokenBudget(
+      docs, col("doc_id"), col("text"), score, budgetTokens = 10000L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
   /** Cross-document duplicated chunks under content-defined chunking
     * (native `cdc_chunks`, w=16 p=31 m=1e9+7 d=32 — avg chunk ~32
     * chars on random text).
@@ -2414,6 +2430,7 @@ object SparkEntry {
     "q152_pagerank_standard" -> qPageRankStandard _,
     "q153_mjpeg_probe" -> qMjpegProbe _,
     "q154_mjpeg_neardups" -> qMjpegNearDups _,
+    "q155_token_budget" -> qTokenBudget _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2811,6 +2828,24 @@ object SparkEntry {
           |SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, count(*)::BIGINT AS n_match
           |FROM agree GROUP BY ia, ib HAVING count(*) >= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // exact greedy token-budget prefix: global window cumsum over
+      // (score desc, doc_id asc) — the oracle runs the SINGLE-window
+      // formulation the engine's two-phase range-shard plan must equal
+      "q155_token_budget" ->
+        """WITH base AS (
+          | SELECT doc_id,
+          |  len(list_filter(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'],
+          |      m -> list_contains(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), m)))::BIGINT AS score,
+          |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          | FROM documents),
+          | cum AS (
+          | SELECT doc_id, score, n_tokens,
+          |        sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          | FROM base)
+          |SELECT doc_id, score, n_tokens, cum_tokens::BIGINT AS cum_tokens
+          |FROM cum WHERE cum_tokens <= 10000 ORDER BY doc_id""".stripMargin,
 
       // the pure CDC boundary rule re-derived per position: trailing
       // 16-char polynomial fingerprint (powers interpolated below) mod

@@ -64,6 +64,14 @@ object ScaleSmoke {
       TextAnalysis.adaptiveQualityFilter(
         docs.withColumn("lang", (col("doc_id") % 5).cast("string")),
         col("lang"), length(col("text")), 0.5).count())
+    // budget = ~half the corpus tokens, coarse 0..99 score so every
+    // shard carries heavy ties — the two-phase prefix at its worst
+    val tb = time("selectTokenBudget (half-corpus budget, 64 shards)") {
+      val sel = graft.operators.Curation.selectTokenBudget(
+        docs, col("doc_id"), col("text"), col("doc_id") % 100,
+        budgetTokens = nDocs * 45L / 2, nShards = 64)
+      val n = sel.count(); sel.unpersist(); n
+    }
 
     // embedding stage: nDocs 64-dim unit-ish vectors, IVF ANN top-k
     // for a 1k query slice + embedding near-dup over the full corpus
@@ -432,6 +440,7 @@ object ScaleSmoke {
 
     println(s"RESULT nDocs=$nDocs minhashPairs=$mh simhashPairs=$sh keepBestGroups=$kb " +
       s"ngramPairs=$ng contaminated=$ct tfidfRows=$tf packed=$pk adaptiveKept=$af " +
+      s"budgetSelected=$tb " +
       s"annRows=$ann embNearDups=$nd ccRelabels=$cc linesDropped=$ld bpePairs=$bp " +
       s"dupSpanDocs=$ds capKept=${capExact._1} quantTopK=$qt bloomContaminated=$bc " +
       s"incNearDups=$ind rangeShards=$rs " +

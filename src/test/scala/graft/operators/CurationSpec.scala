@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.SparkTestBase
+
+class CurationSpec extends SparkTestBase {
+
+  test("selectTokenBudget equals the single-window global reference, tie-heavy scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    val docs = (0L until 300L).map { i =>
+      (i, ("tok " * (1 + rnd.nextInt(12))).trim, (rnd.nextInt(4)).toLong)
+    }.toDF("doc_id", "text", "score")
+    def reference(budget: Long): Seq[(Long, Long, Long, Long)] = {
+      val n = docs.select(col("doc_id"), col("score"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+      val w = Window.orderBy(col("score").desc, col("doc_id").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      n.withColumn("cum", sum("n").over(w))
+        .where(col("cum") <= budget)
+        .select("doc_id", "score", "n", "cum")
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    for (budget <- Seq(0L, 1L, 50L, 500L, 1500L, 100000L); shards <- Seq(2, 5)) {
+      val got = Curation.selectTokenBudget(docs, col("doc_id"), col("text"),
+          col("score"), budget, nShards = shards)
+        .as[(Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      assert(got == reference(budget), s"budget=$budget shards=$shards")
+    }
+  }
+
+  test("selectTokenBudget: selection is partitioning-independent") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, ("w " * (1 + (i % 9).toInt)).trim, i % 3))
+    val a = Curation.selectTokenBudget(docs.toDF("doc_id", "text", "score"),
+      col("doc_id"), col("text"), col("score"), 400L, 4)
+      .orderBy("doc_id").collect().toSeq
+    val b = Curation.selectTokenBudget(docs.toDF("doc_id", "text", "score").repartition(17),
+      col("doc_id"), col("text"), col("score"), 400L, 4)
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("selectTokenBudget: skinny exchanges, text never shuffles") {
+    import spark.implicits._
+    val docs = (0L until 100L).map(i => (i, "some text here", i % 5)).toDF("doc_id", "text", "score")
+    val out = Curation.selectTokenBudget(docs, col("doc_id"), col("text"), col("score"), 100L, 4)
+    val cols = Scale.shuffleOutputColumns(out)
+    assert(cols.forall(c => !c.contains("text")),
+      s"text rode an exchange: $cols")
+  }
+}
