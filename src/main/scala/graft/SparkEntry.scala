@@ -66,13 +66,26 @@ object SparkEntry {
   // Shared DuckDB SQL fragments                                       //
   // ---------------------------------------------------------------- //
 
-  /** DuckDB replica of TypeInference.inferType (XMLToCSV.py:246-281). */
+  /** DuckDB replica of TypeInference.inferType (XMLToCSV.py:246-281).
+    *
+    * The datetime validity check deliberately avoids `try_strptime`:
+    * in DuckDB 1.0.0 that function SEGFAULTS sporadically (~40% of
+    * full compare runs) when executed after ~100 other queries on the
+    * same connection — the silent killer behind two rounds of empty
+    * external correctness artifacts (bisected to exactly this clause;
+    * the `try_cast` formulation is result-identical on the battery
+    * and 25/25 crash-free under the same armed-heap prefix). The
+    * regexp guard pins the shape to 'YYYY-MM-DD HH:MM(:SS)?', so a
+    * length-16 value needs ':00' appended before the TIMESTAMP cast
+    * (DuckDB's cast requires seconds) and calendar validity is then
+    * exactly strptime's.
+    */
   private def duckInferType(v: String): String =
     s"""CASE WHEN $v IS NULL OR $v = '' THEN 'any'
        | WHEN regexp_full_match($v, '[0-9]+') THEN 'integer'
        | WHEN regexp_full_match($v, '[0-9]+\\.[0-9]+') THEN 'float'
        | WHEN regexp_full_match($v, '[0-9]{4}-[0-9]{2}-[0-9]{2}') AND try_cast($v AS DATE) IS NOT NULL THEN 'date'
-       | WHEN regexp_full_match($v, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?') AND coalesce(try_strptime($v, '%Y-%m-%d %H:%M:%S'), try_strptime($v, '%Y-%m-%d %H:%M')) IS NOT NULL THEN 'datetime'
+       | WHEN regexp_full_match($v, '[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?') AND try_cast((CASE WHEN length($v) = 16 THEN $v || ':00' ELSE $v END) AS TIMESTAMP) IS NOT NULL THEN 'datetime'
        | WHEN lower($v) IN ('true','false') THEN 'boolean'
        | ELSE 'string' END""".stripMargin.replaceAll("\n", " ")
 
@@ -565,6 +578,35 @@ object SparkEntry {
     val score = size(array_intersect(toks, stopArr)).cast("long")
     graft.operators.Curation.selectTokenBudget(
       docs, col("doc_id"), col("text"), score, budgetTokens = 10000L, nShards = 8)
+      .orderBy("doc_id")
+  }
+
+  /** q155's ingestion twin through STRUCTURED STREAMING: documents as
+    * a file stream, per-SOURCE 600-token budgets in
+    * flatMapGroupsWithState (state = one long per source). One parquet
+    * file = one micro-batch, and within a batch each source admits in
+    * (score desc, doc_id asc) order — so the AvailableNow drain equals
+    * the per-key batch greedy selection the DuckDB oracle computes.
+    */
+  private def qStreamTokenBudget(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val scored = stream.select(
+      col("doc_id"),
+      col("source").as("key"),
+      size(array_intersect(toks, stopArr)).cast("long").as("score"),
+      TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"))
+    val admitted = graft.streaming.StreamingOps.streamingTokenBudget(scored, budgetTokens = 600L)
+    val q = admitted.writeStream.format("memory").queryName("graft_stream_budget")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_budget")
+      .select(col("doc_id"), col("key"), col("score"), col("n_tokens"), col("cum_tokens"))
       .orderBy("doc_id")
   }
 
@@ -1964,9 +2006,43 @@ object SparkEntry {
     * is never mutated (the memory-sink table also lands in the child
     * catalog, which is why the result is read back through `ss`).
     */
+  // checkpoint roots created this JVM, removed on exit (each is a few
+  // KB of AvailableNow drain state — kept only so a crashed run can't
+  // slowly fill the tmpfs across many processes)
+  private val ckptRoots = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  private lazy val ckptHook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      ckptRoots.forEach { root =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount).foreach(p =>
+              try java.nio.file.Files.deleteIfExists(p) catch { case _: Throwable => () })
+        } catch { case _: Throwable => () }
+      }))
+  }
+
   private def streamSession(s: SparkSession, partitions: Int = 8): SparkSession = {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", partitions.toString)
+    // State-store checkpoints on tmpfs when available: every micro-
+    // batch commit fsyncs per state partition, and the contract
+    // queries are EPHEMERAL AvailableNow drains compared against a
+    // batch oracle — durability buys nothing, while disk fsync is the
+    // dominant fixed cost of the drain (the r6 "halve the partitions,
+    // halve the fsyncs" lesson, taken to its conclusion). A FRESH root
+    // per invocation keeps today's semantics (never resume a previous
+    // drain's state). Production streams pass their own durable
+    // checkpoint locations (e.g. [[graft.streaming.StreamingOps
+    // .csvAppendSink]]'s explicit parameter).
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (java.nio.file.Files.isDirectory(shm) && java.nio.file.Files.isWritable(shm)) {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Files.createDirectories(shm.resolve("graft_ckpt")), "q")
+      ckptRoots.add(root)
+      ckptHook
+      ss.conf.set("spark.sql.streaming.checkpointLocation", root.toString)
+    }
     ss
   }
 
@@ -2431,6 +2507,7 @@ object SparkEntry {
     "q153_mjpeg_probe" -> qMjpegProbe _,
     "q154_mjpeg_neardups" -> qMjpegNearDups _,
     "q155_token_budget" -> qTokenBudget _,
+    "q156_stream_token_budget" -> qStreamTokenBudget _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -2828,6 +2905,24 @@ object SparkEntry {
           |SELECT ia::BIGINT AS id_a, ib::BIGINT AS id_b, count(*)::BIGINT AS n_match
           |FROM agree GROUP BY ia, ib HAVING count(*) >= 3
           |ORDER BY id_a, id_b""".stripMargin,
+
+      // streaming per-source budget admission, single-batch drain =
+      // per-key batch greedy: cumsum partitioned by source in
+      // (score desc, doc_id) order, inclusive fit under 600
+      "q156_stream_token_budget" ->
+        """WITH base AS (
+          | SELECT doc_id, source AS key,
+          |  len(list_filter(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'],
+          |      m -> list_contains(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), m)))::BIGINT AS score,
+          |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          | FROM documents),
+          | cum AS (
+          | SELECT doc_id, key, score, n_tokens,
+          |        sum(n_tokens) OVER (PARTITION BY key ORDER BY score DESC, doc_id ASC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          | FROM base)
+          |SELECT doc_id, key, score, n_tokens, cum_tokens::BIGINT AS cum_tokens
+          |FROM cum WHERE cum_tokens <= 600 ORDER BY doc_id""".stripMargin,
 
       // exact greedy token-budget prefix: global window cumsum over
       // (score desc, doc_id asc) — the oracle runs the SINGLE-window

@@ -195,6 +195,55 @@ object StreamingOps {
       .toDF("doc_id", "fp")
   }
 
+  /** Streaming per-key token-budget admission — the ingestion twin of
+    * [[graft.operators.Curation.selectTokenBudget]]: documents arrive
+    * as a stream already carrying (key, score, n_tokens); each key
+    * (source, tenant, language…) holds a fixed token budget, and a
+    * document is ADMITTED iff the key's running spend plus its tokens
+    * still fits. State per key is ONE long (tokens spent) — never
+    * text, never rows — so state scales with distinct keys.
+    *
+    * Admission is the PREFIX rule — the same contract as the batch
+    * operator: the key's cumulative token count advances over EVERY
+    * document seen (admitted or not), and a document is admitted iff
+    * its inclusive cumulative count fits. So once one document
+    * overflows the line, the key is effectively closed (a later small
+    * document cannot slip in past a rejected large one) — exactly the
+    * `cum <= budget` window predicate of the batch selection, which is
+    * what keeps this ORACLE-equal rather than first-fit-approximate.
+    *
+    * Ordering contract: WITHIN a micro-batch, each key consumes in
+    * (score desc, doc_id asc) order — so a single-batch AvailableNow
+    * drain equals the per-key batch greedy selection. ACROSS batches,
+    * consumption is arrival-time ordered (earlier batches spend
+    * first regardless of score) — the honest semantics of an online
+    * budget, spec-pinned. State per key is ONE long.
+    */
+  def streamingTokenBudget(docs: DataFrame, budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0L, s"budgetTokens must be >= 0, got $budgetTokens")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id").cast("long"), col("key").cast("string"),
+        col("score").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, String, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(Long, String, Long, Long)], state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
+          val admitted = rows.toVector
+            .sortBy { case (id, _, score, _) => (-score, id) }
+            .flatMap { case (id, _, score, n) =>
+              cum += n
+              if (cum <= budgetTokens) Some((id, key, score, n, cum)) else None
+            }
+          state.update(cum)
+          admitted.iterator
+      }
+      .toDF("doc_id", "key", "score", "n_tokens", "cum_tokens")
+  }
+
   /** Streaming URL-keyed dedup — the crawl-ingest counterpart of
     * [[graft.operators.Dedup.urlDedup]]: emit each document the FIRST
     * time its canonical URL arrives; later spellings of the same page

@@ -225,6 +225,70 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingTokenBudget: within-batch greedy order, cross-batch spend, key isolation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = StreamingOps.streamingTokenBudget(
+      mem.toDF().toDF("doc_id", "key", "score", "n_tokens"), budgetTokens = 10L)
+    val q = out.writeStream.format("memory").queryName("streambudget")
+      .outputMode("append").start()
+    try {
+      // batch 1, key a, PREFIX rule in (score desc, id asc) order under
+      // budget 10: doc 3 (score 9, n 4) -> cum 4 admit; doc 1 (score 5,
+      // n 4) -> cum 8 admit; doc 2 (score 5, n 3) -> cum 11 REJECT and
+      // the line is crossed; doc 4 (score 1, n 2) -> cum 13 rejected
+      // too (no slipping past a rejected doc — the batch-oracle
+      // contract). key b independent: doc 7 -> cum 9 admits.
+      mem.addData(
+        (1L, "a", 5L, 4L), (2L, "a", 5L, 3L), (3L, "a", 9L, 4L), (4L, "a", 1L, 2L),
+        (7L, "b", 2L, 9L))
+      q.processAllAvailable()
+      val b1 = spark.table("streambudget")
+        .as[(Long, String, Long, Long, Long)].collect().toSet
+      assert(b1 == Set(
+        (3L, "a", 9L, 4L, 4L), (1L, "a", 5L, 4L, 8L),
+        (7L, "b", 2L, 9L, 9L)))
+      // batch 2: key a's line stays crossed (cum carried forward);
+      // key b fits exactly one more token (9 + 1 = 10)
+      mem.addData((9L, "a", 100L, 1L), (8L, "b", 3L, 1L))
+      q.processAllAvailable()
+      val b2 = spark.table("streambudget")
+        .as[(Long, String, Long, Long, Long)].collect().toSet -- b1
+      assert(b2 == Set((8L, "b", 3L, 1L, 10L)),
+        s"cross-batch admission wrong: $b2")
+    } finally q.stop()
+  }
+
+  test("streamingTokenBudget single-batch drain equals the batch greedy selection") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val rows = (0L until 200L).map(i =>
+      (i, s"k${i % 3}", rnd.nextInt(5).toLong, 1L + rnd.nextInt(9)))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = StreamingOps.streamingTokenBudget(
+      mem.toDF().toDF("doc_id", "key", "score", "n_tokens"), budgetTokens = 120L)
+    val q = out.writeStream.format("memory").queryName("streambudget2")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*)   // ONE batch: drain == batch greedy
+      q.processAllAvailable()
+      val got = spark.table("streambudget2")
+        .as[(Long, String, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+      // batch reference: per-key PREFIX cumsum in (score desc, id)
+      // order — exactly the oracle's `cum <= budget` window predicate
+      val expect = rows.groupBy(_._2).toSeq.flatMap { case (k, g) =>
+        var cum = 0L
+        g.sortBy { case (id, _, s, _) => (-s, id) }.flatMap { case (id, _, s, n) =>
+          cum += n
+          if (cum <= 120L) Some((id, k, s, n, cum)) else None
+        }
+      }.sortBy(_._1)
+      assert(got == expect)
+    } finally q.stop()
+  }
+
   test("streamingUrlDedup: first canonical-URL arrival wins across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
