@@ -80,6 +80,42 @@ object SparkEntry {
     * (DuckDB's cast requires seconds) and calendar validity is then
     * exactly strptime's.
     */
+  /** q151's DuckDB oracle — q121's scoring algebra over the 8-term
+    * union vocabulary with a per-query row_number top-10. Shared
+    * verbatim by q157: the indexed serve must reproduce the full-scan
+    * formulation exactly.
+    */
+  private lazy val bm25BatchOracleSql: String = {
+    val terms = Seq("fast", "filter", "hash", "join", "scan", "stream",
+      "vector", "window")
+    val tfDefs = terms.map(t =>
+      s"  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x = '$t')) AS tf_$t").mkString(",\n")
+    val dfDefs = terms.map(t =>
+      s"  sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
+    val sDefs = terms.map(t =>
+      s"  (CASE WHEN tf_$t > 0 THEN ((((2*n - 2*df_$t + 1) * 1000000) // (2*df_$t + 1)) * (22 * tf_$t * l)) // (10*l*tf_$t + 3*l + 9*dl*n) ELSE 0 END) AS s_$t").mkString(",\n")
+    s"""WITH docs AS (
+       | SELECT doc_id,
+       |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl,
+       |$tfDefs
+       | FROM documents),
+       | stats AS (SELECT count(*) AS n, sum(dl) AS l,
+       |$dfDefs
+       | FROM docs),
+       | ts AS (SELECT doc_id, dl,
+       |$sDefs
+       | FROM docs, stats),
+       | qs AS (
+       |  SELECT 0 AS query_id, doc_id, dl, s_hash + s_join + s_vector AS score FROM ts
+       |  UNION ALL SELECT 1, doc_id, dl, s_filter + s_scan FROM ts
+       |  UNION ALL SELECT 2, doc_id, dl, s_fast + s_stream + s_window FROM ts),
+       | rk AS (SELECT query_id, doc_id, dl, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       | FROM qs WHERE score > 0)
+       |SELECT query_id::BIGINT AS query_id, doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
+       |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
+  }
+
   private def duckInferType(v: String): String =
     s"""CASE WHEN $v IS NULL OR $v = '' THEN 'any'
        | WHEN regexp_full_match($v, '[0-9]+') THEN 'integer'
@@ -1316,6 +1352,50 @@ object SparkEntry {
       topK = 10)
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
 
+  /** Warehouse table for the persisted bucketed posting list — same
+    * per-dir derivation (and race rationale) as [[ivfBucketedTable]].
+    */
+  private def invertedIndexTable(dir: String): String =
+    "graft_inv_postings_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  // build-once cache: the bucketed posting table is the persisted
+  // index — build once / serve many, like the IVF index (and priced
+  // separately by buildCaches so q157 reps measure the SERVE)
+  @transient private var invertedIndexCache:
+    (SparkSession, String, graft.operators.Retrieval.InvertedIndex) = null
+
+  private def invertedIndexBucketed(
+      s: SparkSession, dir: String): graft.operators.Retrieval.InvertedIndex =
+    synchronized {
+      if (invertedIndexCache != null && (invertedIndexCache._1 eq s)
+          && invertedIndexCache._2 == dir)
+        invertedIndexCache._3
+      else {
+        val index = graft.operators.Retrieval.buildInvertedIndex(
+          t(s, dir, "documents"), col("doc_id"), col("text"), nBuckets = 8)
+        val tbl = invertedIndexTable(dir)
+        graft.operators.Scale.writeBucketed(index.postings, tbl, "bucket", 8)
+        val built = index.copy(postings = s.table(tbl))
+        invertedIndexCache = (s, dir, built)
+        built
+      }
+    }
+
+  /** q151's batched serve AGAINST the persisted inverted index: same
+    * three queries, same top-10 contract, same oracle — but the plan
+    * reads bucket-pruned postings instead of the corpus (the text
+    * retrieval twin of q67's bucketed IVF serve; PlanSpec pins the
+    * pruned no-text plan).
+    */
+  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.bm25IndexedTopK(invertedIndexBucketed(s, dir),
+      Seq(0L -> Seq("hash", "join", "vector"),
+        1L -> Seq("filter", "scan"),
+        2L -> Seq("fast", "stream", "window")),
+      topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+
   /** Blocklist rate filter: blocked-token per-mille against a 3-term
     * list, threshold chosen so the corpus genuinely splits.
     */
@@ -2354,6 +2434,7 @@ object SparkEntry {
       "xml_tables" -> timed(xmlTables(s)),
       "xml_anylayout" -> timed(qXmlAnyLayout(s, dir)),
       "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)),
+      "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
   }
 
@@ -2508,6 +2589,7 @@ object SparkEntry {
     "q154_mjpeg_neardups" -> qMjpegNearDups _,
     "q155_token_budget" -> qTokenBudget _,
     "q156_stream_token_budget" -> qStreamTokenBudget _,
+    "q157_bm25_indexed" -> qBm25Indexed _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3455,36 +3537,12 @@ object SparkEntry {
       // q121's scoring algebra over the 8-term union vocabulary, then
       // per-query top-10 via a row_number window — the batched serve's
       // one-corpus-scan plan must reproduce the per-query unrolls
-      "q151_bm25_batch" -> {
-        val terms = Seq("fast", "filter", "hash", "join", "scan", "stream",
-          "vector", "window")
-        val tfDefs = terms.map(t =>
-          s"  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x = '$t')) AS tf_$t").mkString(",\n")
-        val dfDefs = terms.map(t =>
-          s"  sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
-        val sDefs = terms.map(t =>
-          s"  (CASE WHEN tf_$t > 0 THEN ((((2*n - 2*df_$t + 1) * 1000000) // (2*df_$t + 1)) * (22 * tf_$t * l)) // (10*l*tf_$t + 3*l + 9*dl*n) ELSE 0 END) AS s_$t").mkString(",\n")
-        s"""WITH docs AS (
-           | SELECT doc_id,
-           |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl,
-           |$tfDefs
-           | FROM documents),
-           | stats AS (SELECT count(*) AS n, sum(dl) AS l,
-           |$dfDefs
-           | FROM docs),
-           | ts AS (SELECT doc_id, dl,
-           |$sDefs
-           | FROM docs, stats),
-           | qs AS (
-           |  SELECT 0 AS query_id, doc_id, dl, s_hash + s_join + s_vector AS score FROM ts
-           |  UNION ALL SELECT 1, doc_id, dl, s_filter + s_scan FROM ts
-           |  UNION ALL SELECT 2, doc_id, dl, s_fast + s_stream + s_window FROM ts),
-           | rk AS (SELECT query_id, doc_id, dl, score,
-           |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-           | FROM qs WHERE score > 0)
-           |SELECT query_id::BIGINT AS query_id, doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
-           |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
-      },
+      "q151_bm25_batch" -> bm25BatchOracleSql,
+
+      // the INDEXED serve must reproduce the full-scan formulation
+      // exactly — same oracle as q151 (scores from pruned postings
+      // equal scores from the corpus scan)
+      "q157_bm25_indexed" -> bm25BatchOracleSql,
 
       // blocked-token per-mille, floor division both sides
       "q122_blocklist" ->

@@ -164,6 +164,15 @@ object Retrieval {
       .select(col("q.query_id").as("query_id"), col("doc_id"),
         col("dl").as("n_tokens"), col("q.score").as("score"))
       .where(col("score") > 0)
+    perQueryTopK(scored, topK, salt)
+  }
+
+  /** Exact per-query top-K via the salted two-phase window (see
+    * [[bm25BatchTopK]]'s scale note): phase 1 bounds any window task
+    * at salt·topK rows, phase 2 runs the exact window over the
+    * survivors. Identical output to the single exact window.
+    */
+  private def perQueryTopK(scored: DataFrame, topK: Int, salt: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ord = Seq(col("score").desc, col("doc_id"))
     val phase1 = scored.withColumn("__rn", row_number().over(
@@ -173,5 +182,125 @@ object Retrieval {
     phase1.withColumn("__rn", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(ord: _*)))
       .where(col("__rn") <= topK).drop("__rn")
+  }
+
+  /** Inverted index over a corpus: one posting row per (term, doc)
+    * with the term's in-doc frequency and the doc's length, plus the
+    * two corpus constants BM25 needs (N docs, L total tokens). The
+    * `bucket` column is `pmod(xxhash64(term), nBuckets)` — the
+    * intended physical layout is [[graft.operators.Scale
+    * .writeBucketed]] on it, so a serve-time term filter prunes to
+    * the handful of buckets actually holding the query's terms.
+    */
+  final case class InvertedIndex(
+      postings: DataFrame, n: Long, l: Long, nBuckets: Int)
+
+  /** Bucket-id expression shared by build and serve — ONE definition
+    * so the two sides can never hash differently.
+    */
+  private def termBucket(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Build the inverted index: the one-time cost that turns retrieval
+    * from corpus-scan-per-batch ([[bm25BatchTopK]]) into
+    * postings-touch-per-batch ([[bm25IndexedTopK]]) — the text
+    * analogue of the IVF build/serve split.
+    *
+    * Scale shape: the ONLY corpus-sized exchange is the
+    * (term, doc)->tf aggregate (map-side combined; rows are skinny
+    * long/string tuples, never document text), paid once per corpus
+    * snapshot. The N/L stats aggregate is a second map-only scan
+    * producing one row, collected here because two longs in the index
+    * handle beat a 1-row DataFrame crossJoined into every serve plan.
+    * Tokenization is [[TextAnalysis.tokens]] over `lower(text)` —
+    * exactly [[bm25TopK]]'s `term_freqs` semantics, so the scan and
+    * index paths score identically.
+    */
+  def buildInvertedIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      nBuckets: Int = 64): InvertedIndex = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = TextAnalysis.tokens(lower(text))
+    val base = df.select(id.cast("long").as("doc_id"), toks.as("toks"))
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(size(col("toks")).cast("long")), lit(0L)).as("l")).head()
+    val postings = base
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(col("toks")).as("term"))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+    InvertedIndex(postings, stats.getLong(0), stats.getLong(1), nBuckets)
+  }
+
+  /** Batched BM25 serving AGAINST THE INDEX: identical output contract
+    * and scoring algebra to [[bm25BatchTopK]] (which is its oracle),
+    * but the corpus text is never read — per-term document frequency
+    * comes from the pruned postings themselves (postings are
+    * per-(term, doc) unique, so a term's posting count IS its df), and
+    * N/L ride in as plan literals from the build.
+    *
+    * Scale shape: with the postings persisted bucketed on `bucket`,
+    * the term + bucket filters prune the scan to the query terms'
+    * buckets (`SelectedBucketsCount` in the plan — pinned in
+    * PlanSpec); everything downstream is proportional to MATCHED
+    * postings, not corpus size: a broadcast join against the
+    * model-sized (query, term) table, one (query, doc) aggregate, and
+    * the salted two-phase top-K. At 100 TB the per-batch cost is a few
+    * pruned bucket files — the corpus never re-tokenizes, never
+    * re-shuffles, exactly like the bucketed IVF serve.
+    */
+  def bm25IndexedTopK(
+      index: InvertedIndex,
+      queries: Seq[(Long, Seq[String])],
+      topK: Int,
+      idfScale: Long = 1000000L,
+      salt: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "bm25IndexedTopK needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query ids: ${queries.map(_._1)}")
+    queries.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"query $qid has no terms")
+      require(terms.distinct.size == terms.size,
+        s"query $qid has duplicate terms: $terms")
+      require(terms.forall(t => t == t.toLowerCase),
+        s"query $qid terms must be lowercase: ${terms.filterNot(t => t == t.toLowerCase)}")
+    }
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(salt > 0, s"salt must be positive, got $salt")
+    val spark = index.postings.sparkSession
+    val allTerms = queries.flatMap(_._2).distinct.sorted
+    // bucket ids via the SAME expression the build used, evaluated
+    // over |terms| literal rows — never a re-implemented hash
+    val bucketIds = spark.range(1)
+      .select(explode(array(allTerms.map(lit): _*)).as("term"))
+      .select(termBucket(col("term"), index.nBuckets)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val p = index.postings
+      .where(col("bucket").isin(bucketIds.map(b => b: Any): _*) &&
+        col("term").isin(allTerms.map(t => t: Any): _*))
+    // df per term from a second pruned-scan aggregate (|terms| rows,
+    // broadcast back) — the serve plan stays a pure lazy DataFrame
+    val termDf = p.groupBy("term").agg(count(lit(1)).as("df_t"))
+    import spark.implicits._
+    val qTerms = queries.flatMap { case (qid, ts) => ts.map(t => (qid, t)) }
+      .toDF("query_id", "term")
+    val n = index.n
+    val l = index.l
+    val termScore = expr(
+      s"(((2L*${n}L - 2L*df_t + 1L) * ${idfScale}L) div (2L*df_t + 1L)" +
+        s" * (22L * tf * ${l}L)) div (10L * ${l}L * tf + 3L * ${l}L + 9L * dl * ${n}L)")
+    val scored = p
+      .join(broadcast(termDf), "term")
+      .join(broadcast(qTerms), "term")
+      .withColumn("__s", termScore)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dl")).as("n_tokens"), sum(col("__s")).as("score"))
+      .where(col("score") > 0)
+      .select(col("query_id"), col("doc_id"), col("n_tokens"), col("score"))
+    perQueryTopK(scored, topK, salt)
   }
 }

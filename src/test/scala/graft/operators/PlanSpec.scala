@@ -148,6 +148,26 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
   }
 
+  test("BM25 serve against the persisted bucketed postings: pruned scan, no corpus text") {
+    import spark.implicits._
+    val df = Seq.tabulate(60)(i => (i.toLong, s"cat dog w$i x")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 8)
+    Scale.writeBucketed(index.postings, "graft_inv_plan_test", "bucket", 8)
+    val served = index.copy(postings = spark.table("graft_inv_plan_test"))
+    val serve = Retrieval.bm25IndexedTopK(served,
+      Seq(0L -> Seq("cat"), 1L -> Seq("dog", "x")), topK = 3)
+    val plan = serve.queryExecution.executedPlan.toString
+    // bucket pruning reaches the postings scan: only the query terms'
+    // buckets are read
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // the corpus text never enters the serve plan (no text attribute
+    // anywhere — the index IS the data)
+    assert(!plan.contains("text#"), plan)
+    // exchange budget: per-term df aggregate, (query, doc) aggregate,
+    // two top-k windows — all over MATCHED postings, none corpus-sized
+    assert(Scale.countShuffles(serve) <= 4, plan)
+  }
+
   test("asofJoinBucketed: heavy window partitions by (key, bucket), never one task") {
     val e = graft.SparkEntry.normalizeTsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))

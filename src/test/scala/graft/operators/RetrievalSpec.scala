@@ -111,6 +111,44 @@ class RetrievalSpec extends SparkTestBase {
     assert(salted.size == 10)
   }
 
+  test("bm25IndexedTopK equals bm25BatchTopK on a random corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("cat", "dog", "fish", "bird", "w", "x", "y", "z")
+    val df = Seq.tabulate(120)(i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val queries = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("fish"),
+      2L -> Seq("bird", "x", "z"), 3L -> Seq("absentterm"))
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val indexed = Retrieval.bm25IndexedTopK(index, queries, topK = 5)
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val scan = Retrieval.bm25BatchTopK(df, col("doc_id"), col("text"),
+        queries.filter(_._2.exists(vocab.contains)), topK = 5)
+      .orderBy("query_id", "doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(indexed == scan)
+  }
+
+  test("buildInvertedIndex: stats count zero-token docs; postings skip them") {
+    import spark.implicits._
+    val df = Seq((0L, "cat cat dog"), (1L, ""), (2L, "  ")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    assert(index.n == 3L && index.l == 3L)
+    val rows = index.postings.select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(rows == Set(("cat", 0L, 2L, 3L), ("dog", 0L, 1L, 3L)))
+  }
+
+  test("bm25IndexedTopK: query with no indexed term yields no rows") {
+    import spark.implicits._
+    val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val out = Retrieval.bm25IndexedTopK(index, Seq(9L -> Seq("zebra")), topK = 3)
+    assert(out.count() == 0L)
+  }
+
   test("blocklistFilter: per-mille floor division and threshold") {
     import spark.implicits._
     val df = Seq(
