@@ -1382,6 +1382,14 @@ object SparkEntry {
       }
     }
 
+  /** The q151 query batch — shared verbatim by every serve path that
+    * must reproduce it (q151 scan, q157 indexed, q159 appended).
+    */
+  private val bm25BatchQueries: Seq[(Long, Seq[String])] =
+    Seq(0L -> Seq("hash", "join", "vector"),
+      1L -> Seq("filter", "scan"),
+      2L -> Seq("fast", "stream", "window"))
+
   /** q151's batched serve AGAINST the persisted inverted index: same
     * three queries, same top-10 contract, same oracle — but the plan
     * reads bucket-pruned postings instead of the corpus (the text
@@ -1390,11 +1398,122 @@ object SparkEntry {
     */
   private def qBm25Indexed(s: SparkSession, dir: String): DataFrame =
     graft.operators.Retrieval.bm25IndexedTopK(invertedIndexBucketed(s, dir),
-      Seq(0L -> Seq("hash", "join", "vector"),
-        1L -> Seq("filter", "scan"),
-        2L -> Seq("fast", "stream", "window")),
-      topK = 10)
+      bm25BatchQueries, topK = 10)
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+
+  /** Index maintenance under the append-only contract: build the
+    * index over three quarters of the corpus, append the remaining
+    * quarter, serve q151's batch — the oracle is q151's full-corpus
+    * SQL verbatim, so a green row PROVES append(build(base), delta)
+    * == build(full): per-term df, N, L, and every score agree. The
+    * base corpus is tokenized once; only the delta pays a second
+    * tokenize (the plan never re-reads base text after the build).
+    */
+  private def qIndexAppend(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = graft.operators.Retrieval.buildInvertedIndex(
+      docs.where(pmod(col("doc_id"), lit(4)) =!= 0),
+      col("doc_id"), col("text"), nBuckets = 8)
+    val appended = graft.operators.Retrieval.appendToInvertedIndex(
+      base, docs.where(pmod(col("doc_id"), lit(4)) === 0),
+      col("doc_id"), col("text"))
+    graft.operators.Retrieval.bm25IndexedTopK(appended, bm25BatchQueries, topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Phrase batch for q158 — a repeated-term phrase ("table table")
+    * exercises the per-slot join on purpose.
+    */
+  private val phraseQueries: Seq[(Long, Seq[String])] =
+    Seq(0L -> Seq("table", "hash"),
+      1L -> Seq("table", "table"),
+      2L -> Seq("slow", "hash", "batch"))
+
+  /** q158's DuckDB oracle, generated from [[phraseQueries]] so the
+    * two sides can never drift: a phrase starting at 1-based token
+    * position i needs tk[i+j] = term_j for every slot j — the
+    * list_filter counts the valid starts (overlapping occurrences
+    * included), then a per-query row_number keeps the top 10.
+    */
+  private lazy val phraseOracleSql: String = {
+    val arms = phraseQueries.map { case (qid, ts) =>
+      val conds = ts.zipWithIndex
+        .map { case (t, i) => s"tk[i+$i] = '$t'" }.mkString(" AND ")
+      s"  SELECT $qid AS query_id, doc_id, len(list_filter(" +
+        s"range(1, len(tk) - ${ts.length} + 2), i -> $conds)) AS n_matches FROM toks"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+       | FROM documents),
+       | m AS (
+       |$arms),
+       | rk AS (SELECT query_id, doc_id, n_matches,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rn
+       | FROM m WHERE n_matches > 0)
+       |SELECT query_id::BIGINT AS query_id, doc_id, n_matches::BIGINT AS n_matches
+       |FROM rk WHERE rn <= 10 ORDER BY query_id, n_matches DESC, doc_id""".stripMargin
+  }
+
+  /** Warehouse table for the persisted bucketed POSITIONAL postings
+    * (q158's serve source) — same derivation as [[invertedIndexTable]].
+    */
+  private def posIndexTable(dir: String): String =
+    "graft_pos_postings_" + java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+
+  @transient private var posIndexCache:
+    (SparkSession, String, graft.operators.Retrieval.PositionalIndex) = null
+
+  private def posIndexBucketed(
+      s: SparkSession, dir: String): graft.operators.Retrieval.PositionalIndex =
+    synchronized {
+      if (posIndexCache != null && (posIndexCache._1 eq s)
+          && posIndexCache._2 == dir)
+        posIndexCache._3
+      else {
+        val index = graft.operators.Retrieval.buildPositionalIndex(
+          t(s, dir, "documents"), col("doc_id"), col("text"), nBuckets = 8)
+        val tbl = posIndexTable(dir)
+        graft.operators.Scale.writeBucketed(index.postings, tbl, "bucket", 8)
+        val built = index.copy(postings = s.table(tbl))
+        posIndexCache = (s, dir, built)
+        built
+      }
+    }
+
+  /** Exact phrase search against the persisted positional index:
+    * top-10 docs per phrase by consecutive-occurrence count. The
+    * serve reads only the phrase terms' buckets — corpus text never
+    * enters the plan (PlanSpec pins it).
+    */
+  private def qPhraseSearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.phraseSearch(posIndexBucketed(s, dir),
+      phraseQueries, topK = 10)
+      .orderBy(col("query_id"), col("n_matches").desc, col("doc_id"))
+
+  /** Streaming index ingestion: the documents file stream drained
+    * through the MAP-ONLY postings projection (legal in append mode —
+    * no aggregation, no state). The drained postings table equals the
+    * batch index build's (term, doc, tf, dl) set exactly, which is
+    * what the SQL oracle asserts — the index stays fresh as documents
+    * arrive without ever re-reading the indexed corpus.
+    */
+  private def qStreamIndexIngest(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
+      .where(col("doc_id") < 100)
+    val postings = graft.operators.Retrieval.postingsProjection(
+      stream, col("doc_id"), col("text"))
+    val q = postings.writeStream.format("memory")
+      .queryName("graft_stream_postings")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_postings").orderBy("term", "doc_id")
+  }
 
   /** Blocklist rate filter: blocked-token per-mille against a 3-term
     * list, threshold chosen so the corpus genuinely splits.
@@ -2435,6 +2554,7 @@ object SparkEntry {
       "xml_anylayout" -> timed(qXmlAnyLayout(s, dir)),
       "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
+      "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
   }
 
@@ -2590,6 +2710,9 @@ object SparkEntry {
     "q155_token_budget" -> qTokenBudget _,
     "q156_stream_token_budget" -> qStreamTokenBudget _,
     "q157_bm25_indexed" -> qBm25Indexed _,
+    "q158_phrase_search" -> qPhraseSearch _,
+    "q159_index_append" -> qIndexAppend _,
+    "q160_stream_index_ingest" -> qStreamIndexIngest _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3543,6 +3666,23 @@ object SparkEntry {
       // exactly — same oracle as q151 (scores from pruned postings
       // equal scores from the corpus scan)
       "q157_bm25_indexed" -> bm25BatchOracleSql,
+
+      // append(build(3/4 corpus), 1/4 delta) must serve the FULL
+      // corpus answer — q151's oracle, third proof
+      "q159_index_append" -> bm25BatchOracleSql,
+
+      // phrase starts counted by the sliding window over tokens
+      "q158_phrase_search" -> phraseOracleSql,
+
+      // the drained streaming postings equal the batch index build
+      "q160_stream_index_ingest" ->
+        s"""WITH toks AS (
+           | SELECT doc_id,
+           |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+           | FROM documents WHERE doc_id < 100),
+           | u AS (SELECT doc_id, len(tk) AS dl, unnest(tk) AS term FROM toks)
+           |SELECT term, doc_id, count(*)::BIGINT AS tf, dl::BIGINT AS dl
+           |FROM u GROUP BY term, doc_id, dl ORDER BY term, doc_id""".stripMargin,
 
       // blocked-token per-mille, floor division both sides
       "q122_blocklist" ->

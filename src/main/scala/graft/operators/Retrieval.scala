@@ -253,6 +253,26 @@ object Retrieval {
     * pruned bucket files — the corpus never re-tokenizes, never
     * re-shuffles, exactly like the bucketed IVF serve.
     */
+  /** Prune a bucketed postings frame to exactly the query terms:
+    * bucket ids come from evaluating THE SAME [[termBucket]]
+    * expression the build used over |terms| literal rows (never a
+    * re-implemented hash), so on a [[graft.operators.Scale
+    * .writeBucketed]]-persisted table the bucket filter prunes the
+    * scan (`SelectedBucketsCount`) and the term filter drops the
+    * false sharers inside the selected buckets.
+    */
+  private def pruneToTerms(
+      postings: DataFrame, allTerms: Seq[String], nBuckets: Int): DataFrame = {
+    val spark = postings.sparkSession
+    val bucketIds = spark.range(1)
+      .select(explode(array(allTerms.map(lit): _*)).as("term"))
+      .select(termBucket(col("term"), nBuckets)).distinct()
+      .collect().map(_.getInt(0)).sorted
+    postings
+      .where(col("bucket").isin(bucketIds.map(b => b: Any).toSeq: _*) &&
+        col("term").isin(allTerms.map(t => t: Any): _*))
+  }
+
   def bm25IndexedTopK(
       index: InvertedIndex,
       queries: Seq[(Long, Seq[String])],
@@ -273,15 +293,7 @@ object Retrieval {
     require(salt > 0, s"salt must be positive, got $salt")
     val spark = index.postings.sparkSession
     val allTerms = queries.flatMap(_._2).distinct.sorted
-    // bucket ids via the SAME expression the build used, evaluated
-    // over |terms| literal rows — never a re-implemented hash
-    val bucketIds = spark.range(1)
-      .select(explode(array(allTerms.map(lit): _*)).as("term"))
-      .select(termBucket(col("term"), index.nBuckets)).distinct()
-      .collect().map(_.getInt(0)).sorted
-    val p = index.postings
-      .where(col("bucket").isin(bucketIds.map(b => b: Any): _*) &&
-        col("term").isin(allTerms.map(t => t: Any): _*))
+    val p = pruneToTerms(index.postings, allTerms, index.nBuckets)
     // df per term from a second pruned-scan aggregate (|terms| rows,
     // broadcast back) — the serve plan stays a pure lazy DataFrame
     val termDf = p.groupBy("term").agg(count(lit(1)).as("df_t"))
@@ -302,5 +314,156 @@ object Retrieval {
       .where(col("score") > 0)
       .select(col("query_id"), col("doc_id"), col("n_tokens"), col("score"))
     perQueryTopK(scored, topK, salt)
+  }
+
+  /** Incremental index maintenance: extend an existing inverted index
+    * with an APPENDED document batch — the text twin of the
+    * incremental IVF append (q115): the already-indexed corpus is
+    * never re-read, never re-tokenized.
+    *
+    * Contract: the new batch's doc ids are disjoint from the indexed
+    * corpus's (append-only snapshots — the same contract every
+    * incremental-release operator here carries). Under it, postings
+    * union is exact: no (term, doc) key can exist on both sides, so
+    * `append(build(base), delta)` serves IDENTICALLY to
+    * `build(base ∪ delta)` — per-term df is the posting count of the
+    * union, and N/L add. That equality is q159's oracle.
+    *
+    * Scale shape: cost is one DELTA-sized tokenize + (term, doc)
+    * aggregate plus a 1-row stats aggregate — independent of the
+    * indexed corpus size. The union is lazy; to make the append
+    * durable, write the delta postings into the same bucketed table
+    * with a bucketBy-compatible append (the bucket column is THE SAME
+    * [[termBucket]] expression, so appended files land prunable).
+    */
+  def appendToInvertedIndex(
+      index: InvertedIndex,
+      df: DataFrame,
+      id: Column,
+      text: Column): InvertedIndex = {
+    val delta = buildInvertedIndex(df, id, text, index.nBuckets)
+    index.copy(
+      postings = index.postings.unionByName(delta.postings),
+      n = index.n + delta.n,
+      l = index.l + delta.l)
+  }
+
+  /** Positional inverted index: one row per (term, doc) carrying the
+    * sorted 0-based token positions — what phrase and proximity
+    * queries need that the tf-only index can't answer. Same bucket
+    * layout contract as [[buildInvertedIndex]].
+    *
+    * Scale shape: one corpus-sized posexplode + (term, doc) aggregate
+    * (map-side combined; position lists are bounded by document
+    * length, and the document text never survives the scan).
+    */
+  final case class PositionalIndex(postings: DataFrame, nBuckets: Int)
+
+  def buildPositionalIndex(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      nBuckets: Int = 64): PositionalIndex = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val toks = TextAnalysis.tokens(lower(text))
+    val postings = df
+      .select(id.cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "term")))
+      .groupBy(col("term"), col("doc_id"))
+      .agg(sort_array(collect_list(col("pos").cast("long"))).as("positions"))
+      .withColumn("bucket", termBucket(col("term"), nBuckets))
+    PositionalIndex(postings, nBuckets)
+  }
+
+  /** Exact phrase search against the positional index: for each
+    * (query_id, phrase) return the top-K documents by occurrence
+    * count of the EXACT consecutive token sequence (overlapping
+    * occurrences counted; ties broken by ascending doc_id). Phrases
+    * MAY repeat a term ("buffalo buffalo") — each occupies its own
+    * slot.
+    *
+    * Algorithm: a phrase occurrence at position p needs term_i at
+    * p + i for every slot i, so shift slot i's posting positions by
+    * −i and intersect across slots — |∩_i (positions_i − i)| is the
+    * occurrence count. Set intersection is exact here because
+    * positions within one (term, doc) posting are distinct by
+    * construction.
+    *
+    * Scale shape: the serve touches ONLY the phrase terms' postings
+    * (bucket + term pruning via [[pruneToTerms]] — on a persisted
+    * bucketed table the scan reads just those buckets); the
+    * (query, doc) aggregate and the salted two-phase top-K run over
+    * MATCHED postings, never the corpus. The slot table is
+    * model-sized and broadcast. The per-row intersection fold is an
+    * interpreted higher-order function, but it runs post-pruning on
+    * phrase-length-bounded lists — never in a corpus-sized loop.
+    */
+  def phraseSearch(
+      index: PositionalIndex,
+      phrases: Seq[(Long, Seq[String])],
+      topK: Int,
+      salt: Int = 64): DataFrame = {
+    require(phrases.nonEmpty, "phraseSearch needs at least one phrase")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      s"duplicate query ids: ${phrases.map(_._1)}")
+    phrases.foreach { case (qid, terms) =>
+      require(terms.nonEmpty, s"phrase $qid has no terms")
+      require(terms.forall(t => t == t.toLowerCase),
+        s"phrase $qid terms must be lowercase: ${terms.filterNot(t => t == t.toLowerCase)}")
+    }
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(salt > 0, s"salt must be positive, got $salt")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val allTerms = phrases.flatMap(_._2).distinct.sorted
+    val p = pruneToTerms(index.postings, allTerms, index.nBuckets)
+    val slots = phrases.flatMap { case (qid, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (qid, t, i.toLong, ts.length.toLong) }
+    }.toDF("query_id", "term", "slot", "n_slots")
+    val scored = p
+      .join(broadcast(slots), "term")
+      .select(col("query_id"), col("doc_id"), col("n_slots"),
+        transform(col("positions"), x => x - col("slot")).as("sp"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_present"), first(col("n_slots")).as("n_slots"),
+        collect_list(col("sp")).as("sps"))
+      // a doc missing ANY slot's term can't contain the phrase
+      .where(col("n_present") === col("n_slots"))
+      // fold the tail into the head; slice length must be exact —
+      // an Int.MaxValue sentinel overflows start+length inside Slice
+      // and yields an empty tail
+      .withColumn("score", size(aggregate(
+        slice(col("sps"), lit(2), size(col("sps")) - 1),
+        element_at(col("sps"), 1),
+        (acc, x) => array_intersect(acc, x))).cast("long"))
+      .where(col("score") > 0)
+      .select(col("query_id"), col("doc_id"), col("score"))
+    perQueryTopK(scored, topK, salt)
+      .select(col("query_id"), col("doc_id"), col("score").as("n_matches"))
+  }
+
+  /** Per-document postings as a MAP-ONLY projection: (term, doc_id,
+    * tf, dl) computed entirely inside the document's own row — no
+    * explode-then-shuffle. Output set is EXACTLY
+    * [[buildInvertedIndex]]'s postings minus the bucket column
+    * (spec-pinned), because a (term, doc) group never spans
+    * documents.
+    *
+    * This is the STREAMING index-ingestion kernel: it is legal in a
+    * Structured Streaming append-mode plan (no aggregation, no
+    * state), so a document stream drains straight into a postings
+    * sink — the index stays fresh without re-reading the corpus, and
+    * a drained stream equals the batch build (q160's oracle). The
+    * per-term tf filter is an interpreted lambda over one document's
+    * token list — O(distinct · len) per doc, the price of staying
+    * shuffle-free.
+    */
+  def postingsProjection(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = TextAnalysis.tokens(lower(text))
+    df.select(id.cast("long").as("doc_id"), toks.as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        explode(array_distinct(col("toks"))).as("term"), col("toks"))
+      .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("long"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
   }
 }

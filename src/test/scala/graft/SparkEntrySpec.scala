@@ -82,11 +82,13 @@ class SparkEntrySpec extends SparkTestBase {
         waited += 500
       }
       info(s"buildCaches: ${jobs.get} jobs, ${stages.get} stages")
-      // measured on a quiet machine: 19 jobs / 23 stages; the budget
-      // leaves ~30% headroom for AQE re-plans, not for structural
+      // measured on a quiet machine: 29 jobs / 39 stages with the
+      // seven builds (xml_tables, xml_anylayout, ivf_bucketed,
+      // inverted_index, pos_index, co_ship_pairs); the budget leaves
+      // ~25% headroom for AQE re-plans, not for structural
       // regressions (an accidental eager action adds whole jobs)
-      assert(jobs.get <= 25, s"buildCaches ran ${jobs.get} jobs (budget 25)")
-      assert(stages.get <= 32, s"buildCaches ran ${stages.get} stages (budget 32)")
+      assert(jobs.get <= 36, s"buildCaches ran ${jobs.get} jobs (budget 36)")
+      assert(stages.get <= 49, s"buildCaches ran ${stages.get} stages (budget 49)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }

@@ -168,6 +168,24 @@ class PlanSpec extends SparkTestBase {
     assert(Scale.countShuffles(serve) <= 4, plan)
   }
 
+  test("phraseSearch against persisted bucketed positional postings: pruned scan, no corpus text") {
+    import spark.implicits._
+    val df = Seq.tabulate(60)(i => (i.toLong, s"cat dog cat w$i")).toDF("doc_id", "text")
+    val index = Retrieval.buildPositionalIndex(df, col("doc_id"), col("text"), nBuckets = 8)
+    Scale.writeBucketed(index.postings, "graft_pos_plan_test", "bucket", 8)
+    val served = index.copy(postings = spark.table("graft_pos_plan_test"))
+    val serve = Retrieval.phraseSearch(served,
+      Seq(0L -> Seq("cat", "dog"), 1L -> Seq("dog", "cat")), topK = 3)
+    val plan = serve.queryExecution.executedPlan.toString
+    // only the phrase terms' buckets are read
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    // the corpus text never enters the serve plan
+    assert(!plan.contains("text#"), plan)
+    // exchange budget: the (query, doc) aggregate + two top-k windows,
+    // all over matched postings
+    assert(Scale.countShuffles(serve) <= 3, plan)
+  }
+
   test("asofJoinBucketed: heavy window partitions by (key, bucket), never one task") {
     val e = graft.SparkEntry.normalizeTsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))

@@ -141,6 +141,89 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows == Set(("cat", 0L, 2L, 3L), ("dog", 0L, 1L, 3L)))
   }
 
+  test("appendToInvertedIndex(base, delta) serves identically to build(base ∪ delta)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("cat", "dog", "fish", "bird", "w", "x", "y", "z")
+    val all = Seq.tabulate(90)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val (base, delta) = all.partition(_._1 % 3 != 0)
+    val baseDf = base.toDF("doc_id", "text")
+    val deltaDf = delta.toDF("doc_id", "text")
+    val fullDf = all.toDF("doc_id", "text")
+    val appended = Retrieval.appendToInvertedIndex(
+      Retrieval.buildInvertedIndex(baseDf, col("doc_id"), col("text"), nBuckets = 4),
+      deltaDf, col("doc_id"), col("text"))
+    val rebuilt = Retrieval.buildInvertedIndex(fullDf, col("doc_id"), col("text"), nBuckets = 4)
+    assert(appended.n == rebuilt.n && appended.l == rebuilt.l)
+    val queries = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("fish", "z"))
+    val a = Retrieval.bm25IndexedTopK(appended, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.bm25IndexedTopK(rebuilt, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("phraseSearch: hand-checked counts, overlap, duplicate-term slots") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "table hash table hash join"), // "table hash" at 0 and 2
+      (1L, "table table table"),          // "table table" at 0 and 1 (overlapping)
+      (2L, "hash table"),                 // reversed order: no match
+      (3L, "table"),                      // missing second term
+      (4L, "a table hash b")).toDF("doc_id", "text")
+    val index = Retrieval.buildPositionalIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val out = Retrieval.phraseSearch(index,
+      Seq(0L -> Seq("table", "hash"),
+        1L -> Seq("table", "table"),
+        2L -> Seq("table", "hash", "join"),
+        3L -> Seq("zebra")),
+      topK = 10)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 2L), (0L, 4L, 1L), // "table hash": twice in d0, once in d4
+      (1L, 1L, 2L),               // overlapping "table table" in d1
+      (2L, 0L, 1L)))              // trigram only in d0
+  }
+
+  test("phraseSearch equals the declarative slide-window count on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = Vector("a", "b", "c")
+    val docs = Seq.tabulate(150)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(15))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val phrases = Seq(0L -> Seq("a", "b"), 1L -> Seq("b", "b", "c"), 2L -> Seq("c"))
+    val index = Retrieval.buildPositionalIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val got = Retrieval.phraseSearch(index, phrases, topK = 1000)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    // oracle: count phrase starts by brute-force scan over the tokens
+    val want = for {
+      (qid, ph) <- phrases
+      (did, text) <- docs
+      toks = text.split("\\s+").toSeq
+      n = toks.sliding(ph.length).count(_ == ph) if n > 0
+    } yield (qid, did, n.toLong)
+    assert(got == want.sortBy(r => (r._1, r._2)))
+  }
+
+  test("postingsProjection equals buildInvertedIndex postings (minus bucket)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("cat", "dog", "x", "y")
+    val df = (Seq.tabulate(80)(i =>
+        (i.toLong, Seq.fill(rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      :+ (99L, "") :+ (98L, "   ")).toDF("doc_id", "text")
+    val proj = Retrieval.postingsProjection(df, col("doc_id"), col("text"))
+      .as[(String, Long, Long, Long)].collect().toSet
+    val built = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"))
+      .postings.select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(proj == built && proj.nonEmpty)
+    // the projection is shuffle-free: legal in a streaming append plan
+    assert(!Scale.hasShuffle(Retrieval.postingsProjection(df, col("doc_id"), col("text"))))
+  }
+
   test("bm25IndexedTopK: query with no indexed term yields no rows") {
     import spark.implicits._
     val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
