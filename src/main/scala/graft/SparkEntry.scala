@@ -1375,7 +1375,8 @@ object SparkEntry {
         val index = graft.operators.Retrieval.buildInvertedIndex(
           t(s, dir, "documents"), col("doc_id"), col("text"), nBuckets = 8)
         val tbl = invertedIndexTable(dir)
-        graft.operators.Scale.writeBucketed(index.postings, tbl, "bucket", 8)
+        graft.operators.Scale.writeBucketedSorted(index.postings, tbl, "bucket", 8,
+          "bucket", "term")
         val built = index.copy(postings = s.table(tbl))
         invertedIndexCache = (s, dir, built)
         built
@@ -1475,7 +1476,8 @@ object SparkEntry {
         val index = graft.operators.Retrieval.buildPositionalIndex(
           t(s, dir, "documents"), col("doc_id"), col("text"), nBuckets = 8)
         val tbl = posIndexTable(dir)
-        graft.operators.Scale.writeBucketed(index.postings, tbl, "bucket", 8)
+        graft.operators.Scale.writeBucketedSorted(index.postings, tbl, "bucket", 8,
+          "bucket", "term")
         val built = index.copy(postings = s.table(tbl))
         posIndexCache = (s, dir, built)
         built

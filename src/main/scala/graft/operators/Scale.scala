@@ -36,10 +36,21 @@ object Scale {
     * pre-shuffle trade — pay the shuffle once at write, never again).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    writeBucketedSorted(df, table, bucketCol, nBuckets, bucketCol)
+
+  /** [[writeBucketed]] with an explicit in-file sort order: sorting a
+    * postings-style table by (bucket, key) clusters each key into few
+    * parquet row groups, so a serve-time key filter skips row groups
+    * by min/max stats INSIDE the selected buckets — the second level
+    * of pruning after `SelectedBucketsCount`.
+    */
+  def writeBucketedSorted(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      sortCols: String*): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
       .option("path", s"${df.sparkSession.conf.get("spark.sql.warehouse.dir")}/$table")
       .saveAsTable(table)
 
