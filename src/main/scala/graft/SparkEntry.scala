@@ -617,6 +617,37 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-source exact token budgets (the batch twin of q156's
+    * streaming admission, but SCORE-ordered greedy instead of
+    * arrival-ordered): every source gets its own 600-token quota,
+    * selected by the q155 stopword score.
+    */
+  private def qTokenBudgetPerSource(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val toks = TextAnalysis.tokens(lower(col("text")))
+    val stopArr = array(TextAnalysis.stopwords.map(lit): _*)
+    val score = size(array_intersect(toks, stopArr)).cast("long")
+    graft.operators.Curation.selectTokenBudgetPerGroup(
+      docs, col("doc_id"), col("text"), score, col("source"),
+      budgetTokens = 600L, nShards = 8)
+      .orderBy("grp", "doc_id")
+  }
+
+  /** ANN index-quality gate: per-query recall@3 of the single-probe
+    * IVF serve (q26's exact formulation) against brute-force ground
+    * truth (q25's) over the q26 query slice — the metric that decides
+    * whether an index configuration ships.
+    */
+  private def qAnnRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val qs = e.where(col("id") >= 5 && col("id") < 10)
+    Similarity.topKRecall(
+      Similarity.bruteForceTopK(qs, e, k = 3),
+      Similarity.ivfTopK(qs, e, k = 3, nBuckets = 8))
+      .orderBy("query_id")
+  }
+
   /** q155's ingestion twin through STRUCTURED STREAMING: documents as
     * a file stream, per-SOURCE 600-token budgets in
     * flatMapGroupsWithState (state = one long per source). One parquet
@@ -2715,6 +2746,8 @@ object SparkEntry {
     "q158_phrase_search" -> qPhraseSearch _,
     "q159_index_append" -> qIndexAppend _,
     "q160_stream_index_ingest" -> qStreamIndexIngest _,
+    "q161_ann_recall" -> qAnnRecall _,
+    "q162_token_budget_per_source" -> qTokenBudgetPerSource _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3675,6 +3708,66 @@ object SparkEntry {
 
       // phrase starts counted by the sliding window over tokens
       "q158_phrase_search" -> phraseOracleSql,
+
+      // q25's brute-force and q26's IVF formulations composed: per-
+      // query hit counting over the two top-3 lists, floor-division
+      // recall per-mille
+      "q161_ann_recall" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | scored AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM e q CROSS JOIN e c
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | bf AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |   SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |   FROM scored) WHERE rk <= 3),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | ij AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ivf AS (
+          |  SELECT query_id, neighbor_id FROM (
+          |   SELECT query_id, neighbor_id,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |   FROM ij) WHERE rk <= 3)
+          |SELECT b.query_id, count(*)::BIGINT AS n_truth,
+          | sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          | ((sum(CASE WHEN i.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT AS recall_per_mille
+          |FROM bf b LEFT JOIN ivf i
+          | ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
+      // q155's scoring with a per-source window — the grouped prefix
+      // the distributed (group, shard)-offset plan must equal
+      "q162_token_budget_per_source" ->
+        """WITH base AS (
+          | SELECT source AS grp, doc_id,
+          |  len(list_filter(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','be','this','that','are'],
+          |      m -> list_contains(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> ''), m)))::BIGINT AS score,
+          |  len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> ''))::BIGINT AS n_tokens
+          | FROM documents),
+          | cum AS (
+          | SELECT grp, doc_id, score, n_tokens,
+          |        sum(n_tokens) OVER (PARTITION BY grp ORDER BY score DESC, doc_id ASC
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+          | FROM base)
+          |SELECT grp, doc_id, score, n_tokens, cum_tokens::BIGINT AS cum_tokens
+          |FROM cum WHERE cum_tokens <= 600 ORDER BY grp, doc_id""".stripMargin,
 
       // the drained streaming postings equal the batch index build
       "q160_stream_index_ingest" ->

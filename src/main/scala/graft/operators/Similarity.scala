@@ -350,6 +350,32 @@ object Similarity {
     * Same contract as [[bruteForceTopK]]; ranking quality differs only
     * by quantization error.
     */
+  /** Retrieval-quality gate: per-query recall of a candidate top-k
+    * list against exact ground truth — the metric an ANN index
+    * rollout is gated on (recall@k of the approximate serve vs the
+    * brute-force answer on a query sample). Inputs are
+    * (query_id, neighbor_id) frames with unique pairs per query
+    * (every top-k operator here emits that shape). Output per truth
+    * query: n_truth, n_hit, and the integer-exact
+    * recall_per_mille = n_hit·1000 div n_truth.
+    *
+    * Scale shape: both sides are query-batch-sized by construction
+    * (|queries|·k rows — the corpus was already reduced by the top-k
+    * operators), so the join and aggregate are model-sized no matter
+    * the corpus.
+    */
+  def topKRecall(truth: DataFrame, candidate: DataFrame): DataFrame = {
+    val t = truth.select(col("query_id").cast("long").as("query_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"))
+    val c = candidate.select(col("query_id").cast("long").as("query_id"),
+      col("neighbor_id").cast("long").as("neighbor_id"), lit(1L).as("__hit"))
+    t.join(c, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_hit"))
+      .withColumn("recall_per_mille", expr("n_hit * 1000L div n_truth"))
+  }
+
   def quantizedTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     def prep(df: DataFrame, idName: String, vecName: String, normName: String) =
       quantizeInt8(df, col("id"), col("vec"))

@@ -215,4 +215,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(!out.exists(_._1 == 5L))
     assert(out.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
   }
+
+  test("topKRecall: full, partial, and zero overlap, floor per-mille") {
+    import spark.implicits._
+    val truth = Seq((0L, 10L), (0L, 11L), (0L, 12L),
+      (1L, 20L), (1L, 21L), (1L, 22L),
+      (2L, 30L), (2L, 31L)).toDF("query_id", "neighbor_id")
+    val cand = Seq((0L, 10L), (0L, 11L), (0L, 12L), // all three
+      (1L, 20L), (1L, 99L), (1L, 98L),              // one of three
+      (2L, 97L), (2L, 96L)).toDF("query_id", "neighbor_id")
+    val out = Similarity.topKRecall(truth, cand)
+      .orderBy("query_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 3L, 1000L), (1L, 3L, 1L, 333L), (2L, 2L, 0L, 0L)))
+  }
+
+  test("topKRecall: exhaustive probing gives recall 1000 everywhere") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextDouble()))).toDF("id", "vec")
+    val qs = vecs.where(col("id") < 5)
+    val truth = Similarity.bruteForceTopK(qs, vecs, k = 4)
+    val cand = Similarity.ivfTopK(qs, vecs, k = 4, nBuckets = 6, nProbe = 6)
+    val out = Similarity.topKRecall(truth, cand)
+      .select("recall_per_mille").as[Long].collect().toSeq
+    assert(out.size == 5 && out.forall(_ == 1000L))
+  }
 }
