@@ -1668,6 +1668,23 @@ object SparkEntry {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("id_a", "id_b")
 
+  /** LSH banding quality gate: q21's MinHash candidate pipeline
+    * (k=16, 8 bands × 2 rows, verified ≥ 0.4) evaluated against the
+    * exact UNBLOCKED n-gram Jaccard ≥ 0.4 pair set on the same slice
+    * — recall is the banding catch rate, precision is 1000 by
+    * construction (candidates are exact-verified). Constant lang/
+    * length keys disable q23's blocking so the truth side is the
+    * complete pair set.
+    */
+  private def qLshEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 2000)
+    val truth = Dedup.ngramJaccardNearDups(docs, col("doc_id"), col("text"),
+      lit("x"), lit(0L), n = 3, threshold = 0.4, bucketWidth = 100)
+    val cand = Dedup.minhashNearDupsPortable(docs, col("doc_id"), col("text"),
+      nShingle = 3, k = 16, bands = 8, threshold = 0.4)
+    Dedup.pairEval(truth, cand)
+  }
+
   /** First-iteration BPE merge candidates over the whole corpus. */
   private def qBpePairs(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.bpePairCounts(t(s, dir, "documents"), col("text"), topK = 20)
@@ -2748,6 +2765,7 @@ object SparkEntry {
     "q160_stream_index_ingest" -> qStreamIndexIngest _,
     "q161_ann_recall" -> qAnnRecall _,
     "q162_token_budget_per_source" -> qTokenBudgetPerSource _,
+    "q163_lsh_eval" -> qLshEval _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3708,6 +3726,47 @@ object SparkEntry {
 
       // phrase starts counted by the sliding window over tokens
       "q158_phrase_search" -> phraseOracleSql,
+
+      // q21's banded-candidate pipeline vs the exact unblocked pair
+      // set (q23's jaccard with blocking disabled), reduced to one
+      // row of counts — banding recall + verified precision
+      "q163_lsh_eval" -> {
+        val (k, bands, rows) = (16, 8, 2)
+        val mins = (0 until k).map(j =>
+          s"list_min(list_transform(sh, s -> ('0x'||substr(md5('$j:'||s),1,15))::BIGINT)) AS m$j")
+          .mkString(",\n ")
+        val bandPred = (0 until bands).map(b =>
+          "(" + (0 until rows).map(r => s"a.m${b * rows + r}=b.m${b * rows + r}")
+            .mkString(" AND ") + ")").mkString(" OR ")
+        s"""WITH base AS (
+           | SELECT doc_id,
+           |  list_distinct(CASE WHEN len(toks) >= 3
+           |    THEN [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]
+           |    WHEN len(toks) > 0 THEN [array_to_string(toks, ' ')]
+           |    ELSE [] END) AS sh
+           | FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS toks
+           |       FROM documents WHERE doc_id < 2000)
+           | WHERE len(toks) > 0),
+           |truth AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM base a JOIN base b ON a.doc_id < b.doc_id
+           | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.4),
+           |sigs AS (SELECT doc_id, sh,
+           | $mins
+           | FROM base),
+           |cand AS (
+           | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           | FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id AND ($bandPred)
+           | WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / (len(a.sh)+len(b.sh)-len(list_intersect(a.sh,b.sh))) >= 0.4),
+           |hit AS (SELECT * FROM truth INTERSECT SELECT * FROM cand)
+           |SELECT (SELECT count(*) FROM truth)::BIGINT AS n_truth,
+           | (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+           | (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+           | (CASE WHEN (SELECT count(*) FROM truth) > 0
+           |   THEN ((SELECT count(*) FROM hit) * 1000) // (SELECT count(*) FROM truth) END)::BIGINT AS recall_per_mille,
+           | (CASE WHEN (SELECT count(*) FROM cand) > 0
+           |   THEN ((SELECT count(*) FROM hit) * 1000) // (SELECT count(*) FROM cand) END)::BIGINT AS precision_per_mille""".stripMargin
+      },
 
       // q25's brute-force and q26's IVF formulations composed: per-
       // query hit counting over the two top-3 lists, floor-division

@@ -1049,4 +1049,36 @@ object Dedup {
       .drop("__sdb_grp", "__sdb_rn")
     unpaired.unionByName(winners).drop("__sdb_id")
   }
+
+  /** Candidate-generation quality gate for pair-producing dedup
+    * stages: compare a candidate pair set (e.g. MinHash-LSH banding)
+    * against a ground-truth pair set (e.g. exact unblocked n-gram
+    * Jaccard) and return ONE row of integer-exact counts —
+    * (n_truth, n_cand, n_hit, recall_per_mille, precision_per_mille).
+    * Recall is the probability a true near-dup pair survives the
+    * candidate generator — THE number that decides a banding
+    * configuration (k, bands, rows) before a production dedup run.
+    * Per-mille values are NULL when their denominator is empty.
+    *
+    * Inputs are (id_a, id_b) frames with id_a < id_b unique pairs
+    * (every pair operator here emits that shape). Scale shape: both
+    * sides are near-dup-pair-sized (overlap-proportional, not
+    * corpus-sized); one join + one 1-row aggregate.
+    */
+  def pairEval(truth: DataFrame, candidate: DataFrame): DataFrame = {
+    val t = truth.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"), lit(1L).as("__t"))
+    val c = candidate.select(col("id_a").cast("long").as("id_a"),
+      col("id_b").cast("long").as("id_b"), lit(1L).as("__c"))
+    t.join(c, Seq("id_a", "id_b"), "full")
+      .agg(
+        coalesce(sum(col("__t")), lit(0L)).as("n_truth"),
+        coalesce(sum(col("__c")), lit(0L)).as("n_cand"),
+        coalesce(sum(when(col("__t").isNotNull && col("__c").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("n_hit"))
+      .withColumn("recall_per_mille",
+        when(col("n_truth") > 0, expr("n_hit * 1000L div n_truth")))
+      .withColumn("precision_per_mille",
+        when(col("n_cand") > 0, expr("n_hit * 1000L div n_cand")))
+  }
 }

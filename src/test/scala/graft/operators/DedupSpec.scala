@@ -530,4 +530,45 @@ class DedupSpec extends SparkTestBase {
     val kept = normalized.select("keep_id").as[Long].collect().toSet
     assert(kept == Set(1L, 3L), "smallest id represents the merged pair")
   }
+
+  test("pairEval: hand-checked counts, per-mille floors, empty-side NULLs") {
+    import spark.implicits._
+    val truth = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val cand = Seq((1L, 2L), (3L, 4L), (7L, 8L), (9L, 10L)).toDF("id_a", "id_b")
+    val out = Dedup.pairEval(truth, cand).collect().head
+    assert((out.getLong(0), out.getLong(1), out.getLong(2)) == ((3L, 4L, 2L)))
+    assert(out.getLong(3) == 666L)  // 2*1000 div 3
+    assert(out.getLong(4) == 500L)  // 2*1000 div 4
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val e = Dedup.pairEval(empty, cand).collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(3) && e.getLong(4) == 0L)
+    val e2 = Dedup.pairEval(truth, empty).collect().head
+    assert(e2.getLong(1) == 0L && e2.getLong(3) == 0L && e2.isNullAt(4))
+  }
+
+  test("pairEval over LSH vs exact-unblocked: candidates are a verified subset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(43)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    // pairs of docs sharing a long prefix land near/above the 0.4
+    // jaccard line; banding may or may not catch each — precision
+    // stays 1000 because candidates are exact-verified
+    val docs = (0 until 120).map { i =>
+      val seed = Seq.fill(12)(vocab(rnd.nextInt(vocab.size)))
+      val text = if (i % 3 == 0 && i > 0)
+        (seed.take(9) ++ Seq.fill(3)(vocab(rnd.nextInt(vocab.size)))).mkString(" ")
+      else seed.mkString(" ")
+      (i.toLong, text)
+    }.toDF("doc_id", "text")
+    val truth = Dedup.ngramJaccardNearDups(docs, col("doc_id"), col("text"),
+      lit("x"), lit(0L), n = 3, threshold = 0.4, bucketWidth = 100)
+    val cand = Dedup.minhashNearDupsPortable(docs, col("doc_id"), col("text"),
+      nShingle = 3, k = 16, bands = 8, threshold = 0.4)
+    val out = Dedup.pairEval(truth, cand).collect().head
+    val (nTruth, nCand, nHit) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    assert(nHit == nCand, "every verified candidate must be a true pair")
+    assert(nCand <= nTruth)
+    if (nCand > 0) assert(out.getLong(4) == 1000L)
+    else assert(out.isNullAt(4))
+  }
 }
