@@ -113,7 +113,19 @@ object RetrievalSmoke {
       graft.operators.Retrieval.phraseSearch(pos,
         Seq(0L -> Seq("w17", "w433"), 1L -> Seq("w1", "w1"),
           2L -> Seq("w999", "w1000", "w2")), topK = 25).count())
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph")
+    // per-group budgets: 100 synthetic sources, each with its own
+    // exact greedy quota — the (group, shard) windows must stay
+    // parallel (no one-task group serialization)
+    val tb = time("selectTokenBudgetPerGroup (100 groups, 10k-token quotas)") {
+      val sel = graft.operators.Curation.selectTokenBudgetPerGroup(
+        docs.withColumn("src", (col("doc_id") % 100).cast("string")),
+        col("doc_id"), col("text"), pmod(xxhash64(col("doc_id")), lit(1000L)),
+        col("src"), budgetTokens = 10000L, nShards = 16)
+      val n = sel.count()
+      sel.unpersist()
+      n
+    }
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph budgeted=$tb")
     spark.stop()
   }
 }
