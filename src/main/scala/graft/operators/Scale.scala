@@ -54,6 +54,24 @@ object Scale {
       .option("path", s"${df.sparkSession.conf.get("spark.sql.warehouse.dir")}/$table")
       .saveAsTable(table)
 
+  /** Append rows into an EXISTING bucketed table with the identical
+    * bucket/sort spec — the durable half of an incremental index
+    * append ([[graft.operators.Retrieval.appendToInvertedIndex]]):
+    * each write produces its own per-bucket files under the same
+    * bucket hash, so bucket pruning keeps working across all appends
+    * (a bucket's data is the union of its file per write). The spec
+    * MUST match the table's (Spark rejects a mismatch) — that
+    * rejection is the guard against silently corrupting the layout.
+    */
+  def appendBucketedSorted(
+      df: DataFrame, table: String, bucketCol: String, nBuckets: Int,
+      sortCols: String*): Unit =
+    df.write
+      .mode(SaveMode.Append)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(sortCols.head, sortCols.tail: _*)
+      .saveAsTable(table)
+
   /** True if the executed plan of `df` contains a shuffle exchange —
     * the assertion primitive for co-located-join tests. Collects
     * [[ShuffleExchangeLike]] nodes (covering hash, range, and

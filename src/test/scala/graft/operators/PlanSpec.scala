@@ -186,6 +186,28 @@ class PlanSpec extends SparkTestBase {
     assert(Scale.countShuffles(serve) <= 3, plan)
   }
 
+  test("durable index append: delta postings appended to the bucketed table still serve and prune") {
+    import spark.implicits._
+    val mk = (r: Range) => r.map(i => (i.toLong, s"cat dog w$i")).toDF("doc_id", "text")
+    val base = Retrieval.buildInvertedIndex(mk(0 until 40), col("doc_id"), col("text"), nBuckets = 8)
+    Scale.writeBucketedSorted(base.postings, "graft_inv_append_test", "bucket", 8, "bucket", "term")
+    val delta = Retrieval.buildInvertedIndex(mk(40 until 60), col("doc_id"), col("text"), nBuckets = 8)
+    Scale.appendBucketedSorted(delta.postings, "graft_inv_append_test", "bucket", 8, "bucket", "term")
+    val served = graft.operators.Retrieval.InvertedIndex(
+      spark.table("graft_inv_append_test"), base.n + delta.n, base.l + delta.l, 8)
+    val queries = Seq(0L -> Seq("cat"), 1L -> Seq("dog"))
+    val fromTable = Retrieval.bm25IndexedTopK(served, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val rebuilt = Retrieval.buildInvertedIndex(mk(0 until 60), col("doc_id"), col("text"), nBuckets = 8)
+    val fromRebuild = Retrieval.bm25IndexedTopK(rebuilt, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(fromTable == fromRebuild && fromTable.nonEmpty)
+    // pruning survives the append: the serve still selects buckets
+    val plan = Retrieval.bm25IndexedTopK(served, queries, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+  }
+
   test("asofJoinBucketed: heavy window partitions by (key, bucket), never one task") {
     val e = graft.SparkEntry.normalizeTsNanos(spark.read.parquet(s"$sf/events.parquet"))
       .select(col("user_id").as("key"), col("ts").as("time"), col("event_id").as("id"))
