@@ -80,12 +80,12 @@ object SparkEntry {
     * (DuckDB's cast requires seconds) and calendar validity is then
     * exactly strptime's.
     */
-  /** q151's DuckDB oracle — q121's scoring algebra over the 8-term
-    * union vocabulary with a per-query row_number top-10. Shared
-    * verbatim by q157: the indexed serve must reproduce the full-scan
-    * formulation exactly.
+  /** CTE chain for the q151 batched-BM25 oracle, ending in
+    * `rk$sfx`(query_id, doc_id, dl, score, rn). The suffix lets two
+    * independent ranking pipelines coexist in one WITH clause
+    * (q164's fusion oracle composes this with [[phraseOracleCtes]]).
     */
-  private lazy val bm25BatchOracleSql: String = {
+  private def bm25OracleCtes(sfx: String): String = {
     val terms = Seq("fast", "filter", "hash", "join", "scan", "stream",
       "vector", "window")
     val tfDefs = terms.map(t =>
@@ -94,27 +94,35 @@ object SparkEntry {
       s"  sum(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n")
     val sDefs = terms.map(t =>
       s"  (CASE WHEN tf_$t > 0 THEN ((((2*n - 2*df_$t + 1) * 1000000) // (2*df_$t + 1)) * (22 * tf_$t * l)) // (10*l*tf_$t + 3*l + 9*dl*n) ELSE 0 END) AS s_$t").mkString(",\n")
-    s"""WITH docs AS (
+    s"""docs$sfx AS (
        | SELECT doc_id,
        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl,
        |$tfDefs
        | FROM documents),
-       | stats AS (SELECT count(*) AS n, sum(dl) AS l,
+       | stats$sfx AS (SELECT count(*) AS n, sum(dl) AS l,
        |$dfDefs
-       | FROM docs),
-       | ts AS (SELECT doc_id, dl,
+       | FROM docs$sfx),
+       | ts$sfx AS (SELECT doc_id, dl,
        |$sDefs
-       | FROM docs, stats),
-       | qs AS (
-       |  SELECT 0 AS query_id, doc_id, dl, s_hash + s_join + s_vector AS score FROM ts
-       |  UNION ALL SELECT 1, doc_id, dl, s_filter + s_scan FROM ts
-       |  UNION ALL SELECT 2, doc_id, dl, s_fast + s_stream + s_window FROM ts),
-       | rk AS (SELECT query_id, doc_id, dl, score,
+       | FROM docs$sfx, stats$sfx),
+       | qs$sfx AS (
+       |  SELECT 0 AS query_id, doc_id, dl, s_hash + s_join + s_vector AS score FROM ts$sfx
+       |  UNION ALL SELECT 1, doc_id, dl, s_filter + s_scan FROM ts$sfx
+       |  UNION ALL SELECT 2, doc_id, dl, s_fast + s_stream + s_window FROM ts$sfx),
+       | rk$sfx AS (SELECT query_id, doc_id, dl, score,
        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
-       | FROM qs WHERE score > 0)
+       | FROM qs$sfx WHERE score > 0)""".stripMargin
+  }
+
+  /** q151's DuckDB oracle — q121's scoring algebra over the 8-term
+    * union vocabulary with a per-query row_number top-10. Shared
+    * verbatim by q157 (indexed serve) and q159 (appended index): both
+    * must reproduce the full-scan formulation exactly.
+    */
+  private lazy val bm25BatchOracleSql: String =
+    s"""WITH ${bm25OracleCtes("")}
        |SELECT query_id::BIGINT AS query_id, doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
        |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
-  }
 
   private def duckInferType(v: String): String =
     s"""CASE WHEN $v IS NULL OR $v = '' THEN 'any'
@@ -1461,31 +1469,56 @@ object SparkEntry {
       1L -> Seq("table", "table"),
       2L -> Seq("slow", "hash", "batch"))
 
-  /** q158's DuckDB oracle, generated from [[phraseQueries]] so the
-    * two sides can never drift: a phrase starting at 1-based token
-    * position i needs tk[i+j] = term_j for every slot j — the
-    * list_filter counts the valid starts (overlapping occurrences
-    * included), then a per-query row_number keeps the top 10.
+  /** CTE chain for the q158 phrase oracle, ending in
+    * `rk$sfx`(query_id, doc_id, n_matches, rn) — suffixed for the
+    * same composition reason as [[bm25OracleCtes]]. A phrase starting
+    * at 1-based token position i needs tk[i+j] = term_j for every
+    * slot j — the list_filter counts the valid starts (overlapping
+    * occurrences included).
     */
-  private lazy val phraseOracleSql: String = {
+  private def phraseOracleCtes(sfx: String): String = {
     val arms = phraseQueries.map { case (qid, ts) =>
       val conds = ts.zipWithIndex
         .map { case (t, i) => s"tk[i+$i] = '$t'" }.mkString(" AND ")
       s"  SELECT $qid AS query_id, doc_id, len(list_filter(" +
-        s"range(1, len(tk) - ${ts.length} + 2), i -> $conds)) AS n_matches FROM toks"
+        s"range(1, len(tk) - ${ts.length} + 2), i -> $conds)) AS n_matches FROM toks$sfx"
     }.mkString("\n UNION ALL\n")
-    s"""WITH toks AS (
+    s"""toks$sfx AS (
        | SELECT doc_id,
        |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
        | FROM documents),
-       | m AS (
+       | m$sfx AS (
        |$arms),
-       | rk AS (SELECT query_id, doc_id, n_matches,
+       | rk$sfx AS (SELECT query_id, doc_id, n_matches,
        |  row_number() OVER (PARTITION BY query_id ORDER BY n_matches DESC, doc_id) AS rn
-       | FROM m WHERE n_matches > 0)
+       | FROM m$sfx WHERE n_matches > 0)""".stripMargin
+  }
+
+  /** q158's DuckDB oracle, generated from [[phraseQueries]] so the
+    * two sides can never drift.
+    */
+  private lazy val phraseOracleSql: String =
+    s"""WITH ${phraseOracleCtes("")}
        |SELECT query_id::BIGINT AS query_id, doc_id, n_matches::BIGINT AS n_matches
        |FROM rk WHERE rn <= 10 ORDER BY query_id, n_matches DESC, doc_id""".stripMargin
-  }
+
+  /** q164's oracle: RRF over the two rank pipelines above — each
+    * list's top-10 contributes 1000000 // (60 + rank), sums fuse,
+    * then a fused top-10.
+    */
+  private lazy val rrfOracleSql: String =
+    s"""WITH ${bm25OracleCtes("_b")},
+       | ${phraseOracleCtes("_p")},
+       | fused AS (
+       |  SELECT query_id, doc_id, sum(1000000 // (60 + rn)) AS score FROM (
+       |   SELECT query_id, doc_id, rn FROM rk_b WHERE rn <= 10
+       |   UNION ALL SELECT query_id, doc_id, rn FROM rk_p WHERE rn <= 10)
+       |  GROUP BY query_id, doc_id),
+       | frk AS (SELECT query_id, doc_id, score,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       | FROM fused)
+       |SELECT query_id::BIGINT AS query_id, doc_id, score::BIGINT AS score
+       |FROM frk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
 
   /** Warehouse table for the persisted bucketed POSITIONAL postings
     * (q158's serve source) — same derivation as [[invertedIndexTable]].
@@ -1524,6 +1557,43 @@ object SparkEntry {
     graft.operators.Retrieval.phraseSearch(posIndexBucketed(s, dir),
       phraseQueries, topK = 10)
       .orderBy(col("query_id"), col("n_matches").desc, col("doc_id"))
+
+  /** Hybrid retrieval by reciprocal-rank fusion: q151's BM25 batch
+    * ranking fused with q158's phrase ranking (shared query_id
+    * space), both served from their persisted indexes — only RANKS
+    * enter the fusion, so the two scoring scales never need
+    * calibration. Top-10 per query by the summed floor-scaled RRF
+    * contributions.
+    */
+  private def qRrfFusion(s: SparkSession, dir: String): DataFrame = {
+    val bm = graft.operators.Retrieval.withRank(
+      graft.operators.Retrieval.bm25IndexedTopK(invertedIndexBucketed(s, dir),
+        bm25BatchQueries, topK = 10),
+      col("score").desc, col("doc_id"))
+    val ph = graft.operators.Retrieval.withRank(
+      graft.operators.Retrieval.phraseSearch(posIndexBucketed(s, dir),
+        phraseQueries, topK = 10),
+      col("n_matches").desc, col("doc_id"))
+    graft.operators.Retrieval.rrfFuse(Seq(bm, ph), topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Keyword-in-context snippets for q151's query-0 terms: first
+    * match position + ±3-token window, original casing.
+    */
+  private def qSnippets(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.snippets(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("hash", "join", "vector"), window = 3)
+      .orderBy("doc_id")
+
+  /** RM3-style expansion of q151's query 0: the 10 most frequent
+    * non-query terms in its top-10 documents.
+    */
+  private def qQueryExpansion(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.expandQuery(t(s, dir, "documents"),
+      col("doc_id"), col("text"), Seq("hash", "join", "vector"),
+      topKDocs = 10, topMTerms = 10)
+      .orderBy(col("n").desc, col("term"))
 
   /** Streaming index ingestion: the documents file stream drained
     * through the MAP-ONLY postings projection (legal in append mode —
@@ -2766,6 +2836,9 @@ object SparkEntry {
     "q161_ann_recall" -> qAnnRecall _,
     "q162_token_budget_per_source" -> qTokenBudgetPerSource _,
     "q163_lsh_eval" -> qLshEval _,
+    "q164_rrf_fusion" -> qRrfFusion _,
+    "q165_snippets" -> qSnippets _,
+    "q166_query_expansion" -> qQueryExpansion _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3719,6 +3792,41 @@ object SparkEntry {
       // exactly — same oracle as q151 (scores from pruned postings
       // equal scores from the corpus scan)
       "q157_bm25_indexed" -> bm25BatchOracleSql,
+
+      // RRF over the BM25 and phrase rank pipelines
+      "q164_rrf_fusion" -> rrfOracleSql,
+
+      // query 0's top-10 docs from the shared BM25 rank CTEs, then
+      // the top non-query terms of exactly those documents
+      "q166_query_expansion" ->
+        s"""WITH ${bm25OracleCtes("")},
+           | top10 AS (SELECT doc_id FROM rk WHERE query_id = 0 AND rn <= 10),
+           | tkx AS (
+           |  SELECT unnest(list_filter(regexp_split_to_array(lower(trim(d.text)), '\\s+'), x -> x <> '')) AS term
+           |  FROM documents d JOIN top10 USING (doc_id)),
+           | cnt AS (SELECT term, count(*) AS n FROM tkx
+           |  WHERE term NOT IN ('hash', 'join', 'vector') GROUP BY term),
+           | rkx AS (SELECT term, n,
+           |  row_number() OVER (ORDER BY n DESC, term) AS rn2 FROM cnt)
+           |SELECT term, n::BIGINT AS n FROM rkx WHERE rn2 <= 10
+           |ORDER BY n DESC, term""".stripMargin,
+
+      // first-match position (least over per-term 1-based positions)
+      // and the clamped ±3 token window, original casing
+      "q165_snippets" ->
+        """WITH t AS (
+          | SELECT doc_id,
+          |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tl,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS tk
+          | FROM documents),
+          | p AS (SELECT doc_id, tk,
+          |  least(nullif(list_position(tl, 'hash'), 0),
+          |        nullif(list_position(tl, 'join'), 0),
+          |        nullif(list_position(tl, 'vector'), 0)) AS pos
+          | FROM t)
+          |SELECT doc_id, pos::BIGINT AS pos,
+          | array_to_string(tk[greatest(pos - 3, 1):(pos + 3)], ' ') AS snippet
+          |FROM p WHERE pos IS NOT NULL ORDER BY doc_id""".stripMargin,
 
       // append(build(3/4 corpus), 1/4 delta) must serve the FULL
       // corpus answer — q151's oracle, third proof

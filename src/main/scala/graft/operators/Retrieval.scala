@@ -442,6 +442,129 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score").as("n_matches"))
   }
 
+  /** Reciprocal-rank fusion of several per-query rankings — the
+    * standard hybrid-retrieval combiner (sparse BM25 + dense ANN +
+    * phrase boosts fused WITHOUT score calibration, because only
+    * ranks enter). Integer-exact: each list contributes
+    * `scale div (k0 + rank)` for a document it ranks (rank 1-based),
+    * contributions sum, ties break by ascending doc_id. Classic RRF
+    * is Σ 1/(k0+rank) — the floor-scaled form is its deterministic
+    * cross-engine twin (same monotone structure; k0=60 as in the
+    * original formulation).
+    *
+    * Inputs are (query_id, doc_id, rank) frames with unique
+    * (query, doc) per list. Scale shape: every input is already
+    * top-k-bounded (|queries|·k rows), so the union + (query, doc)
+    * aggregate + salted top-K are all model-sized.
+    */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      topK: Int,
+      k0: Int = 60,
+      scale: Long = 1000000L,
+      salt: Int = 64): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(k0 >= 0, s"k0 must be >= 0, got $k0")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val contribs = rankings.map(r =>
+      r.select(col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        expr(s"${scale}L div (${k0}L + cast(rank AS bigint))").as("__c")))
+    val scored = contribs.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("score"))
+    perQueryTopK(scored, topK, salt)
+  }
+
+  /** Attach a 1-based per-query rank to a scored frame — the adapter
+    * between a top-k operator's output and [[rrfFuse]]. `ord` is the
+    * ranking order (ties must be broken deterministically by the
+    * caller, e.g. `score desc, doc_id`). Inputs are top-k-bounded, so
+    * the window is model-sized.
+    */
+  def withRank(scored: DataFrame, ord: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("query_id")).orderBy(ord: _*)).cast("long"))
+  }
+
+  /** Keyword-in-context snippets: for every document containing any
+    * query term, the 1-based token position of the FIRST (leftmost)
+    * occurrence of any term and the ±`window` token neighborhood
+    * around it, joined by single spaces — what a retrieval UI or a
+    * labeling queue shows next to a hit. Documents with no match are
+    * dropped.
+    *
+    * Scale shape: a zero-exchange map-only scan, and codegen-clean on
+    * purpose — match positions come from one `array_position` per
+    * term folded with `least` (terms are model-sized), and the
+    * snippet is a `slice` + `array_join`; no higher-order lambda
+    * touches the corpus. Positions are found on the LOWERCASED token
+    * list but the snippet keeps original casing — lowercasing never
+    * changes whitespace, so the two token lists align positionally.
+    */
+  def snippets(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      terms: Seq[String],
+      window: Int = 3): DataFrame = {
+    require(terms.nonEmpty, "snippets needs at least one term")
+    require(terms.forall(t => t == t.toLowerCase),
+      s"terms must be lowercase: ${terms.filterNot(t => t == t.toLowerCase)}")
+    require(window >= 0, s"window must be >= 0, got $window")
+    val tl = TextAnalysis.tokens(lower(text))
+    val to = TextAnalysis.tokens(text)
+    val posOf = terms.map { t =>
+      val p = array_position(col("__tl"), t)
+      when(p > 0, p)
+    }
+    val pos = if (posOf.size == 1) posOf.head else least(posOf: _*)
+    val lo = greatest(col("pos") - window, lit(1L))
+    df.select(id.cast("long").as("doc_id"), tl.as("__tl"), to.as("__to"))
+      .withColumn("pos", pos)
+      .where(col("pos").isNotNull)
+      .select(col("doc_id"), col("pos"),
+        array_join(slice(col("__to"), lo.cast("int"),
+          (col("pos") + window - lo + 1).cast("int")), " ").as("snippet"))
+  }
+
+  /** Pseudo-relevance-feedback query expansion (RM3-style, counts
+    * instead of smoothed probabilities so it stays integer-exact):
+    * run the query, take the top `topKDocs` documents as presumed
+    * relevant, and return the `topMTerms` most frequent terms in them
+    * that are NOT already query terms — ranked (count desc, term
+    * asc). Feeding these back into a second [[bm25TopK]] pass is the
+    * classic recall-widening loop.
+    *
+    * Scale shape: the ranking pass is [[bm25TopK]]'s (corpus never
+    * explodes); the expansion pass explodes ONLY the topKDocs
+    * documents (their ids broadcast back into the scan's join), so
+    * the term count aggregate is k-docs-sized, and the final top-M is
+    * an orderBy.limit over distinct terms of k documents.
+    */
+  def expandQuery(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      topKDocs: Int,
+      topMTerms: Int,
+      idfScale: Long = 1000000L): DataFrame = {
+    require(topMTerms > 0, s"topMTerms must be positive, got $topMTerms")
+    val top = bm25TopK(df, id, text, queryTerms, topKDocs, idfScale)
+      .select("doc_id")
+    val toks = TextAnalysis.tokens(lower(text))
+    df.select(id.cast("long").as("doc_id"), toks.as("toks"))
+      .join(broadcast(top), "doc_id")
+      .select(explode(col("toks")).as("term"))
+      .where(!col("term").isInCollection(queryTerms))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term"))
+      .limit(topMTerms)
+  }
+
   /** Per-document postings as a MAP-ONLY projection: (term, doc_id,
     * tf, dl) computed entirely inside the document's own row — no
     * explode-then-shuffle. Output set is EXACTLY

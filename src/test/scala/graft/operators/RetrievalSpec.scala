@@ -224,6 +224,83 @@ class RetrievalSpec extends SparkTestBase {
     assert(!Scale.hasShuffle(Retrieval.postingsProjection(df, col("doc_id"), col("text"))))
   }
 
+  test("rrfFuse: hand-computed fusion — consensus doc outranks single-list leaders") {
+    import spark.implicits._
+    // list A ranks d1,d2,d3; list B ranks d3,d2,d9.
+    // scale/(60+r): r1=16393, r2=16129, r3=15873.
+    // d2: 16129+16129=32258 ; d3: 15873+16393=32266 -> d3 wins, then d2,
+    // then singles d1=16393, d9=15873.
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 3L, 1L), (0L, 2L, 2L), (0L, 9L, 3L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a, b), topK = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 3L, 32266L), (0L, 2L, 32258L),
+      (0L, 1L, 16393L), (0L, 9L, 15873L)))
+  }
+
+  test("rrfFuse: queries fuse independently; single-list fusion preserves rank order") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 1L), (1L, 5L, 1L), (1L, 6L, 2L)).toDF("query_id", "doc_id", "rank")
+    val out = Retrieval.rrfFuse(Seq(a), topK = 1)
+      .orderBy("query_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 1L), (1L, 5L)))
+    val ranked = Retrieval.withRank(
+      Seq((0L, 7L, 10L), (0L, 8L, 30L), (0L, 9L, 20L)).toDF("query_id", "doc_id", "score"),
+      col("score").desc, col("doc_id"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toSet
+    assert(ranked == Set((8L, 1L), (9L, 2L), (7L, 3L)))
+  }
+
+  test("snippets: first match wins, window clamps at both edges, casing kept") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "a b c HASH d e f g"),    // interior match, case-insensitive
+      (1L, "hash x y z"),            // match at position 1: left clamp
+      (2L, "p q r s t u join"),      // match at the end: right clamp
+      (3L, "nothing here"),          // dropped
+      (4L, "join then hash later")). // leftmost of two terms
+      toDF("doc_id", "text")
+    val out = Retrieval.snippets(df, col("doc_id"), col("text"),
+      Seq("hash", "join"), window = 2)
+      .orderBy("doc_id").as[(Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 4L, "b c HASH d e"),
+      (1L, 1L, "hash x y"),
+      (2L, 7L, "t u join"),
+      (4L, 1L, "join then hash")))
+  }
+
+  test("snippets: map-only, zero exchanges") {
+    import spark.implicits._
+    val df = Seq((0L, "hash a b")).toDF("doc_id", "text")
+    assert(!Scale.hasShuffle(
+      Retrieval.snippets(df, col("doc_id"), col("text"), Seq("hash"))))
+  }
+
+  test("expandQuery: counts terms of the top docs only, excludes query terms") {
+    import spark.implicits._
+    // docs 0 and 1 contain "cat" (relevant); doc 2 does not — its
+    // distinctive vocabulary ("noise") must not appear in the expansion
+    val df = Seq(
+      (0L, "cat alpha beta alpha"),
+      (1L, "cat beta gamma"),
+      (2L, "noise noise noise")).toDF("doc_id", "text")
+    val out = Retrieval.expandQuery(df, col("doc_id"), col("text"),
+      Seq("cat"), topKDocs = 2, topMTerms = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("alpha", 2L), ("beta", 2L), ("gamma", 1L)))
+  }
+
+  test("expandQuery: topMTerms truncates after the deterministic (count, term) order") {
+    import spark.implicits._
+    val df = Seq((0L, "cat z y x w")).toDF("doc_id", "text")
+    val out = Retrieval.expandQuery(df, col("doc_id"), col("text"),
+      Seq("cat"), topKDocs = 5, topMTerms = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("w", 1L), ("x", 1L)))
+  }
+
   test("bm25IndexedTopK: query with no indexed term yields no rows") {
     import spark.implicits._
     val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
