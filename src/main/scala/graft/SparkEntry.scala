@@ -1578,6 +1578,48 @@ object SparkEntry {
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
+  /** Proximity batch for q167 — a self-proximity query ("table" near
+    * "table") exercises the unordered-pair halving on purpose.
+    */
+  private val proximityQueries: Seq[(Long, String, String, Int)] =
+    Seq((0L, "table", "hash", 3), (1L, "merge", "group", 5),
+      (2L, "table", "table", 2))
+
+  /** q167's DuckDB oracle, generated from [[proximityQueries]]: per
+    * query, the per-doc count of position pairs within max_dist
+    * (1-based positions; absolute distances are basis-independent),
+    * halved for self-proximity, then a per-query top-10.
+    */
+  private lazy val proximityOracleSql: String = {
+    val arms = proximityQueries.map { case (qid, a, b, d) =>
+      val pa = s"list_filter(range(1, len(tk) + 1), i -> tk[i] = '$a')"
+      val pb = s"list_filter(range(1, len(tk) + 1), i -> tk[i] = '$b')"
+      val cnt = s"list_sum(list_transform($pa, x -> len(list_filter($pb, y -> abs(x - y) >= 1 AND abs(x - y) <= $d))))"
+      val n = if (a == b) s"coalesce($cnt, 0) // 2" else s"coalesce($cnt, 0)"
+      s"  SELECT $qid AS query_id, doc_id, ($n) AS n_pairs FROM toks"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH toks AS (
+       | SELECT doc_id,
+       |  list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '') AS tk
+       | FROM documents),
+       | m AS (
+       |$arms),
+       | rk AS (SELECT query_id, doc_id, n_pairs,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY n_pairs DESC, doc_id) AS rn
+       | FROM m WHERE n_pairs > 0)
+       |SELECT query_id::BIGINT AS query_id, doc_id, n_pairs::BIGINT AS n_pairs
+       |FROM rk WHERE rn <= 10 ORDER BY query_id, n_pairs DESC, doc_id""".stripMargin
+  }
+
+  /** Proximity serve against the persisted positional index: top-10
+    * docs per (termA near termB within d) query by within-window
+    * pair count.
+    */
+  private def qProximitySearch(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.proximitySearch(posIndexBucketed(s, dir),
+      proximityQueries, topK = 10)
+      .orderBy(col("query_id"), col("n_pairs").desc, col("doc_id"))
+
   /** Keyword-in-context snippets for q151's query-0 terms: first
     * match position + ±3-token window, original casing.
     */
@@ -2839,6 +2881,7 @@ object SparkEntry {
     "q164_rrf_fusion" -> qRrfFusion _,
     "q165_snippets" -> qSnippets _,
     "q166_query_expansion" -> qQueryExpansion _,
+    "q167_proximity_search" -> qProximitySearch _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3834,6 +3877,9 @@ object SparkEntry {
 
       // phrase starts counted by the sliding window over tokens
       "q158_phrase_search" -> phraseOracleSql,
+
+      // within-window position-pair counts, halved for self-proximity
+      "q167_proximity_search" -> proximityOracleSql,
 
       // q21's banded-candidate pipeline vs the exact unblocked pair
       // set (q23's jaccard with blocking disabled), reduced to one

@@ -565,6 +565,63 @@ object Retrieval {
       .limit(topMTerms)
   }
 
+  /** Proximity search against the positional index: for each
+    * (query_id, termA, termB, maxDist) return the top-K documents by
+    * the number of position pairs (pa, pb) with |pa − pb| ≤ maxDist
+    * and pa ≠ pb — the "terms NEAR each other, any order" filter weak
+    * labeling and concept co-occurrence mining run. The two terms may
+    * be equal (self-proximity counts unordered distinct pairs).
+    *
+    * Scale shape: identical to [[phraseSearch]] — pruned postings for
+    * the query terms only, a broadcast slot join, one (query, doc)
+    * aggregate over matched postings, salted top-K. The pair count is
+    * an interpreted lambda fold, but it runs post-pruning on matched
+    * documents' position lists only, never corpus-wide.
+    */
+  def proximitySearch(
+      index: PositionalIndex,
+      queries: Seq[(Long, String, String, Int)],
+      topK: Int,
+      salt: Int = 64): DataFrame = {
+    require(queries.nonEmpty, "proximitySearch needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      s"duplicate query ids: ${queries.map(_._1)}")
+    queries.foreach { case (qid, a, b, d) =>
+      require(a == a.toLowerCase && b == b.toLowerCase,
+        s"query $qid terms must be lowercase: $a, $b")
+      require(d >= 1, s"query $qid maxDist must be >= 1, got $d")
+    }
+    require(topK > 0, s"topK must be positive, got $topK")
+    val spark = index.postings.sparkSession
+    import spark.implicits._
+    val allTerms = queries.flatMap(q => Seq(q._2, q._3)).distinct.sorted
+    val p = pruneToTerms(index.postings, allTerms, index.nBuckets)
+    val qa = queries.map { case (qid, a, _, d) => (qid, a, d.toLong) }
+      .toDF("query_id", "term", "max_dist")
+    val qb = queries.map { case (qid, _, b, _) => (qid, b) }
+      .toDF("query_id", "term")
+    val sideA = p.join(broadcast(qa), "term")
+      .select(col("query_id"), col("doc_id"), col("max_dist"),
+        col("positions").as("pa"))
+    val sideB = p.join(broadcast(qb), "term")
+      .select(col("query_id"), col("doc_id"), col("positions").as("pb"))
+    // per (query, doc): both terms present; count position pairs
+    // within max_dist. For termA == termB the posting row joins both
+    // sides with pa == pb; dividing the symmetric nonzero-distance
+    // count by 2 yields unordered distinct pairs. For distinct terms
+    // pa != pb elementwise, so (a,b) and (b,a) never both count.
+    val paired = sideA.join(sideB, Seq("query_id", "doc_id"))
+      .withColumn("__cnt", size(filter(flatten(transform(col("pa"), x =>
+        transform(col("pb"), y => abs(x - y)))),
+        d => d >= 1 && d <= col("max_dist"))).cast("long"))
+      .withColumn("__n", when(col("pa") === col("pb"),
+        expr("__cnt div 2L")).otherwise(col("__cnt")))
+      .where(col("__n") > 0)
+      .select(col("query_id"), col("doc_id"), col("__n").as("score"))
+    perQueryTopK(paired, topK, salt)
+      .select(col("query_id"), col("doc_id"), col("score").as("n_pairs"))
+  }
+
   /** Per-document postings as a MAP-ONLY projection: (term, doc_id,
     * tf, dl) computed entirely inside the document's own row — no
     * explode-then-shuffle. Output set is EXACTLY

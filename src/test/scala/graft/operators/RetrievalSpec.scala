@@ -301,6 +301,49 @@ class RetrievalSpec extends SparkTestBase {
     assert(out == Seq(("w", 1L), ("x", 1L)))
   }
 
+  test("proximitySearch: hand-checked pair counts, order-free, self-proximity halving") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "cat x dog"),          // |0-2| = 2: within 3, not within 1
+      (1L, "dog cat"),            // reverse order still counts
+      (2L, "cat x x x x dog"),    // distance 5: outside maxDist 3
+      (3L, "cat dog y cat"),      // pairs (0,1), (1,3): both within 2 -> 2
+      (4L, "cat cat cat")).       // self-prox: pairs (0,1),(1,2) within 1 -> 2
+      toDF("doc_id", "text")
+    val index = Retrieval.buildPositionalIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val out = Retrieval.proximitySearch(index,
+      Seq((0L, "cat", "dog", 3), (1L, "cat", "dog", 2), (2L, "cat", "cat", 1)),
+      topK = 10)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 1L), (0L, 1L, 1L), (0L, 3L, 2L),
+      (1L, 0L, 1L), (1L, 1L, 1L), (1L, 3L, 2L), // |0-2| = 2 is within 2
+      (2L, 4L, 2L)))
+  }
+
+  test("proximitySearch equals the brute-force pair count on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vocab = Vector("a", "b", "c")
+    val docs = Seq.tabulate(120)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val queries = Seq((0L, "a", "b", 2), (1L, "c", "c", 3))
+    val index = Retrieval.buildPositionalIndex(docs.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), nBuckets = 4)
+    val got = Retrieval.proximitySearch(index, queries, topK = 1000)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long)].collect().toSeq
+    val want = for {
+      (qid, a, b, d) <- queries
+      (did, text) <- docs
+      toks = text.split("\\s+").toSeq
+      pa = toks.zipWithIndex.collect { case (t, i) if t == a => i }
+      pb = toks.zipWithIndex.collect { case (t, i) if t == b => i }
+      raw = (for (x <- pa; y <- pb if math.abs(x - y) >= 1 && math.abs(x - y) <= d) yield 1).size
+      n = if (a == b) raw / 2 else raw if n > 0
+    } yield (qid, did, n.toLong)
+    assert(got == want.sortBy(r => (r._1, r._2)))
+  }
+
   test("bm25IndexedTopK: query with no indexed term yields no rows") {
     import spark.implicits._
     val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
