@@ -113,6 +113,21 @@ object RetrievalSmoke {
       graft.operators.Retrieval.phraseSearch(pos,
         Seq(0L -> Seq("w17", "w433"), 1L -> Seq("w1", "w1"),
           2L -> Seq("w999", "w1000", "w2")), topK = 25).count())
+    val px = time("proximitySearch (3 queries vs persisted positional postings)")(
+      graft.operators.Retrieval.proximitySearch(pos,
+        Seq((0L, "w17", "w433", 4), (1L, "w1", "w1", 3), (2L, "w999", "w2", 5)),
+        topK = 25).count())
+    val rf = time("rrfFuse (indexed BM25 + phrase rankings)") {
+      val bm = graft.operators.Retrieval.withRank(
+        graft.operators.Retrieval.bm25IndexedTopK(inv,
+          Seq(0L -> Seq("w17", "w433"), 1L -> Seq("w999")), topK = 25),
+        col("score").desc, col("doc_id"))
+      val phr = graft.operators.Retrieval.withRank(
+        graft.operators.Retrieval.phraseSearch(pos,
+          Seq(0L -> Seq("w17", "w433"), 1L -> Seq("w999", "w1000")), topK = 25),
+        col("n_matches").desc, col("doc_id"))
+      graft.operators.Retrieval.rrfFuse(Seq(bm, phr), topK = 25).count()
+    }
     // per-group budgets: 100 synthetic sources, each with its own
     // exact greedy quota — the (group, shard) windows must stay
     // parallel (no one-task group serialization)
@@ -125,7 +140,7 @@ object RetrievalSmoke {
       sel.unpersist()
       n
     }
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph budgeted=$tb")
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph proxHits=$px fused=$rf budgeted=$tb")
     spark.stop()
   }
 }

@@ -344,6 +344,32 @@ class RetrievalSpec extends SparkTestBase {
     assert(got == want.sortBy(r => (r._1, r._2)))
   }
 
+  test("rrfFuse is invariant to the order of input rankings") {
+    import spark.implicits._
+    val a = Seq((0L, 1L, 1L), (0L, 2L, 2L)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((0L, 2L, 1L), (0L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    val ab = Retrieval.rrfFuse(Seq(a, b), topK = 5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    val ba = Retrieval.rrfFuse(Seq(b, a), topK = 5)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(ab == ba && ab.nonEmpty)
+  }
+
+  test("appendToInvertedIndex with an empty delta is a no-op for serving") {
+    import spark.implicits._
+    val df = Seq((0L, "cat dog"), (1L, "cat")).toDF("doc_id", "text")
+    val base = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val appended = Retrieval.appendToInvertedIndex(base,
+      df.where(lit(false)), col("doc_id"), col("text"))
+    assert(appended.n == base.n && appended.l == base.l)
+    val q = Seq(0L -> Seq("cat"))
+    val x = Retrieval.bm25IndexedTopK(base, q, topK = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val y = Retrieval.bm25IndexedTopK(appended, q, topK = 5)
+      .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(x == y && x.nonEmpty)
+  }
+
   test("bm25IndexedTopK: query with no indexed term yields no rows") {
     import spark.implicits._
     val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
