@@ -165,7 +165,9 @@ object GraftExtensions {
     fn("bloom_might_contain", classOf[BloomMightContain], BloomOps.bloomMightContainBuilder),
     fn("heavy_hitters", classOf[HeavyHitters], Sketch.heavyHittersBuilder),
     fn("cms_sketch", classOf[CmsSketch], Sketch.cmsSketchBuilder),
-    fn("cms_query", classOf[CmsQuery], Sketch.cmsQueryBuilder))
+    fn("cms_query", classOf[CmsQuery], Sketch.cmsQueryBuilder),
+    fn("pos_slot_intersect_count", classOf[PosSlotIntersectCount], PosOps.posSlotIntersectCountBuilder),
+    fn("pos_pair_count", classOf[PosPairCount], PosOps.posPairCountBuilder))
 
   /** Register the engine's functions on an already-built session (for
     * sessions not constructed with `.withExtensions`).

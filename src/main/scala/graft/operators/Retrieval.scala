@@ -422,20 +422,17 @@ object Retrieval {
     }.toDF("query_id", "term", "slot", "n_slots")
     val scored = p
       .join(broadcast(slots), "term")
-      .select(col("query_id"), col("doc_id"), col("n_slots"),
-        transform(col("positions"), x => x - col("slot")).as("sp"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(count(lit(1)).as("n_present"), first(col("n_slots")).as("n_slots"),
-        collect_list(col("sp")).as("sps"))
+        collect_list(struct(col("slot"), col("positions"))).as("sps"))
       // a doc missing ANY slot's term can't contain the phrase
       .where(col("n_present") === col("n_slots"))
-      // fold the tail into the head; slice length must be exact —
-      // an Int.MaxValue sentinel overflows start+length inside Slice
-      // and yields an empty tail
-      .withColumn("score", size(aggregate(
-        slice(col("sps"), lit(2), size(col("sps")) - 1),
-        element_at(col("sps"), 1),
-        (acc, x) => array_intersect(acc, x))).cast("long"))
+      // native codegen'd kernel: shift each slot's (sorted) positions
+      // by −slot and two-pointer-intersect — the declarative
+      // transform/aggregate fold ran interpreted per matched posting,
+      // which is corpus-scale when a phrase holds a common term
+      .withColumn("score",
+        graft.functions.PosOps.slotIntersectCount(col("sps")))
       .where(col("score") > 0)
       .select(col("query_id"), col("doc_id"), col("score"))
     perQueryTopK(scored, topK, salt)
@@ -611,9 +608,11 @@ object Retrieval {
     // count by 2 yields unordered distinct pairs. For distinct terms
     // pa != pb elementwise, so (a,b) and (b,a) never both count.
     val paired = sideA.join(sideB, Seq("query_id", "doc_id"))
-      .withColumn("__cnt", size(filter(flatten(transform(col("pa"), x =>
-        transform(col("pb"), y => abs(x - y)))),
-        d => d >= 1 && d <= col("max_dist"))).cast("long"))
+      // native codegen'd sliding-window pair count over the sorted
+      // position lists — O(|pa|+|pb|) per matched doc vs the O(n²)
+      // interpreted nested-transform formulation
+      .withColumn("__cnt", graft.functions.PosOps.pairCount(
+        col("pa"), col("pb"), col("max_dist")))
       .withColumn("__n", when(col("pa") === col("pb"),
         expr("__cnt div 2L")).otherwise(col("__cnt")))
       .where(col("__n") > 0)

@@ -370,6 +370,33 @@ class RetrievalSpec extends SparkTestBase {
     assert(x == y && x.nonEmpty)
   }
 
+  test("native position kernels: SQL registration and hand-checked edges") {
+    import spark.implicits._
+    // slot intersect: "a b" phrase over positions a=[0,4], b=[1,3] ->
+    // shifted b=[0,2] ∩ [0,4] = {0} -> 1
+    val r = spark.sql(
+      """SELECT pos_slot_intersect_count(array(
+        |  struct(0L AS slot, array(0L, 4L) AS positions),
+        |  struct(1L AS slot, array(1L, 3L) AS positions))) AS n""".stripMargin)
+      .as[Long].head()
+    assert(r == 1L)
+    // empty list of slots counts zero; empty positions kill the fold
+    assert(spark.sql(
+      "SELECT pos_slot_intersect_count(array(struct(0L AS slot, cast(array() AS array<bigint>) AS positions)))")
+      .as[Long].head() == 0L)
+    // pair count: pa=[0,5], pb=[1,5,9], maxDist=2 ->
+    // x=0: y=1 (d=1) ; x=5: y=5 excluded (d=0), no others within 2...
+    // wait y=5 d=0 excluded -> just 1 total... include y in [3,7]: {5} excluded -> 0
+    assert(spark.sql(
+      "SELECT pos_pair_count(array(0L, 5L), array(1L, 5L, 9L), 2L)")
+      .as[Long].head() == 1L)
+    // boundary inclusivity: d == maxDist counts
+    assert(spark.sql("SELECT pos_pair_count(array(0L), array(3L), 3L)")
+      .as[Long].head() == 1L)
+    assert(spark.sql("SELECT pos_pair_count(array(0L), array(4L), 3L)")
+      .as[Long].head() == 0L)
+  }
+
   test("bm25IndexedTopK: query with no indexed term yields no rows") {
     import spark.implicits._
     val df = Seq((0L, "cat dog")).toDF("doc_id", "text")
