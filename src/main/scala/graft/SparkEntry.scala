@@ -85,7 +85,8 @@ object SparkEntry {
     * independent ranking pipelines coexist in one WITH clause
     * (q164's fusion oracle composes this with [[phraseOracleCtes]]).
     */
-  private def bm25OracleCtes(sfx: String): String = {
+  private def bm25OracleCtes(sfx: String, docsWhere: String = ""): String = {
+    val whereClause = if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"
     val terms = Seq("fast", "filter", "hash", "join", "scan", "stream",
       "vector", "window")
     val tfDefs = terms.map(t =>
@@ -98,7 +99,7 @@ object SparkEntry {
        | SELECT doc_id,
        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS dl,
        |$tfDefs
-       | FROM documents),
+       | FROM documents$whereClause),
        | stats$sfx AS (SELECT count(*) AS n, sum(dl) AS l,
        |$dfDefs
        | FROM docs$sfx),
@@ -1637,6 +1638,126 @@ object SparkEntry {
       topKDocs = 10, topMTerms = 10)
       .orderBy(col("n").desc, col("term"))
 
+  /** Retrieval evaluation gate: integer-exact MRR/precision/recall@10
+    * of the INDEXED BM25 serve (q157's ranking) against conjunctive
+    * term-containment qrels — a document is relevant for a query iff
+    * it contains EVERY query term. The oracle recomputes the full
+    * ranking (q151's CTEs) AND the metric arithmetic in SQL, so a
+    * green row pins ranking and metrics end to end.
+    */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val ranking = graft.operators.Retrieval.withRank(
+      graft.operators.Retrieval.bm25IndexedTopK(invertedIndexBucketed(s, dir),
+        bm25BatchQueries, topK = 10),
+      col("score").desc, col("doc_id"))
+    val allTerms = bm25BatchQueries.flatMap(_._2).distinct.sorted
+    val idx = allTerms.zipWithIndex.toMap
+    val tf = graft.functions.TextOps.termFreqs(lower(col("text")), allTerms)
+    val arms = bm25BatchQueries.map { case (qid, ts) =>
+      struct(lit(qid).as("query_id"),
+        ts.map(t => col("__tfs").getItem(idx(t)) > 0).reduce(_ && _).as("rel"))
+    }
+    val qrels = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"),
+        tf.getField("tfs").as("__tfs"))
+      .select(col("doc_id"), explode(array(arms: _*)).as("q"))
+      .where(col("q.rel"))
+      .select(col("q.query_id").as("query_id"), col("doc_id"))
+    graft.operators.Retrieval.rankingMetrics(ranking, qrels, k = 10)
+      .orderBy("query_id")
+  }
+
+  /** q168's DuckDB oracle: q151's ranking CTEs + the conjunctive
+    * qrels + the metric arithmetic, all generated from
+    * [[bm25BatchQueries]] so the two sides can never drift.
+    * lcm(1..10) = 2520 — every rank divides it, so mrr_scaled is
+    * exact.
+    */
+  private lazy val retrievalEvalOracleSql: String = {
+    val relArms = bm25BatchQueries.map { case (qid, ts) =>
+      val conds = ts.map(t => s"tf_$t > 0").mkString(" AND ")
+      s"  SELECT $qid AS query_id, doc_id FROM docs WHERE $conds"
+    }.mkString("\n UNION ALL\n")
+    s"""WITH ${bm25OracleCtes("")},
+       | topk AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 10),
+       | rel AS (
+       |$relArms),
+       | nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
+       | hits AS (SELECT t.query_id, count(*) AS hits, min(t.rn) AS first_rel
+       |  FROM topk t JOIN rel r ON t.query_id = r.query_id AND t.doc_id = r.doc_id
+       |  GROUP BY t.query_id),
+       | qids AS (SELECT DISTINCT query_id FROM topk
+       |  UNION SELECT query_id FROM nrel),
+       | m AS (SELECT q.query_id,
+       |  coalesce(n.n_rel, 0) AS n_rel, coalesce(h.hits, 0) AS hits, h.first_rel
+       |  FROM qids q LEFT JOIN nrel n ON q.query_id = n.query_id
+       |  LEFT JOIN hits h ON q.query_id = h.query_id)
+       |SELECT query_id::BIGINT AS query_id, n_rel::BIGINT AS n_rel,
+       | hits::BIGINT AS hits,
+       | ((hits * 1000000) // 10)::BIGINT AS prec_scaled,
+       | (CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel ELSE 0 END)::BIGINT AS recall_scaled,
+       | (CASE WHEN first_rel IS NOT NULL THEN 2520 // first_rel ELSE 0 END)::BIGINT AS mrr_scaled
+       |FROM m ORDER BY query_id""".stripMargin
+  }
+
+  /** Tombstone deletion: build the full index, delete doc_id % 5 = 0,
+    * serve the q151 batch — the oracle is the full q151 formulation
+    * over the FILTERED corpus, so a green row proves
+    * remove(build(full), dels) == build(full minus dels) end to end
+    * (per-term df, N, L, every score).
+    */
+  private def qIndexDelete(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val full = graft.operators.Retrieval.buildInvertedIndex(
+      docs, col("doc_id"), col("text"), nBuckets = 8)
+    val pruned = graft.operators.Retrieval.removeFromInvertedIndex(
+      full, docs.where(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"))
+    graft.operators.Retrieval.bm25IndexedTopK(pruned, bm25BatchQueries, topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  private lazy val bm25DeleteOracleSql: String =
+    s"""WITH ${bm25OracleCtes("", "doc_id % 5 <> 0")}
+       |SELECT query_id::BIGINT AS query_id, doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
+       |FROM rk WHERE rn <= 10 ORDER BY query_id, score DESC, doc_id""".stripMargin
+
+  /** Durable compaction closing the index lifecycle: build over three
+    * quarters, append the rest (lazy union), COMPACT the union into a
+    * fresh bucketed table, serve from the table — the oracle is
+    * q151's full-corpus SQL verbatim, so a green row proves the
+    * rewrite lost and invented nothing; RetrievalSpec pins that the
+    * post-compaction serve bucket-prunes like a fresh build.
+    */
+  private def qIndexCompact(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val base = graft.operators.Retrieval.buildInvertedIndex(
+      docs.where(pmod(col("doc_id"), lit(4)) =!= 0),
+      col("doc_id"), col("text"), nBuckets = 8)
+    val appended = graft.operators.Retrieval.appendToInvertedIndex(
+      base, docs.where(pmod(col("doc_id"), lit(4)) === 0),
+      col("doc_id"), col("text"))
+    val compacted = graft.operators.Retrieval.compactInvertedIndex(
+      appended, invertedIndexTable(dir) + "_compact")
+    graft.operators.Retrieval.bm25IndexedTopK(compacted, bm25BatchQueries, topK = 10)
+      .orderBy(col("query_id"), col("score").desc, col("doc_id"))
+  }
+
+  /** Spell-correction battery: one exact vocabulary hit, three
+    * 1–2-edit misspellings, one hopeless garble (NULL row).
+    */
+  private val spellTerms = Seq("hash", "vectr", "streem", "windoww", "qzqzqz")
+
+  /** Query spell correction against the corpus vocabulary (q149's
+    * build contract): nearest top-100 vocab token within 2 edits,
+    * ties by (distance, frequency desc, token).
+    */
+  private def qSpellCorrect(s: SparkSession, dir: String): DataFrame = {
+    val vocab = graft.operators.Training.buildVocab(
+      t(s, dir, "documents"), col("text"), maxSize = 100, minCount = 20L)
+    graft.operators.Retrieval.correctTerms(vocab, spellTerms, maxDist = 2)
+      .orderBy("term")
+  }
+
   /** Streaming index ingestion: the documents file stream drained
     * through the MAP-ONLY postings projection (legal in append mode —
     * no aggregation, no state). The drained postings table equals the
@@ -2882,6 +3003,10 @@ object SparkEntry {
     "q165_snippets" -> qSnippets _,
     "q166_query_expansion" -> qQueryExpansion _,
     "q167_proximity_search" -> qProximitySearch _,
+    "q168_retrieval_eval" -> qRetrievalEval _,
+    "q169_index_delete" -> qIndexDelete _,
+    "q170_index_compact" -> qIndexCompact _,
+    "q171_spell_correct" -> qSpellCorrect _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -3880,6 +4005,34 @@ object SparkEntry {
 
       // within-window position-pair counts, halved for self-proximity
       "q167_proximity_search" -> proximityOracleSql,
+
+      // ranking CTEs + conjunctive qrels + integer-exact metric
+      // arithmetic (lcm(1..10)-scaled MRR), all in SQL
+      "q168_retrieval_eval" -> retrievalEvalOracleSql,
+
+      // remove(build(full), doc_id%5=0) must equal build(filtered):
+      // q151's oracle over the filtered corpus
+      "q169_index_delete" -> bm25DeleteOracleSql,
+
+      // compact(append(build(3/4), 1/4)) must serve the full-corpus
+      // answer — q151's oracle, fourth proof (the durable rewrite)
+      "q170_index_compact" -> bm25BatchOracleSql,
+
+      // nearest vocab token within 2 edits, ties by (dist, freq
+      // desc, token); the garble term yields the NULL row
+      "q171_spell_correct" ->
+        s"""WITH c AS (SELECT token, count(*) AS n FROM (
+           |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> x <> '')) AS token
+           |   FROM documents) GROUP BY token HAVING count(*) >= 20
+           |  ORDER BY n DESC, token LIMIT 100),
+           | terms(term) AS (VALUES ${spellTerms.map(t => s"('$t')").mkString(", ")}),
+           | cand AS (SELECT t.term, c.token, levenshtein(t.term, c.token) AS dist, c.n AS freq
+           |  FROM terms t, c WHERE levenshtein(t.term, c.token) <= 2),
+           | best AS (SELECT term, token AS corrected, dist, freq,
+           |  row_number() OVER (PARTITION BY term ORDER BY dist, freq DESC, token) AS rn FROM cand)
+           |SELECT t.term, b.corrected, b.dist::BIGINT AS dist, b.freq::BIGINT AS freq
+           |FROM terms t LEFT JOIN best b ON t.term = b.term AND b.rn = 1
+           |ORDER BY t.term""".stripMargin,
 
       // q21's banded-candidate pipeline vs the exact unblocked pair
       // set (q23's jaccard with blocking disabled), reduced to one

@@ -24,14 +24,16 @@ object RetrievalSmoke {
       val t0 = System.nanoTime(); val r = f
       println(f"TIME $label: ${(System.nanoTime() - t0) / 1e9}%.1fs"); r
     }
-    val base = spark.range(nDocs)
-      .withColumn("base", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
-    val words = (0 until 45).map { i =>
-      val seed = when(col("base") =!= col("id") && lit(i) >= 42, col("id")).otherwise(col("base"))
-      concat(lit("w"), pmod(xxhash64(seed * 100 + i), lit(5000)))
+    def mkCorpus(lo: Long, hi: Long) = {
+      val base = spark.range(lo, hi)
+        .withColumn("base", when(col("id") % 20 === 1, col("id") - 1).otherwise(col("id")))
+      val words = (0 until 45).map { i =>
+        val seed = when(col("base") =!= col("id") && lit(i) >= 42, col("id")).otherwise(col("base"))
+        concat(lit("w"), pmod(xxhash64(seed * 100 + i), lit(5000)))
+      }
+      base.select(col("id").as("doc_id"), concat_ws(" ", words: _*).as("text"))
     }
-    val docs = base.select(col("id").as("doc_id"),
-      concat_ws(" ", words: _*).as("text")).persist()
+    val docs = mkCorpus(0, nDocs).persist()
     time("corpus materialize")(docs.count())
 
     val bm = time("bm25TopK (3 terms, zero-explode)")(
@@ -66,10 +68,15 @@ object RetrievalSmoke {
           .select(col("doc_id").as("id"),
             when(col("doc_id") % 200 === 0, lit("delete")).otherwise(lit("upsert")).as("op"),
             concat(col("text"), lit(" v2")).as("content"))).count())
-    val vc = time("buildVocab (top 10k, minCount 2)")(
-      graft.operators.Training.buildVocab(docs, col("text"),
-        maxSize = 10000, minCount = 2L).count())
+    val vocabDf = graft.operators.Training.buildVocab(docs, col("text"),
+      maxSize = 10000, minCount = 2L).persist()
+    val vc = time("buildVocab (top 10k, minCount 2)")(vocabDf.count())
     require(vc == 5000L, s"expected the 5000-word synthetic vocab, got $vc")
+    val sc = time("correctTerms (8 terms, maxDist 2, 5000-token vocab)")(
+      graft.operators.Retrieval.correctTerms(vocabDf,
+        Seq("w17", "w4333x", "w29900", "wx1", "zqzqzq", "w99q", "w123w", "w4999x"),
+        maxDist = 2).count())
+    require(sc == 8L, s"correctTerms must emit one row per term, got $sc")
     val qb = time("qualityBlend (2 signals, quartiles)")(
       graft.operators.Sampling.qualityBlend(docs, col("doc_id"),
         Seq(length(col("text")).cast("long"),
@@ -128,6 +135,29 @@ object RetrievalSmoke {
         col("n_matches").desc, col("doc_id"))
       graft.operators.Retrieval.rrfFuse(Seq(bm, phr), topK = 25).count()
     }
+    // index lifecycle: append a 5% delta (lazy union — the delta side
+    // re-tokenizes per serve and the union defeats bucket pruning),
+    // then COMPACT into a fresh bucketed table — the post-compaction
+    // serve must return to the pruned build-shape cost. Tombstone
+    // deletion serves from the lazy anti-join.
+    val delta = mkCorpus(nDocs, nDocs + nDocs / 20).persist()
+    delta.count()
+    val appended = graft.operators.Retrieval.appendToInvertedIndex(
+      inv, delta, col("doc_id"), col("text"))
+    val svL = time("bm25IndexedTopK vs lazy append union (5% delta)")(
+      graft.operators.Retrieval.bm25IndexedTopK(appended,
+        Seq(0L -> Seq("w17", "w433", "w2990")), topK = 25).count())
+    val compacted = time("compactInvertedIndex (union -> bucketed rewrite)")(
+      graft.operators.Retrieval.compactInvertedIndex(
+        appended, "graft_smoke_inv_compact"))
+    val svC = time("bm25IndexedTopK vs compacted table (pruned again)")(
+      graft.operators.Retrieval.bm25IndexedTopK(compacted,
+        Seq(0L -> Seq("w17", "w433", "w2990")), topK = 25).count())
+    val svD = time("removeFromInvertedIndex (2% tombstones) + serve")(
+      graft.operators.Retrieval.bm25IndexedTopK(
+        graft.operators.Retrieval.removeFromInvertedIndex(compacted,
+          docs.where(col("doc_id") % 50 === 0).select("doc_id")),
+        Seq(0L -> Seq("w17", "w433", "w2990")), topK = 25).count())
     // per-group budgets: 100 synthetic sources, each with its own
     // exact greedy quota — the (group, shard) windows must stay
     // parallel (no one-task group serialization)
@@ -140,7 +170,7 @@ object RetrievalSmoke {
       sel.unpersist()
       n
     }
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph proxHits=$px fused=$rf budgeted=$tb")
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph proxHits=$px fused=$rf corrected=$sc lifecycle=$svL/$svC/$svD budgeted=$tb")
     spark.stop()
   }
 }

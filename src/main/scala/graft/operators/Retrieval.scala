@@ -645,4 +645,166 @@ object Retrieval {
       .withColumn("tf", size(filter(col("toks"), x => x === col("term"))).cast("long"))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"))
   }
+
+  /** Integer-exact ranking-quality metrics against a relevance-
+    * judgment set — the evaluation gate a retrieval-backed curation
+    * pipeline runs before trusting a ranker (the text twin of the ANN
+    * recall gate and the LSH banding gate).
+    *
+    * Inputs: `ranking` (query_id, doc_id, rank) with 1-based unique
+    * per-query ranks (the shape [[withRank]] emits), `qrels`
+    * (query_id, doc_id) relevant pairs. Output, one row per query id
+    * present in EITHER input:
+    *   n_rel         — total relevant documents for the query
+    *   hits          — relevant documents ranked within the top k
+    *   prec_scaled   — hits·scale div k           (precision@k)
+    *   recall_scaled — hits·scale div n_rel       (recall@k; 0 when
+    *                   n_rel = 0)
+    *   mrr_scaled    — lcm(1..k) div rank-of-first-relevant-hit, 0 if
+    *                   none. EXACT, not floor-approximate: every rank
+    *                   ≤ k divides lcm(1..k), so each reciprocal rank
+    *                   is a whole number of 1/lcm(1..k) units. k ≤ 42
+    *                   keeps lcm(1..k) inside int64 (lcm(1..43)
+    *                   overflows).
+    *
+    * Scale shape: the ranking is top-k-bounded (model-sized) and
+    * BROADCASTS into the qrels join; qrels — the potentially
+    * corpus-sized side — is scanned once for the map-side-combined
+    * per-query count and once through the broadcast join, never
+    * shuffled by doc. The final per-query frames are |queries|-sized.
+    */
+  def rankingMetrics(
+      ranking: DataFrame,
+      qrels: DataFrame,
+      k: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(k <= 42, s"k must be <= 42 (lcm(1..43) overflows int64), got $k")
+    require(scale > 0, s"scale must be positive, got $scale")
+    @annotation.tailrec
+    def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
+    val lcmK = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    val topk = ranking.select(
+        col("query_id").cast("long").as("query_id"),
+        col("doc_id").cast("long").as("doc_id"),
+        col("rank").cast("long").as("rank"))
+      .where(col("rank") <= k)
+    val rel = qrels.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"))
+    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val hits = rel.join(broadcast(topk), Seq("query_id", "doc_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rel"))
+    // query-id universe: a query ranked with ZERO relevant docs appears
+    // in neither aggregate but still owes an all-zero metrics row
+    val qids = topk.select("query_id")
+      .unionByName(nRel.select("query_id")).distinct()
+    qids.join(nRel, Seq("query_id"), "left")
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        col("first_rel"))
+      .select(col("query_id"), col("n_rel"), col("hits"),
+        expr(s"hits * ${scale}L div ${k}L").as("prec_scaled"),
+        when(col("n_rel") > 0, expr(s"hits * ${scale}L div n_rel"))
+          .otherwise(0L).as("recall_scaled"),
+        when(col("first_rel").isNotNull, expr(s"${lcmK}L div first_rel"))
+          .otherwise(0L).as("mrr_scaled"))
+  }
+
+  /** Tombstone deletion from the inverted index: drop every posting of
+    * the given doc ids and decrement N/L by the removed documents'
+    * count and token mass — `remove(build(corpus), dels)` serves
+    * IDENTICALLY to `build(corpus minus dels)` for any tombstone set
+    * whose documents hold ≥ 1 token. (A token-less document leaves no
+    * posting to recover its existence from, so its +1 on N cannot be
+    * reclaimed; such documents also score 0 in every query, so only
+    * the N constant would drift — documented, not silent.)
+    *
+    * Scale shape: the tombstone batch is delta-sized by contract and
+    * broadcasts into both passes — one postings scan recovers the
+    * removed documents' (count, Σdl) from their per-doc-unique
+    * (doc_id, dl) pairs, one broadcast anti-join drops the postings.
+    * The postings table is never shuffled. Deletion touches every
+    * bucket by nature; a [[compactInvertedIndex]] afterwards restores
+    * the bucket-pruned serve shape.
+    */
+  def removeFromInvertedIndex(
+      index: InvertedIndex, tombstones: DataFrame): InvertedIndex = {
+    val del = broadcast(
+      tombstones.select(col("doc_id").cast("long").as("doc_id")).distinct())
+    val removed = index.postings.join(del, "doc_id")
+      .select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("dl")), lit(0L)).as("l"))
+      .head()
+    index.copy(
+      postings = index.postings.join(del, Seq("doc_id"), "left_anti"),
+      n = index.n - removed.getLong(0),
+      l = index.l - removed.getLong(1))
+  }
+
+  /** Durable compaction: rewrite the index's logical postings —
+    * typically a lazy base ∪ delta union after
+    * [[appendToInvertedIndex]] or a post-deletion anti-join after
+    * [[removeFromInvertedIndex]] — into a fresh bucketed+sorted
+    * warehouse table under the SAME bucket/sort spec the build uses,
+    * and return the index re-backed by that table. Closes the index
+    * lifecycle: build → append/delete (cheap, lazy) → compact (one
+    * rewrite) → serve (bucket-pruned again, the q157 plan shape).
+    *
+    * Scale shape: ONE pass over the logical postings into nBuckets
+    * bucketed sorted files — the write's own exchange is the only
+    * one; serve-time pruning afterwards is identical to a fresh
+    * build's (plan-pinned in RetrievalSpec).
+    */
+  def compactInvertedIndex(index: InvertedIndex, table: String): InvertedIndex = {
+    Scale.writeBucketedSorted(
+      index.postings, table, "bucket", index.nBuckets, "bucket", "term")
+    index.copy(postings = index.postings.sparkSession.table(table))
+  }
+
+  /** Vocabulary-based query spell correction: for each input term the
+    * closest vocabulary token within `maxDist` edits — exact
+    * Levenshtein distance (codegen'd built-in on the engine side,
+    * `levenshtein` on the DuckDB oracle side), ties broken by higher
+    * corpus frequency then lexicographic token. A term already in the
+    * vocabulary corrects to itself at distance 0 (it beats every
+    * competitor on the distance key); a term with no candidate within
+    * `maxDist` yields a NULL correction — the caller's signal to drop
+    * the term or fall back to fuzzy retrieval. Output: (term,
+    * corrected, dist, freq), one row per input term.
+    *
+    * Scale shape: `terms` is query-sized and broadcasts; the vocab is
+    * itself maxSize-bounded by [[Training.buildVocab]]'s contract and
+    * is scanned once map-only — the thresholded `levenshtein(_, _,
+    * maxDist)` variant abandons each row's DP as soon as the bound is
+    * exceeded — and the top-1 window runs over surviving candidates
+    * only.
+    */
+  def correctTerms(
+      vocab: DataFrame,
+      terms: Seq[String],
+      maxDist: Int = 2): DataFrame = {
+    require(terms.nonEmpty, "correctTerms needs at least one term")
+    require(terms.distinct.size == terms.size, s"duplicate terms: $terms")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val termsDf = terms.toDF("term")
+    val cand = vocab
+      .select(col("token"), col("n").cast("long").as("freq"))
+      .crossJoin(broadcast(termsDf))
+      .withColumn("dist", levenshtein(col("term"), col("token"), maxDist))
+      .where(col("dist") >= 0)
+    import org.apache.spark.sql.expressions.Window
+    val best = cand.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("term"))
+          .orderBy(col("dist"), col("freq").desc, col("token"))))
+      .where(col("__rn") === 1)
+      .select(col("term"), col("token").as("corrected"),
+        col("dist").cast("long").as("dist"), col("freq"))
+    termsDf.join(best, Seq("term"), "left")
+  }
 }

@@ -405,6 +405,110 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.count() == 0L)
   }
 
+  test("rankingMetrics: hand-computed metrics, no-hit and zero-rel queries") {
+    import spark.implicits._
+    // k = 3, lcm(1..3) = 6.
+    // q0: ranking d5@1, d2@2, d7@3; rel {2, 3} -> n_rel 2, hits 1 (d2),
+    //     first_rel 2 -> prec 10^6 div 3 = 333333, recall 10^6 div 2 =
+    //     500000, mrr 6 div 2 = 3
+    // q1: rel {9} but no ranking rows -> n_rel 1, all metrics 0
+    // q2: ranking row but no rel rows -> all zeros
+    val ranking = Seq((0L, 5L, 1L), (0L, 2L, 2L), (0L, 7L, 3L), (2L, 1L, 1L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 2L), (0L, 3L), (1L, 9L)).toDF("query_id", "doc_id")
+    val out = Retrieval.rankingMetrics(ranking, qrels, k = 3)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 1L, 333333L, 500000L, 3L),
+      (1L, 1L, 0L, 0L, 0L, 0L),
+      (2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("rankingMetrics: ranks beyond k are ignored; perfect top-k maxes every metric") {
+    import spark.implicits._
+    val ranking = Seq((0L, 1L, 1L), (0L, 2L, 2L), (0L, 3L, 3L))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((0L, 1L), (0L, 2L)).toDF("query_id", "doc_id")
+    val out = Retrieval.rankingMetrics(ranking, qrels, k = 2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // d3@3 sits beyond k=2: hits 2 of 2, prec = recall = 10^6,
+    // mrr = lcm(1..2) div 1 = 2
+    assert(out == Seq((0L, 2L, 2L, 1000000L, 1000000L, 2L)))
+  }
+
+  test("removeFromInvertedIndex(build(full), dels) serves as build(full minus dels)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val vocab = Vector("cat", "dog", "fish", "x", "y", "z")
+    val all = Seq.tabulate(90)(i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(9))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    val full = Retrieval.buildInvertedIndex(all.toDF("doc_id", "text"),
+      col("doc_id"), col("text"), nBuckets = 4)
+    val removed = Retrieval.removeFromInvertedIndex(full,
+      all.map(_._1).filter(_ % 4 == 0).toDF("doc_id"))
+    val rebuilt = Retrieval.buildInvertedIndex(
+      all.filterNot(_._1 % 4 == 0).toDF("doc_id", "text"),
+      col("doc_id"), col("text"), nBuckets = 4)
+    assert(removed.n == rebuilt.n && removed.l == rebuilt.l)
+    val queries = Seq(0L -> Seq("cat", "dog"), 1L -> Seq("fish", "z"))
+    val a = Retrieval.bm25IndexedTopK(removed, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val b = Retrieval.bm25IndexedTopK(rebuilt, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
+  test("removeFromInvertedIndex: unknown tombstone ids are a no-op") {
+    import spark.implicits._
+    val df = Seq((0L, "cat dog"), (1L, "cat")).toDF("doc_id", "text")
+    val base = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val removed = Retrieval.removeFromInvertedIndex(base, Seq(99L, 100L).toDF("doc_id"))
+    assert(removed.n == base.n && removed.l == base.l)
+    assert(removed.postings.count() == base.postings.count())
+  }
+
+  test("compactInvertedIndex: the rewrite serves identically and restores bucket pruning") {
+    import spark.implicits._
+    val mk = (r: Range) => r.map(i => (i.toLong, s"cat dog w$i")).toDF("doc_id", "text")
+    val base = Retrieval.buildInvertedIndex(mk(0 until 40),
+      col("doc_id"), col("text"), nBuckets = 8)
+    val appended = Retrieval.appendToInvertedIndex(base, mk(40 until 60),
+      col("doc_id"), col("text"))
+    val compacted = Retrieval.compactInvertedIndex(appended, "graft_inv_compact_test")
+    val queries = Seq(0L -> Seq("cat"), 1L -> Seq("dog"))
+    val a = Retrieval.bm25IndexedTopK(compacted, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    val rebuilt = Retrieval.buildInvertedIndex(mk(0 until 60),
+      col("doc_id"), col("text"), nBuckets = 8)
+    val b = Retrieval.bm25IndexedTopK(rebuilt, queries, topK = 5)
+      .orderBy("query_id", "doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(a == b && a.nonEmpty)
+    // the compacted table prunes to the query terms' buckets and the
+    // corpus text never enters the serve plan
+    val plan = Retrieval.bm25IndexedTopK(compacted, queries, topK = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SelectedBucketsCount"), plan)
+    assert(!plan.contains("text#"), plan)
+  }
+
+  test("correctTerms: exact hit at distance 0, frequency then token tie-breaks, NULL garble") {
+    import spark.implicits._
+    val vocab = Seq((0L, "cat", 100L), (1L, "bat", 90L), (2L, "hat", 90L),
+      (3L, "dog", 7L)).toDF("token_id", "token", "n")
+    // "cat" exact; "cot" dist 1 of cat only among the best (freq wins);
+    // "bht" dist 1 of BOTH bat and hat (freq ties at 90 -> token asc);
+    // "zzzz" is > 2 edits from everything -> NULL row survives the join
+    val out = Retrieval.correctTerms(vocab, Seq("cat", "cot", "bht", "zzzz"), maxDist = 2)
+      .orderBy("term")
+      .as[(String, Option[String], Option[Long], Option[Long])].collect().toSeq
+    assert(out == Seq(
+      ("bht", Some("bat"), Some(1L), Some(90L)),
+      ("cat", Some("cat"), Some(0L), Some(100L)),
+      ("cot", Some("cat"), Some(1L), Some(100L)),
+      ("zzzz", None, None, None)))
+  }
+
   test("blocklistFilter: per-mille floor division and threshold") {
     import spark.implicits._
     val df = Seq(
