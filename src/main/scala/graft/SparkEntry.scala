@@ -1758,6 +1758,40 @@ object SparkEntry {
       .orderBy("term")
   }
 
+  /** Shared oracle CTE chain ending in pt(term, df, n_tokens) — the
+    * per-term document frequency + token mass over the documents
+    * table (exactly the index's term-keyed count, since postings are
+    * unique per (term, doc)).
+    */
+  private val perTermDfCtes: String =
+    """toks AS (SELECT doc_id,
+      |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+      | FROM documents),
+      | posting AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2),
+      | pt AS (SELECT term, count(*) AS df, sum(tf) AS n_tokens FROM posting GROUP BY 1)""".stripMargin
+
+  /** Index health: the power-of-two df histogram over the persisted
+    * index — floor(log2(df)) via binary-string length on BOTH
+    * engines, so the bucketing is bit-exact with no float log.
+    */
+  private def qIndexStats(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.indexStats(invertedIndexBucketed(s, dir))
+      .orderBy("df_bucket")
+
+  /** Data-driven stopword list: terms in ≥ 700‰ of documents. */
+  private def qStopwords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Retrieval.stopwordCandidates(
+      invertedIndexBucketed(s, dir), minPerMille = 700L)
+      .orderBy(col("df").desc, col("term"))
+
+  /** Per-source characteristic keywords: top-5 per source by the
+    * integer c-TF-IDF score (count · 1000 div source-frequency).
+    */
+  private def qSourceKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.sourceKeywords(t(s, dir, "documents"),
+      col("source"), col("text"), topK = 5)
+      .orderBy("src", "rank")
+
   /** Streaming index ingestion: the documents file stream drained
     * through the MAP-ONLY postings projection (legal in append mode —
     * no aggregation, no state). The drained postings table equals the
@@ -3007,6 +3041,9 @@ object SparkEntry {
     "q169_index_delete" -> qIndexDelete _,
     "q170_index_compact" -> qIndexCompact _,
     "q171_spell_correct" -> qSpellCorrect _,
+    "q172_index_stats" -> qIndexStats _,
+    "q173_stopwords" -> qStopwords _,
+    "q174_source_keywords" -> qSourceKeywords _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -4017,6 +4054,40 @@ object SparkEntry {
       // compact(append(build(3/4), 1/4)) must serve the full-corpus
       // answer — q151's oracle, fourth proof (the durable rewrite)
       "q170_index_compact" -> bm25BatchOracleSql,
+
+      // power-of-two df histogram: the bucket id is the binary-
+      // string length of df minus 1 on both engines (no float log2)
+      "q172_index_stats" ->
+        s"""WITH $perTermDfCtes,
+           | b AS (SELECT length(format('{:b}', df)) - 1 AS df_bucket, df, n_tokens FROM pt)
+           |SELECT df_bucket::BIGINT AS df_bucket, count(*)::BIGINT AS n_terms,
+           | sum(df)::BIGINT AS n_postings, sum(n_tokens)::BIGINT AS n_tokens,
+           | max(df)::BIGINT AS max_df
+           |FROM b GROUP BY df_bucket ORDER BY df_bucket""".stripMargin,
+
+      // per-mille floor threshold over the per-term df count; N is
+      // the FULL document count (index stats count empty docs too)
+      "q173_stopwords" ->
+        s"""WITH $perTermDfCtes,
+           | n AS (SELECT count(*) AS n FROM documents)
+           |SELECT term, df::BIGINT AS df, ((df * 1000) // n)::BIGINT AS df_per_mille
+           |FROM pt, n WHERE (df * 1000) // n >= 700
+           |ORDER BY df DESC, term""".stripMargin,
+
+      // integer c-TF-IDF: per-source term counts discounted by the
+      // number of sources containing the term; top-5 per source
+      "q174_source_keywords" ->
+        """WITH toks AS (SELECT source AS src,
+          |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS term
+          | FROM documents),
+          | cnt AS (SELECT src, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+          | sdf AS (SELECT term, count(*) AS sdf FROM cnt GROUP BY 1),
+          | scored AS (SELECT c.src, c.term, c.cnt, s.sdf, (c.cnt * 1000) // s.sdf AS score
+          |  FROM cnt c JOIN sdf s ON c.term = s.term),
+          | rk AS (SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, term) AS rank FROM scored)
+          |SELECT src, term, cnt::BIGINT AS cnt, sdf::BIGINT AS sdf,
+          | score::BIGINT AS score, rank::BIGINT AS rank
+          |FROM rk WHERE rank <= 5 ORDER BY src, rank""".stripMargin,
 
       // nearest vocab token within 2 edits, ties by (dist, freq
       // desc, token); the garble term yields the NULL row

@@ -283,6 +283,54 @@ object Profiling {
         col("n_langs"), col("p50_chars"))
   }
 
+  /** Per-source characteristic keywords (c-TF-IDF shape, integer-
+    * exact): for each source, the top-K terms by
+    * `score = cnt·scale div sdf` where cnt is the term's occurrence
+    * count inside the source and sdf the number of SOURCES containing
+    * it — a term every source shares is discounted |sources|-fold,
+    * a source-exclusive term keeps its full count. The "what makes
+    * this slice different" row of a datacard ([[dataCard]]'s
+    * qualitative sibling). Ties break by ascending term; output
+    * (src, term, cnt, sdf, score, rank).
+    *
+    * Scale shape: ONE corpus-sized (src, term) count (map-side
+    * combined — the explode never shuffles document text, only
+    * skinny pairs), then everything downstream is vocab-sized: the
+    * source-frequency aggregate, a term-keyed join, and the top-K.
+    * The top-K is the salted two-phase window: phase 1 bounds any
+    * task at salt·topK rows per source even when one source holds
+    * the whole vocabulary, phase 2 is exact over ≤ salt·topK
+    * survivors — identical output to the single window.
+    */
+  def sourceKeywords(
+      df: DataFrame,
+      source: Column,
+      text: Column,
+      topK: Int,
+      scale: Long = 1000L,
+      salt: Int = 64): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(salt > 0, s"salt must be positive, got $salt")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = df.select(source.cast("string").as("src"),
+        explode(TextAnalysis.tokens(lower(text))).as("term"))
+      .groupBy("src", "term").agg(count(lit(1)).as("cnt"))
+    val sdf = cnt.groupBy("term").agg(count(lit(1)).as("sdf"))
+    val scored = cnt.join(sdf, "term")
+      .withColumn("score", expr(s"cnt * ${scale}L div sdf"))
+    val ord = Seq(col("score").desc, col("term"))
+    val phase1 = scored.withColumn("__rn", row_number().over(
+        Window.partitionBy(col("src"),
+          Sampling.bucket(xxhash64(col("term")), salt)).orderBy(ord: _*)))
+      .where(col("__rn") <= topK).drop("__rn")
+    phase1.withColumn("rank", row_number().over(
+        Window.partitionBy(col("src")).orderBy(ord: _*)).cast("long"))
+      .where(col("rank") <= topK)
+      .select(col("src"), col("term"), col("cnt"), col("sdf"),
+        col("score"), col("rank"))
+  }
+
   /** Cross-source content overlap: for every pair of sources, the
     * exact Jaccard (in parts-per-mille, floor division — integer-
     * exact) between the sources' distinct word-n-gram shingle SETS —

@@ -765,6 +765,49 @@ object Retrieval {
     index.copy(postings = index.postings.sparkSession.table(table))
   }
 
+  /** Index health profile: the per-term document-frequency histogram
+    * in power-of-two buckets — the "is my index Zipf-shaped or
+    * degenerate" dashboard an index owner checks after every build or
+    * compaction. Output, one row per occupied bucket:
+    * (df_bucket = floor(log2(df)), n_terms, n_postings, n_tokens,
+    * max_df). The bucket id comes from the binary-string length of df
+    * (`length(bin(df)) − 1`), NOT a float log2 — bit-exact on both
+    * engines by construction.
+    *
+    * Scale shape: one term-keyed count over the postings (map-side
+    * combined; postings are already unique per (term, doc)) and one
+    * bucket-keyed aggregate over the vocab-sized result. On a
+    * bucketed postings table the first aggregate shuffles skinny
+    * (term, df, tf-sum) triples only.
+    */
+  def indexStats(index: InvertedIndex): DataFrame =
+    index.postings.groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("n_tokens"))
+      .withColumn("df_bucket", (length(bin(col("df"))) - 1).cast("long"))
+      .groupBy("df_bucket")
+      .agg(count(lit(1)).as("n_terms"), sum(col("df")).as("n_postings"),
+        sum(col("n_tokens")).as("n_tokens"), max(col("df")).as("max_df"))
+
+  /** Stopword candidates: terms whose document frequency reaches
+    * `minPerMille` of the indexed corpus — the data-driven exclusion
+    * list an indexing pipeline derives instead of hardcoding
+    * (high-df terms dominate postings volume while carrying no
+    * ranking signal; see the df histogram from [[indexStats]]).
+    * Output (term, df, df_per_mille), floor-divided per-mille so the
+    * threshold is integer-exact across engines.
+    *
+    * Scale shape: the same term-keyed count as [[indexStats]]; the
+    * per-mille filter keeps only the (tiny) high-df tail.
+    */
+  def stopwordCandidates(index: InvertedIndex, minPerMille: Long): DataFrame = {
+    require(minPerMille >= 0 && minPerMille <= 1000,
+      s"minPerMille must be in [0, 1000], got $minPerMille")
+    require(index.n > 0, "stopwordCandidates needs a non-empty index")
+    index.postings.groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("df_per_mille", expr(s"df * 1000L div ${index.n}L"))
+      .where(col("df_per_mille") >= minPerMille)
+  }
+
   /** Vocabulary-based query spell correction: for each input term the
     * closest vocabulary token within `maxDist` edits — exact
     * Levenshtein distance (codegen'd built-in on the engine side,

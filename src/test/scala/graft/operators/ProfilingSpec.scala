@@ -172,4 +172,35 @@ class ProfilingSpec extends SparkTestBase {
         .orderBy("src_a", "src_b").collect().map(_.toSeq).toSeq
     assert(rows(true) == rows(false))
   }
+
+  test("sourceKeywords: shared terms discounted by source frequency, term tie-break") {
+    import spark.implicits._
+    // A: x×2 + shared×1; B: y×1 + shared×2. sdf(x)=sdf(y)=1, sdf(shared)=2.
+    // scores: (A,x)=2000, (A,shared)=500, (B,y)=1000, (B,shared)=1000 —
+    // B's tie breaks by term asc: "shared" before "y".
+    val df = Seq(("A", "x x shared"), ("B", "y shared shared"))
+      .toDF("source", "text")
+    val out = Profiling.sourceKeywords(df, col("source"), col("text"), topK = 2)
+      .orderBy("src", "rank")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("A", "x", 2L, 1L, 2000L, 1L),
+      ("A", "shared", 1L, 2L, 500L, 2L),
+      ("B", "shared", 2L, 2L, 1000L, 1L),
+      ("B", "y", 1L, 1L, 1000L, 2L)))
+  }
+
+  test("sourceKeywords: salted two-phase top-k equals the exact window") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val vocab = Vector.tabulate(40)(i => s"w$i")
+    val df = Seq.tabulate(300)(i =>
+        ((i % 4).toString, Seq.fill(1 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("source", "text")
+    val a = Profiling.sourceKeywords(df, col("source"), col("text"), topK = 5, salt = 1)
+      .orderBy("src", "rank").collect().map(_.toSeq).toSeq
+    val b = Profiling.sourceKeywords(df, col("source"), col("text"), topK = 5, salt = 16)
+      .orderBy("src", "rank").collect().map(_.toSeq).toSeq
+    assert(a == b && a.size == 20)
+  }
 }

@@ -509,6 +509,32 @@ class RetrievalSpec extends SparkTestBase {
       ("zzzz", None, None, None)))
   }
 
+  test("indexStats: power-of-two df buckets, hand-computed masses") {
+    import spark.implicits._
+    // a: df 3 (tf 2+1+1=4) -> bucket floor(log2 3) = 1; b, c: df 1 -> bucket 0
+    val df = Seq((0L, "a a b"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val out = Retrieval.indexStats(index).orderBy("df_bucket")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 2L, 2L, 2L, 1L),
+      (1L, 1L, 3L, 4L, 3L)))
+  }
+
+  test("stopwordCandidates: per-mille floor against the FULL doc count") {
+    import spark.implicits._
+    val df = Seq((0L, "a a b"), (1L, "a c"), (2L, "a")).toDF("doc_id", "text")
+    val index = Retrieval.buildInvertedIndex(df, col("doc_id"), col("text"), nBuckets = 4)
+    val out = Retrieval.stopwordCandidates(index, minPerMille = 500L)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 3L, 1000L)))
+    // b and c sit at floor(1000/3) = 333 per mille — below any
+    // threshold above 333
+    val all = Retrieval.stopwordCandidates(index, minPerMille = 0L)
+      .orderBy("term").as[(String, Long, Long)].collect().toSeq
+    assert(all == Seq(("a", 3L, 1000L), ("b", 1L, 333L), ("c", 1L, 333L)))
+  }
+
   test("blocklistFilter: per-mille floor division and threshold") {
     import spark.implicits._
     val df = Seq(
