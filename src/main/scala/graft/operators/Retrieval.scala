@@ -684,11 +684,11 @@ object Retrieval {
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcmK = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
-    val topk = ranking.select(
-        col("query_id").cast("long").as("query_id"),
-        col("doc_id").cast("long").as("doc_id"),
-        col("rank").cast("long").as("rank"))
-      .where(col("rank") <= k)
+    val allRank = ranking.select(
+      col("query_id").cast("long").as("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      col("rank").cast("long").as("rank"))
+    val topk = allRank.where(col("rank") <= k)
     val rel = qrels.select(
       col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"))
@@ -696,9 +696,10 @@ object Retrieval {
     val hits = rel.join(broadcast(topk), Seq("query_id", "doc_id"))
       .groupBy("query_id")
       .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rel"))
-    // query-id universe: a query ranked with ZERO relevant docs appears
-    // in neither aggregate but still owes an all-zero metrics row
-    val qids = topk.select("query_id")
+    // query-id universe: a query ranked with ZERO relevant docs (or
+    // ranked only beyond k) appears in neither aggregate but still
+    // owes an all-zero metrics row
+    val qids = allRank.select("query_id")
       .unionByName(nRel.select("query_id")).distinct()
     qids.join(nRel, Seq("query_id"), "left")
       .join(hits, Seq("query_id"), "left")

@@ -509,6 +509,69 @@ class RetrievalSpec extends SparkTestBase {
       ("zzzz", None, None, None)))
   }
 
+  test("rankingMetrics equals the brute-force computation on random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val k = 5 // lcm(1..5) = 60
+    val queries = (0L until 12L).toSeq
+    val ranking = queries.flatMap { q =>
+      val docs = rnd.shuffle((0L until 30L).toList).take(rnd.nextInt(9))
+      docs.zipWithIndex.map { case (d, i) => (q, d, (i + 1).toLong) }
+    }
+    val qrels = for {
+      q <- queries; d <- 0L until 30L if rnd.nextInt(5) == 0
+    } yield (q, d)
+    val got = Retrieval.rankingMetrics(
+      ranking.toDF("query_id", "doc_id", "rank"),
+      qrels.toDF("query_id", "doc_id"), k = k)
+      .orderBy("query_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val relBy = qrels.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val rankBy = ranking.groupBy(_._1).view
+      .mapValues(_.map(r => (r._2, r._3))).toMap
+    val want = (rankBy.keySet ++ relBy.keySet).toSeq.sorted.map { q =>
+      val rel = relBy.getOrElse(q, Set.empty[Long])
+      val hits = rankBy.getOrElse(q, Seq.empty).filter(r => r._2 <= k && rel(r._1))
+      val firstRel = hits.map(_._2).sorted.headOption
+      (q, rel.size.toLong, hits.size.toLong,
+        hits.size * 1000000L / k,
+        if (rel.nonEmpty) hits.size * 1000000L / rel.size else 0L,
+        firstRel.map(60L / _).getOrElse(0L))
+    }
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("correctTerms equals the brute-force nearest-token search on random vocab") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val alpha = "abcd"
+    def w(n: Int) = Seq.fill(n)(alpha(rnd.nextInt(alpha.length))).mkString
+    val vocab = (0 until 60).map(i =>
+      (i.toLong, w(1 + rnd.nextInt(5)), (1 + rnd.nextInt(50)).toLong)).distinctBy(_._2)
+    val terms = (0 until 12).map(_ => w(1 + rnd.nextInt(5))).distinct
+    val got = Retrieval.correctTerms(vocab.toDF("token_id", "token", "n"),
+        terms, maxDist = 1)
+      .orderBy("term")
+      .as[(String, Option[String], Option[Long], Option[Long])].collect().toSeq
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val want = terms.sorted.map { t =>
+      val cands = vocab.map(v => (v._2, lev(t, v._2).toLong, v._3)).filter(_._2 <= 1)
+      if (cands.isEmpty) (t, None, None, None)
+      else {
+        val best = cands.sortBy(c => (c._2, -c._3, c._1)).head
+        (t, Some(best._1), Some(best._2), Some(best._3))
+      }
+    }
+    assert(got == want && got.exists(_._2.isDefined))
+  }
+
   test("indexStats: power-of-two df buckets, hand-computed masses") {
     import spark.implicits._
     // a: df 3 (tf 2+1+1=4) -> bucket floor(log2 3) = 1; b, c: df 1 -> bucket 0
