@@ -1700,18 +1700,20 @@ object SparkEntry {
        |FROM m ORDER BY query_id""".stripMargin
   }
 
-  /** Tombstone deletion: build the full index, delete doc_id % 5 = 0,
-    * serve the q151 batch — the oracle is the full q151 formulation
-    * over the FILTERED corpus, so a green row proves
-    * remove(build(full), dels) == build(full minus dels) end to end
-    * (per-term df, N, L, every score).
+  /** Tombstone deletion FROM THE PERSISTED index (the realistic
+    * shape: deletions arrive against the durable bucketed table, not
+    * a fresh build), delete doc_id % 5 = 0, serve the q151 batch —
+    * the oracle is the full q151 formulation over the FILTERED
+    * corpus, so a green row proves remove(index, dels) ==
+    * build(full minus dels) end to end (per-term df, N, L, every
+    * score). The corpus is never re-read: tombstone ids come from the
+    * index's own postings.
     */
   private def qIndexDelete(s: SparkSession, dir: String): DataFrame = {
-    val docs = t(s, dir, "documents")
-    val full = graft.operators.Retrieval.buildInvertedIndex(
-      docs, col("doc_id"), col("text"), nBuckets = 8)
-    val pruned = graft.operators.Retrieval.removeFromInvertedIndex(
-      full, docs.where(pmod(col("doc_id"), lit(5)) === 0).select("doc_id"))
+    val index = invertedIndexBucketed(s, dir)
+    val dels = index.postings.select("doc_id").distinct()
+      .where(pmod(col("doc_id"), lit(5)) === 0)
+    val pruned = graft.operators.Retrieval.removeFromInvertedIndex(index, dels)
     graft.operators.Retrieval.bm25IndexedTopK(pruned, bm25BatchQueries, topK = 10)
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }

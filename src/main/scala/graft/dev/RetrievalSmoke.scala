@@ -87,6 +87,11 @@ object RetrievalSmoke {
         docs.withColumn("src", (col("doc_id") % 5).cast("string"))
           .withColumn("lang", (col("doc_id") % 7).cast("string")),
         col("src"), col("lang"), length(col("text"))).count())
+    val sk = time("sourceKeywords (100 sources, top 5, c-TF-IDF)")(
+      graft.operators.Profiling.sourceKeywords(
+        docs.withColumn("src", (col("doc_id") % 100).cast("string")),
+        col("src"), col("text"), topK = 5).count())
+    require(sk == 500L, s"expected 100 sources x top 5, got $sk")
     val so = time("crossSourceOverlap (5 synthetic sources)")(
       graft.operators.Profiling.crossSourceOverlap(
         docs.withColumn("src", (col("doc_id") % 5).cast("string")),
@@ -170,7 +175,7 @@ object RetrievalSmoke {
       sel.unpersist()
       n
     }
-    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph proxHits=$px fused=$rf corrected=$sc lifecycle=$svL/$svC/$svD budgeted=$tb")
+    println(s"RESULT nDocs=$nDocs bm25Top=$bm blockKept=$blk mpKept=$mp trained=$tr normChars=$nf applied=$ac blends=$qb cardRows=$dc keywords=$sk overlapPairs=$so idxServe=$sv/$sv2 phraseHits=$ph proxHits=$px fused=$rf corrected=$sc lifecycle=$svL/$svC/$svD budgeted=$tb")
     spark.stop()
   }
 }

@@ -247,6 +247,30 @@ class PlanSpec extends SparkTestBase {
     assert(shuffled.forall(cols => !cols.contains("text")), shuffled.toString)
   }
 
+  test("rankingMetrics: ranking broadcasts into the qrels join; doc ids never key an exchange") {
+    import spark.implicits._
+    val ranking = Seq.tabulate(20)(i => ((i % 4).toLong, i.toLong, (i / 4 + 1).toLong))
+      .toDF("query_id", "doc_id", "rank")
+    val qrels = Seq.tabulate(5000)(i => ((i % 4).toLong, i.toLong))
+      .toDF("query_id", "doc_id")
+    val out = Retrieval.rankingMetrics(ranking, qrels, k = 5)
+    out.count()
+    assert(out.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // every exchange carries per-query partial-aggregate rows — raw
+    // (query, doc) qrel pairs never shuffle
+    val shuffled = Scale.shuffleOutputColumns(out)
+    assert(shuffled.forall(cols => !cols.contains("doc_id")), shuffled.toString)
+  }
+
+  test("sourceKeywords: document text never rides an exchange") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = Profiling.sourceKeywords(docs, col("source"), col("text"), topK = 3)
+    out.count()
+    val shuffled = Scale.shuffleOutputColumns(out)
+    assert(shuffled.nonEmpty)
+    assert(shuffled.forall(cols => !cols.contains("text")), shuffled.toString)
+  }
+
   test("trigramCoverage: model joins broadcast; no sort-merge join") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val scored = TextAnalysis.trigramCoverage(
