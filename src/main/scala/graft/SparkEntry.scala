@@ -1650,6 +1650,17 @@ object SparkEntry {
       graft.operators.Retrieval.bm25IndexedTopK(invertedIndexBucketed(s, dir),
         bm25BatchQueries, topK = 10),
       col("score").desc, col("doc_id"))
+    graft.operators.Retrieval.rankingMetrics(
+        ranking, containmentQrels(s, dir), k = 10)
+      .orderBy("query_id")
+  }
+
+  /** Conjunctive term-containment qrels for [[bm25BatchQueries]]: a
+    * document is relevant for a query iff it contains EVERY query
+    * term — one map-only scan via the shared term_freqs struct.
+    * Shared by q168 (sparse eval) and q175 (hybrid eval).
+    */
+  private def containmentQrels(s: SparkSession, dir: String): DataFrame = {
     val allTerms = bm25BatchQueries.flatMap(_._2).distinct.sorted
     val idx = allTerms.zipWithIndex.toMap
     val tf = graft.functions.TextOps.termFreqs(lower(col("text")), allTerms)
@@ -1657,14 +1668,12 @@ object SparkEntry {
       struct(lit(qid).as("query_id"),
         ts.map(t => col("__tfs").getItem(idx(t)) > 0).reduce(_ && _).as("rel"))
     }
-    val qrels = t(s, dir, "documents")
+    t(s, dir, "documents")
       .select(col("doc_id").cast("long").as("doc_id"),
         tf.getField("tfs").as("__tfs"))
       .select(col("doc_id"), explode(array(arms: _*)).as("q"))
       .where(col("q.rel"))
       .select(col("q.query_id").as("query_id"), col("doc_id"))
-    graft.operators.Retrieval.rankingMetrics(ranking, qrels, k = 10)
-      .orderBy("query_id")
   }
 
   /** q168's DuckDB oracle: q151's ranking CTEs + the conjunctive
@@ -1673,14 +1682,22 @@ object SparkEntry {
     * lcm(1..10) = 2520 — every rank divides it, so mrr_scaled is
     * exact.
     */
-  private lazy val retrievalEvalOracleSql: String = {
-    val relArms = bm25BatchQueries.map { case (qid, ts) =>
+  /** Conjunctive qrels arms over a docs CTE (which carries tf_$t
+    * columns) — shared by both eval oracles.
+    */
+  private def relArmsSql(docsCte: String): String =
+    bm25BatchQueries.map { case (qid, ts) =>
       val conds = ts.map(t => s"tf_$t > 0").mkString(" AND ")
-      s"  SELECT $qid AS query_id, doc_id FROM docs WHERE $conds"
+      s"  SELECT $qid AS query_id, doc_id FROM $docsCte WHERE $conds"
     }.mkString("\n UNION ALL\n")
-    s"""WITH ${bm25OracleCtes("")},
-       | topk AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 10),
-       | rel AS (
+
+  /** Metric-arithmetic tail shared by q168/q175: expects `topk`
+    * (query_id, doc_id, rn ≤ 10) and consumes `rel` from relArms.
+    * lcm(1..10) = 2520 — every rank divides it, so mrr_scaled is
+    * exact.
+    */
+  private def evalMetricsTail(relArms: String): String =
+    s""" rel AS (
        |$relArms),
        | nrel AS (SELECT query_id, count(*) AS n_rel FROM rel GROUP BY query_id),
        | hits AS (SELECT t.query_id, count(*) AS hits, min(t.rn) AS first_rel
@@ -1698,6 +1715,41 @@ object SparkEntry {
        | (CASE WHEN n_rel > 0 THEN (hits * 1000000) // n_rel ELSE 0 END)::BIGINT AS recall_scaled,
        | (CASE WHEN first_rel IS NOT NULL THEN 2520 // first_rel ELSE 0 END)::BIGINT AS mrr_scaled
        |FROM m ORDER BY query_id""".stripMargin
+
+  private lazy val retrievalEvalOracleSql: String =
+    s"""WITH ${bm25OracleCtes("")},
+       | topk AS (SELECT query_id, doc_id, rn FROM rk WHERE rn <= 10),
+       |${evalMetricsTail(relArmsSql("docs"))}""".stripMargin
+
+  /** q175's oracle: the RRF fusion CTEs (q164's, verbatim shape) feed
+    * the same metric tail — the hybrid ranking judged against the
+    * same conjunctive qrels as q168's sparse ranking.
+    */
+  private lazy val fusionEvalOracleSql: String =
+    s"""WITH ${bm25OracleCtes("_b")},
+       | ${phraseOracleCtes("_p")},
+       | fused AS (
+       |  SELECT query_id, doc_id, sum(1000000 // (60 + rn)) AS score FROM (
+       |   SELECT query_id, doc_id, rn FROM rk_b WHERE rn <= 10
+       |   UNION ALL SELECT query_id, doc_id, rn FROM rk_p WHERE rn <= 10)
+       |  GROUP BY query_id, doc_id),
+       | frk AS (SELECT query_id, doc_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+       | FROM fused),
+       | topk AS (SELECT query_id, doc_id, rn FROM frk WHERE rn <= 10),
+       |${evalMetricsTail(relArmsSql("docs_b"))}""".stripMargin
+
+  /** Evaluation of the HYBRID ranking: [[qRrfFusion]]'s fused list
+    * judged by rankingMetrics against the same conjunctive qrels as
+    * q168 — the gate composes over any ranking, and the row is
+    * directly comparable with q168's sparse-only metrics.
+    */
+  private def qFusionEval(s: SparkSession, dir: String): DataFrame = {
+    val fused = graft.operators.Retrieval.withRank(
+      qRrfFusion(s, dir), col("score").desc, col("doc_id"))
+    graft.operators.Retrieval.rankingMetrics(
+        fused, containmentQrels(s, dir), k = 10)
+      .orderBy("query_id")
   }
 
   /** Tombstone deletion FROM THE PERSISTED index (the realistic
@@ -3046,6 +3098,7 @@ object SparkEntry {
     "q172_index_stats" -> qIndexStats _,
     "q173_stopwords" -> qStopwords _,
     "q174_source_keywords" -> qSourceKeywords _,
+    "q175_fusion_eval" -> qFusionEval _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -4048,6 +4101,10 @@ object SparkEntry {
       // ranking CTEs + conjunctive qrels + integer-exact metric
       // arithmetic (lcm(1..10)-scaled MRR), all in SQL
       "q168_retrieval_eval" -> retrievalEvalOracleSql,
+
+      // the fused (BM25 + phrase) ranking through the same metric
+      // tail — hybrid vs sparse quality, same qrels
+      "q175_fusion_eval" -> fusionEvalOracleSql,
 
       // remove(build(full), doc_id%5=0) must equal build(filtered):
       // q151's oracle over the filtered corpus
