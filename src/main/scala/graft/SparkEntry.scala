@@ -1812,6 +1812,42 @@ object SparkEntry {
       .orderBy("term")
   }
 
+  /** Diversity-aware exemplar selection: greedy k-center over the
+    * quantized embeddings — 6 farthest-first picks with the coverage
+    * radius each pick certifies. The oracle unrolls all 6 rounds in
+    * SQL (q101's quantization and distance algebra).
+    */
+  private def qKcenterDiverse(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.kCenterGreedy(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 6)
+      .orderBy("pick_order")
+
+  private lazy val kcenterOracleSql: String = {
+    val k = 6
+    val dist =
+      "list_sum([ (q.v[i]-s.v[i])*(q.v[i]-s.v[i]) FOR i IN range(1, len(q.v)+1) ])"
+    val sb = new StringBuilder
+    sb.append("""WITH q AS (
+      | SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v
+      | FROM embeddings),
+      |p0 AS (SELECT id, v, 0::BIGINT AS mind FROM q ORDER BY id LIMIT 1),
+      |sel0 AS (SELECT id, v FROM p0)""".stripMargin)
+    for (r <- 1 until k) {
+      sb.append(s""",
+        |m$r AS (SELECT q.id AS id, min($dist)::BIGINT AS mind
+        | FROM q CROSS JOIN sel${r - 1} s WHERE q.id NOT IN (SELECT id FROM sel${r - 1})
+        | GROUP BY q.id),
+        |p$r AS (SELECT m.id, q.v, m.mind FROM m$r m JOIN q ON q.id = m.id
+        | ORDER BY m.mind DESC, m.id LIMIT 1),
+        |sel$r AS (SELECT id, v FROM sel${r - 1} UNION ALL SELECT id, v FROM p$r)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((0 until k).map(r =>
+        s"SELECT $r::BIGINT AS pick_order, id::BIGINT AS id, mind::BIGINT AS radius FROM p$r")
+      .mkString("", "\nUNION ALL ", "\nORDER BY pick_order"))
+    sb.toString
+  }
+
   /** Shared oracle CTE chain ending in pt(term, df, n_tokens) — the
     * per-term document frequency + token mass over the documents
     * table (exactly the index's term-keyed count, since postings are
@@ -3099,6 +3135,7 @@ object SparkEntry {
     "q173_stopwords" -> qStopwords _,
     "q174_source_keywords" -> qSourceKeywords _,
     "q175_fusion_eval" -> qFusionEval _,
+    "q176_kcenter_diverse" -> qKcenterDiverse _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -4105,6 +4142,10 @@ object SparkEntry {
       // the fused (BM25 + phrase) ranking through the same metric
       // tail — hybrid vs sparse quality, same qrels
       "q175_fusion_eval" -> fusionEvalOracleSql,
+
+      // all 6 farthest-first rounds unrolled: per-round min-distance
+      // to the selected set, argmax with (mind desc, id) tie-break
+      "q176_kcenter_diverse" -> kcenterOracleSql,
 
       // remove(build(full), doc_id%5=0) must equal build(filtered):
       // q151's oracle over the filtered corpus

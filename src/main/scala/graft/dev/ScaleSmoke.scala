@@ -102,6 +102,12 @@ object ScaleSmoke {
     val nd = time(s"embeddingNearDups (B=$ndBuckets)")(
       Dedup.embeddingNearDups(vecs, col("id"), col("vec"),
         threshold = 0.95, nBuckets = ndBuckets).count())
+    // diversity selection: 8 farthest-first rounds, each one codegen'd
+    // map scan + TakeOrdered(1) — cost is k linear passes, k bounded
+    val kc = time("kCenterGreedy (k=8 farthest-first picks)")(
+      graft.operators.Clustering.kCenterGreedy(
+        vecs, col("id"), col("vec"), k = 8).count())
+    require(kc == 8L, s"expected 8 k-center picks, got $kc")
 
     // IVF recall@10 vs brute-force ground truth on a 100k-vector slice
     // (or the full corpus if smaller): the timing stages above prove

@@ -240,6 +240,67 @@ object Clustering {
     * quantized corpus; centroids are a plan literal, so no join and no
     * exchange of any kind.
     */
+  /** Greedy k-center / farthest-first traversal (Gonzalez 1985,
+    * "Clustering to minimize the maximum intercluster distance"):
+    * DIVERSITY-aware exemplar selection — each pick is the point
+    * whose min integer-squared-L2 distance to everything already
+    * selected is LARGEST, the coreset primitive a curation pipeline
+    * uses to "cover the embedding space with k exemplars" (top-k by
+    * score piles onto one mode; farthest-first provably 2-approximates
+    * the optimal k-center cover). Deterministic: the seed is the
+    * lowest id, distance ties break to the lowest id. Output
+    * (pick_order, id, radius) where radius is the picked point's
+    * min-distance to the previously selected set at selection time
+    * (seed radius 0) — radius at pick r IS the k-center coverage
+    * radius of the first r exemplars, and the sequence is
+    * non-increasing.
+    *
+    * Scale shape: ≤ k map-only corpus scans — the per-row
+    * min-distance folds incrementally (`least(prev, d²(v, newest))`,
+    * a codegen'd map over the persisted quantized corpus with the
+    * newest pick riding as a plan literal), the argmax is a
+    * TakeOrdered(1), and driver traffic is ONE (id, vector) row per
+    * round. State persists per round, previous round released (the
+    * iterative-lineage rule k-means follows). Stops early when the
+    * corpus has fewer than k rows.
+    */
+  def kCenterGreedy(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      fpScale: Double = 1000.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var state = df.select(id.cast("long").as("id"),
+      VecOps.fixedPoint(vec, fpScale).as("qv")).persist()
+    val n = state.count()
+    val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    var pickRow = state.orderBy(col("id")).limit(1)
+      .select(col("id"), col("qv"), lit(0L).as("mind")).head()
+    var round = 0
+    while (round < k && round < n) {
+      val pid = pickRow.getLong(0)
+      val pvec = pickRow.getSeq[Long](1).toArray
+      picks += ((round.toLong, pid, pickRow.getLong(2)))
+      if (round + 1 < k && round + 1 < n) {
+        val d = VecOps.nearestCentroid(col("qv"), typedLit(pvec)).getField("dist")
+        val next = state.where(col("id") =!= pid)
+          .withColumn("mind", if (round == 0) d else least(col("mind"), d))
+          .persist()
+        next.count()
+        state.unpersist()
+        state = next
+        pickRow = state.orderBy(col("mind").desc, col("id")).limit(1)
+          .select(col("id"), col("qv"), col("mind")).head()
+      }
+      round += 1
+    }
+    state.unpersist()
+    picks.toSeq.toDF("pick_order", "id", "radius")
+  }
+
   private def assignStep(q: DataFrame, cents: Array[Array[Long]]): DataFrame =
     q.select(col("id"), col("qv"),
         VecOps.nearestCentroid(col("qv"), typedLit(cents.flatten)).as("nc"))

@@ -195,4 +195,61 @@ class ClusteringSpec extends SparkTestBase {
     assert(plan.contains("vec_nearest_centroid"), s"native assignment missing:\n$plan")
     assert(!plan.contains("Join"), s"centroids must ride as a literal, not a join:\n$plan")
   }
+
+  test("kCenterGreedy: hand-computed farthest-first picks, radii, and tie-break") {
+    import spark.implicits._
+    // 1-D points 0, 10, 4, 6 (quantized ×1000). Seed = lowest id (pt 0).
+    // Pick 1: farthest from 0 is 10 (d² = 1e8). Pick 2: minds
+    // {4: 16e6, 6: 16e6} tie at 16e6 -> lowest id wins (id 2, pt 4).
+    // Pick 3: pt 6's min-dist to {0, 10, 4} = 4e6.
+    val df = Seq((0L, Seq(0f)), (1L, Seq(10f)), (2L, Seq(4f)), (3L, Seq(6f)))
+      .toDF("id", "vec")
+    val out = Clustering.kCenterGreedy(df, col("id"), col("vec"), k = 4)
+      .orderBy("pick_order").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 0L),
+      (1L, 1L, 100000000L),
+      (2L, 2L, 16000000L),
+      (3L, 3L, 4000000L)))
+  }
+
+  test("kCenterGreedy equals the brute-force greedy on random vectors; k > n stops early") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(97)
+    val pts = Seq.tabulate(30)(i => (i.toLong, Seq.fill(4)(rnd.nextFloat() * 10f)))
+    val got = Clustering.kCenterGreedy(pts.toDF("id", "vec"),
+        col("id"), col("vec"), k = 6)
+      .orderBy("pick_order").as[(Long, Long, Long)].collect().toSeq
+    val q = pts.map { case (i, v) =>
+      (i, v.map(x => math.floor(x * 1000.0 + 0.5).toLong))
+    }
+    def d2(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var sel = Vector(q.minBy(_._1))
+    var want = Vector((0L, sel.head._1, 0L))
+    for (r <- 1 until 6) {
+      val cand = q.filterNot(p => sel.exists(_._1 == p._1))
+        .map(p => (p, sel.map(s => d2(p._2, s._2)).min))
+      val best = cand.sortBy { case (p, m) => (-m, p._1) }.head
+      sel :+= best._1
+      want :+= ((r.toLong, best._1._1, best._2))
+    }
+    assert(got == want)
+    // fewer points than k: one pick per point, seed first
+    val tiny = Seq((5L, Seq(1f)), (9L, Seq(2f))).toDF("id", "vec")
+    val short = Clustering.kCenterGreedy(tiny, col("id"), col("vec"), k = 10)
+      .orderBy("pick_order").as[(Long, Long, Long)].collect().toSeq
+    assert(short.map(_._2) == Seq(5L, 9L) && short.length == 2)
+  }
+
+  test("kCenterGreedy: radii are non-increasing (coverage-radius certificate)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(101)
+    val pts = Seq.tabulate(50)(i => (i.toLong, Seq.fill(3)(rnd.nextFloat() * 5f)))
+    val radii = Clustering.kCenterGreedy(pts.toDF("id", "vec"),
+        col("id"), col("vec"), k = 8)
+      .orderBy("pick_order").as[(Long, Long, Long)].collect().toSeq
+      .drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse, radii.toString)
+  }
 }
