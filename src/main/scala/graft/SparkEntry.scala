@@ -880,6 +880,137 @@ object SparkEntry {
     graft.operators.Graph.triangleStats(pairs, col("src"), col("dst"))
   }
 
+  /** The sampled event-succession user graph: an edge between the
+    * users of consecutive events (per event_type, time order) over a
+    * deterministic 1/16 event sample — a sparse interaction graph
+    * with Poisson-like degrees, which is the regime where k-core
+    * peeling and label propagation have real dynamics (the co-shipping
+    * graph is near-complete, so every node trivially survives any
+    * small-k peel). The lead window is PARTITIONED by event_type —
+    * never a global single-task sort.
+    */
+  private def eventUserPairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").where(col("event_id") % 16 === 3)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("ts"), col("event_id"))
+    ev.select(col("user_id"), lead(col("user_id"), 1).over(w).as("nxt"))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(col("user_id").as("src"), col("nxt").as("dst"))
+  }
+
+  /** 6-round synchronous k-core peel (k = 6) of the event-succession
+    * user graph: surviving users with their within-survivor degree.
+    * The fixture cascades for all six rounds (147 → 110 → 97 → 89 →
+    * 84 → 81 → 79 nodes at sf0.01) — a real peel, not a one-shot
+    * degree filter.
+    */
+  private def qKCore(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.kCore(eventUserPairs(s, dir),
+      col("src"), col("dst"), k = 6, rounds = 6)
+      .orderBy("node")
+
+  /** 3-round synchronous label-propagation communities over the
+    * event-succession user graph (most-frequent neighbor label,
+    * smallest-label tie-break): per-node community label.
+    */
+  private def qLabelProp(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(eventUserPairs(s, dir),
+      col("src"), col("dst"), rounds = 3)
+      .orderBy("node")
+
+  /** Pairwise supplier comparisons derived from shared orders: for
+    * every order and every supplier pair on it, the supplier shipping
+    * the larger total quantity wins (tie → the smaller suppkey).
+    * Quantities are integral in the fixture, summed as longs — no
+    * float comparison anywhere.
+    */
+  private def supplierComparisons(s: SparkSession, dir: String): DataFrame = {
+    val oq = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("o"), col("l_suppkey").as("sk"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    oq.as("a").join(oq.as("b"),
+        col("a.o") === col("b.o") && col("a.sk") < col("b.sk"))
+      .select(
+        when(col("a.q") >= col("b.q"), col("a.sk")).otherwise(col("b.sk")).as("winner"),
+        when(col("a.q") >= col("b.q"), col("b.sk")).otherwise(col("a.sk")).as("loser"))
+  }
+
+  /** Per-item preference summary (wins, losses, exact ppm win rate,
+    * Borda score) over the supplier comparison set.
+    */
+  private def qPrefWinRates(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.winRates(
+      supplierComparisons(s, dir), col("winner"), col("loser"))
+      .orderBy("item")
+
+  /** Preference-consistency audit: compared pairs, exact ties,
+    * majority edges, and intransitive majority 3-cycles — one row.
+    */
+  private def qPrefAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.consistencyAudit(
+      supplierComparisons(s, dir), col("winner"), col("loser"))
+
+  /** Bradley–Terry supplier strengths: 3 integer-exact MM rounds over
+    * the shared-order comparison set; wins, games, and the learned
+    * fixed-point strength per supplier.
+    */
+  private def qBradleyTerry(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.bradleyTerry(
+      supplierComparisons(s, dir), col("winner"), col("loser"), iters = 3)
+      .orderBy("item")
+
+  /** k-anonymity / l-diversity profile of the customer table under
+    * quasi-identifiers (nation, account-balance thousand-bucket) with
+    * market segment as the sensitive attribute; k = 5, l = 3.
+    */
+  private def qKAnonymity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityProfile(
+      t(s, dir, "customer"),
+      Seq(col("c_nationkey"),
+        floor(col("c_acctbal") / 1000d).cast("long").as("bal_bucket")),
+      col("c_mktsegment"), k = 5, l = 3)
+      .orderBy("c_nationkey", "bal_bucket")
+
+  /** Local-DP randomized-response collection over the documents table
+    * (sensitive bit: length ≥ 500 chars), debiased per source in
+    * exact integer arithmetic.
+    */
+  private def qRandomizedResponse(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.rrEstimate(
+      t(s, dir, "documents"), col("doc_id"),
+      col("n_chars") >= 500, col("source"), seed = 11L)
+      .orderBy("grp")
+
+  /** Per-user trailing-5-row feature engineering over the events
+    * table: previous value, inter-arrival gap, rolling sum/count/
+    * min/max — all integer-exact cents/micros.
+    */
+  private def qRollingFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.rollingFeatures(
+      t(s, dir, "events"), col("user_id"), expr("ts div 1000"),
+      col("value"), col("event_id"), n = 5)
+      .orderBy("key", "ts_us", "id")
+
+  /** ORC export certified through the contract (q116's JSONL pattern):
+    * documents range-shard exported to ORC, read BACK from the written
+    * files, summarized per language with a content-hash sum the
+    * oracle reproduces from the original parquet.
+    */
+  private def qOrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_orc_export", digest).toString
+    graft.operators.Scale.writeRangeShardedOrc(docs, col("doc_id"), 4, out).collect()
+    s.read.orc(out)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000000007L)
+          .as("content_hash"))
+      .orderBy("lang")
+  }
+
   /** Seeded deterministic training-order permutation into 8 shards. */
   private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.shuffleShards(
@@ -3136,6 +3267,15 @@ object SparkEntry {
     "q174_source_keywords" -> qSourceKeywords _,
     "q175_fusion_eval" -> qFusionEval _,
     "q176_kcenter_diverse" -> qKcenterDiverse _,
+    "q177_kcore" -> qKCore _,
+    "q178_label_prop" -> qLabelProp _,
+    "q179_pref_winrates" -> qPrefWinRates _,
+    "q180_pref_audit" -> qPrefAudit _,
+    "q181_kanonymity" -> qKAnonymity _,
+    "q182_randomized_response" -> qRandomizedResponse _,
+    "q183_rolling_features" -> qRollingFeatures _,
+    "q184_orc_roundtrip" -> qOrcRoundtrip _,
+    "q185_bradley_terry" -> qBradleyTerry _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -5704,8 +5844,177 @@ object SparkEntry {
           |  FROM joined)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // 6 unrolled synchronous peel rounds: each round keeps nodes
+      // with >= 6 neighbors among the previous round's survivors
+      "q177_kcore" ->
+        (eventGraphCtes +
+          (", a0 AS (SELECT DISTINCT n FROM adj)" +
+            (1 to 6).map { r =>
+              val p = if (r == 1) "a0" else s"a${r - 1}"
+              s""",
+                 | d$r AS (SELECT adj.n, count(*) AS deg FROM adj
+                 |   JOIN $p s ON adj.n = s.n JOIN $p t ON adj.m = t.n GROUP BY adj.n),
+                 | a$r AS (SELECT n FROM d$r WHERE deg >= 6)""".stripMargin
+            }.mkString) +
+          """
+            |SELECT n::BIGINT AS node, deg::BIGINT AS deg
+            |FROM d6 WHERE deg >= 6 ORDER BY node""".stripMargin),
+
+      // 3 unrolled synchronous label-propagation rounds: every node
+      // adopts its neighbors' most frequent label, ties to smallest
+      "q178_label_prop" ->
+        (eventGraphCtes +
+          (", l0 AS (SELECT DISTINCT n AS node, n AS label FROM adj)" +
+            (1 to 3).map { r =>
+              s""",
+                 | c$r AS (SELECT adj.n, l.label, count(*) AS c
+                 |   FROM adj JOIN l${r - 1} l ON adj.m = l.node GROUP BY adj.n, l.label),
+                 | l$r AS (SELECT n AS node, label FROM (
+                 |   SELECT n, label, row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rk
+                 |   FROM c$r) WHERE rk = 1)""".stripMargin
+            }.mkString) +
+          """
+            |SELECT node::BIGINT AS node, label::BIGINT AS label
+            |FROM l3 ORDER BY node""".stripMargin),
+
+      // exact ppm win rate and Borda score per supplier; floor
+      // division on non-negative BIGINTs = Spark div
+      "q179_pref_winrates" ->
+        (supplierCompsCtes +
+          """,
+            | t AS (SELECT winner AS item, 1 AS w, 0 AS l FROM comps
+            |       UNION ALL SELECT loser, 0, 1 FROM comps),
+            | agg AS (SELECT item, sum(w) AS wins, sum(l) AS losses FROM t GROUP BY item)
+            |SELECT item::BIGINT AS item, wins::BIGINT AS wins, losses::BIGINT AS losses,
+            | (wins * 1000000 // (wins + losses))::BIGINT AS winrate_ppm,
+            | (wins - losses)::BIGINT AS borda
+            |FROM agg ORDER BY item""".stripMargin),
+
+      // majority relation + directed 3-cycles counted once at their
+      // smallest vertex (a < b, a < c pins one rotation)
+      "q180_pref_audit" ->
+        (supplierCompsCtes +
+          """,
+            | d AS (SELECT least(winner, loser) AS lo, greatest(winner, loser) AS hi,
+            |   sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS lw,
+            |   sum(CASE WHEN winner > loser THEN 1 ELSE 0 END) AS hw
+            |  FROM comps GROUP BY lo, hi),
+            | maj AS (SELECT CASE WHEN lw > hw THEN lo ELSE hi END AS a,
+            |         CASE WHEN lw > hw THEN hi ELSE lo END AS b
+            |         FROM d WHERE lw <> hw),
+            | np AS (SELECT count(*) AS c FROM d),
+            | nt AS (SELECT count(*) AS c FROM d WHERE lw = hw),
+            | nm AS (SELECT count(*) AS c FROM maj),
+            | nc AS (SELECT count(*) AS c FROM maj e1
+            |   JOIN maj e2 ON e1.b = e2.a
+            |   JOIN maj e3 ON e2.b = e3.a AND e3.b = e1.a
+            |   WHERE e1.a < e1.b AND e1.a < e2.b)
+            |SELECT np.c::BIGINT AS n_pairs, nt.c::BIGINT AS n_ties,
+            | nm.c::BIGINT AS n_majority_edges, nc.c::BIGINT AS n_cycles
+            |FROM np, nt, nm, nc""".stripMargin),
+
+      // 3 unrolled integer MM rounds (S = 10⁶): d_i sums the scaled
+      // pair terms, w updates by floor division; // on non-negative
+      // BIGINTs = Spark div
+      "q185_bradley_terry" ->
+        (supplierCompsCtes +
+          (""",
+             | pair AS (SELECT least(winner, loser) AS i, greatest(winner, loser) AS j,
+             |          count(*) AS n FROM comps GROUP BY i, j),
+             | sym AS (SELECT i AS a, j AS b, n FROM pair UNION ALL SELECT j, i, n FROM pair),
+             | stats AS (SELECT its.a AS item, coalesce(wn.c, 0) AS wins
+             |  FROM (SELECT DISTINCT a FROM sym) its
+             |  LEFT JOIN (SELECT winner, count(*) AS c FROM comps GROUP BY winner) wn
+             |    ON its.a = wn.winner),
+             | w0 AS (SELECT item, 1000000 AS w FROM stats)""".stripMargin +
+            (1 to 3).map { r =>
+              s""",
+                 | d$r AS (SELECT sym.a, sum(sym.n * 1000000000000 // greatest(wa.w + wb.w, 1)) AS d
+                 |  FROM sym JOIN w${r - 1} wa ON sym.a = wa.item
+                 |           JOIN w${r - 1} wb ON sym.b = wb.item GROUP BY sym.a),
+                 | w$r AS (SELECT s.item, s.wins * 1000000000000 // greatest(coalesce(d$r.d, 0), 1) AS w
+                 |  FROM stats s LEFT JOIN d$r ON s.item = d$r.a)""".stripMargin
+            }.mkString) +
+          """,
+            | games AS (SELECT a AS item, sum(n) AS games FROM sym GROUP BY a)
+            |SELECT s.item::BIGINT AS item, s.wins::BIGINT AS wins,
+            | g.games::BIGINT AS games, w3.w::BIGINT AS strength
+            |FROM stats s JOIN games g ON s.item = g.item JOIN w3 ON s.item = w3.item
+            |ORDER BY item""".stripMargin),
+
+      "q181_kanonymity" ->
+        """SELECT c_nationkey, floor(c_acctbal / 1000)::BIGINT AS bal_bucket,
+          | count(*)::BIGINT AS class_size,
+          | count(DISTINCT c_mktsegment)::BIGINT AS n_sensitive,
+          | count(*) >= 5 AS k_anonymous,
+          | count(DISTINCT c_mktsegment) >= 3 AS l_diverse
+          |FROM customer GROUP BY c_nationkey, bal_bucket
+          |ORDER BY c_nationkey, bal_bucket""".stripMargin,
+
+      // the q134 two-round modular Knuth hash (seed 11) drives both
+      // coins; 6·T-hat = 8·reported − n keeps the unbiased estimator
+      // in exact integers
+      "q182_randomized_response" ->
+        """WITH h AS (SELECT doc_id, source, n_chars >= 500 AS v,
+          |  (((doc_id % 1000000007) * 2654435761) % 1000000007 + 11) * 2654435761 % 1000000007 AS hh
+          | FROM documents),
+          | r AS (SELECT source, CASE WHEN hh % 4 < 3 THEN v ELSE ((hh // 4) % 2 = 1) END AS reported
+          |       FROM h)
+          |SELECT source AS grp, count(*)::BIGINT AS n,
+          | sum(CASE WHEN reported THEN 1 ELSE 0 END)::BIGINT AS reported_true,
+          | (8 * sum(CASE WHEN reported THEN 1 ELSE 0 END) - count(*))::BIGINT AS est_true_x6
+          |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+
+      // integer cents (floor(value·100) is IEEE-exact both engines)
+      // and epoch micros; ROWS frames with a total (ts, id) order
+      "q183_rolling_features" ->
+        """SELECT event_id AS id, user_id AS key, epoch_us(ts)::BIGINT AS ts_us,
+          | floor(value * 100)::BIGINT AS v_c,
+          | lag(floor(value * 100)::BIGINT) OVER w AS prev_v_c,
+          | epoch_us(ts)::BIGINT - lag(epoch_us(ts)::BIGINT) OVER w AS gap_us,
+          | (sum(floor(value * 100)::BIGINT) OVER w5)::BIGINT AS roll_sum_c,
+          | count(*) OVER w5 AS roll_n,
+          | min(floor(value * 100)::BIGINT) OVER w5 AS roll_min_c,
+          | max(floor(value * 100)::BIGINT) OVER w5 AS roll_max_c
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+          | w5 AS (PARTITION BY user_id ORDER BY ts, event_id
+          |        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+          |ORDER BY key, ts_us, id""".stripMargin,
+
+      // q116's certification summary — identical content-hash algebra,
+      // reproduced from the original parquet against the ORC readback
+      "q184_orc_roundtrip" ->
+        """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+          | sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007)::BIGINT AS content_hash
+          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     )
   }
+
+  /** Shared CTE prefix for the graph contract queries q177/q178: the
+    * sampled event-succession user graph (und = canonical undirected
+    * edges, adj = symmetric adjacency).
+    */
+  private val eventGraphCtes: String =
+    """WITH seq AS (SELECT user_id,
+      |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+      |  FROM events WHERE event_id % 16 = 3),
+      | und AS (SELECT DISTINCT least(user_id, nxt) AS u, greatest(user_id, nxt) AS v
+      |  FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+      | adj AS (SELECT u AS n, v AS m FROM und UNION ALL SELECT v, u FROM und)""".stripMargin
+
+  /** Shared CTE prefix for the preference queries q179/q180: supplier
+    * pairwise comparisons from shared orders (larger total quantity
+    * wins, tie → smaller suppkey).
+    */
+  private val supplierCompsCtes: String =
+    """WITH oq AS (SELECT l_orderkey AS o, l_suppkey AS sk, sum(l_quantity::BIGINT) AS q
+      |  FROM lineitem GROUP BY o, sk),
+      | comps AS (SELECT
+      |   CASE WHEN a.q >= b.q THEN a.sk ELSE b.sk END AS winner,
+      |   CASE WHEN a.q >= b.q THEN b.sk ELSE a.sk END AS loser
+      |  FROM oq a JOIN oq b ON a.o = b.o AND a.sk < b.sk)""".stripMargin
 
   /** Oracle rows that deliberately REUSE another query's SQL: the
     * batched BPE trainer's contract is bit-equality with the

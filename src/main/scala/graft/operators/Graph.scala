@@ -200,4 +200,118 @@ object Graph {
     val nEdges = und.agg(count(lit(1)).as("n_edges"))
     nNodes.crossJoin(nEdges).crossJoin(nTri)
   }
+
+  /** Synchronous k-core peel of the undirected simple graph induced by
+    * an edge list: starting from all nodes, each round simultaneously
+    * removes every node whose degree AMONG SURVIVORS is below `k`,
+    * for exactly `rounds` rounds. Returns the surviving nodes with
+    * their within-survivor degree — when the peel has converged inside
+    * `rounds` (round R = round R−1, checkable by re-running with
+    * rounds+1), this IS the k-core with in-core degrees; otherwise it
+    * is the pinned round-R peel state, bit-identical across engines
+    * and partitionings either way (the same fixed-round contract as
+    * [[pageRank]]).
+    *
+    * Scale shape: the symmetric adjacency (2·edges rows of two longs)
+    * is shuffled ONCE into an n-partitioned persisted cache; each
+    * round ships only the skinny survivor set — once to probe the
+    * n-side (co-partitioned with the cache, no adjacency movement)
+    * and once hashed by m for the neighbor-liveness semi-join — and
+    * the degree count is map-side combined, so per-round exchange
+    * volume is O(survivors + live-edge partial counts), never the
+    * adjacency itself. Peeling needs O(degeneracy) rounds in the
+    * worst case; callers pick `rounds` per graph (social/web graphs
+    * settle in a few dozen).
+    */
+  def kCore(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      k: Int,
+      rounds: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(a.cast("long"), b.cast("long")).as("u"),
+        greatest(a.cast("long"), b.cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val adj = und.select(col("u").as("n"), col("v").as("m"))
+      .union(und.select(col("v").as("n"), col("u").as("m")))
+      .repartition(col("n")).persist()
+    // localCheckpoint, not persist: each round references the survivor
+    // frame TWICE (self- and neighbor-liveness), so without lineage
+    // truncation the LOGICAL plan doubles per round and Catalyst
+    // analysis goes exponential (~0.3 s round 1 → ~9 s round 6 on a
+    // 147-node graph — planning, not data). Eager checkpoints give
+    // every round a flat leaf plan (dedupGroups' doubling-loop shape);
+    // superseded checkpoint blocks are released by the ContextCleaner.
+    var survivors = adj.select(col("n")).distinct()
+      .withColumn("deg", lit(0L)).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val alive = survivors.select("n")
+      val deg = adj
+        .join(alive, "n") // self alive; reuses adj's n-partitioning
+        .join(alive.withColumnRenamed("n", "m"), "m") // neighbor alive
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      survivors = deg.where(col("deg") >= k).localCheckpoint(true)
+    }
+    adj.unpersist()
+    survivors.select(col("n").as("node"), col("deg"))
+  }
+
+  /** Synchronous label-propagation community detection: every node
+    * starts labeled with its own id; each round, every node
+    * simultaneously adopts the most frequent label among its
+    * neighbors (ties broken toward the smallest label), for exactly
+    * `rounds` rounds. Deterministic by construction — no random tie
+    * coin, no visit order — so the result is bit-identical across
+    * engines and partitionings; `rounds` is the pinned contract (LPA
+    * famously oscillates on bipartite structures, so a fixpoint claim
+    * would be unsound in general).
+    *
+    * Scale shape: the symmetric adjacency is shuffled ONCE into an
+    * m-partitioned persisted cache (m is the join key every round —
+    * labels are looked up at the NEIGHBOR end); per round, the skinny
+    * (node, label) table ships to the cache's partitioning, the
+    * (n, label) frequency count is map-side combined, and the argmax
+    * is one more aggregate over at most one row per distinct
+    * (node, neighbor-label) — no window, no sort. Nothing wider than
+    * three longs crosses any exchange.
+    */
+  def labelPropagation(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val und = edges
+      .select(least(a.cast("long"), b.cast("long")).as("u"),
+        greatest(a.cast("long"), b.cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+    val adj = und.select(col("u").as("n"), col("v").as("m"))
+      .union(und.select(col("v").as("n"), col("u").as("m")))
+      .repartition(col("m")).persist()
+    var labels = adj.select(col("n").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).persist()
+    labels.count()
+    for (_ <- 1 to rounds) {
+      // max(struct(cnt, -label)) = highest count, then smallest label —
+      // the deterministic argmax without a window sort
+      val next = adj
+        .join(labels.withColumnRenamed("node", "m"), "m")
+        .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("n"))
+        .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
+        .select(col("n").as("node"), (-col("best.neg")).as("label"))
+        .persist()
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    adj.unpersist()
+    // the RETURNED table stays persisted for the caller to release
+    labels
+  }
 }

@@ -231,6 +231,27 @@ object Scale {
       .orderBy("shard")
   }
 
+  /** Deterministic range-sharded ORC export — the columnar interchange
+    * format for warehouses standardized on the Hive stack. Same
+    * contract as the parquet/JSONL exporters: shard boundaries from
+    * the exact key histogram, one dynamic-partition write pass, and a
+    * (shard, n_rows, min_key, max_key) manifest re-aggregated from
+    * the WRITTEN files so it certifies the export.
+    */
+  def writeRangeShardedOrc(df: DataFrame, key: Column, nShards: Int,
+      path: String): DataFrame = {
+    val bounds = rangeShardBoundaries(df, key, nShards)
+    withRangeShard(df, key, bounds)
+      .write.mode("overwrite").partitionBy("shard").orc(path)
+    val spark = df.sparkSession
+    spark.read.orc(path)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_rows"),
+        min(key.cast("long")).as("min_key"),
+        max(key.cast("long")).as("max_key"))
+      .orderBy("shard")
+  }
+
   /** Per-shard export manifest: row count and key range — the
     * release-artifact summary of a deterministic sharded export.
     */

@@ -178,4 +178,75 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long, Long)].head()
     assert(r == ((41L, 79L, 39L)))
   }
+
+  test("kCore: triangle with pendant — pendant peels, core survives with degrees") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 4L)).toDF("a", "b")
+    val r1 = Graph.kCore(e, col("a"), col("b"), k = 2, rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // round 1 degrees are over ALL nodes: 1 has {2,3,4}
+    assert(r1 == Map(1L -> 3L, 2L -> 2L, 3L -> 2L))
+    val r2 = Graph.kCore(e, col("a"), col("b"), k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 2: pendant gone, node 1's in-core degree drops to 2
+    assert(r2 == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("kCore: path graph cascades to empty") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    // round 1 peels the ends, round 2 peels 2 and 4, round 3 strands 3
+    val r2 = Graph.kCore(e, col("a"), col("b"), k = 2, rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 == Map(3L -> 2L))
+    val r3 = Graph.kCore(e, col("a"), col("b"), k = 2, rounds = 3)
+      .as[(Long, Long)].collect()
+    assert(r3.isEmpty)
+  }
+
+  test("kCore: converged peel is a fixpoint and deterministic across partitionings") {
+    val e = spark.range(3000)
+      .select((col("id") % 101).as("a"), ((col("id") * 13) % 97).as("b"))
+      .where(col("a") =!= col("b"))
+    val r4 = Graph.kCore(e.repartition(1), col("a"), col("b"), k = 44, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    val r5 = Graph.kCore(e.repartition(9, col("b")), col("a"), col("b"), k = 44, rounds = 5)
+      .as[(Long, Long)].collect().toMap
+    // dense-ish random graph: settled by round 4, so rounds 4 and 5
+    // agree under different partitionings — fixpoint + determinism
+    assert(r4.nonEmpty && r4 == r5)
+  }
+
+  test("labelPropagation: star oscillates deterministically — pinned rounds") {
+    val e = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+    val r1 = Graph.labelPropagation(e, col("a"), col("b"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    // center adopts the smallest leaf label (three-way count tie);
+    // every leaf adopts the center's label
+    assert(r1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    val r2 = Graph.labelPropagation(e, col("a"), col("b"), rounds = 2)
+      .as[(Long, Long)].collect().toMap
+    // round 2: center's neighbors all carry 1 -> center 1; leaves see 2
+    assert(r2 == Map(1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 2L))
+  }
+
+  test("labelPropagation: two cliques with a bridge keep distinct communities") {
+    val c1 = for { u <- 1L to 4L; v <- (u + 1) to 4L } yield (u, v)
+    val c2 = for { u <- 11L to 14L; v <- (u + 1) to 14L } yield (u, v)
+    val e = (c1 ++ c2 :+ ((4L, 11L))).toDF("a", "b")
+    val r = Graph.labelPropagation(e, col("a"), col("b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    // each clique converges to its own minimum-id label
+    assert((1L to 4L).map(r).toSet == Set(1L))
+    assert((12L to 14L).map(r).toSet == Set(11L))
+  }
+
+  test("labelPropagation: deterministic across partitionings") {
+    val e = spark.range(4000)
+      .select((col("id") % 211).as("a"), ((col("id") * 17) % 199).as("b"))
+      .where(col("a") =!= col("b"))
+    val x = Graph.labelPropagation(e.repartition(1), col("a"), col("b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    val y = Graph.labelPropagation(e.repartition(7, col("a")), col("a"), col("b"), rounds = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(x == y)
+  }
 }
