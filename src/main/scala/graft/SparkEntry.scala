@@ -958,6 +958,145 @@ object SparkEntry {
       supplierComparisons(s, dir), col("winner"), col("loser"), iters = 3)
       .orderBy("item")
 
+  /** Leave-one-out smoothed target encoding of order priority against
+    * the high-value flag (total price ≥ 150k), smoothing m = 20 — the
+    * leakage-safe categorical feature, ppm-exact.
+    */
+  private def qTargetEncoding(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.targetEncode(
+      t(s, dir, "orders"), col("o_orderkey"),
+      col("o_orderpriority"), col("o_totalprice") >= 150000d, m = 20)
+      .orderBy("id")
+
+  /** The two deterministic document "annotators" behind q187/q192: a
+    * char-length bucketer and a token-count bucketer, 3 labels each.
+    */
+  private def docLabelers: (Column, Column) = {
+    val nTok = size(filter(split(lower(trim(col("text"))), "\\s+"), x => x =!= ""))
+      .cast("long")
+    (when(col("n_chars") >= 1000, 2L).when(col("n_chars") >= 500, 1L).otherwise(0L),
+      when(nTok >= 170, 2L).when(nTok >= 85, 1L).otherwise(0L))
+  }
+
+  /** Cohen's kappa between two deterministic document labelers (a
+    * char-length bucketer vs a token-count bucketer, 3 labels each):
+    * one exact ppm agreement summary row.
+    */
+  private def qKappaAgreement(s: SparkSession, dir: String): DataFrame = {
+    val (la, lb) = docLabelers
+    graft.operators.Agreement.cohenKappa(t(s, dir, "documents"), la, lb)
+  }
+
+  /** Confusion matrix of the q187 annotator pair: per observed label
+    * pair, its count and exact ppm share — WHICH labels get confused.
+    */
+  private def qConfusionMatrix(s: SparkSession, dir: String): DataFrame = {
+    val (la, lb) = docLabelers
+    graft.operators.Agreement.confusionMatrix(t(s, dir, "documents"), la, lb)
+      .orderBy("label_a", "label_b")
+  }
+
+  /** Hashing-trick featurization of the first 200 documents into 64
+    * signed slots: sparse (doc, slot, value) triples, zero
+    * cancellations dropped.
+    */
+  private def qFeatureHashing(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.hashFeatures(
+      t(s, dir, "documents").where(col("doc_id") < 200),
+      col("doc_id"), col("text"), dim = 64)
+      .orderBy("id", "slot")
+
+  /** 2-round integer-exact HITS over the directed event-succession
+    * user graph: per-node authority and hub scores, max-normalized to
+    * scale 10⁶ each half-step.
+    */
+  private def qHits(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.hits(eventUserPairs(s, dir),
+      col("src"), col("dst"), iters = 2, scale = 1000000L)
+      .orderBy("node")
+
+  /** Personalized PageRank from the `user_id % 10 = 3` seed set over
+    * the event-succession multigraph: 3 integer-exact rounds, restart
+    * mass pinned to the seeds.
+    */
+  private def qPersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = eventUserPairs(s, dir)
+    val seeds = pairs.select(col("src").as("node"))
+      .union(pairs.select(col("dst").as("node")))
+      .distinct().where(col("node") % 10 === 3)
+    graft.operators.Graph.personalizedPageRank(
+      pairs, col("src"), col("dst"), seeds, col("node"), iters = 3)
+      .orderBy("node")
+  }
+
+  /** Calibration curve of the alphabetic-character-ratio quality score
+    * against the long-document label (≥ 500 chars), 10 fixed-width
+    * ppm bins: per-bin count, positives, and exact ppm positive rate.
+    */
+  private def qCalibration(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha_n"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("len_n"),
+        (col("n_chars") >= 500).as("label"))
+      .select(expr("alpha_n * 1000000L div len_n").as("score_ppm"), col("label"))
+    graft.operators.Training.calibrationBins(
+      scored, col("score_ppm"), col("label"), nBins = 10)
+      .orderBy("bin")
+  }
+
+  /** Exact tie-aware ROC AUC of the alphabetic-ratio quality score
+    * against the long-document label — the Mann–Whitney rank
+    * statistic in ppm, one summary row.
+    */
+  private def qAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha_n"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("len_n"),
+        (col("n_chars") >= 500).as("label"))
+      .select(expr("alpha_n * 1000000L div len_n").as("score_ppm"), col("label"))
+    graft.operators.Training.aucExact(scored, col("score_ppm"), col("label"))
+  }
+
+  /** First-order Markov transition matrix of per-user event-type
+    * sequences: per (from, to) state pair, the transition count and
+    * exact ppm row-conditional probability.
+    */
+  private def qMarkovTransitions(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Relational.transitionMatrix(
+      t(s, dir, "events"), col("user_id"), col("event_type"),
+      col("ts"), col("event_id"))
+      .orderBy("from_state", "to_state")
+
+  /** Common-neighbor link prediction over the event-succession user
+    * graph: deterministic top-50 non-adjacent pairs by exact
+    * neighborhood-Jaccard ppm, wedge centers capped at degree 12
+    * (the cap binds — 17 of the 147 sf0.01 nodes exceed it).
+    */
+  private def qLinkPrediction(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.linkPrediction(eventUserPairs(s, dir),
+      col("src"), col("dst"), maxWedgeDegree = 12, topK = 50)
+
+  /** Word-3-gram contamination rate of every train document (doc_id %
+    * 97 ≠ 0) against the held-out eval slice (doc_id % 97 = 0): per
+    * doc, distinct 3-grams, benchmark hits, exact ppm rate.
+    */
+  private def qNgramContamination(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    graft.operators.Dedup.contaminationRate(
+      docs.where(col("doc_id") % 97 =!= 0), col("doc_id"), col("text"),
+      docs.where(col("doc_id") % 97 === 0), col("text"), n = 3)
+      .orderBy("id")
+  }
+
+  /** Within-source rank normalization of document length: exact
+    * min-rank percentile ppm per (source, n_chars) — the cross-source
+    * score calibrator.
+    */
+  private def qRankNormalize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Features.rankNormalize(
+      t(s, dir, "documents"), col("doc_id"), col("source"), col("n_chars"))
+      .orderBy("id")
+
   /** k-anonymity / l-diversity profile of the customer table under
     * quasi-identifiers (nation, account-balance thousand-bucket) with
     * market segment as the sensitive attribute; k = 5, l = 3.
@@ -3276,6 +3415,18 @@ object SparkEntry {
     "q183_rolling_features" -> qRollingFeatures _,
     "q184_orc_roundtrip" -> qOrcRoundtrip _,
     "q185_bradley_terry" -> qBradleyTerry _,
+    "q186_target_encoding" -> qTargetEncoding _,
+    "q187_kappa_agreement" -> qKappaAgreement _,
+    "q188_feature_hashing" -> qFeatureHashing _,
+    "q189_hits" -> qHits _,
+    "q190_ppr" -> qPersonalizedPagerank _,
+    "q191_calibration" -> qCalibration _,
+    "q192_confusion_matrix" -> qConfusionMatrix _,
+    "q193_auc" -> qAuc _,
+    "q194_markov_transitions" -> qMarkovTransitions _,
+    "q195_link_prediction" -> qLinkPrediction _,
+    "q196_ngram_contamination" -> qNgramContamination _,
+    "q197_rank_normalize" -> qRankNormalize _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -5989,6 +6140,235 @@ object SparkEntry {
         """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
           | sum(('0x'||substr(md5(text),1,15))::BIGINT % 1000000007)::BIGINT AS content_hash
           |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+      // leave-one-out smoothing: the row's own label is excluded from
+      // its category's statistics; // on non-negative BIGINTs = div
+      "q186_target_encoding" ->
+        """WITH r AS (SELECT o_orderkey AS id, o_orderpriority AS cat,
+          |  CASE WHEN o_totalprice >= 150000 THEN 1 ELSE 0 END AS y FROM orders),
+          | p AS (SELECT sum(y) * 1000000 // count(*) AS prior_ppm FROM r),
+          | ca AS (SELECT cat, count(*) AS cat_n, sum(y) AS cat_pos FROM r GROUP BY cat)
+          |SELECT r.id::BIGINT AS id, r.cat, r.y::BIGINT AS y,
+          | (((ca.cat_pos - r.y) * 1000000 + 20 * p.prior_ppm)
+          |   // (ca.cat_n - 1 + 20))::BIGINT AS enc_ppm
+          |FROM r JOIN ca ON r.cat = ca.cat, p
+          |ORDER BY id""".stripMargin,
+
+      // kappa = (n·A − S)·10⁶/(n² − S) in one division; the signed
+      // numerator divides as |num| with the sign reapplied (integral
+      // division of negatives is engine-dependent)
+      "q187_kappa_agreement" ->
+        """WITH lab AS (SELECT
+          |  CASE WHEN n_chars >= 1000 THEN 2 WHEN n_chars >= 500 THEN 1 ELSE 0 END AS la,
+          |  CASE WHEN nt >= 170 THEN 2 WHEN nt >= 85 THEN 1 ELSE 0 END AS lb
+          | FROM (SELECT n_chars,
+          |   len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS nt
+          |  FROM documents)),
+          | tot AS (SELECT count(*) AS n,
+          |   sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS n_agree FROM lab),
+          | ra AS (SELECT la AS lab, count(*) AS r FROM lab GROUP BY la),
+          | cb AS (SELECT lb AS lab, count(*) AS c FROM lab GROUP BY lb),
+          | mg AS (SELECT count(*) AS n_labels,
+          |   sum(coalesce(r, 0) * coalesce(c, 0)) AS s
+          |  FROM ra FULL OUTER JOIN cb USING (lab))
+          |SELECT n::BIGINT AS n, n_agree::BIGINT AS n_agree, n_labels::BIGINT AS n_labels,
+          | (n_agree * 1000000 // n)::BIGINT AS po_ppm,
+          | (s * 1000000 // (n * n))::BIGINT AS pe_ppm,
+          | (CASE WHEN n * n - s = 0 THEN 0
+          |  ELSE (CASE WHEN n * n_agree >= s THEN 1 ELSE -1 END)
+          |       * (abs(n * n_agree - s) * 1000000 // (n * n - s)) END)::BIGINT AS kappa_ppm
+          |FROM tot, mg""".stripMargin,
+
+      // q184's md5-prefix 60-bit string hash drives slot and sign;
+      // exact cancellations (value = 0) are dropped
+      "q188_feature_hashing" ->
+        """WITH tk AS (SELECT doc_id AS id,
+          |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+          | FROM documents WHERE doc_id < 200),
+          | h AS (SELECT id, ('0x'||substr(md5(tok),1,15))::BIGINT AS h FROM tk),
+          | sg AS (SELECT id, h % 64 AS slot,
+          |   CASE WHEN (h // 64) % 2 = 1 THEN 1 ELSE -1 END AS sgn FROM h),
+          | agg AS (SELECT id, slot, sum(sgn) AS value FROM sg GROUP BY id, slot)
+          |SELECT id::BIGINT AS id, slot::BIGINT AS slot, value::BIGINT AS value
+          |FROM agg WHERE value <> 0 ORDER BY id, slot""".stripMargin,
+
+      // 2 unrolled HITS rounds over the DIRECTED distinct event graph:
+      // each half-step sums the opposite score over the edges, then
+      // max-normalizes to 10⁶ by floor division
+      "q189_hits" ->
+        """WITH seq AS (SELECT user_id,
+          |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |  FROM events WHERE event_id % 16 = 3),
+          | e AS (SELECT DISTINCT user_id AS src, nxt AS dst FROM seq
+          |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+          | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          | h0 AS (SELECT node, 1000000 AS hub FROM nodes),
+          | ar1 AS (SELECT e.dst AS node, sum(h0.hub) AS a FROM e
+          |         JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+          | a1 AS (SELECT n.node, coalesce(ar1.a, 0) * 1000000
+          |          // greatest((SELECT max(a) FROM ar1), 1) AS auth
+          |        FROM nodes n LEFT JOIN ar1 ON n.node = ar1.node),
+          | hr1 AS (SELECT e.src AS node, sum(a1.auth) AS h FROM e
+          |         JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+          | h1 AS (SELECT n.node, coalesce(hr1.h, 0) * 1000000
+          |          // greatest((SELECT max(h) FROM hr1), 1) AS hub
+          |        FROM nodes n LEFT JOIN hr1 ON n.node = hr1.node),
+          | ar2 AS (SELECT e.dst AS node, sum(h1.hub) AS a FROM e
+          |         JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+          | a2 AS (SELECT n.node, coalesce(ar2.a, 0) * 1000000
+          |          // greatest((SELECT max(a) FROM ar2), 1) AS auth
+          |        FROM nodes n LEFT JOIN ar2 ON n.node = ar2.node),
+          | hr2 AS (SELECT e.src AS node, sum(a2.auth) AS h FROM e
+          |         JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+          | h2 AS (SELECT n.node, coalesce(hr2.h, 0) * 1000000
+          |          // greatest((SELECT max(h) FROM hr2), 1) AS hub
+          |        FROM nodes n LEFT JOIN hr2 ON n.node = hr2.node)
+          |SELECT a2.node::BIGINT AS node, a2.auth::BIGINT AS auth, h2.hub::BIGINT AS hub
+          |FROM a2 JOIN h2 ON a2.node = h2.node ORDER BY node""".stripMargin,
+
+      // q132's unroll with the restart mass pinned to the node%10=3
+      // seed set (initial rank AND the per-round 15% term); the event
+      // multigraph keeps parallel successions, matching pageRank's
+      // multigraph contract
+      "q190_ppr" ->
+        """WITH seq AS (SELECT user_id,
+          |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |  FROM events WHERE event_id % 16 = 3),
+          | e AS (SELECT user_id AS src, nxt AS dst FROM seq
+          |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+          | deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+          | nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          | fl AS (SELECT node, (node % 10 = 3) AS is_seed FROM nodes),
+          | r0 AS (SELECT node, CASE WHEN node % 10 = 3 THEN 1000000000 ELSE 0 END AS rank FROM fl),
+          | i1 AS (SELECT e.dst AS node, sum(r.rank // d.d) AS s FROM e
+          |        JOIN r0 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          | r1 AS (SELECT f.node, (CASE WHEN f.is_seed THEN 150000000 ELSE 0 END)
+          |          + (85 * coalesce(i1.s, 0)) // 100 AS rank
+          |        FROM fl f LEFT JOIN i1 ON f.node = i1.node),
+          | i2 AS (SELECT e.dst AS node, sum(r.rank // d.d) AS s FROM e
+          |        JOIN r1 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          | r2 AS (SELECT f.node, (CASE WHEN f.is_seed THEN 150000000 ELSE 0 END)
+          |          + (85 * coalesce(i2.s, 0)) // 100 AS rank
+          |        FROM fl f LEFT JOIN i2 ON f.node = i2.node),
+          | i3 AS (SELECT e.dst AS node, sum(r.rank // d.d) AS s FROM e
+          |        JOIN r2 r ON e.src = r.node JOIN deg d ON e.src = d.src GROUP BY e.dst),
+          | r3 AS (SELECT f.node, (CASE WHEN f.is_seed THEN 150000000 ELSE 0 END)
+          |          + (85 * coalesce(i3.s, 0)) // 100 AS rank
+          |        FROM fl f LEFT JOIN i3 ON f.node = i3.node)
+          |SELECT f.node::BIGINT AS node, f.is_seed, r3.rank::BIGINT AS rank
+          |FROM fl f JOIN r3 ON f.node = r3.node ORDER BY node""".stripMargin,
+
+      // alpha-char-ratio score in ppm, 10 fixed-width bins (the exact
+      // 10⁶ score clamps into the top bin); all floor division on
+      // non-negative operands
+      "q191_calibration" ->
+        """WITH sc AS (SELECT
+          |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+          |    // greatest(length(text), 1)) AS score_ppm,
+          |   (n_chars >= 500) AS y FROM documents),
+          | b AS (SELECT least(score_ppm * 10, 9999999) // 1000000 AS bin,
+          |        CASE WHEN y THEN 1 ELSE 0 END AS yy FROM sc)
+          |SELECT bin::BIGINT AS bin,
+          | ((bin * 2 + 1) * 1000000 // 20)::BIGINT AS bin_mid_ppm,
+          | count(*)::BIGINT AS n, sum(yy)::BIGINT AS n_pos,
+          | (sum(yy) * 1000000 // count(*))::BIGINT AS pos_rate_ppm
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
+
+      // q187's annotator pair, drilled down to the observed label
+      // pairs; CASE labels are INTEGER in DuckDB → cast to BIGINT
+      "q192_confusion_matrix" ->
+        """WITH lab AS (SELECT
+          |  CASE WHEN n_chars >= 1000 THEN 2 WHEN n_chars >= 500 THEN 1 ELSE 0 END AS la,
+          |  CASE WHEN nt >= 170 THEN 2 WHEN nt >= 85 THEN 1 ELSE 0 END AS lb
+          | FROM (SELECT n_chars,
+          |   len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS nt
+          |  FROM documents)),
+          | tot AS (SELECT count(*) AS n_total FROM lab)
+          |SELECT la::BIGINT AS label_a, lb::BIGINT AS label_b,
+          | count(*)::BIGINT AS n,
+          | (count(*) * 1000000 // (SELECT n_total FROM tot))::BIGINT AS share_ppm
+          |FROM lab GROUP BY la, lb ORDER BY label_a, label_b""".stripMargin,
+
+      // tie-aware Mann–Whitney 2U over per-distinct-score counts:
+      // 2U = Σ_s (2·p_s·negBelow_s + p_s·n_s), AUC = 2U/(2·np·nn)
+      "q193_auc" ->
+        """WITH r AS (SELECT
+          |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+          |    // greatest(length(text), 1)) AS s,
+          |   CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y FROM documents),
+          | g AS (SELECT s, count(*) AS c, sum(y) AS p FROM r GROUP BY s),
+          | cum AS (SELECT c, p,
+          |   coalesce(sum(c - p) OVER (ORDER BY s
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM g),
+          | agg AS (SELECT sum(c) AS n, sum(p) AS n_pos, sum(c) - sum(p) AS n_neg,
+          |   sum(p * 2 * nb + p * (c - p)) AS u2 FROM cum)
+          |SELECT n::BIGINT AS n, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+          | (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+          |  ELSE u2 * 1000000 // (2 * n_pos * n_neg) END)::BIGINT AS auc_ppm
+          |FROM agg""".stripMargin,
+
+      // per-user lead() over the total (ts, event_id) order; the
+      // per-from totals are a window over the bounded state matrix
+      "q194_markov_transitions" ->
+        """WITH seq AS (SELECT event_type AS from_state,
+          |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+          |  FROM events),
+          | tr AS (SELECT from_state, to_state, count(*) AS n FROM seq
+          |        WHERE to_state IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_state, to_state, n::BIGINT AS n,
+          | (n * 1000000 // sum(n) OVER (PARTITION BY from_state))::BIGINT AS prob_ppm
+          |FROM tr ORDER BY from_state, to_state""".stripMargin,
+
+      // q189's event graph, undirected; wedge centers capped at degree
+      // 12 exactly as the engine does; true degrees in the Jaccard
+      "q195_link_prediction" ->
+        """WITH seq AS (SELECT user_id,
+          |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |  FROM events WHERE event_id % 16 = 3),
+          | e0 AS (SELECT DISTINCT least(user_id, nxt) AS u, greatest(user_id, nxt) AS v
+          |        FROM seq WHERE nxt IS NOT NULL AND nxt <> user_id),
+          | sym AS (SELECT u AS node, v AS nbr FROM e0 UNION ALL SELECT v, u FROM e0),
+          | deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY node),
+          | symc AS (SELECT s.node, s.nbr FROM sym s JOIN deg d ON s.node = d.node
+          |          WHERE d.deg <= 12),
+          | cn AS (SELECT x.nbr AS u, y.nbr AS v, count(*) AS cn
+          |        FROM symc x JOIN symc y ON x.node = y.node AND x.nbr < y.nbr
+          |        GROUP BY 1, 2),
+          | ne AS (SELECT * FROM cn WHERE NOT EXISTS
+          |        (SELECT 1 FROM e0 WHERE e0.u = cn.u AND e0.v = cn.v))
+          |SELECT ne.u::BIGINT AS u, ne.v::BIGINT AS v, ne.cn::BIGINT AS cn,
+          | (ne.cn * 1000000 // (du.deg + dv.deg - ne.cn))::BIGINT AS jaccard_ppm
+          |FROM ne JOIN deg du ON ne.u = du.node JOIN deg dv ON ne.v = dv.node
+          |ORDER BY jaccard_ppm DESC, cn DESC, u, v LIMIT 50""".stripMargin,
+
+      // word-3-gram membership of train docs in the eval slice's gram
+      // set; per-doc grams deduped before the join, short docs absent
+      "q196_ngram_contamination" ->
+        """WITH tok AS (SELECT doc_id,
+          |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+          |  FROM documents),
+          | tr AS (SELECT doc_id AS id,
+          |   unnest(list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+          |     i -> array_to_string(w[i:i+2], ' ')))) AS g
+          |  FROM tok WHERE doc_id % 97 <> 0),
+          | ev AS (SELECT DISTINCT
+          |   unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+          |     i -> array_to_string(w[i:i+2], ' '))) AS g
+          |  FROM tok WHERE doc_id % 97 = 0)
+          |SELECT tr.id::BIGINT AS id, count(*)::BIGINT AS n_ngrams,
+          | sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+          | (sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+          |  // count(*))::BIGINT AS hit_ppm
+          |FROM tr LEFT JOIN ev ON tr.g = ev.g GROUP BY tr.id ORDER BY id""".stripMargin,
+
+      // min-rank percentile within source; single-member groups → 0
+      "q197_rank_normalize" ->
+        """WITH r AS (SELECT doc_id AS id, source AS key, n_chars AS score,
+          |   rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+          |   count(*) OVER (PARTITION BY source) AS n FROM documents)
+          |SELECT id::BIGINT AS id, key, score::BIGINT AS score,
+          | (CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000 // (n - 1) END)::BIGINT AS pct_ppm
+          |FROM r ORDER BY id""".stripMargin,
     )
   }
 

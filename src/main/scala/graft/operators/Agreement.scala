@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Inter-annotator agreement — the labeler-QA side of an annotation
+  * or preference-collection pipeline: before training on human (or
+  * model-judge) labels you measure how much two annotators agree
+  * beyond chance, and where they disagree.
+  *
+  * All statistics are 64-bit-integer-exact (ppm scaling, floor
+  * division) — the same cross-engine determinism contract as
+  * [[Preference]] and [[Graph]].
+  */
+object Agreement {
+
+  /** Cohen's kappa over a double-annotated table: one summary row with
+    * the item count, raw-agreement count, label-domain size, and the
+    * exact ppm-scaled observed agreement, chance agreement, and kappa.
+    * With A = agreements, S = Σ_k rowMarginal_k · colMarginal_k:
+    *
+    *   po_ppm    = A·10⁶ div n
+    *   pe_ppm    = S·10⁶ div n²
+    *   kappa_ppm = (n·A − S)·10⁶ div (n² − S)
+    *
+    * — the single-fraction form of (po − pe)/(1 − pe), so kappa is
+    * computed in ONE floor division instead of compounding two rounded
+    * ppm values. Kappa can be negative (worse-than-chance agreement);
+    * the numerator is the only signed term and |n·A − S| ≤ n², so with
+    * the 10⁶ scale everything stays inside a long for n ≤ 3·10⁶ items
+    * — agreement studies run on annotation SAMPLES of that order, not
+    * full corpora; sample upstream ([[Sampling]]) for more. When the
+    * marginals force pe = 1 (both annotators constant — n² = S, the
+    * 0/0 case) kappa is reported as 0 by convention.
+    *
+    * Scale: three map-side-combined aggregates, two keyed by the
+    * bounded label domain and one global — no join touches the
+    * annotation rows themselves, and the marginal product table is
+    * |labels| rows.
+    */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val rows = df.select(labelA.as("la"), labelB.as("lb"))
+    val totals = rows.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+    val ra = rows.groupBy(col("la").as("lab")).agg(count(lit(1)).as("r"))
+    val cb = rows.groupBy(col("lb").as("lab")).agg(count(lit(1)).as("c"))
+    val marg = ra.join(cb, Seq("lab"), "full_outer")
+      .agg(count(lit(1)).as("n_labels"),
+        sum(coalesce(col("r"), lit(0L)) * coalesce(col("c"), lit(0L))).as("s"))
+    // kappa's numerator n·A − S is the one SIGNED quantity in the
+    // engine's integer algebra; integral division of negatives is
+    // engine-dependent (truncation vs floor), so divide the absolute
+    // value and reapply the sign — exact and engine-identical
+    totals.crossJoin(marg)
+      .select(col("n"), col("n_agree"), col("n_labels"),
+        expr("n_agree * 1000000L div n").as("po_ppm"),
+        expr("s * 1000000L div (n * n)").as("pe_ppm"),
+        when(expr("n * n - s") === 0, lit(0L))
+          .otherwise(
+            expr("if(n * n_agree >= s, 1L, -1L)" +
+              " * (abs(n * n_agree - s) * 1000000L div (n * n - s))"))
+          .as("kappa_ppm"))
+  }
+
+  /** Confusion matrix of the two annotators: one row per observed
+    * (label_a, label_b) pair with its count and its ppm share of all
+    * items — the drill-down behind a weak kappa (WHICH labels get
+    * confused).
+    *
+    * Scale: ONE map-side-combined aggregate keyed by the label pair
+    * (bounded by the squared label domain) plus a 1-row total
+    * broadcast back in.
+    */
+  def confusionMatrix(df: DataFrame, labelA: Column, labelB: Column): DataFrame = {
+    val rows = df.select(labelA.as("label_a"), labelB.as("label_b"))
+    val total = rows.agg(count(lit(1)).as("n_total"))
+    rows.groupBy("label_a", "label_b").agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("label_a"), col("label_b"), col("n"),
+        expr("n * 1000000L div n_total").as("share_ppm"))
+  }
+}

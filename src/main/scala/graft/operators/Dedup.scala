@@ -762,6 +762,54 @@ object Dedup {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Per-document n-gram contamination RATE against a benchmark set —
+    * the drop-vs-keep statistic behind published LM decontamination
+    * (remove a training doc when too many of its word n-grams appear
+    * in any eval set): for every corpus document, its distinct
+    * word-token n-gram count, how many of those appear anywhere in
+    * the benchmark, and the exact ppm rate (hit·10⁶ div total).
+    * [[contamination]] answers "WHICH bench doc does this overlap"
+    * (pairwise, char shingles); this answers "HOW MUCH of this doc is
+    * benchmark text" (per-doc, word n-grams), which is what the
+    * keep/drop threshold reads. Documents with fewer than `n` tokens
+    * have no n-grams and are absent from the output.
+    *
+    * Scale shape: per-doc n-grams are deduped MAP-SIDE
+    * (array_distinct before the explode), so the corpus takes exactly
+    * ONE exchange — the final per-doc count aggregate; the benchmark
+    * n-gram set is distinct'd and BROADCAST (eval sets are small by
+    * nature). No corpus-vs-corpus stage exists.
+    */
+  def contaminationRate(
+      corpus: DataFrame,
+      id: Column,
+      text: Column,
+      bench: DataFrame,
+      benchText: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    def grams(t: Column): Column = {
+      val toks = filter(split(lower(trim(t)), "\\s+"), x => x =!= "")
+      // sequence(1, k) DESCENDS when k < 1 — guard short docs to an
+      // empty gram list instead
+      when(size(toks) >= n,
+        array_distinct(transform(
+          sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n))))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val docGrams = corpus.select(id.as("id"), explode(grams(text)).as("g"))
+    val benchGrams = bench.select(explode(grams(benchText)).as("g"))
+      .distinct().withColumn("hit", lit(1L))
+    docGrams
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("id"), col("n_ngrams"), col("n_hit"),
+        expr("n_hit * 1000000L div n_ngrams").as("hit_ppm"))
+  }
+
   /** Near-duplicate pairs between an arriving BATCH and the existing
     * corpus — the fuzzy sibling of [[incrementalDedup]]: at ingest
     * time, which new documents are near-dups of something already

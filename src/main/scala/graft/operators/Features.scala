@@ -60,4 +60,111 @@ object Features {
       min(vc).over(frame).as("roll_min_c"),
       max(vc).over(frame).as("roll_max_c"))
   }
+
+  /** Leakage-safe (leave-one-out) smoothed target encoding of a
+    * categorical column against a boolean target — the standard
+    * high-cardinality-categorical feature for quality classifiers.
+    * Per row, the row's own label is REMOVED from its category's
+    * statistics before encoding (naive target encoding leaks the
+    * label into the feature and inflates validation scores):
+    *
+    *   enc_ppm = ((cat_pos − y)·10⁶ + m·prior_ppm)
+    *             div (cat_n − 1 + m)
+    *
+    * with prior_ppm = (global positives·10⁶) div n and smoothing
+    * pseudo-count `m` — all floor division on non-negative longs, so
+    * the encoding is 64-bit-integer exact and engine-identical.
+    * A category seen once encodes to exactly the prior (its only
+    * evidence is the excluded row).
+    *
+    * Scale: ONE map-side-combined aggregate keyed by category (the
+    * category table is bounded by the domain, not the data), joined
+    * back broadcast-style, plus a 1-row global aggregate cross-joined
+    * in — the fact rows themselves never shuffle.
+    */
+  def targetEncode(
+      df: DataFrame,
+      id: Column,
+      category: Column,
+      target: Column,
+      m: Int): DataFrame = {
+    require(m >= 1, s"smoothing pseudo-count m must be >= 1, got $m")
+    val rows = df.select(id.as("id"), category.as("cat"),
+      target.cast("boolean").cast("long").as("y"))
+    val prior = rows.agg(
+      expr("sum(y) * 1000000L div count(1)").as("prior_ppm"))
+    val catAgg = rows.groupBy("cat")
+      .agg(count(lit(1)).as("cat_n"), sum("y").as("cat_pos"))
+    rows.join(catAgg, "cat")
+      .crossJoin(broadcast(prior))
+      .select(col("id"), col("cat"), col("y"),
+        expr(s"((cat_pos - y) * 1000000L + ${m}L * prior_ppm)" +
+          s" div (cat_n - 1L + ${m}L)").as("enc_ppm"))
+  }
+
+  /** Hashing-trick featurization (Weinberger et al.): whitespace
+    * tokens are hashed into `dim` slots with a signed contribution
+    * (sign from the next hash bit makes collisions unbiased in
+    * expectation), producing the sparse feature triples
+    * (id, slot, value) with exact cancellations dropped.
+    *
+    * The token hash is the engine's cross-engine string hash (md5
+    * first 15 hex digits as a 60-bit non-negative long — the q184
+    * content-hash idiom), so slots and signs are bit-identical in any
+    * ANSI SQL engine.
+    *
+    * Scale: tokenize + hash are a map-only explode; the only exchange
+    * is ONE map-side-combined aggregate keyed by (id, slot) — output
+    * is bounded by docs·dim, independent of token count.
+    */
+  def hashFeatures(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      dim: Int): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val toks = df.select(id.as("id"),
+      explode(filter(split(lower(trim(text)), "\\s+"), t => t =!= "")).as("tok"))
+    toks
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      .select(col("id"), expr(s"h % ${dim}L").as("slot"),
+        // integer div for the sign bit — Column./ is DOUBLE division
+        // and a 60-bit hash exceeds the 53-bit mantissa
+        when(expr(s"(h div ${dim}L) % 2") === 1, lit(1L))
+          .otherwise(lit(-1L)).as("sgn"))
+      .groupBy("id", "slot").agg(sum("sgn").as("value"))
+      .where(col("value") =!= 0)
+  }
+
+  /** Per-group rank normalization of an integer score — the
+    * cross-source score calibrator: raw quality scores are not
+    * comparable ACROSS sources (each source has its own scale and
+    * distribution), so blend pipelines normalize to the within-source
+    * percentile first. Min-rank percentile, exact ppm:
+    *
+    *   pct_ppm = (rank − 1)·10⁶ div (group_n − 1)
+    *
+    * so each group's minimum scores map to 0 and its maxima to exactly
+    * 10⁶; ties share the min-rank percentile (COUNTED, not broken — no
+    * sort-order luck), and a single-member group reports 0 (no spread
+    * to place the one score in).
+    *
+    * Scale: ONE hash exchange by group key, then a per-partition sort
+    * — Spark's standard window execution, parallel across groups; both
+    * the rank and the group count ride the same window partitioning.
+    */
+  def rankNormalize(
+      df: DataFrame,
+      id: Column,
+      key: Column,
+      score: Column): DataFrame = {
+    val byScore = Window.partitionBy("key").orderBy("score")
+    val byKey = Window.partitionBy("key")
+    df.select(id.as("id"), key.as("key"), score.cast("long").as("score"))
+      .withColumn("r", rank().over(byScore).cast("long"))
+      .withColumn("n", count(lit(1)).over(byKey))
+      .select(col("id"), col("key"), col("score"),
+        when(col("n") === 1, lit(0L))
+          .otherwise(expr("(r - 1) * 1000000L div (n - 1)")).as("pct_ppm"))
+  }
 }

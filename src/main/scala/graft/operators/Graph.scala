@@ -150,6 +150,200 @@ object Graph {
     ranks
   }
 
+  /** Integer-exact HITS (Kleinberg hubs-and-authorities) over the
+    * directed simple graph induced by an edge list (self-loops
+    * dropped, multiplicity collapsed), for exactly `iters` rounds —
+    * the fixed-round contract of [[pageRank]]. Per round, with
+    * max-normalization in place of the usual L2 (division by a
+    * root is irrational; division by the max is exact):
+    *
+    *   auth_{t}(n) = (Σ_{(u→n)} hub_{t-1}(u)) · scale div max-over-nodes
+    *   hub_{t}(n)  = (Σ_{(n→v)} auth_{t}(v)) · scale div max-over-nodes
+    *
+    * all floor division, so scores are bit-identical across engines
+    * and partitionings. The best authority/hub scores exactly `scale`
+    * each round. Overflow headroom: a raw sum is ≤ degree·scale and
+    * the normalize multiplies by scale, so with the default scale=10⁶
+    * the product stays under 2⁶³ up to in/out-degrees of ~9·10⁶;
+    * lower `scale` for hubbier graphs.
+    *
+    * Scale shape: the edge table is shuffled TWICE total (one copy
+    * partitioned by src for the authority half-step, one by dst for
+    * the hub half-step) and persisted; per round only the skinny
+    * (node, score) table ships to each copy's partitioning and the
+    * two sums are map-side combined. The per-round max is a 1-row
+    * aggregate broadcast back in. Each normalized frame is eagerly
+    * localCheckpoint'ed — the max aggregate and the normalize both
+    * reference the raw sums, so without truncation the lineage would
+    * double every half-step (the kCore plan-blowup shape).
+    */
+  def hits(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      iters: Int,
+      scale: Long = 1000000L): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct().persist()
+    val eSrc = e.repartition(col("src")).persist()
+    val eDst = e.repartition(col("dst")).persist()
+    var hub = nodes.select(col("node"), lit(scale).as("hub")).localCheckpoint(true)
+    var auth = nodes.select(col("node"), lit(scale).as("auth")).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val aRaw = eSrc.join(hub.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node")).agg(sum("hub").as("a"))
+        .localCheckpoint(true) // read twice: max + normalize
+      val aMax = aRaw.agg(coalesce(max("a"), lit(0L)).as("am"))
+      auth = nodes.join(aRaw, Seq("node"), "left")
+        .crossJoin(broadcast(aMax))
+        .select(col("node"),
+          expr(s"coalesce(a, 0L) * ${scale}L div greatest(am, 1L)").as("auth"))
+        .localCheckpoint(true)
+      val hRaw = eDst.join(auth.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(col("src").as("node")).agg(sum("auth").as("h"))
+        .localCheckpoint(true)
+      val hMax = hRaw.agg(coalesce(max("h"), lit(0L)).as("hm"))
+      hub = nodes.join(hRaw, Seq("node"), "left")
+        .crossJoin(broadcast(hMax))
+        .select(col("node"),
+          expr(s"coalesce(h, 0L) * ${scale}L div greatest(hm, 1L)").as("hub"))
+        .localCheckpoint(true)
+    }
+    val out = auth.join(hub, "node")
+      .select(col("node"), col("auth"), col("hub")).localCheckpoint(true)
+    nodes.unpersist()
+    eSrc.unpersist()
+    eDst.unpersist()
+    out
+  }
+
+  /** Personalized PageRank: [[pageRank]]'s integer recurrence with the
+    * restart mass directed at a SEED set instead of spread uniformly —
+    * the "related items" primitive (seeds = one user's items, ranks =
+    * proximity of everything else to them):
+    *
+    *   rank_0(n)     = scale·[n ∈ seeds]
+    *   rank_{t+1}(n) = (15·scale·[n ∈ seeds]) div 100
+    *                 + (85 · Σ_{(u→n)} rank_t(u) div outdeg(u)) div 100
+    *
+    * Dangling mass leaks exactly as in [[pageRank]] (the pinned
+    * contract there); seeds outside the graph's node set are ignored.
+    *
+    * Scale shape: identical to [[pageRank]] — edges partitioned by src
+    * once and persisted, per-round wire is the skinny rank table — plus
+    * a one-time left-join of the node table against the (distinct,
+    * typically tiny, broadcastable) seed set to pin the restart flag.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      src: Column,
+      dst: Column,
+      seeds: DataFrame,
+      seedCol: Column,
+      iters: Int = 3,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters > 0, s"iters must be positive, got $iters")
+    require(scale > 0, s"scale must be positive, got $scale")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
+    val flagged = nodes
+      .join(seedSet.withColumn("f", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("f"), lit(false)).as("is_seed"))
+      .persist()
+    val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
+      .repartition(col("src")).persist()
+    val base = when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L))
+    var ranks = flagged.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
+    for (_ <- 1 to iters) {
+      val in = adj
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("rank div d").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("s"))
+      ranks = flagged.join(in, Seq("node"), "left")
+        .select(col("node"), col("is_seed"),
+          (base + expr("85 * coalesce(s, 0L) div 100")).as("rank"))
+        .select(col("node"), col("rank"))
+    }
+    val out = flagged.select(col("node"), col("is_seed"))
+      .join(ranks, "node").persist()
+    out.count()
+    flagged.unpersist()
+    adj.unpersist()
+    out
+  }
+
+  /** Common-neighbor link prediction over the undirected simple graph
+    * induced by an edge list: for every NON-adjacent pair (u, v) with
+    * at least one shared neighbor reachable through a wedge center of
+    * degree ≤ `maxWedgeDegree`, the shared-neighbor count and the
+    * exact ppm neighborhood Jaccard
+    *
+    *   jaccard_ppm = cn·10⁶ div (deg(u) + deg(v) − cn)
+    *
+    * ranked to the deterministic global top-k by (jaccard desc,
+    * cn desc, u, v) — the "suggest related items" primitive, and the
+    * candidate generator for graph-side dedup review.
+    *
+    * The degree cap is the scale contract, same role as the LSH
+    * hot-bucket caps: a raw hub of degree h generates h² wedge
+    * candidates, so candidates through uncapped hubs would be
+    * quadratic in the hub degree while carrying almost no signal (a
+    * shared mega-hub says nothing about affinity). With the cap,
+    * total candidates are ≤ Σ_{deg(w)≤cap} deg(w)² ≤ cap·2E — linear
+    * in edges. cn is therefore "common neighbors OF DEGREE ≤ cap":
+    * exact when the cap exceeds the max degree, a pinned documented
+    * statistic otherwise. deg(u)/deg(v) in the Jaccard denominator
+    * are UNcapped true degrees.
+    *
+    * Scale: one distinct over edges, one map-side-combined degree
+    * aggregate, the capped wedge self-join (equi-join on the center,
+    * only long pairs on the wire), one aggregate keyed by the
+    * candidate pair, a left-anti join against the edge set, and a
+    * global limit (partial top-k per partition, k rows to the driver).
+    */
+  def linkPrediction(
+      edges: DataFrame,
+      a: Column,
+      b: Column,
+      maxWedgeDegree: Int,
+      topK: Int): DataFrame = {
+    require(maxWedgeDegree >= 2, s"maxWedgeDegree must be >= 2, got $maxWedgeDegree")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val und = edges
+      .select(least(a.cast("long"), b.cast("long")).as("u"),
+        greatest(a.cast("long"), b.cast("long")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct().persist()
+    val sym = und.select(col("u").as("node"), col("v").as("nbr"))
+      .union(und.select(col("v").as("node"), col("u").as("nbr")))
+    val deg = sym.groupBy("node").agg(count(lit(1)).as("deg")).persist()
+    val symCapped = sym
+      .join(deg.where(col("deg") <= maxWedgeDegree).select("node"), "node")
+    val cn = symCapped.as("x").join(symCapped.as("y"),
+        col("x.node") === col("y.node") && col("x.nbr") < col("y.nbr"))
+      .select(col("x.nbr").as("u"), col("y.nbr").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("cn"))
+    val out = cn
+      .join(und, Seq("u", "v"), "left_anti")
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .select(col("u"), col("v"), col("cn"),
+        expr("cn * 1000000L div (du + dv - cn)").as("jaccard_ppm"))
+      .orderBy(col("jaccard_ppm").desc, col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+      .localCheckpoint(true)
+    und.unpersist()
+    deg.unpersist()
+    out
+  }
+
   /** Exact triangle count (plus node/edge counts) of the undirected
     * simple graph induced by an edge list: self-loops dropped,
     * direction and multiplicity collapsed.

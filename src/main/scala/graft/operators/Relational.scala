@@ -328,4 +328,40 @@ object Relational {
     val nodes = relationNodes(pairs, recordCount)
     (nodes, relationEdges(pairs, nodes))
   }
+
+  /** First-order Markov transition matrix of per-key event sequences:
+    * consecutive states within each key's (ts, tiebreak)-ordered
+    * stream become (from_state, to_state) transitions, aggregated to
+    * a count and an exact ppm row-conditional probability
+    * (n·10⁶ div Σ_from) — the behavioral summary a curation pipeline
+    * builds from session logs (what follows what, per state).
+    *
+    * The last event of each key has no successor and contributes
+    * nothing. Ordering inside a key must be total — pass a tiebreak
+    * column that makes (ts, tiebreak) unique per key, or ties make
+    * the successor engine-dependent.
+    *
+    * Scale: the lead() window is partitioned BY KEY (parallel across
+    * keys, no global sort); transitions then take ONE map-side-
+    * combined aggregate keyed by the bounded (state, state) domain.
+    * The per-from totals are a window over that bounded matrix, not
+    * the events.
+    */
+  def transitionMatrix(
+      df: DataFrame,
+      key: Column,
+      state: Column,
+      ts: Column,
+      tiebreak: Column): DataFrame = {
+    val seq = Window.partitionBy("k").orderBy("t", "tb")
+    val trans = df
+      .select(key.as("k"), state.as("from_state"), ts.as("t"), tiebreak.as("tb"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(seq))
+      .where(col("to_state").isNotNull)
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+    trans
+      .withColumn("from_n", sum("n").over(Window.partitionBy("from_state")))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000L div from_n").as("prob_ppm"))
+  }
 }

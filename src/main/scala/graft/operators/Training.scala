@@ -471,4 +471,82 @@ object Training {
       when(size(words) === 0, 0L)
         .otherwise(size(split(trim(merged), "  +")).cast("long")).as("n_tokens"))
   }
+
+  /** Classifier-calibration bins: fixed-width buckets of a ppm-scaled
+    * score (expected in [0, 10⁶]) against a boolean label — per bin,
+    * the item count, positive count, exact ppm positive rate, and the
+    * bin's midpoint score in ppm. A calibrated scorer has
+    * pos_rate_ppm ≈ bin_mid_ppm per bin; the drift is the curve a
+    * curation pipeline inspects before trusting a quality scorer's
+    * thresholds.
+    *
+    * Bin index is `least(score·nBins div 10⁶, nBins−1)` (the clamp
+    * folds the exact-10⁶ score into the top bin), so the binning is
+    * floor-division exact and engine-identical. Empty bins are absent
+    * from the output (no row, rather than a 0/0 rate).
+    *
+    * Scale: map-only bin assignment + ONE map-side-combined aggregate
+    * keyed by the ≤ nBins bin index.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      scorePpm: Column,
+      label: Column,
+      nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    df.select(
+        least(scorePpm.cast("long") * nBins, lit(1000000L * nBins - 1)).as("sb"),
+        label.cast("boolean").cast("long").as("y"))
+      .select(expr("sb div 1000000L").as("bin"), col("y"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("n_pos"))
+      .select(col("bin"),
+        expr(s"(bin * 2 + 1) * 1000000L div ${2L * nBins}L").as("bin_mid_ppm"),
+        col("n"), col("n_pos"),
+        expr("n_pos * 1000000L div n").as("pos_rate_ppm"))
+  }
+
+  /** Exact ROC AUC of an integer score against a boolean label, as the
+    * tie-aware Mann–Whitney rank statistic — the threshold-free
+    * companion to [[calibrationBins]] (is the scorer's ORDERING right,
+    * independent of calibration). With per-distinct-score counts c_s,
+    * positives p_s, negatives n_s = c_s − p_s and negBelow_s the
+    * negatives at strictly lower scores:
+    *
+    *   2U      = Σ_s (2·p_s·negBelow_s + p_s·n_s)   (ties count half)
+    *   auc_ppm = 2U·10⁶ div (2·n_pos·n_neg)
+    *
+    * — concordant pairs plus half the tied pairs, all in longs, so the
+    * statistic is exact and engine-identical (no sort-order luck: ties
+    * are COUNTED, not broken). One summary row (n, n_pos, n_neg,
+    * auc_ppm); a label-constant input (n_pos·n_neg = 0, AUC undefined)
+    * reports 0 by convention. Overflow: 2U ≤ 2·n_pos·n_neg ≤ n²/2, so
+    * the ppm product stays inside a long for n ≤ 4·10⁶ — eval-set
+    * scale; sample upstream ([[Sampling]]) for more.
+    *
+    * Scale: ONE map-side-combined aggregate keyed by the distinct
+    * score (bounded by the score DOMAIN — ppm scores have ≤ 10⁶+1
+    * values — not the data), a cumulative window over that bounded
+    * table, and a 1-row final aggregate. The items themselves shuffle
+    * once, as (score, 0/1) longs.
+    */
+  def aucExact(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(score.cast("long").as("s"),
+        label.cast("boolean").cast("long").as("y"))
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val below = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .select(col("c"), col("p"),
+        coalesce(sum(col("c") - col("p")).over(below), lit(0L)).as("neg_below"))
+      .agg(sum("c").as("n"), sum("p").as("n_pos"),
+        (sum("c") - sum("p")).as("n_neg"),
+        sum(expr("p * 2 * neg_below + p * (c - p)")).as("u2"))
+      .select(col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr("u2 * 1000000L div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
+  }
 }

@@ -571,4 +571,44 @@ class DedupSpec extends SparkTestBase {
     if (nCand > 0) assert(out.getLong(4) == 1000L)
     else assert(out.isNullAt(4))
   }
+
+  test("contaminationRate: hand-computed 3-gram hits") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),    // 3-grams: 4 distinct
+      (2L, "dogs bark loudly at night"), // 3 distinct, no hits
+      (3L, "too short")                  // < 3 tokens -> absent
+    ).toDF("id", "text")
+    val bench = Seq("the cat sat on a rug").toDF("text") // shares "the cat sat", "cat sat on"
+    val r = Dedup.contaminationRate(corpus, col("id"), col("text"),
+        bench, col("text"), n = 3)
+      .orderBy("id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 4L, 2L, 500000L),
+      (2L, 3L, 0L, 0L)))
+  }
+
+  test("contaminationRate: per-doc grams deduped; repeated grams count once") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b c a b c")).toDF("id", "text")
+    // 3-grams: a b c, b c a, c a b (each repeated) -> 3 distinct
+    val bench = Seq("x a b c y").toDF("text")
+    val r = Dedup.contaminationRate(corpus, col("id"), col("text"),
+        bench, col("text"), n = 3)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((1L, 3L, 1L, 333333L)))
+  }
+
+  test("contaminationRate: deterministic across partitionings") {
+    val docs = spark.range(600).select(col("id"),
+      concat_ws(" ", (0 to 15).map(j =>
+        ((col("id") * (j + 3)) % 19).cast("string")): _*).as("text"))
+    val bench = spark.range(20).select(
+      concat_ws(" ", (0 to 9).map(j =>
+        ((col("id") + j) % 19).cast("string")): _*).as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.contaminationRate(d, col("id"), col("text"), bench, col("text"), n = 3)
+        .orderBy("id").collect().toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(13)))
+  }
 }

@@ -45,4 +45,99 @@ class FeaturesSpec extends SparkTestBase {
         .orderBy("key", "ts_us", "id").collect().toSeq
     assert(run(df.repartition(1)) == run(df.repartition(11, col("id"))))
   }
+
+  test("targetEncode: leave-one-out removes the row's own label — hand-computed") {
+    // cat A: rows (1,y=1),(2,y=1),(3,y=0); cat B: row (4,y=1)
+    // prior = 3*1e6 // 4 = 750000; m = 2
+    val df = Seq((1L, "A", true), (2L, "A", true), (3L, "A", false),
+      (4L, "B", true)).toDF("id", "c", "t")
+    val r = Features.targetEncode(df, col("id"), col("c"), col("t"), m = 2)
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    // row1: ((2-1)*1e6 + 2*750000) // (3-1+2) = 2500000//4 = 625000
+    // row3: ((2-0)*1e6 + 1500000) // 4 = 875000
+    // row4 (singleton cat): ((1-1)*1e6 + 1500000) // (1-1+2) = prior
+    assert(r == Seq(
+      (1L, "A", 1L, 625000L), (2L, "A", 1L, 625000L),
+      (3L, "A", 0L, 875000L), (4L, "B", 1L, 750000L)))
+  }
+
+  test("targetEncode: a category seen once encodes to exactly the prior") {
+    val df = Seq((1L, "solo", true), (2L, "other", false), (3L, "other", false))
+      .toDF("id", "c", "t")
+    val r = Features.targetEncode(df, col("id"), col("c"), col("t"), m = 7)
+      .where(col("cat") === "solo").as[(Long, String, Long, Long)].collect().head
+    assert(r._4 == 1000000L / 3L) // prior = 1*1e6 // 3
+  }
+
+  test("hashFeatures: slots and signs from the md5-prefix hash; cancellations dropped") {
+    val df = Seq((1L, "alpha beta alpha"), (2L, "")).toDF("id", "txt")
+    val r = Features.hashFeatures(df, col("id"), col("txt"), dim = 8)
+      .as[(Long, Long, Long)].collect().toSeq
+    def h(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    def sgn(x: Long): Long = if ((x / 8) % 2 == 1) 1L else -1L
+    val expected = Seq("alpha", "beta", "alpha").map(t => (h(t) % 8, sgn(h(t))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      .filter(_._2 != 0).map { case (s, v) => (1L, s, v) }.toSet
+    assert(r.toSet == expected && r.forall(_._1 == 1L))
+  }
+
+  test("hashFeatures: opposite-sign collisions cancel to no row") {
+    // craft two tokens landing on the same slot with opposite signs
+    // under dim=2: slot = h%2, sign from (h/2)%2
+    def h(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val toks = ('a' to 'z').map(_.toString)
+    val pair = (for {
+      a <- toks; b <- toks if a < b
+      if h(a) % 2 == h(b) % 2 && (h(a) / 2) % 2 != (h(b) / 2) % 2
+    } yield (a, b)).head
+    val df = Seq((1L, s"${pair._1} ${pair._2}")).toDF("id", "txt")
+    val r = Features.hashFeatures(df, col("id"), col("txt"), dim = 2).collect()
+    assert(r.isEmpty)
+  }
+
+  test("targetEncode: deterministic across partitionings") {
+    val df = spark.range(4000).select(col("id"),
+      (col("id") % 23).cast("string").as("c"), (col("id") % 3 === 0).as("t"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.targetEncode(d, col("id"), col("c"), col("t"), m = 10)
+        .orderBy("id").collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(13, col("c"))))
+  }
+
+  test("rankNormalize: hand-computed percentiles with ties") {
+    import spark.implicits._
+    // group g: scores 10, 20, 20, 30 -> ranks 1,2,2,4 over n=4
+    // pct: 0, 333333, 333333, 1000000
+    // group h: single member -> 0
+    val rows = Seq((1L, "g", 10L), (2L, "g", 20L), (3L, "g", 20L),
+      (4L, "g", 30L), (5L, "h", 99L)).toDF("i", "k", "s")
+    val r = Features.rankNormalize(rows, col("i"), col("k"), col("s"))
+      .orderBy("id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "g", 10L, 0L), (2L, "g", 20L, 333333L), (3L, "g", 20L, 333333L),
+      (4L, "g", 30L, 1000000L), (5L, "h", 99L, 0L)))
+  }
+
+  test("rankNormalize: min maps to 0, max to 10^6, deterministic across partitionings") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 17).cast("string").as("k"), ((col("id") * 41) % 919).as("s"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Features.rankNormalize(d, col("id"), col("k"), col("s"))
+        .orderBy("id").collect().toSeq
+    val a = run(df.repartition(1))
+    assert(a == run(df.repartition(9, col("k"))))
+    val byKey = a.groupBy(_.getString(1))
+    byKey.values.foreach { rows =>
+      val pcts = rows.map(_.getLong(3))
+      assert(pcts.min == 0L && pcts.max == 1000000L)
+    }
+  }
 }

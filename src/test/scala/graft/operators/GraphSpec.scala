@@ -249,4 +249,136 @@ class GraphSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(x == y)
   }
+
+  test("hits: star graph — hub center, authority leaves, hand-computed") {
+    // 1 -> 2, 1 -> 3: node 1 is the only hub, 2/3 the authorities
+    val e = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val r = Graph.hits(e, col("s"), col("d"), iters = 2, scale = 1000000L)
+      .as[(Long, Long, Long)].collect().map(x => x._1 -> ((x._2, x._3))).toMap
+    // round 1: a(2)=a(3)=hub0(1)=1e6, max=1e6 -> auth 1e6 each; a(1)=0
+    // h(1)=a(2)+a(3)=2e6, max -> hub(1)=1e6; h(2)=h(3)=0
+    // round 2 repeats identically (fixed point)
+    assert(r == Map(
+      1L -> ((0L, 1000000L)),
+      2L -> ((1000000L, 0L)),
+      3L -> ((1000000L, 0L))))
+  }
+
+  test("hits: 2-cycle — every node both perfect hub and authority") {
+    val e = Seq((1L, 2L), (2L, 1L)).toDF("s", "d")
+    val r = Graph.hits(e, col("s"), col("d"), iters = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.toSet == Set((1L, 1000000L, 1000000L), (2L, 1000000L, 1000000L)))
+  }
+
+  test("hits: parallel edges collapse (simple-graph semantics)") {
+    val dup = Seq((1L, 2L), (1L, 2L), (1L, 3L)).toDF("s", "d")
+    val simple = Seq((1L, 2L), (1L, 3L)).toDF("s", "d")
+    val a = Graph.hits(dup, col("s"), col("d"), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Graph.hits(simple, col("s"), col("d"), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("hits: deterministic across partitionings") {
+    val e = spark.range(3000)
+      .select((col("id") % 83).as("s"), ((col("id") * 13) % 79).as("d"))
+      .where(col("s") =!= col("d"))
+    val x = Graph.hits(e.repartition(1), col("s"), col("d"), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val y = Graph.hits(e.repartition(9, col("d")), col("s"), col("d"), iters = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(x == y && x.nonEmpty)
+  }
+
+  test("personalizedPageRank: restart mass stays with the seed — hand-computed") {
+    // 1 -> 2 -> 3, seed {1}: only node 1 gets base; mass flows down the chain
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val base = 150000000L
+    val r1 = Graph.personalizedPageRank(e, col("s"), col("d"), seeds, col("n"), iters = 1)
+      .as[(Long, Boolean, Long)].collect().map(x => x._1 -> x._3).toMap
+    // r0 = (S, 0, 0); after 1 round: 1 -> base, 2 -> 85*S div 100, 3 -> 0
+    assert(r1 == Map(1L -> base, 2L -> 85L * S / 100L, 3L -> 0L))
+    val r2 = Graph.personalizedPageRank(e, col("s"), col("d"), seeds, col("n"), iters = 2)
+      .as[(Long, Boolean, Long)].collect().map(x => x._1 -> x._3).toMap
+    // round 2: 2 <- 85*base div 100; 3 <- 85*(85S div 100) div 100
+    assert(r2 == Map(1L -> base,
+      2L -> 85L * base / 100L,
+      3L -> 85L * (85L * S / 100L) / 100L))
+  }
+
+  test("personalizedPageRank: unseeded disconnected component holds zero rank") {
+    val e = Seq((1L, 2L), (10L, 11L)).toDF("s", "d")
+    val seeds = Seq(1L).toDF("n")
+    val r = Graph.personalizedPageRank(e, col("s"), col("d"), seeds, col("n"), iters = 3)
+      .as[(Long, Boolean, Long)].collect()
+    val m = r.map(x => x._1 -> x._3).toMap
+    assert(m(10L) == 0L && m(11L) == 0L && m(1L) > 0L)
+    assert(r.count(_._2) == 1) // exactly one flagged seed
+  }
+
+  test("personalizedPageRank: seeds outside the graph are ignored") {
+    val e = Seq((1L, 2L)).toDF("s", "d")
+    val seeds = Seq(1L, 999L).toDF("n")
+    val r = Graph.personalizedPageRank(e, col("s"), col("d"), seeds, col("n"), iters = 1)
+      .as[(Long, Boolean, Long)].collect()
+    assert(r.map(_._1).toSet == Set(1L, 2L))
+  }
+
+  test("personalizedPageRank: deterministic across partitionings") {
+    val e = spark.range(3000)
+      .select((col("id") % 101).as("s"), ((col("id") * 31) % 97).as("d"))
+      .where(col("s") =!= col("d"))
+    val seeds = spark.range(10).select((col("id") * 11).as("n"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.personalizedPageRank(d, col("s"), col("d"), seeds, col("n"), iters = 3)
+        .as[(Long, Boolean, Long)].collect().toSet
+    assert(run(e.repartition(1)) == run(e.repartition(7, col("d"))))
+  }
+
+  test("linkPrediction: hand-computed jaccard on a path-plus-hub graph") {
+    import spark.implicits._
+    // square 1-2-3-4-1: each non-adjacent diagonal (1,3) and (2,4)
+    // shares BOTH its neighbors. deg all 2 -> jaccard = 2/(2+2-2) = 1
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val r = Graph.linkPrediction(e, col("a"), col("b"),
+        maxWedgeDegree = 10, topK = 10)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(r.toSet ==
+      Set((1L, 3L, 2L, 1000000L), (2L, 4L, 2L, 1000000L)))
+  }
+
+  test("linkPrediction: adjacent pairs excluded, degree cap removes hub wedges") {
+    import spark.implicits._
+    // star center 0 with leaves 1..5, plus edge 1-2.
+    // uncapped: all leaf pairs share neighbor 0; (1,2) is an EDGE ->
+    // excluded. jaccard for (i,j) leaves i,j>=3: 1/(1+1-1)=1;
+    // pairs with 1 or 2 (deg 2): 1/(2+1-1)=1/2 or 1/(2+2-1)=1/3
+    val e = (1L to 5L).map((0L, _)) :+ (1L, 2L)
+    val all = Graph.linkPrediction(e.toDF("a", "b"), col("a"), col("b"),
+        maxWedgeDegree = 10, topK = 100)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(!all.exists(p => (p._1, p._2) == ((1L, 2L))))
+    assert(all.count(_._4 == 1000000L) == 3) // (3,4),(3,5),(4,5)
+    assert(all.length == 9) // C(5,2) leaf pairs minus edge (1,2)
+    // cap 4 excludes the hub (deg 5): only wedge center left is 1/2
+    // (deg 2) -> candidates are nbr pairs of 1 and of 2: (0,2)-edge?
+    // no: (0,2) IS an edge; wedges at 1: (0,2)->edge; at 2: (0,1)->edge
+    // -> nothing survives
+    val capped = Graph.linkPrediction(e.toDF("a", "b"), col("a"), col("b"),
+        maxWedgeDegree = 4, topK = 100).collect()
+    assert(capped.isEmpty)
+  }
+
+  test("linkPrediction: deterministic top-k across partitionings") {
+    val e = spark.range(4000)
+      .select((col("id") % 173).as("a"), ((col("id") * 53) % 167).as("b"))
+      .where(col("a") =!= col("b"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Graph.linkPrediction(d, col("a"), col("b"), maxWedgeDegree = 30, topK = 25)
+        .collect().toSeq
+    assert(run(e.repartition(1)) == run(e.repartition(9, col("b"))))
+  }
 }

@@ -164,4 +164,42 @@ class RelationalSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(a == b)
   }
+
+  test("transitionMatrix: hand-computed two-user sequences") {
+    import spark.implicits._
+    // user 1: a -> b -> a -> c  (a->b, b->a, a->c)
+    // user 2: a -> b            (a->b)
+    // from a: a->b x2, a->c x1; from b: b->a x1
+    val ev = Seq(
+      (1L, "a", 10L, 1L), (1L, "b", 20L, 2L), (1L, "a", 30L, 3L), (1L, "c", 40L, 4L),
+      (2L, "a", 10L, 5L), (2L, "b", 20L, 6L))
+      .toDF("u", "st", "ts", "eid")
+    val r = Relational.transitionMatrix(ev, col("u"), col("st"), col("ts"), col("eid"))
+      .orderBy("from_state", "to_state")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", "b", 2L, 666666L), ("a", "c", 1L, 333333L), ("b", "a", 1L, 1000000L)))
+  }
+
+  test("transitionMatrix: last event contributes nothing; ties broken by tiebreak") {
+    import spark.implicits._
+    // equal ts — tiebreak eid orders x before y
+    val ev = Seq((1L, "x", 5L, 1L), (1L, "y", 5L, 2L)).toDF("u", "st", "ts", "eid")
+    val r = Relational.transitionMatrix(ev, col("u"), col("st"), col("ts"), col("eid"))
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(r == Seq(("x", "y", 1L, 1000000L)))
+    val single = Seq((1L, "x", 5L, 1L)).toDF("u", "st", "ts", "eid")
+    assert(Relational.transitionMatrix(single,
+      col("u"), col("st"), col("ts"), col("eid")).collect().isEmpty)
+  }
+
+  test("transitionMatrix: deterministic across partitionings") {
+    val ev = spark.range(6000).select((col("id") % 37).as("u"),
+      (col("id") % 5).cast("string").as("st"),
+      ((col("id") * 17) % 1000).as("ts"), col("id").as("eid"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Relational.transitionMatrix(d, col("u"), col("st"), col("ts"), col("eid"))
+        .orderBy("from_state", "to_state").collect().toSeq
+    assert(run(ev.repartition(1)) == run(ev.repartition(11, col("st"))))
+  }
 }

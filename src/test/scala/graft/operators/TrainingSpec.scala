@@ -359,4 +359,93 @@ class TrainingSpec extends SparkTestBase {
       assert(got == expected, s"trial $trial: corpus=$docs got=$got expected=$expected")
     }
   }
+
+  test("calibrationBins: bin edges, clamp, and exact rates — hand-computed") {
+    import spark.implicits._
+    val rows = Seq(
+      (0L, false), (99999L, false), // bin 0
+      (100000L, true), // bin 1 (exact lower edge)
+      (999999L, true), (1000000L, false), // bin 9 (clamp folds 10^6 in)
+      (550000L, true), (560000L, false)) // bin 5
+      .toDF("s", "y")
+    val r = Training.calibrationBins(rows, col("s"), col("y"), nBins = 10)
+      .orderBy("bin").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 50000L, 2L, 0L, 0L),
+      (1L, 150000L, 1L, 1L, 1000000L),
+      (5L, 550000L, 2L, 1L, 500000L),
+      (9L, 950000L, 2L, 1L, 500000L)))
+  }
+
+  test("calibrationBins: a perfectly calibrated uniform scorer tracks bin midpoints") {
+    import spark.implicits._
+    // score i/1000 ppm-scaled; label = hash-free deterministic rule
+    // true with rate equal to the score: y = (i % 1000) < score-bucket
+    val rows = (0 until 100000).map { i =>
+      val score = (i / 100L) * 1000L // 0, 1000, ..., 999000 ppm
+      (score, (i % 100L) * 10000L < score)
+    }
+    val r = Training.calibrationBins(rows.toDF("s", "y"), col("s"), col("y"), 10)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    r.foreach { case (_, mid, _, _, rate) =>
+      assert(math.abs(rate - mid) < 10000L, s"bin mid $mid rate $rate")
+    }
+  }
+
+  test("calibrationBins: deterministic across partitionings") {
+    import spark.implicits._
+    val df = spark.range(20000).select(
+      ((col("id") * 37) % 1000001).as("s"), (col("id") % 3 === 0).as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Training.calibrationBins(d, col("s"), col("y"), 10)
+        .orderBy("bin").collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(11)))
+  }
+
+  test("aucExact: hand-computed with ties") {
+    import spark.implicits._
+    // pos scores {3, 2}, neg scores {2, 1}: pairs (3,2)+ (3,1)+ (2,1)+
+    // concordant=3, (2,2) tied=1 -> 2U = 7, AUC = 7/8 = 875000 ppm
+    val rows = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+    val r = Training.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((4L, 2L, 2L, 875000L)))
+  }
+
+  test("aucExact: perfect separation -> 10^6; reversed -> 0; constant label -> 0") {
+    import spark.implicits._
+    val perfect = Seq((10L, true), (9L, true), (2L, false), (1L, false))
+    assert(Training.aucExact(perfect.toDF("s", "y"), col("s"), col("y"))
+      .select("auc_ppm").as[Long].head() == 1000000L)
+    val reversed = perfect.map { case (s, y) => (s, !y) }
+    assert(Training.aucExact(reversed.toDF("s", "y"), col("s"), col("y"))
+      .select("auc_ppm").as[Long].head() == 0L)
+    val constant = Seq((5L, true), (3L, true))
+    assert(Training.aucExact(constant.toDF("s", "y"), col("s"), col("y"))
+      .select("auc_ppm").as[Long].head() == 0L)
+  }
+
+  test("aucExact: matches the brute-force pair count on seeded random data") {
+    import spark.implicits._
+    val rng = new scala.util.Random(77)
+    val rows = Seq.fill(300)((rng.nextInt(20).toLong, rng.nextBoolean()))
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    val u2 = (for { p <- pos; q <- neg } yield {
+      if (p > q) 2L else if (p == q) 1L else 0L
+    }).sum
+    val expected = u2 * 1000000L / (2L * pos.size * neg.size)
+    val r = Training.aucExact(rows.toDF("s", "y"), col("s"), col("y"))
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((300L, pos.size.toLong, neg.size.toLong, expected)))
+  }
+
+  test("aucExact: deterministic across partitionings") {
+    import spark.implicits._
+    val df = spark.range(30000).select(
+      ((col("id") * 131) % 997).as("s"), (col("id") % 7 < 3).as("y"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Training.aucExact(d, col("s"), col("y")).collect().head
+    assert(run(df.repartition(1)) == run(df.repartition(13)))
+  }
 }
