@@ -1097,6 +1097,68 @@ object SparkEntry {
       t(s, dir, "documents"), col("doc_id"), col("source"), col("n_chars"))
       .orderBy("id")
 
+  /** Precision/recall/F1 sweep of the q193 scorer over every distinct
+    * score threshold — the exact ppm curve that picks a classifier
+    * cutoff.
+    */
+  private def qPrCurve(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha_n"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("len_n"),
+        (col("n_chars") >= 500).as("label"))
+      .select(expr("alpha_n * 1000000L div len_n").as("score_ppm"), col("label"))
+    graft.operators.Training.prCurve(scored, col("score_ppm"), col("label"))
+      .orderBy(col("threshold").desc)
+  }
+
+  /** Vocabulary-richness profile of the document corpus: token/type
+    * counts, hapax/dis-legomena, and the bias-corrected Chao1 unseen-
+    * vocabulary estimate — one integer-exact summary row.
+    */
+  private def qVocabRichness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.vocabRichness(
+      t(s, dir, "documents"), col("text"))
+
+  /** Directed-graph shape profile of the event-succession user graph:
+    * node/edge counts, reciprocated-edge count and exact ppm
+    * reciprocity, max out/in degree.
+    */
+  private def qGraphProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.graphProfile(eventUserPairs(s, dir),
+      col("src"), col("dst"))
+
+  /** Streaming twin of q194: per-user transitions extracted by
+    * keyed state (last-event bridge) from the event FILE STREAM,
+    * drained AvailableNow, then aggregated — equals the batch
+    * transition matrix by the within-batch ordering contract.
+    */
+  private def qStreamTransitions(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/events.parquet").schema
+    // same two fixture vintages as [[normalizeTsNanos]] — micros long
+    val tsUs = schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(col("ts"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => expr("ts div 1000")
+    }
+    val stream = s.readStream.schema(schema).parquet(streamDir(dir, "events"))
+      .select(col("user_id").as("key"), col("event_type").as("state"),
+        tsUs.as("ts_us"), col("event_id").as("eid"))
+    val trans = graft.streaming.StreamingOps.streamingTransitions(stream)
+    val q = trans.writeStream.format("memory").queryName("graft_stream_trans")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_trans")
+      .groupBy("from_state", "to_state").agg(count(lit(1)).as("n"))
+      .withColumn("from_n", sum("n").over(Window.partitionBy("from_state")))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000000L div from_n").as("prob_ppm"))
+      .orderBy("from_state", "to_state")
+  }
+
   /** k-anonymity / l-diversity profile of the customer table under
     * quasi-identifiers (nation, account-balance thousand-bucket) with
     * market segment as the sensitive attribute; k = 5, l = 3.
@@ -3427,6 +3489,10 @@ object SparkEntry {
     "q195_link_prediction" -> qLinkPrediction _,
     "q196_ngram_contamination" -> qNgramContamination _,
     "q197_rank_normalize" -> qRankNormalize _,
+    "q198_pr_curve" -> qPrCurve _,
+    "q199_vocab_richness" -> qVocabRichness _,
+    "q200_graph_profile" -> qGraphProfile _,
+    "q201_stream_transitions" -> qStreamTransitions _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -6369,6 +6435,75 @@ object SparkEntry {
           |SELECT id::BIGINT AS id, key, score::BIGINT AS score,
           | (CASE WHEN n = 1 THEN 0 ELSE (rk - 1) * 1000000 // (n - 1) END)::BIGINT AS pct_ppm
           |FROM r ORDER BY id""".stripMargin,
+
+      // ≥-threshold cumulatives over per-distinct-score counts; F1 in
+      // its single-fraction form 2tp/(pred+pos)
+      "q198_pr_curve" ->
+        """WITH r AS (SELECT
+          |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+          |    // greatest(length(text), 1)) AS s,
+          |   CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y FROM documents),
+          | g AS (SELECT s, count(*) AS c, sum(y) AS p FROM r GROUP BY s),
+          | cum AS (SELECT s AS threshold,
+          |   sum(c) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pred_pos,
+          |   sum(p) OVER (ORDER BY s DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+          |   sum(p) OVER () AS n_pos FROM g)
+          |SELECT threshold::BIGINT AS threshold, pred_pos::BIGINT AS pred_pos,
+          | tp::BIGINT AS tp,
+          | (tp * 1000000 // pred_pos)::BIGINT AS precision_ppm,
+          | (CASE WHEN n_pos = 0 THEN 0 ELSE tp * 1000000 // n_pos END)::BIGINT AS recall_ppm,
+          | (2 * tp * 1000000 // (pred_pos + n_pos))::BIGINT AS f1_ppm
+          |FROM cum ORDER BY threshold DESC""".stripMargin,
+
+      // Chao1 bias-corrected: D + f1(f1-1) // (2(f2+1)); lowercased
+      // whitespace tokens
+      "q199_vocab_richness" ->
+        """WITH tk AS (SELECT
+          |  unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS tok
+          | FROM documents),
+          | cnt AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+          | agg AS (SELECT sum(c) AS n_tokens, count(*) AS n_types,
+          |   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS f1,
+          |   sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS f2 FROM cnt)
+          |SELECT n_tokens::BIGINT AS n_tokens, n_types::BIGINT AS n_types,
+          | f1::BIGINT AS f1, f2::BIGINT AS f2,
+          | (n_types + f1 * (f1 - 1) // (2 * (f2 + 1)))::BIGINT AS chao1
+          |FROM agg""".stripMargin,
+
+      // directed distinct event graph: reciprocity over ordered edges,
+      // max out/in degree
+      "q200_graph_profile" ->
+        """WITH seq AS (SELECT user_id,
+          |   lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |  FROM events WHERE event_id % 16 = 3),
+          | e AS (SELECT DISTINCT user_id AS s, nxt AS d FROM seq
+          |       WHERE nxt IS NOT NULL AND nxt <> user_id),
+          | nn AS (SELECT count(*) AS n_nodes FROM
+          |        (SELECT s AS n FROM e UNION SELECT d FROM e)),
+          | ne AS (SELECT count(*) AS n_edges FROM e),
+          | mu AS (SELECT count(*) AS n_mutual FROM e
+          |        WHERE EXISTS (SELECT 1 FROM e r WHERE r.s = e.d AND r.d = e.s)),
+          | om AS (SELECT max(c) AS max_out_deg FROM
+          |        (SELECT count(*) AS c FROM e GROUP BY s)),
+          | im AS (SELECT max(c) AS max_in_deg FROM
+          |        (SELECT count(*) AS c FROM e GROUP BY d))
+          |SELECT n_nodes::BIGINT AS n_nodes, n_edges::BIGINT AS n_edges,
+          | n_mutual::BIGINT AS n_mutual,
+          | (CASE WHEN n_edges = 0 THEN 0
+          |  ELSE n_mutual * 1000000 // n_edges END)::BIGINT AS reciprocity_ppm,
+          | max_out_deg::BIGINT AS max_out_deg, max_in_deg::BIGINT AS max_in_deg
+          |FROM nn, ne, mu, om, im""".stripMargin,
+
+      // the q194 batch matrix — the streaming drain must equal it
+      "q201_stream_transitions" ->
+        """WITH seq AS (SELECT event_type AS from_state,
+          |   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_state
+          |  FROM events),
+          | tr AS (SELECT from_state, to_state, count(*) AS n FROM seq
+          |        WHERE to_state IS NOT NULL GROUP BY 1, 2)
+          |SELECT from_state, to_state, n::BIGINT AS n,
+          | (n * 1000000 // sum(n) OVER (PARTITION BY from_state))::BIGINT AS prob_ppm
+          |FROM tr ORDER BY from_state, to_state""".stripMargin,
     )
   }
 

@@ -42,9 +42,20 @@ object GraphSmoke {
         .orderBy(col("rank").desc, col("node")).limit(20).collect())
     val tri = time("triangleStats (degree-oriented)")(
       Graph.triangleStats(e, col("s"), col("d")).collect().head)
+    val hits = time("hits (2 rounds)")(
+      Graph.hits(e, col("s"), col("d"), iters = 2)
+        .orderBy(col("auth").desc, col("node")).limit(20).collect())
+    val prof = time("graphProfile")(
+      Graph.graphProfile(e, col("s"), col("d")).collect().head)
+    // cap 64: the skewed hubs far exceed it — exercises the wedge cap
+    val lp = time("linkPrediction (cap 64, top 100)")(
+      Graph.linkPrediction(e, col("s"), col("d"),
+        maxWedgeDegree = 64, topK = 100).collect())
     println(s"RESULT nEdges=$nEdges topRank=${pr.head.getLong(1)} " +
       s"topRankStd=${prs.head.getLong(1)} " +
-      s"nodes=${tri.getLong(0)} undEdges=${tri.getLong(1)} triangles=${tri.getLong(2)}")
+      s"nodes=${tri.getLong(0)} undEdges=${tri.getLong(1)} triangles=${tri.getLong(2)} " +
+      s"topAuth=${hits.head.getLong(1)} reciprocity=${prof.getLong(3)} " +
+      s"maxOutDeg=${prof.getLong(4)} lpTopJaccard=${lp.headOption.map(_.getLong(3)).getOrElse(-1L)}")
     spark.stop()
   }
 }

@@ -279,6 +279,42 @@ object Graph {
     out
   }
 
+  /** One-row shape profile of the DIRECTED simple graph induced by an
+    * edge list (self-loops dropped, multiplicity collapsed): node and
+    * edge counts, the count of reciprocated directed edges (both u→v
+    * and v→u present — each mutual PAIR contributes 2), the exact ppm
+    * reciprocity (n_mutual·10⁶ div n_edges, the standard
+    * ordered-edge definition), and the max out/in degree — the
+    * pre-flight numbers that size every downstream graph job (degree
+    * caps, skew salting, wedge bounds).
+    *
+    * Scale: one distinct over edges, a left-semi self-join on the
+    * reversed key for reciprocity (longs only on the wire), two
+    * map-side-combined degree aggregates, and five 1-row crossJoins.
+    */
+  def graphProfile(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = edges.select(src.cast("long").as("s"), dst.cast("long").as("d"))
+      .where(col("s") =!= col("d")).distinct().persist()
+    val nN = e.select(col("s").as("n")).union(e.select(col("d").as("n")))
+      .distinct().agg(count(lit(1)).as("n_nodes"))
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val mutual = e
+      .join(e.select(col("d").as("s"), col("s").as("d")), Seq("s", "d"), "left_semi")
+      .agg(count(lit(1)).as("n_mutual"))
+    val outMax = e.groupBy("s").agg(count(lit(1)).as("od"))
+      .agg(coalesce(max("od"), lit(0L)).as("max_out_deg"))
+    val inMax = e.groupBy("d").agg(count(lit(1)).as("dd"))
+      .agg(coalesce(max("dd"), lit(0L)).as("max_in_deg"))
+    val out = nN.crossJoin(nE).crossJoin(mutual).crossJoin(outMax).crossJoin(inMax)
+      .select(col("n_nodes"), col("n_edges"), col("n_mutual"),
+        when(col("n_edges") === 0, lit(0L))
+          .otherwise(expr("n_mutual * 1000000L div n_edges")).as("reciprocity_ppm"),
+        col("max_out_deg"), col("max_in_deg"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
   /** Common-neighbor link prediction over the undirected simple graph
     * induced by an edge list: for every NON-adjacent pair (u, v) with
     * at least one shared neighbor reachable through a wedge center of

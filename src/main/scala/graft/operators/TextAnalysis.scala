@@ -954,4 +954,36 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum("k").as("n_occ"))
       .where(col("n_docs") >= minDocs)
   }
+
+  /** Vocabulary-richness profile with the bias-corrected Chao1
+    * estimate of UNSEEN vocabulary — the "how much new vocabulary
+    * would more data bring" statistic a corpus-growth decision reads.
+    * Over lowercased whitespace tokens: total token count, distinct
+    * vocabulary D, hapax count f1 (frequency-1 types), dis legomena
+    * f2 (frequency-2), and
+    *
+    *   chao1 = D + f1·(f1−1) div (2·(f2+1))
+    *
+    * (Chao 1984, bias-corrected form — defined even when f2 = 0, and
+    * all integer arithmetic). A corpus whose chao1 ≈ D has exhausted
+    * its vocabulary; chao1 >> D says sampling more of the same source
+    * still buys new types.
+    *
+    * Scale: explode → ONE map-side-combined aggregate keyed by token
+    * (the (token, count) table is vocabulary-bounded), then a 1-row
+    * summary aggregate. f1/f2 are conditional counts over that
+    * bounded table, not the data.
+    */
+  def vocabRichness(df: DataFrame, text: Column): DataFrame = {
+    val counts = df
+      .select(explode(tokens(lower(text))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    counts.agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_types"), col("f1"), col("f2"),
+        expr("n_types + f1 * (f1 - 1) div (2 * (f2 + 1))").as("chao1"))
+  }
 }

@@ -549,4 +549,46 @@ object Training {
           .otherwise(expr("u2 * 1000000L div (2 * n_pos * n_neg)"))
           .as("auc_ppm"))
   }
+
+  /** Precision / recall / F1 sweep over every DISTINCT score as the
+    * decision threshold (predict positive when score ≥ threshold) —
+    * the curve that picks [[TextAnalysis.classifierFilter]]'s cutoff:
+    * per threshold, the predicted-positive count, true positives, and
+    * exact ppm precision, recall, and F1, where
+    *
+    *   f1_ppm = 2·tp·10⁶ div (pred_pos + n_pos)
+    *
+    * (the single-fraction form of 2PR/(P+R) — one floor division, no
+    * compounding of two rounded ppm values; same algebra discipline
+    * as [[aucExact]]'s single-division kappa sibling). Thresholds
+    * descend from the max score, so the first row is the strictest
+    * cut; recall is monotone non-decreasing down the output.
+    *
+    * Scale: identical shape to [[aucExact]] — the items shuffle once
+    * into a per-distinct-score aggregate (bounded by the score
+    * DOMAIN), then two cumulative windows run over that bounded
+    * table, never the data.
+    */
+  def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(score.cast("long").as("s"),
+        label.cast("boolean").cast("long").as("y"))
+      .groupBy("s").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    // ≥-threshold cumulatives: everything at this score or above
+    val atOrAbove = Window.orderBy(col("s").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val total = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    byScore
+      .select(col("s").as("threshold"),
+        sum("c").over(atOrAbove).as("pred_pos"),
+        sum("p").over(atOrAbove).as("tp"),
+        sum("p").over(total).as("n_pos"))
+      .select(col("threshold"), col("pred_pos"), col("tp"),
+        expr("tp * 1000000L div pred_pos").as("precision_ppm"),
+        when(col("n_pos") === 0, lit(0L))
+          .otherwise(expr("tp * 1000000L div n_pos")).as("recall_ppm"),
+        expr("2 * tp * 1000000L div (pred_pos + n_pos)").as("f1_ppm"))
+  }
 }

@@ -244,6 +244,46 @@ object StreamingOps {
       .toDF("doc_id", "key", "score", "n_tokens", "cum_tokens")
   }
 
+  /** Streaming first-order transition extraction — the ingestion twin
+    * of [[graft.operators.Relational.transitionMatrix]]: events arrive
+    * as a stream carrying (key, state, ts_us, eid); per key, each
+    * event emits a (from_state, to_state) transition from the
+    * previously-seen event. State per key is the last (ts_us, eid,
+    * state) triple — three scalars, never rows — so state scales with
+    * distinct keys.
+    *
+    * Ordering contract (same shape as [[streamingTokenBudget]]):
+    * WITHIN a micro-batch each key consumes in (ts_us, eid) order, so
+    * a single-batch AvailableNow drain emits exactly the batch
+    * lead()-window transitions — oracle-equal counts. ACROSS batches,
+    * transitions chain in arrival order (the stored last event
+    * bridges batches); honest online semantics, spec-pinned.
+    */
+  def streamingTransitions(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("key").cast("long"), col("state").cast("string"),
+        col("ts_us").cast("long"), col("eid").cast("long"))
+      .as[(Long, String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, String), (String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[(Long, String, Long, Long)],
+         state: GroupState[(Long, Long, String)]) =>
+          val sorted = rows.toVector.sortBy { case (_, _, t, e) => (t, e) }
+          var last = state.getOption
+          val out = Vector.newBuilder[(String, String)]
+          sorted.foreach { case (_, st, t, e) =>
+            last.foreach { case (_, _, prev) => out += ((prev, st)) }
+            last = Some((t, e, st))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_state", "to_state")
+  }
+
   /** Streaming URL-keyed dedup — the crawl-ingest counterpart of
     * [[graft.operators.Dedup.urlDedup]]: emit each document the FIRST
     * time its canonical URL arrives; later spellings of the same page

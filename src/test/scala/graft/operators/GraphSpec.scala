@@ -372,6 +372,18 @@ class GraphSpec extends SparkTestBase {
     assert(capped.isEmpty)
   }
 
+  test("graphProfile: hand-computed reciprocity and degree extremes") {
+    import spark.implicits._
+    // edges: 1->2, 2->1 (mutual), 1->3, 3->4, 1->3 dup, 5->5 loop
+    val e = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (1L, 3L), (5L, 5L))
+      .toDF("a", "b")
+    val r = Graph.graphProfile(e, col("a"), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // distinct non-loop edges: 4; nodes {1,2,3,4}; mutual ordered: 2
+    // reciprocity 500000; out: 1 has 2; in: all 1 -> max 1
+    assert(r == ((4L, 4L, 2L, 500000L, 2L, 1L)))
+  }
+
   test("linkPrediction: deterministic top-k across partitionings") {
     val e = spark.range(4000)
       .select((col("id") % 173).as("a"), ((col("id") * 53) % 167).as("b"))

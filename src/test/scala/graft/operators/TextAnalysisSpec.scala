@@ -651,4 +651,31 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(Scale.countShuffles(TextAnalysis.domainBlocklistFilter(
       df, col("id"), col("url"), Seq("example.com"))) == 0)
   }
+
+  test("vocabRichness: hand-computed Chao1 with and without dis legomena") {
+    import spark.implicits._
+    // tokens: a a a b b c d e -> 8 tokens, 5 types, f1 = {c,d,e} = 3,
+    // f2 = {b} = 1 -> chao1 = 5 + 3*2 div 4 = 6
+    val df = Seq("a a a b", "b c d E").toDF("text") // E lowercases to e
+    val r = TextAnalysis.vocabRichness(df, col("text"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(r == ((8L, 5L, 3L, 1L, 6L)))
+    // all hapax, f2 = 0: bias-corrected form stays defined
+    // 3 types, f1 = 3 -> chao1 = 3 + 3*2 div 2 = 6
+    val h = TextAnalysis.vocabRichness(Seq("x y z").toDF("text"), col("text"))
+      .as[(Long, Long, Long, Long, Long)].collect().head
+    assert(h == ((3L, 3L, 3L, 0L, 6L)))
+  }
+
+  test("vocabRichness: exhausted vocabulary has chao1 = n_types; partition-invariant") {
+    import spark.implicits._
+    val df = spark.range(2000).select(
+      concat_ws(" ", (col("id") % 7).cast("string"),
+        ((col("id") + 1) % 7).cast("string")).as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.vocabRichness(d, col("text")).collect().head
+    val r = run(df.repartition(1))
+    assert(r.getLong(2) == 0L && r.getLong(4) == r.getLong(1)) // f1=0 -> chao1=D
+    assert(r == run(df.repartition(11)))
+  }
 }

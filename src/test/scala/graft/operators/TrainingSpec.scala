@@ -448,4 +448,35 @@ class TrainingSpec extends SparkTestBase {
       Training.aucExact(d, col("s"), col("y")).collect().head
     assert(run(df.repartition(1)) == run(df.repartition(13)))
   }
+
+  test("prCurve: hand-computed sweep with a tied score") {
+    import spark.implicits._
+    // scores: 3+(pos), 2+(pos), 2-(neg), 1-(neg); n_pos = 2
+    // t=3: pred 1, tp 1 -> P 1.0, R 0.5, F1 2/3
+    // t=2: pred 3, tp 2 -> P 2/3, R 1.0, F1 4/5
+    // t=1: pred 4, tp 2 -> P 0.5, R 1.0, F1 2/3
+    val rows = Seq((3L, true), (2L, true), (2L, false), (1L, false))
+    val r = Training.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("threshold").desc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (3L, 1L, 1L, 1000000L, 500000L, 666666L),
+      (2L, 3L, 2L, 666666L, 1000000L, 800000L),
+      (1L, 4L, 2L, 500000L, 1000000L, 666666L)))
+  }
+
+  test("prCurve: recall monotone, all-negative labels give zero curve") {
+    import spark.implicits._
+    val rng = new scala.util.Random(19)
+    val rows = Seq.fill(500)((rng.nextInt(30).toLong, rng.nextBoolean()))
+    val r = Training.prCurve(rows.toDF("s", "y"), col("s"), col("y"))
+      .orderBy(col("threshold").desc)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._5) == r.map(_._5).sorted) // recall non-decreasing
+    assert(r.last._5 == 1000000L)             // lowest threshold: recall 1
+    val neg = Seq((5L, false), (3L, false))
+    val rn = Training.prCurve(neg.toDF("s", "y"), col("s"), col("y"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rn.forall(row => row._4 == 0L && row._5 == 0L && row._6 == 0L))
+  }
 }

@@ -260,6 +260,57 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingTransitions: within-batch order, cross-batch bridge, key isolation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = StreamingOps.streamingTransitions(
+      mem.toDF().toDF("key", "state", "ts_us", "eid"))
+    val q = out.writeStream.format("memory").queryName("streamtrans")
+      .outputMode("append").start()
+    try {
+      // batch 1 — user 1: a(t10) -> b(t20) -> a(t30); user 2: x(t5);
+      // ts tie within user 1 would break by eid (none here)
+      mem.addData((1L, "b", 20L, 2L), (1L, "a", 10L, 1L), (1L, "a", 30L, 3L),
+        (2L, "x", 5L, 9L))
+      q.processAllAvailable()
+      val b1 = spark.table("streamtrans").as[(String, String)].collect().toSeq
+      assert(b1.sorted == Seq(("a", "b"), ("b", "a")))
+      // batch 2 — the stored last event bridges: user 1 a -> c;
+      // user 2 x -> y; a NEW user 3 emits nothing for its first event
+      mem.addData((1L, "c", 40L, 4L), (2L, "y", 6L, 10L), (3L, "z", 1L, 11L))
+      q.processAllAvailable()
+      val b2 = spark.table("streamtrans").as[(String, String)].collect().toSeq
+        .diff(b1)
+      assert(b2.sorted == Seq(("a", "c"), ("x", "y")))
+    } finally q.stop()
+  }
+
+  test("streamingTransitions single-batch drain equals the batch lead() window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val rows = (0L until 400L).map(i =>
+      (i % 13, s"s${rnd.nextInt(4)}", rnd.nextInt(50).toLong, i))
+    val mem = MemoryStream[(Long, String, Long, Long)]
+    val out = StreamingOps.streamingTransitions(
+      mem.toDF().toDF("key", "state", "ts_us", "eid"))
+    val q = out.writeStream.format("memory").queryName("streamtrans2")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*) // ONE batch
+      q.processAllAvailable()
+      val streamed = spark.table("streamtrans2").as[(String, String)]
+        .collect().groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val batch = graft.operators.Relational.transitionMatrix(
+          rows.toDF("key", "state", "ts_us", "eid"),
+          col("key"), col("state"), col("ts_us"), col("eid"))
+        .as[(String, String, Long, Long)].collect()
+        .map { case (f, t, n, _) => (f, t) -> n }.toMap
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streamingTokenBudget single-batch drain equals the batch greedy selection") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
