@@ -1159,6 +1159,87 @@ object SparkEntry {
       .orderBy("from_state", "to_state")
   }
 
+  /** Per-language exact AUC of the q193 scorer — the eval-slice
+    * (fairness) view: does the quality score rank long documents as
+    * well inside EVERY language as in aggregate.
+    */
+  private def qGroupAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = t(s, dir, "documents").select(
+        col("lang"),
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("long").as("alpha_n"),
+        greatest(length(col("text")).cast("long"), lit(1L)).as("len_n"),
+        (col("n_chars") >= 500).as("label"))
+      .select(col("lang"), expr("alpha_n * 1000000L div len_n").as("score_ppm"),
+        col("label"))
+    graft.operators.Training.aucByGroup(
+      scored, col("lang"), col("score_ppm"), col("label"))
+      .orderBy("grp")
+  }
+
+  /** Selection-rate fairness audit of the length filter (n_chars ≥
+    * 400) across sources: per-source rate and four-fifths-rule parity
+    * against the highest-rate source.
+    */
+  private def qSelectionAudit(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.selectionAudit(
+      t(s, dir, "documents"), col("source"), col("n_chars") >= 400)
+      .orderBy("grp")
+
+  /** Duplication profile over a corpus with known cluster sizes (the
+    * fixture plus one extra copy of doc_id < 100 and two of doc_id <
+    * 20): per cluster size, cluster count, doc mass, ppm share.
+    */
+  private def qDedupStats(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val twice = d.where(col("doc_id") < 100)
+      .select((col("doc_id") + 10000).as("doc_id"), col("text"))
+    val thrice = d.where(col("doc_id") < 20)
+      .select((col("doc_id") + 20000).as("doc_id"), col("text"))
+    graft.operators.Dedup.dedupStats(
+      d.union(twice).union(thrice), col("doc_id"), col("text"))
+      .orderBy("cluster_size")
+  }
+
+  /** Word-3-gram diversity per source: distinct-over-total ppm ratio
+    * — the template-spam / looping-generator detector.
+    */
+  private def qNgramDiversity(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TextAnalysis.ngramDiversity(
+      t(s, dir, "documents"), col("source"), col("text"), n = 3)
+      .orderBy("grp")
+
+  /** IVF bucket-occupancy balance of the q26 index geometry: per
+    * coarse bucket, document count and exact ppm load factor (10⁶ =
+    * perfectly balanced) — the index health gate.
+    */
+  private def qIvfBalance(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.ivfBalance(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"), nBuckets = 8)
+      .orderBy("bucket")
+
+  /** Length-distribution drift between the even-id (reference) and
+    * odd-id (current) document halves, 100-char bins capped at 15:
+    * per-bin counts, exact ppm shares, and the absolute share gap
+    * whose half-sum is the total-variation distance.
+    */
+  private def qDrift(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val bin = least(expr("n_chars div 100"), lit(15L))
+    graft.operators.Profiling.histogramDrift(
+      d.where(col("doc_id") % 2 === 0), bin,
+      d.where(col("doc_id") % 2 === 1), bin)
+      .orderBy("bin")
+  }
+
+  /** Cluster-quality profile of the q101 k-means model (k = 8, 2
+    * passes): per cluster, size, integer inertia, second-nearest
+    * separation mass, and the ppm cohesion ratio.
+    */
+  private def qClusterQuality(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Clustering.clusterQuality(
+      t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 8, iters = 2)
+      .orderBy("cluster")
+
   /** k-anonymity / l-diversity profile of the customer table under
     * quasi-identifiers (nation, account-balance thousand-bucket) with
     * market segment as the sensitive attribute; k = 5, l = 3.
@@ -3493,6 +3574,13 @@ object SparkEntry {
     "q199_vocab_richness" -> qVocabRichness _,
     "q200_graph_profile" -> qGraphProfile _,
     "q201_stream_transitions" -> qStreamTransitions _,
+    "q202_group_auc" -> qGroupAuc _,
+    "q203_selection_audit" -> qSelectionAudit _,
+    "q204_dedup_stats" -> qDedupStats _,
+    "q205_ngram_diversity" -> qNgramDiversity _,
+    "q206_ivf_balance" -> qIvfBalance _,
+    "q207_drift" -> qDrift _,
+    "q208_cluster_quality" -> qClusterQuality _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -6504,6 +6592,144 @@ object SparkEntry {
           |SELECT from_state, to_state, n::BIGINT AS n,
           | (n * 1000000 // sum(n) OVER (PARTITION BY from_state))::BIGINT AS prob_ppm
           |FROM tr ORDER BY from_state, to_state""".stripMargin,
+
+      // q193's Mann–Whitney algebra partitioned by language
+      "q202_group_auc" ->
+        """WITH r AS (SELECT lang AS grp,
+          |   (length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1000000
+          |    // greatest(length(text), 1)) AS s,
+          |   CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END AS y FROM documents),
+          | g AS (SELECT grp, s, count(*) AS c, sum(y) AS p FROM r GROUP BY grp, s),
+          | cum AS (SELECT grp, c, p,
+          |   coalesce(sum(c - p) OVER (PARTITION BY grp ORDER BY s
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb FROM g),
+          | agg AS (SELECT grp, sum(c) AS n, sum(p) AS n_pos, sum(c) - sum(p) AS n_neg,
+          |   sum(p * 2 * nb + p * (c - p)) AS u2 FROM cum GROUP BY grp)
+          |SELECT grp, n::BIGINT AS n, n_pos::BIGINT AS n_pos, n_neg::BIGINT AS n_neg,
+          | (CASE WHEN n_pos = 0 OR n_neg = 0 THEN 0
+          |  ELSE u2 * 1000000 // (2 * n_pos * n_neg) END)::BIGINT AS auc_ppm
+          |FROM agg ORDER BY grp""".stripMargin,
+
+      // rates floored to ppm BEFORE the parity ratio (the audit
+      // compares published rates) — four-fifths-rule statistic
+      "q203_selection_audit" ->
+        """WITH r AS (SELECT source AS grp, count(*) AS n,
+          |   sum(CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS n_sel
+          |  FROM documents GROUP BY source),
+          | rr AS (SELECT grp, n, n_sel, n_sel * 1000000 // n AS rate_ppm FROM r),
+          | mx AS (SELECT max(rate_ppm) AS m FROM rr)
+          |SELECT grp, n::BIGINT AS n, n_sel::BIGINT AS n_sel,
+          | rate_ppm::BIGINT AS rate_ppm,
+          | (CASE WHEN m = 0 THEN 0 ELSE rate_ppm * 1000000 // m END)::BIGINT AS parity_ppm
+          |FROM rr, mx ORDER BY grp""".stripMargin,
+
+      // the fixture + 1 extra copy of doc_id<100 + 2 of doc_id<20 →
+      // cluster sizes 1/2/3; q20's fingerprint
+      "q204_dedup_stats" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 100
+          |  UNION ALL SELECT doc_id + 20000, text FROM documents WHERE doc_id < 20),
+          | cl AS (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+          |        count(*) AS sz FROM corpus GROUP BY fp),
+          | bs AS (SELECT sz AS cluster_size, count(*) AS n_clusters,
+          |        sz * count(*) AS n_docs FROM cl GROUP BY sz),
+          | tot AS (SELECT sum(n_docs) AS n_total FROM bs)
+          |SELECT cluster_size::BIGINT AS cluster_size, n_clusters::BIGINT AS n_clusters,
+          | n_docs::BIGINT AS n_docs,
+          | (n_docs * 1000000 // n_total)::BIGINT AS doc_share_ppm
+          |FROM bs, tot ORDER BY cluster_size""".stripMargin,
+
+      // corpus-level 3-gram multiplicity per source (NO per-doc
+      // dedup — multiplicity is the statistic)
+      "q205_ngram_diversity" ->
+        """WITH tok AS (SELECT source AS grp,
+          |   list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS w
+          |  FROM documents),
+          | ng AS (SELECT grp, unnest(list_transform(range(1, greatest(len(w) - 1, 1)),
+          |     i -> array_to_string(w[i:i+2], ' '))) AS g FROM tok),
+          | pg AS (SELECT grp, g, count(*) AS c FROM ng GROUP BY grp, g),
+          | agg AS (SELECT grp, sum(c) AS n_ngrams, count(*) AS n_distinct
+          |         FROM pg GROUP BY grp)
+          |SELECT grp, n_ngrams::BIGINT AS n_ngrams, n_distinct::BIGINT AS n_distinct,
+          | (n_distinct * 1000000 // n_ngrams)::BIGINT AS distinct_ppm
+          |FROM agg ORDER BY grp""".stripMargin,
+
+      // q26's coarse-assignment CTE, rolled up to bucket occupancy
+      "q206_ivf_balance" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | cnt AS (SELECT bucket, count(*) AS n FROM assigned GROUP BY bucket),
+          | tot AS (SELECT sum(n) AS n_total FROM cnt)
+          |SELECT bucket::BIGINT AS bucket, n::BIGINT AS n,
+          | (n * 8 * 1000000 // n_total)::BIGINT AS load_ppm
+          |FROM cnt, tot ORDER BY bucket""".stripMargin,
+
+      // even-id half = reference, odd = current; ppm shares floored
+      // per side BEFORE the gap
+      "q207_drift" ->
+        """WITH r AS (SELECT least(n_chars // 100, 15) AS bin, count(*) AS ref_n
+          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          | c AS (SELECT least(n_chars // 100, 15) AS bin, count(*) AS cur_n
+          |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+          | j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+          |   coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+          |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+          | tt AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+          |SELECT bin::BIGINT AS bin, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
+          | (ref_n * 1000000 // rt)::BIGINT AS ref_ppm,
+          | (cur_n * 1000000 // ct)::BIGINT AS cur_ppm,
+          | abs(ref_n * 1000000 // rt - cur_n * 1000000 // ct)::BIGINT AS gap_ppm
+          |FROM j, tt ORDER BY bin""".stripMargin,
+
+      // q101's integer Lloyd's unroll; own distance from the rk=1
+      // row, second-nearest from rk=2, summed per cluster
+      "q208_cluster_quality" ->
+        """WITH q AS (
+          | SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v
+          | FROM embeddings),
+          |c0 AS (
+          | SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+          | FROM (SELECT id, v FROM q ORDER BY id LIMIT 8)),
+          |a1 AS (
+          | SELECT id, v, cid, d FROM (
+          |  SELECT q.id, q.v, c.cid,
+          |   list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ])::BIGINT AS d,
+          |   row_number() OVER (PARTITION BY q.id ORDER BY
+          |     list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ]), c.cid) AS rk
+          |  FROM q CROSS JOIN c0 c) WHERE rk = 1),
+          |u1 AS (
+          | SELECT c0.cid, coalesce(m.cv, c0.cv) AS cv FROM c0 LEFT JOIN (
+          |  SELECT cid, list(s ORDER BY dim) AS cv FROM (
+          |   SELECT a1.cid AS cid, gs.dim AS dim, (sum(a1.v[gs.dim]) // count(*))::BIGINT AS s
+          |   FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) gs
+          |   GROUP BY a1.cid, gs.dim)
+          |  GROUP BY cid) m ON c0.cid = m.cid),
+          |a2 AS (
+          | SELECT id, cid, d, rk FROM (
+          |  SELECT q.id, c.cid,
+          |   list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ])::BIGINT AS d,
+          |   row_number() OVER (PARTITION BY q.id ORDER BY
+          |     list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ]), c.cid) AS rk
+          |  FROM q CROSS JOIN u1 c) WHERE rk <= 2),
+          |own AS (SELECT id, cid, d FROM a2 WHERE rk = 1),
+          |sec AS (SELECT id, d AS d2 FROM a2 WHERE rk = 2),
+          |agg AS (SELECT own.cid, count(*) AS n, sum(own.d) AS inertia,
+          |  sum(sec.d2) AS separation
+          | FROM own JOIN sec ON own.id = sec.id GROUP BY own.cid)
+          |SELECT cid::BIGINT AS cluster, n::BIGINT AS n, inertia::BIGINT AS inertia,
+          | separation::BIGINT AS separation,
+          | (CASE WHEN separation = 0 THEN 1000000
+          |  ELSE inertia * 1000000 // separation END)::BIGINT AS cohesion_ppm
+          |FROM agg ORDER BY cluster""".stripMargin,
     )
   }
 

@@ -324,4 +324,60 @@ object Clustering {
       }
     next
   }
+
+  /** Cluster-quality profile of a trained k-means model — the
+    * cohesion-vs-separation gate run before trusting clusters for
+    * curation/mixing decisions: per cluster, its size, the integer
+    * within-cluster sum of squared distances (inertia), the sum of
+    * each member's squared distance to its SECOND-nearest centroid
+    * (separation), and the exact ppm cohesion ratio
+    *
+    *   cohesion_ppm = inertia·10⁶ div separation
+    *
+    * — a silhouette-flavored statistic in pure integers (a true
+    * silhouette divides per point; summing numerators and denominators
+    * separately keeps the 64-bit-exact contract). Near 10⁶ means the
+    * second choice was just as close (the cluster isn't real);
+    * well below means tight and separated.
+    *
+    * Scale: trains via [[kmeansCentroidsFixedPoint]] (its bounded k·d
+    * driver collect per round), then ONE extra zero-shuffle map pass —
+    * own distance from the codegen'd nearest-centroid kernel, the
+    * second-nearest from k declarative per-centroid squared-L2 columns
+    * (k·d work per row, the same constant as assignment) — and one
+    * cluster-keyed aggregate.
+    */
+  def clusterQuality(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      fpScale: Double = 1000.0): DataFrame = {
+    require(k >= 2, s"clusterQuality needs k >= 2, got $k")
+    val cents = kmeansCentroidsFixedPoint(df, id, vec, k, iters, fpScale)
+    val assigned = assignFixedPoint(
+      df.select(id.as("id"), vec.as("v")), col("v"), cents, fpScale)
+    val qv = VecOps.fixedPoint(col("v"), fpScale)
+    // per-centroid exact squared-L2 as (dist, cid) structs; the
+    // second-nearest is the min over the non-own entries
+    val dists = array(cents.toIndexedSeq.zipWithIndex.map { case (cv, j) =>
+      struct(
+        aggregate(zip_with(qv, typedLit(cv), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(j).as("cid"))
+    }: _*)
+    assigned
+      .withColumn("d2",
+        array_min(transform(
+          filter(dists, s => s.getField("cid") =!= col("cluster")),
+          s => s.getField("d"))))
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), sum("dist").as("inertia"),
+        sum("d2").as("separation"))
+      .select(col("cluster"), col("n"), col("inertia"), col("separation"),
+        when(col("separation") === 0, lit(1000000L))
+          .otherwise(expr("inertia * 1000000L div separation"))
+          .as("cohesion_ppm"))
+  }
 }

@@ -79,6 +79,32 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Duplication profile of the corpus — the numbers a dedup pass
+    * reports before anyone trusts it: per exact-duplicate CLUSTER SIZE
+    * (1 = unique), how many clusters have that size, the document
+    * mass they hold, and that mass's ppm share of the corpus. The
+    * reduction ratio falls out: kept docs = Σ n_clusters, total =
+    * Σ n_docs.
+    *
+    * Scale: [[exactDedup]]'s one fingerprint-keyed shuffle, then a
+    * second map-side-combined aggregate keyed by the cluster size
+    * (bounded by the max duplication depth), plus a 1-row total
+    * broadcast back in. Text never rides any exchange.
+    */
+  def dedupStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val clusters = df
+      .select(id.as("doc_id"), TextAnalysis.fingerprint(text).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("sz"))
+    val bySize = clusters.groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"))
+    val total = bySize.agg(sum("n_docs").as("n_total"))
+    bySize.crossJoin(broadcast(total))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("n_docs * 1000000L div n_total").as("doc_share_ppm"))
+  }
+
   /** URL-keyed dedup (web-crawl ingest): canonicalize each document's
     * URL ([[TextAnalysis.canonicalizeUrl]]) and keep the smallest id
     * per canonical URL. Same scale shape as [[exactDedup]] — one

@@ -101,4 +101,38 @@ object Privacy {
   private def knuthHash(id: Column, seed: Long): Column =
     (((id.cast("long") % 1000000007L) * 2654435761L % 1000000007L + seed)
       * 2654435761L % 1000000007L)
+
+  /** Selection-rate fairness audit of a boolean decision (a quality
+    * filter, a sampling gate, a classifier cut) across a group key:
+    * per group, the population, selected count, exact ppm selection
+    * rate, and the disparate-impact ratio against the HIGHEST-rate
+    * group (rate·10⁶ div max_rate — the four-fifths-rule statistic:
+    * parity_ppm < 800000 flags the group). The max-rate group itself
+    * reads exactly 10⁶. An all-zero decision (max rate 0) reports
+    * parity 0 for every group rather than 0/0.
+    *
+    * Scale: ONE map-side-combined aggregate keyed by the group
+    * domain, a 1-row max over that bounded table broadcast back in.
+    * Exactness note: rates are floored to ppm BEFORE the parity
+    * ratio (parity compares the two published rates, not the raw
+    * fractions) — the audit is over the numbers a datacard reports.
+    */
+  def selectionAudit(
+      df: DataFrame,
+      group: Column,
+      selected: Column): DataFrame = {
+    val rates = df
+      .select(group.as("grp"),
+        selected.cast("boolean").cast("long").as("sel"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("sel").as("n_sel"))
+      .select(col("grp"), col("n"), col("n_sel"),
+        expr("n_sel * 1000000L div n").as("rate_ppm"))
+    val maxRate = rates.agg(max("rate_ppm").as("max_rate_ppm"))
+    rates.crossJoin(broadcast(maxRate))
+      .select(col("grp"), col("n"), col("n_sel"), col("rate_ppm"),
+        when(col("max_rate_ppm") === 0, lit(0L))
+          .otherwise(expr("rate_ppm * 1000000L div max_rate_ppm"))
+          .as("parity_ppm"))
+  }
 }

@@ -411,4 +411,40 @@ object Profiling {
       .withColumn("jaccard_per_mille",
         expr("n_shared * 1000L div (sz_a + sz_b - n_shared)"))
   }
+
+  /** Binned distribution drift between a REFERENCE and a CURRENT
+    * dataset — the "did the data change shape" gate an ingest pipeline
+    * runs before mixing a new crawl batch in. Callers bin each side
+    * (same binning expression!); per observed bin the output carries
+    * both counts, both exact ppm shares, and the absolute ppm share
+    * gap — Σ|gap| div 2 over the rows is the total-variation distance
+    * in ppm (integer-exact, unlike PSI/KL whose logs aren't). Bins
+    * absent from both sides are absent from the output; bins absent
+    * from one side read 0 there.
+    *
+    * Scale: one map-side-combined count aggregate per side, keyed by
+    * the bin domain; a full-outer join of the two BOUNDED bin tables;
+    * two 1-row totals broadcast in. Neither dataset's rows meet the
+    * other's.
+    */
+  def histogramDrift(
+      ref: DataFrame,
+      refBin: Column,
+      cur: DataFrame,
+      curBin: Column): DataFrame = {
+    val r = ref.select(refBin.cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("ref_n"))
+    val c = cur.select(curBin.cast("long").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cur_n"))
+    val rTot = r.agg(sum("ref_n").as("ref_total"))
+    val cTot = c.agg(sum("cur_n").as("cur_total"))
+    r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("ref_n"), lit(0L)).as("ref_n"),
+        coalesce(col("cur_n"), lit(0L)).as("cur_n"))
+      .crossJoin(broadcast(rTot)).crossJoin(broadcast(cTot))
+      .select(col("bin"), col("ref_n"), col("cur_n"),
+        expr("ref_n * 1000000L div ref_total").as("ref_ppm"),
+        expr("cur_n * 1000000L div cur_total").as("cur_ppm"))
+      .withColumn("gap_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+  }
 }

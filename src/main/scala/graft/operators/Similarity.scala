@@ -394,4 +394,33 @@ object Similarity {
       .where(col("rk") <= k)
       .drop("rk")
   }
+
+  /** IVF bucket-occupancy balance — the index health gate run before
+    * trusting an IVF serve's latency: per coarse bucket, its document
+    * count and exact ppm load factor
+    *
+    *   load_ppm = n·nBuckets·10⁶ div total
+    *
+    * (10⁶ = perfectly balanced; a bucket at 5·10⁶ serves 5× the
+    * average scan and is the p99 the cap/salting decisions read).
+    * Buckets no document chose are ABSENT from the output (their load
+    * is 0 by omission) — count the rows to see coverage.
+    *
+    * Scale: [[ivfAssign]]'s broadcast-centroid map assignment (the
+    * corpus never shuffles to be assigned), then ONE map-side-combined
+    * aggregate keyed by the ≤ nBuckets bucket id and a 1-row total
+    * broadcast back in.
+    */
+  def ivfBalance(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      nBuckets: Int): DataFrame = {
+    val counts = ivfAssign(df, id, vec, nBuckets)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n"),
+        expr(s"n * ${nBuckets}L * 1000000L div n_total").as("load_ppm"))
+  }
 }

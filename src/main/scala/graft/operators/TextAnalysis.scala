@@ -955,6 +955,39 @@ object TextAnalysis {
       .where(col("n_docs") >= minDocs)
   }
 
+  /** Per-group n-gram diversity — the distinct-over-total n-gram
+    * ratio (the corpus-level statistic behind self-BLEU-style
+    * repetitiveness checks): per group (source, model, shard…), the
+    * total word n-gram occurrences WITH multiplicity, the distinct
+    * n-gram count, and the exact ppm distinct ratio. A low ratio says
+    * the group keeps re-emitting the same phrases (template spam, a
+    * looping generator); a ratio near 10⁶ says near-total novelty.
+    * Documents shorter than n tokens contribute nothing.
+    *
+    * Scale: grams explode map-only (no per-doc distinct — multiplicity
+    * IS the statistic), then ONE map-side-combined aggregate keyed by
+    * (group, gram) — vocabulary-bounded — and a group-keyed rollup of
+    * that bounded table.
+    */
+  def ngramDiversity(
+      df: DataFrame,
+      group: Column,
+      text: Column,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = tokens(lower(text))
+    val grams = when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(group.as("grp"), explode(grams).as("g"))
+      .groupBy("grp", "g").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(sum("c").as("n_ngrams"), count(lit(1)).as("n_distinct"))
+      .select(col("grp"), col("n_ngrams"), col("n_distinct"),
+        expr("n_distinct * 1000000L div n_ngrams").as("distinct_ppm"))
+  }
+
   /** Vocabulary-richness profile with the bias-corrected Chao1
     * estimate of UNSEEN vocabulary — the "how much new vocabulary
     * would more data bring" statistic a corpus-growth decision reads.

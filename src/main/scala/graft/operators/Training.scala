@@ -569,6 +569,43 @@ object Training {
     * DOMAIN), then two cumulative windows run over that bounded
     * table, never the data.
     */
+  /** Per-group exact ROC AUC — [[aucExact]] sliced by a group key
+    * (source, language, tenant…): the eval-slice / fairness question
+    * "does the scorer rank as well on EVERY slice as in aggregate".
+    * Same tie-aware Mann–Whitney algebra per group; groups where the
+    * label is constant (AUC undefined) report 0 by convention, same
+    * as the global statistic.
+    *
+    * Scale: the per-distinct-(group, score) aggregate is ONE map-side
+    * combined exchange; the cumulative window is PARTITIONED BY GROUP
+    * (parallel across groups, each window over that group's bounded
+    * score domain), and the final aggregate is group-keyed.
+    */
+  def aucByGroup(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byScore = df
+      .select(group.as("grp"), score.cast("long").as("s"),
+        label.cast("boolean").cast("long").as("y"))
+      .groupBy("grp", "s").agg(count(lit(1)).as("c"), sum("y").as("p"))
+    val below = Window.partitionBy("grp").orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .select(col("grp"), col("c"), col("p"),
+        coalesce(sum(col("c") - col("p")).over(below), lit(0L)).as("neg_below"))
+      .groupBy("grp")
+      .agg(sum("c").as("n"), sum("p").as("n_pos"),
+        (sum("c") - sum("p")).as("n_neg"),
+        sum(expr("p * 2 * neg_below + p * (c - p)")).as("u2"))
+      .select(col("grp"), col("n"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
+          .otherwise(expr("u2 * 1000000L div (2 * n_pos * n_neg)"))
+          .as("auc_ppm"))
+  }
+
   def prCurve(df: DataFrame, score: Column, label: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byScore = df

@@ -252,4 +252,35 @@ class ClusteringSpec extends SparkTestBase {
       .drop(1).map(_._3)
     assert(radii == radii.sorted.reverse, radii.toString)
   }
+
+  test("clusterQuality: two tight far-apart blobs — near-zero cohesion, exact inertia") {
+    import spark.implicits._
+    // blob A around (0,0), blob B around (100,100): ids 0..3 near
+    // origin seed the first two centroids (k=2, first-k init)
+    val pts = Seq(
+      (0L, Seq(0.0, 0.0)), (1L, Seq(100.0, 100.0)),
+      (2L, Seq(0.0, 1.0)), (3L, Seq(100.0, 101.0)),
+      (4L, Seq(1.0, 0.0)), (5L, Seq(101.0, 100.0))).toDF("id", "vec")
+    val r = Clustering.clusterQuality(pts, col("id"), col("vec"), k = 2, iters = 2)
+      .orderBy("cluster").as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == 6L)
+    // cohesion well below 10^6: clusters are real
+    r.foreach { case (_, _, inertia, separation, coh) =>
+      assert(separation > inertia)
+      assert(coh < 10000L, s"cohesion $coh not tight")
+    }
+  }
+
+  test("clusterQuality: inertia matches kmeansFixedPoint's per-cluster dist sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = Seq.tabulate(90)(i =>
+      (i.toLong, Seq.fill(6)(rnd.nextDouble() * 3))).toDF("id", "vec")
+    val expected = Clustering.kmeansFixedPoint(pts, col("id"), col("vec"), k = 5, iters = 2)
+      .groupBy(col("cluster").cast("long")).agg(sum("dist"))
+      .as[(Long, Long)].collect().toMap
+    val got = Clustering.clusterQuality(pts, col("id"), col("vec"), k = 5, iters = 2)
+      .select(col("cluster"), col("inertia")).as[(Long, Long)].collect().toMap
+    assert(got == expected)
+  }
 }

@@ -599,6 +599,30 @@ class DedupSpec extends SparkTestBase {
     assert(r == ((1L, 3L, 1L, 333333L)))
   }
 
+  test("dedupStats: hand-computed cluster-size histogram") {
+    import spark.implicits._
+    // "x" x3, "y" x2, "z" x1 (whitespace-normalized fingerprints merge
+    // "y" and " y ")
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "x"), (4L, "y"), (5L, " y "),
+      (6L, "z")).toDF("id", "text")
+    val r = Dedup.dedupStats(docs, col("id"), col("text"))
+      .orderBy("cluster_size").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 1L, 1L, 166666L),
+      (2L, 1L, 2L, 333333L),
+      (3L, 1L, 3L, 500000L)))
+  }
+
+  test("dedupStats: all-unique corpus is one size-1 row; partition-invariant") {
+    import spark.implicits._
+    val docs = spark.range(900).select(col("id"), col("id").cast("string").as("text"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.dedupStats(d, col("id"), col("text")).collect().toSeq
+    val r = run(docs.repartition(1))
+    assert(r == Seq(org.apache.spark.sql.Row(1L, 900L, 900L, 1000000L)))
+    assert(r == run(docs.repartition(7)))
+  }
+
   test("contaminationRate: deterministic across partitionings") {
     val docs = spark.range(600).select(col("id"),
       concat_ws(" ", (0 to 15).map(j =>

@@ -73,4 +73,28 @@ class PrivacySpec extends SparkTestBase {
       .select("id", "reported").as[(Long, Boolean)].collect().toMap
     assert(a == b)
   }
+
+  test("selectionAudit: hand-computed rates and four-fifths parity") {
+    import spark.implicits._
+    // a: 4 of 5 selected -> 800000 ppm (the max group, parity 10^6)
+    // b: 2 of 4 -> 500000 -> parity 625000 (< 800000 flags it)
+    // c: 0 of 2 -> 0 -> parity 0
+    val rows = Seq(("a", true), ("a", true), ("a", true), ("a", true), ("a", false),
+      ("b", true), ("b", true), ("b", false), ("b", false),
+      ("c", false), ("c", false))
+    val r = Privacy.selectionAudit(rows.toDF("g", "sel"), col("g"), col("sel"))
+      .orderBy("grp").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      ("a", 5L, 4L, 800000L, 1000000L),
+      ("b", 4L, 2L, 500000L, 625000L),
+      ("c", 2L, 0L, 0L, 0L)))
+  }
+
+  test("selectionAudit: all-zero decision reports parity 0, not 0/0") {
+    import spark.implicits._
+    val rows = Seq(("a", false), ("b", false))
+    val r = Privacy.selectionAudit(rows.toDF("g", "sel"), col("g"), col("sel"))
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(r.forall(x => x._4 == 0L && x._5 == 0L))
+  }
 }

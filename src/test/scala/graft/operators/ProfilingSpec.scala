@@ -203,4 +203,28 @@ class ProfilingSpec extends SparkTestBase {
       .orderBy("src", "rank").collect().map(_.toSeq).toSeq
     assert(a == b && a.size == 20)
   }
+
+  test("histogramDrift: hand-computed shares, gaps, and one-sided bins") {
+    import spark.implicits._
+    // ref: bins 0,0,1,2 (4 rows); cur: bins 0,1,1,1,3 (5 rows)
+    val ref = Seq(0L, 0L, 1L, 2L).toDF("b")
+    val cur = Seq(0L, 1L, 1L, 1L, 3L).toDF("b")
+    val r = Profiling.histogramDrift(ref, col("b"), cur, col("b"))
+      .orderBy("bin").as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 2L, 1L, 500000L, 200000L, 300000L),
+      (1L, 1L, 3L, 250000L, 600000L, 350000L),
+      (2L, 1L, 0L, 250000L, 0L, 250000L),
+      (3L, 0L, 1L, 0L, 200000L, 200000L)))
+    // total-variation distance = half the gap mass
+    assert(r.map(_._6).sum / 2 == 550000L)
+  }
+
+  test("histogramDrift: identical distributions have zero gap everywhere") {
+    import spark.implicits._
+    val d = spark.range(3000).select((col("id") % 11).as("b"))
+    val r = Profiling.histogramDrift(d, col("b"), d.repartition(7), col("b"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(r.length == 11 && r.forall(_._6 == 0L))
+  }
 }

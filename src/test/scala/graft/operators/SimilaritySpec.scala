@@ -241,4 +241,19 @@ class SimilaritySpec extends SparkTestBase {
       .select("recall_per_mille").as[Long].collect().toSeq
     assert(out.size == 5 && out.forall(_ == 1000L))
   }
+
+  test("ivfBalance: loads sum to nBuckets x 10^6 (up to floor) and match occupancy") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(53)
+    val vecs = Seq.tabulate(80)(i =>
+      (i.toLong, Seq.fill(4)(rnd.nextDouble()))).toDF("id", "vec")
+    val r = Similarity.ivfBalance(vecs, col("id"), col("vec"), nBuckets = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(r.map(_._2).sum == 80L)
+    r.foreach { case (_, n, load) => assert(load == n * 4L * 1000000L / 80L) }
+    // sanity vs the assignment itself
+    val occ = Similarity.ivfAssign(vecs, col("id"), col("vec"), 4)
+      .groupBy("bucket").count().as[(Long, Long)].collect().toMap
+    assert(r.map(x => x._1 -> x._2).toMap == occ)
+  }
 }

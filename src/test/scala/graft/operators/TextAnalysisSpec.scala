@@ -652,6 +652,35 @@ class TextAnalysisSpec extends SparkTestBase {
       df, col("id"), col("url"), Seq("example.com"))) == 0)
   }
 
+  test("ngramDiversity: hand-computed multiplicity ratio per group") {
+    import spark.implicits._
+    // group g: "a b a b" -> 3-grams "a b a", "b a b" (2 total, 2 distinct)
+    //          "a b a" (again) -> +1 "a b a" -> totals 3, distinct 2
+    // group h: "x y z w" -> "x y z", "y z w" (2, 2); short doc ignored
+    val docs = Seq(("g", "a b a b"), ("g", "a b a"), ("h", "x y z w"),
+      ("h", "xy")).toDF("src", "text")
+    val r = TextAnalysis.ngramDiversity(docs, col("src"), col("text"), n = 3)
+      .orderBy("grp").as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("g", 3L, 2L, 666666L), ("h", 2L, 2L, 1000000L)))
+  }
+
+  test("ngramDiversity: repeated template text drives the ratio down; invariant") {
+    import spark.implicits._
+    val docs = spark.range(500).select(
+      when(col("id") % 2 === 0, lit("spam spam spam spam spam"))
+        .otherwise(concat_ws(" ", col("id").cast("string"),
+          (col("id") + 1).cast("string"), (col("id") + 2).cast("string"))).as("text"),
+      lit("s").as("src"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.ngramDiversity(d, col("src"), col("text"), 3)
+        .collect().head
+    val r = run(docs.repartition(1))
+    // 250 spam docs contribute 750 identical grams (1 distinct);
+    // 250 unique docs contribute 250 distinct grams
+    assert(r.getLong(1) == 1000L && r.getLong(2) == 251L)
+    assert(r == run(docs.repartition(9)))
+  }
+
   test("vocabRichness: hand-computed Chao1 with and without dis legomena") {
     import spark.implicits._
     // tokens: a a a b b c d e -> 8 tokens, 5 types, f1 = {c,d,e} = 3,

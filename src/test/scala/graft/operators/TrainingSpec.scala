@@ -449,6 +449,25 @@ class TrainingSpec extends SparkTestBase {
     assert(run(df.repartition(1)) == run(df.repartition(13)))
   }
 
+  test("aucByGroup: per-group equals aucExact run per slice; constant group -> 0") {
+    import spark.implicits._
+    val rng = new scala.util.Random(23)
+    val rows = Seq.fill(400)(
+      (s"g${rng.nextInt(3)}", rng.nextInt(15).toLong, rng.nextBoolean())) ++
+      Seq.fill(10)(("konst", 7L, true)) // constant label -> auc 0
+    val df = rows.toDF("grp", "s", "y")
+    val grouped = Training.aucByGroup(df, col("grp"), col("s"), col("y"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    rows.map(_._1).distinct.foreach { g =>
+      val slice = Training.aucExact(
+          df.where(col("grp") === g), col("s"), col("y"))
+        .as[(Long, Long, Long, Long)].collect().head
+      assert(grouped(g) == slice, s"group $g disagrees with the sliced global")
+    }
+    assert(grouped("konst")._4 == 0L)
+  }
+
   test("prCurve: hand-computed sweep with a tied score") {
     import spark.implicits._
     // scores: 3+(pos), 2+(pos), 2-(neg), 1-(neg); n_pos = 2
