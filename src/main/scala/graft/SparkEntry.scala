@@ -1240,6 +1240,47 @@ object SparkEntry {
       t(s, dir, "embeddings"), col("vec_id"), col("embedding"), k = 8, iters = 2)
       .orderBy("cluster")
 
+  /** Strict-order conversion funnel click → signup → purchase over a
+    * thinned event stream (event_id % 16 = 1 — the full fixture is so
+    * dense every user converts): users reaching each step in strict
+    * time order and exact ppm conversion vs step 1 (90 → 31 → 11 at
+    * sf0.01).
+    */
+  private def qFunnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.funnel(
+      t(s, dir, "events").where(col("event_id") % 16 === 1),
+      col("user_id"), col("event_type"),
+      expr("ts div 1000"), Seq("click", "signup", "purchase"))
+      .orderBy("step_idx")
+
+  /** Weekly retention cohorts over the event_id % 32 = 1 slice
+    * (cohort = epoch-week of first event; 5 distinct cohorts at
+    * sf0.01): per (cohort, week offset), active users, ppm retention.
+    */
+  private def qCohortRetention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.cohortRetention(
+      t(s, dir, "events").where(col("event_id") % 32 === 1),
+      col("user_id"), expr("ts div 1000 div 604800000000L"))
+      .orderBy("cohort", "offset")
+
+  /** Inter-arrival cadence per event type (gaps between a user's
+    * consecutive same-type events, micros): gap count, exact type-1
+    * median, max — the watermark/session-gap sizing numbers.
+    */
+  private def qGapProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.gapProfile(
+      t(s, dir, "events"), col("event_type"), col("user_id"),
+      expr("ts div 1000"), col("event_id"))
+      .orderBy("g")
+
+  /** Shuffle-skew pre-flight on the event user key: top-10 hottest
+    * users with ppm share and the salt factor a 100-rows-per-task
+    * salted repartition would need.
+    */
+  private def qSkewProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.skewProfile(
+      t(s, dir, "events"), col("user_id"), topK = 10, targetPerTask = 100L)
+
   /** k-anonymity / l-diversity profile of the customer table under
     * quasi-identifiers (nation, account-balance thousand-bucket) with
     * market segment as the sensitive attribute; k = 5, l = 3.
@@ -3581,6 +3622,10 @@ object SparkEntry {
     "q206_ivf_balance" -> qIvfBalance _,
     "q207_drift" -> qDrift _,
     "q208_cluster_quality" -> qClusterQuality _,
+    "q209_funnel" -> qFunnel _,
+    "q210_cohort_retention" -> qCohortRetention _,
+    "q211_gap_profile" -> qGapProfile _,
+    "q212_skew_profile" -> qSkewProfile _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -6730,6 +6775,69 @@ object SparkEntry {
           | (CASE WHEN separation = 0 THEN 1000000
           |  ELSE inertia * 1000000 // separation END)::BIGINT AS cohesion_ppm
           |FROM agg ORDER BY cluster""".stripMargin,
+
+      // strict-order funnel: each step's earliest event must be
+      // STRICTLY after the previous step's earliest (micros both
+      // sides — q14/q72 time convention)
+      "q209_funnel" ->
+        """WITH ev AS (SELECT user_id AS u, event_type AS st,
+          |   epoch_us(ts)::BIGINT AS t FROM events WHERE event_id % 16 = 1),
+          | s1 AS (SELECT u, min(t) AS t FROM ev WHERE st = 'click' GROUP BY u),
+          | s2 AS (SELECT ev.u, min(ev.t) AS t FROM ev
+          |        JOIN s1 ON ev.u = s1.u AND ev.t > s1.t
+          |        WHERE ev.st = 'signup' GROUP BY ev.u),
+          | s3 AS (SELECT ev.u, min(ev.t) AS t FROM ev
+          |        JOIN s2 ON ev.u = s2.u AND ev.t > s2.t
+          |        WHERE ev.st = 'purchase' GROUP BY ev.u),
+          | c AS (SELECT 1 AS step_idx, 'click' AS step,
+          |         (SELECT count(*) FROM s1) AS n_users
+          |   UNION ALL SELECT 2, 'signup', (SELECT count(*) FROM s2)
+          |   UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM s3))
+          |SELECT step_idx::BIGINT AS step_idx, step, n_users::BIGINT AS n_users,
+          | (CASE WHEN (SELECT count(*) FROM s1) = 0 THEN 0
+          |  ELSE n_users * 1000000 // (SELECT count(*) FROM s1) END)::BIGINT AS conv_ppm
+          |FROM c ORDER BY step_idx""".stripMargin,
+
+      // cohort = epoch-week of the user's first event; distinct
+      // (user, week) activity joined back on the cohort
+      "q210_cohort_retention" ->
+        """WITH ev AS (SELECT user_id AS u,
+          |   epoch_us(ts)::BIGINT // 604800000000 AS p FROM events WHERE event_id % 32 = 1),
+          | f AS (SELECT u, min(p) AS cohort FROM ev GROUP BY u),
+          | act AS (SELECT DISTINCT u, p FROM ev),
+          | a AS (SELECT f.cohort, act.p - f.cohort AS off, count(*) AS n_users
+          |       FROM act JOIN f ON act.u = f.u GROUP BY 1, 2),
+          | sz AS (SELECT cohort, n_users AS cohort_n FROM a WHERE off = 0)
+          |SELECT a.cohort::BIGINT AS cohort, a.off::BIGINT AS "offset",
+          | a.n_users::BIGINT AS n_users,
+          | (a.n_users * 1000000 // sz.cohort_n)::BIGINT AS retention_ppm
+          |FROM a JOIN sz ON a.cohort = sz.cohort ORDER BY cohort, "offset"""".stripMargin,
+
+      // per-(type, user) consecutive gaps; exact type-1 median = the
+      // ceil(n/2)-th smallest (a real element, engine-identical)
+      "q211_gap_profile" ->
+        """WITH g AS (SELECT event_type AS grp, user_id AS k,
+          |   epoch_us(ts)::BIGINT AS t, event_id AS e FROM events),
+          | gaps AS (SELECT grp,
+          |   lead(t) OVER (PARTITION BY grp, k ORDER BY t, e) - t AS gap FROM g),
+          | gg AS (SELECT grp, gap FROM gaps WHERE gap IS NOT NULL),
+          | r AS (SELECT grp, gap,
+          |   row_number() OVER (PARTITION BY grp ORDER BY gap) AS rk,
+          |   count(*) OVER (PARTITION BY grp) AS n,
+          |   max(gap) OVER (PARTITION BY grp) AS mx FROM gg)
+          |SELECT grp AS g, n::BIGINT AS n_gaps, gap::BIGINT AS median_gap,
+          | mx::BIGINT AS max_gap
+          |FROM r WHERE rk = (n + 1) // 2 ORDER BY g""".stripMargin,
+
+      // hottest shuffle keys + the ceil-div salt factor for a
+      // 100-rows-per-task cap
+      "q212_skew_profile" ->
+        """WITH c AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY user_id),
+          | t AS (SELECT sum(n) AS nt FROM c)
+          |SELECT key::BIGINT AS key, n::BIGINT AS n,
+          | (n * 1000000 // nt)::BIGINT AS share_ppm,
+          | ((n + 99) // 100)::BIGINT AS salt_factor
+          |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
     )
   }
 

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream product analytics — the funnel / cohort / cadence
+  * queries a usage-data pipeline answers before its events are
+  * trusted as training signals (and the skew pre-flight that sizes
+  * the jobs that consume them). All statistics are 64-bit-integer
+  * exact (ppm floor division, type-1 order statistics) — the same
+  * cross-engine determinism contract as the rest of the engine.
+  */
+object Analytics {
+
+  /** Ordered conversion funnel: for the step sequence s₁…s_k, a user
+    * reaches step i when their earliest qualifying sᵢ event occurs
+    * STRICTLY AFTER their earliest qualifying s_{i-1} event (the
+    * classic strict-order funnel — same-timestamp events do not
+    * chain). Output: one row per step with its 1-based index, the
+    * users reaching it, and the exact ppm conversion vs step 1.
+    *
+    * Scale: step 1 is one user-keyed min aggregate; each later step
+    * is one equi-join of the event scan against the previous step's
+    * (user, ts) table followed by the same min aggregate — k−1 joins
+    * total, only (long, long) pairs on the wire, no window over the
+    * whole stream. The returned frame is k rows built from driver-
+    * side counts of user-keyed aggregates (each count is a job over
+    * the distributed plan; k is an operator parameter).
+    */
+  def funnel(
+      events: DataFrame,
+      user: Column,
+      state: Column,
+      ts: Column,
+      steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate funnel steps: $steps")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val ev = events.select(user.as("u"), state.cast("string").as("st"),
+      ts.cast("long").as("t"))
+    var reached = ev.where(col("st") === steps.head)
+      .groupBy("u").agg(min("t").as("t"))
+    val counts = Seq.newBuilder[(Long, String, Long)]
+    counts += ((1L, steps.head, reached.count()))
+    steps.zipWithIndex.drop(1).foreach { case (s, i) =>
+      val prev = reached.select(col("u"), col("t").as("prev_t"))
+      reached = ev.where(col("st") === s)
+        .join(prev, "u")
+        .where(col("t") > col("prev_t"))
+        .groupBy("u").agg(min("t").as("t"))
+      counts += (((i + 1).toLong, s, reached.count()))
+    }
+    val rows = counts.result()
+    val n1 = rows.head._3
+    rows.map { case (idx, s, n) =>
+      (idx, s, n, if (n1 == 0) 0L else n * 1000000L / n1)
+    }.toDF("step_idx", "step", "n_users", "conv_ppm")
+  }
+
+  /** Retention cohorts: users cohorted by the period of their FIRST
+    * event; per (cohort, period offset), the distinct users active in
+    * that period and the exact ppm retention vs the cohort's size
+    * (offset 0 reads exactly 10⁶). `period` maps an event to its
+    * integer period id (e.g. epoch-week) — the caller owns the
+    * calendar.
+    *
+    * Scale: one user-keyed min aggregate (cohort assignment), one
+    * map-side distinct on (user, period), one equi-join back on user
+    * (longs only), then ONE aggregate keyed by the bounded
+    * (cohort, offset) domain; cohort sizes are the offset-0 rows,
+    * joined back period-domain-sized.
+    */
+  def cohortRetention(
+      events: DataFrame,
+      user: Column,
+      period: Column): DataFrame = {
+    val ev = events.select(user.as("u"), period.cast("long").as("p"))
+    val firstP = ev.groupBy("u").agg(min("p").as("cohort"))
+    val active = ev.distinct()
+      .join(firstP, "u")
+      .select(col("cohort"), (col("p") - col("cohort")).as("offset"), col("u"))
+      .groupBy("cohort", "offset").agg(count(lit(1)).as("n_users"))
+    val sizes = active.where(col("offset") === 0)
+      .select(col("cohort"), col("n_users").as("cohort_n"))
+    active.join(sizes, "cohort")
+      .select(col("cohort"), col("offset"), col("n_users"),
+        expr("n_users * 1000000L div cohort_n").as("retention_ppm"))
+  }
+
+  /** Inter-arrival cadence profile: per group (event type, sensor,
+    * tenant…), the consecutive per-key gaps' count, exact type-1
+    * median (the ⌈n/2⌉-th smallest — element, not interpolation), and
+    * maximum. The burstiness numbers that decide watermarking and
+    * session-gap parameters.
+    *
+    * Scale: the lead() window is partitioned by (group, key) —
+    * parallel, no global sort; the median's rank window is
+    * partitioned by group (each group sorts only its own gaps).
+    */
+  def gapProfile(
+      events: DataFrame,
+      group: Column,
+      key: Column,
+      ts: Column,
+      tiebreak: Column): DataFrame = {
+    val seq = Window.partitionBy("g", "k").orderBy("t", "tb")
+    val gaps = events
+      .select(group.as("g"), key.as("k"), ts.cast("long").as("t"), tiebreak.as("tb"))
+      .withColumn("nxt", lead(col("t"), 1).over(seq))
+      .where(col("nxt").isNotNull)
+      .select(col("g"), (col("nxt") - col("t")).as("gap"))
+    val ranked = Window.partitionBy("g").orderBy("gap")
+    val byG = Window.partitionBy("g")
+    gaps
+      .withColumn("rk", row_number().over(ranked).cast("long"))
+      .withColumn("n", count(lit(1)).over(byG))
+      .withColumn("mx", max("gap").over(byG))
+      .where(col("rk") === expr("(n + 1) div 2"))
+      .select(col("g"), col("n").as("n_gaps"), col("gap").as("median_gap"),
+        col("mx").as("max_gap"))
+  }
+
+  /** Join/aggregation skew pre-flight: the top-k hottest keys of a
+    * prospective shuffle key, each with its row count, exact ppm
+    * share of all rows, and the salt factor `ceil(count div target)`
+    * a salted repartition would need to cap any single (key, salt)
+    * task at `targetPerTask` rows. The numbers that decide between a
+    * plain shuffle, AQE skew handling, and explicit salting.
+    *
+    * Scale: ONE map-side-combined count aggregate keyed by the key
+    * domain, a 1-row total broadcast in, and a global limit (partial
+    * top-k per partition, k rows to the driver).
+    */
+  def skewProfile(
+      df: DataFrame,
+      key: Column,
+      topK: Int,
+      targetPerTask: Long): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    require(targetPerTask >= 1, s"targetPerTask must be >= 1, got $targetPerTask")
+    val counts = df.select(key.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n"))
+    val total = counts.agg(sum("n").as("n_total"))
+    counts.crossJoin(broadcast(total))
+      .select(col("key"), col("n"),
+        expr("n * 1000000L div n_total").as("share_ppm"),
+        expr(s"(n + ${targetPerTask}L - 1L) div ${targetPerTask}L").as("salt_factor"))
+      .orderBy(col("n").desc, col("key"))
+      .limit(topK)
+  }
+}

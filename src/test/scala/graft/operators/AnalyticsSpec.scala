@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class AnalyticsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("funnel: strict-order chaining — hand-computed") {
+    // u1: a@10 b@20 c@30 -> reaches all three
+    // u2: a@10 b@10      -> b NOT strictly after a: stops at step 1
+    // u3: b@5 a@10 b@20  -> the late b chains: reaches step 2
+    // u4: b@5 c@6        -> never does a: reaches nothing
+    val ev = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      (2L, "a", 10L), (2L, "b", 10L),
+      (3L, "b", 5L), (3L, "a", 10L), (3L, "b", 20L),
+      (4L, "b", 5L), (4L, "c", 6L)).toDF("u", "st", "t")
+    val r = Analytics.funnel(ev, col("u"), col("st"), col("t"), Seq("a", "b", "c"))
+      .orderBy("step_idx").as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, "a", 3L, 1000000L),
+      (2L, "b", 2L, 666666L),
+      (3L, "c", 1L, 333333L)))
+  }
+
+  test("funnel: empty first step yields zero conversions, not division errors") {
+    val ev = Seq((1L, "x", 5L)).toDF("u", "st", "t")
+    val r = Analytics.funnel(ev, col("u"), col("st"), col("t"), Seq("a", "b"))
+      .orderBy("step_idx").as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, "a", 0L, 0L), (2L, "b", 0L, 0L)))
+  }
+
+  test("cohortRetention: hand-computed weekly cohorts") {
+    // u1 first week 0, active weeks 0,1,2; u2 first week 0, active 0,2
+    // u3 first week 1, active 1
+    // cohort 0: off 0 -> 2 users (10^6), off 1 -> 1 (500000), off 2 -> 2
+    // cohort 1: off 0 -> 1 (10^6)
+    val ev = Seq((1L, 0L), (1L, 1L), (1L, 2L), (2L, 0L), (2L, 2L), (2L, 0L),
+      (3L, 1L)).toDF("u", "p")
+    val r = Analytics.cohortRetention(ev, col("u"), col("p"))
+      .orderBy("cohort", "offset").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, 0L, 2L, 1000000L), (0L, 1L, 1L, 500000L), (0L, 2L, 2L, 1000000L),
+      (1L, 0L, 1L, 1000000L)))
+  }
+
+  test("gapProfile: exact type-1 median (odd and even), max, single-event keys absent") {
+    // group x / key 1: times 0,10,40,100 -> gaps 10,30,60 (odd: median 30)
+    // group y / key 1: times 0,5; key 2: times 0,20 -> gaps 5,20
+    //   (even n=2: rank (2+1) div 2 = 1 -> lower element 5)
+    // group z: single event -> no gaps -> absent
+    val ev = Seq(
+      ("x", 1L, 0L, 1L), ("x", 1L, 10L, 2L), ("x", 1L, 40L, 3L), ("x", 1L, 100L, 4L),
+      ("y", 1L, 0L, 5L), ("y", 1L, 5L, 6L), ("y", 2L, 0L, 7L), ("y", 2L, 20L, 8L),
+      ("z", 9L, 3L, 9L)).toDF("g", "k", "t", "e")
+    val r = Analytics.gapProfile(ev, col("g"), col("k"), col("t"), col("e"))
+      .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("x", 3L, 30L, 60L), ("y", 2L, 5L, 20L)))
+  }
+
+  test("gapProfile: deterministic across partitionings") {
+    val ev = spark.range(8000).select(
+      (col("id") % 3).cast("string").as("g"), (col("id") % 17).as("k"),
+      ((col("id") * 131) % 10007).as("t"), col("id").as("e"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.gapProfile(d, col("g"), col("k"), col("t"), col("e"))
+        .orderBy("g").collect().toSeq
+    assert(run(ev.repartition(1)) == run(ev.repartition(13)))
+  }
+
+  test("skewProfile: hand-computed hot keys, shares, and ceil-div salt factors") {
+    // key 7 x 250 rows, key 3 x 120, key 1 x 30 -> total 400
+    val rows = Seq.fill(250)(7L) ++ Seq.fill(120)(3L) ++ Seq.fill(30)(1L)
+    val r = Analytics.skewProfile(rows.toDF("k"), col("k"),
+        topK = 2, targetPerTask = 100L)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (7L, 250L, 625000L, 3L),  // ceil(250/100) = 3
+      (3L, 120L, 300000L, 2L)))
+  }
+}
