@@ -26,12 +26,11 @@ object Agreement {
     * — the single-fraction form of (po − pe)/(1 − pe), so kappa is
     * computed in ONE floor division instead of compounding two rounded
     * ppm values. Kappa can be negative (worse-than-chance agreement);
-    * the numerator is the only signed term and |n·A − S| ≤ n², so with
-    * the 10⁶ scale everything stays inside a long for n ≤ 3·10⁶ items
-    * — agreement studies run on annotation SAMPLES of that order, not
-    * full corpora; sample upstream ([[Sampling]]) for more. When the
-    * marginals force pe = 1 (both annotators constant — n² = S, the
-    * 0/0 case) kappa is reported as 0 by convention.
+    * the numerator is the only signed term and |n·A − S| ≤ n², so the
+    * n²-scale ratios run in DECIMAL(38,0) (exact; DuckDB's BIGINT
+    * aggregates are already HUGEINT) — ANSI-safe to n ≈ 10⁹ items.
+    * When the marginals force pe = 1 (both annotators constant —
+    * n² = S, the 0/0 case) kappa is reported as 0 by convention.
     *
     * Scale: three map-side-combined aggregates, two keyed by the
     * bounded label domain and one global — no join touches the
@@ -53,14 +52,17 @@ object Agreement {
     // engine-dependent (truncation vs floor), so divide the absolute
     // value and reapply the sign — exact and engine-identical
     totals.crossJoin(marg)
+      .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))
       .select(col("n"), col("n_agree"), col("n_labels"),
         expr("n_agree * 1000000L div n").as("po_ppm"),
-        expr("s * 1000000L div (n * n)").as("pe_ppm"),
-        when(expr("n * n - s") === 0, lit(0L))
+        expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div (nd * nd) AS BIGINT)")
+          .as("pe_ppm"),
+        when(expr("nd * nd - s") === 0, lit(0L))
           .otherwise(
-            expr("if(n * n_agree >= s, 1L, -1L)" +
-              " * (abs(n * n_agree - s) * 1000000L div (n * n - s))"))
+            expr("CAST(if(nd * n_agree >= s, 1, -1)" +
+              " * (abs(nd * n_agree - s) * 1000000 div (nd * nd - s)) AS BIGINT)"))
           .as("kappa_ppm"))
+      .drop("nd")
   }
 
   /** Confusion matrix of the two annotators: one row per observed

@@ -376,8 +376,12 @@ object Clustering {
       .agg(count(lit(1)).as("n"), sum("dist").as("inertia"),
         sum("d2").as("separation"))
       .select(col("cluster"), col("n"), col("inertia"), col("separation"),
+        // inertia is an n·d·scale²-sized sum — the ppm ratio runs in
+        // DECIMAL(38,0) so ANSI mode can't overflow it at volume
         when(col("separation") === 0, lit(1000000L))
-          .otherwise(expr("inertia * 1000000L div separation"))
+          .otherwise(expr(
+            "CAST(CAST(inertia AS DECIMAL(38,0)) * 1000000" +
+              " div CAST(separation AS DECIMAL(38,0)) AS BIGINT)"))
           .as("cohesion_ppm"))
   }
 }

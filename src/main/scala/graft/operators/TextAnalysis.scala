@@ -967,7 +967,11 @@ object TextAnalysis {
     * Scale: grams explode map-only (no per-doc distinct — multiplicity
     * IS the statistic), then ONE map-side-combined aggregate keyed by
     * (group, gram) — vocabulary-bounded — and a group-keyed rollup of
-    * that bounded table.
+    * that bounded table. The exchange carries every distinct
+    * (group, gram) string once; this is the inherently heaviest
+    * profile statistic (≈46 s / 1M 45-token docs at local[32]), and a
+    * DIVERSITY estimate doesn't need the full corpus — run it over a
+    * [[Sampling.hashSample]] slice at the 100 TB scale.
     */
   def ngramDiversity(
       df: DataFrame,

@@ -520,9 +520,11 @@ object Training {
     * statistic is exact and engine-identical (no sort-order luck: ties
     * are COUNTED, not broken). One summary row (n, n_pos, n_neg,
     * auc_ppm); a label-constant input (n_pos·n_neg = 0, AUC undefined)
-    * reports 0 by convention. Overflow: 2U ≤ 2·n_pos·n_neg ≤ n²/2, so
-    * the ppm product stays inside a long for n ≤ 4·10⁶ — eval-set
-    * scale; sample upstream ([[Sampling]]) for more.
+    * reports 0 by convention. Overflow: 2U ≤ 2·n_pos·n_neg ≤ n²/2 —
+    * a long to n ≈ 4·10⁹ — and the final ppm ratio multiplies that by
+    * 10⁶, so the single division runs in DECIMAL(38,0) (exact, and
+    * cross-engine: DuckDB's BIGINT sums are already HUGEINT). Good to
+    * n ≈ 10⁹ items, ANSI-mode safe.
     *
     * Scale: ONE map-side-combined aggregate keyed by the distinct
     * score (bounded by the score DOMAIN — ppm scores have ≤ 10⁶+1
@@ -546,7 +548,9 @@ object Training {
         sum(expr("p * 2 * neg_below + p * (c - p)")).as("u2"))
       .select(col("n"), col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
-          .otherwise(expr("u2 * 1000000L div (2 * n_pos * n_neg)"))
+          .otherwise(expr(
+            "CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000)" +
+              " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
           .as("auc_ppm"))
   }
 
@@ -602,7 +606,9 @@ object Training {
         sum(expr("p * 2 * neg_below + p * (c - p)")).as("u2"))
       .select(col("grp"), col("n"), col("n_pos"), col("n_neg"),
         when(col("n_pos") === 0 || col("n_neg") === 0, lit(0L))
-          .otherwise(expr("u2 * 1000000L div (2 * n_pos * n_neg)"))
+          .otherwise(expr(
+            "CAST((CAST(u2 AS DECIMAL(38,0)) * 1000000)" +
+              " div (2 * CAST(n_pos AS DECIMAL(38,0)) * n_neg) AS BIGINT)"))
           .as("auc_ppm"))
   }
 

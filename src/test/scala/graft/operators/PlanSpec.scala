@@ -463,4 +463,59 @@ class PlanSpec extends SparkTestBase {
       .forall(cols => !cols.exists(c => c.contains("text") || c.contains("sh"))),
       out.queryExecution.executedPlan.toString)
   }
+
+  test("aucExact/prCurve: items shuffle once into the score-domain aggregate") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i % 17, i % 3 == 0L)).toDF("s", "y")
+    // exchange 1: the (score)-keyed count aggregate; exchange 2: the
+    // single-partition window/final over the DOMAIN-bounded table
+    val auc = Training.aucExact(df, col("s"), col("y"))
+    assert(Scale.countShuffles(auc) <= 3, auc.queryExecution.executedPlan.toString)
+    val pr = Training.prCurve(df, col("s"), col("y"))
+    assert(Scale.countShuffles(pr) <= 2, pr.queryExecution.executedPlan.toString)
+  }
+
+  test("rankNormalize: exactly one exchange (the per-group window)") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (i, s"g${i % 5}", i * 7 % 31)).toDF("i", "k", "s")
+    val out = Features.rankNormalize(df, col("i"), col("k"), col("s"))
+    assert(Scale.countShuffles(out) == 1, out.queryExecution.executedPlan.toString)
+  }
+
+  test("selectionAudit / calibrationBins: one group-keyed exchange plus broadcast, no text") {
+    import spark.implicits._
+    val df = (0L until 100L).map(i => (s"g${i % 4}", i % 3 == 0L)).toDF("g", "sel")
+    val audit = Privacy.selectionAudit(df, col("g"), col("sel"))
+    val ap = audit.queryExecution.executedPlan.toString
+    assert(ap.contains("BroadcastNestedLoopJoin") || ap.contains("BroadcastHashJoin"), ap)
+    // grp aggregate (recomputed once inside the 1-row max branch) +
+    // the max's single-partition exchange — all keyed by the group
+    // domain or 1-row, never the data
+    assert(Scale.countShuffles(audit) <= 3, ap)
+    val scored = (0L until 100L).map(i => (i * 9973 % 1000001, i % 2 == 0L)).toDF("s", "y")
+    val bins = Training.calibrationBins(scored, col("s"), col("y"), nBins = 10)
+    assert(Scale.countShuffles(bins) <= 2, bins.queryExecution.executedPlan.toString)
+  }
+
+  test("contaminationRate: bench grams broadcast; corpus takes one aggregate exchange") {
+    import spark.implicits._
+    val corpus = (0L until 50L).map(i => (i, s"a$i b$i c$i d$i e$i")).toDF("id", "text")
+    val bench = Seq("a1 b1 c1 d1 e1").toDF("text")
+    val out = Dedup.contaminationRate(corpus, col("id"), col("text"),
+      bench, col("text"), n = 3)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // corpus-side: only the per-doc count aggregate; bench-side: its
+    // own (small) distinct
+    assert(Scale.countShuffles(out) <= 3, plan)
+  }
+
+  test("transitionMatrix: no exchange wider than the state-pair domain after the key window") {
+    import spark.implicits._
+    val ev = (0L until 200L).map(i => (i % 9, s"s${i % 4}", i * 13 % 101, i)).toDF("u", "st", "t", "e")
+    val out = Relational.transitionMatrix(ev, col("u"), col("st"), col("t"), col("e"))
+    // key-window exchange + pair aggregate + pair-domain window
+    assert(Scale.countShuffles(out) <= 3, out.queryExecution.executedPlan.toString)
+  }
 }
