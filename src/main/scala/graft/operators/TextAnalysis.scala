@@ -192,8 +192,13 @@ object TextAnalysis {
         col("st.max_char_count").as("max_char_count"),
         col("st.collision_mass").as("collision_mass"))
       .withColumn("simpson_per_mille",
+        // collision_mass and n_chars² are per-DOC n_chars²-scale — a
+        // ~100 MB single-character document would overflow the long
+        // product under ANSI, so the ratio runs in DECIMAL(38,0)
         when(col("n_chars") > 0,
-          expr("collision_mass * 1000L div (n_chars * n_chars)")).otherwise(0L))
+          expr("CAST(CAST(collision_mass AS DECIMAL(38,0)) * 1000" +
+            " div (CAST(n_chars AS DECIMAL(38,0)) * n_chars) AS BIGINT)"))
+          .otherwise(0L))
       .withColumn("kept", col("simpson_per_mille") < maxSimpsonPerMille)
   }
 
