@@ -1281,6 +1281,57 @@ object SparkEntry {
     graft.operators.Analytics.skewProfile(
       t(s, dir, "events"), col("user_id"), topK = 10, targetPerTask = 100L)
 
+  /** Blocked fuzzy entity resolution: part names vs a deterministic
+    * "dirty" copy (every 7th part, name suffixed " x") — token
+    * blocking with the hot-token cap, thresholded levenshtein ≤ 2
+    * verify.
+    */
+  private def qEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+    val dirty = parts.where(col("p_partkey") % 7 === 3)
+      .select((col("p_partkey") + 100000L).as("id"),
+        concat(col("p_name"), lit(" x")).as("name"))
+    graft.operators.Dedup.fuzzyLink(
+      parts, col("p_partkey"), col("p_name"),
+      dirty, col("id"), col("name"), maxDist = 2)
+      .orderBy("left_id", "right_id")
+  }
+
+  /** Streaming twin of q207: the odd-id document half arrives as a
+    * FILE STREAM, its binned counts drain in complete mode, and the
+    * drift columns compute against the batch even-id reference —
+    * equals the batch drift by construction.
+    */
+  private def qStreamDrift(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val bin = least(expr("n_chars div 100"), lit(15L))
+    val cur = s.readStream.schema(schema).parquet(streamDir(dir, "documents"))
+      .where(col("doc_id") % 2 === 1)
+      .select(bin.as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("cur_n"))
+    val q = cur.writeStream.format("memory").queryName("graft_stream_drift")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val ref = s.read.parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 2 === 0)
+      .select(bin.as("bin")).groupBy("bin").agg(count(lit(1)).as("ref_n"))
+    graft.operators.Profiling.histogramDriftFromCounts(
+      ref, s.table("graft_stream_drift"))
+      .orderBy("bin")
+  }
+
+  /** Part co-purchase pairs over lineitem baskets (order = basket,
+    * per-basket distinct parts, baskets ≤ 8 items): support ≥ 2
+    * pairs with exact ppm lift, deterministic top-40.
+    */
+  private def qCoPurchase(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.coOccurrence(
+      t(s, dir, "lineitem"), col("l_orderkey"), col("l_partkey"),
+      maxBasket = 8, minSupport = 2L, topK = 40)
+
   /** k-anonymity / l-diversity profile of the customer table under
     * quasi-identifiers (nation, account-balance thousand-bucket) with
     * market segment as the sensitive attribute; k = 5, l = 3.
@@ -3626,6 +3677,9 @@ object SparkEntry {
     "q210_cohort_retention" -> qCohortRetention _,
     "q211_gap_profile" -> qGapProfile _,
     "q212_skew_profile" -> qSkewProfile _,
+    "q213_entity_resolution" -> qEntityResolution _,
+    "q214_stream_drift" -> qStreamDrift _,
+    "q215_copurchase" -> qCoPurchase _,
   )
 
   /** The article fixture table (q40 and q57 — layout-independent). */
@@ -6838,6 +6892,66 @@ object SparkEntry {
           | (n * 1000000 // nt)::BIGINT AS share_ppm,
           | ((n + 99) // 100)::BIGINT AS salt_factor
           |FROM c, t ORDER BY n DESC, key LIMIT 10""".stripMargin,
+
+      // token blocking with the 1000-row hot-token cap, then the
+      // same thresholded edit-distance verify
+      "q213_entity_resolution" ->
+        """WITH l AS (SELECT p_partkey AS left_id, lower(trim(p_name)) AS left_name FROM part),
+          | r AS (SELECT p_partkey + 100000 AS right_id,
+          |        lower(trim(p_name || ' x')) AS right_name
+          |       FROM part WHERE p_partkey % 7 = 3),
+          | lt AS (SELECT left_id, left_name,
+          |   unnest(list_distinct(list_filter(
+          |     regexp_split_to_array(left_name, '\s+'), x -> x <> ''))) AS tok FROM l),
+          | rt AS (SELECT right_id, right_name,
+          |   unnest(list_distinct(list_filter(
+          |     regexp_split_to_array(right_name, '\s+'), x -> x <> ''))) AS tok FROM r),
+          | ltc AS (SELECT lt.* FROM lt JOIN
+          |   (SELECT tok FROM lt GROUP BY tok HAVING count(*) <= 1000) g USING (tok)),
+          | rtc AS (SELECT rt.* FROM rt JOIN
+          |   (SELECT tok FROM rt GROUP BY tok HAVING count(*) <= 1000) g USING (tok)),
+          | cand AS (SELECT DISTINCT left_id, right_id, left_name, right_name
+          |          FROM ltc JOIN rtc USING (tok))
+          |SELECT left_id::BIGINT AS left_id, right_id::BIGINT AS right_id,
+          | left_name, right_name,
+          | levenshtein(left_name, right_name)::BIGINT AS dist
+          |FROM cand WHERE levenshtein(left_name, right_name) <= 2
+          |ORDER BY left_id, right_id""".stripMargin,
+
+      // the q207 batch drift — the streaming drain must equal it
+      "q214_stream_drift" ->
+        """WITH r AS (SELECT least(n_chars // 100, 15) AS bin, count(*) AS ref_n
+          |  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+          | c AS (SELECT least(n_chars // 100, 15) AS bin, count(*) AS cur_n
+          |  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+          | j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+          |   coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+          |  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+          | tt AS (SELECT sum(ref_n) AS rt, sum(cur_n) AS ct FROM j)
+          |SELECT bin::BIGINT AS bin, ref_n::BIGINT AS ref_n, cur_n::BIGINT AS cur_n,
+          | (ref_n * 1000000 // rt)::BIGINT AS ref_ppm,
+          | (cur_n * 1000000 // ct)::BIGINT AS cur_ppm,
+          | abs(ref_n * 1000000 // rt - cur_n * 1000000 // ct)::BIGINT AS gap_ppm
+          |FROM j, tt ORDER BY bin""".stripMargin,
+
+      // order = basket, per-basket distinct parts, ≤ 8-item baskets;
+      // lift via HUGEINT-safe arithmetic
+      "q215_copurchase" ->
+        """WITH b AS (SELECT l_orderkey AS bk,
+          |   list_sort(list_distinct(list(l_partkey))) AS items
+          |  FROM lineitem GROUP BY l_orderkey
+          |  HAVING len(list_distinct(list(l_partkey))) <= 8),
+          | nb AS (SELECT count(*) AS n_baskets FROM b),
+          | e AS (SELECT bk, unnest(items) AS i FROM b),
+          | ic AS (SELECT i, count(*) AS n_i FROM e GROUP BY i),
+          | pc AS (SELECT e1.i AS item_a, e2.i AS item_b, count(*) AS n_ab
+          |        FROM e e1 JOIN e e2 ON e1.bk = e2.bk AND e1.i < e2.i
+          |        GROUP BY 1, 2 HAVING count(*) >= 2)
+          |SELECT item_a::BIGINT AS item_a, item_b::BIGINT AS item_b,
+          | n_ab::BIGINT AS n_ab,
+          | (n_ab * nb.n_baskets * 1000000 // (ia.n_i * ib.n_i))::BIGINT AS lift_ppm
+          |FROM pc JOIN ic ia ON pc.item_a = ia.i JOIN ic ib ON pc.item_b = ib.i, nb
+          |ORDER BY n_ab DESC, item_a, item_b LIMIT 40""".stripMargin,
     )
   }
 

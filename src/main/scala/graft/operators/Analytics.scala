@@ -122,6 +122,65 @@ object Analytics {
         col("mx").as("max_gap"))
   }
 
+  /** Market-basket co-occurrence with exact ppm lift: for item pairs
+    * appearing together in at least `minSupport` baskets (after
+    * per-basket item dedup), the pair's basket count and
+    *
+    *   lift_ppm = n_ab·N·10⁶ div (n_a·n_b)
+    *
+    * (10⁶ = independence; above = genuinely co-bought) — the "people
+    * also bought" / curriculum-correlation primitive. The n_ab·N·10⁶
+    * product is N²-scale, so the ratio runs in DECIMAL(38,0)
+    * (ANSI-safe to N ≈ 10⁹ baskets). Deterministic top-k by
+    * (n_ab desc, item_a, item_b).
+    *
+    * Scale: per-basket distinct is map-side (array dedup inside the
+    * basket aggregate); baskets larger than `maxBasket` items are
+    * DROPPED before pairing (a k-item basket makes k² pair rows —
+    * the cap is the same contract as the LSH hot-bucket guards, and
+    * real baskets are small); pair counting is ONE map-side-combined
+    * aggregate keyed by the item-pair domain; item counts and the
+    * 1-row basket total broadcast back in.
+    */
+  def coOccurrence(
+      df: DataFrame,
+      basket: Column,
+      item: Column,
+      maxBasket: Int,
+      minSupport: Long,
+      topK: Int): DataFrame = {
+    require(maxBasket >= 2, s"maxBasket must be >= 2, got $maxBasket")
+    require(minSupport >= 1, s"minSupport must be >= 1, got $minSupport")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val baskets = df.select(basket.as("b"), item.cast("long").as("i"))
+      .groupBy("b").agg(array_sort(collect_set("i")).as("items"))
+      .where(size(col("items")) <= maxBasket)
+      .persist()
+    val nBaskets = baskets.agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = baskets.select(explode(col("items")).as("i"))
+      .groupBy("i").agg(count(lit(1)).as("n_i"))
+    val pairs = baskets
+      .select(explode(expr(
+        "flatten(transform(items, (x, ix) -> " +
+          "transform(slice(items, ix + 2, size(items)), y -> struct(x AS a, y AS b))))"))
+        .as("p"))
+      .groupBy(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where(col("n_ab") >= minSupport)
+    val out = pairs
+      .join(itemCounts.select(col("i").as("item_a"), col("n_i").as("n_a")), "item_a")
+      .join(itemCounts.select(col("i").as("item_b"), col("n_i").as("n_b")), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_ab"),
+        expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * n_baskets * 1000000" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_ppm"))
+      .orderBy(col("n_ab").desc, col("item_a"), col("item_b"))
+      .limit(topK)
+      .localCheckpoint(true)
+    baskets.unpersist()
+    out
+  }
+
   /** Join/aggregation skew pre-flight: the top-k hottest keys of a
     * prospective shuffle key, each with its row count, exact ppm
     * share of all rows, and the salt factor `ceil(count div target)`

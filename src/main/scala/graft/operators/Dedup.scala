@@ -79,6 +79,57 @@ object Dedup {
       .groupBy("fp")
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Blocked fuzzy record linkage (entity resolution) between two
+    * tables on a name-ish string column: candidate pairs share at
+    * least one lowercased word token (the classic blocking key), then
+    * verify with a THRESHOLDED codegen'd edit distance — matches are
+    * pairs with levenshtein ≤ maxDist. The dedup family's cross-table
+    * sibling: [[exactDedup]] finds identical records, this finds the
+    * same ENTITY spelled differently across sources.
+    *
+    * Scale: token blocking is an equi-join on the token (longs +
+    * short names on the wire); tokens whose block exceeds `maxBlock`
+    * rows on EITHER side are dropped before the join (the stopword-
+    * token guard — same role as the LSH hot-bucket caps; "inc" or
+    * "the" would otherwise generate block² candidates while carrying
+    * no signal). Candidates dedup by pair in one aggregate, and the
+    * levenshtein carries the threshold (Spark prunes its DP band to
+    * O(name·maxDist) and returns −1 early) so verify cost is bounded
+    * per pair.
+    */
+  def fuzzyLink(
+      left: DataFrame,
+      leftId: Column,
+      leftName: Column,
+      right: DataFrame,
+      rightId: Column,
+      rightName: Column,
+      maxDist: Int,
+      maxBlock: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(maxBlock >= 1, s"maxBlock must be >= 1, got $maxBlock")
+    def toks(name: Column) =
+      explode(array_distinct(filter(split(lower(trim(name)), "\\s+"),
+        t => t =!= ""))).as("tok")
+    def capped(side: DataFrame): DataFrame = {
+      val small = side.groupBy("tok").agg(count(lit(1)).as("__n"))
+        .where(col("__n") <= maxBlock).select("tok")
+      side.join(small, "tok")
+    }
+    val l = capped(left.select(leftId.as("left_id"),
+      lower(trim(leftName)).as("left_name"), toks(leftName)))
+    val r = capped(right.select(rightId.as("right_id"),
+      lower(trim(rightName)).as("right_name"), toks(rightName)))
+    l.join(r, "tok")
+      .groupBy("left_id", "right_id", "left_name", "right_name")
+      .agg(count(lit(1)).as("__shared"))
+      .withColumn("dist",
+        levenshtein(col("left_name"), col("right_name"), maxDist))
+      .where(col("dist") >= 0)
+      .select(col("left_id"), col("right_id"), col("left_name"),
+        col("right_name"), col("dist").cast("long").as("dist"))
+  }
+
   /** Duplication profile of the corpus — the numbers a dedup pass
     * reports before anyone trusts it: per exact-duplicate CLUSTER SIZE
     * (1 = unique), how many clusters have that size, the document

@@ -431,11 +431,25 @@ object Profiling {
       ref: DataFrame,
       refBin: Column,
       cur: DataFrame,
-      curBin: Column): DataFrame = {
-    val r = ref.select(refBin.cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("ref_n"))
-    val c = cur.select(curBin.cast("long").as("bin"))
-      .groupBy("bin").agg(count(lit(1)).as("cur_n"))
+      curBin: Column): DataFrame =
+    histogramDriftFromCounts(
+      ref.select(refBin.cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("ref_n")),
+      cur.select(curBin.cast("long").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("cur_n")))
+
+  /** [[histogramDrift]] over PRE-COUNTED histograms — the seam a
+    * streaming current side plugs into (drain the stream's binned
+    * counts, then compare against the batch reference): `refCounts`
+    * carries (bin, ref_n), `curCounts` (bin, cur_n).
+    */
+  def histogramDriftFromCounts(
+      refCounts: DataFrame,
+      curCounts: DataFrame): DataFrame = {
+    val r = refCounts.select(col("bin").cast("long").as("bin"),
+      col("ref_n").cast("long").as("ref_n"))
+    val c = curCounts.select(col("bin").cast("long").as("bin"),
+      col("cur_n").cast("long").as("cur_n"))
     val rTot = r.agg(sum("ref_n").as("ref_total"))
     val cTot = c.agg(sum("cur_n").as("cur_total"))
     r.join(c, Seq("bin"), "full_outer")

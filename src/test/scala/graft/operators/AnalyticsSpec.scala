@@ -70,6 +70,34 @@ class AnalyticsSpec extends SparkTestBase {
     assert(run(ev.repartition(1)) == run(ev.repartition(13)))
   }
 
+  test("coOccurrence: hand-computed lifts, per-basket dedup, basket cap") {
+    // baskets: {1,2} x3, {1,3}, {2,3}, {1} and one 3-item basket
+    // {1,2,3} DROPPED by maxBasket=2. N=6 kept baskets.
+    // n_1=5, n_2=4, n_3=2; pairs: (1,2)x3 lift 3*6e6/20=900000,
+    // (1,3)x1 & (2,3)x1 below minSupport=2
+    val ev = Seq(
+      (10L, 1L), (10L, 2L), (10L, 2L), // dup item in basket counts once
+      (11L, 1L), (11L, 2L),
+      (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L),
+      (14L, 2L), (14L, 3L),
+      (15L, 1L),
+      (99L, 1L), (99L, 2L), (99L, 3L)).toDF("b", "i")
+    val r = Analytics.coOccurrence(ev, col("b"), col("i"),
+        maxBasket = 2, minSupport = 2L, topK = 10)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq((1L, 2L, 3L, 900000L)))
+  }
+
+  test("coOccurrence: deterministic top-k across partitionings") {
+    val ev = spark.range(9000).select(
+      (col("id") % 800).as("b"), ((col("id") * 37) % 50).as("i"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Analytics.coOccurrence(d, col("b"), col("i"),
+        maxBasket = 15, minSupport = 2L, topK = 25).collect().toSeq
+    assert(run(ev.repartition(1)) == run(ev.repartition(13)))
+  }
+
   test("skewProfile: hand-computed hot keys, shares, and ceil-div salt factors") {
     // key 7 x 250 rows, key 3 x 120, key 1 x 30 -> total 400
     val rows = Seq.fill(250)(7L) ++ Seq.fill(120)(3L) ++ Seq.fill(30)(1L)

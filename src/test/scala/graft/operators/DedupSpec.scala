@@ -599,6 +599,35 @@ class DedupSpec extends SparkTestBase {
     assert(r == ((1L, 3L, 1L, 333333L)))
   }
 
+  test("fuzzyLink: token blocking + edit-distance verify — hand-computed") {
+    import spark.implicits._
+    val left = Seq((1L, "Acme Corp"), (2L, "Globex Inc"), (3L, "Umbrella")).toDF("id", "n")
+    val right = Seq((10L, "acme corpp"),  // shares "acme", dist 1 -> match
+      (11L, "globex co"),                 // shares "globex", dist 3 -> cut
+      (12L, "umbrela"),                   // NO shared token -> never a candidate
+      (13L, "acme corp")).toDF("id", "n") // exact (lowercased) -> dist 0
+    val r = Dedup.fuzzyLink(left, col("id"), col("n"), right, col("id"), col("n"),
+        maxDist = 2)
+      .orderBy("left_id", "right_id")
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(r == Seq(
+      (1L, 10L, "acme corp", "acme corpp", 1L),
+      (1L, 13L, "acme corp", "acme corp", 0L)))
+  }
+
+  test("fuzzyLink: hot-token cap drops stopword blocks") {
+    import spark.implicits._
+    // "inc" appears in 3 left rows; cap 2 drops the block, so the
+    // only candidate route is the distinctive token
+    val left = Seq((1L, "alpha inc"), (2L, "beta inc"), (3L, "gamma inc")).toDF("id", "n")
+    val right = Seq((10L, "alpha incc"), (11L, "delta inc")).toDF("id", "n")
+    val r = Dedup.fuzzyLink(left, col("id"), col("n"), right, col("id"), col("n"),
+        maxDist = 2, maxBlock = 2)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    // (1,10) via "alpha"; (*,11) only shared "inc" -> capped away
+    assert(r == Seq((1L, 10L, "alpha inc", "alpha incc", 1L)))
+  }
+
   test("dedupStats: hand-computed cluster-size histogram") {
     import spark.implicits._
     // "x" x3, "y" x2, "z" x1 (whitespace-normalized fingerprints merge

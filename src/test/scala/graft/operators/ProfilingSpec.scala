@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkTestBase
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 
 class ProfilingSpec extends SparkTestBase {
 
@@ -218,6 +218,19 @@ class ProfilingSpec extends SparkTestBase {
       (3L, 0L, 1L, 0L, 200000L, 200000L)))
     // total-variation distance = half the gap mass
     assert(r.map(_._6).sum / 2 == 550000L)
+  }
+
+  test("histogramDriftFromCounts: pre-counted seam equals the row-level path") {
+    import spark.implicits._
+    val ref = Seq(0L, 0L, 1L, 2L).toDF("b")
+    val cur = Seq(0L, 1L, 1L, 1L, 3L).toDF("b")
+    val fromRows = Profiling.histogramDrift(ref, col("b"), cur, col("b"))
+      .orderBy("bin").collect().toSeq
+    val fromCounts = Profiling.histogramDriftFromCounts(
+        ref.groupBy(col("b").as("bin")).agg(count(lit(1)).as("ref_n")),
+        cur.groupBy(col("b").as("bin")).agg(count(lit(1)).as("cur_n")))
+      .orderBy("bin").collect().toSeq
+    assert(fromRows == fromCounts)
   }
 
   test("histogramDrift: identical distributions have zero gap everywhere") {
