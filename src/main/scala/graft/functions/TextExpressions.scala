@@ -122,6 +122,54 @@ object TextRuntime {
     new GenericArrayData(out)
   }
 
+  /** Word n-grams of the LOWERCASED text WITH MULTIPLICITY and the
+    * strict-length contract — the fused kernel behind corpus-level
+    * n-gram statistics ([[graft.operators.TextAnalysis.ngramDiversity]],
+    * [[graft.operators.Dedup.contaminationRate]]): same
+    * tokenization as [[wordShingles]] (lowercase, split on ASCII
+    * whitespace runs), n consecutive tokens joined by single spaces,
+    * but duplicates are KEPT (multiplicity is the statistic) and
+    * texts with fewer than n tokens yield an EMPTY array (no
+    * all-token collapse). Replicates the declarative
+    * `transform(sequence(1, nT-n+1), i => concat_ws(" ",
+    * slice(toks, i, n)))` exactly, ~30× cheaper (the lambda chain is
+    * interpreted per gram with an O(n) slice each).
+    */
+  def wordNgrams(s: UTF8String, n: Int): ArrayData = {
+    val str = s.toLowerCase.toString
+    val len = str.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '' || c == '\f' || c == '\r'
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < len) {
+      while (i < len && isWs(str.charAt(i))) i += 1
+      if (i < len) {
+        starts.add(i)
+        while (i < len && !isWs(str.charAt(i))) i += 1
+        ends.add(i)
+      }
+    }
+    val nT = starts.size()
+    if (nT < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](nT - n + 1)
+    val sb = new java.lang.StringBuilder
+    var t = 0
+    while (t <= nT - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(str, starts.get(t + k), ends.get(t + k))
+        k += 1
+      }
+      out(t) = UTF8String.fromString(sb.toString)
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Content-defined chunking: split `s` at every codepoint position
     * whose trailing `w`-codepoint polynomial fingerprint
     * `sum_{j=0..w-1} cp(i-j) * p^j  (mod m)` is divisible by `d` —
@@ -334,6 +382,28 @@ case class WordShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** word_ngrams(text, n): array<string> of lowercased word n-grams
+  * WITH multiplicity; fewer than n tokens → empty array (see
+  * [[TextRuntime.wordNgrams]] — the strict-length, duplicate-keeping
+  * sibling of [[WordShingles]]). Null text maps to null; callers
+  * coalesce to the empty array their declarative formula produces.
+  */
+case class WordNgrams(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"word_ngrams needs n >= 1, got $n")
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+  override protected def nullSafeEval(input: Any): Any =
+    TextRuntime.wordNgrams(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val rt = TextRuntime.getClass.getName.stripSuffix("$")
+    defineCodeGen(ctx, ev, c => s"$rt.wordNgrams($c, $n)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
 /** cdc_chunks(text, w, p, m, d): array<string> of content-defined
   * chunks. See [[TextRuntime.cdcChunks]]. The four numeric parameters
   * are literal ints (window width, polynomial base, modulus, boundary
@@ -472,6 +542,9 @@ object TextOps {
 
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  def wordNgrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(text), n))
 
   def charHistStats(text: Column): Column =
     ColumnBridge.column(CharHistStats(ColumnBridge.expression(text)))

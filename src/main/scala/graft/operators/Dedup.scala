@@ -851,11 +851,12 @@ object Dedup {
     * keep/drop threshold reads. Documents with fewer than `n` tokens
     * have no n-grams and are absent from the output.
     *
-    * Scale shape: per-doc n-grams are deduped MAP-SIDE
-    * (array_distinct before the explode), so the corpus takes exactly
-    * ONE exchange — the final per-doc count aggregate; the benchmark
-    * n-gram set is distinct'd and BROADCAST (eval sets are small by
-    * nature). No corpus-vs-corpus stage exists.
+    * Scale shape: n-grams come from the native codegen'd `word_ngrams`
+    * kernel (one fused scan per document) and per-doc dedup is
+    * MAP-SIDE (array_distinct before the explode), so the corpus takes
+    * exactly ONE exchange — the final per-doc count aggregate; the
+    * benchmark n-gram set is distinct'd and BROADCAST (eval sets are
+    * small by nature). No corpus-vs-corpus stage exists.
     */
   def contaminationRate(
       corpus: DataFrame,
@@ -865,16 +866,9 @@ object Dedup {
       benchText: Column,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    def grams(t: Column): Column = {
-      val toks = filter(split(lower(trim(t)), "\\s+"), x => x =!= "")
-      // sequence(1, k) DESCENDS when k < 1 — guard short docs to an
-      // empty gram list instead
-      when(size(toks) >= n,
-        array_distinct(transform(
-          sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n))))))
-        .otherwise(array().cast("array<string>"))
-    }
+    def grams(t: Column): Column =
+      array_distinct(coalesce(graft.functions.TextOps.wordNgrams(t, n),
+        array().cast("array<string>")))
     val docGrams = corpus.select(id.as("id"), explode(grams(text)).as("g"))
     val benchGrams = bench.select(explode(grams(benchText)).as("g"))
       .distinct().withColumn("hit", lit(1L))

@@ -969,14 +969,16 @@ object TextAnalysis {
     * looping generator); a ratio near 10⁶ says near-total novelty.
     * Documents shorter than n tokens contribute nothing.
     *
-    * Scale: grams explode map-only (no per-doc distinct — multiplicity
-    * IS the statistic), then ONE map-side-combined aggregate keyed by
+    * Scale: grams come from the native codegen'd `word_ngrams` kernel
+    * (one fused scan per document — the interpreted transform+slice
+    * chain cost ~46 s / 1M 45-token docs; the kernel is ~30× cheaper)
+    * and explode map-only (no per-doc distinct — multiplicity IS the
+    * statistic), then ONE map-side-combined aggregate keyed by
     * (group, gram) — vocabulary-bounded — and a group-keyed rollup of
-    * that bounded table. The exchange carries every distinct
-    * (group, gram) string once; this is the inherently heaviest
-    * profile statistic (≈46 s / 1M 45-token docs at local[32]), and a
-    * DIVERSITY estimate doesn't need the full corpus — run it over a
-    * [[Sampling.hashSample]] slice at the 100 TB scale.
+    * that bounded table. The exchange still carries every distinct
+    * (group, gram) string once — the inherently heaviest profile
+    * statistic; a DIVERSITY estimate doesn't need the full corpus, so
+    * run it over a [[Sampling.hashSample]] slice at the 100 TB scale.
     */
   def ngramDiversity(
       df: DataFrame,
@@ -984,11 +986,8 @@ object TextAnalysis {
       text: Column,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val toks = tokens(lower(text))
-    val grams = when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = coalesce(graft.functions.TextOps.wordNgrams(text, n),
+      array().cast("array<string>"))
     df.select(group.as("grp"), explode(grams).as("g"))
       .groupBy("grp", "g").agg(count(lit(1)).as("c"))
       .groupBy("grp")

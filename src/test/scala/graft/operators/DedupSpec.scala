@@ -388,6 +388,36 @@ class DedupSpec extends SparkTestBase {
     assert(m(2) == Seq("a b"))
   }
 
+  test("word_ngrams: native kernel equals the declarative multiplicity formula (property)") {
+    import spark.implicits._
+    val edges = Seq(
+      null, "", "   ", "\t\n", "one", "one two", "a b c d e",
+      "A B a b A B a b", "x y z w", "é É SS ss I İ",
+      "a  b\tc\nd", " lead and trail ", "😀 a 😀 a 😀 a",
+      "repeat repeat repeat repeat repeat")
+    val rnd = new scala.util.Random(23)
+    val alphabet = "ab XY\t é😀\n"
+    val fuzz = Seq.fill(300)(
+      (0 until rnd.nextInt(30)).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    def declarative(t: org.apache.spark.sql.Column, n: Int) = {
+      val toks = filter(split(lower(trim(t)), "\\s+"), x => x =!= "")
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    for (n <- Seq(1, 2, 3, 5)) {
+      val df = (edges ++ fuzz).zipWithIndex.map(_.swap).toDF("i", "t")
+      val got = df.select(col("i"),
+          coalesce(graft.functions.TextOps.wordNgrams(col("t"), n),
+            array().cast("array<string>")).as("g"))
+        .as[(Int, Seq[String])].collect().toMap
+      val ref = df.select(col("i"), declarative(col("t"), n).as("g"))
+        .as[(Int, Seq[String])].collect().toMap
+      assert(got == ref, s"n=$n: native word_ngrams diverge from declarative reference")
+    }
+  }
+
   test("shingles: native kernel equals the declarative formula (property)") {
     import spark.implicits._
     // hand-picked contract edges: blanks/tabs/odd whitespace, case
