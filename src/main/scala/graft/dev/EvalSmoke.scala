@@ -98,11 +98,31 @@ object EvalSmoke {
         docs.where(col("doc_id") % 2 === 0), pmod(col("doc_id"), lit(16L)),
         docs.where(col("doc_id") % 2 === 1), pmod(col("doc_id"), lit(16L))).count())
 
+    // 2-word names over a 3k-word vocab, right side = 1% dirty copy
+    val names = spark.range(nDocs / 2).select(col("id"),
+        concat(lit("n"), pmod(xxhash64(col("id") * 3), lit(3000L)), lit(" m"),
+          pmod(xxhash64(col("id") * 7), lit(3000L))).as("name"))
+      .persist()
+    names.count()
+    val dirty = names.where(col("id") % 100 === 3)
+      .select((col("id") + nDocs).as("id"), concat(col("name"), lit("x")).as("name"))
+    val fl = time("fuzzyLink (500k x 5k names, token blocking)")(
+      Dedup.fuzzyLink(names, col("id"), col("name"),
+        dirty, col("id"), col("name"), maxDist = 2).count())
+    names.unpersist()
+    val baskets = spark.range(nEv / 2).select(
+      pmod(xxhash64(col("id")), lit(nEv / 16)).as("b"),
+      pmod(xxhash64(col("id") + 5), lit(5000L)).as("i"))
+    val cooc = time("coOccurrence (5M rows, ~312k baskets)")(
+      Analytics.coOccurrence(baskets, col("b"), col("i"),
+        maxBasket = 24, minSupport = 2L, topK = 50).count())
+
     println(s"RESULT nEvents=$nEv nDocs=$nDocs funnel=${fu.mkString("/")} " +
       s"cohortRows=$co gapGroups=$gp skewRows=$sk transitions=$tm " +
       s"auc=$auc aucGroups=$aucG prRows=$pr calibBins=$cb " +
       s"dedupSizes=$ds contamDocs=$cr diversityGroups=$nd chao1=$vr " +
-      s"rankRows=$rn encRows=$te hashRows=$hf kappa=$ka auditRows=$sa driftBins=$hd")
+      s"rankRows=$rn encRows=$te hashRows=$hf kappa=$ka auditRows=$sa driftBins=$hd " +
+      s"fuzzyMatches=$fl coocPairs=$cooc")
     spark.stop()
   }
 }

@@ -70,6 +70,51 @@ class AnalyticsSpec extends SparkTestBase {
     assert(run(ev.repartition(1)) == run(ev.repartition(13)))
   }
 
+  test("funnel: matches a brute-force per-user simulation on random events") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(131)
+    val states = Vector("a", "b", "c")
+    val rows = Seq.fill(2000)(
+      (rnd.nextInt(60).toLong, states(rnd.nextInt(3)), rnd.nextInt(500).toLong))
+    // brute force: per user, earliest a; earliest b strictly after; etc.
+    val byUser = rows.groupBy(_._1)
+    def reach(step: String, prev: Map[Long, Long]): Map[Long, Long] =
+      byUser.flatMap { case (u, evs) =>
+        prev.get(u).flatMap { pt =>
+          val ts = evs.filter(e => e._2 == step && e._3 > pt).map(_._3)
+          if (ts.isEmpty) None else Some(u -> ts.min)
+        }
+      }
+    val s1 = byUser.flatMap { case (u, evs) =>
+      val ts = evs.filter(_._2 == "a").map(_._3)
+      if (ts.isEmpty) None else Some(u -> ts.min)
+    }
+    val s2 = reach("b", s1)
+    val s3 = reach("c", s2)
+    val expected = Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong)
+    val got = Analytics.funnel(rows.toDF("u", "st", "t"),
+        col("u"), col("st"), col("t"), Seq("a", "b", "c"))
+      .orderBy("step_idx").as[(Long, String, Long, Long)].collect().toSeq
+    assert(got.map(_._3) == expected)
+    assert(got.map(_._4) ==
+      expected.map(n => if (expected.head == 0) 0L else n * 1000000L / expected.head))
+  }
+
+  test("cohortRetention: matches a brute-force simulation on random activity") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val rows = Seq.fill(1500)((rnd.nextInt(40).toLong, rnd.nextInt(8).toLong))
+    val first = rows.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = rows.map { case (u, p) => (first(u), p - first(u), u) }
+      .distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+    val got = Analytics.cohortRetention(rows.toDF("u", "p"), col("u"), col("p"))
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == expected)
+    got.foreach { case (cohort, off, n, ppm) =>
+      assert(ppm == n * 1000000L / expected((cohort, 0L)), s"$cohort/$off")
+    }
+  }
+
   test("coOccurrence: hand-computed lifts, per-basket dedup, basket cap") {
     // baskets: {1,2} x3, {1,3}, {2,3}, {1} and one 3-item basket
     // {1,2,3} DROPPED by maxBasket=2. N=6 kept baskets.
