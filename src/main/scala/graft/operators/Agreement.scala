@@ -51,13 +51,22 @@ object Agreement {
     // engine's integer algebra; integral division of negatives is
     // engine-dependent (truncation vs floor), so divide the absolute
     // value and reapply the sign — exact and engine-identical
+    // empty input still yields one aggregate row with n = 0 (and null
+    // sums) — guard every /n and /n² so the degenerate summary row is
+    // all-zero instead of an ANSI divide-by-zero, matching the pe = 1
+    // convention below and graphProfile's n_edges = 0 row
     totals.crossJoin(marg)
+      .withColumn("n_agree", coalesce(col("n_agree"), lit(0L)))
+      .withColumn("s", coalesce(col("s"), lit(0L)))
       .withColumn("nd", expr("CAST(n AS DECIMAL(38,0))"))
       .select(col("n"), col("n_agree"), col("n_labels"),
-        expr("n_agree * 1000000L div n").as("po_ppm"),
-        expr("CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div (nd * nd) AS BIGINT)")
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr("n_agree * 1000000L div n")).as("po_ppm"),
+        when(col("n") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(CAST(s AS DECIMAL(38,0)) * 1000000 div (nd * nd) AS BIGINT)"))
           .as("pe_ppm"),
-        when(expr("nd * nd - s") === 0, lit(0L))
+        when(col("n") === 0 || expr("nd * nd - s") === 0, lit(0L))
           .otherwise(
             expr("CAST(if(nd * n_agree >= s, 1, -1)" +
               " * (abs(nd * n_agree - s) * 1000000 div (nd * nd - s)) AS BIGINT)"))

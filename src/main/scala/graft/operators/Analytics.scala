@@ -24,9 +24,13 @@ object Analytics {
     * is one equi-join of the event scan against the previous step's
     * (user, ts) table followed by the same min aggregate — k−1 joins
     * total, only (long, long) pairs on the wire, no window over the
-    * whole stream. The returned frame is k rows built from driver-
-    * side counts of user-keyed aggregates (each count is a job over
-    * the distributed plan; k is an operator parameter).
+    * whole stream. Each step's skinny (user, ts) frontier is
+    * PERSISTED before its count and released once the next step is
+    * materialized — without that, step i's lazy plan chains all
+    * prior joins and each count re-executes them from the event
+    * scan, O(k²) passes for a k-step funnel; with it, the event
+    * table is scanned exactly k times. The returned frame is k rows
+    * of driver-side counts (k is an operator parameter).
     */
   def funnel(
       events: DataFrame,
@@ -42,16 +46,20 @@ object Analytics {
       ts.cast("long").as("t"))
     var reached = ev.where(col("st") === steps.head)
       .groupBy("u").agg(min("t").as("t"))
+      .persist()
     val counts = Seq.newBuilder[(Long, String, Long)]
     counts += ((1L, steps.head, reached.count()))
     steps.zipWithIndex.drop(1).foreach { case (s, i) =>
-      val prev = reached.select(col("u"), col("t").as("prev_t"))
+      val prev = reached
       reached = ev.where(col("st") === s)
-        .join(prev, "u")
+        .join(prev.select(col("u"), col("t").as("prev_t")), "u")
         .where(col("t") > col("prev_t"))
         .groupBy("u").agg(min("t").as("t"))
+        .persist()
       counts += (((i + 1).toLong, s, reached.count()))
+      prev.unpersist()
     }
+    reached.unpersist()
     val rows = counts.result()
     val n1 = rows.head._3
     rows.map { case (idx, s, n) =>
@@ -96,8 +104,12 @@ object Analytics {
     * session-gap parameters.
     *
     * Scale: the lead() window is partitioned by (group, key) —
-    * parallel, no global sort; the median's rank window is
-    * partitioned by group (each group sorts only its own gaps).
+    * parallel, no global sort. The median is NOT a per-group rank
+    * window over raw gaps (a hot group — one event type, 10⁹ gaps —
+    * would be a single-task sort): it is the order statistic off the
+    * per-(group, gap-value) HISTOGRAM (the q148 dataCard machinery) —
+    * one map-side-combined count aggregate, then a cumulative window
+    * bounded by each group's gap-value DOMAIN, never its row count.
     */
   def gapProfile(
       events: DataFrame,
@@ -111,15 +123,20 @@ object Analytics {
       .withColumn("nxt", lead(col("t"), 1).over(seq))
       .where(col("nxt").isNotNull)
       .select(col("g"), (col("nxt") - col("t")).as("gap"))
-    val ranked = Window.partitionBy("g").orderBy("gap")
-    val byG = Window.partitionBy("g")
-    gaps
-      .withColumn("rk", row_number().over(ranked).cast("long"))
-      .withColumn("n", count(lit(1)).over(byG))
-      .withColumn("mx", max("gap").over(byG))
-      .where(col("rk") === expr("(n + 1) div 2"))
-      .select(col("g"), col("n").as("n_gaps"), col("gap").as("median_gap"),
-        col("mx").as("max_gap"))
+    val hist = gaps.groupBy("g", "gap").agg(count(lit(1)).as("c"))
+    val totals = hist.groupBy("g").agg(
+      sum("c").as("n_gaps"), max("gap").as("max_gap"))
+    val cum = Window.partitionBy("g").orderBy("gap")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // type-1 median: smallest gap value whose cumulative count reaches
+    // ceil(n/2) — cum*2 >= n + n%2 without division
+    val med = hist
+      .withColumn("cumc", sum("c").over(cum))
+      .join(totals.select(col("g"), col("n_gaps")), "g")
+      .where(col("cumc") * 2 >= col("n_gaps") + (col("n_gaps") % 2))
+      .groupBy("g").agg(min("gap").as("median_gap"))
+    totals.join(med, "g")
+      .select(col("g"), col("n_gaps"), col("median_gap"), col("max_gap"))
   }
 
   /** Market-basket co-occurrence with exact ppm lift: for item pairs

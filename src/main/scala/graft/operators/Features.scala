@@ -9,12 +9,15 @@ import org.apache.spark.sql.functions._
   * gap, trailing-window aggregates) computed batch-side with window
   * functions.
   *
-  * Values are fixed-pointed to integer cents via `floor(value·100)`
-  * BEFORE any aggregation (floor and the ×100 multiply are IEEE-exact
-  * and engine-identical; summing raw doubles inside a window frame is
-  * NOT — DuckDB's segment-tree frame sums associate differently than
-  * Spark's running frames), so every output column is 64-bit-integer
-  * exact.
+  * Values are fixed-pointed to integer units via `floor(value·100)`
+  * BEFORE any aggregation. The double×100 product is not exact
+  * decimal cents (0.29·100 = 28.999… floors to 28) — the guarantee
+  * is ENGINE-IDENTICAL determinism, not true cents: both engines
+  * compute the same IEEE-754 product and the same floor, whereas
+  * summing raw doubles inside a window frame is NOT deterministic
+  * across engines (DuckDB's segment-tree frame sums associate
+  * differently than Spark's running frames). Every output column is
+  * therefore 64-bit-integer exact and cross-engine reproducible.
   */
 object Features {
 
@@ -149,22 +152,35 @@ object Features {
     * sort-order luck), and a single-member group reports 0 (no spread
     * to place the one score in).
     *
-    * Scale: ONE hash exchange by group key, then a per-partition sort
-    * — Spark's standard window execution, parallel across groups; both
-    * the rank and the group count ride the same window partitioning.
+    * Scale: blend pipelines have a HANDFUL of sources, so a
+    * `Window.partitionBy(key)` over corpus rows would funnel each
+    * source's entire slice through one task. Instead the min-rank is
+    * an order statistic off the per-(key, score) HISTOGRAM (the
+    * q146/q148 machinery): one map-side-combined count aggregate to
+    * histogram rows, a cumulative window bounded by each key's score
+    * DOMAIN (distinct values, not rows), and a (key, score) equi-join
+    * back to the rows — corpus rows only ever cross a hash exchange,
+    * never a per-key sort.
     */
   def rankNormalize(
       df: DataFrame,
       id: Column,
       key: Column,
       score: Column): DataFrame = {
-    val byScore = Window.partitionBy("key").orderBy("score")
-    val byKey = Window.partitionBy("key")
-    df.select(id.as("id"), key.as("key"), score.cast("long").as("score"))
-      .withColumn("r", rank().over(byScore).cast("long"))
-      .withColumn("n", count(lit(1)).over(byKey))
-      .select(col("id"), col("key"), col("score"),
+    val base = df.select(id.as("id"), key.as("key"),
+      score.cast("long").as("score"))
+    // per-(key, score) histogram; min-rank of a score value is the
+    // cumulative count of strictly smaller values + 1
+    val hist = base.groupBy("key", "score").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("key").orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranks = hist
+      .withColumn("below", sum("c").over(cum) - col("c"))
+      .withColumn("n", sum("c").over(Window.partitionBy("key")))
+      .select(col("key"), col("score"),
         when(col("n") === 1, lit(0L))
-          .otherwise(expr("(r - 1) * 1000000L div (n - 1)")).as("pct_ppm"))
+          .otherwise(expr("below * 1000000L div (n - 1)")).as("pct_ppm"))
+    base.join(ranks, Seq("key", "score"))
+      .select(col("id"), col("key"), col("score"), col("pct_ppm"))
   }
 }

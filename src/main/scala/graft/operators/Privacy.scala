@@ -95,12 +95,17 @@ object Privacy {
 
   /** The two-round modular Knuth multiplicative hash shared with the
     * sampling family (Sampling.scala) — non-negative, overflow-free
-    * (operands reduced mod 1e9+7 before the multiply), and expressible
+    * (EVERY operand — id term AND seed — reduced into [0, 1e9+7)
+    * before each multiply, so no long product exceeds ~2.6e18 even
+    * for negative ids or |seed| near Long.MaxValue), and expressible
     * verbatim in ANSI SQL for the oracle.
     */
-  private def knuthHash(id: Column, seed: Long): Column =
-    (((id.cast("long") % 1000000007L) * 2654435761L % 1000000007L + seed)
-      * 2654435761L % 1000000007L)
+  private def knuthHash(id: Column, seed: Long): Column = {
+    val m = 1000000007L
+    val seedR = ((seed % m) + m) % m
+    val idR = pmod(id.cast("long") % m, lit(m))
+    ((idR * 2654435761L % m + seedR) % m) * 2654435761L % m
+  }
 
   /** Selection-rate fairness audit of a boolean decision (a quality
     * filter, a sampling gate, a classifier cut) across a group key:

@@ -475,11 +475,65 @@ class PlanSpec extends SparkTestBase {
     assert(Scale.countShuffles(pr) <= 2, pr.queryExecution.executedPlan.toString)
   }
 
-  test("rankNormalize: exactly one exchange (the per-group window)") {
+  // collect WindowExec nodes, descending AQE wrappers — for pinning
+  // that no window runs over corpus ROWS (only over value-domain
+  // histograms, i.e. above an aggregate)
+  private def windowNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.window.WindowExec] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    def scan(p: SparkPlan): Seq[WindowExec] = p match {
+      case w: WindowExec => w +: w.children.flatMap(scan)
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+      case q: QueryStageExec => scan(q.plan)
+      case other => other.children.flatMap(scan)
+    }
+    scan(df.queryExecution.executedPlan)
+  }
+
+  test("rankNormalize: no per-key window over corpus rows — ranks come off the histogram") {
     import spark.implicits._
     val df = (0L until 100L).map(i => (i, s"g${i % 5}", i * 7 % 31)).toDF("i", "k", "s")
     val out = Features.rankNormalize(df, col("i"), col("k"), col("s"))
-    assert(Scale.countShuffles(out) == 1, out.queryExecution.executedPlan.toString)
+    val plan = out.queryExecution.executedPlan.toString
+    // every window runs over the per-(key, score) histogram — its
+    // input never carries the row id, so a handful of sources can't
+    // funnel corpus slices through single window tasks
+    val wins = windowNodes(out)
+    assert(wins.nonEmpty, plan)
+    assert(wins.forall(w => !w.child.output.exists(_.name == "id")), plan)
+    // histogram agg + window exchange + join back — never more
+    assert(Scale.countShuffles(out) <= 4, plan)
+  }
+
+  test("gapProfile: median comes off the gap-value histogram, not a per-group row sort") {
+    import spark.implicits._
+    val ev = (0L until 300L).map(i => (s"g${i % 2}", i % 7, i * 13 % 997, i))
+      .toDF("g", "k", "t", "e")
+    val out = Analytics.gapProfile(ev, col("g"), col("k"), col("t"), col("e"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the only window partitioned by g alone is over histogram rows
+    // (it carries the count column c); raw gaps only ever see the
+    // (g, k)-partitioned lead() window — fine-grained, parallel
+    val wins = windowNodes(out)
+    assert(wins.nonEmpty, plan)
+    val byGroupOnly = wins.filter(w => !w.child.output.exists(_.name == "k"))
+    assert(byGroupOnly.nonEmpty, plan)
+    assert(byGroupOnly.forall(w => w.child.output.exists(_.name == "c")), plan)
+  }
+
+  test("funnel: each step's frontier is persisted — O(k) event scans, not O(k^2)") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("eventScans")
+    val ev = (0L until 400L).map(i => (i % 40, s"s${i % 4}", i)).toDS()
+      .map { r => acc.add(1); r }
+      .toDF("u", "st", "t")
+    Analytics.funnel(ev, col("u"), col("st"), col("t"),
+      Seq("s0", "s1", "s2", "s3")).collect()
+    // 4 steps → exactly 4 passes over the event rows (one per step);
+    // the unpersisted O(k²) shape would pay 1+2+3+4 = 10 passes
+    assert(acc.value <= 400L * 4, s"event rows scanned ${acc.value} times > 4 passes")
   }
 
   test("selectionAudit / calibrationBins: one group-keyed exchange plus broadcast, no text") {
