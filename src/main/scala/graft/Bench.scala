@@ -30,7 +30,6 @@ object Bench {
     // max-min spread — a quiet run has spread ~= first-rep warmup on a
     // few queries; a thrashed run shows large spread across the board
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
-    val loadStart = osBean.getSystemLoadAverage
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q82_quantized_ann,q25_...
     // (the driver never sets it, so round artifacts always cover all)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -42,19 +41,81 @@ object Bench {
     // then compare across rounds without the cache-placement caveat.
     // Runs under ONLY-filtered dev loops too, for the same reason.
     val builds = SparkEntry.buildCaches(spark, sfDir)
-    val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
-          case e: Throwable =>
-            errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
-              .replaceAll("""[\\"\n\r\t]""", " ").take(200)
-        }
-        (System.nanoTime() - t0) / 1e9
-      }
-      (name, times.min, times.head, times.max - times.min)
+
+    // ---- timing protocol with a contention gate (round-11 lesson:
+    // one run at load_avg 5.3 put 78.6s of rep spread under a 113.8s
+    // total, making per-query regressions indistinguishable from host
+    // noise). An ATTEMPT times every query; the attempt is USABLE when
+    //   load_avg_start <= host_cpus * loadGate   (not already thrashed)
+    //   sum(per-query spread) <= spreadGate * total (reps agree)
+    //   max(per-query spread) <= maxSpreadGate    (no single query's
+    //                            reps disagree by seconds)
+    // Calibration (measured, this host): a QUIET full 209-query run at
+    // load 1.9 shows sum_spread/total ~= 0.36 and max_spread 1.1s —
+    // rep 1 carries per-query planning+codegen, so a ~0.15s/query
+    // spread floor is inherent, NOT contention; the polluted r11 run
+    // showed ratio 0.69 and single-query spreads of 5.8s. Gates at
+    // 0.5 / 3.0s sit between the two regimes.
+    // An unusable attempt is retried after a backoff, up to maxAttempts;
+    // the kept attempt is the one with the smallest spread/total ratio
+    // (tie: smallest total), and the artifact records attempts + the
+    // kept attempt's gate verdict so a polluted record is self-labeling.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt.max(1)
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "0.5").toDouble
+    val spreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREADGATE", "0.5").toDouble
+    val maxSpreadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_MAXSPREADGATE", "3.0").toDouble
+    val hostCpus = Runtime.getRuntime.availableProcessors
+
+    case class Attempt(results: Seq[(String, Double, Double, Double)],
+        loadStart: Double, loadEnd: Double) {
+      val total: Double = results.map(_._2).sum
+      val sumSpread: Double = results.map(_._4).sum
+      val maxSpread: Double = if (results.isEmpty) 0.0 else results.map(_._4).max
+      val usable: Boolean =
+        loadStart <= hostCpus * loadGate &&
+          (total == 0.0 || sumSpread <= spreadGate * total) &&
+          maxSpread <= maxSpreadGate
+      // rank key: spread share first (agreement between reps is the
+      // trust signal), total as tie-break
+      val rank: (Double, Double) =
+        (if (total == 0.0) 0.0 else sumSpread / total, total)
     }
-    val loadEnd = osBean.getSystemLoadAverage
+
+    def measure(): Attempt = {
+      val loadStart = osBean.getSystemLoadAverage
+      val results = selected.map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch {
+            case e: Throwable =>
+              errors(name) = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+                .replaceAll("""[\\"\n\r\t]""", " ").take(200)
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, times.min, times.head, times.max - times.min)
+      }
+      Attempt(results, loadStart, osBean.getSystemLoadAverage)
+    }
+
+    // retries only for FULL runs: an ONLY-filtered dev loop times a
+    // handful of sub-second queries where warmup dominates spread —
+    // the gate verdict is still recorded, but churning attempts there
+    // wastes the dev loop for no regression-detection gain
+    val retryable = only.isEmpty
+    var attempts = List(measure())
+    while (!attempts.head.usable && retryable && attempts.size < maxAttempts && errors.isEmpty) {
+      System.err.println(f"[bench] attempt ${attempts.size} unusable: " +
+        f"load_start=${attempts.head.loadStart}%.2f/$hostCpus " +
+        f"sum_spread=${attempts.head.sumSpread}%.1fs of ${attempts.head.total}%.1fs — retrying")
+      Thread.sleep(sys.env.getOrElse("SPARK_GRAFT_BENCH_BACKOFF_MS", "30000").toLong)
+      attempts ::= measure()
+    }
+    val kept = attempts.minBy(_.rank)
+    val results = kept.results
+    val loadStart = kept.loadStart
+    val loadEnd = kept.loadEnd
+
     // 3-decimal times: ms resolution is the measurement's honest
     // precision, and it keeps the line short — the driver records only
     // the TAIL of the output, so a bloated line loses its head.
@@ -74,13 +135,14 @@ object Bench {
     val errJson = errors.map { case (k, v) => s"\"$k\":\"$v\"" }.mkString("{", ",", "}")
     val buildJson = builds.map { case (k, v) => s"\"$k\":" + f3(v) }.mkString("{", ",", "}")
     val buildTotal = builds.map(_._2).sum
-    val total = results.map(_._2).sum
+    val total = kept.total
     val totalFirst = results.map(_._3).sum
     val maxSpread = if (results.isEmpty) 0.0 else results.map(_._4).max
+    val gateJson = s""""attempts":${attempts.size},"usable":${kept.usable},"sum_spread":${f3(kept.sumSpread)},"load_gate":${f3(hostCpus * loadGate)},"spread_gate":${f3(spreadGate)},"max_spread_gate":${f3(maxSpreadGate)}"""
     // "reps" documents the timing protocol (per-query min of N timed
     // reps); "value_first_rep" is the single-rep sum so rounds <=3
     // (single-rep, warmup absorbed) compare like-for-like.
-    val fullJson = s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)}}"""
+    val fullJson = s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson}"""
     // Full per-query detail goes to a FILE, not stdout: the driver
     // records only the last 2000 chars of output, and r7–r10 all show
     // parsed:null because the single detail line is ~3.5k chars — its
@@ -91,14 +153,14 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), fullJson)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val head = s""""errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":${Runtime.getRuntime.availableProcessors},"max_spread":${f3(maxSpread)},"detail":"bench_detail.json","queries":"""
+    val head = s""""errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson,"detail":"bench_detail.json","queries":"""
     // top queries by DESCENDING cost, as many as fit the budget
     val budget = 1700 - head.length - 2
     val entries = results.sortBy(-_._2)
       .map { case (k, v, _, _) => s"\"" + k + "\":" + f3(v) }
-    val kept = entries.scanLeft(0)(_ + _.length + 1).tail
+    val kept2 = entries.scanLeft(0)(_ + _.length + 1).tail
       .zip(entries).takeWhile(_._1 < budget).map(_._2)
-    println("{" + head + kept.mkString("{", ",", "}") + "}")
+    println("{" + head + kept2.mkString("{", ",", "}") + "}")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

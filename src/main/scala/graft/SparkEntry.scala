@@ -1297,6 +1297,35 @@ object SparkEntry {
       .orderBy("left_id", "right_id")
   }
 
+  /** Canonical-entity merge closing the q213 loop: the same fuzzy
+    * matches → connected components → per-field survivorship. The
+    * clean source carries brand (dirty side null), the dirty source
+    * carries the part type (clean side null) — the canonical record
+    * stitches the two, and the longest-name rule picks the dirty
+    * spelling (it is strictly longer) while the entity keeps the
+    * clean record's id (minimum reachable id).
+    */
+  private def qEntityCanonical(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+    val dirty = parts.where(col("p_partkey") % 7 === 3)
+      .select((col("p_partkey") + 100000L).as("id"),
+        concat(col("p_name"), lit(" x")).as("name"),
+        col("p_type").as("ptype"))
+    val pairs = graft.operators.Dedup.fuzzyLink(
+      parts, col("p_partkey"), col("p_name"),
+      dirty, col("id"), col("name"), maxDist = 2)
+      .select(col("left_id").as("id_a"), col("right_id").as("id_b"))
+    val records = parts
+      .select(col("p_partkey").as("id"), col("p_name").as("name"),
+        col("p_brand").as("brand"), lit(null).cast("string").as("ptype"))
+      .unionByName(dirty.select(col("id"), col("name"),
+        lit(null).cast("string").as("brand"), col("ptype")))
+    graft.operators.Dedup.survivorship(records, col("id"),
+      Seq("name" -> col("name"), "brand" -> col("brand"),
+        "ptype" -> col("ptype")), pairs)
+      .orderBy("entity_id")
+  }
+
   /** Streaming twin of q207: the odd-id document half arrives as a
     * FILE STREAM, its binned counts drain in complete mode, and the
     * drift columns compute against the batch even-id reference —
@@ -1432,6 +1461,26 @@ object SparkEntry {
       col("text"), nMerges = 3, maxBatch = 8,
       driverVocabLimit = 0L) // force the distributed rounds under the gate
       .orderBy("merge_idx")
+
+  /** Unigram-LM tokenizer training (SentencePiece's second family
+    * beside BPE): substring seed → 2 hard-EM rounds (Viterbi segment,
+    * usage re-score, zero-usage prune) — the oracle unrolls both
+    * rounds with a recursive-CTE segmentation DP, so every round is
+    * integer-exact cross-engine.
+    */
+  private def qUnigramTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainUnigramLm(t(s, dir, "documents"),
+      col("text"), maxPieceLen = 3, iters = 2)
+      .orderBy(col("score").desc, col("piece"))
+
+  /** Train-then-apply for the unigram model: per distinct word its
+    * corpus count, Viterbi piece count, and segmentation — the
+    * tokens-per-word fertility table (q139's unigram sibling).
+    */
+  private def qUnigramFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.unigramFertility(t(s, dir, "documents"),
+      col("text"), maxPieceLen = 3, iters = 2)
+      .orderBy("word")
 
   /** Train-then-tokenize end-to-end: q138's learned merges applied to
     * every document; per-doc tokenizer fertility. The 3-row merge
@@ -3678,6 +3727,9 @@ object SparkEntry {
     "q211_gap_profile" -> qGapProfile _,
     "q212_skew_profile" -> qSkewProfile _,
     "q213_entity_resolution" -> qEntityResolution _,
+    "q216_entity_canonical" -> qEntityCanonical _,
+    "q217_unigram_train" -> qUnigramTrain _,
+    "q218_unigram_fertility" -> qUnigramFertility _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -3698,6 +3750,53 @@ object SparkEntry {
     // fingerprint without bignum exponentiation
     val cdcPows = Iterator.iterate(1L)(_ * 31L % 1000000007L).take(16).toSeq
     val cdcPowList = cdcPows.mkString("[", ", ", "]")
+    // shared prefix of the two unigram-LM oracles: word-frequency
+    // collapse, substring seed (maxPieceLen 3), and TWO unrolled
+    // hard-EM rounds, each a recursive-CTE segmentation DP + usage
+    // aggregate + prune — mirrors Training.trainUnigramModel exactly
+    val unigramOracleEm2 =
+      """WITH RECURSIVE
+        | w AS (SELECT word, count(*)::BIGINT AS cnt FROM (
+        |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |   FROM documents) GROUP BY word),
+        | seed AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+        |   SELECT cnt, unnest(flatten([[substr(word, i, l)
+        |       FOR l IN range(1, least(3, len(word) - i + 1) + 1)]
+        |       FOR i IN range(1, len(word) + 1)])) AS piece FROM w)
+        |   GROUP BY piece),
+        | dp1 AS (
+        |   SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sc, '' AS seg FROM w
+        |   UNION ALL
+        |   SELECT d.word, d.cnt, d.pos + len(s.piece), d.np + 1, d.sc + s.score,
+        |     CASE WHEN d.seg = '' THEN s.piece ELSE d.seg || ' ' || s.piece END
+        |   FROM dp1 d JOIN seed s ON s.piece = substr(d.word, d.pos + 1, len(s.piece))
+        |   WHERE d.pos + len(s.piece) <= len(d.word)),
+        | best1 AS (SELECT word, cnt, seg FROM (
+        |   SELECT word, cnt, seg,
+        |     row_number() OVER (PARTITION BY word ORDER BY np, sc DESC, seg) AS rk
+        |   FROM dp1 WHERE pos = len(word)) WHERE rk = 1),
+        | usage1 AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+        |   SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM best1) GROUP BY piece),
+        | model1 AS (SELECT s.piece, coalesce(u.score, 0)::BIGINT AS score
+        |   FROM seed s LEFT JOIN usage1 u ON s.piece = u.piece
+        |   WHERE coalesce(u.score, 0) > 0 OR len(s.piece) = 1),
+        | dp2 AS (
+        |   SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sc, '' AS seg FROM w
+        |   UNION ALL
+        |   SELECT d.word, d.cnt, d.pos + len(m.piece), d.np + 1, d.sc + m.score,
+        |     CASE WHEN d.seg = '' THEN m.piece ELSE d.seg || ' ' || m.piece END
+        |   FROM dp2 d JOIN model1 m ON m.piece = substr(d.word, d.pos + 1, len(m.piece))
+        |   WHERE d.pos + len(m.piece) <= len(d.word)),
+        | best2 AS (SELECT word, cnt, seg FROM (
+        |   SELECT word, cnt, seg,
+        |     row_number() OVER (PARTITION BY word ORDER BY np, sc DESC, seg) AS rk
+        |   FROM dp2 WHERE pos = len(word)) WHERE rk = 1),
+        | usage2 AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+        |   SELECT cnt, unnest(string_split(seg, ' ')) AS piece FROM best2) GROUP BY piece),
+        | model2 AS (SELECT m.piece, coalesce(u.score, 0)::BIGINT AS score
+        |   FROM model1 m LEFT JOIN usage2 u ON m.piece = u.piece
+        |   WHERE coalesce(u.score, 0) > 0 OR len(m.piece) = 1)
+        |""".stripMargin
     val inferV = duckInferType("v")
     val typeInferSql =
       s"""WITH $duckStacked,
@@ -6917,6 +7016,79 @@ object SparkEntry {
           | levenshtein(left_name, right_name)::BIGINT AS dist
           |FROM cand WHERE levenshtein(left_name, right_name) <= 2
           |ORDER BY left_id, right_id""".stripMargin,
+
+      // q213's matches → recursive-CTE connected components → longest-
+      // non-null survivorship per field (ties ascending) — the q48 CC
+      // oracle pattern composed with per-entity keep-best
+      "q216_entity_canonical" ->
+        """WITH RECURSIVE
+          | l AS (SELECT p_partkey AS left_id, lower(trim(p_name)) AS left_name FROM part),
+          | r AS (SELECT p_partkey + 100000 AS right_id,
+          |        lower(trim(p_name || ' x')) AS right_name
+          |       FROM part WHERE p_partkey % 7 = 3),
+          | lt AS (SELECT left_id, left_name,
+          |   unnest(list_distinct(list_filter(
+          |     regexp_split_to_array(left_name, '\s+'), x -> x <> ''))) AS tok FROM l),
+          | rt AS (SELECT right_id, right_name,
+          |   unnest(list_distinct(list_filter(
+          |     regexp_split_to_array(right_name, '\s+'), x -> x <> ''))) AS tok FROM r),
+          | ltc AS (SELECT lt.* FROM lt JOIN
+          |   (SELECT tok FROM lt GROUP BY tok HAVING count(*) <= 1000) g USING (tok)),
+          | rtc AS (SELECT rt.* FROM rt JOIN
+          |   (SELECT tok FROM rt GROUP BY tok HAVING count(*) <= 1000) g USING (tok)),
+          | cand AS (SELECT DISTINCT left_id, right_id, left_name, right_name
+          |          FROM ltc JOIN rtc USING (tok)),
+          | pairs AS (SELECT left_id AS id_a, right_id AS id_b FROM cand
+          |           WHERE levenshtein(left_name, right_name) <= 2),
+          | edges AS (SELECT id_a, id_b FROM pairs
+          |           UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs),
+          | reach AS (
+          |  SELECT id_a AS id, id_b AS peer FROM edges
+          |  UNION
+          |  SELECT r2.id, e.id_b AS peer FROM reach r2 JOIN edges e ON r2.peer = e.id_a),
+          | labels AS (SELECT id, min(peer) AS keep_id FROM reach GROUP BY id),
+          | recs AS (SELECT p_partkey AS id, p_name AS name, p_brand AS brand,
+          |            NULL::VARCHAR AS ptype FROM part
+          |   UNION ALL
+          |   SELECT p_partkey + 100000, p_name || ' x', NULL::VARCHAR, p_type
+          |   FROM part WHERE p_partkey % 7 = 3),
+          | lab AS (SELECT recs.*, coalesce(labels.keep_id, recs.id) AS entity_id
+          |         FROM recs LEFT JOIN labels ON recs.id = labels.id)
+          |SELECT entity_id::BIGINT AS entity_id, count(*)::BIGINT AS n_records,
+          | (list(name ORDER BY length(name) DESC, name) FILTER (WHERE name IS NOT NULL))[1] AS name,
+          | (list(brand ORDER BY length(brand) DESC, brand) FILTER (WHERE brand IS NOT NULL))[1] AS brand,
+          | (list(ptype ORDER BY length(ptype) DESC, ptype) FILTER (WHERE ptype IS NOT NULL))[1] AS ptype
+          |FROM lab GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+      // unigram-LM hard-EM unrolled: substring seed, then per round a
+      // recursive-CTE Viterbi DP (all tilings enumerated, best by
+      // (np, score desc, seg) — words are <= 8 chars so enumeration is
+      // bounded), usage re-score, zero-usage prune of multi-char pieces
+      "q217_unigram_train" ->
+        (unigramOracleEm2 +
+          """SELECT piece, len(piece)::BIGINT AS piece_len, score FROM model2
+            |ORDER BY score DESC, piece""".stripMargin),
+
+      // third DP over the final model: per-word fertility; words the
+      // model cannot tile (impossible in-fixture — single chars are
+      // never pruned) degrade to 0 pieces / empty segmentation
+      "q218_unigram_fertility" ->
+        (unigramOracleEm2 +
+          """, dp3 AS (
+            |   SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sc, '' AS seg FROM w
+            |   UNION ALL
+            |   SELECT d.word, d.cnt, d.pos + len(m.piece), d.np + 1, d.sc + m.score,
+            |     CASE WHEN d.seg = '' THEN m.piece ELSE d.seg || ' ' || m.piece END
+            |   FROM dp3 d JOIN model2 m ON m.piece = substr(d.word, d.pos + 1, len(m.piece))
+            |   WHERE d.pos + len(m.piece) <= len(d.word)),
+            | best3 AS (SELECT word, cnt, seg FROM (
+            |   SELECT word, cnt, seg,
+            |     row_number() OVER (PARTITION BY word ORDER BY np, sc DESC, seg) AS rk
+            |   FROM dp3 WHERE pos = len(word)) WHERE rk = 1)
+            |SELECT w.word, w.cnt,
+            | coalesce(len(string_split(b.seg, ' ')), 0)::BIGINT AS n_pieces,
+            | coalesce(b.seg, '') AS seg
+            |FROM w LEFT JOIN best3 b ON w.word = b.word ORDER BY w.word""".stripMargin),
 
       // the q207 batch drift — the streaming drain must equal it
       "q214_stream_drift" ->

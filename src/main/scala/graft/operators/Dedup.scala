@@ -130,6 +130,49 @@ object Dedup {
         col("right_name"), col("dist").cast("long").as("dist"))
   }
 
+  /** Entity canonicalization — the merge step that closes the
+    * resolution loop [[fuzzyLink]] opens: matched pairs → connected
+    * components ([[dedupGroups]]) → ONE canonical record per entity
+    * with per-field survivorship. The survivorship rule is
+    * deterministic keep-best: per entity and field, the LONGEST
+    * non-null value wins (more-complete beats less-complete — the
+    * standard MDM completeness rule), ties break by ascending value —
+    * no arrival-order or partitioning luck anywhere. Entities with no
+    * surviving non-null value for a field emit null. Output: one row
+    * per entity — `entity_id` (the minimum record id reachable
+    * through the match graph; unmatched records are their own
+    * entity), `n_records` merged, and one survived column per field.
+    *
+    * Scale: the pair graph is resolution OUTPUT (tiny vs the record
+    * corpus), so `dedupGroups` and the label table are pair-sized and
+    * the label join broadcasts; the merge itself is ONE map-side-
+    * combined aggregate keyed by entity — per-field min over
+    * (−length, value) structs, so only (id, field values) cross the
+    * exchange and a million-record entity still combines partially on
+    * the map side.
+    */
+  def survivorship(
+      records: DataFrame,
+      id: Column,
+      fields: Seq[(String, Column)],
+      pairs: DataFrame): DataFrame = {
+    require(fields.nonEmpty, "survivorship needs at least one field")
+    val groups = dedupGroups(pairs) // (id, keep_id) — pair-graph-sized
+    val base = records.select(
+      (id.cast("long").as("id") +:
+        fields.map { case (n, c) => c.cast("string").as(n) }): _*)
+    val labeled = base
+      .join(broadcast(groups), Seq("id"), "left")
+      .withColumn("entity_id", coalesce(col("keep_id"), col("id")))
+    val survived = fields.map { case (n, _) =>
+      min(when(col(n).isNotNull,
+        struct((-length(col(n))).as("nl"), col(n).as("v"))))
+        .getField("v").as(n)
+    }
+    labeled.groupBy("entity_id")
+      .agg(count(lit(1)).as("n_records"), survived: _*)
+  }
+
   /** Duplication profile of the corpus — the numbers a dedup pass
     * reports before anyone trusts it: per exact-duplicate CLUSTER SIZE
     * (1 = unique), how many clusters have that size, the document

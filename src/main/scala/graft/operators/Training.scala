@@ -439,6 +439,121 @@ object Training {
       .select(col("token_id"), col("token"), col("n"))
   }
 
+  /** Unigram-LM tokenizer training (SentencePiece's other family,
+    * beside BPE) — the engine's integer-exact hard-EM variant: no
+    * float log-probs, every round reproducible bit-for-bit in any
+    * engine.
+    *
+    *  - SEED: every substring of every distinct word up to
+    *    `maxPieceLen` chars, scored by its total corpus occurrence
+    *    count (word count × positions); single characters are always
+    *    kept (coverage guarantee), longer pieces are capped to the
+    *    top `maxSeed` by (count desc, piece asc).
+    *  - E-step (hard): each word takes its Viterbi-best tiling under
+    *    the current scores — fewest pieces, then highest total score,
+    *    then lexicographically smallest joined segmentation
+    *    ([[graft.functions.UnigramSegment]]).
+    *  - M-step: a piece's new score is its segmentation USAGE
+    *    (Σ word count × occurrences in the word's best tiling);
+    *    multi-char pieces with zero usage are pruned (SentencePiece's
+    *    prune step, taken to its integer-exact limit), single chars
+    *    survive at score 0.
+    *
+    * `iters` rounds of E+M; returns the final model
+    * (piece, piece_len, score).
+    *
+    * Scale shape — [[trainBpe]]'s exactly: the corpus collapses ONCE
+    * into the word-frequency table (the only corpus-sized stage);
+    * seeding is one vocab-sized substring aggregate; each EM round is
+    * a map-only segmentation expression over the vocab-sized word
+    * table (model = plan-bound reference object, no join) plus one
+    * piece-keyed usage aggregate whose result — the model itself —
+    * is the only driver collect, bounded by maxSeed + alphabet.
+    */
+  def trainUnigramLm(
+      df: DataFrame,
+      text: Column,
+      maxPieceLen: Int = 3,
+      iters: Int = 2,
+      maxSeed: Int = 100000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (words, model) = trainUnigramModel(df, text, maxPieceLen, iters, maxSeed)
+    words.unpersist()
+    model.toSeq.sortBy(_._1)
+      .map { case (p, s) => (p, p.length.toLong, s) }
+      .toDF("piece", "piece_len", "score")
+  }
+
+  /** Train a unigram-LM model ([[trainUnigramLm]]) and apply it back:
+    * per distinct word, its corpus count, Viterbi piece count, and the
+    * segmentation itself — the tokens-per-word fertility table, the
+    * unigram sibling of [[applyBpe]]'s per-document fertility.
+    * Scoring is map-only over the vocab-sized word table.
+    */
+  def unigramFertility(
+      df: DataFrame,
+      text: Column,
+      maxPieceLen: Int = 3,
+      iters: Int = 2,
+      maxSeed: Int = 100000): DataFrame = {
+    val (words, model) = trainUnigramModel(df, text, maxPieceLen, iters, maxSeed)
+    val (ps, ss) = model.toSeq.sortBy(_._1).unzip
+    val seg = graft.functions.UnigramOps.unigramSegment(col("word"), ps, ss)
+    val out = words
+      .select(col("word"), col("cnt"), seg.as("pieces"))
+      .select(col("word"), col("cnt"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        concat_ws(" ", col("pieces")).as("seg"))
+      .persist()
+    out.count()
+    words.unpersist()
+    out
+  }
+
+  /** Shared train loop: returns the PERSISTED word-frequency table
+    * (caller unpersists) and the final (piece → score) model.
+    */
+  private def trainUnigramModel(
+      df: DataFrame,
+      text: Column,
+      maxPieceLen: Int,
+      iters: Int,
+      maxSeed: Int): (DataFrame, Map[String, Long]) = {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    require(maxSeed >= 0, s"maxSeed must be >= 0, got $maxSeed")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val words = df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    words.count() // materialize: every round reuses the cache
+    val subs = words.select(col("cnt"), explode(expr(
+      s"flatten(transform(sequence(1, length(word)), i -> " +
+        s"transform(sequence(1, least($maxPieceLen, length(word) - i + 1)), " +
+        s"l -> substr(word, i, l))))")).as("piece"))
+      .groupBy("piece").agg(sum("cnt").as("c"))
+    val singles = subs.where(length(col("piece")) === 1)
+      .as[(String, Long)].collect()
+    val multis = subs.where(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece")).limit(maxSeed)
+      .as[(String, Long)].collect()
+    var model: Map[String, Long] = (singles ++ multis).toMap
+    for (_ <- 1 to iters) {
+      val (ps, ss) = model.toSeq.sortBy(_._1).unzip
+      val segCol = graft.functions.UnigramOps.unigramSegment(col("word"), ps, ss)
+      val usage = words.select(col("cnt"), explode(segCol).as("piece"))
+        .groupBy("piece").agg(sum("cnt").as("u"))
+        .as[(String, Long)].collect().toMap
+      model = model.flatMap { case (p, _) =>
+        val u = usage.getOrElse(p, 0L)
+        if (u > 0 || p.length == 1) Some(p -> u) else None
+      }
+    }
+    (words, model)
+  }
+
   /** Apply learned BPE merges ([[trainBpe]]'s output order matters) to
     * every document and report tokenizer fertility: (doc_id, n_words,
     * n_tokens) where n_tokens counts the BPE symbols after all merges

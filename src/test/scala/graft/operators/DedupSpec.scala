@@ -185,6 +185,29 @@ class DedupSpec extends SparkTestBase {
     assert(e.getMessage.contains("did not reach a fixpoint"))
   }
 
+  test("survivorship: longest non-null wins per field, ties ascending, singletons intact") {
+    import spark.implicits._
+    // entity {1,2,10}: name longest from 10, brand only on 1-2 (tie by
+    // value), city null everywhere -> null; entity {4,5}: one-sided
+    // fields stitch; record 9 unmatched -> its own entity, n_records 1
+    val records = Seq(
+      (1L, "acme", "BB", null.asInstanceOf[String]),
+      (2L, "acme co", "AA", null.asInstanceOf[String]),
+      (10L, "acme corp", null.asInstanceOf[String], null.asInstanceOf[String]),
+      (4L, "zenith", null.asInstanceOf[String], "berlin"),
+      (5L, "zenith gmbh", "ZZ", null.asInstanceOf[String]),
+      (9L, "solo", "SS", "paris")).toDF("id", "name", "brand", "city")
+    val pairs = Seq((1L, 2L), (2L, 10L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.survivorship(records, col("id"),
+      Seq("name" -> col("name"), "brand" -> col("brand"),
+        "city" -> col("city")), pairs)
+      .as[(Long, Long, String, String, String)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(
+      (1L, 3L, "acme corp", "AA", null),
+      (4L, 2L, "zenith gmbh", "ZZ", "berlin"),
+      (9L, 1L, "solo", "SS", "paris")))
+  }
+
   test("keepBest keeps the highest-score duplicate, ties to the smallest id") {
     import spark.implicits._
     val df = Seq(

@@ -484,6 +484,58 @@ class TrainingSpec extends SparkTestBase {
       (1L, 4L, 2L, 500000L, 1000000L, 666666L)))
   }
 
+  test("unigram segment: fewest pieces, then score, then lexicographic — hand-computed") {
+    import spark.implicits._
+    val words = Seq("abcd").toDF("word")
+    // tilings of "abcd" with these pieces: ab+cd (2 pieces, 5+5=10),
+    // abc+d (2 pieces, 9+1=10 — TIE on count and score; "ab cd" <
+    // "abc d" decides), a+b+cd (3) etc. Expect the string tiebreak.
+    val pieces = Seq("a", "b", "c", "d", "ab", "cd", "abc")
+    val scores = Seq(1L, 1L, 1L, 1L, 5L, 5L, 9L)
+    val seg = words.select(concat_ws(" ",
+      graft.functions.UnigramOps.unigramSegment(col("word"), pieces, scores)).as("s"))
+      .as[String].head()
+    assert(seg == "ab cd")
+    // higher-score tiling wins within equal piece count
+    val seg2 = words.select(concat_ws(" ",
+      graft.functions.UnigramOps.unigramSegment(col("word"), pieces,
+        Seq(1L, 1L, 1L, 2L, 5L, 5L, 9L))).as("s"))
+      .as[String].head()
+    assert(seg2 == "abc d") // 9+2=11 beats 5+5=10
+    // unsegmentable (char not in model) and empty word -> empty array
+    val hole = Seq("axd", "").toDF("word").select(
+      size(graft.functions.UnigramOps.unigramSegment(col("word"),
+        Seq("a", "d"), Seq(1L, 1L))).as("n")).as[Int].collect().toSeq
+    assert(hole == Seq(0, 0))
+  }
+
+  test("trainUnigramLm: hand-computed EM on a toy corpus; deterministic across partitionings") {
+    import spark.implicits._
+    // corpus: "ab ab b" ×2 docs -> words ab(cnt 2... ) recompute:
+    // docs: "ab ab b" and "ab b b" -> word counts ab=3, b=3? ab: 2+1=3, b: 1+2=3
+    val docs = Seq("ab ab b", "ab b b").toDF("text")
+    // seed (maxLen 2): substrings of "ab": a,b,ab (each cnt 3); of "b": b (3)
+    // seed scores: a=3, b=3+3=6, ab=3
+    // round 1: "ab" tilings: [ab] (1 piece) wins over [a b]; "b" -> [b]
+    // usage: ab=3, b=3, a=0 -> a pruned? a is single char: kept at 0
+    // round 2: same segmentations (ab score 3 > ... still 1 piece wins)
+    // final: ab=3, b=3, a=0
+    val m = Training.trainUnigramLm(docs, col("text"), maxPieceLen = 2, iters = 2)
+      .as[(String, Long, Long)].collect().toSet
+    assert(m == Set(("a", 1L, 0L), ("b", 1L, 3L), ("ab", 2L, 3L)))
+    val m1 = Training.trainUnigramLm(docs.repartition(7), col("text"),
+      maxPieceLen = 2, iters = 2).as[(String, Long, Long)].collect().toSet
+    assert(m1 == m)
+  }
+
+  test("unigramFertility: per-word piece counts over the trained model") {
+    import spark.implicits._
+    val docs = Seq("ab ab b", "ab b b").toDF("text")
+    val f = Training.unigramFertility(docs, col("text"), maxPieceLen = 2, iters = 2)
+      .as[(String, Long, Long, String)].collect().toSet
+    assert(f == Set(("ab", 3L, 1L, "ab"), ("b", 3L, 1L, "b")))
+  }
+
   test("prCurve: recall monotone, all-negative labels give zero curve") {
     import spark.implicits._
     val rng = new scala.util.Random(19)
