@@ -502,6 +502,60 @@ object SparkEntry {
     s.createDataFrame(rdd, schema)
   }
 
+  /** Distributed ADPM synthesis (IMA ADPCM, 4-sample blocks),
+    * mirroring [[wavTable]]: payloads are really COMPRESSED on the
+    * executors, so probe/decode downstream exercise the full 4-bit
+    * codec path.
+    */
+  private def adpcmTable(s: SparkSession, n: Int)(gen: Long => (Int, Array[Short])): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rdd = s.range(n).rdd.map { i =>
+      val (rate, samples) = gen(i)
+      org.apache.spark.sql.Row(i,
+        graft.multimodal.Multimodal.adpcmEncode(rate, samples, blockSamples = 4))
+    }
+    s.createDataFrame(rdd, schema)
+  }
+
+  /** Compressed-audio sibling of q89: executors ENCODE deterministic
+    * IMA-ADPCM containers; the probe PARSES the headers back
+    * distributed — closed-form oracle on (rate, sample count).
+    */
+  private def qAdpcmProbe(s: SparkSession, dir: String): DataFrame = {
+    val media = adpcmTable(s, 20) { i =>
+      val rate = 4000 + (i % 8).toInt * 500
+      val nSamples = 240 + (i % 7).toInt * 8
+      (rate, Array.tabulate(nSamples)(t => (((i * 37 + t * 11) % 4000) - 2000).toShort))
+    }
+    graft.multimodal.Multimodal.withProbedMetadata(
+      media, new graft.multimodal.Multimodal.AdpcmCodec, "audio")
+      .select(col("media_id"), col("meta.format").as("format"),
+        col("meta.sample_rate").as("sample_rate"), col("meta.n_frames").as("n_frames"))
+      .orderBy("media_id")
+  }
+
+  /** ADPCM envelope near-dups (q110's compressed sibling + the banded
+    * hamming join): 64 constant-amplitude 4-sample windows per clip —
+    * block-aligned IMA blocks reconstruct constants EXACTLY, so the
+    * decoded envelope bit w is the closed-form loud(i, w) the oracle
+    * recomputes; pairs within hamming 3 fall out of the band join.
+    */
+  private def qAdpcmNearDups(s: SparkSession, dir: String): DataFrame = {
+    val media = adpcmTable(s, 30) { i =>
+      val g = i / 2
+      (8000, Array.tabulate(256) { t =>
+        val w = t / 4
+        val loud = ((g + w) % 4 == 0) || (w == 60 + (i % 2).toInt * 2)
+        if (loud) 6000.toShort else 0.toShort
+      })
+    }
+    graft.multimodal.Multimodal.adpcmNearDups(media, maxDist = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** GVID payload builder mirroring [[pngTable]]/[[wavTable]]: the
     * payloads are ENCODED container bytes, so probing/sampling
     * downstream exercises the real header parse and frame geometry.
@@ -2706,6 +2760,29 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** IVF centroid re-train WITHOUT a rebuild: the index built under
+    * the id<8 bootstrap centroids migrates to a NEW centroid set
+    * (8 ≤ id < 16) by applying only the bucket-move diff
+    * ([[graft.operators.Similarity.ivfRetrainMoves]] — map-only
+    * reassignment, moves-bounded application). The oracle serves the
+    * new centroids DIRECTLY from scratch, so this row IS the
+    * migrated-equals-rebuilt equality proof under the DuckDB gate.
+    */
+  private def qIvfRetrainMigrate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def centsOf(lo: Int, hi: Int) = e.where(col("id") >= lo && col("id") < hi)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val index0 = Similarity.ivfIndexWith(e, centsOf(0, 8))
+    val newCents = centsOf(8, 16)
+    val moves = Similarity.ivfRetrainMoves(index0, newCents)
+    val migrated = Similarity.ivfApplyMoves(index0, newCents, moves)
+    Similarity.ivfTopKIndexed(
+      e.where(col("id") >= 5 && col("id") < 10), migrated, k = 3)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   private def qSimIvfProbe(s: SparkSession, dir: String): DataFrame = {
     // same query/corpus split as q26 but nProbe=2: each query scans its
     // TWO nearest coarse buckets — exercises the multi-probe path
@@ -3730,6 +3807,9 @@ object SparkEntry {
     "q216_entity_canonical" -> qEntityCanonical _,
     "q217_unigram_train" -> qUnigramTrain _,
     "q218_unigram_fertility" -> qUnigramFertility _,
+    "q219_ivf_retrain_migrate" -> qIvfRetrainMigrate _,
+    "q220_adpcm_probe" -> qAdpcmProbe _,
+    "q221_adpcm_neardups" -> qAdpcmNearDups _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7059,6 +7139,58 @@ object SparkEntry {
           | (list(brand ORDER BY length(brand) DESC, brand) FILTER (WHERE brand IS NOT NULL))[1] AS brand,
           | (list(ptype ORDER BY length(ptype) DESC, ptype) FILTER (WHERE ptype IS NOT NULL))[1] AS ptype
           |FROM lab GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+      // ADPM header probe: closed form on the synthesis parameters —
+      // the container encode/parse round-trips on the executors
+      "q220_adpcm_probe" ->
+        """SELECT i::BIGINT AS media_id, 'adpcm' AS format,
+          | (4000 + (i % 8) * 500)::INT AS sample_rate,
+          | (240 + (i % 7) * 8)::INT AS n_frames
+          |FROM (SELECT unnest(range(0, 20)) AS i) ORDER BY media_id""".stripMargin,
+
+      // constant 4-sample IMA blocks decode exactly, so envelope bit w
+      // IS loud(i, w); pairs = clips within hamming 3 of each other,
+      // recomputed from the same closed-form loudness rule
+      "q221_adpcm_neardups" ->
+        """WITH v AS (SELECT unnest(range(0, 30)) AS i),
+          | bits AS (SELECT v.i, w.w,
+          |   CASE WHEN ((v.i // 2 + w.w) % 4 = 0)
+          |          OR (w.w = 60 + (v.i % 2) * 2) THEN 1 ELSE 0 END AS b
+          |  FROM v CROSS JOIN (SELECT unnest(range(0, 64)) AS w) w),
+          | d AS (SELECT a.i AS id_a, b2.i AS id_b,
+          |   sum(abs(a.b - b2.b))::BIGINT AS dist
+          |  FROM bits a JOIN bits b2 ON a.w = b2.w AND a.i < b2.i
+          |  GROUP BY 1, 2)
+          |SELECT id_a::BIGINT AS id_a, id_b::BIGINT AS id_b, dist
+          |FROM d WHERE dist <= 3 ORDER BY id_a, id_b""".stripMargin,
+
+      // migrated-index serve must equal a from-scratch build under the
+      // NEW centroids (vec_id 8..15) — q26's SQL with the re-trained
+      // centroid set; the Spark side goes through the move diff
+      "q219_ivf_retrain_migrate" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | cents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e
+          |           WHERE vec_id >= 8 AND vec_id < 16),
+          | assigned AS (
+          |  SELECT vec_id, vec, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, e.vec, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN cents c) WHERE rk = 1),
+          | joined AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM assigned q JOIN assigned c ON q.bucket = c.bucket
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND q.vec_id <> c.vec_id),
+          | ranked AS (
+          |  SELECT query_id, neighbor_id, cos,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          |  FROM joined)
+          |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       // unigram-LM hard-EM unrolled: substring seed, then per round a
       // recursive-CTE Viterbi DP (all tilings enumerated, best by

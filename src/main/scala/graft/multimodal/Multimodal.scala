@@ -393,6 +393,271 @@ object Multimodal {
   }
 
   // ---------------------------------------------------------------- //
+  // Audio: ADPM compressed container (IMA ADPCM, block-aligned)       //
+  // ---------------------------------------------------------------- //
+
+  /** ADPM — the COMPRESSED instance of the audio-codec seam the
+    * PCM-WAV path left open (the audio analog of MJPG beside GVID):
+    * IMA/DVI ADPCM, the public-domain 4-bit adaptive-delta codec, in
+    * a minimal BLOCK-ALIGNED container — each block stores its first
+    * sample verbatim plus its step-table index, exactly the shape IMA
+    * blocks take inside WAV, so every block decodes independently
+    * (seekable, corruption-bounded) and the 4:1 compression is real
+    * byte-level work.
+    *
+    * Layout (big-endian):
+    *   bytes 0-3   magic "ADPM"
+    *   byte  4     version (1)
+    *   bytes 5-8   sample rate
+    *   bytes 9-12  n_samples
+    *   bytes 13-14 block size in samples (>= 2)
+    *   byte  15+   per block: int16 first sample, uint8 step index,
+    *               then ceil((blockSamples-1)/2) bytes of 4-bit codes
+    *               (high nibble first)
+    */
+  val AdpmHeaderLen = 15
+
+  /** IMA ADPCM step-size table (88 + 1 entries) and index-adaptation
+    * table — the published constants of the IMA specification.
+    */
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdjust: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** One IMA code step shared by encode and decode: reconstruct the
+    * delta the DECODER will compute for `code` at `step` (the
+    * (step·mag)/4 + step/8 form), apply sign, clamp to int16.
+    */
+  private def imaReconstruct(pred: Int, code: Int, step: Int): Int = {
+    var delta = step >> 3
+    if ((code & 1) != 0) delta += step >> 2
+    if ((code & 2) != 0) delta += step >> 1
+    if ((code & 4) != 0) delta += step
+    val next = if ((code & 8) != 0) pred - delta else pred + delta
+    math.max(-32768, math.min(32767, next))
+  }
+
+  /** Encode 16-bit PCM mono as an ADPM payload. Every block restarts
+    * at (first sample verbatim, index 0) — determinism needs no
+    * cross-block state, and constant blocks reconstruct EXACTLY
+    * (diff 0 → code 0 → delta = step>>3 = 0 at index 0).
+    */
+  def adpcmEncode(rate: Int, samples: Array[Short], blockSamples: Int): Array[Byte] = {
+    require(rate > 0, s"bad rate $rate")
+    require(blockSamples >= 2 && blockSamples <= 0xFFFF, s"bad block size $blockSamples")
+    require(samples.length % blockSamples == 0,
+      s"n_samples ${samples.length} must be a multiple of block size $blockSamples")
+    val nBlocks = samples.length / blockSamples
+    val codesPerBlock = (blockSamples - 1 + 1) / 2
+    val out = new java.io.ByteArrayOutputStream(
+      AdpmHeaderLen + nBlocks * (3 + codesPerBlock))
+    def b(i: Int): Unit = out.write(i & 0xFF)
+    out.write('A'); out.write('D'); out.write('P'); out.write('M'); out.write(1)
+    b(rate >> 24); b(rate >> 16); b(rate >> 8); b(rate)
+    val n = samples.length
+    b(n >> 24); b(n >> 16); b(n >> 8); b(n)
+    b(blockSamples >> 8); b(blockSamples)
+    var blk = 0
+    while (blk < nBlocks) {
+      val base = blk * blockSamples
+      var pred: Int = samples(base)
+      var index = 0
+      b(pred >> 8); b(pred)
+      b(index)
+      var half = false
+      var acc = 0
+      var i = 1
+      while (i < blockSamples) {
+        val s = samples(base + i)
+        val step = ImaStep(index)
+        var diff = s - pred
+        var code = 0
+        if (diff < 0) { code = 8; diff = -diff }
+        if (diff >= step) { code |= 4; diff -= step }
+        if (diff >= (step >> 1)) { code |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) { code |= 1 }
+        pred = imaReconstruct(pred, code, step)
+        index = math.max(0, math.min(88, index + ImaIndexAdjust(code & 7)))
+        if (!half) { acc = code << 4; half = true }
+        else { out.write(acc | code); half = false }
+        i += 1
+      }
+      if (half) out.write(acc)
+      blk += 1
+    }
+    out.toByteArray
+  }
+
+  /** Decode an ADPM payload to (rate, samples), or None for payloads
+    * whose magic/version/geometry don't check out (corruption is
+    * data, not an exception — the MJPG degradation contract).
+    */
+  def adpcmDecode(p: Array[Byte]): Option[(Int, Array[Short])] = {
+    if (p == null || p.length < AdpmHeaderLen ||
+      p(0) != 'A' || p(1) != 'D' || p(2) != 'P' || p(3) != 'M' || p(4) != 1) return None
+    def i32(o: Int): Int =
+      ((p(o) & 0xFF) << 24) | ((p(o + 1) & 0xFF) << 16) | ((p(o + 2) & 0xFF) << 8) | (p(o + 3) & 0xFF)
+    val rate = i32(5)
+    val n = i32(9)
+    val blockSamples = ((p(13) & 0xFF) << 8) | (p(14) & 0xFF)
+    if (rate <= 0 || n < 0 || blockSamples < 2 || n % blockSamples != 0) return None
+    val nBlocks = n / blockSamples
+    val bytesPerBlock = 3 + (blockSamples - 1 + 1) / 2
+    if (p.length < AdpmHeaderLen + nBlocks.toLong * bytesPerBlock) return None
+    val out = new Array[Short](n)
+    var blk = 0
+    while (blk < nBlocks) {
+      val off = AdpmHeaderLen + blk * bytesPerBlock
+      var pred: Int = ((p(off) << 8) | (p(off + 1) & 0xFF)).toShort.toInt
+      var index = math.max(0, math.min(88, p(off + 2) & 0xFF))
+      out(blk * blockSamples) = pred.toShort
+      var i = 1
+      while (i < blockSamples) {
+        val byteIx = off + 3 + (i - 1) / 2
+        val code = if ((i - 1) % 2 == 0) (p(byteIx) >> 4) & 0xF else p(byteIx) & 0xF
+        val step = ImaStep(index)
+        pred = imaReconstruct(pred, code, step)
+        index = math.max(0, math.min(88, index + ImaIndexAdjust(code & 7)))
+        out(blk * blockSamples + i) = pred.toShort
+        i += 1
+      }
+      blk += 1
+    }
+    Some((rate, out))
+  }
+
+  /** ADPCM codec for the [[MediaCodec]] seam: probe reads the true
+    * header (rate, sample count); features are the SAME per-window
+    * RMS amplitudes as [[WavCodec]] over the DECODED stream — a
+    * pipeline can mix WAV and ADPM rows and their feature spaces
+    * line up.
+    */
+  final class AdpcmCodec extends MediaCodec {
+    override def probe(payload: Array[Byte]): (String, Option[Int], Option[Int]) =
+      adpcmDecode(payload) match {
+        case Some((rate, samples)) => ("adpcm", Some(rate), Some(samples.length))
+        case None => ("unknown", None, None)
+      }
+    override def features(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      adpcmDecode(payload) match {
+        case None => out
+        case Some((_, samples)) =>
+          val nSamples = samples.length
+          if (nSamples == 0) return out
+          val window = (nSamples / dim).max(1)
+          var d = 0
+          while (d < dim) {
+            var acc = 0.0
+            var i = d * window
+            val end = math.min(nSamples, i + window)
+            val nw = (end - i).max(1)
+            while (i < end) {
+              val s = samples(i) / 32768.0
+              acc += s * s
+              i += 1
+            }
+            out(d) = math.sqrt(acc / nw).toFloat
+            d += 1
+          }
+          out
+      }
+    }
+  }
+
+  /** [[audioEnvelopeHash]] for ADPM payloads: decode the compressed
+    * stream, then the IDENTICAL 64-window mean-abs envelope bits —
+    * integer-exact end to end, so WAV and ADPM fingerprints of the
+    * same loudness shape agree. Undecodable or sub-64-sample payloads
+    * yield NULL halves. Map-only; payloads never leave the scan.
+    */
+  def adpcmEnvelopeHash(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("env_hi", LongType, nullable = true),
+      StructField("env_lo", LongType, nullable = true)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.map { r =>
+          val nullRow = Row(r.getLong(0), null, null)
+          adpcmDecode(r.getAs[Array[Byte]](1)) match {
+            case None => nullRow
+            case Some((_, samples)) =>
+              val n = samples.length
+              if (n < 64) nullRow
+              else {
+                val env = new Array[Long](64)
+                var w = 0
+                while (w < 64) {
+                  val i0 = w * n / 64; val i1 = (w + 1) * n / 64
+                  var s = 0L
+                  var i = i0
+                  while (i < i1) { s += math.abs(samples(i).toLong); i += 1 }
+                  env(w) = s / (i1 - i0)
+                  w += 1
+                }
+                val thr = env.sum / 64
+                var hi = 0L; var lo = 0L
+                var b = 0
+                while (b < 64) {
+                  if (env(b) > thr) {
+                    if (b >= 32) hi |= 1L << (b - 32) else lo |= 1L << b
+                  }
+                  b += 1
+                }
+                Row(r.getLong(0), hi, lo)
+              }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Envelope near-duplicate pairs over ADPM clips — [[imageNearDups]]'
+    * audio sibling: decode + envelope hash, then the exact pigeonhole
+    * band join (4 × 16-bit bands, lossless for maxDist ≤ 3) with the
+    * same hot-bucket cap. Only 3 longs per clip reach the exchange.
+    */
+  def adpcmNearDups(df: DataFrame, maxDist: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxDist >= 0 && maxDist < 4,
+      s"pigeonhole over 4 bands is exact only for maxDist < 4, got $maxDist")
+    val hashes = adpcmEnvelopeHash(df).where(col("env_hi").isNotNull).persist()
+    val bandCols = Seq(
+      col("env_lo").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("env_lo"), 16).bitwiseAND(lit(0xFFFFL)),
+      col("env_hi").bitwiseAND(lit(0xFFFFL)),
+      shiftright(col("env_hi"), 16).bitwiseAND(lit(0xFFFFL)))
+    val banded = hashes.select(col("media_id"), col("env_hi"), col("env_lo"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "v")))
+    val hot = banded.groupBy("band", "v")
+      .agg(count(lit(1)).as("n")).where(col("n") > maxBucket)
+      .select("band", "v")
+    val small = banded.join(broadcast(hot), Seq("band", "v"), "left_anti")
+    val a = small.select(col("band"), col("v"), col("media_id").as("id_a"),
+      col("env_hi").as("hi_a"), col("env_lo").as("lo_a"))
+    val b = small.select(col("band"), col("v"), col("media_id").as("id_b"),
+      col("env_hi").as("hi_b"), col("env_lo").as("lo_b"))
+    val result = a.join(b, Seq("band", "v"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+          bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("long").as("dist"))
+      .where(col("dist") <= maxDist)
+      .distinct()
+    val out = result.persist()
+    out.count()
+    hashes.unpersist()
+    out
+  }
+
+  // ---------------------------------------------------------------- //
   // Video: GVID raw container                                         //
   // ---------------------------------------------------------------- //
 

@@ -279,6 +279,77 @@ object Similarity {
     IvfIndex(index.cents, index.assigned.unionByName(assignedBatch))
   }
 
+  /** Centroid re-training MIGRATION diff: re-assign every indexed
+    * vector under a NEW centroid table and emit ONLY the rows whose
+    * bucket changes — (neighbor_id, old_bucket, new_bucket). The
+    * continuously-crawled-corpus path [[ivfIndexAppend]] pins
+    * centroids by contract; eventually the drifted corpus wants
+    * re-trained centroids WITHOUT a full index rebuild, and this is
+    * that diff (the [[Snapshot.applyChanges]] idea applied to the
+    * index).
+    *
+    * MAP-ONLY — zero exchanges: the new centroids (model-sized,
+    * k·d values) collect once and re-enter the plan as a literal
+    * array; the nearest-bucket fold reuses the EXACT arithmetic of
+    * [[ivfAssignWith]] (same [[dot]] kernel, same
+    * [[cosineFromNorms]], same round-to-6, same
+    * (cos desc, cent_id asc) tie-break — centroids fold in ascending
+    * cent_id order with a strict `>`, so ties keep the smaller id),
+    * which is what makes [[ivfApplyMoves]]' migrated index
+    * serve-EQUAL to a from-scratch rebuild.
+    */
+  def ivfRetrainMoves(index: IvfIndex, newCents: DataFrame): DataFrame = {
+    val cents = newCents
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("cent_v").cast("array<double>").as("cent_v"))
+      .withColumn("cent_norm", norm(col("cent_v")))
+      .orderBy("cent_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq
+    require(cents.nonEmpty, "ivfRetrainMoves needs at least one centroid")
+    val centLit = typedlit(cents)
+    // fold (cos, cent_id) over the literal: strict > keeps the first
+    // (smallest-id) centroid on ties — max_by(struct(cos, -id)) exactly
+    val best = aggregate(centLit,
+      struct(lit(-2.0).as("cos"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val cos = round(cosineFromNorms(dot(col("c_vec"), c.getField("_2")),
+          col("c_norm"), c.getField("_3")), 6)
+        when(cos > acc.getField("cos"),
+          struct(cos.as("cos"), c.getField("_1").as("cid"))).otherwise(acc)
+      })
+    index.assigned
+      .withColumn("new_bucket", best.getField("cid"))
+      .where(col("new_bucket") =!= col("bucket"))
+      .select(col("neighbor_id"), col("bucket").as("old_bucket"),
+        col("new_bucket"))
+  }
+
+  /** Apply a [[ivfRetrainMoves]] diff: moved rows re-bucket, everything
+    * else stays byte-identical in place. The moves side is re-train
+    * OUTPUT (small after any sane re-train), so both the anti and the
+    * inner join broadcast — the existing assigned table never
+    * shuffles, and the only re-written rows are the moved ones (with a
+    * bucketed warehouse table underneath: delete+append of exactly the
+    * moved rows). Serving the result equals serving
+    * `ivfIndexWith(corpus, newCents)` rebuilt from scratch
+    * (SimilaritySpec pins it; q219 checks it against the
+    * direct-new-centroid oracle).
+    */
+  def ivfApplyMoves(index: IvfIndex, newCents: DataFrame, moves: DataFrame): IvfIndex = {
+    val stay = index.assigned.join(
+      broadcast(moves.select(col("neighbor_id"))), Seq("neighbor_id"), "left_anti")
+    val moved = index.assigned.join(broadcast(moves), Seq("neighbor_id"))
+      .where(col("bucket") === col("old_bucket"))
+      .select(col("new_bucket").as("bucket"), col("neighbor_id"),
+        col("c_vec"), col("c_norm"))
+    IvfIndex(
+      newCents.select(col("cent_id"), col("cent_v")),
+      stay.select(col("bucket"), col("neighbor_id"), col("c_vec"), col("c_norm"))
+        .unionByName(moved))
+  }
+
   /** Serve a query batch against a built index: probe `nProbe` nearest
     * buckets per query, scan + rank within them. The join key is the
     * bucket — at scale, the persisted `assigned` side pre-partitioned

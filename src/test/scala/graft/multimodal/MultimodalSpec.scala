@@ -416,6 +416,67 @@ class MultimodalSpec extends SparkTestBase {
       Set("media_id", "frame_idx", "frame_no", "ahash_hi", "ahash_lo"))
   }
 
+  test("adpcm: constant blocks round-trip EXACTLY; slow ramps within tolerance; 4:1 size") {
+    // constant-amplitude blocks: first sample verbatim, diffs 0 ->
+    // code 0 at index 0 -> delta step>>3 = 0 -> bit-exact decode
+    val const = Array.tabulate(64)(t => (if ((t / 4) % 2 == 0) 6000 else 0).toShort)
+    val p = Multimodal.adpcmEncode(8000, const, blockSamples = 4)
+    val Some((rate, dec)) = Multimodal.adpcmDecode(p)
+    assert(rate == 8000)
+    assert(dec.toSeq == const.toSeq, "constant 4-sample blocks must decode exactly")
+    // compression is real: 15 header + 64/4 blocks * (3 + 2) bytes
+    assert(p.length == 15 + 16 * 5, s"payload ${p.length} bytes")
+    // a slow ramp (delta 3/sample) stays within the small-step error band
+    val ramp = Array.tabulate(256)(t => (t * 3).toShort)
+    val Some((_, dec2)) = Multimodal.adpcmDecode(
+      Multimodal.adpcmEncode(8000, ramp, blockSamples = 64))
+    val maxErr = ramp.zip(dec2).map { case (a, b) => math.abs(a - b) }.max
+    assert(maxErr <= 16, s"slow-ramp reconstruction error $maxErr")
+  }
+
+  test("adpcm: corrupt and truncated payloads are data (None / unknown probe), never exceptions") {
+    assert(Multimodal.adpcmDecode("garbage".getBytes) == None)
+    assert(Multimodal.adpcmDecode(Array.empty[Byte]) == None)
+    val good = Multimodal.adpcmEncode(8000,
+      Array.tabulate(64)(_.toShort), blockSamples = 4)
+    assert(Multimodal.adpcmDecode(good.take(20)) == None, "truncated body")
+    val codec = new Multimodal.AdpcmCodec
+    assert(codec.probe("noise".getBytes)._1 == "unknown")
+    assert(codec.probe(good) == (("adpcm", Some(8000), Some(64))))
+    // features: constant full-scale signal -> RMS ~ amplitude/32768
+    val loud = Multimodal.adpcmEncode(8000,
+      Array.fill[Short](64)(16384), blockSamples = 4)
+    val f = codec.features(loud, 4)
+    assert(f.forall(v => math.abs(v - 0.5f) < 1e-3f), f.toSeq.toString)
+  }
+
+  test("adpcmNearDups: pairs equal the closed-form loudness classes of the q221 fixture") {
+    import org.apache.spark.sql.types._
+    def loud(i: Long, w: Int): Boolean =
+      ((i / 2 + w) % 4 == 0) || (w == 60 + (i % 2).toInt * 2)
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val rows = (0L until 30L).map { i =>
+      val samples = Array.tabulate(256)(t =>
+        (if (loud(i, t / 4)) 6000 else 0).toShort)
+      org.apache.spark.sql.Row(i, Multimodal.adpcmEncode(8000, samples, 4))
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), schema)
+    val got = Multimodal.adpcmNearDups(df, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute-force expectation straight from the loudness rule
+    val expected = (for {
+      a <- 0L until 30L; b <- (a + 1) until 30L
+      d = (0 until 64).count(w => loud(a, w) != loud(b, w))
+      if d <= 3
+    } yield (a, b, d.toLong)).toSet
+    assert(got == expected)
+    assert(expected.nonEmpty, "fixture must produce near-dup pairs")
+    assert(expected.exists(_._3 > 0), "fixture must produce non-identical near-dups")
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256

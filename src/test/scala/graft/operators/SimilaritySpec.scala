@@ -169,6 +169,55 @@ class SimilaritySpec extends SparkTestBase {
     assert(appended.assigned.where(col("neighbor_id") >= 30).count() == 10L)
   }
 
+  test("ivfRetrainMoves/ivfApplyMoves: migrated index serves exactly like a rebuild") {
+    import spark.implicits._
+    val all = (0L until 40L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    def centsOf(lo: Long, hi: Long) = all.where(col("id") >= lo && col("id") < hi)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val index0raw = Similarity.ivfIndexWith(all, centsOf(0, 4))
+    // production serves from a persisted/stored assigned table — pin
+    // the move diff's plan against that shape, not the build lineage
+    val index0 = index0raw.copy(assigned = index0raw.assigned.persist())
+    index0.assigned.count()
+    val newCents = centsOf(10, 14)
+    val moves = Similarity.ivfRetrainMoves(index0, newCents)
+    // the diff is map-only over the stored table: no exchange — the
+    // new centroids enter as a plan literal
+    assert(Scale.countShuffles(moves) == 0,
+      moves.queryExecution.executedPlan.toString)
+    val migrated = Similarity.ivfApplyMoves(index0, newCents, moves)
+    val scratch = Similarity.ivfIndexWith(all, newCents)
+    val queries = all.where(col("id") < 6)
+    def rows(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKIndexed(queries, ix, k = 3)
+        .orderBy("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(migrated) == rows(scratch),
+      "bucket migration must serve exactly like a full rebuild")
+    // moves carry only rows whose bucket changed, and applying them
+    // reproduces the scratch assignment table row-for-row
+    val migratedAssign = migrated.assigned
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    val scratchAssign = scratch.assigned
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(migratedAssign == scratchAssign)
+    val oldAssign = index0.assigned
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    val moveRows = moves.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(moveRows.forall { case (id, ob, nb) =>
+      oldAssign(id) == ob && scratchAssign(id) == nb && ob != nb })
+    val changed = oldAssign.keySet.filter(id => oldAssign(id) != scratchAssign(id))
+    assert(moveRows.map(_._1).toSet == changed, "diff covers exactly the changed rows")
+    assert(changed.nonEmpty, "fixture must actually move some vectors")
+    // application is broadcast-only on the moves side: no exchange of
+    // the existing assignment table
+    val applyPlan = migrated.assigned.queryExecution.executedPlan.toString
+    assert(applyPlan.contains("BroadcastHashJoin"), applyPlan)
+    assert(!applyPlan.contains("SortMergeJoin"), applyPlan)
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
