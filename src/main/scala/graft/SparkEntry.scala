@@ -1536,6 +1536,64 @@ object SparkEntry {
       col("text"), maxPieceLen = 3, iters = 2)
       .orderBy("word")
 
+  /** q219's migration at the STORAGE level: the index persists as a
+    * bucket-PARTITIONED parquet table, and the move diff rewrites only
+    * the affected bucket directories (dynamic partition overwrite,
+    * partition-pruned reads). Same oracle as q219 — the migrated
+    * storage must serve exactly like a from-scratch build under the
+    * new centroids.
+    */
+  private def qIvfMigratePartitioned(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def centsOf(lo: Int, hi: Int) = e.where(col("id") >= lo && col("id") < hi)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_part", digest).toString
+    val stored = graft.operators.Similarity.ivfWritePartitioned(
+      graft.operators.Similarity.ivfIndexWith(e, centsOf(0, 8)), path)
+    val newCents = centsOf(8, 16)
+    val moves = graft.operators.Similarity.ivfRetrainMoves(stored, newCents)
+    val migrated = graft.operators.Similarity.ivfApplyMovesPartitioned(
+      s, path, newCents, moves)
+    graft.operators.Similarity.ivfTopKIndexed(
+      e.where(col("id") >= 5 && col("id") < 10), migrated, k = 3)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Data-contract audit over lineitem: five declarative violation
+    * rules evaluated in ONE map-side-combined scan — the quality gate
+    * a pipeline runs before trusting a snapshot.
+    */
+  private def qExpectations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.audit(t(s, dir, "lineitem"), Seq(
+      "quantity_in_1_50" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+      "quantity_over_45" -> (col("l_quantity") > 45),
+      "returnflag_enum" -> !col("l_returnflag").isin("A", "N", "R"),
+      "shipdate_null" -> col("l_shipdate").isNull,
+      "price_nonpositive" -> (col("l_extendedprice") <= 0)))
+      .orderBy("rule")
+
+  /** Referential-integrity gate: orders whose customer vanished from a
+    * thinned parent snapshot (c_custkey % 3 = 0 dropped) — orphan
+    * count, ppm, and distinct orphan keys from one skinny-key join.
+    */
+  private def qReferential(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.referentialIntegrity(
+      t(s, dir, "orders"), col("o_custkey"),
+      t(s, dir, "customer").where(col("c_custkey") % 3 =!= 0), col("c_custkey"))
+
+  /** Key-uniqueness gate over lineitem's order key (legitimately
+    * duplicated — multiple lines per order): rows, keys, duplicated
+    * keys, hottest key, and the ppm of rows under duplicated keys.
+    */
+  private def qKeyUniqueness(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Expectations.keyUniqueness(
+      t(s, dir, "lineitem"), col("l_orderkey"))
+
   /** Train-then-tokenize end-to-end: q138's learned merges applied to
     * every document; per-doc tokenizer fertility. The 3-row merge
     * table is the only driver transfer.
@@ -3810,6 +3868,10 @@ object SparkEntry {
     "q219_ivf_retrain_migrate" -> qIvfRetrainMigrate _,
     "q220_adpcm_probe" -> qAdpcmProbe _,
     "q221_adpcm_neardups" -> qAdpcmNearDups _,
+    "q222_ivf_migrate_partitioned" -> qIvfMigratePartitioned _,
+    "q223_expectations" -> qExpectations _,
+    "q224_referential_integrity" -> qReferential _,
+    "q225_key_uniqueness" -> qKeyUniqueness _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7140,6 +7202,46 @@ object SparkEntry {
           | (list(ptype ORDER BY length(ptype) DESC, ptype) FILTER (WHERE ptype IS NOT NULL))[1] AS ptype
           |FROM lab GROUP BY entity_id ORDER BY entity_id""".stripMargin,
 
+      // five violation rules recomputed in one scan; ppm floor-divided
+      "q223_expectations" ->
+        """WITH t AS (SELECT count(*) AS n_rows,
+          |  sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS v_range,
+          |  sum(CASE WHEN l_quantity > 45 THEN 1 ELSE 0 END) AS v_q45,
+          |  sum(CASE WHEN l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS v_enum,
+          |  sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_null,
+          |  sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS v_price
+          | FROM lineitem),
+          | r AS (
+          |  SELECT 'quantity_in_1_50' AS rule, n_rows, v_range AS n_violations FROM t
+          |  UNION ALL SELECT 'quantity_over_45', n_rows, v_q45 FROM t
+          |  UNION ALL SELECT 'returnflag_enum', n_rows, v_enum FROM t
+          |  UNION ALL SELECT 'shipdate_null', n_rows, v_null FROM t
+          |  UNION ALL SELECT 'price_nonpositive', n_rows, v_price FROM t)
+          |SELECT rule, n_rows::BIGINT AS n_rows, n_violations::BIGINT AS n_violations,
+          | (n_violations * 1000000 // n_rows)::BIGINT AS viol_ppm,
+          | n_violations = 0 AS pass
+          |FROM r ORDER BY rule""".stripMargin,
+
+      // orphaned orders against the thinned customer snapshot
+      "q224_referential_integrity" ->
+        """WITH p AS (SELECT DISTINCT c_custkey AS k FROM customer WHERE c_custkey % 3 <> 0),
+          | j AS (SELECT o.o_custkey AS k, p.k AS hit
+          |       FROM orders o LEFT JOIN p ON o.o_custkey = p.k)
+          |SELECT count(*)::BIGINT AS n_child,
+          | sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_orphans,
+          | (sum(CASE WHEN hit IS NULL THEN 1 ELSE 0 END) * 1000000 // count(*))::BIGINT AS orphan_ppm,
+          | count(DISTINCT CASE WHEN hit IS NULL THEN k END)::BIGINT AS n_orphan_keys
+          |FROM j""".stripMargin,
+
+      // duplicate-key profile of lineitem's order key
+      "q225_key_uniqueness" ->
+        """WITH c AS (SELECT l_orderkey AS k, count(*) AS c FROM lineitem GROUP BY 1)
+          |SELECT sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+          | sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_keys,
+          | max(c)::BIGINT AS max_key_count,
+          | (sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 1000000 // sum(c))::BIGINT AS dup_row_ppm
+          |FROM c""".stripMargin,
+
       // ADPM header probe: closed form on the synthesis parameters —
       // the container encode/parse round-trips on the executors
       "q220_adpcm_probe" ->
@@ -7288,5 +7390,8 @@ object SparkEntry {
     * sequential loop, so its oracle IS q138's sequential unroll.
     */
   private def sharedOracleSql(base: Map[String, String]): Map[String, String] =
-    base + ("q150_bpe_train_batched" -> base("q138_bpe_train"))
+    base +
+      ("q150_bpe_train_batched" -> base("q138_bpe_train")) +
+      // storage-level migration must serve exactly like the logical one
+      ("q222_ivf_migrate_partitioned" -> base("q219_ivf_retrain_migrate"))
 }

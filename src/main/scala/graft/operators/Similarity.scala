@@ -350,6 +350,91 @@ object Similarity {
         .unionByName(moved))
   }
 
+  /** Durable bucket-partitioned backing for an IVF index: write the
+    * assigned table `partitionBy(bucket)` and re-back the index on the
+    * read-back — every bucket is its own partition DIRECTORY, which is
+    * what makes [[ivfApplyMovesPartitioned]]'s migration touch only
+    * moved buckets (dynamic partition overwrite) and probe-time serve
+    * prune to the probed buckets' files.
+    */
+  def ivfWritePartitioned(index: IvfIndex, path: String): IvfIndex = {
+    index.assigned
+      .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    index.copy(assigned = readPartitionedAssigned(index.cents.sparkSession, path))
+  }
+
+  private def readPartitionedAssigned(
+      spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      // partition-column type inference reads bucket=N as int
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
+        col("c_vec"), col("c_norm"))
+
+  /** STORAGE-level application of a [[ivfRetrainMoves]] diff to a
+    * [[ivfWritePartitioned]] index: only the AFFECTED bucket
+    * partitions — those that lose or gain a moved row — are read
+    * (partition pruning: the isin filter reaches the scan) and
+    * rewritten (dynamic partition overwrite); every other bucket's
+    * files stay byte-identical on disk, which `SimilaritySpec` pins
+    * by file listing. Buckets fully drained by the migration have no
+    * rows to overwrite their partition with, so their directories are
+    * deleted explicitly — same read-back contract as a rewrite.
+    *
+    * Scale: the moves table is re-train output (small), so the
+    * affected-bucket set is a moves-bounded driver collect and both
+    * joins broadcast; I/O is bounded by the affected buckets' row
+    * counts on BOTH sides of the rewrite, never the index size.
+    */
+  def ivfApplyMovesPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      newCents: DataFrame,
+      moves: DataFrame): IvfIndex = {
+    val movesLocal = moves
+      .select(col("neighbor_id"), col("old_bucket"), col("new_bucket"))
+      .persist()
+    val affected = movesLocal
+      .select(col("old_bucket").as("bucket"))
+      .unionByName(movesLocal.select(col("new_bucket").as("bucket")))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      val stored = readPartitionedAssigned(spark, path)
+        .where(col("bucket").isin(affected: _*))
+      val stay = stored.join(
+        broadcast(movesLocal.select(col("neighbor_id"))),
+        Seq("neighbor_id"), "left_anti")
+      val movedIn = stored.join(broadcast(movesLocal), Seq("neighbor_id"))
+        .where(col("bucket") === col("old_bucket"))
+        .select(col("new_bucket").as("bucket"), col("neighbor_id"),
+          col("c_vec"), col("c_norm"))
+      val rewritten = stay
+        .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket"))
+        .unionByName(movedIn
+          .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket")))
+        .persist()
+      val keptBuckets = rewritten.select("bucket").distinct()
+        .collect().map(_.getLong(0)).toSet
+      rewritten.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket").parquet(path)
+      rewritten.unpersist()
+      // dynamic overwrite cannot erase a partition it writes no rows
+      // to: drop fully-drained buckets' directories explicitly
+      val drained = affected.filterNot(keptBuckets.contains)
+      if (drained.nonEmpty) {
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        drained.foreach { b =>
+          fs.delete(new org.apache.hadoop.fs.Path(hPath, s"bucket=$b"), true)
+        }
+      }
+    }
+    movesLocal.unpersist()
+    IvfIndex(newCents.select(col("cent_id"), col("cent_v")),
+      readPartitionedAssigned(spark, path))
+  }
+
   /** Serve a query batch against a built index: probe `nProbe` nearest
     * buckets per query, scan + rank within them. The join key is the
     * bucket — at scale, the persisted `assigned` side pre-partitioned

@@ -218,6 +218,73 @@ class SimilaritySpec extends SparkTestBase {
     assert(!applyPlan.contains("SortMergeJoin"), applyPlan)
   }
 
+  test("ivfApplyMovesPartitioned: only affected bucket dirs rewritten; reads partition-prune") {
+    import spark.implicits._
+    // four axis-aligned clusters; cluster c rides axis c with a small
+    // secondary component j on axis c+4. Old centroids: the four pure
+    // axes. New centroids keep 0..2 and SPLIT cluster 3 with a tilted
+    // 5th centroid that wins exactly the j >= 1 rows — so buckets
+    // 0..2 are untouched by construction and the migration moves only
+    // part of bucket 3 into the new bucket 4.
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt; val j = ((i / 4) % 3).toInt
+      val v = Array.fill(8)(0.0); v(c) = 10.0; v(c + 4) = j.toDouble
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    def axis(k: Int, sec: Double = 0.0): Seq[Double] = {
+      val v = Array.fill(8)(0.0); v(k) = 10.0; if (sec != 0.0) v(k + 4) = sec
+      v.toSeq
+    }
+    val oldCents = Seq((0L, axis(0)), (1L, axis(1)), (2L, axis(2)), (3L, axis(3)))
+      .toDF("cent_id", "cent_v")
+    val newCents = Seq((0L, axis(0)), (1L, axis(1)), (2L, axis(2)),
+      (3L, axis(3)), (4L, axis(3, sec = 2.0))).toDF("cent_id", "cent_v")
+    val dir = java.nio.file.Files.createTempDirectory("ivf_part_spec").toString + "/idx"
+    val stored = Similarity.ivfWritePartitioned(
+      Similarity.ivfIndexWith(all, oldCents), dir)
+    val moves = Similarity.ivfRetrainMoves(stored, newCents)
+    val moveRows = moves.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(moveRows.nonEmpty, "fixture must move vectors")
+    val affected = (moveRows.map(_._2) ++ moveRows.map(_._3)).toSet
+    // partition pruning: the rewrite's read plan filters bucket dirs
+    val prunedScan = spark.read.parquet(dir)
+      .where(col("bucket").isin(affected.toSeq: _*))
+    val scanPlan = prunedScan.queryExecution.executedPlan.toString
+    assert(scanPlan.contains("PartitionFilters") && scanPlan.contains("bucket"), scanPlan)
+    // file inventory of UNAFFECTED buckets before/after must be identical
+    def listFiles(): Map[String, Long] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (d.getName + "/" + f.getName) -> f.lastModified()))
+        .toMap
+    }
+    val before = listFiles()
+    val migrated = Similarity.ivfApplyMovesPartitioned(spark, dir, newCents, moves)
+    val after = listFiles()
+    val untouchedBefore = before.filterNot { case (k, _) =>
+      affected.exists(b => k.startsWith(s"bucket=$b/")) }
+    val untouchedAfter = after.filterNot { case (k, _) =>
+      affected.exists(b => k.startsWith(s"bucket=$b/")) }
+    assert(untouchedBefore == untouchedAfter,
+      s"unaffected bucket files must stay byte-identical:\n$untouchedBefore\nvs\n$untouchedAfter")
+    assert(untouchedBefore.nonEmpty, "fixture must leave some bucket untouched")
+    // storage migration serves exactly like a from-scratch rebuild
+    val scratch = Similarity.ivfIndexWith(all, newCents)
+    val queries = all.where(col("id") < 6)
+    def rows(ix: Similarity.IvfIndex) =
+      Similarity.ivfTopKIndexed(queries, ix, k = 3)
+        .orderBy("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(migrated) == rows(scratch))
+    // and the stored table's assignment equals the rebuilt one
+    val migratedAssign = migrated.assigned
+      .select("neighbor_id", "bucket").as[(Long, Long)].collect().toMap
+    val scratchAssign = scratch.assigned
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    assert(migratedAssign == scratchAssign)
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
