@@ -1564,6 +1564,24 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Multi-rater agreement: Fleiss' kappa over a crowd-labeled item
+    * set (items = hashed users, labels = event types, varying ratings
+    * per item) — single-fraction integer-exact ppm, q187's
+    * generalization past two annotators.
+    */
+  private def qFleissKappa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Agreement.fleissKappa(
+      t(s, dir, "events").where(col("event_id") % 8 === 1),
+      pmod(col("user_id"), lit(200L)), col("event_type"))
+
+  /** Exact per-group p50/p90/p99 of document length — the per-slice
+    * SLO row, off the value histogram (never a per-group row sort).
+    */
+  private def qGroupQuantiles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.groupQuantiles(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+      .orderBy("g")
+
   /** Data-contract audit over lineitem: five declarative violation
     * rules evaluated in ONE map-side-combined scan — the quality gate
     * a pipeline runs before trusting a snapshot.
@@ -3872,6 +3890,8 @@ object SparkEntry {
     "q223_expectations" -> qExpectations _,
     "q224_referential_integrity" -> qReferential _,
     "q225_key_uniqueness" -> qKeyUniqueness _,
+    "q226_fleiss_kappa" -> qFleissKappa _,
+    "q227_group_quantiles" -> qGroupQuantiles _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7201,6 +7221,43 @@ object SparkEntry {
           | (list(brand ORDER BY length(brand) DESC, brand) FILTER (WHERE brand IS NOT NULL))[1] AS brand,
           | (list(ptype ORDER BY length(ptype) DESC, ptype) FILTER (WHERE ptype IS NOT NULL))[1] AS ptype
           |FROM lab GROUP BY entity_id ORDER BY entity_id""".stripMargin,
+
+      // Fleiss' kappa single-fraction (DuckDB sums are HUGEINT, so the
+      // N^3-scale products stay exact); items with < 2 ratings excluded
+      // from agreement AND marginals
+      "q226_fleiss_kappa" ->
+        """WITH nij AS (SELECT user_id % 200 AS it, event_type AS lab, count(*) AS nij
+          |  FROM events WHERE event_id % 8 = 1 GROUP BY 1, 2),
+          | per AS (SELECT it, sum(nij) AS ni, sum(nij * (nij - 1)) AS ai
+          |  FROM nij GROUP BY it HAVING sum(nij) >= 2),
+          | tot AS (SELECT count(*) AS n_items, coalesce(sum(ni), 0) AS n_ratings,
+          |   coalesce(sum(ai), 0) AS a, coalesce(sum(ni * (ni - 1)), 0) AS p FROM per),
+          | lt AS (SELECT coalesce(sum(cj * cj), 0) AS s FROM (
+          |   SELECT sum(nij.nij) AS cj FROM nij JOIN per ON nij.it = per.it
+          |   GROUP BY nij.lab))
+          |SELECT n_items::BIGINT AS n_items, n_ratings::BIGINT AS n_ratings,
+          | (CASE WHEN p = 0 THEN 0 ELSE a * 1000000 // p END)::BIGINT AS po_ppm,
+          | (CASE WHEN n_ratings = 0 THEN 0
+          |   ELSE s * 1000000 // (n_ratings * n_ratings) END)::BIGINT AS pe_ppm,
+          | (CASE WHEN p = 0 OR n_ratings * n_ratings - s = 0 THEN 0
+          |   ELSE (CASE WHEN a * n_ratings * n_ratings >= p * s THEN 1 ELSE -1 END)
+          |    * (abs(a * n_ratings * n_ratings - p * s) * 1000000
+          |       // (p * (n_ratings * n_ratings - s))) END)::BIGINT AS kappa_ppm
+          |FROM tot, lt""".stripMargin,
+
+      // exact type-1 group quantiles off the value histogram
+      "q227_group_quantiles" ->
+        """WITH h AS (SELECT lang AS g, n_chars AS v, count(*) AS c
+          |  FROM documents GROUP BY 1, 2),
+          | wc AS (SELECT g, v, c,
+          |   sum(c) OVER (PARTITION BY g ORDER BY v
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |   sum(c) OVER (PARTITION BY g) AS n FROM h)
+          |SELECT g, max(n)::BIGINT AS n,
+          | min(CASE WHEN cum * 1000 >= n * 500 THEN v END)::BIGINT AS p50,
+          | min(CASE WHEN cum * 1000 >= n * 900 THEN v END)::BIGINT AS p90,
+          | min(CASE WHEN cum * 1000 >= n * 990 THEN v END)::BIGINT AS p99
+          |FROM wc GROUP BY g ORDER BY g""".stripMargin,
 
       // five violation rules recomputed in one scan; ppm floor-divided
       "q223_expectations" ->

@@ -74,6 +74,68 @@ object Agreement {
       .drop("nd")
   }
 
+  /** Fleiss' kappa — [[cohenKappa]]'s MULTI-rater generalization, for
+    * the labeling pipelines where each item collects ratings from a
+    * varying crowd rather than two fixed annotators. Input is one row
+    * per RATING (item, label); rater identity is irrelevant to the
+    * statistic (Fleiss needs only per-item category counts). Items
+    * with fewer than two ratings carry no agreement evidence and are
+    * EXCLUDED entirely (from the marginals too — the generalized
+    * free-marginal-consistent convention, documented rather than
+    * silent).
+    *
+    * With n_ij = ratings of item i in category j,
+    * A = Σ_i Σ_j n_ij(n_ij−1), P = Σ_i n_i(n_i−1),
+    * c_j = Σ_i n_ij, N = Σ c_j, S = Σ_j c_j²:
+    *
+    *   po_ppm    = A·10⁶ div P        (pooled pairwise agreement)
+    *   pe_ppm    = S·10⁶ div N²
+    *   kappa_ppm = (A·N² − P·S)·10⁶ div (P·(N² − S))
+    *
+    * — the single-fraction form of (po − pe)/(1 − pe), one floor
+    * division, sign handled explicitly like [[cohenKappa]]. A·N²·10⁶
+    * is N³·r-scale (r = max ratings/item), so DECIMAL(38,0) is exact
+    * to N ≈ 10⁹ ratings for crowd-sized r. Degenerate cases report 0:
+    * no multi-rated items (P = 0) and constant labels (N² = S, the
+    * pe = 1 convention).
+    *
+    * Scale: one (item, label)-keyed count (map-side combined), one
+    * item-keyed and one label-keyed aggregate over that bounded
+    * table, then a 1-row cross of the three totals.
+    */
+  def fleissKappa(df: DataFrame, item: Column, label: Column): DataFrame = {
+    val nij = df.select(item.as("it"), label.as("lab"))
+      .groupBy("it", "lab").agg(count(lit(1)).as("nij"))
+    val perItem = nij.groupBy("it").agg(
+      sum("nij").as("ni"),
+      sum(expr("nij * (nij - 1)")).as("ai"))
+      .where(col("ni") >= 2)
+    val itemTotals = perItem.agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum("ni"), lit(0L)).as("n_ratings"),
+      coalesce(sum("ai"), lit(0L)).as("a"),
+      coalesce(sum(expr("ni * (ni - 1)")), lit(0L)).as("p"))
+    val labelTotals = nij
+      .join(perItem.select("it"), "it") // only multi-rated items
+      .groupBy("lab").agg(sum("nij").as("cj"))
+      .agg(coalesce(sum(expr("CAST(cj AS DECIMAL(38,0)) * cj")),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("s"))
+    itemTotals.crossJoin(labelTotals)
+      .withColumn("nd", expr("CAST(n_ratings AS DECIMAL(38,0))"))
+      .select(col("n_items"), col("n_ratings"),
+        when(col("p") === 0, lit(0L))
+          .otherwise(expr("a * 1000000L div p")).as("po_ppm"),
+        when(col("n_ratings") === 0, lit(0L))
+          .otherwise(expr("CAST(s * 1000000 div (nd * nd) AS BIGINT)")).as("pe_ppm"),
+        when(col("p") === 0 || expr("nd * nd - s") === 0, lit(0L))
+          .otherwise(expr(
+            "CAST(if(a * nd * nd >= CAST(p AS DECIMAL(38,0)) * s, 1, -1)" +
+              " * (abs(a * nd * nd - CAST(p AS DECIMAL(38,0)) * s) * 1000000" +
+              " div (CAST(p AS DECIMAL(38,0)) * (nd * nd - s))) AS BIGINT)"))
+          .as("kappa_ppm"))
+      .drop("nd")
+  }
+
   /** Confusion matrix of the two annotators: one row per observed
     * (label_a, label_b) pair with its count and its ppm share of all
     * items — the drill-down behind a weak kappa (WHICH labels get

@@ -165,6 +165,33 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Exact per-group quantile gate: for each group, the type-1
+    * p50/p90/p99 of an integer value (the ⌈n·q⌉-th smallest — a real
+    * element, no interpolation, engine-identical) plus the group's
+    * count — the latency/size SLO row a pipeline checks per event
+    * type or source. The quantile test `cum ≥ ⌈n·q/1000⌉` is applied
+    * as `cum·1000 ≥ n·q` — pure integer arithmetic.
+    *
+    * Scale: the q148 dataCard shape — one map-side-combined
+    * (group, value) histogram, a cumulative window over each group's
+    * value DOMAIN (distinct values, never rows), and one conditional
+    * aggregate pulling all three quantiles in a single pass.
+    */
+  def groupQuantiles(df: DataFrame, group: Column, value: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = df.select(group.as("g"), value.cast("long").as("v"))
+      .groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withCum = hist
+      .withColumn("cum", sum("c").over(cum))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+    def q(permille: Int, name: String) =
+      min(when(col("cum") * 1000 >= col("n") * permille, col("v"))).as(name)
+    withCum.groupBy("g").agg(max("n").as("n"),
+      q(500, "p50"), q(900, "p90"), q(990, "p99"))
+  }
+
   /** Certified Misra–Gries heavy hitters (q16/q94 pattern): run the
     * mergeable k-counter sketch (native `heavy_hitters` aggregate —
     * every task carries at most k counters, the reason this beats a

@@ -5,6 +5,29 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestBase
 
 class AgreementSpec extends SparkTestBase {
+
+  test("fleissKappa: hand-computed pooled kappa; single-rating items excluded; degenerate zero") {
+    import spark.implicits._
+    // i1: [A,A,B] -> ai 2, pi 6; i2: [A,A] -> ai 2, pi 2; i3: [B] excluded
+    // A=4 P=8 po=500000; kept marginals A=4,B=1, N=5, S=17 ->
+    // pe = 17/25 = 680000; kappa = (4*25-8*17)/(8*(25-17)) = -36/64
+    val df = Seq(("i1", "A"), ("i1", "A"), ("i1", "B"),
+      ("i2", "A"), ("i2", "A"), ("i3", "B")).toDF("it", "lab")
+    val r = Agreement.fleissKappa(df, col("it"), col("lab"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(r == ((2L, 5L, 500000L, 680000L, -562500L)))
+    // constant labels: po = pe = 1 -> kappa 0 by the pe=1 convention
+    val const = Seq(("i1", "A"), ("i1", "A"), ("i2", "A"), ("i2", "A"))
+      .toDF("it", "lab")
+    val rc = Agreement.fleissKappa(const, col("it"), col("lab"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rc == ((2L, 4L, 1000000L, 1000000L, 0L)))
+    // nothing multi-rated: all-zero summary, no division error
+    val solo = Seq(("i1", "A"), ("i2", "B")).toDF("it", "lab")
+    val rs = Agreement.fleissKappa(solo, col("it"), col("lab"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(rs == ((0L, 0L, 0L, 0L, 0L)))
+  }
   import spark.implicits._
 
   test("cohenKappa: textbook 2x2 example — hand-computed") {

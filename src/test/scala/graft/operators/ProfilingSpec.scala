@@ -5,6 +5,22 @@ import org.apache.spark.sql.functions.{col, count, lit}
 
 class ProfilingSpec extends SparkTestBase {
 
+  test("groupQuantiles: exact type-1 p50/p90/p99 off the histogram; ties and skew handled") {
+    import spark.implicits._
+    val a = (1 to 10).map(v => ("a", v.toLong))      // 1..10
+    val b = Seq.fill(99)(("b", 5L)) :+ (("b", 100L)) // 99 fives + one outlier
+    val r = Profiling.groupQuantiles((a ++ b).toDF("g", "v"), col("g"), col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    // a: n=10 -> p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
+    // b: n=100 -> p50 = 5, p90 = 5, p99 = 99th = 5 (outlier only at p100)
+    assert(r == Seq(("a", 10L, 5L, 9L, 10L), ("b", 100L, 5L, 5L, 5L)))
+    // deterministic across partitionings
+    val r2 = Profiling.groupQuantiles(
+      (a ++ b).toDF("g", "v").repartition(13), col("g"), col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == r)
+  }
+
   test("columnStats: one-pass per-column counts, nulls, min/max") {
     import spark.implicits._
     val df = Seq(
