@@ -1385,6 +1385,33 @@ object SparkEntry {
     * drift columns compute against the batch even-id reference —
     * equals the batch drift by construction.
     */
+  /** The q223 contract gate at INGESTION time: the audit's wide
+    * aggregate row runs as a complete-mode streaming aggregation over
+    * the document stream (global aggregate — no watermark needed),
+    * and the drained row unpivots to the same per-rule report the
+    * batch audit produces; the oracle recomputes the rules in batch
+    * SQL, so this row IS the drain-equals-batch proof.
+    */
+  private def qStreamExpectations(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val schema = s.read.parquet(s"$dir/documents.parquet").schema
+    val rules = Seq(
+      "chars_bound" -> (col("n_chars") < 0 || col("n_chars") > 100000),
+      "chars_over_500" -> (col("n_chars") > 500),
+      "text_null" -> col("text").isNull,
+      "lang_enum" -> !col("lang").isin("en", "de", "fr", "es", "it"))
+    val agg = graft.operators.Expectations.auditAggRow(
+      s.readStream.schema(schema).parquet(streamDir(dir, "documents")), rules)
+    val q = agg.writeStream.format("memory").queryName("graft_stream_audit")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Expectations.auditFromAggRow(
+      s.table("graft_stream_audit"), rules.map(_._1))
+      .orderBy("rule")
+  }
+
   private def qStreamDrift(s0: SparkSession, dir: String): DataFrame = {
     val s = streamSession(s0)
     val schema = s.read.parquet(s"$dir/documents.parquet").schema
@@ -3892,6 +3919,7 @@ object SparkEntry {
     "q225_key_uniqueness" -> qKeyUniqueness _,
     "q226_fleiss_kappa" -> qFleissKappa _,
     "q227_group_quantiles" -> qGroupQuantiles _,
+    "q228_stream_expectations" -> qStreamExpectations _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7244,6 +7272,24 @@ object SparkEntry {
           |    * (abs(a * n_ratings * n_ratings - p * s) * 1000000
           |       // (p * (n_ratings * n_ratings - s))) END)::BIGINT AS kappa_ppm
           |FROM tot, lt""".stripMargin,
+
+      // the streamed audit drain must equal the batch rules
+      "q228_stream_expectations" ->
+        """WITH t AS (SELECT count(*) AS n_rows,
+          |  sum(CASE WHEN n_chars < 0 OR n_chars > 100000 THEN 1 ELSE 0 END) AS v_bound,
+          |  sum(CASE WHEN n_chars > 500 THEN 1 ELSE 0 END) AS v_500,
+          |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS v_null,
+          |  sum(CASE WHEN lang NOT IN ('en','de','fr','es','it') THEN 1 ELSE 0 END) AS v_enum
+          | FROM documents),
+          | r AS (
+          |  SELECT 'chars_bound' AS rule, n_rows, v_bound AS n_violations FROM t
+          |  UNION ALL SELECT 'chars_over_500', n_rows, v_500 FROM t
+          |  UNION ALL SELECT 'text_null', n_rows, v_null FROM t
+          |  UNION ALL SELECT 'lang_enum', n_rows, v_enum FROM t)
+          |SELECT rule, n_rows::BIGINT AS n_rows, n_violations::BIGINT AS n_violations,
+          | (n_violations * 1000000 // n_rows)::BIGINT AS viol_ppm,
+          | n_violations = 0 AS pass
+          |FROM r ORDER BY rule""".stripMargin,
 
       // exact type-1 group quantiles off the value histogram
       "q227_group_quantiles" ->

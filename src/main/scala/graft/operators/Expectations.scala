@@ -25,15 +25,28 @@ object Expectations {
     * keeps each rule's meaning local (the SQL convention, not the
     * "nulls are dirty" guess).
     */
-  def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+  def audit(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    auditFromAggRow(auditAggRow(df, rules), rules.map(_._1))
+
+  /** The audit's single wide aggregate row — split out as its own seam
+    * because it is exactly what STREAMING ingestion runs in complete
+    * mode (a global aggregate needs no watermark); the drained row
+    * unpivots through [[auditFromAggRow]] and must equal the batch
+    * [[audit]] over the same data (q228's contract).
+    */
+  def auditAggRow(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
     require(rules.nonEmpty, "audit needs at least one rule")
     require(rules.map(_._1).distinct.size == rules.size,
       s"duplicate rule names: ${rules.map(_._1)}")
     val aggs = count(lit(1)).as("n_rows") +: rules.map { case (n, viol) =>
       sum(when(viol, 1L).otherwise(0L)).as(s"__v_$n")
     }
-    val row = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = rules.map { case (n, _) =>
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot an [[auditAggRow]] row into the per-rule report. */
+  def auditFromAggRow(row: DataFrame, ruleNames: Seq[String]): DataFrame = {
+    val stacked = ruleNames.map { n =>
       struct(lit(n).as("rule"), coalesce(col(s"__v_$n"), lit(0L)).as("v"))
     }
     row.select(col("n_rows"), explode(array(stacked: _*)).as("r"))
