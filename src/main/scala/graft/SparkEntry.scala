@@ -1609,6 +1609,28 @@ object SparkEntry {
       t(s, dir, "documents"), col("lang"), col("n_chars"))
       .orderBy("g")
 
+  /** Per-group winsorization of event values at the exact p99 — the
+    * outlier cap before features trust a raw metric; the quantile
+    * comes off the value histogram and broadcasts back.
+    */
+  private def qWinsorize(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.winsorize(
+      t(s, dir, "events").where(col("event_id") % 16 === 1),
+      col("event_id"), col("event_type"), floor(col("value") * 100))
+      .orderBy("id")
+
+  /** Embedding drift between two snapshots (even/odd vec ids), per
+    * label: cosine of the fixed-point per-label sum vectors — exact
+    * integer sums, one rounded double at the end.
+    */
+  private def qEmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    graft.operators.Profiling.embeddingDrift(
+      e.where(col("vec_id") % 2 === 0), col("label"), col("embedding"),
+      e.where(col("vec_id") % 2 === 1), col("label"), col("embedding"))
+      .orderBy("label")
+  }
+
   /** Data-contract audit over lineitem: five declarative violation
     * rules evaluated in ONE map-side-combined scan — the quality gate
     * a pipeline runs before trusting a snapshot.
@@ -3920,6 +3942,8 @@ object SparkEntry {
     "q226_fleiss_kappa" -> qFleissKappa _,
     "q227_group_quantiles" -> qGroupQuantiles _,
     "q228_stream_expectations" -> qStreamExpectations _,
+    "q229_winsorize" -> qWinsorize _,
+    "q230_embedding_drift" -> qEmbeddingDrift _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7272,6 +7296,49 @@ object SparkEntry {
           |    * (abs(a * n_ratings * n_ratings - p * s) * 1000000
           |       // (p * (n_ratings * n_ratings - s))) END)::BIGINT AS kappa_ppm
           |FROM tot, lt""".stripMargin,
+
+      // p99 cap off the value histogram, clipped row-wise
+      "q229_winsorize" ->
+        """WITH b AS (SELECT event_id AS id, event_type AS g,
+          |   floor(value * 100)::BIGINT AS v
+          |  FROM events WHERE event_id % 16 = 1),
+          | h AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+          | wc AS (SELECT g, v,
+          |   sum(c) OVER (PARTITION BY g ORDER BY v
+          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+          |   sum(c) OVER (PARTITION BY g) AS n FROM h),
+          | caps AS (SELECT g,
+          |   min(CASE WHEN cum * 1000 >= n * 990 THEN v END)::BIGINT AS v_cap
+          |  FROM wc GROUP BY g)
+          |SELECT b.id::BIGINT AS id, b.g, b.v, caps.v_cap,
+          | least(b.v, caps.v_cap)::BIGINT AS v_clipped
+          |FROM b JOIN caps ON b.g = caps.g ORDER BY id""".stripMargin,
+
+      // exact fixed-point sum vectors per (label, dim); cosine of the
+      // two exact sums is one rounded double from identical integers
+      "q230_embedding_drift" ->
+        """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+          | comp AS (SELECT vec_id, label,
+          |   unnest([{'x': v[i], 'i': i} FOR i IN range(1, len(v) + 1)]) AS z FROM e),
+          | refs AS (SELECT label, z.i AS pos, sum(floor(z.x * 1000))::BIGINT AS s
+          |  FROM comp WHERE vec_id % 2 = 0 GROUP BY 1, 2),
+          | curs AS (SELECT label, z.i AS pos, sum(floor(z.x * 1000))::BIGINT AS s
+          |  FROM comp WHERE vec_id % 2 = 1 GROUP BY 1, 2),
+          | j AS (SELECT coalesce(r.label, c.label) AS label,
+          |   coalesce(r.s, 0) AS rs, coalesce(c.s, 0) AS cs
+          |  FROM refs r FULL OUTER JOIN curs c ON r.label = c.label AND r.pos = c.pos),
+          | agg AS (SELECT label, sum(rs * cs) AS dot,
+          |   sum(rs * rs) AS ref2, sum(cs * cs) AS cur2 FROM j GROUP BY label),
+          | nr AS (SELECT label, count(*)::BIGINT AS n_ref FROM e WHERE vec_id % 2 = 0 GROUP BY 1),
+          | nc AS (SELECT label, count(*)::BIGINT AS n_cur FROM e WHERE vec_id % 2 = 1 GROUP BY 1)
+          |SELECT agg.label, coalesce(nr.n_ref, 0)::BIGINT AS n_ref,
+          | coalesce(nc.n_cur, 0)::BIGINT AS n_cur,
+          | (CASE WHEN ref2 = 0 OR cur2 = 0 THEN 0.0
+          |  ELSE round(dot::DOUBLE / (sqrt(ref2::DOUBLE) * sqrt(cur2::DOUBLE)), 6)
+          |  END) AS cos
+          |FROM agg LEFT JOIN nr ON agg.label = nr.label
+          | LEFT JOIN nc ON agg.label = nc.label
+          |ORDER BY agg.label""".stripMargin,
 
       // the streamed audit drain must equal the batch rules
       "q228_stream_expectations" ->

@@ -192,6 +192,40 @@ object Profiling {
       q(500, "p50"), q(900, "p90"), q(990, "p99"))
   }
 
+  /** Per-group winsorization: clip each value to its group's exact
+    * type-1 `permille` quantile ([[groupQuantiles]]'s order statistic
+    * applied as a TRANSFORM) — the outlier-capping step before
+    * rolling features or target encoding trust a raw metric. Output:
+    * (id, g, v, v_cap, v_clipped = least(v, v_cap)).
+    *
+    * Scale: the quantile table is group-domain-sized and broadcasts
+    * back; rows cross one hash exchange into the histogram aggregate
+    * and none on the way back (broadcast join).
+    */
+  def winsorize(
+      df: DataFrame,
+      id: Column,
+      group: Column,
+      value: Column,
+      permille: Int = 990): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
+    val base = df.select(id.as("id"), group.as("g"), value.cast("long").as("v"))
+    val hist = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
+    val cum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val caps = hist
+      .withColumn("cum", sum("c").over(cum))
+      .withColumn("n", sum("c").over(Window.partitionBy("g")))
+      .groupBy("g")
+      .agg(min(when(col("cum") * 1000 >= col("n") * permille, col("v")))
+        .as("v_cap"))
+    base.join(broadcast(caps), "g")
+      .select(col("id"), col("g"), col("v"), col("v_cap"),
+        least(col("v"), col("v_cap")).as("v_clipped"))
+  }
+
   /** Certified Misra–Gries heavy hitters (q16/q94 pattern): run the
     * mergeable k-counter sketch (native `heavy_hitters` aggregate —
     * every task carries at most k counters, the reason this beats a
@@ -487,5 +521,56 @@ object Profiling {
         expr("ref_n * 1000000L div ref_total").as("ref_ppm"),
         expr("cur_n * 1000000L div cur_total").as("cur_ppm"))
       .withColumn("gap_ppm", abs(col("ref_ppm") - col("cur_ppm")))
+  }
+
+  /** EMBEDDING drift between two snapshots, per label: the cosine
+    * between each side's per-label mean direction — the "did the
+    * encoder (or the corpus) move" monitor beside the count-based
+    * [[histogramDrift]]. Determinism: raw float sums are
+    * order-dependent, so each component is FIXED-POINTED first
+    * (floor(x·1000), exact long) and summed exactly; the cosine of
+    * the two exact sum vectors (mean direction = sum direction) is
+    * then one rounded double from identical integer inputs —
+    * engine-identical. Labels missing from a side report cos 0.
+    * Dot/norm products run in DECIMAL(38,0): milli-components ×
+    * 10⁹-row sums stay ~10¹², squared ~10²⁴ — exact.
+    *
+    * Scale: each snapshot pays ONE map-side-combined aggregate keyed
+    * by (label, dimension) — skinny longs on the exchange, never
+    * vectors; everything downstream is |labels|·dim-sized.
+    */
+  def embeddingDrift(
+      ref: DataFrame, refLabel: Column, refVec: Column,
+      cur: DataFrame, curLabel: Column, curVec: Column): DataFrame = {
+    def sums(df: DataFrame, label: Column, vec: Column, side: String) =
+      df.select(label.as("label"), posexplode(vec).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        .agg(sum(floor(col("x").cast("double") * 1000.0).cast("long"))
+          .as(s"${side}_s"))
+    def counts(df: DataFrame, label: Column, side: String) =
+      df.select(label.as("label")).groupBy("label")
+        .agg(count(lit(1)).as(s"n_$side"))
+    val joined = sums(ref, refLabel, refVec, "ref")
+      .join(sums(cur, curLabel, curVec, "cur"), Seq("label", "pos"), "full_outer")
+      .select(col("label"),
+        coalesce(col("ref_s"), lit(0L)).as("ref_s"),
+        coalesce(col("cur_s"), lit(0L)).as("cur_s"))
+      .groupBy("label")
+      .agg(
+        sum(expr("CAST(ref_s AS DECIMAL(38,0)) * cur_s")).as("dot"),
+        sum(expr("CAST(ref_s AS DECIMAL(38,0)) * ref_s")).as("ref2"),
+        sum(expr("CAST(cur_s AS DECIMAL(38,0)) * cur_s")).as("cur2"))
+    joined
+      .join(counts(ref, refLabel, "ref"), Seq("label"), "full_outer")
+      .join(counts(cur, curLabel, "cur"), Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"),
+        when(col("ref2").isNull || col("cur2").isNull ||
+            col("ref2") === 0 || col("cur2") === 0, lit(0.0))
+          .otherwise(round(
+            col("dot").cast("double") /
+              (sqrt(col("ref2").cast("double")) * sqrt(col("cur2").cast("double"))),
+            6)).as("cos"))
   }
 }

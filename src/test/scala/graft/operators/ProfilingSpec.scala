@@ -5,6 +5,42 @@ import org.apache.spark.sql.functions.{col, count, lit}
 
 class ProfilingSpec extends SparkTestBase {
 
+  test("winsorize: values clipped at the exact per-group p99; cap table broadcasts") {
+    import spark.implicits._
+    val rows = (1 to 100).map(v => (v.toLong, "a", v.toLong)) ++
+      Seq((200L, "b", 7L), (201L, "b", 9L))
+    val out = Profiling.winsorize(rows.toDF("id", "g", "x"),
+      col("id"), col("g"), col("x"))
+      .as[(Long, String, Long, Long, Long)].collect()
+    // group a: p99 = 99th smallest = 99 -> only v=100 clips
+    assert(out.filter(_._2 == "a").forall { case (id, _, v, cap, cl) =>
+      cap == 99L && cl == math.min(v, 99L) })
+    assert(out.find(_._1 == 100L).get._5 == 99L)
+    // group b (n=2): p99 rank = ceil(1.98) = 2 -> cap 9, nothing clips
+    assert(out.filter(_._2 == "b").forall { case (_, _, v, cap, cl) =>
+      cap == 9L && cl == v })
+    val plan = Profiling.winsorize(rows.toDF("id", "g", "x"),
+      col("id"), col("g"), col("x")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("embeddingDrift: orthogonal shift -> cos 0, pure rescale -> cos 1, one-sided label -> 0") {
+    import spark.implicits._
+    val ref = Seq(
+      (0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(1.0f, 1.0f)),
+      (2, Seq(3.0f, 4.0f))).toDF("label", "vec")
+    val cur = Seq(
+      (0, Seq(0.0f, 2.0f)),
+      (1, Seq(2.0f, 2.0f))).toDF("label", "vec")
+    val r = Profiling.embeddingDrift(
+      ref, col("label"), col("vec"), cur, col("label"), col("vec"))
+      .orderBy("label")
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((0, 2L, 1L, 0.0), (1, 1L, 1L, 1.0), (2, 1L, 0L, 0.0)))
+  }
+
   test("groupQuantiles: exact type-1 p50/p90/p99 off the histogram; ties and skew handled") {
     import spark.implicits._
     val a = (1 to 10).map(v => ("a", v.toLong))      // 1..10
