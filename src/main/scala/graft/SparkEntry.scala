@@ -1609,6 +1609,23 @@ object SparkEntry {
       t(s, dir, "documents"), col("lang"), col("n_chars"))
       .orderBy("g")
 
+  /** Skew-proof fact-to-dimension join: q212's salt factor applied —
+    * facts salt on the event id, the user dimension replicates 8-fold,
+    * and the join runs on (key, salt); the aggregate proves result
+    * equality with the plain join (the oracle's).
+    */
+  private def qSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val dim = ev.select(col("user_id").as("u")).distinct()
+      .withColumn("tier", pmod(col("u"), lit(5L)))
+    graft.operators.Scale.saltedEquiJoin(
+      ev.select(col("user_id"), col("event_id")),
+      col("user_id"), col("event_id"), dim, col("u"), nSalts = 8)
+      .groupBy("tier").agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("tier")
+  }
+
   /** Per-group winsorization of event values at the exact p99 — the
     * outlier cap before features trust a raw metric; the quantile
     * comes off the value histogram and broadcasts back.
@@ -3944,6 +3961,7 @@ object SparkEntry {
     "q228_stream_expectations" -> qStreamExpectations _,
     "q229_winsorize" -> qWinsorize _,
     "q230_embedding_drift" -> qEmbeddingDrift _,
+    "q231_salted_join" -> qSaltedJoin _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7296,6 +7314,16 @@ object SparkEntry {
           |    * (abs(a * n_ratings * n_ratings - p * s) * 1000000
           |       // (p * (n_ratings * n_ratings - s))) END)::BIGINT AS kappa_ppm
           |FROM tot, lt""".stripMargin,
+
+      // the salted join must equal the PLAIN join — the oracle runs it
+      // unsalted
+      "q231_salted_join" ->
+        """WITH d AS (SELECT DISTINCT user_id AS u FROM events),
+          | dim AS (SELECT u, u % 5 AS tier FROM d)
+          |SELECT tier::BIGINT AS tier, count(*)::BIGINT AS n_events,
+          | count(DISTINCT e.user_id)::BIGINT AS n_users
+          |FROM events e JOIN dim ON e.user_id = dim.u
+          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
       // p99 cap off the value histogram, clipped row-wise
       "q229_winsorize" ->

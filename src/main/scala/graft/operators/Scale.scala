@@ -31,6 +31,39 @@ object Scale {
       .agg(concat_ws("|", array_sort(flatten(collect_list(col("vs"))))).as(as))
       .withColumnRenamed("k", "key")
 
+  /** Salted equi-join — the remedy [[graft.operators.Analytics
+    * .skewProfile]]'s salt_factor column prescribes: when the fact
+    * side's join key is too hot for a plain hash exchange (one key =
+    * one task) and the dimension side is too big to broadcast, spread
+    * each fact row across `nSalts` sub-keys (a deterministic hash of
+    * `saltSrc` — any well-distributed fact column, typically the
+    * event/row id) and REPLICATE each dimension row to all nSalts
+    * sub-keys. The join runs on (key, salt): a key holding p% of the
+    * facts now occupies nSalts tasks instead of one, at the price of
+    * an nSalts-fold dimension replication — exactly the trade the
+    * pre-flight's `ceil(count div targetPerTask)` sizes.
+    *
+    * Result is EXACTLY the plain inner equi-join (each fact row meets
+    * each matching dim row in precisely one salt bucket); the salt
+    * column never escapes. Column names are taken from the two
+    * inputs — they must be disjoint apart from the join key.
+    */
+  def saltedEquiJoin(
+      facts: DataFrame,
+      factKey: Column,
+      saltSrc: Column,
+      dims: DataFrame,
+      dimKey: Column,
+      nSalts: Int): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1, got $nSalts")
+    val l = facts.withColumn("__k", factKey)
+      .withColumn("__salt", pmod(xxhash64(saltSrc), lit(nSalts.toLong)))
+    val r = dims.withColumn("__k", dimKey)
+      .withColumn("__salt",
+        explode(array((0 until nSalts).map(s => lit(s.toLong)): _*)))
+    l.join(r, Seq("__k", "__salt")).drop("__k", "__salt")
+  }
+
   /** Write a DataFrame as a bucketed+sorted table: joins and
     * aggregations on the bucket key then run exchange-free (the classic
     * pre-shuffle trade — pay the shuffle once at write, never again).

@@ -42,6 +42,34 @@ class ScaleSpec extends SparkTestBase {
     } finally spark.conf.unset("spark.graft.collapse.salted")
   }
 
+  test("saltedEquiJoin equals the plain join; salt rides the exchange when broadcast is off") {
+    import spark.implicits._
+    // skewed facts: user 7 holds half the rows
+    val facts = (0L until 400L).map(i =>
+      (if (i % 2 == 0) 7L else i % 50, i)).toDF("user_id", "event_id")
+    val dims = (0L until 50L).map(u => (u, s"t${u % 5}")).toDF("u", "tier")
+    val salted = Scale.saltedEquiJoin(facts, col("user_id"), col("event_id"),
+      dims, col("u"), nSalts = 8)
+      .select("user_id", "event_id", "tier")
+    val plain = facts.join(dims, facts("user_id") === dims("u"))
+      .select("user_id", "event_id", "tier")
+    val a = salted.as[(Long, Long, String)].collect().sorted.toSeq
+    val b = plain.as[(Long, Long, String)].collect().sorted.toSeq
+    assert(a == b, s"salted join must equal the plain join (${a.size} vs ${b.size} rows)")
+    // with broadcast disabled, the exchange partitions on (key, salt) —
+    // the hot key spreads across nSalts sub-partitions
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val plan = Scale.saltedEquiJoin(facts, col("user_id"), col("event_id"),
+        dims, col("u"), nSalts = 8).queryExecution.executedPlan.toString
+      val exchangeLine = plan.linesIterator
+        .find(l => l.contains("Exchange hashpartitioning") && l.contains("__k"))
+        .getOrElse("")
+      assert(exchangeLine.contains("__salt"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
     try {
