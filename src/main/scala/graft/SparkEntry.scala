@@ -1678,6 +1678,16 @@ object SparkEntry {
     graft.operators.Expectations.keyUniqueness(
       t(s, dir, "lineitem"), col("l_orderkey"))
 
+  /** Per-document unigram fertility (q139's unigram sibling): the
+    * per-word fertility table broadcasts onto exploded tokens — the
+    * corpus never runs the DP row by row.
+    */
+  private def qUnigramFertilityDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.unigramFertilityDocs(
+      t(s, dir, "documents"), col("doc_id"), col("text"),
+      maxPieceLen = 3, iters = 2)
+      .orderBy("doc_id")
+
   /** Train-then-tokenize end-to-end: q138's learned merges applied to
     * every document; per-doc tokenizer fertility. The 3-row merge
     * table is the only driver transfer.
@@ -3962,6 +3972,7 @@ object SparkEntry {
     "q229_winsorize" -> qWinsorize _,
     "q230_embedding_drift" -> qEmbeddingDrift _,
     "q231_salted_join" -> qSaltedJoin _,
+    "q232_unigram_fertility_docs" -> qUnigramFertilityDocs _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7500,6 +7511,31 @@ object SparkEntry {
         (unigramOracleEm2 +
           """SELECT piece, len(piece)::BIGINT AS piece_len, score FROM model2
             |ORDER BY score DESC, piece""".stripMargin),
+
+      // per-word fertility joined back onto each document's tokens
+      "q232_unigram_fertility_docs" ->
+        (unigramOracleEm2 +
+          """, dp3 AS (
+            |   SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sc, '' AS seg FROM w
+            |   UNION ALL
+            |   SELECT d.word, d.cnt, d.pos + len(m.piece), d.np + 1, d.sc + m.score,
+            |     CASE WHEN d.seg = '' THEN m.piece ELSE d.seg || ' ' || m.piece END
+            |   FROM dp3 d JOIN model2 m ON m.piece = substr(d.word, d.pos + 1, len(m.piece))
+            |   WHERE d.pos + len(m.piece) <= len(d.word)),
+            | best3 AS (SELECT word, cnt, seg FROM (
+            |   SELECT word, cnt, seg,
+            |     row_number() OVER (PARTITION BY word ORDER BY np, sc DESC, seg) AS rk
+            |   FROM dp3 WHERE pos = len(word)) WHERE rk = 1),
+            | fert AS (SELECT w.word,
+            |   coalesce(len(string_split(b.seg, ' ')), 0)::BIGINT AS np
+            |  FROM w LEFT JOIN best3 b ON w.word = b.word),
+            | toks AS (SELECT doc_id, unnest(list_filter(
+            |   regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+            |  FROM documents)
+            |SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_words,
+            | sum(f.np)::BIGINT AS n_pieces
+            |FROM toks t JOIN fert f ON t.word = f.word
+            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
 
       // third DP over the final model: per-word fertility; words the
       // model cannot tile (impossible in-fixture — single chars are

@@ -511,6 +511,35 @@ object Training {
     out
   }
 
+  /** Per-DOCUMENT unigram fertility — [[applyBpe]]'s unigram sibling:
+    * train ([[trainUnigramLm]]'s loop), then report each document's
+    * (n_words, n_pieces) under the model. A word's Viterbi tiling is
+    * word-LOCAL, so documents never re-segment row by row: the
+    * vocab-sized per-word fertility table ([[unigramFertility]])
+    * broadcasts onto the exploded tokens and one doc-keyed aggregate
+    * sums it — corpus rows pay one explode + one map-side-combined
+    * aggregate, never the DP.
+    */
+  def unigramFertilityDocs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxPieceLen: Int = 3,
+      iters: Int = 2,
+      maxSeed: Int = 100000): DataFrame = {
+    val wordFert = unigramFertility(df, text, maxPieceLen, iters, maxSeed)
+    val out = df
+      .select(id.cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .join(broadcast(wordFert.select(col("word"), col("n_pieces"))), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .persist()
+    out.count()
+    wordFert.unpersist()
+    out
+  }
+
   /** Shared train loop: returns the PERSISTED word-frequency table
     * (caller unpersists) and the final (piece → score) model.
     */

@@ -509,6 +509,49 @@ class TrainingSpec extends SparkTestBase {
     assert(hole == Seq(0, 0))
   }
 
+  test("unigram segment: DP equals brute-force enumeration on random models (1000 cases)") {
+    // the DP keeps one best (np, -score, seg) per position; this pins
+    // its prefix-optimality argument against exhaustive enumeration
+    val rng = new scala.util.Random(42)
+    def bruteBest(word: String, model: Map[String, Long]): Option[String] = {
+      def tilings(rest: String): Seq[List[String]] =
+        if (rest.isEmpty) Seq(Nil)
+        else (1 to math.min(3, rest.length)).flatMap { l =>
+          val p = rest.take(l)
+          if (model.contains(p)) tilings(rest.drop(l)).map(p :: _) else Nil
+        }
+      val all = tilings(word)
+      if (all.isEmpty) None
+      else Some(all.map { t =>
+        (t.length, -t.map(model).sum, t.mkString(" "))
+      }.min._3)
+    }
+    val model0 = new java.util.HashMap[String, java.lang.Long]()
+    for (_ <- 1 to 1000) {
+      val alphabet = "abc"
+      val word = (1 to (1 + rng.nextInt(7)))
+        .map(_ => alphabet(rng.nextInt(3))).mkString
+      // random piece set over the alphabet, lengths 1..3; singles NOT
+      // guaranteed, so unsegmentable words exercise the empty branch
+      val pieces = (for {
+        l <- 1 to 3
+        _ <- 1 to 4
+      } yield (1 to l).map(_ => alphabet(rng.nextInt(3))).mkString).distinct
+      val model = pieces.map(p => p -> (rng.nextInt(20).toLong + 1)).toMap
+      model0.clear()
+      model.foreach { case (k, v) => model0.put(k, v) }
+      val got = graft.functions.UnigramRuntime.segment(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word), model0, 3)
+      val gotSeg = (0 until got.numElements())
+        .map(got.getUTF8String(_).toString).mkString(" ")
+      bruteBest(word, model) match {
+        case None => assert(gotSeg == "", s"word=$word model=$model got=$gotSeg")
+        case Some(best) => assert(gotSeg == best,
+          s"word=$word model=$model got=$gotSeg want=$best")
+      }
+    }
+  }
+
   test("trainUnigramLm: hand-computed EM on a toy corpus; deterministic across partitionings") {
     import spark.implicits._
     // corpus: "ab ab b" ×2 docs -> words ab(cnt 2... ) recompute:
