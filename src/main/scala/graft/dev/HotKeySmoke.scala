@@ -22,10 +22,11 @@ import graft.operators._
   * Usage: runMain graft.dev.HotKeySmoke [nRows]
   *
   * Measured (round 12, local[32], 10M rows, 50% hot):
-  *   rankNormalize 4.8s · gapProfile 18.1s (the (g, k) lead window
-  *   over 100k keys dominates — per-key ordering is inherent; the
-  *   per-group median adds no single-task stage) · funnel 3.8s for
-  *   5 steps (exactly 5 event scans).
+  *   rankNormalize 4.8-6.3s · gapProfile 10.8s with the TWO-PHASE
+  *   exact median (down from 18.1s single-level histogram — the
+  *   persisted skinny gaps avoid recomputing the (g, k) lead window,
+  *   and both phase windows are √domain-bounded) · funnel 3.8-4.3s
+  *   for 5 steps (exactly 5 event scans).
   */
 object HotKeySmoke {
   def main(args: Array[String]): Unit = {

@@ -106,37 +106,72 @@ object Analytics {
     * Scale: the lead() window is partitioned by (group, key) —
     * parallel, no global sort. The median is NOT a per-group rank
     * window over raw gaps (a hot group — one event type, 10⁹ gaps —
-    * would be a single-task sort): it is the order statistic off the
-    * per-(group, gap-value) HISTOGRAM (the q148 dataCard machinery) —
-    * one map-side-combined count aggregate, then a cumulative window
-    * bounded by each group's gap-value DOMAIN, never its row count.
+    * would be a single-task sort), and not even a single-level value
+    * histogram (microsecond gaps are near-UNIQUE, so a hot group's
+    * value domain is still ~its row count): it is the classic
+    * TWO-PHASE exact order statistic. Phase A aggregates counts per
+    * (group, gap div 2^coarseBits) bucket and walks the bucket
+    * cumulative to find the single bucket holding the ceil(n/2)-th
+    * gap (and the residual rank `need` inside it); phase B counts
+    * fine values inside that ONE bucket per group and takes the
+    * need-th smallest. Any per-group window task is bounded by
+    * max(occupied buckets, 2^coarseBits) rows — ~√domain at the
+    * default 22 bits (a year of microsecond gaps: ≤ ~2·10⁶ buckets /
+    * ≤ 4·10⁶ in-bucket values) — never the group's row count. The
+    * skinny (g, gap) pairs persist across the two phases and the
+    * 4-column output is checkpointed before release (the
+    * coOccurrence lifecycle).
     */
   def gapProfile(
       events: DataFrame,
       group: Column,
       key: Column,
       ts: Column,
-      tiebreak: Column): DataFrame = {
+      tiebreak: Column,
+      coarseBits: Int = 22): DataFrame = {
+    require(coarseBits >= 0 && coarseBits <= 62,
+      s"coarseBits must be in [0, 62], got $coarseBits")
+    val width = 1L << coarseBits
     val seq = Window.partitionBy("g", "k").orderBy("t", "tb")
     val gaps = events
       .select(group.as("g"), key.as("k"), ts.cast("long").as("t"), tiebreak.as("tb"))
       .withColumn("nxt", lead(col("t"), 1).over(seq))
       .where(col("nxt").isNotNull)
       .select(col("g"), (col("nxt") - col("t")).as("gap"))
-    val hist = gaps.groupBy("g", "gap").agg(count(lit(1)).as("c"))
-    val totals = hist.groupBy("g").agg(
-      sum("c").as("n_gaps"), max("gap").as("max_gap"))
-    val cum = Window.partitionBy("g").orderBy("gap")
+      .persist()
+    // phase A: coarse-bucket counts; totals ride the same aggregate
+    val coarse = gaps
+      .groupBy(col("g"), expr(s"gap div ${width}L").as("cb"))
+      .agg(count(lit(1)).as("c"), max("gap").as("mx"))
+    val totals = coarse.groupBy("g").agg(
+      sum("c").as("n_gaps"), max("mx").as("max_gap"))
+    val cumW = Window.partitionBy("g").orderBy("cb")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // type-1 median: smallest gap value whose cumulative count reaches
-    // ceil(n/2) — cum*2 >= n + n%2 without division
-    val med = hist
-      .withColumn("cumc", sum("c").over(cum))
+    // the bucket holding the ceil(n/2)-th gap, and the residual rank
+    // inside it (need = rank − gaps in earlier buckets)
+    val withRank = coarse
+      .withColumn("cum", sum("c").over(cumW))
       .join(totals.select(col("g"), col("n_gaps")), "g")
-      .where(col("cumc") * 2 >= col("n_gaps") + (col("n_gaps") % 2))
+      .withColumn("rank", expr("(n_gaps + 1) div 2"))
+    val sel = withRank.where(col("cum") >= col("rank"))
+      .groupBy("g").agg(min("cb").as("mb"))
+    val need = withRank.join(sel, Seq("g"))
+      .where(col("cb") === col("mb"))
+      .select(col("g"), col("mb"), (col("rank") - (col("cum") - col("c"))).as("need"))
+    // phase B: fine order statistic inside the selected bucket only
+    val med = gaps.join(broadcast(need), "g")
+      .where(expr(s"gap div ${width}L") === col("mb"))
+      .groupBy("g", "need", "gap").agg(count(lit(1)).as("fc"))
+      .withColumn("fcum", sum("fc").over(
+        Window.partitionBy("g").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("fcum") >= col("need"))
       .groupBy("g").agg(min("gap").as("median_gap"))
-    totals.join(med, "g")
+    val out = totals.join(med, "g")
       .select(col("g"), col("n_gaps"), col("median_gap"), col("max_gap"))
+      .localCheckpoint(true)
+    gaps.unpersist()
+    out
   }
 
   /** Market-basket co-occurrence with exact ppm lift: for item pairs

@@ -160,7 +160,12 @@ object Features {
     * histogram rows, a cumulative window bounded by each key's score
     * DOMAIN (distinct values, not rows), and a (key, score) equi-join
     * back to the rows — corpus rows only ever cross a hash exchange,
-    * never a per-key sort.
+    * never a per-key sort. Domain contract: scores are the engine's
+    * INTEGER quality scores (ppm/per-mille scale — ≤ ~10⁶ distinct
+    * values per key by construction), so the per-key window stays
+    * million-row-bounded; near-unique 64-bit scores would need the
+    * two-phase bucket walk [[Analytics.gapProfile]] uses for
+    * microsecond gaps.
     */
   def rankNormalize(
       df: DataFrame,

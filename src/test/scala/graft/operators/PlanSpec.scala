@@ -511,16 +511,54 @@ class PlanSpec extends SparkTestBase {
     import spark.implicits._
     val ev = (0L until 300L).map(i => (s"g${i % 2}", i % 7, i * 13 % 997, i))
       .toDF("g", "k", "t", "e")
+    // localCheckpoint truncates the final lineage, so pin the plans of
+    // the two-phase internals by rebuilding them the way the operator
+    // does: every window partitioned by g alone must run over
+    // AGGREGATED rows — coarse-bucket counts (c) or in-bucket fine
+    // counts (fc) — never raw gaps; raw gaps only see the
+    // (g, k)-partitioned lead() window
     val out = Analytics.gapProfile(ev, col("g"), col("k"), col("t"), col("e"))
-    val plan = out.queryExecution.executedPlan.toString
-    // the only window partitioned by g alone is over histogram rows
-    // (it carries the count column c); raw gaps only ever see the
-    // (g, k)-partitioned lead() window — fine-grained, parallel
-    val wins = windowNodes(out)
-    assert(wins.nonEmpty, plan)
+    assert(out.collect().nonEmpty)
+    val seq = org.apache.spark.sql.expressions.Window
+      .partitionBy("g", "k").orderBy("t", "e")
+    val gaps = ev
+      .withColumn("nxt", lead(col("t"), 1).over(seq))
+      .where(col("nxt").isNotNull)
+      .select(col("g"), (col("nxt") - col("t")).as("gap"))
+    val coarse = gaps.groupBy(col("g"), expr("gap div 4194304").as("cb"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("g").orderBy("cb")))
+    val wins = windowNodes(coarse)
+    val plan = coarse.queryExecution.executedPlan.toString
     val byGroupOnly = wins.filter(w => !w.child.output.exists(_.name == "k"))
     assert(byGroupOnly.nonEmpty, plan)
     assert(byGroupOnly.forall(w => w.child.output.exists(_.name == "c")), plan)
+  }
+
+  test("gapProfile: two-phase median equals a brute-force sort for any coarseBits") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val ev = (0L until 500L).map(i =>
+      (s"g${i % 3}", i % 11, rng.nextInt(1 << 20).toLong, i)).toDF("g", "k", "t", "e")
+    // brute force: per (g, k) consecutive sorted gaps, per g the
+    // ceil(n/2)-th smallest
+    val rows = ev.as[(String, Long, Long, Long)].collect()
+    val byGk = rows.groupBy(r => (r._1, r._2)).values.flatMap { grp =>
+      val sorted = grp.sortBy(r => (r._3, r._4))
+      sorted.sliding(2).filter(_.size == 2).map(p => (p(0)._1, p(1)._3 - p(0)._3))
+    }.toSeq
+    val expected = byGk.groupBy(_._1).map { case (g, gs) =>
+      val sortedGaps = gs.map(_._2).sorted
+      val rank = (sortedGaps.size + 1) / 2
+      (g, sortedGaps.size.toLong, sortedGaps(rank - 1), sortedGaps.max)
+    }.toSeq.sortBy(_._1)
+    for (bits <- Seq(0, 3, 10, 22, 62)) {
+      val got = Analytics.gapProfile(ev, col("g"), col("k"), col("t"), col("e"),
+        coarseBits = bits)
+        .orderBy("g").as[(String, Long, Long, Long)].collect().toSeq
+      assert(got == expected, s"coarseBits=$bits: $got vs $expected")
+    }
   }
 
   test("funnel: each step's frontier is persisted — O(k) event scans, not O(k^2)") {
