@@ -165,31 +165,78 @@ object Profiling {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Shared TWO-PHASE exact order-statistic kernel (the
+    * [[graft.operators.Analytics.gapProfile]] machinery generalized
+    * to several quantiles at once): values may be near-unique 64-bit
+    * longs, so a single-level value histogram would put a hot group's
+    * whole domain through one window task. Phase A aggregates counts
+    * per (group, v div 2^coarseBits) and walks the bucket cumulative
+    * to find, for EVERY requested permille, the bucket holding its
+    * ⌈n·q/1000⌉-th value plus the residual in-bucket rank; phase B
+    * counts fine values inside only those buckets and takes each
+    * residual order statistic. Any per-group window task is bounded
+    * by max(occupied buckets, |quantiles|·2^coarseBits) — ~√domain at
+    * the default 22 bits — never the group's row count. Returns one
+    * row per (g, q permille) with the exact type-1 value; `base` must
+    * be persisted by the caller (both phases scan it).
+    */
+  private def exactGroupQuantiles(
+      base: DataFrame, permilles: Seq[Int], coarseBits: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(coarseBits >= 0 && coarseBits <= 62,
+      s"coarseBits must be in [0, 62], got $coarseBits")
+    require(permilles.nonEmpty && permilles.forall(q => q >= 1 && q <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    val width = 1L << coarseBits
+    val coarse = base
+      .groupBy(col("g"), expr(s"v div ${width}L").as("cb"))
+      .agg(count(lit(1)).as("c"))
+    val totals = coarse.groupBy("g").agg(sum("c").as("n"))
+    val cumW = Window.partitionBy("g").orderBy("cb")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withRank = coarse
+      .withColumn("cum", sum("c").over(cumW))
+      .join(totals, "g")
+      .withColumn("q", explode(array(permilles.map(lit(_)): _*)))
+      .withColumn("rank", expr("(n * q + 999L) div 1000L"))
+    val sel = withRank.where(col("cum") >= col("rank"))
+      .groupBy("g", "q").agg(min("cb").as("mb"))
+    val need = withRank.join(sel, Seq("g", "q"))
+      .where(col("cb") === col("mb"))
+      .select(col("g"), col("q"), col("mb"),
+        (col("rank") - (col("cum") - col("c"))).as("need"))
+    base.join(broadcast(need), "g")
+      .where(expr(s"v div ${width}L") === col("mb"))
+      .groupBy("g", "q", "need", "v").agg(count(lit(1)).as("fc"))
+      .withColumn("fcum", sum("fc").over(
+        Window.partitionBy("g", "q").orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .where(col("fcum") >= col("need"))
+      .groupBy("g", "q").agg(min("v").as("qv"))
+  }
+
   /** Exact per-group quantile gate: for each group, the type-1
     * p50/p90/p99 of an integer value (the ⌈n·q⌉-th smallest — a real
     * element, no interpolation, engine-identical) plus the group's
     * count — the latency/size SLO row a pipeline checks per event
-    * type or source. The quantile test `cum ≥ ⌈n·q/1000⌉` is applied
-    * as `cum·1000 ≥ n·q` — pure integer arithmetic.
-    *
-    * Scale: the q148 dataCard shape — one map-side-combined
-    * (group, value) histogram, a cumulative window over each group's
-    * value DOMAIN (distinct values, never rows), and one conditional
-    * aggregate pulling all three quantiles in a single pass.
+    * type or source. Runs on the two-phase [[exactGroupQuantiles]]
+    * kernel, so near-unique value domains (latency micros, byte
+    * sizes) never funnel a hot group through one window task.
     */
-  def groupQuantiles(df: DataFrame, group: Column, value: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val hist = df.select(group.as("g"), value.cast("long").as("v"))
-      .groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val cum = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withCum = hist
-      .withColumn("cum", sum("c").over(cum))
-      .withColumn("n", sum("c").over(Window.partitionBy("g")))
-    def q(permille: Int, name: String) =
-      min(when(col("cum") * 1000 >= col("n") * permille, col("v"))).as(name)
-    withCum.groupBy("g").agg(max("n").as("n"),
-      q(500, "p50"), q(900, "p90"), q(990, "p99"))
+  def groupQuantiles(df: DataFrame, group: Column, value: Column,
+      coarseBits: Int = 22): DataFrame = {
+    val base = df.select(group.as("g"), value.cast("long").as("v")).persist()
+    val totals = base.groupBy("g").agg(count(lit(1)).as("n"))
+    val qv = exactGroupQuantiles(base, Seq(500, 900, 990), coarseBits)
+    val out = totals.join(
+      qv.groupBy("g").agg(
+        max(when(col("q") === 500, col("qv"))).as("p50"),
+        max(when(col("q") === 900, col("qv"))).as("p90"),
+        max(when(col("q") === 990, col("qv"))).as("p99")), "g")
+      .select(col("g"), col("n"), col("p50"), col("p90"), col("p99"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
   }
 
   /** Per-group winsorization: clip each value to its group's exact
@@ -198,32 +245,31 @@ object Profiling {
     * rolling features or target encoding trust a raw metric. Output:
     * (id, g, v, v_cap, v_clipped = least(v, v_cap)).
     *
-    * Scale: the quantile table is group-domain-sized and broadcasts
-    * back; rows cross one hash exchange into the histogram aggregate
-    * and none on the way back (broadcast join).
+    * Scale: the cap comes off the two-phase [[exactGroupQuantiles]]
+    * kernel (near-unique domains never funnel a group through one
+    * window task); the cap table is group-domain-sized and broadcasts
+    * back, so rows cross hash exchanges only into the two bucket
+    * aggregates and none on the way back.
     */
   def winsorize(
       df: DataFrame,
       id: Column,
       group: Column,
       value: Column,
-      permille: Int = 990): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(permille >= 1 && permille <= 1000,
-      s"permille must be in [1, 1000], got $permille")
+      permille: Int = 990,
+      coarseBits: Int = 22): DataFrame = {
     val base = df.select(id.as("id"), group.as("g"), value.cast("long").as("v"))
-    val hist = base.groupBy("g", "v").agg(count(lit(1)).as("c"))
-    val cum = Window.partitionBy("g").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val caps = hist
-      .withColumn("cum", sum("c").over(cum))
-      .withColumn("n", sum("c").over(Window.partitionBy("g")))
-      .groupBy("g")
-      .agg(min(when(col("cum") * 1000 >= col("n") * permille, col("v")))
-        .as("v_cap"))
-    base.join(broadcast(caps), "g")
+      .persist()
+    val caps = exactGroupQuantiles(base.select(col("g"), col("v")),
+      Seq(permille), coarseBits)
+      .select(col("g"), col("qv").as("v_cap"))
+    val out = base.join(broadcast(caps), "g")
       .select(col("id"), col("g"), col("v"), col("v_cap"),
         least(col("v"), col("v_cap")).as("v_clipped"))
+      .persist()
+    out.count()
+    base.unpersist()
+    out
   }
 
   /** Certified Misra–Gries heavy hitters (q16/q94 pattern): run the
