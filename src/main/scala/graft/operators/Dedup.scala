@@ -144,12 +144,15 @@ object Dedup {
     * entity), `n_records` merged, and one survived column per field.
     *
     * Scale: the pair graph is resolution OUTPUT (tiny vs the record
-    * corpus), so `dedupGroups` and the label table are pair-sized and
-    * the label join broadcasts; the merge itself is ONE map-side-
-    * combined aggregate keyed by entity — per-field min over
-    * (−length, value) structs, so only (id, field values) cross the
-    * exchange and a million-record entity still combines partially on
-    * the map side.
+    * corpus), so `dedupGroups` and the label table are pair-sized;
+    * the label join is left UNHINTED — dedupGroups materializes its
+    * output, so AQE broadcasts it when it fits and falls back to a
+    * skinny (id, keep_id) shuffle join when a pathological dup rate
+    * makes it driver-unsafe (a forced broadcast would OOM exactly
+    * there). The merge itself is ONE map-side-combined aggregate
+    * keyed by entity — per-field min over (−length, value) structs,
+    * so only (id, field values) cross the exchange and a
+    * million-record entity still combines partially on the map side.
     */
   def survivorship(
       records: DataFrame,
@@ -162,7 +165,7 @@ object Dedup {
       (id.cast("long").as("id") +:
         fields.map { case (n, c) => c.cast("string").as(n) }): _*)
     val labeled = base
-      .join(broadcast(groups), Seq("id"), "left")
+      .join(groups, Seq("id"), "left")
       .withColumn("entity_id", coalesce(col("keep_id"), col("id")))
     val survived = fields.map { case (n, _) =>
       min(when(col(n).isNotNull,

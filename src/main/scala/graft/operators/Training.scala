@@ -516,9 +516,12 @@ object Training {
     * (n_words, n_pieces) under the model. A word's Viterbi tiling is
     * word-LOCAL, so documents never re-segment row by row: the
     * vocab-sized per-word fertility table ([[unigramFertility]])
-    * broadcasts onto the exploded tokens and one doc-keyed aggregate
-    * sums it — corpus rows pay one explode + one map-side-combined
-    * aggregate, never the DP.
+    * joins onto the exploded tokens — UNHINTED, because real
+    * vocabularies reach tens of millions of words (the UnigramSmoke
+    * corpus has 30M) where a forced broadcast would OOM the driver;
+    * the table is persisted, so AQE broadcasts it exactly when it
+    * fits — and one doc-keyed aggregate sums it. Corpus rows pay one
+    * explode + two skinny exchanges, never the DP.
     */
   def unigramFertilityDocs(
       df: DataFrame,
@@ -531,7 +534,7 @@ object Training {
     val out = df
       .select(id.cast("long").as("doc_id"),
         explode(TextAnalysis.tokens(lower(text))).as("word"))
-      .join(broadcast(wordFert.select(col("word"), col("n_pieces"))), "word")
+      .join(wordFert.select(col("word"), col("n_pieces")), "word")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
       .persist()
