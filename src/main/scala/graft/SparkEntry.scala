@@ -1609,6 +1609,15 @@ object SparkEntry {
       t(s, dir, "documents"), col("lang"), col("n_chars"))
       .orderBy("g")
 
+  /** Exact join-explosion pre-flight for orders ⋈ lineitem on the
+    * order key: top contributing keys and the total output
+    * cardinality BEFORE paying for the join.
+    */
+  private def qJoinPreflight(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Analytics.joinPreflight(
+      t(s, dir, "orders"), col("o_orderkey"),
+      t(s, dir, "lineitem"), col("l_orderkey"), topK = 10)
+
   /** Skew-proof fact-to-dimension join: q212's salt factor applied —
     * facts salt on the event id, the user dimension replicates 8-fold,
     * and the join runs on (key, salt); the aggregate proves result
@@ -3973,6 +3982,7 @@ object SparkEntry {
     "q230_embedding_drift" -> qEmbeddingDrift _,
     "q231_salted_join" -> qSaltedJoin _,
     "q232_unigram_fertility_docs" -> qUnigramFertilityDocs _,
+    "q233_join_preflight" -> qJoinPreflight _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7325,6 +7335,19 @@ object SparkEntry {
           |    * (abs(a * n_ratings * n_ratings - p * s) * 1000000
           |       // (p * (n_ratings * n_ratings - s))) END)::BIGINT AS kappa_ppm
           |FROM tot, lt""".stripMargin,
+
+      // exact Σ n_l(k)·n_r(k) with deterministic top-k; ties by key
+      "q233_join_preflight" ->
+        """WITH l AS (SELECT o_orderkey AS key, count(*) AS n_left FROM orders GROUP BY 1),
+          | r AS (SELECT l_orderkey AS key, count(*) AS n_right FROM lineitem GROUP BY 1),
+          | p AS (SELECT l.key, n_left, n_right, n_left * n_right AS out_rows
+          |       FROM l JOIN r ON l.key = r.key),
+          | t AS (SELECT sum(out_rows) AS total_rows FROM p)
+          |SELECT key::BIGINT AS key, n_left::BIGINT AS n_left,
+          | n_right::BIGINT AS n_right, out_rows::BIGINT AS out_rows,
+          | total_rows::BIGINT AS total_rows,
+          | (out_rows * 1000000 // total_rows)::BIGINT AS share_ppm
+          |FROM p, t ORDER BY out_rows DESC, key LIMIT 10""".stripMargin,
 
       // the salted join must equal the PLAIN join — the oracle runs it
       // unsalted

@@ -244,6 +244,43 @@ object Analytics {
     * domain, a 1-row total broadcast in, and a global limit (partial
     * top-k per partition, k rows to the driver).
     */
+  /** Join-explosion pre-flight — [[skewProfile]]'s two-sided sibling:
+    * the EXACT output cardinality a prospective equi-join would
+    * produce (Σ_k n_left(k)·n_right(k)) and the top-k contributing
+    * keys, each with its side counts, produced rows, and exact ppm
+    * share of the total. The number that decides whether a join is
+    * runnable AT ALL before paying for it — a handful of hot keys
+    * multiplying into 10¹² rows is visible here for the cost of two
+    * count aggregates. Per-key products are n²-scale, so the total
+    * and shares run in DECIMAL(38,0) (exact to ~10¹⁸ output rows).
+    *
+    * Scale: ONE map-side-combined count per side (skinny keys), an
+    * equi-join of the two key-domain-sized count tables, a 1-row
+    * total broadcast back, and a global top-k.
+    */
+  def joinPreflight(
+      left: DataFrame, leftKey: Column,
+      right: DataFrame, rightKey: Column,
+      topK: Int): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val l = left.select(leftKey.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n_left"))
+    val r = right.select(rightKey.as("key")).groupBy("key")
+      .agg(count(lit(1)).as("n_right"))
+    val prod = l.join(r, "key")
+      .withColumn("out_rows",
+        expr("CAST(n_left AS DECIMAL(38,0)) * n_right"))
+    val total = prod.agg(
+      coalesce(sum("out_rows"), expr("CAST(0 AS DECIMAL(38,0))")).as("total_rows"))
+    prod.crossJoin(broadcast(total))
+      .select(col("key"), col("n_left"), col("n_right"),
+        expr("CAST(out_rows AS BIGINT)").as("out_rows"),
+        expr("CAST(total_rows AS BIGINT)").as("total_rows"),
+        expr("CAST(out_rows * 1000000 div total_rows AS BIGINT)").as("share_ppm"))
+      .orderBy(col("out_rows").desc, col("key"))
+      .limit(topK)
+  }
+
   def skewProfile(
       df: DataFrame,
       key: Column,

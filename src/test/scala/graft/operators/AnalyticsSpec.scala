@@ -7,6 +7,20 @@ import graft.SparkTestBase
 class AnalyticsSpec extends SparkTestBase {
   import spark.implicits._
 
+  test("joinPreflight: exact per-key products, total, shares; keys on one side only drop") {
+    import spark.implicits._
+    val l = Seq(1L, 1L, 1L, 2L, 9L).toDF("k")   // 1->3, 2->1, 9->1
+    val r = Seq(1L, 1L, 2L, 2L, 2L, 7L).toDF("k") // 1->2, 2->3, 7->1
+    val got = Analytics.joinPreflight(l, col("k"), r, col("k"), topK = 5)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    // key 1: 3*2=6, key 2: 1*3=3; total 9; 9 and 7 one-sided -> absent
+    assert(got == Seq(
+      (1L, 3L, 2L, 6L, 9L, 666666L),
+      (2L, 1L, 3L, 3L, 9L, 333333L)))
+    // sanity: predicted total equals the real join's cardinality
+    assert(l.join(r, "k").count() == 9L)
+  }
+
   test("funnel: strict-order chaining — hand-computed") {
     // u1: a@10 b@20 c@30 -> reaches all three
     // u2: a@10 b@10      -> b NOT strictly after a: stops at step 1
