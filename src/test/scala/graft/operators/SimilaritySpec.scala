@@ -285,6 +285,25 @@ class SimilaritySpec extends SparkTestBase {
     assert(migratedAssign == scratchAssign)
   }
 
+  test("partitioned index serve: bucket join dynamically prunes the stored partitions") {
+    import spark.implicits._
+    val all = (0L until 64L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    def centsOf(lo: Long, hi: Long) = all.where(col("id") >= lo && col("id") < hi)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val dir = java.nio.file.Files.createTempDirectory("ivf_dpp_spec").toString + "/idx"
+    val idx = Similarity.ivfWritePartitioned(
+      Similarity.ivfIndexWith(all, centsOf(0, 8)), dir)
+    val served = Similarity.ivfTopKIndexed(all.where(col("id") < 3), idx, k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    // the probe side broadcasts, and Spark inserts a dynamic partition
+    // pruning subquery on the bucket partition column — serve-time I/O
+    // is proportional to the PROBED buckets' files, not the index
+    assert(plan.contains("dynamicpruning"), plan)
+    assert(served.collect().nonEmpty)
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
