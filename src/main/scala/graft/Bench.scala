@@ -50,12 +50,14 @@ object Bench {
     //   sum(per-query spread) <= spreadGate * total (reps agree)
     //   max(per-query spread) <= maxSpreadGate    (no single query's
     //                            reps disagree by seconds)
-    // Calibration (measured, this host): a QUIET full 209-query run at
-    // load 1.9 shows sum_spread/total ~= 0.36 and max_spread 1.1s —
-    // rep 1 carries per-query planning+codegen, so a ~0.15s/query
-    // spread floor is inherent, NOT contention; the polluted r11 run
-    // showed ratio 0.69 and single-query spreads of 5.8s. Gates at
-    // 0.5 / 3.0s sit between the two regimes.
+    // Calibration (measured, this host, r12): attempt 1 in a FRESH JVM
+    // shows sum_spread/total ~= 0.55-0.60 even at load < 2 — that is
+    // JIT/codegen warmup, not contention — and attempt 2+ settles at
+    // ~0.33-0.36 with max_spread ~1s; the polluted r11 run showed 0.69
+    // with single-query spreads of 5.8s. Gates at 0.5 / 3.0s therefore
+    // (a) always force one warm re-measure per fresh JVM and (b) still
+    // reject genuinely contended runs; the cost is one extra attempt
+    // (~4 min), the benefit is a rep-agreeing record.
     // An unusable attempt is retried after a backoff, up to maxAttempts;
     // the kept attempt is the one with the smallest spread/total ratio
     // (tie: smallest total), and the artifact records attempts + the

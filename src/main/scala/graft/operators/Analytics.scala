@@ -149,15 +149,16 @@ object Analytics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // the bucket holding the ceil(n/2)-th gap, and the residual rank
     // inside it (need = rank − gaps in earlier buckets)
-    val withRank = coarse
+    // one aggregate picks the median's bucket AND its residual rank:
+    // min_by over the ≥-rank rows IS "the first bucket reaching rank"
+    val need = coarse
       .withColumn("cum", sum("c").over(cumW))
       .join(totals.select(col("g"), col("n_gaps")), "g")
       .withColumn("rank", expr("(n_gaps + 1) div 2"))
-    val sel = withRank.where(col("cum") >= col("rank"))
-      .groupBy("g").agg(min("cb").as("mb"))
-    val need = withRank.join(sel, Seq("g"))
-      .where(col("cb") === col("mb"))
-      .select(col("g"), col("mb"), (col("rank") - (col("cum") - col("c"))).as("need"))
+      .where(col("cum") >= col("rank"))
+      .groupBy("g").agg(
+        min(col("cb")).as("mb"),
+        min_by(col("rank") - (col("cum") - col("c")), col("cb")).as("need"))
     // phase B: fine order statistic inside the selected bucket only
     val med = gaps.join(broadcast(need), "g")
       .where(expr(s"gap div ${width}L") === col("mb"))
