@@ -561,6 +561,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("survivorship: one entity-keyed aggregate with map-side partials; no window") {
+    import spark.implicits._
+    val records = (0L until 200L).map(i =>
+      (i, s"name$i", if (i % 3 == 0) null else s"b${i % 7}"))
+      .toDF("id", "name", "brand")
+    val pairs = (0L until 50L).map(i => (i * 2, i * 2 + 1)).toDF("id_a", "id_b")
+    val out = Dedup.survivorship(records, col("id"),
+      Seq("name" -> col("name"), "brand" -> col("brand")), pairs)
+    val plan = out.queryExecution.executedPlan.toString
+    // the per-field keep-best is min-over-structs inside ONE hash
+    // aggregate — never a per-entity window over record rows
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("partial_min") || plan.contains("partial_count"), plan)
+  }
+
   test("funnel: each step's frontier is persisted — O(k) event scans, not O(k^2)") {
     import spark.implicits._
     val acc = spark.sparkContext.longAccumulator("eventScans")
