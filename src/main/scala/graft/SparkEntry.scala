@@ -1591,6 +1591,37 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** The COMPOSED IVF×PQ persisted serve (q109's PQ codes stored
+    * inside q222's bucket-partitioned IVF layout): build writes
+    * (neighbor_id, codes, c_vec, c_norm) partitioned by bucket; serve
+    * probes each query's nearest bucket, ADC-scores ONLY the
+    * (neighbor_id, codes) columns of the probed partitions, and
+    * exact-re-ranks the ADC top-`rerank` survivors. The oracle
+    * replicates the ENTIRE two-stage pipeline in SQL (q26's
+    * assignment CTEs + q109's codebook/ADC CTEs + the rerank cut), so
+    * the gate checks the real candidate-generation semantics — not a
+    * rerank-hides-everything shortcut; SimilaritySpec separately pins
+    * exactness when rerank covers the bucket, the (neighbor_id,
+    * codes)-only probe ReadSchema, and dynamic partition pruning.
+    */
+  private def qIvfPqServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq", digest).toString
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    graft.operators.Similarity.ivfPqTopK(
+      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Multi-rater agreement: Fleiss' kappa over a crowd-labeled item
     * set (items = hashed users, labels = event types, varying ratings
     * per item) — single-fraction integer-exact ppm, q187's
@@ -3983,6 +4014,7 @@ object SparkEntry {
     "q231_salted_join" -> qSaltedJoin _,
     "q232_unigram_fertility_docs" -> qUnigramFertilityDocs _,
     "q233_join_preflight" -> qJoinPreflight _,
+    "q234_ivf_pq_serve" -> qIvfPqServe _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -4004,19 +4036,30 @@ object SparkEntry {
     val cdcPows = Iterator.iterate(1L)(_ * 31L % 1000000007L).take(16).toSeq
     val cdcPowList = cdcPows.mkString("[", ", ", "]")
     // shared prefix of the two unigram-LM oracles: word-frequency
-    // collapse, substring seed (maxPieceLen 3), and TWO unrolled
-    // hard-EM rounds, each a recursive-CTE segmentation DP + usage
-    // aggregate + prune — mirrors Training.trainUnigramModel exactly
+    // collapse, substring seed (maxPieceLen 3, multi-char pieces
+    // capped at the Spark path's maxSeed=100000 by the SAME
+    // (score DESC, piece) cut — Training.trainUnigramModel:571-572 —
+    // so the contract holds even on fixtures whose distinct-substring
+    // count exceeds the cap), and TWO unrolled hard-EM rounds, each a
+    // recursive-CTE segmentation DP + usage aggregate + prune —
+    // mirrors Training.trainUnigramModel exactly
     val unigramOracleEm2 =
       """WITH RECURSIVE
         | w AS (SELECT word, count(*)::BIGINT AS cnt FROM (
         |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
         |   FROM documents) GROUP BY word),
-        | seed AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
+        | seed0 AS (SELECT piece, sum(cnt)::BIGINT AS score FROM (
         |   SELECT cnt, unnest(flatten([[substr(word, i, l)
         |       FOR l IN range(1, least(3, len(word) - i + 1) + 1)]
         |       FOR i IN range(1, len(word) + 1)])) AS piece FROM w)
         |   GROUP BY piece),
+        | seed AS (
+        |   SELECT piece, score FROM seed0 WHERE len(piece) = 1
+        |   UNION ALL
+        |   SELECT piece, score FROM (
+        |     SELECT piece, score,
+        |       row_number() OVER (ORDER BY score DESC, piece) AS rk
+        |     FROM seed0 WHERE len(piece) > 1) WHERE rk <= 100000),
         | dp1 AS (
         |   SELECT word, cnt, 0 AS pos, 0 AS np, 0::BIGINT AS sc, '' AS seg FROM w
         |   UNION ALL
@@ -7524,6 +7567,61 @@ object SparkEntry {
           |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
           |  FROM joined)
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // composed IVF×PQ serve, full two-stage pipeline in SQL: q26's
+      // cosine coarse assignment (cents = id<8) gates candidates to
+      // the query's bucket, q109's closed-form PQ codebook (iters=1,
+      // slices of the first 8 fixed-point vectors) scores them by
+      // integer ADC, the ADC top-10 survive, and the exact rounded
+      // cosine re-ranks the survivors to top-3 — so the gate checks
+      // the REAL candidate-generation semantics including any true
+      // neighbor the ADC cut drops
+      "q234_ivf_pq_serve" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | ivfcents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+          | assigned AS (
+          |  SELECT vec_id, cent_id AS bucket FROM (
+          |   SELECT e.vec_id, c.cent_id,
+          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+          |      round(list_dot_product(e.vec, c.cent_v) /
+          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+          |      c.cent_id) AS rk
+          |   FROM e CROSS JOIN ivfcents c) WHERE rk = 1),
+          | fp AS (SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v FROM embeddings),
+          | sub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv FROM fp CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
+          | pcents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+          |            FROM sub WHERE id < 8),
+          | codes AS (
+          |  SELECT id, j, cid AS code FROM (
+          |   SELECT s.id, s.j, c.cid,
+          |    row_number() OVER (PARTITION BY s.id, s.j ORDER BY
+          |      list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
+          |   FROM sub s JOIN pcents c ON s.j = c.j) WHERE rk = 1),
+          | adc AS (
+          |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+          |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+          |  FROM assigned qa
+          |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+          |  JOIN sub qs ON qs.id = qa.vec_id
+          |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
+          |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
+          |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10
+          |  GROUP BY 1, 2),
+          | cand AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+          |  FROM adc) WHERE rk <= 10),
+          | rer AS (
+          |  SELECT cd.query_id, cd.neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+          |  JOIN e c ON c.vec_id = cd.neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          | SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          | FROM rer) WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       // unigram-LM hard-EM unrolled: substring seed, then per round a

@@ -182,10 +182,16 @@ object Features {
     val ranks = hist
       .withColumn("below", sum("c").over(cum) - col("c"))
       .withColumn("n", sum("c").over(Window.partitionBy("key")))
-      .select(col("key"), col("score"),
+      .select(col("key").as("r_key"), col("score").as("r_score"),
         when(col("n") === 1, lit(0L))
           .otherwise(expr("below * 1000000L div (n - 1)")).as("pct_ppm"))
-    base.join(ranks, Seq("key", "score"))
+    // null-SAFE equi-join (<=>): groupBy already histograms null
+    // key/score groups (nulls sort first under the cumulative window,
+    // same as the window formulation ranked them), so the join-back
+    // must keep those rows too — the operator is row-count-preserving
+    // even on dirty input (e.g. score.cast("long") of a bad value)
+    base.join(ranks,
+      col("key") <=> col("r_key") && col("score") <=> col("r_score"))
       .select(col("id"), col("key"), col("score"), col("pct_ppm"))
   }
 }

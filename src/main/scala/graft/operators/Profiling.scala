@@ -578,6 +578,11 @@ object Profiling {
     * the two exact sum vectors (mean direction = sum direction) is
     * then one rounded double from identical integer inputs —
     * engine-identical. Labels missing from a side report cos 0.
+    * The output is ANCHORED on the component-sum aggregate: a label
+    * whose every embedding is null/empty on BOTH sides contributes no
+    * component row and is dropped (not emitted as a degenerate cos-0
+    * row) — the same row set the q230 oracle produces, which starts
+    * FROM the sum aggregate and left-joins the counts.
     * Dot/norm products run in DECIMAL(38,0): milli-components ×
     * 10⁹-row sums stay ~10¹², squared ~10²⁴ — exact.
     *
@@ -607,8 +612,8 @@ object Profiling {
         sum(expr("CAST(ref_s AS DECIMAL(38,0)) * ref_s")).as("ref2"),
         sum(expr("CAST(cur_s AS DECIMAL(38,0)) * cur_s")).as("cur2"))
     joined
-      .join(counts(ref, refLabel, "ref"), Seq("label"), "full_outer")
-      .join(counts(cur, curLabel, "cur"), Seq("label"), "full_outer")
+      .join(counts(ref, refLabel, "ref"), Seq("label"), "left")
+      .join(counts(cur, curLabel, "cur"), Seq("label"), "left")
       .select(col("label"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"),

@@ -408,11 +408,18 @@ object Similarity {
         .where(col("bucket") === col("old_bucket"))
         .select(col("new_bucket").as("bucket"), col("neighbor_id"),
           col("c_vec"), col("c_norm"))
+      // localCheckpoint (eager) SEVERS lineage before the write: the
+      // rewritten plan reads the very partitions the write overwrites,
+      // and a persist() alone is best-effort — a cache eviction or
+      // executor loss mid-write would recompute against
+      // partially-overwritten bucket directories and corrupt the
+      // index. Checkpointed blocks are materialized and the plan is
+      // truncated, so nothing can re-read `path` during the overwrite.
       val rewritten = stay
         .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket"))
         .unionByName(movedIn
           .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket")))
-        .persist()
+        .localCheckpoint(true)
       val keptBuckets = rewritten.select("bucket").distinct()
         .collect().map(_.getLong(0)).toSet
       rewritten.write.mode("overwrite")
@@ -463,6 +470,127 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nBuckets: Int, nProbe: Int = 1): DataFrame =
     ivfTopKIndexed(queries, ivfIndex(corpus, nBuckets), k, nProbe)
+
+  /** COMPOSED IVF×PQ persisted index — the billion-vector serving
+    * layout: PQ codes stored AS COLUMNS of the bucket-PARTITIONED IVF
+    * table ([[ivfWritePartitioned]]'s layout +
+    * [[graft.operators.Clustering.pqEncode]]'s codes). A probe then
+    * reads only the probed buckets' partition directories (dynamic
+    * partition pruning) and, within them, only the (neighbor_id,
+    * codes) columns — m small ints per candidate instead of a float
+    * vector (4-32× less I/O and exchange). The exact vectors live in
+    * the SAME table for the re-rank stage, which fetches them only
+    * for the ADC survivors (again partition-pruned + column-pruned).
+    */
+  final case class IvfPqIndex(
+      cents: DataFrame,
+      model: Array[Array[Array[Long]]],
+      path: String,
+      fpScale: Double)
+
+  /** Build + persist the composed index: coarse-assign the corpus to
+    * IVF buckets ([[ivfAssignWith]] — map-only against broadcast
+    * centroids, one map-side-combined exchange), PQ-encode every
+    * vector against the trained codebook (zero-shuffle: the model
+    * rides as a plan literal), and write `partitionBy(bucket)` with
+    * columns (neighbor_id, codes, c_vec, c_norm).
+    *
+    * Corpus carries (id, vec); `cents` (cent_id, cent_v); `model` is
+    * [[graft.operators.Clustering.pqTrain]] output (m × k × d/m
+    * fixed-point centroids).
+    */
+  def ivfPqWritePartitioned(
+      corpus: DataFrame,
+      cents: DataFrame,
+      model: Array[Array[Array[Long]]],
+      path: String,
+      fpScale: Double = 1000.0): IvfPqIndex = {
+    val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
+    val assigned = ivfAssignWith(corpusIn, cents)
+    graft.operators.Clustering.pqEncode(assigned, col("v"), model, fpScale)
+      .select(col("doc_id").as("neighbor_id"), col("codes"),
+        col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+    IvfPqIndex(cents.select(col("cent_id"), col("cent_v")), model, path, fpScale)
+  }
+
+  /** Two-stage serve against a composed [[IvfPqIndex]]:
+    *
+    *  1. PROBE — each query finds its `nProbe` nearest coarse buckets
+    *     ([[ivfProbe]], broadcast centroids) and computes its m·k ADC
+    *     lookup table ONCE (native `pq_lut` over the plan-literal
+    *     codebook).
+    *  2. ADC SCAN — the stored table is read selecting ONLY
+    *     (bucket, neighbor_id, codes); the broadcast bucket-join
+    *     dynamically prunes to the probed partitions, every candidate
+    *     costs m integer table lookups (native `pq_adc`), and the
+    *     per-query ADC top-`rerank` survive (ties by neighbor_id).
+    *  3. RE-RANK — ONLY the survivors' exact vectors are fetched back
+    *     from the same table by a broadcast (bucket, neighbor_id)
+    *     join (partition-pruned again), scored with the exact rounded
+    *     cosine, and the top-`k` emitted — (query_id, neighbor_id,
+    *     cos), [[ivfTopKIndexed]]'s exact shape.
+    *
+    * Scale: serve-time I/O is proportional to the probed buckets'
+    * CODE columns (m bytes-ish per candidate), not the index — the
+    * float vectors are touched for queries×rerank rows only. With
+    * `rerank` at least the probed buckets' candidate count the result
+    * equals [[ivfTopKIndexed]] exactly (SimilaritySpec pins it); at
+    * production rerank ≪ bucket size the ADC stage bounds the exact
+    * work and recall follows PQ quality (Jégou et al. 2011).
+    * Self-matches are excluded, as everywhere in this module.
+    */
+  def ivfPqTopK(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int,
+      nProbe: Int = 1,
+      rerank: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val m = index.model.length
+    val flat = index.model.flatten.flatten
+    val probed = ivfProbe(
+      queries.select(col("id").as("doc_id"), col("vec").as("v")),
+      index.cents, nProbe)
+      .select(col("bucket"), col("doc_id").as("query_id"),
+        graft.functions.VecOps.pqLut(
+          graft.functions.VecOps.fixedPoint(col("v"), index.fpScale),
+          typedlit(flat), m).as("__lut"))
+    // stage 2: only (bucket, neighbor_id, codes) ride the probe scan —
+    // parquet column pruning keeps c_vec/c_norm pages unread here
+    val codesOnly = spark.read.parquet(index.path)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("neighbor_id"), col("codes"))
+    val cands = codesOnly
+      .join(broadcast(probed), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("bucket"), col("query_id"), col("neighbor_id"),
+        graft.functions.VecOps.pqAdc(col("codes"), col("__lut")).as("adc_dist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("adc_dist"), col("neighbor_id"))))
+      .where(col("rk") <= rerank)
+      .select(col("bucket"), col("query_id"), col("neighbor_id"))
+    // stage 3: exact vectors for the survivors only — broadcast the
+    // queries×rerank candidate set against the stored table keyed on
+    // (bucket, neighbor_id); the bucket key partition-prunes the read
+    val vecs = spark.read.parquet(index.path)
+      .select(col("bucket").cast("long").as("bucket"),
+        col("neighbor_id"), col("c_vec"), col("c_norm"))
+    val qVecs = queries.select(col("id").as("query_id"),
+      col("vec").as("q_vec"), norm(col("vec")).as("q_norm"))
+    vecs
+      .join(broadcast(cands), Seq("bucket", "neighbor_id"))
+      .join(broadcast(qVecs), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
 
   /** Symmetric per-vector int8 quantization: scale = 127/max|x|,
     * q_i = floor(x_i*scale + 0.5) (round-half-up — engine-exact, no

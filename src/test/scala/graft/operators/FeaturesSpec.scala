@@ -126,6 +126,21 @@ class FeaturesSpec extends SparkTestBase {
       (4L, "g", 30L, 1000000L), (5L, "h", 99L, 0L)))
   }
 
+  test("rankNormalize: null keys/scores are ranked, not dropped (row-count preserving)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some("g"), Some(10L)), (2L, Some("g"), Option.empty[Long]),
+      (3L, Option.empty[String], Some(5L)), (4L, Some("g"), Some(20L)))
+      .toDF("i", "k", "s")
+    val r = Features.rankNormalize(rows, col("i"), col("k"), col("s"))
+      .orderBy("id").collect()
+    assert(r.length == 4, "operator must preserve every input row")
+    // group g (n=3): null score sorts first -> pct 0; 10 -> 500000;
+    // 20 -> 1000000. null key is its own single-member group -> 0.
+    val pct = r.map(row => row.getLong(0) -> row.getLong(3)).toMap
+    assert(pct == Map(1L -> 500000L, 2L -> 0L, 3L -> 0L, 4L -> 1000000L))
+  }
+
   test("rankNormalize: min maps to 0, max to 10^6, deterministic across partitionings") {
     val df = spark.range(5000).select(col("id"),
       (col("id") % 17).cast("string").as("k"), ((col("id") * 41) % 919).as("s"))

@@ -41,6 +41,25 @@ class ProfilingSpec extends SparkTestBase {
     assert(r == Seq((0, 2L, 1L, 0.0), (1, 1L, 1L, 1.0), (2, 1L, 0L, 0.0)))
   }
 
+  test("embeddingDrift: labels with only null/empty embeddings drop (sum-anchored output)") {
+    import spark.implicits._
+    val ref = Seq(
+      (0, Some(Seq(1.0f, 0.0f))),
+      (7, Some(Seq.empty[Float])), // empty vector: counts, no components
+      (8, Option.empty[Seq[Float]])).toDF("label", "vec")
+    val cur = Seq(
+      (0, Some(Seq(2.0f, 0.0f))),
+      (7, Option.empty[Seq[Float]]),
+      (9, Some(Seq(0.0f, 3.0f)))).toDF("label", "vec")
+    val r = Profiling.embeddingDrift(
+      ref, col("label"), col("vec"), cur, col("label"), col("vec"))
+      .orderBy("label").as[(Int, Long, Long, Double)].collect().toSeq
+    // 7 (empty/null on both sides) and 8 (null, ref-only) produce no
+    // component row and DROP — the q230 oracle's row set; 9 (cur-only,
+    // real vector) stays with n_ref 0 and cos 0
+    assert(r == Seq((0, 1L, 1L, 1.0), (9, 0L, 1L, 0.0)))
+  }
+
   test("groupQuantiles: exact type-1 p50/p90/p99 off the histogram; ties and skew handled") {
     import spark.implicits._
     val a = (1 to 10).map(v => ("a", v.toLong))      // 1..10

@@ -304,6 +304,44 @@ class SimilaritySpec extends SparkTestBase {
     assert(served.collect().nonEmpty)
   }
 
+  test("ivfPqTopK: exact when rerank covers the bucket; ADC scan reads only codes; DPP prunes") {
+    import spark.implicits._
+    val all = (0L until 64L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_spec").toString + "/idx"
+    val idx = Similarity.ivfPqWritePartitioned(all, cents, model, dir)
+    val queries = all.where(col("id") < 5)
+    // rerank >= every bucket's size -> the ADC cut is lossless and the
+    // composed serve must equal the plain exact IVF serve row-for-row
+    val served = Similarity.ivfPqTopK(spark, idx, queries, k = 3, nProbe = 1, rerank = 64)
+    val plain = Similarity.ivfTopKIndexed(
+      queries, Similarity.ivfIndexWith(all, cents), k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(served) == rows(plain))
+    val plan = served.queryExecution.executedPlan.toString
+    // serve-time I/O is bounded by the PROBED buckets: the bucket join
+    // against the broadcast probe side dynamically prunes partitions
+    assert(plan.contains("dynamicpruning"), plan)
+    // and the ADC stage's scan carries ONLY (neighbor_id, codes) — the
+    // float vectors must not ride the candidate generation
+    val adcScan = plan.split("\n").find(l =>
+      l.contains("ReadSchema") && l.contains("codes"))
+    assert(adcScan.isDefined, plan)
+    assert(!adcScan.get.contains("c_vec"),
+      s"ADC scan must not read exact vectors: ${adcScan.get}")
+    // production shape: rerank smaller than the bucket still emits
+    // exactly k rows per query (candidates are ADC-gated)
+    val gated = Similarity.ivfPqTopK(spark, idx, queries, k = 3, nProbe = 1, rerank = 3)
+    val perQuery = gated.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQuery.nonEmpty && perQuery.forall(_ == 3L))
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
