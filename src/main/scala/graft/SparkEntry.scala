@@ -1554,6 +1554,32 @@ object SparkEntry {
       col("text"), maxPieceLen = 3, iters = 2)
       .orderBy(col("score").desc, col("piece"))
 
+  /** WordPiece tokenizer training (the THIRD tokenizer family beside
+    * BPE and unigram-LM): 3 merges selected by integer-exact
+    * likelihood-gain score — pair_count·10¹² div (count_l·count_r) —
+    * instead of raw frequency. The oracle unrolls all 3 rounds with
+    * the symbol-count join and HUGEINT score arithmetic.
+    */
+  private def qWordPieceTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.trainWordPiece(t(s, dir, "documents"),
+      col("text"), nMerges = 3)
+      .orderBy("merge_idx")
+
+  /** Train-then-apply for WordPiece: GREEDY longest-match-first
+    * segmentation (the real WordPiece inference rule, native
+    * expression) of every distinct word under the trained vocabulary
+    * (corpus single chars + merge-produced pieces) — the
+    * tokens-per-word fertility table. The oracle enumerates all
+    * tilings per word and picks the greedy one as the
+    * lexicographically-largest piece-length string, which equals
+    * greedy because a single-char fallback always exists at every
+    * position.
+    */
+  private def qWordPieceFertility(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.wordpieceFertility(t(s, dir, "documents"),
+      col("text"), nMerges = 3)
+      .orderBy("word")
+
   /** Train-then-apply for the unigram model: per distinct word its
     * corpus count, Viterbi piece count, and segmentation — the
     * tokens-per-word fertility table (q139's unigram sibling).
@@ -4015,6 +4041,8 @@ object SparkEntry {
     "q232_unigram_fertility_docs" -> qUnigramFertilityDocs _,
     "q233_join_preflight" -> qJoinPreflight _,
     "q234_ivf_pq_serve" -> qIvfPqServe _,
+    "q235_wordpiece_train" -> qWordPieceTrain _,
+    "q236_wordpiece_fertility" -> qWordPieceFertility _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -4093,6 +4121,42 @@ object SparkEntry {
         |   FROM model1 m LEFT JOIN usage2 u ON m.piece = u.piece
         |   WHERE coalesce(u.score, 0) > 0 OR len(m.piece) = 1)
         |""".stripMargin
+    // shared prefix of the two WordPiece oracles: word-frequency
+    // collapse, delimiter encoding (q138's), then THREE unrolled
+    // likelihood-gain merge rounds — each a symbol-count aggregate, an
+    // adjacent-pair aggregate, a HUGEINT-exact score join
+    // (c·10¹² // (scnt_l·scnt_r), Training.trainWordPieceMerges'
+    // arithmetic verbatim), argmax by (score DESC, l, r), and the
+    // anchored replace rewrite
+    val wordpieceOracle3 = {
+      // the last round emits no w$i rewrite (no consumer reads it) and
+      // ends the WITH list without a trailing comma
+      def round(i: Int, last: Boolean): String = {
+        val prev = s"w${i - 1}"
+        val head = s""" sc$i AS (SELECT sym, sum(cnt)::HUGEINT AS scnt FROM (
+           |    SELECT cnt, unnest(list_filter(string_split(s, '  '), x -> x <> '')) AS sym FROM $prev)
+           |   GROUP BY sym),
+           | p$i AS (SELECT z.l AS l, z.r AS r, sum(cnt)::BIGINT AS c FROM (
+           |    SELECT cnt, unnest([{'l': ls[i], 'r': ls[i+1]} FOR i IN range(1, len(ls))]) AS z
+           |    FROM (SELECT cnt, list_filter(string_split(s, '  '), x -> x <> '') AS ls FROM $prev))
+           |   GROUP BY 1, 2),
+           | t$i AS (SELECT l, r, c,
+           |    (c::HUGEINT * 1000000000000 // (a.scnt * b.scnt))::BIGINT AS score
+           |   FROM p$i JOIN sc$i a ON p$i.l = a.sym JOIN sc$i b ON p$i.r = b.sym
+           |   ORDER BY score DESC, l, r LIMIT 1)""".stripMargin
+        if (last) head + "\n"
+        else head + s""",
+           | w$i AS (SELECT replace(s, '  ' || t.l || '    ' || t.r || '  ', '  ' || t.l || t.r || '  ') AS s, cnt FROM $prev CROSS JOIN t$i t),
+           |""".stripMargin
+      }
+      """WITH RECURSIVE
+        | w AS (SELECT word, count(*) AS cnt FROM (
+        |   SELECT unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+        |   FROM documents) GROUP BY word),
+        | w0 AS (SELECT '  ' || array_to_string([substr(word, i, 1) FOR i IN range(1, len(word) + 1)], '    ') || '  ' AS s, cnt FROM w),
+        |""".stripMargin +
+        round(1, last = false) + round(2, last = false) + round(3, last = true)
+    }
     val inferV = duckInferType("v")
     val typeInferSql =
       s"""WITH $duckStacked,
@@ -7623,6 +7687,45 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
           | FROM rer) WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // WordPiece: 3 likelihood-gain merge rounds unrolled (shared
+      // prefix), the learned merges with their integer scores
+      "q235_wordpiece_train" ->
+        (wordpieceOracle3 +
+          """SELECT * FROM (
+            | SELECT 1::BIGINT AS merge_idx, l AS sym_a, r AS sym_b, c AS pair_count, score AS score_ppt FROM t1
+            | UNION ALL SELECT 2::BIGINT, l, r, c, score FROM t2
+            | UNION ALL SELECT 3::BIGINT, l, r, c, score FROM t3)
+            |ORDER BY merge_idx""".stripMargin),
+
+      // greedy longest-match apply: the vocab is every corpus single
+      // char + the 3 merged pieces; all tilings of each word are
+      // enumerated and the greedy one is the lexicographically-LARGEST
+      // piece-length string (greedy always completes because the
+      // single-char fallback exists at every position, so at the first
+      // divergence the greedy branch's longer piece sorts above)
+      "q236_wordpiece_fertility" ->
+        (wordpieceOracle3 +
+          """, vocab AS (
+            |  SELECT DISTINCT piece FROM (
+            |   SELECT unnest([substr(word, i, 1) FOR i IN range(1, len(word) + 1)]) AS piece FROM w
+            |   UNION ALL SELECT l || r FROM t1
+            |   UNION ALL SELECT l || r FROM t2
+            |   UNION ALL SELECT l || r FROM t3)),
+            | dp AS (
+            |  SELECT word, cnt, 0 AS pos, 0 AS np, '' AS seg, '' AS lens FROM w
+            |  UNION ALL
+            |  SELECT d.word, d.cnt, d.pos + len(v.piece), d.np + 1,
+            |    CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END,
+            |    d.lens || chr((48 + len(v.piece))::INT)
+            |  FROM dp d JOIN vocab v ON v.piece = substr(d.word, d.pos + 1, len(v.piece))
+            |  WHERE d.pos + len(v.piece) <= len(d.word)),
+            | best AS (SELECT word, cnt, np, seg FROM (
+            |  SELECT word, cnt, np, seg,
+            |   row_number() OVER (PARTITION BY word ORDER BY lens DESC, seg) AS rk
+            |  FROM dp WHERE pos = len(word)) WHERE rk = 1)
+            |SELECT word, cnt::BIGINT AS cnt, np::BIGINT AS n_pieces, seg
+            |FROM best ORDER BY word""".stripMargin),
 
       // unigram-LM hard-EM unrolled: substring seed, then per round a
       // recursive-CTE Viterbi DP (all tilings enumerated, best by

@@ -164,6 +164,128 @@ object Training {
     merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
   }
 
+  /** WordPiece tokenizer TRAINING (Schuster & Nakajima 2012): the
+    * third tokenizer family beside BPE ([[trainBpe]]) and unigram-LM
+    * ([[trainUnigramLm]]). Same merge loop as BPE but the selection
+    * criterion is LIKELIHOOD GAIN, not raw frequency: the next merge
+    * maximizes count(l,r) / (count(l)·count(r)) — merge the pair whose
+    * co-occurrence most exceeds what its parts' frequencies predict.
+    *
+    * Integer-exact scoring: score_ppt = (pair_count · 10¹²) div
+    * (count(l) · count(r)), computed in DECIMAL(38,0) so trillion-
+    * token symbol counts cannot overflow, floored to a long —
+    * engine-identical, ties broken by (l, r) ascending. Since
+    * pair_count ≤ min(count(l), count(r)), score_ppt ≤ 10¹²: always
+    * long-safe.
+    *
+    * Scale shape per round — [[trainBpe]]'s, plus one symbol-count
+    * aggregate: the corpus collapses ONCE to the word-frequency table
+    * (the only corpus-sized stage); each round is two vocab-sized
+    * aggregates (symbols, adjacent pairs), a vocab-sized scoring join,
+    * a 1-row TakeOrdered collect, and a map-only rewrite.
+    *
+    * Returns (merge_idx, sym_a, sym_b, pair_count, score_ppt).
+    */
+  def trainWordPiece(
+      df: DataFrame,
+      text: Column,
+      nMerges: Int,
+      scoreScale: Long = 1000000000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (words, merges) = trainWordPieceMerges(df, text, nMerges, scoreScale)
+    words.unpersist()
+    merges.toDF("merge_idx", "sym_a", "sym_b", "pair_count", "score_ppt")
+  }
+
+  /** Train WordPiece merges, then apply the resulting vocabulary back
+    * by GREEDY LONGEST-MATCH-FIRST segmentation (the real WordPiece
+    * inference rule — native [[graft.functions.WordPieceSegment]], a
+    * map-only projection over the vocab-sized word table): per
+    * distinct word its corpus count, piece count, and segmentation —
+    * the tokens-per-word fertility table, [[unigramFertility]]'s
+    * WordPiece sibling. The vocabulary is every single character of
+    * the corpus plus the merge-produced pieces, so every trained-on
+    * word segments.
+    */
+  def wordpieceFertility(
+      df: DataFrame,
+      text: Column,
+      nMerges: Int,
+      scoreScale: Long = 1000000000000L): DataFrame = {
+    val (words, merges) = trainWordPieceMerges(df, text, nMerges, scoreScale)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val singles = words
+      .select(explode(split(col("word"), "")).as("ch"))
+      .where(col("ch") =!= "").distinct().as[String].collect()
+    val vocab = (singles.toSeq ++ merges.map(m => m._2 + m._3)).distinct
+    val seg = graft.functions.WordPieceOps.wordpieceSegment(col("word"), vocab)
+    val out = words
+      .select(col("word"), col("cnt"), seg.as("pieces"))
+      .select(col("word"), col("cnt"),
+        size(col("pieces")).cast("long").as("n_pieces"),
+        concat_ws(" ", col("pieces")).as("seg"))
+      .persist()
+    out.count()
+    words.unpersist()
+    out
+  }
+
+  /** Shared WordPiece loop: returns the PERSISTED word-frequency table
+    * (caller unpersists) and the learned merges in order.
+    */
+  private def trainWordPieceMerges(
+      df: DataFrame,
+      text: Column,
+      nMerges: Int,
+      scoreScale: Long): (DataFrame, Seq[(Long, String, String, Long, Long)]) = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    require(scoreScale > 0, s"scoreScale must be positive, got $scoreScale")
+    val words0 = df.select(explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .persist()
+    words0.count()
+    var cur = words0.select(
+      concat(lit("  "), concat_ws("    ", split(col("word"), "")), lit("  ")).as("s"),
+      col("cnt")).persist()
+    cur.count()
+    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var exhausted = false
+    for (i <- 1 to nMerges if !exhausted) {
+      val syms = split(trim(col("s")), "  +")
+      val symCounts = cur
+        .select(col("cnt"), explode(syms).as("sym"))
+        .groupBy("sym").agg(sum("cnt").as("sc"))
+      val top = cur
+        .select(col("cnt"), explode(graft.functions.TextOps.adjacentPairs(syms)).as("pr"))
+        .groupBy("pr").agg(sum("cnt").as("c"))
+        .withColumn("l", split(col("pr"), " ").getItem(0))
+        .withColumn("r", split(col("pr"), " ").getItem(1))
+        .join(symCounts.select(col("sym").as("l"), col("sc").as("cl")), "l")
+        .join(symCounts.select(col("sym").as("r"), col("sc").as("cr")), "r")
+        .select(col("l"), col("r"), col("c"),
+          expr(s"(CAST(c AS DECIMAL(38,0)) * $scoreScale) div " +
+            "(CAST(cl AS DECIMAL(38,0)) * cr)").as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c, sc) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"),
+          top.head.getAs[Long]("c"), top.head.getAs[Long]("score"))
+        merges += ((i.toLong, l, r, c, sc))
+        val next = cur.select(
+          org.apache.spark.sql.functions.replace(col("s"),
+            lit(s"  $l    $r  "), lit(s"  $l$r  ")).as("s"), col("cnt")).persist()
+        next.count()
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    (words0, merges.result())
+  }
+
   /** Vocab-scale BPE training: [[trainBpe]]'s exact semantics at a
     * per-round (not per-merge) driver cost. Where the sequential loop
     * pays one pair-count aggregate + collect + rewrite PER MERGE

@@ -484,6 +484,65 @@ class TrainingSpec extends SparkTestBase {
       (1L, 4L, 2L, 500000L, 1000000L, 666666L)))
   }
 
+  test("trainWordPiece: likelihood gain beats raw frequency — hand-computed") {
+    import spark.implicits._
+    // words: ab x2, aq x8, pb x8, xy x1.
+    // round 1 counts: a=10, b=10, q=8, p=8, x=1, y=1; pairs
+    // (a,b)=2 -> 2e12/100 = 2e10; (a,q)=8 -> 8e12/80 = 1e11;
+    // (p,b)=8 -> 1e11; (x,y)=1 -> 1e12/1 = 1e12. WordPiece picks the
+    // RARE-but-perfectly-coupled (x,y); BPE would pick (a,q)/(p,b).
+    // round 2: (a,q) vs (p,b) tie at 1e11 -> 'a' < 'p' -> (a,q).
+    // round 3: a=2 now, so (a,b) = 2e12/(2*10) = 1e11 ties (p,b) at
+    // 8e12/(8*10) = 1e11 -> 'a' < 'p' -> (a,b).
+    val df = Seq(
+      "ab ab aq aq aq aq aq aq aq aq",
+      "pb pb pb pb pb pb pb pb xy").toDF("text")
+    val out = Training.trainWordPiece(df, col("text"), nMerges = 3)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "x", "y", 1L, 1000000000000L),
+      (2L, "a", "q", 8L, 100000000000L),
+      (3L, "a", "b", 2L, 100000000000L)))
+    // deterministic across partitionings
+    val out2 = Training.trainWordPiece(df.repartition(7), col("text"), nMerges = 3)
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(out2 == out)
+  }
+
+  test("wordpiece segment: greedy longest-match-first, NOT fewest-pieces") {
+    import spark.implicits._
+    // greedy takes 'ab' first and pays 3 pieces; the 2-piece tiling
+    // a+bbb exists — proving this is WordPiece inference, not Viterbi
+    val vocab = Seq("a", "b", "ab", "bbb")
+    val seg = Seq("abbb").toDF("word").select(concat_ws(" ",
+      graft.functions.WordPieceOps.wordpieceSegment(col("word"), vocab)).as("s"))
+      .as[String].head()
+    assert(seg == "ab b b")
+    // unknown char and empty word -> empty array
+    val hole = Seq("axb", "").toDF("word").select(
+      size(graft.functions.WordPieceOps.wordpieceSegment(col("word"),
+        Seq("a", "b"))).as("n")).as[Int].collect().toSeq
+    assert(hole == Seq(0, 0))
+  }
+
+  test("wordpieceFertility: trained vocab segments the training corpus — hand-computed") {
+    import spark.implicits._
+    val df = Seq(
+      "ab ab aq aq aq aq aq aq aq aq",
+      "pb pb pb pb pb pb pb pb xy").toDF("text")
+    // merges learned above: xy, aq, ab -> vocab adds those to the
+    // singles {a,b,p,q,x,y}; greedy: ab->[ab], aq->[aq], pb->[p b],
+    // xy->[xy]
+    val out = Training.wordpieceFertility(df, col("text"), nMerges = 3)
+      .orderBy("word")
+      .as[(String, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      ("ab", 2L, 1L, "ab"),
+      ("aq", 8L, 1L, "aq"),
+      ("pb", 8L, 2L, "p b"),
+      ("xy", 1L, 1L, "xy")))
+  }
+
   test("unigram segment: fewest pieces, then score, then lexicographic — hand-computed") {
     import spark.implicits._
     val words = Seq("abcd").toDF("word")
