@@ -1495,6 +1495,30 @@ object SparkEntry {
       .orderBy("lang")
   }
 
+  /** Avro OCF roundtrip — q184's contract for the row-oriented
+    * interchange format: deterministic 4-shard export via the
+    * avro-core container API (the Spark Avro datasource module is not
+    * on this classpath; the format needs only the core jar), then the
+    * read-back per-lang counts + content-hash sum must equal the
+    * parquet originals (q184's oracle verbatim).
+    */
+  private def qAvroRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
+    val out = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft_avro_export", digest).toString
+    graft.sink.AvroArchive.write(docs, col("doc_id"), 4, out).collect()
+    graft.sink.AvroArchive.read(s, s"$out/shard=*/part-*.avro", docs.schema)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"),
+        sum(conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long") % 1000000007L)
+          .as("content_hash"))
+      .orderBy("lang")
+  }
+
   /** Seeded deterministic training-order permutation into 8 shards. */
   private def qShuffleShards(s: SparkSession, dir: String): DataFrame =
     graft.operators.Sampling.shuffleShards(
@@ -4043,6 +4067,7 @@ object SparkEntry {
     "q234_ivf_pq_serve" -> qIvfPqServe _,
     "q235_wordpiece_train" -> qWordPieceTrain _,
     "q236_wordpiece_fertility" -> qWordPieceFertility _,
+    "q237_avro_roundtrip" -> qAvroRoundtrip _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7851,5 +7876,8 @@ object SparkEntry {
     base +
       ("q150_bpe_train_batched" -> base("q138_bpe_train")) +
       // storage-level migration must serve exactly like the logical one
-      ("q222_ivf_migrate_partitioned" -> base("q219_ivf_retrain_migrate"))
+      ("q222_ivf_migrate_partitioned" -> base("q219_ivf_retrain_migrate")) +
+      // Avro read-back must reproduce the parquet originals exactly —
+      // the ORC roundtrip's oracle verbatim
+      ("q237_avro_roundtrip" -> base("q184_orc_roundtrip"))
 }
