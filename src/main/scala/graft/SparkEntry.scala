@@ -2218,6 +2218,16 @@ object SparkEntry {
     Dedup.removeDuplicateSpans(compositeDocs(s, dir), col("g"), col("text"), k = 8)
       .orderBy("doc_id")
 
+  /** Variable-length MAXIMAL duplicated-span inventory (Lee et al.
+    * 2022's span report via the k-gram coverage equivalence — no
+    * suffix array) over q97's composite corpus: one row per maximal
+    * run of duplicated-8-gram coverage, with the span's original-case
+    * text. q97 removes exactly the union of these spans.
+    */
+  private def qMaximalDupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.maximalDuplicateSpans(compositeDocs(s, dir), col("g"), col("text"), k = 8)
+      .orderBy("doc_id", "span_start")
+
   /** OOV rate against the corpus-derived top-500 vocabulary. */
   private def qOovRate(s: SparkSession, dir: String): DataFrame =
     TextAnalysis.oovRate(t(s, dir, "documents"), col("doc_id"), col("text"), vocabSize = 500)
@@ -4068,6 +4078,7 @@ object SparkEntry {
     "q235_wordpiece_train" -> qWordPieceTrain _,
     "q236_wordpiece_fertility" -> qWordPieceFertility _,
     "q237_avro_roundtrip" -> qAvroRoundtrip _,
+    "q238_maximal_dup_spans" -> qMaximalDupSpans _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -4834,6 +4845,40 @@ object SparkEntry {
           | coalesce(a.n_removed, 0)::BIGINT AS n_removed,
           | coalesce(a.cleaned_text, '') AS cleaned_text
           |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+      // q97's composite corpus and dup-8-gram CTEs, then the classic
+      // interval merge: a gap > 8 between consecutive dup-window
+      // starts breaks the run; span text sliced from the original-case
+      // tokens
+      "q238_maximal_dup_spans" ->
+        """WITH comp AS (
+          | SELECT g, string_agg(text, chr(10) ORDER BY doc_id) AS text
+          | FROM (SELECT doc_id, text,
+          |        unnest(range(greatest(0, (doc_id - 2) // 3), doc_id // 3 + 1)) AS g
+          |       FROM documents WHERE doc_id < 100)
+          | GROUP BY g),
+          |t AS (SELECT g AS doc_id,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          | FROM comp),
+          |w AS (SELECT doc_id, i - 1 AS p,
+          |  array_to_string(list_transform(toks[i:i+7], x -> lower(x)), ' ') AS win
+          | FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i)
+          | WHERE len(toks) >= 8),
+          |dups AS (SELECT win FROM w GROUP BY win HAVING count(*) > 1),
+          |starts AS (SELECT doc_id, p FROM w JOIN dups USING (win)),
+          |marked AS (SELECT doc_id, p,
+          |  CASE WHEN lag(p) OVER (PARTITION BY doc_id ORDER BY p) IS NULL
+          |        OR p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > 8
+          |       THEN 1 ELSE 0 END AS nw
+          | FROM starts),
+          |sp AS (SELECT doc_id, p,
+          |  sum(nw) OVER (PARTITION BY doc_id ORDER BY p) AS span FROM marked),
+          |agg AS (SELECT doc_id, span, min(p) AS span_start,
+          |  max(p) + 8 - min(p) AS span_len FROM sp GROUP BY 1, 2)
+          |SELECT a.doc_id, a.span_start::BIGINT AS span_start,
+          | a.span_len::BIGINT AS span_len,
+          | array_to_string(t.toks[a.span_start + 1 : a.span_start + a.span_len], ' ') AS span_text
+          |FROM agg a JOIN t USING (doc_id) ORDER BY a.doc_id, a.span_start""".stripMargin,
 
       // q98 mirrors TextAnalysis.oovRate: top-500 vocabulary by
       // (count desc, token asc), per-doc membership probe

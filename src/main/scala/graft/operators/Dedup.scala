@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, from exact to
@@ -405,6 +406,80 @@ object Dedup {
         (size(toksC) - size(col("__kept"))).cast("long").as("n_removed"),
         array_join(transform(col("__kept"), s => s.getField("t")), " ")
           .as("cleaned_text"))
+  }
+
+  /** VARIABLE-LENGTH maximal duplicated-span inventory — the
+    * suffix-array dedup's span report (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * computed WITHOUT a suffix array, via the k-gram coverage
+    * equivalence:
+    *
+    *   a token position is covered by some duplicated substring of
+    *   length ≥ k  ⟺  it is covered by some duplicated k-gram.
+    *
+    * (⇒ every position of a duplicated substring s, |s| ≥ k, lies in
+    * at least one length-k window of s, and every such window occurs
+    * wherever s occurs — so it is itself duplicated. ⇐ a duplicated
+    * k-gram IS a duplicated substring of length ≥ k.) The union of
+    * Lee-et-al removal spans at threshold k therefore equals the
+    * union of duplicated-k-gram coverage, and the MAXIMAL spans are
+    * the maximal runs of that coverage: dup-window starts p cover
+    * [p, p+k), and two starts p₁ < p₂ belong to one span iff
+    * p₂ ≤ p₁ + k. Returns one row per maximal span:
+    * (doc_id, span_start, span_len, span_text) — span_start is the
+    * 0-based token index, span_text the ORIGINAL-case tokens
+    * (matching is case-insensitive, [[removeDuplicateSpans]]'s
+    * convention). [[removeDuplicateSpans]] removes exactly the union
+    * of these spans (DedupSpec pins the per-doc count equality), and
+    * on corpora whose duplicates are exactly k tokens long every
+    * span has length exactly k (the fixed-k equivalence the spec
+    * pins).
+    *
+    * Scale shape: window-occurrence counts map-side-combine; only
+    * DUPLICATED windows join back (shuffle ∝ true duplication); the
+    * run-merge window partitions by doc over dup-window STARTS only
+    * (skinny ints, bounded by the doc's token count — never a
+    * corpus-wide sort); span text is sliced in the final projection
+    * where spans meet their doc's tokens in one id-keyed join.
+    */
+  def maximalDuplicateSpans(df: DataFrame, id: Column, text: Column, k: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toksC = col("__toks")
+    val docs = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+    val wins =
+      if (hashKeys)
+        docs.select(col("doc_id"),
+          posexplode(graft.functions.MinHash.windowHashes(concat_ws(" ", toksC), k)))
+          .toDF("doc_id", "p", "win")
+      else docs.select(col("doc_id"),
+        posexplode(when(size(toksC) >= k,
+            transform(sequence(lit(0), size(toksC) - k),
+              i => lower(concat_ws(" ", slice(toksC, i + lit(1), lit(k))))))
+          .otherwise(array().cast("array<string>"))))
+        .toDF("doc_id", "p", "win")
+    val dups = wins.groupBy("win").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > 1)
+      .select(col("win"))
+    val starts = wins.join(dups, "win").select(col("doc_id"), col("p"))
+    // classic interval merge over per-doc dup starts: a gap > k between
+    // consecutive starts breaks the run ([p1, p1+k) and [p2, p2+k)
+    // overlap-or-abut iff p2 <= p1 + k)
+    val byDoc = Window.partitionBy("doc_id").orderBy("p")
+    val spans = starts
+      .withColumn("__new", when(
+        col("p") - lag(col("p"), 1).over(byDoc) > k || lag(col("p"), 1).over(byDoc).isNull,
+        1L).otherwise(0L))
+      .withColumn("__span", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("__span"))
+      .agg(min(col("p")).as("span_start"),
+        (max(col("p")) + lit(k) - min(col("p"))).cast("long").as("span_len"))
+    spans.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+        col("span_len"),
+        array_join(slice(toksC, col("span_start") + 1, col("span_len").cast("int")), " ")
+          .as("span_text"))
   }
 
   /** Shingles pre-hashed to 64-bit values: set operations (jaccard,

@@ -118,6 +118,50 @@ class DedupSpec extends SparkTestBase {
     assert(again.forall(_._3 == 0L), s"second pass removed tokens: ${again.mkString(",")}")
   }
 
+  test("maximalDuplicateSpans: variable-length merged runs — hand-computed") {
+    import spark.implicits._
+    // common1 = 12 shared tokens (A<->B), common2 = 9 shared (A<->C);
+    // A carries both regions separated by 9 unique tokens
+    val common1 = (1 to 12).map(i => s"c$i").mkString(" ")
+    val common2 = (1 to 9).map(i => s"d$i").mkString(" ")
+    val uniq = (1 to 9).map(i => s"u$i").mkString(" ")
+    val df = Seq(
+      (0L, s"$common1 $uniq $common2"), // spans [0,12) and [21,30)
+      (1L, common1),                    // span [0,12)
+      (2L, s"v1 v2 $common2")           // span [2,11)
+    ).toDF("doc_id", "text")
+    val out = Dedup.maximalDuplicateSpans(df, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0L, 12L, common1),
+      (0L, 21L, 9L, common2),
+      (1L, 0L, 12L, common1),
+      (2L, 2L, 9L, common2)))
+    // union-of-spans equals exactly what removeDuplicateSpans cuts
+    // (spans are disjoint maximal runs, so their lengths sum to the
+    // covered-position count)
+    val sums = out.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val removed = Dedup.removeDuplicateSpans(df, col("doc_id"), col("text"), k = 8)
+      .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+    assert(removed.filter(_._2 > 0) == sums)
+    // fixed-k equivalence: duplicates of EXACTLY k tokens yield spans
+    // of length exactly k — the k-gram window set itself
+    val exact = Seq(
+      (0L, "p q r s t u v w a1 a2"),
+      (1L, "b1 b2 p q r s t u v w")).toDF("doc_id", "text")
+    val spans = Dedup.maximalDuplicateSpans(exact, col("doc_id"), col("text"), k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(spans == Seq(
+      (0L, 0L, 8L, "p q r s t u v w"),
+      (1L, 2L, 8L, "p q r s t u v w")))
+    // hashed-key scale path: identical spans
+    val hashed = Dedup.maximalDuplicateSpans(df, col("doc_id"), col("text"), k = 8,
+      hashKeys = true).orderBy("doc_id", "span_start")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hashed == out)
+  }
+
   test("incrementalDedup keeps only fingerprints unseen in the known set") {
     import spark.implicits._
     val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")
