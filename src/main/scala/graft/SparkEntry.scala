@@ -1672,6 +1672,75 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Recall gate on the composed IVF×PQ serve (q161's pattern applied
+    * to q234): truth = the exact in-bucket IVF serve, candidate = the
+    * ADC top-4 re-ranked to 3 — rerank < bucket size, so the ADC cut
+    * genuinely gates and the recall measures PQ quality. The oracle
+    * replicates both pipelines and the per-query recall join.
+    */
+  private def qIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_rec", digest).toString
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    val queries = e.where(col("id") >= 5 && col("id") < 10)
+    val truth = graft.operators.Similarity.ivfTopKIndexed(
+      queries, graft.operators.Similarity.ivfIndexWith(e, cents), k = 3)
+    val cand = graft.operators.Similarity.ivfPqTopK(
+      s, idx, queries, k = 3, nProbe = 1, rerank = 4)
+    graft.operators.Similarity.topKRecall(truth, cand).orderBy("query_id")
+  }
+
+  /** Storage-level append to the composed IVF×PQ index: the index
+    * builds over 3/4 of the corpus, the remaining 1/4 appends (only
+    * the batch pays assignment + encoding; existing files untouched —
+    * spec-pinned by inventory), and the serve must equal q234's
+    * full-corpus build exactly (q234's oracle verbatim).
+    */
+  private def qIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_app", digest).toString
+    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
+      e.where(pmod(col("id"), lit(4L)) =!= 3), cents, model, path)
+    val idx = graft.operators.Similarity.ivfPqAppend(
+      idx0, e.where(pmod(col("id"), lit(4L)) === 3))
+    graft.operators.Similarity.ivfPqTopK(
+      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Benchmark-anchored span decontamination: every corpus span of
+    * ≥ 8 tokens that appears verbatim in the benchmark (here: the
+    * first 12 tokens of every 7th document) is cut — the span-level
+    * eval-decontamination scrub beside q196's rate and q85's
+    * whole-doc bloom drop.
+    */
+  private def qBenchDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").where(col("doc_id") < 200)
+    val bench = t(s, dir, "documents").where(col("doc_id") % 7 === 0)
+      .select(array_join(
+        slice(TextAnalysis.tokens(col("text")), 1, 12), " ").as("btext"))
+    Dedup.removeBenchmarkSpans(docs, col("doc_id"), col("text"),
+      bench, col("btext"), k = 8)
+      .orderBy("doc_id")
+  }
+
   /** Multi-rater agreement: Fleiss' kappa over a crowd-labeled item
     * set (items = hashed users, labels = event types, varying ratings
     * per item) — single-fraction integer-exact ppm, q187's
@@ -4079,6 +4148,9 @@ object SparkEntry {
     "q236_wordpiece_fertility" -> qWordPieceFertility _,
     "q237_avro_roundtrip" -> qAvroRoundtrip _,
     "q238_maximal_dup_spans" -> qMaximalDupSpans _,
+    "q239_ivf_pq_recall" -> qIvfPqRecall _,
+    "q240_bench_decontaminate" -> qBenchDecontaminate _,
+    "q241_ivf_pq_append" -> qIvfPqAppend _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -4157,6 +4229,42 @@ object SparkEntry {
         |   FROM model1 m LEFT JOIN usage2 u ON m.piece = u.piece
         |   WHERE coalesce(u.score, 0) > 0 OR len(m.piece) = 1)
         |""".stripMargin
+    // shared prefix of the composed-IVF×PQ oracles (q234 serve, q239
+    // recall gate; q241 aliases q234): q26's cosine coarse assignment
+    // (cents = id<8), q109's closed-form PQ codebook (iters=1, slices
+    // of the first 8 fixed-point vectors), and the integer ADC
+    // distance of every in-bucket candidate pair for queries 5..9
+    val ivfPqOracleCtes =
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | ivfcents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
+        | assigned AS (
+        |  SELECT vec_id, cent_id AS bucket FROM (
+        |   SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_dot_product(e.vec, c.cent_v) /
+        |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+        |      c.cent_id) AS rk
+        |   FROM e CROSS JOIN ivfcents c) WHERE rk = 1),
+        | fp AS (SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v FROM embeddings),
+        | sub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv FROM fp CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
+        | pcents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+        |            FROM sub WHERE id < 8),
+        | codes AS (
+        |  SELECT id, j, cid AS code FROM (
+        |   SELECT s.id, s.j, c.cid,
+        |    row_number() OVER (PARTITION BY s.id, s.j ORDER BY
+        |      list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
+        |   FROM sub s JOIN pcents c ON s.j = c.j) WHERE rk = 1),
+        | adc AS (
+        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+        |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+        |  FROM assigned qa
+        |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+        |  JOIN sub qs ON qs.id = qa.vec_id
+        |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
+        |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
+        |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10
+        |  GROUP BY 1, 2)""".stripMargin
     // shared prefix of the two WordPiece oracles: word-frequency
     // collapse, delimiter encoding (q138's), then THREE unrolled
     // likelihood-gain merge rounds — each a symbol-count aggregate, an
@@ -7703,60 +7811,99 @@ object SparkEntry {
           |SELECT query_id, neighbor_id, cos FROM ranked WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
-      // composed IVF×PQ serve, full two-stage pipeline in SQL: q26's
-      // cosine coarse assignment (cents = id<8) gates candidates to
-      // the query's bucket, q109's closed-form PQ codebook (iters=1,
-      // slices of the first 8 fixed-point vectors) scores them by
-      // integer ADC, the ADC top-10 survive, and the exact rounded
-      // cosine re-ranks the survivors to top-3 — so the gate checks
-      // the REAL candidate-generation semantics including any true
-      // neighbor the ADC cut drops
+      // composed IVF×PQ serve, full two-stage pipeline in SQL (shared
+      // prefix): the ADC top-10 survive, and the exact rounded cosine
+      // re-ranks the survivors to top-3 — so the gate checks the REAL
+      // candidate-generation semantics including any true neighbor
+      // the ADC cut drops
       "q234_ivf_pq_serve" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-          | ivfcents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
-          | assigned AS (
-          |  SELECT vec_id, cent_id AS bucket FROM (
-          |   SELECT e.vec_id, c.cent_id,
-          |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
-          |      round(list_dot_product(e.vec, c.cent_v) /
-          |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
-          |      c.cent_id) AS rk
-          |   FROM e CROSS JOIN ivfcents c) WHERE rk = 1),
-          | fp AS (SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v FROM embeddings),
-          | sub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv FROM fp CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
-          | pcents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
-          |            FROM sub WHERE id < 8),
-          | codes AS (
-          |  SELECT id, j, cid AS code FROM (
-          |   SELECT s.id, s.j, c.cid,
-          |    row_number() OVER (PARTITION BY s.id, s.j ORDER BY
-          |      list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
-          |   FROM sub s JOIN pcents c ON s.j = c.j) WHERE rk = 1),
-          | adc AS (
-          |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
-          |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
-          |  FROM assigned qa
-          |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
-          |  JOIN sub qs ON qs.id = qa.vec_id
-          |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
-          |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
-          |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10
-          |  GROUP BY 1, 2),
-          | cand AS (SELECT query_id, neighbor_id FROM (
-          |  SELECT query_id, neighbor_id,
-          |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
-          |  FROM adc) WHERE rk <= 10),
-          | rer AS (
-          |  SELECT cd.query_id, cd.neighbor_id,
-          |   round(list_dot_product(q.vec, c.vec) /
-          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
-          |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
-          |  JOIN e c ON c.vec_id = cd.neighbor_id)
-          |SELECT query_id, neighbor_id, cos FROM (
-          | SELECT query_id, neighbor_id, cos,
-          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
-          | FROM rer) WHERE rk <= 3
-          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+        (ivfPqOracleCtes +
+          """,
+            | cand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM adc) WHERE rk <= 10),
+            | rer AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id)
+            |SELECT query_id, neighbor_id, cos FROM (
+            | SELECT query_id, neighbor_id, cos,
+            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            | FROM rer) WHERE rk <= 3
+            |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
+      // recall gate on the composed serve: exact in-bucket top-3 vs
+      // the ADC-top-4-then-rerank-to-3 candidate — both pipelines
+      // replicated, joined per query
+      "q239_ivf_pq_recall" ->
+        (ivfPqOracleCtes +
+          """,
+            | joined AS (
+            |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM assigned qa
+            |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+            |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id
+            |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10),
+            | exact AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            |  FROM joined) WHERE rk <= 3),
+            | cand4 AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM adc) WHERE rk <= 4),
+            | rer AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cand4 cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id),
+            | cand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            |  FROM rer) WHERE rk <= 3)
+            |SELECT x.query_id, count(*)::BIGINT AS n_truth,
+            | sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit,
+            | (sum(CASE WHEN c.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+            |   // count(*))::BIGINT AS recall_per_mille
+            |FROM exact x LEFT JOIN cand c
+            |  ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin),
+
+      // q97's corpus-window machinery with the duplication test
+      // replaced by membership in the benchmark window set (first 12
+      // tokens of every 7th doc); LEFT joins keep uncontaminated docs
+      "q240_bench_decontaminate" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+          | FROM documents WHERE doc_id < 200),
+          |bt AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')[1:12] AS toks
+          | FROM documents WHERE doc_id % 7 = 0),
+          |bw AS (SELECT DISTINCT array_to_string(list_transform(toks[i:i+7], x -> lower(x)), ' ') AS win
+          | FROM bt, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i)
+          | WHERE len(toks) >= 8),
+          |w AS (SELECT doc_id, i - 1 AS p,
+          |  array_to_string(list_transform(toks[i:i+7], x -> lower(x)), ' ') AS win
+          | FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 8 + 2)) AS i)
+          | WHERE len(toks) >= 8),
+          |cov AS (SELECT DISTINCT doc_id, tp FROM (
+          |  SELECT doc_id, unnest(range(p, p + 8)) AS tp FROM w JOIN bw USING (win))),
+          |tok AS (SELECT doc_id, unnest(toks) AS tok,
+          |  generate_subscripts(toks, 1) - 1 AS tp FROM t),
+          |agg AS (SELECT tok.doc_id,
+          |  sum(CASE WHEN cov.tp IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+          |  string_agg(CASE WHEN cov.tp IS NULL THEN tok.tok END, ' ' ORDER BY tok.tp) AS cleaned_text
+          | FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.tp = cov.tp
+          | GROUP BY tok.doc_id)
+          |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+          | coalesce(a.n_removed, 0)::BIGINT AS n_removed,
+          | coalesce(a.cleaned_text, '') AS cleaned_text
+          |FROM t LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""".stripMargin,
 
       // WordPiece: 3 likelihood-gain merge rounds unrolled (shared
       // prefix), the learned merges with their integer scores
@@ -7924,5 +8071,8 @@ object SparkEntry {
       ("q222_ivf_migrate_partitioned" -> base("q219_ivf_retrain_migrate")) +
       // Avro read-back must reproduce the parquet originals exactly —
       // the ORC roundtrip's oracle verbatim
-      ("q237_avro_roundtrip" -> base("q184_orc_roundtrip"))
+      ("q237_avro_roundtrip" -> base("q184_orc_roundtrip")) +
+      // storage-level append to the composed IVF×PQ index must serve
+      // exactly like the from-scratch full-corpus build
+      ("q241_ivf_pq_append" -> base("q234_ivf_pq_serve"))
 }

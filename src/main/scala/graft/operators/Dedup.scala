@@ -408,6 +408,63 @@ object Dedup {
           .as("cleaned_text"))
   }
 
+  /** BENCHMARK-anchored span decontamination — [[removeDuplicateSpans]]
+    * with the duplication test replaced by membership in an evaluation
+    * corpus: every token position covered by a k-token window that
+    * ALSO occurs in `bench` is cut (the Lee et al. 2022 / GPT-3-style
+    * eval-decontamination scrub at span granularity, vs the per-doc
+    * contamination RATE q196 reports and the whole-doc bloom drop
+    * q85 applies). Same k-gram coverage equivalence as
+    * [[maximalDuplicateSpans]]: the cut set is exactly the union of
+    * all corpus substrings of length ≥ k that appear verbatim in the
+    * benchmark. Output: (doc_id, n_tokens, n_removed, cleaned_text),
+    * every input doc present.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT windows
+    * (an eval suite is tiny next to a training corpus, but nothing
+    * here requires it — the semi-join is windows-keyed either way);
+    * only matching windows' START positions aggregate per doc; text
+    * meets the covered sets in one id-keyed join. `hashKeys=true`
+    * swaps window strings for the native 8-byte `window_hashes` on
+    * every exchange — the corpus-scale path.
+    */
+  def removeBenchmarkSpans(df: DataFrame, id: Column, text: Column,
+      bench: DataFrame, benchText: Column, k: Int,
+      hashKeys: Boolean = false): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val toksC = col("__toks")
+    def windows(docs: DataFrame): DataFrame =
+      if (hashKeys)
+        docs.select(col("doc_id"),
+          posexplode(graft.functions.MinHash.windowHashes(concat_ws(" ", toksC), k)))
+          .toDF("doc_id", "p", "win")
+      else docs.select(col("doc_id"),
+        posexplode(when(size(toksC) >= k,
+            transform(sequence(lit(0), size(toksC) - k),
+              i => lower(concat_ws(" ", slice(toksC, i + lit(1), lit(k))))))
+          .otherwise(array().cast("array<string>"))))
+        .toDF("doc_id", "p", "win")
+    val docs = df.select(id.as("doc_id"), TextAnalysis.tokens(text).as("__toks"))
+    val benchWins = windows(
+      bench.select(lit(0L).as("doc_id"), TextAnalysis.tokens(benchText).as("__toks")))
+      .select("win").distinct()
+    val covered = windows(docs).join(benchWins, Seq("win"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_set(col("p")).as("__ps"))
+    val kept = filter(
+      transform(toksC, (t, i) => struct(t.as("t"), i.as("i"))),
+      s => col("__ps").isNull ||
+        !exists(col("__ps"), p =>
+          p <= s.getField("i") && s.getField("i") < p + lit(k)))
+    docs.join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), toksC, kept.as("__kept"))
+      .select(col("doc_id"),
+        size(toksC).cast("long").as("n_tokens"),
+        (size(toksC) - size(col("__kept"))).cast("long").as("n_removed"),
+        array_join(transform(col("__kept"), s => s.getField("t")), " ")
+          .as("cleaned_text"))
+  }
+
   /** VARIABLE-LENGTH maximal duplicated-span inventory — the
     * suffix-array dedup's span report (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better")

@@ -592,6 +592,34 @@ object Similarity {
       .drop("rk")
   }
 
+  /** Incrementally extend a PERSISTED composed [[IvfPqIndex]] with a
+    * batch of new vectors — [[ivfIndexAppend]]'s storage-level sibling
+    * for the IVF×PQ layout: ONLY the batch pays assignment + PQ
+    * encoding (map-only against the broadcast centroids / plan-literal
+    * codebook), and the coded rows land via an APPEND write into the
+    * same bucket partition directories — existing files are never
+    * rewritten (AvroArchive-style certainty is spec-pinned by file
+    * inventory). Centroids and codebook stay fixed by contract (the
+    * [[ivfIndexAppend]] argument); re-centering is
+    * [[ivfApplyMovesPartitioned]]'s job.
+    *
+    * Serving the extended index equals serving a from-scratch
+    * [[ivfPqWritePartitioned]] over old ∪ batch: assignment and
+    * encoding are per-row deterministic, so the union of coded
+    * assignments IS the coded assignment of the union (q241 pins it
+    * under the DuckDB gate with q234's oracle verbatim; the spec pins
+    * the storage inventory).
+    */
+  def ivfPqAppend(index: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
+    val batchIn = batch.select(col("id").as("doc_id"), col("vec").as("v"))
+    val assigned = ivfAssignWith(batchIn, index.cents)
+    graft.operators.Clustering.pqEncode(assigned, col("v"), index.model, index.fpScale)
+      .select(col("doc_id").as("neighbor_id"), col("codes"),
+        col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(index.path)
+    index
+  }
+
   /** Symmetric per-vector int8 quantization: scale = 127/max|x|,
     * q_i = floor(x_i*scale + 0.5) (round-half-up — engine-exact, no
     * banker's-rounding divergence). 4× smaller vectors on disk and

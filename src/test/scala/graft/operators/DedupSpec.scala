@@ -162,6 +162,36 @@ class DedupSpec extends SparkTestBase {
     assert(hashed == out)
   }
 
+  test("removeBenchmarkSpans: only benchmark-matching spans cut — hand-computed") {
+    import spark.implicits._
+    val secret = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token eval string
+    val docs = Seq(
+      (0L, s"a b $secret c d"),  // contains the eval string -> positions 2..11 cut
+      (1L, "a b c d e f g h"),   // clean 8 tokens: intact
+      (2L, s"${secret.toUpperCase} tail") // case-insensitive match -> 0..9 cut
+    ).toDF("doc_id", "text")
+    val bench = Seq(secret, "q r s t u v w x y z").toDF("btext") // 2nd entry matches nothing
+    val out = Dedup.removeBenchmarkSpans(docs, col("doc_id"), col("text"),
+      bench, col("btext"), k = 8)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (0L, 14L, 10L, "a b c d"),
+      (1L, 8L, 0L, "a b c d e f g h"),
+      (2L, 11L, 10L, "tail")))
+    // self-duplication without benchmark membership must NOT cut:
+    // two identical corpus docs, benchmark disjoint
+    val selfdup = Seq((0L, "m n o p q r s t"), (1L, "m n o p q r s t")).toDF("doc_id", "text")
+    val clean = Dedup.removeBenchmarkSpans(selfdup, col("doc_id"), col("text"),
+      bench, col("btext"), k = 8)
+      .as[(Long, Long, Long, String)].collect()
+    assert(clean.forall(_._3 == 0L), "corpus-internal dups are not contamination")
+    // hashed-key scale path identical
+    val hashed = Dedup.removeBenchmarkSpans(docs, col("doc_id"), col("text"),
+      bench, col("btext"), k = 8, hashKeys = true)
+      .orderBy("doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(hashed == out)
+  }
+
   test("incrementalDedup keeps only fingerprints unseen in the known set") {
     import spark.implicits._
     val corpus = Seq((0L, "alpha beta"), (1L, "gamma delta")).toDF("doc_id", "text")

@@ -342,6 +342,46 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 3L))
   }
 
+  test("ivfPqAppend: existing files untouched, serve equals from-scratch union build") {
+    import spark.implicits._
+    val all = (0L until 64L).map { i =>
+      (i, (0 until 8).map(d => ((i * 29 + d * 13) % 11).toDouble - 5.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val base = all.where(col("id") % 4 =!= 3)
+    val batch = all.where(col("id") % 4 === 3)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_app").toString + "/idx"
+    val idx0 = Similarity.ivfPqWritePartitioned(base, cents, model, dir)
+    def inventory(): Map[String, String] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (d.getName + "/" + f.getName) -> h
+        }).toMap
+    }
+    val before = inventory()
+    val idx = Similarity.ivfPqAppend(idx0, batch)
+    val after = inventory()
+    // append-only storage: every pre-existing file survives byte-identical
+    assert(before.forall { case (f, h) => after.get(f).contains(h) },
+      "append must not rewrite existing files")
+    assert(after.size > before.size, "append must add files")
+    // serve equality with a from-scratch build over the union
+    val scratchDir = java.nio.file.Files.createTempDirectory("ivf_pq_app2").toString + "/idx"
+    val scratch = Similarity.ivfPqWritePartitioned(all, cents, model, scratchDir)
+    val queries = all.where(col("id") < 5)
+    def rows(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 64)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx) == rows(scratch))
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
