@@ -1741,6 +1741,62 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Per-document WordPiece fertility — q232's WordPiece sibling: the
+    * vocab-sized per-word fertility table joins onto exploded tokens,
+    * one doc-keyed aggregate sums it.
+    */
+  private def qWordPieceFertilityDocs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Training.wordpieceFertilityDocs(
+      t(s, dir, "documents"), col("doc_id"), col("text"), nMerges = 3)
+      .orderBy("doc_id")
+
+  /** Streaming serve against the composed IVF×PQ index: q234's
+    * two-stage semantics with a query stream — plan-literal centroid
+    * assignment + per-query LUT, one stream-static bucket join, and
+    * the ADC cut + exact re-rank in a single stateless
+    * flatMapGroupsWithState. The AvailableNow drain must equal q234's
+    * batch serve (its oracle verbatim).
+    */
+  private def qStreamIvfPqServe(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = e0.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").cast("long").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_strm", digest).toString
+    graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    val coded = s.read.parquet(path)
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
+        col("codes"), col("c_vec"), col("c_norm"))
+    val qs = s.readStream.schema(e0.schema).parquet(streamDir(dir, "embeddings"))
+      .where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val served = graft.streaming.StreamingOps.streamingIvfPqServe(
+      qs, cents, model, coded, k = 3, rerank = 10)
+    val q = served.writeStream.format("memory").queryName("graft_stream_ivfpq")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_ivfpq")
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Robust per-language outlier gate on document length: exact
+    * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
+    * count — both medians off the two-phase histogram kernel.
+    */
+  private def qMadProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiling.madProfile(
+      t(s, dir, "documents"), col("lang"), col("n_chars"))
+      .orderBy("g")
+
   /** Multi-rater agreement: Fleiss' kappa over a crowd-labeled item
     * set (items = hashed users, labels = event types, varying ratings
     * per item) — single-fraction integer-exact ppm, q187's
@@ -4151,6 +4207,9 @@ object SparkEntry {
     "q239_ivf_pq_recall" -> qIvfPqRecall _,
     "q240_bench_decontaminate" -> qBenchDecontaminate _,
     "q241_ivf_pq_append" -> qIvfPqAppend _,
+    "q242_wordpiece_fertility_docs" -> qWordPieceFertilityDocs _,
+    "q243_stream_ivf_pq" -> qStreamIvfPqServe _,
+    "q244_mad_profile" -> qMadProfile _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -7944,6 +8003,57 @@ object SparkEntry {
             |SELECT word, cnt::BIGINT AS cnt, np::BIGINT AS n_pieces, seg
             |FROM best ORDER BY word""".stripMargin),
 
+      // q236's vocab + greedy-tiling DP, then the per-word fertility
+      // joined onto every document's exploded tokens (q232's pattern)
+      "q242_wordpiece_fertility_docs" ->
+        (wordpieceOracle3 +
+          """, vocab AS (
+            |  SELECT DISTINCT piece FROM (
+            |   SELECT unnest([substr(word, i, 1) FOR i IN range(1, len(word) + 1)]) AS piece FROM w
+            |   UNION ALL SELECT l || r FROM t1
+            |   UNION ALL SELECT l || r FROM t2
+            |   UNION ALL SELECT l || r FROM t3)),
+            | dp AS (
+            |  SELECT word, cnt, 0 AS pos, 0 AS np, '' AS seg, '' AS lens FROM w
+            |  UNION ALL
+            |  SELECT d.word, d.cnt, d.pos + len(v.piece), d.np + 1,
+            |    CASE WHEN d.seg = '' THEN v.piece ELSE d.seg || ' ' || v.piece END,
+            |    d.lens || chr((48 + len(v.piece))::INT)
+            |  FROM dp d JOIN vocab v ON v.piece = substr(d.word, d.pos + 1, len(v.piece))
+            |  WHERE d.pos + len(v.piece) <= len(d.word)),
+            | best AS (SELECT word, np FROM (
+            |  SELECT word, np,
+            |   row_number() OVER (PARTITION BY word ORDER BY lens DESC, seg) AS rk
+            |  FROM dp WHERE pos = len(word)) WHERE rk = 1),
+            | fert AS (SELECT w.word, coalesce(b.np, 0)::BIGINT AS np
+            |  FROM w LEFT JOIN best b ON w.word = b.word),
+            | toks AS (SELECT doc_id, unnest(list_filter(
+            |   regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS word
+            |  FROM documents)
+            |SELECT t.doc_id::BIGINT AS doc_id, count(*)::BIGINT AS n_words,
+            | sum(f.np)::BIGINT AS n_pieces
+            |FROM toks t JOIN fert f ON t.word = f.word
+            |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
+
+      // two cumulative-histogram type-1 medians (value, then absolute
+      // deviation), outliers = |v - med| > 3*mad
+      "q244_mad_profile" ->
+        """WITH b AS (SELECT lang AS g, n_chars::BIGINT AS v FROM documents),
+          | tot AS (SELECT g, count(*) AS n FROM b GROUP BY g),
+          | h1 AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+          | cu1 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v) AS cum FROM h1),
+          | med AS (SELECT cu1.g, min(v) AS med FROM cu1 JOIN tot USING (g)
+          |         WHERE cum * 2 >= n + n % 2 GROUP BY cu1.g),
+          | d AS (SELECT b.g, m.med, abs(b.v - m.med) AS dev FROM b JOIN med m USING (g)),
+          | h2 AS (SELECT g, dev, count(*) AS c FROM d GROUP BY 1, 2),
+          | cu2 AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) AS cum FROM h2),
+          | mad AS (SELECT cu2.g, min(dev) AS mad FROM cu2 JOIN tot USING (g)
+          |         WHERE cum * 2 >= n + n % 2 GROUP BY cu2.g)
+          |SELECT d.g, count(*)::BIGINT AS n, min(d.med)::BIGINT AS med,
+          | min(mad.mad)::BIGINT AS mad,
+          | sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+          |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
+
       // unigram-LM hard-EM unrolled: substring seed, then per round a
       // recursive-CTE Viterbi DP (all tilings enumerated, best by
       // (np, score desc, seg) — words are <= 8 chars so enumeration is
@@ -8074,5 +8184,7 @@ object SparkEntry {
       ("q237_avro_roundtrip" -> base("q184_orc_roundtrip")) +
       // storage-level append to the composed IVF×PQ index must serve
       // exactly like the from-scratch full-corpus build
-      ("q241_ivf_pq_append" -> base("q234_ivf_pq_serve"))
+      ("q241_ivf_pq_append" -> base("q234_ivf_pq_serve")) +
+      // the streaming drain must equal the batch composed serve
+      ("q243_stream_ivf_pq" -> base("q234_ivf_pq_serve"))
 }

@@ -272,6 +272,48 @@ object Profiling {
     out
   }
 
+  /** Robust per-group outlier gate: exact type-1 median, exact MAD
+    * (median absolute deviation — the robust spread statistic that,
+    * unlike stddev, one bot's 10⁹-char "document" cannot drag), and
+    * the count of |v − median| > madFactor·MAD outliers. Output:
+    * (g, n, med, mad, n_outliers).
+    *
+    * Scale: BOTH medians come off the two-phase
+    * [[exactGroupQuantiles]] histogram kernel (value-domain-bounded
+    * windows, never a per-group row sort); the two model-sized
+    * median tables broadcast back, so corpus rows cross only hash
+    * exchanges into the bucket aggregates and the final group count.
+    */
+  def madProfile(
+      df: DataFrame,
+      group: Column,
+      value: Column,
+      madFactor: Int = 3,
+      coarseBits: Int = 22): DataFrame = {
+    require(madFactor >= 1, s"madFactor must be >= 1, got $madFactor")
+    val base = df.select(group.as("g"), value.cast("long").as("v")).persist()
+    base.count()
+    val med = exactGroupQuantiles(base, Seq(500), coarseBits)
+      .select(col("g"), col("qv").as("med"))
+    val devs = base.join(broadcast(med), "g")
+      .select(col("g"), col("med"), abs(col("v") - col("med")).as("dev"))
+      .persist()
+    devs.count()
+    val mad = exactGroupQuantiles(
+      devs.select(col("g"), col("dev").as("v")), Seq(500), coarseBits)
+      .select(col("g"), col("qv").as("mad"))
+    val out = devs.join(broadcast(mad), "g")
+      .groupBy(col("g"), col("med"), col("mad"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("dev") > col("mad") * madFactor, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g"), col("n"), col("med"), col("mad"), col("n_outliers"))
+      .localCheckpoint(true)
+    devs.unpersist()
+    base.unpersist()
+    out
+  }
+
   /** Certified Misra–Gries heavy hitters (q16/q94 pattern): run the
     * mergeable k-counter sketch (native `heavy_hitters` aggregate —
     * every task carries at most k counters, the reason this beats a

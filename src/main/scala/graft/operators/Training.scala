@@ -232,6 +232,33 @@ object Training {
     out
   }
 
+  /** Per-DOCUMENT WordPiece fertility — [[unigramFertilityDocs]]'s
+    * WordPiece sibling: greedy segmentation is word-LOCAL, so the
+    * vocab-sized per-word fertility table ([[wordpieceFertility]])
+    * joins onto the exploded tokens (UNHINTED — AQE broadcasts it
+    * exactly when it fits) and one doc-keyed aggregate sums it.
+    * Corpus rows pay one explode + two skinny exchanges, never the
+    * segmentation.
+    */
+  def wordpieceFertilityDocs(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      nMerges: Int,
+      scoreScale: Long = 1000000000000L): DataFrame = {
+    val wordFert = wordpieceFertility(df, text, nMerges, scoreScale)
+    val out = df
+      .select(id.cast("long").as("doc_id"),
+        explode(TextAnalysis.tokens(lower(text))).as("word"))
+      .join(wordFert.select(col("word"), col("n_pieces")), "word")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
+      .persist()
+    out.count()
+    wordFert.unpersist()
+    out
+  }
+
   /** Shared WordPiece loop: returns the PERSISTED word-frequency table
     * (caller unpersists) and the learned merges in order.
     */

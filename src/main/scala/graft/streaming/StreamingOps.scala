@@ -434,6 +434,80 @@ object StreamingOps {
       .toDF("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Streaming serve against the COMPOSED IVF×PQ index — q234's
+    * two-stage semantics with a query STREAM: each micro-batch query
+    * assigns to its nearest coarse bucket (plan-literal centroids,
+    * map-only) and computes its ADC lookup table once (plan-literal
+    * codebook, native `pq_lut`); candidates come from ONE
+    * stream-static bucket join against the coded table; and the
+    * per-query ADC-top-`rerank` cut plus exact-cosine re-rank both
+    * run inside a single stateless flatMapGroupsWithState (candidates
+    * are batch-local; nothing is stored — the memory bound is the
+    * probed bucket's size, the batch serve's own bound).
+    *
+    * The drained output equals [[graft.operators.Similarity
+    * .ivfPqTopK]] row-for-row for the same queries (q243 pins it
+    * under the DuckDB gate with q234's oracle). Note the streaming
+    * twin carries (codes, c_vec, c_norm) through the one candidate
+    * join — a serving fleet would split the fetch like the batch
+    * path; the stream side's state is still zero.
+    */
+  def streamingIvfPqServe(
+      queryStream: DataFrame,
+      cents: DataFrame,
+      model: Array[Array[Array[Long]]],
+      coded: DataFrame,
+      k: Int,
+      rerank: Int,
+      fpScale: Double = 1000.0): DataFrame = {
+    import graft.operators.Similarity
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val spark = queryStream.sparkSession
+    import spark.implicits._
+    val centRows = cents
+      .select(col("cent_id").cast("long"), col("cent_v").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(centRows.nonEmpty, "streamingIvfPqServe: empty centroid table")
+    require(centRows.length <= 4096,
+      s"streamingIvfPqServe inlines centroids as plan literals; got ${centRows.length}")
+    val m = model.length
+    val flat = model.flatten.flatten
+    val candStructs = centRows.map { case (cid, arr) =>
+      val c = typedLit(arr)
+      struct(
+        round(Similarity.cosineFromNorms(
+          Similarity.dot(col("q_vec"), c), col("q_norm"), Similarity.norm(c)), 6).as("c"),
+        lit(-cid).as("nid"))
+    }
+    val best = if (candStructs.length == 1) candStructs.head else greatest(candStructs: _*)
+    val assignedQ = queryStream
+      .select(col("id").cast("long").as("query_id"), col("vec").as("q_vec"))
+      .withColumn("q_norm", Similarity.norm(col("q_vec")))
+      .withColumn("bucket", -best.getField("nid"))
+      .withColumn("__lut", graft.functions.VecOps.pqLut(
+        graft.functions.VecOps.fixedPoint(col("q_vec"), fpScale),
+        typedLit(flat), m))
+    val scored = assignedQ.join(coded, Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
+        graft.functions.VecOps.pqAdc(col("codes"), col("__lut")).as("adc_dist"),
+        round(Similarity.cosineFromNorms(
+          Similarity.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")), 6)
+          .as("cos"))
+    scored.as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Long, Double)], _: GroupState[Boolean]) =>
+          val cands = rows.toSeq.sortBy(r => (r._3, r._2)).take(rerank)
+          cands.sortBy(r => (-r._4, r._2)).take(k)
+            .map { case (_, nid, _, cos) => (qid, nid, cos) }.iterator
+      }
+      .toDF("query_id", "neighbor_id", "cos")
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,

@@ -76,6 +76,24 @@ class ProfilingSpec extends SparkTestBase {
     assert(r2 == r)
   }
 
+  test("madProfile: exact median/MAD and outlier count — hand-computed") {
+    import spark.implicits._
+    // group a: 1..9 plus one wild outlier 1000 (n=10):
+    //   med = ceil(10/2)=5th smallest = 5; devs sorted:
+    //   0,1,1,2,2,3,3,4,4,995 -> mad = 5th = 2; outliers dev > 6: {995} -> 1
+    // group b: constant 7s -> med 7, mad 0, outliers dev > 0: none
+    val rows = ((1L to 9L) :+ 1000L).map(v => ("a", v)) ++
+      Seq.fill(4)(("b", 7L))
+    val r = Profiling.madProfile(rows.toDF("g", "v"), col("g"), col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r == Seq(("a", 10L, 5L, 2L, 1L), ("b", 4L, 7L, 0L, 0L)))
+    // deterministic across partitionings
+    val r2 = Profiling.madProfile(
+      rows.toDF("g", "v").repartition(7), col("g"), col("v"))
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(r2 == r)
+  }
+
   test("columnStats: one-pass per-column counts, nulls, min/max") {
     import spark.implicits._
     val df = Seq(

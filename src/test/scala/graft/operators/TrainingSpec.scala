@@ -543,6 +543,19 @@ class TrainingSpec extends SparkTestBase {
       ("xy", 1L, 1L, "xy")))
   }
 
+  test("wordpieceFertilityDocs: per-doc sums of the per-word fertility — hand-computed") {
+    import spark.implicits._
+    // same corpus as the trainer test: merges xy, aq, ab; per-word
+    // fertility ab=1, aq=1, pb=2, xy=1
+    val df = Seq(
+      (0L, "ab ab aq aq aq aq aq aq aq aq"),
+      (1L, "pb pb pb pb pb pb pb pb xy")).toDF("doc_id", "text")
+    val out = Training.wordpieceFertilityDocs(df, col("doc_id"), col("text"), nMerges = 3)
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+    // doc 0: 10 words, all 1-piece; doc 1: 8 x pb(2) + xy(1) = 17
+    assert(out == Seq((0L, 10L, 10L), (1L, 9L, 17L)))
+  }
+
   test("unigram segment: fewest pieces, then score, then lexicographic — hand-computed") {
     import spark.implicits._
     val words = Seq("abcd").toDF("word")

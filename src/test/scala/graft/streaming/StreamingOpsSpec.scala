@@ -445,6 +445,29 @@ class StreamingOpsSpec extends SparkTestBase {
       s"streaming serve must equal batch IVF: $served vs $batch")
   }
 
+  test("streamingIvfPqServe equals the batch composed IVF×PQ serve on a drained stream") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val served = graft.SparkEntry.queries("q243_stream_ivf_pq")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val idxDir = Files.createTempDirectory("ivfpq_stream_spec").toString + "/idx"
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, idxDir)
+    val batch = graft.operators.Similarity
+      .ivfPqTopK(spark, idx, e.where(col("id") >= 5 && col("id") < 10),
+        k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(served == batch,
+      s"streaming composed serve must equal batch: $served vs $batch")
+  }
+
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xmlstream")
