@@ -1797,6 +1797,64 @@ object SparkEntry {
       t(s, dir, "documents"), col("lang"), col("n_chars"))
       .orderBy("g")
 
+  /** Compaction of the composed IVF×PQ index after appends: build
+    * over 3/4, append 1/4, compact to one file per bucket, and the
+    * serve must STILL equal q234's full-corpus build (its oracle
+    * verbatim); the spec pins the file counts.
+    */
+  private def qIvfPqCompact(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_cmp", digest).toString
+    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
+      e.where(pmod(col("id"), lit(4L)) =!= 3), cents, model, path)
+    graft.operators.Similarity.ivfPqAppend(idx0, e.where(pmod(col("id"), lit(4L)) === 3))
+    val idx = graft.operators.Similarity.ivfPqCompact(s, idx0)
+    graft.operators.Similarity.ivfPqTopK(
+      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Shot-boundary detection over deterministic GVID videos: 12
+    * frames in 3 scenes of 4 identical frames each (per-scene linear
+    * plane pattern), so cuts land exactly at frames 4 and 8 wherever
+    * the scene hashes differ — the oracle recomputes every frame's
+    * aHash arithmetically (q108's formula) and the same lag/hamming.
+    */
+  private def qVideoSceneCuts(s: SparkSession, dir: String): DataFrame = {
+    val media = gvidTable(s, 30) { i =>
+      val frames = Array.tabulate(12) { f =>
+        val sc = f / 4
+        val a = 3 + ((i * 7 + sc * 5) % 23)
+        val b = 1 + ((i * 11 + sc * 3) % 19)
+        Array.tabulate(64)(j => (((j % 8) * a + (j / 8) * b) % 256).toByte)
+      }
+      graft.multimodal.Multimodal.gvidEncode(8, 8, 4, frames)
+    }
+    graft.multimodal.Multimodal.videoSceneCuts(media, minHamming = 1)
+      .orderBy("media_id", "cut_frame")
+  }
+
+  /** Threshold-VAD silence segmentation over real WAV round trips:
+    * per-window amplitude has the closed form
+    * |((i·13 + w·31) % 200) − 100| (q110's fixture family), so the
+    * oracle recomputes the silent runs arithmetically.
+    */
+  private def qAudioSilence(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal.audioSilenceSegments(
+      wavTable(s, 30) { i =>
+        (8000, Array.tabulate(128)(t => (((i * 13 + (t / 2) * 31) % 200) - 100).toShort))
+      }, threshold = 30L)
+      .orderBy("media_id", "seg_start")
+
   /** Multi-rater agreement: Fleiss' kappa over a crowd-labeled item
     * set (items = hashed users, labels = event types, varying ratings
     * per item) — single-fraction integer-exact ppm, q187's
@@ -4210,6 +4268,9 @@ object SparkEntry {
     "q242_wordpiece_fertility_docs" -> qWordPieceFertilityDocs _,
     "q243_stream_ivf_pq" -> qStreamIvfPqServe _,
     "q244_mad_profile" -> qMadProfile _,
+    "q245_ivf_pq_compact" -> qIvfPqCompact _,
+    "q246_video_scene_cuts" -> qVideoSceneCuts _,
+    "q247_audio_silence" -> qAudioSilence _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -8054,6 +8115,49 @@ object SparkEntry {
           | sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
           |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
 
+      // every frame's aHash recomputed arithmetically (q108's cell
+      // formula at 8x8 — the plane IS the grid), then the lag/hamming
+      // over (media, frame); scene index f//4 drives the pattern
+      "q246_video_scene_cuts" ->
+        """WITH fr AS (SELECT i, f,
+          |   3 + (i*7 + (f//4)*5) % 23 AS a, 1 + (i*11 + (f//4)*3) % 19 AS b
+          |  FROM (SELECT unnest(range(0, 30)) AS i)
+          |  CROSS JOIN (SELECT unnest(range(0, 12)) AS f)),
+          | px AS (SELECT fr.i, fr.f, g.x, g.y,
+          |   ((g.x * fr.a + g.y * fr.b) % 256) AS v
+          |  FROM fr CROSS JOIN (SELECT a.x, b.y
+          |    FROM (SELECT unnest(range(0,8)) AS x) a,
+          |         (SELECT unnest(range(0,8)) AS y) b) g),
+          | mn AS (SELECT i, f, (sum(v) // 64) AS thr FROM px GROUP BY i, f),
+          | hs AS (SELECT px.i, px.f,
+          |   sum(CASE WHEN v > thr AND (y*8 + x) >= 32 THEN (1::BIGINT << (y*8 + x - 32)::INT) ELSE 0 END)::BIGINT AS hi,
+          |   sum(CASE WHEN v > thr AND (y*8 + x) < 32 THEN (1::BIGINT << (y*8 + x)::INT) ELSE 0 END)::BIGINT AS lo
+          |  FROM px JOIN mn ON px.i = mn.i AND px.f = mn.f GROUP BY px.i, px.f),
+          | d AS (SELECT i, f,
+          |   (bit_count(xor(hi, lag(hi) OVER w)) + bit_count(xor(lo, lag(lo) OVER w)))::BIGINT AS dist
+          |  FROM hs WINDOW w AS (PARTITION BY i ORDER BY f))
+          |SELECT i::BIGINT AS media_id, f::BIGINT AS cut_frame, dist
+          |FROM d WHERE dist >= 1 ORDER BY media_id, cut_frame""".stripMargin,
+
+      // per-window closed-form amplitude; silent runs (env < 30)
+      // merged with the interval-merge window
+      "q247_audio_silence" ->
+        """WITH env AS (SELECT i, win,
+          |   abs(((i*13 + win*31) % 200) - 100) AS env
+          |  FROM (SELECT unnest(range(0, 30)) AS i)
+          |  CROSS JOIN (SELECT unnest(range(0, 64)) AS win)),
+          | sil AS (SELECT i, win FROM env WHERE env < 30),
+          | marked AS (SELECT i, win,
+          |   CASE WHEN lag(win) OVER (PARTITION BY i ORDER BY win) IS NULL
+          |         OR win - lag(win) OVER (PARTITION BY i ORDER BY win) > 1
+          |        THEN 1 ELSE 0 END AS nw
+          |  FROM sil),
+          | sp AS (SELECT i, win,
+          |   sum(nw) OVER (PARTITION BY i ORDER BY win) AS seg FROM marked)
+          |SELECT i::BIGINT AS media_id, min(win)::BIGINT AS seg_start,
+          | count(*)::BIGINT AS n_windows
+          |FROM sp GROUP BY i, seg ORDER BY media_id, seg_start""".stripMargin,
+
       // unigram-LM hard-EM unrolled: substring seed, then per round a
       // recursive-CTE Viterbi DP (all tilings enumerated, best by
       // (np, score desc, seg) — words are <= 8 chars so enumeration is
@@ -8186,5 +8290,8 @@ object SparkEntry {
       // exactly like the from-scratch full-corpus build
       ("q241_ivf_pq_append" -> base("q234_ivf_pq_serve")) +
       // the streaming drain must equal the batch composed serve
-      ("q243_stream_ivf_pq" -> base("q234_ivf_pq_serve"))
+      ("q243_stream_ivf_pq" -> base("q234_ivf_pq_serve")) +
+      // compaction rewrites storage only — serve must stay equal to
+      // the full-corpus build
+      ("q245_ivf_pq_compact" -> base("q234_ivf_pq_serve"))
 }

@@ -392,6 +392,145 @@ object Multimodal {
     spark.createDataFrame(rdd, schema)
   }
 
+  /** Per-window loudness ENVELOPE rows — the decoded signal behind
+    * [[audioEnvelopeHash]], exposed as data: 64 rows per decodable
+    * 16-bit clip, (media_id, win, env) with env the window's exact
+    * integer mean absolute amplitude (same windowing arithmetic as
+    * the hash). Undecodable/short clips contribute no rows. Map-only:
+    * the payload never survives past the decode task — 64 skinny
+    * longs per clip reach any exchange.
+    */
+  def audioEnvelope(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("win", IntegerType, nullable = false),
+      StructField("env", LongType, nullable = false)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+            try {
+              val fmt = in.getFormat
+              if (fmt.getSampleSizeInBits != 16) Nil
+              else {
+                val data = in.readAllBytes()
+                val n = data.length / 2
+                if (n < 64) Nil
+                else {
+                  val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                    else java.nio.ByteOrder.LITTLE_ENDIAN
+                  val buf = java.nio.ByteBuffer.wrap(data).order(order)
+                  (0 until 64).map { w =>
+                    val i0 = w * n / 64; val i1 = (w + 1) * n / 64
+                    var s = 0L
+                    var i = i0
+                    while (i < i1) { s += math.abs(buf.getShort(i * 2).toLong); i += 1 }
+                    Row(r.getLong(0), w, s / (i1 - i0))
+                  }
+                }
+              }
+            } finally in.close()
+          } catch { case _: Exception => Nil }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Silence segmentation (threshold VAD): maximal runs of envelope
+    * windows whose mean absolute amplitude is BELOW `threshold` —
+    * the trim/split decision a speech-data pipeline makes before
+    * transcription. One row per maximal silent run:
+    * (media_id, seg_start, n_windows). Scale: the run merge is the
+    * [[graft.operators.Dedup.maximalDuplicateSpans]] interval-merge
+    * window over per-clip silent WINDOW indices (≤ 64 skinny ints per
+    * clip) — payloads never shuffle.
+    */
+  def audioSilenceSegments(df: DataFrame, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val silent = audioEnvelope(df).where(col("env") < threshold)
+      .select(col("media_id"), col("win"))
+    val byClip = Window.partitionBy("media_id").orderBy("win")
+    silent
+      .withColumn("__new", when(
+        col("win") - lag(col("win"), 1).over(byClip) > 1 ||
+          lag(col("win"), 1).over(byClip).isNull, 1L).otherwise(0L))
+      .withColumn("__seg", sum(col("__new")).over(
+        byClip.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("media_id"), col("__seg"))
+      .agg(min(col("win")).cast("long").as("seg_start"),
+        count(lit(1)).as("n_windows"))
+      .select(col("media_id"), col("seg_start"), col("n_windows"))
+  }
+
+  /** EVERY frame's aHash — [[videoFrameHashes]] without the k-sample:
+    * (media_id, frame_no, ahash_hi, ahash_lo). GVID frames hash
+    * straight off the raw planes (header math, no decode); MJPG
+    * decodes each frame via the frame index. Per-video output is
+    * nFrames × 16 bytes — the payload never leaves the scan task.
+    */
+  def videoAllFrameHashes(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_no", IntegerType, nullable = false),
+      StructField("ahash_hi", LongType, nullable = false),
+      StructField("ahash_lo", LongType, nullable = false)))
+    val rdd = df.select(col("media_id").cast(LongType), col("payload")).rdd
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val p = r.getAs[Array[Byte]](1)
+          gvidParseHeader(p) match {
+            case Some((w, h, _, nf)) if w >= 8 && h >= 8 && nf > 0 =>
+              (0 until nf).map { f =>
+                val (hi, lo) = planeAHash(p, GvidHeaderLen + f * w * h, w, h)
+                Row(r.getLong(0), f, hi, lo)
+              }
+            case _ =>
+              mjpgFrameIndex(p) match {
+                case Some((_, idx)) =>
+                  idx.indices.flatMap { f =>
+                    val (off, len) = idx(f)
+                    val (plane, w, h) = mjpgDecodePlane(p, off, len)
+                    if (plane == null || w < 8 || h < 8) Nil
+                    else {
+                      val (hi, lo) = planeAHash(plane, 0, w, h)
+                      Seq(Row(r.getLong(0), f, hi, lo))
+                    }
+                  }
+                case None => Nil
+              }
+          }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Scene-cut detection: frames whose aHash hamming distance from
+    * the PREVIOUS frame is at least `minHamming` — the shot-boundary
+    * signal a video pipeline uses to pick keyframes and split clips.
+    * Output one row per cut: (media_id, cut_frame, dist), cut_frame
+    * the first frame of the new shot. Scale: the lag window
+    * partitions by media over nFrames-bounded 16-byte hash rows;
+    * payloads never shuffle.
+    */
+  def videoSceneCuts(df: DataFrame, minHamming: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minHamming >= 1, s"minHamming must be >= 1, got $minHamming")
+    val byVideo = Window.partitionBy("media_id").orderBy("frame_no")
+    videoAllFrameHashes(df)
+      .withColumn("__phi", lag(col("ahash_hi"), 1).over(byVideo))
+      .withColumn("__plo", lag(col("ahash_lo"), 1).over(byVideo))
+      .where(col("__phi").isNotNull)
+      .select(col("media_id"), col("frame_no").cast("long").as("cut_frame"),
+        (bit_count(expr("ahash_hi ^ __phi")) +
+          bit_count(expr("ahash_lo ^ __plo"))).cast("long").as("dist"))
+      .where(col("dist") >= minHamming)
+  }
+
   // ---------------------------------------------------------------- //
   // Audio: ADPM compressed container (IMA ADPCM, block-aligned)       //
   // ---------------------------------------------------------------- //

@@ -620,6 +620,34 @@ object Similarity {
     index
   }
 
+  /** Compact a PERSISTED composed [[IvfPqIndex]] after many
+    * [[ivfPqAppend]] batches: rewrite the table back under its own
+    * layout with ONE file per bucket partition (appends leave a file
+    * per batch per touched bucket — probe-time I/O then pays a
+    * per-file open cost that grows with ingest history, the same
+    * degradation [[graft.operators.Retrieval.compactInvertedIndex]]
+    * fixes for postings). Rows re-sort by (bucket, neighbor_id)
+    * within partitions so the rewrite is deterministic. The plan is
+    * truncated by an eager localCheckpoint BEFORE the overwrite — the
+    * rewrite reads the very files it replaces (the
+    * [[ivfApplyMovesPartitioned]] lesson). Serving the compacted
+    * index equals serving the input exactly (q246 pins it with q234's
+    * oracle; the spec pins one-file-per-bucket).
+    */
+  def ivfPqCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex): IvfPqIndex = {
+    val all = spark.read.parquet(index.path)
+      .select(col("neighbor_id"), col("codes"), col("c_vec"), col("c_norm"),
+        col("bucket").cast("long").as("bucket"))
+      .repartition(col("bucket"))
+      .sortWithinPartitions("bucket", "neighbor_id")
+      .localCheckpoint(true)
+    all.write.mode("overwrite").partitionBy("bucket").parquet(index.path)
+    all.unpersist()
+    index
+  }
+
   /** Symmetric per-vector int8 quantization: scale = 127/max|x|,
     * q_i = floor(x_i*scale + 0.5) (round-half-up — engine-exact, no
     * banker's-rounding divergence). 4× smaller vectors on disk and

@@ -477,6 +477,53 @@ class MultimodalSpec extends SparkTestBase {
     assert(expected.exists(_._3 > 0), "fixture must produce non-identical near-dups")
   }
 
+  test("videoSceneCuts: cuts exactly at scene boundaries of identical-frame scenes") {
+    import spark.implicits._
+    // 2 scenes x 3 identical frames; patterns differ -> one cut at
+    // frame 3 (and none inside scenes, hamming 0 there)
+    def plane(a: Int, b: Int): Array[Byte] =
+      Array.tabulate(64)(j => (((j % 8) * a + (j / 8) * b) % 256).toByte)
+    val frames = Array.fill(3)(plane(7, 3)) ++ Array.fill(3)(plane(11, 5))
+    val df = Seq((0L, Multimodal.gvidEncode(8, 8, 4, frames)))
+      .toDF("media_id", "payload")
+    val cuts = Multimodal.videoSceneCuts(df, minHamming = 1)
+      .select("media_id", "cut_frame").as[(Long, Long)].collect().toSeq
+    assert(cuts == Seq((0L, 3L)), s"expected one cut at frame 3, got $cuts")
+    // all-frame hashes cover every frame; within-scene distance is 0
+    val n = Multimodal.videoAllFrameHashes(df).count()
+    assert(n == 6L)
+  }
+
+  test("audioSilenceSegments: closed-form silent runs merge into maximal intervals") {
+    import spark.implicits._
+    // 128 samples -> 64 windows of 2; amplitude 100 except windows
+    // 10-14 and 40 at amplitude 3 -> two segments (10,5) and (40,1)
+    val samples = Array.tabulate(128) { t =>
+      val w = t / 2
+      (if ((w >= 10 && w <= 14) || w == 40) 3 else 100).toShort
+    }
+    val payload = {
+      val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+      val bytes = java.nio.ByteBuffer.allocate(samples.length * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.foreach(bytes.putShort)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(bytes.array()), fmt, samples.length),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+    val df = Seq((7L, payload)).toDF("media_id", "payload")
+    val segs = Multimodal.audioSilenceSegments(df, threshold = 30L)
+      .orderBy("seg_start").as[(Long, Long, Long)].collect().toSeq
+    assert(segs == Seq((7L, 10L, 5L), (7L, 40L, 1L)))
+    // envelope itself is the exact per-window mean-abs
+    val env = Multimodal.audioEnvelope(df).where(col("win") === 10)
+      .select("env").as[Long].head()
+    assert(env == 3L)
+  }
+
   test("imageAHash: 16x16 downscales by integer block average to the same hash as its 8x8 twin") {
     import spark.implicits._
     val f = (x: Int, y: Int) => (x * 13 + y * 7) % 256

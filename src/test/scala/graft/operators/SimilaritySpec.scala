@@ -382,6 +382,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(idx) == rows(scratch))
   }
 
+  test("ivfPqCompact: one file per bucket after appends; serve unchanged") {
+    import spark.implicits._
+    val all = (0L until 64L).map { i =>
+      (i, (0 until 8).map(d => ((i * 29 + d * 13) % 11).toDouble - 5.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivf_pq_cmp").toString + "/idx"
+    val idx0 = Similarity.ivfPqWritePartitioned(
+      all.where(col("id") % 4 =!= 3), cents, model, dir)
+    Similarity.ivfPqAppend(idx0, all.where(col("id") % 4 === 3))
+    def filesPerBucket(): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val queries = all.where(col("id") < 5)
+    def rows(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 64)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val beforeServe = rows(idx0)
+    assert(filesPerBucket().values.exists(_ > 1),
+      "append must have left a multi-file bucket for compaction to fix")
+    val idx = Similarity.ivfPqCompact(spark, idx0)
+    assert(filesPerBucket().values.forall(_ == 1),
+      s"compaction must leave one file per bucket: ${filesPerBucket()}")
+    assert(rows(idx) == beforeServe, "compaction must not change the serve")
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
