@@ -1823,6 +1823,30 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Multi-probe serve on the composed IVF×PQ index — q56's recall
+    * knob applied to q234: each query scans its TWO nearest buckets'
+    * code columns (dynamic partition pruning covers both), the union
+    * of in-bucket candidates ADC-ranks to 10, exact re-rank to 3.
+    * The oracle extends q234's with a rank≤2 probe CTE.
+    */
+  private def qIvfPqProbe2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_p2", digest).toString
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    graft.operators.Similarity.ivfPqTopK(
+      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 2, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Shot-boundary detection over deterministic GVID videos: 12
     * frames in 3 scenes of 4 identical frames each (per-scene linear
     * plane pattern), so cuts land exactly at frames 4 and 8 wherever
@@ -4271,6 +4295,7 @@ object SparkEntry {
     "q245_ivf_pq_compact" -> qIvfPqCompact _,
     "q246_video_scene_cuts" -> qVideoSceneCuts _,
     "q247_audio_silence" -> qAudioSilence _,
+    "q248_ivf_pq_probe2" -> qIvfPqProbe2 _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -8114,6 +8139,45 @@ object SparkEntry {
           | min(mad.mad)::BIGINT AS mad,
           | sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
           |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
+
+      // multi-probe composed serve: rank<=2 probe buckets per query,
+      // union of in-bucket candidates ADC-ranks to 10, rerank to 3
+      "q248_ivf_pq_probe2" ->
+        (ivfPqOracleCtes +
+          """,
+            | probe2 AS (
+            |  SELECT vec_id AS query_id, cent_id AS bucket FROM (
+            |   SELECT e.vec_id, c.cent_id,
+            |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+            |      round(list_dot_product(e.vec, c.cent_v) /
+            |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+            |      c.cent_id) AS rk
+            |   FROM e CROSS JOIN ivfcents c
+            |   WHERE e.vec_id >= 5 AND e.vec_id < 10) WHERE rk <= 2),
+            | adc2 AS (
+            |  SELECT p.query_id, ca.vec_id AS neighbor_id,
+            |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+            |  FROM probe2 p
+            |  JOIN assigned ca ON ca.bucket = p.bucket AND ca.vec_id <> p.query_id
+            |  JOIN sub qs ON qs.id = p.query_id
+            |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
+            |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
+            |  GROUP BY 1, 2),
+            | cand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM adc2) WHERE rk <= 10),
+            | rer AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id)
+            |SELECT query_id, neighbor_id, cos FROM (
+            | SELECT query_id, neighbor_id, cos,
+            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            | FROM rer) WHERE rk <= 3
+            |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
 
       // every frame's aHash recomputed arithmetically (q108's cell
       // formula at 8x8 — the plane IS the grid), then the lag/hamming
