@@ -1847,6 +1847,20 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Schema drift gate: the documents table vs an evolved snapshot
+    * (source dropped, n_chars narrowed to int, quality added) — both
+    * engines diff their own DESCRIBE/schema metadata, so the statuses
+    * are the cross-engine contract while type-name spellings stay
+    * engine-local.
+    */
+  private def qSchemaDrift(s: SparkSession, dir: String): DataFrame = {
+    val ref = t(s, dir, "documents")
+    val cur = ref.drop("source")
+      .withColumn("n_chars", col("n_chars").cast("int"))
+      .withColumn("quality", lit(0L))
+    graft.operators.Expectations.schemaDiff(ref, cur).orderBy("col_name")
+  }
+
   /** Shot-boundary detection over deterministic GVID videos: 12
     * frames in 3 scenes of 4 identical frames each (per-scene linear
     * plane pattern), so cuts land exactly at frames 4 and 8 wherever
@@ -4296,6 +4310,7 @@ object SparkEntry {
     "q246_video_scene_cuts" -> qVideoSceneCuts _,
     "q247_audio_silence" -> qAudioSilence _,
     "q248_ivf_pq_probe2" -> qIvfPqProbe2 _,
+    "q249_schema_drift" -> qSchemaDrift _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -8139,6 +8154,22 @@ object SparkEntry {
           | min(mad.mad)::BIGINT AS mad,
           | sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
           |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
+
+      // both engines DESCRIBE their own view of ref and the evolved
+      // cur, then diff on (name, own-engine type) — statuses agree
+      // because the evolution (drop/narrow/add) is engine-visible
+      "q249_schema_drift" ->
+        """WITH r AS (SELECT column_name AS col_name, column_type AS t
+          |  FROM (DESCRIBE SELECT * FROM documents)),
+          | c AS (SELECT column_name AS col_name, column_type AS t
+          |  FROM (DESCRIBE SELECT doc_id, text, lang, n_chars::INTEGER AS n_chars,
+          |        0::BIGINT AS quality FROM documents))
+          |SELECT coalesce(r.col_name, c.col_name) AS col_name,
+          | CASE WHEN r.col_name IS NULL THEN 'added'
+          |      WHEN c.col_name IS NULL THEN 'removed'
+          |      WHEN r.t = c.t THEN 'unchanged' ELSE 'changed' END AS status
+          |FROM r FULL OUTER JOIN c ON r.col_name = c.col_name
+          |ORDER BY col_name""".stripMargin,
 
       // multi-probe composed serve: rank<=2 probe buckets per query,
       // union of in-bucket candidates ADC-ranks to 10, rerank to 3

@@ -88,6 +88,32 @@ object Expectations {
     * together, the SQL GROUP BY convention — add an explicit isNull
     * rule in [[audit]] if nulls must not key rows at all.
     */
+  /** SCHEMA drift gate — the structural side of the data contract
+    * beside the value-level [[audit]]: diff two snapshots' schemas as
+    * DATA, one row per column name across both sides with status
+    * `added` / `removed` / `changed` (type differs) / `unchanged`.
+    * The comparison is on column NAME and TYPE (Catalyst
+    * `simpleString`); nullability is excluded by design — engines and
+    * formats disagree on inferred nullability, types are the portable
+    * contract. Schemas are driver metadata, so this is model-sized by
+    * definition: no job runs at all.
+    */
+  def schemaDiff(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val r = ref.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    val c = cur.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    (r.keySet ++ c.keySet).toSeq.sorted.map { n =>
+      val status = (r.get(n), c.get(n)) match {
+        case (Some(a), Some(b)) if a == b => "unchanged"
+        case (Some(_), Some(_)) => "changed"
+        case (Some(_), None) => "removed"
+        case _ => "added"
+      }
+      (n, status)
+    }.toDF("col_name", "status")
+  }
+
   def keyUniqueness(df: DataFrame, key: Column): DataFrame =
     df.select(key.as("k")).groupBy("k").agg(count(lit(1)).as("c"))
       .agg(sum("c").as("n_rows"), count(lit(1)).as("n_keys"),

@@ -41,6 +41,26 @@ class ExpectationsSpec extends SparkTestBase {
     assert(r == ((5L, 2L, 400000L, 1L)))
   }
 
+  test("schemaDiff: added/removed/changed/unchanged per column; nullability excluded") {
+    import spark.implicits._
+    val ref = Seq((1L, "a", 2.0)).toDF("id", "s", "v")
+    val cur = ref.drop("v")
+      .withColumn("s", col("s").cast("binary")) // type change
+      .withColumn("extra", lit(1))              // addition
+    val d = Expectations.schemaDiff(ref, cur)
+      .orderBy("col_name").as[(String, String)].collect().toSeq
+    assert(d == Seq(
+      ("extra", "added"), ("id", "unchanged"),
+      ("s", "changed"), ("v", "removed")))
+    // identical schemas diff to all-unchanged even across nullability
+    // differences (types are the portable contract)
+    val nullable = Seq((Option(1L), Option("a"))).toDF("id", "s")
+    val strict = Seq((1L, "a")).toDF("id", "s")
+    val d2 = Expectations.schemaDiff(strict, nullable)
+      .as[(String, String)].collect().toSeq
+    assert(d2.forall(_._2 == "unchanged"), d2.toString)
+  }
+
   test("keyUniqueness: duplicate-key profile hand-computed") {
     import spark.implicits._
     val df = Seq(1L, 1L, 1L, 2L, 3L, 3L).toDF("k")
