@@ -1847,6 +1847,23 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** BM25 hard negatives for q121's query: the top-15 scored docs
+    * that do NOT contain all three terms (the conjunctive-containment
+    * relevance rule, q168's qrels) — confusable-but-wrong passages
+    * for retriever training.
+    */
+  private def qBm25Negatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val terms = Seq("hash", "join", "vector")
+    val tf = graft.functions.TextOps.termFreqs(lower(col("text")), terms)
+    val rel = docs.select(col("doc_id"), tf.getField("tfs").as("__tfs"))
+      .where(terms.indices.map(i => col("__tfs").getItem(i) > 0).reduce(_ && _))
+      .select(col("doc_id"))
+    graft.operators.Retrieval.bm25HardNegatives(
+      docs, col("doc_id"), col("text"), terms, rel, topK = 15)
+      .orderBy(col("score").desc, col("doc_id"))
+  }
+
   /** Schema drift gate: the documents table vs an evolved snapshot
     * (source dropped, n_chars narrowed to int, quality added) — both
     * engines diff their own DESCRIBE/schema metadata, so the statuses
@@ -4311,6 +4328,7 @@ object SparkEntry {
     "q247_audio_silence" -> qAudioSilence _,
     "q248_ivf_pq_probe2" -> qIvfPqProbe2 _,
     "q249_schema_drift" -> qSchemaDrift _,
+    "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
     "q215_copurchase" -> qCoPurchase _,
   )
@@ -8154,6 +8172,32 @@ object SparkEntry {
           | min(mad.mad)::BIGINT AS mad,
           | sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers
           |FROM d JOIN mad USING (g) GROUP BY d.g ORDER BY d.g""".stripMargin,
+
+      // q121's scoring algebra; relevance = contains ALL three terms
+      // (conjunctive containment) — negatives are the top scored docs
+      // outside that set
+      "q250_bm25_negatives" ->
+        """WITH docs AS (
+          | SELECT doc_id,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '')) AS dl,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'hash')) AS tf0,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'join')) AS tf1,
+          |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x = 'vector')) AS tf2
+          | FROM documents),
+          | stats AS (SELECT count(*) AS n, sum(dl) AS l,
+          |  sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+          |  sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+          |  sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+          | FROM docs),
+          | scored AS (SELECT doc_id, dl, tf0, tf1, tf2,
+          |  (CASE WHEN tf0 > 0 THEN ((((2*n - 2*df0 + 1) * 1000000) // (2*df0 + 1)) * (22 * tf0 * l)) // (10*l*tf0 + 3*l + 9*dl*n) ELSE 0 END) +
+          |  (CASE WHEN tf1 > 0 THEN ((((2*n - 2*df1 + 1) * 1000000) // (2*df1 + 1)) * (22 * tf1 * l)) // (10*l*tf1 + 3*l + 9*dl*n) ELSE 0 END) +
+          |  (CASE WHEN tf2 > 0 THEN ((((2*n - 2*df2 + 1) * 1000000) // (2*df2 + 1)) * (22 * tf2 * l)) // (10*l*tf2 + 3*l + 9*dl*n) ELSE 0 END) AS score
+          | FROM docs, stats)
+          |SELECT doc_id, dl::BIGINT AS n_tokens, score::BIGINT AS score
+          |FROM scored
+          |WHERE score > 0 AND NOT (tf0 > 0 AND tf1 > 0 AND tf2 > 0)
+          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
 
       // both engines DESCRIBE their own view of ref and the evolved
       // cur, then diff on (name, own-engine type) — statuses agree

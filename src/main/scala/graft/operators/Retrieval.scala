@@ -57,13 +57,51 @@ object Retrieval {
       queryTerms: Seq[String],
       topK: Int,
       idfScale: Long = 1000000L): DataFrame = {
-    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    require(topK > 0, s"topK must be positive, got $topK")
+    bm25Scored(df, id, text, queryTerms, idfScale)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** BM25 hard-negative mining — retrieval-training data (the DPR
+    * recipe): the top-`topK` scored documents that are NOT in the
+    * `relevant` set (column doc_id) — confusable-but-wrong passages
+    * for contrastive retriever training, the sparse-retrieval sibling
+    * of [[graft.operators.Similarity.hardNegatives]]. The exclusion
+    * anti-joins BEFORE the cut, so negatives re-rank into the freed
+    * positions. The relevant set is query-sized — it broadcasts.
+    */
+  def bm25HardNegatives(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      relevant: DataFrame,
+      topK: Int,
+      idfScale: Long = 1000000L): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    bm25Scored(df, id, text, queryTerms, idfScale)
+      .join(broadcast(relevant.select(col("doc_id").cast("long").as("doc_id"))),
+        Seq("doc_id"), "left_anti")
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(topK)
+  }
+
+  /** Shared BM25 scoring core of [[bm25TopK]] / [[bm25HardNegatives]]:
+    * every matching document's (doc_id, n_tokens, score), un-cut.
+    */
+  private def bm25Scored(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      queryTerms: Seq[String],
+      idfScale: Long): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25 scoring needs at least one query term")
     require(queryTerms.distinct.size == queryTerms.size,
       s"duplicate query terms: $queryTerms")
     require(queryTerms.forall(t => t == t.toLowerCase),
       s"query terms must be lowercase (documents are lowercased " +
         s"before matching): ${queryTerms.filterNot(t => t == t.toLowerCase)}")
-    require(topK > 0, s"topK must be positive, got $topK")
     // ONE native scan per doc computes dl + every term's tf (no token
     // array materializes; the earlier size/array_remove formulation
     // paid Q+1 full tokenize passes — 14.7s vs ~4s at 1M docs). The
@@ -88,8 +126,6 @@ object Retrieval {
       .withColumn("score", termScores.reduce(_ + _))
       .where(col("score") > 0)
       .select(col("doc_id"), col("dl").as("n_tokens"), col("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(topK)
   }
 
   /** Batched BM25 serving: per-query top-K for a whole query SET in

@@ -45,6 +45,30 @@ class RetrievalSpec extends SparkTestBase {
     assert(out.map(_._3).distinct.size == 1)
   }
 
+  test("bm25HardNegatives: relevant docs excluded, negatives re-rank into freed slots") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "cat cat dog x"), // best match — relevant, must be excluded
+      (1L, "dog y z"),
+      (2L, "cat w"),
+      (3L, "x y z w")).toDF("doc_id", "text")
+    val rel = Seq(Tuple1(0L)).toDF("doc_id")
+    val negs = Retrieval.bm25HardNegatives(df, col("doc_id"), col("text"),
+      Seq("cat", "dog"), rel, topK = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(!negs.map(_._1).contains(0L), "relevant doc must not appear")
+    assert(negs.map(_._1).toSet.subsetOf(Set(1L, 2L)),
+      s"only matching non-relevant docs qualify: $negs")
+    assert(negs.size == 2, "exclusion happens before the cut — slots refill")
+    // empty relevant set degrades to plain bm25TopK
+    val plain = Retrieval.bm25TopK(df, col("doc_id"), col("text"),
+      Seq("cat", "dog"), topK = 2).as[(Long, Long, Long)].collect().toSeq
+    val none = Retrieval.bm25HardNegatives(df, col("doc_id"), col("text"),
+      Seq("cat", "dog"), rel.where(lit(false)), topK = 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(none == plain)
+  }
+
   test("bm25TopK: case-insensitive matching, absent term contributes zero") {
     import spark.implicits._
     val df = Seq((7L, "CAT hat")).toDF("doc_id", "text")
