@@ -375,11 +375,12 @@ object Similarity {
     * [[ivfWritePartitioned]] index: only the AFFECTED bucket
     * partitions — those that lose or gain a moved row — are read
     * (partition pruning: the isin filter reaches the scan) and
-    * rewritten (dynamic partition overwrite); every other bucket's
-    * files stay byte-identical on disk, which `SimilaritySpec` pins
-    * by file listing. Buckets fully drained by the migration have no
-    * rows to overwrite their partition with, so their directories are
-    * deleted explicitly — same read-back contract as a rewrite.
+    * rewritten via a STAGED sibling-temp write + per-bucket rename
+    * swap (a mid-write failure leaves the live index intact); every
+    * other bucket's files stay byte-identical on disk, which
+    * `SimilaritySpec` pins by file listing. Buckets fully drained by
+    * the migration have no staged directory, so the swap deletes
+    * theirs — same read-back contract as a rewrite.
     *
     * Scale: the moves table is re-train output (small), so the
     * affected-bucket set is a moves-bounded driver collect and both
@@ -408,34 +409,36 @@ object Similarity {
         .where(col("bucket") === col("old_bucket"))
         .select(col("new_bucket").as("bucket"), col("neighbor_id"),
           col("c_vec"), col("c_norm"))
-      // localCheckpoint (eager) SEVERS lineage before the write: the
-      // rewritten plan reads the very partitions the write overwrites,
-      // and a persist() alone is best-effort — a cache eviction or
-      // executor loss mid-write would recompute against
-      // partially-overwritten bucket directories and corrupt the
-      // index. Checkpointed blocks are materialized and the plan is
-      // truncated, so nothing can re-read `path` during the overwrite.
+      // STAGE the rewrite to a sibling temp directory, then swap per
+      // bucket: the rewritten plan reads the very partitions an
+      // in-place write would overwrite, and even a lineage-severing
+      // localCheckpoint only protects against recompute — an executor
+      // loss mid-overwrite still left the live index partially
+      // destroyed with no recovery path. Writing to `tmp` first means
+      // a failure at ANY point before the swap leaves the old index
+      // byte-identical on disk; the swap itself is a per-bucket
+      // directory rename (affected buckets only — the spec pins every
+      // other bucket's files untouched).
       val rewritten = stay
         .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket"))
         .unionByName(movedIn
           .select(col("neighbor_id"), col("c_vec"), col("c_norm"), col("bucket")))
-        .localCheckpoint(true)
-      val keptBuckets = rewritten.select("bucket").distinct()
-        .collect().map(_.getLong(0)).toSet
-      rewritten.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("bucket").parquet(path)
-      rewritten.unpersist()
-      // dynamic overwrite cannot erase a partition it writes no rows
-      // to: drop fully-drained buckets' directories explicitly
-      val drained = affected.filterNot(keptBuckets.contains)
-      if (drained.nonEmpty) {
-        val hPath = new org.apache.hadoop.fs.Path(path)
-        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        drained.foreach { b =>
-          fs.delete(new org.apache.hadoop.fs.Path(hPath, s"bucket=$b"), true)
-        }
+      val tmp = path + ".rewrite.tmp"
+      rewritten.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val hTmp = new org.apache.hadoop.fs.Path(tmp)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(hPath, s"bucket=$b")
+        val src = new org.apache.hadoop.fs.Path(hTmp, s"bucket=$b")
+        fs.delete(dst, true)
+        // a bucket fully drained by the migration has no staged dir —
+        // deleting its old dir IS its rewrite
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"ivfApplyMovesPartitioned: failed to swap $src into $dst")
       }
+      fs.delete(hTmp, true)
     }
     movesLocal.unpersist()
     IvfIndex(newCents.select(col("cent_id"), col("cent_v")),
@@ -627,24 +630,34 @@ object Similarity {
     * per-file open cost that grows with ingest history, the same
     * degradation [[graft.operators.Retrieval.compactInvertedIndex]]
     * fixes for postings). Rows re-sort by (bucket, neighbor_id)
-    * within partitions so the rewrite is deterministic. The plan is
-    * truncated by an eager localCheckpoint BEFORE the overwrite — the
-    * rewrite reads the very files it replaces (the
-    * [[ivfApplyMovesPartitioned]] lesson). Serving the compacted
-    * index equals serving the input exactly (q246 pins it with q234's
-    * oracle; the spec pins one-file-per-bucket).
+    * within partitions so the rewrite is deterministic. The compacted
+    * table is STAGED to a sibling temp directory and swapped into
+    * place with a whole-path rename — the rewrite reads the very
+    * files it replaces, and an in-place overwrite (even behind a
+    * lineage-severing localCheckpoint) left the live index partially
+    * destroyed if the job died mid-write; with staging, a failure at
+    * any point before the swap leaves the old index untouched.
+    * Serving the compacted index equals serving the input exactly
+    * (q245 pins it with q234's oracle; the spec pins
+    * one-file-per-bucket).
     */
   def ivfPqCompact(
       spark: org.apache.spark.sql.SparkSession,
       index: IvfPqIndex): IvfPqIndex = {
-    val all = spark.read.parquet(index.path)
+    val tmp = index.path + ".compact.tmp"
+    spark.read.parquet(index.path)
       .select(col("neighbor_id"), col("codes"), col("c_vec"), col("c_norm"),
         col("bucket").cast("long").as("bucket"))
       .repartition(col("bucket"))
       .sortWithinPartitions("bucket", "neighbor_id")
-      .localCheckpoint(true)
-    all.write.mode("overwrite").partitionBy("bucket").parquet(index.path)
-    all.unpersist()
+      .write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(index.path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    if (!fs.rename(hTmp, hPath))
+      throw new java.io.IOException(
+        s"ivfPqCompact: failed to swap $hTmp into ${index.path}")
     index
   }
 

@@ -33,6 +33,29 @@ import org.apache.spark.sql.types._
   */
 object AvroArchive {
 
+  /** Hadoop `Configuration` is not `java.io.Serializable`; this is the
+    * standard wrapper (the pattern Spark's own sinks use) so the
+    * DRIVER's filesystem configuration — s3a credentials,
+    * fs.defaultFS, HDFS overrides living in the SparkSession conf —
+    * reaches the write tasks. Resolving the FileSystem from a fresh
+    * `new Configuration()` on the executor would silently split-brain
+    * the export: driver-side prep against the configured fs,
+    * task-side data against the default one.
+    */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
   /** Map a FLAT primitive Spark schema to the equivalent Avro record
     * schema (nullable fields become `union(null, T)` — Avro's
     * standard optionality encoding).
@@ -89,34 +112,67 @@ object AvroArchive {
     val rootFs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (rootFs.exists(root)) rootFs.delete(root, true)
     rootFs.mkdirs(root)
+    // tasks must see the DRIVER's fs configuration (see
+    // [[SerializableHadoopConf]]) — broadcast it into the closure
+    val confBc = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val sorted = df
-      .withColumn("__key", key.cast("long"))
+      // a null (or uncastable) shard key would otherwise surface as a
+      // bare NullPointerException deep inside a write task — reject it
+      // loudly up front, the same style as the nested-column rejection
+      .withColumn("__key",
+        when(key.cast("long").isNull,
+          raise_error(lit("AvroArchive: shard key is null or does not " +
+            "cast to long — filter or repair keys upstream")))
+          .otherwise(key.cast("long")))
       .withColumn("__shard", pmod(col("__key"), lit(nShards.toLong)))
       .repartition(nShards, col("__shard"))
       .sortWithinPartitions(col("__shard"), col("__key"))
     import spark.implicits._
     // one sequential writer per (task, shard): sorted input makes a
-    // shard change a file change; emits (shard, n) per closed file
+    // shard change a file change; emits (shard, n) per closed file.
+    // Each file is written to an ATTEMPT-UNIQUE temp path and renamed
+    // into place on close — a retried or speculative attempt can run
+    // concurrently with a zombie on the same shard, and two writers on
+    // the final path would interleave; with temp+rename, whichever
+    // complete file lands is byte-identical (the export is
+    // deterministic), and the loser's temp is discarded.
     val counts = sorted.mapPartitions { rows =>
+      val hConf = confBc.value.value
+      val tc = org.apache.spark.TaskContext.get()
+      val attemptId = if (tc == null) 0L else tc.taskAttemptId()
       val schema = new Schema.Parser().parse(schemaJson)
       val out = Seq.newBuilder[(Long, Long)]
       var writer: DataFileWriter[GenericRecord] = null
       var shard = -1L
       var written = 0L
+      var tmpPath: org.apache.hadoop.fs.Path = null
+      var finalPath: org.apache.hadoop.fs.Path = null
       def close(): Unit = if (writer != null) {
-        writer.close(); out += ((shard, written)); writer = null; written = 0L
+        writer.close()
+        val fs = finalPath.getFileSystem(hConf)
+        if (!fs.rename(tmpPath, finalPath)) {
+          // rename refused: a concurrent attempt already committed an
+          // identical file — drop ours; anything else is a real error
+          if (fs.exists(finalPath)) fs.delete(tmpPath, false)
+          else throw new java.io.IOException(
+            s"AvroArchive: failed to commit $tmpPath -> $finalPath")
+        }
+        out += ((shard, written)); writer = null; written = 0L
       }
       rows.foreach { row =>
         val s = row.getLong(n + 1) // __shard
         if (s != shard) {
           close()
           shard = s
-          val p = new org.apache.hadoop.fs.Path(s"$path/shard=$s/part-$s.avro")
-          val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+          finalPath = new org.apache.hadoop.fs.Path(s"$path/shard=$s/part-$s.avro")
+          tmpPath = new org.apache.hadoop.fs.Path(
+            s"$path/shard=$s/.part-$s.avro.inprogress-$attemptId")
+          val fs = finalPath.getFileSystem(hConf)
           val w = new DataFileWriter[GenericRecord](
             new GenericDatumWriter[GenericRecord](schema))
           w.setCodec(CodecFactory.deflateCodec(6))
-          writer = w.create(schema, fs.create(p, true), syncMarker(s))
+          writer = w.create(schema, fs.create(tmpPath, true), syncMarker(s))
         }
         val rec = new GenericData.Record(schema)
         var i = 0
@@ -154,10 +210,16 @@ object AvroArchive {
     val rows = spark.sparkContext.binaryFiles(glob).flatMap { case (_, pds) =>
       val stream = new DataFileStream[GenericRecord](
         pds.open(), new GenericDatumReader[GenericRecord]())
+      // close when the TASK ends, not when the iterator drains: a
+      // downstream limit()/take() or a failed task stops consuming
+      // early and would otherwise leak the stream + file handle for
+      // every partially-read file
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit](_ => stream.close())
       new Iterator[Row] {
         override def hasNext: Boolean = {
           val h = stream.hasNext
-          if (!h) stream.close()
+          if (!h && tc == null) stream.close()
           h
         }
         override def next(): Row = {
