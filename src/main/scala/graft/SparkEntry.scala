@@ -1847,6 +1847,122 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Delete leg of the composed IVF×PQ lifecycle: build over the full
+    * corpus, delete every id ≡ 2 (mod 7) (partition-rewrite of only
+    * the buckets that held one — staged + swapped, untouched files
+    * spec-pinned byte-identical), and the serve must equal q234's
+    * pipeline with the deleted ids absent from the CANDIDATE side
+    * (centroids and codebook are build-time artifacts, unaffected).
+    */
+  private def qIvfPqDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = e.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_pq_del", digest).toString
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    val deleted = graft.operators.Similarity.ivfPqDelete(
+      s, idx, e.where(pmod(col("id"), lit(7L)) === 2).select(col("id")))
+    graft.operators.Similarity.ivfPqTopK(
+      s, deleted, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** TRAINED coarse quantizer for the IVFADC (residual) index family:
+    * q101's integer-exact fixed-point k-means (k = 8, iters = 2 — one
+    * Lloyd update) over the embeddings, centroids mapped back to
+    * doubles. Mean centroids are what make residual encoding pay:
+    * against corpus-MEMBER centroids (q234's deterministic bootstrap)
+    * the residual x − c of a unit vector is LARGER than x
+    * (‖x−c‖² = 2−2cos > 1 for cos < 0.5, and this fixture's best-cos
+    * averages 0.19), while against the cluster MEAN it shrinks to
+    * 1 − ‖c‖²-ish — measured 0.97 vs 1.26 on the sf0.01 fixture.
+    */
+  private def trainedIvfCents(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Clustering.kmeansCentroidsFixedPoint(
+      e, col("id"), col("vec"), k = 8, iters = 2)
+      .zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.map(_ / 1000.0).toSeq) }
+      .toDF("cent_id", "cent_v")
+  }
+
+  /** IVFADC residual serve (Jégou et al. 2011 §V — the formulation
+    * proper): coarse quantizer = trained mean centroids
+    * ([[trainedIvfCents]]), PQ codebook trained on the coarse
+    * RESIDUALS x − centroid(bucket), every vector stores codes of its
+    * residual, and the serve LUTs the query's per-bucket residual —
+    * the "add the coarse term back" identity. Same two-stage layout,
+    * pruning, and rerank as q234. The oracle replicates the ENTIRE
+    * pipeline: one unrolled fp-Lloyd round (q101's CTEs), cosine
+    * assignment, residual fixed-point encode, codebook init, ADC cut,
+    * exact rerank.
+    */
+  private def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = trainedIvfCents(s, dir)
+    val model = graft.operators.Clustering.pqTrain(
+      graft.operators.Similarity.ivfResiduals(e, cents),
+      col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_adc", digest).toString
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(
+      e, cents, model, path, residual = true)
+    graft.operators.Similarity.ivfPqTopK(
+      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Residual-vs-raw recall gate at identical (m, k, rerank): the
+    * q239 gate run twice over the SAME trained coarse quantizer and
+    * 100 queries — n_hit_res ≥ n_hit_raw in aggregate is the measured
+    * claim IVFADC's residual trick makes (49 vs 40 of 300 on the
+    * sf0.01 fixture). Truth is the exact in-bucket serve; both
+    * candidates are ADC-top-4 re-ranked to 3.
+    */
+  private def qIvfPqResidualRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cents = trainedIvfCents(s, dir)
+    val resid = graft.operators.Similarity.ivfResiduals(e, cents)
+    val modelRes = graft.operators.Clustering.pqTrain(
+      resid, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val modelRaw = graft.operators.Clustering.pqTrain(
+      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    def pathOf(tag: String) = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_ivf_adc_$tag", digest).toString
+    val idxRes = graft.operators.Similarity.ivfPqWritePartitioned(
+      e, cents, modelRes, pathOf("res"), residual = true)
+    val idxRaw = graft.operators.Similarity.ivfPqWritePartitioned(
+      e, cents, modelRaw, pathOf("raw"))
+    val queries = e.where(col("id") >= 5 && col("id") < 105)
+    val truth = graft.operators.Similarity.ivfTopKIndexed(
+      queries, graft.operators.Similarity.ivfIndexWith(e, cents), k = 3)
+    val candRaw = graft.operators.Similarity.ivfPqTopK(
+      s, idxRaw, queries, k = 3, nProbe = 1, rerank = 4)
+    val candRes = graft.operators.Similarity.ivfPqTopK(
+      s, idxRes, queries, k = 3, nProbe = 1, rerank = 4)
+    graft.operators.Similarity.topKRecall(truth, candRaw)
+      .select(col("query_id"), col("n_truth"), col("n_hit").as("n_hit_raw"))
+      .join(graft.operators.Similarity.topKRecall(truth, candRes)
+        .select(col("query_id"), col("n_hit").as("n_hit_res")), Seq("query_id"))
+      .orderBy("query_id")
+  }
+
   /** BM25 hard negatives for q121's query: the top-15 scored docs
     * that do NOT contain all three terms (the conjunctive-containment
     * relevance rule, q168's qrels) — confusable-but-wrong passages
@@ -4327,6 +4443,9 @@ object SparkEntry {
     "q246_video_scene_cuts" -> qVideoSceneCuts _,
     "q247_audio_silence" -> qAudioSilence _,
     "q248_ivf_pq_probe2" -> qIvfPqProbe2 _,
+    "q251_ivf_pq_residual" -> qIvfPqResidual _,
+    "q252_ivf_pq_residual_recall" -> qIvfPqResidualRecall _,
+    "q253_ivf_pq_delete" -> qIvfPqDelete _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -4408,12 +4527,15 @@ object SparkEntry {
         |   WHERE coalesce(u.score, 0) > 0 OR len(m.piece) = 1)
         |""".stripMargin
     // shared prefix of the composed-IVF×PQ oracles (q234 serve, q239
-    // recall gate; q241 aliases q234): q26's cosine coarse assignment
-    // (cents = id<8), q109's closed-form PQ codebook (iters=1, slices
-    // of the first 8 fixed-point vectors), and the integer ADC
-    // distance of every in-bucket candidate pair for queries 5..9
-    val ivfPqOracleCtes =
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+    // recall gate; q241 aliases q234; q253 delete passes a survivor
+    // filter on the CANDIDATE side — deletion only removes stored
+    // rows, never centroids/codebook, which were trained at build
+    // time): q26's cosine coarse assignment (cents = id<8), q109's
+    // closed-form PQ codebook (iters=1, slices of the first 8
+    // fixed-point vectors), and the integer ADC distance of every
+    // in-bucket candidate pair for queries 5..9
+    def ivfPqOracleCtesF(candFilter: String) =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         | ivfcents AS (SELECT vec_id AS cent_id, vec AS cent_v FROM e WHERE vec_id < 8),
         | assigned AS (
         |  SELECT vec_id, cent_id AS bucket FROM (
@@ -4441,7 +4563,84 @@ object SparkEntry {
         |  JOIN sub qs ON qs.id = qa.vec_id
         |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
         |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
-        |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10
+        |  WHERE qa.vec_id >= 5 AND qa.vec_id < 10$candFilter
+        |  GROUP BY 1, 2)""".stripMargin
+    val ivfPqOracleCtes = ivfPqOracleCtesF("")
+    // shared prefix of the IVFADC (residual) oracles (q251 serve, q252
+    // recall gate): ONE unrolled fp-Lloyd round (q101's c0/a1/u1 CTEs)
+    // trains the mean coarse centroids, cosine assignment against
+    // them, then BOTH codebook spaces side by side — raw fixed-point
+    // slices (q234's fp/sub/pcents/codes/adc) and residual ones
+    // (rq/rfp/rsub/rpcents/rcodes/radc, the residual computed in
+    // doubles BEFORE fixed-point, Similarity.ivfResiduals' arithmetic
+    // verbatim) — for queries qlo..qhi
+    def ivfAdcOracleCtes(qlo: Int, qhi: Int): String =
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        | q AS (SELECT vec_id AS id, [floor(x*1000+0.5)::BIGINT FOR x IN embedding::DOUBLE[]] AS v FROM embeddings),
+        | c0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+        |   FROM (SELECT id, v FROM q ORDER BY id LIMIT 8)),
+        | a1 AS (SELECT id, v, cid FROM (
+        |   SELECT q.id, q.v, c.cid,
+        |    row_number() OVER (PARTITION BY q.id ORDER BY
+        |      list_sum([ (q.v[i]-c.cv[i])*(q.v[i]-c.cv[i]) FOR i IN range(1, len(q.v)+1) ]), c.cid) AS rk
+        |   FROM q CROSS JOIN c0 c) WHERE rk = 1),
+        | u1 AS (SELECT c0.cid, coalesce(m.cv, c0.cv) AS cv FROM c0 LEFT JOIN (
+        |   SELECT cid, list(s ORDER BY dim) AS cv FROM (
+        |    SELECT a1.cid AS cid, gs.dim AS dim, (sum(a1.v[gs.dim]) // count(*))::BIGINT AS s
+        |    FROM a1 CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) gs
+        |    GROUP BY a1.cid, gs.dim) GROUP BY cid) m ON c0.cid = m.cid),
+        | ivfcents AS (SELECT cid AS cent_id, [x/1000.0 FOR x IN cv] AS cent_v FROM u1),
+        | assigned AS (
+        |  SELECT vec_id, cent_id AS bucket FROM (
+        |   SELECT e.vec_id, c.cent_id,
+        |    row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |      round(list_dot_product(e.vec, c.cent_v) /
+        |        (sqrt(list_dot_product(e.vec, e.vec)) * sqrt(list_dot_product(c.cent_v, c.cent_v))), 6) DESC,
+        |      c.cent_id) AS rk
+        |   FROM e CROSS JOIN ivfcents c) WHERE rk = 1),
+        | sub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv
+        |   FROM q CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
+        | pcents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+        |            FROM sub WHERE id < 8),
+        | codes AS (
+        |  SELECT id, j, cid AS code FROM (
+        |   SELECT s.id, s.j, c.cid,
+        |    row_number() OVER (PARTITION BY s.id, s.j ORDER BY
+        |      list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
+        |   FROM sub s JOIN pcents c ON s.j = c.j) WHERE rk = 1),
+        | adc AS (
+        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+        |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+        |  FROM assigned qa
+        |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+        |  JOIN sub qs ON qs.id = qa.vec_id
+        |  JOIN codes co ON co.id = ca.vec_id AND co.j = qs.j
+        |  JOIN pcents c ON c.j = co.j AND c.cid = co.code
+        |  WHERE qa.vec_id >= $qlo AND qa.vec_id < $qhi
+        |  GROUP BY 1, 2),
+        | rq AS (SELECT a.vec_id AS id,
+        |   [e.vec[i] - c.cent_v[i] FOR i IN range(1, len(e.vec)+1)] AS rv
+        |  FROM assigned a JOIN e ON e.vec_id = a.vec_id
+        |  JOIN ivfcents c ON c.cent_id = a.bucket),
+        | rfp AS (SELECT id, [floor(x*1000+0.5)::BIGINT FOR x IN rv] AS v FROM rq),
+        | rsub AS (SELECT id, j, v[j*16+1 : (j+1)*16] AS sv FROM rfp CROSS JOIN (SELECT unnest(range(0,4)) AS j)),
+        | rpcents AS (SELECT j, row_number() OVER (PARTITION BY j ORDER BY id) - 1 AS cid, sv AS cv
+        |            FROM rsub WHERE id < 8),
+        | rcodes AS (
+        |  SELECT id, j, cid AS code FROM (
+        |   SELECT s.id, s.j, c.cid,
+        |    row_number() OVER (PARTITION BY s.id, s.j ORDER BY
+        |      list_sum([ (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]) FOR i IN range(1, len(s.sv)+1) ]), c.cid) AS rk
+        |   FROM rsub s JOIN rpcents c ON s.j = c.j) WHERE rk = 1),
+        | radc AS (
+        |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+        |   sum(list_sum([ (qs.sv[i]-c.cv[i])*(qs.sv[i]-c.cv[i]) FOR i IN range(1, len(qs.sv)+1) ]))::BIGINT AS adc_dist
+        |  FROM assigned qa
+        |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+        |  JOIN rsub qs ON qs.id = qa.vec_id
+        |  JOIN rcodes co ON co.id = ca.vec_id AND co.j = qs.j
+        |  JOIN rpcents c ON c.j = co.j AND c.cid = co.code
+        |  WHERE qa.vec_id >= $qlo AND qa.vec_id < $qhi
         |  GROUP BY 1, 2)""".stripMargin
     // shared prefix of the two WordPiece oracles: word-frequency
     // collapse, delimiter encoding (q138's), then THREE unrolled
@@ -8051,6 +8250,104 @@ object SparkEntry {
             |   // count(*))::BIGINT AS recall_per_mille
             |FROM exact x LEFT JOIN cand c
             |  ON x.query_id = c.query_id AND x.neighbor_id = c.neighbor_id
+            |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin),
+
+      // delete leg: q234's full pipeline with the deleted ids (id ≡ 2
+      // mod 7) filtered from the CANDIDATE side only — queries,
+      // centroids, and the codebook are untouched by a storage delete
+      "q253_ivf_pq_delete" ->
+        (ivfPqOracleCtesF(" AND ca.vec_id % 7 <> 2") +
+          """,
+            | cand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM adc) WHERE rk <= 10),
+            | rer AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id)
+            |SELECT query_id, neighbor_id, cos FROM (
+            | SELECT query_id, neighbor_id, cos,
+            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            | FROM rer) WHERE rk <= 3
+            |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
+      // IVFADC residual serve: the residual ADC top-10 survive, exact
+      // rounded cosine re-ranks to top-3 (q234's final stage over the
+      // residual candidate set and the TRAINED coarse quantizer)
+      "q251_ivf_pq_residual" ->
+        (ivfAdcOracleCtes(5, 10) +
+          """,
+            | cand AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM radc) WHERE rk <= 10),
+            | rer AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id)
+            |SELECT query_id, neighbor_id, cos FROM (
+            | SELECT query_id, neighbor_id, cos,
+            |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            | FROM rer) WHERE rk <= 3
+            |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
+      // residual-vs-raw recall at identical (m, k, rerank): q239's
+      // gate run over BOTH codebook spaces and 100 queries — the
+      // aggregate n_hit_res >= n_hit_raw is IVFADC's measured claim
+      "q252_ivf_pq_residual_recall" ->
+        (ivfAdcOracleCtes(5, 105) +
+          """,
+            | joined AS (
+            |  SELECT qa.vec_id AS query_id, ca.vec_id AS neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM assigned qa
+            |  JOIN assigned ca ON qa.bucket = ca.bucket AND ca.vec_id <> qa.vec_id
+            |  JOIN e q ON q.vec_id = qa.vec_id JOIN e c ON c.vec_id = ca.vec_id
+            |  WHERE qa.vec_id >= 5 AND qa.vec_id < 105),
+            | exact AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            |  FROM joined) WHERE rk <= 3),
+            | cr4 AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM adc) WHERE rk <= 4),
+            | rer_raw AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cr4 cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id),
+            | cand_raw AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            |  FROM rer_raw) WHERE rk <= 3),
+            | cx4 AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY adc_dist, neighbor_id) AS rk
+            |  FROM radc) WHERE rk <= 4),
+            | rer_res AS (
+            |  SELECT cd.query_id, cd.neighbor_id,
+            |   round(list_dot_product(q.vec, c.vec) /
+            |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+            |  FROM cx4 cd JOIN e q ON q.vec_id = cd.query_id
+            |  JOIN e c ON c.vec_id = cd.neighbor_id),
+            | cand_res AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT query_id, neighbor_id,
+            |   row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+            |  FROM rer_res) WHERE rk <= 3)
+            |SELECT x.query_id, count(*)::BIGINT AS n_truth,
+            | sum(CASE WHEN cr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_raw,
+            | sum(CASE WHEN cx.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit_res
+            |FROM exact x
+            |LEFT JOIN cand_raw cr ON x.query_id = cr.query_id AND x.neighbor_id = cr.neighbor_id
+            |LEFT JOIN cand_res cx ON x.query_id = cx.query_id AND x.neighbor_id = cx.neighbor_id
             |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin),
 
       // q97's corpus-window machinery with the duplication test

@@ -489,7 +489,35 @@ object Similarity {
       cents: DataFrame,
       model: Array[Array[Array[Long]]],
       path: String,
-      fpScale: Double)
+      fpScale: Double,
+      residual: Boolean = false)
+
+  /** Coarse residuals x − centroid(bucket) of a corpus under a
+    * centroid table — the vectors the RESIDUAL IVF×PQ codebook trains
+    * on (IVFADC, Jégou et al. 2011 §V: PQ-encoding the residual
+    * instead of the raw vector is what keeps m-code accuracy as
+    * cluster spread grows, because the codebook only has to cover the
+    * within-bucket displacement, not the whole space). Map-only: one
+    * broadcast assignment pass + one broadcast centroid join; the
+    * corpus never shuffles. Output (id, vec array<double>), directly
+    * [[graft.operators.Clustering.pqTrain]]-able.
+    *
+    * Arithmetic contract: element-wise double subtraction AFTER the
+    * float→double widening — [[ivfPqWritePartitioned]] (residual =
+    * true) and [[ivfPqTopK]]'s query-side LUT must use the identical
+    * expression or codes and lookup tables live in different spaces.
+    */
+  def ivfResiduals(corpus: DataFrame, cents: DataFrame): DataFrame = {
+    val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
+    ivfAssignWith(corpusIn, cents)
+      .join(broadcast(cents.select(col("cent_id").as("bucket"), col("cent_v"))),
+        Seq("bucket"))
+      .select(col("doc_id").as("id"), residualOf(col("v"), col("cent_v")).as("vec"))
+  }
+
+  /** The one residual expression (see [[ivfResiduals]]'s contract). */
+  private def residualOf(v: Column, centV: Column): Column =
+    zip_with(v, centV, (a, b) => a.cast("double") - b.cast("double"))
 
   /** Build + persist the composed index: coarse-assign the corpus to
     * IVF buckets ([[ivfAssignWith]] — map-only against broadcast
@@ -501,20 +529,52 @@ object Similarity {
     * Corpus carries (id, vec); `cents` (cent_id, cent_v); `model` is
     * [[graft.operators.Clustering.pqTrain]] output (m × k × d/m
     * fixed-point centroids).
+    *
+    * `residual = true` is the IVFADC formulation proper (Jégou et al.
+    * 2011 §V): each vector PQ-encodes its coarse residual
+    * x − centroid(bucket) instead of x itself — train `model` on
+    * [[ivfResiduals]] output — and [[ivfPqTopK]] computes the query
+    * LUT per probed bucket on the SAME residual, which is exactly the
+    * "add the coarse term back at serve" identity
+    * (q − c_b) − code(x − c_b) = q − (c_b + code(x − c_b)). The
+    * residual join is one extra broadcast against the model-sized
+    * centroid table; everything else about the layout and serve is
+    * unchanged.
     */
   def ivfPqWritePartitioned(
       corpus: DataFrame,
       cents: DataFrame,
       model: Array[Array[Array[Long]]],
       path: String,
-      fpScale: Double = 1000.0): IvfPqIndex = {
+      fpScale: Double = 1000.0,
+      residual: Boolean = false): IvfPqIndex = {
     val corpusIn = corpus.select(col("id").as("doc_id"), col("vec").as("v"))
     val assigned = ivfAssignWith(corpusIn, cents)
-    graft.operators.Clustering.pqEncode(assigned, col("v"), model, fpScale)
+    pqEncodeMaybeResidual(assigned, cents, model, fpScale, residual)
       .select(col("doc_id").as("neighbor_id"), col("codes"),
         col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    IvfPqIndex(cents.select(col("cent_id"), col("cent_v")), model, path, fpScale)
+    IvfPqIndex(cents.select(col("cent_id"), col("cent_v")), model, path, fpScale,
+      residual)
+  }
+
+  /** PQ-encode an [[ivfAssignWith]]-shaped frame, against either the
+    * raw vector or its coarse residual (one broadcast centroid join).
+    */
+  private def pqEncodeMaybeResidual(
+      assigned: DataFrame,
+      cents: DataFrame,
+      model: Array[Array[Array[Long]]],
+      fpScale: Double,
+      residual: Boolean): DataFrame = {
+    val withEnc =
+      if (residual)
+        assigned
+          .join(broadcast(cents.select(col("cent_id").as("bucket"), col("cent_v"))),
+            Seq("bucket"))
+          .withColumn("__enc", residualOf(col("v"), col("cent_v")))
+      else assigned.withColumn("__enc", col("v"))
+    graft.operators.Clustering.pqEncode(withEnc, col("__enc"), model, fpScale)
   }
 
   /** Two-stage serve against a composed [[IvfPqIndex]]:
@@ -554,12 +614,25 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val m = index.model.length
     val flat = index.model.flatten.flatten
-    val probed = ivfProbe(
+    val probed0 = ivfProbe(
       queries.select(col("id").as("doc_id"), col("vec").as("v")),
       index.cents, nProbe)
+    // residual (IVFADC) indexes compare the query's per-bucket coarse
+    // residual against the stored residual codes — the LUT is computed
+    // per (query, probed bucket) on q − c_b, the identical expression
+    // the build used (see ivfResiduals' contract); raw indexes LUT the
+    // query vector itself. Either way it's one small-side projection.
+    val lutIn =
+      if (index.residual)
+        probed0
+          .join(broadcast(index.cents
+            .select(col("cent_id").as("bucket"), col("cent_v"))), Seq("bucket"))
+          .withColumn("__qv", residualOf(col("v"), col("cent_v")))
+      else probed0.withColumn("__qv", col("v"))
+    val probed = lutIn
       .select(col("bucket"), col("doc_id").as("query_id"),
         graft.functions.VecOps.pqLut(
-          graft.functions.VecOps.fixedPoint(col("v"), index.fpScale),
+          graft.functions.VecOps.fixedPoint(col("__qv"), index.fpScale),
           typedlit(flat), m).as("__lut"))
     // stage 2: only (bucket, neighbor_id, codes) ride the probe scan —
     // parquet column pruning keeps c_vec/c_norm pages unread here
@@ -616,7 +689,8 @@ object Similarity {
   def ivfPqAppend(index: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
     val batchIn = batch.select(col("id").as("doc_id"), col("vec").as("v"))
     val assigned = ivfAssignWith(batchIn, index.cents)
-    graft.operators.Clustering.pqEncode(assigned, col("v"), index.model, index.fpScale)
+    pqEncodeMaybeResidual(assigned, index.cents, index.model, index.fpScale,
+      index.residual)
       .select(col("doc_id").as("neighbor_id"), col("codes"),
         col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(index.path)
@@ -658,6 +732,62 @@ object Similarity {
     if (!fs.rename(hTmp, hPath))
       throw new java.io.IOException(
         s"ivfPqCompact: failed to swap $hTmp into ${index.path}")
+    index
+  }
+
+  /** Delete a batch of vectors from a PERSISTED composed
+    * [[IvfPqIndex]] — the lifecycle leg a crawl corpus that FORGETS
+    * documents needs beside build/append/compact/migrate: only the
+    * bucket partitions that actually contain a deleted row are read
+    * (partition-pruned isin scan over just (bucket, neighbor_id) —
+    * codes and vectors don't ride the membership probe) and rewritten
+    * without the deleted rows, via the staged sibling-temp write +
+    * per-bucket rename swap ([[ivfApplyMovesPartitioned]]'s
+    * discipline — a mid-write failure leaves the live index intact).
+    * Every untouched bucket's files stay byte-identical
+    * (spec-pinned); a bucket fully emptied by the delete has its
+    * directory removed.
+    *
+    * `deletes` carries one `id` column and is a delete BATCH —
+    * model-sized by contract, so it broadcasts and the affected-bucket
+    * set is a deletes-bounded driver collect; I/O is bounded by the
+    * affected buckets' row counts, never the index size. Serving the
+    * result equals a from-scratch [[ivfPqWritePartitioned]] over the
+    * surviving rows (same cents/model — assignment and encoding are
+    * per-row, so deletion commutes with the build; q253 pins it under
+    * the DuckDB gate with q234's oracle filtered to survivors).
+    */
+  def ivfPqDelete(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex,
+      deletes: DataFrame): IvfPqIndex = {
+    val del = deletes.select(col("id").cast("long").as("neighbor_id")).persist()
+    val affected = spark.read.parquet(index.path)
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"))
+      .join(broadcast(del), Seq("neighbor_id"))
+      .select("bucket").distinct().collect().map(_.getLong(0)).sorted
+    if (affected.nonEmpty) {
+      val stored = spark.read.parquet(index.path)
+        .select(col("neighbor_id"), col("codes"), col("c_vec"), col("c_norm"),
+          col("bucket").cast("long").as("bucket"))
+        .where(col("bucket").isin(affected: _*))
+      val kept = stored.join(broadcast(del), Seq("neighbor_id"), "left_anti")
+      val tmp = index.path + ".delete.tmp"
+      kept.write.mode("overwrite").partitionBy("bucket").parquet(tmp)
+      val hPath = new org.apache.hadoop.fs.Path(index.path)
+      val hTmp = new org.apache.hadoop.fs.Path(tmp)
+      val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.foreach { b =>
+        val dst = new org.apache.hadoop.fs.Path(hPath, s"bucket=$b")
+        val src = new org.apache.hadoop.fs.Path(hTmp, s"bucket=$b")
+        fs.delete(dst, true)
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"ivfPqDelete: failed to swap $src into $dst")
+      }
+      fs.delete(hTmp, true)
+    }
+    del.unpersist()
     index
   }
 

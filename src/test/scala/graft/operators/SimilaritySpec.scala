@@ -342,6 +342,89 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQuery.nonEmpty && perQuery.forall(_ == 3L))
   }
 
+  test("ivfPqTopK residual (IVFADC): exact when rerank covers bucket; codes-only scan; " +
+    "residual codes collapse cluster offsets raw codes can't") {
+    import spark.implicits._
+    // four far-apart clusters along axes 0..3 (offset 40), identical
+    // WITHIN-cluster displacement pattern on axes 4..7: residuals are
+    // the displacement alone, so the residual codebook sees a tight,
+    // shared space while the raw codebook must also span the 40-unit
+    // cluster offsets in subspace j=0..1
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt; val j = ((i / 4) % 8).toInt
+      val v = Array.fill(8)(0.0)
+      v(c) = 40.0; v(4 + (j % 4)) = 1.0 + (j / 4).toDouble
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val resid = Similarity.ivfResiduals(all, cents)
+    val modelRes = Clustering.pqTrain(resid, col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val modelRaw = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dirRes = java.nio.file.Files.createTempDirectory("ivfadc_res").toString + "/idx"
+    val dirRaw = java.nio.file.Files.createTempDirectory("ivfadc_raw").toString + "/idx"
+    val idxRes = Similarity.ivfPqWritePartitioned(all, cents, modelRes, dirRes,
+      residual = true)
+    val idxRaw = Similarity.ivfPqWritePartitioned(all, cents, modelRaw, dirRaw)
+    val queries = all.where(col("id") < 5)
+    // lossless when rerank covers every bucket: the residual serve must
+    // equal the plain exact IVF serve row-for-row, like the raw one
+    val served = Similarity.ivfPqTopK(spark, idxRes, queries, k = 3, nProbe = 1, rerank = 32)
+    val plain = Similarity.ivfTopKIndexed(
+      queries, Similarity.ivfIndexWith(all, cents), k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(served) == rows(plain))
+    // same scale pins as the raw index: ADC scan reads only codes, DPP
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan)
+    val adcScan = plan.split("\n").find(l =>
+      l.contains("ReadSchema") && l.contains("codes"))
+    assert(adcScan.isDefined && !adcScan.get.contains("c_vec"), adcScan.getOrElse(plan))
+    // the residual trick is LIVE: vectors that share a within-cluster
+    // displacement but sit in different buckets get the SAME residual
+    // code word, while their raw codes differ in the cluster-offset
+    // subspaces — the collapse that keeps m codes accurate at scale
+    def codesOf(dir: String) = spark.read.parquet(dir)
+      .select(col("neighbor_id"), col("codes")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val cRes = codesOf(dirRes); val cRaw = codesOf(dirRaw)
+    // ids 4..7 are displacement j=1 in clusters 0..3
+    val sameDisp = (4L to 7L).map(cRes)
+    assert(sameDisp.distinct.size == 1,
+      s"residual codes must collapse cross-bucket same-displacement vectors: $sameDisp")
+    assert((4L to 7L).map(cRaw).distinct.size > 1,
+      "raw codes must differ across buckets on this fixture (else the fixture is degenerate)")
+  }
+
+  test("ivfPqAppend residual: appended rows encode residuals; serve equals from-scratch") {
+    import spark.implicits._
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt; val j = ((i / 4) % 8).toInt
+      val v = Array.fill(8)(0.0)
+      v(c) = 40.0; v(4 + (j % 4)) = 1.0 + (j / 4).toDouble
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(
+      Similarity.ivfResiduals(all, cents), col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc_app").toString + "/idx"
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfadc_app2").toString + "/idx"
+    val idx0 = Similarity.ivfPqWritePartitioned(
+      all.where(col("id") % 4 =!= 3), cents, model, dir, residual = true)
+    val idx = Similarity.ivfPqAppend(idx0, all.where(col("id") % 4 === 3))
+    val scratch = Similarity.ivfPqWritePartitioned(all, cents, model, dir2,
+      residual = true)
+    val queries = all.where(col("id") < 5)
+    def rows(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 32)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx) == rows(scratch))
+  }
+
   test("ivfPqAppend: existing files untouched, serve equals from-scratch union build") {
     import spark.implicits._
     val all = (0L until 64L).map { i =>
@@ -380,6 +463,63 @@ class SimilaritySpec extends SparkTestBase {
         .orderBy("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(rows(idx) == rows(scratch))
+  }
+
+  test("ivfPqDelete: untouched buckets byte-identical; serve equals from-scratch over survivors") {
+    import spark.implicits._
+    // vectors cluster tightly on the axis of (id % 4): bucket = id % 4
+    // exactly, so deleting ids from clusters 0 and 1 only touches
+    // those buckets and buckets 2..3 must survive byte-identical
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt
+      val v = Array.fill(8)(0.0); v(c) = 40.0; v(4 + (i % 4).toInt) = (i / 4).toDouble * 0.1
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq_del").toString + "/idx"
+    val idx = Similarity.ivfPqWritePartitioned(all, cents, model, dir)
+    def inventory(): Map[String, String] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(java.nio.file.Files.readAllBytes(f.toPath))
+            .map("%02x".format(_)).mkString
+          (d.getName + "/" + f.getName) -> h
+        }).toMap
+    }
+    val before = inventory()
+    // delete ids 8 and 13 (buckets 0 and 1)
+    val deletes = Seq(8L, 13L).toDF("id")
+    Similarity.ivfPqDelete(spark, idx, deletes)
+    val after = inventory()
+    val untouched = before.filterNot { case (k, _) =>
+      k.startsWith("bucket=0/") || k.startsWith("bucket=1/") }
+    assert(untouched.nonEmpty, "fixture must leave buckets untouched")
+    assert(untouched.forall { case (f, h) => after.get(f).contains(h) },
+      "buckets without deleted rows must stay byte-identical")
+    // deleted ids are gone from storage
+    val remaining = spark.read.parquet(dir).select("neighbor_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(!remaining.contains(8L) && !remaining.contains(13L))
+    assert(remaining.size == 30)
+    // serve equality with a from-scratch build over the survivors
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq_del2").toString + "/idx"
+    val scratch = Similarity.ivfPqWritePartitioned(
+      all.where(col("id") =!= 8L && col("id") =!= 13L), cents, model, dir2)
+    val queries = all.where(col("id") < 5)
+    def rows(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 32)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx) == rows(scratch))
+    // a delete that empties a bucket removes its directory
+    val allBucket2 = all.where(col("id") % 4 === 2).select(col("id"))
+    Similarity.ivfPqDelete(spark, idx, allBucket2)
+    val dirs = new java.io.File(dir).listFiles().map(_.getName).toSet
+    assert(!dirs.contains("bucket=2"), s"emptied bucket dir must be removed: $dirs")
   }
 
   test("ivfPqCompact: one file per bucket after appends; serve unchanged") {
