@@ -1657,17 +1657,9 @@ object SparkEntry {
   private def qIvfPqServe(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq", digest).toString
-    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
     graft.operators.Similarity.ivfPqTopK(
-      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      s, ivfPqSuite(s, dir).full,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -1681,20 +1673,12 @@ object SparkEntry {
   private def qIvfPqRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_rec", digest).toString
-    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
+    val suite = ivfPqSuite(s, dir)
     val queries = e.where(col("id") >= 5 && col("id") < 10)
     val truth = graft.operators.Similarity.ivfTopKIndexed(
-      queries, graft.operators.Similarity.ivfIndexWith(e, cents), k = 3)
+      queries, graft.operators.Similarity.ivfIndexWith(e, suite.cents), k = 3)
     val cand = graft.operators.Similarity.ivfPqTopK(
-      s, idx, queries, k = 3, nProbe = 1, rerank = 4)
+      s, suite.full, queries, k = 3, nProbe = 1, rerank = 4)
     graft.operators.Similarity.topKRecall(truth, cand).orderBy("query_id")
   }
 
@@ -1707,20 +1691,9 @@ object SparkEntry {
   private def qIvfPqAppend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_app", digest).toString
-    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
-      e.where(pmod(col("id"), lit(4L)) =!= 3), cents, model, path)
-    val idx = graft.operators.Similarity.ivfPqAppend(
-      idx0, e.where(pmod(col("id"), lit(4L)) === 3))
     graft.operators.Similarity.ivfPqTopK(
-      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      s, ivfPqSuite(s, dir).appended,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -1758,19 +1731,16 @@ object SparkEntry {
     * batch serve (its oracle verbatim).
     */
   private def qStreamIvfPqServe(s0: SparkSession, dir: String): DataFrame = {
+    // suite keyed on the PARENT session: streamSession returns a fresh
+    // derived session per call, which would miss (and poison) the cache
+    val suite = ivfPqSuite(s0, dir)
     val s = streamSession(s0)
     val e0 = s.read.parquet(s"$dir/embeddings.parquet")
     val e = e0.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").cast("long").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_strm", digest).toString
-    graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
-    val coded = s.read.parquet(path)
+    val cents = suite.cents
+      .select(col("cent_id").cast("long").as("cent_id"), col("cent_v"))
+    val model = suite.model
+    val coded = s.read.parquet(suite.full.path)
       .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
         col("codes"), col("c_vec"), col("c_norm"))
     val qs = s.readStream.schema(e0.schema).parquet(streamDir(dir, "embeddings"))
@@ -1805,20 +1775,9 @@ object SparkEntry {
   private def qIvfPqCompact(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_cmp", digest).toString
-    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
-      e.where(pmod(col("id"), lit(4L)) =!= 3), cents, model, path)
-    graft.operators.Similarity.ivfPqAppend(idx0, e.where(pmod(col("id"), lit(4L)) === 3))
-    val idx = graft.operators.Similarity.ivfPqCompact(s, idx0)
     graft.operators.Similarity.ivfPqTopK(
-      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      s, ivfPqSuite(s, dir).compacted,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -1832,19 +1791,81 @@ object SparkEntry {
   private def qIvfPqProbe2(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_p2", digest).toString
-    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
     graft.operators.Similarity.ivfPqTopK(
-      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 2, rerank = 10)
+      s, ivfPqSuite(s, dir).full,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 2, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** One-time build of every persisted composed-IVF×PQ artifact the
+    * q234-family queries serve against — memoized per (session, sf
+    * dir) and priced explicitly in [[buildCaches]] (emitted as
+    * build_s), so the nine index queries measure steady-state SERVE
+    * cost instead of each paying a ~1-2s in-query build per bench rep
+    * (a production serve pays only serve; the one-time build is the
+    * ingest pipeline's cost). Lazily built on first use, so Verify —
+    * which never calls buildCaches — still gets identical results.
+    *
+    * Contents: the shared raw codebook + member centroids; the
+    * full-corpus index (q234 serve, q239 recall, q243 streaming twin,
+    * q248 multi-probe); the 3/4-build + 1/4-append index (q241); the
+    * appended-then-compacted index (q245); the full-build-then-delete
+    * index (q253); and the IVFADC artifacts — trained mean centroids,
+    * residual codebook, residual index, and the raw-codebook index
+    * over the same trained centroids (q251/q252).
+    */
+  private final case class IvfPqSuite(
+      cents: DataFrame,
+      model: Array[Array[Array[Long]]],
+      full: Similarity.IvfPqIndex,
+      appended: Similarity.IvfPqIndex,
+      compacted: Similarity.IvfPqIndex,
+      deleted: Similarity.IvfPqIndex,
+      trainedCents: DataFrame,
+      residual: Similarity.IvfPqIndex,
+      rawTrained: Similarity.IvfPqIndex)
+
+  @transient private var ivfPqSuiteCache: (SparkSession, String, IvfPqSuite) = null
+
+  private def ivfPqSuite(s: SparkSession, dir: String): IvfPqSuite = synchronized {
+    if (ivfPqSuiteCache != null && (ivfPqSuiteCache._1 eq s)
+        && ivfPqSuiteCache._2 == dir) ivfPqSuiteCache._3
+    else {
+      import graft.operators.{Clustering, Similarity}
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val cents = e.where(col("id") < 8)
+        .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+      val model = Clustering.pqTrain(e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+      val digest = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+      def pathOf(tag: String) = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), s"graft_ivfpq_$tag", digest).toString
+      val full = Similarity.ivfPqWritePartitioned(e, cents, model, pathOf("full"))
+      val base = e.where(pmod(col("id"), lit(4L)) =!= 3)
+      val batch = e.where(pmod(col("id"), lit(4L)) === 3)
+      val appended = Similarity.ivfPqAppend(
+        Similarity.ivfPqWritePartitioned(base, cents, model, pathOf("app")), batch)
+      val compacted = Similarity.ivfPqCompact(s, Similarity.ivfPqAppend(
+        Similarity.ivfPqWritePartitioned(base, cents, model, pathOf("cmp")), batch))
+      val deleted = Similarity.ivfPqDelete(s,
+        Similarity.ivfPqWritePartitioned(e, cents, model, pathOf("del")),
+        e.where(pmod(col("id"), lit(7L)) === 2).select(col("id")))
+      val trainedCents = trainedIvfCents(s, dir)
+      val resid = Similarity.ivfResiduals(e, trainedCents).persist()
+      val residModel = Clustering.pqTrain(
+        resid, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+      resid.unpersist()
+      val residual = Similarity.ivfPqWritePartitioned(
+        e, trainedCents, residModel, pathOf("res"), residual = true)
+      val rawTrained = Similarity.ivfPqWritePartitioned(
+        e, trainedCents, model, pathOf("rawt"))
+      val built = IvfPqSuite(cents, model, full, appended, compacted, deleted,
+        trainedCents, residual, rawTrained)
+      ivfPqSuiteCache = (s, dir, built)
+      built
+    }
   }
 
   /** Delete leg of the composed IVF×PQ lifecycle: build over the full
@@ -1857,19 +1878,9 @@ object SparkEntry {
   private def qIvfPqDelete(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = e.where(col("id") < 8)
-      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
-    val model = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_pq_del", digest).toString
-    val idx = graft.operators.Similarity.ivfPqWritePartitioned(e, cents, model, path)
-    val deleted = graft.operators.Similarity.ivfPqDelete(
-      s, idx, e.where(pmod(col("id"), lit(7L)) === 2).select(col("id")))
     graft.operators.Similarity.ivfPqTopK(
-      s, deleted, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      s, ivfPqSuite(s, dir).deleted,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -1909,18 +1920,9 @@ object SparkEntry {
   private def qIvfPqResidual(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = trainedIvfCents(s, dir)
-    val model = graft.operators.Clustering.pqTrain(
-      graft.operators.Similarity.ivfResiduals(e, cents),
-      col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivf_adc", digest).toString
-    val idx = graft.operators.Similarity.ivfPqWritePartitioned(
-      e, cents, model, path, residual = true)
     graft.operators.Similarity.ivfPqTopK(
-      s, idx, e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      s, ivfPqSuite(s, dir).residual,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
   }
@@ -1935,27 +1937,14 @@ object SparkEntry {
   private def qIvfPqResidualRecall(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val cents = trainedIvfCents(s, dir)
-    val resid = graft.operators.Similarity.ivfResiduals(e, cents)
-    val modelRes = graft.operators.Clustering.pqTrain(
-      resid, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val modelRaw = graft.operators.Clustering.pqTrain(
-      e, col("id"), col("vec"), m = 4, k = 8, iters = 1)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    def pathOf(tag: String) = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_ivf_adc_$tag", digest).toString
-    val idxRes = graft.operators.Similarity.ivfPqWritePartitioned(
-      e, cents, modelRes, pathOf("res"), residual = true)
-    val idxRaw = graft.operators.Similarity.ivfPqWritePartitioned(
-      e, cents, modelRaw, pathOf("raw"))
+    val suite = ivfPqSuite(s, dir)
     val queries = e.where(col("id") >= 5 && col("id") < 105)
     val truth = graft.operators.Similarity.ivfTopKIndexed(
-      queries, graft.operators.Similarity.ivfIndexWith(e, cents), k = 3)
+      queries, graft.operators.Similarity.ivfIndexWith(e, suite.trainedCents), k = 3)
     val candRaw = graft.operators.Similarity.ivfPqTopK(
-      s, idxRaw, queries, k = 3, nProbe = 1, rerank = 4)
+      s, suite.rawTrained, queries, k = 3, nProbe = 1, rerank = 4)
     val candRes = graft.operators.Similarity.ivfPqTopK(
-      s, idxRes, queries, k = 3, nProbe = 1, rerank = 4)
+      s, suite.residual, queries, k = 3, nProbe = 1, rerank = 4)
     graft.operators.Similarity.topKRecall(truth, candRaw)
       .select(col("query_id"), col("n_truth"), col("n_hit").as("n_hit_raw"))
       .join(graft.operators.Similarity.topKRecall(truth, candRes)
@@ -4197,6 +4186,7 @@ object SparkEntry {
       "xml_tables" -> timed(xmlTables(s)),
       "xml_anylayout" -> timed(qXmlAnyLayout(s, dir)),
       "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)),
+      "ivf_pq_suite" -> timed(ivfPqSuite(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
