@@ -1724,10 +1724,13 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** Streaming serve against the composed IVF×PQ index: q234's
-    * two-stage semantics with a query stream — plan-literal centroid
-    * assignment + per-query LUT, one stream-static bucket join, and
-    * the ADC cut + exact re-rank in a single stateless
-    * flatMapGroupsWithState. The AvailableNow drain must equal q234's
+    * two-stage semantics with a query stream, in the batch path's
+    * two-fetch shape — plan-literal centroid assignment + per-query
+    * LUT, a CODES-ONLY stream-static candidate join, the ADC cut in a
+    * stateless flatMapGroupsWithState, exact vectors fetched for the
+    * survivors only by a second stream-static join, and the final
+    * top-k cut on the drained survivor table (exact: a query's
+    * survivors never span micro-batches). The drain must equal q234's
     * batch serve (its oracle verbatim).
     */
   private def qStreamIvfPqServe(s0: SparkSession, dir: String): DataFrame = {
@@ -1753,9 +1756,45 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table("graft_stream_ivfpq")
+    graft.streaming.StreamingOps.ivfPqTopKOfSurvivors(
+      s.table("graft_stream_ivfpq"), k = 3)
       .select(col("query_id"), col("neighbor_id"), col("cos"))
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Streaming coded-vector INGEST (q160's sibling for the composed
+    * index): the index builds over 3/4 of the corpus (per invocation —
+    * ingest mutates storage, so this query can't serve a memoized
+    * build), the remaining 1/4 arrives as a stream and appends
+    * map-only (assign + PQ-encode) into the bucket partition dirs via
+    * foreachBatch, and the drained index's serve must equal q234's
+    * full-corpus build exactly (its oracle verbatim).
+    */
+  private def qStreamIvfPqIngest(s0: SparkSession, dir: String): DataFrame = {
+    val suite = ivfPqSuite(s0, dir)
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val e = e0.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_ivfpq_ingest", digest).toString
+    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
+      e.where(pmod(col("id"), lit(4L)) =!= 3), suite.cents, suite.model, path)
+    val batchStream = s.readStream.schema(e0.schema)
+      .parquet(streamDir(dir, "embeddings"))
+      .where(pmod(col("vec_id"), lit(4L)) === 3)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val q = graft.streaming.StreamingOps.streamingIvfPqIngest(batchStream, idx0)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Similarity.ivfPqTopK(
+      s0, idx0, t(s0, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
   }
 
   /** Robust per-language outlier gate on document length: exact
@@ -4436,6 +4475,7 @@ object SparkEntry {
     "q251_ivf_pq_residual" -> qIvfPqResidual _,
     "q252_ivf_pq_residual_recall" -> qIvfPqResidualRecall _,
     "q253_ivf_pq_delete" -> qIvfPqDelete _,
+    "q254_stream_ivf_pq_ingest" -> qStreamIvfPqIngest _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8719,5 +8759,8 @@ object SparkEntry {
       ("q243_stream_ivf_pq" -> base("q234_ivf_pq_serve")) +
       // compaction rewrites storage only — serve must stay equal to
       // the full-corpus build
-      ("q245_ivf_pq_compact" -> base("q234_ivf_pq_serve"))
+      ("q245_ivf_pq_compact" -> base("q234_ivf_pq_serve")) +
+      // streamed coded-vector ingest must serve exactly like the
+      // from-scratch full-corpus build (q241's contract, stream-fed)
+      ("q254_stream_ivf_pq_ingest" -> base("q234_ivf_pq_serve"))
 }

@@ -435,22 +435,35 @@ object StreamingOps {
   }
 
   /** Streaming serve against the COMPOSED IVF×PQ index — q234's
-    * two-stage semantics with a query STREAM: each micro-batch query
-    * assigns to its nearest coarse bucket (plan-literal centroids,
-    * map-only) and computes its ADC lookup table once (plan-literal
-    * codebook, native `pq_lut`); candidates come from ONE
-    * stream-static bucket join against the coded table; and the
-    * per-query ADC-top-`rerank` cut plus exact-cosine re-rank both
-    * run inside a single stateless flatMapGroupsWithState (candidates
-    * are batch-local; nothing is stored — the memory bound is the
-    * probed bucket's size, the batch serve's own bound).
+    * two-stage semantics with a query STREAM, in the batch path's
+    * two-fetch shape:
     *
-    * The drained output equals [[graft.operators.Similarity
-    * .ivfPqTopK]] row-for-row for the same queries (q243 pins it
-    * under the DuckDB gate with q234's oracle). Note the streaming
-    * twin carries (codes, c_vec, c_norm) through the one candidate
-    * join — a serving fleet would split the fetch like the batch
-    * path; the stream side's state is still zero.
+    *  1. each micro-batch query assigns to its nearest coarse bucket
+    *     (plan-literal centroids, map-only) and computes its ADC
+    *     lookup table once (plan-literal codebook, native `pq_lut`);
+    *  2. candidates come from ONE stream-static bucket join against
+    *     ONLY the (bucket, neighbor_id, codes) projection of the
+    *     coded table — the float vectors do NOT ride the candidate
+    *     join (spec-pinned from the executed micro-batch plan) — and
+    *     the per-query ADC-top-`rerank` cut runs in a stateless
+    *     flatMapGroupsWithState (candidates are batch-local; nothing
+    *     is stored — the memory bound is the probed bucket's size,
+    *     the batch serve's own bound);
+    *  3. ONLY the survivors fetch exact vectors, via a second
+    *     stream-static join on (bucket, neighbor_id) — stateless, so
+    *     it legally follows the flatMapGroupsWithState — and the
+    *     exact rounded cosine is computed per survivor.
+    *
+    * The emitted stream carries each query's ≤ `rerank` survivors
+    * with exact cosines; the final top-`k` cut is the CONSUMER's
+    * per-micro-batch step ([[ivfPqTopKOfSurvivors]] — exact, because
+    * a query's whole candidate set derives from its single input row
+    * and so never spans micro-batches; Spark disallows a second
+    * stateful operator after flatMapGroupsWithState, and a serving
+    * fleet's final ranker is a separate tier anyway). The k-cut
+    * output equals [[graft.operators.Similarity.ivfPqTopK]]
+    * row-for-row for the same queries (q243 pins it under the DuckDB
+    * gate with q234's oracle).
     */
   def streamingIvfPqServe(
       queryStream: DataFrame,
@@ -483,30 +496,78 @@ object StreamingOps {
     }
     val best = if (candStructs.length == 1) candStructs.head else greatest(candStructs: _*)
     val assignedQ = queryStream
-      .select(col("id").cast("long").as("query_id"), col("vec").as("q_vec"))
+      .select(col("id").cast("long").as("query_id"),
+        col("vec").cast("array<double>").as("q_vec"))
       .withColumn("q_norm", Similarity.norm(col("q_vec")))
       .withColumn("bucket", -best.getField("nid"))
       .withColumn("__lut", graft.functions.VecOps.pqLut(
         graft.functions.VecOps.fixedPoint(col("q_vec"), fpScale),
         typedLit(flat), m))
-    val scored = assignedQ.join(coded, Seq("bucket"))
+    // stage 2: codes-only candidate join — c_vec/c_norm are pruned
+    // from the static scan here, exactly like the batch probe
+    val codesOnly = coded.select(col("bucket"), col("neighbor_id"), col("codes"))
+    val scored = assignedQ.join(codesOnly, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id").cast("long").as("neighbor_id"),
-        graft.functions.VecOps.pqAdc(col("codes"), col("__lut")).as("adc_dist"),
+      .select(col("query_id"), col("bucket"), col("q_vec"), col("q_norm"),
+        col("neighbor_id").cast("long").as("neighbor_id"),
+        graft.functions.VecOps.pqAdc(col("codes"), col("__lut")).as("adc_dist"))
+    val survivors = scored
+      .as[(Long, Long, Seq[Double], Double, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (Long, Long, Seq[Double], Double, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (qid: Long, rows: Iterator[(Long, Long, Seq[Double], Double, Long, Long)],
+            _: GroupState[Boolean]) =>
+          rows.toSeq.sortBy(r => (r._6, r._5)).take(rerank)
+            .map { case (_, bucket, qv, qn, nid, _) => (qid, bucket, qv, qn, nid) }
+            .iterator
+      }
+      .toDF("query_id", "bucket", "q_vec", "q_norm", "neighbor_id")
+    // stage 3: exact vectors for survivors only (stateless
+    // stream-static join, so it may follow the stateful cut)
+    survivors
+      .join(coded.select(col("bucket"), col("neighbor_id"),
+        col("c_vec"), col("c_norm")), Seq("bucket", "neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
         round(Similarity.cosineFromNorms(
           Similarity.dot(col("q_vec"), col("c_vec")), col("q_norm"), col("c_norm")), 6)
           .as("cos"))
-    scored.as[(Long, Long, Long, Double)]
-      .groupByKey(_._1)
-      .flatMapGroupsWithState[Boolean, (Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (qid: Long, rows: Iterator[(Long, Long, Long, Double)], _: GroupState[Boolean]) =>
-          val cands = rows.toSeq.sortBy(r => (r._3, r._2)).take(rerank)
-          cands.sortBy(r => (-r._4, r._2)).take(k)
-            .map { case (_, nid, _, cos) => (qid, nid, cos) }.iterator
-      }
-      .toDF("query_id", "neighbor_id", "cos")
   }
+
+  /** The consumer-side top-`k` cut over [[streamingIvfPqServe]]'s
+    * survivor batches — run per micro-batch (foreachBatch) or on the
+    * drained table; exact because a query's survivors never span
+    * micro-batches (they derive from its single input row).
+    */
+  def ivfPqTopKOfSurvivors(batch: DataFrame, k: Int): DataFrame =
+    batch.withColumn("rk", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+
+  /** Streaming coded-vector INGEST into a persisted composed
+    * [[graft.operators.Similarity.IvfPqIndex]] — q160's postings
+    * sibling for the ANN index: each micro-batch of arriving (id,
+    * vec) rows pays exactly the batch append's map-only cost (coarse
+    * assignment against broadcast centroids, PQ encoding against the
+    * plan-literal codebook — residual or raw per the index's flag)
+    * and lands via an APPEND write into the same bucket partition
+    * directories; existing files are never rewritten (spec-pinned by
+    * inventory). The drained index serves exactly like batch
+    * [[graft.operators.Similarity.ivfPqAppend]] over the union (q254
+    * pins it with q234's oracle verbatim).
+    */
+  def streamingIvfPqIngest(
+      vecStream: DataFrame,
+      index: graft.operators.Similarity.IvfPqIndex)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.ivfPqAppend(index, batch)
+        ()
+      }
 
   def sessionize(
       events: Dataset[Event],

@@ -468,6 +468,106 @@ class StreamingOpsSpec extends SparkTestBase {
       s"streaming composed serve must equal batch: $served vs $batch")
   }
 
+  test("streamingIvfPqServe: candidate join is codes-only; exact vectors join survivors after the cut") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = (0L until 32L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val idxDir = Files.createTempDirectory("ivfpq_twofetch").toString + "/idx"
+    graft.operators.Similarity.ivfPqWritePartitioned(all, cents, model, idxDir)
+    val coded = spark.read.parquet(idxDir)
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
+        col("codes"), col("c_vec"), col("c_norm"))
+    val srcDir = Files.createTempDirectory("ivfpq_twofetch_src")
+    val qStream = spark.readStream
+      .schema(all.schema).parquet(srcDir.toString)
+      .select(col("id"), col("vec"))
+    val served = StreamingOps.streamingIvfPqServe(
+      qStream, cents, model, coded, k = 3, rerank = 5)
+    // the analyzed plan pins the two-fetch shape: the join BELOW the
+    // stateful ADC cut carries (bucket, neighbor_id, codes) and NO
+    // c_vec; the join ABOVE it fetches c_vec for survivors only
+    val lp = served.queryExecution.analyzed
+    val fmgws = lp.collect {
+      case n if n.nodeName.contains("FlatMapGroupsWithState") => n }.head
+    val candJoin = fmgws.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }.get
+    val candCols = candJoin.right.output.map(_.name)
+    assert(candCols.contains("codes") && !candCols.contains("c_vec"),
+      s"candidate join must be codes-only, got $candCols")
+    val topJoin = lp.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.collectFirst { case n if n.nodeName.contains("FlatMapGroupsWithState") => n }.isDefined
+        => j }.get
+    assert(topJoin.right.output.map(_.name).contains("c_vec"),
+      "survivor join must fetch the exact vectors")
+    // and the drained two-fetch serve still equals the batch serve
+    all.where(col("id") < 3).write.mode("overwrite").parquet(srcDir.toString)
+    val ck = Files.createTempDirectory("ivfpq_twofetch_ck")
+    val q = served.writeStream.format("memory").queryName("ivfpq_twofetch")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = StreamingOps.ivfPqTopKOfSurvivors(spark.table("ivfpq_twofetch"), k = 3)
+      .orderBy("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val idx = graft.operators.Similarity.IvfPqIndex(cents, model, idxDir, 1000.0)
+    val want = graft.operators.Similarity
+      .ivfPqTopK(spark, idx, all.where(col("id") < 3), k = 3, nProbe = 1, rerank = 5)
+      .orderBy("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == want, s"$got vs $want")
+  }
+
+  test("streamingIvfPqIngest: existing files untouched; drained index serves like batch append") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = (0L until 32L).map { i =>
+      (i, (0 until 8).map(d => ((i * 29 + d * 13) % 11).toDouble - 5.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dir = Files.createTempDirectory("ivfpq_ingest").toString + "/idx"
+    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
+      all.where(col("id") % 4 =!= 3), cents, model, dir)
+    def inventory(): Map[String, String] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("bucket="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet")).map { f =>
+          val h = java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+          (d.getName + "/" + f.getName) -> h
+        }).toMap
+    }
+    val before = inventory()
+    val srcDir = Files.createTempDirectory("ivfpq_ingest_src")
+    all.where(col("id") % 4 === 3).write.mode("overwrite").parquet(srcDir.toString)
+    val ck = Files.createTempDirectory("ivfpq_ingest_ck")
+    val q = StreamingOps.streamingIvfPqIngest(
+      spark.readStream.schema(all.schema).parquet(srcDir.toString), idx0)
+      .option("checkpointLocation", ck.toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val after = inventory()
+    assert(before.forall { case (f, h) => after.get(f).contains(h) },
+      "streamed ingest must not rewrite existing files")
+    assert(after.size > before.size, "streamed ingest must add files")
+    // serve equality with a from-scratch build over the union
+    val scratchDir = Files.createTempDirectory("ivfpq_ingest2").toString + "/idx"
+    val scratch = graft.operators.Similarity.ivfPqWritePartitioned(all, cents, model, scratchDir)
+    val queries = all.where(col("id") < 5)
+    def rows(ix: graft.operators.Similarity.IvfPqIndex) =
+      graft.operators.Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 32)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(idx0) == rows(scratch))
+  }
+
   test("xmlRecordStream parses arriving one-line records with entity expansion") {
     import spark.implicits._
     val dir = Files.createTempDirectory("xmlstream")
