@@ -1797,6 +1797,39 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Streaming twin of the RESIDUAL (IVFADC) serve — q243's shape
+    * over q251's index: per-query LUT on the per-bucket coarse
+    * residual (plan-literal centroid fold), codes-only candidate
+    * join, stateless ADC cut, survivor-only exact fetch, consumer
+    * k-cut. The drain must equal q251's batch residual serve (its
+    * oracle verbatim).
+    */
+  private def qStreamIvfAdcServe(s0: SparkSession, dir: String): DataFrame = {
+    val suite = ivfPqSuite(s0, dir)
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val cents = suite.trainedCents
+      .select(col("cent_id").cast("long").as("cent_id"), col("cent_v"))
+    val coded = s.read.parquet(suite.residual.path)
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
+        col("codes"), col("c_vec"), col("c_norm"))
+    val qs = s.readStream.schema(e0.schema).parquet(streamDir(dir, "embeddings"))
+      .where(col("vec_id") >= 5 && col("vec_id") < 10)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val served = graft.streaming.StreamingOps.streamingIvfPqServe(
+      qs, cents, suite.residual.model, coded, k = 3, rerank = 10,
+      residual = true)
+    val q = served.writeStream.format("memory").queryName("graft_stream_ivfadc")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.streaming.StreamingOps.ivfPqTopKOfSurvivors(
+      s.table("graft_stream_ivfadc"), k = 3)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
   /** Robust per-language outlier gate on document length: exact
     * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
     * count — both medians off the two-phase histogram kernel.
@@ -4476,6 +4509,7 @@ object SparkEntry {
     "q252_ivf_pq_residual_recall" -> qIvfPqResidualRecall _,
     "q253_ivf_pq_delete" -> qIvfPqDelete _,
     "q254_stream_ivf_pq_ingest" -> qStreamIvfPqIngest _,
+    "q255_stream_ivf_adc" -> qStreamIvfAdcServe _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8762,5 +8796,7 @@ object SparkEntry {
       ("q245_ivf_pq_compact" -> base("q234_ivf_pq_serve")) +
       // streamed coded-vector ingest must serve exactly like the
       // from-scratch full-corpus build (q241's contract, stream-fed)
-      ("q254_stream_ivf_pq_ingest" -> base("q234_ivf_pq_serve"))
+      ("q254_stream_ivf_pq_ingest" -> base("q234_ivf_pq_serve")) +
+      // the streaming residual drain must equal the batch IVFADC serve
+      ("q255_stream_ivf_adc" -> base("q251_ivf_pq_residual"))
 }

@@ -472,7 +472,8 @@ object StreamingOps {
       coded: DataFrame,
       k: Int,
       rerank: Int,
-      fpScale: Double = 1000.0): DataFrame = {
+      fpScale: Double = 1000.0,
+      residual: Boolean = false): DataFrame = {
     import graft.operators.Similarity
     require(k >= 1, s"k must be >= 1, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
@@ -495,13 +496,28 @@ object StreamingOps {
         lit(-cid).as("nid"))
     }
     val best = if (candStructs.length == 1) candStructs.head else greatest(candStructs: _*)
+    // residual (IVFADC) indexes LUT the query's per-bucket coarse
+    // residual q − c_b (the batch serve's arithmetic verbatim — the
+    // chosen bucket's centroid folds out of the same plan literals,
+    // map-only); raw indexes LUT the query vector itself
+    val lutInput =
+      if (residual) {
+        val centCases = centRows.map { case (cid, arr) =>
+          (cid, zip_with(col("q_vec"), typedLit(arr),
+            (a, b) => a.cast("double") - b.cast("double")))
+        }
+        centCases.tail.foldLeft(
+          when(col("bucket") === centCases.head._1, centCases.head._2)) {
+          case (acc, (cid, diff)) => acc.when(col("bucket") === cid, diff)
+        }
+      } else col("q_vec")
     val assignedQ = queryStream
       .select(col("id").cast("long").as("query_id"),
         col("vec").cast("array<double>").as("q_vec"))
       .withColumn("q_norm", Similarity.norm(col("q_vec")))
       .withColumn("bucket", -best.getField("nid"))
       .withColumn("__lut", graft.functions.VecOps.pqLut(
-        graft.functions.VecOps.fixedPoint(col("q_vec"), fpScale),
+        graft.functions.VecOps.fixedPoint(lutInput, fpScale),
         typedLit(flat), m))
     // stage 2: codes-only candidate join — c_vec/c_norm are pruned
     // from the static scan here, exactly like the batch probe

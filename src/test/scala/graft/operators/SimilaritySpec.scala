@@ -382,6 +382,13 @@ class SimilaritySpec extends SparkTestBase {
     val adcScan = plan.split("\n").find(l =>
       l.contains("ReadSchema") && l.contains("codes"))
     assert(adcScan.isDefined && !adcScan.get.contains("c_vec"), adcScan.getOrElse(plan))
+    // multi-probe residual serve: each (query, probed bucket) pair
+    // LUTs its OWN per-bucket residual; with rerank covering both
+    // probed buckets the result equals the exact 2-probe IVF serve
+    val served2 = Similarity.ivfPqTopK(spark, idxRes, queries, k = 3, nProbe = 2, rerank = 64)
+    val plain2 = Similarity.ivfTopKIndexed(
+      queries, Similarity.ivfIndexWith(all, cents), k = 3, nProbe = 2)
+    assert(rows(served2) == rows(plain2))
     // the residual trick is LIVE: vectors that share a within-cluster
     // displacement but sit in different buckets get the SAME residual
     // code word, while their raw codes differ in the cluster-offset
@@ -520,6 +527,19 @@ class SimilaritySpec extends SparkTestBase {
     Similarity.ivfPqDelete(spark, idx, allBucket2)
     val dirs = new java.io.File(dir).listFiles().map(_.getName).toSet
     assert(!dirs.contains("bucket=2"), s"emptied bucket dir must be removed: $dirs")
+    // delete is layout-level (codes opaque): the residual index
+    // deletes identically — serve equals a residual scratch build
+    // over the survivors
+    val modelR = Clustering.pqTrain(
+      Similarity.ivfResiduals(all, cents), col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dirR = java.nio.file.Files.createTempDirectory("ivfpq_del_r").toString + "/idx"
+    val dirR2 = java.nio.file.Files.createTempDirectory("ivfpq_del_r2").toString + "/idx"
+    val idxR = Similarity.ivfPqWritePartitioned(all, cents, modelR, dirR, residual = true)
+    Similarity.ivfPqDelete(spark, idxR, deletes)
+    val scratchR = Similarity.ivfPqWritePartitioned(
+      all.where(col("id") =!= 8L && col("id") =!= 13L), cents, modelR, dirR2,
+      residual = true)
+    assert(rows(idxR) == rows(scratchR))
   }
 
   test("ivfPqCompact: one file per bucket after appends; serve unchanged") {

@@ -523,6 +523,47 @@ class StreamingOpsSpec extends SparkTestBase {
     assert(got == want, s"$got vs $want")
   }
 
+  test("streamingIvfPqServe residual=true equals the batch IVFADC serve") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt; val j = ((i / 4) % 8).toInt
+      val v = Array.fill(8)(0.0)
+      v(c) = 40.0; v(4 + (j % 4)) = 1.0 + (j / 4).toDouble
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = graft.operators.Clustering.pqTrain(
+      graft.operators.Similarity.ivfResiduals(all, cents),
+      col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val idxDir = Files.createTempDirectory("ivfadc_stream").toString + "/idx"
+    val idx = graft.operators.Similarity.ivfPqWritePartitioned(
+      all, cents, model, idxDir, residual = true)
+    val coded = spark.read.parquet(idxDir)
+      .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"),
+        col("codes"), col("c_vec"), col("c_norm"))
+    val srcDir = Files.createTempDirectory("ivfadc_stream_src")
+    all.where(col("id") < 4).write.mode("overwrite").parquet(srcDir.toString)
+    val ck = Files.createTempDirectory("ivfadc_stream_ck")
+    val served = StreamingOps.streamingIvfPqServe(
+      spark.readStream.schema(all.schema).parquet(srcDir.toString)
+        .select(col("id"), col("vec")),
+      cents, model, coded, k = 3, rerank = 5, residual = true)
+    val q = served.writeStream.format("memory").queryName("ivfadc_stream")
+      .option("checkpointLocation", ck.toString)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = StreamingOps.ivfPqTopKOfSurvivors(spark.table("ivfadc_stream"), k = 3)
+      .orderBy("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = graft.operators.Similarity
+      .ivfPqTopK(spark, idx, all.where(col("id") < 4), k = 3, nProbe = 1, rerank = 5)
+      .orderBy("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want, s"$got vs $want")
+  }
+
   test("streamingIvfPqIngest: existing files untouched; drained index serves like batch append") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
