@@ -1830,6 +1830,36 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** Binary (sign-bit) quantized ANN — the most aggressive rung of
+    * the compression ladder (float → int8 q82 → PQ q109 → 1 bit/dim):
+    * stage 1 ranks by Hamming distance over 4-int signatures (the
+    * floats never ride the candidate scan), stage 2 exact-re-ranks
+    * the top-10 survivors to top-3. Oracle replicates packing
+    * (16 dims/int, strict > 0), Hamming via bit_count(xor), both cuts.
+    */
+  private def qBinaryAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.binaryTopK(
+      e.where(col("id") >= 5 && col("id") < 10), e, k = 3, rerank = 10, words = 4)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
+  /** Matryoshka (MRL) two-stage serve: stage 1 cosine on the FIRST 16
+    * of 64 dims (4× less candidate I/O/arithmetic — at storage scale
+    * the prefix is its own pruned column), top-10 survive, stage 2
+    * full-dim exact re-rank to top-3.
+    */
+  private def qMatryoshkaAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.matryoshkaTopK(
+      e.where(col("id") >= 5 && col("id") < 10), e, k = 3, rerank = 10, dPrefix = 16)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Robust per-language outlier gate on document length: exact
     * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
     * count — both medians off the two-phase histogram kernel.
@@ -4510,6 +4540,8 @@ object SparkEntry {
     "q253_ivf_pq_delete" -> qIvfPqDelete _,
     "q254_stream_ivf_pq_ingest" -> qStreamIvfPqIngest _,
     "q255_stream_ivf_adc" -> qStreamIvfAdcServe _,
+    "q256_binary_ann" -> qBinaryAnn _,
+    "q257_matryoshka_ann" -> qMatryoshkaAnn _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8413,6 +8445,63 @@ object SparkEntry {
             |LEFT JOIN cand_raw cr ON x.query_id = cr.query_id AND x.neighbor_id = cr.neighbor_id
             |LEFT JOIN cand_res cx ON x.query_id = cx.query_id AND x.neighbor_id = cx.neighbor_id
             |GROUP BY x.query_id ORDER BY x.query_id""".stripMargin),
+
+      // binary (sign-bit) ANN: 16-dims-per-int packing (strict > 0),
+      // Hamming = sum of bit_count(xor) over the 4 words, top-10 by
+      // (ham, neighbor_id), exact rounded-cosine re-rank to top-3
+      "q256_binary_ann" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | sig AS (SELECT vec_id,
+          |   [list_sum([CASE WHEN vec[j*16+i+1] > 0 THEN (1 << i) ELSE 0 END FOR i IN range(0,16)])::BIGINT
+          |    FOR j IN range(0,4)] AS s
+          |  FROM e),
+          | ham AS (
+          |  SELECT sq.vec_id AS query_id, sc.vec_id AS neighbor_id,
+          |   list_sum([bit_count(xor(sq.s[w], sc.s[w])) FOR w IN range(1,5)])::BIGINT AS ham
+          |  FROM sig sq CROSS JOIN sig sc
+          |  WHERE sq.vec_id >= 5 AND sq.vec_id < 10 AND sc.vec_id <> sq.vec_id),
+          | cand AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY ham, neighbor_id) AS rk
+          |  FROM ham) WHERE rk <= 10),
+          | rer AS (
+          |  SELECT cd.query_id, cd.neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+          |  JOIN e c ON c.vec_id = cd.neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          | SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          | FROM rer) WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // Matryoshka two-stage: prefix-16 cosine cut to top-10 (ties by
+      // neighbor_id), full-dim exact re-rank to top-3
+      "q257_matryoshka_ann" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | pre AS (
+          |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+          |   round(list_dot_product(q.vec[1:16], c.vec[1:16]) /
+          |     (sqrt(list_dot_product(q.vec[1:16], q.vec[1:16])) *
+          |      sqrt(list_dot_product(c.vec[1:16], c.vec[1:16]))), 6) AS pre_cos
+          |  FROM e q CROSS JOIN e c
+          |  WHERE q.vec_id >= 5 AND q.vec_id < 10 AND c.vec_id <> q.vec_id),
+          | cand AS (SELECT query_id, neighbor_id FROM (
+          |  SELECT query_id, neighbor_id,
+          |   row_number() OVER (PARTITION BY query_id ORDER BY pre_cos DESC, neighbor_id) AS rk
+          |  FROM pre) WHERE rk <= 10),
+          | rer AS (
+          |  SELECT cd.query_id, cd.neighbor_id,
+          |   round(list_dot_product(q.vec, c.vec) /
+          |     (sqrt(list_dot_product(q.vec, q.vec)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos
+          |  FROM cand cd JOIN e q ON q.vec_id = cd.query_id
+          |  JOIN e c ON c.vec_id = cd.neighbor_id)
+          |SELECT query_id, neighbor_id, cos FROM (
+          | SELECT query_id, neighbor_id, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
+          | FROM rer) WHERE rk <= 3
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
 
       // q97's corpus-window machinery with the duplication test
       // replaced by membership in the benchmark window set (first 12

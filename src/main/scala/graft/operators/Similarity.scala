@@ -791,6 +791,131 @@ object Similarity {
     index
   }
 
+  /** Sign-bit BINARY quantization of an embedding — 1 bit per
+    * dimension, the most aggressive of the compression ladder
+    * (float32 → int8 → PQ codes → sign bits; 32× smaller than float
+    * through every scan and exchange): bit i of word j is 1 iff
+    * vec[16·j + i] > 0 (strict — zeros and negatives quantize to 0).
+    * Packed 16 dims per INT via exact power-of-two arithmetic (never
+    * a 64-bit shift: bit 63 arithmetic wraps in Spark but OVERFLOWS
+    * in DuckDB/ANSI engines, so the portable packing stays far below
+    * 2³¹). Requires dims = 16·words (pad upstream otherwise).
+    */
+  def binarySign(vec: Column, words: Int): Column = {
+    require(words > 0, s"words must be positive, got $words")
+    array((0 until words).map { j =>
+      aggregate(sequence(lit(0), lit(15)), lit(0),
+        (acc, i) => acc + when(
+          element_at(vec, lit(j * 16) + i + 1).cast("double") > 0.0,
+          pow(lit(2.0), i).cast("int")).otherwise(lit(0)))
+    }: _*)
+  }
+
+  /** Hamming distance between two [[binarySign]] signatures. */
+  def binaryHamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, v) => acc + v)
+
+  /** Two-stage binary-quantized top-k — the sign-bit serving mode
+    * (binary flat index + exact re-rank, the vector-DB default when
+    * memory bounds the corpus): stage 1 scans ONLY (id, signature) —
+    * `words` ints per candidate instead of a float vector — ranks by
+    * Hamming distance to the broadcast query signatures, and keeps
+    * the per-query top-`rerank` (ties by neighbor_id); stage 2
+    * fetches exact vectors for the survivors alone and re-ranks by
+    * the exact rounded cosine to top-`k`. With `rerank` ≥ corpus size
+    * the cut is lossless and the result equals [[bruteForceTopK]]
+    * exactly (spec-pinned). At production scale the signature column
+    * is precomputed and stored (one int-array column beside the
+    * vector — parquet prunes the floats out of stage 1); recall
+    * follows sign-bit agreement and `rerank` is the knob.
+    */
+  def binaryTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerank: Int,
+      words: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_norm"), binarySign(col("vec"), words).as("q_sig"))
+    // stage 1: signatures only — the floats never ride the scan
+    val cand = corpus
+      .select(col("id").as("neighbor_id"), binarySign(col("vec"), words).as("c_sig"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        binaryHamming(col("q_sig"), col("c_sig")).as("ham"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))))
+      .where(col("rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    // stage 2: exact vectors for survivors only
+    cand
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+        norm(col("vec")).as("c_norm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"), col("q_norm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Matryoshka (MRL, Kusupati et al. 2022) two-stage top-k: stage 1
+    * scores cosine on only the FIRST `dPrefix` dimensions — MRL-style
+    * embeddings front-load information, so the prefix is itself a
+    * usable lower-dim embedding — and keeps the per-query
+    * top-`rerank`; stage 2 re-ranks the survivors with the full-dim
+    * exact cosine. Candidate-stage I/O and arithmetic drop by
+    * d/dPrefix; with `rerank` ≥ corpus size the cut is lossless and
+    * the result equals [[bruteForceTopK]] exactly (spec-pinned). At
+    * storage scale the prefix lives as its own column (parquet prunes
+    * the tail out of stage 1).
+    */
+  def matryoshkaTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      rerank: Int,
+      dPrefix: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    require(dPrefix > 0, s"dPrefix must be positive, got $dPrefix")
+    def prefix(c: Column) = slice(c, 1, dPrefix)
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_norm"),
+      prefix(col("vec")).as("q_pre"), norm(prefix(col("vec"))).as("q_pre_norm"))
+    val cand = corpus
+      .select(col("id").as("neighbor_id"),
+        prefix(col("vec")).as("c_pre"), norm(prefix(col("vec"))).as("c_pre_norm"))
+      .crossJoin(broadcast(q.select(col("query_id"), col("q_pre"), col("q_pre_norm"))))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_pre"), col("c_pre")),
+          col("q_pre_norm"), col("c_pre_norm")), 6).as("pre_cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("pre_cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+        norm(col("vec")).as("c_norm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"), col("q_norm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Symmetric per-vector int8 quantization: scale = 127/max|x|,
     * q_i = floor(x_i*scale + 0.5) (round-half-up — engine-exact, no
     * banker's-rounding divergence). 4× smaller vectors on disk and

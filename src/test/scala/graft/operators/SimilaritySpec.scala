@@ -574,6 +574,58 @@ class SimilaritySpec extends SparkTestBase {
     assert(rows(idx) == beforeServe, "compaction must not change the serve")
   }
 
+  test("binarySign/binaryTopK: hand-computed packing; lossless when rerank covers the corpus") {
+    import spark.implicits._
+    // hand-computed signature: dims 0,2,17 positive -> word0 = 1+4=5,
+    // word1 = 2 (bit 1), words 2..3 = 0
+    val v = (0 until 64).map { d =>
+      if (d == 0 || d == 2 || d == 17) 1.0 else if (d == 5) 0.0 else -1.0
+    }
+    val sig = Seq(Tuple1(v)).toDF("vec")
+      .select(Similarity.binarySign(col("vec"), 4).as("s"))
+      .head().getSeq[Int](0).toList
+    assert(sig == List(5, 2, 0, 0), s"got $sig")
+    // hamming of the vector against its negation = number of set bits
+    val vNeg = v.map(-_)
+    val ham = Seq((v, vNeg)).toDF("a", "b")
+      .select(Similarity.binaryHamming(
+        Similarity.binarySign(col("a"), 4), Similarity.binarySign(col("b"), 4)).as("h"))
+      .head().getInt(0)
+    // negation flips the 3 positive bits off and turns 60 strict
+    // negatives positive (the single zero stays zero on both sides)
+    assert(ham == 63, s"got $ham")
+    // rerank >= corpus: the hamming cut is lossless -> equals brute force
+    val all = (0L until 24L).map { i =>
+      (i, (0 until 64).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val queries = all.where(col("id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.binaryTopK(queries, all, k = 3, rerank = 24)) ==
+      rows(Similarity.bruteForceTopK(queries, all, k = 3)))
+    // gated: rerank < corpus still emits exactly k rows per query
+    val gated = Similarity.binaryTopK(queries, all, k = 3, rerank = 5)
+    val perQ = gated.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 3L))
+  }
+
+  test("matryoshkaTopK: lossless when rerank covers the corpus; prefix cut genuinely gates") {
+    import spark.implicits._
+    val all = (0L until 24L).map { i =>
+      (i, (0 until 64).map(d => ((i * 29 + d * 13) % 11).toDouble - 5.0))
+    }.toDF("id", "vec")
+    val queries = all.where(col("id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(Similarity.matryoshkaTopK(queries, all, k = 3, rerank = 24, dPrefix = 16)) ==
+      rows(Similarity.bruteForceTopK(queries, all, k = 3)))
+    val gated = Similarity.matryoshkaTopK(queries, all, k = 3, rerank = 5, dPrefix = 16)
+    val perQ = gated.groupBy("query_id").count().collect().map(_.getLong(1))
+    assert(perQ.nonEmpty && perQ.forall(_ == 3L))
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
