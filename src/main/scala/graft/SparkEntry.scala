@@ -1860,6 +1860,23 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk — the parallel-
+    * corpus builder): even vec_ids < 80 as the source side, odd ids
+    * as the target pool; each pair's cosine scores RELATIVE to both
+    * sides' 4-NN neighborhoods (integer-exact ppm ratio margin), and
+    * the output is each source's best target with the mutual-best
+    * flag. The oracle replicates scoring, both neighborhood sums,
+    * the margin division, and both argmaxes.
+    */
+  private def qBitextMine(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.bitextMine(
+      e.where(col("id") % 2 === 0 && col("id") < 80),
+      e.where(col("id") % 2 === 1), k = 4)
+      .orderBy("src_id")
+  }
+
   /** Robust per-language outlier gate on document length: exact
     * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
     * count — both medians off the two-phase histogram kernel.
@@ -4542,6 +4559,7 @@ object SparkEntry {
     "q255_stream_ivf_adc" -> qStreamIvfAdcServe _,
     "q256_binary_ann" -> qBinaryAnn _,
     "q257_matryoshka_ann" -> qMatryoshkaAnn _,
+    "q258_bitext_mine" -> qBitextMine _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8502,6 +8520,47 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
           | FROM rer) WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // margin-based bitext mining: micro-unit cosines (exact BIGINT),
+      // 4-NN neighborhood sums both directions, ppm ratio margin by
+      // integer division (c6 > 0 keeps the division portable), best
+      // target per source + mutual-best flag
+      "q258_bitext_mine" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+          | s AS (SELECT vec_id AS src_id, vec FROM e WHERE vec_id % 2 = 0 AND vec_id < 80),
+          | tg AS (SELECT vec_id AS tgt_id, vec FROM e WHERE vec_id % 2 = 1),
+          | scored AS (
+          |  SELECT s.src_id, tg.tgt_id,
+          |   round(list_dot_product(s.vec, tg.vec) /
+          |     (sqrt(list_dot_product(s.vec, s.vec)) * sqrt(list_dot_product(tg.vec, tg.vec)))
+          |     * 1000000, 0)::BIGINT AS c6
+          |  FROM s CROSS JOIN tg),
+          | fsum AS (SELECT src_id, sum(c6)::BIGINT AS src_nn FROM (
+          |   SELECT src_id, c6,
+          |    row_number() OVER (PARTITION BY src_id ORDER BY c6 DESC, tgt_id) AS rk
+          |   FROM scored) WHERE rk <= 4 GROUP BY src_id),
+          | bsum AS (SELECT tgt_id, sum(c6)::BIGINT AS tgt_nn FROM (
+          |   SELECT tgt_id, c6,
+          |    row_number() OVER (PARTITION BY tgt_id ORDER BY c6 DESC, src_id) AS rk
+          |   FROM scored) WHERE rk <= 4 GROUP BY tgt_id),
+          | margins AS (SELECT sc.src_id, sc.tgt_id,
+          |   (sc.c6 * 8 * 1000000 // (f.src_nn + b.tgt_nn))::BIGINT AS margin_ppm
+          |  FROM scored sc
+          |  JOIN fsum f ON f.src_id = sc.src_id
+          |  JOIN bsum b ON b.tgt_id = sc.tgt_id
+          |  WHERE sc.c6 > 0 AND f.src_nn + b.tgt_nn > 0),
+          | bf AS (SELECT src_id, tgt_id, margin_ppm FROM (
+          |   SELECT src_id, tgt_id, margin_ppm,
+          |    row_number() OVER (PARTITION BY src_id ORDER BY margin_ppm DESC, tgt_id) AS rk
+          |   FROM margins) WHERE rk = 1),
+          | bb AS (SELECT tgt_id, src_id AS b_src_id FROM (
+          |   SELECT tgt_id, src_id,
+          |    row_number() OVER (PARTITION BY tgt_id ORDER BY margin_ppm DESC, src_id) AS rk
+          |   FROM margins) WHERE rk = 1)
+          |SELECT bf.src_id, bf.tgt_id, bf.margin_ppm,
+          | (bb.b_src_id IS NOT NULL AND bb.b_src_id = bf.src_id) AS mutual
+          |FROM bf LEFT JOIN bb ON bb.tgt_id = bf.tgt_id
+          |ORDER BY src_id""".stripMargin,
 
       // q97's corpus-window machinery with the duplication test
       // replaced by membership in the benchmark window set (first 12

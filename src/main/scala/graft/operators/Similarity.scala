@@ -147,6 +147,77 @@ object Similarity {
           col("cos").as("neg_cos")), "anchor_id")
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019 — the
+    * CCMatrix/LASER recipe for building parallel training corpora):
+    * a raw cosine threshold can't separate true translations from
+    * "hub" sentences that are close to everything, so each candidate
+    * pair is scored by its cosine RELATIVE to both sentences' k-NN
+    * neighborhoods (the ratio margin), and the mined pairs are the
+    * MUTUAL best — x's best target whose own best source is x.
+    *
+    * Integer-exact for the oracle gate: cosines quantize to exact
+    * micro units (c6 = round(cos·10⁶), a BIGINT), neighborhood sums
+    * are order-independent integer sums, and
+    *
+    *   margin_ppm = c6 · 2k · 10⁶ div (Σ_fwd c6 + Σ_bwd c6)
+    *
+    * (max |c6·2k·10⁶| ≈ 8·10¹², comfortably inside BIGINT). Pairs
+    * whose denominator is ≤ 0 (degenerate all-negative
+    * neighborhoods) are dropped, documented rather than scored.
+    *
+    * Output: per src id its best tgt by (margin desc, tgt_id) with
+    * (src_id, tgt_id, margin_ppm, mutual). Scale shape: the scoring
+    * pass broadcasts the smaller side (the brute baseline — compose
+    * the candidate stage with [[ivfTopKIndexed]]/[[binaryTopK]] for
+    * corpus×corpus mining); neighborhood sums are per-side windowed
+    * aggregates over (id, c6) rows — vectors never reach them.
+    */
+  def bitextMine(src: DataFrame, tgt: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val s = src.select(col("id").as("src_id"), col("vec").as("s_vec"),
+      norm(col("vec")).as("s_norm"))
+    val tg = tgt.select(col("id").as("tgt_id"), col("vec").as("t_vec"),
+      norm(col("vec")).as("t_norm"))
+    // NOT persisted: the plan is referenced by both neighborhood sums
+    // and the margin join, but each reference is the same broadcast
+    // map-pass — re-evaluation is cheaper than pinning a cache entry
+    // per invocation (callers mining at corpus scale persist the
+    // candidate-stage output themselves)
+    val scored = tg.crossJoin(broadcast(s))
+      .select(col("src_id"), col("tgt_id"),
+        round(cosineFromNorms(dot(col("s_vec"), col("t_vec")),
+          col("s_norm"), col("t_norm")) * 1000000.0, 0).cast("long").as("c6"))
+    def nnSum(key: String) = scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(key).orderBy(col("c6").desc,
+          col(if (key == "src_id") "tgt_id" else "src_id"))))
+      .where(col("rk") <= k)
+      .groupBy(key).agg(sum(col("c6")).as(s"${key.take(3)}_nn_sum"))
+    // c6 > 0: anti-correlated pairs are never minable, and keeping
+    // the numerator positive makes the integer division portable
+    // (truncation vs floor only differ on negatives)
+    val margins = scored
+      .where(col("c6") > 0)
+      .join(nnSum("src_id"), Seq("src_id"))
+      .join(nnSum("tgt_id"), Seq("tgt_id"))
+      .where(col("src_nn_sum") + col("tgt_nn_sum") > 0)
+      .select(col("src_id"), col("tgt_id"),
+        expr(s"c6 * ${2L * k}L * 1000000L div (src_nn_sum + tgt_nn_sum)")
+          .as("margin_ppm"))
+    val bestF = margins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("src_id").orderBy(col("margin_ppm").desc, col("tgt_id"))))
+      .where(col("rk") === 1).drop("rk")
+    val bestB = margins
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("tgt_id").orderBy(col("margin_ppm").desc, col("src_id"))))
+      .where(col("rk") === 1)
+      .select(col("tgt_id"), col("src_id").as("b_src_id"))
+    bestF.join(bestB, Seq("tgt_id"), "left")
+      .select(col("src_id"), col("tgt_id"), col("margin_ppm"),
+        (col("b_src_id").isNotNull && col("b_src_id") === col("src_id")).as("mutual"))
+  }
+
   /** IVF coarse assignment: centroids are the corpus vectors with
     * id < nBuckets (deterministic, seedless — at real scale these
     * would come from a k-means job, but a fixed pseudo-random subset

