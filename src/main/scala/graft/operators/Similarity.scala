@@ -882,10 +882,26 @@ object Similarity {
     }: _*)
   }
 
-  /** Hamming distance between two [[binarySign]] signatures. */
+  /** Hamming distance between two [[binarySign]] signatures — the
+    * generic array form (interpreted lambdas; fine for row-at-a-time
+    * use). The PAIR-loop hot path in [[binaryTopK]] uses the unrolled
+    * scalar form instead: array lambdas are CodegenFallback, and an
+    * interpreted fold per candidate pair made the binary rung SLOWER
+    * than the native-dot brute scan (the dotDeclarative lesson,
+    * measured again in dev/AnnLadderSmoke).
+    */
   def binaryHamming(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
       lit(0), (acc, v) => acc + v)
+
+  /** Unrolled scalar Hamming over pre-projected signature WORD columns
+    * — bit_count(xor) per word, summed: pure codegen'd builtins, no
+    * array access in the pair loop.
+    */
+  private def hammingUnrolled(qWords: Seq[Column], cWords: Seq[Column]): Column =
+    qWords.zip(cWords)
+      .map { case (a, b) => bit_count(a.bitwiseXOR(b)).cast("int") }
+      .reduce(_ + _)
 
   /** Two-stage binary-quantized top-k — the sign-bit serving mode
     * (binary flat index + exact re-rank, the vector-DB default when
@@ -911,13 +927,24 @@ object Similarity {
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
     val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
       norm(col("vec")).as("q_norm"), binarySign(col("vec"), words).as("q_sig"))
+    // signature WORDS projected to scalar columns once per row (the
+    // packing fold runs per ROW, never per pair), so the pair loop is
+    // whole-stage-codegen bit_count(xor) sums with zero array access
+    def explodeWords(df: DataFrame, sig: String, prefix: String): DataFrame =
+      df.select(df.columns.map(col) ++
+        (0 until words).map(w => element_at(col(sig), w + 1).as(s"$prefix$w")): _*)
+        .drop(sig)
     // stage 1: signatures only — the floats never ride the scan
-    val cand = corpus
-      .select(col("id").as("neighbor_id"), binarySign(col("vec"), words).as("c_sig"))
-      .crossJoin(broadcast(q.select(col("query_id"), col("q_sig"))))
+    val cand = explodeWords(
+      corpus.select(col("id").as("neighbor_id"),
+        binarySign(col("vec"), words).as("c_sig")), "c_sig", "__c")
+      .crossJoin(broadcast(explodeWords(
+        q.select(col("query_id"), col("q_sig")), "q_sig", "__q")))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        binaryHamming(col("q_sig"), col("c_sig")).as("ham"))
+        hammingUnrolled(
+          (0 until words).map(w => col(s"__q$w")),
+          (0 until words).map(w => col(s"__c$w"))).as("ham"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))))
       .where(col("rk") <= rerank)
