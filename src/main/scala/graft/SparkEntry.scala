@@ -1846,6 +1846,28 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** q256's STORED-signature sibling: the corpus persists with its
+    * sign-bit words as scalar columns, stage 1 reads ONLY
+    * (id, s0..s3) — parquet column pruning keeps the float vectors
+    * out of the candidate scan (ReadSchema spec-pinned) — and the
+    * serve must equal the inline q256 exactly (its oracle verbatim).
+    * The one-time signed write happens in-query (sub-second at
+    * contract scale; production writes once at ingest).
+    */
+  private def qBinaryAnnStored(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_binary_signed", digest).toString
+    graft.operators.Similarity.binaryWriteSigned(e, path)
+    graft.operators.Similarity.binaryTopKStored(
+      s, path, e.where(col("id") >= 5 && col("id") < 10), k = 3, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Matryoshka (MRL) two-stage serve: stage 1 cosine on the FIRST 16
     * of 64 dims (4× less candidate I/O/arithmetic — at storage scale
     * the prefix is its own pruned column), top-10 survive, stage 2
@@ -4560,6 +4582,7 @@ object SparkEntry {
     "q256_binary_ann" -> qBinaryAnn _,
     "q257_matryoshka_ann" -> qMatryoshkaAnn _,
     "q258_bitext_mine" -> qBitextMine _,
+    "q259_binary_ann_stored" -> qBinaryAnnStored _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8946,5 +8969,7 @@ object SparkEntry {
       // from-scratch full-corpus build (q241's contract, stream-fed)
       ("q254_stream_ivf_pq_ingest" -> base("q234_ivf_pq_serve")) +
       // the streaming residual drain must equal the batch IVFADC serve
-      ("q255_stream_ivf_adc" -> base("q251_ivf_pq_residual"))
+      ("q255_stream_ivf_adc" -> base("q251_ivf_pq_residual")) +
+      // the stored-signature serve must equal the inline binary serve
+      ("q259_binary_ann_stored" -> base("q256_binary_ann"))
 }

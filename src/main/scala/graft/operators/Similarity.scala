@@ -808,11 +808,14 @@ object Similarity {
 
   /** Delete a batch of vectors from a PERSISTED composed
     * [[IvfPqIndex]] — the lifecycle leg a crawl corpus that FORGETS
-    * documents needs beside build/append/compact/migrate: only the
-    * bucket partitions that actually contain a deleted row are read
-    * (partition-pruned isin scan over just (bucket, neighbor_id) —
-    * codes and vectors don't ride the membership probe) and rewritten
-    * without the deleted rows, via the staged sibling-temp write +
+    * documents needs beside build/append/compact/migrate: the
+    * membership probe reads ONLY the (bucket, neighbor_id) columns of
+    * the index (column-pruned — codes and vectors never ride it; it
+    * does touch every partition, since a bare id gives nothing to
+    * prune by), then only the bucket partitions that actually contain
+    * a deleted row are re-read (partition-pruned isin scan) and
+    * rewritten without the deleted rows, via the staged sibling-temp
+    * write +
     * per-bucket rename swap ([[ivfApplyMovesPartitioned]]'s
     * discipline — a mid-write failure leaves the live index intact).
     * Every untouched bucket's files stay byte-identical
@@ -953,6 +956,71 @@ object Similarity {
     cand
       .join(corpus.select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
         norm(col("vec")).as("c_norm")), Seq("neighbor_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_vec"), col("q_norm"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+          col("q_norm"), col("c_norm")), 6).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
+      .where(col("rk") <= k)
+      .drop("rk")
+  }
+
+  /** Persist a corpus with its sign-bit signature as SCALAR WORD
+    * COLUMNS (s0..s{words−1}) beside the vector — the storage layout
+    * that makes [[binaryTopKStored]]'s candidate stage read `words`
+    * ints per row instead of the float vector (32× less scan I/O at
+    * d = 64; the ReadSchema pin is the proof). The signature packing
+    * fold runs once per row at WRITE time; serves never recompute it.
+    */
+  def binaryWriteSigned(corpus: DataFrame, path: String, words: Int = 4): Unit = {
+    val sig = binarySign(col("vec"), words)
+    corpus.select(
+      Seq(col("id"), col("vec"), norm(col("vec")).as("nrm")) ++
+        (0 until words).map(w => element_at(sig, w + 1).as(s"s$w")): _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Two-stage binary serve against a [[binaryWriteSigned]] table:
+    * stage 1 scans ONLY (id, s0..s{words−1}) — the spec pins the
+    * scan's ReadSchema excludes the vector — ranks by the unrolled
+    * scalar Hamming, keeps the per-query top-`rerank`; stage 2
+    * fetches (id, vec, nrm) for the survivors alone and re-ranks by
+    * exact cosine. Result equals the inline [[binaryTopK]] exactly
+    * (spec-pinned; q259 pins it under the DuckDB gate with q256's
+    * oracle verbatim).
+    */
+  def binaryTopKStored(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      rerank: Int,
+      words: Int = 4): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    val qSig = binarySign(col("vec"), words)
+    val q = queries.select(
+      Seq(col("id").as("query_id"), col("vec").as("q_vec"),
+        norm(col("vec")).as("q_norm")) ++
+        (0 until words).map(w => element_at(qSig, w + 1).as(s"__q$w")): _*)
+    val sigCols = (0 until words).map(w => col(s"s$w"))
+    val cand = spark.read.parquet(path)
+      .select(col("id").as("neighbor_id") +: sigCols: _*)
+      .crossJoin(broadcast(q.select(
+        col("query_id") +: (0 until words).map(w => col(s"__q$w")): _*)))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        hammingUnrolled((0 until words).map(w => col(s"__q$w")), sigCols).as("ham"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("ham"), col("neighbor_id"))))
+      .where(col("rk") <= rerank)
+      .select(col("query_id"), col("neighbor_id"))
+    cand
+      .join(spark.read.parquet(path)
+        .select(col("id").as("neighbor_id"), col("vec").as("c_vec"),
+          col("nrm").as("c_norm")), Seq("neighbor_id"))
       .join(broadcast(q.select(col("query_id"), col("q_vec"), col("q_norm"))),
         Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -610,6 +610,28 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQ.nonEmpty && perQ.forall(_ == 3L))
   }
 
+  test("binaryTopKStored: candidate scan reads signatures only; equals the inline serve") {
+    import spark.implicits._
+    val all = (0L until 24L).map { i =>
+      (i, (0 until 64).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val dir = java.nio.file.Files.createTempDirectory("binary_signed").toString + "/tbl"
+    Similarity.binaryWriteSigned(all, dir)
+    val queries = all.where(col("id") < 4)
+    val served = Similarity.binaryTopKStored(spark, dir, queries, k = 3, rerank = 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows(served) == rows(Similarity.binaryTopK(queries, all, k = 3, rerank = 5)))
+    // the candidate stage's scan carries ONLY (id, s0..s3) — the float
+    // vectors must not ride candidate generation
+    val plan = served.queryExecution.executedPlan.toString
+    val sigScan = plan.split("\n").find(l => l.contains("ReadSchema") && l.contains("s0"))
+    assert(sigScan.isDefined, plan)
+    assert(!sigScan.get.contains("vec"),
+      s"signature scan must not read vectors: ${sigScan.get}")
+  }
+
   test("matryoshkaTopK: lossless when rerank covers the corpus; prefix cut genuinely gates") {
     import spark.implicits._
     val all = (0L until 24L).map { i =>
