@@ -1868,6 +1868,15 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Embedding-column health gate: one row of NaN / null / zero-norm
+    * counts, dim consistency, and integer-exact micro-unit norm stats
+    * — the pre-index/pre-training trust check (q65's column_stats for
+    * vectors). One map-side-combined aggregate; vectors never shuffle.
+    */
+  private def qVecProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.vecProfile(
+      t(s, dir, "embeddings"), col("embedding"))
+
   /** Matryoshka (MRL) two-stage serve: stage 1 cosine on the FIRST 16
     * of 64 dims (4× less candidate I/O/arithmetic — at storage scale
     * the prefix is its own pruned column), top-10 survive, stage 2
@@ -4583,6 +4592,7 @@ object SparkEntry {
     "q257_matryoshka_ann" -> qMatryoshkaAnn _,
     "q258_bitext_mine" -> qBitextMine _,
     "q259_binary_ann_stored" -> qBinaryAnnStored _,
+    "q260_vec_profile" -> qVecProfile _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8543,6 +8553,32 @@ object SparkEntry {
           |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rk
           | FROM rer) WHERE rk <= 3
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin,
+
+      // embedding health gate: flags per row (null / any-NaN /
+      // micro-unit norm), one aggregate — norms as round(norm*1e6)
+      // BIGINTs so min/max/sum are exact integers on both engines
+      "q260_vec_profile" ->
+        """WITH e AS (SELECT embedding::DOUBLE[] AS vec FROM embeddings),
+          | f AS (SELECT
+          |   vec IS NULL AS is_null_f,
+          |   CASE WHEN vec IS NULL THEN false
+          |        ELSE len(list_filter(vec, x -> isnan(x))) > 0 END AS has_nan_f,
+          |   CASE WHEN vec IS NULL THEN NULL ELSE len(vec) END AS dim,
+          |   CASE WHEN vec IS NULL
+          |          OR (CASE WHEN vec IS NULL THEN false
+          |              ELSE len(list_filter(vec, x -> isnan(x))) > 0 END)
+          |        THEN NULL
+          |        ELSE round(sqrt(list_dot_product(vec, vec)) * 1000000, 0)::BIGINT
+          |   END AS n6
+          |  FROM e)
+          |SELECT count(*)::BIGINT AS n,
+          | coalesce(sum(CASE WHEN is_null_f THEN 1 ELSE 0 END), 0)::BIGINT AS n_null,
+          | coalesce(sum(CASE WHEN has_nan_f THEN 1 ELSE 0 END), 0)::BIGINT AS n_nan,
+          | coalesce(sum(CASE WHEN n6 = 0 THEN 1 ELSE 0 END), 0)::BIGINT AS n_zero_norm,
+          | min(dim)::BIGINT AS dim_min, max(dim)::BIGINT AS dim_max,
+          | min(n6)::BIGINT AS min_norm6, max(n6)::BIGINT AS max_norm6,
+          | sum(n6)::BIGINT AS sum_norm6
+          |FROM f""".stripMargin,
 
       // margin-based bitext mining: micro-unit cosines (exact BIGINT),
       // 4-NN neighborhood sums both directions, ppm ratio margin by

@@ -865,6 +865,42 @@ object Similarity {
     index
   }
 
+  /** Embedding-column HEALTH profile — the gate an embedding table
+    * passes before any index build or training run trusts it (a
+    * handful of NaN vectors silently poison every cosine they touch;
+    * zero-norm vectors make cosine undefined; a dim mismatch breaks
+    * PQ slicing): one row with n, null-vector / NaN-element /
+    * zero-norm counts, min/max dimensionality, and integer-exact
+    * micro-unit norm stats (norm6 = round(‖v‖·10⁶) as BIGINT — sums
+    * of doubles are summation-order-dependent and would not
+    * cross-engine compare; integer sums are exact).
+    *
+    * One map-side-combined aggregate over per-row flags — no shuffle
+    * of vectors, no window; the profile is a single row regardless of
+    * corpus size.
+    */
+  def vecProfile(df: DataFrame, vec: Column): DataFrame = {
+    val v = vec
+    val isNull = v.isNull
+    val hasNan = when(isNull, lit(false))
+      .otherwise(exists(v, x => isnan(x.cast("double"))))
+    val norm6 = when(isNull || hasNan, lit(null).cast("long"))
+      .otherwise(round(norm(v) * 1000000.0, 0).cast("long"))
+    df.select(isNull.as("__null"), hasNan.as("__nan"),
+      when(isNull, lit(null).cast("int")).otherwise(size(v)).as("__dim"),
+      norm6.as("__n6"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(col("__null").cast("long")), lit(0L)).as("n_null"),
+        coalesce(sum(col("__nan").cast("long")), lit(0L)).as("n_nan"),
+        coalesce(sum((col("__n6") === 0L).cast("long")), lit(0L)).as("n_zero_norm"),
+        min(col("__dim")).cast("long").as("dim_min"),
+        max(col("__dim")).cast("long").as("dim_max"),
+        min(col("__n6")).as("min_norm6"),
+        max(col("__n6")).as("max_norm6"),
+        sum(col("__n6")).as("sum_norm6"))
+  }
+
   /** Sign-bit BINARY quantization of an embedding — 1 bit per
     * dimension, the most aggressive of the compression ladder
     * (float32 → int8 → PQ codes → sign bits; 32× smaller than float

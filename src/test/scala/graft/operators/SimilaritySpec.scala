@@ -610,6 +610,26 @@ class SimilaritySpec extends SparkTestBase {
     assert(perQ.nonEmpty && perQ.forall(_ == 3L))
   }
 
+  test("vecProfile: counts NaN / null / zero-norm / dim-mismatch on a dirty fixture") {
+    import spark.implicits._
+    val rows: Seq[(Long, Option[Seq[Double]])] = Seq(
+      (0L, Some(Seq(3.0, 4.0))),                  // norm 5 -> n6 5_000_000
+      (1L, Some(Seq(0.0, 0.0))),                  // zero norm
+      (2L, Some(Seq(Double.NaN, 1.0))),           // NaN element
+      (3L, None),                                 // null vector
+      (4L, Some(Seq(1.0, 0.0, 0.0)))              // dim 3 (mismatch), norm 1
+    )
+    val df = rows.toDF("id", "vec")
+    val p = Similarity.vecProfile(df, col("vec")).head()
+    assert(p.getLong(0) == 5, "n")
+    assert(p.getLong(1) == 1, "n_null")
+    assert(p.getLong(2) == 1, "n_nan")
+    assert(p.getLong(3) == 1, "n_zero_norm")
+    assert(p.getLong(4) == 2 && p.getLong(5) == 3, "dim min/max")
+    assert(p.getLong(6) == 0L && p.getLong(7) == 5000000L, "norm6 min/max")
+    assert(p.getLong(8) == 6000000L, "sum_norm6 = 0 + 5e6 + 1e6")
+  }
+
   test("binaryTopKStored: candidate scan reads signatures only; equals the inline serve") {
     import spark.implicits._
     val all = (0L until 24L).map { i =>
