@@ -405,6 +405,33 @@ class SimilaritySpec extends SparkTestBase {
       "raw codes must differ across buckets on this fixture (else the fixture is degenerate)")
   }
 
+  test("ivfPqCompact on a residual index: layout-only rewrite, serve unchanged") {
+    import spark.implicits._
+    val all = (0L until 32L).map { i =>
+      val c = (i % 4).toInt; val j = ((i / 4) % 8).toInt
+      val v = Array.fill(8)(0.0)
+      v(c) = 40.0; v(4 + (j % 4)) = 1.0 + (j / 4).toDouble
+      (i, v.toSeq)
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 4)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(
+      Similarity.ivfResiduals(all, cents), col("id"), col("vec"), m = 4, k = 4, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc_cmp").toString + "/idx"
+    val idx0 = Similarity.ivfPqWritePartitioned(
+      all.where(col("id") % 4 =!= 3), cents, model, dir, residual = true)
+    Similarity.ivfPqAppend(idx0, all.where(col("id") % 4 === 3))
+    val queries = all.where(col("id") < 5)
+    def rows(ix: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopK(spark, ix, queries, k = 3, nProbe = 1, rerank = 32)
+        .orderBy("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = rows(idx0)
+    val idx = Similarity.ivfPqCompact(spark, idx0)
+    assert(idx.residual, "compact must preserve the residual flag")
+    assert(rows(idx) == before, "compaction must not change the residual serve")
+  }
+
   test("ivfPqAppend residual: appended rows encode residuals; serve equals from-scratch") {
     import spark.implicits._
     val all = (0L until 32L).map { i =>
