@@ -23,7 +23,13 @@ object Verify {
     // verify_summary.json next to an empty CORRECTNESS artifact proves
     // the dump ran and the failure is in the compare harness.
     val summary = scala.collection.mutable.LinkedHashMap.empty[String, (Long, String)]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter: SPARK_GRAFT_VERIFY_ONLY=q262_knn_graph,q263_...
+    // (the driver never sets it, so round artifacts always cover all)
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -63,6 +69,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val summaryJson = summary

@@ -1233,4 +1233,178 @@ object Similarity {
       .select(col("bucket"), col("n"),
         expr(s"n * ${nBuckets}L * 1000000L div n_total").as("load_ppm"))
   }
+
+  // ───── graph-based ANN: NN-Descent k-NN graph + beam-search serve ─────
+
+  /** Deterministic NN-Descent (Dong, Charikar & Li, WWW 2011) with an
+    * LSH seed: build an approximate k-NN graph by iterating "a
+    * neighbor of a neighbor is likely a neighbor". The published
+    * algorithm starts from uniform random edges; uniform seeds
+    * converge hopelessly on high-dimensional weakly-clustered data
+    * (measured here: recall@4 0.05 after 2 rounds on the fixture), so
+    * the seed is the standard LSH hybrid — `lshTables` sign-bit
+    * sketches (SimHash hyperplanes = the coordinate axes, bits
+    * `lshBits·t … lshBits·(t+1)-1`), candidates = co-bucketed pairs.
+    * Deterministic end to end. Each round then:
+    *
+    *   1. symmetrizes the current graph (forward ∪ reverse edges —
+    *      the paper's "general neighbors"),
+    *   2. caps each node's adjacency at `revCap` (the paper's reverse
+    *      sampling ρK, here a deterministic Knuth-hash-ordered cut —
+    *      reproducible pseudo-uniform sampling — so hub nodes cannot
+    *      quadratically explode the candidate set),
+    *   3. proposes every neighbor-of-neighbor pair,
+    *   4. keeps each node's top-k proposals by cosine.
+    *
+    * The graph family completes the ANN ladder (brute / IVF / PQ /
+    * binary / matryoshka): graph indexes trade build-time joins for
+    * serve-time locality — [[knnGraphServe]] touches O(beam·k) nodes
+    * per query instead of a bucket scan.
+    *
+    * Scale shape: the state between rounds is ONLY the skinny edge
+    * table (N·k (i, j) longs — vectors never persist between rounds);
+    * each round is two self-joins of the capped edge table (shuffle
+    * ∝ N·revCap²) plus two hash joins against the vector table to
+    * score, and the per-node top-k ranks ≤ revCap + revCap² candidate
+    * rows per node — bounded by construction, no all-pairs stage
+    * anywhere. The seed join's bucket sizes are N/2^lshBits — at
+    * corpus scale lshBits grows with log₂N so buckets stay
+    * constant-sized (the q21 banding story), keeping the seed stage
+    * linear. Convergence needs few rounds (3 saturate the fixture's
+    * recall gate, q264).
+    */
+  def knnGraphBuild(
+      corpus: DataFrame,
+      k: Int,
+      rounds: Int = 3,
+      revCap: Int = 32,
+      lshBits: Int = 5,
+      lshTables: Int = 3): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(rounds > 0, s"rounds must be positive, got $rounds")
+    require(revCap >= k, s"revCap must be >= k, got $revCap < $k")
+    require(lshBits > 0 && lshTables > 0,
+      s"need positive LSH shape, got bits=$lshBits tables=$lshTables")
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0
+    val sig = (0 until lshTables).map { t =>
+      val bkt = (0 until lshBits).map { b =>
+        when(element_at(col("vec"), t * lshBits + b + 1) >= 0f, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      vecs.select(lit(t).as("tb"), col("id"), bkt.as("bkt"))
+    }.reduce(_ union _)
+    val pairs = sig.as("a").join(sig.as("b"),
+        col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("i"), col("b.id").as("j"))
+      .distinct()
+    // adjacency cap: keep revCap per node in a deterministic
+    // PSEUDO-RANDOM order (Knuth-hash of the edge), the reproducible
+    // stand-in for the paper's uniform neighbor sampling — a
+    // smallest-id cut would bias every oversized bucket's survivors
+    // toward low ids and strand high-id nodes outside the candidate
+    // web (measured: recall 0.66 vs 1.0 on a two-cluster fixture).
+    // Operands are pre-bounded so the product also fits DuckDB's
+    // non-wrapping BIGINT in the mirrored oracle arithmetic.
+    def capPerNode(edges: DataFrame): DataFrame = edges
+      .withColumn("__h", expr(
+        "((i % 1000003L) * 2654435761L + (j % 1000003L) * 40503L) % 2147483647L"))
+      .withColumn("__r", row_number().over(
+        Window.partitionBy("i").orderBy(col("__h"), col("j"))))
+      .where(col("__r") <= revCap).drop("__h", "__r")
+    val init = capPerNode(pairs)
+    // each round references the previous graph ~6 times (symmetrize
+    // ×2, neighbor-of-neighbor self-join ×2, candidate union ×2), so
+    // raw lineage grows exponentially in `rounds` — localCheckpoint
+    // truncates the plan to the materialized skinny edge table (same
+    // executor-loss tradeoff as the index-rewrite paths; the state is
+    // N·k longs, rebuilt from scratch in seconds if lost)
+    var nb = init.localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val fwd = nb.select("i", "j")
+      val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
+      val capped = capPerNode(und)
+      val hop2 = capped.as("a").join(capped.as("b"), col("a.j") === col("b.i"))
+        .select(col("a.i").as("i"), col("b.j").as("j"))
+      val cand = capped.union(hop2).where(col("i") =!= col("j")).distinct()
+      val scored = cand
+        .join(vecs.select(col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni")), Seq("i"))
+        .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
+        .select(col("i"), col("j"),
+          round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
+      nb = scored
+        .withColumn("nb_rank", row_number().over(
+          Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
+        .where(col("nb_rank") <= k)
+        .localCheckpoint()
+      r += 1
+    }
+    val out = nb.select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
+      col("j").as("neighbor_id"), col("cos"))
+    vecs.unpersist()
+    out
+  }
+
+  /** Beam-search serve over a [[knnGraphBuild]] graph: each query
+    * starts from a fixed entry set (corpus ids ≡ 0 mod `entryStride` —
+    * deterministic; production would use a medoid sample), scores the
+    * beam, and per hop expands the current beam's graph neighbors,
+    * re-ranking to the best `beam` candidates; after `hops` rounds the
+    * top-k survivors (self-matches excluded) are the answer.
+    *
+    * Scale shape: the per-hop frontier is ≤ queries·beam·(k+1) skinny
+    * (query_id, candidate) rows — the expansion join touches only the
+    * graph's edge table, and the scoring join fetches exactly the
+    * frontier's vectors (queries broadcast). Serve cost is independent
+    * of corpus size once the graph exists — the property that makes
+    * graph ANN the low-latency end of the ladder.
+    */
+  def knnGraphServe(
+      queries: DataFrame,
+      graph: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hops: Int = 2,
+      entryStride: Long = 61L): DataFrame = {
+    require(k > 0 && beam >= k, s"need beam >= k > 0, got beam=$beam k=$k")
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_norm"))
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(vecs.select(col("id").as("cand"), col("vec").as("c_vec"),
+          col("nrm").as("c_norm")), Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand"),
+          round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+            col("q_norm"), col("c_norm")), 6).as("cos"))
+    def cut(scored: DataFrame, keep: Int): DataFrame = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
+      .where(col("__rk") <= keep).drop("__rk")
+    val entries = vecs.where(pmod(col("id"), lit(entryStride)) === 0)
+      .select(col("id").as("cand"))
+    // same lineage-truncation rationale as the build loop: each hop
+    // references the beam twice and the graph once, so checkpoint the
+    // skinny (query_id, cand, cos) frontier per hop
+    var beamDf = cut(score(q.select("query_id").crossJoin(entries)), beam).localCheckpoint()
+    var h = 0
+    while (h < hops) {
+      val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
+        .join(graph.select(col("node_id"), col("neighbor_id").as("cand")), Seq("node_id"))
+        .select("query_id", "cand")
+      beamDf = cut(score(
+        beamDf.select("query_id", "cand").union(expand).distinct()), beam).localCheckpoint()
+      h += 1
+    }
+    val res = beamDf.where(col("cand") =!= col("query_id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos"))
+    vecs.unpersist()
+    res
+  }
 }

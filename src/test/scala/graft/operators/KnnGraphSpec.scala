@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** Graph-based ANN: LSH-seeded NN-Descent build + beam-search serve
+  * (q262-q264). Semantics reference: Dong, Charikar & Li, "Efficient
+  * k-nearest neighbor graph construction for generic similarity
+  * measures", WWW 2011 (NN-Descent); seed is the SimHash sign-bucket
+  * hybrid. All determinism comes from explicit tie-breaks — no RNG.
+  */
+class KnnGraphSpec extends SparkTestBase {
+
+  // two tight clusters far apart, plus a structured spread inside
+  // each — nearest neighbors are unambiguous
+  private def clustered(n: Int) = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f) else Array(0.0f, 10.0f)
+      val jitter = (i / 2).toFloat * 0.01f
+      (i.toLong, Seq(base(0) + jitter, base(1) - jitter, 1.0f + jitter, -jitter))
+    }.toDF("id", "vec")
+  }
+
+  test("knnGraphBuild: every node has exactly k ranked neighbors, no self-loops") {
+    val g = Similarity.knnGraphBuild(clustered(40), k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2)
+    val rows = g.collect()
+    assert(rows.length == 40 * 3)
+    assert(rows.forall(r => r.getLong(0) != r.getLong(2)), "self-loop found")
+    val perNode = rows.groupBy(_.getLong(0))
+    assert(perNode.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)),
+      "ranks must be exactly 1..k per node")
+  }
+
+  test("knnGraphBuild is deterministic under repartition") {
+    val base = clustered(40)
+    def sig(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("node_id", "nb_rank").collect().map(_.toString).toSeq
+    val a = sig(Similarity.knnGraphBuild(base, k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2))
+    val b = sig(Similarity.knnGraphBuild(base.repartition(7), k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2))
+    assert(a == b)
+  }
+
+  test("knnGraphBuild recall: LSH seed + descent recover true neighbors") {
+    import spark.implicits._
+    // seeded gaussians with genuinely distinct cosines — the clustered()
+    // fixture is degenerate here (within-cluster cosines all round to
+    // the same 6 digits, so "truth" is itself an id tie-break)
+    val rnd = new scala.util.Random(7L)
+    val corpus = (0 until 80)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val g = Similarity.knnGraphBuild(corpus, k = 4, rounds = 3,
+      revCap = 16, lshBits = 3, lshTables = 2)
+    val truth = Similarity.bruteForceTopK(corpus, corpus, k = 4)
+    val rec = Similarity.topKRecall(truth,
+        g.select(col("node_id").as("query_id"), col("neighbor_id")))
+      .agg(sum("n_hit"), sum("n_truth")).as[(Long, Long)].collect()(0)
+    assert(rec._1.toDouble / rec._2 >= 0.8,
+      s"recall ${rec._1}/${rec._2} below 0.8 on an 80-vector gaussian corpus")
+  }
+
+  test("knnGraphServe finds in-cluster neighbors and never returns self") {
+    import spark.implicits._
+    val corpus = clustered(60)
+    val g = Similarity.knnGraphBuild(corpus, k = 3, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val res = Similarity.knnGraphServe(
+      corpus.where(col("id") < 4), g, corpus,
+      k = 3, beam = 6, hops = 2, entryStride = 7L)
+    val rows = res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.length == 4 * 3)
+    assert(rows.forall { case (q, n) => q != n }, "serve returned a self-match")
+    // the clusters are orthogonal: every served neighbor must share
+    // the query's parity (its cluster)
+    assert(rows.forall { case (q, n) => q % 2 == n % 2 },
+      s"cross-cluster neighbor served: ${rows.mkString(",")}")
+  }
+
+  test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
+    import spark.implicits._
+    val corpus = clustered(60)
+    val g = Similarity.knnGraphBuild(corpus, k = 3, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    def top1(beam: Int) = Similarity.knnGraphServe(
+        corpus.where(col("id") === 0), g, corpus,
+        k = 1, beam = beam, hops = 2, entryStride = 7L)
+      .select("cos").as[Double].collect()(0)
+    assert(top1(12) >= top1(3) - 1e-9)
+  }
+}
