@@ -4185,6 +4185,88 @@ object SparkEntry {
     s.table("graft_stream_dedup").select("doc_id", "fp").orderBy("doc_id")
   }
 
+  /** Stages the self-contained event-stream input for q261: ONE
+    * parquet file holding the user<50 events as (user_id, epoch-micros)
+    * plus one far-future flush sentinel per user (t = max + 3·gap).
+    * A single file means a single micro-batch, so ordering between
+    * data and sentinels is the state machine's in-batch sort — never
+    * the file source's listing order (a sentinel processed in an
+    * EARLIER batch than its user's events would advance the watermark
+    * and drop them all as late). The sentinel opens a throwaway
+    * session per user inside the batch, deterministically closing the
+    * last real session — no reliance on timeout/no-data-batch
+    * semantics at drain time. Returns (file path, max real micros).
+    */
+  private def sessStagedFile(s: SparkSession, dir: String, gapUs: Long): (String, Long) = {
+    val src = java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(src.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val d = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_sess", digest)
+    java.nio.file.Files.createDirectories(d)
+    val f = d.resolve("sess.parquet")
+    val ev = t(s, dir, "events").where(col("user_id") < 50)
+      .select(col("user_id"), expr("ts div 1000").as("t_us"))
+    // 1-row bound: the output filter needs the sentinel cutoff either way
+    val maxUs = ev.agg(max("t_us")).collect()(0).getLong(0)
+    if (!java.nio.file.Files.exists(f)) {
+      val sentinels = ev.select("user_id").distinct()
+        .withColumn("t_us", lit(maxUs + 3 * gapUs))
+      // underscore prefix: the file stream source ignores _-paths, so
+      // a concurrent reader never sees the half-written staging dir
+      val tmp = d.resolve("_staging_tmp")
+      ev.unionByName(sentinels).coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(_.endsWith(".parquet")).sorted.headOption
+        .getOrElse(sys.error(s"no parquet part written under $tmp"))
+      try java.nio.file.Files.move(java.nio.file.Paths.get(part), f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      // best-effort cleanup of the remaining _SUCCESS/crc droppings
+      try {
+        java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: java.io.IOException => () }
+    }
+    (f.toString, maxUs)
+  }
+
+  /** Streaming gap sessionization through the contract (q91's oracle
+    * verbatim): the user<50 events arrive as a file stream in the
+    * epoch-micros domain, run through the flatMapGroupsWithState
+    * session machine ([[graft.streaming.StreamingOps.sessionizeMicros]]),
+    * and the emitted closed sessions re-index per user — equal to the
+    * batch window sessionization by construction. Sentinel sessions
+    * never emit (they stay open past end-of-stream); the tStart
+    * filter is belt-and-braces.
+    */
+  private def qStreamSessionize(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    import s.implicits._
+    val gapUs = 24L * 3600 * 1000000L
+    val (staged, maxUs) = sessStagedFile(s, dir, gapUs)
+    val stream = s.readStream.schema("user_id LONG, t_us LONG")
+      .parquet(java.nio.file.Paths.get(staged).getParent.toString)
+      .select(col("user_id").as("userId"),
+        timestamp_micros(col("t_us")).as("ts"), col("t_us").as("tUs"))
+      .as[graft.streaming.StreamingOps.EventUs]
+    val sess = graft.streaming.StreamingOps.sessionizeMicros(stream, gapUs)
+    val q = sess.writeStream.format("memory").queryName("graft_stream_sess")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table("graft_stream_sess")
+      .where(col("tStart") <= maxUs)
+      .withColumn("session_idx", row_number().over(
+        Window.partitionBy("userId").orderBy("tStart")).cast("long") - 1L)
+      .select(col("userId").as("user_id"), col("session_idx"),
+        col("nEvents").as("n_events"),
+        col("tStart").as("t_start"), col("tEnd").as("t_end"))
+      .orderBy("user_id", "session_idx")
+  }
+
   /** Streaming ANN serve through the contract: query vectors (ids
     * 5-9, filtered map-only) arrive as a FILE STREAM and are served
     * against the PERSISTED bucketed IVF index (q67's warehouse table,
@@ -4656,6 +4738,7 @@ object SparkEntry {
     "q258_bitext_mine" -> qBitextMine _,
     "q259_binary_ann_stored" -> qBinaryAnnStored _,
     "q260_vec_profile" -> qVecProfile _,
+    "q261_stream_sessionize" -> qStreamSessionize _,
     "q262_knn_graph" -> qKnnGraph _,
     "q263_knn_graph_serve" -> qKnnGraphServe _,
     "q264_knn_graph_recall" -> qKnnGraphRecall _,
@@ -9195,5 +9278,8 @@ object SparkEntry {
       // the streaming residual drain must equal the batch IVFADC serve
       ("q255_stream_ivf_adc" -> base("q251_ivf_pq_residual")) +
       // the stored-signature serve must equal the inline binary serve
-      ("q259_binary_ann_stored" -> base("q256_binary_ann"))
+      ("q259_binary_ann_stored" -> base("q256_binary_ann")) +
+      // the streaming session drain must equal the batch gap
+      // sessionization (sentinel-flushed, micros domain)
+      ("q261_stream_sessionize" -> base("q91_sessionize"))
 }

@@ -585,6 +585,69 @@ object StreamingOps {
         ()
       }
 
+  final case class EventUs(userId: Long, ts: Timestamp, tUs: Long)
+  final case class SessionUsState(start: Long, last: Long, n: Long)
+  final case class SessionUs(userId: Long, tStart: Long, tEnd: Long, nEvents: Long)
+
+  /** [[sessionize]] in the epoch-MICROSECOND integer domain — the
+    * contract-exact twin of the batch gap sessionization (q91). The
+    * millisecond variant's `Timestamp.getTime` truncates sub-ms
+    * precision, and the fixture's event times carry real microseconds,
+    * so session arithmetic here runs on the caller-supplied `tUs`
+    * (epoch micros; `ts` exists only to carry the watermark, which
+    * Spark requires to be a TIMESTAMP). Same state machine: events
+    * sort within the batch per key, a gap > `gapUs` closes the open
+    * session, idle keys flush via event-time timeout once the
+    * watermark passes last + gap.
+    *
+    * Scale shape: identical to [[sessionize]] — state is one
+    * (start, last, n) triple per live key, emission is append-mode
+    * closed sessions; nothing about the micros domain changes the
+    * shuffle (hash by key) or the state size.
+    */
+  def sessionizeMicros(
+      events: Dataset[EventUs],
+      gapUs: Long,
+      watermarkDelay: String = "10 seconds"): Dataset[SessionUs] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[SessionUsState, SessionUs](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, evs: Iterator[EventUs], state: GroupState[SessionUsState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUs(userId, s.start, s.last, s.n))
+          } else {
+            val sorted = evs.toSeq.sortBy(_.tUs)
+            var closed = List.empty[SessionUs]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tUs - s.last <= gapUs =>
+                  cur = Some(SessionUsState(s.start, e.tUs, s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionUs(userId, s.start, s.last, s.n)
+                  cur = Some(SessionUsState(e.tUs, e.tUs, 1L))
+                case None =>
+                  cur = Some(SessionUsState(e.tUs, e.tUs, 1L))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // timeout must sit beyond the current watermark; the
+              // micros → ms division rounds up via the +1
+              state.setTimeoutTimestamp(
+                math.max(state.getCurrentWatermarkMs() + 1,
+                  s.last / 1000L + gapUs / 1000L + 1))
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
   def sessionize(
       events: Dataset[Event],
       gapMs: Long,

@@ -203,6 +203,34 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionizeMicros: session arithmetic is exact at microsecond precision") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // gap = 100 µs; the ms-domain variant cannot even represent these
+    // boundaries (all four events share the same millisecond). Times
+    // sit an hour past the epoch — epoch-0 event times collide with
+    // the initial watermark's late-row boundary.
+    val base = 3600L * 1000000
+    def ev(us: Long) = StreamingOps.EventUs(
+      1L, new Timestamp((base + us) / 1000), base + us)
+    val mem = MemoryStream[StreamingOps.EventUs]
+    val sessions = StreamingOps.sessionizeMicros(mem.toDS(), gapUs = 100L)
+    val q = sessions.writeStream.format("memory").queryName("sessus")
+      .outputMode("append").start()
+    try {
+      // one batch: [0, 100] (gap exactly 100 -> same session),
+      // [201, 250] (gap 101 -> new session), then a far sentinel that
+      // closes the second session in-batch — the q261 staging pattern
+      mem.addData(ev(0L), ev(100L), ev(201L), ev(250L), ev(1000000L))
+      q.processAllAvailable()
+      val out = spark.table("sessus").as[StreamingOps.SessionUs]
+        .collect().sortBy(_.tStart)
+      assert(out.map(s => (s.tStart - base, s.tEnd - base, s.nEvents)).toSeq ==
+        Seq((0L, 100L, 2L), (201L, 250L, 2L)),
+        s"got ${out.toSeq}")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
