@@ -3353,6 +3353,18 @@ object SparkEntry {
       col("doc_id"), col("text"), col("lang") === "en", vocabSize = 100)
       .orderBy("doc_id")
 
+  /** DSIR-proper data selection (q265): hashed-BIGRAM importance
+    * weights (256-bucket fixed-width model — no vocabulary cut
+    * anywhere) plus the deterministic top-100 resample flag. q125's
+    * scale path; the oracle replicates the rolling-hash bucketing,
+    * the smoothed integer bucket ratios, and the sort-limit cut.
+    */
+  private def qDsirHashed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashedImportanceWeights(t(s, dir, "documents"),
+      col("doc_id"), col("text"), col("lang") === "en",
+      nBuckets = 256, scale = 10000L, selectN = 100)
+      .orderBy("doc_id")
+
   /** WARC archive roundtrip: write the corpus as a 4-file
     * length-delimited crawl archive, re-READ the files, and certify
     * per-shard counts, char sums, id ranges, and a content hash
@@ -4607,6 +4619,7 @@ object SparkEntry {
     "q123_char_profile" -> qCharProfile _,
     "q124_zorder_layout" -> qZorderLayout _,
     "q125_importance_weights" -> qImportanceWeights _,
+    "q265_dsir_hashed" -> qDsirHashed _,
     "q126_warc_roundtrip" -> qWarcRoundtrip _,
     "q127_cms" -> qCms _,
     "q128_stream_cms" -> qStreamCms _,
@@ -6699,6 +6712,45 @@ object SparkEntry {
           |SELECT doc_id, n_tokens::BIGINT AS n_tokens, n_in_vocab::BIGINT AS n_in_vocab,
           | importance_sum::BIGINT AS importance_sum,
           | (CASE WHEN n_tokens > 0 THEN importance_sum // n_tokens ELSE 0 END)::BIGINT AS importance_mean
+          |FROM scored ORDER BY doc_id""".stripMargin,
+
+      // DSIR hashed-bigram importance + deterministic top-100 resample:
+      // bigrams via q100's comprehension, buckets via q30's rolling-hash
+      // fold % 256, q125's smoothed integer ratio over the bucket model
+      "q265_dsir_hashed" ->
+        """WITH toks AS (
+          | SELECT doc_id, (lang = 'en') AS is_t,
+          |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS t
+          | FROM documents),
+          | bgs AS (
+          |  SELECT doc_id, is_t, CASE WHEN len(t) >= 2
+          |    THEN [t[i] || ' ' || t[i+1] FOR i IN range(1, len(t))]
+          |    ELSE [] END AS bg
+          |  FROM toks),
+          | feats AS (
+          |  SELECT doc_id, is_t,
+          |   list_reduce(
+          |     list_prepend(0::BIGINT,
+          |       list_transform(regexp_split_to_array(b, ''), c -> ascii(c)::BIGINT)),
+          |     (acc, c) -> (acc * 31 + c) % 2147483647) % 256 AS bkt
+          |  FROM (SELECT doc_id, is_t, unnest(bg) AS b FROM bgs)),
+          | model AS (SELECT bkt, count(*) AS src_c,
+          |   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c FROM feats GROUP BY bkt),
+          | tot AS (SELECT sum(src_c)::BIGINT AS src_total, sum(tgt_c)::BIGINT AS tgt_total FROM model),
+          | ratio AS (SELECT bkt,
+          |   ((tgt_c + 1) * src_total * 10000) // ((src_c + 1) * tgt_total) AS r
+          |  FROM model, tot),
+          | agg AS (SELECT f.doc_id, count(*) AS nf, sum(r.r)::BIGINT AS isum
+          |  FROM feats f JOIN ratio r USING (bkt) GROUP BY f.doc_id),
+          | scored AS (SELECT d.doc_id,
+          |   coalesce(a.nf, 0)::BIGINT AS n_feats,
+          |   coalesce(a.isum, 0)::BIGINT AS importance_sum,
+          |   (CASE WHEN coalesce(a.nf, 0) > 0 THEN a.isum // a.nf ELSE 0 END)::BIGINT AS importance_mean
+          |  FROM (SELECT doc_id FROM documents) d LEFT JOIN agg a USING (doc_id)),
+          | sel AS (SELECT doc_id FROM scored
+          |  ORDER BY importance_mean DESC, doc_id LIMIT 100)
+          |SELECT doc_id, n_feats, importance_sum, importance_mean,
+          | (doc_id IN (SELECT doc_id FROM sel)) AS selected
           |FROM scored ORDER BY doc_id""".stripMargin,
 
       // the magic-mask Morton spread, staged with unique names per

@@ -281,6 +281,71 @@ object Sampling {
         when(col("n_tokens") > 0, expr("importance_sum div n_tokens")).otherwise(0L))
   }
 
+  /** Hashed-feature importance resampling — DSIR proper (Xie et al.
+    * 2023): [[importanceWeights]]' scale path. The vocab-table variant
+    * needs a global top-V cut over the token table; here the feature
+    * space is word BIGRAMS hashed into a FIXED-width `nBuckets` model
+    * (the paper's hashed n-gram generative model), so the model is
+    * constant-size regardless of corpus vocabulary and no ordering
+    * pass exists anywhere. Same integer contract arithmetic: bucket
+    * ratio `((tgt_c+1)·src_total·scale) div ((src_c+1)·tgt_total)`
+    * (add-one smoothed p_target/p_source; the float log-ratio DSIR
+    * sums is a monotone per-feature transform), per-doc
+    * `importance_mean = importance_sum div n_feats`, and the
+    * resample cut is the deterministic top-`selectN` by
+    * (importance_mean desc, doc_id) — Spark's sort-limit is
+    * distributed partial top-k (TakeOrderedAndProject), never a
+    * single-task funnel, and the selected set broadcasts back as a
+    * semi-join flag.
+    *
+    * Scale shape: bigram hashing is map-only (native rolling hash);
+    * the model aggregate is map-side combined onto ≤ nBuckets rows
+    * which then BROADCAST back for scoring; per-doc scoring
+    * partial-aggregates before the doc-keyed exchange so only
+    * (doc_id, three longs) rides it. In production the nBuckets-row
+    * model trains once on a reference target sample and is reused.
+    */
+  def hashedImportanceWeights(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      nBuckets: Int = 256,
+      scale: Long = 10000L,
+      selectN: Int = 100): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(scale > 0, s"scale must be positive, got $scale")
+    require(selectN > 0, s"selectN must be positive, got $selectN")
+    val bigrams = graft.functions.TextOps.adjacentPairs(TextAnalysis.tokens(lower(text)))
+    val feats = df.select(id.cast("long").as("doc_id"), isTarget.as("__iw_t"),
+        explode_outer(bigrams).as("bg"))
+      .withColumn("bkt",
+        when(col("bg").isNotNull,
+          pmod(graft.functions.TextOps.rollingHash64(col("bg")), lit(nBuckets.toLong)))
+          .otherwise(lit(null).cast("long")))
+    val model = feats.where(col("bkt").isNotNull)
+      .groupBy("bkt")
+      .agg(count(lit(1)).as("src_c"),
+        sum(when(col("__iw_t"), 1L).otherwise(0L)).as("tgt_c"))
+    val totals = model.agg(sum("src_c").as("src_total"), sum("tgt_c").as("tgt_total"))
+    val ratio = model.crossJoin(broadcast(totals))
+      .select(col("bkt"),
+        expr(s"((tgt_c + 1L) * src_total * ${scale}L) div ((src_c + 1L) * tgt_total)").as("r"))
+    val scored = feats
+      .join(broadcast(ratio), Seq("bkt"), "left")
+      .groupBy("doc_id")
+      .agg(count(col("bkt")).as("n_feats"),
+        coalesce(sum(col("r")), lit(0L)).as("importance_sum"))
+      .withColumn("importance_mean",
+        when(col("n_feats") > 0, expr("importance_sum div n_feats")).otherwise(0L))
+    val picked = scored
+      .orderBy(col("importance_mean").desc, col("doc_id"))
+      .limit(selectN)
+      .select(col("doc_id"), lit(true).as("selected"))
+    scored.join(broadcast(picked), Seq("doc_id"), "left")
+      .withColumn("selected", coalesce(col("selected"), lit(false)))
+  }
+
   /** Temperature-based stratum reweighting (multinomial alpha
     * sampling — the mC4 / XLM-R recipe for balancing a multilingual
     * mix): a stratum with empirical share p is sampled proportionally

@@ -46,4 +46,56 @@ class ImportanceWeightsSpec extends SparkTestBase {
     assert((0L until 10L).forall(out(_) == tgtMean))
     assert((10L until 40L).forall(out(_) == offMean))
   }
+
+  test("hashedImportanceWeights: target bigram docs outrank and fill the resample cut") {
+    import spark.implicits._
+    // target speaks the bigram "alpha beta"; off-domain "gamma delta"
+    val rows = (0L until 40L).map { i =>
+      if (i < 10) (i, "alpha beta alpha beta", "en")
+      else (i, "gamma delta gamma delta", "de")
+    }
+    val df = rows.toDF("doc_id", "text", "lang")
+    val out = Sampling.hashedImportanceWeights(df, col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets = 64, selectN = 10)
+      .select("doc_id", "importance_mean", "selected")
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 40)
+    val sel = out.filter(_._3).map(_._1).toSet
+    assert(sel == (0L until 10L).toSet,
+      s"resample cut must pick exactly the target-bigram docs, got $sel")
+    val tgt = out.filter(_._1 < 10).map(_._2).toSet
+    val off = out.filter(_._1 >= 10).map(_._2).toSet
+    assert(tgt.size == 1 && off.size == 1 && tgt.head > off.head)
+  }
+
+  test("hashedImportanceWeights: zero-bigram docs score zero and survive with the flag off") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, "alpha beta gamma", "en"),
+      (1L, "single", "en"),   // one token -> no bigram
+      (2L, "", "de")          // empty text
+    ).toDF("doc_id", "text", "lang")
+    val out = Sampling.hashedImportanceWeights(df, col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets = 16, selectN = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_feats", "importance_sum", "importance_mean", "selected")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((0L, 2L), (1L, 0L), (2L, 0L)))
+    assert(out.filter(_._2 == 0L).forall(r => r._3 == 0L && r._4 == 0L && !r._5))
+    assert(out.count(_._5) == 1 && out.head._5)
+  }
+
+  test("hashedImportanceWeights is invariant to input partitioning") {
+    import spark.implicits._
+    val rows = (0L until 30L).map(i =>
+      (i, s"tok${i % 5} tok${(i + 1) % 7} tok${i % 3} tail", if (i % 4 == 0) "en" else "de"))
+    val df = rows.toDF("doc_id", "text", "lang")
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("doc_id").collect().map(_.toString).toSeq
+    val a = sig(Sampling.hashedImportanceWeights(df, col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets = 32, selectN = 7))
+    val b = sig(Sampling.hashedImportanceWeights(df.repartition(11), col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets = 32, selectN = 7))
+    assert(a == b)
+  }
 }
