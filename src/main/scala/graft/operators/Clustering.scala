@@ -325,6 +325,31 @@ object Clustering {
     next
   }
 
+  /** One PUBLIC Lloyd update for incremental/streaming training:
+    * assign `batch` to the nearest of `cents` and return the
+    * truncated-integer-mean centroids (clusters that saw no member
+    * keep their previous value — [[updateStep]]'s rule). Feeding
+    * micro-batches sequentially IS mini-batch k-means; feeding the
+    * whole corpus once is exactly one batch Lloyd iteration, which is
+    * the q266 equality contract. Same shapes as the batch trainer:
+    * zero-shuffle assignment (centroids are a plan literal), k·d
+    * map-side-combined partial sums, bounded k·d driver collect.
+    */
+  def lloydUpdateFixedPoint(
+      batch: DataFrame,
+      vec: Column,
+      cents: Array[Array[Long]],
+      fpScale: Double = 1000.0): Array[Array[Long]] = {
+    require(cents.nonEmpty, "lloydUpdateFixedPoint: empty centroid set")
+    val assigned = batch
+      .select(VecOps.fixedPoint(vec, fpScale).as("qv"))
+      .where(col("qv").isNotNull)
+      .select(col("qv"),
+        VecOps.nearestCentroid(col("qv"), typedLit(cents.flatten)).as("nc"))
+      .select(col("qv"), col("nc.cluster").as("cluster"))
+    updateStep(assigned, cents)
+  }
+
   /** Cluster-quality profile of a trained k-means model — the
     * cohesion-vs-separation gate run before trusting clusters for
     * curation/mixing decisions: per cluster, its size, the integer

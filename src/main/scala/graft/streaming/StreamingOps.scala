@@ -562,6 +562,39 @@ object StreamingOps {
       .where(col("rk") <= k)
       .drop("rk")
 
+  /** Streaming mini-batch k-means (Lloyd updates through
+    * foreachBatch): each arriving micro-batch of vectors runs one
+    * [[graft.operators.Clustering.lloydUpdateFixedPoint]] against the
+    * CURRENT centroids, and the updated model becomes current for the
+    * next batch — sequential by Structured Streaming's micro-batch
+    * ordering guarantee, so the drained model is deterministic for a
+    * deterministic batch sequence. A whole-corpus single batch is
+    * exactly one batch Lloyd iteration — q266's equality contract
+    * with the batch trainer (q101's oracle verbatim).
+    *
+    * Returns the writer plus a getter for the live model (k·d longs
+    * on the driver — the model is operator-parameter-sized, never
+    * data-sized; this is the standard online-training shape where the
+    * model lives outside the stream).
+    */
+  def streamingKmeansUpdate(
+      vecStream: DataFrame,
+      init: Array[Array[Long]],
+      fpScale: Double = 1000.0)
+      : (org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+         () => Array[Array[Long]]) = {
+    require(init.nonEmpty, "streamingKmeansUpdate: empty init centroids")
+    val model = new java.util.concurrent.atomic.AtomicReference(init)
+    val writer = vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        model.set(graft.operators.Clustering.lloydUpdateFixedPoint(
+          batch, col("vec"), model.get, fpScale))
+        ()
+      }
+    (writer, () => model.get)
+  }
+
   /** Streaming coded-vector INGEST into a persisted composed
     * [[graft.operators.Similarity.IvfPqIndex]] — q160's postings
     * sibling for the ANN index: each micro-batch of arriving (id,

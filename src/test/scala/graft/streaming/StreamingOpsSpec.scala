@@ -231,6 +231,51 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingKmeansUpdate: one whole-corpus batch equals one batch Lloyd iteration") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two clean clusters; init = first-2 rule like the batch trainer
+    val pts = (0 until 20).map(i => (i.toLong,
+      if (i % 2 == 0) Seq(10.0, 0.0) else Seq(0.0, 10.0 + (i % 3))))
+    val batchDf = pts.toDF("id", "vec")
+    val init = batchDf
+      .select(col("id"), graft.functions.VecOps.fixedPoint(col("vec"), 1000.0).as("qv"))
+      .orderBy("id").limit(2).collect().map(_.getSeq[Long](1).toArray)
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val (writer, model) = StreamingOps.streamingKmeansUpdate(
+      mem.toDF().toDF("id", "vec"), init)
+    val q = writer.start()
+    try {
+      mem.addData(pts: _*)
+      q.processAllAvailable()
+      val streamed = model()
+      val batch = graft.operators.Clustering.kmeansCentroidsFixedPoint(
+        batchDf, col("id"), col("vec"), k = 2, iters = 2)
+      assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
+  test("streamingKmeansUpdate applies micro-batches sequentially (mini-batch semantics)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val init = Array(Array(0L, 0L))
+    val mem = MemoryStream[(Long, Seq[Double])]
+    val (writer, model) = StreamingOps.streamingKmeansUpdate(
+      mem.toDF().toDF("id", "vec"), init)
+    val q = writer.start()
+    try {
+      // batch 1: centroid -> truncated mean of (2,2),(4,4) = (3000,3000) fp
+      mem.addData((0L, Seq(2.0, 2.0)), (1L, Seq(4.0, 4.0)))
+      q.processAllAvailable()
+      assert(model().head.toSeq == Seq(3000L, 3000L))
+      // batch 2 folds AGAINST the updated model, not the init: single
+      // cluster, mean of (8,8) alone
+      mem.addData((2L, Seq(8.0, 8.0)))
+      q.processAllAvailable()
+      assert(model().head.toSeq == Seq(8000L, 8000L))
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
