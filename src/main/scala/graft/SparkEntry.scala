@@ -1797,6 +1797,39 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Streaming mini-batch k-means through the contract (q266): the
+    * embedding corpus arrives as a file stream, each micro-batch runs
+    * one integer Lloyd update against the live model via foreachBatch,
+    * and after the drain the corpus is profiled against the final
+    * centroids. One file = one batch = exactly one Lloyd iteration
+    * from the first-k init, so the drained result equals the batch
+    * trainer's iters=2 run — q101's oracle verbatim.
+    */
+  private def qStreamKmeans(s0: SparkSession, dir: String): DataFrame = {
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    // init = the batch trainer's rule: first k ids of the quantized,
+    // null-filtered corpus (k·d longs — parameter-bounded collect)
+    val init = e0.select(col("vec_id").as("id"),
+        graft.functions.VecOps.fixedPoint(col("embedding"), 1000.0).as("qv"))
+      .where(col("qv").isNotNull).orderBy("id").limit(8)
+      .collect().map(_.getSeq[Long](1).toArray)
+    val stream = s.readStream.schema(e0.schema)
+      .parquet(streamDir(dir, "embeddings"))
+      .select(col("embedding").as("vec"))
+    val (writer, model) = graft.streaming.StreamingOps.streamingKmeansUpdate(stream, init)
+    val q = writer
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Clustering.assignFixedPoint(
+        t(s0, dir, "embeddings").select(col("vec_id").as("id"), col("embedding")),
+        col("embedding"), model())
+      .groupBy(col("cluster").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), sum(col("dist")).as("ss"))
+      .orderBy("cluster")
+  }
+
   /** Streaming twin of the RESIDUAL (IVFADC) serve — q243's shape
     * over q251's index: per-query LUT on the per-bucket coarse
     * residual (plan-literal centroid fold), codes-only candidate
@@ -1968,6 +2001,28 @@ object SparkEntry {
       truth,
       knnGraph(s, dir).select(col("node_id").as("query_id"), col("neighbor_id")))
       .orderBy("query_id")
+  }
+
+  /** Graph-based ANN, navigable-serve leg (q267): beam search over
+    * graph ∪ long-range LSH anchor edges — the NSW insight (Malkov et
+    * al.): pure k-NN edges are all short-range, so a beam can only
+    * refine near its entry points; hash-random long edges let it JUMP,
+    * then the k-NN edges refine. Same oracle family: the seed-edge CTE
+    * already exists as `pairs` in the shared prefix (capped to 4 per
+    * node here), and the beam unrolls over the union graph.
+    */
+  private def qKnnGraphNsw(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val longEdges = graft.operators.Similarity.knnLshSeedEdges(
+        e, lshBits = 5, lshTables = 3, anchorsPerBucket = 4)
+      .select(col("i").as("node_id"), col("j").as("neighbor_id"))
+    val serveGraph = knnGraph(s, dir)
+      .select("node_id", "neighbor_id").union(longEdges)
+    graft.operators.Similarity.knnGraphServe(
+      e.where(col("id") < 5), serveGraph, e,
+      k = 5, beam = 8, hops = 2, entryStride = 61L)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
   /** Robust per-language outlier gate on document length: exact
@@ -4752,9 +4807,11 @@ object SparkEntry {
     "q259_binary_ann_stored" -> qBinaryAnnStored _,
     "q260_vec_profile" -> qVecProfile _,
     "q261_stream_sessionize" -> qStreamSessionize _,
+    "q266_stream_kmeans" -> qStreamKmeans _,
     "q262_knn_graph" -> qKnnGraph _,
     "q263_knn_graph_serve" -> qKnnGraphServe _,
     "q264_knn_graph_recall" -> qKnnGraphRecall _,
+    "q267_knn_graph_nsw" -> qKnnGraphNsw _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8835,6 +8892,60 @@ object SparkEntry {
           | FROM b2 WHERE cand <> query_id) WHERE rk <= 5
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
 
+      // navigable serve: q263's beam over graph ∪ 4 long-range LSH
+      // anchor edges per node (frontier DISTINCT absorbs duplicate
+      // edges, so UNION ALL mirrors Spark's union exactly)
+      "q267_knn_graph_nsw" ->
+        (knnGraphCtes + """,
+          | anch4 AS (SELECT tb, bkt, id FROM (
+          |   SELECT tb, bkt, id, row_number() OVER (PARTITION BY tb, bkt
+          |     ORDER BY (id % 1000003) * 2654435761 % 2147483647, id) AS r FROM sig)
+          |  WHERE r <= 4),
+          | long4 AS (SELECT DISTINCT s.id AS i, a.id AS j
+          |  FROM sig s JOIN anch4 a USING (tb, bkt) WHERE s.id <> a.id),
+          | sg AS (SELECT i, j FROM nb3 UNION ALL SELECT i, j FROM long4),
+          | q AS (SELECT vec_id AS query_id, vec AS qv FROM e WHERE vec_id < 5),
+          | b0 AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+          |   SELECT q.query_id, c.vec_id AS cand,
+          |    round(list_dot_product(q.qv, c.vec) /
+          |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos,
+          |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |      round(list_dot_product(q.qv, c.vec) /
+          |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+          |      c.vec_id) AS rk
+          |   FROM q CROSS JOIN e c WHERE c.vec_id % 61 = 0) WHERE rk <= 8),
+          | f1 AS (SELECT DISTINCT query_id, cand FROM (
+          |   SELECT query_id, cand FROM b0
+          |   UNION ALL SELECT b.query_id, g.j AS cand FROM b0 b JOIN sg g ON g.i = b.cand)),
+          | b1 AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+          |   SELECT f.query_id, f.cand,
+          |    round(list_dot_product(q.qv, c.vec) /
+          |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos,
+          |    row_number() OVER (PARTITION BY f.query_id ORDER BY
+          |      round(list_dot_product(q.qv, c.vec) /
+          |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+          |      f.cand) AS rk
+          |   FROM f1 f JOIN q ON q.query_id = f.query_id JOIN e c ON c.vec_id = f.cand)
+          |  WHERE rk <= 8),
+          | f2 AS (SELECT DISTINCT query_id, cand FROM (
+          |   SELECT query_id, cand FROM b1
+          |   UNION ALL SELECT b.query_id, g.j AS cand FROM b1 b JOIN sg g ON g.i = b.cand)),
+          | b2 AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+          |   SELECT f.query_id, f.cand,
+          |    round(list_dot_product(q.qv, c.vec) /
+          |      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) AS cos,
+          |    row_number() OVER (PARTITION BY f.query_id ORDER BY
+          |      round(list_dot_product(q.qv, c.vec) /
+          |        (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+          |      f.cand) AS rk
+          |   FROM f2 f JOIN q ON q.query_id = f.query_id JOIN e c ON c.vec_id = f.cand)
+          |  WHERE rk <= 8)
+          |SELECT query_id, cand AS neighbor_id, cos FROM (
+          | SELECT query_id, cand, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rk
+          | FROM b2 WHERE cand <> query_id) WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
       // recall@8 of the graph vs brute-force truth on sampled nodes
       "q264_knn_graph_recall" ->
         (knnGraphCtes + """,
@@ -9253,7 +9364,7 @@ object SparkEntry {
     * cosine desc, id).
     */
   private val knnGraphCtes: String = {
-    val (k, rounds, cap, bits, tables) = (8, 3, 32, 5, 3)
+    val (k, rounds, cap, bits, tables, anchors) = (8, 3, 32, 5, 3, 32)
     val capHash =
       "((i % 1000003) * 2654435761 + (j % 1000003) * 40503) % 2147483647"
     val sigs = (0 until tables).map { tb =>
@@ -9284,8 +9395,12 @@ object SparkEntry {
     s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
        | sig AS MATERIALIZED (
        |  $sigs),
-       | pairs AS (SELECT DISTINCT a.id AS i, b.id AS j
-       |  FROM sig a JOIN sig b ON a.tb = b.tb AND a.bkt = b.bkt AND a.id <> b.id),
+       | anch AS (SELECT tb, bkt, id FROM (
+       |   SELECT tb, bkt, id, row_number() OVER (PARTITION BY tb, bkt
+       |     ORDER BY (id % 1000003) * 2654435761 % 2147483647, id) AS r FROM sig)
+       |  WHERE r <= $anchors),
+       | pairs AS (SELECT DISTINCT s.id AS i, a.id AS j
+       |  FROM sig s JOIN anch a USING (tb, bkt) WHERE s.id <> a.id),
        | nb0 AS MATERIALIZED (SELECT i, j FROM (
        |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $capHash, j) AS r
        |   FROM pairs)
@@ -9333,5 +9448,8 @@ object SparkEntry {
       ("q259_binary_ann_stored" -> base("q256_binary_ann")) +
       // the streaming session drain must equal the batch gap
       // sessionization (sentinel-flushed, micros domain)
-      ("q261_stream_sessionize" -> base("q91_sessionize"))
+      ("q261_stream_sessionize" -> base("q91_sessionize")) +
+      // one whole-corpus micro-batch through the streaming Lloyd
+      // update must equal the batch trainer's iters=2 run
+      ("q266_stream_kmeans" -> base("q101_kmeans"))
 }

@@ -1279,25 +1279,17 @@ object Similarity {
       rounds: Int = 3,
       revCap: Int = 32,
       lshBits: Int = 5,
-      lshTables: Int = 3): DataFrame = {
+      lshTables: Int = 3,
+      anchorsPerBucket: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rounds > 0, s"rounds must be positive, got $rounds")
     require(revCap >= k, s"revCap must be >= k, got $revCap < $k")
     require(lshBits > 0 && lshTables > 0,
       s"need positive LSH shape, got bits=$lshBits tables=$lshTables")
+    require(anchorsPerBucket > 0,
+      s"anchorsPerBucket must be positive, got $anchorsPerBucket")
     val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
-    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0
-    val sig = (0 until lshTables).map { t =>
-      val bkt = (0 until lshBits).map { b =>
-        when(element_at(col("vec"), t * lshBits + b + 1) >= 0f, lit(1L << b)).otherwise(0L)
-      }.reduce(_ + _)
-      vecs.select(lit(t).as("tb"), col("id"), bkt.as("bkt"))
-    }.reduce(_ union _)
-    val pairs = sig.as("a").join(sig.as("b"),
-        col("a.tb") === col("b.tb") && col("a.bkt") === col("b.bkt") &&
-          col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("i"), col("b.id").as("j"))
-      .distinct()
+    val pairs = knnLshSeedEdges(corpus, lshBits, lshTables, anchorsPerBucket)
     // adjacency cap: keep revCap per node in a deterministic
     // PSEUDO-RANDOM order (Knuth-hash of the edge), the reproducible
     // stand-in for the paper's uniform neighbor sampling — a
@@ -1344,6 +1336,50 @@ object Similarity {
       col("j").as("neighbor_id"), col("cos"))
     vecs.unpersist()
     out
+  }
+
+  /** The LSH seed-edge generator behind [[knnGraphBuild]], public
+    * because the edges are useful BEYOND the build: a pure k-NN graph
+    * has only short-range edges, so beam search cannot traverse far
+    * from its entry points — the navigable-small-world fix (Malkov et
+    * al.) is to serve over graph ∪ long-range links, and the
+    * hash-random in-bucket anchor edges ARE such links.
+    *
+    * Every member of a sign-bit LSH bucket pairs with the bucket's
+    * first `anchorsPerBucket` hash-ordered members — NOT within-bucket
+    * all-pairs, which is quadratic in bucket size (sign-bit LSH cannot
+    * split a tight cluster no matter how many bits, so a fat-clustered
+    * corpus would explode the seed join; anchors bound seed edges at
+    * N·anchors·tables). With anchorsPerBucket >= the bucket size the
+    * seed degenerates to exactly all-pairs. Deterministic end to end;
+    * directed (member → anchor) — symmetrize downstream if needed.
+    */
+  def knnLshSeedEdges(
+      corpus: DataFrame,
+      lshBits: Int,
+      lshTables: Int,
+      anchorsPerBucket: Int): DataFrame = {
+    require(lshBits > 0 && lshTables > 0,
+      s"need positive LSH shape, got bits=$lshBits tables=$lshTables")
+    require(anchorsPerBucket > 0,
+      s"anchorsPerBucket must be positive, got $anchorsPerBucket")
+    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0
+    val sig = (0 until lshTables).map { t =>
+      val bkt = (0 until lshBits).map { b =>
+        when(element_at(col("vec"), t * lshBits + b + 1) >= 0f, lit(1L << b)).otherwise(0L)
+      }.reduce(_ + _)
+      corpus.select(lit(t).as("tb"), col("id"), bkt.as("bkt"))
+    }.reduce(_ union _)
+    val anchors = sig
+      .withColumn("__h", expr("(id % 1000003L) * 2654435761L % 2147483647L"))
+      .withColumn("__ar", row_number().over(
+        Window.partitionBy("tb", "bkt").orderBy(col("__h"), col("id"))))
+      .where(col("__ar") <= anchorsPerBucket)
+      .select(col("tb"), col("bkt"), col("id").as("__aid"))
+    sig.join(anchors, Seq("tb", "bkt"))
+      .where(col("id") =!= col("__aid"))
+      .select(col("id").as("i"), col("__aid").as("j"))
+      .distinct()
   }
 
   /** Beam-search serve over a [[knnGraphBuild]] graph: each query

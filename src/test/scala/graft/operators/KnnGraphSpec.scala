@@ -80,6 +80,38 @@ class KnnGraphSpec extends SparkTestBase {
       s"cross-cluster neighbor served: ${rows.mkString(",")}")
   }
 
+  test("knnLshSeedEdges: bounded out-degree, co-bucketed endpoints, deterministic") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11L)
+    val corpus = (0 until 120)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val edges = Similarity.knnLshSeedEdges(corpus, lshBits = 2, lshTables = 2,
+      anchorsPerBucket = 5)
+    val rows = edges.as[(Long, Long)].collect()
+    assert(rows.forall { case (i, j) => i != j }, "self-loop in seed edges")
+    // out-degree bounded by anchors per table times tables
+    val deg = rows.groupBy(_._1).values.map(_.length).max
+    assert(deg <= 2 * 5, s"out-degree $deg exceeds anchors*tables")
+    val again = Similarity.knnLshSeedEdges(corpus.repartition(7), lshBits = 2,
+      lshTables = 2, anchorsPerBucket = 5).as[(Long, Long)].collect()
+    assert(rows.toSet == again.toSet, "seed edges not partitioning-invariant")
+  }
+
+  test("knnLshSeedEdges with anchors >= bucket size degenerates to within-bucket all-pairs") {
+    import spark.implicits._
+    // one table, one bit -> two buckets split by the sign of dim 1
+    val corpus = Seq(
+      (0L, Seq(1.0f, 0f)), (1L, Seq(2.0f, 0f)), (2L, Seq(3.0f, 0f)),
+      (3L, Seq(-1.0f, 0f)), (4L, Seq(-2.0f, 0f))).toDF("id", "vec")
+    val edges = Similarity.knnLshSeedEdges(corpus, lshBits = 1, lshTables = 1,
+      anchorsPerBucket = 10).as[(Long, Long)].collect().toSet
+    val pos = Set(0L, 1L, 2L); val neg = Set(3L, 4L)
+    val expect = (for (a <- pos; b <- pos if a != b) yield (a, b)) ++
+      (for (a <- neg; b <- neg if a != b) yield (a, b))
+    assert(edges == expect)
+  }
+
   test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
     import spark.implicits._
     val corpus = clustered(60)
