@@ -625,4 +625,33 @@ class PlanSpec extends SparkTestBase {
     // key-window exchange + pair aggregate + pair-domain window
     assert(Scale.countShuffles(out) <= 3, out.queryExecution.executedPlan.toString)
   }
+
+  test("knnLshSeedEdges: bucket-keyed equi-join, never a cartesian or nested loop") {
+    import spark.implicits._
+    // (the serve/build plans checkpoint per hop/round, so the lazy
+    // seed-edge plan is the graph family's pinnable surface)
+    val corpus = (0 until 60).map(i => (i.toLong,
+      Seq.fill(4)(((i * 31 + 7) % 19 - 9).toFloat))).toDF("id", "vec")
+    val edges = Similarity.knnLshSeedEdges(corpus, lshBits = 2, lshTables = 2,
+      anchorsPerBucket = 4)
+    val plan = edges.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the anchor cut is a per-bucket window, never a global sort-limit
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("hashedImportanceWeights: fixed-width model broadcasts back; text never rides an exchange") {
+    import spark.implicits._
+    val docs = (0L until 80L).map(i =>
+      (i, s"tok${i % 7} tok${(i + 1) % 5} tail", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.hashedImportanceWeights(docs, col("doc_id"), col("text"),
+      col("lang") === "en", nBuckets = 32, selectN = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+    // the resample cut is distributed partial top-k, never a global sort
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
