@@ -2003,6 +2003,42 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The 80%-corpus base graph behind q268's append leg (old rows =
+    * vec_id % 5 <> 4 — proportional at every scale factor), memoized
+    * like [[knnGraph]] and priced in buildCaches.
+    */
+  @transient private var knnGraphOldCache: (SparkSession, String, DataFrame) = null
+
+  private def knnGraphOld(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (knnGraphOldCache != null && (knnGraphOldCache._1 eq s)
+        && knnGraphOldCache._2 == dir) knnGraphOldCache._3
+    else {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val g = graft.operators.Similarity.knnGraphBuild(
+        e.where(pmod(col("id"), lit(5L)) =!= 4),
+        k = 8, rounds = 3, revCap = 32, lshBits = 5, lshTables = 3).persist()
+      g.count()
+      knnGraphOldCache = (s, dir, g)
+      g
+    }
+  }
+
+  /** Graph-based ANN, append leg (q268 — the composed index's q241
+    * for the graph family): the 20% "arriving" rows join the
+    * 80%-corpus base graph without a rebuild — full-corpus LSH seed,
+    * one neighbor-of-neighbor expansion through the old graph,
+    * symmetric reverse proposals, one global top-k merge. The oracle
+    * replicates all four steps over both corpora.
+    */
+  private def qKnnGraphAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.knnGraphAppend(
+      knnGraphOld(s, dir), e, pmod(col("id"), lit(5L)) === 4, k = 8)
+      .orderBy("node_id", "nb_rank")
+  }
+
   /** Graph-based ANN, navigable-serve leg (q267): beam search over
     * graph ∪ long-range LSH anchor edges — the NSW insight (Malkov et
     * al.): pure k-NN edges are all short-range, so a beam can only
@@ -4549,6 +4585,7 @@ object SparkEntry {
       "ivf_bucketed" -> timed(ivfBucketedIndex(s, dir)),
       "ivf_pq_suite" -> timed(ivfPqSuite(s, dir)),
       "knn_graph" -> timed(knnGraph(s, dir)),
+      "knn_graph_old" -> timed(knnGraphOld(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
@@ -4812,6 +4849,7 @@ object SparkEntry {
     "q263_knn_graph_serve" -> qKnnGraphServe _,
     "q264_knn_graph_recall" -> qKnnGraphRecall _,
     "q267_knn_graph_nsw" -> qKnnGraphNsw _,
+    "q268_knn_graph_append" -> qKnnGraphAppend _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -8946,6 +8984,31 @@ object SparkEntry {
           | FROM b2 WHERE cand <> query_id) WHERE rk <= 5
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
 
+      // graph append: base graph over the 80% "old" rows (suffix o),
+      // arrivals seed against the FULL corpus's anchors, expand one
+      // hop through the old graph, reverse-propose symmetrically,
+      // global top-8 merge (the mrg DISTINCT mirrors Spark's distinct
+      // over identical-cos duplicate pairs)
+      "q268_knn_graph_append" ->
+        ("WITH " + knnSeedCtes("TRUE", "") + ",\n " +
+          knnSeedCtes("vec_id % 5 <> 4", "o") + knnDescentCtes("o") + s""",
+          | newn AS (SELECT vec_id AS id FROM e WHERE vec_id % 5 = 4),
+          | nseed AS (SELECT p.i, p.j FROM pairs p JOIN newn n ON p.i = n.id),
+          | nexp AS (SELECT s.i, g.j FROM nseed s JOIN nb3o g ON g.i = s.j),
+          | ncand AS (SELECT DISTINCT i, j FROM (
+          |   SELECT i, j FROM nseed UNION ALL SELECT i, j FROM nexp) WHERE i <> j),
+          | nsc AS MATERIALIZED (SELECT c.i, c.j,
+          |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+          |  FROM ncand c JOIN e ei ON ei.vec_id = c.i JOIN e ej ON ej.vec_id = c.j),
+          | mrg AS (SELECT DISTINCT i, j, cos FROM (
+          |   SELECT i, j, cos FROM nb3o
+          |   UNION ALL SELECT j AS i, i AS j, cos FROM nsc
+          |   UNION ALL SELECT i, j, cos FROM nsc))
+          |SELECT i AS node_id, rk::BIGINT AS nb_rank, j AS neighbor_id, cos FROM (
+          | SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+          | FROM mrg) WHERE rk <= 8
+          |ORDER BY node_id, nb_rank""".stripMargin),
+
       // recall@8 of the graph vs brute-force truth on sampled nodes
       "q264_knn_graph_recall" ->
         (knnGraphCtes + """,
@@ -9363,49 +9426,69 @@ object SparkEntry {
     * sampling), propose neighbor-of-neighbor, keep top-8 by (rounded
     * cosine desc, id).
     */
-  private val knnGraphCtes: String = {
-    val (k, rounds, cap, bits, tables, anchors) = (8, 3, 32, 5, 3, 32)
-    val capHash =
-      "((i % 1000003) * 2654435761 + (j % 1000003) * 40503) % 2147483647"
+  private val knnCapHash =
+    "((i % 1000003) * 2654435761 + (j % 1000003) * 40503) % 2147483647"
+
+  private def knnCosSql(a: String, b: String): String =
+    s"""round(list_dot_product($a, $b) /
+       |     (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
+
+  /** Seed CTEs (corpus e$x, sign-bit sig$x, anchors anch$x, pairs$x,
+    * capped nb0$x) over the embeddings rows matching `eFilter`; the
+    * `x` suffix lets one oracle hold two corpora (q268 builds its
+    * base graph over the OLD rows but seeds arrivals against ALL).
+    */
+  private def knnSeedCtes(eFilter: String, x: String): String = {
+    val (cap, bits, tables, anchors) = (32, 5, 3, 32)
     val sigs = (0 until tables).map { tb =>
       s"""SELECT $tb AS tb, vec_id AS id,
          |   list_sum([CASE WHEN vec[${tb * bits}+b+1] >= 0 THEN (1 << b) ELSE 0 END
-         |             FOR b IN range(0,$bits)])::BIGINT AS bkt FROM e""".stripMargin
+         |             FOR b IN range(0,$bits)])::BIGINT AS bkt FROM e$x""".stripMargin
     }.mkString("\n  UNION ALL ")
-    val cos = (a: String, b: String) =>
-      s"""round(list_dot_product($a, $b) /
-         |     (sqrt(list_dot_product($a, $a)) * sqrt(list_dot_product($b, $b))), 6)""".stripMargin
-    val roundsSql = (1 to rounds).map { r =>
+    s"""e$x AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec
+       |  FROM embeddings WHERE $eFilter),
+       | sig$x AS MATERIALIZED (
+       |  $sigs),
+       | anch$x AS (SELECT tb, bkt, id FROM (
+       |   SELECT tb, bkt, id, row_number() OVER (PARTITION BY tb, bkt
+       |     ORDER BY (id % 1000003) * 2654435761 % 2147483647, id) AS r FROM sig$x)
+       |  WHERE r <= $anchors),
+       | pairs$x AS (SELECT DISTINCT s.id AS i, a.id AS j
+       |  FROM sig$x s JOIN anch$x a USING (tb, bkt) WHERE s.id <> a.id),
+       | nb0$x AS MATERIALIZED (SELECT i, j FROM (
+       |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $knnCapHash, j) AS r
+       |   FROM pairs$x)
+       |  WHERE r <= $cap)""".stripMargin
+  }
+
+  /** The 3 unrolled NN-Descent rounds over the `x`-suffixed seed. */
+  private def knnDescentCtes(x: String): String = {
+    val (k, rounds, cap) = (8, 3, 32)
+    (1 to rounds).map { r =>
       val p = r - 1
       s""",
-         | und$r AS (SELECT DISTINCT i, j FROM (SELECT i, j FROM nb$p UNION ALL SELECT j, i FROM nb$p)),
-         | cap$r AS MATERIALIZED (SELECT i, j FROM (
-         |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $capHash, j) AS r
-         |   FROM und$r) WHERE r <= $cap),
-         | cand$r AS (SELECT DISTINCT i, j FROM (
-         |   SELECT a.i AS i, b.j AS j FROM cap$r a JOIN cap$r b ON a.j = b.i
-         |   UNION ALL SELECT i, j FROM cap$r) WHERE i <> j),
-         | sc$r AS (SELECT c.i, c.j,
-         |   ${cos("ei.vec", "ej.vec")} AS cos
-         |  FROM cand$r c JOIN e ei ON ei.vec_id = c.i JOIN e ej ON ej.vec_id = c.j),
-         | nb$r AS MATERIALIZED (SELECT i, j, cos, rk FROM (
+         | und$r$x AS (SELECT DISTINCT i, j FROM (SELECT i, j FROM nb$p$x UNION ALL SELECT j, i FROM nb$p$x)),
+         | cap$r$x AS MATERIALIZED (SELECT i, j FROM (
+         |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $knnCapHash, j) AS r
+         |   FROM und$r$x) WHERE r <= $cap),
+         | cand$r$x AS (SELECT DISTINCT i, j FROM (
+         |   SELECT a.i AS i, b.j AS j FROM cap$r$x a JOIN cap$r$x b ON a.j = b.i
+         |   UNION ALL SELECT i, j FROM cap$r$x) WHERE i <> j),
+         | sc$r$x AS (SELECT c.i, c.j,
+         |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+         |  FROM cand$r$x c JOIN e$x ei ON ei.vec_id = c.i JOIN e$x ej ON ej.vec_id = c.j),
+         | nb$r$x AS MATERIALIZED (SELECT i, j, cos, rk FROM (
          |   SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
-         |   FROM sc$r) WHERE rk <= $k)""".stripMargin
+         |   FROM sc$r$x) WHERE rk <= $k)""".stripMargin
     }.mkString
-    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
-       | sig AS MATERIALIZED (
-       |  $sigs),
-       | anch AS (SELECT tb, bkt, id FROM (
-       |   SELECT tb, bkt, id, row_number() OVER (PARTITION BY tb, bkt
-       |     ORDER BY (id % 1000003) * 2654435761 % 2147483647, id) AS r FROM sig)
-       |  WHERE r <= $anchors),
-       | pairs AS (SELECT DISTINCT s.id AS i, a.id AS j
-       |  FROM sig s JOIN anch a USING (tb, bkt) WHERE s.id <> a.id),
-       | nb0 AS MATERIALIZED (SELECT i, j FROM (
-       |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $capHash, j) AS r
-       |   FROM pairs)
-       |  WHERE r <= $cap)""".stripMargin + roundsSql
   }
+
+  /** Shared CTE prefix for q262/q263/q264/q267: the full-corpus graph
+    * (unsuffixed names — e, sig, pairs, nb3 — exactly as the oracle
+    * bodies reference them).
+    */
+  private val knnGraphCtes: String =
+    "WITH " + knnSeedCtes("TRUE", "") + knnDescentCtes("")
 
   /** Shared CTE prefix for the preference queries q179/q180: supplier
     * pairwise comparisons from shared orders (larger total quantity

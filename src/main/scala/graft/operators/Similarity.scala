@@ -1382,6 +1382,68 @@ object Similarity {
       .distinct()
   }
 
+  /** Incremental append to a [[knnGraphBuild]] graph — the lifecycle
+    * leg (the composed-index family's q241 for the graph family): a
+    * batch of new vectors joins WITHOUT a full rebuild.
+    *
+    *   1. new nodes seed against the FULL corpus's LSH anchor edges
+    *      ([[knnLshSeedEdges]] — the arriving nodes land in the same
+    *      sign-bit buckets their neighbors occupy),
+    *   2. each seed expands one hop through the OLD graph (the
+    *      anchors' refined neighborhoods — NN-Descent's
+    *      neighbor-of-neighbor step applied once, which is what makes
+    *      the append approximate-but-good instead of seed-quality),
+    *   3. every scored (new, candidate) edge also REVERSE-proposes the
+    *      new node to its candidate (cosine is symmetric — one scoring
+    *      pass serves both directions),
+    *   4. one global per-node top-k re-rank over old edges ∪ proposals
+    *      — untouched nodes re-rank their own k rows (identity), so
+    *      only proposal-touched neighborhoods can change, and only by
+    *      IMPROVING (a kept edge is never displaced by a worse one).
+    *
+    * Deterministic end to end; the oracle (q268) replicates all four
+    * steps. Scale shape: proposals ∝ |batch|·anchors·tables·(k+1)
+    * skinny rows; the merge is one hash exchange on node id over
+    * N·k + proposal rows; vectors join only the scoring projection.
+    */
+  def knnGraphAppend(
+      graph: DataFrame,
+      corpus: DataFrame,
+      newFilter: Column,
+      k: Int,
+      lshBits: Int = 5,
+      lshTables: Int = 3,
+      anchorsPerBucket: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    val seed = knnLshSeedEdges(corpus, lshBits, lshTables, anchorsPerBucket)
+    val newNodes = corpus.where(newFilter).select(col("id").as("i"))
+    val newSeed = seed.join(newNodes, Seq("i"))
+    val expand = newSeed.select(col("i"), col("j").as("node_id"))
+      .join(graph.select(col("node_id"), col("neighbor_id").as("j")), Seq("node_id"))
+      .select("i", "j")
+    val cand = newSeed.select("i", "j").union(expand)
+      .where(col("i") =!= col("j")).distinct()
+    val scored = cand
+      .join(vecs.select(col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni")), Seq("i"))
+      .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
+    val merged = graph
+      .select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"))
+      .union(scored.select(col("j").as("i"), col("i").as("j"), col("cos")))
+      .union(scored)
+      .distinct()
+    val out = merged
+      .withColumn("nb_rank", row_number().over(
+        Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
+      .where(col("nb_rank") <= k)
+      .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
+        col("j").as("neighbor_id"), col("cos"))
+    vecs.unpersist()
+    out
+  }
+
   /** Beam-search serve over a [[knnGraphBuild]] graph: each query
     * starts from a fixed entry set (corpus ids ≡ 0 mod `entryStride` —
     * deterministic; production would use a medoid sample), scores the

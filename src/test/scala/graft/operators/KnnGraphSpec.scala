@@ -112,6 +112,39 @@ class KnnGraphSpec extends SparkTestBase {
     assert(edges == expect)
   }
 
+  test("knnGraphAppend: arrivals get k ranked edges; old nodes only ever improve") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13L)
+    val all = (0 until 100)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val old = all.where(col("id") % 5 =!= 4)
+    val g0 = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val g1 = Similarity.knnGraphAppend(g0, all, col("id") % 5 === 4,
+      k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    val rows = g1.select("node_id", "nb_rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    // every node of the union corpus is present with ranks 1..4
+    assert(rows.map(_._1).distinct.length == 100)
+    assert(rows.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L)))
+    assert(rows.forall(r => r._1 != r._3), "self-loop after append")
+    // old nodes only improve: per node, the post-append cos at each
+    // rank dominates the pre-append cos at the same rank
+    val before = g0.select("node_id", "nb_rank", "cos")
+      .as[(Long, Long, Double)].collect().groupBy(_._1)
+    val after = rows.groupBy(_._1)
+    before.foreach { case (node, b) =>
+      val a = after(node)
+      val bByRank = b.map(r => r._2 -> r._3).toMap
+      val aByRank = a.map(r => r._2 -> r._4).toMap
+      bByRank.foreach { case (rk, cosB) =>
+        assert(aByRank(rk) >= cosB - 1e-9,
+          s"node $node rank $rk got worse: $cosB -> ${aByRank(rk)}")
+      }
+    }
+  }
+
   test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
     import spark.implicits._
     val corpus = clustered(60)
