@@ -2039,6 +2039,21 @@ object SparkEntry {
       .orderBy("node_id", "nb_rank")
   }
 
+  /** Graph-based ANN, delete leg (q269 — the composed index's q253
+    * for the graph family): ~1/7 of nodes leave; their rows and every
+    * edge into them drop, and survivors that lost neighbors backfill
+    * through one descent round over the surviving graph. The oracle
+    * replicates tombstoning, the capped backfill round, and the
+    * merge.
+    */
+  private def qKnnGraphDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.knnGraphDelete(
+      knnGraph(s, dir), e, pmod(col("id"), lit(7L)) === 3, k = 8)
+      .orderBy("node_id", "nb_rank")
+  }
+
   /** Graph-based ANN, navigable-serve leg (q267): beam search over
     * graph ∪ long-range LSH anchor edges — the NSW insight (Malkov et
     * al.): pure k-NN edges are all short-range, so a beam can only
@@ -4850,6 +4865,7 @@ object SparkEntry {
     "q264_knn_graph_recall" -> qKnnGraphRecall _,
     "q267_knn_graph_nsw" -> qKnnGraphNsw _,
     "q268_knn_graph_append" -> qKnnGraphAppend _,
+    "q269_knn_graph_delete" -> qKnnGraphDelete _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9007,6 +9023,35 @@ object SparkEntry {
           |SELECT i AS node_id, rk::BIGINT AS nb_rank, j AS neighbor_id, cos FROM (
           | SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
           | FROM mrg) WHERE rk <= 8
+          |ORDER BY node_id, nb_rank""".stripMargin),
+
+      // graph delete: tombstone ~1/7 of nodes, drop their rows and
+      // in-edges, backfill affected survivors with one capped descent
+      // round over the surviving graph, global top-8 merge
+      "q269_knn_graph_delete" ->
+        (knnGraphCtes + s""",
+          | deld AS (SELECT vec_id AS id FROM e WHERE vec_id % 7 = 3),
+          | keptg AS MATERIALIZED (SELECT i, j, cos FROM nb3
+          |  WHERE i NOT IN (SELECT id FROM deld) AND j NOT IN (SELECT id FROM deld)),
+          | affd AS (SELECT DISTINCT i FROM nb3
+          |  WHERE j IN (SELECT id FROM deld) AND i NOT IN (SELECT id FROM deld)),
+          | undd AS (SELECT DISTINCT i, j FROM (
+          |   SELECT i, j FROM keptg UNION ALL SELECT j, i FROM keptg)),
+          | capd AS MATERIALIZED (SELECT i, j FROM (
+          |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $knnCapHash, j) AS r
+          |   FROM undd) WHERE r <= 32),
+          | candd AS (SELECT DISTINCT i, j FROM (
+          |   SELECT a.i AS i, b.j AS j FROM capd a JOIN capd b ON a.j = b.i
+          |   UNION ALL SELECT i, j FROM capd)
+          |  WHERE i <> j AND i IN (SELECT i FROM affd)),
+          | scd AS (SELECT c.i, c.j,
+          |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+          |  FROM candd c JOIN e ei ON ei.vec_id = c.i JOIN e ej ON ej.vec_id = c.j),
+          | mrgd AS (SELECT DISTINCT i, j, cos FROM (
+          |   SELECT i, j, cos FROM keptg UNION ALL SELECT i, j, cos FROM scd))
+          |SELECT i AS node_id, rk::BIGINT AS nb_rank, j AS neighbor_id, cos FROM (
+          | SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+          | FROM mrgd) WHERE rk <= 8
           |ORDER BY node_id, nb_rank""".stripMargin),
 
       // recall@8 of the graph vs brute-force truth on sampled nodes

@@ -1290,21 +1290,7 @@ object Similarity {
       s"anchorsPerBucket must be positive, got $anchorsPerBucket")
     val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
     val pairs = knnLshSeedEdges(corpus, lshBits, lshTables, anchorsPerBucket)
-    // adjacency cap: keep revCap per node in a deterministic
-    // PSEUDO-RANDOM order (Knuth-hash of the edge), the reproducible
-    // stand-in for the paper's uniform neighbor sampling — a
-    // smallest-id cut would bias every oversized bucket's survivors
-    // toward low ids and strand high-id nodes outside the candidate
-    // web (measured: recall 0.66 vs 1.0 on a two-cluster fixture).
-    // Operands are pre-bounded so the product also fits DuckDB's
-    // non-wrapping BIGINT in the mirrored oracle arithmetic.
-    def capPerNode(edges: DataFrame): DataFrame = edges
-      .withColumn("__h", expr(
-        "((i % 1000003L) * 2654435761L + (j % 1000003L) * 40503L) % 2147483647L"))
-      .withColumn("__r", row_number().over(
-        Window.partitionBy("i").orderBy(col("__h"), col("j"))))
-      .where(col("__r") <= revCap).drop("__h", "__r")
-    val init = capPerNode(pairs)
+    val init = capEdgesPerNode(pairs, revCap)
     // each round references the previous graph ~6 times (symmetrize
     // ×2, neighbor-of-neighbor self-join ×2, candidate union ×2), so
     // raw lineage grows exponentially in `rounds` — localCheckpoint
@@ -1316,7 +1302,7 @@ object Similarity {
     while (r < rounds) {
       val fwd = nb.select("i", "j")
       val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
-      val capped = capPerNode(und)
+      val capped = capEdgesPerNode(und, revCap)
       val hop2 = capped.as("a").join(capped.as("b"), col("a.j") === col("b.i"))
         .select(col("a.i").as("i"), col("b.j").as("j"))
       val cand = capped.union(hop2).where(col("i") =!= col("j")).distinct()
@@ -1337,6 +1323,23 @@ object Similarity {
     vecs.unpersist()
     out
   }
+
+  /** Adjacency cap shared by the graph family's build/delete legs:
+    * keep `revCap` edges per node in a deterministic PSEUDO-RANDOM
+    * order (Knuth-hash of the edge), the reproducible stand-in for
+    * NN-Descent's uniform neighbor sampling — a smallest-id cut would
+    * bias every oversized neighborhood's survivors toward low ids and
+    * strand high-id nodes outside the candidate web (measured: recall
+    * 0.66 vs 1.0 on a two-cluster fixture). Operands are pre-bounded
+    * so the product also fits DuckDB's non-wrapping BIGINT in the
+    * mirrored oracle arithmetic.
+    */
+  private def capEdgesPerNode(edges: DataFrame, revCap: Int): DataFrame = edges
+    .withColumn("__h", expr(
+      "((i % 1000003L) * 2654435761L + (j % 1000003L) * 40503L) % 2147483647L"))
+    .withColumn("__r", row_number().over(
+      Window.partitionBy("i").orderBy(col("__h"), col("j"))))
+    .where(col("__r") <= revCap).drop("__h", "__r")
 
   /** The LSH seed-edge generator behind [[knnGraphBuild]], public
     * because the edges are useful BEYOND the build: a pure k-NN graph
@@ -1435,6 +1438,60 @@ object Similarity {
       .union(scored)
       .distinct()
     val out = merged
+      .withColumn("nb_rank", row_number().over(
+        Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
+      .where(col("nb_rank") <= k)
+      .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
+        col("j").as("neighbor_id"), col("cos"))
+    vecs.unpersist()
+    out
+  }
+
+  /** Delete leg for the k-NN graph — completes the lifecycle
+    * (build / serve / recall / navigable / append / DELETE, mirroring
+    * the composed index's q253): drop the departing nodes AND every
+    * edge pointing at them, then BACKFILL the survivors that lost
+    * neighbors with one NN-Descent round restricted to those affected
+    * nodes (symmetrize the surviving graph, cap, neighbor-of-neighbor,
+    * score, merge with the kept edges, per-node top-k). Unaffected
+    * nodes re-rank their own rows — identity. A node can end under k
+    * edges only if its entire reachable neighborhood died.
+    *
+    * Scale shape: the tombstone set broadcasts into two anti-joins;
+    * the backfill round is the build round's plan restricted to
+    * |affected| nodes — candidates ∝ affected·revCap², never N.
+    */
+  def knnGraphDelete(
+      graph: DataFrame,
+      corpus: DataFrame,
+      deleteFilter: Column,
+      k: Int,
+      revCap: Int = 32): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    val del = corpus.where(deleteFilter).select(col("id"))
+    val g = graph.select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"))
+    val kept = g
+      .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
+      .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_anti")
+      .select("i", "j", "cos")
+    val affected = g
+      .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_semi")
+      .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
+      .select("i").distinct()
+    val fwd = kept.select("i", "j")
+    val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
+    val capped = capEdgesPerNode(und, revCap)
+    val hop2 = capped.as("a").join(capped.as("b"), col("a.j") === col("b.i"))
+      .select(col("a.i").as("i"), col("b.j").as("j"))
+    val cand = capped.union(hop2).where(col("i") =!= col("j")).distinct()
+      .join(affected, Seq("i"), "left_semi")
+    val scored = cand
+      .join(vecs.select(col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni")), Seq("i"))
+      .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
+    val out = kept.union(scored).distinct()
       .withColumn("nb_rank", row_number().over(
         Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
       .where(col("nb_rank") <= k)

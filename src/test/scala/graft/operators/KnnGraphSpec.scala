@@ -145,6 +145,35 @@ class KnnGraphSpec extends SparkTestBase {
     }
   }
 
+  test("knnGraphDelete: tombstoned nodes vanish, survivors backfill, unaffected keep rows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17L)
+    val all = (0 until 100)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val g0 = Similarity.knnGraphBuild(all, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val g1 = Similarity.knnGraphDelete(g0, all, col("id") % 7 === 3, k = 4, revCap = 12)
+    val rows = g1.select("node_id", "nb_rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect()
+    val deleted = (0L until 100L).filter(_ % 7 == 3).toSet
+    assert(rows.forall(r => !deleted.contains(r._1)), "deleted node still owns rows")
+    assert(rows.forall(r => !deleted.contains(r._3)), "surviving edge points at a tombstone")
+    // every survivor regains a full neighbor list on this dense fixture
+    val deg = rows.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(deg.size == 100 - deleted.size)
+    assert(deg.values.forall(_ == 4), s"under-filled survivor: ${deg.filter(_._2 != 4)}")
+    // nodes whose pre-delete neighbors all survive keep their rows verbatim
+    val before = g0.select("node_id", "nb_rank", "neighbor_id", "cos")
+      .as[(Long, Long, Long, Double)].collect().groupBy(_._1)
+    val untouched = before.filter { case (n, rs) =>
+      !deleted.contains(n) && rs.forall(r => !deleted.contains(r._3)) }
+    val after = rows.groupBy(_._1)
+    untouched.foreach { case (n, rs) =>
+      assert(after(n).toSet == rs.toSet, s"unaffected node $n changed")
+    }
+  }
+
   test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
     import spark.implicits._
     val corpus = clustered(60)
