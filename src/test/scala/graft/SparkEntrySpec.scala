@@ -82,13 +82,17 @@ class SparkEntrySpec extends SparkTestBase {
         waited += 500
       }
       info(s"buildCaches: ${jobs.get} jobs, ${stages.get} stages")
-      // measured on a quiet machine: 29 jobs / 39 stages with the
-      // seven builds (xml_tables, xml_anylayout, ivf_bucketed,
-      // inverted_index, pos_index, co_ship_pairs); the budget leaves
-      // ~25% headroom for AQE re-plans, not for structural
-      // regressions (an accidental eager action adds whole jobs)
-      assert(jobs.get <= 36, s"buildCaches ran ${jobs.get} jobs (budget 36)")
-      assert(stages.get <= 49, s"buildCaches ran ${stages.get} stages (budget 49)")
+      // measured on a quiet machine: 161 jobs / 242 stages — 29/39
+      // for the original seven builds (xml_tables, xml_anylayout,
+      // ivf_bucketed, inverted_index, pos_index, co_ship_pairs) plus
+      // ~130/200 for the two r14 NN-Descent graph builds (knn_graph,
+      // knn_graph_old), whose per-round eager localCheckpoints under
+      // AQE each run several stage-jobs BY DESIGN (iterative
+      // lineage-truncation, SURVEY §2.11). The budget leaves ~25%
+      // headroom for AQE re-plans, not for structural regressions
+      // (an accidental eager action adds whole jobs).
+      assert(jobs.get <= 200, s"buildCaches ran ${jobs.get} jobs (budget 200)")
+      assert(stages.get <= 300, s"buildCaches ran ${stages.get} stages (budget 300)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
