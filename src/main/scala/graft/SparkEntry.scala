@@ -2039,6 +2039,42 @@ object SparkEntry {
       .orderBy("node_id", "nb_rank")
   }
 
+  /** Streaming graph-ANN serve through the contract (q270): query
+    * vectors (ids < 5, filtered map-only) arrive as a file stream and
+    * each micro-batch runs the batch beam search against the memoized
+    * graph via foreachBatch, landing in a per-invocation staging dir;
+    * the drained results equal the batch serve — q263's oracle
+    * verbatim.
+    */
+  private def qStreamKnnServe(s0: SparkSession, dir: String): DataFrame = {
+    val g = knnGraph(s0, dir) // memoized on the PRIMARY session
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val stream = s.readStream.schema(e0.schema)
+      .parquet(streamDir(dir, "embeddings"))
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_knn_stream_serve", digest).toString
+    // per-invocation clean slate: stale results from a previous drain
+    // would double the appended output
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val q = graft.streaming.StreamingOps.streamingKnnGraphServe(
+      stream, g, corpus, k = 5, beam = 8, hops = 2, entryStride = 61L,
+      sink = batchOut => batchOut.write.mode("append").parquet(out))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s0.read.parquet(out)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
   /** Graph-based ANN, delete leg (q269 — the composed index's q253
     * for the graph family): ~1/7 of nodes leave; their rows and every
     * edge into them drop, and survivors that lost neighbors backfill
@@ -4866,6 +4902,7 @@ object SparkEntry {
     "q267_knn_graph_nsw" -> qKnnGraphNsw _,
     "q268_knn_graph_append" -> qKnnGraphAppend _,
     "q269_knn_graph_delete" -> qKnnGraphDelete _,
+    "q270_stream_knn_serve" -> qStreamKnnServe _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9579,5 +9616,8 @@ object SparkEntry {
       ("q261_stream_sessionize" -> base("q91_sessionize")) +
       // one whole-corpus micro-batch through the streaming Lloyd
       // update must equal the batch trainer's iters=2 run
-      ("q266_stream_kmeans" -> base("q101_kmeans"))
+      ("q266_stream_kmeans" -> base("q101_kmeans")) +
+      // the drained streaming beam serve must equal the batch graph
+      // serve (micro-batch-granular foreachBatch twin)
+      ("q270_stream_knn_serve" -> base("q263_knn_graph_serve"))
 }

@@ -595,6 +595,38 @@ object StreamingOps {
     (writer, () => model.get)
   }
 
+  /** Streaming serve against a [[graft.operators.Similarity
+    * .knnGraphBuild]] k-NN graph — the graph family's streaming twin
+    * (q114/q243's sibling). Beam search needs a top-`beam` cut after
+    * EVERY hop, and Structured Streaming permits only one stateful
+    * operator per query, so the legal shape is micro-batch-granular:
+    * each arriving query batch runs the BATCH beam search
+    * ([[graft.operators.Similarity.knnGraphServe]] — stream-static by
+    * construction: the graph and corpus are the static sides) inside
+    * foreachBatch, and the per-batch results land through `sink`.
+    * Per-batch cost is exactly the batch serve's (frontier-bounded);
+    * nothing is stored between batches, and a single whole-batch
+    * drain equals the batch serve row-for-row (q270 pins it with
+    * q263's oracle).
+    */
+  def streamingKnnGraphServe(
+      queryStream: DataFrame,
+      graph: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      entryStride: Long,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity.knnGraphServe(
+          batch, graph, corpus, k, beam, hops, entryStride))
+        ()
+      }
+
   /** Streaming coded-vector INGEST into a persisted composed
     * [[graft.operators.Similarity.IvfPqIndex]] — q160's postings
     * sibling for the ANN index: each micro-batch of arriving (id,

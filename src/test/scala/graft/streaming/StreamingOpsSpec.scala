@@ -276,6 +276,37 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingKnnGraphServe: per-micro-batch beam serve equals the batch serve") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(19L)
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val g = graft.operators.Similarity.knnGraphBuild(corpus, k = 3, rounds = 2,
+      revCap = 10, lshBits = 2, lshTables = 2)
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val writer = StreamingOps.streamingKnnGraphServe(
+      mem.toDF().toDF("id", "vec"), g, corpus,
+      k = 3, beam = 6, hops = 2, entryStride = 7L,
+      sink = b => { results ++= b.as[(Long, Long, Double)].collect(); () })
+    val q = writer.start()
+    try {
+      // two separate micro-batches of queries
+      mem.addData((0L, corpus.where(col("id") === 0).as[(Long, Seq[Float])].collect()(0)._2))
+      q.processAllAvailable()
+      mem.addData((5L, corpus.where(col("id") === 5).as[(Long, Seq[Float])].collect()(0)._2))
+      q.processAllAvailable()
+      val batch = graft.operators.Similarity.knnGraphServe(
+          corpus.where(col("id") === 0 || col("id") === 5), g, corpus,
+          k = 3, beam = 6, hops = 2, entryStride = 7L)
+        .as[(Long, Long, Double)].collect()
+      assert(results.toSet == batch.toSet,
+        s"streamed ${results.toSet} != batch ${batch.toSet}")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
