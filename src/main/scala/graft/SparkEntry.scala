@@ -4359,11 +4359,22 @@ object SparkEntry {
       "graft_stream_sess", digest)
     java.nio.file.Files.createDirectories(d)
     val f = d.resolve("sess.parquet")
+    // staleness guard: unlike streamDir's SYMLINK (always-current), this
+    // staging MATERIALIZES a derived copy — and the driver regenerates
+    // the sf fixtures every round at the same path, so a path-keyed
+    // cache alone would silently stream LAST round's events. The marker
+    // records the source's (size, mtime); any mismatch rebuilds.
+    val marker = d.resolve("_source.fingerprint")
+    val fp = s"${java.nio.file.Files.size(src)}:" +
+      s"${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
+    val fresh = java.nio.file.Files.exists(f) &&
+      java.nio.file.Files.exists(marker) &&
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") == fp
     val ev = t(s, dir, "events").where(col("user_id") < 50)
       .select(col("user_id"), expr("ts div 1000").as("t_us"))
     // 1-row bound: the output filter needs the sentinel cutoff either way
     val maxUs = ev.agg(max("t_us")).collect()(0).getLong(0)
-    if (!java.nio.file.Files.exists(f)) {
+    if (!fresh) {
       val sentinels = ev.select("user_id").distinct()
         .withColumn("t_us", lit(maxUs + 3 * gapUs))
       // underscore prefix: the file stream source ignores _-paths, so
@@ -4374,9 +4385,13 @@ object SparkEntry {
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
         .filter(_.endsWith(".parquet")).sorted.headOption
         .getOrElse(sys.error(s"no parquet part written under $tmp"))
-      try java.nio.file.Files.move(java.nio.file.Paths.get(part), f,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      // REPLACE_EXISTING: a stale copy from a previous fixture vintage
+      // must be overwritten, not kept (the content is deterministic
+      // per vintage, so a concurrent-JVM race replaces like with like)
+      java.nio.file.Files.move(java.nio.file.Paths.get(part), f,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      java.nio.file.Files.write(marker, fp.getBytes("UTF-8"))
       // best-effort cleanup of the remaining _SUCCESS/crc droppings
       try {
         java.nio.file.Files.walk(tmp).sorted(java.util.Comparator.reverseOrder())

@@ -20,8 +20,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     graft.functions.GraftExtensions.register(spark)
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q251_ivf_pq_residual", "q253_ivf_pq_delete",
-        "q256_binary_ann", "q257_matryoshka_ann", "q258_bitext_mine")) {
+    for (q <- Seq("q263_knn_graph_serve", "q265_dsir_hashed",
+        "q268_knn_graph_append", "q269_knn_graph_delete",
+        "q261_stream_sessionize", "q266_stream_kmeans")) {
       val df = graft.SparkEntry.queries(q)(spark, dir)
       df.count()
       println(s"===== $q =====")
