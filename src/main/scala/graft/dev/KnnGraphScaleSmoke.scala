@@ -26,6 +26,14 @@ import graft.operators.Similarity
   *     stride) recall@10 996/1000 = 0.996
   *   n=500k: build 225.3s (4M edges), graph recall@8 1563/1600 =
   *     0.977; serve recall@10 801/1000 = 0.801
+  *   n=1M: build 803.4s (8M edges), graph recall@8 1559/1600 =
+  *     0.974; serve recall@10 714/1000 = 0.714 — entries/cluster is
+  *     constant under the fixed n/4096 stride while cluster extent
+  *     doubles, so serve recall decays exactly as the entry-density
+  *     coupling predicts (0.996 → 0.801 → 0.714 at 200k/500k/1M);
+  *     build recall stays flat because descent locality is
+  *     extent-independent. The hierarchy (SURVEY §7 roadmap) is the
+  *     published fix for the serve side.
   *   serve per-query arithmetic is flat in N (frontier-bounded) while
   *   brute grows linearly (0.031 -> 0.112 s/query from 200k to 500k);
   *   in THIS single-box Spark-job harness each hop pays job latency,
