@@ -4378,8 +4378,12 @@ object SparkEntry {
       val sentinels = ev.select("user_id").distinct()
         .withColumn("t_us", lit(maxUs + 3 * gapUs))
       // underscore prefix: the file stream source ignores _-paths, so
-      // a concurrent reader never sees the half-written staging dir
-      val tmp = d.resolve("_staging_tmp")
+      // a concurrent reader never sees the half-written staging dir;
+      // JVM-unique suffix: two processes rebuilding the same vintage
+      // must not overwrite each other's in-flight temp (the final
+      // ATOMIC_MOVE then races benignly — identical content)
+      val tmp = d.resolve("_staging_tmp_" +
+        java.lang.ProcessHandle.current().pid())
       ev.unionByName(sentinels).coalesce(1)
         .write.mode("overwrite").parquet(tmp.toString)
       val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
