@@ -2058,10 +2058,15 @@ object SparkEntry {
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    // JVM-unique staging (digest + pid, sessStagedFile's discipline):
+    // a digest-only dir lets two concurrent JVMs running this query
+    // race — one deletes the other's in-flight drain, or the reader
+    // sees doubled/partial rows
     val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_knn_stream_serve", digest).toString
+      "graft_knn_stream_serve",
+      s"${digest}_${ProcessHandle.current().pid()}").toString
     // per-invocation clean slate: stale results from a previous drain
-    // would double the appended output
+    // in THIS JVM would double the appended output
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
@@ -2071,8 +2076,13 @@ object SparkEntry {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s0.read.parquet(out)
+    // read eagerly, then drop the staging dir so pid-unique temp dirs
+    // don't accumulate across JVMs
+    val drained = s0.read.parquet(out)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    drained
   }
 
   /** Graph-based ANN, delete leg (q269 — the composed index's q253
@@ -6905,7 +6915,7 @@ object SparkEntry {
           |   sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_c FROM feats GROUP BY bkt),
           | tot AS (SELECT sum(src_c)::BIGINT AS src_total, sum(tgt_c)::BIGINT AS tgt_total FROM model),
           | ratio AS (SELECT bkt,
-          |   ((tgt_c + 1) * src_total * 10000) // ((src_c + 1) * tgt_total) AS r
+          |   (((tgt_c + 1)::HUGEINT * src_total * 10000) // ((src_c + 1)::HUGEINT * tgt_total))::BIGINT AS r
           |  FROM model, tot),
           | agg AS (SELECT f.doc_id, count(*) AS nf, sum(r.r)::BIGINT AS isum
           |  FROM feats f JOIN ratio r USING (bkt) GROUP BY f.doc_id),

@@ -328,9 +328,15 @@ object Sampling {
       .agg(count(lit(1)).as("src_c"),
         sum(when(col("__iw_t"), 1L).otherwise(0L)).as("tgt_c"))
     val totals = model.agg(sum("src_c").as("src_total"), sum("tgt_c").as("tgt_total"))
+    // the triple product (tgt_c+1)·src_total·scale wraps int64 once
+    // the corpus holds ~1e9 bigrams at scale=10000, so the ratio runs
+    // in DECIMAL(38,0) (exact to ~1e17 bigrams — beyond any real
+    // corpus; the DuckDB oracle mirrors with HUGEINT) and only the
+    // small quotient comes back as a long
     val ratio = model.crossJoin(broadcast(totals))
       .select(col("bkt"),
-        expr(s"((tgt_c + 1L) * src_total * ${scale}L) div ((src_c + 1L) * tgt_total)").as("r"))
+        expr(s"""(CAST(tgt_c + 1L AS DECIMAL(38,0)) * src_total * ${scale}L) div
+            (CAST(src_c + 1L AS DECIMAL(38,0)) * tgt_total)""").as("r"))
     val scored = feats
       .join(broadcast(ratio), Seq("bkt"), "left")
       .groupBy("doc_id")

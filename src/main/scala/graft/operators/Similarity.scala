@@ -1366,10 +1366,20 @@ object Similarity {
       s"need positive LSH shape, got bits=$lshBits tables=$lshTables")
     require(anchorsPerBucket > 0,
       s"anchorsPerBucket must be positive, got $anchorsPerBucket")
-    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0
+    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0.
+    // The coordinate index wraps modulo the vector's own dimension:
+    // without the wrap, dim < lshBits·lshTables makes element_at
+    // return null, the bit silently reads 0, and the upper tables
+    // collapse into one fat near-constant bucket with no signal to
+    // the caller. Wrapped, every table reads real coordinates (upper
+    // tables re-read lower ones on short vectors — degraded diversity,
+    // never degenerate buckets). For dim >= lshBits·lshTables the wrap
+    // is the identity, so the contract fixtures (dim 64 >= 15) are
+    // byte-unchanged and the DuckDB oracles keep the plain index.
     val sig = (0 until lshTables).map { t =>
       val bkt = (0 until lshBits).map { b =>
-        when(element_at(col("vec"), t * lshBits + b + 1) >= 0f, lit(1L << b)).otherwise(0L)
+        val idx = pmod(lit(t * lshBits + b), size(col("vec"))) + 1
+        when(element_at(col("vec"), idx) >= 0f, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
       corpus.select(lit(t).as("tb"), col("id"), bkt.as("bkt"))
     }.reduce(_ union _)
@@ -1418,7 +1428,12 @@ object Similarity {
       lshTables: Int = 3,
       anchorsPerBucket: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    // no persist: the returned plan is lazy and nothing inside this
+    // function runs an action, so a persist/unpersist pair here never
+    // materializes — the two scoring joins each re-read the (columnar,
+    // pruned) corpus projection instead, which is the cheaper honest
+    // plan
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     val seed = knnLshSeedEdges(corpus, lshBits, lshTables, anchorsPerBucket)
     val newNodes = corpus.where(newFilter).select(col("id").as("i"))
     val newSeed = seed.join(newNodes, Seq("i"))
@@ -1443,7 +1458,6 @@ object Similarity {
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    vecs.unpersist()
     out
   }
 
@@ -1468,7 +1482,9 @@ object Similarity {
       k: Int,
       revCap: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    // lazy plan, no action inside — see knnGraphAppend's note on why a
+    // persist/unpersist pair here would never materialize
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     val del = corpus.where(deleteFilter).select(col("id"))
     val g = graph.select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"))
     val kept = g
@@ -1497,7 +1513,6 @@ object Similarity {
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    vecs.unpersist()
     out
   }
 
