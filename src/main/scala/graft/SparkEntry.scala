@@ -2122,6 +2122,69 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** The layer-1 HNSW-style graph behind q271/q272: [[knnGraph]]'s
+    * build restricted to the knnLayerMemberFilter(1, 8) subsample
+    * (~N/8 nodes — deterministic Knuth-hash divisibility, the
+    * reproducible stand-in for HNSW's geometric level draw). Memoized
+    * per (session, sf dir) and priced in [[buildCaches]].
+    */
+  @transient private var knnGraphL1Cache: (SparkSession, String, DataFrame) = null
+
+  private def knnGraphL1(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (knnGraphL1Cache != null && (knnGraphL1Cache._1 eq s)
+        && knnGraphL1Cache._2 == dir) knnGraphL1Cache._3
+    else {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val g = graft.operators.Similarity.knnGraphBuild(
+        e.where(graft.operators.Similarity.knnLayerMemberFilter(col("id"), 1, 8)),
+        k = 8, rounds = 3, revCap = 32, lshBits = 5, lshTables = 3).persist()
+      g.count()
+      knnGraphL1Cache = (s, dir, g)
+      g
+    }
+  }
+
+  /** Graph-based ANN, hierarchical serve leg (q271) — the scale fix
+    * for the flat serve's entry coupling: q263's entry stage scores
+    * N/61 candidates per query (linear in corpus size, and its fixed
+    * entry density is the measured recall ceiling at 1M vectors).
+    * Here the entry set is the ENTIRE layer-1 node set (N/8 at the
+    * fixture's single extra level; production grows `levels` with
+    * log N so the top layer — and with it entry cost — stays
+    * constant), then greedy descent: 3 beam hops over the layer-1
+    * graph, hand the beam down, 3 hops over the full graph. The
+    * oracle unrolls both layers' beam rounds over the two graph CTEs.
+    */
+  private def qKnnGraphHier(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.knnGraphServeLayered(
+      e.where(col("id") < 5), Seq(knnGraphL1(s, dir), knnGraph(s, dir)), e,
+      k = 5, beam = 8, hopsPerLayer = 3)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Graph-based ANN, serve-level recall gate (q272): the
+    * HIERARCHICAL serve's top-5 vs brute-force truth on sampled
+    * queries (ids ≡ 0 mod 25) — q264 gates the GRAPH's edge quality;
+    * this gates the serve pipeline end to end (entry + descent +
+    * beam), so the entry-coupling regression class is contract-gated
+    * instead of smoke-documented. The oracle replicates both
+    * pipelines: the layered beam unroll AND the brute truth.
+    */
+  private def qKnnHierRecall(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val sample = e.where(pmod(col("id"), lit(25L)) === 0)
+    val truth = graft.operators.Similarity.bruteForceTopK(sample, e, k = 5)
+    val served = graft.operators.Similarity.knnGraphServeLayered(
+      sample, Seq(knnGraphL1(s, dir), knnGraph(s, dir)), e,
+      k = 5, beam = 8, hopsPerLayer = 3)
+    graft.operators.Similarity.topKRecall(truth, served)
+      .orderBy("query_id")
+  }
+
   /** Robust per-language outlier gate on document length: exact
     * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
     * count — both medians off the two-phase histogram kernel.
@@ -4666,6 +4729,7 @@ object SparkEntry {
       "ivf_pq_suite" -> timed(ivfPqSuite(s, dir)),
       "knn_graph" -> timed(knnGraph(s, dir)),
       "knn_graph_old" -> timed(knnGraphOld(s, dir)),
+      "knn_graph_l1" -> timed(knnGraphL1(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
@@ -4932,6 +4996,8 @@ object SparkEntry {
     "q268_knn_graph_append" -> qKnnGraphAppend _,
     "q269_knn_graph_delete" -> qKnnGraphDelete _,
     "q270_stream_knn_serve" -> qStreamKnnServe _,
+    "q271_knn_graph_hier" -> qKnnGraphHier _,
+    "q272_knn_hier_recall" -> qKnnHierRecall _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9137,6 +9203,40 @@ object SparkEntry {
           | (n_hit * 1000) // n_truth AS recall_per_mille
           |FROM hit ORDER BY query_id""".stripMargin),
 
+      // hierarchical (HNSW-layer) serve: entries = the ENTIRE layer-1
+      // node set, 3 beam rounds over the layer-1 graph, 3 over the
+      // base graph, top-5 with self excluded
+      "q271_knn_graph_hier" ->
+        (knnHierServeCtes("vec_id < 5") + """
+          |SELECT query_id, cand AS neighbor_id, cos FROM (
+          | SELECT query_id, cand, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rk
+          | FROM b6 WHERE cand <> query_id) WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
+      // serve-level recall gate: the hierarchical serve's top-5 vs
+      // brute-force truth on sampled queries — both pipelines
+      // replicated (the layered beam unroll AND the exact truth)
+      "q272_knn_hier_recall" ->
+        (knnHierServeCtes("vec_id % 25 = 0") + """,
+          | srv AS (SELECT query_id, cand FROM (
+          |   SELECT query_id, cand,
+          |    row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rk
+          |   FROM b6 WHERE cand <> query_id) WHERE rk <= 5),
+          | bf AS (SELECT qid, cid FROM (
+          |   SELECT s.query_id AS qid, c.vec_id AS cid,
+          |     row_number() OVER (PARTITION BY s.query_id ORDER BY
+          |       round(list_dot_product(s.qv, c.vec) /
+          |         (sqrt(list_dot_product(s.qv, s.qv)) * sqrt(list_dot_product(c.vec, c.vec))), 6) DESC,
+          |       c.vec_id) AS rk
+          |   FROM q s CROSS JOIN e c WHERE c.vec_id <> s.query_id) WHERE rk <= 5),
+          | hit AS (SELECT bf.qid, count(*) AS n_truth, count(srv.cand) AS n_hit
+          |   FROM bf LEFT JOIN srv ON srv.query_id = bf.qid AND srv.cand = bf.cid
+          |   GROUP BY bf.qid)
+          |SELECT qid AS query_id, n_truth::BIGINT AS n_truth, n_hit::BIGINT AS n_hit,
+          | (n_hit * 1000) // n_truth AS recall_per_mille
+          |FROM hit ORDER BY query_id""".stripMargin),
+
       // margin-based bitext mining: micro-unit cosines (exact BIGINT),
       // 4-NN neighborhood sums both directions, ppm ratio margin by
       // integer division (c6 > 0 keeps the division portable), best
@@ -9600,6 +9700,55 @@ object SparkEntry {
     */
   private val knnGraphCtes: String =
     "WITH " + knnSeedCtes("TRUE", "") + knnDescentCtes("")
+
+  /** Beam-expansion rounds `from+1 .. from+hops` over graph CTE
+    * `graphCte` (edges as (i, j) rows): each round unions the current
+    * beam b{p} with its one-hop graph expansion, re-scores against
+    * the query CTE `q` (query_id, qv) and keeps the top-`beam` per
+    * query — the hop-unrolled mirror of one knnGraphServe /
+    * knnGraphServeLayered round. Factored out so the LAYERED serve
+    * oracles (q271/q272) can chain rounds over DIFFERENT graphs
+    * without hand-copying the q263 text per layer.
+    */
+  private def knnBeamHopCtes(from: Int, hops: Int, graphCte: String, beam: Int): String =
+    (1 to hops).map { i =>
+      val p = from + i - 1
+      val c = from + i
+      s""",
+         | f$c AS (SELECT DISTINCT query_id, cand FROM (
+         |   SELECT query_id, cand FROM b$p
+         |   UNION ALL SELECT b.query_id, g.j AS cand FROM b$p b JOIN $graphCte g ON g.i = b.cand)),
+         | b$c AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+         |   SELECT f.query_id, f.cand,
+         |    ${knnCosSql("q.qv", "c.vec")} AS cos,
+         |    row_number() OVER (PARTITION BY f.query_id ORDER BY
+         |      ${knnCosSql("q.qv", "c.vec")} DESC,
+         |      f.cand) AS rk
+         |   FROM f$c f JOIN q ON q.query_id = f.query_id JOIN e c ON c.vec_id = f.cand)
+         |  WHERE rk <= $beam)""".stripMargin
+    }.mkString
+
+  /** The hierarchical serve's full CTE chain (q271/q272): both layer
+    * graphs (nb3 = layer 0 over the full corpus, nb3h = layer 1 over
+    * the Knuth-hash-divisible subsample), entries = layer 1's node
+    * set, then 3 beam rounds over the layer-1 graph and 3 over the
+    * base graph. `qFilter` selects the query rows from `e`.
+    */
+  private def knnHierServeCtes(qFilter: String): String =
+    ("WITH " + knnSeedCtes("TRUE", "") + knnDescentCtes("") + ",\n " +
+      knnSeedCtes("(((vec_id % 1000003) * 2654435761) % 2147483647) % 8 = 0", "h") +
+      knnDescentCtes("h") + s""",
+      | q AS (SELECT vec_id AS query_id, vec AS qv FROM e WHERE $qFilter),
+      | ent AS (SELECT DISTINCT i FROM nb3h),
+      | b0 AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+      |   SELECT q.query_id, c.vec_id AS cand,
+      |    ${knnCosSql("q.qv", "c.vec")} AS cos,
+      |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+      |      ${knnCosSql("q.qv", "c.vec")} DESC,
+      |      c.vec_id) AS rk
+      |   FROM q CROSS JOIN e c WHERE c.vec_id IN (SELECT i FROM ent)) WHERE rk <= 8)""".stripMargin) +
+      knnBeamHopCtes(0, 3, "(SELECT i, j FROM nb3h)", 8) +
+      knnBeamHopCtes(3, 3, "(SELECT i, j FROM nb3)", 8)
 
   /** Shared CTE prefix for the preference queries q179/q180: supplier
     * pairwise comparisons from shared orders (larger total quantity

@@ -1577,4 +1577,129 @@ object Similarity {
     vecs.unpersist()
     res
   }
+
+  /** Deterministic HNSW-style layer membership: a node belongs to
+    * every layer `L' <= L` where L is the number of times
+    * `layerFactor` divides its Knuth id-hash — the reproducible
+    * stand-in for HNSW's geometric level draw (Malkov & Yashunin,
+    * TPAMI 2020: P(level >= L) = p^L with p = 1/layerFactor). The
+    * hash (same pre-bounded Knuth form as [[knnLshSeedEdges]]'s
+    * anchor order, DuckDB-safe) decorrelates membership from id
+    * assignment order, and the divisibility chain makes layers NEST:
+    * member(L+1) ⊂ member(L), the property greedy descent relies on
+    * (a beam carried down never leaves the graph).
+    */
+  def knnLayerMemberFilter(id: Column, level: Int, layerFactor: Int): Column = {
+    require(level >= 0, s"level must be >= 0, got $level")
+    require(layerFactor > 1, s"layerFactor must be > 1, got $layerFactor")
+    if (level == 0) lit(true)
+    else {
+      val mod = math.pow(layerFactor.toDouble, level.toDouble)
+      require(mod < 2147483647.0,
+        s"layerFactor^level must stay under the hash modulus, got $mod")
+      pmod(id % 1000003L * 2654435761L % 2147483647L, lit(mod.toLong)) === 0L
+    }
+  }
+
+  /** Hierarchical (HNSW-style) layer graphs over one corpus: layer L
+    * is [[knnGraphBuild]] run on the [[knnLayerMemberFilter]](L)
+    * subsample, returned TOP-FIRST (coarsest layer at the head, the
+    * full layer-0 graph last) — the shape [[knnGraphServeLayered]]
+    * consumes. Build cost is dominated by layer 0 (the flat build);
+    * upper layers shrink geometrically (Σ N/f^L < N/(f-1) extra
+    * rows), so the hierarchy costs < 1/(f-1) more than the flat
+    * graph it replaces at serve time.
+    */
+  def knnGraphBuildLayers(
+      corpus: DataFrame,
+      k: Int,
+      levels: Int,
+      layerFactor: Int = 8,
+      rounds: Int = 3,
+      revCap: Int = 32,
+      lshBits: Int = 5,
+      lshTables: Int = 3,
+      anchorsPerBucket: Int = 32): Seq[DataFrame] = {
+    require(levels >= 0, s"levels must be >= 0, got $levels")
+    (levels to 0 by -1).map { l =>
+      knnGraphBuild(corpus.where(knnLayerMemberFilter(col("id"), l, layerFactor)),
+        k, rounds, revCap, lshBits, lshTables, anchorsPerBucket)
+    }
+  }
+
+  /** Hierarchical beam serve over nested layer graphs — the fix for
+    * the flat serve's one measured scale ceiling: [[knnGraphServe]]'s
+    * entry stage scores N/entryStride candidates per query (linear in
+    * corpus size, and the fixed entry density is also its recall
+    * ceiling — measured 0.996→0.714 at 200k→1M in
+    * dev/KnnGraphScaleSmoke). Here the entry set is the TOP layer's
+    * ENTIRE node set — N/layerFactor^levels rows, a constant when the
+    * builder grows `levels` with log(N) — and each layer down runs
+    * `hopsPerLayer` beam-expansion rounds over that layer's graph
+    * before handing its beam to the next denser layer (greedy descent;
+    * nesting guarantees every carried-down candidate has edges below).
+    *
+    * Scale shape per layer: the frontier is ≤ queries·beam·(k+1)
+    * skinny (query_id, cand) rows; the expansion join touches only
+    * that layer's edge table and the scoring join fetches exactly the
+    * frontier's vectors (queries broadcast). Total serve cost is
+    * levels·hopsPerLayer frontier rounds + one constant-size entry
+    * scoring — corpus-independent end to end, which the flat serve
+    * never was.
+    */
+  def knnGraphServeLayered(
+      queries: DataFrame,
+      layers: Seq[DataFrame],
+      corpus: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hopsPerLayer: Int = 2): DataFrame = {
+    require(layers.nonEmpty, "need at least one layer graph (the base layer)")
+    require(k > 0 && beam >= k, s"need beam >= k > 0, got beam=$beam k=$k")
+    require(hopsPerLayer > 0, s"hopsPerLayer must be positive, got $hopsPerLayer")
+    val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm")).persist()
+    val q = queries.select(col("id").as("query_id"), col("vec").as("q_vec"),
+      norm(col("vec")).as("q_norm"))
+    def score(cand: DataFrame): DataFrame =
+      cand
+        .join(vecs.select(col("id").as("cand"), col("vec").as("c_vec"),
+          col("nrm").as("c_norm")), Seq("cand"))
+        .join(broadcast(q), Seq("query_id"))
+        .select(col("query_id"), col("cand"),
+          round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
+            col("q_norm"), col("c_norm")), 6).as("cos"))
+    def cut(scored: DataFrame, keep: Int): DataFrame = scored
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
+      .where(col("__rk") <= keep).drop("__rk")
+    // entries = every node of the coarsest layer (its graph's distinct
+    // node set — constant-size by construction); broadcast into the
+    // per-query fan-out
+    val entries = layers.head.select(col("node_id").as("cand")).distinct()
+    var beamDf = cut(score(
+      q.select("query_id").crossJoin(broadcast(entries))), beam).localCheckpoint()
+    layers.foreach { g =>
+      val edges = g.select(col("node_id"), col("neighbor_id").as("cand"))
+      var h = 0
+      while (h < hopsPerLayer) {
+        val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
+          .join(edges, Seq("node_id"))
+          .select("query_id", "cand")
+        // same lineage-truncation rationale as the flat serve: each
+        // round references the beam twice, so checkpoint the skinny
+        // frontier per round
+        beamDf = cut(score(
+          beamDf.select("query_id", "cand").union(expand).distinct()), beam)
+          .localCheckpoint()
+        h += 1
+      }
+    }
+    val res = beamDf.where(col("cand") =!= col("query_id"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
+      .where(col("__rk") <= k)
+      .select(col("query_id"), col("cand").as("neighbor_id"), col("cos"))
+    vecs.unpersist()
+    res
+  }
 }

@@ -174,6 +174,79 @@ class KnnGraphSpec extends SparkTestBase {
     }
   }
 
+  test("knnLayerMemberFilter: layers nest and thin geometrically") {
+    import spark.implicits._
+    val ids = (0L until 4000L).toDF("id")
+    val l1 = ids.where(Similarity.knnLayerMemberFilter(col("id"), 1, 8))
+      .as[Long].collect().toSet
+    val l2 = ids.where(Similarity.knnLayerMemberFilter(col("id"), 2, 8))
+      .as[Long].collect().toSet
+    assert(l2.subsetOf(l1), "layer 2 must nest inside layer 1")
+    // hash-uniform thinning: ~N/8 and ~N/64 with generous slack
+    assert(l1.size > 4000 / 16 && l1.size < 4000 / 4, s"layer-1 size ${l1.size}")
+    assert(l2.size > 4000 / 256 && l2.size < 4000 / 16, s"layer-2 size ${l2.size}")
+    // level 0 is everything
+    assert(ids.where(Similarity.knnLayerMemberFilter(col("id"), 0, 8)).count() == 4000)
+  }
+
+  test("knnGraphBuildLayers: top-first, nodes nested, base layer is the flat build") {
+    val corpus = clustered(80)
+    val layers = Similarity.knnGraphBuildLayers(corpus, k = 3, levels = 1,
+      layerFactor = 4, rounds = 2, revCap = 8, lshBits = 2, lshTables = 2)
+    assert(layers.length == 2)
+    val topNodes = layers.head.select("node_id").distinct().collect().map(_.getLong(0)).toSet
+    val baseNodes = layers(1).select("node_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(topNodes.subsetOf(baseNodes), "top-layer nodes must exist in the base layer")
+    assert(topNodes.size < baseNodes.size, "top layer must be a strict subsample")
+    val flat = Similarity.knnGraphBuild(corpus, k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2)
+    assert(layers(1).orderBy("node_id", "nb_rank").collect().toSeq ==
+      flat.orderBy("node_id", "nb_rank").collect().toSeq,
+      "base layer must equal the flat build")
+  }
+
+  test("knnGraphServeLayered: in-cluster neighbors, no self, deterministic under repartition") {
+    import spark.implicits._
+    val corpus = clustered(60)
+    val layers = Similarity.knnGraphBuildLayers(corpus, k = 3, levels = 1,
+      layerFactor = 4, rounds = 2, revCap = 12, lshBits = 2, lshTables = 2)
+    val res = Similarity.knnGraphServeLayered(
+      corpus.where(col("id") < 4), layers, corpus, k = 3, beam = 6, hopsPerLayer = 2)
+    val rows = res.select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.length == 4 * 3)
+    assert(rows.forall { case (q, n) => q != n }, "layered serve returned a self-match")
+    assert(rows.forall { case (q, n) => q % 2 == n % 2 },
+      s"cross-cluster neighbor served: ${rows.mkString(",")}")
+    val again = Similarity.knnGraphServeLayered(
+      corpus.repartition(7).where(col("id") < 4), layers, corpus.repartition(5),
+      k = 3, beam = 6, hopsPerLayer = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(rows.sorted.toSeq == again.sorted.toSeq,
+      "layered serve not partitioning-invariant")
+  }
+
+  test("knnGraphServeLayered recall matches brute truth on a gaussian corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23L)
+    val corpus = (0 until 200)
+      .map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    // isotropic 8-dim gaussians are the graph family's WORST case
+    // (no cluster structure for the beam to exploit), so the sanity
+    // bound runs with a production-ish beam/hop budget
+    val layers = Similarity.knnGraphBuildLayers(corpus, k = 4, levels = 1,
+      layerFactor = 8, rounds = 3, revCap = 16, lshBits = 3, lshTables = 2)
+    val queries = corpus.where(col("id") % 10 === 0)
+    val truth = Similarity.bruteForceTopK(queries, corpus, k = 4)
+    val served = Similarity.knnGraphServeLayered(
+      queries, layers, corpus, k = 4, beam = 16, hopsPerLayer = 3)
+    val rec = Similarity.topKRecall(truth,
+        served.select(col("query_id"), col("neighbor_id")))
+      .agg(sum("n_hit"), sum("n_truth")).as[(Long, Long)].collect()(0)
+    assert(rec._1.toDouble / rec._2 >= 0.8,
+      s"layered serve recall ${rec._1}/${rec._2} below 0.8")
+  }
+
   test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
     import spark.implicits._
     val corpus = clustered(60)
