@@ -2185,6 +2185,118 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** The PERSISTED graph index behind q273 — the graph family's
+    * storage leg, so a serving fleet reads the graph from disk
+    * instead of depending on one session's memoized DataFrame.
+    * Written once per (session, sf dir) to a JVM-unique temp path
+    * (removed by the ckpt shutdown hook) and priced in
+    * [[buildCaches]].
+    */
+  @transient private var knnGraphStoreCache:
+    (SparkSession, String, graft.operators.Similarity.KnnGraphIndex) = null
+
+  private def knnGraphStored(
+      s: SparkSession, dir: String): graft.operators.Similarity.KnnGraphIndex =
+    synchronized {
+      if (knnGraphStoreCache != null && (knnGraphStoreCache._1 eq s)
+          && knnGraphStoreCache._2 == dir) knnGraphStoreCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_knn_graph_idx",
+          s"${digest}_${ProcessHandle.current().pid()}").toString
+        val idx = graft.operators.Similarity.knnGraphWritePartitioned(
+          s, knnGraph(s, dir), e, path, parts = 8, k = 8,
+          lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        knnGraphStoreCache = (s, dir, idx)
+        idx
+      }
+    }
+
+  /** Graph-based ANN, stored-serve leg (q273): beam search over the
+    * PERSISTED edge table — serving from storage must equal serving
+    * the in-memory graph, so this is q263's serve (same queries,
+    * entries, beam, hops) over [[knnGraphStored]]'s read-back and
+    * shares q263's oracle verbatim.
+    */
+  private def qKnnGraphStored(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.operators.Similarity.knnGraphServe(
+      e.where(col("id") < 5),
+      graft.operators.Similarity.knnGraphReadEdges(s, knnGraphStored(s, dir)), e,
+      k = 5, beam = 8, hops = 2, entryStride = 61L)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Graph-based ANN, storage-append leg (q275 — the graph family's
+    * q241): a fresh persisted index over the 80% "old" corpus takes
+    * the 20% arrivals through [[graft.operators.Similarity
+    * .knnGraphAppendPartitioned]] — batch-signed against the STORED
+    * anchor table (never a corpus re-sign), touched-partition-only
+    * rewrite — and the read-back equals the in-memory append (q268's
+    * oracle verbatim). Storage mutates per invocation, so the index
+    * is rebuilt each call into a JVM-unique staging dir (q254's
+    * ingest-floor pattern) and dropped after the read.
+    */
+  private def qKnnGraphStoreAppend(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val old = e.where(pmod(col("id"), lit(5L)) =!= 4)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_knn_store_append",
+      s"${digest}_${ProcessHandle.current().pid()}").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val idx = graft.operators.Similarity.knnGraphWritePartitioned(
+      s, knnGraphOld(s, dir), old, path, parts = 8, k = 8,
+      lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+    graft.operators.Similarity.knnGraphAppendPartitioned(
+      s, idx, e, pmod(col("id"), lit(5L)) === 4)
+    val out = graft.operators.Similarity.knnGraphReadEdges(s, idx)
+      .orderBy("node_id", "nb_rank").localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    out
+  }
+
+  /** Graph-based ANN, storage-delete leg (q276 — the graph family's
+    * q253): a fresh persisted full-corpus index drops ~1/7 of its
+    * nodes through [[graft.operators.Similarity
+    * .knnGraphDeletePartitioned]] — changed-partition-only rewrite,
+    * survivor-corpus anchor recut — and the read-back equals the
+    * in-memory delete (q269's oracle verbatim). Same per-invocation
+    * staging discipline as q275.
+    */
+  private def qKnnGraphStoreDelete(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_knn_store_delete",
+      s"${digest}_${ProcessHandle.current().pid()}").toString
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    val idx = graft.operators.Similarity.knnGraphWritePartitioned(
+      s, knnGraph(s, dir), e, path, parts = 8, k = 8,
+      lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+    graft.operators.Similarity.knnGraphDeletePartitioned(
+      s, idx, e, pmod(col("id"), lit(7L)) === 3)
+    val out = graft.operators.Similarity.knnGraphReadEdges(s, idx)
+      .orderBy("node_id", "nb_rank").localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    out
+  }
+
   /** Robust per-language outlier gate on document length: exact
     * type-1 median, exact MAD, and the |v − med| > 3·MAD outlier
     * count — both medians off the two-phase histogram kernel.
@@ -4730,6 +4842,7 @@ object SparkEntry {
       "knn_graph" -> timed(knnGraph(s, dir)),
       "knn_graph_old" -> timed(knnGraphOld(s, dir)),
       "knn_graph_l1" -> timed(knnGraphL1(s, dir)),
+      "knn_graph_store" -> timed(knnGraphStored(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
@@ -4998,6 +5111,9 @@ object SparkEntry {
     "q270_stream_knn_serve" -> qStreamKnnServe _,
     "q271_knn_graph_hier" -> qKnnGraphHier _,
     "q272_knn_hier_recall" -> qKnnHierRecall _,
+    "q273_knn_graph_stored" -> qKnnGraphStored _,
+    "q275_knn_graph_store_append" -> qKnnGraphStoreAppend _,
+    "q276_knn_graph_store_delete" -> qKnnGraphStoreDelete _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9795,6 +9911,16 @@ object SparkEntry {
       // one whole-corpus micro-batch through the streaming Lloyd
       // update must equal the batch trainer's iters=2 run
       ("q266_stream_kmeans" -> base("q101_kmeans")) +
+      // serving the PERSISTED graph index must equal serving the
+      // in-memory graph
+      ("q273_knn_graph_stored" -> base("q263_knn_graph_serve")) +
+      // storage-level append (batch signed against the stored anchor
+      // table, touched-partition rewrite) must equal the in-memory
+      // append over old ∪ batch
+      ("q275_knn_graph_store_append" -> base("q268_knn_graph_append")) +
+      // storage-level delete (changed-partition rewrite, survivor
+      // anchor recut) must equal the in-memory delete
+      ("q276_knn_graph_store_delete" -> base("q269_knn_graph_delete")) +
       // the drained streaming beam serve must equal the batch graph
       // serve (micro-batch-granular foreachBatch twin)
       ("q270_stream_knn_serve" -> base("q263_knn_graph_serve"))

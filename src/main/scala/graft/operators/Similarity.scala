@@ -1362,37 +1362,62 @@ object Similarity {
       lshBits: Int,
       lshTables: Int,
       anchorsPerBucket: Int): DataFrame = {
+    val sig = knnLshSignatures(corpus, lshBits, lshTables)
+    val anchors = knnLshAnchorsOf(sig, anchorsPerBucket)
+    sig.join(anchors.select(col("tb"), col("bkt"), col("id").as("__aid")),
+        Seq("tb", "bkt"))
+      .where(col("id") =!= col("__aid"))
+      .select(col("id").as("i"), col("__aid").as("j"))
+      .distinct()
+  }
+
+  /** The sign-bit LSH signatures behind [[knnLshSeedEdges]] — one
+    * (tb, id, bkt) row per node per hash table. Public because the
+    * batch-proportional append path signs ONLY the arriving batch and
+    * joins against a persisted anchor table instead of re-signing the
+    * corpus. Map-only, per-row deterministic (a node's signature never
+    * depends on the rest of the corpus).
+    *
+    * Bucket bit b of table t reads vec[t·bits+b], WRAPPED modulo the
+    * vector's own dimension: without the wrap, dim < lshBits·lshTables
+    * makes element_at return null, the bit silently reads 0, and the
+    * upper tables collapse into one fat near-constant bucket with no
+    * signal to the caller. Wrapped, every table reads real coordinates
+    * (upper tables re-read lower ones on short vectors — degraded
+    * diversity, never degenerate buckets). For dim >= lshBits·lshTables
+    * the wrap is the identity, so the contract fixtures (dim 64 >= 15)
+    * are byte-unchanged and the DuckDB oracles keep the plain index.
+    */
+  def knnLshSignatures(corpus: DataFrame, lshBits: Int, lshTables: Int): DataFrame = {
     require(lshBits > 0 && lshTables > 0,
       s"need positive LSH shape, got bits=$lshBits tables=$lshTables")
-    require(anchorsPerBucket > 0,
-      s"anchorsPerBucket must be positive, got $anchorsPerBucket")
-    // sign-bit bucket per hash table: bit b set iff vec[t·bits+b] >= 0.
-    // The coordinate index wraps modulo the vector's own dimension:
-    // without the wrap, dim < lshBits·lshTables makes element_at
-    // return null, the bit silently reads 0, and the upper tables
-    // collapse into one fat near-constant bucket with no signal to
-    // the caller. Wrapped, every table reads real coordinates (upper
-    // tables re-read lower ones on short vectors — degraded diversity,
-    // never degenerate buckets). For dim >= lshBits·lshTables the wrap
-    // is the identity, so the contract fixtures (dim 64 >= 15) are
-    // byte-unchanged and the DuckDB oracles keep the plain index.
-    val sig = (0 until lshTables).map { t =>
+    (0 until lshTables).map { t =>
       val bkt = (0 until lshBits).map { b =>
         val idx = pmod(lit(t * lshBits + b), size(col("vec"))) + 1
         when(element_at(col("vec"), idx) >= 0f, lit(1L << b)).otherwise(0L)
       }.reduce(_ + _)
       corpus.select(lit(t).as("tb"), col("id"), bkt.as("bkt"))
     }.reduce(_ union _)
-    val anchors = sig
+  }
+
+  /** Per-bucket anchor cut over a signature table: the first
+    * `anchorsPerBucket` members of each (tb, bkt) in Knuth-hash order
+    * — (tb, bkt, id) rows. Key algebraic property the incremental
+    * paths lean on: the cut is a per-bucket TOP-K in a total order, so
+    * anchorsOf(anchorsOf(old) ∪ newSigs) == anchorsOf(old ∪ newSigs)
+    * — a persisted anchor table (≤ tables·2^bits·anchorsPerBucket
+    * rows, model-sized) plus batch signatures reproduces the
+    * full-corpus anchors EXACTLY without touching the corpus.
+    */
+  def knnLshAnchorsOf(sig: DataFrame, anchorsPerBucket: Int): DataFrame = {
+    require(anchorsPerBucket > 0,
+      s"anchorsPerBucket must be positive, got $anchorsPerBucket")
+    sig.select(col("tb"), col("bkt"), col("id"))
       .withColumn("__h", expr("(id % 1000003L) * 2654435761L % 2147483647L"))
       .withColumn("__ar", row_number().over(
         Window.partitionBy("tb", "bkt").orderBy(col("__h"), col("id"))))
       .where(col("__ar") <= anchorsPerBucket)
-      .select(col("tb"), col("bkt"), col("id").as("__aid"))
-    sig.join(anchors, Seq("tb", "bkt"))
-      .where(col("id") =!= col("__aid"))
-      .select(col("id").as("i"), col("__aid").as("j"))
-      .distinct()
+      .select(col("tb"), col("bkt"), col("id"))
   }
 
   /** Incremental append to a [[knnGraphBuild]] graph — the lifecycle
@@ -1415,9 +1440,21 @@ object Similarity {
     *      IMPROVING (a kept edge is never displaced by a worse one).
     *
     * Deterministic end to end; the oracle (q268) replicates all four
-    * steps. Scale shape: proposals ∝ |batch|·anchors·tables·(k+1)
-    * skinny rows; the merge is one hash exchange on node id over
-    * N·k + proposal rows; vectors join only the scoring projection.
+    * steps. Scale shape (the composed index's O(batch) append,
+    * matched): with `oldAnchors` supplied (the persisted anchor table
+    * of the PRE-append corpus), only the BATCH is signed — the
+    * full-corpus anchor set is recovered exactly as
+    * anchorsOf(oldAnchors ∪ batchSigs) (see [[knnLshAnchorsOf]]'s
+    * top-k algebra) — and the top-k merge WINDOWS ONLY
+    * proposal-touched nodes: untouched graph rows pass through
+    * verbatim (their re-rank is the identity — a kept edge is never
+    * displaced except by a better proposal, so recomputing their
+    * window reproduces their stored nb_rank bit-for-bit). Proposals ∝
+    * |batch|·anchors·tables·(k+1) skinny rows; no stage touches
+    * N-sized state except the untouched rows' pass-through scan.
+    * Without `oldAnchors` the function re-signs the corpus (one
+    * map-only pass — the from-scratch fallback) and produces the SAME
+    * output.
     */
   def knnGraphAppend(
       graph: DataFrame,
@@ -1426,7 +1463,26 @@ object Similarity {
       k: Int,
       lshBits: Int = 5,
       lshTables: Int = 3,
-      anchorsPerBucket: Int = 32): DataFrame = {
+      anchorsPerBucket: Int = 32,
+      oldAnchors: Option[DataFrame] = None): DataFrame =
+    knnGraphAppendParts(graph, corpus, newFilter, k, lshBits, lshTables,
+      anchorsPerBucket, oldAnchors)._3
+
+  /** [[knnGraphAppend]]'s internals, exposing the proposal-touched
+    * node set and its merged rows alongside the full graph so the
+    * PARTITIONED append can rewrite only the storage partitions
+    * holding touched rows. Returns (touched node ids, the touched
+    * nodes' merged rows, the full merged graph).
+    */
+  private[graft] def knnGraphAppendParts(
+      graph: DataFrame,
+      corpus: DataFrame,
+      newFilter: Column,
+      k: Int,
+      lshBits: Int = 5,
+      lshTables: Int = 3,
+      anchorsPerBucket: Int = 32,
+      oldAnchors: Option[DataFrame] = None): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0, s"k must be positive, got $k")
     // no persist: the returned plan is lazy and nothing inside this
     // function runs an action, so a persist/unpersist pair here never
@@ -1434,9 +1490,22 @@ object Similarity {
     // pruned) corpus projection instead, which is the cheaper honest
     // plan
     val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
-    val seed = knnLshSeedEdges(corpus, lshBits, lshTables, anchorsPerBucket)
-    val newNodes = corpus.where(newFilter).select(col("id").as("i"))
-    val newSeed = seed.join(newNodes, Seq("i"))
+    val newSig = knnLshSignatures(corpus.where(newFilter), lshBits, lshTables)
+    val anchors = oldAnchors match {
+      case Some(a) =>
+        knnLshAnchorsOf(
+          a.select(col("tb"), col("bkt"), col("id"))
+            .union(newSig.select(col("tb"), col("bkt"), col("id"))),
+          anchorsPerBucket)
+      case None =>
+        knnLshAnchorsOf(knnLshSignatures(corpus, lshBits, lshTables), anchorsPerBucket)
+    }
+    val newSeed = newSig
+      .join(anchors.select(col("tb"), col("bkt"), col("id").as("__aid")),
+        Seq("tb", "bkt"))
+      .where(col("id") =!= col("__aid"))
+      .select(col("id").as("i"), col("__aid").as("j"))
+      .distinct()
     val expand = newSeed.select(col("i"), col("j").as("node_id"))
       .join(graph.select(col("node_id"), col("neighbor_id").as("j")), Seq("node_id"))
       .select("i", "j")
@@ -1447,18 +1516,30 @@ object Similarity {
       .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
       .select(col("i"), col("j"),
         round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
-    val merged = graph
-      .select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"))
-      .union(scored.select(col("j").as("i"), col("i").as("j"), col("cos")))
+    val proposals = scored.select(col("j").as("i"), col("i").as("j"), col("cos"))
       .union(scored)
+    val touched = proposals.select(col("i")).distinct()
+    val graphEdges = graph
+      .select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"),
+        col("nb_rank"))
+    // untouched nodes: stored rows pass through verbatim (ranks are
+    // already 1..min(k, deg) in stored order — the re-rank identity)
+    val untouched = graphEdges
+      .join(touched, Seq("i"), "left_anti")
+      .where(col("nb_rank") <= k)
+      .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
+        col("j").as("neighbor_id"), col("cos"))
+    val touchedMerged = graphEdges.select("i", "j", "cos")
+      .join(touched, Seq("i"), "left_semi")
+      .union(proposals)
       .distinct()
-    val out = merged
       .withColumn("nb_rank", row_number().over(
         Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    out
+    (touched.select(col("i").as("node_id")), touchedMerged,
+      untouched.union(touchedMerged))
   }
 
   /** Delete leg for the k-NN graph — completes the lifecycle
@@ -1473,24 +1554,42 @@ object Similarity {
     *
     * Scale shape: the tombstone set broadcasts into two anti-joins;
     * the backfill round is the build round's plan restricted to
-    * |affected| nodes — candidates ∝ affected·revCap², never N.
+    * |affected| nodes — candidates ∝ affected·revCap², never N — and
+    * the top-k merge WINDOWS ONLY the affected nodes: unaffected
+    * survivors kept all their rows, so their re-rank is the identity
+    * and they pass through verbatim with their stored nb_rank.
     */
   def knnGraphDelete(
       graph: DataFrame,
       corpus: DataFrame,
       deleteFilter: Column,
       k: Int,
-      revCap: Int = 32): DataFrame = {
+      revCap: Int = 32): DataFrame =
+    knnGraphDeleteParts(graph, corpus, deleteFilter, k, revCap)._3
+
+  /** [[knnGraphDelete]]'s internals, exposing the set of nodes whose
+    * rows can change (tombstoned owners ∪ backfill-affected survivors)
+    * so the PARTITIONED delete can rewrite only the storage partitions
+    * holding them. Returns (changed node ids, the affected survivors'
+    * re-ranked rows, the full surviving graph).
+    */
+  private[graft] def knnGraphDeleteParts(
+      graph: DataFrame,
+      corpus: DataFrame,
+      deleteFilter: Column,
+      k: Int,
+      revCap: Int = 32): (DataFrame, DataFrame, DataFrame) = {
     require(k > 0, s"k must be positive, got $k")
     // lazy plan, no action inside — see knnGraphAppend's note on why a
     // persist/unpersist pair here would never materialize
     val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     val del = corpus.where(deleteFilter).select(col("id"))
-    val g = graph.select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"))
+    val g = graph.select(col("node_id").as("i"), col("neighbor_id").as("j"),
+      col("cos"), col("nb_rank"))
     val kept = g
       .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
       .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_anti")
-      .select("i", "j", "cos")
+      .select("i", "j", "cos", "nb_rank")
     val affected = g
       .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_semi")
       .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
@@ -1507,13 +1606,25 @@ object Similarity {
       .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
       .select(col("i"), col("j"),
         round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
-    val out = kept.union(scored).distinct()
+    // unaffected survivors kept every row — identity re-rank, pass
+    // through with the stored ranks
+    val unaffected = kept
+      .join(affected, Seq("i"), "left_anti")
+      .where(col("nb_rank") <= k)
+      .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
+        col("j").as("neighbor_id"), col("cos"))
+    val affectedOut = kept.select("i", "j", "cos")
+      .join(affected, Seq("i"), "left_semi")
+      .union(scored)
+      .distinct()
       .withColumn("nb_rank", row_number().over(
         Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    out
+    val changed = affected.select(col("i").as("node_id"))
+      .union(del.select(col("id").as("node_id"))).distinct()
+    (changed, affectedOut, unaffected.union(affectedOut))
   }
 
   /** Beam-search serve over a [[knnGraphBuild]] graph: each query
@@ -1701,5 +1812,238 @@ object Similarity {
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos"))
     vecs.unpersist()
     res
+  }
+
+  /** A PERSISTED k-NN graph index — the graph family's counterpart of
+    * the composed [[IvfPqIndex]]'s storage leg, so a serving fleet can
+    * read the graph instead of depending on one session's memoized
+    * DataFrame. Layout under `path`:
+    *
+    *   edges/part=P/…   — the edge table, hash-partitioned by
+    *                      pmod(node_id, parts) and sorted within
+    *                      partitions by (node_id, nb_rank) so every
+    *                      rewrite is deterministic and untouched
+    *                      partitions stay byte-identical across
+    *                      append/delete (spec-pinned);
+    *   anchors/…        — the LSH anchor table (tb, bkt, id), the
+    *                      model-sized seed source that makes
+    *                      [[knnGraphAppendPartitioned]] O(batch)
+    *                      (see [[knnLshAnchorsOf]]'s top-k algebra).
+    *
+    * `k`/`lshBits`/`lshTables`/`anchorsPerBucket` ride in the handle
+    * so the lifecycle legs replay the build's exact shape.
+    */
+  final case class KnnGraphIndex(
+      path: String,
+      parts: Int,
+      k: Int,
+      lshBits: Int,
+      lshTables: Int,
+      anchorsPerBucket: Int) {
+    def edgesPath: String = s"$path/edges"
+    def anchorsPath: String = s"$path/anchors"
+  }
+
+  /** Write a [[knnGraphBuild]] graph (plus its corpus's anchor table)
+    * as a persisted [[KnnGraphIndex]]. The whole index is STAGED to a
+    * sibling temp directory and swapped in with one rename
+    * ([[ivfPqCompact]]'s discipline) — a failure before the swap
+    * leaves any previous index untouched. One file per edge partition
+    * (`repartition(part)`), rows sorted by (node_id, nb_rank) inside
+    * it, so the same logical graph always produces the same bytes.
+    */
+  def knnGraphWritePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      graph: DataFrame,
+      corpus: DataFrame,
+      path: String,
+      parts: Int = 8,
+      k: Int = 8,
+      lshBits: Int = 5,
+      lshTables: Int = 3,
+      anchorsPerBucket: Int = 32): KnnGraphIndex = {
+    require(parts > 0, s"parts must be positive, got $parts")
+    val idx = KnnGraphIndex(path, parts, k, lshBits, lshTables, anchorsPerBucket)
+    val tmp = path + ".build.tmp"
+    graph.select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+      .withColumn("part", pmod(col("node_id"), lit(parts.toLong)))
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "node_id", "nb_rank")
+      .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+    knnLshAnchorsOf(knnLshSignatures(corpus, lshBits, lshTables), anchorsPerBucket)
+      .orderBy("tb", "bkt", "id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/anchors")
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    if (!fs.rename(hTmp, hPath))
+      throw new java.io.IOException(
+        s"knnGraphWritePartitioned: failed to swap $hTmp into $path")
+    idx
+  }
+
+  /** The stored edge table of a [[KnnGraphIndex]], in
+    * [[knnGraphBuild]]'s schema (the `part` column dropped) — ready
+    * for [[knnGraphServe]]/[[knnGraphServeLayered]]; serving from
+    * storage equals serving the in-memory graph (q273 pins it with
+    * q263's oracle verbatim).
+    */
+  def knnGraphReadEdges(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): DataFrame =
+    spark.read.parquet(index.edgesPath)
+      .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+
+  /** Append a batch of new vectors to a PERSISTED [[KnnGraphIndex]] —
+    * the graph family's [[ivfPqAppend]]: the batch is signed map-only
+    * and seeded against the STORED anchor table (never a corpus
+    * re-sign — [[knnLshAnchorsOf]]'s top-k algebra recovers the
+    * full-corpus anchors from anchors ∪ batch signatures exactly),
+    * proposals expand one hop through the stored graph, and ONLY the
+    * edge partitions holding proposal-touched or arriving nodes are
+    * rewritten, via the staged sibling-temp write + per-partition
+    * rename swap ([[ivfPqDelete]]'s discipline). Untouched partitions
+    * stay byte-identical (spec-pinned). The anchor table is replaced
+    * by the merged cut (staged the same way). The affected-partition
+    * set is a touched-bounded driver collect of ≤ `parts` longs.
+    *
+    * The resulting stored graph equals the in-memory
+    * [[knnGraphAppend]] over old ∪ batch (q275 pins it with q268's
+    * oracle verbatim).
+    */
+  def knnGraphAppendPartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      corpus: DataFrame,
+      newFilter: Column): KnnGraphIndex = {
+    val oldAnchors = spark.read.parquet(index.anchorsPath)
+    val stored = knnGraphReadEdges(spark, index)
+    val (touched, touchedRows, _) = knnGraphAppendParts(
+      stored, corpus, newFilter, index.k, index.lshBits, index.lshTables,
+      index.anchorsPerBucket, Some(oldAnchors))
+    val affectedParts = touched
+      .select(pmod(col("node_id"), lit(index.parts.toLong)).as("part"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affectedParts.nonEmpty) {
+      // rows the affected partitions must hold after the append: the
+      // touched nodes' merged rows plus the partitions' untouched rows
+      // (partition-pruned scan; anti-join against the touched set)
+      val storedAff = spark.read.parquet(index.edgesPath)
+        .where(col("part").isin(affectedParts: _*))
+        .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+      val untouchedAff = storedAff
+        .join(touched, Seq("node_id"), "left_anti")
+        .where(col("nb_rank") <= index.k)
+      val outRows = untouchedAff.union(touchedRows)
+        .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+      val tmp = index.path + ".append.tmp"
+      outRows
+        .repartition(col("part"))
+        .sortWithinPartitions("part", "node_id", "nb_rank")
+        .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+      // merged anchors (exact full-corpus cut) staged beside the edges
+      val newSig = knnLshSignatures(
+        corpus.where(newFilter), index.lshBits, index.lshTables)
+      knnLshAnchorsOf(
+          oldAnchors.select(col("tb"), col("bkt"), col("id"))
+            .union(newSig.select(col("tb"), col("bkt"), col("id"))),
+          index.anchorsPerBucket)
+        .orderBy("tb", "bkt", "id")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/anchors")
+      val fs = new org.apache.hadoop.fs.Path(index.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affectedParts.foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(index.edgesPath, s"part=$p")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/edges", s"part=$p")
+        fs.delete(dst, true)
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"knnGraphAppendPartitioned: failed to swap $src into $dst")
+      }
+      val anchorsDst = new org.apache.hadoop.fs.Path(index.anchorsPath)
+      val anchorsSrc = new org.apache.hadoop.fs.Path(s"$tmp/anchors")
+      fs.delete(anchorsDst, true)
+      if (!fs.rename(anchorsSrc, anchorsDst))
+        throw new java.io.IOException(
+          s"knnGraphAppendPartitioned: failed to swap $anchorsSrc into $anchorsDst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    index
+  }
+
+  /** Delete a batch of nodes from a PERSISTED [[KnnGraphIndex]] — the
+    * graph family's [[ivfPqDelete]]: tombstoned owners' rows and every
+    * edge into them drop, backfill runs restricted to the affected
+    * survivors ([[knnGraphDelete]]'s exact semantics), and ONLY the
+    * edge partitions holding changed nodes (tombstoned ∪ affected) are
+    * rewritten via the staged sibling-temp + per-partition rename
+    * swap; untouched partitions stay byte-identical (spec-pinned). A
+    * partition fully emptied by the delete has its directory removed.
+    *
+    * The anchor table is rebuilt from the SURVIVOR corpus (one
+    * map-only signature pass — a tombstoned anchor cannot simply be
+    * dropped from the stored cut, because the next-ranked bucket
+    * members it was masking are not in the table; exactness of the
+    * append algebra requires the full recut).
+    *
+    * The resulting stored graph equals the in-memory
+    * [[knnGraphDelete]] (q276 pins it with q269's oracle verbatim).
+    */
+  def knnGraphDeletePartitioned(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      corpus: DataFrame,
+      deleteFilter: Column): KnnGraphIndex = {
+    val stored = knnGraphReadEdges(spark, index)
+    val (changed, affectedRows, _) = knnGraphDeleteParts(
+      stored, corpus, deleteFilter, index.k)
+    val affectedParts = changed
+      .select(pmod(col("node_id"), lit(index.parts.toLong)).as("part"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (affectedParts.nonEmpty) {
+      val storedAff = spark.read.parquet(index.edgesPath)
+        .where(col("part").isin(affectedParts: _*))
+        .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+      val unaffectedAff = storedAff
+        .join(changed, Seq("node_id"), "left_anti")
+        .where(col("nb_rank") <= index.k)
+      val outRows = unaffectedAff.union(affectedRows)
+        .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+      val tmp = index.path + ".delete.tmp"
+      outRows
+        .repartition(col("part"))
+        .sortWithinPartitions("part", "node_id", "nb_rank")
+        .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+      knnLshAnchorsOf(
+          knnLshSignatures(corpus.where(!deleteFilter), index.lshBits,
+            index.lshTables),
+          index.anchorsPerBucket)
+        .orderBy("tb", "bkt", "id")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/anchors")
+      val fs = new org.apache.hadoop.fs.Path(index.path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affectedParts.foreach { p =>
+        val dst = new org.apache.hadoop.fs.Path(index.edgesPath, s"part=$p")
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/edges", s"part=$p")
+        fs.delete(dst, true)
+        // a partition whose every row was deleted has no staged dir —
+        // the delete above already removed it from the live index
+        if (fs.exists(src) && !fs.rename(src, dst))
+          throw new java.io.IOException(
+            s"knnGraphDeletePartitioned: failed to swap $src into $dst")
+      }
+      val anchorsDst = new org.apache.hadoop.fs.Path(index.anchorsPath)
+      val anchorsSrc = new org.apache.hadoop.fs.Path(s"$tmp/anchors")
+      fs.delete(anchorsDst, true)
+      if (!fs.rename(anchorsSrc, anchorsDst))
+        throw new java.io.IOException(
+          s"knnGraphDeletePartitioned: failed to swap $anchorsSrc into $anchorsDst")
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    index
   }
 }

@@ -1,0 +1,165 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkTestBase
+
+/** The PERSISTED k-NN graph index (q273/q275/q276): write/read
+  * roundtrip, batch-proportional append against the stored anchor
+  * table, partition-scoped delete — with the same storage-discipline
+  * pins as the composed IVF×PQ family (untouched partitions
+  * byte-identical, staged rewrites, exact equality with the in-memory
+  * lifecycle ops).
+  */
+class KnnGraphStoreSpec extends SparkTestBase {
+
+  private def gaussians(n: Int, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    (0 until n).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+  }
+
+  private def graphRows(df: org.apache.spark.sql.DataFrame) =
+    df.select("node_id", "nb_rank", "neighbor_id", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  private def edgeFiles(idx: Similarity.KnnGraphIndex): Map[String, (Long, Long)] = {
+    val root = new java.io.File(idx.edgesPath)
+    root.listFiles().filter(_.getName.startsWith("part="))
+      .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (d.getName + "/" + f.getName) -> (f.length(), f.lastModified())))
+      .toMap
+  }
+
+  test("knnGraphWritePartitioned/ReadEdges roundtrip: stored graph equals the built graph") {
+    val corpus = gaussians(80, 31L)
+    val g = Similarity.knnGraphBuild(corpus, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, corpus, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == graphRows(g))
+    // one file per partition (deterministic bytes), anchors present
+    val perPart = edgeFiles(idx).keys.groupBy(_.split("/")(0)).view.mapValues(_.size)
+    assert(perPart.values.forall(_ == 1), s"one file per partition expected: $perPart")
+    val anch = spark.read.parquet(idx.anchorsPath)
+    assert(anch.columns.toSeq == Seq("tb", "bkt", "id") && anch.count() > 0)
+  }
+
+  test("anchor top-k algebra: stored-cut ∪ batch signatures reproduces full-corpus anchors") {
+    val all = gaussians(120, 37L)
+    val old = all.where(col("id") % 5 =!= 4)
+    val oldAnch = Similarity.knnLshAnchorsOf(
+      Similarity.knnLshSignatures(old, 3, 2), 6)
+    val newSig = Similarity.knnLshSignatures(all.where(col("id") % 5 === 4), 3, 2)
+    val merged = Similarity.knnLshAnchorsOf(
+      oldAnch.select(col("tb"), col("bkt"), col("id"))
+        .union(newSig.select(col("tb"), col("bkt"), col("id"))), 6)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    val full = Similarity.knnLshAnchorsOf(
+      Similarity.knnLshSignatures(all, 3, 2), 6)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(merged == full, "merged anchor cut must equal the full-corpus cut")
+  }
+
+  test("knnGraphAppendPartitioned: equals in-memory append; untouched partitions byte-identical") {
+    val all = gaussians(100, 41L)
+    val old = all.where(col("id") % 5 =!= 4)
+    val g0 = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_app").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g0, old, dir,
+      parts = 8, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    val before = edgeFiles(idx)
+    // in-memory reference over the SAME stored base graph
+    val expect = graphRows(Similarity.knnGraphAppend(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 5 === 4,
+      k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12))
+    val (touched, _, _) = Similarity.knnGraphAppendParts(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 5 === 4,
+      k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12,
+      oldAnchors = Some(spark.read.parquet(idx.anchorsPath)))
+    val touchedParts = touched.select(pmod(col("node_id"), lit(8L)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 5 === 4)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expect,
+      "stored append must equal the in-memory append")
+    val after = edgeFiles(idx)
+    val untouchedBefore = before.filterNot { case (kk, _) =>
+      touchedParts.exists(p => kk.startsWith(s"part=$p/")) }
+    val untouchedAfter = after.filterNot { case (kk, _) =>
+      touchedParts.exists(p => kk.startsWith(s"part=$p/")) }
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions must stay byte-identical:\n$untouchedBefore\nvs\n$untouchedAfter")
+    // anchors advanced to the full-corpus cut
+    val storedAnch = spark.read.parquet(idx.anchorsPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val fullAnch = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all, 2, 2), 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storedAnch == fullAnch, "stored anchors must equal the full-corpus cut")
+  }
+
+  test("append merge windows only touched nodes: untouched rows ride a window-free branch") {
+    val all = gaussians(100, 43L)
+    val old = all.where(col("id") % 5 =!= 4)
+    val g0 = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val oldAnch = Similarity.knnLshAnchorsOf(
+      Similarity.knnLshSignatures(old, 2, 2), 12)
+    val (_, touchedRows, allRows) = Similarity.knnGraphAppendParts(
+      g0, all, col("id") % 5 === 4, k = 4, lshBits = 2, lshTables = 2,
+      anchorsPerBucket = 12, oldAnchors = Some(oldAnch))
+    // the touched branch's plan re-ranks behind a LeftSemi restriction
+    val touchedPlan = touchedRows.queryExecution.optimizedPlan.toString
+    assert(touchedPlan.contains("Window") && touchedPlan.contains("LeftSemi"),
+      s"touched branch must window behind a semi-join:\n$touchedPlan")
+    // the full output has exactly ONE Window over graph rows (the
+    // touched branch) — the untouched passthrough contributes none,
+    // so the merge's window input is touched-sized, not N·k
+    val full = allRows.queryExecution.optimizedPlan.toString
+    assert(full.contains("LeftAnti"),
+      s"untouched rows must pass through behind an anti-join:\n$full")
+    // exactly one RANK window (the touched branch's nb_rank re-rank);
+    // anchor-cut windows (__ar) and plan-duplicated subtrees don't
+    // count — the pin is that no branch re-ranks the full N·k graph
+    val rankWindows = full.linesIterator
+      .count(l => l.contains("Window [") && l.contains("AS nb_rank"))
+    assert(rankWindows == 1,
+      s"expected exactly one nb_rank Window (the touched branch), got $rankWindows:\n$full")
+  }
+
+  test("knnGraphDeletePartitioned: equals in-memory delete; untouched partitions byte-identical") {
+    val all = gaussians(100, 47L)
+    val g0 = Similarity.knnGraphBuild(all, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_del").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g0, all, dir,
+      parts = 8, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    val before = edgeFiles(idx)
+    val expect = graphRows(Similarity.knnGraphDelete(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 7 === 3, k = 4))
+    val (changed, _, _) = Similarity.knnGraphDeleteParts(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 7 === 3, k = 4)
+    val changedParts = changed.select(pmod(col("node_id"), lit(8L)))
+      .distinct().collect().map(_.getLong(0)).toSet
+    Similarity.knnGraphDeletePartitioned(spark, idx, all, col("id") % 7 === 3)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expect,
+      "stored delete must equal the in-memory delete")
+    val after = edgeFiles(idx)
+    val untouchedBefore = before.filterNot { case (kk, _) =>
+      changedParts.exists(p => kk.startsWith(s"part=$p/")) }
+    val untouchedAfter = after.filterNot { case (kk, _) =>
+      changedParts.exists(p => kk.startsWith(s"part=$p/")) }
+    assert(untouchedBefore == untouchedAfter,
+      s"untouched partitions must stay byte-identical:\n$untouchedBefore\nvs\n$untouchedAfter")
+    // anchors recut over survivors only
+    val storedAnch = spark.read.parquet(idx.anchorsPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val survAnch = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all.where(col("id") % 7 =!= 3), 2, 2), 12)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storedAnch == survAnch, "anchors must be recut over the survivor corpus")
+  }
+}
