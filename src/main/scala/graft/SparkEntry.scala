@@ -3692,6 +3692,47 @@ object SparkEntry {
       nBuckets = 256, scale = 10000L, selectN = 100)
       .orderBy("doc_id")
 
+  /** Streaming DSIR twin (q274): the 256-bucket hashed-bigram ratio
+    * model trains ONCE on the batch-read documents table (frozen —
+    * the production shape where a reference sample prices the model
+    * and arriving crawl shards score against it), then the documents
+    * arrive as a file stream and each micro-batch scores map-only
+    * against the broadcast model via foreachBatch into a JVM-unique
+    * staging dir. The drained weights plus the global post-drain
+    * resample cut equal the batch q265 verbatim (its oracle shared).
+    */
+  private def qStreamDsir(s0: SparkSession, dir: String): DataFrame = {
+    val ratio = graft.operators.Sampling.hashedBigramRatio(
+      s0.read.parquet(s"$dir/documents.parquet"),
+      col("text"), col("lang") === "en", nBuckets = 256, scale = 10000L)
+      .localCheckpoint() // freeze the model: the stream side must not
+                         // re-derive it per batch
+    val s = streamSession(s0)
+    val d0 = s.read.parquet(s"$dir/documents.parquet")
+    val stream = s.readStream.schema(d0.schema)
+      .parquet(streamDir(dir, "documents"))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_stream_dsir",
+      s"${digest}_${ProcessHandle.current().pid()}").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val q = graft.streaming.StreamingOps.streamingDsirScore(
+      stream, col("doc_id"), col("text"), ratio, nBuckets = 256,
+      sink = batchOut => batchOut.write.mode("append").parquet(out))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = s0.read.parquet(out).localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    // the global resample cut is a post-drain batch step by design
+    // (production re-cuts per release over the accumulated weights)
+    graft.operators.Sampling.dsirSelect(drained, selectN = 100)
+      .orderBy("doc_id")
+  }
+
   /** WARC archive roundtrip: write the corpus as a 4-file
     * length-delimited crawl archive, re-READ the files, and certify
     * per-shard counts, char sums, id ranges, and a content hash
@@ -5112,6 +5153,7 @@ object SparkEntry {
     "q271_knn_graph_hier" -> qKnnGraphHier _,
     "q272_knn_hier_recall" -> qKnnHierRecall _,
     "q273_knn_graph_stored" -> qKnnGraphStored _,
+    "q274_stream_dsir" -> qStreamDsir _,
     "q275_knn_graph_store_append" -> qKnnGraphStoreAppend _,
     "q276_knn_graph_store_delete" -> qKnnGraphStoreDelete _,
     "q249_schema_drift" -> qSchemaDrift _,
@@ -9914,6 +9956,9 @@ object SparkEntry {
       // serving the PERSISTED graph index must equal serving the
       // in-memory graph
       ("q273_knn_graph_stored" -> base("q263_knn_graph_serve")) +
+      // the drained streaming DSIR scores + post-drain resample cut
+      // must equal the batch hashed importance weights
+      ("q274_stream_dsir" -> base("q265_dsir_hashed")) +
       // storage-level append (batch signed against the stored anchor
       // table, touched-partition rewrite) must equal the in-memory
       // append over old ∪ batch

@@ -313,17 +313,27 @@ object Sampling {
       nBuckets: Int = 256,
       scale: Long = 10000L,
       selectN: Int = 100): DataFrame = {
+    val ratio = hashedBigramRatio(df, text, isTarget, nBuckets, scale)
+    val scored = dsirScoreAgainst(df, id, text, ratio, nBuckets)
+    dsirSelect(scored, selectN)
+  }
+
+  /** The frozen nBuckets-row hashed-bigram ratio model behind
+    * [[hashedImportanceWeights]], exposed so the STREAMING twin can
+    * train once on a reference corpus and score arriving batches
+    * against the broadcast model (q274) — exactly the production
+    * deployment the batch docstring describes. (bkt, r) rows.
+    */
+  def hashedBigramRatio(
+      df: DataFrame,
+      text: Column,
+      isTarget: Column,
+      nBuckets: Int = 256,
+      scale: Long = 10000L): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(scale > 0, s"scale must be positive, got $scale")
-    require(selectN > 0, s"selectN must be positive, got $selectN")
-    val bigrams = graft.functions.TextOps.adjacentPairs(TextAnalysis.tokens(lower(text)))
-    val feats = df.select(id.cast("long").as("doc_id"), isTarget.as("__iw_t"),
-        explode_outer(bigrams).as("bg"))
-      .withColumn("bkt",
-        when(col("bg").isNotNull,
-          pmod(graft.functions.TextOps.rollingHash64(col("bg")), lit(nBuckets.toLong)))
-          .otherwise(lit(null).cast("long")))
-    val model = feats.where(col("bkt").isNotNull)
+    val model = hashedBigramFeats(df, lit(0L), text, isTarget, nBuckets)
+      .where(col("bkt").isNotNull)
       .groupBy("bkt")
       .agg(count(lit(1)).as("src_c"),
         sum(when(col("__iw_t"), 1L).otherwise(0L)).as("tgt_c"))
@@ -333,23 +343,60 @@ object Sampling {
     // in DECIMAL(38,0) (exact to ~1e17 bigrams — beyond any real
     // corpus; the DuckDB oracle mirrors with HUGEINT) and only the
     // small quotient comes back as a long
-    val ratio = model.crossJoin(broadcast(totals))
+    model.crossJoin(broadcast(totals))
       .select(col("bkt"),
         expr(s"""(CAST(tgt_c + 1L AS DECIMAL(38,0)) * src_total * ${scale}L) div
             (CAST(src_c + 1L AS DECIMAL(38,0)) * tgt_total)""").as("r"))
-    val scored = feats
+  }
+
+  /** Score documents against a frozen [[hashedBigramRatio]] model —
+    * map-only bigram hashing, broadcast ratio join, per-doc partial
+    * aggregation; (doc_id, n_feats, importance_sum, importance_mean)
+    * rows. Per-row deterministic given the model, so scoring a corpus
+    * in one pass or in arriving micro-batches yields identical rows —
+    * the property q274's streaming drain is pinned on.
+    */
+  def dsirScoreAgainst(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      ratio: DataFrame,
+      nBuckets: Int = 256): DataFrame =
+    hashedBigramFeats(df, id.cast("long"), text, lit(false), nBuckets)
       .join(broadcast(ratio), Seq("bkt"), "left")
       .groupBy("doc_id")
       .agg(count(col("bkt")).as("n_feats"),
         coalesce(sum(col("r")), lit(0L)).as("importance_sum"))
       .withColumn("importance_mean",
         when(col("n_feats") > 0, expr("importance_sum div n_feats")).otherwise(0L))
+
+  /** The deterministic top-`selectN` resample cut over
+    * [[dsirScoreAgainst]] scores: TakeOrderedAndProject top-k by
+    * (importance_mean desc, doc_id), broadcast back as a flag.
+    */
+  def dsirSelect(scored: DataFrame, selectN: Int): DataFrame = {
+    require(selectN > 0, s"selectN must be positive, got $selectN")
     val picked = scored
       .orderBy(col("importance_mean").desc, col("doc_id"))
       .limit(selectN)
       .select(col("doc_id"), lit(true).as("selected"))
     scored.join(broadcast(picked), Seq("doc_id"), "left")
       .withColumn("selected", coalesce(col("selected"), lit(false)))
+  }
+
+  private def hashedBigramFeats(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      isTarget: Column,
+      nBuckets: Int): DataFrame = {
+    val bigrams = graft.functions.TextOps.adjacentPairs(TextAnalysis.tokens(lower(text)))
+    df.select(id.as("doc_id"), isTarget.as("__iw_t"),
+        explode_outer(bigrams).as("bg"))
+      .withColumn("bkt",
+        when(col("bg").isNotNull,
+          pmod(graft.functions.TextOps.rollingHash64(col("bg")), lit(nBuckets.toLong)))
+          .otherwise(lit(null).cast("long")))
   }
 
   /** Temperature-based stratum reweighting (multinomial alpha

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -647,6 +647,39 @@ object StreamingOps {
       .outputMode(OutputMode.Append)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.operators.Similarity.ivfPqAppend(index, batch)
+        ()
+      }
+
+  /** Streaming DSIR scoring — the batch
+    * [[graft.operators.Sampling.hashedImportanceWeights]]'s production
+    * deployment shape: the nBuckets-row hashed-bigram ratio model is
+    * trained ONCE on a reference corpus and FROZEN; arriving document
+    * batches score against the broadcast model inside foreachBatch
+    * (map-only bigram hashing + per-doc aggregation — each document
+    * sits wholly inside its micro-batch, so batch-local aggregation is
+    * exact) and the per-doc weight rows land through `sink`. Scoring
+    * is per-row deterministic given the model, so a whole-corpus drain
+    * equals the batch scorer row-for-row (q274 pins it with q265's
+    * oracle verbatim — the global resample cut is the caller's
+    * post-drain batch step, exactly as production re-cuts per release).
+    *
+    * Scale shape: state-free (the model rides the closure as a
+    * broadcast ≤ nBuckets rows); per-batch cost is the batch's own
+    * token volume; nothing corpus-sized is touched after training.
+    */
+  def streamingDsirScore(
+      docStream: DataFrame,
+      id: Column,
+      text: Column,
+      ratio: DataFrame,
+      nBuckets: Int,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Sampling.dsirScoreAgainst(
+          batch, id, text, ratio, nBuckets))
         ()
       }
 

@@ -98,4 +98,30 @@ class ImportanceWeightsSpec extends SparkTestBase {
       col("lang") === "en", nBuckets = 32, selectN = 7))
     assert(a == b)
   }
+
+  test("dsirScoreAgainst: micro-batch splits score identically to one pass (q274's contract)") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta gamma token$i delta epsilon token${i % 7}", if (i % 3 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val ratio = Sampling.hashedBigramRatio(
+      docs, col("text"), col("lang") === "en", nBuckets = 32, scale = 10000L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      Sampling.dsirScoreAgainst(df, col("doc_id"), col("text"), ratio, nBuckets = 32)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+    val onePass = rows(docs)
+    val split = (rows(docs.where(col("doc_id") < 13)) ++
+      rows(docs.where(col("doc_id") >= 13 && col("doc_id") < 29)) ++
+      rows(docs.where(col("doc_id") >= 29))).sortBy(_._1)
+    assert(onePass == split, "per-batch scoring must equal the one-pass scorer")
+    // refactor guard: ratio + score + select == the original one-call form
+    val composed = Sampling.dsirSelect(
+        Sampling.dsirScoreAgainst(docs, col("doc_id"), col("text"), ratio, 32), 10)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    val oneCall = Sampling.hashedImportanceWeights(docs, col("doc_id"), col("text"),
+        col("lang") === "en", nBuckets = 32, scale = 10000L, selectN = 10)
+      .orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(composed == oneCall)
+  }
 }
