@@ -1974,10 +1974,13 @@ object SparkEntry {
   private def qKnnGraph(s: SparkSession, dir: String): DataFrame =
     knnGraph(s, dir).orderBy("node_id", "nb_rank")
 
-  /** Graph-based ANN, serve leg: beam search over the q262 graph —
-    * fixed entry set (ids ≡ 0 mod 61), beam 8, 2 hops, top-5 with
-    * self excluded. Serve cost is frontier-bounded (beam·(k+1)
-    * candidates per query per hop), independent of corpus size.
+  /** Graph-based ANN, FLAT serve leg: beam search over the q262 graph
+    * — fixed entry set (ids ≡ 0 mod 61), beam 8, 2 hops, top-5 with
+    * self excluded. The per-hop frontier is beam·(k+1) candidates per
+    * query, but the ENTRY stage scores N/61 candidates per query —
+    * linear in corpus size; q271's hierarchical serve is the
+    * corpus-independent path and this leg stays as the bounded-corpus
+    * baseline it is.
     */
   private def qKnnGraphServe(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")

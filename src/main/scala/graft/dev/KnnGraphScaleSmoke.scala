@@ -55,10 +55,19 @@ object KnnGraphScaleSmoke {
     val rounds = if (args.length > 1) args(1).toInt else 2
     val nClusters = 256
     val (k, cap, bits, tables, anchors) = (8, 16, 8, 2, 16)
+    // spill-aware partitioning: each descent round shuffles
+    // ~n·(cap + cap²) candidate pairs and the scoring join carries a
+    // 64-float vector per side, so a FIXED 32 partitions puts
+    // multi-GB sort buffers per task at n=1M and the build goes
+    // super-linear on spill (measured r14: 225s at 500k but 803s at
+    // 1M). Scaling partitions with n keeps per-task sort volume flat
+    // — on a real cluster AQE does this re-plan at runtime.
+    val parts = math.max(32, n / 4000)
     val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println(s"PARTS shuffle partitions: $parts")
 
     // centered clustered corpus with a SMOOTH within-cluster manifold:
     // cluster center (id % nClusters) sets integer dim values in
@@ -144,6 +153,66 @@ object KnnGraphScaleSmoke {
       .agg(sum("n_hit").as("h"), sum("n_truth").as("t")).collect()(0)
     println(f"SERVE recall@10 (100 queries): ${recQ.getLong(0)}/${recQ.getLong(1)} " +
       f"= ${recQ.getLong(0).toDouble / recQ.getLong(1)}%.3f")
+
+    // ---- hierarchical (HNSW-layer) serve: the entry-coupling fix ----
+    // levels grow with log(n) so the top layer lands in (64, 512]
+    // nodes — entry cost is then corpus-INDEPENDENT by construction,
+    // where the flat serve above needs entries ∝ n/4096 and its
+    // recall still decays with cluster extent (0.996→0.801→0.714 at
+    // 200k/500k/1M, the r14 measurement this section exists to fix).
+    // the top-layer size bound is a CLUSTER-COVERAGE knob, not a
+    // latency knob: the descent can only find a cluster the beam can
+    // reach, and a top layer much smaller than the corpus's cluster
+    // count strands queries whose cluster has no top member
+    // (measured: top=392 over 256 clusters → 0.878; top=3125 → see
+    // header). The bound stays corpus-INDEPENDENT — levels grow with
+    // log(n) so top ∈ (topBound/8, topBound] regardless of n.
+    val topBound = if (args.length > 2) args(2).toInt else 4096
+    val hopsPerLayer = if (args.length > 3) args(3).toInt else 4
+    val layerFactor = 8
+    val levels = Iterator.iterate(0)(_ + 1)
+      .dropWhile(l => n.toDouble / math.pow(layerFactor.toDouble, l.toDouble) > topBound)
+      .next()
+    // each layer serves over its k-NN graph ∪ its OWN LSH anchor long
+    // edges (q267's navigable-small-world fix, applied per layer): a
+    // beam descending into a layer may sit in a neighboring cluster,
+    // and pure k-NN edges are all short-range — the long edges are
+    // what lets it JUMP to the right cluster before refining. Without
+    // them, clusters unrepresented in the sparse top layer stay
+    // unreachable (measured: 0.878 plain vs with long edges below).
+    val tH0 = System.nanoTime()
+    def nswGraph(members: org.apache.spark.sql.DataFrame,
+        graph: org.apache.spark.sql.DataFrame) =
+      graph.select("node_id", "neighbor_id").union(
+        Similarity.knnLshSeedEdges(members, lshBits = bits, lshTables = tables,
+          anchorsPerBucket = 4)
+          .select(col("i").as("node_id"), col("j").as("neighbor_id")))
+    val upperLayers = (levels to 1 by -1).map { l =>
+      val members = vecs.where(Similarity.knnLayerMemberFilter(col("id"), l, layerFactor))
+      val lg = Similarity.knnGraphBuild(
+        members, k = k, rounds = rounds, revCap = cap,
+        lshBits = bits, lshTables = tables, anchorsPerBucket = anchors)
+      val nsw = nswGraph(members, lg).persist()
+      nsw.count()
+      nsw
+    }
+    val layerBuildS = (System.nanoTime() - tH0) / 1e9
+    val layers = upperLayers :+ serveGraph
+    val topEntries = layers.head.select("node_id").distinct().count()
+    println(f"TIME layer builds (levels=$levels factor=$layerFactor top=$topEntries entries): " +
+      f"$layerBuildS%.1fs (vs base build — upper layers are Σ n/8^L nodes)")
+    val tH1 = System.nanoTime()
+    val servedH = Similarity.knnGraphServeLayered(queries, layers, vecs,
+      k = 10, beam = 24, hopsPerLayer = hopsPerLayer)
+    val servedHRows = servedH.count()
+    val serveHS = (System.nanoTime() - tH1) / 1e9
+    val recH = Similarity.topKRecall(truthQ,
+        servedH.select(col("query_id"), col("neighbor_id")))
+      .agg(sum("n_hit").as("h"), sum("n_truth").as("t")).collect()(0)
+    println(f"HIER serve recall@10 ($nq queries, beam=24, hopsPerLayer=$hopsPerLayer, " +
+      f"${levels + 1} layers): ${recH.getLong(0)}/${recH.getLong(1)} " +
+      f"= ${recH.getLong(0).toDouble / recH.getLong(1)}%.3f " +
+      f"($serveHS%.1fs, $servedHRows rows, entry set $topEntries — corpus-independent)")
     spark.stop()
   }
 }

@@ -1627,19 +1627,26 @@ object Similarity {
     (changed, affectedOut, unaffected.union(affectedOut))
   }
 
-  /** Beam-search serve over a [[knnGraphBuild]] graph: each query
+  /** FLAT beam-search serve over a [[knnGraphBuild]] graph: each query
     * starts from a fixed entry set (corpus ids ≡ 0 mod `entryStride` —
-    * deterministic; production would use a medoid sample), scores the
-    * beam, and per hop expands the current beam's graph neighbors,
-    * re-ranking to the best `beam` candidates; after `hops` rounds the
-    * top-k survivors (self-matches excluded) are the answer.
+    * deterministic), scores the beam, and per hop expands the current
+    * beam's graph neighbors, re-ranking to the best `beam` candidates;
+    * after `hops` rounds the top-k survivors (self-matches excluded)
+    * are the answer.
     *
-    * Scale shape: the per-hop frontier is ≤ queries·beam·(k+1) skinny
+    * Scale shape: the per-HOP frontier is ≤ queries·beam·(k+1) skinny
     * (query_id, candidate) rows — the expansion join touches only the
     * graph's edge table, and the scoring join fetches exactly the
-    * frontier's vectors (queries broadcast). Serve cost is independent
-    * of corpus size once the graph exists — the property that makes
-    * graph ANN the low-latency end of the ladder.
+    * frontier's vectors (queries broadcast). The ENTRY stage is the
+    * flat serve's scale ceiling: it scores N/entryStride candidates
+    * per query — linear in corpus size — and the fixed entry density
+    * is also its measured recall ceiling (0.996→0.801→0.714 at
+    * 200k/500k/1M, dev/KnnGraphScaleSmoke). Use
+    * [[knnGraphServeLayered]] for the corpus-independent path
+    * (HNSW-style hierarchy — entries = the top layer's node set,
+    * constant when levels grow with log N); the flat serve remains
+    * the right tool at bounded corpus sizes where one layer's
+    * simplicity wins.
     */
   def knnGraphServe(
       queries: DataFrame,
