@@ -82,17 +82,20 @@ class SparkEntrySpec extends SparkTestBase {
         waited += 500
       }
       info(s"buildCaches: ${jobs.get} jobs, ${stages.get} stages")
-      // measured on a quiet machine: 161 jobs / 242 stages — 29/39
+      // measured on a quiet machine: 210 jobs / 324 stages — 29/39
       // for the original seven builds (xml_tables, xml_anylayout,
-      // ivf_bucketed, inverted_index, pos_index, co_ship_pairs) plus
+      // ivf_bucketed, inverted_index, pos_index, co_ship_pairs),
       // ~130/200 for the two r14 NN-Descent graph builds (knn_graph,
       // knn_graph_old), whose per-round eager localCheckpoints under
       // AQE each run several stage-jobs BY DESIGN (iterative
-      // lineage-truncation, SURVEY §2.11). The budget leaves ~25%
-      // headroom for AQE re-plans, not for structural regressions
-      // (an accidental eager action adds whole jobs).
-      assert(jobs.get <= 200, s"buildCaches ran ${jobs.get} jobs (budget 200)")
-      assert(stages.get <= 300, s"buildCaches ran ${stages.get} stages (budget 300)")
+      // lineage-truncation, SURVEY §2.11), and ~49/82 for the r15
+      // additions: knn_graph_l1 (a third, subsampled NN-Descent
+      // build) and knn_graph_store (partitioned edge + anchor table
+      // writes). The budget leaves ~25% headroom for AQE re-plans,
+      // not for structural regressions (an accidental eager action
+      // adds whole jobs).
+      assert(jobs.get <= 260, s"buildCaches ran ${jobs.get} jobs (budget 260)")
+      assert(stages.get <= 400, s"buildCaches ran ${stages.get} stages (budget 400)")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 }
