@@ -2243,25 +2243,73 @@ object SparkEntry {
     * .knnGraphAppendPartitioned]] — batch-signed against the STORED
     * anchor table (never a corpus re-sign), touched-partition-only
     * rewrite — and the read-back equals the in-memory append (q268's
-    * oracle verbatim). Storage mutates per invocation, so the index
-    * is rebuilt each call into a JVM-unique staging dir (q254's
-    * ingest-floor pattern) and dropped after the read.
+    * oracle verbatim). Storage mutates per invocation, so each call
+    * file-copies the memoized BASE index into a JVM-unique mutation
+    * dir (the copy is the cheap part; the measured cost is the
+    * append leg itself) and drops it after the read.
     */
+  /** Recursive local-fs copy for the storage-mutation queries: the
+    * BASE index is built once per session (Spark write), and each
+    * invocation mutates a cheap file-level copy — the mutation cost
+    * measured by the bench is then the append/delete leg itself, not
+    * a repeated from-scratch index write.
+    */
+  private def copyDirLocal(src: String, dst: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val s0 = java.nio.file.Paths.get(src)
+    val d0 = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s0).iterator().asScala.foreach { p =>
+      val q = d0.resolve(s0.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(q)
+      else {
+        java.nio.file.Files.createDirectories(q.getParent)
+        java.nio.file.Files.copy(p, q,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+  }
+
+  /** The persisted 80%-corpus BASE index behind q275, built once per
+    * (session, sf dir) like [[knnGraphStored]]; q275 copies it
+    * file-level per invocation and appends into the copy.
+    */
+  @transient private var knnGraphOldStoreCache:
+    (SparkSession, String, graft.operators.Similarity.KnnGraphIndex) = null
+
+  private def knnGraphOldStored(
+      s: SparkSession, dir: String): graft.operators.Similarity.KnnGraphIndex =
+    synchronized {
+      if (knnGraphOldStoreCache != null && (knnGraphOldStoreCache._1 eq s)
+          && knnGraphOldStoreCache._2 == dir) knnGraphOldStoreCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val old = e.where(pmod(col("id"), lit(5L)) =!= 4)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_knn_store_base",
+          s"${digest}_${ProcessHandle.current().pid()}").toString
+        val idx = graft.operators.Similarity.knnGraphWritePartitioned(
+          s, knnGraphOld(s, dir), old, path, parts = 8, k = 8,
+          lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        knnGraphOldStoreCache = (s, dir, idx)
+        idx
+      }
+    }
+
   private def qKnnGraphStoreAppend(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val old = e.where(pmod(col("id"), lit(5L)) =!= 4)
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_knn_store_append",
-      s"${digest}_${ProcessHandle.current().pid()}").toString
+    val base = knnGraphOldStored(s, dir)
+    val path = base.path + "_mut"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val idx = graft.operators.Similarity.knnGraphWritePartitioned(
-      s, knnGraphOld(s, dir), old, path, parts = 8, k = 8,
-      lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+    copyDirLocal(base.path, path)
+    val idx = base.copy(path = path)
     graft.operators.Similarity.knnGraphAppendPartitioned(
       s, idx, e, pmod(col("id"), lit(5L)) === 4)
     val out = graft.operators.Similarity.knnGraphReadEdges(s, idx)
@@ -2281,17 +2329,15 @@ object SparkEntry {
   private def qKnnGraphStoreDelete(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_knn_store_delete",
-      s"${digest}_${ProcessHandle.current().pid()}").toString
+    // mutate a file-level copy of the memoized q273 index — the
+    // shared store itself must stay pristine for the serve queries
+    val base = knnGraphStored(s, dir)
+    val path = base.path + "_delmut"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    val idx = graft.operators.Similarity.knnGraphWritePartitioned(
-      s, knnGraph(s, dir), e, path, parts = 8, k = 8,
-      lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+    copyDirLocal(base.path, path)
+    val idx = base.copy(path = path)
     graft.operators.Similarity.knnGraphDeletePartitioned(
       s, idx, e, pmod(col("id"), lit(7L)) === 3)
     val out = graft.operators.Similarity.knnGraphReadEdges(s, idx)
@@ -4887,6 +4933,7 @@ object SparkEntry {
       "knn_graph_old" -> timed(knnGraphOld(s, dir)),
       "knn_graph_l1" -> timed(knnGraphL1(s, dir)),
       "knn_graph_store" -> timed(knnGraphStored(s, dir)),
+      "knn_graph_old_store" -> timed(knnGraphOldStored(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))

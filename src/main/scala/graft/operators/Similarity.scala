@@ -1516,8 +1516,23 @@ object Similarity {
       .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
       .select(col("i"), col("j"),
         round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
-    val proposals = scored.select(col("j").as("i"), col("i").as("j"), col("cos"))
-      .union(scored)
+    // scored is referenced from THREE branches below (both proposal
+    // directions feeding the touched set, the untouched anti-join's
+    // key side, the merge union) — left lazy, the batch-scoring joins
+    // would execute once per branch (measured 3.7× on q268's bench
+    // row). localCheckpoint pins the skinny (i, j, cos) scored rows —
+    // proposal-sized by contract — so scoring runs exactly once.
+    // (Rebuilt from the checkpointed RDD rather than used directly:
+    // the checkpoint's LogicalRDD carries origin constraints from the
+    // scoring plan, and the swapped self-union below trips Spark's
+    // Union.rewriteConstraints on them — "key not found" on a
+    // pre-projection attribute. createDataFrame over the same RDD
+    // keeps the materialization and drops the constraint baggage.)
+    val scoredCk0 = scored.localCheckpoint()
+    val scoredCk = scoredCk0.sparkSession.createDataFrame(
+      scoredCk0.rdd, scoredCk0.schema)
+    val proposals = scoredCk.select(col("j").as("i"), col("i").as("j"), col("cos"))
+      .union(scoredCk)
     val touched = proposals.select(col("i")).distinct()
     val graphEdges = graph
       .select(col("node_id").as("i"), col("neighbor_id").as("j"), col("cos"),
@@ -1590,10 +1605,15 @@ object Similarity {
       .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
       .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_anti")
       .select("i", "j", "cos", "nb_rank")
+    // the affected set is referenced from four branches (backfill
+    // candidate semi-join, unaffected anti-join, affected semi-join,
+    // changed union) — checkpoint the affected-sized id list so the
+    // tombstone probe over the graph runs once
     val affected = g
       .join(broadcast(del.select(col("id").as("j"))), Seq("j"), "left_semi")
       .join(broadcast(del.select(col("id").as("i"))), Seq("i"), "left_anti")
       .select("i").distinct()
+      .localCheckpoint()
     val fwd = kept.select("i", "j")
     val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
     val capped = capEdgesPerNode(und, revCap)
