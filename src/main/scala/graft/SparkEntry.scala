@@ -2214,6 +2214,11 @@ object SparkEntry {
         val idx = graft.operators.Similarity.knnGraphWritePartitioned(
           s, knnGraph(s, dir), e, path, parts = 8, k = 8,
           lshBits = 5, lshTables = 3, anchorsPerBucket = 32)
+        // the hierarchy's layer-1 graph persists beside the base
+        // edges so the SHIPPING serve path (layered descent, q271)
+        // is servable from storage too (q277)
+        graft.operators.Similarity.knnGraphWriteLayer(
+          s, idx, level = 1, knnGraphL1(s, dir))
         ckptRoots.add(java.nio.file.Paths.get(path))
         ckptHook
         knnGraphStoreCache = (s, dir, idx)
@@ -2234,6 +2239,24 @@ object SparkEntry {
       e.where(col("id") < 5),
       graft.operators.Similarity.knnGraphReadEdges(s, knnGraphStored(s, dir)), e,
       k = 5, beam = 8, hops = 2, entryStride = 61L)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+  }
+
+  /** Graph-based ANN, stored HIERARCHICAL serve leg (q277): the
+    * layered descent — the serve path that actually ships at scale —
+    * read entirely from the persisted index (layer-1 graph from
+    * `layer1/`, base graph from `edges/`), must equal the in-memory
+    * layered serve. Shares q271's oracle verbatim.
+    */
+  private def qKnnHierStored(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = knnGraphStored(s, dir)
+    graft.operators.Similarity.knnGraphServeLayered(
+      e.where(col("id") < 5),
+      Seq(graft.operators.Similarity.knnGraphReadLayer(s, idx, 1),
+        graft.operators.Similarity.knnGraphReadEdges(s, idx)), e,
+      k = 5, beam = 8, hopsPerLayer = 3)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
@@ -5206,6 +5229,7 @@ object SparkEntry {
     "q274_stream_dsir" -> qStreamDsir _,
     "q275_knn_graph_store_append" -> qKnnGraphStoreAppend _,
     "q276_knn_graph_store_delete" -> qKnnGraphStoreDelete _,
+    "q277_knn_hier_stored" -> qKnnHierStored _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -10016,6 +10040,9 @@ object SparkEntry {
       // storage-level delete (changed-partition rewrite, survivor
       // anchor recut) must equal the in-memory delete
       ("q276_knn_graph_store_delete" -> base("q269_knn_graph_delete")) +
+      // the stored hierarchical serve (layer graphs read from disk)
+      // must equal the in-memory layered serve
+      ("q277_knn_hier_stored" -> base("q271_knn_graph_hier")) +
       // the drained streaming beam serve must equal the batch graph
       // serve (micro-batch-granular foreachBatch twin)
       ("q270_stream_knn_serve" -> base("q263_knn_graph_serve"))

@@ -1923,6 +1923,50 @@ object Similarity {
     spark.read.parquet(index.edgesPath)
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
 
+  /** Persist a HIERARCHY layer's graph beside a [[KnnGraphIndex]]'s
+    * base edges (`path`/layerL/part=P/…, same partitioning, sorting,
+    * and staged-swap discipline as the base table) — the storage leg
+    * of [[knnGraphServeLayered]], so a serving fleet reads the
+    * SHIPPING serve path (hierarchical descent) from disk, not just
+    * the flat baseline. Layer L is expected to be the
+    * [[knnGraphBuild]] of the [[knnLayerMemberFilter]](L) subsample;
+    * nothing enforces that here — the layered-serve contract query
+    * (q277) pins the end-to-end equality instead.
+    */
+  def knnGraphWriteLayer(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      level: Int,
+      graph: DataFrame): KnnGraphIndex = {
+    require(level > 0, s"layer level must be positive, got $level")
+    val dst = s"${index.path}/layer$level"
+    val tmp = s"${index.path}/.layer$level.tmp"
+    graph.select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+      .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "node_id", "nb_rank")
+      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+    val hDst = new org.apache.hadoop.fs.Path(dst)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hDst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hDst, true)
+    if (!fs.rename(hTmp, hDst))
+      throw new java.io.IOException(
+        s"knnGraphWriteLayer: failed to swap $hTmp into $dst")
+    index
+  }
+
+  /** Read back a [[knnGraphWriteLayer]] layer in [[knnGraphBuild]]'s
+    * schema — feed `Seq(readLayer(L_max), …, readEdges)` to
+    * [[knnGraphServeLayered]] for the stored hierarchical serve.
+    */
+  def knnGraphReadLayer(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      level: Int): DataFrame =
+    spark.read.parquet(s"${index.path}/layer$level")
+      .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+
   /** Append a batch of new vectors to a PERSISTED [[KnnGraphIndex]] —
     * the graph family's [[ivfPqAppend]]: the batch is signed map-only
     * and seeded against the STORED anchor table (never a corpus

@@ -130,6 +130,30 @@ class KnnGraphStoreSpec extends SparkTestBase {
       s"expected exactly one nb_rank Window (the touched branch), got $rankWindows:\n$full")
   }
 
+  test("knnGraphWriteLayer/ReadLayer: stored layered serve equals the in-memory layered serve") {
+    val corpus = gaussians(120, 53L)
+    val layers = Similarity.knnGraphBuildLayers(corpus, k = 4, levels = 1,
+      layerFactor = 8, rounds = 2, revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_layer").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, layers(1), corpus, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    Similarity.knnGraphWriteLayer(spark, idx, level = 1, layers.head)
+    // layer roundtrip
+    assert(graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)) ==
+      graphRows(layers.head))
+    // stored hierarchical serve == in-memory hierarchical serve
+    val queries = corpus.where(col("id") < 5)
+    def served(ls: Seq[org.apache.spark.sql.DataFrame]) =
+      Similarity.knnGraphServeLayered(queries, ls, corpus,
+          k = 3, beam = 6, hopsPerLayer = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, -t._3, t._2)).toSeq
+    assert(served(Seq(
+        Similarity.knnGraphReadLayer(spark, idx, 1),
+        Similarity.knnGraphReadEdges(spark, idx))) == served(layers),
+      "stored layered serve must equal the in-memory layered serve")
+  }
+
   test("knnGraphDeletePartitioned: equals in-memory delete; untouched partitions byte-identical") {
     val all = gaussians(100, 47L)
     val g0 = Similarity.knnGraphBuild(all, k = 4, rounds = 2,
