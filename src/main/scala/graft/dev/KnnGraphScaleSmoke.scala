@@ -47,6 +47,17 @@ import graft.operators.Similarity
   *     entry set, vs the flat serve's 0.996 → 0.801 → 0.714 decay.
   *     The r14 `weak` (entry stage linear in corpus, recall decaying
   *     with extent) is closed by measurement, not argument.
+  *   Residue localization (rounds=1 probes, same session): seed +
+  *     first round scales EXACTLY linearly (36.0s at 500k → 73.2s at
+  *     1M = 2.03× for 2× data), while the marginal descent round is
+  *     (77.7−36.0)/4 = 10.4s at 500k vs (207.4−73.2)/4 = 33.6s at 1M
+  *     — 3.2× per doubling. The per-round pipeline re-broadcasts the
+  *     vecs relation (280MB at 1M) behind each localCheckpoint and
+  *     accumulates checkpoint blocks + dead broadcasts across rounds;
+  *     GC/broadcast-rebuild pressure is the suspect, not any shuffle
+  *     (per-partition volumes are constant under parts ∝ n). Next
+  *     probe: persist the broadcast-side relation once across rounds,
+  *     or unpersist dead checkpoints eagerly.
   *   In THIS single-box Spark-job harness each hop pays job latency,
   *   so sub-second point lookups need an external serving tier
   *   reading the same (now persisted, q273) graph — the claim the
