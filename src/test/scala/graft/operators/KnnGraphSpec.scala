@@ -247,6 +247,15 @@ class KnnGraphSpec extends SparkTestBase {
       s"layered serve recall ${rec._1}/${rec._2} below 0.8")
   }
 
+  test("knnLayerMemberFilter rejects a layer modulus past the hash range") {
+    intercept[IllegalArgumentException] {
+      Similarity.knnLayerMemberFilter(col("id"), level = 12, layerFactor = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.knnLayerMemberFilter(col("id"), level = -1, layerFactor = 8)
+    }
+  }
+
   test("knnGraphServe beam is monotone: wider beam never lowers the top-1 cosine") {
     import spark.implicits._
     val corpus = clustered(60)
