@@ -1407,7 +1407,13 @@ object Similarity {
     * anchorsOf(anchorsOf(old) ∪ newSigs) == anchorsOf(old ∪ newSigs)
     * — a persisted anchor table (≤ tables·2^bits·anchorsPerBucket
     * rows, model-sized) plus batch signatures reproduces the
-    * full-corpus anchors EXACTLY without touching the corpus.
+    * full-corpus anchors EXACTLY without touching the corpus. The
+    * same superset argument makes a DEEPER stored cut equally valid
+    * input: anchorsOf(top-D cut, A) == anchorsOf(full corpus, A) for
+    * any D >= A, which is what lets [[knnGraphWritePartitioned]]
+    * store depth 2A as delete slack (see
+    * [[knnGraphDeleteAnchorRecut]]) while the append algebra keeps
+    * recutting at A.
     */
   def knnLshAnchorsOf(sig: DataFrame, anchorsPerBucket: Int): DataFrame = {
     require(anchorsPerBucket > 0,
@@ -1418,6 +1424,61 @@ object Similarity {
         Window.partitionBy("tb", "bkt").orderBy(col("__h"), col("id"))))
       .where(col("__ar") <= anchorsPerBucket)
       .select(col("tb"), col("bkt"), col("id"))
+  }
+
+  /** Batch-proportional anchor recut after a delete — the stored-cut
+    * twin of the append algebra, so a small delete never pays a
+    * full-corpus signature scan. The stored table holds each bucket's
+    * top-`depth` members in Knuth-hash order (or the whole bucket
+    * when smaller — deducible as stored count < depth, the invariant
+    * [[KnnGraphIndex.anchorDepth]] documents). Per bucket:
+    *
+    *   - complete (count < depth): stored rows ARE the bucket —
+    *     dropping tombstones reproduces the full recut exactly;
+    *   - saturated, no stored tombstone: a tombstone can only sit
+    *     BEYOND the cut, which leaves the top-`depth` unchanged;
+    *   - saturated AND losing stored members: members past the cut
+    *     are unknown, so ONLY these buckets re-sign — and the re-sign
+    *     filter pushes into the survivor signature pass, so its
+    *     output is bucket-sized.
+    *
+    * Returns the new stored cut plus the re-signed bucket list (a
+    * model-sized driver collect — ≤ tables·2^bits pairs). When the
+    * list is empty the returned plan touches the corpus ONLY for the
+    * tombstone id list — no signature computation anywhere in it
+    * (spec-pinned).
+    */
+  private[graft] def knnGraphDeleteAnchorRecut(
+      storedAnchors: DataFrame,
+      corpus: DataFrame,
+      deleteFilter: Column,
+      lshBits: Int,
+      lshTables: Int,
+      depth: Int): (DataFrame, Seq[(Int, Long)]) = {
+    require(depth > 0, s"depth must be positive, got $depth")
+    val tomb = corpus.where(deleteFilter).select(col("id"))
+    val st = storedAnchors.select(col("tb"), col("bkt"), col("id"))
+    val stats = st
+      .join(broadcast(tomb.withColumn("__dead", lit(1))), Seq("id"), "left")
+      .groupBy("tb", "bkt")
+      .agg(count(lit(1)).as("__n"), sum(coalesce(col("__dead"), lit(0))).as("__ndead"))
+    val resign = stats
+      .where(col("__n") === depth && col("__ndead") > 0)
+      .select("tb", "bkt")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    val survivors = st.join(broadcast(tomb), Seq("id"), "left_anti")
+      .select("tb", "bkt", "id")
+    if (resign.isEmpty) (survivors, resign)
+    else {
+      val inResign = resign
+        .map { case (t, b) => col("tb") === t && col("bkt") === b }
+        .reduce(_ || _)
+      val resigned = knnLshAnchorsOf(
+        knnLshSignatures(corpus.where(!deleteFilter), lshBits, lshTables)
+          .where(inResign),
+        depth)
+      (survivors.where(!inResign).union(resigned), resign)
+    }
   }
 
   /** Incremental append to a [[knnGraphBuild]] graph — the lifecycle
@@ -1455,6 +1516,15 @@ object Similarity {
     * Without `oldAnchors` the function re-signs the corpus (one
     * map-only pass — the from-scratch fallback) and produces the SAME
     * output.
+    *
+    * INPUT CONTRACT: `graph` must carry [[knnGraphBuild]]'s schema
+    * INCLUDING a consistent `nb_rank` column (nb_rank == row_number
+    * over (cos DESC, neighbor_id) per node, as the build and every
+    * lifecycle op emit). Untouched nodes pass their stored ranks
+    * through VERBATIM — that identity is what keeps the merge window
+    * touched-sized — so a graph with inconsistent ranks produces
+    * silently re-ordered output instead of being re-ranked, and a
+    * graph without the column fails analysis.
     */
   def knnGraphAppend(
       graph: DataFrame,
@@ -1493,9 +1563,14 @@ object Similarity {
     val newSig = knnLshSignatures(corpus.where(newFilter), lshBits, lshTables)
     val anchors = oldAnchors match {
       case Some(a) =>
+        // distinct: a batch retried after a mid-swap failure (or any
+        // non-disjoint batch) may re-sign ids already in the stored
+        // cut — duplicate (tb, bkt, id) rows would inflate row_number
+        // inside knnLshAnchorsOf and evict legitimate anchors
         knnLshAnchorsOf(
           a.select(col("tb"), col("bkt"), col("id"))
-            .union(newSig.select(col("tb"), col("bkt"), col("id"))),
+            .union(newSig.select(col("tb"), col("bkt"), col("id")))
+            .distinct(),
           anchorsPerBucket)
       case None =>
         knnLshAnchorsOf(knnLshSignatures(corpus, lshBits, lshTables), anchorsPerBucket)
@@ -1573,6 +1648,12 @@ object Similarity {
     * the top-k merge WINDOWS ONLY the affected nodes: unaffected
     * survivors kept all their rows, so their re-rank is the identity
     * and they pass through verbatim with their stored nb_rank.
+    *
+    * INPUT CONTRACT: same as [[knnGraphAppend]]'s — `graph` must
+    * carry a consistent `nb_rank` (row_number over (cos DESC,
+    * neighbor_id) per node); unaffected survivors' stored ranks pass
+    * through verbatim, so inconsistent ranks yield silently
+    * re-ordered output and a missing column fails analysis.
     */
   def knnGraphDelete(
       graph: DataFrame,
@@ -1856,6 +1937,14 @@ object Similarity {
     *                      model-sized seed source that makes
     *                      [[knnGraphAppendPartitioned]] O(batch)
     *                      (see [[knnLshAnchorsOf]]'s top-k algebra).
+    *                      Stored at DEPTH 2·anchorsPerBucket
+    *                      ([[anchorDepth]]): the top half is the seed
+    *                      cut the append algebra recuts at A; the
+    *                      bottom half is DELETE SLACK, letting
+    *                      [[knnGraphDeleteAnchorRecut]] rebuild the
+    *                      post-delete cut from the stored table alone
+    *                      unless a bucket's survivors fall below the
+    *                      stored depth's guarantee.
     *
     * `k`/`lshBits`/`lshTables`/`anchorsPerBucket` ride in the handle
     * so the lifecycle legs replay the build's exact shape.
@@ -1869,6 +1958,14 @@ object Similarity {
       anchorsPerBucket: Int) {
     def edgesPath: String = s"$path/edges"
     def anchorsPath: String = s"$path/anchors"
+    /** Stored anchor depth: anchorsPerBucket of seed cut + an equal
+      * slack band for batch-proportional delete recuts. Invariant
+      * maintained by every lifecycle op: each stored (tb, bkt) holds
+      * the bucket's first `anchorDepth` members in Knuth-hash order —
+      * or the ENTIRE bucket when it has fewer (deducible: stored
+      * count < anchorDepth ⇔ complete).
+      */
+    def anchorDepth: Int = 2 * anchorsPerBucket
   }
 
   /** Write a [[knnGraphBuild]] graph (plus its corpus's anchor table)
@@ -1897,7 +1994,7 @@ object Similarity {
       .repartition(col("part"))
       .sortWithinPartitions("part", "node_id", "nb_rank")
       .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
-    knnLshAnchorsOf(knnLshSignatures(corpus, lshBits, lshTables), anchorsPerBucket)
+    knnLshAnchorsOf(knnLshSignatures(corpus, lshBits, lshTables), idx.anchorDepth)
       .orderBy("tb", "bkt", "id")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/anchors")
@@ -1997,30 +2094,43 @@ object Similarity {
     val affectedParts = touched
       .select(pmod(col("node_id"), lit(index.parts.toLong)).as("part"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (affectedParts.nonEmpty) {
-      // rows the affected partitions must hold after the append: the
-      // touched nodes' merged rows plus the partitions' untouched rows
-      // (partition-pruned scan; anti-join against the touched set)
-      val storedAff = spark.read.parquet(index.edgesPath)
-        .where(col("part").isin(affectedParts: _*))
-        .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
-      val untouchedAff = storedAff
-        .join(touched, Seq("node_id"), "left_anti")
-        .where(col("nb_rank") <= index.k)
-      val outRows = untouchedAff.union(touchedRows)
-        .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+    // the anchor merge is gated on the BATCH being non-empty, not on
+    // affectedParts: a non-empty batch can legally produce zero seed
+    // proposals (every arriving node lands only in buckets with no
+    // other anchor), but its signatures must still enter the stored
+    // cut or the pinned invariant (stored anchors == full-corpus cut)
+    // silently breaks for every subsequent append. The short-circuit
+    // keeps the common case (proposals exist) free of the extra
+    // emptiness probe.
+    if (affectedParts.nonEmpty || !corpus.where(newFilter).isEmpty) {
       val tmp = index.path + ".append.tmp"
-      outRows
-        .repartition(col("part"))
-        .sortWithinPartitions("part", "node_id", "nb_rank")
-        .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+      if (affectedParts.nonEmpty) {
+        // rows the affected partitions must hold after the append: the
+        // touched nodes' merged rows plus the partitions' untouched rows
+        // (partition-pruned scan; anti-join against the touched set)
+        val storedAff = spark.read.parquet(index.edgesPath)
+          .where(col("part").isin(affectedParts: _*))
+          .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+        val untouchedAff = storedAff
+          .join(touched, Seq("node_id"), "left_anti")
+          .where(col("nb_rank") <= index.k)
+        val outRows = untouchedAff.union(touchedRows)
+          .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+        outRows
+          .repartition(col("part"))
+          .sortWithinPartitions("part", "node_id", "nb_rank")
+          .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+      }
       // merged anchors (exact full-corpus cut) staged beside the edges
+      // — distinct defends a non-disjoint batch (e.g. an append retried
+      // after a mid-swap failure) from inflating the per-bucket window
       val newSig = knnLshSignatures(
         corpus.where(newFilter), index.lshBits, index.lshTables)
       knnLshAnchorsOf(
           oldAnchors.select(col("tb"), col("bkt"), col("id"))
-            .union(newSig.select(col("tb"), col("bkt"), col("id"))),
-          index.anchorsPerBucket)
+            .union(newSig.select(col("tb"), col("bkt"), col("id")))
+            .distinct(),
+          index.anchorDepth)
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
@@ -2054,11 +2164,12 @@ object Similarity {
     * swap; untouched partitions stay byte-identical (spec-pinned). A
     * partition fully emptied by the delete has its directory removed.
     *
-    * The anchor table is rebuilt from the SURVIVOR corpus (one
-    * map-only signature pass — a tombstoned anchor cannot simply be
-    * dropped from the stored cut, because the next-ranked bucket
-    * members it was masking are not in the table; exactness of the
-    * append algebra requires the full recut).
+    * The anchor table recuts from the STORED deep cut
+    * ([[knnGraphDeleteAnchorRecut]]): the 2A stored depth means a
+    * bucket only re-signs when it was saturated AND lost stored
+    * members — so a small delete's anchor maintenance is
+    * batch-proportional, never a survivor-corpus signature pass
+    * (which this op paid unconditionally before the deep cut).
     *
     * The resulting stored graph equals the in-memory
     * [[knnGraphDelete]] (q276 pins it with q269's oracle verbatim).
@@ -2088,10 +2199,10 @@ object Similarity {
         .repartition(col("part"))
         .sortWithinPartitions("part", "node_id", "nb_rank")
         .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
-      knnLshAnchorsOf(
-          knnLshSignatures(corpus.where(!deleteFilter), index.lshBits,
-            index.lshTables),
-          index.anchorsPerBucket)
+      val (newAnchors, _) = knnGraphDeleteAnchorRecut(
+        spark.read.parquet(index.anchorsPath), corpus, deleteFilter,
+        index.lshBits, index.lshTables, index.anchorDepth)
+      newAnchors
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")

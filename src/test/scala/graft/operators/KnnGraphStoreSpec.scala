@@ -92,13 +92,56 @@ class KnnGraphStoreSpec extends SparkTestBase {
       touchedParts.exists(p => kk.startsWith(s"part=$p/")) }
     assert(untouchedBefore == untouchedAfter,
       s"untouched partitions must stay byte-identical:\n$untouchedBefore\nvs\n$untouchedAfter")
-    // anchors advanced to the full-corpus cut
+    // anchors advanced to the full-corpus cut (stored at anchorDepth =
+    // 2A — the delete-slack band rides along)
     val storedAnch = spark.read.parquet(idx.anchorsPath)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     val fullAnch = Similarity.knnLshAnchorsOf(
-        Similarity.knnLshSignatures(all, 2, 2), 12)
+        Similarity.knnLshSignatures(all, 2, 2), idx.anchorDepth)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    assert(storedAnch == fullAnch, "stored anchors must equal the full-corpus cut")
+    assert(storedAnch == fullAnch, "stored anchors must equal the full-corpus deep cut")
+  }
+
+  test("append with zero seed proposals still merges the batch into the stored anchors") {
+    import spark.implicits._
+    // old corpus: all-positive 4-dim vectors — every node lands in the
+    // all-ones bucket of both tables; the arriving node is all-negative
+    // and lands ALONE in bucket 0, so it seeds zero proposals
+    val old = (0L until 6L).map(i => (i, Seq(1f, 2f, 3f, 4f))).toDF("id", "vec")
+    val arrive = Seq((100L, Seq(-1f, -2f, -3f, -4f))).toDF("id", "vec")
+    val all = old.union(arrive)
+    val g0 = Similarity.knnGraphBuild(old, k = 2, rounds = 1,
+      revCap = 2, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_zero").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g0, old, dir,
+      parts = 4, k = 2, lshBits = 2, lshTables = 2, anchorsPerBucket = 4)
+    val before = edgeFiles(idx)
+    val (touched, _, _) = Similarity.knnGraphAppendParts(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") === 100L,
+      k = 2, lshBits = 2, lshTables = 2, anchorsPerBucket = 4,
+      oldAnchors = Some(spark.read.parquet(idx.anchorsPath)))
+    assert(touched.count() == 0, "the crafted batch must produce zero proposals")
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") === 100L)
+    // edges untouched (no proposals), but the anchors MUST advance to
+    // the full-corpus cut — without it, the NEXT arrival into bucket 0
+    // would never see node 100 and the append algebra's exactness dies
+    assert(edgeFiles(idx) == before, "no edge partition may be rewritten")
+    val storedAnch = spark.read.parquet(idx.anchorsPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val fullAnch = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all, 2, 2), idx.anchorDepth)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(storedAnch == fullAnch,
+      "a zero-proposal batch must still merge its signatures into the stored cut")
+    assert(storedAnch.exists(_._3 == 100L), "the arriving node must be an anchor now")
+    // and the NEXT all-negative arrival seeds against node 100 through
+    // the stored table — the exactness the anchor merge protects
+    val all2 = all.union(Seq((101L, Seq(-2f, -1f, -4f, -3f))).toDF("id", "vec"))
+    Similarity.knnGraphAppendPartitioned(spark, idx, all2, col("id") === 101L)
+    val edges = Similarity.knnGraphReadEdges(spark, idx)
+      .where(col("node_id") === 101L).collect()
+    assert(edges.exists(_.getLong(2) == 100L),
+      "the second arrival must find the first through the stored anchors")
   }
 
   test("append merge windows only touched nodes: untouched rows ride a window-free branch") {
@@ -178,12 +221,74 @@ class KnnGraphStoreSpec extends SparkTestBase {
       changedParts.exists(p => kk.startsWith(s"part=$p/")) }
     assert(untouchedBefore == untouchedAfter,
       s"untouched partitions must stay byte-identical:\n$untouchedBefore\nvs\n$untouchedAfter")
-    // anchors recut over survivors only
+    // anchors recut to the survivor corpus's deep cut — via the
+    // batch-proportional stored-table path, which must EQUAL the
+    // from-scratch recompute
     val storedAnch = spark.read.parquet(idx.anchorsPath)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     val survAnch = Similarity.knnLshAnchorsOf(
-        Similarity.knnLshSignatures(all.where(col("id") % 7 =!= 3), 2, 2), 12)
+        Similarity.knnLshSignatures(all.where(col("id") % 7 =!= 3), 2, 2),
+        idx.anchorDepth)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
-    assert(storedAnch == survAnch, "anchors must be recut over the survivor corpus")
+    assert(storedAnch == survAnch, "anchors must equal the survivor-corpus deep cut")
+  }
+
+  test("delete anchor recut is batch-proportional: no signature scan unless a bucket exhausts") {
+    val all = gaussians(100, 59L)
+    val depth = 8
+    val stored = Similarity.knnLshAnchorsOf(
+      Similarity.knnLshSignatures(all, 2, 2), depth)
+    // small delete of a BEYOND-the-cut member (a tombstone outside the
+    // stored rows never exhausts a bucket — the common small-delete
+    // shape): no bucket re-signs
+    val anchorIds = stored.select("id").collect().map(_.getLong(0)).toSet
+    val tombId = (0L until 100L).find(!anchorIds.contains(_)).get
+    val (cut, resigned) = Similarity.knnGraphDeleteAnchorRecut(
+      stored, all, col("id") === tombId, lshBits = 2, lshTables = 2, depth = depth)
+    assert(resigned.isEmpty, s"small delete must not re-sign any bucket: $resigned")
+    // the returned plan reads the corpus only for tombstone ids — no
+    // vector column, no signature arithmetic anywhere in it
+    val plan = cut.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("vec"),
+      s"no-resign recut must not touch the vector column:\n$plan")
+    val expect = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all.where(col("id") =!= tombId), 2, 2), depth)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      == expect, "stored-table recut must equal the survivor-corpus recompute")
+    // a stored-member tombstone in a NON-saturated bucket also stays
+    // on the no-resign path — the stored rows are the whole bucket
+    val bucketSizes = stored.groupBy("tb", "bkt").count().collect()
+      .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    // signature schema is (tb, id, bkt)
+    val sigAll = Similarity.knnLshSignatures(all, 2, 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val safeTomb = sigAll.groupBy(_._2).collectFirst {
+      case (id, rows) if rows.forall { case (t, _, b) =>
+        bucketSizes.getOrElse((t, b), 0L) < depth } => id
+    }
+    safeTomb.foreach { id =>
+      val (cutS, resignedS) = Similarity.knnGraphDeleteAnchorRecut(
+        stored, all, col("id") === id, lshBits = 2, lshTables = 2, depth = depth)
+      assert(resignedS.isEmpty, "complete-bucket member delete must not re-sign")
+      val expectS = Similarity.knnLshAnchorsOf(
+          Similarity.knnLshSignatures(all.where(col("id") =!= id), 2, 2), depth)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(cutS.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+        == expectS)
+    }
+    // exhaustion: depth 4 and a delete wide enough to empty the slack
+    // band of some saturated bucket — those buckets re-sign, and the
+    // result STILL equals the from-scratch recompute
+    val shallow = Similarity.knnLshAnchorsOf(
+      Similarity.knnLshSignatures(all, 2, 2), 4)
+    val (cut2, resigned2) = Similarity.knnGraphDeleteAnchorRecut(
+      shallow, all, col("id") % 3 =!= 1, lshBits = 2, lshTables = 2, depth = 4)
+    assert(resigned2.nonEmpty, "a mass delete against a shallow cut must re-sign")
+    val expect2 = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all.where(col("id") % 3 === 1), 2, 2), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut2.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      == expect2, "re-signed recut must equal the survivor-corpus recompute")
   }
 }
