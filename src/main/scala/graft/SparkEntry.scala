@@ -2218,7 +2218,8 @@ object SparkEntry {
         // edges so the SHIPPING serve path (layered descent, q271)
         // is servable from storage too (q277)
         graft.operators.Similarity.knnGraphWriteLayer(
-          s, idx, level = 1, knnGraphL1(s, dir))
+          s, idx, level = 1, knnGraphL1(s, dir),
+          e.where(graft.operators.Similarity.knnLayerMemberFilter(col("id"), 1, 8)))
         ckptRoots.add(java.nio.file.Paths.get(path))
         ckptHook
         knnGraphStoreCache = (s, dir, idx)

@@ -1955,9 +1955,12 @@ object Similarity {
       k: Int,
       lshBits: Int,
       lshTables: Int,
-      anchorsPerBucket: Int) {
+      anchorsPerBucket: Int,
+      layerFactor: Int = 8) {
     def edgesPath: String = s"$path/edges"
     def anchorsPath: String = s"$path/anchors"
+    def layerEdgesPath(level: Int): String = s"$path/layer$level/edges"
+    def layerAnchorsPath(level: Int): String = s"$path/layer$level/anchors"
     /** Stored anchor depth: anchorsPerBucket of seed cut + an equal
       * slack band for batch-proportional delete recuts. Invariant
       * maintained by every lifecycle op: each stored (tb, bkt) holds
@@ -1985,9 +1988,11 @@ object Similarity {
       k: Int = 8,
       lshBits: Int = 5,
       lshTables: Int = 3,
-      anchorsPerBucket: Int = 32): KnnGraphIndex = {
+      anchorsPerBucket: Int = 32,
+      layerFactor: Int = 8): KnnGraphIndex = {
     require(parts > 0, s"parts must be positive, got $parts")
-    val idx = KnnGraphIndex(path, parts, k, lshBits, lshTables, anchorsPerBucket)
+    val idx = KnnGraphIndex(path, parts, k, lshBits, lshTables, anchorsPerBucket,
+      layerFactor)
     val tmp = path + ".build.tmp"
     graph.select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
       .withColumn("part", pmod(col("node_id"), lit(parts.toLong)))
@@ -2021,20 +2026,26 @@ object Similarity {
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
 
   /** Persist a HIERARCHY layer's graph beside a [[KnnGraphIndex]]'s
-    * base edges (`path`/layerL/part=P/…, same partitioning, sorting,
-    * and staged-swap discipline as the base table) — the storage leg
-    * of [[knnGraphServeLayered]], so a serving fleet reads the
-    * SHIPPING serve path (hierarchical descent) from disk, not just
-    * the flat baseline. Layer L is expected to be the
-    * [[knnGraphBuild]] of the [[knnLayerMemberFilter]](L) subsample;
-    * nothing enforces that here — the layered-serve contract query
-    * (q277) pins the end-to-end equality instead.
+    * base edges (`path`/layerL/edges/part=P/… plus the layer's OWN
+    * deep anchor cut at `path`/layerL/anchors/ — same partitioning,
+    * sorting, and staged-swap discipline as the base table) — the
+    * storage leg of [[knnGraphServeLayered]], so a serving fleet
+    * reads the SHIPPING serve path (hierarchical descent) from disk,
+    * not just the flat baseline. The per-layer anchor table is what
+    * lets [[knnGraphAppendPartitioned]]/[[knnGraphDeletePartitioned]]
+    * maintain the layer batch-proportionally, exactly like the base.
+    * Layer L is expected to be the [[knnGraphBuild]] of the
+    * [[knnLayerMemberFilter]](L) subsample and `layerCorpus` that
+    * subsample's rows; nothing enforces it here — the layered-serve
+    * contract queries (q277/q278) pin the end-to-end equality
+    * instead.
     */
   def knnGraphWriteLayer(
       spark: org.apache.spark.sql.SparkSession,
       index: KnnGraphIndex,
       level: Int,
-      graph: DataFrame): KnnGraphIndex = {
+      graph: DataFrame,
+      layerCorpus: DataFrame): KnnGraphIndex = {
     require(level > 0, s"layer level must be positive, got $level")
     val dst = s"${index.path}/layer$level"
     val tmp = s"${index.path}/.layer$level.tmp"
@@ -2042,7 +2053,13 @@ object Similarity {
       .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
       .repartition(col("part"))
       .sortWithinPartitions("part", "node_id", "nb_rank")
-      .write.mode("overwrite").partitionBy("part").parquet(tmp)
+      .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
+    knnLshAnchorsOf(
+        knnLshSignatures(layerCorpus, index.lshBits, index.lshTables),
+        index.anchorDepth)
+      .orderBy("tb", "bkt", "id")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/anchors")
     val hDst = new org.apache.hadoop.fs.Path(dst)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hDst.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2061,8 +2078,27 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       index: KnnGraphIndex,
       level: Int): DataFrame =
-    spark.read.parquet(s"${index.path}/layer$level")
+    spark.read.parquet(index.layerEdgesPath(level))
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+
+  /** Levels of the persisted hierarchy layers present under
+    * `index.path`, TOP-FIRST (the order
+    * [[knnGraphServeLayered]] consumes) — a deterministic directory
+    * listing, so the lifecycle ops discover what they must maintain
+    * without any manifest.
+    */
+  def knnGraphLayerLevels(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): Seq[Int] = {
+    val p = new org.apache.hadoop.fs.Path(index.path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .map(_.getPath.getName)
+      .collect { case s if s.matches("layer\\d+") =>
+        s.stripPrefix("layer").toInt }
+      .sorted.reverse
+  }
 
   /** Append a batch of new vectors to a PERSISTED [[KnnGraphIndex]] —
     * the graph family's [[ivfPqAppend]]: the batch is signed map-only
@@ -2079,20 +2115,69 @@ object Similarity {
     *
     * The resulting stored graph equals the in-memory
     * [[knnGraphAppend]] over old ∪ batch (q275 pins it with q268's
-    * oracle verbatim).
+    * oracle verbatim). Persisted hierarchy layers
+    * ([[knnGraphWriteLayer]]) are maintained SYMMETRICALLY: each
+    * layer's member slice of the batch runs the same cycle against
+    * the layer's own stored anchors, so the stored layered serve
+    * stays live across mutations (q278 pins the appended+deleted
+    * layered serve end to end).
     */
   def knnGraphAppendPartitioned(
       spark: org.apache.spark.sql.SparkSession,
       index: KnnGraphIndex,
       corpus: DataFrame,
       newFilter: Column): KnnGraphIndex = {
-    val oldAnchors = spark.read.parquet(index.anchorsPath)
-    val stored = knnGraphReadEdges(spark, index)
+    appendStoredTable(spark, corpus, newFilter,
+      index.edgesPath, index.anchorsPath, index.path + ".append.tmp",
+      index.parts, index.k, index.lshBits, index.lshTables,
+      index.anchorsPerBucket, index.anchorDepth)
+    // hierarchy symmetry: each persisted layer takes its OWN member
+    // slice of the batch through the SAME algebra, against its own
+    // stored anchor table — nesting (member(L) ⊂ member(L-1)) means a
+    // batch node simply appears in every layer up to its level, and a
+    // layer whose batch slice is empty is untouched (common: layers
+    // thin geometrically)
+    knnGraphLayerLevels(spark, index).foreach { l =>
+      appendStoredTable(spark,
+        corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
+        newFilter,
+        index.layerEdgesPath(l), index.layerAnchorsPath(l),
+        s"${index.path}.append.layer$l.tmp",
+        index.parts, index.k, index.lshBits, index.lshTables,
+        index.anchorsPerBucket, index.anchorDepth)
+    }
+    index
+  }
+
+  /** One stored edge table's append cycle — [[knnGraphAppendParts]]
+    * against the table's own stored anchors, touched-partition-only
+    * staged rewrite, merged deep anchor cut. `corpusOfTable` is the
+    * universe the table indexes (the full corpus for the base table;
+    * the layer's member slice for a hierarchy layer) — the anchor
+    * algebra, batch slice, and emptiness gates are all relative to
+    * it.
+    */
+  private def appendStoredTable(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusOfTable: DataFrame,
+      newFilter: Column,
+      edgesPath: String,
+      anchorsPath: String,
+      tmp: String,
+      parts: Int,
+      k: Int,
+      lshBits: Int,
+      lshTables: Int,
+      anchorsPerBucket: Int,
+      anchorDepth: Int): Unit = {
+    val oldAnchors = spark.read.parquet(anchorsPath)
+    val stored = spark.read.parquet(edgesPath)
+      .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
     val (touched, touchedRows, _) = knnGraphAppendParts(
-      stored, corpus, newFilter, index.k, index.lshBits, index.lshTables,
-      index.anchorsPerBucket, Some(oldAnchors))
+      stored, corpusOfTable, newFilter, k, lshBits, lshTables,
+      anchorsPerBucket, Some(oldAnchors))
     val affectedParts = touched
-      .select(pmod(col("node_id"), lit(index.parts.toLong)).as("part"))
+      .select(pmod(col("node_id"), lit(parts.toLong)).as("part"))
       .distinct().collect().map(_.getLong(0)).sorted
     // the anchor merge is gated on the BATCH being non-empty, not on
     // affectedParts: a non-empty batch can legally produce zero seed
@@ -2102,20 +2187,19 @@ object Similarity {
     // silently breaks for every subsequent append. The short-circuit
     // keeps the common case (proposals exist) free of the extra
     // emptiness probe.
-    if (affectedParts.nonEmpty || !corpus.where(newFilter).isEmpty) {
-      val tmp = index.path + ".append.tmp"
+    if (affectedParts.nonEmpty || !corpusOfTable.where(newFilter).isEmpty) {
       if (affectedParts.nonEmpty) {
         // rows the affected partitions must hold after the append: the
         // touched nodes' merged rows plus the partitions' untouched rows
         // (partition-pruned scan; anti-join against the touched set)
-        val storedAff = spark.read.parquet(index.edgesPath)
+        val storedAff = spark.read.parquet(edgesPath)
           .where(col("part").isin(affectedParts: _*))
           .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
         val untouchedAff = storedAff
           .join(touched, Seq("node_id"), "left_anti")
-          .where(col("nb_rank") <= index.k)
+          .where(col("nb_rank") <= k)
         val outRows = untouchedAff.union(touchedRows)
-          .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
+          .withColumn("part", pmod(col("node_id"), lit(parts.toLong)))
         outRows
           .repartition(col("part"))
           .sortWithinPartitions("part", "node_id", "nb_rank")
@@ -2125,34 +2209,49 @@ object Similarity {
       // — distinct defends a non-disjoint batch (e.g. an append retried
       // after a mid-swap failure) from inflating the per-bucket window
       val newSig = knnLshSignatures(
-        corpus.where(newFilter), index.lshBits, index.lshTables)
+        corpusOfTable.where(newFilter), lshBits, lshTables)
       knnLshAnchorsOf(
           oldAnchors.select(col("tb"), col("bkt"), col("id"))
             .union(newSig.select(col("tb"), col("bkt"), col("id")))
             .distinct(),
-          index.anchorDepth)
+          anchorDepth)
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
-      val fs = new org.apache.hadoop.fs.Path(index.path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affectedParts.foreach { p =>
-        val dst = new org.apache.hadoop.fs.Path(index.edgesPath, s"part=$p")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/edges", s"part=$p")
-        fs.delete(dst, true)
-        if (fs.exists(src) && !fs.rename(src, dst))
-          throw new java.io.IOException(
-            s"knnGraphAppendPartitioned: failed to swap $src into $dst")
-      }
-      val anchorsDst = new org.apache.hadoop.fs.Path(index.anchorsPath)
-      val anchorsSrc = new org.apache.hadoop.fs.Path(s"$tmp/anchors")
-      fs.delete(anchorsDst, true)
-      if (!fs.rename(anchorsSrc, anchorsDst))
-        throw new java.io.IOException(
-          s"knnGraphAppendPartitioned: failed to swap $anchorsSrc into $anchorsDst")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      swapStagedTable(spark, tmp, edgesPath, anchorsPath, affectedParts,
+        "knnGraphAppendPartitioned")
     }
-    index
+  }
+
+  /** The per-partition rename swap shared by the append/delete
+    * cycles: affected `part=P` dirs move from the staged sibling into
+    * the live table (a partition fully emptied by a delete has no
+    * staged dir — its live dir stays deleted), then the staged anchor
+    * cut replaces the live one, then the staging root drops.
+    */
+  private def swapStagedTable(
+      spark: org.apache.spark.sql.SparkSession,
+      tmp: String,
+      edgesPath: String,
+      anchorsPath: String,
+      affectedParts: Array[Long],
+      opName: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(edgesPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affectedParts.foreach { p =>
+      val dst = new org.apache.hadoop.fs.Path(edgesPath, s"part=$p")
+      val src = new org.apache.hadoop.fs.Path(s"$tmp/edges", s"part=$p")
+      fs.delete(dst, true)
+      if (fs.exists(src) && !fs.rename(src, dst))
+        throw new java.io.IOException(s"$opName: failed to swap $src into $dst")
+    }
+    val anchorsDst = new org.apache.hadoop.fs.Path(anchorsPath)
+    val anchorsSrc = new org.apache.hadoop.fs.Path(s"$tmp/anchors")
+    fs.delete(anchorsDst, true)
+    if (!fs.rename(anchorsSrc, anchorsDst))
+      throw new java.io.IOException(
+        s"$opName: failed to swap $anchorsSrc into $anchorsDst")
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Delete a batch of nodes from a PERSISTED [[KnnGraphIndex]] — the
@@ -2173,59 +2272,83 @@ object Similarity {
     *
     * The resulting stored graph equals the in-memory
     * [[knnGraphDelete]] (q276 pins it with q269's oracle verbatim).
+    * Persisted hierarchy layers are maintained symmetrically — the
+    * tombstones' member slice drops from each layer through the same
+    * cycle (see [[knnGraphAppendPartitioned]]).
     */
   def knnGraphDeletePartitioned(
       spark: org.apache.spark.sql.SparkSession,
       index: KnnGraphIndex,
       corpus: DataFrame,
       deleteFilter: Column): KnnGraphIndex = {
-    val stored = knnGraphReadEdges(spark, index)
+    deleteStoredTable(spark, corpus, deleteFilter,
+      index.edgesPath, index.anchorsPath, index.path + ".delete.tmp",
+      index.parts, index.k, index.lshBits, index.lshTables, index.anchorDepth)
+    // hierarchy symmetry: tombstones drop from every persisted layer
+    // they are a member of (the member filter is a deterministic
+    // function of id, so the layer slice of the tombstone set is
+    // exact); a layer with no member tombstones is untouched
+    knnGraphLayerLevels(spark, index).foreach { l =>
+      deleteStoredTable(spark,
+        corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
+        deleteFilter,
+        index.layerEdgesPath(l), index.layerAnchorsPath(l),
+        s"${index.path}.delete.layer$l.tmp",
+        index.parts, index.k, index.lshBits, index.lshTables, index.anchorDepth)
+    }
+    index
+  }
+
+  /** One stored edge table's delete cycle — [[knnGraphDeleteParts]]
+    * over the table's universe, changed-partition-only staged
+    * rewrite, batch-proportional anchor recut
+    * ([[knnGraphDeleteAnchorRecut]]). `corpusOfTable` as in
+    * [[appendStoredTable]]. A delete whose tombstone slice misses
+    * this table entirely is a no-op (`changed` is empty exactly when
+    * no tombstone is in the table's universe, because every tombstone
+    * in it is an edge owner).
+    */
+  private def deleteStoredTable(
+      spark: org.apache.spark.sql.SparkSession,
+      corpusOfTable: DataFrame,
+      deleteFilter: Column,
+      edgesPath: String,
+      anchorsPath: String,
+      tmp: String,
+      parts: Int,
+      k: Int,
+      lshBits: Int,
+      lshTables: Int,
+      anchorDepth: Int): Unit = {
+    val stored = spark.read.parquet(edgesPath)
+      .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
     val (changed, affectedRows, _) = knnGraphDeleteParts(
-      stored, corpus, deleteFilter, index.k)
+      stored, corpusOfTable, deleteFilter, k)
     val affectedParts = changed
-      .select(pmod(col("node_id"), lit(index.parts.toLong)).as("part"))
+      .select(pmod(col("node_id"), lit(parts.toLong)).as("part"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (affectedParts.nonEmpty) {
-      val storedAff = spark.read.parquet(index.edgesPath)
+      val storedAff = spark.read.parquet(edgesPath)
         .where(col("part").isin(affectedParts: _*))
         .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
       val unaffectedAff = storedAff
         .join(changed, Seq("node_id"), "left_anti")
-        .where(col("nb_rank") <= index.k)
+        .where(col("nb_rank") <= k)
       val outRows = unaffectedAff.union(affectedRows)
-        .withColumn("part", pmod(col("node_id"), lit(index.parts.toLong)))
-      val tmp = index.path + ".delete.tmp"
+        .withColumn("part", pmod(col("node_id"), lit(parts.toLong)))
       outRows
         .repartition(col("part"))
         .sortWithinPartitions("part", "node_id", "nb_rank")
         .write.mode("overwrite").partitionBy("part").parquet(s"$tmp/edges")
       val (newAnchors, _) = knnGraphDeleteAnchorRecut(
-        spark.read.parquet(index.anchorsPath), corpus, deleteFilter,
-        index.lshBits, index.lshTables, index.anchorDepth)
+        spark.read.parquet(anchorsPath), corpusOfTable, deleteFilter,
+        lshBits, lshTables, anchorDepth)
       newAnchors
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
-      val fs = new org.apache.hadoop.fs.Path(index.path)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affectedParts.foreach { p =>
-        val dst = new org.apache.hadoop.fs.Path(index.edgesPath, s"part=$p")
-        val src = new org.apache.hadoop.fs.Path(s"$tmp/edges", s"part=$p")
-        fs.delete(dst, true)
-        // a partition whose every row was deleted has no staged dir —
-        // the delete above already removed it from the live index
-        if (fs.exists(src) && !fs.rename(src, dst))
-          throw new java.io.IOException(
-            s"knnGraphDeletePartitioned: failed to swap $src into $dst")
-      }
-      val anchorsDst = new org.apache.hadoop.fs.Path(index.anchorsPath)
-      val anchorsSrc = new org.apache.hadoop.fs.Path(s"$tmp/anchors")
-      fs.delete(anchorsDst, true)
-      if (!fs.rename(anchorsSrc, anchorsDst))
-        throw new java.io.IOException(
-          s"knnGraphDeletePartitioned: failed to swap $anchorsSrc into $anchorsDst")
-      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      swapStagedTable(spark, tmp, edgesPath, anchorsPath, affectedParts,
+        "knnGraphDeletePartitioned")
     }
-    index
   }
 }

@@ -180,7 +180,8 @@ class KnnGraphStoreSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("knn_store_layer").toString + "/idx"
     val idx = Similarity.knnGraphWritePartitioned(spark, layers(1), corpus, dir,
       parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
-    Similarity.knnGraphWriteLayer(spark, idx, level = 1, layers.head)
+    Similarity.knnGraphWriteLayer(spark, idx, level = 1, layers.head,
+      corpus.where(Similarity.knnLayerMemberFilter(col("id"), 1, 8)))
     // layer roundtrip
     assert(graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)) ==
       graphRows(layers.head))
@@ -231,6 +232,88 @@ class KnnGraphStoreSpec extends SparkTestBase {
         idx.anchorDepth)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(storedAnch == survAnch, "anchors must equal the survivor-corpus deep cut")
+  }
+
+  test("lifecycle maintains persisted layers: append/delete mutate each layer's slice") {
+    val all = gaussians(160, 61L)
+    val member1 = Similarity.knnLayerMemberFilter(col("id"), 1, 2)
+    val old = all.where(col("id") % 5 =!= 4)
+    // layered store over the OLD corpus (layerFactor 2 keeps the layer
+    // populated at spec scale)
+    val g0 = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val l0 = Similarity.knnGraphBuild(old.where(member1), k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_store_hier").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g0, old, dir,
+      parts = 8, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12,
+      layerFactor = 2)
+    Similarity.knnGraphWriteLayer(spark, idx, level = 1, l0, old.where(member1))
+    assert(Similarity.knnGraphLayerLevels(spark, idx) == Seq(1))
+
+    def layerFiles(level: Int): Map[String, (Long, Long)] = {
+      val root = new java.io.File(idx.layerEdgesPath(level))
+      root.listFiles().filter(_.getName.startsWith("part="))
+        .flatMap(d => d.listFiles().filter(_.getName.endsWith(".parquet"))
+          .map(f => (d.getName + "/" + f.getName) -> (f.length(), f.lastModified())))
+        .toMap
+    }
+    val layerBefore = layerFiles(1)
+
+    // in-memory references computed over the SAME stored tables
+    val expectBase = graphRows(Similarity.knnGraphAppend(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 5 === 4,
+      k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12))
+    val expectLayer = graphRows(Similarity.knnGraphAppend(
+      Similarity.knnGraphReadLayer(spark, idx, 1), all.where(member1),
+      col("id") % 5 === 4, k = 4, lshBits = 2, lshTables = 2,
+      anchorsPerBucket = 12))
+    val (touchedL, _, _) = Similarity.knnGraphAppendParts(
+      Similarity.knnGraphReadLayer(spark, idx, 1), all.where(member1),
+      col("id") % 5 === 4, k = 4, lshBits = 2, lshTables = 2,
+      anchorsPerBucket = 12,
+      oldAnchors = Some(spark.read.parquet(idx.layerAnchorsPath(1))))
+    val touchedLParts = touchedL.select(pmod(col("node_id"), lit(8L)))
+      .distinct().collect().map(_.getLong(0)).toSet
+
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 5 === 4)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expectBase,
+      "stored base append must equal the in-memory append")
+    assert(graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)) == expectLayer,
+      "stored layer append must equal the in-memory layer-slice append")
+    // untouched LAYER partitions byte-identical
+    val layerAfter = layerFiles(1)
+    val lb = layerBefore.filterNot { case (kk, _) =>
+      touchedLParts.exists(p => kk.startsWith(s"part=$p/")) }
+    val la = layerAfter.filterNot { case (kk, _) =>
+      touchedLParts.exists(p => kk.startsWith(s"part=$p/")) }
+    assert(lb == la, s"untouched layer partitions must stay byte-identical:\n$lb\nvs\n$la")
+    // layer anchors advanced to the layer corpus's deep cut
+    val layerAnch = spark.read.parquet(idx.layerAnchorsPath(1))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val expectAnch = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all.where(member1), 2, 2), idx.anchorDepth)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(layerAnch == expectAnch,
+      "layer anchors must equal the layer corpus's deep cut")
+
+    // DELETE: tombstones drop from the layer too
+    val expectBaseD = graphRows(Similarity.knnGraphDelete(
+      Similarity.knnGraphReadEdges(spark, idx), all, col("id") % 7 === 3, k = 4))
+    val expectLayerD = graphRows(Similarity.knnGraphDelete(
+      Similarity.knnGraphReadLayer(spark, idx, 1), all.where(member1),
+      col("id") % 7 === 3, k = 4))
+    Similarity.knnGraphDeletePartitioned(spark, idx, all, col("id") % 7 === 3)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expectBaseD,
+      "stored base delete must equal the in-memory delete")
+    assert(graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)) == expectLayerD,
+      "stored layer delete must equal the in-memory layer-slice delete")
+    // no tombstone survives in any layer (tombstoned entries were the
+    // staleness ADVICE flagged)
+    val tombs = (0L until 160L).filter(_ % 7 == 3).toSet
+    val layerIds = Similarity.knnGraphReadLayer(spark, idx, 1)
+      .select("node_id").collect().map(_.getLong(0)).toSet
+    assert(layerIds.intersect(tombs).isEmpty, "no tombstoned node may own layer rows")
   }
 
   test("delete anchor recut is batch-proportional: no signature scan unless a bucket exhausts") {
