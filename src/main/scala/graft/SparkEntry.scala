@@ -2354,13 +2354,18 @@ object SparkEntry {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     // mutate a file-level copy of the memoized q273 index — the
-    // shared store itself must stay pristine for the serve queries
+    // shared store itself must stay pristine for the serve queries.
+    // The copy's hierarchy layer is stripped (one directory delete):
+    // this query prices the FLAT delete leg, q269's oracle shape —
+    // the layered lifecycle is q278's contract, and paying the layer
+    // maintenance here per bench rep would double-charge it
     val base = knnGraphStored(s, dir)
     val path = base.path + "_delmut"
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     copyDirLocal(base.path, path)
+    fs.delete(new org.apache.hadoop.fs.Path(path + "/layer1"), true)
     val idx = base.copy(path = path)
     graft.operators.Similarity.knnGraphDeletePartitioned(
       s, idx, e, pmod(col("id"), lit(7L)) === 3)
@@ -2368,6 +2373,125 @@ object SparkEntry {
       .orderBy("node_id", "nb_rank").localCheckpoint()
     fs.delete(new org.apache.hadoop.fs.Path(path), true)
     out
+  }
+
+  /** The layer-1 graph over the OLD (80%) corpus behind q278's
+    * layered lifecycle — [[knnGraphOld]]'s hierarchy sibling,
+    * memoized and priced like the rest of the graph artifacts.
+    */
+  @transient private var knnGraphOldL1Cache: (SparkSession, String, DataFrame) = null
+
+  private def knnGraphOldL1(s: SparkSession, dir: String): DataFrame = synchronized {
+    if (knnGraphOldL1Cache != null && (knnGraphOldL1Cache._1 eq s)
+        && knnGraphOldL1Cache._2 == dir) knnGraphOldL1Cache._3
+    else {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      val g = graft.operators.Similarity.knnGraphBuild(
+        e.where(pmod(col("id"), lit(5L)) =!= 4
+          && graft.operators.Similarity.knnLayerMemberFilter(col("id"), 1, 8)),
+        k = 8, rounds = 3, revCap = 32, lshBits = 5, lshTables = 3).persist()
+      g.count()
+      knnGraphOldL1Cache = (s, dir, g)
+      g
+    }
+  }
+
+  /** The persisted LAYERED 80%-corpus index behind q278 (base edges +
+    * layer-1 graph + per-table deep anchor cuts), built once per
+    * (session, sf dir); q278 file-copies it per invocation and runs
+    * the full mutation lifecycle on the copy.
+    */
+  @transient private var knnGraphOldHierStoreCache:
+    (SparkSession, String, graft.operators.Similarity.KnnGraphIndex) = null
+
+  private def knnGraphOldHierStored(
+      s: SparkSession, dir: String): graft.operators.Similarity.KnnGraphIndex =
+    synchronized {
+      if (knnGraphOldHierStoreCache != null && (knnGraphOldHierStoreCache._1 eq s)
+          && knnGraphOldHierStoreCache._2 == dir) knnGraphOldHierStoreCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val old = e.where(pmod(col("id"), lit(5L)) =!= 4)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_knn_hier_base",
+          s"${digest}_${ProcessHandle.current().pid()}").toString
+        val idx = graft.operators.Similarity.knnGraphWritePartitioned(
+          s, knnGraphOld(s, dir), old, path, parts = 8, k = 8,
+          lshBits = 5, lshTables = 3, anchorsPerBucket = 32, layerFactor = 8)
+        graft.operators.Similarity.knnGraphWriteLayer(
+          s, idx, level = 1, knnGraphOldL1(s, dir),
+          old.where(graft.operators.Similarity.knnLayerMemberFilter(col("id"), 1, 8)))
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        knnGraphOldHierStoreCache = (s, dir, idx)
+        idx
+      }
+    }
+
+  /** The MUTATED layered store behind q278: the old-corpus layered
+    * index takes the 20% arrivals through the partitioned append
+    * (base + layer-1, each against its stored anchors), then ~1/7 of
+    * nodes tombstone out of every layer. Mutated ONCE per (session,
+    * sf dir) — the ingest-pipeline cost, priced in [[buildCaches]]
+    * like the index builds themselves (the r15 verdict's explicit
+    * guidance: lifecycle queries must not re-pay a build per bench
+    * rep; q275/q276 keep pricing the per-invocation flat mutations).
+    */
+  @transient private var knnGraphHierMutCache:
+    (SparkSession, String, graft.operators.Similarity.KnnGraphIndex) = null
+
+  private def knnGraphHierMutStored(
+      s: SparkSession, dir: String): graft.operators.Similarity.KnnGraphIndex =
+    synchronized {
+      if (knnGraphHierMutCache != null && (knnGraphHierMutCache._1 eq s)
+          && knnGraphHierMutCache._2 == dir) knnGraphHierMutCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val base = knnGraphOldHierStored(s, dir)
+        val path = base.path + "_lcmut"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        copyDirLocal(base.path, path)
+        val idx = base.copy(path = path)
+        graft.operators.Similarity.knnGraphAppendPartitioned(
+          s, idx, e, pmod(col("id"), lit(5L)) === 4)
+        graft.operators.Similarity.knnGraphDeletePartitioned(
+          s, idx, e, pmod(col("id"), lit(7L)) === 3)
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        knnGraphHierMutCache = (s, dir, idx)
+        idx
+      }
+    }
+
+  /** Graph-based ANN, hierarchical storage LIFECYCLE leg (q278): the
+    * 20% arrivals append into a persisted LAYERED index — base AND
+    * layer-1 graphs each take their member slice through the stored
+    * anchor algebra — then ~1/7 of nodes tombstone out of every
+    * layer, and the HIERARCHICAL serve (the shipping path) runs off
+    * the mutated store's read-back. The oracle replicates the whole
+    * composition: both layers' append unrolls, both delete unrolls,
+    * and the layered beam descent (entries = the MUTATED layer's node
+    * set). This is the query that makes layer staleness impossible to
+    * reintroduce silently: before r16, q277 served build-time layers
+    * and any mutation left tombstones as top-layer entries.
+    */
+  private def qKnnHierLifecycle(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val idx = knnGraphHierMutStored(s, dir)
+    graft.operators.Similarity.knnGraphServeLayered(
+      e.where(col("id") < 5),
+      Seq(graft.operators.Similarity.knnGraphReadLayer(s, idx, 1),
+        graft.operators.Similarity.knnGraphReadEdges(s, idx)), e,
+      k = 5, beam = 8, hopsPerLayer = 2)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
   /** Robust per-language outlier gate on document length: exact
@@ -4958,6 +5082,9 @@ object SparkEntry {
       "knn_graph_l1" -> timed(knnGraphL1(s, dir)),
       "knn_graph_store" -> timed(knnGraphStored(s, dir)),
       "knn_graph_old_store" -> timed(knnGraphOldStored(s, dir)),
+      "knn_graph_old_l1" -> timed(knnGraphOldL1(s, dir)),
+      "knn_graph_hier_store" -> timed(knnGraphOldHierStored(s, dir)),
+      "knn_graph_hier_mut" -> timed(knnGraphHierMutStored(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),
       "pos_index" -> timed(posIndexBucketed(s, dir)),
       "co_ship_pairs" -> timed(supplierPairs(s, dir)))
@@ -5231,6 +5358,7 @@ object SparkEntry {
     "q275_knn_graph_store_append" -> qKnnGraphStoreAppend _,
     "q276_knn_graph_store_delete" -> qKnnGraphStoreDelete _,
     "q277_knn_hier_stored" -> qKnnHierStored _,
+    "q278_knn_hier_lifecycle" -> qKnnHierLifecycle _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9447,6 +9575,37 @@ object SparkEntry {
           | FROM b6 WHERE cand <> query_id) WHERE rk <= 5
           |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
 
+      // hierarchical storage lifecycle: append both layers' member
+      // slices (q268's unroll ×2), tombstone both layers (q269's
+      // unroll ×2), then the layered descent over the MUTATED graphs
+      // — entries are the mutated layer's node set
+      "q278_knn_hier_lifecycle" ->
+        ("WITH " + knnSeedCtes("TRUE", "") + ",\n " +
+          knnSeedCtes("vec_id % 5 <> 4", "o") + knnDescentCtes("o") + ",\n " +
+          knnSeedCtes("(((vec_id % 1000003) * 2654435761) % 2147483647) % 8 = 0", "h") + ",\n " +
+          knnSeedCtes("(((vec_id % 1000003) * 2654435761) % 2147483647) % 8 = 0 AND vec_id % 5 <> 4", "ho") +
+          knnDescentCtes("ho") +
+          knnAppendCtes("b", "nb3o", "pairs", "e", "vec_id % 5 = 4") +
+          knnAppendCtes("l", "nb3ho", "pairsh", "eh", "vec_id % 5 = 4") +
+          knnDeleteCtes("b", "gab", "e", "vec_id % 7 = 3") +
+          knnDeleteCtes("l", "gal", "eh", "vec_id % 7 = 3") + s""",
+          | q AS (SELECT vec_id AS query_id, vec AS qv FROM e WHERE vec_id < 5),
+          | ent AS (SELECT DISTINCT i FROM gdl),
+          | b0 AS MATERIALIZED (SELECT query_id, cand, cos FROM (
+          |   SELECT q.query_id, c.vec_id AS cand,
+          |    ${knnCosSql("q.qv", "c.vec")} AS cos,
+          |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+          |      ${knnCosSql("q.qv", "c.vec")} DESC,
+          |      c.vec_id) AS rk
+          |   FROM q CROSS JOIN e c WHERE c.vec_id IN (SELECT i FROM ent)) WHERE rk <= 8)""".stripMargin +
+          knnBeamHopCtes(0, 2, "(SELECT i, j FROM gdl)", 8) +
+          knnBeamHopCtes(2, 2, "(SELECT i, j FROM gdb)", 8) + """
+          |SELECT query_id, cand AS neighbor_id, cos FROM (
+          | SELECT query_id, cand, cos,
+          |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rk
+          | FROM b4 WHERE cand <> query_id) WHERE rk <= 5
+          |ORDER BY query_id, cos DESC, neighbor_id""".stripMargin),
+
       // serve-level recall gate: the hierarchical serve's top-5 vs
       // brute-force truth on sampled queries — both pipelines
       // replicated (the layered beam unroll AND the exact truth)
@@ -9960,6 +10119,60 @@ object SparkEntry {
          |   FROM f$c f JOIN q ON q.query_id = f.query_id JOIN e c ON c.vec_id = f.cand)
          |  WHERE rk <= $beam)""".stripMargin
     }.mkString
+
+  /** The graph-append unroll (q268's four steps) parametrized over
+    * suffix `x`, the base-graph CTE, the full-universe seed pairs
+    * CTE, the corpus CTE, and the arriving-row condition — emits
+    * `ga$x` (i, j, cos), the appended graph's top-8 rows. Lets the
+    * lifecycle oracle (q278) run the SAME unroll once per hierarchy
+    * layer without hand-copying q268's text.
+    */
+  private def knnAppendCtes(x: String, graphCte: String, pairsCte: String,
+      eCte: String, newCond: String): String = s""",
+    | newn$x AS (SELECT vec_id AS id FROM $eCte WHERE $newCond),
+    | nseed$x AS (SELECT p.i, p.j FROM $pairsCte p JOIN newn$x n ON p.i = n.id),
+    | nexp$x AS (SELECT s.i, g.j FROM nseed$x s JOIN $graphCte g ON g.i = s.j),
+    | ncand$x AS (SELECT DISTINCT i, j FROM (
+    |   SELECT i, j FROM nseed$x UNION ALL SELECT i, j FROM nexp$x) WHERE i <> j),
+    | nsc$x AS MATERIALIZED (SELECT c.i, c.j,
+    |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+    |  FROM ncand$x c JOIN $eCte ei ON ei.vec_id = c.i JOIN $eCte ej ON ej.vec_id = c.j),
+    | mrg$x AS (SELECT DISTINCT i, j, cos FROM (
+    |   SELECT i, j, cos FROM $graphCte
+    |   UNION ALL SELECT j AS i, i AS j, cos FROM nsc$x
+    |   UNION ALL SELECT i, j, cos FROM nsc$x)),
+    | ga$x AS MATERIALIZED (SELECT i, j, cos FROM (
+    |   SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+    |   FROM mrg$x) WHERE rk <= 8)""".stripMargin
+
+  /** The graph-delete unroll (q269's tombstone + capped backfill)
+    * parametrized the same way — emits `gd$x` (i, j, cos), the
+    * surviving graph's top-8 rows.
+    */
+  private def knnDeleteCtes(x: String, graphCte: String, eCte: String,
+      delCond: String): String = s""",
+    | deld$x AS (SELECT vec_id AS id FROM $eCte WHERE $delCond),
+    | keptg$x AS MATERIALIZED (SELECT i, j, cos FROM $graphCte
+    |  WHERE i NOT IN (SELECT id FROM deld$x) AND j NOT IN (SELECT id FROM deld$x)),
+    | affd$x AS (SELECT DISTINCT i FROM $graphCte
+    |  WHERE j IN (SELECT id FROM deld$x) AND i NOT IN (SELECT id FROM deld$x)),
+    | undd$x AS (SELECT DISTINCT i, j FROM (
+    |   SELECT i, j FROM keptg$x UNION ALL SELECT j, i FROM keptg$x)),
+    | capd$x AS MATERIALIZED (SELECT i, j FROM (
+    |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $knnCapHash, j) AS r
+    |   FROM undd$x) WHERE r <= 32),
+    | candd$x AS (SELECT DISTINCT i, j FROM (
+    |   SELECT a.i AS i, b.j AS j FROM capd$x a JOIN capd$x b ON a.j = b.i
+    |   UNION ALL SELECT i, j FROM capd$x)
+    |  WHERE i <> j AND i IN (SELECT i FROM affd$x)),
+    | scd$x AS (SELECT c.i, c.j,
+    |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+    |  FROM candd$x c JOIN $eCte ei ON ei.vec_id = c.i JOIN $eCte ej ON ej.vec_id = c.j),
+    | mrgd$x AS (SELECT DISTINCT i, j, cos FROM (
+    |   SELECT i, j, cos FROM keptg$x UNION ALL SELECT i, j, cos FROM scd$x)),
+    | gd$x AS MATERIALIZED (SELECT i, j, cos FROM (
+    |   SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+    |   FROM mrgd$x) WHERE rk <= 8)""".stripMargin
 
   /** The hierarchical serve's full CTE chain (q271/q272): both layer
     * graphs (nb3 = layer 0 over the full corpus, nb3h = layer 1 over

@@ -1462,22 +1462,37 @@ object Similarity {
       .join(broadcast(tomb.withColumn("__dead", lit(1))), Seq("id"), "left")
       .groupBy("tb", "bkt")
       .agg(count(lit(1)).as("__n"), sum(coalesce(col("__dead"), lit(0))).as("__ndead"))
-    val resign = stats
-      .where(col("__n") === depth && col("__ndead") > 0)
-      .select("tb", "bkt")
-      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq.sorted
+    val allStats = stats
+      .select(col("tb"), col("bkt"),
+        (col("__n") === depth && col("__ndead") > 0).as("__resign"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getBoolean(2)))
+    val resign = allStats.collect { case (t, b, true) => (t, b) }.toSeq.sorted
     val survivors = st.join(broadcast(tomb), Seq("id"), "left_anti")
       .select("tb", "bkt", "id")
+    // single-long bucket key (tb ⋅ 2^32 + bkt — bkt < 2^lshBits «
+    // 2^32) so the small-resign filter plans as one isin instead of a
+    // pathological OR chain
+    def bKey(tb: Column, bkt: Column): Column = tb.cast("long") * 4294967296L + bkt
     if (resign.isEmpty) (survivors, resign)
-    else {
-      val inResign = resign
-        .map { case (t, b) => col("tb") === t && col("bkt") === b }
-        .reduce(_ || _)
+    else if (resign.size * 4 >= allStats.length) {
+      // mass-delete shortcut: when a wide tombstone batch re-signs a
+      // sizable share of buckets (≥ 1/4), the one-pass full survivor
+      // recut IS the cheapest correct plan — the signature scan's
+      // INPUT is the survivor corpus either way, and past this point
+      // the filtered path's smaller window no longer pays for its
+      // extra union branch (it's what this op always cost before the
+      // deep cut); identical output, fewer plan nodes
+      (knnLshAnchorsOf(
+        knnLshSignatures(corpus.where(!deleteFilter), lshBits, lshTables),
+        depth), resign)
+    } else {
+      val keys = resign.map { case (t, b) => t.toLong * 4294967296L + b }
       val resigned = knnLshAnchorsOf(
         knnLshSignatures(corpus.where(!deleteFilter), lshBits, lshTables)
-          .where(inResign),
+          .where(bKey(col("tb"), col("bkt")).isin(keys: _*)),
         depth)
-      (survivors.where(!inResign).union(resigned), resign)
+      (survivors.where(!bKey(col("tb"), col("bkt")).isin(keys: _*))
+        .union(resigned), resign)
     }
   }
 

@@ -361,8 +361,9 @@ class KnnGraphStoreSpec extends SparkTestBase {
         == expectS)
     }
     // exhaustion: depth 4 and a delete wide enough to empty the slack
-    // band of some saturated bucket — those buckets re-sign, and the
-    // result STILL equals the from-scratch recompute
+    // band of some saturated bucket — those buckets re-sign (here: all
+    // of them — the mass-delete shortcut path), and the result STILL
+    // equals the from-scratch recompute
     val shallow = Similarity.knnLshAnchorsOf(
       Similarity.knnLshSignatures(all, 2, 2), 4)
     val (cut2, resigned2) = Similarity.knnGraphDeleteAnchorRecut(
@@ -373,5 +374,22 @@ class KnnGraphStoreSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
     assert(cut2.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
       == expect2, "re-signed recut must equal the survivor-corpus recompute")
+    // targeted exhaustion: tombstone ONE stored member of a saturated
+    // bucket — only that id's buckets re-sign (the small-resign isin
+    // path), equality again
+    val shallowRows = shallow.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val satBuckets = shallowRows.groupBy(r => (r._1, r._2))
+      .collect { case (kk, rows) if rows.length == 4 => kk }.toSet
+    val target = shallowRows.collectFirst {
+      case (t, b, id) if satBuckets.contains((t, b)) => id }.get
+    val (cut3, resigned3) = Similarity.knnGraphDeleteAnchorRecut(
+      shallow, all, col("id") === target, lshBits = 2, lshTables = 2, depth = 4)
+    assert(resigned3.nonEmpty && resigned3.size <= 2,
+      s"one stored tombstone must re-sign only its own saturated buckets: $resigned3")
+    val expect3 = Similarity.knnLshAnchorsOf(
+        Similarity.knnLshSignatures(all.where(col("id") =!= target), 2, 2), 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cut3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      == expect3, "small-resign recut must equal the survivor-corpus recompute")
   }
 }
