@@ -47,17 +47,34 @@ import graft.operators.Similarity
   *     entry set, vs the flat serve's 0.996 → 0.801 → 0.714 decay.
   *     The r14 `weak` (entry stage linear in corpus, recall decaying
   *     with extent) is closed by measurement, not argument.
-  *   Residue localization (rounds=1 probes, same session): seed +
-  *     first round scales EXACTLY linearly (36.0s at 500k → 73.2s at
-  *     1M = 2.03× for 2× data), while the marginal descent round is
-  *     (77.7−36.0)/4 = 10.4s at 500k vs (207.4−73.2)/4 = 33.6s at 1M
-  *     — 3.2× per doubling. The per-round pipeline re-broadcasts the
-  *     vecs relation (280MB at 1M) behind each localCheckpoint and
-  *     accumulates checkpoint blocks + dead broadcasts across rounds;
-  *     GC/broadcast-rebuild pressure is the suspect, not any shuffle
-  *     (per-partition volumes are constant under parts ∝ n). Next
-  *     probe: persist the broadcast-side relation once across rounds,
-  *     or unpersist dead checkpoints eagerly.
+  *   Marginal descent round (r16, eager per-round checkpoint
+  *     unpersist landed — same-day interleaved ladder, 2026-08-16):
+  *     500k: r1 40.9s, r5 95.2s (mean of 98.8/91.5) → marginal
+  *     13.6s/round; 1M: r1 94.3s, r5 210.6s → marginal 29.1s/round =
+  *     2.14× per doubling — the r15 `weak` (3.2×: 10.4s→33.6s) is
+  *     closed by dropping each round's dead cache blocks as the next
+  *     round materializes. On the same host-day the OLD code measured
+  *     241.5s at 500k×r5 vs the new 95.2s (the r15-recorded 77.7s was
+  *     a faster host-day; the ratio, not the absolute, is the claim).
+  *     Recall is bit-unchanged (graph 0.974, hier serve 0.986 at 1M).
+  *     Two measured DEAD ENDS, recorded so nobody re-digs them:
+  *     (1) a broadcast-once mapPartitions scoring kernel (fix for the
+  *     two per-round exchange-broadcast rebuilds — BroadcastExchange=2
+  *     ReusedExchange=0 even after AQE, dev/BuildPlanProbe) was
+  *     SLOWER than the codegen'd broadcast-hash joins at 500k
+  *     (105.8s vs 95.2s; Dataset-encoding + binary-search overhead
+  *     exceeds the rebuild cost); (2) a per-round System.gc() to
+  *     hurry the ContextCleaner cost ~50%: 147.9/149.1s vs
+  *     98.8/91.5s interleaved at 500k×r5.
+  *   Append-fraction sweep (r16, the lifecycle's recall consequence —
+  *     10%/30% of the corpus arrives POST-build via the same
+  *     per-layer knnGraphAppend algebra the partitioned lifecycle
+  *     persists, truth recomputed over the grown corpus, 1M base):
+  *     hier recall@10 0.986 (0%) → 0.904 (10%) → 0.779 (30%).
+  *     The append path is seed + one expansion by design, so an
+  *     append-heavy index drifts — the measured rule of thumb is a
+  *     rebuild (or a descent-round refresh) around 10-20% appended
+  *     fraction, and q272's contract gate holds the SERVED floor.
   *   In THIS single-box Spark-job harness each hop pays job latency,
   *   so sub-second point lookups need an external serving tier
   *   reading the same (now persisted, q273) graph — the claim the
@@ -223,11 +240,15 @@ object KnnGraphScaleSmoke {
         Similarity.knnLshSeedEdges(members, lshBits = bits, lshTables = tables,
           anchorsPerBucket = 4)
           .select(col("i").as("node_id"), col("j").as("neighbor_id")))
-    val upperLayers = (levels to 1 by -1).map { l =>
+    val upperPlain = (levels to 1 by -1).map { l =>
       val members = vecs.where(Similarity.knnLayerMemberFilter(col("id"), l, layerFactor))
       val lg = Similarity.knnGraphBuild(
         members, k = k, rounds = rounds, revCap = cap,
-        lshBits = bits, lshTables = tables, anchorsPerBucket = anchors)
+        lshBits = bits, lshTables = tables, anchorsPerBucket = anchors).persist()
+      lg.count()
+      (l, members, lg)
+    }
+    val upperLayers = upperPlain.map { case (_, members, lg) =>
       val nsw = nswGraph(members, lg).persist()
       nsw.count()
       nsw
@@ -249,6 +270,59 @@ object KnnGraphScaleSmoke {
       f"${levels + 1} layers): ${recH.getLong(0)}/${recH.getLong(1)} " +
       f"= ${recH.getLong(0).toDouble / recH.getLong(1)}%.3f " +
       f"($serveHS%.1fs, $servedHRows rows, entry set $topEntries — corpus-independent)")
+
+    // ---- appended-fraction sweep: does hierarchical recall HOLD on a
+    // MUTATED graph? ---- r16's layer-maintenance lifecycle keeps the
+    // stored layers current through appends; this measures the recall
+    // consequence: 10% / 30% of the corpus arrives POST-build through
+    // knnGraphAppend (per layer, member slice — exactly the algebra
+    // knnGraphAppendPartitioned persists), and the layered serve +
+    // brute truth re-run over the grown corpus. The append path is
+    // approximate by design (seed + one expansion, no full descent),
+    // so this is the measured answer to "how much recall does an
+    // append-heavy index drift before a rebuild pays for itself".
+    Seq(0.1, 0.3).foreach { frac =>
+      val nNew = (n * frac).toInt
+      val extra = spark.range(n.toLong, (n + nNew).toLong).select(col("id"),
+        expr(s"""transform(sequence(0, 63), d ->
+          CAST(((id % $nClusters) * 37 + d * 17) % $nClusters - 128 AS FLOAT)
+          + CAST(20.0 * sin(CAST(id DIV $nClusters AS DOUBLE) * 0.2 + CAST(d AS DOUBLE) * 0.7) AS FLOAT)
+          + CAST(6.0 * sin(CAST(id DIV $nClusters AS DOUBLE) * 0.013 + CAST(d AS DOUBLE) * 1.3) AS FLOAT))""").as("vec"))
+      val full = vecs.union(extra).persist()
+      full.count()
+      val tA0 = System.nanoTime()
+      // append each layer's member slice into its graph (layer 0 = all)
+      val grownKnn = (levels to 0 by -1).map { l =>
+        val memberL = Similarity.knnLayerMemberFilter(col("id"), l, layerFactor)
+        val baseG = if (l == 0) g
+          else upperPlain.collectFirst { case (`l`, _, lg) => lg }.get
+        Similarity.knnGraphAppend(
+          baseG, full.where(memberL), col("id") >= n,
+          k = k, lshBits = bits, lshTables = tables, anchorsPerBucket = anchors)
+          .localCheckpoint()
+      }
+      val appendS = (System.nanoTime() - tA0) / 1e9
+      val grownLayers = grownKnn.zipWithIndex.map { case (lg, idx0) =>
+        val l = levels - idx0
+        val memberL = Similarity.knnLayerMemberFilter(col("id"), l, layerFactor)
+        nswGraph(full.where(memberL), lg)
+      }
+      val tA1 = System.nanoTime()
+      val servedA = Similarity.knnGraphServeLayered(queries, grownLayers, full,
+        k = 10, beam = 24, hopsPerLayer = hopsPerLayer)
+      servedA.count()
+      val serveAS = (System.nanoTime() - tA1) / 1e9
+      val truthA = Similarity.bruteForceTopK(queries, full, k = 10)
+      val recA = Similarity.topKRecall(truthA,
+          servedA.select(col("query_id"), col("neighbor_id")))
+        .agg(sum("n_hit").as("h"), sum("n_truth").as("t")).collect()(0)
+      println(f"HIER serve recall@10 AFTER ${(frac * 100).toInt}%% append " +
+        f"(corpus ${n + nNew}, truth recomputed over grown corpus): " +
+        f"${recA.getLong(0)}/${recA.getLong(1)} " +
+        f"= ${recA.getLong(0).toDouble / recA.getLong(1)}%.3f " +
+        f"(appends $appendS%.1fs, serve $serveAS%.1fs)")
+      full.unpersist()
+    }
     spark.stop()
   }
 }

@@ -1296,26 +1296,30 @@ object Similarity {
     // raw lineage grows exponentially in `rounds` — localCheckpoint
     // truncates the plan to the materialized skinny edge table (same
     // executor-loss tradeoff as the index-rewrite paths; the state is
-    // N·k longs, rebuilt from scratch in seconds if lost)
+    // N·k longs, rebuilt from scratch in seconds if lost). Each
+    // round's blocks unpersist as soon as the next round
+    // materializes — before r16 they accumulated for the whole build
+    // (rounds × N·k dead cached rows plus the rounds' dead broadcast
+    // exchanges pinned behind them; the i/j-side vector lookups never
+    // canonicalize equal, so every round leaves two ~280MB-at-1M
+    // exchange broadcasts for the ContextCleaner — dev/BuildPlanProbe
+    // pins the plan shape). Two measured dead ends, so nobody re-digs
+    // them: a broadcast-once mapPartitions scoring kernel lost to the
+    // codegen'd broadcast-hash joins at 500k (Dataset-encoding +
+    // binary-search overhead > the rebuild cost), and a per-round
+    // System.gc() to hurry the ContextCleaner cost ~50% wall
+    // (147.9/149.1s vs 98.8/91.5s interleaved at 500k×5 rounds).
     var nb = init.localCheckpoint()
     var r = 0
     while (r < rounds) {
-      val fwd = nb.select("i", "j")
-      val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
-      val capped = capEdgesPerNode(und, revCap)
-      val hop2 = capped.as("a").join(capped.as("b"), col("a.j") === col("b.i"))
-        .select(col("a.i").as("i"), col("b.j").as("j"))
-      val cand = capped.union(hop2).where(col("i") =!= col("j")).distinct()
-      val scored = cand
-        .join(vecs.select(col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni")), Seq("i"))
-        .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
-        .select(col("i"), col("j"),
-          round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
-      nb = scored
+      val scored = VecOpsScore.score(capEdgesAndExpand(nb, revCap), vecs)
+      val next = scored
         .withColumn("nb_rank", row_number().over(
           Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
         .where(col("nb_rank") <= k)
         .localCheckpoint()
+      unpersistCheckpoint(nb)
+      nb = next
       r += 1
     }
     val out = nb.select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
@@ -1323,6 +1327,41 @@ object Similarity {
     vecs.unpersist()
     out
   }
+
+  /** The build's pairwise scoring joins, shared by every round: two
+    * broadcast-hash lookups against the persisted (id, vec, nrm)
+    * projection, then the rounded cosine — codegen end to end.
+    */
+  private object VecOpsScore {
+    def score(cand: DataFrame, vecs: DataFrame): DataFrame = cand
+      .join(vecs.select(col("id").as("i"), col("vec").as("vi"), col("nrm").as("ni")), Seq("i"))
+      .join(vecs.select(col("id").as("j"), col("vec").as("vj"), col("nrm").as("nj")), Seq("j"))
+      .select(col("i"), col("j"),
+        round(cosineFromNorms(dot(col("vi"), col("vj")), col("ni"), col("nj")), 6).as("cos"))
+  }
+
+  /** One NN-Descent candidate round: symmetrize, cap per node
+    * (pseudo-random hash order — see [[capEdgesPerNode]]), one
+    * neighbor-of-neighbor hop, dedup. Factored from the build loop so
+    * the scoring kernel swap couldn't drift the candidate semantics.
+    */
+  private def capEdgesAndExpand(nb: DataFrame, revCap: Int): DataFrame = {
+    val fwd = nb.select("i", "j")
+    val und = fwd.union(fwd.select(col("j").as("i"), col("i").as("j"))).distinct()
+    val capped = capEdgesPerNode(und, revCap)
+    val hop2 = capped.as("a").join(capped.as("b"), col("a.j") === col("b.i"))
+      .select(col("a.i").as("i"), col("b.j").as("j"))
+    capped.union(hop2).where(col("i") =!= col("j")).distinct()
+  }
+
+  /** Drop a [[DataFrame.localCheckpoint]]'s cached blocks eagerly —
+    * the checkpointed RDD rides in the plan's LogicalRDD leaf. No-op
+    * on non-checkpointed frames.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Adjacency cap shared by the graph family's build/delete legs:
     * keep `revCap` edges per node in a deterministic PSEUDO-RANDOM
@@ -1799,8 +1838,10 @@ object Similarity {
       val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
         .join(graph.select(col("node_id"), col("neighbor_id").as("cand")), Seq("node_id"))
         .select("query_id", "cand")
-      beamDf = cut(score(
+      val next = cut(score(
         beamDf.select("query_id", "cand").union(expand).distinct()), beam).localCheckpoint()
+      unpersistCheckpoint(beamDf)
+      beamDf = next
       h += 1
     }
     val res = beamDf.where(col("cand") =!= col("query_id"))
@@ -1921,10 +1962,13 @@ object Similarity {
           .select("query_id", "cand")
         // same lineage-truncation rationale as the flat serve: each
         // round references the beam twice, so checkpoint the skinny
-        // frontier per round
-        beamDf = cut(score(
+        // frontier per round (and drop the previous round's blocks
+        // eagerly)
+        val next = cut(score(
           beamDf.select("query_id", "cand").union(expand).distinct()), beam)
           .localCheckpoint()
+        unpersistCheckpoint(beamDf)
+        beamDf = next
         h += 1
       }
     }
@@ -2095,6 +2139,119 @@ object Similarity {
       level: Int): DataFrame =
     spark.read.parquet(index.layerEdgesPath(level))
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
+
+  /** Serve-tier binary handoff of a [[KnnGraphIndex]]'s edge table —
+    * a fixed-width, offset-indexed neighbor-array file per storage
+    * partition (`edges_bin/part=P.knng` beside the parquet), the
+    * format an mmap-based point-lookup tier consumes without a JVM or
+    * a parquet decoder:
+    *
+    *   magic 'GKNN' (int) · version 1 (int) · nNodes (int)
+    *   offset table — nNodes × (node_id: long, firstEdge: long,
+    *     nEdges: int), node_ids ascending (binary-searchable)
+    *   payload — totalEdges × (neighbor_id: long,
+    *     cos: IEEE-754 bits as long), rank order within each node
+    *
+    * All integers big-endian; ranks are implicit in array order
+    * (the stored table's nb_rank is always contiguous 1..deg). The
+    * write is staged + renamed like every other index mutation, one
+    * file per partition from one task each, and the same logical
+    * graph always produces the same bytes (spec-pinned rerun
+    * stability; q281 certifies the written bytes against the parquet
+    * edges through the read-back oracle).
+    */
+  def knnGraphWriteBinary(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): Unit = {
+    val dst = s"${index.path}/edges_bin"
+    val tmp = s"${index.path}/.edges_bin.tmp"
+    val fs = new org.apache.hadoop.fs.Path(index.path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(tmp))
+    val tmpStr = tmp
+    spark.read.parquet(index.edgesPath)
+      .select(col("part").cast("long").as("part"), col("node_id"),
+        col("nb_rank"), col("neighbor_id"), col("cos"))
+      .repartition(col("part"))
+      .sortWithinPartitions("part", "node_id", "nb_rank")
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        // a task may own several storage partitions (hash-assigned);
+        // rows arrive sorted by (part, node_id, nb_rank), so each
+        // part is one contiguous run
+        val byPart = scala.collection.mutable.LinkedHashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Long, Double)]]
+        it.foreach { r =>
+          byPart.getOrElseUpdate(r.getLong(0),
+            scala.collection.mutable.ArrayBuffer.empty) +=
+            ((r.getLong(1), r.getLong(3), r.getDouble(4)))
+        }
+        val conf = new org.apache.hadoop.conf.Configuration()
+        byPart.foreach { case (p, rows) =>
+          val nodes = rows.toArray.groupBy(_._1).toArray.sortBy(_._1)
+          val totalEdges = rows.length
+          val buf = java.nio.ByteBuffer.allocate(
+            12 + nodes.length * 20 + totalEdges * 16)
+          buf.order(java.nio.ByteOrder.BIG_ENDIAN)
+          buf.putInt(0x474B4E4E); buf.putInt(1); buf.putInt(nodes.length)
+          var first = 0L
+          nodes.foreach { case (nid, es) =>
+            buf.putLong(nid); buf.putLong(first); buf.putInt(es.length)
+            first += es.length
+          }
+          nodes.foreach { case (_, es) =>
+            es.foreach { case (_, nb, cos) =>
+              buf.putLong(nb)
+              buf.putLong(java.lang.Double.doubleToLongBits(cos))
+            }
+          }
+          val path = new org.apache.hadoop.fs.Path(tmpStr, s"part=$p.knng")
+          val out = path.getFileSystem(conf).create(path, true)
+          try out.write(buf.array(), 0, buf.position())
+          finally out.close()
+        }
+      }
+    val hDst = new org.apache.hadoop.fs.Path(dst)
+    fs.delete(hDst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), hDst))
+      throw new java.io.IOException(
+        s"knnGraphWriteBinary: failed to swap $tmp into $dst")
+  }
+
+  /** Parse the [[knnGraphWriteBinary]] files back into
+    * [[knnGraphBuild]]'s schema — the certification read for q281
+    * (binary bytes must reproduce the parquet edges row-for-row) and
+    * a JVM-side reference decoder for the mmap tier's format.
+    */
+  def knnGraphReadBinary(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .load(s"${index.path}/edges_bin/*.knng")
+      .select(col("content"))
+      .as[Array[Byte]]
+      .flatMap { bytes =>
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        buf.order(java.nio.ByteOrder.BIG_ENDIAN)
+        val magic = buf.getInt()
+        require(magic == 0x474B4E4E, f"bad magic 0x$magic%08x")
+        val version = buf.getInt()
+        require(version == 1, s"unsupported version $version")
+        val nNodes = buf.getInt()
+        val nodes = Array.fill(nNodes)((buf.getLong(), buf.getLong(), buf.getInt()))
+        val edgeBase = 12 + nNodes * 20
+        nodes.iterator.flatMap { case (nid, first, count) =>
+          (0 until count).iterator.map { r =>
+            val off = edgeBase + (first + r).toInt * 16
+            val nb = buf.getLong(off)
+            val cos = java.lang.Double.longBitsToDouble(buf.getLong(off + 8))
+            (nid, (r + 1).toLong, nb, cos)
+          }
+        }
+      }
+      .toDF("node_id", "nb_rank", "neighbor_id", "cos")
+  }
 
   /** Levels of the persisted hierarchy layers present under
     * `index.path`, TOP-FIRST (the order

@@ -86,11 +86,27 @@ object Training {
       label: Column,
       buckets: Int = 64,
       iters: Int = 3,
+      threshold: Long = 0L): DataFrame =
+    filterWithModel(df, id, text,
+      trainBatchPerceptron(df, id, text, label, buckets, iters),
+      buckets, threshold)
+
+  /** Score and filter `df` with an ALREADY-TRAINED perceptron model
+    * (the (bucket, weight) table [[trainBatchPerceptron]] emits) —
+    * the production inference split: train once, filter many. The
+    * weights fold in as a plan-literal array, so inference is
+    * map-only with zero exchanges.
+    */
+  def filterWithModel(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      model: DataFrame,
+      buckets: Int = 64,
       threshold: Long = 0L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val w = trainBatchPerceptron(df, id, text, label, buckets, iters)
-      .orderBy("bucket").select("weight").as[Long].collect().toSeq
+    val w = model.orderBy("bucket").select("weight").as[Long].collect().toSeq
     val wLit = typedlit(w)
     TextAnalysis.classifierFilter(df, id, text, threshold, buckets,
       weightOf = b => element_at(wLit, (b + 1).cast("int")))
@@ -247,17 +263,27 @@ object Training {
       nMerges: Int,
       scoreScale: Long = 1000000000000L): DataFrame = {
     val wordFert = wordpieceFertility(df, text, nMerges, scoreScale)
-    val out = df
-      .select(id.cast("long").as("doc_id"),
-        explode(TextAnalysis.tokens(lower(text))).as("word"))
-      .join(wordFert.select(col("word"), col("n_pieces")), "word")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
-      .persist()
+    val out = wordpieceFertilityDocsOf(df, id, text, wordFert).persist()
     out.count()
     wordFert.unpersist()
     out
   }
+
+  /** The per-document aggregation over an ALREADY-TRAINED per-word
+    * fertility table ([[wordpieceFertility]]'s output) — the
+    * train-once/apply-many split, so callers holding a memoized
+    * fertility table don't re-run the merge loop per application.
+    */
+  def wordpieceFertilityDocsOf(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      wordFert: DataFrame): DataFrame = df
+    .select(id.cast("long").as("doc_id"),
+      explode(TextAnalysis.tokens(lower(text))).as("word"))
+    .join(wordFert.select(col("word"), col("n_pieces")), "word")
+    .groupBy("doc_id")
+    .agg(count(lit(1)).as("n_words"), sum("n_pieces").as("n_pieces"))
 
   /** Shared WordPiece loop: returns the PERSISTED word-frequency table
     * (caller unpersists) and the learned merges in order.

@@ -650,6 +650,44 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming vector INGEST into a persisted k-NN GRAPH index —
+    * q254's sibling for the graph family: each micro-batch of
+    * arriving (id, vec) rows runs [[graft.operators.Similarity
+    * .knnGraphAppendPartitioned]]'s algebra against the live stored
+    * index (batch signed map-only, seeded through the STORED anchor
+    * table, touched-partition-only rewrite — including any persisted
+    * hierarchy layers), so the index a serving fleet reads stays
+    * current as vectors arrive. The driver-side `known` accumulator
+    * carries every previously ingested batch's vectors — a later
+    * batch's scoring joins need them (its candidates expand into
+    * earlier arrivals), and in production that role is played by the
+    * corpus table the ingest writes to anyway. A single whole-batch
+    * drain therefore equals the batch append exactly (q280 pins it
+    * with q268's oracle verbatim); multi-batch drains compose
+    * sequentially (batch 2 appends against the already-mutated store
+    * — spec-pinned).
+    */
+  def streamingKnnGraphIngest(
+      vecStream: DataFrame,
+      index: graft.operators.Similarity.KnnGraphIndex,
+      baseCorpus: DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    var known = baseCorpus.select(col("id"), col("vec"))
+    vecStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // pin the batch rows before mutating the store they came
+        // through (and before the next batch re-reads the source)
+        val b = batch.select(col("id"), col("vec")).localCheckpoint()
+        val all = known.select(col("id"), col("vec"), lit(false).as("__new"))
+          .union(b.select(col("id"), col("vec"), lit(true).as("__new")))
+        graft.operators.Similarity.knnGraphAppendPartitioned(
+          batch.sparkSession, index, all, col("__new"))
+        known = known.union(b)
+        ()
+      }
+  }
+
   /** Streaming DSIR scoring — the batch
     * [[graft.operators.Sampling.hashedImportanceWeights]]'s production
     * deployment shape: the nBuckets-row hashed-bigram ratio model is

@@ -234,6 +234,45 @@ class KnnGraphStoreSpec extends SparkTestBase {
     assert(storedAnch == survAnch, "anchors must equal the survivor-corpus deep cut")
   }
 
+  test("knnGraphWriteBinary: read-back equals parquet edges; rerun byte-stable; format invariants") {
+    val corpus = gaussians(100, 67L)
+    val g = Similarity.knnGraphBuild(corpus, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_bin_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, corpus, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    Similarity.knnGraphWriteBinary(spark, idx)
+    // certification: binary read-back == parquet edges row-for-row
+    assert(graphRows(Similarity.knnGraphReadBinary(spark, idx)) ==
+      graphRows(Similarity.knnGraphReadEdges(spark, idx)))
+    def fileBytes(): Map[String, Seq[Byte]] = {
+      val root = new java.io.File(s"${idx.path}/edges_bin")
+      root.listFiles().filter(_.getName.endsWith(".knng"))
+        .map(f => f.getName ->
+          java.nio.file.Files.readAllBytes(f.toPath).toSeq).toMap
+    }
+    val first = fileBytes()
+    assert(first.nonEmpty)
+    // rerun byte-stability: same logical graph -> identical bytes
+    Similarity.knnGraphWriteBinary(spark, idx)
+    assert(fileBytes() == first, "rewriting the same graph must reproduce identical bytes")
+    // format invariants: magic, version, ascending binary-searchable
+    // node ids, offsets contiguous from 0
+    first.values.foreach { bs =>
+      val buf = java.nio.ByteBuffer.wrap(bs.toArray)
+      assert(buf.getInt() == 0x474B4E4E && buf.getInt() == 1)
+      val n = buf.getInt()
+      var prevId = Long.MinValue; var expectFirst = 0L
+      (0 until n).foreach { _ =>
+        val id = buf.getLong(); val firstEdge = buf.getLong(); val cnt = buf.getInt()
+        assert(id > prevId, "node ids must ascend (binary-searchable)")
+        assert(firstEdge == expectFirst, "edge runs must be contiguous")
+        prevId = id; expectFirst = firstEdge + cnt
+      }
+      assert(bs.length == 12 + n * 20 + expectFirst * 16, "fixed-width layout")
+    }
+  }
+
   test("lifecycle maintains persisted layers: append/delete mutate each layer's slice") {
     val all = gaussians(160, 61L)
     val member1 = Similarity.knnLayerMemberFilter(col("id"), 1, 2)

@@ -307,6 +307,49 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingKnnGraphIngest: micro-batches compose sequential appends into the stored index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(23L)
+    val all = (0 until 90)
+      .map(i => (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val old = all.where(col("id") % 3 === 0)
+    val g0 = graft.operators.Similarity.knnGraphBuild(old, k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+    val dir = java.nio.file.Files.createTempDirectory("knn_stream_ing").toString + "/idx"
+    val idx = graft.operators.Similarity.knnGraphWritePartitioned(spark, g0, old, dir,
+      parts = 4, k = 3, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val writer = StreamingOps.streamingKnnGraphIngest(
+      mem.toDF().toDF("id", "vec"), idx, old)
+    val q = writer.start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("node_id", "nb_rank", "neighbor_id", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      val b1 = all.where(col("id") % 3 === 1).as[(Long, Seq[Float])].collect()
+      val b2 = all.where(col("id") % 3 === 2).as[(Long, Seq[Float])].collect()
+      // the in-memory composition the drain must equal: append b1
+      // against the stored base, then b2 against THAT result — batch
+      // 2's scoring corpus includes batch 1's vectors (the `known`
+      // accumulation under test)
+      val expect1 = graft.operators.Similarity.knnGraphAppend(
+        g0, all.where(col("id") % 3 =!= 2), col("id") % 3 === 1,
+        k = 3, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+      val expect2 = rows(graft.operators.Similarity.knnGraphAppend(
+        expect1, all, col("id") % 3 === 2,
+        k = 3, lshBits = 2, lshTables = 2, anchorsPerBucket = 8))
+      mem.addData(b1.toSeq)
+      q.processAllAvailable()
+      mem.addData(b2.toSeq)
+      q.processAllAvailable()
+      assert(rows(graft.operators.Similarity.knnGraphReadEdges(spark, idx)) == expect2,
+        "two-batch streamed ingest must equal the sequential in-memory appends")
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
