@@ -69,12 +69,15 @@ import graft.operators.Similarity
   *   Append-fraction sweep (r16, the lifecycle's recall consequence —
   *     10%/30% of the corpus arrives POST-build via the same
   *     per-layer knnGraphAppend algebra the partitioned lifecycle
-  *     persists, truth recomputed over the grown corpus, 1M base):
-  *     hier recall@10 0.986 (0%) → 0.904 (10%) → 0.779 (30%).
-  *     The append path is seed + one expansion by design, so an
-  *     append-heavy index drifts — the measured rule of thumb is a
-  *     rebuild (or a descent-round refresh) around 10-20% appended
-  *     fraction, and q272's contract gate holds the SERVED floor.
+  *     persists, truth recomputed over the grown corpus):
+  *       200k base: hier recall@10 0.998 (0%) → 0.942 (10%) → 0.824 (30%)
+  *       1M base:   hier recall@10 0.986 (0%) → 0.904 (10%) → 0.779 (30%)
+  *     — the drift is SCALE-STABLE (~5-6 pts at 10% appended, ~17-21
+  *     at 30%), i.e. a property of the append algebra (seed + one
+  *     expansion, no full descent by design), not of corpus size.
+  *     The measured rule of thumb is a rebuild (or a descent-round
+  *     refresh) around 10-20% appended fraction, and q272's contract
+  *     gate holds the SERVED floor.
   *   In THIS single-box Spark-job harness each hop pays job latency,
   *   so sub-second point lookups need an external serving tier
   *   reading the same (now persisted, q273) graph — the claim the
