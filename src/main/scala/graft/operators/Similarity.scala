@@ -2018,6 +2018,12 @@ object Similarity {
       layerFactor: Int = 8) {
     def edgesPath: String = s"$path/edges"
     def anchorsPath: String = s"$path/anchors"
+    /** The persisted scoring corpus a streaming ingest maintains
+      * beside the index ([[knnGraphCorpusInit]]/[[knnGraphIngestBatch]]
+      * — one `batch=N` subdir per arrival batch, so retries overwrite
+      * idempotently and a reader sees a plain partitioned table).
+      */
+    def corpusPath: String = s"$path/corpus"
     def layerEdgesPath(level: Int): String = s"$path/layer$level/edges"
     def layerAnchorsPath(level: Int): String = s"$path/layer$level/anchors"
     /** Stored anchor depth: anchorsPerBucket of seed cut + an equal
@@ -2522,5 +2528,74 @@ object Similarity {
       swapStagedTable(spark, tmp, edgesPath, anchorsPath, affectedParts,
         "knnGraphDeletePartitioned")
     }
+  }
+
+  /** Initialize the persisted scoring corpus of a streaming ingest
+    * ([[KnnGraphIndex.corpusPath]]): the base corpus the index was
+    * built over lands as `corpus/batch=0`, once — an already-present
+    * corpus table is left untouched (a restarted stream resumes the
+    * table it was maintaining, it does not reset it). This table is
+    * what bounds a long-running ingest's state: each batch reads the
+    * table back (constant-depth plan regardless of how many batches
+    * preceded it) instead of stacking a driver-side union per batch.
+    */
+  def knnGraphCorpusInit(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      baseCorpus: DataFrame): Unit = {
+    val p = new org.apache.hadoop.fs.Path(index.corpusPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      baseCorpus.select(col("id"), col("vec"))
+        .write.mode("overwrite").parquet(s"${index.corpusPath}/batch=0")
+  }
+
+  /** The ingest's scoring corpus, read back from the persisted table
+    * — every vector the index currently knows (base ∪ all ingested
+    * batches), in (id, vec) shape.
+    */
+  def knnGraphCorpusRead(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): DataFrame =
+    spark.read.parquet(index.corpusPath).select(col("id"), col("vec"))
+
+  /** The corpus ∪ batch frame one ingest batch scores against —
+    * split out so the growth contract is testable: its analyzed plan
+    * is a parquet read + one union whatever the batch count, never a
+    * union chain over every prior batch (the pre-r17 accumulator
+    * shape, whose plan depth — and per-batch re-analysis cost — grew
+    * linearly with batches ingested).
+    */
+  def knnGraphIngestScoringCorpus(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      batch: DataFrame): DataFrame =
+    knnGraphCorpusRead(spark, index)
+      .select(col("id"), col("vec"), lit(false).as("__new"))
+      .union(batch.select(col("id"), col("vec"), lit(true).as("__new")))
+
+  /** One streaming-ingest batch against a live [[KnnGraphIndex]]:
+    * the batch appends into the stored graph (and any persisted
+    * hierarchy layers) through [[knnGraphAppendPartitioned]]'s
+    * stored-anchor algebra, scored against the PERSISTED corpus
+    * table, then lands in the corpus as `batch=<batchId+1>` — an
+    * idempotent overwrite, so a foreachBatch retry after a mid-batch
+    * failure converges (the index append tolerates the replayed
+    * non-disjoint batch by construction; the corpus dir is simply
+    * rewritten). Per-batch cost is batch-proportional index work plus
+    * one corpus-table scan; nothing grows with the NUMBER of batches
+    * ingested.
+    */
+  def knnGraphIngestBatch(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      batch: DataFrame,
+      batchId: Long): Unit = {
+    val b = batch.select(col("id"), col("vec")).localCheckpoint()
+    knnGraphAppendPartitioned(
+      spark, index, knnGraphIngestScoringCorpus(spark, index, b), col("__new"))
+    b.write.mode("overwrite")
+      .parquet(s"${index.corpusPath}/batch=${batchId + 1}")
+    unpersistCheckpoint(b)
   }
 }

@@ -657,33 +657,33 @@ object StreamingOps {
     * index (batch signed map-only, seeded through the STORED anchor
     * table, touched-partition-only rewrite — including any persisted
     * hierarchy layers), so the index a serving fleet reads stays
-    * current as vectors arrive. The driver-side `known` accumulator
-    * carries every previously ingested batch's vectors — a later
-    * batch's scoring joins need them (its candidates expand into
-    * earlier arrivals), and in production that role is played by the
-    * corpus table the ingest writes to anyway. A single whole-batch
-    * drain therefore equals the batch append exactly (q280 pins it
-    * with q268's oracle verbatim); multi-batch drains compose
-    * sequentially (batch 2 appends against the already-mutated store
-    * — spec-pinned).
+    * current as vectors arrive. A later batch's scoring joins need
+    * every previously ingested vector (its candidates expand into
+    * earlier arrivals); that role is played by the PERSISTED corpus
+    * table the ingest maintains beside the index
+    * ([[graft.operators.Similarity.knnGraphCorpusInit]] seeds it with
+    * `baseCorpus` once, each batch reads it back and lands in it) —
+    * so per-batch state is a constant-depth parquet read, never a
+    * driver-side union chain over all prior batches (the pre-r17
+    * accumulator, whose plan analysis and caching grew without bound
+    * on a long-running stream). A single whole-batch drain equals the
+    * batch append exactly (q280 pins it with q268's oracle verbatim);
+    * multi-batch drains compose sequentially (batch 2 appends against
+    * the already-mutated store — spec-pinned at 8 batches, plan depth
+    * flat).
     */
   def streamingKnnGraphIngest(
       vecStream: DataFrame,
       index: graft.operators.Similarity.KnnGraphIndex,
       baseCorpus: DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    var known = baseCorpus.select(col("id"), col("vec"))
+    graft.operators.Similarity.knnGraphCorpusInit(
+      baseCorpus.sparkSession, index, baseCorpus.select(col("id"), col("vec")))
     vecStream.writeStream
       .outputMode(OutputMode.Append)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        // pin the batch rows before mutating the store they came
-        // through (and before the next batch re-reads the source)
-        val b = batch.select(col("id"), col("vec")).localCheckpoint()
-        val all = known.select(col("id"), col("vec"), lit(false).as("__new"))
-          .union(b.select(col("id"), col("vec"), lit(true).as("__new")))
-        graft.operators.Similarity.knnGraphAppendPartitioned(
-          batch.sparkSession, index, all, col("__new"))
-        known = known.union(b)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Similarity.knnGraphIngestBatch(
+          batch.sparkSession, index, batch.select(col("id"), col("vec")), batchId)
         ()
       }
   }

@@ -350,6 +350,63 @@ class StreamingOpsSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streamingKnnGraphIngest: 8-batch drain keeps per-batch plan depth flat " +
+      "and equals the sequential appends (corpus-table-backed state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(29L)
+    val all = (0 until 108)
+      .map(i => (i.toLong, Seq.fill(6)(rnd.nextGaussian().toFloat)))
+      .toDF("id", "vec")
+    val old = all.where(col("id") % 9 === 0)
+    val g0 = graft.operators.Similarity.knnGraphBuild(old, k = 3, rounds = 2,
+      revCap = 8, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+    val dir = Files.createTempDirectory("knn_stream_ing8").toString + "/idx"
+    val idx = graft.operators.Similarity.knnGraphWritePartitioned(spark, g0, old, dir,
+      parts = 4, k = 3, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingOps.streamingKnnGraphIngest(
+      mem.toDF().toDF("id", "vec"), idx, old).start()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("node_id", "nb_rank", "neighbor_id", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    try {
+      // the in-memory composition the 8-batch drain must equal: each
+      // batch appends against the graph the PREVIOUS batches produced
+      // (localCheckpoint per round — the chained-append lineage is the
+      // doubling-loop shape)
+      var expected = g0.localCheckpoint(true)
+      var planSizes = List.empty[Int]
+      for (m <- 1 to 8) {
+        val batch = all.where(col("id") % 9 === m)
+        expected = graft.operators.Similarity.knnGraphAppend(
+          expected, all.where(col("id") % 9 <= m), col("id") % 9 === m,
+          k = 3, lshBits = 2, lshTables = 2, anchorsPerBucket = 8)
+          .localCheckpoint(true)
+        mem.addData(batch.as[(Long, Seq[Float])].collect().toSeq)
+        q.processAllAvailable()
+        // the frame an ingest batch scores against: its analyzed plan
+        // must not grow with the number of batches already ingested —
+        // the bounded-state contract (the pre-r17 union accumulator
+        // grew by one union node + one checkpoint per batch)
+        planSizes ::= graft.operators.Similarity
+          .knnGraphIngestScoringCorpus(spark, idx, batch)
+          .queryExecution.analyzed.collectLeaves().size +
+          graft.operators.Similarity
+            .knnGraphIngestScoringCorpus(spark, idx, batch)
+            .queryExecution.analyzed.numberedTreeString.linesIterator.size
+      }
+      assert(planSizes.distinct.size == 1,
+        s"per-batch scoring plan must stay constant-depth, got sizes $planSizes")
+      assert(rows(graft.operators.Similarity.knnGraphReadEdges(spark, idx))
+          == rows(expected),
+        "8-batch streamed ingest must equal the sequential in-memory appends")
+      // the persisted corpus table now holds base + every batch
+      assert(graft.operators.Similarity.knnGraphCorpusRead(spark, idx).count() == 108L)
+    } finally q.stop()
+  }
+
   test("streamingExactDedup emits first arrival per fingerprint across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
