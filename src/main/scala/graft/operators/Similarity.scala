@@ -2034,6 +2034,132 @@ object Similarity {
       * count < anchorDepth ⇔ complete).
       */
     def anchorDepth: Int = 2 * anchorsPerBucket
+    def manifestPath: String = s"$path/manifest.json"
+  }
+
+  /** The stored-format version the lifecycle ops require. Version 2 =
+    * deep (2A) anchor cuts + layerL/{edges,anchors} layout + this
+    * manifest; pre-manifest stores (implicit v1, anchors at depth A)
+    * have no manifest file and are rejected loudly — silently
+    * recutting a v1 store at the wrong depth would break the
+    * stored-anchors == full-corpus-cut invariant the whole append
+    * algebra rests on.
+    */
+  val KnnGraphFormatVersion: Int = 2
+
+  /** Durable descriptor + mutation commit marker of a persisted
+    * [[KnnGraphIndex]], written LAST by every lifecycle op (build,
+    * layer write, append, delete, refresh): a mutation whose
+    * per-table swaps were interrupted leaves the PREVIOUS epoch in
+    * place, so readers and retries can detect a half-applied op
+    * (epoch unchanged + staging dirs present) instead of trusting a
+    * silently mixed corpus state. `baseCount` /
+    * `appendedSinceRefresh` / `deletedSinceRefresh` are the
+    * refresh-trigger counters: the measured drift rule (recall
+    * 0.986→0.904→0.779 at 0/10/30% appended,
+    * dev/KnnGraphScaleSmoke) says refresh at 10-20% appended
+    * fraction.
+    */
+  final case class KnnGraphManifest(
+      formatVersion: Int,
+      anchorDepth: Int,
+      parts: Int,
+      k: Int,
+      lshBits: Int,
+      lshTables: Int,
+      anchorsPerBucket: Int,
+      layerFactor: Int,
+      epoch: Long,
+      baseCount: Long,
+      appendedSinceRefresh: Long,
+      deletedSinceRefresh: Long) {
+    def appendedFraction: Double =
+      if (baseCount <= 0L) 0.0 else appendedSinceRefresh.toDouble / baseCount
+  }
+
+  private def manifestOf(index: KnnGraphIndex, epoch: Long, baseCount: Long,
+      appended: Long, deleted: Long): KnnGraphManifest =
+    KnnGraphManifest(KnnGraphFormatVersion, index.anchorDepth, index.parts,
+      index.k, index.lshBits, index.lshTables, index.anchorsPerBucket,
+      index.layerFactor, epoch, baseCount, appended, deleted)
+
+  /** Write the manifest (staged tmp + rename — the op's commit
+    * point). `at` defaults to the index root; the build writes it
+    * inside the staging dir so the whole-index rename publishes
+    * manifest and tables together.
+    */
+  def knnGraphManifestWrite(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      m: KnnGraphManifest,
+      atRoot: Option[String] = None): Unit = {
+    import org.json4s.JsonDSL._
+    val root = atRoot.getOrElse(index.path)
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("formatVersion" -> m.formatVersion) ~ ("anchorDepth" -> m.anchorDepth) ~
+          ("parts" -> m.parts) ~ ("k" -> m.k) ~ ("lshBits" -> m.lshBits) ~
+          ("lshTables" -> m.lshTables) ~
+          ("anchorsPerBucket" -> m.anchorsPerBucket) ~
+          ("layerFactor" -> m.layerFactor) ~ ("epoch" -> m.epoch) ~
+          ("baseCount" -> m.baseCount) ~
+          ("appendedSinceRefresh" -> m.appendedSinceRefresh) ~
+          ("deletedSinceRefresh" -> m.deletedSinceRefresh)))
+    val dst = new org.apache.hadoop.fs.Path(s"$root/manifest.json")
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/.manifest.json.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"knnGraphManifestWrite: failed to publish $dst")
+  }
+
+  def knnGraphManifestRead(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): Option[KnnGraphManifest] = {
+    val p = new org.apache.hadoop.fs.Path(index.manifestPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(j.extract[KnnGraphManifest])
+    }
+  }
+
+  /** The lifecycle ops' read guard: the stored manifest must exist
+    * and agree with the handle's format version, anchor depth, and
+    * every structural parameter — a pre-r16 store (anchors at depth
+    * A, no manifest) or a handle built with the wrong knobs fails
+    * HERE, loudly, instead of silently recutting anchors at the
+    * wrong depth downstream.
+    */
+  def knnGraphRequireCompatible(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex): KnnGraphManifest = {
+    val m = knnGraphManifestRead(spark, index).getOrElse(throw new IllegalStateException(
+      s"KnnGraphIndex at ${index.path} has no manifest.json — a pre-v" +
+        s"$KnnGraphFormatVersion store (or a foreign directory); rebuild with " +
+        "knnGraphWritePartitioned before mutating"))
+    require(m.formatVersion == KnnGraphFormatVersion,
+      s"KnnGraphIndex at ${index.path}: stored formatVersion ${m.formatVersion} != " +
+        s"supported $KnnGraphFormatVersion")
+    require(m.anchorDepth == index.anchorDepth &&
+        m.parts == index.parts && m.k == index.k &&
+        m.lshBits == index.lshBits && m.lshTables == index.lshTables &&
+        m.anchorsPerBucket == index.anchorsPerBucket &&
+        m.layerFactor == index.layerFactor,
+      s"KnnGraphIndex at ${index.path}: handle parameters " +
+        s"(parts=${index.parts}, k=${index.k}, lshBits=${index.lshBits}, " +
+        s"lshTables=${index.lshTables}, anchorsPerBucket=${index.anchorsPerBucket}, " +
+        s"layerFactor=${index.layerFactor}, anchorDepth=${index.anchorDepth}) " +
+        s"disagree with the stored manifest $m")
+    m
   }
 
   /** Write a [[knnGraphBuild]] graph (plus its corpus's anchor table)
@@ -2068,6 +2194,11 @@ object Similarity {
       .orderBy("tb", "bkt", "id")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/anchors")
+    // manifest staged INSIDE tmp — the whole-index rename publishes
+    // tables and manifest together (epoch 0, counters zeroed)
+    knnGraphManifestWrite(spark, idx,
+      manifestOf(idx, epoch = 0L, baseCount = corpus.count(),
+        appended = 0L, deleted = 0L), atRoot = Some(tmp))
     val hPath = new org.apache.hadoop.fs.Path(path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2132,6 +2263,9 @@ object Similarity {
     if (!fs.rename(hTmp, hDst))
       throw new java.io.IOException(
         s"knnGraphWriteLayer: failed to swap $hTmp into $dst")
+    // commit marker: epoch bump AFTER the layer is live
+    val m = knnGraphRequireCompatible(spark, index)
+    knnGraphManifestWrite(spark, index, m.copy(epoch = m.epoch + 1))
     index
   }
 
@@ -2305,37 +2439,70 @@ object Similarity {
       index: KnnGraphIndex,
       corpus: DataFrame,
       newFilter: Column): KnnGraphIndex = {
-    appendStoredTable(spark, corpus, newFilter,
-      index.edgesPath, index.anchorsPath, index.path + ".append.tmp",
-      index.parts, index.k, index.lshBits, index.lshTables,
-      index.anchorsPerBucket, index.anchorDepth)
-    // hierarchy symmetry: each persisted layer takes its OWN member
-    // slice of the batch through the SAME algebra, against its own
-    // stored anchor table — nesting (member(L) ⊂ member(L-1)) means a
-    // batch node simply appears in every layer up to its level, and a
-    // layer whose batch slice is empty is untouched (common: layers
-    // thin geometrically)
-    knnGraphLayerLevels(spark, index).foreach { l =>
-      appendStoredTable(spark,
-        corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
-        newFilter,
-        index.layerEdgesPath(l), index.layerAnchorsPath(l),
-        s"${index.path}.append.layer$l.tmp",
+    val man = knnGraphRequireCompatible(spark, index)
+    val batchCount = corpus.where(newFilter).count()
+    if (batchCount == 0L) return index
+    // PHASE 1 — stage every table (base + each persisted layer) to
+    // its sibling tmp, touching nothing live: a failure here leaves
+    // the index bit-identical. Hierarchy symmetry: each layer takes
+    // its OWN member slice of the batch through the SAME algebra,
+    // against its own stored anchor table — nesting (member(L) ⊂
+    // member(L-1)) means a batch node simply appears in every layer
+    // up to its level, and a layer whose batch slice is empty is
+    // untouched (common: layers thin geometrically). Every staging
+    // read sees the PRE-mutation store (each table's cycle reads only
+    // its own edges/anchors, so stage order is immaterial).
+    val pending =
+      stageAppendTable(spark, corpus, newFilter,
+        index.edgesPath, index.anchorsPath, index.path + ".append.tmp",
         index.parts, index.k, index.lshBits, index.lshTables,
-        index.anchorsPerBucket, index.anchorDepth)
-    }
+        index.anchorsPerBucket, index.anchorDepth,
+        "knnGraphAppendPartitioned").toSeq ++
+      knnGraphLayerLevels(spark, index).flatMap { l =>
+        stageAppendTable(spark,
+          corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
+          newFilter,
+          index.layerEdgesPath(l), index.layerAnchorsPath(l),
+          s"${index.path}.append.layer$l.tmp",
+          index.parts, index.k, index.lshBits, index.lshTables,
+          index.anchorsPerBucket, index.anchorDepth,
+          "knnGraphAppendPartitioned")
+      }
+    // PHASE 2 — swap everything, then publish the manifest with the
+    // bumped epoch LAST (the commit marker: a crash between swaps
+    // leaves the old epoch in place, so a reader or retry can detect
+    // the half-applied op instead of trusting mixed layer states)
+    pending.foreach(swapStagedTable(spark, _))
+    knnGraphManifestWrite(spark, index, man.copy(epoch = man.epoch + 1,
+      appendedSinceRefresh = man.appendedSinceRefresh + batchCount))
     index
   }
 
+  /** A fully-staged single-table mutation awaiting its swap: the
+    * tmp dir holds the staged edges/anchors, `affectedParts` the
+    * edge partitions to move. Staging every table BEFORE any swap is
+    * what makes a multi-table (base + layers) lifecycle op safe: the
+    * live index is untouched until the all-or-mostly swap phase, and
+    * the manifest epoch published after the last swap is the commit
+    * marker.
+    */
+  private final case class PendingSwap(
+      tmp: String,
+      edgesPath: String,
+      anchorsPath: String,
+      affectedParts: Array[Long],
+      opName: String)
+
   /** One stored edge table's append cycle — [[knnGraphAppendParts]]
     * against the table's own stored anchors, touched-partition-only
-    * staged rewrite, merged deep anchor cut. `corpusOfTable` is the
+    * staged rewrite, merged deep anchor cut; returns the staged swap
+    * (None when the table is untouched). `corpusOfTable` is the
     * universe the table indexes (the full corpus for the base table;
     * the layer's member slice for a hierarchy layer) — the anchor
     * algebra, batch slice, and emptiness gates are all relative to
     * it.
     */
-  private def appendStoredTable(
+  private def stageAppendTable(
       spark: org.apache.spark.sql.SparkSession,
       corpusOfTable: DataFrame,
       newFilter: Column,
@@ -2347,7 +2514,8 @@ object Similarity {
       lshBits: Int,
       lshTables: Int,
       anchorsPerBucket: Int,
-      anchorDepth: Int): Unit = {
+      anchorDepth: Int,
+      opName: String): Option[PendingSwap] = {
     val oldAnchors = spark.read.parquet(anchorsPath)
     val stored = spark.read.parquet(edgesPath)
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
@@ -2365,7 +2533,8 @@ object Similarity {
     // silently breaks for every subsequent append. The short-circuit
     // keeps the common case (proposals exist) free of the extra
     // emptiness probe.
-    if (affectedParts.nonEmpty || !corpusOfTable.where(newFilter).isEmpty) {
+    if (affectedParts.isEmpty && corpusOfTable.where(newFilter).isEmpty) None
+    else {
       if (affectedParts.nonEmpty) {
         // rows the affected partitions must hold after the append: the
         // touched nodes' merged rows plus the partitions' untouched rows
@@ -2396,8 +2565,7 @@ object Similarity {
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
-      swapStagedTable(spark, tmp, edgesPath, anchorsPath, affectedParts,
-        "knnGraphAppendPartitioned")
+      Some(PendingSwap(tmp, edgesPath, anchorsPath, affectedParts, opName))
     }
   }
 
@@ -2405,15 +2573,17 @@ object Similarity {
     * cycles: affected `part=P` dirs move from the staged sibling into
     * the live table (a partition fully emptied by a delete has no
     * staged dir — its live dir stays deleted), then the staged anchor
-    * cut replaces the live one, then the staging root drops.
+    * cut replaces the live one, then the staging root drops. Any
+    * serve-tier binary beside the table ([[knnGraphWriteBinary]]'s
+    * `edges_bin`) is DELETED here: the mutated parquet is now the
+    * truth, and a stale mmap file silently serving pre-mutation
+    * neighbors (including tombstoned nodes) is strictly worse than a
+    * consumer's loud re-export.
     */
   private def swapStagedTable(
       spark: org.apache.spark.sql.SparkSession,
-      tmp: String,
-      edgesPath: String,
-      anchorsPath: String,
-      affectedParts: Array[Long],
-      opName: String): Unit = {
+      pend: PendingSwap): Unit = {
+    import pend._
     val fs = new org.apache.hadoop.fs.Path(edgesPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affectedParts.foreach { p =>
@@ -2429,6 +2599,8 @@ object Similarity {
     if (!fs.rename(anchorsSrc, anchorsDst))
       throw new java.io.IOException(
         s"$opName: failed to swap $anchorsSrc into $anchorsDst")
+    fs.delete(new org.apache.hadoop.fs.Path(
+      edgesPath.stripSuffix("/edges") + "/edges_bin"), true)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -2459,34 +2631,46 @@ object Similarity {
       index: KnnGraphIndex,
       corpus: DataFrame,
       deleteFilter: Column): KnnGraphIndex = {
-    deleteStoredTable(spark, corpus, deleteFilter,
-      index.edgesPath, index.anchorsPath, index.path + ".delete.tmp",
-      index.parts, index.k, index.lshBits, index.lshTables, index.anchorDepth)
-    // hierarchy symmetry: tombstones drop from every persisted layer
+    val man = knnGraphRequireCompatible(spark, index)
+    val tombCount = corpus.where(deleteFilter).count()
+    if (tombCount == 0L) return index
+    // PHASE 1 — stage every table, live index untouched; PHASE 2 —
+    // swap all, manifest (bumped epoch) last as the commit marker.
+    // Hierarchy symmetry: tombstones drop from every persisted layer
     // they are a member of (the member filter is a deterministic
     // function of id, so the layer slice of the tombstone set is
-    // exact); a layer with no member tombstones is untouched
-    knnGraphLayerLevels(spark, index).foreach { l =>
-      deleteStoredTable(spark,
-        corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
-        deleteFilter,
-        index.layerEdgesPath(l), index.layerAnchorsPath(l),
-        s"${index.path}.delete.layer$l.tmp",
-        index.parts, index.k, index.lshBits, index.lshTables, index.anchorDepth)
-    }
+    // exact); a layer with no member tombstones is untouched.
+    val pending =
+      stageDeleteTable(spark, corpus, deleteFilter,
+        index.edgesPath, index.anchorsPath, index.path + ".delete.tmp",
+        index.parts, index.k, index.lshBits, index.lshTables,
+        index.anchorDepth, "knnGraphDeletePartitioned").toSeq ++
+      knnGraphLayerLevels(spark, index).flatMap { l =>
+        stageDeleteTable(spark,
+          corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
+          deleteFilter,
+          index.layerEdgesPath(l), index.layerAnchorsPath(l),
+          s"${index.path}.delete.layer$l.tmp",
+          index.parts, index.k, index.lshBits, index.lshTables,
+          index.anchorDepth, "knnGraphDeletePartitioned")
+      }
+    pending.foreach(swapStagedTable(spark, _))
+    knnGraphManifestWrite(spark, index, man.copy(epoch = man.epoch + 1,
+      deletedSinceRefresh = man.deletedSinceRefresh + tombCount))
     index
   }
 
   /** One stored edge table's delete cycle — [[knnGraphDeleteParts]]
     * over the table's universe, changed-partition-only staged
     * rewrite, batch-proportional anchor recut
-    * ([[knnGraphDeleteAnchorRecut]]). `corpusOfTable` as in
-    * [[appendStoredTable]]. A delete whose tombstone slice misses
-    * this table entirely is a no-op (`changed` is empty exactly when
-    * no tombstone is in the table's universe, because every tombstone
-    * in it is an edge owner).
+    * ([[knnGraphDeleteAnchorRecut]]); returns the staged swap (None
+    * when untouched). `corpusOfTable` as in [[stageAppendTable]]. A
+    * delete whose tombstone slice misses this table entirely is a
+    * no-op (`changed` is empty exactly when no tombstone is in the
+    * table's universe, because every tombstone in it is an edge
+    * owner).
     */
-  private def deleteStoredTable(
+  private def stageDeleteTable(
       spark: org.apache.spark.sql.SparkSession,
       corpusOfTable: DataFrame,
       deleteFilter: Column,
@@ -2497,7 +2681,8 @@ object Similarity {
       k: Int,
       lshBits: Int,
       lshTables: Int,
-      anchorDepth: Int): Unit = {
+      anchorDepth: Int,
+      opName: String): Option[PendingSwap] = {
     val stored = spark.read.parquet(edgesPath)
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
     val (changed, affectedRows, _) = knnGraphDeleteParts(
@@ -2505,7 +2690,8 @@ object Similarity {
     val affectedParts = changed
       .select(pmod(col("node_id"), lit(parts.toLong)).as("part"))
       .distinct().collect().map(_.getLong(0)).sorted
-    if (affectedParts.nonEmpty) {
+    if (affectedParts.isEmpty) None
+    else {
       val storedAff = spark.read.parquet(edgesPath)
         .where(col("part").isin(affectedParts: _*))
         .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
@@ -2525,8 +2711,7 @@ object Similarity {
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
-      swapStagedTable(spark, tmp, edgesPath, anchorsPath, affectedParts,
-        "knnGraphDeletePartitioned")
+      Some(PendingSwap(tmp, edgesPath, anchorsPath, affectedParts, opName))
     }
   }
 

@@ -431,4 +431,62 @@ class KnnGraphStoreSpec extends SparkTestBase {
     assert(cut3.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
       == expect3, "small-resign recut must equal the survivor-corpus recompute")
   }
+
+  test("manifest: build/append/delete maintain version, epoch, and drift counters; " +
+      "incompatible or missing manifests are rejected loudly") {
+    val all = gaussians(100, 83L)
+    val old = all.where(col("id") % 5 =!= 4)
+    val g = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_manifest_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, old, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    val m0 = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(m0.formatVersion == Similarity.KnnGraphFormatVersion)
+    assert(m0.anchorDepth == idx.anchorDepth && m0.epoch == 0L)
+    assert(m0.baseCount == 80L && m0.appendedSinceRefresh == 0L
+      && m0.deletedSinceRefresh == 0L && m0.appendedFraction == 0.0)
+    // append: epoch bump + appended counter = batch size (20 arrivals)
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 5 === 4)
+    val m1 = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(m1.epoch == 1L && m1.appendedSinceRefresh == 20L
+      && m1.baseCount == 80L && m1.deletedSinceRefresh == 0L)
+    assert(math.abs(m1.appendedFraction - 0.25) < 1e-12)
+    // delete: epoch bump + deleted counter
+    Similarity.knnGraphDeletePartitioned(spark, idx, all, col("id") % 10 === 7)
+    val m2 = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(m2.epoch == 2L && m2.deletedSinceRefresh == 10L
+      && m2.appendedSinceRefresh == 20L)
+    // a handle with the wrong anchor depth / knobs must fail LOUDLY —
+    // a silent wrong-depth recut breaks the stored-anchors invariant
+    val badDepth = intercept[IllegalArgumentException] {
+      Similarity.knnGraphAppendPartitioned(
+        spark, idx.copy(anchorsPerBucket = 6), all, col("id") % 5 === 4)
+    }
+    assert(badDepth.getMessage.contains("disagree with the stored manifest"))
+    // a store without a manifest (pre-v2 or foreign dir) is rejected
+    val fs = new org.apache.hadoop.fs.Path(idx.manifestPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx.manifestPath), false)
+    val noMan = intercept[IllegalStateException] {
+      Similarity.knnGraphDeletePartitioned(spark, idx, all, col("id") % 10 === 3)
+    }
+    assert(noMan.getMessage.contains("no manifest.json"))
+  }
+
+  test("mutations invalidate the serve-tier binary: edges_bin is deleted by the swap") {
+    val all = gaussians(90, 89L)
+    val old = all.where(col("id") % 5 =!= 4)
+    val g = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_bininv_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, old, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    Similarity.knnGraphWriteBinary(spark, idx)
+    val bin = new java.io.File(s"${idx.path}/edges_bin")
+    assert(bin.isDirectory, "binary tier written beside the parquet edges")
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 5 === 4)
+    assert(!bin.exists(),
+      "a mutated index must not leave a stale mmap tier serving pre-mutation neighbors")
+  }
 }
