@@ -2297,8 +2297,12 @@ object SparkEntry {
           s, idx, level = 1, knnGraphL1(s, dir),
           e.where(graft.operators.Similarity.knnLayerMemberFilter(col("id"), 1, 8)))
         // the serve-tier binary handoff rides beside the parquet —
-        // q281 certifies its bytes through the read-back oracle
+        // base edges (q281), the hierarchy layer (q283), and the
+        // top-layer entry list, so the SHIPPING layered descent is
+        // fully binary-servable; each certified through a read-back
         graft.operators.Similarity.knnGraphWriteBinary(s, idx)
+        graft.operators.Similarity.knnGraphWriteBinaryLayer(s, idx, 1)
+        graft.operators.Similarity.knnGraphWriteBinaryEntries(s, idx)
         ckptRoots.add(java.nio.file.Paths.get(path))
         ckptHook
         knnGraphStoreCache = (s, dir, idx)
@@ -2443,6 +2447,57 @@ object SparkEntry {
 
   private def qKnnGraphStoreAppend(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.knnGraphReadEdges(s, knnGraphFlatMutStored(s, dir))
+      .orderBy("node_id", "nb_rank")
+
+  /** The REFRESHED store behind q282: [[knnGraphFlatMutStored]] (80%
+    * base + 20% appended — a 25% appended fraction, past the measured
+    * 10-20% refresh trigger) file-copied and taken through
+    * [[graft.operators.Similarity.knnGraphRefreshPartitioned]] — one
+    * stored-table NN-Descent round, staged-swap written, manifest
+    * counters reset. Mutated ONCE per (session, sf dir), priced in
+    * [[buildCaches]] as "knn_graph_refresh" (the lifecycle rule).
+    */
+  @transient private var knnGraphRefreshCache:
+    (SparkSession, String, graft.operators.Similarity.KnnGraphIndex) = null
+
+  private def knnGraphRefreshStored(
+      s: SparkSession, dir: String): graft.operators.Similarity.KnnGraphIndex =
+    synchronized {
+      if (knnGraphRefreshCache != null && (knnGraphRefreshCache._1 eq s)
+          && knnGraphRefreshCache._2 == dir) knnGraphRefreshCache._3
+      else {
+        val e = t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val base = knnGraphFlatMutStored(s, dir)
+        val path = base.path + "_ref"
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        copyDirLocal(base.path, path)
+        val idx = base.copy(path = path)
+        // the appended store's corpus is the FULL embedding set (old ∪
+        // arrivals); the refresh round re-runs the descent candidate
+        // web over the mutated edges against it
+        graft.operators.Similarity.knnGraphRefreshPartitioned(s, idx, e)
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        knnGraphRefreshCache = (s, dir, idx)
+        idx
+      }
+    }
+
+  /** Graph-based ANN, storage REFRESH leg (q282 — the drift remedy):
+    * the appended store (q275's mutation) takes one
+    * [[graft.operators.Similarity.knnGraphDescentRound]] through the
+    * partitioned refresh, and the read-back must equal the in-memory
+    * descent round over the appended graph — the oracle composes
+    * q268's append unroll with one more descent round. This is the
+    * operator the measured append drift (recall 0.986→0.904→0.779 at
+    * 0/10/30% appended) prescribes at the 10-20% threshold; before
+    * r17 the only remedy was a full rebuild + rewrite.
+    */
+  private def qKnnGraphRefresh(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.knnGraphReadEdges(s, knnGraphRefreshStored(s, dir))
       .orderBy("node_id", "nb_rank")
 
   /** Graph-based ANN, storage-delete leg (q276 — the graph family's
@@ -2597,6 +2652,50 @@ object SparkEntry {
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
   }
 
+  /** Streaming serve off the MUTATED hierarchy (q284 — the full
+    * ingest→mutate→serve loop): the q278 query set arrives as a
+    * FILE STREAM and each micro-batch runs the layered descent
+    * against the appended+deleted store's read-back
+    * ([[knnGraphHierMutStored]]); the drained results must equal
+    * q278's batch layered serve row-for-row (its oracle verbatim).
+    * q270 pinned the streaming serve against a STATIC graph; this
+    * pins it against the post-lifecycle store a production fleet
+    * actually reads.
+    */
+  private def qStreamKnnHierServe(s0: SparkSession, dir: String): DataFrame = {
+    val idx = knnGraphHierMutStored(s0, dir) // memoized on the PRIMARY session
+    val s = streamSession(s0)
+    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+    val stream = s.readStream.schema(e0.schema)
+      .parquet(streamDir(dir, "embeddings"))
+      .where(col("vec_id") < 5)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val corpus = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val layers = Seq(
+      graft.operators.Similarity.knnGraphReadLayer(s, idx, 1),
+      graft.operators.Similarity.knnGraphReadEdges(s, idx))
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+      "graft_knn_stream_hier",
+      s"${digest}_${ProcessHandle.current().pid()}").toString
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    val q = graft.streaming.StreamingOps.streamingKnnGraphServeLayered(
+      stream, layers, corpus, k = 5, beam = 8, hopsPerLayer = 2,
+      sink = batchOut => batchOut.write.mode("append").parquet(out))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = s0.read.parquet(out)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .localCheckpoint()
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    drained
+  }
+
   /** Serve-tier binary certification (q281): the fixed-width
     * offset-indexed neighbor-array files written beside the q273
     * index ([[graft.operators.Similarity.knnGraphWriteBinary]] — the
@@ -2607,6 +2706,19 @@ object SparkEntry {
     */
   private def qKnnBinaryRoundtrip(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.knnGraphReadBinary(s, knnGraphStored(s, dir))
+      .orderBy("node_id", "nb_rank")
+
+  /** Hierarchy tier of the binary handoff (q283): the LAYER edge
+    * file written beside the layer parquet
+    * ([[graft.operators.Similarity.knnGraphWriteBinaryLayer]]) parses
+    * back to exactly the layer-1 graph — certified against the
+    * oracle's own layer-1 build (q271's nb3h CTE chain). With q281
+    * (base) and the entry list (spec-certified + serve-equality
+    * spec), the SHIPPING layered serve path is fully binary-backed:
+    * entries → layer descent → base descent, no JVM needed.
+    */
+  private def qKnnBinaryLayerRoundtrip(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.knnGraphReadBinaryLayer(s, knnGraphStored(s, dir), 1)
       .orderBy("node_id", "nb_rank")
 
   /** Streaming graph-index INGEST (q280 — q254's sibling for the
@@ -5284,6 +5396,7 @@ object SparkEntry {
       "knn_graph_hier_store" -> timed(knnGraphOldHierStored(s, dir)),
       "knn_graph_hier_mut" -> timed(knnGraphHierMutStored(s, dir)),
       "knn_graph_flat_mut" -> timed(knnGraphFlatMutStored(s, dir)),
+      "knn_graph_refresh" -> timed(knnGraphRefreshStored(s, dir)),
       "stream_knn_ingest" -> timed(streamKnnIngestStored(s, dir)),
       "perceptron_model" -> timed(perceptronModel(s, dir)),
       "wordpiece_fert" -> timed(wordpieceFert(s, dir)),
@@ -5566,6 +5679,9 @@ object SparkEntry {
     "q278_knn_hier_lifecycle" -> qKnnHierLifecycle _,
     "q280_stream_knn_ingest" -> qStreamKnnIngest _,
     "q281_knn_binary_roundtrip" -> qKnnBinaryRoundtrip _,
+    "q282_knn_graph_refresh" -> qKnnGraphRefresh _,
+    "q283_knn_binary_layer" -> qKnnBinaryLayerRoundtrip _,
+    "q284_stream_knn_hier_serve" -> qStreamKnnHierServe _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -9725,6 +9841,27 @@ object SparkEntry {
           | FROM mrg) WHERE rk <= 8
           |ORDER BY node_id, nb_rank""".stripMargin),
 
+      // graph refresh: the appended graph (q268's unroll, via the
+      // parametrized append CTEs) taken through ONE more descent
+      // round — the stored refresh must equal this in-memory round
+      "q282_knn_graph_refresh" ->
+        ("WITH " + knnSeedCtes("TRUE", "") + ",\n " +
+          knnSeedCtes("vec_id % 5 <> 4", "o") + knnDescentCtes("o") +
+          knnAppendCtes("b", "nb3o", "pairs", "e", "vec_id % 5 = 4") +
+          knnRefreshCtes("", "gab", "e") + """
+          |SELECT i AS node_id, rk::BIGINT AS nb_rank, j AS neighbor_id, cos
+          |FROM gr ORDER BY node_id, nb_rank""".stripMargin),
+
+      // binary hierarchy tier: the layer-1 edge file must parse back
+      // to exactly the layer-1 graph (the oracle rebuilds it from
+      // scratch — q271's nb3h chain over the Knuth-hash member slice)
+      "q283_knn_binary_layer" ->
+        ("WITH " + knnSeedCtes(
+            "(((vec_id % 1000003) * 2654435761) % 2147483647) % 8 = 0", "h") +
+          knnDescentCtes("h") + """
+          |SELECT i AS node_id, rk::BIGINT AS nb_rank, j AS neighbor_id, cos
+          |FROM nb3h ORDER BY node_id, nb_rank""".stripMargin),
+
       // graph delete: tombstone ~1/7 of nodes, drop their rows and
       // in-edges, backfill affected survivors with one capped descent
       // round over the surviving graph, global top-8 merge
@@ -10352,6 +10489,29 @@ object SparkEntry {
     |   SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
     |   FROM mrg$x) WHERE rk <= 8)""".stripMargin
 
+  /** ONE NN-Descent round over graph CTE `graphCte` ((i, j, …) rows)
+    * scored against corpus CTE `eCte` — the oracle mirror of
+    * [[graft.operators.Similarity.knnGraphDescentRound]] (symmetrize,
+    * Knuth-hash cap at 32, one neighbor-of-neighbor hop, re-score,
+    * top-8). Emits `gr$x` (i, j, cos, rk) — the refresh oracle (q282)
+    * applies it to the appended graph.
+    */
+  private def knnRefreshCtes(x: String, graphCte: String, eCte: String): String = s""",
+    | undr$x AS (SELECT DISTINCT i, j FROM (
+    |   SELECT i, j FROM $graphCte UNION ALL SELECT j AS i, i AS j FROM $graphCte)),
+    | capr$x AS MATERIALIZED (SELECT i, j FROM (
+    |   SELECT i, j, row_number() OVER (PARTITION BY i ORDER BY $knnCapHash, j) AS r
+    |   FROM undr$x) WHERE r <= 32),
+    | candr$x AS (SELECT DISTINCT i, j FROM (
+    |   SELECT a.i AS i, b.j AS j FROM capr$x a JOIN capr$x b ON a.j = b.i
+    |   UNION ALL SELECT i, j FROM capr$x) WHERE i <> j),
+    | scr$x AS (SELECT c.i, c.j,
+    |   ${knnCosSql("ei.vec", "ej.vec")} AS cos
+    |  FROM candr$x c JOIN $eCte ei ON ei.vec_id = c.i JOIN $eCte ej ON ej.vec_id = c.j),
+    | gr$x AS MATERIALIZED (SELECT i, j, cos, rk FROM (
+    |   SELECT i, j, cos, row_number() OVER (PARTITION BY i ORDER BY cos DESC, j) AS rk
+    |   FROM scr$x) WHERE rk <= 8)""".stripMargin
+
   /** The graph-delete unroll (q269's tombstone + capped backfill)
     * parametrized the same way — emits `gd$x` (i, j, cos), the
     * surviving graph's top-8 rows.
@@ -10473,5 +10633,9 @@ object SparkEntry {
       // the serve-tier binary files must parse back to exactly the
       // graph the parquet edges hold — the full-build oracle certifies
       // the written bytes
-      ("q281_knn_binary_roundtrip" -> base("q262_knn_graph"))
+      ("q281_knn_binary_roundtrip" -> base("q262_knn_graph")) +
+      // the drained streaming layered serve against the MUTATED store
+      // must equal q278's batch layered serve — the full
+      // ingest→mutate→serve loop
+      ("q284_stream_knn_hier_serve" -> base("q278_knn_hier_lifecycle"))
 }

@@ -78,6 +78,18 @@ import graft.operators.Similarity
   *     The measured rule of thumb is a rebuild (or a descent-round
   *     refresh) around 10-20% appended fraction, and q272's contract
   *     gate holds the SERVED floor.
+  *   Refresh leg (r17 — knnGraphDescentRound per layer over the
+  *     MUTATED graphs, what knnGraphRefreshPartitioned persists;
+  *     200k base, rounds=5, same day as the drift points above):
+  *       10% appended: 0.942 → 0.972 refreshed — 54%% of the drift
+  *         recovered in 6.1s vs the 59s rebuild floor (35.0s base
+  *         build + 24.1s layer builds) ≈ 10%% of rebuild cost;
+  *       30% appended: 0.824 → 0.888 — 37%% recovered in 7.9s.
+  *     So at the 10-20%% trigger the refresh IS the remedy (most of
+  *     the drift back for a tenth of the rebuild); past ~30%% one
+  *     round recovers only a third and the rebuild starts paying for
+  *     itself — the manifest's appendedSinceRefresh counter is what
+  *     lets an operator act at the right point.
   *   In THIS single-box Spark-job harness each hop pays job latency,
   *   so sub-second point lookups need an external serving tier
   *   reading the same (now persisted, q273) graph — the claim the
@@ -324,6 +336,35 @@ object KnnGraphScaleSmoke {
         f"${recA.getLong(0)}/${recA.getLong(1)} " +
         f"= ${recA.getLong(0).toDouble / recA.getLong(1)}%.3f " +
         f"(appends $appendS%.1fs, serve $serveAS%.1fs)")
+      // ---- REFRESH: one knnGraphDescentRound per layer over the
+      // MUTATED graphs (exactly what knnGraphRefreshPartitioned runs
+      // against the stored tables) — the drift remedy, measured:
+      // recall recovered vs the drifted serve above, wall cost vs the
+      // from-scratch build (the only pre-r17 remedy). The refresh is
+      // one scored expansion per layer — no LSH seeding, no
+      // multi-round loop — so its cost sits well under one build.
+      val tR0 = System.nanoTime()
+      val refreshedKnn = grownKnn.zipWithIndex.map { case (lg, idx0) =>
+        val l = levels - idx0
+        val memberL = Similarity.knnLayerMemberFilter(col("id"), l, layerFactor)
+        Similarity.knnGraphDescentRound(lg, full.where(memberL),
+          k = k, revCap = cap).localCheckpoint()
+      }
+      val refreshS = (System.nanoTime() - tR0) / 1e9
+      val refreshedLayers = refreshedKnn.zipWithIndex.map { case (lg, idx0) =>
+        val l = levels - idx0
+        val memberL = Similarity.knnLayerMemberFilter(col("id"), l, layerFactor)
+        nswGraph(full.where(memberL), lg)
+      }
+      val servedR = Similarity.knnGraphServeLayered(queries, refreshedLayers, full,
+        k = 10, beam = 24, hopsPerLayer = hopsPerLayer)
+      val recR = Similarity.topKRecall(truthA,
+          servedR.select(col("query_id"), col("neighbor_id")))
+        .agg(sum("n_hit").as("h"), sum("n_truth").as("t")).collect()(0)
+      println(f"HIER serve recall@10 AFTER ${(frac * 100).toInt}%% append + REFRESH " +
+        f"(one descent round/layer): ${recR.getLong(0)}/${recR.getLong(1)} " +
+        f"= ${recR.getLong(0).toDouble / recR.getLong(1)}%.3f " +
+        f"(refresh $refreshS%.1fs vs base build above — the rebuild lower bound)")
       full.unpersist()
     }
     spark.stop()

@@ -627,6 +627,35 @@ object StreamingOps {
         ()
       }
 
+  /** Streaming LAYERED serve — [[streamingKnnGraphServe]]'s sibling
+    * for the SHIPPING hierarchical path, against whatever layer
+    * frames the caller read back (typically a [[graft.operators
+    * .Similarity.KnnGraphIndex]] store AFTER lifecycle mutations —
+    * q284 drains queries against the appended+deleted layered store
+    * and must equal q278's batch layered serve, closing the full
+    * ingest→mutate→serve loop). Each micro-batch of query vectors
+    * runs one batch layered descent; results land through `sink`.
+    * State-free: the layers ride the closure as read-back frames, so
+    * per-batch cost is the batch's own descent and nothing grows
+    * with drain length.
+    */
+  def streamingKnnGraphServeLayered(
+      queryStream: DataFrame,
+      layers: Seq[DataFrame],
+      corpus: DataFrame,
+      k: Int,
+      beam: Int,
+      hopsPerLayer: Int,
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    queryStream.writeStream
+      .outputMode(OutputMode.Append)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Similarity.knnGraphServeLayered(
+          batch, layers, corpus, k, beam, hopsPerLayer))
+        ()
+      }
+
   /** Streaming coded-vector INGEST into a persisted composed
     * [[graft.operators.Similarity.IvfPqIndex]] — q160's postings
     * sibling for the ANN index: each micro-batch of arriving (id,

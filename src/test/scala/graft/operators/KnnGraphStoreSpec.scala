@@ -273,6 +273,65 @@ class KnnGraphStoreSpec extends SparkTestBase {
     }
   }
 
+  test("binary hierarchy tier: layer + entries certify against parquet, serve equal, " +
+      "byte-stable, invalidated by mutation") {
+    val all = gaussians(160, 71L)
+    val member1 = Similarity.knnLayerMemberFilter(col("id"), 1, 2)
+    val g = Similarity.knnGraphBuild(all, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_binhier_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, all, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12,
+      layerFactor = 2)
+    val gl1 = Similarity.knnGraphBuild(all.where(member1), k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    Similarity.knnGraphWriteLayer(spark, idx, 1, gl1, all.where(member1))
+    Similarity.knnGraphWriteBinary(spark, idx)
+    Similarity.knnGraphWriteBinaryLayer(spark, idx, 1)
+    Similarity.knnGraphWriteBinaryEntries(spark, idx)
+    // certification: layer binary == layer parquet; entries == the
+    // top layer's node set
+    assert(graphRows(Similarity.knnGraphReadBinaryLayer(spark, idx, 1)) ==
+      graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)))
+    val entries = Similarity.knnGraphReadBinaryEntries(spark, idx)
+      .collect().map(_.getLong(0)).toSeq
+    val expectEntries = Similarity.knnGraphReadLayer(spark, idx, 1)
+      .select("node_id").distinct().collect().map(_.getLong(0)).sorted.toSeq
+    assert(entries == expectEntries, "entry file must hold the top layer's node set, ascending")
+    // the SHIPPING serve path off the binary tier equals the parquet serve
+    val queries = all.where(col("id") < 4)
+    def served(layers: Seq[org.apache.spark.sql.DataFrame]) =
+      Similarity.knnGraphServeLayered(queries, layers, all,
+          k = 3, beam = 6, hopsPerLayer = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(
+      served(Seq(Similarity.knnGraphReadBinaryLayer(spark, idx, 1),
+        Similarity.knnGraphReadBinary(spark, idx))) ==
+      served(Seq(Similarity.knnGraphReadLayer(spark, idx, 1),
+        Similarity.knnGraphReadEdges(spark, idx))),
+      "layered serve off the binary tier must equal the parquet serve")
+    // rerun byte-stability for the hierarchy files
+    def bytesOf(p: String) = {
+      val f = new java.io.File(p)
+      f.listFiles().map(x => x.getName ->
+        java.nio.file.Files.readAllBytes(x.toPath).toSeq).toMap
+    }
+    val lb = bytesOf(s"${idx.path}/layer1/edges_bin")
+    val eb = bytesOf(s"${idx.path}/entries_bin")
+    Similarity.knnGraphWriteBinaryLayer(spark, idx, 1)
+    Similarity.knnGraphWriteBinaryEntries(spark, idx)
+    assert(bytesOf(s"${idx.path}/layer1/edges_bin") == lb
+      && bytesOf(s"${idx.path}/entries_bin") == eb,
+      "rewriting the same hierarchy must reproduce identical bytes")
+    // a lifecycle mutation drops the layer binary AND the entry list
+    // (the entry SET can change under a top-layer append)
+    val all2 = all.union(gaussians(200, 72L).where(col("id") >= 160))
+    Similarity.knnGraphAppendPartitioned(spark, idx, all2, col("id") >= 160)
+    assert(!new java.io.File(s"${idx.path}/layer1/edges_bin").exists()
+      && !new java.io.File(s"${idx.path}/entries_bin").exists(),
+      "mutations must invalidate the binary hierarchy tier")
+  }
+
   test("lifecycle maintains persisted layers: append/delete mutate each layer's slice") {
     val all = gaussians(160, 61L)
     val member1 = Similarity.knnLayerMemberFilter(col("id"), 1, 2)
@@ -472,6 +531,53 @@ class KnnGraphStoreSpec extends SparkTestBase {
       Similarity.knnGraphDeletePartitioned(spark, idx, all, col("id") % 10 === 3)
     }
     assert(noMan.getMessage.contains("no manifest.json"))
+  }
+
+  test("knnGraphRefreshPartitioned: stored refresh equals one in-memory descent round " +
+      "over every table (base + layer); anchors unchanged; manifest counters reset") {
+    val all = gaussians(120, 97L)
+    val old = all.where(col("id") % 5 =!= 4)
+    // layered store over the old corpus (layerFactor 2 keeps layer 1
+    // populated at this size), then append the arrivals so the store
+    // carries real drift for the refresh to work on
+    val g = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_refresh_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, old, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12,
+      layerFactor = 2)
+    val l1Corpus = old.where(Similarity.knnLayerMemberFilter(col("id"), 1, 2))
+    val gl1 = Similarity.knnGraphBuild(l1Corpus, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    Similarity.knnGraphWriteLayer(spark, idx, 1, gl1, l1Corpus)
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 5 === 4)
+    val manBefore = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(manBefore.appendedSinceRefresh == 24L)
+    // expected: one in-memory descent round over each MUTATED stored
+    // table, against its member slice of the full corpus
+    val expectBase = graphRows(Similarity.knnGraphDescentRound(
+      Similarity.knnGraphReadEdges(spark, idx), all, k = 4, revCap = 12))
+    val expectL1 = graphRows(Similarity.knnGraphDescentRound(
+      Similarity.knnGraphReadLayer(spark, idx, 1),
+      all.where(Similarity.knnLayerMemberFilter(col("id"), 1, 2)),
+      k = 4, revCap = 12))
+    val anchBefore = spark.read.parquet(idx.anchorsPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    Similarity.knnGraphRefreshPartitioned(spark, idx, all, revCap = 12)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expectBase,
+      "refreshed base table must equal the in-memory descent round")
+    assert(graphRows(Similarity.knnGraphReadLayer(spark, idx, 1)) == expectL1,
+      "refreshed layer must equal the in-memory descent round over its slice")
+    val anchAfter = spark.read.parquet(idx.anchorsPath)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    assert(anchAfter == anchBefore,
+      "refresh must not change anchors — the corpus is unchanged")
+    val manAfter = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(manAfter.epoch == manBefore.epoch + 1
+      && manAfter.baseCount == 120L
+      && manAfter.appendedSinceRefresh == 0L
+      && manAfter.deletedSinceRefresh == 0L,
+      s"refresh must re-arm the drift counters, got $manAfter")
   }
 
   test("mutations invalidate the serve-tier binary: edges_bin is deleted by the swap") {
