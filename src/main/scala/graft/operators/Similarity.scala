@@ -3004,4 +3004,29 @@ object Similarity {
       appendedSinceRefresh = 0L, deletedSinceRefresh = 0L))
     index
   }
+
+  /** The production refresh TRIGGER: run
+    * [[knnGraphRefreshPartitioned]] iff the manifest's appended
+    * fraction has reached `threshold` (default 0.10 — the measured
+    * drift curve says recall has sagged ~5 points by then and one
+    * descent round recovers most of it at ~a tenth of rebuild cost;
+    * by 30% a round recovers only a third and a rebuild starts
+    * paying for itself). Returns true when a refresh ran. A
+    * maintenance job calls this after every append batch — cheap
+    * when below threshold (one manifest read, nothing else touched).
+    */
+  def knnGraphMaybeRefresh(
+      spark: org.apache.spark.sql.SparkSession,
+      index: KnnGraphIndex,
+      corpus: DataFrame,
+      threshold: Double = 0.10,
+      revCap: Int = 32): Boolean = {
+    require(threshold > 0.0, s"threshold must be positive, got $threshold")
+    val man = knnGraphRequireCompatible(spark, index)
+    if (man.appendedFraction < threshold) false
+    else {
+      knnGraphRefreshPartitioned(spark, index, corpus, revCap)
+      true
+    }
+  }
 }

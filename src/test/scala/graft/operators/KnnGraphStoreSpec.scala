@@ -580,6 +580,35 @@ class KnnGraphStoreSpec extends SparkTestBase {
       s"refresh must re-arm the drift counters, got $manAfter")
   }
 
+  test("knnGraphMaybeRefresh: fires only at the appended-fraction threshold, " +
+      "resets the counter, and is cheap below it") {
+    val all = gaussians(110, 101L)
+    val old = all.where(col("id") % 11 =!= 0) // 100 base nodes
+    val g = Similarity.knnGraphBuild(old, k = 4, rounds = 2,
+      revCap = 12, lshBits = 2, lshTables = 2)
+    val dir = java.nio.file.Files.createTempDirectory("knn_trigger_spec").toString + "/idx"
+    val idx = Similarity.knnGraphWritePartitioned(spark, g, old, dir,
+      parts = 4, k = 4, lshBits = 2, lshTables = 2, anchorsPerBucket = 12)
+    // 10 arrivals on a 100-node base = 10% appended: below a 0.15
+    // threshold nothing runs (same epoch, counters intact)
+    Similarity.knnGraphAppendPartitioned(spark, idx, all, col("id") % 11 === 0)
+    val m1 = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(!Similarity.knnGraphMaybeRefresh(spark, idx, all, threshold = 0.15,
+      revCap = 12))
+    assert(Similarity.knnGraphRequireCompatible(spark, idx) == m1,
+      "below threshold the trigger must touch nothing")
+    // at threshold 0.10 it fires: epoch bumps, counters re-arm, and
+    // the stored graph equals the in-memory descent round
+    val expect = graphRows(Similarity.knnGraphDescentRound(
+      Similarity.knnGraphReadEdges(spark, idx), all, k = 4, revCap = 12))
+    assert(Similarity.knnGraphMaybeRefresh(spark, idx, all, threshold = 0.10,
+      revCap = 12))
+    val m2 = Similarity.knnGraphRequireCompatible(spark, idx)
+    assert(m2.epoch == m1.epoch + 1 && m2.appendedSinceRefresh == 0L
+      && m2.baseCount == 110L)
+    assert(graphRows(Similarity.knnGraphReadEdges(spark, idx)) == expect)
+  }
+
   test("mutations invalidate the serve-tier binary: edges_bin is deleted by the swap") {
     val all = gaussians(90, 89L)
     val old = all.where(col("id") % 5 =!= 4)
