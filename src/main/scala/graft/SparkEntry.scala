@@ -1835,39 +1835,64 @@ object SparkEntry {
   }
 
   /** Streaming coded-vector INGEST (q160's sibling for the composed
-    * index): the index builds over 3/4 of the corpus (per invocation —
-    * ingest mutates storage, so this query can't serve a memoized
-    * build), the remaining 1/4 arrives as a stream and appends
-    * map-only (assign + PQ-encode) into the bucket partition dirs via
-    * foreachBatch, and the drained index's serve must equal q234's
-    * full-corpus build exactly (its oracle verbatim).
+    * index): the index builds over 3/4 of the corpus, the remaining
+    * 1/4 arrives as a stream and appends map-only (assign + PQ-encode)
+    * into the bucket partition dirs via foreachBatch, and the drained
+    * index's serve must equal q234's full-corpus build exactly (its
+    * oracle verbatim). The build+drain runs ONCE per (session, sf dir)
+    * ([[streamIvfIngestStored]], priced in buildCaches as
+    * "stream_ivf_ingest" — the q280/[[streamKnnIngestStored]]
+    * lifecycle pricing applied to the IVF family); the query serves
+    * the drained index, which is what a consumer of a
+    * stream-maintained index reads. q243/q255 keep their
+    * per-invocation streamed legs, so the family still prices live
+    * streaming per rep.
     */
-  private def qStreamIvfPqIngest(s0: SparkSession, dir: String): DataFrame = {
-    val suite = ivfPqSuite(s0, dir)
-    val s = streamSession(s0)
-    val e0 = s.read.parquet(s"$dir/embeddings.parquet")
-    val e = e0.select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
-    val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
-      "graft_ivfpq_ingest", digest).toString
-    val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
-      e.where(pmod(col("id"), lit(4L)) =!= 3), suite.cents, suite.model, path)
-    val batchStream = s.readStream.schema(e0.schema)
-      .parquet(streamDir(dir, "embeddings"))
-      .where(pmod(col("vec_id"), lit(4L)) === 3)
-      .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val q = graft.streaming.StreamingOps.streamingIvfPqIngest(batchStream, idx0)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+  @transient private var streamIvfIngestCache:
+    (SparkSession, String, graft.operators.Similarity.IvfPqIndex) = null
+
+  private def streamIvfIngestStored(
+      s0: SparkSession, dir: String): graft.operators.Similarity.IvfPqIndex =
+    synchronized {
+      if (streamIvfIngestCache != null && (streamIvfIngestCache._1 eq s0)
+          && streamIvfIngestCache._2 == dir) streamIvfIngestCache._3
+      else {
+        val suite = ivfPqSuite(s0, dir)
+        val s = streamSession(s0)
+        val e0 = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = e0.select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+        val path = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+          "graft_ivfpq_ingest",
+          s"${digest}_${ProcessHandle.current().pid()}").toString
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s0.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(path), true)
+        val idx0 = graft.operators.Similarity.ivfPqWritePartitioned(
+          e.where(pmod(col("id"), lit(4L)) =!= 3), suite.cents, suite.model, path)
+        val batchStream = s.readStream.schema(e0.schema)
+          .parquet(streamDir(dir, "embeddings"))
+          .where(pmod(col("vec_id"), lit(4L)) === 3)
+          .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        val q = graft.streaming.StreamingOps.streamingIvfPqIngest(batchStream, idx0)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        ckptRoots.add(java.nio.file.Paths.get(path))
+        ckptHook
+        streamIvfIngestCache = (s0, dir, idx0)
+        idx0
+      }
+    }
+
+  private def qStreamIvfPqIngest(s0: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.ivfPqTopK(
-      s0, idx0, t(s0, dir, "embeddings")
+      s0, streamIvfIngestStored(s0, dir), t(s0, dir, "embeddings")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
         .where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
       .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
       .select("query_id", "neighbor_id", "cos")
-  }
 
   /** Streaming mini-batch k-means through the contract (q266): the
     * embedding corpus arrives as a file stream, each micro-batch runs
@@ -5398,6 +5423,7 @@ object SparkEntry {
       "knn_graph_flat_mut" -> timed(knnGraphFlatMutStored(s, dir)),
       "knn_graph_refresh" -> timed(knnGraphRefreshStored(s, dir)),
       "stream_knn_ingest" -> timed(streamKnnIngestStored(s, dir)),
+      "stream_ivf_ingest" -> timed(streamIvfIngestStored(s, dir)),
       "perceptron_model" -> timed(perceptronModel(s, dir)),
       "wordpiece_fert" -> timed(wordpieceFert(s, dir)),
       "inverted_index" -> timed(invertedIndexBucketed(s, dir)),

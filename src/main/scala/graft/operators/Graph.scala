@@ -188,10 +188,11 @@ object Graph {
     * the hub half-step) and persisted; per round only the skinny
     * (node, score) table ships to each copy's partitioning and the
     * two sums are map-side combined. The per-round max is a 1-row
-    * aggregate broadcast back in. Each normalized frame is eagerly
+    * aggregate broadcast back in. Each RAW half-step sum is eagerly
     * localCheckpoint'ed — the max aggregate and the normalize both
-    * reference the raw sums, so without truncation the lineage would
-    * double every half-step (the kCore plan-blowup shape).
+    * reference it, so without truncation the lineage would double
+    * every half-step (the kCore plan-blowup shape); the normalized
+    * frames are single-read and stay lazy.
     */
   def hits(
       edges: DataFrame,
@@ -207,8 +208,15 @@ object Graph {
       .union(e.select(col("dst").as("node"))).distinct().persist()
     val eSrc = e.repartition(col("src")).persist()
     val eDst = e.repartition(col("dst")).persist()
-    var hub = nodes.select(col("node"), lit(scale).as("hub")).localCheckpoint(true)
-    var auth = nodes.select(col("node"), lit(scale).as("auth")).localCheckpoint(true)
+    // Only the RAW half-step sums are double-read (max + normalize)
+    // and need eager truncation; the normalized frames are each read
+    // exactly once (by the next half-step's join, or the final
+    // output), so they stay LAZY — lineage depth is bounded at two
+    // lazy levels by the raw checkpoints, and the loop runs half the
+    // eager jobs it would with per-frame checkpoints. The initial
+    // frames are literal columns over the persisted node set.
+    var hub = nodes.select(col("node"), lit(scale).as("hub"))
+    var auth = nodes.select(col("node"), lit(scale).as("auth"))
     for (_ <- 1 to iters) {
       val aRaw = eSrc.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum("hub").as("a"))
@@ -218,7 +226,6 @@ object Graph {
         .crossJoin(broadcast(aMax))
         .select(col("node"),
           expr(s"coalesce(a, 0L) * ${scale}L div greatest(am, 1L)").as("auth"))
-        .localCheckpoint(true)
       val hRaw = eDst.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("h"))
         .localCheckpoint(true)
@@ -227,7 +234,6 @@ object Graph {
         .crossJoin(broadcast(hMax))
         .select(col("node"),
           expr(s"coalesce(h, 0L) * ${scale}L div greatest(hm, 1L)").as("hub"))
-        .localCheckpoint(true)
     }
     val out = auth.join(hub, "node")
       .select(col("node"), col("auth"), col("hub")).localCheckpoint(true)
@@ -539,25 +545,30 @@ object Graph {
     val adj = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))
       .repartition(col("m")).persist()
+    // Every round's label table is read exactly ONCE (by the next
+    // round's join), so the chain stays LAZY: one final job runs the
+    // rounds as pipelined shuffle stages instead of paying a
+    // materialization job per round (per-round eager truncation is
+    // for DOUBLE-referenced round state — the kCore shape; here
+    // lineage grows one reference-free level per round). `adj` is the
+    // loop-invariant cache the chain reads `rounds` times; it must
+    // stay persisted through the final materialization.
     var labels = adj.select(col("n").as("node")).distinct()
-      .select(col("node"), col("node").as("label")).persist()
-    labels.count()
+      .select(col("node"), col("node").as("label"))
     for (_ <- 1 to rounds) {
       // max(struct(cnt, -label)) = highest count, then smallest label —
       // the deterministic argmax without a window sort
-      val next = adj
+      labels = adj
         .join(labels.withColumnRenamed("node", "m"), "m")
         .groupBy(col("n"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("n"))
         .agg(max(struct(col("cnt"), (-col("label")).as("neg"))).as("best"))
         .select(col("n").as("node"), (-col("best.neg")).as("label"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
     }
+    val out = labels.persist()
+    out.count()
     adj.unpersist()
     // the RETURNED table stays persisted for the caller to release
-    labels
+    out
   }
 }

@@ -169,7 +169,9 @@ object Preference {
     // Catalyst analysis go exponential — same doubling-loop shape (and
     // fix) as kCore/dedupGroups; superseded checkpoint blocks are
     // released by the ContextCleaner.
-    var w = stats.select(col("item"), lit(scale).as("w")).localCheckpoint(true)
+    // (w_0 itself stays lazy: a literal column over the materialized
+    // stats cache — its round-1 double read hits the cache, not lineage)
+    var w = stats.select(col("item"), lit(scale).as("w"))
     for (_ <- 1 to iters) {
       val d = sym
         .join(w.select(col("item").as("a"), col("w").as("wa")), "a")

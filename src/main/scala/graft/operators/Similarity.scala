@@ -1862,27 +1862,47 @@ object Similarity {
       .where(col("__rk") <= keep).drop("__rk")
     val entries = vecs.where(pmod(col("id"), lit(entryStride)) === 0)
       .select(col("id").as("cand"))
-    // same lineage-truncation rationale as the build loop: each hop
-    // references the beam twice and the graph once, so checkpoint the
-    // skinny (query_id, cand, cos) frontier per hop
+    // Lineage-truncation cadence (same rationale as the layered
+    // serve): each hop references the beam twice, so checkpoint every
+    // SECOND hop — duplication stays ≤2 lazy levels of skinny-frontier
+    // windows/joins while the serve drops half its eager jobs. The
+    // ENTRY beam stays checkpointed: its scoring stage is the flat
+    // serve's one corpus-proportional stage (N/entryStride candidates
+    // per query) and re-running it 4× inside a depth-2 lazy tree is
+    // the one duplication that would not be frontier-sized.
     var beamDf = cut(score(q.select("query_id").crossJoin(entries)), beam).localCheckpoint()
+    var lastCkpt = beamDf
+    var sinceCkpt = 0
     var h = 0
     while (h < hops) {
       val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
         .join(graph.select(col("node_id"), col("neighbor_id").as("cand")), Seq("node_id"))
         .select("query_id", "cand")
       val next = cut(score(
-        beamDf.select("query_id", "cand").union(expand).distinct()), beam).localCheckpoint()
-      unpersistCheckpoint(beamDf)
-      beamDf = next
+        beamDf.select("query_id", "cand").union(expand).distinct()), beam)
+      if (sinceCkpt >= 1 && h < hops - 1) {
+        // two lazy hops are stacked and another follows: truncate
+        val materialized = next.localCheckpoint()
+        unpersistCheckpoint(lastCkpt)
+        lastCkpt = materialized
+        beamDf = materialized
+        sinceCkpt = 0
+      } else {
+        beamDf = next
+        sinceCkpt += 1
+      }
       h += 1
     }
+    // materialize before releasing the caches: the tail hops are lazy
+    // now, so the final tree still runs scoring joins against `vecs`
     val res = beamDf.where(col("cand") =!= col("query_id"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
       .where(col("__rk") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos"))
+      .localCheckpoint()
     vecs.unpersist()
+    if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
     res
   }
 
@@ -1984,8 +2004,23 @@ object Similarity {
     // node set — constant-size by construction); broadcast into the
     // per-query fan-out
     val entries = layers.head.select(col("node_id").as("cand")).distinct()
+    // Lineage-truncation cadence: each hop references the beam twice
+    // (expand + union), so an un-checkpointed hop doubles its subtree
+    // in the next materialization. Checkpointing EVERY hop caps the
+    // duplication at 1× but pays one eager job per hop — and at
+    // serve-sized frontiers (queries·beam skinny rows) the job
+    // scheduling overhead dominates the duplicated work. Checkpoint
+    // every SECOND hop instead: duplication stays ≤2× (the doubled
+    // subtree is one window + two broadcast joins over a tiny
+    // frontier) and the serve drops half its eager actions. The
+    // previous checkpoint's blocks are released only once a LATER
+    // checkpoint materializes (a lazy hop still references them).
     var beamDf = cut(score(
-      q.select("query_id").crossJoin(broadcast(entries))), beam).localCheckpoint()
+      q.select("query_id").crossJoin(broadcast(entries))), beam)
+    var lastCkpt: DataFrame = null
+    var sinceCkpt = 1 // the entry beam is lazy: hop 1 references it twice
+    val totalHops = layers.size * hopsPerLayer
+    var hopNo = 0
     layers.foreach { g =>
       val edges = g.select(col("node_id"), col("neighbor_id").as("cand"))
       var h = 0
@@ -1993,24 +2028,33 @@ object Similarity {
         val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
           .join(edges, Seq("node_id"))
           .select("query_id", "cand")
-        // same lineage-truncation rationale as the flat serve: each
-        // round references the beam twice, so checkpoint the skinny
-        // frontier per round (and drop the previous round's blocks
-        // eagerly)
         val next = cut(score(
           beamDf.select("query_id", "cand").union(expand).distinct()), beam)
-          .localCheckpoint()
-        unpersistCheckpoint(beamDf)
-        beamDf = next
+        hopNo += 1
+        // never materialize the final hop — the caller consumes it once
+        if (sinceCkpt >= 2 && hopNo < totalHops) {
+          val materialized = next.localCheckpoint()
+          if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
+          lastCkpt = materialized
+          beamDf = materialized
+          sinceCkpt = 0
+        } else {
+          beamDf = next
+          sinceCkpt += 1
+        }
         h += 1
       }
     }
+    // materialize before releasing the caches: the tail hops are lazy
+    // now, so the final tree still runs scoring joins against `vecs`
     val res = beamDf.where(col("cand") =!= col("query_id"))
       .withColumn("__rk", row_number().over(
         Window.partitionBy("query_id").orderBy(col("cos").desc, col("cand"))))
       .where(col("__rk") <= k)
       .select(col("query_id"), col("cand").as("neighbor_id"), col("cos"))
+      .localCheckpoint()
     vecs.unpersist()
+    if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
     res
   }
 
@@ -2786,19 +2830,22 @@ object Similarity {
       corpus: DataFrame,
       deleteFilter: Column): KnnGraphIndex = {
     val man = knnGraphRequireCompatible(spark, index)
-    val tombCount = corpus.where(deleteFilter).count()
-    if (tombCount == 0L) return index
     // PHASE 1 — stage every table, live index untouched; PHASE 2 —
     // swap all, manifest (bumped epoch) last as the commit marker.
     // Hierarchy symmetry: tombstones drop from every persisted layer
     // they are a member of (the member filter is a deterministic
     // function of id, so the layer slice of the tombstone set is
-    // exact); a layer with no member tombstones is untouched.
-    val pending =
+    // exact); a layer with no member tombstones is untouched. The
+    // base table's universe is the whole corpus, so its staged tomb
+    // count IS the global count — the manifest counter rides the
+    // staging collect instead of paying a standalone corpus-scan job.
+    val (basePending, tombCount) =
       stageDeleteTable(spark, corpus, deleteFilter,
         index.edgesPath, index.anchorsPath, index.path + ".delete.tmp",
         index.parts, index.k, index.lshBits, index.lshTables,
-        index.anchorDepth, "knnGraphDeletePartitioned").toSeq ++
+        index.anchorDepth, "knnGraphDeletePartitioned")
+    if (tombCount == 0L) return index
+    val pending = basePending.toSeq ++
       knnGraphLayerLevels(spark, index).flatMap { l =>
         stageDeleteTable(spark,
           corpus.where(knnLayerMemberFilter(col("id"), l, index.layerFactor)),
@@ -2806,7 +2853,7 @@ object Similarity {
           index.layerEdgesPath(l), index.layerAnchorsPath(l),
           s"${index.path}.delete.layer$l.tmp",
           index.parts, index.k, index.lshBits, index.lshTables,
-          index.anchorDepth, "knnGraphDeletePartitioned")
+          index.anchorDepth, "knnGraphDeletePartitioned")._1
       }
     pending.foreach(swapStagedTable(spark, _))
     invalidateBinaryEntries(spark, index)
@@ -2823,7 +2870,10 @@ object Similarity {
     * delete whose tombstone slice misses this table entirely is a
     * no-op (`changed` is empty exactly when no tombstone is in the
     * table's universe, because every tombstone in it is an edge
-    * owner).
+    * owner). Returns the staged swap plus the table's tombstone
+    * count, folded into the affected-partition collect (one
+    * broadcast probe of the small tombstone set) so the caller's
+    * manifest counter needs no standalone count job.
     */
   private def stageDeleteTable(
       spark: org.apache.spark.sql.SparkSession,
@@ -2837,15 +2887,24 @@ object Similarity {
       lshBits: Int,
       lshTables: Int,
       anchorDepth: Int,
-      opName: String): Option[PendingSwap] = {
+      opName: String): (Option[PendingSwap], Long) = {
     val stored = spark.read.parquet(edgesPath)
       .select(col("node_id"), col("nb_rank"), col("neighbor_id"), col("cos"))
     val (changed, affectedRows, _) = knnGraphDeleteParts(
       stored, corpusOfTable, deleteFilter, k)
-    val affectedParts = changed
-      .select(pmod(col("node_id"), lit(parts.toLong)).as("part"))
-      .distinct().collect().map(_.getLong(0)).sorted
-    if (affectedParts.isEmpty) None
+    // changed ⊇ the tombstone set (every tombstone is a changed node),
+    // so one stats pass yields both the partitions to rewrite and the
+    // tombstone count
+    val stats = changed
+      .join(broadcast(corpusOfTable.where(deleteFilter)
+        .select(col("id").as("node_id")).withColumn("__t", lit(1L))),
+        Seq("node_id"), "left")
+      .groupBy(pmod(col("node_id"), lit(parts.toLong)).as("part"))
+      .agg(sum(coalesce(col("__t"), lit(0L))).as("nt"))
+      .collect()
+    val affectedParts = stats.map(_.getLong(0)).sorted
+    val tombCount = stats.map(_.getLong(1)).sum
+    if (affectedParts.isEmpty) (None, tombCount)
     else {
       val storedAff = spark.read.parquet(edgesPath)
         .where(col("part").isin(affectedParts: _*))
@@ -2866,7 +2925,8 @@ object Similarity {
         .orderBy("tb", "bkt", "id")
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/anchors")
-      Some(PendingSwap(tmp, edgesPath, anchorsPath, affectedParts, opName))
+      (Some(PendingSwap(tmp, edgesPath, anchorsPath, affectedParts, opName)),
+        tombCount)
     }
   }
 
