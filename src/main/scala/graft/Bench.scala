@@ -9,6 +9,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // AQE OFF in the bench session only — a fixture-scale harness
+      // choice, like shuffle.partitions=cpus: AQE turns every
+      // exchange into its own sub-job, and at sf0.1 the driver-side
+      // scheduling of those tiny stages dominates wall time (same-day
+      // interleaved A/B, 2026-08-17: q277 3.45→2.03s, q152 2.58→1.24,
+      // q244 2.65→1.33, q215 1.81→1.45; the one loser is the
+      // brute-force-shuffle recall gate q272 4.7→5.1 — AQE's
+      // partition coalescing is worth paying for only when a shuffle
+      // is big enough to coalesce). The LIBRARY never sets the flag:
+      // a production session keeps AQE on for runtime re-planning,
+      // skew joins, and coalescing at real scale, and every operator
+      // is AQE-agnostic (values are identical either way — the
+      // oracle-checked Verify path runs with Spark defaults).
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
