@@ -1736,6 +1736,28 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos")
   }
 
+  /** Directory-only reopen of the composed index (q285): the handle a
+    * serving fleet constructs WITHOUT the build job's in-memory
+    * objects — [[graft.operators.Similarity.ivfPqOpen]] reconstructs
+    * codebook/scale/residual from the stored `_manifest.json` and the
+    * centroids from the persisted `_cents` table, and serving through
+    * it must equal q234's serve through the build-time handle exactly
+    * (its oracle verbatim). This is the contract that makes the store
+    * SELF-DESCRIBING: before the manifest, a consumer had to carry
+    * the right codebook out of band, and a wrong one ADC-ranked
+    * silently-garbage candidates.
+    */
+  private def qIvfPqOpenServe(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val reopened = graft.operators.Similarity.ivfPqOpen(s, ivfPqSuite(s, dir).full.path)
+    graft.operators.Similarity.ivfPqTopK(
+      s, reopened,
+      e.where(col("id") >= 5 && col("id") < 10), k = 3, nProbe = 1, rerank = 10)
+      .orderBy(col("query_id"), col("cos").desc, col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cos")
+  }
+
   /** Recall gate on the composed IVF×PQ serve (q161's pattern applied
     * to q234): truth = the exact in-bucket IVF serve, candidate = the
     * ADC top-4 re-ranked to 3 — rerank < bucket size, so the ADC cut
@@ -5708,6 +5730,7 @@ object SparkEntry {
     "q282_knn_graph_refresh" -> qKnnGraphRefresh _,
     "q283_knn_binary_layer" -> qKnnBinaryLayerRoundtrip _,
     "q284_stream_knn_hier_serve" -> qStreamKnnHierServe _,
+    "q285_ivf_pq_open" -> qIvfPqOpenServe _,
     "q249_schema_drift" -> qSchemaDrift _,
     "q250_bm25_negatives" -> qBm25Negatives _,
     "q214_stream_drift" -> qStreamDrift _,
@@ -10663,5 +10686,9 @@ object SparkEntry {
       // the drained streaming layered serve against the MUTATED store
       // must equal q278's batch layered serve — the full
       // ingest→mutate→serve loop
-      ("q284_stream_knn_hier_serve" -> base("q278_knn_hier_lifecycle"))
+      ("q284_stream_knn_hier_serve" -> base("q278_knn_hier_lifecycle")) +
+      // serving through the directory-only reopened handle
+      // (manifest codebook + persisted cents) must equal serving
+      // through the build-time handle
+      ("q285_ivf_pq_open" -> base("q234_ivf_pq_serve"))
 }

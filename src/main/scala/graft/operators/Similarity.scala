@@ -625,8 +625,18 @@ object Similarity {
       .select(col("doc_id").as("neighbor_id"), col("codes"),
         col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
-    IvfPqIndex(cents.select(col("cent_id"), col("cent_v")), model, path, fpScale,
-      residual)
+    val idx = IvfPqIndex(cents.select(col("cent_id"), col("cent_v")), model, path,
+      fpScale, residual)
+    // self-describing store: centroids persist beside the buckets
+    // (underscore dir — invisible to partition discovery) and the
+    // manifest (full codebook + scale + residual flag) publishes
+    // LAST, so [[ivfPqOpen]] reconstructs a servable handle from the
+    // directory alone and a half-written build has no manifest
+    idx.cents
+      .coalesce(1).write.mode("overwrite").parquet(ivfPqCentsPath(path))
+    ivfPqManifestWrite(corpus.sparkSession, idx,
+      ivfPqManifestOf(idx, epoch = 0L, appends = 0L))
+    idx
   }
 
   /** PQ-encode an [[ivfAssignWith]]-shaped frame, against either the
@@ -683,6 +693,10 @@ object Similarity {
       rerank: Int = 32): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+    // serve guard: ADC-ranking codes against LUTs from a codebook the
+    // store was not encoded with produces plausible-looking garbage —
+    // fail loudly instead (one driver-side manifest read)
+    ivfPqRequireCompatible(spark, index)
     val m = index.model.length
     val flat = index.model.flatten.flatten
     val probed0 = ivfProbe(
@@ -758,6 +772,7 @@ object Similarity {
     * the storage inventory).
     */
   def ivfPqAppend(index: IvfPqIndex, batch: DataFrame): IvfPqIndex = {
+    val man = ivfPqRequireCompatible(batch.sparkSession, index)
     val batchIn = batch.select(col("id").as("doc_id"), col("vec").as("v"))
     val assigned = ivfAssignWith(batchIn, index.cents)
     pqEncodeMaybeResidual(assigned, index.cents, index.model, index.fpScale,
@@ -765,6 +780,9 @@ object Similarity {
       .select(col("doc_id").as("neighbor_id"), col("codes"),
         col("v").as("c_vec"), col("v_norm").as("c_norm"), col("bucket"))
       .write.mode("append").partitionBy("bucket").parquet(index.path)
+    ivfPqManifestWrite(batch.sparkSession, index,
+      man.copy(epoch = man.epoch + 1,
+        appendsSinceCompact = man.appendsSinceCompact + 1))
     index
   }
 
@@ -789,6 +807,7 @@ object Similarity {
   def ivfPqCompact(
       spark: org.apache.spark.sql.SparkSession,
       index: IvfPqIndex): IvfPqIndex = {
+    val man = ivfPqRequireCompatible(spark, index)
     val tmp = index.path + ".compact.tmp"
     spark.read.parquet(index.path)
       .select(col("neighbor_id"), col("codes"), col("c_vec"), col("c_norm"),
@@ -799,6 +818,16 @@ object Similarity {
     val hPath = new org.apache.hadoop.fs.Path(index.path)
     val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // stage cents + the bumped manifest INSIDE the temp before the
+    // swap: the whole-root rename then publishes data, cents, and
+    // manifest together, and a failure at any point leaves the old
+    // index (old epoch, old counter) fully intact
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(ivfPqCentsPath(index.path)),
+      fs, new org.apache.hadoop.fs.Path(ivfPqCentsPath(tmp)),
+      false, spark.sparkContext.hadoopConfiguration)
+    ivfPqManifestWrite(spark, index,
+      man.copy(epoch = man.epoch + 1, appendsSinceCompact = 0L), Some(tmp))
     fs.delete(hPath, true)
     if (!fs.rename(hTmp, hPath))
       throw new java.io.IOException(
@@ -835,6 +864,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession,
       index: IvfPqIndex,
       deletes: DataFrame): IvfPqIndex = {
+    val man = ivfPqRequireCompatible(spark, index)
     val del = deletes.select(col("id").cast("long").as("neighbor_id")).persist()
     val affected = spark.read.parquet(index.path)
       .select(col("bucket").cast("long").as("bucket"), col("neighbor_id"))
@@ -860,9 +890,174 @@ object Similarity {
             s"ivfPqDelete: failed to swap $src into $dst")
       }
       fs.delete(hTmp, true)
+      // commit marker: the bumped epoch publishes only after every
+      // per-bucket swap landed
+      ivfPqManifestWrite(spark, index, man.copy(epoch = man.epoch + 1))
     }
     del.unpersist()
     index
+  }
+
+  /** Stored-format version of the composed [[IvfPqIndex]] manifest
+    * (v1 = `_manifest.json` + `_cents/` beside the bucket partitions;
+    * underscore prefixes keep both invisible to Spark's partition
+    * discovery and file listing, so the data path still reads as a
+    * plain bucket-partitioned table).
+    */
+  val IvfPqFormatVersion: Int = 1
+
+  /** Durable descriptor + mutation commit marker of a persisted
+    * composed [[IvfPqIndex]] — the graph index's manifest discipline
+    * applied to the IVF family. The codes in the table are
+    * meaningless without EXACTLY the codebook/scale/residual-flag
+    * they were encoded under: a handle carrying the wrong model
+    * serves silently-garbage ADC ranks today, which is the same
+    * silent-mismatch class the graph manifest closed for anchor
+    * depth. The manifest stores the FULL codebook (model-sized by
+    * contract: m·k·(d/m) longs), so [[ivfPqOpen]] can reconstruct a
+    * servable handle from the directory alone — no side-channel
+    * model object — and [[ivfPqRequireCompatible]] can deep-compare
+    * a caller's handle against what the codes were actually encoded
+    * with. `epoch` bumps on every mutation and is written LAST (the
+    * commit marker); `appendsSinceCompact` counts append BATCHES —
+    * each leaves a file per touched bucket, and probe-time I/O pays
+    * a per-file open cost that grows with ingest history — so
+    * [[ivfPqMaybeCompact]] can trigger the rewrite at a file-count
+    * threshold the same way [[knnGraphMaybeRefresh]] triggers on
+    * drift.
+    */
+  final case class IvfPqManifest(
+      formatVersion: Int,
+      fpScale: Double,
+      residual: Boolean,
+      m: Int,
+      kCodes: Int,
+      dSub: Int,
+      model: List[List[List[Long]]],
+      epoch: Long,
+      appendsSinceCompact: Long)
+
+  private def ivfPqManifestOf(
+      index: IvfPqIndex, epoch: Long, appends: Long): IvfPqManifest =
+    IvfPqManifest(IvfPqFormatVersion, index.fpScale, index.residual,
+      index.model.length, index.model.headOption.map(_.length).getOrElse(0),
+      index.model.headOption.flatMap(_.headOption).map(_.length).getOrElse(0),
+      index.model.map(_.map(_.toList).toList).toList, epoch, appends)
+
+  private def ivfPqManifestPath(root: String): String = s"$root/_manifest.json"
+  private def ivfPqCentsPath(root: String): String = s"$root/_cents"
+
+  /** Publish the manifest (staged tmp + rename — the mutation's
+    * commit point). `atRoot` lets [[ivfPqCompact]] stage it inside
+    * the sibling temp so the whole-root swap publishes data, cents,
+    * and manifest together.
+    */
+  def ivfPqManifestWrite(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex,
+      m: IvfPqManifest,
+      atRoot: Option[String] = None): Unit = {
+    import org.json4s.JsonDSL._
+    val root = atRoot.getOrElse(index.path)
+    val json = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        ("formatVersion" -> m.formatVersion) ~ ("fpScale" -> m.fpScale) ~
+          ("residual" -> m.residual) ~ ("m" -> m.m) ~ ("kCodes" -> m.kCodes) ~
+          ("dSub" -> m.dSub) ~ ("model" -> m.model) ~ ("epoch" -> m.epoch) ~
+          ("appendsSinceCompact" -> m.appendsSinceCompact)))
+    val dst = new org.apache.hadoop.fs.Path(ivfPqManifestPath(root))
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._manifest.json.tmp")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"ivfPqManifestWrite: failed to publish $dst")
+  }
+
+  def ivfPqManifestRead(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[IvfPqManifest] = {
+    val p = new org.apache.hadoop.fs.Path(ivfPqManifestPath(path))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      Some(org.json4s.jackson.JsonMethods.parse(txt).extract[IvfPqManifest])
+    }
+  }
+
+  /** The serve/mutation guard: the stored manifest must exist and
+    * agree with the handle's format version, scale, residual flag,
+    * and FULL codebook — a pre-manifest store, a foreign directory,
+    * or a handle carrying a retrained model fails HERE, loudly,
+    * instead of ADC-ranking codes against the wrong lookup tables
+    * downstream.
+    */
+  def ivfPqRequireCompatible(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex): IvfPqManifest = {
+    val m = ivfPqManifestRead(spark, index.path).getOrElse(
+      throw new IllegalStateException(
+        s"IvfPqIndex at ${index.path} has no _manifest.json — a pre-v" +
+          s"$IvfPqFormatVersion store (or a foreign directory); rebuild with " +
+          "ivfPqWritePartitioned before serving or mutating"))
+    require(m.formatVersion == IvfPqFormatVersion,
+      s"IvfPqIndex at ${index.path}: stored formatVersion ${m.formatVersion} != " +
+        s"supported $IvfPqFormatVersion")
+    require(m.fpScale == index.fpScale && m.residual == index.residual,
+      s"IvfPqIndex at ${index.path}: handle (fpScale=${index.fpScale}, " +
+        s"residual=${index.residual}) disagrees with stored " +
+        s"(fpScale=${m.fpScale}, residual=${m.residual})")
+    val handleModel = index.model.map(_.map(_.toList).toList).toList
+    require(m.model == handleModel,
+      s"IvfPqIndex at ${index.path}: the handle's codebook is not the one " +
+        s"the stored codes were encoded with (stored m=${m.m} k=${m.kCodes} " +
+        s"dSub=${m.dSub}); serving would ADC-rank against the wrong LUTs")
+    m
+  }
+
+  /** Reconstruct a servable [[IvfPqIndex]] from its directory alone —
+    * the handle a serving fleet opens without the build job's
+    * in-memory objects: codebook/scale/residual from the manifest,
+    * centroids from the `_cents` table the build persisted.
+    */
+  def ivfPqOpen(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfPqIndex = {
+    val m = ivfPqManifestRead(spark, path).getOrElse(
+      throw new IllegalStateException(
+        s"ivfPqOpen: no _manifest.json under $path"))
+    require(m.formatVersion == IvfPqFormatVersion,
+      s"ivfPqOpen: $path stored formatVersion ${m.formatVersion} != " +
+        s"supported $IvfPqFormatVersion")
+    IvfPqIndex(
+      spark.read.parquet(ivfPqCentsPath(path)).select(col("cent_id"), col("cent_v")),
+      m.model.map(_.map(_.toArray).toArray).toArray,
+      path, m.fpScale, m.residual)
+  }
+
+  /** The compaction TRIGGER ([[knnGraphMaybeRefresh]]'s sibling for
+    * the IVF family): compact iff at least `maxAppendBatches` append
+    * batches landed since the last build/compact — each append leaves
+    * one file per touched bucket, so probe-time I/O degrades with
+    * ingest history at a rate the manifest counter measures exactly.
+    * Below the threshold the call costs one manifest read. Returns
+    * true when a compaction ran.
+    */
+  def ivfPqMaybeCompact(
+      spark: org.apache.spark.sql.SparkSession,
+      index: IvfPqIndex,
+      maxAppendBatches: Long = 8L): Boolean = {
+    require(maxAppendBatches > 0L,
+      s"maxAppendBatches must be positive, got $maxAppendBatches")
+    val m = ivfPqRequireCompatible(spark, index)
+    if (m.appendsSinceCompact < maxAppendBatches) false
+    else { ivfPqCompact(spark, index); true }
   }
 
   /** Embedding-column HEALTH profile — the gate an embedding table

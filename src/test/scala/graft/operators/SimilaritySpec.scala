@@ -811,4 +811,85 @@ class SimilaritySpec extends SparkTestBase {
       .groupBy("bucket").count().as[(Long, Long)].collect().toMap
     assert(r.map(x => x._1 -> x._2).toMap == occ)
   }
+
+  private def ivfPqFixture(tag: String) = {
+    import spark.implicits._
+    val all = (0L until 64L).map { i =>
+      (i, (0 until 8).map(d => ((i * 31 + d * 17) % 13).toDouble - 6.0))
+    }.toDF("id", "vec")
+    val cents = all.where(col("id") < 8)
+      .select(col("id").as("cent_id"), col("vec").as("cent_v"))
+    val model = Clustering.pqTrain(all, col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString + "/idx"
+    (all, cents, model, dir)
+  }
+
+  private def serveRows(idx: Similarity.IvfPqIndex, queries: org.apache.spark.sql.DataFrame) =
+    Similarity.ivfPqTopK(spark, idx, queries, k = 3, nProbe = 1, rerank = 64)
+      .orderBy("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+
+  test("ivfPqOpen: directory-only reopen serves exactly like the build-time handle") {
+    val (all, cents, model, dir) = ivfPqFixture("ivfpq_open_spec")
+    val idx = Similarity.ivfPqWritePartitioned(all, cents, model, dir)
+    val m = Similarity.ivfPqManifestRead(spark, dir).get
+    assert(m.formatVersion == Similarity.IvfPqFormatVersion
+      && m.epoch == 0L && m.appendsSinceCompact == 0L
+      && m.m == 4 && m.kCodes == 8 && m.dSub == 2 && !m.residual)
+    val reopened = Similarity.ivfPqOpen(spark, dir)
+    val queries = all.where(col("id") < 5)
+    assert(serveRows(reopened, queries) == serveRows(idx, queries))
+    // the underscore sidecars must stay invisible to the data scan
+    assert(!spark.read.parquet(dir).columns.contains("cent_v"))
+  }
+
+  test("ivfPq guards fail loudly: foreign directory, wrong codebook, wrong flags") {
+    val (all, cents, model, dir) = ivfPqFixture("ivfpq_guard_spec")
+    val idx = Similarity.ivfPqWritePartitioned(all, cents, model, dir)
+    val queries = all.where(col("id") < 3)
+    // a directory with no manifest cannot be served or mutated
+    val bare = idx.copy(path =
+      java.nio.file.Files.createTempDirectory("ivfpq_bare").toString)
+    val e1 = intercept[IllegalStateException](serveRows(bare, queries))
+    assert(e1.getMessage.contains("_manifest.json"))
+    // a handle carrying a DIFFERENT codebook must not ADC-rank the codes
+    val otherModel = Clustering.pqTrain(
+      all.where(col("id") % 2 === 0), col("id"), col("vec"), m = 4, k = 8, iters = 1)
+    assume(otherModel.flatten.flatten.toSeq != model.flatten.flatten.toSeq)
+    val e2 = intercept[IllegalArgumentException](
+      serveRows(idx.copy(model = otherModel), queries))
+    assert(e2.getMessage.contains("codebook"))
+    // wrong residual flag / scale likewise
+    val e3 = intercept[IllegalArgumentException](
+      serveRows(idx.copy(residual = true), queries))
+    assert(e3.getMessage.contains("residual"))
+    val e4 = intercept[IllegalArgumentException](
+      serveRows(idx.copy(fpScale = 2000.0), queries))
+    assert(e4.getMessage.contains("fpScale"))
+  }
+
+  test("ivfPq manifest lifecycle: epoch bumps per mutation, compact resets the " +
+      "append counter, maybeCompact fires only at the threshold, open survives it all") {
+    val (all, cents, model, dir) = ivfPqFixture("ivfpq_lifecycle_spec")
+    val base = all.where(col("id") % 4 =!= 3)
+    val idx = Similarity.ivfPqWritePartitioned(base, cents, model, dir)
+    Similarity.ivfPqAppend(idx, all.where(col("id") % 8 === 3))
+    Similarity.ivfPqAppend(idx, all.where(col("id") % 8 === 7))
+    val m2 = Similarity.ivfPqManifestRead(spark, dir).get
+    assert(m2.epoch == 2L && m2.appendsSinceCompact == 2L)
+    // below the threshold the trigger reads the manifest and stops
+    assert(!Similarity.ivfPqMaybeCompact(spark, idx, maxAppendBatches = 3L))
+    assert(Similarity.ivfPqManifestRead(spark, dir).get == m2)
+    // at the threshold it compacts: epoch bumps, counter re-arms, and
+    // the swapped root still carries cents + manifest (open works)
+    assert(Similarity.ivfPqMaybeCompact(spark, idx, maxAppendBatches = 2L))
+    val m3 = Similarity.ivfPqManifestRead(spark, dir).get
+    assert(m3.epoch == 3L && m3.appendsSinceCompact == 0L)
+    val queries = all.where(col("id") < 5)
+    assert(serveRows(Similarity.ivfPqOpen(spark, dir), queries)
+      == serveRows(idx, queries))
+    // delete bumps the epoch too (commit marker after the swaps)
+    Similarity.ivfPqDelete(spark, idx, all.where(col("id") % 7 === 2).select(col("id")))
+    assert(Similarity.ivfPqManifestRead(spark, dir).get.epoch == 4L)
+  }
 }
