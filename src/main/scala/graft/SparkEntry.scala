@@ -2303,7 +2303,16 @@ object SparkEntry {
     // sampled queries, and each query pays a full brute-force truth
     // pass by design
     val sample = e.where(pmod(col("id"), lit(50L)) === 0)
-    val truth = graft.operators.Similarity.bruteForceTopK(sample, e, k = 5)
+    // the brute-force truth is the one stage here whose shuffle is
+    // big enough for AQE's partition coalescing to pay (the bench
+    // session runs AQE off for the tiny-stage fleet — see Bench
+    // .scala); materialize it under AQE scoped on, exactly the
+    // per-stage choice a production job would make
+    val prevAqe = s.conf.get("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    val truth =
+      try graft.operators.Similarity.bruteForceTopK(sample, e, k = 5).localCheckpoint()
+      finally s.conf.set("spark.sql.adaptive.enabled", prevAqe)
     val served = graft.operators.Similarity.knnGraphServeLayered(
       sample, Seq(knnGraphL1(s, dir), knnGraph(s, dir)), e,
       k = 5, beam = 8, hopsPerLayer = 3)
