@@ -1586,7 +1586,7 @@ object Similarity {
     * the checkpointed RDD rides in the plan's LogicalRDD leaf. No-op
     * on non-checkpointed frames.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
@@ -2066,6 +2066,31 @@ object Similarity {
     // per query) and re-running it 4× inside a depth-2 lazy tree is
     // the one duplication that would not be frontier-sized.
     var beamDf = cut(score(q.select("query_id").crossJoin(entries)), beam).localCheckpoint()
+    // Frontier-sized hop shuffles: past the entry stage every shuffle
+    // in this loop carries ≤ queries·beam·(k+1) skinny rows — a bound
+    // the operator documents as corpus-INDEPENDENT — yet each one
+    // inherits the session's corpus-sized spark.sql.shuffle.partitions
+    // (32 near-empty tasks per window/distinct at fixture scale; the
+    // task fleet, not the data, was the measured serve cost). Derive
+    // the hop partition count from the materialized entry beam
+    // (queries·beam rows, a cached count): ~250k frontier rows per
+    // partition, so a 1M-query serve batch still fans out to hundreds
+    // of partitions while a 100-query batch plans single-task stages.
+    // Guide §2: partition by data size, not by a constant tuned for
+    // either local mode or the cluster.
+    val sess = queries.sparkSession
+    val frontierParts = math.max(1L,
+      beamDf.count() * (k + 1) / 250000L).toString
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val prevBloom = sess.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sess.conf.set("spark.sql.shuffle.partitions", frontierParts)
+    // the optimizer injects a runtime Bloom filter (might_contain
+    // scalar subquery, one extra job per hop) over query_id with the
+    // broadcast q as creation side — semantically a no-op here at ANY
+    // scale: every beam row's query_id comes FROM q by construction
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try {
     var lastCkpt = beamDf
     var sinceCkpt = 0
     var h = 0
@@ -2073,8 +2098,14 @@ object Similarity {
       val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
         .join(graph.select(col("node_id"), col("neighbor_id").as("cand")), Seq("node_id"))
         .select("query_id", "cand")
+      // one explicit frontier exchange per hop: repartition by
+      // query_id, then BOTH the dedup aggregate (keys ⊇ query_id) and
+      // the window cut (partitionBy query_id) reuse that partitioning
+      // — the plan shape is one Exchange where ENSURE_REQUIREMENTS
+      // placed three (distinct + window each re-exchanged the union)
       val next = cut(score(
-        beamDf.select("query_id", "cand").union(expand).distinct()), beam)
+        beamDf.select("query_id", "cand").union(expand)
+          .repartition(col("query_id")).distinct()), beam)
       if (sinceCkpt >= 1 && h < hops - 1) {
         // two lazy hops are stacked and another follows: truncate
         val materialized = next.localCheckpoint()
@@ -2099,6 +2130,10 @@ object Similarity {
     vecs.unpersist()
     if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
     res
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevBloom)
+    }
   }
 
   /** Deterministic HNSW-style layer membership: a node belongs to
@@ -2210,10 +2245,32 @@ object Similarity {
     // frontier) and the serve drops half its eager actions. The
     // previous checkpoint's blocks are released only once a LATER
     // checkpoint materializes (a lazy hop still references them).
+    // The entry beam is materialized eagerly: it seeds every hop AND
+    // its cached row count (queries·beam) is what sizes the hop
+    // shuffles below — same frontier-partitioning rationale as
+    // [[knnGraphServe]]: every post-entry shuffle carries
+    // ≤ queries·beam·(k+1) skinny rows (corpus-independent by this
+    // operator's documented scale shape), so the hop loop derives its
+    // partition count from the frontier instead of inheriting the
+    // session's corpus-sized spark.sql.shuffle.partitions (which
+    // planned 32 near-empty tasks per window/distinct at fixture
+    // scale — the measured serve cost was that task fleet).
     var beamDf = cut(score(
-      q.select("query_id").crossJoin(broadcast(entries))), beam)
-    var lastCkpt: DataFrame = null
-    var sinceCkpt = 1 // the entry beam is lazy: hop 1 references it twice
+      q.select("query_id").crossJoin(broadcast(entries))), beam).localCheckpoint()
+    val sess = queries.sparkSession
+    val frontierParts = math.max(1L,
+      beamDf.count() * (k + 1) / 250000L).toString
+    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
+    val prevBloom = sess.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    sess.conf.set("spark.sql.shuffle.partitions", frontierParts)
+    // see knnGraphServe: the injected runtime Bloom filter over
+    // query_id (broadcast q as creation side) is a no-op by
+    // construction and costs one scalar-subquery job per hop
+    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+    try {
+    var lastCkpt: DataFrame = beamDf
+    var sinceCkpt = 0
     val totalHops = layers.size * hopsPerLayer
     var hopNo = 0
     layers.foreach { g =>
@@ -2223,8 +2280,12 @@ object Similarity {
         val expand = beamDf.select(col("query_id"), col("cand").as("node_id"))
           .join(edges, Seq("node_id"))
           .select("query_id", "cand")
+        // one explicit frontier exchange per hop (see knnGraphServe):
+        // repartition by query_id; dedup aggregate and window cut
+        // both reuse that partitioning instead of re-exchanging
         val next = cut(score(
-          beamDf.select("query_id", "cand").union(expand).distinct()), beam)
+          beamDf.select("query_id", "cand").union(expand)
+            .repartition(col("query_id")).distinct()), beam)
         hopNo += 1
         // never materialize the final hop — the caller consumes it once
         if (sinceCkpt >= 2 && hopNo < totalHops) {
@@ -2251,6 +2312,10 @@ object Similarity {
     vecs.unpersist()
     if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
     res
+    } finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
+      sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevBloom)
+    }
   }
 
   /** A PERSISTED k-NN graph index — the graph family's counterpart of
