@@ -3825,7 +3825,11 @@ object SparkEntry {
     val appended = graft.operators.Retrieval.appendToInvertedIndex(
       base, docs.where(pmod(col("doc_id"), lit(4)) === 0),
       col("doc_id"), col("text"))
-    graft.operators.Retrieval.bm25IndexedTopK(appended, bm25BatchQueries, topK = 10)
+    // the appended index is a LAZY union plan — materialize its pruned
+    // (query-term-sized) slice once so the serve's df aggregate and
+    // scoring pass don't each re-tokenize the corpus
+    val served = graft.operators.Retrieval.materializeForTerms(appended, bm25BatchQueries)
+    graft.operators.Retrieval.bm25IndexedTopK(served, bm25BatchQueries, topK = 10)
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 
@@ -4133,7 +4137,11 @@ object SparkEntry {
     val dels = index.postings.select("doc_id").distinct()
       .where(pmod(col("doc_id"), lit(5)) === 0)
     val pruned = graft.operators.Retrieval.removeFromInvertedIndex(index, dels)
-    graft.operators.Retrieval.bm25IndexedTopK(pruned, bm25BatchQueries, topK = 10)
+    // the tombstoned index is a LAZY anti-join plan — materialize its
+    // pruned slice once so the serve's two consumers don't each re-run
+    // the anti-join + tombstone distinct over the full postings table
+    val served = graft.operators.Retrieval.materializeForTerms(pruned, bm25BatchQueries)
+    graft.operators.Retrieval.bm25IndexedTopK(served, bm25BatchQueries, topK = 10)
       .orderBy(col("query_id"), col("score").desc, col("doc_id"))
   }
 

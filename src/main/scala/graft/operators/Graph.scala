@@ -17,6 +17,38 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Data-derived partition count for a persisted adjacency and the
+    * per-round skinny-state exchanges. Two constraints, take the max:
+    * a SIZE floor (≥ rows/2M, so a 10^10-edge graph splits into
+    * thousands of partitions regardless of cluster width) and a
+    * PARALLELISM term (up to the scheduler's defaultParallelism once
+    * there are ≥50k rows per core to amortize task overhead — an
+    * adjacency of a few thousand rows plans 1-task rounds instead of
+    * 32 near-empty ones, while a ~1M-row adjacency still fans across
+    * the cores; a pure rows/2M rule single-tasked the 0.9M-edge
+    * co-shipping graph and went 2.3 s → 10 s). Guide §2: derive
+    * partitioning from the data, not from a constant tuned for either
+    * local mode or the cluster.
+    */
+  private def sizedParts(df: DataFrame, rows: Long): Int = {
+    val par = df.sparkSession.sparkContext.defaultParallelism.toLong
+    math.max(math.max(1L, rows / 2000000L),
+      math.min(par, rows / 50000L)).toInt
+  }
+
+  /** Run `body` with spark.sql.shuffle.partitions scoped to `parts`
+    * (the adjacency's own partition count), so every per-round
+    * exchange matches the persisted adjacency's partitioning — the
+    * rank/label/liveness tables re-exchange per round (skinny), the
+    * edges never do.
+    */
+  private def withParts[T](df: DataFrame, parts: Int)(body: => T): T = {
+    val sess = df.sparkSession
+    val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Integer-exact PageRank over a directed multigraph edge table
     * (parallel edge rows contribute independently; pre-`distinct`
     * upstream for simple-graph semantics).
@@ -51,12 +83,21 @@ object Graph {
     require(iters > 0, s"iters must be positive, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    // one narrow count sizes every exchange in the operator; the
+    // adjacency join below has exactly one output row per edge, so
+    // scoping shuffle partitions BEFORE building it makes the join's
+    // own exchange produce the sized hash(src) layout — no staged
+    // persist + repartition + eager-count cycle (2 jobs and a full
+    // extra materialization saved per call)
+    val parts = sizedParts(e, e.count())
+    withParts(e, parts) {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
-    // (src, dst, d) partitioned ONCE by src; all rounds reuse it
+    // (src, dst, d) hash-partitioned ONCE by src at the sized count
+    // via the join's own exchange; all rounds reuse that partitioning
     val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .repartition(col("src")).persist()
+      .persist()
     val base = 15L * scale / 100L
     var ranks = nodes.select(col("node"), lit(scale).as("rank"))
     for (_ <- 1 to iters) {
@@ -79,6 +120,7 @@ object Graph {
     nodes.unpersist()
     adj.unpersist()
     out
+    }
   }
 
   /** Textbook PageRank: [[pageRank]]'s recurrence plus dangling-mass
@@ -114,12 +156,18 @@ object Graph {
     // of edges that is two full scans saved, and the per-round
     // dangling-mass aggregate becomes a scan of the O(nodes) rank
     // table instead of a join
+    // one narrow count sizes every exchange in the operator; the
+    // adjacency join below has one output row per edge, so scoping
+    // shuffle partitions BEFORE building it makes its own exchange
+    // produce the sized hash(src) layout (no staged repartition pass)
+    val parts = sizedParts(e, e.count())
+    withParts(e, parts) {
     val nodes = e.select(col("src").as("node"), lit(1).as("has_out"))
       .union(e.select(col("dst").as("node"), lit(0).as("has_out")))
       .groupBy("node").agg(max(col("has_out")).as("has_out"))
       .persist()
     val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .repartition(col("src")).persist()
+      .persist()
     val nNodes = nodes.count() // O(1) driver scalar, computed once
     val base = 15L * scale / 100L
     var ranks = nodes.select(col("node"), col("has_out"), lit(scale).as("rank"))
@@ -164,6 +212,7 @@ object Graph {
     nodes.unpersist()
     adj.unpersist()
     out
+    }
   }
 
   /** Integer-exact HITS (Kleinberg hubs-and-authorities) over the
@@ -202,12 +251,15 @@ object Graph {
       scale: Long = 1000000L): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
+    // persist the deduped edge set once — it feeds THREE consumers
+    // (node set, src copy, dst copy) that each re-ran the distinct
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .where(col("src") =!= col("dst")).distinct()
+      .where(col("src") =!= col("dst")).distinct().persist()
+    val parts = sizedParts(e, e.count())
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val eSrc = e.repartition(col("src")).persist()
-    val eDst = e.repartition(col("dst")).persist()
+    val eSrc = e.repartition(parts, col("src")).persist()
+    val eDst = e.repartition(parts, col("dst")).persist()
     // Only the RAW half-step sums are double-read (max + normalize)
     // and need eager truncation; the normalized frames are each read
     // exactly once (by the next half-step's join, or the final
@@ -215,12 +267,19 @@ object Graph {
     // lazy levels by the raw checkpoints, and the loop runs half the
     // eager jobs it would with per-frame checkpoints. The initial
     // frames are literal columns over the persisted node set.
+    withParts(e, parts) {
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     var auth = nodes.select(col("node"), lit(scale).as("auth"))
     for (_ <- 1 to iters) {
+      // LAZY checkpoint: the logical plan is already the constant-size
+      // LogicalRDD (so the max + normalize double-read can't double the
+      // lineage per round), but no dedicated job runs here — the max
+      // broadcast below is the first action and materializes the
+      // persisted blocks as a side effect. 2 jobs/round saved vs the
+      // eager form (q189: 16 → 12 jobs, ~1.8 → ~1.6 s warm).
       val aRaw = eSrc.join(hub.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node")).agg(sum("hub").as("a"))
-        .localCheckpoint(true) // read twice: max + normalize
+        .localCheckpoint(false) // read twice: max + normalize
       val aMax = aRaw.agg(coalesce(max("a"), lit(0L)).as("am"))
       auth = nodes.join(aRaw, Seq("node"), "left")
         .crossJoin(broadcast(aMax))
@@ -228,7 +287,7 @@ object Graph {
           expr(s"coalesce(a, 0L) * ${scale}L div greatest(am, 1L)").as("auth"))
       val hRaw = eDst.join(auth.withColumnRenamed("node", "dst"), "dst")
         .groupBy(col("src").as("node")).agg(sum("auth").as("h"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val hMax = hRaw.agg(coalesce(max("h"), lit(0L)).as("hm"))
       hub = nodes.join(hRaw, Seq("node"), "left")
         .crossJoin(broadcast(hMax))
@@ -240,7 +299,9 @@ object Graph {
     nodes.unpersist()
     eSrc.unpersist()
     eDst.unpersist()
+    e.unpersist()
     out
+    }
   }
 
   /** Personalized PageRank: [[pageRank]]'s integer recurrence with the
@@ -271,6 +332,10 @@ object Graph {
     require(iters > 0, s"iters must be positive, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    // sized the same way as [[pageRank]]: one narrow count, then the
+    // adjacency join's own exchange produces the hash(src) layout
+    val parts = sizedParts(e, e.count())
+    withParts(e, parts) {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
@@ -279,7 +344,7 @@ object Graph {
       .select(col("node"), coalesce(col("f"), lit(false)).as("is_seed"))
       .persist()
     val adj = e.join(e.groupBy("src").agg(count(lit(1)).as("d")), "src")
-      .repartition(col("src")).persist()
+      .persist()
     val base = when(col("is_seed"), lit(15L * scale / 100L)).otherwise(lit(0L))
     var ranks = flagged.select(col("node"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"))
@@ -299,6 +364,7 @@ object Graph {
     flagged.unpersist()
     adj.unpersist()
     out
+    }
   }
 
   /** One-row shape profile of the DIRECTED simple graph induced by an
@@ -488,28 +554,39 @@ object Graph {
         greatest(a.cast("long"), b.cast("long")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val adj = und.select(col("u").as("n"), col("v").as("m"))
+    val staged = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))
-      .repartition(col("n")).persist()
+      .persist()
+    val parts = sizedParts(staged, staged.count())
+    val adj = staged.repartition(parts, col("n")).persist()
+    adj.count()
+    staged.unpersist()
+    withParts(adj, parts) {
     // localCheckpoint, not persist: each round references the survivor
     // frame TWICE (self- and neighbor-liveness), so without lineage
     // truncation the LOGICAL plan doubles per round and Catalyst
     // analysis goes exponential (~0.3 s round 1 → ~9 s round 6 on a
-    // 147-node graph — planning, not data). Eager checkpoints give
-    // every round a flat leaf plan (dedupGroups' doubling-loop shape);
-    // superseded checkpoint blocks are released by the ContextCleaner.
+    // 147-node graph — planning, not data). LAZY checkpoints give the
+    // same flat LogicalRDD leaf per round (the plan is fixed at
+    // creation; only materialization defers), so the whole peel runs
+    // as ONE pipelined job instead of `rounds` eager jobs — within it
+    // each round's shared RDD computes once (persisted + stage-dedup'd)
+    // and both liveness references read the same blocks. q177: 17 → 10
+    // jobs. Superseded checkpoint blocks are released by the
+    // ContextCleaner.
     var survivors = adj.select(col("n")).distinct()
-      .withColumn("deg", lit(0L)).localCheckpoint(true)
+      .withColumn("deg", lit(0L)).localCheckpoint(false)
     for (_ <- 1 to rounds) {
       val alive = survivors.select("n")
       val deg = adj
         .join(alive, "n") // self alive; reuses adj's n-partitioning
         .join(alive.withColumnRenamed("n", "m"), "m") // neighbor alive
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      survivors = deg.where(col("deg") >= k).localCheckpoint(true)
+      survivors = deg.where(col("deg") >= k).localCheckpoint(false)
     }
     adj.unpersist()
     survivors.select(col("n").as("node"), col("deg"))
+    }
   }
 
   /** Synchronous label-propagation community detection: every node
@@ -542,9 +619,14 @@ object Graph {
         greatest(a.cast("long"), b.cast("long")).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-    val adj = und.select(col("u").as("n"), col("v").as("m"))
+    val staged = und.select(col("u").as("n"), col("v").as("m"))
       .union(und.select(col("v").as("n"), col("u").as("m")))
-      .repartition(col("m")).persist()
+      .persist()
+    val parts = sizedParts(staged, staged.count())
+    val adj = staged.repartition(parts, col("m")).persist()
+    adj.count()
+    staged.unpersist()
+    withParts(adj, parts) {
     // Every round's label table is read exactly ONCE (by the next
     // round's join), so the chain stays LAZY: one final job runs the
     // rounds as pipelined shuffle stages instead of paying a
@@ -570,5 +652,6 @@ object Graph {
     adj.unpersist()
     // the RETURNED table stays persisted for the caller to release
     out
+    }
   }
 }

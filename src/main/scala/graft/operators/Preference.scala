@@ -168,7 +168,10 @@ object Preference {
     // (both endpoints), so the logical plan would double per round and
     // Catalyst analysis go exponential — same doubling-loop shape (and
     // fix) as kCore/dedupGroups; superseded checkpoint blocks are
-    // released by the ContextCleaner.
+    // released by the ContextCleaner. (Lazy checkpoints — pipelining
+    // the whole MM loop into the output job — were tried and measured
+    // SLOWER here: 2.2 → 2.7 s warm despite 8 → 5 jobs, unlike
+    // kCore/hits where the same change helped; kept eager.)
     // (w_0 itself stays lazy: a literal column over the materialized
     // stats cache — its round-1 double read hits the cache, not lineage)
     var w = stats.select(col("item"), lit(scale).as("w"))
