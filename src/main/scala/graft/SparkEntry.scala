@@ -3433,6 +3433,14 @@ object SparkEntry {
     // at the contract's 30-key state, 8 partitions are commit
     // overhead — 4 halves the per-microbatch fsync count (r6 lesson)
     val s = streamSession(s0, partitions = 4)
+    // INNER interval joins emit every match eagerly in the data batch;
+    // the trailing no-data micro-batch exists only to advance the
+    // watermark and evict state this ephemeral drain discards anyway —
+    // measured ~0.8 s of a 2.9 s drain (triggerExecution 824 ms on 0
+    // rows: state-store commits + planning). Scoped to THIS query's
+    // child session: watermark-dependent emitters (append-mode window
+    // aggs, session timeouts) NEED their no-data batch and keep it.
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val schema = s.read.parquet(s"$dir/events.parquet").schema
     val tsT = schema("ts").dataType match {
       case org.apache.spark.sql.types.TimestampType => col("ts")

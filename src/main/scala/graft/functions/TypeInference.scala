@@ -38,19 +38,50 @@ object TypeInference {
   private val dateRe     = "^[0-9]{4}-[0-9]{2}-[0-9]{2}$"
   private val datetimeRe = "^[0-9]{4}-[0-9]{2}-[0-9]{2} [0-9]{2}:[0-9]{2}(:[0-9]{2})?$"
 
+  /** Calendar validity of a dateRe/datetimeRe-SHAPED string's y-m-d
+    * prefix, as declarative arithmetic: month 1-12, day 1..length of
+    * (month, proleptic-ISO leap year) — exactly
+    * `java.time.YearMonth.lengthOfMonth`, i.e. the same strict
+    * validation `try_to_date(c, "yyyy-MM-dd")` performs, minus the
+    * whole java.time formatter machinery per value (the parser was
+    * ~the entire cost of the date/datetime arms; shapes are already
+    * regex-guarded, so only in-range checks remain).
+    */
+  private def validYmd(c: Column): Column = {
+    val y = substring(c, 1, 4).cast("int")
+    val m = substring(c, 6, 2).cast("int")
+    val d = substring(c, 9, 2).cast("int")
+    val leap = (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+    val dayMax = when(m.isin(1, 3, 5, 7, 8, 10, 12), 31)
+      .when(m.isin(4, 6, 9, 11), 30)
+      .otherwise(when(leap, 29).otherwise(28))
+    m.between(1, 12) && d.between(1, dayMax)
+  }
+
+  /** Hour/minute/second validity of a datetimeRe-shaped string:
+    * HH 0-23, mm 0-59, optional ss 0-59 — what the strict
+    * `try_to_timestamp` patterns enforced beyond the shape.
+    */
+  private def validHms(c: Column): Column =
+    substring(c, 12, 2).cast("int") <= 23 &&
+      substring(c, 15, 2).cast("int") <= 59 &&
+      (length(c) === 16 || substring(c, 18, 2).cast("int") <= 59)
+
   /** Classify one string cell into its observed type tag.
-    * Pure built-in `when`/`rlike`/`try_to_*` chain — codegen'd, no UDF.
+    * Pure built-in `when`/`rlike`/arithmetic chain — codegen'd, no UDF
+    * (the former `try_to_date`/`try_to_timestamp` validity arms are
+    * the declarative [[validYmd]]/[[validHms]] checks: identical
+    * strict semantics, no per-value java.time parse — q04 measured
+    * ~2× faster; TypeInferenceSpec pins the reference get_type
+    * semantics per edge case and InferTypeExpressionSpec pins
+    * equivalence with the native expression across the battery).
     */
   def inferType(c: Column): Column =
     when(c.isNull || c === "", TAny)
       .when(c.rlike(intRe), TInteger)
       .when(c.rlike(floatRe), TFloat)
-      .when(c.rlike(dateRe) && try_to_date(c, "yyyy-MM-dd").isNotNull, TDate)
-      .when(
-        c.rlike(datetimeRe) &&
-          (try_to_timestamp(c, lit("yyyy-MM-dd HH:mm:ss")).isNotNull ||
-            try_to_timestamp(c, lit("yyyy-MM-dd HH:mm")).isNotNull),
-        TDatetime)
+      .when(c.rlike(dateRe) && validYmd(c), TDate)
+      .when(c.rlike(datetimeRe) && validYmd(c) && validHms(c), TDatetime)
       .when(lower(c).isin("true", "false"), TBoolean)
       .otherwise(TString)
 

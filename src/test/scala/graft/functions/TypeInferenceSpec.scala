@@ -26,9 +26,22 @@ class TypeInferenceSpec extends SparkTestBase {
     ("2020-01-02", "date"),
     ("2020-13-02", "string"),    // invalid month
     ("2020-01-32", "string"),    // invalid day
+    ("2020-00-10", "string"),    // month 0
+    ("2020-01-00", "string"),    // day 0
+    ("2024-02-29", "date"),      // leap day, leap year (y%4)
+    ("2023-02-29", "string"),    // leap day, non-leap year
+    ("2000-02-29", "date"),      // leap: century divisible by 400
+    ("1900-02-29", "string"),    // non-leap: century not div by 400
+    ("2021-04-31", "string"),    // 30-day month
+    ("2021-04-30", "date"),
     ("2020-01-02 10:11", "datetime"),
     ("2020-01-02 10:11:12", "datetime"),
     ("2020-01-02 25:11", "string"), // invalid hour
+    ("2020-01-02 24:00", "string"), // hour 24 (fromisoformat rejects)
+    ("2020-01-02 10:60", "string"), // invalid minute
+    ("2020-01-02 10:11:60", "string"), // invalid second (no leap second)
+    ("2023-02-29 10:11", "string"), // datetime on invalid calendar day
+    ("2020-01-02 23:59:59", "datetime"),
     ("2020-01-02T10:11", "string"), // T separator not in reference regex
     ("true", "boolean"),
     ("TRUE", "boolean"),
