@@ -9,21 +9,24 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // AQE OFF in the bench session only — a fixture-scale harness
-      // choice, like shuffle.partitions=cpus: AQE turns every
-      // exchange into its own sub-job, and at sf0.1 the driver-side
-      // scheduling of those tiny stages dominates wall time (same-day
-      // interleaved A/B, 2026-08-17: q277 3.45→2.03s, q152 2.58→1.24,
-      // q244 2.65→1.33, q215 1.81→1.45; the one loser is the
-      // brute-force-shuffle recall gate q272 4.7→5.1 — AQE's
-      // partition coalescing is worth paying for only when a shuffle
-      // is big enough to coalesce). The LIBRARY never sets the flag:
-      // a production session keeps AQE on for runtime re-planning,
-      // skew joins, and coalescing at real scale, and every operator
-      // is AQE-agnostic (values are identical either way — the
-      // oracle-checked Verify path runs with Spark defaults).
+      // AQE ON — Spark's production default (3.2+), and the posture
+      // every operator is designed for at scale (runtime re-planning,
+      // skew joins, partition coalescing). The r17 mid-build state
+      // briefly defaulted it OFF for the bench session because the
+      // iterative graph loops then ran their skinny per-round shuffles
+      // at the session constant and AQE's per-exchange sub-job
+      // scheduling dominated; those operators now size their own
+      // partitioning AND scope AQE off around their eager round loops
+      // (Graph.withParts, Profiling's quantile kernels), so the
+      // session default returns to the production setting. Full-run
+      // A/B on this code (2026-08-18): 145.9 s AQE-off vs 139.6 s
+      // AQE-on — the broad mid-tail coalescing pays more than the
+      // handful of loop regressions cost, and the loops are now
+      // individually scoped anyway. Every operator is AQE-agnostic
+      // in VALUES (the oracle-checked Verify path runs Spark
+      // defaults); the env override keeps the harness A/B-able.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -131,6 +131,9 @@ object Analytics {
       coarseBits: Int = 22): DataFrame = {
     require(coarseBits >= 0 && coarseBits <= 62,
       s"coarseBits must be in [0, 62], got $coarseBits")
+    // same scoped-AQE-off rationale as Profiling.madProfile: the
+    // two-phase kernel's actions are pre-sized skinny exchanges
+    Scale.withAqeOff(events.sparkSession) {
     val width = 1L << coarseBits
     val seq = Window.partitionBy("g", "k").orderBy("t", "tb")
     val gaps = events
@@ -173,6 +176,7 @@ object Analytics {
       .localCheckpoint(true)
     gaps.unpersist()
     out
+    }
   }
 
   /** Market-basket co-occurrence with exact ppm lift: for item pairs

@@ -40,13 +40,26 @@ object Graph {
     * (the adjacency's own partition count), so every per-round
     * exchange matches the persisted adjacency's partitioning — the
     * rank/label/liveness tables re-exchange per round (skinny), the
-    * edges never do.
+    * edges never do. AQE is ALSO scoped off for actions inside the
+    * body: the loop's exchanges are already sized from the data, so
+    * adaptive re-planning can only re-decide what is pre-decided,
+    * while its per-exchange sub-job materialization serializes the
+    * skinny rounds (full-run A/B 2026-08-18: q152 +0.6 s, q178
+    * +0.46 s under session AQE with unscoped loops). Lazy operators
+    * that return un-materialized round chains execute at the CALLER
+    * under the session's (production) AQE setting — only eager
+    * in-scope actions are affected.
     */
   private def withParts[T](df: DataFrame, parts: Int)(body: => T): T = {
     val sess = df.sparkSession
     val prev = sess.conf.get("spark.sql.shuffle.partitions")
+    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
     sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    try body finally sess.conf.set("spark.sql.shuffle.partitions", prev)
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally {
+      sess.conf.set("spark.sql.shuffle.partitions", prev)
+      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
   }
 
   /** Integer-exact PageRank over a directed multigraph edge table

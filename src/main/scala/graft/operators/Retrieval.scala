@@ -745,25 +745,34 @@ object Retrieval {
     @annotation.tailrec
     def gcd(a: Long, b: Long): Long = if (b == 0) a else gcd(b, a % b)
     val lcmK = (1L to k.toLong).foldLeft(1L)((a, b) => a / gcd(a, b) * b)
+    // the ranking is query-batch-sized but may be an EXPENSIVE lazy
+    // plan (q175 feeds the full RRF fusion of two index serves);
+    // lazy-checkpoint it so its two consumers below (the broadcast
+    // top-k and the query-id universe) evaluate it once
     val allRank = ranking.select(
       col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"),
       col("rank").cast("long").as("rank"))
+      .localCheckpoint(false)
     val topk = allRank.where(col("rank") <= k)
     val rel = qrels.select(
       col("query_id").cast("long").as("query_id"),
       col("doc_id").cast("long").as("doc_id"))
-    val nRel = rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
-    val hits = rel.join(broadcast(topk), Seq("query_id", "doc_id"))
+    // ONE pass over the qrels (corpus-sized for containment-style
+    // judgments): the left join against the broadcast top-k lets one
+    // aggregate produce n_rel (all rows), hits (matched ranks), and
+    // first_rel together — the separate nRel/hits aggregates each
+    // re-scanned the qrels
+    val relAgg = rel.join(broadcast(topk), Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
-      .agg(count(lit(1)).as("hits"), min(col("rank")).as("first_rel"))
+      .agg(count(lit(1)).as("n_rel"),
+        count(col("rank")).as("hits"), min(col("rank")).as("first_rel"))
     // query-id universe: a query ranked with ZERO relevant docs (or
     // ranked only beyond k) appears in neither aggregate but still
     // owes an all-zero metrics row
     val qids = allRank.select("query_id")
-      .unionByName(nRel.select("query_id")).distinct()
-    qids.join(nRel, Seq("query_id"), "left")
-      .join(hits, Seq("query_id"), "left")
+      .unionByName(relAgg.select("query_id")).distinct()
+    qids.join(relAgg, Seq("query_id"), "left")
       .select(col("query_id"),
         coalesce(col("n_rel"), lit(0L)).as("n_rel"),
         coalesce(col("hits"), lit(0L)).as("hits"),

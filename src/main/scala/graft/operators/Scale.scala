@@ -112,6 +112,20 @@ object Scale {
     * string, and descends into AQE's re-planned subtrees where the
     * exchange hides behind an AdaptiveSparkPlanExec wrapper.
     */
+  /** Run `body` with adaptive query execution scoped OFF on `sess` —
+    * for operators whose eager actions are fleets of pre-sized skinny
+    * exchanges (the two-phase quantile kernels, iterative loops):
+    * AQE's per-exchange sub-job materialization serializes those tiny
+    * stages for no re-planning benefit, since the partitioning is
+    * already derived from the data. Lazy results returned OUT of the
+    * scope still execute under the caller's (production) AQE setting.
+    */
+  def withAqeOff[T](sess: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = sess.conf.get("spark.sql.adaptive.enabled")
+    sess.conf.set("spark.sql.adaptive.enabled", "false")
+    try body finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0
 
   /** Number of shuffle exchanges in the physical plan (descending into

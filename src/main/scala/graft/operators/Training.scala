@@ -150,9 +150,15 @@ object Training {
     var cur = words0.select(
       concat(lit("  "), concat_ws("    ", split(col("word"), "")), lit("  ")).as("s"),
       col("cnt")).persist()
-    cur.count()
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var exhausted = false
+    // ONE job per round: the argmax collect is the first action over
+    // the round's persisted frame and materializes it as a side
+    // effect, so the dedicated warm-up count per round is pure job
+    // overhead. The SUPERSEDED frame unpersists one round late —
+    // only after the collect has materialized its successor — so no
+    // reference ever recomputes through an evicted parent.
+    var prev: DataFrame = null
     for (i <- 1 to nMerges if !exhausted) {
       val syms = split(trim(col("s")), "  +")
       // 1 row to the driver per round: the argmax pair
@@ -163,6 +169,7 @@ object Training {
         .withColumn("r", split(col("pr"), " ").getItem(1))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c) =
@@ -171,11 +178,11 @@ object Training {
         val next = cur.select(
           org.apache.spark.sql.functions.replace(col("s"),
             lit(s"  $l    $r  "), lit(s"  $l$r  ")).as("s"), col("cnt")).persist()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
       }
     }
+    if (prev != null) prev.unpersist()
     cur.unpersist()
     merges.result().toDF("merge_idx", "sym_a", "sym_b", "pair_count")
   }
@@ -302,9 +309,14 @@ object Training {
     var cur = words0.select(
       concat(lit("  "), concat_ws("    ", split(col("word"), "")), lit("  ")).as("s"),
       col("cnt")).persist()
-    cur.count()
     val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
     var exhausted = false
+    // one job per round — same deferred-unpersist discipline as
+    // [[trainBpe]]: the argmax collect materializes the round's
+    // persisted frame (it reads it twice — symbol counts + pair
+    // counts — so the persist itself stays load-bearing), and the
+    // superseded frame releases only after its successor is resident
+    var prev: DataFrame = null
     for (i <- 1 to nMerges if !exhausted) {
       val syms = split(trim(col("s")), "  +")
       val symCounts = cur
@@ -322,6 +334,7 @@ object Training {
             "(CAST(cl AS DECIMAL(38,0)) * cr)").as("score"))
         .orderBy(col("score").desc, col("l"), col("r"))
         .limit(1).collect()
+      if (prev != null) { prev.unpersist(); prev = null }
       if (top.isEmpty) exhausted = true
       else {
         val (l, r, c, sc) = (top.head.getAs[String]("l"), top.head.getAs[String]("r"),
@@ -330,11 +343,11 @@ object Training {
         val next = cur.select(
           org.apache.spark.sql.functions.replace(col("s"),
             lit(s"  $l    $r  "), lit(s"  $l$r  ")).as("s"), col("cnt")).persist()
-        next.count()
-        cur.unpersist()
+        prev = cur
         cur = next
       }
     }
+    if (prev != null) prev.unpersist()
     cur.unpersist()
     (words0, merges.result())
   }
