@@ -74,11 +74,19 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
           col("q_norm"), col("c_norm")), 6).as("cos"))
+    // bounded top-k AGGREGATE instead of a ranking window (guide
+    // §2.3 "aggregate before you shuffle"): the window shipped the
+    // ENTIRE query×corpus pair web through the exchange and sorted
+    // it; the aggregate's map-side partials carry at most k pairs
+    // per (query × task), so the exchange is ~corpus/k-fold smaller.
+    // Content and tie-breaks (cos desc, neighbor_id asc) are
+    // identical — TopKPairsSpec pins equality with the window form.
     scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rk") <= k)
-      .drop("rk")
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.pairs(col("cos"), col("neighbor_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"),
+        col("__e.neighbor_id").as("neighbor_id"), col("__e.cos").as("cos"))
   }
 
   /** Hard-negative mining for retrieval/classifier training: for each
@@ -105,10 +113,13 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(cosineFromNorms(dot(col("q_vec"), col("c_vec")),
           col("q_norm"), col("c_norm")), 6).as("cos"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))))
-      .where(col("rk") <= k)
-      .drop("rk")
+      // same bounded-top-k aggregate as [[bruteForceTopK]] — k pairs
+      // per (query × task) cross the exchange, not the pair web
+      .groupBy("query_id")
+      .agg(graft.functions.TopK.pairs(col("cos"), col("neighbor_id"), k).as("__tk"))
+      .select(col("query_id"), explode(col("__tk")).as("__e"))
+      .select(col("query_id"),
+        col("__e.neighbor_id").as("neighbor_id"), col("__e.cos").as("cos"))
   }
 
   /** Contrastive triplet mining: one row per anchor with its hardest
