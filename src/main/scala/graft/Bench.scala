@@ -175,7 +175,7 @@ object Bench {
     // reps); "value_first_rep" is the single-rep sum of chronological
     // attempt 1 (cold JVM) so rounds <=3 (single-rep, warmup absorbed)
     // compare like-for-like even when the gate forced a warm retry.
-    val fullJson = s"""{"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson}"""
+    val fullJson = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"queries":$qs,"spread":$spreads,"errors":$errJson,"build_s":$buildJson,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson}"""
     // Full per-query detail goes to a FILE, not stdout: the driver
     // records only the last 2000 chars of output, and r7–r10 all show
     // parsed:null because the single detail line is ~3.5k chars — its
@@ -186,7 +186,14 @@ object Bench {
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"), fullJson)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
-    val head = s""""errors":$errJson,"build_s":$buildJson,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${f3(total)},"unit":"sec","reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson,"detail":"bench_detail.json","queries":"""
+    // key order matters: the driver-contract format is
+    //   {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+    // and the driver's extractor anchors on the line's HEAD ('{"metric').
+    // r16/r17 both show prev/now_bench_ok=false with metric mid-object
+    // (the line then started '{"errors":...'), so the headline keys
+    // lead and the per-query map stays last where tail-truncation can
+    // only ever cost the cheapest entries.
+    val head = s""""metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"reps":$reps,"value_first_rep":${f3(totalFirst)},"build_total_s":${f3(buildTotal)},"errors":$errJson,"build_s":$buildJson,"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(loadEnd)},"host_cpus":$hostCpus,"max_spread":${f3(maxSpread)},$gateJson,"detail":"bench_detail.json","queries":"""
     // top queries by DESCENDING cost, as many as fit the budget
     val budget = 1700 - head.length - 2
     val entries = results.sortBy(-_._2)

@@ -53,10 +53,10 @@ object SparkEntry {
       case _ => df
     }
 
-  /** Scope AQE ON around one query's FULL materialization. The bench
-    * session runs AQE off because the 278-query fleet is dominated by
-    * tiny stages whose AQE sub-job scheduling costs more than
-    * coalescing saves (see Bench.scala); the queries wrapped here are
+  /** Scope AQE ON around one query's FULL materialization. Redundant
+    * under the bench session's AQE-on default (Bench.scala) — kept for
+    * the SPARK_GRAFT_AQE=false A/B path and for callers embedding
+    * these queries in AQE-off sessions; the queries wrapped here are
     * the measured exceptions — their dominant stages shuffle
     * corpus-proportional data (brute-force truth webs, graph
     * descent/mutation rounds, store migrations), where partition
@@ -2094,9 +2094,9 @@ object SparkEntry {
     * Target ~1M rows (≈32 MB of skinny edge rows) per cached
     * partition — scale-adaptive per the optimization guide §2, not a
     * local[32] constant: a 1e9-row graph caches into ~1000
-    * partitions, the fixture graph into 1. coalesce (not
-    * repartition): narrowing cached blocks needs no extra shuffle or
-    * sort.
+    * partitions, the fixture graph into 1 — via repartition(parts,
+    * key), deliberately NOT coalesce (see the inline note: the hash
+    * partitioning on the serve-side join key is the point).
     */
   private def cacheSized(df: DataFrame, key: String = "node_id"): DataFrame = {
     // localCheckpoint, not persist: the memoized artifact is
@@ -3006,15 +3006,31 @@ object SparkEntry {
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
       def pathOf(tag: String) = java.nio.file.Paths.get(
         System.getProperty("java.io.tmpdir"), s"graft_ivfpq_$tag", digest).toString
+      // six stores, FOUR distinct builds: the "del" store's build
+      // inputs are identical to "full"'s and "cmp"'s to "app"'s, so
+      // those two start as FILE COPIES of their just-written twins
+      // (the hier-mut pattern — ~ms per copy vs a full corpus
+      // encode+write each) taken BEFORE any mutation touches either
+      // path; the lifecycle ops then rewrite only their touched
+      // buckets in the copy. Content is identical by construction
+      // (same build inputs → same store), so every downstream oracle
+      // sees exactly what a second build produced.
+      def freshCopy(src: String, dst: String): Unit = {
+        val fs = new org.apache.hadoop.fs.Path(dst)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(dst), true)
+        copyDirLocal(src, dst)
+      }
       val full = Similarity.ivfPqWritePartitioned(e, cents, model, pathOf("full"))
+      freshCopy(pathOf("full"), pathOf("del"))
       val base = e.where(pmod(col("id"), lit(4L)) =!= 3)
       val batch = e.where(pmod(col("id"), lit(4L)) === 3)
-      val appended = Similarity.ivfPqAppend(
-        Similarity.ivfPqWritePartitioned(base, cents, model, pathOf("app")), batch)
+      val appBase = Similarity.ivfPqWritePartitioned(base, cents, model, pathOf("app"))
+      freshCopy(pathOf("app"), pathOf("cmp"))
+      val appended = Similarity.ivfPqAppend(appBase, batch)
       val compacted = Similarity.ivfPqCompact(s, Similarity.ivfPqAppend(
-        Similarity.ivfPqWritePartitioned(base, cents, model, pathOf("cmp")), batch))
-      val deleted = Similarity.ivfPqDelete(s,
-        Similarity.ivfPqWritePartitioned(e, cents, model, pathOf("del")),
+        appBase.copy(path = pathOf("cmp")), batch))
+      val deleted = Similarity.ivfPqDelete(s, full.copy(path = pathOf("del")),
         e.where(pmod(col("id"), lit(7L)) === 2).select(col("id")))
       val trainedCents = trainedIvfCents(s, dir)
       val resid = Similarity.ivfResiduals(e, trainedCents).persist()

@@ -3,10 +3,14 @@ package graft.dev
 import org.apache.spark.sql.SparkSession
 
 /** Dump `.explain("formatted")` for a list of contract queries into
-  * text files — the evidence artifact behind `plans/r17/` (judge-side
+  * text files — the evidence artifact behind `plans/rN/` (judge-side
   * plan-claim checking; the judge cannot run Spark). Bench-like conf:
-  * local[32], shuffle.partitions 32, AQE off (the bench session's
-  * default), nanosAsLong for the events vintage.
+  * local[32], shuffle.partitions 32, AQE on (the bench session's
+  * default since r17; SPARK_GRAFT_AQE overrides), nanosAsLong for the
+  * events vintage. NOTE: a dumped plan under AQE shows the INITIAL
+  * AdaptiveSparkPlan (isFinalPlan=false) — Exchange counts and join
+  * strategies before runtime re-planning, which is what the static
+  * plan-diff evidence compares.
   *
   * Usage: runMain graft.dev.PlanDump <outDir> <suffix> <query...>
   * writes <outDir>/<query>_<suffix>.txt per query. The query function
@@ -26,7 +30,7 @@ object PlanDump {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

@@ -589,13 +589,19 @@ object Graph {
     // ContextCleaner.
     var survivors = adj.select(col("n")).distinct()
       .withColumn("deg", lit(0L)).localCheckpoint(false)
-    for (_ <- 1 to rounds) {
+    for (r <- 1 to rounds) {
       val alive = survivors.select("n")
       val deg = adj
         .join(alive, "n") // self alive; reuses adj's n-partitioning
         .join(alive.withColumnRenamed("n", "m"), "m") // neighbor alive
         .groupBy("n").agg(count(lit(1)).as("deg"))
-      survivors = deg.where(col("deg") >= k).localCheckpoint(false)
+      // the LAST round checkpoints EAGERLY: the whole lazy peel chain
+      // then materializes in one job HERE, while adj's cached blocks
+      // still exist — returning it lazy and unpersisting adj first
+      // would make the caller's first action recompute the full
+      // adjacency (distinct+union+repartition over all edges) once per
+      // round's reference, O(rounds × edges) at scale
+      survivors = deg.where(col("deg") >= k).localCheckpoint(r == rounds)
     }
     adj.unpersist()
     survivors.select(col("n").as("node"), col("deg"))

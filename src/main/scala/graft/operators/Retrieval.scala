@@ -762,7 +762,14 @@ object Retrieval {
     // judgments): the left join against the broadcast top-k lets one
     // aggregate produce n_rel (all rows), hits (matched ranks), and
     // first_rel together — the separate nRel/hits aggregates each
-    // re-scanned the qrels
+    // re-scanned the qrels.
+    // PRECONDITION (public API): `ranking` holds at most ONE row per
+    // (query_id, doc_id) within rank <= k — every serve in this repo
+    // emits exactly that (one rank per retrieved doc). A duplicated
+    // pair would fan out its qrels row here and inflate n_rel/hits;
+    // dedup upstream (min rank per pair) before calling if a caller
+    // cannot guarantee it — not done here because the extra exchange
+    // would tax every well-formed caller for the malformed one.
     val relAgg = rel.join(broadcast(topk), Seq("query_id", "doc_id"), "left")
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_rel"),

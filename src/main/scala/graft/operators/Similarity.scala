@@ -1519,10 +1519,11 @@ object Similarity {
     var r = 0
     while (r < rounds) {
       val scored = VecOpsScore.score(capEdgesAndExpand(nb, revCap), vecs)
-      val next = scored
-        .withColumn("nb_rank", row_number().over(
-          Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
-        .where(col("nb_rank") <= k)
+      // bounded top-k aggregate, not a ranking window — see
+      // [[topKEdgesPerNode]]: ≤ k pairs per (node × task) cross the
+      // round's exchange instead of the full revCap² candidate web
+      val next = topKEdgesPerNode(scored, k)
+        .select("i", "j", "cos", "nb_rank")
         .localCheckpoint()
       unpersistCheckpoint(nb)
       nb = next
@@ -1571,10 +1572,7 @@ object Similarity {
     require(revCap >= k, s"revCap must be >= k, got $revCap < $k")
     val vecs = corpus.select(col("id"), col("vec"), norm(col("vec")).as("nrm"))
     val nb = graph.select(col("node_id").as("i"), col("neighbor_id").as("j"))
-    VecOpsScore.score(capEdgesAndExpand(nb, revCap), vecs)
-      .withColumn("nb_rank", row_number().over(
-        Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
-      .where(col("nb_rank") <= k)
+    topKEdgesPerNode(VecOpsScore.score(capEdgesAndExpand(nb, revCap), vecs), k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
   }
@@ -1602,6 +1600,27 @@ object Similarity {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
     }.foreach(_.unpersist(blocking = false))
 
+  /** Per-node bounded top-k over scored (i, j, cos) candidate rows —
+    * the aggregate form of
+    * `row_number().over(partitionBy(i).orderBy(cos desc, j)) <= k`
+    * shared by the build round, the descent round and both mutation
+    * merges (guide §2.3 "aggregate before you shuffle"): the window
+    * shipped EVERY candidate row (≤ revCap + revCap² per node in the
+    * build) through its exchange and sorted it; the bounded aggregate's
+    * map-side partials carry at most k pairs per (node × task), so the
+    * exchange shrinks ~candidates/k-fold. Content and tie-breaks are
+    * identical (TopKPairsSpec pins window equality, including ties);
+    * nb_rank is the explode position + 1 — the same 1-based dense
+    * ranking row_number produced over the unique (i, j) inputs every
+    * caller feeds this (all are post-`distinct`).
+    */
+  private def topKEdgesPerNode(scored: DataFrame, k: Int): DataFrame = scored
+    .groupBy("i")
+    .agg(graft.functions.TopK.pairs(col("cos"), col("j"), k).as("__tk"))
+    .select(col("i"), posexplode(col("__tk")))
+    .select(col("i"), col("col.neighbor_id").as("j"), col("col.cos").as("cos"),
+      (col("pos") + 1).as("nb_rank"))
+
   /** Adjacency cap shared by the graph family's build/delete legs:
     * keep `revCap` edges per node in a deterministic PSEUDO-RANDOM
     * order (Knuth-hash of the edge), the reproducible stand-in for
@@ -1611,13 +1630,22 @@ object Similarity {
     * 0.66 vs 1.0 on a two-cluster fixture). Operands are pre-bounded
     * so the product also fits DuckDB's non-wrapping BIGINT in the
     * mirrored oracle arithmetic.
+    *
+    * The (__h asc, j asc) bottom-revCap cut runs as the bounded
+    * heap aggregate with score = −__h (exact: __h < 2^31 « 2^53, and
+    * h₁ < h₂ ⇔ −h₁ > −h₂ with the j-asc tie-break unchanged), so at
+    * most revCap edges per (node × task) cross the exchange instead
+    * of the node's whole adjacency. Inputs are (i, j)-unique by
+    * contract (every caller dedups first — same precondition the
+    * window form had).
     */
-  private def capEdgesPerNode(edges: DataFrame, revCap: Int): DataFrame = edges
+  private[graft] def capEdgesPerNode(edges: DataFrame, revCap: Int): DataFrame = edges
     .withColumn("__h", expr(
       "((i % 1000003L) * 2654435761L + (j % 1000003L) * 40503L) % 2147483647L"))
-    .withColumn("__r", row_number().over(
-      Window.partitionBy("i").orderBy(col("__h"), col("j"))))
-    .where(col("__r") <= revCap).drop("__h", "__r")
+    .groupBy("i")
+    .agg(graft.functions.TopK.pairs(-col("__h").cast("double"), col("j"), revCap)
+      .as("__tk"))
+    .select(col("i"), explode(col("__tk.neighbor_id")).as("j"))
 
   /** The LSH seed-edge generator behind [[knnGraphBuild]], public
     * because the edges are useful BEYOND the build: a pure k-NN graph
@@ -1696,12 +1724,20 @@ object Similarity {
   def knnLshAnchorsOf(sig: DataFrame, anchorsPerBucket: Int): DataFrame = {
     require(anchorsPerBucket > 0,
       s"anchorsPerBucket must be positive, got $anchorsPerBucket")
+    // bounded heap aggregate, not a ranking window (same trick as
+    // [[capEdgesPerNode]]): the (__h asc, id asc) bottom-k cut is the
+    // top-k by score −__h (exact below 2^53), so at most
+    // anchorsPerBucket ids per (bucket × task) cross the exchange
+    // instead of the bucket's full membership. Input (tb, bkt, id)
+    // rows are unique by contract (signature tables are; incremental
+    // callers dedup their unions first — the same precondition the
+    // window form documented).
     sig.select(col("tb"), col("bkt"), col("id"))
       .withColumn("__h", expr("(id % 1000003L) * 2654435761L % 2147483647L"))
-      .withColumn("__ar", row_number().over(
-        Window.partitionBy("tb", "bkt").orderBy(col("__h"), col("id"))))
-      .where(col("__ar") <= anchorsPerBucket)
-      .select(col("tb"), col("bkt"), col("id"))
+      .groupBy("tb", "bkt")
+      .agg(graft.functions.TopK.pairs(
+        -col("__h").cast("double"), col("id"), anchorsPerBucket).as("__tk"))
+      .select(col("tb"), col("bkt"), explode(col("__tk.neighbor_id")).as("id"))
   }
 
   /** Batch-proportional anchor recut after a delete — the stored-cut
@@ -1912,13 +1948,11 @@ object Similarity {
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    val touchedMerged = graphEdges.select("i", "j", "cos")
-      .join(touched, Seq("i"), "left_semi")
-      .union(proposals)
-      .distinct()
-      .withColumn("nb_rank", row_number().over(
-        Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
-      .where(col("nb_rank") <= k)
+    val touchedMerged = topKEdgesPerNode(
+      graphEdges.select("i", "j", "cos")
+        .join(touched, Seq("i"), "left_semi")
+        .union(proposals)
+        .distinct(), k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
     (touched.select(col("i").as("node_id")), touchedMerged,
@@ -2007,13 +2041,11 @@ object Similarity {
       .where(col("nb_rank") <= k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
-    val affectedOut = kept.select("i", "j", "cos")
-      .join(affected, Seq("i"), "left_semi")
-      .union(scored)
-      .distinct()
-      .withColumn("nb_rank", row_number().over(
-        Window.partitionBy("i").orderBy(col("cos").desc, col("j"))))
-      .where(col("nb_rank") <= k)
+    val affectedOut = topKEdgesPerNode(
+      kept.select("i", "j", "cos")
+        .join(affected, Seq("i"), "left_semi")
+        .union(scored)
+        .distinct(), k)
       .select(col("i").as("node_id"), col("nb_rank").cast("long").as("nb_rank"),
         col("j").as("neighbor_id"), col("cos"))
     val changed = affected.select(col("i").as("node_id"))

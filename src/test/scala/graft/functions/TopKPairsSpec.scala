@@ -50,6 +50,45 @@ class TopKPairsSpec extends SparkTestBase {
     assert(aggTopK(df.where(col("g") < 0), 3).count() == 0)
   }
 
+  test("ascending bottom-k via negated score equals the ascending window") {
+    import spark.implicits._
+    // the capEdgesPerNode / knnLshAnchorsOf trick: (h asc, id asc)
+    // bottom-k == top-k by score −h. Hash-like long scores incl. 0 and
+    // heavy collisions (h = i*2654435761 % 97) so ties cross the cut.
+    val df = (0L until 400L).map(i => (i % 11, i, i * 2654435761L % 97))
+      .toDF("g", "i", "h")
+    for (k <- Seq(1, 4, 16)) {
+      val w = df.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(col("h"), col("i"))))
+        .where(col("rk") <= k).select("g", "i")
+        .orderBy("g", "i").collect().toSeq
+      val a = df.groupBy("g")
+        .agg(TopK.pairs(-col("h").cast("double"), col("i"), k).as("tk"))
+        .select(col("g"), explode(col("tk.neighbor_id")).as("i"))
+        .orderBy("g", "i").collect().toSeq
+      assert(a == w, s"k=$k")
+    }
+  }
+
+  test("posexplode position + 1 equals row_number ranks") {
+    import spark.implicits._
+    // the topKEdgesPerNode contract: nb_rank from the explode position
+    // must equal the window's row_number on unique (g, i) inputs
+    val df = (0L until 300L).map(i => (i % 9, i, (i * 13 % 7) / 10.0))
+      .toDF("g", "i", "s")
+    val w = df.withColumn("rk", row_number().over(
+        Window.partitionBy("g").orderBy(col("s").desc, col("i"))))
+      .where(col("rk") <= 6).select("g", "i", "s", "rk")
+      .orderBy("g", "rk").collect().toSeq
+    val a = df.groupBy("g")
+      .agg(TopK.pairs(col("s"), col("i"), 6).as("tk"))
+      .select(col("g"), posexplode(col("tk")))
+      .select(col("g"), col("col.neighbor_id").as("i"),
+        col("col.cos").as("s"), (col("pos") + 1).as("rk"))
+      .orderBy("g", "rk").collect().toSeq
+    assert(a == w)
+  }
+
   test("bruteForceTopK output is unchanged by the aggregate form") {
     import spark.implicits._
     val vecs = (0L until 120L)

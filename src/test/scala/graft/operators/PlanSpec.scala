@@ -637,8 +637,11 @@ class PlanSpec extends SparkTestBase {
     val plan = edges.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the anchor cut is a per-bucket window, never a global sort-limit
-    assert(plan.contains("Window"), plan)
+    // the anchor cut is a per-bucket bounded topk_pairs aggregate
+    // (r18; was a per-bucket window) — never a global sort-limit, and
+    // no Window remains anywhere in the seed plan
+    assert(plan.contains("topk_pairs"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 
   test("hashedImportanceWeights: fixed-width model broadcasts back; text never rides an exchange") {
