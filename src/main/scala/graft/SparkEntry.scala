@@ -71,10 +71,20 @@ object SparkEntry {
     * per operator, not a local[32] constant.
     */
   private def withAqeOn(s: SparkSession)(body: => DataFrame): DataFrame = {
-    val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
-    s.conf.set("spark.sql.adaptive.enabled", "true")
-    try body.localCheckpoint()
-    finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    // r18: scoped on a CHILD session (shared context + cache manager,
+    // own SQLConf) instead of set/restore on the shared session — the
+    // restore raced with concurrently-planned queries. The returned
+    // frame re-binds to the caller's session after the eager
+    // materialization, identical to the old contract. (Actions an
+    // operator runs INTERNALLY while building its lazy frame — e.g.
+    // the append algebra's scored checkpoint — now run under the
+    // caller session's own setting rather than the scope's; under the
+    // bench/production AQE-on default that is the same thing.)
+    val child = org.apache.spark.sql.graftbridge.SessionBridge.scoped(
+      s, Seq("spark.sql.adaptive.enabled" -> "true"))
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(
+      org.apache.spark.sql.graftbridge.SessionBridge.rebind(body, child)
+        .localCheckpoint(), s)
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -5332,6 +5342,15 @@ object SparkEntry {
         timestamp_micros(col("t_us")).as("ts"), col("t_us").as("tUs"))
       .as[graft.streaming.StreamingOps.EventUs]
     val sess = graft.streaming.StreamingOps.sessionizeMicros(stream, gapUs)
+    // KEEPS its trailing no-data micro-batch (the r18 drain-floor
+    // audit): this is the ONE streaming twin that still runs one —
+    // sessionizeMicros flushes idle keys via event-time TIMEOUT, so
+    // the final sessions EMIT in the no-data batch after the watermark
+    // passes last + gap (q141's noDataMicroBatches=false trick would
+    // silently drop closed sessions here). Every other twin was
+    // measured to run exactly one (data) batch — ProfileStream
+    // 2026-08-18: batch counts 1 for q72/q73/q120/q128/q141/q145/
+    // q147/q156/q160/q201/q214/q228; q261 alone shows batch 1 rows=0.
     val q = sess.writeStream.format("memory").queryName("graft_stream_sess")
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

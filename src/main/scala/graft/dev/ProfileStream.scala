@@ -50,13 +50,16 @@ object ProfileStream {
           println(f"  STAGE ${info.stageId} ${dur.getOrElse(-1.0)}%.2f s tasks=${info.numTasks} ${info.name.take(80)}")
       }
     })
-    val which = if (args.nonEmpty) args(0) else "q73_stream_dedup"
+    val names = if (args.nonEmpty) args.toSeq else Seq("q73_stream_dedup")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
-    (1 to reps).foreach { rep =>
-      val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(which)(spark, sfDir)
-      val n = df.count()
-      println(f"STREAMPROF $which rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+    names.foreach { which =>
+      println(s"STREAMPROF ==== $which ====")
+      (1 to reps).foreach { rep =>
+        val t0 = System.nanoTime()
+        val df = graft.SparkEntry.queries(which)(spark, sfDir)
+        val n = df.count()
+        println(f"STREAMPROF $which rep$rep total ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
     }
     spark.stop()
   }

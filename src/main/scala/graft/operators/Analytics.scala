@@ -133,14 +133,14 @@ object Analytics {
       s"coarseBits must be in [0, 62], got $coarseBits")
     // same scoped-AQE-off rationale as Profiling.madProfile: the
     // two-phase kernel's actions are pre-sized skinny exchanges
-    Scale.withAqeOff(events.sparkSession) {
+    Scale.withAqeOff(events.sparkSession) { rb =>
     val width = 1L << coarseBits
     val seq = Window.partitionBy("g", "k").orderBy("t", "tb")
-    val gaps = events
+    val gaps = rb(events
       .select(group.as("g"), key.as("k"), ts.cast("long").as("t"), tiebreak.as("tb"))
       .withColumn("nxt", lead(col("t"), 1).over(seq))
       .where(col("nxt").isNotNull)
-      .select(col("g"), (col("nxt") - col("t")).as("gap"))
+      .select(col("g"), (col("nxt") - col("t")).as("gap")))
       .persist()
     // phase A: coarse-bucket counts; totals ride the same aggregate
     val coarse = gaps

@@ -45,21 +45,31 @@ object Graph {
     * adaptive re-planning can only re-decide what is pre-decided,
     * while its per-exchange sub-job materialization serializes the
     * skinny rounds (full-run A/B 2026-08-18: q152 +0.6 s, q178
-    * +0.46 s under session AQE with unscoped loops). Lazy operators
-    * that return un-materialized round chains execute at the CALLER
-    * under the session's (production) AQE setting — only eager
-    * in-scope actions are affected.
+    * +0.46 s under session AQE with unscoped loops).
+    *
+    * Isolation (r18): the scoped values live on a CHILD session
+    * (`newSession()` — same SparkContext and SharedState, so the same
+    * cache manager; its own SQLConf) instead of being set-and-restored
+    * on the caller's session, which was not thread-safe on a shared
+    * production session (a concurrent query planned mid-scope saw
+    * partition counts sized for someone else's graph, and two
+    * overlapping scopes raced on save/restore). `body` receives a
+    * REBINDER — frames the loop chains from must pass through it so
+    * their actions plan under the child conf (a Dataset plans under
+    * ITS OWN session, wherever the action is called from) — and the
+    * returned frame is re-bound to the caller's session, so
+    * downstream consumers keep planning under the caller's
+    * (production) settings, exactly as before. ConcurrentScopeSpec
+    * pins the no-cross-talk property.
     */
-  private def withParts[T](df: DataFrame, parts: Int)(body: => T): T = {
-    val sess = df.sparkSession
-    val prev = sess.conf.get("spark.sql.shuffle.partitions")
-    val prevAqe = sess.conf.get("spark.sql.adaptive.enabled")
-    sess.conf.set("spark.sql.shuffle.partitions", parts.toString)
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally {
-      sess.conf.set("spark.sql.shuffle.partitions", prev)
-      sess.conf.set("spark.sql.adaptive.enabled", prevAqe)
-    }
+  private def withParts(sess: org.apache.spark.sql.SparkSession, parts: Int)(
+      body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val child = org.apache.spark.sql.graftbridge.SessionBridge.scoped(sess, Seq(
+      "spark.sql.shuffle.partitions" -> parts.toString,
+      "spark.sql.adaptive.enabled" -> "false"))
+    val rebind = (d: DataFrame) =>
+      org.apache.spark.sql.graftbridge.SessionBridge.rebind(d, child)
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(body(rebind), sess)
   }
 
   /** Integer-exact PageRank over a directed multigraph edge table
@@ -95,15 +105,16 @@ object Graph {
       scale: Long = 1000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
     // one narrow count sizes every exchange in the operator; the
     // adjacency join below has exactly one output row per edge, so
     // scoping shuffle partitions BEFORE building it makes the join's
     // own exchange produce the sized hash(src) layout — no staged
     // persist + repartition + eager-count cycle (2 jobs and a full
     // extra materialization saved per call)
-    val parts = sizedParts(e, e.count())
-    withParts(e, parts) {
+    val parts = sizedParts(e0, e0.count())
+    withParts(e0.sparkSession, parts) { rb =>
+    val e = rb(e0)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct().persist()
@@ -161,7 +172,7 @@ object Graph {
       scale: Long = 1000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
     // ONE pass over the edge table builds the node set WITH its
     // dangling flag (max of a per-endpoint has-out marker) — folding
     // what was three edge-table passes (distinct nodes, a distinct
@@ -173,8 +184,9 @@ object Graph {
     // adjacency join below has one output row per edge, so scoping
     // shuffle partitions BEFORE building it makes its own exchange
     // produce the sized hash(src) layout (no staged repartition pass)
-    val parts = sizedParts(e, e.count())
-    withParts(e, parts) {
+    val parts = sizedParts(e0, e0.count())
+    withParts(e0.sparkSession, parts) { rb =>
+    val e = rb(e0)
     val nodes = e.select(col("src").as("node"), lit(1).as("has_out"))
       .union(e.select(col("dst").as("node"), lit(0).as("has_out")))
       .groupBy("node").agg(max(col("has_out")).as("has_out"))
@@ -269,10 +281,10 @@ object Graph {
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
       .where(col("src") =!= col("dst")).distinct().persist()
     val parts = sizedParts(e, e.count())
-    val nodes = e.select(col("src").as("node"))
+    val nodes0 = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist()
-    val eSrc = e.repartition(parts, col("src")).persist()
-    val eDst = e.repartition(parts, col("dst")).persist()
+    val eSrc0 = e.repartition(parts, col("src")).persist()
+    val eDst0 = e.repartition(parts, col("dst")).persist()
     // Only the RAW half-step sums are double-read (max + normalize)
     // and need eager truncation; the normalized frames are each read
     // exactly once (by the next half-step's join, or the final
@@ -280,7 +292,11 @@ object Graph {
     // lazy levels by the raw checkpoints, and the loop runs half the
     // eager jobs it would with per-frame checkpoints. The initial
     // frames are literal columns over the persisted node set.
-    withParts(e, parts) {
+    withParts(e.sparkSession, parts) { rb =>
+    // every loop chain roots at one of these — rebound so the joins,
+    // checkpoint materializations and the final eager output all plan
+    // under the scoped child conf (same shared cache blocks)
+    val nodes = rb(nodes0); val eSrc = rb(eSrc0); val eDst = rb(eDst0)
     var hub = nodes.select(col("node"), lit(scale).as("hub"))
     var auth = nodes.select(col("node"), lit(scale).as("auth"))
     for (_ <- 1 to iters) {
@@ -309,9 +325,9 @@ object Graph {
     }
     val out = auth.join(hub, "node")
       .select(col("node"), col("auth"), col("hub")).localCheckpoint(true)
-    nodes.unpersist()
-    eSrc.unpersist()
-    eDst.unpersist()
+    nodes0.unpersist()
+    eSrc0.unpersist()
+    eDst0.unpersist()
     e.unpersist()
     out
     }
@@ -344,11 +360,12 @@ object Graph {
       scale: Long = 1000000000L): DataFrame = {
     require(iters > 0, s"iters must be positive, got $iters")
     require(scale > 0, s"scale must be positive, got $scale")
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+    val e0 = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
     // sized the same way as [[pageRank]]: one narrow count, then the
     // adjacency join's own exchange produces the hash(src) layout
-    val parts = sizedParts(e, e.count())
-    withParts(e, parts) {
+    val parts = sizedParts(e0, e0.count())
+    withParts(e0.sparkSession, parts) { rb =>
+    val e = rb(e0)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
     val seedSet = seeds.select(seedCol.cast("long").as("node")).distinct()
@@ -571,10 +588,11 @@ object Graph {
       .union(und.select(col("v").as("n"), col("u").as("m")))
       .persist()
     val parts = sizedParts(staged, staged.count())
-    val adj = staged.repartition(parts, col("n")).persist()
-    adj.count()
+    val adj0 = staged.repartition(parts, col("n")).persist()
+    adj0.count()
     staged.unpersist()
-    withParts(adj, parts) {
+    withParts(adj0.sparkSession, parts) { rb =>
+    val adj = rb(adj0)
     // localCheckpoint, not persist: each round references the survivor
     // frame TWICE (self- and neighbor-liveness), so without lineage
     // truncation the LOGICAL plan doubles per round and Catalyst
@@ -603,7 +621,7 @@ object Graph {
       // round's reference, O(rounds × edges) at scale
       survivors = deg.where(col("deg") >= k).localCheckpoint(r == rounds)
     }
-    adj.unpersist()
+    adj0.unpersist()
     survivors.select(col("n").as("node"), col("deg"))
     }
   }
@@ -642,10 +660,11 @@ object Graph {
       .union(und.select(col("v").as("n"), col("u").as("m")))
       .persist()
     val parts = sizedParts(staged, staged.count())
-    val adj = staged.repartition(parts, col("m")).persist()
-    adj.count()
+    val adj0 = staged.repartition(parts, col("m")).persist()
+    adj0.count()
     staged.unpersist()
-    withParts(adj, parts) {
+    withParts(adj0.sparkSession, parts) { rb =>
+    val adj = rb(adj0)
     // Every round's label table is read exactly ONCE (by the next
     // round's join), so the chain stays LAZY: one final job runs the
     // rounds as pipelined shuffle stages instead of paying a
@@ -668,7 +687,7 @@ object Graph {
     }
     val out = labels.persist()
     out.count()
-    adj.unpersist()
+    adj0.unpersist()
     // the RETURNED table stays persisted for the caller to release
     out
     }

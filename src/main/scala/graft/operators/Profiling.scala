@@ -224,8 +224,8 @@ object Profiling {
     * sizes) never funnel a hot group through one window task.
     */
   def groupQuantiles(df: DataFrame, group: Column, value: Column,
-      coarseBits: Int = 22): DataFrame = Scale.withAqeOff(df.sparkSession) {
-    val base = df.select(group.as("g"), value.cast("long").as("v")).persist()
+      coarseBits: Int = 22): DataFrame = Scale.withAqeOff(df.sparkSession) { rb =>
+    val base = rb(df.select(group.as("g"), value.cast("long").as("v"))).persist()
     val totals = base.groupBy("g").agg(count(lit(1)).as("n"))
     val qv = exactGroupQuantiles(base, Seq(500, 900, 990), coarseBits)
     val out = totals.join(
@@ -257,8 +257,8 @@ object Profiling {
       group: Column,
       value: Column,
       permille: Int = 990,
-      coarseBits: Int = 22): DataFrame = Scale.withAqeOff(df.sparkSession) {
-    val base = df.select(id.as("id"), group.as("g"), value.cast("long").as("v"))
+      coarseBits: Int = 22): DataFrame = Scale.withAqeOff(df.sparkSession) { rb =>
+    val base = rb(df.select(id.as("id"), group.as("g"), value.cast("long").as("v")))
       .persist()
     val caps = exactGroupQuantiles(base.select(col("g"), col("v")),
       Seq(permille), coarseBits)
@@ -295,13 +295,13 @@ object Profiling {
     // per-exchange sub-jobs only serialize them (full-run A/B
     // 2026-08-18: q244 1.17 s AQE-off vs 2.02 s on); scoped off here,
     // the session keeps its production setting
-    Scale.withAqeOff(df.sparkSession) {
+    Scale.withAqeOff(df.sparkSession) { rb =>
     // persist WITHOUT eager counts: the med/mad kernels' broadcast
     // subtree jobs are the first actions over each cache and populate
     // it as a side effect — the two dedicated warm-up counts were pure
     // job overhead (q244: 15 → 9 jobs); both caches stay resident
     // through the output checkpoint below, after which they release
-    val base = df.select(group.as("g"), value.cast("long").as("v")).persist()
+    val base = rb(df.select(group.as("g"), value.cast("long").as("v"))).persist()
     val med = exactGroupQuantiles(base, Seq(500), coarseBits)
       .select(col("g"), col("qv").as("med"))
     val devs = base.join(broadcast(med), "g")

@@ -112,18 +112,30 @@ object Scale {
     * string, and descends into AQE's re-planned subtrees where the
     * exchange hides behind an AdaptiveSparkPlanExec wrapper.
     */
-  /** Run `body` with adaptive query execution scoped OFF on `sess` —
-    * for operators whose eager actions are fleets of pre-sized skinny
+  /** Run `body` with adaptive query execution scoped OFF — for
+    * operators whose eager actions are fleets of pre-sized skinny
     * exchanges (the two-phase quantile kernels, iterative loops):
     * AQE's per-exchange sub-job materialization serializes those tiny
     * stages for no re-planning benefit, since the partitioning is
-    * already derived from the data. Lazy results returned OUT of the
-    * scope still execute under the caller's (production) AQE setting.
+    * already derived from the data.
+    *
+    * Isolation (r18): the scoped value lives on a CHILD session
+    * (same SparkContext/SharedState — shared cache manager; own
+    * SQLConf) instead of a set/restore on the caller's session, which
+    * raced with concurrent queries on a shared production session.
+    * `body` receives a rebinder — the kernel's root frame must pass
+    * through it so in-scope actions plan under the child conf — and
+    * the result re-binds to the caller's session, so lazy consumers
+    * keep the caller's (production) AQE setting, as before.
+    * ConcurrentScopeSpec pins the no-cross-talk property.
     */
-  def withAqeOff[T](sess: org.apache.spark.sql.SparkSession)(body: => T): T = {
-    val prev = sess.conf.get("spark.sql.adaptive.enabled")
-    sess.conf.set("spark.sql.adaptive.enabled", "false")
-    try body finally sess.conf.set("spark.sql.adaptive.enabled", prev)
+  def withAqeOff(sess: org.apache.spark.sql.SparkSession)(
+      body: (DataFrame => DataFrame) => DataFrame): DataFrame = {
+    val child = org.apache.spark.sql.graftbridge.SessionBridge.scoped(
+      sess, Seq("spark.sql.adaptive.enabled" -> "false"))
+    val rebind = (d: DataFrame) =>
+      org.apache.spark.sql.graftbridge.SessionBridge.rebind(d, child)
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(body(rebind), sess)
   }
 
   def hasShuffle(df: DataFrame): Boolean = countShuffles(df) > 0

@@ -2124,16 +2124,21 @@ object Similarity {
     val sess = queries.sparkSession
     val frontierParts = math.max(1L,
       beamDf.count() * (k + 1) / 250000L).toString
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val prevBloom = sess.conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    sess.conf.set("spark.sql.shuffle.partitions", frontierParts)
-    // the optimizer injects a runtime Bloom filter (might_contain
-    // scalar subquery, one extra job per hop) over query_id with the
-    // broadcast q as creation side — semantically a no-op here at ANY
-    // scale: every beam row's query_id comes FROM q by construction
-    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-    try {
+    // r18: the frontier-sized partition count and the Bloom-filter
+    // opt-out live on a CHILD session (shared context/cache manager,
+    // own SQLConf) instead of set/restore on the caller's session —
+    // not thread-safe on a shared serving session. Rebinding the
+    // materialized entry beam is enough: every hop frame chains from
+    // it (a Dataset plans under ITS session), and the final result is
+    // an eager checkpoint re-bound to the caller below.
+    // (The injected runtime Bloom filter — might_contain scalar
+    // subquery, one extra job per hop, over query_id with broadcast q
+    // as creation side — is semantically a no-op here at ANY scale:
+    // every beam row's query_id comes FROM q by construction.)
+    val child = org.apache.spark.sql.graftbridge.SessionBridge.scoped(sess, Seq(
+      "spark.sql.shuffle.partitions" -> frontierParts,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))
+    beamDf = org.apache.spark.sql.graftbridge.SessionBridge.rebind(beamDf, child)
     var lastCkpt = beamDf
     var sinceCkpt = 0
     var h = 0
@@ -2172,11 +2177,7 @@ object Similarity {
       .localCheckpoint()
     vecs.unpersist()
     if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
-    res
-    } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-      sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevBloom)
-    }
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(res, sess)
   }
 
   /** Deterministic HNSW-style layer membership: a node belongs to
@@ -2303,15 +2304,14 @@ object Similarity {
     val sess = queries.sparkSession
     val frontierParts = math.max(1L,
       beamDf.count() * (k + 1) / 250000L).toString
-    val prevParts = sess.conf.get("spark.sql.shuffle.partitions")
-    val prevBloom = sess.conf.get(
-      "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-    sess.conf.set("spark.sql.shuffle.partitions", frontierParts)
-    // see knnGraphServe: the injected runtime Bloom filter over
-    // query_id (broadcast q as creation side) is a no-op by
-    // construction and costs one scalar-subquery job per hop
-    sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
-    try {
+    // r18: child-session conf scope + entry-beam rebind — see
+    // knnGraphServe (same rationale: thread-safe on a shared serving
+    // session; the injected runtime Bloom filter over query_id is a
+    // no-op by construction and costs one scalar-subquery job per hop)
+    val child = org.apache.spark.sql.graftbridge.SessionBridge.scoped(sess, Seq(
+      "spark.sql.shuffle.partitions" -> frontierParts,
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "false"))
+    beamDf = org.apache.spark.sql.graftbridge.SessionBridge.rebind(beamDf, child)
     var lastCkpt: DataFrame = beamDf
     var sinceCkpt = 0
     val totalHops = layers.size * hopsPerLayer
@@ -2354,11 +2354,7 @@ object Similarity {
       .localCheckpoint()
     vecs.unpersist()
     if (lastCkpt != null) unpersistCheckpoint(lastCkpt)
-    res
-    } finally {
-      sess.conf.set("spark.sql.shuffle.partitions", prevParts)
-      sess.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", prevBloom)
-    }
+    org.apache.spark.sql.graftbridge.SessionBridge.rebind(res, sess)
   }
 
   /** A PERSISTED k-NN graph index — the graph family's counterpart of
